@@ -1,0 +1,73 @@
+"""Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
+JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec, ...}, "sf": ...}.
+
+Timing = full query execution to collect() (driver-side materialization of
+the result, which is small for every headline query by design).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+HEADLINE = [
+    "dashboard_probability",
+    "pricing_summary",
+    "weighted_mean_price",
+    "volume_by_nation",
+    "list_orders_page",
+    "list_lineitem_page",
+    "incident_counts",
+    "dedup_first_event",
+    "order_item_counts",
+    "union_dedup",
+    "new_events_only",
+    "discount_class",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    import __spark_entry__ as entrymod
+    from mini_project_204721_data_engineering_spark.session import get_spark
+
+    spark = get_spark("bench")
+    qs = entrymod.queries()
+
+    # warm the JVM + parquet footers with one tiny job (not counted)
+    spark.range(1).count()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        fn = qs.get(name)
+        if fn is None:
+            continue
+        t0 = time.time()
+        df = fn(spark, sf_dir)
+        n = len(df.collect())
+        timings[name] = round(time.time() - t0, 3)
+        print(f"# {name}: {timings[name]:.3f}s rows={n}", file=sys.stderr)
+
+    total = round(sum(timings.values()), 3)
+    sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,66 @@
+"""Join operators (SURVEY §2.3).
+
+The reference's joins are all equi-joins executed by pandas ``merge`` or the
+Postgres planner; here they are declarative DataFrame joins so Catalyst/AQE
+choose broadcast-hash vs sort-merge from actual sizes.
+
+Scale notes
+-----------
+- Anti/semi joins (J8/J9/J13) are first-class Spark join types — no
+  indicator-column trick needed, and they stay null-safe and shuffle-
+  partitioned on the key.
+- ``idempotent_append`` reproduces the reference's read-then-anti-join
+  incremental ingest (``backend/app/utils.py:565-591``) as one plan: the
+  existing-key scan is range-pruned (F6) before the anti join, so at scale
+  it reads only the affected date partitions, never the full fact table.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+__all__ = ["anti_join", "semi_join", "idempotent_append"]
+
+
+def anti_join(left: DataFrame, right: DataFrame, on: Sequence[str]) -> DataFrame:
+    """J8/J9: rows of ``left`` whose key has no match in ``right``.
+
+    Reference does this with merge ``indicator=True`` +
+    ``_merge == "left_only"`` (``backend/app/utils.py:393-398,578-591``);
+    Spark's ``left_anti`` is the native form.
+    """
+    return left.join(right.select(*on).dropDuplicates(list(on)), list(on), "left_anti")
+
+
+def semi_join(left: DataFrame, right: DataFrame, on: Sequence[str]) -> DataFrame:
+    """J13: rows of ``left`` that have at least one match in ``right``."""
+    return left.join(right.select(*on).dropDuplicates(list(on)), list(on), "left_semi")
+
+
+def idempotent_append(
+    incoming: DataFrame,
+    existing: DataFrame,
+    keys: Sequence[str],
+    range_col: str | None = None,
+) -> DataFrame:
+    """J9: incremental idempotent ingest — keep only incoming rows whose key
+    is not already present (reference ``backend/app/utils.py:565-591``).
+
+    When ``range_col`` is given, the existing-side scan is bounded to the
+    incoming min/max of that column first (the reference's
+    ``WHERE disaster_date BETWEEN :min AND :max``, ``utils.py:568-575``) —
+    at scale this is the difference between scanning 2 partitions and 2000.
+    """
+    if range_col is not None:
+        bounds = incoming.agg(
+            F.min(range_col).alias("lo"), F.max(range_col).alias("hi")
+        ).first()
+        if bounds["lo"] is not None:
+            existing = existing.filter(
+                (F.col(range_col) >= F.lit(bounds["lo"]))
+                & (F.col(range_col) <= F.lit(bounds["hi"]))
+            )
+    return anti_join(incoming, existing, keys)

@@ -1,0 +1,453 @@
+"""Aggregation / join / scalar operator corpus (SURVEY §2.3-§2.8).
+
+Each query is the Spark-first re-expression of one reference operator,
+run over the synthetic star schema; the paired SQL is its DuckDB oracle.
+Aggregated doubles are rounded identically on both sides (distributed
+partial aggregation sums in a different order than DuckDB's fold).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from mini_project_204721_data_engineering_spark.catalog import load_table
+from mini_project_204721_data_engineering_spark.functions.binning import avg_to_level
+from mini_project_204721_data_engineering_spark.operators.aggregates import min_coord_step, weighted_mean
+from mini_project_204721_data_engineering_spark.operators.dedup import dedup_keep_first
+from mini_project_204721_data_engineering_spark.operators.joins import anti_join, semi_join
+
+__all__ = ["QUERIES", "ORACLES"]
+
+
+# ---------------------------------------------------------------------------
+# Aggregations
+# ---------------------------------------------------------------------------
+
+def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1/A2/A6 composite (TPC-H Q1 shape): grouped sums/means/counts with
+    map-side partial aggregation — the Spark-native replacement for the
+    reference's per-group Python loop (``backend/app/utils.py:107-108``)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate").cast("date") <= F.lit("1998-09-02"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("sum_disc_price"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+PRICING_SUMMARY_SQL = """
+SELECT l_returnflag,
+       l_linestatus,
+       round(sum(l_quantity), 2) AS sum_qty,
+       round(sum(l_extendedprice), 2) AS sum_base_price,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+       round(avg(l_quantity), 4) AS avg_qty,
+       round(avg(l_discount), 4) AS avg_disc,
+       count(*) AS count_order
+FROM lineitem
+WHERE CAST(l_shipdate AS DATE) <= DATE '1998-09-02'
+GROUP BY l_returnflag, l_linestatus
+ORDER BY l_returnflag, l_linestatus
+"""
+
+
+def weighted_mean_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1: the reference's area-weighted mean (``utils.py:104-110``) as the
+    algebraic ``sum(x*w)/sum(w)`` — here price weighted by quantity."""
+    li = load_table(spark, sf_dir, "lineitem")
+    wm = weighted_mean(
+        li,
+        ["l_returnflag"],
+        F.col("l_extendedprice"),
+        F.col("l_quantity"),
+        out_name="wmean_raw",
+    )
+    return wm.select(
+        "l_returnflag", F.round(F.col("wmean_raw"), 4).alias("price_wmean")
+    ).orderBy("l_returnflag")
+
+
+WEIGHTED_MEAN_PRICE_SQL = """
+SELECT l_returnflag,
+       round(sum(l_extendedprice * l_quantity) / sum(l_quantity), 4) AS price_wmean
+FROM lineitem
+GROUP BY l_returnflag
+ORDER BY l_returnflag
+"""
+
+
+def volume_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A2+J5: grouped volume sum after dim enrichment (the reference's
+    rainfall-volume agg, ``utils.py:113-126``, over supplier nations)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    supplier = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    return (
+        li.join(supplier, li.l_suppkey == supplier.s_suppkey)
+        .join(F.broadcast(nation), supplier.s_nationkey == nation.n_nationkey)
+        .groupBy(nation.n_name.alias("nation_name"))
+        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("volume"))
+        .orderBy("nation_name")
+    )
+
+
+VOLUME_BY_NATION_SQL = """
+SELECT n_name AS nation_name,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS volume
+FROM lineitem
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation ON s_nationkey = n_nationkey
+GROUP BY n_name
+ORDER BY n_name
+"""
+
+
+def coord_step(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A3: grid-resolution inference — min diff of sorted distinct values
+    (reference ``utils.py:113-114``), over l_quantity."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return min_coord_step(li, "l_quantity")
+
+
+COORD_STEP_SQL = """
+SELECT min(abs(l_quantity - prev)) AS step
+FROM (
+  SELECT l_quantity, lag(l_quantity) OVER (ORDER BY l_quantity) AS prev
+  FROM (SELECT DISTINCT l_quantity FROM lineitem)
+)
+WHERE prev IS NOT NULL
+"""
+
+
+def avg_level_by_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A4+C5: grouped mean then ``avg_to_level`` binning (reference
+    ``utils.py:353-366``) — mean discount scaled to the 1-3 class range."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    agg = (
+        li.join(part, li.l_partkey == part.p_partkey)
+        .groupBy(part.p_brand.alias("brand"))
+        .agg(F.round(F.avg(F.col("l_discount") * 30), 4).alias("avg_class"))
+    )
+    return agg.select(
+        "brand", "avg_class", avg_to_level(F.col("avg_class")).alias("risk_level")
+    ).orderBy("brand")
+
+
+AVG_LEVEL_BY_BRAND_SQL = """
+SELECT brand, avg_class,
+       CASE WHEN avg_class IS NULL THEN NULL
+            WHEN avg_class <= 1.5 THEN 1
+            WHEN avg_class <= 2.1 THEN 2
+            ELSE 3 END AS risk_level
+FROM (
+  SELECT p_brand AS brand, round(avg(l_discount * 30), 4) AS avg_class
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+  GROUP BY p_brand
+)
+ORDER BY brand
+"""
+
+
+def incident_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A5: grouped count(*) per (day, user, type) — the reference's
+    incident-count grain (``utils.py:550-555``) over events."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.col("ts").cast("date").alias("day"),
+            "user_id",
+            "event_type",
+        )
+        .agg(F.count(F.lit(1)).alias("count_of_disasters"))
+    )
+
+
+INCIDENT_COUNTS_SQL = """
+SELECT CAST(ts AS DATE) AS day, user_id, event_type,
+       count(*) AS count_of_disasters
+FROM events
+GROUP BY 1, 2, 3
+"""
+
+
+def distinct_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A8: subset distinct (reference ``drop_duplicates``, ``utils.py:385``)."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.select("user_id", "event_type").distinct()
+
+
+DISTINCT_PAIRS_SQL = "SELECT DISTINCT user_id, event_type FROM events"
+
+
+def dedup_first_event(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A9: dedup-keep-first with an EXPLICIT deterministic order (pandas
+    ``keep='first'`` is file-order-dependent; SURVEY §7 hard-part #3)."""
+    ev = load_table(spark, sf_dir, "events")
+    first = dedup_keep_first(
+        ev, ["user_id", "event_type"], [F.col("ts").asc(), F.col("event_id").asc()]
+    )
+    return first.select(
+        "user_id", "event_type", F.col("event_id").alias("first_event_id")
+    )
+
+
+DEDUP_FIRST_EVENT_SQL = """
+SELECT user_id, event_type, event_id AS first_event_id
+FROM (
+  SELECT user_id, event_type, event_id,
+         row_number() OVER (PARTITION BY user_id, event_type
+                            ORDER BY ts ASC, event_id ASC) AS rn
+  FROM events
+)
+WHERE rn = 1
+"""
+
+
+# ---------------------------------------------------------------------------
+# Joins
+# ---------------------------------------------------------------------------
+
+def customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J8: left-anti join (reference merge-indicator 'left_only',
+    ``utils.py:393-398``)."""
+    customer = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    return anti_join(
+        customer.select(F.col("c_custkey"), F.col("c_name").alias("customer_name")),
+        orders.select(F.col("o_custkey").alias("c_custkey")),
+        ["c_custkey"],
+    )
+
+
+CUSTOMERS_WITHOUT_ORDERS_SQL = """
+SELECT c_custkey, c_name AS customer_name
+FROM customer
+WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+"""
+
+
+def customers_with_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J13: left-semi existence check."""
+    customer = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    return semi_join(
+        customer.select(F.col("c_custkey"), F.col("c_name").alias("customer_name")),
+        orders.select(F.col("o_custkey").alias("c_custkey")),
+        ["c_custkey"],
+    )
+
+
+CUSTOMERS_WITH_ORDERS_SQL = """
+SELECT c_custkey, c_name AS customer_name
+FROM customer
+WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+"""
+
+
+def new_events_only(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J9: idempotent-ingest anti-join — incoming batch minus keys already
+    present (reference ``utils.py:578-591``).  'Incoming' = purchase
+    events; 'existing' = keys of every third event."""
+    ev = load_table(spark, sf_dir, "events")
+    incoming = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", F.col("ts").cast("date").alias("day")
+    )
+    existing = ev.filter(F.col("event_id") % 3 == 0).select(
+        "user_id", F.col("ts").cast("date").alias("day")
+    )
+    return anti_join(incoming, existing, ["user_id", "day"])
+
+
+NEW_EVENTS_ONLY_SQL = """
+SELECT event_id, user_id, CAST(ts AS DATE) AS day
+FROM events e
+WHERE event_type = 'purchase'
+  AND NOT EXISTS (
+    SELECT 1 FROM events x
+    WHERE x.event_id % 3 = 0
+      AND x.user_id = e.user_id
+      AND CAST(x.ts AS DATE) = CAST(e.ts AS DATE)
+  )
+"""
+
+
+def order_item_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J10: counts re-attach left join + coalesce default
+    (reference ``utils.py:595-596`` with ``fillna(1)``)."""
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    counts = li.groupBy(F.col("l_orderkey").alias("o_orderkey")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    return (
+        orders.select("o_orderkey")
+        .join(counts, "o_orderkey", "left")
+        .select("o_orderkey", F.coalesce(F.col("n"), F.lit(1)).alias("n_items"))
+    )
+
+
+ORDER_ITEM_COUNTS_SQL = """
+SELECT o_orderkey, coalesce(n, 1) AS n_items
+FROM orders
+LEFT JOIN (SELECT l_orderkey, count(*) AS n FROM lineitem GROUP BY l_orderkey) c
+  ON o_orderkey = l_orderkey
+"""
+
+
+def concat_key_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J14/C15: equi-join on a concatenated key (the frontend's
+    ``district_en + '_' + province_en`` hash join, ``page.tsx:145-161``)."""
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+    customer = load_table(spark, sf_dir, "customer")
+    dim = (
+        nation.join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .select(
+            F.concat_ws("_", nation.n_name, region.r_name).alias("map_key"),
+            nation.n_nationkey,
+            nation.n_name.alias("nation_name"),
+        )
+    )
+    per_nation = (
+        customer.join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy(F.concat_ws("_", nation.n_name, region.r_name).alias("map_key"))
+        .agg(F.count(F.lit(1)).alias("customer_count"))
+    )
+    return dim.join(per_nation, "map_key", "left").select(
+        "map_key",
+        "nation_name",
+        F.coalesce(F.col("customer_count"), F.lit(0)).alias("customer_count"),
+    )
+
+
+CONCAT_KEY_JOIN_SQL = """
+WITH dim AS (
+  SELECT n_name || '_' || r_name AS map_key, n_nationkey, n_name AS nation_name
+  FROM nation JOIN region ON n_regionkey = r_regionkey
+), per_nation AS (
+  SELECT n_name || '_' || r_name AS map_key, count(*) AS customer_count
+  FROM customer
+  JOIN nation ON c_nationkey = n_nationkey
+  JOIN region ON n_regionkey = r_regionkey
+  GROUP BY 1
+)
+SELECT d.map_key, d.nation_name, coalesce(p.customer_count, 0) AS customer_count
+FROM dim d LEFT JOIN per_nation p ON d.map_key = p.map_key
+"""
+
+
+# ---------------------------------------------------------------------------
+# Scalar functions / set ops
+# ---------------------------------------------------------------------------
+
+def discount_class(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4: ``class_to_num`` numeric branches — tertile bins on [0,1] values
+    (reference ``utils.py:264-269``), over l_discount*10."""
+    li = load_table(spark, sf_dir, "lineitem")
+    v = F.col("l_discount") * 10
+    cls = F.when(v < 1.0 / 3.0, 1).when(v < 2.0 / 3.0, 2).otherwise(3)
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.round(v, 4).alias("value01"),
+        cls.cast("int").alias("risk_class"),
+    )
+
+
+DISCOUNT_CLASS_SQL = """
+SELECT l_orderkey, l_linenumber,
+       round(l_discount * 10, 4) AS value01,
+       CASE WHEN l_discount * 10 < 1.0/3.0 THEN 1
+            WHEN l_discount * 10 < 2.0/3.0 THEN 2
+            ELSE 3 END AS risk_class
+FROM lineitem
+"""
+
+
+def date_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C6/C7/C8: date parse + year extraction + day/month truncation
+    (reference ``utils.py:520-528``)."""
+    orders = load_table(spark, sf_dir, "orders")
+    d = F.col("o_orderdate").cast("date")
+    return orders.select(
+        "o_orderkey",
+        d.alias("order_date"),
+        F.year(d).alias("order_year"),
+        F.date_format(F.date_trunc("month", F.col("o_orderdate")), "yyyy-MM-dd").alias("order_month"),
+    )
+
+
+DATE_PARTS_SQL = """
+SELECT o_orderkey,
+       CAST(o_orderdate AS DATE) AS order_date,
+       CAST(year(o_orderdate) AS INT) AS order_year,
+       strftime(date_trunc('month', o_orderdate), '%Y-%m-%d') AS order_month
+FROM orders
+"""
+
+
+def union_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U1+A8: union-all of two selections then dedup
+    (reference ``utils.py:418-420``)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    a = li.filter(F.col("l_returnflag") == "A").select("l_orderkey", "l_partkey")
+    b = li.filter(F.col("l_linestatus") == "F").select("l_orderkey", "l_partkey")
+    return a.unionByName(b).distinct()
+
+
+UNION_DEDUP_SQL = """
+SELECT l_orderkey, l_partkey FROM lineitem WHERE l_returnflag = 'A'
+UNION
+SELECT l_orderkey, l_partkey FROM lineitem WHERE l_linestatus = 'F'
+"""
+
+
+QUERIES = {
+    "pricing_summary": pricing_summary,
+    "weighted_mean_price": weighted_mean_price,
+    "volume_by_nation": volume_by_nation,
+    "coord_step": coord_step,
+    "avg_level_by_brand": avg_level_by_brand,
+    "incident_counts": incident_counts,
+    "distinct_pairs": distinct_pairs,
+    "dedup_first_event": dedup_first_event,
+    "customers_without_orders": customers_without_orders,
+    "customers_with_orders": customers_with_orders,
+    "new_events_only": new_events_only,
+    "order_item_counts": order_item_counts,
+    "concat_key_join": concat_key_join,
+    "discount_class": discount_class,
+    "date_parts": date_parts,
+    "union_dedup": union_dedup,
+}
+
+ORACLES = {
+    "pricing_summary": PRICING_SUMMARY_SQL,
+    "weighted_mean_price": WEIGHTED_MEAN_PRICE_SQL,
+    "volume_by_nation": VOLUME_BY_NATION_SQL,
+    "coord_step": COORD_STEP_SQL,
+    "avg_level_by_brand": AVG_LEVEL_BY_BRAND_SQL,
+    "incident_counts": INCIDENT_COUNTS_SQL,
+    "distinct_pairs": DISTINCT_PAIRS_SQL,
+    "dedup_first_event": DEDUP_FIRST_EVENT_SQL,
+    "customers_without_orders": CUSTOMERS_WITHOUT_ORDERS_SQL,
+    "customers_with_orders": CUSTOMERS_WITH_ORDERS_SQL,
+    "new_events_only": NEW_EVENTS_ONLY_SQL,
+    "order_item_counts": ORDER_ITEM_COUNTS_SQL,
+    "concat_key_join": CONCAT_KEY_JOIN_SQL,
+    "discount_class": DISCOUNT_CLASS_SQL,
+    "date_parts": DATE_PARTS_SQL,
+    "union_dedup": UNION_DEDUP_SQL,
+}

@@ -1,0 +1,155 @@
+"""Flagship dashboard query (reference ``GET /list_data_graph``,
+``backend/app/main.py:682-731`` + ``estimateProbability``,
+``frontend/app/page.tsx:66-83``).
+
+The reference's shape: rain ⋈ₗ province ⋈ₗ district ⋈ₗ risk ⋈ₗ incidents,
+with the **date predicate inside the incidents join condition** (not the
+WHERE clause — preserving left-join semantics, ``main.py:709-710``), then a
+per-district landslide-probability score.
+
+Synthetic mapping: customer = district, nation = province,
+orders-aggregate = rain fact, acctbal bins = risk level, error events =
+incidents.  The probability formula C16 is promoted into the engine.
+
+Scale notes: the per-key aggregates reduce the facts BEFORE the joins
+(same dataflow-design choice the reference makes, SURVEY §4.1); nation is
+broadcast; customer⋈aggregates co-partition on the key via one shuffle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from mini_project_204721_data_engineering_spark.catalog import load_table
+from mini_project_204721_data_engineering_spark.functions.binning import (
+    estimate_probability,
+    probability_color,
+    risk_label,
+)
+
+__all__ = ["QUERIES", "ORACLES", "dashboard_probability"]
+
+#: the dashboard's date slice (reference `date_filter`, main.py:710)
+INCIDENT_DAY = "2024-01-15"
+
+
+def dashboard_probability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J11 4-way left join + C16 probability + C17 binning."""
+    customer = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    orders = load_table(spark, sf_dir, "orders")
+    events = load_table(spark, sf_dir, "events")
+
+    # "rain" fact: mean order value per customer, scaled into a mm-like range.
+    # Keep the raw average for the probability input: rounding first, then
+    # halving, manufactures exact .xxxx5 halfway values where Spark
+    # (HALF_UP on decimal repr) and DuckDB (binary value) disagree.
+    rain = orders.groupBy(F.col("o_custkey").alias("c_custkey")).agg(
+        (F.avg(F.col("o_totalprice")) / F.lit(5000.0)).alias("rain_raw")
+    )
+    # "risk" level: per-row deterministic bin of the account balance
+    risk = customer.select(
+        "c_custkey",
+        F.when(F.col("c_acctbal") < 2000.0, 1)
+        .when(F.col("c_acctbal") < 6000.0, 2)
+        .otherwise(3)
+        .cast("int")
+        .alias("risk_level"),
+    )
+    # "incidents": error events on the sliced day, counted per user
+    incidents = (
+        events.filter(F.col("event_type") == "error")
+        .groupBy(
+            F.col("user_id").cast("bigint").alias("i_custkey"),
+            F.col("ts").cast("date").alias("day"),
+        )
+        .agg(F.count(F.lit(1)).alias("count_of_disasters"))
+    )
+
+    joined = (
+        customer.select("c_custkey", F.col("c_name").alias("district_name"), "c_nationkey")
+        .join(F.broadcast(nation), F.col("c_nationkey") == nation.n_nationkey, "left")
+        .join(rain, "c_custkey", "left")
+        .join(risk, "c_custkey", "left")
+        # J11's signature: the date predicate lives IN the join condition
+        .join(
+            incidents,
+            (F.col("c_custkey") == incidents.i_custkey)
+            & (incidents.day == F.lit(INCIDENT_DAY).cast("date")),
+            "left",
+        )
+    )
+    prob = F.round(
+        estimate_probability(
+            F.col("rain_raw"), F.col("risk_level"), F.col("count_of_disasters")
+        ),
+        4,
+    )
+    return joined.select(
+        F.col("c_custkey").alias("district_id"),
+        F.col("district_name"),
+        F.col("n_name").alias("province_name"),
+        F.round(F.coalesce(F.col("rain_raw"), F.lit(0.0)), 4).alias("rain_mm_wmean"),
+        F.coalesce(F.col("risk_level"), F.lit(0)).alias("risk_level"),
+        F.coalesce(F.col("count_of_disasters"), F.lit(0)).alias("count_of_disasters"),
+        prob.alias("probability"),
+        probability_color(prob).alias("prob_color"),
+        risk_label(F.col("risk_level")).alias("risk_label_en"),
+    )
+
+
+DASHBOARD_PROBABILITY_SQL = f"""
+WITH rain AS (
+  SELECT o_custkey AS c_custkey,
+         avg(o_totalprice) / 5000.0 AS rain_raw
+  FROM orders GROUP BY o_custkey
+), risk AS (
+  SELECT c_custkey,
+         CAST(CASE WHEN c_acctbal < 2000.0 THEN 1
+                   WHEN c_acctbal < 6000.0 THEN 2
+                   ELSE 3 END AS INT) AS risk_level
+  FROM customer
+), incidents AS (
+  SELECT user_id AS c_custkey, CAST(ts AS DATE) AS day, count(*) AS count_of_disasters
+  FROM events WHERE event_type = 'error'
+  GROUP BY 1, 2
+), joined AS (
+  SELECT c.c_custkey AS district_id,
+         c.c_name AS district_name,
+         n.n_name AS province_name,
+         round(coalesce(r.rain_raw, 0.0), 4) AS rain_mm_wmean,
+         coalesce(k.risk_level, 0) AS risk_level,
+         coalesce(i.count_of_disasters, 0) AS count_of_disasters,
+         round(CASE
+           WHEN coalesce(i.count_of_disasters, 0) > 0 THEN
+             least(100.0, greatest(80.0,
+               coalesce(r.rain_raw, 0.0) / 2.0
+               + coalesce(k.risk_level, 0) * 10.0
+               + coalesce(i.count_of_disasters, 0) * 5.0))
+           ELSE least(100.0,
+               coalesce(r.rain_raw, 0.0) / 2.0
+               + coalesce(k.risk_level, 0) * 10.0)
+         END, 4) AS probability
+  FROM customer c
+  LEFT JOIN nation n ON c.c_nationkey = n.n_nationkey
+  LEFT JOIN rain r ON c.c_custkey = r.c_custkey
+  LEFT JOIN risk k ON c.c_custkey = k.c_custkey
+  LEFT JOIN incidents i
+    ON c.c_custkey = i.c_custkey AND i.day = DATE '{INCIDENT_DAY}'
+)
+SELECT district_id, district_name, province_name,
+       rain_mm_wmean, risk_level, count_of_disasters, probability,
+       CASE WHEN probability >= 75 THEN 'red'
+            WHEN probability >= 50 THEN 'amber'
+            ELSE 'green' END AS prob_color,
+       CASE WHEN risk_level = 1 THEN 'Low'
+            WHEN risk_level = 2 THEN 'Medium'
+            WHEN risk_level = 3 THEN 'High'
+            ELSE 'Unknown' END AS risk_label_en
+FROM joined
+"""
+
+
+QUERIES = {"dashboard_probability": dashboard_probability}
+ORACLES = {"dashboard_probability": DASHBOARD_PROBABILITY_SQL}

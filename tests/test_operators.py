@@ -1,0 +1,97 @@
+"""Operator-level tests: query builder, joins, dedup, aggregates."""
+
+from __future__ import annotations
+
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from mini_project_204721_data_engineering_spark.operators.aggregates import min_coord_step, weighted_mean
+from mini_project_204721_data_engineering_spark.operators.dedup import dedup_keep_first
+from mini_project_204721_data_engineering_spark.operators.joins import anti_join, idempotent_append, semi_join
+from mini_project_204721_data_engineering_spark.operators.query_builder import ListQuery
+
+
+def _people(spark):
+    rows = [Row(id=i, grp=i % 3, val=float(100 - i)) for i in range(30)]
+    return spark.createDataFrame(rows)
+
+
+def test_listquery_pagination_covers_all_rows_once(spark):
+    df = _people(spark)
+    q = ListQuery(
+        base=df,
+        sortable={"val": F.col("val")},
+        default_order="val",
+        tiebreaker=F.col("id"),
+    )
+    seen = []
+    for page in range(1, 5):
+        seen += [r["id"] for r in q.page_df(page=page, page_size=10, order_by="val").collect()]
+    assert sorted(seen[:30]) == list(range(30))
+    assert len(seen) == 30  # page 4 empty
+
+
+def test_listquery_eq_all_sentinel_disables(spark):
+    df = _people(spark)
+    q = ListQuery(base=df, sortable={"id": F.col("id")}, default_order="id")
+    q.eq(F.col("grp"), "all")
+    assert q.count() == 30
+    q.eq(F.col("grp"), 1)
+    assert q.count() == 10
+
+
+def test_listquery_fetch_clamps_page(spark):
+    df = _people(spark)
+    q = ListQuery(base=df, sortable={"id": F.col("id")}, default_order="id")
+    page = q.fetch(page=99, page_size=10)
+    assert page.total == 30 and page.total_pages == 3 and page.page == 3
+    assert len(page.df.collect()) == 10
+
+
+def test_anti_and_semi_join_partition(spark):
+    left = spark.createDataFrame([Row(k=i) for i in range(10)])
+    right = spark.createDataFrame([Row(k=i) for i in range(0, 10, 2)])
+    missing = {r["k"] for r in anti_join(left, right, ["k"]).collect()}
+    present = {r["k"] for r in semi_join(left, right, ["k"]).collect()}
+    assert missing == {1, 3, 5, 7, 9}
+    assert present == {0, 2, 4, 6, 8}
+    assert missing | present == set(range(10))
+
+
+def test_idempotent_append_range_pruned(spark):
+    incoming = spark.createDataFrame(
+        [Row(k=1, d="2024-01-02"), Row(k=2, d="2024-01-03"), Row(k=3, d="2024-01-04")]
+    )
+    existing = spark.createDataFrame(
+        [Row(k=2, d="2024-01-03"), Row(k=9, d="2023-06-01")]
+    )
+    out = idempotent_append(incoming, existing, ["k", "d"], range_col="d")
+    assert sorted(r["k"] for r in out.collect()) == [1, 3]
+
+
+def test_dedup_keep_first_deterministic(spark):
+    rows = [
+        Row(k="a", seq=2, v="second"),
+        Row(k="a", seq=1, v="first"),
+        Row(k="b", seq=5, v="only"),
+    ]
+    df = spark.createDataFrame(rows)
+    out = {r["k"]: r["v"] for r in dedup_keep_first(df, ["k"], [F.col("seq").asc()]).collect()}
+    assert out == {"a": "first", "b": "only"}
+
+
+def test_weighted_mean_matches_manual(spark):
+    rows = [Row(g="x", v=10.0, w=1.0), Row(g="x", v=20.0, w=3.0), Row(g="y", v=5.0, w=2.0)]
+    df = spark.createDataFrame(rows)
+    out = {
+        r["g"]: r["wm"]
+        for r in weighted_mean(df, ["g"], F.col("v"), F.col("w"), "wm").collect()
+    }
+    assert abs(out["x"] - 17.5) < 1e-12
+    assert abs(out["y"] - 5.0) < 1e-12
+
+
+def test_min_coord_step(spark):
+    df = spark.createDataFrame([Row(lat=v) for v in [0.0, 0.05, 0.10, 0.20, 0.05]])
+    step = min_coord_step(df, "lat").collect()[0]["step"]
+    assert abs(step - 0.05) < 1e-9
