@@ -1,0 +1,210 @@
+"""Corpus deduplication: exact, n-gram Jaccard, MinHash-LSH, SimHash.
+
+Scale design (the point of each variant):
+
+- **exact_dedup** — md5-hash groupBy: one shuffle on a 32-byte key, the
+  only strategy that is exact AND linear; always run it first.
+- **ngram_jaccard_pairs** — exact set-similarity via a shingle self-join.
+  Quadratic in the worst case; the ``max_shingle_df`` knob drops
+  ultra-common shingles (prefix-filter-style) so hot shingles can't
+  produce O(n²) candidate blowup.  Use at ≤ millions of docs, or as the
+  verify stage after LSH.
+- **minhash_signatures / minhash_lsh_pairs** — the 100 TB path: fixed-size
+  signatures (k md5-derived hashes), banded LSH so only same-bucket docs
+  are compared.  Cost is linear in corpus size + candidate count.
+- **simhash** — 32-bit charclass-free fingerprint; near-dup docs get
+  Hamming-close fingerprints; grouping by fingerprint prefix buckets
+  candidates cheaply.
+
+Determinism: all hashing is md5-based (no engine-specific hash functions),
+so results are reproducible across engines — which is also what lets the
+DuckDB oracle check these operators value-for-value.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from mini_project_204721_data_engineering_spark.llm.text import shingles, tokens
+
+__all__ = [
+    "exact_dedup",
+    "shingle_table",
+    "ngram_jaccard_pairs",
+    "minhash_table",
+    "minhash_lsh_pairs",
+    "simhash",
+]
+
+
+def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Exact dedup via content hash: one row per distinct text with the
+    smallest id as keeper and the duplicate count."""
+    return (
+        df.select(F.md5(F.col(text_col)).alias("content_hash"), F.col(id_col))
+        .groupBy("content_hash")
+        .agg(
+            F.min(id_col).alias("keeper_id"),
+            F.count(F.lit(1)).alias("n_copies"),
+        )
+    )
+
+
+def shingle_table(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", n: int = 3
+) -> DataFrame:
+    """(id, shingle) pairs, distinct per doc — the base relation for both
+    Jaccard and MinHash."""
+    return (
+        df.select(F.col(id_col), tokens(F.col(text_col)).alias("toks"))
+        .select(F.col(id_col), F.explode(shingles("toks", n)).alias("shingle"))
+        .distinct()
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    threshold: float = 0.8,
+    n: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_shingle_df: int | None = None,
+) -> DataFrame:
+    """Exact n-gram Jaccard near-dup pairs: ``|A∩B| / |A∪B| ≥ threshold``.
+
+    ``max_shingle_df`` drops shingles appearing in more than that many
+    docs before the self-join — the standard guard against hot-shingle
+    candidate blowup at scale (exactness is preserved for any pair whose
+    similarity survives on the remaining shingles; leave None for the
+    fully exact small-corpus mode).
+    """
+    sh = shingle_table(df, text_col, id_col, n)
+    if max_shingle_df is not None:
+        hot = (
+            sh.groupBy("shingle")
+            .agg(F.count(F.lit(1)).alias("df_"))
+            .filter(F.col("df_") > max_shingle_df)
+            .select("shingle")
+        )
+        sh = sh.join(hot, "shingle", "left_anti")
+    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
+    a = sh.select(F.col(id_col).alias("doc_a"), "shingle")
+    b = sh.select(F.col(id_col).alias("doc_b"), "shingle")
+    common = (
+        a.join(b, "shingle")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    return (
+        common.join(sizes.withColumnRenamed(id_col, "doc_a").withColumnRenamed("n_sh", "n_a"), "doc_a")
+        .join(sizes.withColumnRenamed(id_col, "doc_b").withColumnRenamed("n_sh", "n_b"), "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            (F.col("n_common") / (F.col("n_a") + F.col("n_b") - F.col("n_common"))).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+def minhash_table(
+    df: DataFrame,
+    k: int = 8,
+    n: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(id, seed, minhash) — k md5-derived minhashes per document.
+
+    hash_i(shingle) = md5(i || '|' || shingle); the per-seed minimum over a
+    doc's shingle set is an (engine-portable) minhash.  Computed with one
+    explode + one partial-aggregated groupBy; no UDFs.
+    """
+    sh = shingle_table(df, text_col, id_col, n)
+    seeds = F.explode(F.array(*[F.lit(i) for i in range(k)])).alias("seed")
+    return (
+        sh.select(F.col(id_col), F.col("shingle"), seeds)
+        .select(
+            id_col,
+            "seed",
+            F.md5(F.concat_ws("|", F.col("seed").cast("string"), F.col("shingle"))).alias("h"),
+        )
+        .groupBy(id_col, "seed")
+        .agg(F.min("h").alias("minhash"))
+    )
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    k: int = 8,
+    bands: int = 4,
+    n: int = 3,
+    threshold: float = 0.5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """MinHash + banded LSH near-dup candidates with estimated similarity.
+
+    Signature of k hashes split into ``bands`` bands of k/bands rows;
+    docs sharing ANY band bucket become candidates (join happens on the
+    band key — the corpus is never self-joined at large).  Estimated
+    similarity = fraction of agreeing minhashes; filtered at ``threshold``.
+    """
+    rows_per_band = k // bands
+    mh = minhash_table(df, k, n, text_col, id_col)
+    band = (
+        mh.withColumn("band", (F.col("seed") / rows_per_band).cast("int"))
+        .groupBy(id_col, "band")
+        # band key: the band's minhashes in seed order (seed ordering is
+        # deterministic because each (id, band) has distinct seeds)
+        .agg(F.concat_ws("|", F.array_sort(F.collect_list(F.concat_ws(":", F.lpad(F.col("seed").cast("string"), 2, "0"), F.col("minhash"))))).alias("band_key"))
+    )
+    a = band.select(F.col(id_col).alias("doc_a"), "band", "band_key")
+    b = band.select(F.col(id_col).alias("doc_b"), "band", "band_key")
+    cands = (
+        a.join(b, ["band", "band_key"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+    ma = mh.select(F.col(id_col).alias("doc_a"), F.col("seed"), F.col("minhash").alias("mh_a"))
+    mb = mh.select(F.col(id_col).alias("doc_b"), F.col("seed"), F.col("minhash").alias("mh_b"))
+    return (
+        cands.join(ma, "doc_a")
+        .join(mb, ["doc_b", "seed"])
+        .groupBy("doc_a", "doc_b")
+        .agg((F.sum(F.when(F.col("mh_a") == F.col("mh_b"), 1).otherwise(0)) / F.lit(float(k))).alias("est_jaccard"))
+        .filter(F.col("est_jaccard") >= threshold)
+    )
+
+
+def simhash(
+    df: DataFrame, bits: int = 32, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """SimHash fingerprint as a ``bits``-length '0'/'1' string per doc.
+
+    Per token: md5 hex; bit j of the token hash is extracted from hex
+    digit j/4 (value via position in the hex alphabet — engine-portable,
+    no integer-parse of hex needed).  Fingerprint bit j = sign of the
+    ±1 sum over all tokens (term frequency included).  Near-duplicate
+    docs get Hamming-close fingerprints.
+    """
+    tok = (
+        df.select(F.col(id_col), tokens(F.col(text_col)).alias("toks"))
+        .select(F.col(id_col), F.explode("toks").alias("tok"))
+        .select(F.col(id_col), F.md5(F.col("tok")).alias("h"))
+    )
+    # weight exprs: ((instr('0123..f', substr(h, p, 1)) - 1) >> k) & 1, ±1
+    sums = []
+    for j in range(bits):
+        p = j // 4 + 1  # 1-based hex char position
+        kk = j % 4
+        bit = (
+            f"shiftright(instr('0123456789abcdef', substring(h, {p}, 1)) - 1, {kk}) & 1"
+        )
+        sums.append(F.sum(F.expr(f"({bit}) * 2 - 1")).alias(f"s{j}"))
+    agg = tok.groupBy(id_col).agg(*sums)
+    fp = F.concat(*[F.when(F.col(f"s{j}") > 0, F.lit("1")).otherwise(F.lit("0")) for j in range(bits)])
+    return agg.select(F.col(id_col), fp.alias("simhash"))

@@ -1,0 +1,129 @@
+"""Embedding similarity search over an ``array<float>`` column.
+
+- :func:`cosine_topk` — brute-force exact top-k: broadcast the (small)
+  query side, score every corpus vector with a codegen'd array-fold
+  (``aggregate``/``zip_with`` — JVM-side, no Python), distributed top-k
+  via ``row_number`` over per-query windows.  Exact; linear per query —
+  the right baseline and the verify stage for ANN.
+- :func:`ivf_topk` — IVF-style scale path: corpus is bucketed into cells
+  (here: the ``label`` column as the cell id; in production a k-means
+  assignment), per-cell centroids are ranked per query, and only the top
+  ``nprobe`` cells are scanned.  Search cost drops by ~ncells/nprobe at a
+  small recall cost.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+__all__ = ["as_double", "cosine", "cosine_topk", "ivf_topk"]
+
+
+def as_double(col: str) -> Column:
+    """array<float> → array<double> (score in double for parity/stability)."""
+    return F.expr(f"transform({col}, x -> cast(x AS double))")
+
+
+def cosine(a: str, b: str) -> Column:
+    """Cosine similarity of two array<double> columns (by name) as a single
+    codegen'd expression: sequential folds, no UDF, no explode."""
+    dot = F.expr(
+        f"aggregate(zip_with({a}, {b}, (x, y) -> x * y), cast(0 AS double), (acc, v) -> acc + v)"
+    )
+    na = F.sqrt(F.expr(f"aggregate({a}, cast(0 AS double), (acc, v) -> acc + v * v)"))
+    nb = F.sqrt(F.expr(f"aggregate({b}, cast(0 AS double), (acc, v) -> acc + v * v)"))
+    return dot / (na * nb)
+
+
+def cosine_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_dp: int | None = 6,
+) -> DataFrame:
+    """Exact brute-force cosine top-k: for each query vector, the ``k``
+    nearest corpus vectors (self-matches excluded).
+
+    Output: (query_id, vec_id, cos_sim, rank).  Ranking uses the rounded
+    similarity with the corpus id as tiebreaker so ordering is total and
+    engine-independent.
+    """
+    c = corpus.select(
+        F.col(id_col).alias("vec_id"), as_double(vec_col).alias("v")
+    )
+    q = queries.select(
+        F.col(id_col).alias("query_id"), as_double(vec_col).alias("qv")
+    )
+    sim = cosine("qv", "v")
+    if round_dp is not None:
+        sim = F.round(sim, round_dp)
+    scored = (
+        c.crossJoin(F.broadcast(q))
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select("query_id", "vec_id", sim.alias("cos_sim"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), F.col("vec_id").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "vec_id", "cos_sim", "rank")
+    )
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    nprobe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    cell_col: str = "label",
+) -> DataFrame:
+    """Approximate top-k scanning only the ``nprobe`` most promising cells.
+
+    Cell centroids are computed per dimension with posexplode + groupBy
+    (distributed; never collected).  A query is routed to the cells whose
+    centroid it is most cosine-similar to, then scored exactly within
+    those cells only — the IVF trade: recall for a ~ncells/nprobe scan cut.
+    """
+    dims = (
+        corpus.select(F.col(cell_col).alias("cell"), F.posexplode(as_double(vec_col)).alias("pos", "x"))
+        .groupBy("cell", "pos")
+        .agg(F.avg("x").alias("cx"))
+    )
+    centroids = (
+        dims.groupBy("cell")
+        .agg(F.array_sort(F.collect_list(F.struct("pos", "cx"))).alias("pc"))
+        .select("cell", F.expr("transform(pc, s -> s.cx)").alias("cv"))
+    )
+    q = queries.select(F.col(id_col).alias("query_id"), as_double(vec_col).alias("qv"))
+    route_w = Window.partitionBy("query_id").orderBy(
+        F.col("cell_sim").desc(), F.col("cell").asc()
+    )
+    routed = (
+        q.crossJoin(F.broadcast(centroids))
+        .select("query_id", "qv", "cell", cosine("qv", "cv").alias("cell_sim"))
+        .withColumn("cell_rank", F.row_number().over(route_w))
+        .filter(F.col("cell_rank") <= nprobe)
+        .select("query_id", "qv", "cell")
+    )
+    c = corpus.select(
+        F.col(id_col).alias("vec_id"),
+        F.col(cell_col).alias("cell"),
+        as_double(vec_col).alias("v"),
+    )
+    scored = (
+        c.join(routed, "cell")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select("query_id", "vec_id", F.round(cosine("qv", "v"), 6).alias("cos_sim"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), F.col("vec_id").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "vec_id", "cos_sim", "rank")
+    )

@@ -1,0 +1,87 @@
+"""Text-analysis operators for document corpora.
+
+All pure Column expressions over ``pyspark.sql.functions`` — tokenization,
+shingling, language ID, quality scoring, and fingerprinting stay inside
+whole-stage codegen; nothing here drops to Python.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+__all__ = [
+    "tokens",
+    "shingles",
+    "token_count",
+    "stopword_ratio",
+    "quality_score",
+    "lang_id",
+    "STOPWORDS",
+]
+
+#: small English stopword list used by the quality heuristic
+STOPWORDS = ("the", "a", "of", "to", "and", "in", "is", "on", "for", "with")
+
+
+def tokens(text: Column) -> Column:
+    """Whitespace tokenization → array<string>."""
+    return F.split(F.trim(text), r"\s+")
+
+
+def shingles(toks_col: str, n: int = 3) -> Column:
+    """Word n-gram shingles of a token-array column (by name) — empty array
+    when the document is shorter than ``n`` tokens.
+
+    Built with ``transform(sequence(...))`` — a codegen'd array expression;
+    no explode until the caller chooses to.
+    """
+    parts = ", ".join(f"{toks_col}[i + {k}]" for k in range(n))
+    return F.expr(
+        f"CASE WHEN size({toks_col}) < {n} THEN array() "
+        f"ELSE transform(sequence(0, size({toks_col}) - {n}), "
+        f"i -> concat_ws(' ', {parts})) END"
+    )
+
+
+def token_count(text: Column) -> Column:
+    """Number of whitespace tokens."""
+    return F.size(tokens(text))
+
+
+def stopword_ratio(text: Column) -> Column:
+    """Fraction of tokens that are stopwords."""
+    toks = tokens(text)
+    sw = ", ".join(f"'{w}'" for w in STOPWORDS)
+    kept = F.filter(toks, lambda t: t.isin(*STOPWORDS))
+    return F.size(kept) / F.size(toks)
+
+
+def quality_score(text: Column) -> Column:
+    """Cheap document-quality heuristic in [0,1]:
+    0.5 · min(1, n_tokens/100)  — enough content
+    + 0.5 · (1 − stopword_ratio) — not all glue words
+    """
+    n = token_count(text)
+    return F.least(F.lit(1.0), n / F.lit(100.0)) * 0.5 + (
+        F.lit(1.0) - stopword_ratio(text)
+    ) * 0.5
+
+
+def lang_id(text: Column) -> Column:
+    """Character-class language heuristic (n-gram-free, codegen-friendly):
+    >30% Thai codepoints → 'th'; >30% CJK → 'zh'; >50% Latin letters →
+    'latin'; else 'unknown'.  (On ASCII-only corpora this is 'latin'
+    everywhere — the operator is the contract, the data decides.)
+    """
+    total = F.length(text)
+    thai = F.size(F.regexp_extract_all(text, F.lit("[฀-๿]"), 0))
+    cjk = F.size(F.regexp_extract_all(text, F.lit("[一-鿿]"), 0))
+    latin = F.size(F.regexp_extract_all(text, F.lit("[A-Za-z]"), 0))
+    return (
+        F.when(total == 0, F.lit("unknown"))
+        .when(thai > total * 0.3, F.lit("th"))
+        .when(cjk > total * 0.3, F.lit("zh"))
+        .when(latin > total * 0.5, F.lit("latin"))
+        .otherwise(F.lit("unknown"))
+    )

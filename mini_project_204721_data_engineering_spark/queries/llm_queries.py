@@ -1,0 +1,284 @@
+"""LLM-pipeline operator corpus: dedup, similarity, text analysis,
+multimodal metadata — each with a DuckDB oracle where SQL-expressible.
+
+All hashing is md5-based so Spark and DuckDB produce identical values;
+single-division ratios need no rounding (identical IEEE ops), aggregated
+floats are rounded on both sides.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from mini_project_204721_data_engineering_spark.catalog import load_table
+from mini_project_204721_data_engineering_spark.llm.dedup import (
+    exact_dedup,
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+    shingle_table,
+    simhash,
+)
+from mini_project_204721_data_engineering_spark.llm.similarity import cosine_topk, ivf_topk
+from mini_project_204721_data_engineering_spark.llm.text import (
+    STOPWORDS,
+    lang_id,
+    quality_score,
+    stopword_ratio,
+    token_count,
+)
+
+__all__ = ["QUERIES", "ORACLES"]
+
+# shared DuckDB CTE: distinct (doc_id, shingle) pairs, 3-gram
+_DUCK_SHINGLES = r"""
+toks AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t FROM documents
+), sh AS (
+  SELECT DISTINCT doc_id,
+         unnest(list_transform(range(1, greatest(len(t) - 1, 1)),
+                               i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS shingle
+  FROM toks
+)"""
+
+
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: content-hash groupBy (linear, one shuffle)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return exact_dedup(docs)
+
+
+DEDUP_EXACT_SQL = """
+SELECT md5(text) AS content_hash,
+       min(doc_id) AS keeper_id,
+       count(*) AS n_copies
+FROM documents
+GROUP BY md5(text)
+"""
+
+
+def ngram_jaccard_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact 3-gram Jaccard near-dup pairs at threshold 0.8."""
+    docs = load_table(spark, sf_dir, "documents")
+    return ngram_jaccard_pairs(docs, threshold=0.8)
+
+
+NGRAM_JACCARD_DUPS_SQL = f"""
+WITH {_DUCK_SHINGLES},
+sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+common AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT doc_a, doc_b,
+       n_common * 1.0 / (x.n_sh + y.n_sh - n_common) AS jaccard
+FROM common
+JOIN sizes x ON doc_a = x.doc_id
+JOIN sizes y ON doc_b = y.doc_id
+WHERE n_common * 1.0 / (x.n_sh + y.n_sh - n_common) >= 0.8
+"""
+
+
+def minhash_lsh_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash(k=8) + 4-band LSH candidates with estimated similarity."""
+    docs = load_table(spark, sf_dir, "documents")
+    return minhash_lsh_pairs(docs, k=8, bands=4, threshold=0.5)
+
+
+MINHASH_LSH_DUPS_SQL = f"""
+WITH {_DUCK_SHINGLES},
+mh AS (
+  SELECT doc_id, seed, min(md5(seed::VARCHAR || '|' || shingle)) AS minhash
+  FROM sh CROSS JOIN (SELECT * FROM range(8) t(seed))
+  GROUP BY doc_id, seed
+),
+band AS (
+  SELECT doc_id, CAST(seed // 2 AS INT) AS band,
+         string_agg(lpad(seed::VARCHAR, 2, '0') || ':' || minhash, '|'
+                    ORDER BY lpad(seed::VARCHAR, 2, '0') || ':' || minhash) AS band_key
+  FROM mh GROUP BY 1, 2
+),
+cands AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM band a JOIN band b
+    ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+)
+SELECT doc_a, doc_b,
+       sum(CASE WHEN ma.minhash = mb.minhash THEN 1 ELSE 0 END) / 8.0 AS est_jaccard
+FROM cands
+JOIN mh ma ON ma.doc_id = doc_a
+JOIN mh mb ON mb.doc_id = doc_b AND mb.seed = ma.seed
+GROUP BY doc_a, doc_b
+HAVING sum(CASE WHEN ma.minhash = mb.minhash THEN 1 ELSE 0 END) / 8.0 >= 0.5
+"""
+
+
+def simhash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """32-bit SimHash fingerprint per document ('0'/'1' string)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return simhash(docs, bits=32)
+
+
+def _simhash_duck_sql(bits: int = 32) -> str:
+    sums, cases = [], []
+    for j in range(bits):
+        p = j // 4 + 1
+        k = j % 4
+        d = f"(instr('0123456789abcdef', substring(h, {p}, 1)) - 1)"
+        sums.append(f"sum((({d} >> {k}) & 1) * 2 - 1) AS s{j}")
+        cases.append(f"CASE WHEN s{j} > 0 THEN '1' ELSE '0' END")
+    return rf"""
+WITH tok AS (
+  SELECT doc_id, md5(unnest(regexp_split_to_array(trim(text), '\s+'))) AS h
+  FROM documents
+),
+agg AS (SELECT doc_id, {', '.join(sums)} FROM tok GROUP BY doc_id)
+SELECT doc_id, {' || '.join(cases)} AS simhash FROM agg
+"""
+
+
+def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing-style fingerprint: the 3 smallest shingle hashes, joined.
+    Two docs sharing a fingerprint are near-certain duplicates; grouping
+    by it is a linear-cost near-dup bucketing."""
+    docs = load_table(spark, sf_dir, "documents")
+    sh = shingle_table(docs)
+    h = sh.select("doc_id", F.md5("shingle").alias("h"))
+    w = Window.partitionBy("doc_id").orderBy("h")
+    return (
+        h.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .groupBy("doc_id")
+        .agg(F.concat_ws("|", F.array_sort(F.collect_list("h"))).alias("fingerprint"))
+    )
+
+
+DOC_FINGERPRINT_SQL = f"""
+WITH {_DUCK_SHINGLES},
+h AS (SELECT doc_id, md5(shingle) AS h FROM sh),
+r AS (SELECT doc_id, h,
+             row_number() OVER (PARTITION BY doc_id ORDER BY h) AS rn
+      FROM h)
+SELECT doc_id, string_agg(h, '|' ORDER BY h) AS fingerprint
+FROM r WHERE rn <= 3 GROUP BY doc_id
+"""
+
+
+def token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc text analysis: token count, stopword ratio, quality score,
+    charclass language ID."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        token_count(F.col("text")).alias("n_tokens"),
+        F.round(stopword_ratio(F.col("text")), 4).alias("sw_ratio"),
+        F.round(quality_score(F.col("text")), 4).alias("quality"),
+        lang_id(F.col("text")).alias("lang_guess"),
+    )
+
+
+_SW = ", ".join(f"'{w}'" for w in STOPWORDS)
+TOKEN_STATS_SQL = rf"""
+WITH t AS (
+  SELECT doc_id, text, regexp_split_to_array(trim(text), '\s+') AS toks
+  FROM documents
+), m AS (
+  SELECT doc_id, text,
+         len(toks) AS n_tokens,
+         len(list_filter(toks, x -> x IN ({_SW}))) * 1.0 / len(toks) AS swr
+  FROM t
+)
+SELECT doc_id,
+       CAST(n_tokens AS INT) AS n_tokens,
+       round(swr, 4) AS sw_ratio,
+       round(least(1.0, n_tokens / 100.0) * 0.5 + (1.0 - swr) * 0.5, 4) AS quality,
+       CASE WHEN length(text) = 0 THEN 'unknown'
+            WHEN len(regexp_extract_all(text, '[฀-๿]')) > length(text) * 0.3 THEN 'th'
+            WHEN len(regexp_extract_all(text, '[一-鿿]')) > length(text) * 0.3 THEN 'zh'
+            WHEN len(regexp_extract_all(text, '[A-Za-z]')) > length(text) * 0.5 THEN 'latin'
+            ELSE 'unknown' END AS lang_guess
+FROM m
+"""
+
+
+def similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-10 for every 100th vector as query."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    qs = emb.filter(F.col("vec_id") % 100 == 0)
+    return cosine_topk(emb, qs, k=10)
+
+
+SIMILARITY_TOPK_SQL = """
+WITH q AS (
+  SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+  FROM embeddings WHERE vec_id % 100 = 0
+), c AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+), scored AS (
+  SELECT query_id, vec_id,
+         round(list_cosine_similarity(qv, v), 6) AS cos_sim
+  FROM c CROSS JOIN q
+  WHERE vec_id <> query_id
+), r AS (
+  SELECT *, CAST(row_number() OVER (
+      PARTITION BY query_id ORDER BY cos_sim DESC, vec_id ASC) AS INT) AS rank
+  FROM scored
+)
+SELECT query_id, vec_id, cos_sim, rank FROM r WHERE rank <= 10
+"""
+
+
+def similarity_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-bucketed ANN top-10 (label column as cells, nprobe=2) —
+    the scale path; rows-only check (not naturally ANSI-SQL)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    qs = emb.filter(F.col("vec_id") % 100 == 0)
+    return ivf_topk(emb, qs, k=10, nprobe=2)
+
+
+def multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal plumbing: text→binary payload with typed metadata and
+    chunk count (the frame-sampling shape), all engine-side."""
+    docs = load_table(spark, sf_dir, "documents")
+    payload = F.encode(F.col("text"), "UTF-8")
+    return docs.select(
+        "doc_id",
+        F.length(payload).alias("byte_len"),
+        F.md5(payload).alias("content_hash"),
+        F.ceil(F.length(payload) / F.lit(256.0)).cast("int").alias("n_chunks"),
+    )
+
+
+MULTIMODAL_META_SQL = """
+SELECT doc_id,
+       CAST(octet_length(encode(text)) AS INT) AS byte_len,
+       md5(text) AS content_hash,
+       CAST(ceil(octet_length(encode(text)) / 256.0) AS INT) AS n_chunks
+FROM documents
+"""
+
+
+QUERIES = {
+    "dedup_exact": dedup_exact,
+    "ngram_jaccard_dups": ngram_jaccard_dups,
+    "minhash_lsh_dups": minhash_lsh_dups,
+    "simhash_fingerprints": simhash_fingerprints,
+    "doc_fingerprint": doc_fingerprint,
+    "token_stats": token_stats,
+    "similarity_topk": similarity_topk,
+    "similarity_ivf": similarity_ivf,  # rows-only: ANN path
+    "multimodal_meta": multimodal_meta,
+}
+
+ORACLES = {
+    "dedup_exact": DEDUP_EXACT_SQL,
+    "ngram_jaccard_dups": NGRAM_JACCARD_DUPS_SQL,
+    "minhash_lsh_dups": MINHASH_LSH_DUPS_SQL,
+    "simhash_fingerprints": _simhash_duck_sql(32),
+    "doc_fingerprint": DOC_FINGERPRINT_SQL,
+    "token_stats": TOKEN_STATS_SQL,
+    "similarity_topk": SIMILARITY_TOPK_SQL,
+    "multimodal_meta": MULTIMODAL_META_SQL,
+}
