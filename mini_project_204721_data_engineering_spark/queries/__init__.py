@@ -13,9 +13,15 @@ Oracle-parity rules used throughout (see tests/test_oracle_parity.py):
 - every ORDER BY used for pagination carries a unique tiebreaker
 """
 
-from mini_project_204721_data_engineering_spark.queries import serving, analytics, dashboard, llm_queries
+from mini_project_204721_data_engineering_spark.queries import (
+    serving,
+    analytics,
+    dashboard,
+    llm_queries,
+    windows,
+)
 
-_MODULES = [serving, analytics, dashboard, llm_queries]
+_MODULES = [serving, analytics, dashboard, llm_queries, windows]
 
 
 def all_queries():

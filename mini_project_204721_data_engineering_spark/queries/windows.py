@@ -1,0 +1,134 @@
+"""Event-time window queries (batch form of the streaming surface).
+
+Each is the batch-executable equivalent of a streaming operator in
+:mod:`mini_project_204721_data_engineering_spark.streaming.events` — same window semantics,
+DuckDB-oracle-checkable.  Window starts are emitted as formatted strings
+(timestamp wire formats differ between engines; strings don't).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from mini_project_204721_data_engineering_spark.catalog import load_table
+
+__all__ = ["QUERIES", "ORACLES"]
+
+_FMT = "yyyy-MM-dd HH:mm:ss"
+
+
+def events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 1-hour windows via Spark's window() — count + value sum."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 hour"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 4).alias("value_sum"))
+        .select(
+            F.date_format(F.col("window.start"), _FMT).alias("window_start"),
+            "event_type",
+            "n",
+            "value_sum",
+        )
+    )
+
+
+EVENTS_HOURLY_SQL = """
+SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
+       event_type,
+       count(*) AS n,
+       round(sum(value), 4) AS value_sum
+FROM events
+GROUP BY 1, 2
+"""
+
+
+def events_tumbling_15m(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """15-minute tumbling windows (epoch-aligned, same as streaming)."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "15 minutes"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            F.date_format(F.col("window.start"), _FMT).alias("window_start"),
+            "n",
+        )
+    )
+
+
+EVENTS_TUMBLING_15M_SQL = """
+SELECT strftime(to_timestamp((epoch_us(ts) // (900 * 1000000)) * 900),
+                '%Y-%m-%d %H:%M:%S') AS window_start,
+       count(*) AS n
+FROM events
+GROUP BY 1
+"""
+
+
+def events_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (30-min silence closes a session), the
+    window-function form: lag → new-session flag → running sum as session
+    id → per-session aggregate.  Same result as streaming session_window
+    on closed sessions."""
+    ev = load_table(spark, sf_dir, "events")
+    w_user = Window.partitionBy("user_id").orderBy(F.col("ts").asc(), F.col("event_id").asc())
+    gap_us = 30 * 60 * 1_000_000
+    flagged = ev.select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.when(
+            F.unix_micros(F.col("ts")) - F.unix_micros(F.lag("ts").over(w_user)) > gap_us,
+            1,
+        )
+        .otherwise(0)
+        .alias("new_sess"),
+    ).withColumn("sess_id", F.sum("new_sess").over(w_user))
+    return (
+        flagged.groupBy("user_id", "sess_id")
+        .agg(
+            F.date_format(F.min("ts"), _FMT).alias("session_start"),
+            F.count(F.lit(1)).alias("n_events"),
+            ((F.unix_micros(F.max("ts")) - F.unix_micros(F.min("ts"))) / 1_000_000.0).alias(
+                "duration_sec"
+            ),
+        )
+        .select("user_id", "sess_id", "session_start", "n_events", "duration_sec")
+    )
+
+
+EVENTS_SESSIONS_SQL = """
+WITH flagged AS (
+  SELECT user_id, ts, event_id,
+         CASE WHEN epoch_us(ts) - epoch_us(lag(ts) OVER w) > 30 * 60 * 1000000
+              THEN 1 ELSE 0 END AS new_sess
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
+), sess AS (
+  SELECT user_id, ts, new_sess,
+         sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+                             ROWS UNBOUNDED PRECEDING) AS sess_id
+  FROM flagged
+)
+SELECT user_id,
+       CAST(sess_id AS BIGINT) AS sess_id,
+       strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+       count(*) AS n_events,
+       (epoch_us(max(ts)) - epoch_us(min(ts))) / 1000000.0 AS duration_sec
+FROM sess
+GROUP BY user_id, sess_id
+"""
+
+
+QUERIES = {
+    "events_hourly": events_hourly,
+    "events_tumbling_15m": events_tumbling_15m,
+    "events_sessions": events_sessions,
+}
+
+ORACLES = {
+    "events_hourly": EVENTS_HOURLY_SQL,
+    "events_tumbling_15m": EVENTS_TUMBLING_15M_SQL,
+    "events_sessions": EVENTS_SESSIONS_SQL,
+}
