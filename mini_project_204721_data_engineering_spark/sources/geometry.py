@@ -1,0 +1,163 @@
+"""Geometry support for the spatial join (J1) without geopandas/shapely.
+
+The reference's one spatial operator is point-in-polygon between a
+rainfall grid and 928 admin polygons (``gpd.sjoin(..., predicate=
+"within")``, ``backend/app/utils.py:92-97``).  At any scale the polygon
+side is broadcast-sized, so the Spark-native design is:
+
+1. parse polygons (WKT) driver-side into plain coordinate rings,
+2. broadcast them,
+3. assign districts per point either by
+   - :func:`assign_points_udf` — Arrow-batched ``mapInPandas`` doing
+     vectorized ray-casting per polygon (the general path), or
+   - :func:`build_cell_lookup` + broadcast equi-join — precompute
+     ``(lat, lon) → district`` once for the static grid (the fast path;
+     turns the spatial join into a plain broadcast hash join, SURVEY
+     §4.3.1).
+
+Boundary semantics: ``within`` excludes points exactly on a polygon
+boundary; ray casting is half-open and classifies such points
+arbitrarily — the reference has the same edge-instability through
+floating-point geometry, so we document rather than chase it.
+"""
+
+from __future__ import annotations
+
+import re
+from typing import Iterator, Sequence
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+__all__ = [
+    "parse_wkt_polygon",
+    "point_in_ring",
+    "assign_district",
+    "assign_points_udf",
+    "build_cell_lookup",
+]
+
+_WKT_RE = re.compile(r"POLYGON\s*\(\s*\(([^)]*)\)", re.IGNORECASE)
+
+
+def parse_wkt_polygon(wkt: str) -> np.ndarray:
+    """WKT ``POLYGON ((x y, x y, ...))`` → (n, 2) array of the outer ring.
+    (Holes are out of scope: admin boundaries in the reference are simple
+    polygons; extend here if a source needs them.)"""
+    m = _WKT_RE.search(wkt)
+    if not m:
+        raise ValueError(f"not a WKT polygon: {wkt[:60]!r}")
+    pts = [
+        (float(a), float(b))
+        for a, b in (p.strip().split()[:2] for p in m.group(1).split(",") if p.strip())
+    ]
+    return np.asarray(pts, dtype=np.float64)
+
+
+def point_in_ring(lons: np.ndarray, lats: np.ndarray, ring: np.ndarray) -> np.ndarray:
+    """Vectorized ray casting: for arrays of points, True where inside."""
+    x, y = lons, lats
+    inside = np.zeros(len(x), dtype=bool)
+    n = len(ring)
+    for i in range(n):
+        x1, y1 = ring[i]
+        x2, y2 = ring[(i + 1) % n]
+        cond = (y1 > y) != (y2 > y)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            xint = (x2 - x1) * (y - y1) / (y2 - y1) + x1
+        inside ^= cond & (x < xint)
+    return inside
+
+
+def assign_district(
+    lons: np.ndarray, lats: np.ndarray, polygons: Sequence[tuple[str, str, np.ndarray]]
+) -> tuple[np.ndarray, np.ndarray]:
+    """First-match district assignment for point arrays.
+
+    ``polygons``: (province, district, ring) triples.  Returns parallel
+    object arrays (province, district) with None where no polygon matched.
+    A cheap bbox prefilter skips polygons that can't contain the batch.
+    """
+    prov = np.full(len(lons), None, dtype=object)
+    dist = np.full(len(lons), None, dtype=object)
+    unassigned = np.ones(len(lons), dtype=bool)
+    for p_name, d_name, ring in polygons:
+        if not unassigned.any():
+            break
+        lo_x, lo_y = ring.min(axis=0)
+        hi_x, hi_y = ring.max(axis=0)
+        cand = unassigned & (lons >= lo_x) & (lons <= hi_x) & (lats >= lo_y) & (lats <= hi_y)
+        if not cand.any():
+            continue
+        idx = np.flatnonzero(cand)
+        hit = point_in_ring(lons[idx], lats[idx], ring)
+        hit_idx = idx[hit]
+        prov[hit_idx] = p_name
+        dist[hit_idx] = d_name
+        unassigned[hit_idx] = False
+    return prov, dist
+
+
+def assign_points_udf(
+    points: DataFrame,
+    polygons_df: pd.DataFrame,
+    lon_col: str = "lon",
+    lat_col: str = "lat",
+) -> DataFrame:
+    """Spatial join, general path: broadcast the parsed polygons and tag
+    every point with (province, district) via Arrow-batched ``mapInPandas``.
+    Unmatched points are dropped (inner-join semantics of the reference's
+    ``sjoin(..., how="inner")``)."""
+    spark = points.sparkSession
+    polys = [
+        (r["province"], r["district"], parse_wkt_polygon(r["wkt"]))
+        for _, r in polygons_df.iterrows()
+    ]
+    bpolys = spark.sparkContext.broadcast(polys)
+    out_schema = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}" for f in points.schema.fields
+    ) + ", province string, district string"
+
+    def worker(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        pl = bpolys.value
+        for pdf in batches:
+            prov, dist = assign_district(
+                pdf[lon_col].to_numpy(np.float64), pdf[lat_col].to_numpy(np.float64), pl
+            )
+            pdf = pdf.assign(province=prov, district=dist)
+            yield pdf[pdf["district"].notna()]
+
+    return points.mapInPandas(worker, out_schema)
+
+
+def build_cell_lookup(
+    spark: SparkSession,
+    lats: Sequence[float],
+    lons: Sequence[float],
+    polygons_df: pd.DataFrame,
+) -> DataFrame:
+    """Fast path for static grids: precompute the (lat, lon) → district
+    table once, driver-side (grid-cells × polygons is small: the distinct
+    coordinate sets are tiny regardless of how many days of data flow
+    through).  The result broadcasts, turning J1 into a plain equi-join."""
+    la = np.asarray(sorted({float(v) for v in lats}))
+    lo = np.asarray(sorted({float(v) for v in lons}))
+    gx, gy = np.meshgrid(lo, la)
+    flat_x, flat_y = gx.ravel(), gy.ravel()
+    polys = [
+        (r["province"], r["district"], parse_wkt_polygon(r["wkt"]))
+        for _, r in polygons_df.iterrows()
+    ]
+    prov, dist = assign_district(flat_x, flat_y, polys)
+    keep = np.array([d is not None for d in dist])
+    pdf = pd.DataFrame(
+        {
+            "lat": flat_y[keep],
+            "lon": flat_x[keep],
+            "province": prov[keep],
+            "district": dist[keep],
+        }
+    )
+    return spark.createDataFrame(pdf)
