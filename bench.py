@@ -50,7 +50,10 @@ def main() -> None:
             continue
         t0 = time.time()
         df = fn(spark, sf_dir)
-        n = len(df.collect())
+        # Arrow-batched materialization: measures the engine, not py4j
+        # row serialization (collect() on a 600k-row result spends most
+        # of its time in Python object construction)
+        n = len(df.toPandas())
         timings[name] = round(time.time() - t0, 3)
         print(f"# {name}: {timings[name]:.3f}s rows={n}", file=sys.stderr)
 

@@ -19,9 +19,10 @@ from mini_project_204721_data_engineering_spark.queries import (
     dashboard,
     llm_queries,
     windows,
+    cleaning,
 )
 
-_MODULES = [serving, analytics, dashboard, llm_queries, windows]
+_MODULES = [serving, analytics, dashboard, llm_queries, windows, cleaning]
 
 
 def all_queries():

@@ -1,0 +1,106 @@
+"""Normalization / conditional-update operator queries (C1/C2, F9) and
+the incidents-style list page — closing the SURVEY §2 serving surface.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from mini_project_204721_data_engineering_spark.catalog import load_table
+from mini_project_204721_data_engineering_spark.operators.query_builder import ListQuery
+
+__all__ = ["QUERIES", "ORACLES"]
+
+
+def text_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C1/C2 shape over documents: newline→space, whitespace collapse,
+    prefix strip, trim — the reference's clean_text/normalize_th chain
+    (minus NFC, identical on both engines only through a UDF; covered by
+    unit tests instead)."""
+    docs = load_table(spark, sf_dir, "documents")
+    c = F.regexp_replace(F.col("text"), r"[\r\n]+", " ")
+    c = F.regexp_replace(c, "จังหวัด", "")
+    c = F.regexp_replace(c, r"^the ", "")
+    c = F.trim(F.regexp_replace(c, r"\s+", " "))
+    return docs.select("doc_id", c.alias("clean_text"))
+
+
+TEXT_CLEAN_SQL = r"""
+SELECT doc_id,
+       trim(regexp_replace(
+           regexp_replace(
+               regexp_replace(regexp_replace(text, '[\r\n]+', ' '),
+                              'จังหวัด', ''),
+               '^the ', ''),
+           '\s+', ' ', 'g')) AS clean_text
+FROM documents
+"""
+
+
+def special_fix_masked_update(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F9: masked conditional overwrite — keys outside a known set are
+    rewritten to a fixed default (the reference's special_fix → Uttaradit,
+    ``utils.py:321-332``), here: segments outside the known list."""
+    cust = load_table(spark, sf_dir, "customer")
+    known = ["BUILDING", "AUTOMOBILE", "MACHINERY"]
+    return cust.select(
+        "c_custkey",
+        F.when(~F.col("c_mktsegment").isin(known), F.lit("OTHER"))
+        .otherwise(F.col("c_mktsegment"))
+        .alias("segment_fixed"),
+    )
+
+
+SPECIAL_FIX_SQL = """
+SELECT c_custkey,
+       CASE WHEN c_mktsegment NOT IN ('BUILDING', 'AUTOMOBILE', 'MACHINERY')
+            THEN 'OTHER' ELSE c_mktsegment END AS segment_fixed
+FROM customer
+"""
+
+
+def list_events_page(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The incidents-list endpoint shape (``main.py:583-632``): F5 type
+    filter + F6 range + O1 sort + O3 page over the event log."""
+    ev = load_table(spark, sf_dir, "events")
+    base = ev.select(
+        "event_id",
+        F.col("ts").cast("date").alias("day"),
+        "user_id",
+        "event_type",
+        "value",
+    )
+    q = ListQuery(
+        base=base,
+        sortable={"value": F.col("value"), "day": F.col("day")},
+        default_order="day",
+        tiebreaker=F.col("event_id"),
+    )
+    q.eq(F.col("event_type"), "error")
+    q.date_range(F.col("day"), "2024-01-05", "2024-01-25")
+    return q.page_df(page=2, page_size=100, order_by="value", order_type="desc")
+
+
+LIST_EVENTS_PAGE_SQL = """
+SELECT event_id, CAST(ts AS DATE) AS day, user_id, event_type, value
+FROM events
+WHERE event_type = 'error'
+  AND CAST(ts AS DATE) >= DATE '2024-01-05'
+  AND CAST(ts AS DATE) <= DATE '2024-01-25'
+ORDER BY value DESC, event_id ASC
+LIMIT 100 OFFSET 100
+"""
+
+
+QUERIES = {
+    "text_clean": text_clean,
+    "special_fix_masked_update": special_fix_masked_update,
+    "list_events_page": list_events_page,
+}
+
+ORACLES = {
+    "text_clean": TEXT_CLEAN_SQL,
+    "special_fix_masked_update": SPECIAL_FIX_SQL,
+    "list_events_page": LIST_EVENTS_PAGE_SQL,
+}

@@ -1,0 +1,72 @@
+"""Scale-health plan assertions (SURVEY §4.2): pushdown, pruning,
+broadcast joins, top-k pagination.  These are the properties that make
+the same code survive a 100 TB scale-up; a regression here is a
+performance bug even if results stay correct."""
+
+from __future__ import annotations
+
+import pytest
+
+import __spark_entry__ as entrymod
+from mini_project_204721_data_engineering_spark.plans.checks import (
+    broadcast_join_count,
+    has_pushed_filters,
+    has_take_ordered,
+    scan_columns,
+    shuffle_count,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def qs():
+    return entrymod.queries()
+
+
+def test_list_orders_pushdown_and_topk(spark, qs):
+    df = qs["list_orders_page"](spark, SF)
+    # status + date range reach the orders scan (Catalyst rewrites the
+    # DATE cast into raw timestamp bounds — pushable)
+    assert has_pushed_filters(df, "o_orderstatus")
+    assert has_pushed_filters(df, "o_orderdate")
+    # pagination is top-k, never a global sort
+    assert has_take_ordered(df)
+    # both dims broadcast
+    assert broadcast_join_count(df) == 2
+
+
+def test_list_orders_column_pruning(spark, qs):
+    df = qs["list_orders_page"](spark, SF)
+    cols = scan_columns(df, "orders.parquet")
+    # only the referenced columns are read, not the full table
+    assert set(cols) == {"o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice", "o_orderdate"}
+
+
+def test_pricing_summary_partial_agg_single_shuffle(spark, qs):
+    df = qs["pricing_summary"](spark, SF)
+    # one shuffle for the groupBy, one for the output orderBy — and the
+    # shipdate filter is pushed
+    assert has_pushed_filters(df, "l_shipdate")
+    assert shuffle_count(df) <= 2
+    assert "partial" in df._jdf.queryExecution().executedPlan().toString().lower()
+
+
+def test_dashboard_broadcasts_dims(spark, qs):
+    df = qs["dashboard_probability"](spark, SF)
+    # nation broadcast + AQE will broadcast the per-key aggregates at
+    # this size; at minimum the explicit one must be there
+    assert broadcast_join_count(df) >= 1
+
+
+def test_volume_join_broadcasts_small_dims(spark, qs):
+    df = qs["volume_by_nation"](spark, SF)
+    assert broadcast_join_count(df) >= 1
+    assert has_take_ordered(df) or shuffle_count(df) <= 3
+
+
+def test_similarity_broadcasts_queries(spark, qs):
+    df = qs["similarity_topk"](spark, SF)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    # the query side must broadcast: corpus × queries as BroadcastNestedLoop
+    assert "Broadcast" in plan
