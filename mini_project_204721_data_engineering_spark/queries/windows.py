@@ -121,14 +121,71 @@ GROUP BY user_id, sess_id
 """
 
 
+def events_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding windows (1 h length, 15 min slide): every event lands in 4
+    windows — Spark's window() with a slide duration."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 hour", "15 minutes"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            F.date_format(F.col("window.start"), _FMT).alias("window_start"),
+            "event_type",
+            "n",
+        )
+    )
+
+
+# oracle: the 4 slide-aligned window starts containing each event are
+# base - k·900s for k = 0..3 where base is the event's 15-min bucket
+EVENTS_SLIDING_SQL = """
+SELECT strftime(to_timestamp(((epoch_us(ts) // (900 * 1000000)) - k.k) * 900),
+                '%Y-%m-%d %H:%M:%S') AS window_start,
+       event_type,
+       count(*) AS n
+FROM events CROSS JOIN (SELECT * FROM range(4) t(k)) k
+GROUP BY 1, 2
+"""
+
+
+def salted_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A5 via two-phase salted aggregation (operators/skew.py): identical
+    result to the direct groupBy — the oracle proves the salting is
+    semantics-preserving while spreading hot keys over 8 reducers."""
+    from mini_project_204721_data_engineering_spark.operators.skew import salted_agg
+
+    ev = load_table(spark, sf_dir, "events").select(
+        F.col("ts").cast("date").alias("day"), "user_id", "event_type", "event_id"
+    )
+    return salted_agg(
+        ev,
+        keys=["day", "user_id", "event_type"],
+        salt_from="event_id",
+        partials={"count_of_disasters": (F.count(F.lit(1)), F.sum("count_of_disasters"))},
+        n_salts=8,
+    )
+
+
+SALTED_COUNTS_SQL = """
+SELECT CAST(ts AS DATE) AS day, user_id, event_type,
+       count(*) AS count_of_disasters
+FROM events
+GROUP BY 1, 2, 3
+"""
+
+
 QUERIES = {
     "events_hourly": events_hourly,
     "events_tumbling_15m": events_tumbling_15m,
     "events_sessions": events_sessions,
+    "events_sliding": events_sliding,
+    "salted_counts": salted_counts,
 }
 
 ORACLES = {
     "events_hourly": EVENTS_HOURLY_SQL,
     "events_tumbling_15m": EVENTS_TUMBLING_15M_SQL,
     "events_sessions": EVENTS_SESSIONS_SQL,
+    "events_sliding": EVENTS_SLIDING_SQL,
+    "salted_counts": SALTED_COUNTS_SQL,
 }

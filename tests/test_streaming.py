@@ -76,3 +76,26 @@ def test_stream_dedup_append(spark, events_dir):
         spark.read.parquet(events_dir).dropDuplicates(["user_id", "event_type", "ts"]).count()
     )
     assert n_stream == n_batch
+
+
+def test_stateful_burst_monitor(spark, events_dir):
+    from mini_project_204721_data_engineering_spark.streaming.stateful import user_burst_monitor
+
+    stream = read_events_stream(spark, events_dir, max_files_per_trigger=1)
+    got = run_available_now(user_burst_monitor(stream), "t_state", output_mode="update")
+    rows = got.collect()
+    assert len(rows) > 0
+    # final state per user: totals must equal the batch ground truth
+    import pyspark.sql.functions as FF
+
+    truth = {
+        r["user_id"]: r["n"]
+        for r in spark.read.parquet(events_dir).groupBy("user_id").agg(FF.count(FF.lit(1)).alias("n")).collect()
+    }
+    finals = {}
+    for r in rows:  # last update per user wins (updates accumulate in sink)
+        cur = finals.get(r["user_id"], 0)
+        finals[r["user_id"]] = max(cur, r["total_events"])
+    assert finals == truth
+    # with maxFilesPerTrigger=1 over 4 files, bursts are < totals for active users
+    assert all(r["max_batch_events"] <= r["total_events"] for r in rows)
