@@ -35,6 +35,8 @@ __all__ = [
     "minhash_table",
     "minhash_lsh_pairs",
     "simhash",
+    "embedding_neardup_pairs",
+    "srp_signatures",
 ]
 
 
@@ -208,3 +210,60 @@ def simhash(
     agg = tok.groupBy(id_col).agg(*sums)
     fp = F.concat(*[F.when(F.col(f"s{j}") > 0, F.lit("1")).otherwise(F.lit("0")) for j in range(bits)])
     return agg.select(F.col(id_col), fp.alias("simhash"))
+
+
+def embedding_neardup_pairs(
+    emb: DataFrame,
+    threshold: float = 0.45,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (exact): all id<id pairs with
+    cosine ≥ threshold.
+
+    Exact-and-quadratic by design — at corpus scale run
+    :func:`srp_signatures` bucketing first and use this as the verify
+    stage on candidates (same shape as MinHash→Jaccard)."""
+    from mini_project_204721_data_engineering_spark.llm.similarity import as_double, cosine
+
+    a = emb.select(F.col(id_col).alias("id_a"), as_double(vec_col).alias("va"))
+    b = emb.select(F.col(id_col).alias("id_b"), as_double(vec_col).alias("vb"))
+    return (
+        a.crossJoin(b)
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", F.round(cosine("va", "vb"), 6).alias("cos_sim"))
+        .filter(F.col("cos_sim") >= threshold)
+    )
+
+
+def srp_signatures(
+    emb: DataFrame,
+    n_bits: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    seed: int = 7,
+) -> DataFrame:
+    """Signed-random-projection (hyperplane) LSH signature per vector —
+    the scale path for embedding near-dup: group by signature prefix to
+    bucket candidates (P[bit match] = 1 - angle/pi).
+
+    Hyperplanes are deterministic pseudo-random ±1 vectors derived from
+    a seeded hash (retry-safe, reproducible across runs/engines)."""
+    import numpy as np
+
+    rng = np.random.RandomState(seed)
+    planes = rng.choice([-1.0, 1.0], size=(n_bits, dim))
+    spark = emb.sparkSession
+    planes_lit = F.array(
+        *[F.array(*[F.lit(float(v)) for v in row]) for row in planes]
+    )
+    from mini_project_204721_data_engineering_spark.llm.similarity import as_double
+
+    v = emb.select(F.col(id_col), as_double(vec_col).alias("v"), planes_lit.alias("planes"))
+    sig = F.expr(
+        "concat_ws('', transform(planes, p -> "
+        "CASE WHEN aggregate(zip_with(v, p, (x, y) -> x * y), cast(0 AS double), (a, b) -> a + b) > 0 "
+        "THEN '1' ELSE '0' END))"
+    )
+    return v.select(F.col(id_col), sig.alias("srp_sig"))

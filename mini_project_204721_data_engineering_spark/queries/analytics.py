@@ -414,6 +414,68 @@ SELECT l_orderkey, l_partkey FROM lineitem WHERE l_linestatus = 'F'
 """
 
 
+def props_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON scalar extraction over the events props column (extension:
+    the reference stores no JSON, ``models.py:1``; a modern event log
+    does) — get_json_object stays JVM-side."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.select(
+        "event_id",
+        F.get_json_object(F.col("props"), "$.k").cast("int").alias("k"),
+    )
+
+
+PROPS_EXTRACT_SQL = """
+SELECT event_id,
+       CAST(json_extract_string(props, '$.k') AS INT) AS k
+FROM events
+"""
+
+
+def shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape: 3-way join + filtered revenue top-10 — the
+    composite serving/analytics query (segment filter, two date
+    predicates, grouped revenue, bounded top-k)."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    cutoff = "1997-03-15"
+    return (
+        cust.filter(F.col("c_mktsegment") == "BUILDING")
+        .join(orders, cust.c_custkey == orders.o_custkey)
+        .join(li, orders.o_orderkey == li.l_orderkey)
+        .filter(
+            (F.col("o_orderdate").cast("date") < F.lit(cutoff))
+            & (F.col("l_shipdate").cast("date") > F.lit(cutoff))
+        )
+        .groupBy(
+            F.col("l_orderkey"),
+            F.col("o_orderdate").cast("date").alias("order_date"),
+            F.col("o_orderpriority"),
+        )
+        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))
+        .orderBy(F.col("revenue").desc(), F.col("l_orderkey").asc())
+        .limit(10)
+    )
+
+
+SHIPPING_PRIORITY_SQL = """
+SELECT l_orderkey,
+       CAST(o_orderdate AS DATE) AS order_date,
+       o_orderpriority,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM customer
+JOIN orders ON c_custkey = o_custkey
+JOIN lineitem ON o_orderkey = l_orderkey
+WHERE c_mktsegment = 'BUILDING'
+  AND CAST(o_orderdate AS DATE) < DATE '1997-03-15'
+  AND CAST(l_shipdate AS DATE) > DATE '1997-03-15'
+GROUP BY l_orderkey, CAST(o_orderdate AS DATE), o_orderpriority
+ORDER BY revenue DESC, l_orderkey ASC
+LIMIT 10
+"""
+
+
 QUERIES = {
     "pricing_summary": pricing_summary,
     "weighted_mean_price": weighted_mean_price,
@@ -431,6 +493,8 @@ QUERIES = {
     "discount_class": discount_class,
     "date_parts": date_parts,
     "union_dedup": union_dedup,
+    "props_extract": props_extract,
+    "shipping_priority": shipping_priority,
 }
 
 ORACLES = {
@@ -450,4 +514,6 @@ ORACLES = {
     "discount_class": DISCOUNT_CLASS_SQL,
     "date_parts": DATE_PARTS_SQL,
     "union_dedup": UNION_DEDUP_SQL,
+    "props_extract": PROPS_EXTRACT_SQL,
+    "shipping_priority": SHIPPING_PRIORITY_SQL,
 }

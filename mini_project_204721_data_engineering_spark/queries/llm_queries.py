@@ -238,6 +238,24 @@ def similarity_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_topk(emb, qs, k=10, nprobe=2)
 
 
+def embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs (exact verify stage; SRP-LSH
+    bucketing is the scale prefilter, tests/test_llm.py)."""
+    from mini_project_204721_data_engineering_spark.llm.dedup import embedding_neardup_pairs
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return embedding_neardup_pairs(emb, threshold=0.45)
+
+
+EMBEDDING_NEARDUP_SQL = """
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       round(list_cosine_similarity(a.v, b.v), 6) AS cos_sim
+FROM e a JOIN e b ON a.vec_id < b.vec_id
+WHERE round(list_cosine_similarity(a.v, b.v), 6) >= 0.45
+"""
+
+
 def multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal plumbing: text→binary payload with typed metadata and
     chunk count (the frame-sampling shape), all engine-side."""
@@ -269,6 +287,7 @@ QUERIES = {
     "token_stats": token_stats,
     "similarity_topk": similarity_topk,
     "similarity_ivf": similarity_ivf,  # rows-only: ANN path
+    "embedding_neardup": embedding_neardup,
     "multimodal_meta": multimodal_meta,
 }
 
@@ -280,5 +299,6 @@ ORACLES = {
     "doc_fingerprint": DOC_FINGERPRINT_SQL,
     "token_stats": TOKEN_STATS_SQL,
     "similarity_topk": SIMILARITY_TOPK_SQL,
+    "embedding_neardup": EMBEDDING_NEARDUP_SQL,
     "multimodal_meta": MULTIMODAL_META_SQL,
 }

@@ -110,3 +110,33 @@ def test_decode_batches_arrow_pipeline(spark):
 def test_decode_stub_is_explicitly_unavailable():
     with pytest.raises(NotImplementedError):
         decode_stub(b"\x89PNG...")
+
+
+def test_srp_signatures_bucket_similar_vectors(spark):
+    """SRP property: identical vectors share a signature; a sign-flipped
+    vector gets the complementary one."""
+    from pyspark.sql import Row as R
+    from mini_project_204721_data_engineering_spark.llm.dedup import srp_signatures
+
+    base = [float((i * 37 % 13) - 6) for i in range(64)]
+    flipped = [-x for x in base]
+    df = spark.createDataFrame(
+        [R(vec_id=1, embedding=base), R(vec_id=2, embedding=list(base)), R(vec_id=3, embedding=flipped)]
+    )
+    sigs = {r["vec_id"]: r["srp_sig"] for r in srp_signatures(df, n_bits=16).collect()}
+    assert sigs[1] == sigs[2]
+    assert sigs[3] == "".join("1" if c == "0" else "0" for c in sigs[1])
+    assert len(sigs[1]) == 16
+
+
+def test_srp_deterministic_across_sessions(spark):
+    """Same seed → same planes → same signatures (retry safety)."""
+    from mini_project_204721_data_engineering_spark.catalog import load_table
+    from mini_project_204721_data_engineering_spark.llm.dedup import srp_signatures
+
+    emb = load_table(spark, SF, "embeddings").limit(20)
+    a = {r["vec_id"]: r["srp_sig"] for r in srp_signatures(emb, seed=7).collect()}
+    b = {r["vec_id"]: r["srp_sig"] for r in srp_signatures(emb, seed=7).collect()}
+    c = {r["vec_id"]: r["srp_sig"] for r in srp_signatures(emb, seed=8).collect()}
+    assert a == b
+    assert a != c

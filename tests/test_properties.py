@@ -1,0 +1,95 @@
+"""Hypothesis property tests for the scalar surface (SURVEY §5.3).
+
+Driver-side closures mirror the Column builders exactly; the mirrors are
+validated against the engine on a fixed seed corpus, then hypothesis
+explores the input space cheaply (no Spark job per example).
+"""
+
+from __future__ import annotations
+
+import math
+
+from hypothesis import given, settings, strategies as st
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from mini_project_204721_data_engineering_spark.functions.binning import class_to_num, estimate_probability
+
+
+def _class_to_num_py(x) -> int | None:
+    words = {
+        "ต่ำ": 1, "ต่ำมาก": 1, "low": 1, "very low": 1,
+        "ปานกลาง": 2, "กลาง": 2, "medium": 2,
+        "สูง": 3, "สูงมาก": 3, "high": 3, "very high": 3,
+    }
+    s = str(x).strip().lower()
+    try:
+        val = float(s)
+        if 0 <= val <= 1:
+            return 1 if val < 1 / 3 else 2 if val < 2 / 3 else 3
+        # Spark bround == Python banker's rounding
+        return max(1, min(3, int(round(val))))
+    except ValueError:
+        return words.get(s)
+
+
+def _estimate_probability_py(rain, risk, cnt) -> float:
+    rain, risk, cnt = rain or 0.0, risk or 0, cnt or 0
+    base = rain / 2.0 + risk * 10.0
+    if cnt > 0:
+        return min(100.0, max(80.0, base + cnt * 5.0))
+    return min(100.0, base)
+
+
+def test_mirrors_match_engine_on_seed_corpus(spark):
+    vals = ["ต่ำ", "สูงมาก", "LOW", "0", "0.33", "0.34", "0.66", "0.67", "1",
+            "1.5", "2.5", "3.5", "-1", "junk", "  medium  ", "0.999", "1.001"]
+    got = [
+        r[0]
+        for r in spark.createDataFrame([Row(x=v) for v in vals])
+        .select(class_to_num(F.col("x")))
+        .collect()
+    ]
+    assert got == [_class_to_num_py(v) for v in vals]
+
+    cases = [(0.0, 0, 0), (40.0, 3, 0), (1000.0, 3, 0), (0.0, 1, 1), (100.0, 3, 5), (None, None, None)]
+    df = spark.createDataFrame(
+        [Row(rain=r, risk=k, cnt=c) for r, k, c in cases],
+        "rain double, risk int, cnt int",
+    )
+    got_p = [
+        r[0]
+        for r in df.select(
+            estimate_probability(F.col("rain"), F.col("risk"), F.col("cnt"))
+        ).collect()
+    ]
+    assert got_p == [_estimate_probability_py(*c) for c in cases]
+
+
+@given(st.floats(min_value=-10, max_value=10, allow_nan=False))
+@settings(max_examples=200, deadline=None)
+def test_class_to_num_total_on_numerics(v):
+    out = _class_to_num_py(repr(v))
+    assert out in (1, 2, 3)
+
+
+@given(st.text(max_size=20))
+@settings(max_examples=200, deadline=None)
+def test_class_to_num_never_out_of_range(s):
+    out = _class_to_num_py(s)
+    assert out is None or out in (1, 2, 3)
+
+
+@given(
+    st.floats(min_value=0, max_value=10000, allow_nan=False),
+    st.integers(min_value=0, max_value=3),
+    st.integers(min_value=0, max_value=50),
+)
+@settings(max_examples=300, deadline=None)
+def test_probability_invariants(rain, risk, cnt):
+    p = _estimate_probability_py(rain, risk, cnt)
+    assert 0.0 <= p <= 100.0
+    if cnt > 0:
+        assert p >= 80.0
+    # monotone in incident count
+    assert _estimate_probability_py(rain, risk, cnt + 1) >= p
