@@ -476,6 +476,56 @@ LIMIT 10
 """
 
 
+def value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact percentiles (median/p90) per event type — linear-interpolated,
+    matching DuckDB's quantile_cont.  (At 100 TB switch to
+    percentile_approx: same call shape, bounded memory.)"""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.round(F.expr("percentile(value, 0.5)"), 4).alias("p50"),
+            F.round(F.expr("percentile(value, 0.9)"), 4).alias("p90"),
+        )
+        .orderBy("event_type")
+    )
+
+
+VALUE_PERCENTILES_SQL = """
+SELECT event_type,
+       round(quantile_cont(value, 0.5), 4) AS p50,
+       round(quantile_cont(value, 0.9), 4) AS p90
+FROM events
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+
+def revenue_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP aggregation (beyond the reference's flat groupBys): revenue
+    by (returnflag, linestatus), per-flag subtotals, and grand total in
+    one pass — Spark expands grouping sets map-side, still one shuffle."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))
+        .select(
+            F.coalesce(F.col("l_returnflag"), F.lit("ALL")).alias("returnflag"),
+            F.coalesce(F.col("l_linestatus"), F.lit("ALL")).alias("linestatus"),
+            "revenue",
+        )
+    )
+
+
+REVENUE_ROLLUP_SQL = """
+SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
+       coalesce(l_linestatus, 'ALL') AS linestatus,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM lineitem
+GROUP BY ROLLUP (l_returnflag, l_linestatus)
+"""
+
+
 QUERIES = {
     "pricing_summary": pricing_summary,
     "weighted_mean_price": weighted_mean_price,
@@ -495,6 +545,8 @@ QUERIES = {
     "union_dedup": union_dedup,
     "props_extract": props_extract,
     "shipping_priority": shipping_priority,
+    "value_percentiles": value_percentiles,
+    "revenue_rollup": revenue_rollup,
 }
 
 ORACLES = {
@@ -516,4 +568,6 @@ ORACLES = {
     "union_dedup": UNION_DEDUP_SQL,
     "props_extract": PROPS_EXTRACT_SQL,
     "shipping_priority": SHIPPING_PRIORITY_SQL,
+    "value_percentiles": VALUE_PERCENTILES_SQL,
+    "revenue_rollup": REVENUE_ROLLUP_SQL,
 }

@@ -1,0 +1,79 @@
+"""Physical-layout tests: partitioned fact writes with partition pruning,
+and bucketed tables for exchange-free co-located joins (SURVEY §1.3 —
+the Spark equivalent of the reference's B-tree indexes)."""
+
+from __future__ import annotations
+
+import os
+import shutil
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+
+from mini_project_204721_data_engineering_spark.catalog import load_table
+from mini_project_204721_data_engineering_spark.plans.checks import physical_plan, shuffle_count
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def fact_dir(spark):
+    d = tempfile.mkdtemp(prefix="rain_facts_")
+    # the rain_points layout: partitioned by year (SURVEY §1.1)
+    orders = load_table(spark, SF, "orders")
+    (
+        orders.withColumn("year", F.year("o_orderdate"))
+        .write.partitionBy("year")
+        .mode("overwrite")
+        .parquet(d)
+    )
+    yield d
+    shutil.rmtree(d, ignore_errors=True)
+
+
+def test_partitioned_write_layout(spark, fact_dir):
+    years = sorted(
+        e.split("=")[1] for e in os.listdir(fact_dir) if e.startswith("year=")
+    )
+    assert len(years) >= 5  # 1995..2001 span
+
+
+def test_partition_pruning_on_year(spark, fact_dir):
+    df = spark.read.parquet(fact_dir).filter(F.col("year") == 1996)
+    plan = physical_plan(df)
+    # the year filter must become a PartitionFilter, not a data filter
+    assert "PartitionFilters" in plan and "1996" in plan
+    n_all = len([e for e in os.listdir(fact_dir) if e.startswith("year=")])
+    # and the scan must read exactly one partition directory
+    import re
+
+    m = re.search(r"partition(?:s)? read[^0-9]*(\d+)", plan, re.IGNORECASE)
+    if m:  # plan string includes selected partition count in some versions
+        assert int(m.group(1)) == 1
+    assert df.count() == spark.read.parquet(fact_dir).filter(F.year("o_orderdate") == 1996).count()
+
+
+def test_bucketed_join_has_no_shuffle(spark):
+    """Two tables bucketed on the join key join with zero exchanges —
+    the co-location strategy for repeated fact-fact joins at scale.
+    (Managed tables land in the default warehouse; DROP TABLE removes
+    the files — warehouse.dir is a static conf, unsettable per-test.)"""
+    spark.sql("DROP TABLE IF EXISTS b_orders")
+    spark.sql("DROP TABLE IF EXISTS b_items")
+    orders = load_table(spark, SF, "orders").select("o_orderkey", "o_totalprice")
+    items = (
+        load_table(spark, SF, "lineitem")
+        .groupBy("l_orderkey")
+        .agg(F.count(F.lit(1)).alias("n_items"))
+        .withColumnRenamed("l_orderkey", "o_orderkey")
+    )
+    orders.write.bucketBy(8, "o_orderkey").sortBy("o_orderkey").mode("overwrite").saveAsTable("b_orders")
+    items.write.bucketBy(8, "o_orderkey").sortBy("o_orderkey").mode("overwrite").saveAsTable("b_items")
+
+    joined = spark.table("b_orders").join(spark.table("b_items"), "o_orderkey")
+    # co-located: no shuffle exchange in the join plan
+    assert shuffle_count(joined) == 0
+    assert joined.count() == orders.join(items, "o_orderkey").count()
+    spark.sql("DROP TABLE IF EXISTS b_orders")
+    spark.sql("DROP TABLE IF EXISTS b_items")
