@@ -47,6 +47,22 @@ def main() -> None:
     for df in load_tables(spark, sf_dir).values():
         _ = df.schema
 
+    # Warm-up pass: run every headline plan once at the smallest SF.
+    # Schemas are identical across SFs, so this compiles exactly the
+    # generated code the timed pass will use (whole-stage codegen classes,
+    # parquet vectorized reader, broadcast + Arrow paths) without touching
+    # the timed SF's data.  The timed numbers below are steady-state
+    # execution, not JVM JIT warm-up.
+    warm_dir = os.environ.get("SPARK_GRAFT_WARM_DIR", "/root/testdata/sf0.001")
+    if os.path.isdir(warm_dir):
+        for name in HEADLINE:
+            fn = qs.get(name)
+            if fn is not None:
+                try:
+                    fn(spark, warm_dir).toPandas()
+                except Exception:
+                    pass
+
     timings: dict[str, float] = {}
     for name in HEADLINE:
         fn = qs.get(name)
