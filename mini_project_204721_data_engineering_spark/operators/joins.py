@@ -22,7 +22,7 @@ from typing import Sequence
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["anti_join", "semi_join", "idempotent_append"]
+__all__ = ["anti_join", "semi_join", "idempotent_append", "asof_join"]
 
 
 def anti_join(left: DataFrame, right: DataFrame, on: Sequence[str]) -> DataFrame:
@@ -64,3 +64,58 @@ def idempotent_append(
                 & (F.col(range_col) <= F.lit(bounds["hi"]))
             )
     return anti_join(incoming, existing, keys)
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: Sequence[str],
+    left_time: str,
+    right_time: str,
+    payload: Sequence[str],
+) -> DataFrame:
+    """As-of join (extension — absent from the reference, SURVEY §2.3 notes
+    "no as-of joins"): for every ``left`` row, attach the ``payload``
+    columns of the latest ``right`` row with the same key whose
+    ``right_time`` <= ``left_time`` (inclusive); nulls when no prior row.
+
+    Implementation is the scalable union-and-scan form, NOT a range join:
+    tag both sides, union, one shuffle on the key, then a single ordered
+    window pass carrying the last non-null payload forward
+    (``last(..., ignorenulls=True)``).  Cost is one shuffle + one
+    sort — no per-row range probe, no broadcast of a time index, so it
+    survives 100 TB fact-fact as-of joins.  Right-side rows must be
+    unique per (key, time) for deterministic output — pre-aggregate if not.
+
+    Both time columns must share a comparable type (cast beforehand).
+    At equal timestamps the right row wins (inclusive semantics, matching
+    DuckDB ``ASOF LEFT JOIN ... ON l.t >= r.t``).
+    """
+    from pyspark.sql.window import Window
+
+    keys = list(on)
+    lcols = [c for c in left.columns]
+    l = left.select(
+        *lcols,
+        F.col(left_time).alias("__t"),
+        F.lit(1).alias("__side"),
+        *[F.lit(None).cast(right.schema[p].dataType).alias(f"__p_{p}") for p in payload],
+    )
+    r = right.select(
+        *[F.col(k) for k in keys],
+        *[F.lit(None).cast(left.schema[c].dataType).alias(c) for c in lcols if c not in keys],
+        F.col(right_time).alias("__t"),
+        F.lit(0).alias("__side"),
+        *[F.col(p).alias(f"__p_{p}") for p in payload],
+    ).select(*lcols, "__t", "__side", *[f"__p_{p}" for p in payload])
+    w = (
+        Window.partitionBy(*keys)
+        .orderBy(F.col("__t").asc(), F.col("__side").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    filled = l.unionByName(r).select(
+        *lcols,
+        "__side",
+        *[F.last(f"__p_{p}", ignorenulls=True).over(w).alias(p) for p in payload],
+    )
+    return filled.filter(F.col("__side") == 1).drop("__side")

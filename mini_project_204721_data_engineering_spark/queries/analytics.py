@@ -16,7 +16,7 @@ from mini_project_204721_data_engineering_spark.catalog import load_table
 from mini_project_204721_data_engineering_spark.functions.binning import avg_to_level
 from mini_project_204721_data_engineering_spark.operators.aggregates import min_coord_step, weighted_mean
 from mini_project_204721_data_engineering_spark.operators.dedup import dedup_keep_first
-from mini_project_204721_data_engineering_spark.operators.joins import anti_join, semi_join
+from mini_project_204721_data_engineering_spark.operators.joins import anti_join, asof_join, semi_join
 
 __all__ = ["QUERIES", "ORACLES"]
 
@@ -526,6 +526,59 @@ GROUP BY ROLLUP (l_returnflag, l_linestatus)
 """
 
 
+def events_asof_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join (extension): every error event picks up the user's most
+    recent order-day summary at-or-before the event's day.  Right side is
+    pre-aggregated to one row per (custkey, day) so the match is
+    deterministic.  One shuffle on the key; no range-join explosion."""
+    ev = load_table(spark, sf_dir, "events").filter(F.col("event_type") == "error")
+    orders = load_table(spark, sf_dir, "orders")
+    daily = orders.groupBy(
+        F.col("o_custkey").alias("user_id"),
+        F.col("o_orderdate").cast("date").alias("order_day"),
+    ).agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.round(F.sum("o_totalprice"), 2).alias("day_spend"),
+    )
+    left = ev.select("event_id", "user_id", F.col("ts").cast("date").alias("event_day"))
+    out = asof_join(
+        left,
+        daily,
+        on=["user_id"],
+        left_time="event_day",
+        right_time="order_day",
+        payload=["order_day", "n_orders", "day_spend"],
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        F.date_format("event_day", "yyyy-MM-dd").alias("event_day"),
+        F.date_format("order_day", "yyyy-MM-dd").alias("order_day"),
+        "n_orders",
+        "day_spend",
+    )
+
+
+EVENTS_ASOF_SPEND_SQL = """
+WITH daily AS (
+  SELECT o_custkey AS user_id,
+         CAST(o_orderdate AS DATE) AS order_day,
+         count(*) AS n_orders,
+         round(sum(o_totalprice), 2) AS day_spend
+  FROM orders GROUP BY 1, 2
+), ev AS (
+  SELECT event_id, user_id, CAST(ts AS DATE) AS event_day
+  FROM events WHERE event_type = 'error'
+)
+SELECT ev.event_id, ev.user_id,
+       strftime(ev.event_day, '%Y-%m-%d') AS event_day,
+       strftime(d.order_day, '%Y-%m-%d') AS order_day,
+       d.n_orders, d.day_spend
+FROM ev ASOF LEFT JOIN daily d
+  ON ev.user_id = d.user_id AND ev.event_day >= d.order_day
+"""
+
+
 QUERIES = {
     "pricing_summary": pricing_summary,
     "weighted_mean_price": weighted_mean_price,
@@ -547,6 +600,7 @@ QUERIES = {
     "shipping_priority": shipping_priority,
     "value_percentiles": value_percentiles,
     "revenue_rollup": revenue_rollup,
+    "events_asof_spend": events_asof_spend,
 }
 
 ORACLES = {
@@ -570,4 +624,5 @@ ORACLES = {
     "shipping_priority": SHIPPING_PRIORITY_SQL,
     "value_percentiles": VALUE_PERCENTILES_SQL,
     "revenue_rollup": REVENUE_ROLLUP_SQL,
+    "events_asof_spend": EVENTS_ASOF_SPEND_SQL,
 }

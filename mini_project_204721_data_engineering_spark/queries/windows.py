@@ -174,8 +174,82 @@ GROUP BY 1, 2, 3
 """
 
 
+def daily_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Window-function analytics (extension — the reference has NO window
+    functions, SURVEY §2.5): per-type daily counts with day-over-day delta
+    (lag) and a 7-row moving average.  The window partitions by event_type,
+    so at scale each type's series sorts independently after one shuffle —
+    no global sort."""
+    ev = load_table(spark, sf_dir, "events")
+    day = (
+        ev.groupBy(F.col("event_type"), F.col("ts").cast("date").alias("day"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    w = Window.partitionBy("event_type").orderBy("day")
+    w7 = w.rowsBetween(-6, 0)
+    return day.select(
+        "event_type",
+        F.date_format("day", "yyyy-MM-dd").alias("day"),
+        "n",
+        (F.col("n") - F.lag("n").over(w)).alias("delta"),
+        F.round(F.avg("n").over(w7), 4).alias("ma7"),
+    )
+
+
+DAILY_ACTIVITY_SQL = """
+WITH d AS (
+  SELECT event_type, CAST(ts AS DATE) AS day, count(*) AS n
+  FROM events GROUP BY 1, 2
+)
+SELECT event_type,
+       strftime(day, '%Y-%m-%d') AS day,
+       n,
+       n - lag(n) OVER w AS delta,
+       round(avg(n) OVER (w ROWS BETWEEN 6 PRECEDING AND CURRENT ROW), 4) AS ma7
+FROM d
+WINDOW w AS (PARTITION BY event_type ORDER BY day)
+"""
+
+
+#: keyset-pagination cursor (last seen sort key) — deep pages at 100 TB
+#: filter on the cursor instead of scanning `offset` rows (SCALE.md)
+KEYSET_CURSOR = "2024-01-20 00:00:00"
+
+
+def list_events_keyset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O3 at scale: keyset pagination — the page after a cursor is a
+    pushed-down range filter + top-k, never an offset scan.  The filter
+    reaches the parquet scan (partition pruning on a date-partitioned
+    fact); the sort compiles to TakeOrderedAndProject."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.filter(F.col("ts") > F.lit(KEYSET_CURSOR).cast("timestamp"))
+        .orderBy(F.col("ts").asc(), F.col("event_id").asc())
+        .limit(100)
+        .select(
+            "event_id",
+            F.date_format("ts", _FMT).alias("ts"),
+            "user_id",
+            "event_type",
+        )
+    )
+
+
+LIST_EVENTS_KEYSET_SQL = f"""
+SELECT event_id,
+       strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts,
+       user_id, event_type
+FROM events
+WHERE ts > TIMESTAMP '{KEYSET_CURSOR}'
+ORDER BY ts, event_id
+LIMIT 100
+"""
+
+
 QUERIES = {
     "events_hourly": events_hourly,
+    "daily_activity": daily_activity,
+    "list_events_keyset": list_events_keyset,
     "events_tumbling_15m": events_tumbling_15m,
     "events_sessions": events_sessions,
     "events_sliding": events_sliding,
@@ -184,6 +258,8 @@ QUERIES = {
 
 ORACLES = {
     "events_hourly": EVENTS_HOURLY_SQL,
+    "daily_activity": DAILY_ACTIVITY_SQL,
+    "list_events_keyset": LIST_EVENTS_KEYSET_SQL,
     "events_tumbling_15m": EVENTS_TUMBLING_15M_SQL,
     "events_sessions": EVENTS_SESSIONS_SQL,
     "events_sliding": EVENTS_SLIDING_SQL,

@@ -37,6 +37,7 @@ __all__ = [
     "assign_district",
     "assign_points_udf",
     "build_cell_lookup",
+    "write_geojson",
 ]
 
 _WKT_RE = re.compile(r"POLYGON\s*\(\s*\(([^)]*)\)", re.IGNORECASE)
@@ -161,3 +162,32 @@ def build_cell_lookup(
         }
     )
     return spark.createDataFrame(pdf)
+
+
+def write_geojson(polygons_df: pd.DataFrame, path: str) -> int:
+    """S10 GeoJSON sink (reference ``gdf.to_file(..., driver="GeoJSON")``,
+    ``backend/app/utils.py:204-211``): write (province, district, wkt)
+    rows as a FeatureCollection.  Driver-side by design — the polygon dim
+    is ~10³ rows regardless of fact scale; a distributed writer would be
+    928 one-feature files.  Returns the feature count."""
+    import json
+
+    feats = []
+    for _, r in polygons_df.iterrows():
+        ring = parse_wkt_polygon(r["wkt"])
+        feats.append(
+            {
+                "type": "Feature",
+                "properties": {
+                    "province": r["province"],
+                    "district": r["district"],
+                },
+                "geometry": {
+                    "type": "Polygon",
+                    "coordinates": [[[float(x), float(y)] for x, y in ring]],
+                },
+            }
+        )
+    with open(path, "w", encoding="utf-8") as fh:
+        json.dump({"type": "FeatureCollection", "features": feats}, fh, ensure_ascii=False)
+    return len(feats)

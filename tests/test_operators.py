@@ -95,3 +95,50 @@ def test_min_coord_step(spark):
     df = spark.createDataFrame([Row(lat=v) for v in [0.0, 0.05, 0.10, 0.20, 0.05]])
     step = min_coord_step(df, "lat").collect()[0]["step"]
     assert abs(step - 0.05) < 1e-9
+
+
+def test_asof_join_picks_latest_at_or_before(spark):
+    from mini_project_204721_data_engineering_spark.operators.joins import asof_join
+
+    left = spark.createDataFrame(
+        [Row(k=1, t=5, tag="a"), Row(k=1, t=10, tag="b"), Row(k=1, t=2, tag="c"),
+         Row(k=2, t=7, tag="d"), Row(k=3, t=1, tag="e")]
+    )
+    right = spark.createDataFrame(
+        [Row(k=1, rt=3, v=30.0), Row(k=1, rt=10, v=100.0), Row(k=2, rt=9, v=90.0)]
+    )
+    out = {
+        r["tag"]: (r["rt"], r["v"])
+        for r in asof_join(
+            left, right, on=["k"], left_time="t", right_time="rt", payload=["rt", "v"]
+        ).collect()
+    }
+    assert out["a"] == (3, 30.0)      # latest rt <= 5 is 3
+    assert out["b"] == (10, 100.0)    # equal timestamp is inclusive
+    assert out["c"] == (None, None)   # nothing at or before t=2
+    assert out["d"] == (None, None)   # k=2 only has rt=9 > 7
+    assert out["e"] == (None, None)   # key absent on right
+
+
+def test_write_geojson_roundtrip(tmp_path):
+    import json
+
+    import pandas as pd
+
+    from mini_project_204721_data_engineering_spark.sources.geometry import write_geojson
+
+    pdf = pd.DataFrame(
+        {
+            "province": ["P1"],
+            "district": ["D1"],
+            "wkt": ["POLYGON ((0 0, 2 0, 2 2, 0 2, 0 0))"],
+        }
+    )
+    path = str(tmp_path / "out.geojson")
+    assert write_geojson(pdf, path) == 1
+    gj = json.load(open(path))
+    assert gj["type"] == "FeatureCollection"
+    f = gj["features"][0]
+    assert f["properties"] == {"province": "P1", "district": "D1"}
+    assert f["geometry"]["coordinates"][0][0] == [0.0, 0.0]
+    assert len(f["geometry"]["coordinates"][0]) == 5
