@@ -70,3 +70,30 @@ def test_similarity_broadcasts_queries(spark, qs):
     plan = df._jdf.queryExecution().executedPlan().toString()
     # the query side must broadcast: corpus × queries as BroadcastNestedLoop
     assert "Broadcast" in plan
+
+
+def test_asof_join_is_union_window_not_range_join(spark, qs):
+    df = qs["events_asof_spend"](spark, SF)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    # the as-of must compile to union + one keyed window pass — never a
+    # nested-loop/cartesian range probe (which explodes at scale)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "Window" in plan
+    # shuffles: right-side pre-aggregate + the window's key partition
+    # (+ AQE reads); no per-row join exchange on top
+    assert shuffle_count(df) <= 3
+
+
+def test_keyset_pagination_pushes_cursor_and_topk(spark, qs):
+    df = qs["list_events_keyset"](spark, SF)
+    assert has_pushed_filters(df, "ts")
+    assert has_take_ordered(df)
+
+
+def test_daily_activity_single_partition_window_per_type(spark, qs):
+    df = qs["daily_activity"](spark, SF)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Window" in plan
+    # agg shuffle + window repartition on event_type; no global sort
+    assert shuffle_count(df) <= 2
