@@ -246,10 +246,59 @@ LIMIT 100
 """
 
 
+def events_rollup_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Continuous-aggregate cascade (operators/rollup.py): raw → hourly
+    rollup → daily reaggregation.  The oracle computes daily DIRECTLY from
+    raw events — matching proves the cascade is exact, which is what lets
+    a 100 TB store serve daily/weekly views from the hourly rollup
+    without rescanning raw data."""
+    from mini_project_204721_data_engineering_spark.operators.rollup import reaggregate, rollup_time
+
+    ev = load_table(spark, sf_dir, "events")
+    hourly = rollup_time(ev, "ts", "value", ["event_type"], "hour")
+    daily = reaggregate(hourly, ["event_type"], "day")
+    return daily.select(
+        F.date_format("bucket", "yyyy-MM-dd").alias("day"),
+        "event_type",
+        "n",
+        F.round("value_sum", 4).alias("value_sum"),
+    )
+
+
+EVENTS_ROLLUP_DAILY_SQL = """
+SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+       event_type,
+       count(*) AS n,
+       round(sum(value), 4) AS value_sum
+FROM events
+GROUP BY 1, 2
+"""
+
+
+def type_user_cardinality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact distinct-user count per event type.  (The scale path swaps in
+    ``approx_count_distinct`` — one pass, fixed memory, no expand —
+    asserted within 5% by tests/test_operators.py.)"""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("n_users"))
+        .orderBy("event_type")
+    )
+
+
+TYPE_USER_CARDINALITY_SQL = """
+SELECT event_type, count(DISTINCT user_id) AS n_users
+FROM events GROUP BY event_type ORDER BY event_type
+"""
+
+
 QUERIES = {
     "events_hourly": events_hourly,
     "daily_activity": daily_activity,
     "list_events_keyset": list_events_keyset,
+    "events_rollup_daily": events_rollup_daily,
+    "type_user_cardinality": type_user_cardinality,
     "events_tumbling_15m": events_tumbling_15m,
     "events_sessions": events_sessions,
     "events_sliding": events_sliding,
@@ -260,6 +309,8 @@ ORACLES = {
     "events_hourly": EVENTS_HOURLY_SQL,
     "daily_activity": DAILY_ACTIVITY_SQL,
     "list_events_keyset": LIST_EVENTS_KEYSET_SQL,
+    "events_rollup_daily": EVENTS_ROLLUP_DAILY_SQL,
+    "type_user_cardinality": TYPE_USER_CARDINALITY_SQL,
     "events_tumbling_15m": EVENTS_TUMBLING_15M_SQL,
     "events_sessions": EVENTS_SESSIONS_SQL,
     "events_sliding": EVENTS_SLIDING_SQL,

@@ -77,3 +77,47 @@ def test_bucketed_join_has_no_shuffle(spark):
     assert joined.count() == orders.join(items, "o_orderkey").count()
     spark.sql("DROP TABLE IF EXISTS b_orders")
     spark.sql("DROP TABLE IF EXISTS b_items")
+
+
+def test_dynamic_partition_overwrite_touches_only_incoming(spark):
+    """Re-ingesting one year replaces that year's partition and leaves the
+    others byte-identical — idempotent partition-grain ingest (S8)."""
+    from mini_project_204721_data_engineering_spark.sources.sink import (
+        overwrite_fact_partitions,
+        write_fact_partitioned,
+    )
+
+    d = tempfile.mkdtemp(prefix="fact_dpo_")
+    try:
+        orders = load_table(spark, SF, "orders").withColumn("year", F.year("o_orderdate"))
+        write_fact_partitioned(orders, d, ["year"])
+        before = {
+            y: spark.read.parquet(d).filter(F.col("year") == y).count()
+            for y in (1995, 1996)
+        }
+        # re-ingest ONLY 1996, halved — 1995 must be untouched
+        batch = orders.filter(F.col("year") == 1996).limit(before[1996] // 2)
+        overwrite_fact_partitions(batch, d, ["year"])
+        after_1995 = spark.read.parquet(d).filter(F.col("year") == 1995).count()
+        after_1996 = spark.read.parquet(d).filter(F.col("year") == 1996).count()
+        assert after_1995 == before[1995]
+        assert after_1996 == before[1996] // 2
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
+def test_approx_cardinality_within_tolerance(spark):
+    """The 100 TB path for type_user_cardinality: approx_count_distinct
+    (HLL, fixed memory, no distinct expand) lands within 5% of exact."""
+    ev = load_table(spark, SF, "events")
+    rows = (
+        ev.groupBy("event_type")
+        .agg(
+            F.countDistinct("user_id").alias("exact"),
+            F.approx_count_distinct("user_id", 0.02).alias("approx"),
+        )
+        .collect()
+    )
+    assert rows
+    for r in rows:
+        assert abs(r["approx"] - r["exact"]) <= max(1, 0.05 * r["exact"])
