@@ -579,6 +579,54 @@ FROM ev ASOF LEFT JOIN daily d
 """
 
 
+def top_return_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composite Q10 shape: returned-item revenue per customer, dims
+    attached, top 20.  Scale shape: filter pushed to the lineitem scan,
+    partial agg before the customer join, nation broadcast, final top-k
+    as TakeOrderedAndProject (no global sort)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    rev = (
+        li.filter(F.col("l_returnflag") == "R")
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy("o_custkey")
+        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))
+    )
+    return (
+        rev.join(customer, rev.o_custkey == customer.c_custkey)
+        .join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
+        .select(
+            F.col("c_custkey").alias("custkey"),
+            F.col("c_name").alias("cust_name"),
+            F.col("n_name").alias("nation_name"),
+            "revenue",
+        )
+        .orderBy(F.col("revenue").desc(), F.col("custkey").asc())
+        .limit(20)
+    )
+
+
+TOP_RETURN_CUSTOMERS_SQL = """
+SELECT c_custkey AS custkey,
+       c_name AS cust_name,
+       n_name AS nation_name,
+       revenue
+FROM (
+  SELECT o_custkey,
+         round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+  WHERE l_returnflag = 'R'
+  GROUP BY o_custkey
+) r
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+ORDER BY revenue DESC, custkey
+LIMIT 20
+"""
+
+
 QUERIES = {
     "pricing_summary": pricing_summary,
     "weighted_mean_price": weighted_mean_price,
@@ -601,6 +649,7 @@ QUERIES = {
     "value_percentiles": value_percentiles,
     "revenue_rollup": revenue_rollup,
     "events_asof_spend": events_asof_spend,
+    "top_return_customers": top_return_customers,
 }
 
 ORACLES = {
@@ -625,4 +674,5 @@ ORACLES = {
     "value_percentiles": VALUE_PERCENTILES_SQL,
     "revenue_rollup": REVENUE_ROLLUP_SQL,
     "events_asof_spend": EVENTS_ASOF_SPEND_SQL,
+    "top_return_customers": TOP_RETURN_CUSTOMERS_SQL,
 }

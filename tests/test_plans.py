@@ -97,3 +97,11 @@ def test_daily_activity_single_partition_window_per_type(spark, qs):
     assert "Window" in plan
     # agg shuffle + window repartition on event_type; no global sort
     assert shuffle_count(df) <= 2
+
+
+def test_top_return_customers_scale_shape(spark, qs):
+    df = qs["top_return_customers"](spark, SF)
+    # returnflag filter reaches the lineitem scan; final top-20 is top-k
+    assert has_pushed_filters(df, "l_returnflag")
+    assert has_take_ordered(df)
+    assert broadcast_join_count(df) >= 1
