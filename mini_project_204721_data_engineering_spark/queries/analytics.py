@@ -627,6 +627,58 @@ LIMIT 20
 """
 
 
+def _user_days(ev: DataFrame, event_type: str) -> DataFrame:
+    return ev.filter(F.col("event_type") == event_type).select(
+        "user_id", F.col("ts").cast("date").alias("day")
+    )
+
+
+def error_and_click_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U-family extension (SURVEY §2.7 notes the reference has no
+    INTERSECT): (user, day) pairs present in BOTH event populations.
+    Compiles to a left-semi shape — one shuffle per side on the key, no
+    row explosion."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        _user_days(ev, "error")
+        .intersect(_user_days(ev, "click"))
+        .select("user_id", F.date_format("day", "yyyy-MM-dd").alias("day"))
+        .orderBy("user_id", "day")
+    )
+
+
+ERROR_AND_CLICK_USERS_SQL = """
+SELECT user_id, strftime(day, '%Y-%m-%d') AS day FROM (
+  SELECT user_id, CAST(ts AS DATE) AS day FROM events WHERE event_type = 'error'
+  INTERSECT
+  SELECT user_id, CAST(ts AS DATE) FROM events WHERE event_type = 'click'
+)
+ORDER BY user_id, day
+"""
+
+
+def error_only_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U-family extension: EXCEPT — (user, day) pairs with errors but no
+    click activity that day (left-anti shape, same cost profile as J8)."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        _user_days(ev, "error")
+        .subtract(_user_days(ev, "click"))
+        .select("user_id", F.date_format("day", "yyyy-MM-dd").alias("day"))
+        .orderBy("user_id", "day")
+    )
+
+
+ERROR_ONLY_USERS_SQL = """
+SELECT user_id, strftime(day, '%Y-%m-%d') AS day FROM (
+  SELECT user_id, CAST(ts AS DATE) AS day FROM events WHERE event_type = 'error'
+  EXCEPT
+  SELECT user_id, CAST(ts AS DATE) FROM events WHERE event_type = 'click'
+)
+ORDER BY user_id, day
+"""
+
+
 QUERIES = {
     "pricing_summary": pricing_summary,
     "weighted_mean_price": weighted_mean_price,
@@ -650,6 +702,8 @@ QUERIES = {
     "revenue_rollup": revenue_rollup,
     "events_asof_spend": events_asof_spend,
     "top_return_customers": top_return_customers,
+    "error_and_click_users": error_and_click_users,
+    "error_only_users": error_only_users,
 }
 
 ORACLES = {
@@ -675,4 +729,6 @@ ORACLES = {
     "revenue_rollup": REVENUE_ROLLUP_SQL,
     "events_asof_spend": EVENTS_ASOF_SPEND_SQL,
     "top_return_customers": TOP_RETURN_CUSTOMERS_SQL,
+    "error_and_click_users": ERROR_AND_CLICK_USERS_SQL,
+    "error_only_users": ERROR_ONLY_USERS_SQL,
 }
