@@ -28,6 +28,7 @@ __all__ = [
     "decode_stub",
     "fake_feature_extract",
     "decode_batches",
+    "sample_frames",
 ]
 
 
@@ -104,3 +105,19 @@ def decode_batches(
             )
 
     return df.select(id_col, payload_col).mapInPandas(worker, schema)
+
+
+def sample_frames(
+    df: DataFrame,
+    every_n: int = 4,
+    payload_col: str = "payload",
+    chunk_bytes: int = 1024,
+) -> DataFrame:
+    """Frame sampling for video-shaped payloads: chunk, keep every Nth
+    chunk (frame 0, N, 2N, ...), preserving chunk_idx so downstream
+    decode knows the temporal position.  Selection is a pushable modulo
+    filter on chunk_idx — at scale the decoder (the expensive stage) sees
+    1/N of the frames and the filter rides the same executor pass as the
+    chunking, no extra shuffle."""
+    chunks = chunk_payload(df, payload_col=payload_col, chunk_bytes=chunk_bytes)
+    return chunks.filter(F.col("chunk_idx") % every_n == 0)

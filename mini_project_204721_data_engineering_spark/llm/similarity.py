@@ -5,11 +5,13 @@
   (``aggregate``/``zip_with`` — JVM-side, no Python), distributed top-k
   via ``row_number`` over per-query windows.  Exact; linear per query —
   the right baseline and the verify stage for ANN.
-- :func:`ivf_topk` — IVF-style scale path: corpus is bucketed into cells
-  (here: the ``label`` column as the cell id; in production a k-means
-  assignment), per-cell centroids are ranked per query, and only the top
-  ``nprobe`` cells are scanned.  Search cost drops by ~ncells/nprobe at a
-  small recall cost.
+- :func:`kmeans_assign` — distributed Lloyd's k-means coarse quantizer
+  producing the IVF cell assignment (only the ncells×dim centroid matrix
+  touches the driver).
+- :func:`ivf_topk` — IVF scale path: per-cell centroids are ranked per
+  query and only the top ``nprobe`` cells are scanned.  Search cost drops
+  by ~ncells/nprobe at a small recall cost; ``nprobe == ncells``
+  degenerates to the exact result (asserted in tests/test_llm.py).
 """
 
 from __future__ import annotations
@@ -18,7 +20,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-__all__ = ["as_double", "cosine", "cosine_topk", "ivf_topk"]
+__all__ = ["as_double", "cosine", "cosine_topk", "ivf_topk", "kmeans_assign"]
 
 
 def as_double(col: str) -> Column:
@@ -126,4 +128,55 @@ def ivf_topk(
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select("query_id", "vec_id", "cos_sim", "rank")
+    )
+
+
+def kmeans_assign(
+    corpus: DataFrame,
+    ncells: int = 8,
+    iters: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Distributed Lloyd's k-means over the embedding column → corpus with
+    a ``cell`` assignment (the real IVF coarse quantizer; replaces any
+    label stand-in).
+
+    Scale shape per iteration: assignment is a broadcast cross join against
+    the ncells centroids (argmax cosine via one keyed window), the centroid
+    update is posexplode + groupBy — both fully distributed.  Only the
+    ncells×dim centroid matrix ever reaches the driver (same contract as
+    Spark MLlib's KMeans).  Deterministic: seeds are the ``ncells`` lowest
+    ids, ties broken by id everywhere.
+    """
+    c = corpus.select(F.col(id_col).alias("__id"), as_double(vec_col).alias("v"))
+    seeds = c.orderBy("__id").limit(ncells).collect()
+    centroids = [list(r["v"]) for r in seeds]
+    spark = corpus.sparkSession
+    assigned = None
+    for _ in range(max(1, iters)):
+        cent_df = spark.createDataFrame(
+            [(i, vec) for i, vec in enumerate(centroids)], ["cell", "cv"]
+        ).select("cell", F.expr("transform(cv, x -> cast(x AS double))").alias("cv"))
+        w = Window.partitionBy("__id").orderBy(F.col("sim").desc(), F.col("cell").asc())
+        assigned = (
+            c.crossJoin(F.broadcast(cent_df))
+            .select("__id", "v", "cell", cosine("v", "cv").alias("sim"))
+            .withColumn("rnk", F.row_number().over(w))
+            .filter(F.col("rnk") == 1)
+            .select("__id", "v", "cell")
+        )
+        new_cent = (
+            assigned.select("cell", F.posexplode("v").alias("pos", "x"))
+            .groupBy("cell", "pos")
+            .agg(F.avg("x").alias("cx"))
+            .groupBy("cell")
+            .agg(F.array_sort(F.collect_list(F.struct("pos", "cx"))).alias("pc"))
+            .select("cell", F.expr("transform(pc, s -> s.cx)").alias("cv"))
+            .collect()
+        )
+        for r in new_cent:  # empty cells keep their previous centroid
+            centroids[r["cell"]] = list(r["cv"])
+    return corpus.join(
+        assigned.select(F.col("__id").alias(id_col), "cell"), id_col
     )

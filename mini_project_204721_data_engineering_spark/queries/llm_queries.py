@@ -231,11 +231,16 @@ SELECT query_id, vec_id, cos_sim, rank FROM r WHERE rank <= 10
 
 
 def similarity_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF-bucketed ANN top-10 (label column as cells, nprobe=2) —
-    the scale path; rows-only check (not naturally ANSI-SQL)."""
+    """IVF-bucketed ANN top-10 over k-means cells (distributed Lloyd's,
+    llm/similarity.py::kmeans_assign), nprobe=2 of 4 — the scale path;
+    rows-only check (approx results aren't naturally ANSI-SQL).
+    tests/test_llm.py proves nprobe=ncells degenerates to exact."""
+    from mini_project_204721_data_engineering_spark.llm.similarity import kmeans_assign
+
     emb = load_table(spark, sf_dir, "embeddings")
+    cells = kmeans_assign(emb, ncells=4, iters=2)
     qs = emb.filter(F.col("vec_id") % 100 == 0)
-    return ivf_topk(emb, qs, k=10, nprobe=2)
+    return ivf_topk(cells, qs, k=10, nprobe=2, cell_col="cell")
 
 
 def embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -278,8 +283,69 @@ FROM documents
 """
 
 
+def corpus_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed training-data pipeline, end-to-end in one plan:
+    quality-score → gate (>= 0.5) → exact dedup (md5, keep lowest doc_id)
+    → per-language corpus stats.  Everything stays in whole-stage codegen;
+    shuffles: one for the dedup window, one for the final (5-row) agg —
+    at 100 TB the dedup shuffle on a 32 B hash is the only wide stage."""
+    from mini_project_204721_data_engineering_spark.llm.text import lang_id, quality_score, token_count
+    from mini_project_204721_data_engineering_spark.operators.dedup import dedup_keep_first
+
+    docs = load_table(spark, sf_dir, "documents")
+    enriched = docs.select(
+        "doc_id",
+        F.md5("text").alias("content_hash"),
+        token_count(F.col("text")).alias("n_tokens"),
+        quality_score(F.col("text")).alias("q"),
+        lang_id(F.col("text")).alias("lang_guess"),
+    ).filter(F.col("q") >= 0.5)
+    kept = dedup_keep_first(enriched, ["content_hash"], [F.col("doc_id").asc()])
+    return (
+        kept.groupBy("lang_guess")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("total_tokens"),
+            F.round(F.avg("q"), 4).alias("avg_quality"),
+        )
+        .orderBy("lang_guess")
+    )
+
+
+CORPUS_PREP_SQL = rf"""
+WITH t AS (
+  SELECT doc_id, text, md5(text) AS content_hash,
+         regexp_split_to_array(trim(text), '\s+') AS toks
+  FROM documents
+), m AS (
+  SELECT doc_id, text, content_hash,
+         len(toks) AS n_tokens,
+         least(1.0, len(toks) / 100.0) * 0.5
+           + (1.0 - len(list_filter(toks, x -> x IN ({_SW}))) * 1.0 / len(toks)) * 0.5 AS q
+  FROM t
+), gated AS (
+  SELECT *,
+         CASE WHEN length(text) = 0 THEN 'unknown'
+              WHEN len(regexp_extract_all(text, '[฀-๿]')) > length(text) * 0.3 THEN 'th'
+              WHEN len(regexp_extract_all(text, '[一-鿿]')) > length(text) * 0.3 THEN 'zh'
+              WHEN len(regexp_extract_all(text, '[A-Za-z]')) > length(text) * 0.5 THEN 'latin'
+              ELSE 'unknown' END AS lang_guess,
+         row_number() OVER (PARTITION BY content_hash ORDER BY doc_id) AS rn
+  FROM m WHERE q >= 0.5
+)
+SELECT lang_guess,
+       count(*) AS n_docs,
+       sum(n_tokens) AS total_tokens,
+       round(avg(q), 4) AS avg_quality
+FROM gated WHERE rn = 1
+GROUP BY lang_guess
+ORDER BY lang_guess
+"""
+
+
 QUERIES = {
     "dedup_exact": dedup_exact,
+    "corpus_prep": corpus_prep,
     "ngram_jaccard_dups": ngram_jaccard_dups,
     "minhash_lsh_dups": minhash_lsh_dups,
     "simhash_fingerprints": simhash_fingerprints,
@@ -293,6 +359,7 @@ QUERIES = {
 
 ORACLES = {
     "dedup_exact": DEDUP_EXACT_SQL,
+    "corpus_prep": CORPUS_PREP_SQL,
     "ngram_jaccard_dups": NGRAM_JACCARD_DUPS_SQL,
     "minhash_lsh_dups": MINHASH_LSH_DUPS_SQL,
     "simhash_fingerprints": _simhash_duck_sql(32),

@@ -140,3 +140,51 @@ def test_srp_deterministic_across_sessions(spark):
     c = {r["vec_id"]: r["srp_sig"] for r in srp_signatures(emb, seed=8).collect()}
     assert a == b
     assert a != c
+
+
+def test_kmeans_assign_partitions_corpus(spark):
+    from mini_project_204721_data_engineering_spark.llm.similarity import kmeans_assign
+
+    emb = load_table(spark, SF, "embeddings")
+    cells = kmeans_assign(emb, ncells=4, iters=2)
+    n = emb.count()
+    # total partition: every vector gets exactly one cell in [0, 4)
+    assert cells.count() == n
+    ids = [r["cell"] for r in cells.select("cell").distinct().collect()]
+    assert all(0 <= c < 4 for c in ids)
+    assert len(ids) >= 2  # data actually spreads over cells
+    # deterministic: same inputs → same assignment
+    again = kmeans_assign(emb, ncells=4, iters=2)
+    a = {r["vec_id"]: r["cell"] for r in cells.select("vec_id", "cell").collect()}
+    b = {r["vec_id"]: r["cell"] for r in again.select("vec_id", "cell").collect()}
+    assert a == b
+
+
+def test_ivf_over_kmeans_full_probe_equals_brute_force(spark):
+    from mini_project_204721_data_engineering_spark.llm.similarity import kmeans_assign
+
+    emb = load_table(spark, SF, "embeddings")
+    cells = kmeans_assign(emb, ncells=4, iters=2)
+    qs = emb.filter(F.col("vec_id") % 100 == 0)
+    exact = {(r["query_id"], r["vec_id"]) for r in cosine_topk(emb, qs, k=5).collect()}
+    full = {
+        (r["query_id"], r["vec_id"])
+        for r in ivf_topk(cells, qs, k=5, nprobe=4, cell_col="cell").collect()
+    }
+    assert full == exact
+
+
+def test_sample_frames_keeps_every_nth_chunk(spark):
+    from mini_project_204721_data_engineering_spark.llm.multimodal import sample_frames
+
+    docs = load_table(spark, SF, "documents").limit(20)
+    payloads = docs.select("doc_id", F.encode("text", "UTF-8").alias("payload"))
+    out = sample_frames(payloads, every_n=3, chunk_bytes=64).collect()
+    assert out
+    for r in out:
+        assert r["chunk_idx"] % 3 == 0
+        assert 0 < len(r["chunk"]) <= 64
+    # chunk 0 survives for every doc
+    assert {r["doc_id"] for r in out if r["chunk_idx"] == 0} == {
+        r["doc_id"] for r in payloads.collect()
+    }
