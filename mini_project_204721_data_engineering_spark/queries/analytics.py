@@ -679,6 +679,70 @@ ORDER BY user_id, day
 """
 
 
+def events_pivot_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot (extension): days × event-type count matrix.  Explicit value
+    list so the pivot needs no discovery pass — one shuffle, map-side
+    partial agg, stable output schema at any scale."""
+    ev = load_table(spark, sf_dir, "events")
+    types = ["click", "view", "signup", "purchase", "error"]
+    return (
+        ev.groupBy(F.col("ts").cast("date").alias("day"))
+        .pivot("event_type", types)
+        .agg(F.count(F.lit(1)))
+        .na.fill(0, types)
+        .select(F.date_format("day", "yyyy-MM-dd").alias("day"), *types)
+        .orderBy("day")
+    )
+
+
+EVENTS_PIVOT_DAILY_SQL = """
+SELECT strftime(CAST(ts AS DATE), '%Y-%m-%d') AS day,
+       count(*) FILTER (event_type = 'click') AS click,
+       count(*) FILTER (event_type = 'view') AS view,
+       count(*) FILTER (event_type = 'signup') AS signup,
+       count(*) FILTER (event_type = 'purchase') AS purchase,
+       count(*) FILTER (event_type = 'error') AS error
+FROM events
+GROUP BY 1
+ORDER BY day
+"""
+
+
+def customer_order_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full outer join (extension — SURVEY §2.3 notes the reference has
+    none): per-nation count of customers without orders, order-customers
+    missing from the dim, and matched pairs, in one coverage report."""
+    customer = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    per_cust = orders.groupBy("o_custkey").agg(F.count(F.lit(1)).alias("n_orders"))
+    full = customer.select("c_custkey", "c_nationkey").join(
+        per_cust, customer.c_custkey == per_cust.o_custkey, "full_outer"
+    )
+    return (
+        full.groupBy(F.coalesce(F.col("c_nationkey"), F.lit(-1)).alias("nationkey"))
+        .agg(
+            F.count(F.lit(1)).alias("n_keys"),
+            F.sum(F.when(F.col("o_custkey").isNull(), 1).otherwise(0)).alias("no_orders"),
+            F.sum(F.when(F.col("c_custkey").isNull(), 1).otherwise(0)).alias("orphan_orders"),
+        )
+        .orderBy("nationkey")
+    )
+
+
+CUSTOMER_ORDER_COVERAGE_SQL = """
+WITH per_cust AS (
+  SELECT o_custkey, count(*) AS n_orders FROM orders GROUP BY o_custkey
+)
+SELECT coalesce(c_nationkey, -1) AS nationkey,
+       count(*) AS n_keys,
+       sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS no_orders,
+       sum(CASE WHEN c_custkey IS NULL THEN 1 ELSE 0 END) AS orphan_orders
+FROM customer FULL OUTER JOIN per_cust ON c_custkey = o_custkey
+GROUP BY 1
+ORDER BY nationkey
+"""
+
+
 QUERIES = {
     "pricing_summary": pricing_summary,
     "weighted_mean_price": weighted_mean_price,
@@ -704,6 +768,8 @@ QUERIES = {
     "top_return_customers": top_return_customers,
     "error_and_click_users": error_and_click_users,
     "error_only_users": error_only_users,
+    "events_pivot_daily": events_pivot_daily,
+    "customer_order_coverage": customer_order_coverage,
 }
 
 ORACLES = {
@@ -731,4 +797,6 @@ ORACLES = {
     "top_return_customers": TOP_RETURN_CUSTOMERS_SQL,
     "error_and_click_users": ERROR_AND_CLICK_USERS_SQL,
     "error_only_users": ERROR_ONLY_USERS_SQL,
+    "events_pivot_daily": EVENTS_PIVOT_DAILY_SQL,
+    "customer_order_coverage": CUSTOMER_ORDER_COVERAGE_SQL,
 }
