@@ -99,3 +99,60 @@ def test_stateful_burst_monitor(spark, events_dir):
     assert finals == truth
     # with maxFilesPerTrigger=1 over 4 files, bursts are < totals for active users
     assert all(r["max_batch_events"] <= r["total_events"] for r in rows)
+
+
+def test_watermark_drops_late_data_across_restarts(spark):
+    """Append-mode watermark semantics, checkpoint-persisted: an event
+    arriving after the watermark passed its window must NOT change the
+    already-finalized window — the state-bounding contract that makes
+    windowed aggs runnable forever at scale."""
+    import datetime as dt
+
+    d = tempfile.mkdtemp(prefix="late_events_")
+    ckpt = tempfile.mkdtemp(prefix="late_ckpt_")
+    out = tempfile.mkdtemp(prefix="late_out_")
+
+    def mk(rows):
+        return spark.createDataFrame(
+            [
+                (i, dt.datetime(2024, 1, 1, h, m), 1, "click", 1.0, "{}")
+                for i, (h, m) in enumerate(rows)
+            ],
+            "event_id long, ts timestamp, user_id long, event_type string, value double, props string",
+        )
+
+    def run():
+        # parquet sink (memory sink can't recover from a checkpoint):
+        # the file sink is also the scale-realistic target
+        from mini_project_204721_data_engineering_spark.streaming.events import read_events_stream, tumbling_counts
+
+        q = (
+            tumbling_counts(read_events_stream(spark, d))
+            .writeStream.format("parquet")
+            .outputMode("append")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        return spark.read.parquet(out).collect()
+
+    try:
+        # batch 1: three rows in the 00:00 window + one at 10:30 that
+        # advances the watermark (2 h) far past the 00:00 window's end
+        mk([(0, 10), (0, 20), (0, 30), (10, 30)]).write.mode("append").parquet(d)
+        run()
+        # batch 2: a LATE row for the closed 00:00 window + fresh data
+        mk([(0, 40), (20, 30)]).write.mode("append").parquet(d)
+        rows = run()
+        w0 = dt.datetime(2024, 1, 1, 0, 0)
+        emitted = [r for r in rows if r["window_start"] == w0]
+        # the 00:00 window was finalized exactly once, with the on-time
+        # count only — the late row was dropped, not merged
+        assert len(emitted) == 1
+        assert emitted[0]["n"] == 3
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+        shutil.rmtree(ckpt, ignore_errors=True)
+        shutil.rmtree(out, ignore_errors=True)
