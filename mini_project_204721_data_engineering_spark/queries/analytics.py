@@ -743,6 +743,146 @@ ORDER BY nationkey
 """
 
 
+def order_priority_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q4 shape: orders in a date window having at least one returned
+    lineitem (EXISTS → left-semi join), counted per priority.  The semi
+    join shuffles only the order keys of the filtered window, never
+    expands."""
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    window = orders.filter(
+        (F.col("o_orderdate").cast("date") >= F.lit("1996-01-01"))
+        & (F.col("o_orderdate").cast("date") < F.lit("1997-01-01"))
+    )
+    late = li.filter(F.col("l_returnflag") == "R").select(
+        F.col("l_orderkey").alias("o_orderkey")
+    )
+    return (
+        semi_join(window, late, ["o_orderkey"])
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+        .orderBy("o_orderpriority")
+    )
+
+
+ORDER_PRIORITY_COUNTS_SQL = """
+SELECT o_orderpriority, count(*) AS order_count
+FROM orders
+WHERE CAST(o_orderdate AS DATE) >= DATE '1996-01-01'
+  AND CAST(o_orderdate AS DATE) < DATE '1997-01-01'
+  AND EXISTS (
+    SELECT 1 FROM lineitem
+    WHERE l_orderkey = o_orderkey AND l_returnflag = 'R'
+  )
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+"""
+
+
+def events_day_spine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap filling (extension): dense per-type daily series over the full
+    observed date range — a generated date spine (sequence + explode)
+    cross-joined with the type dim, left-joined to actual counts,
+    zero-filled.  The spine is computed from one min/max agg and is
+    dim-sized (days × types), so it broadcasts; the facts are never
+    re-scanned."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        F.col("ts").cast("date").alias("day"), "event_type"
+    ).agg(F.count(F.lit(1)).alias("n"))
+    bounds = ev.agg(
+        F.min(F.col("ts").cast("date")).alias("lo"),
+        F.max(F.col("ts").cast("date")).alias("hi"),
+    )
+    spine = bounds.select(
+        F.explode(F.expr("sequence(lo, hi, interval 1 day)")).alias("day")
+    )
+    types = ev.select("event_type").distinct()
+    return (
+        spine.crossJoin(types)
+        .join(daily, ["day", "event_type"], "left")
+        .select(
+            F.date_format("day", "yyyy-MM-dd").alias("day"),
+            "event_type",
+            F.coalesce(F.col("n"), F.lit(0)).alias("n"),
+        )
+        .orderBy("day", "event_type")
+    )
+
+
+EVENTS_DAY_SPINE_SQL = """
+WITH bounds AS (
+  SELECT min(CAST(ts AS DATE)) AS lo, max(CAST(ts AS DATE)) AS hi FROM events
+), spine AS (
+  SELECT CAST(unnest(generate_series(lo, hi, INTERVAL 1 DAY)) AS DATE) AS day
+  FROM bounds
+), daily AS (
+  SELECT CAST(ts AS DATE) AS day, event_type, count(*) AS n
+  FROM events GROUP BY 1, 2
+)
+SELECT strftime(s.day, '%Y-%m-%d') AS day,
+       t.event_type,
+       coalesce(d.n, 0) AS n
+FROM spine s
+CROSS JOIN (SELECT DISTINCT event_type FROM events) t
+LEFT JOIN daily d ON d.day = s.day AND d.event_type = t.event_type
+ORDER BY 1, 2
+"""
+
+
+def user_top_event_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Argmax pattern: each user's most frequent event type (ties broken
+    alphabetically) — count + one keyed window, no self-join."""
+    ev = load_table(spark, sf_dir, "events")
+    counts = ev.groupBy("user_id", "event_type").agg(F.count(F.lit(1)).alias("n"))
+    w = Window.partitionBy("user_id").orderBy(F.col("n").desc(), F.col("event_type").asc())
+    return (
+        counts.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") == 1)
+        .select("user_id", F.col("event_type").alias("top_type"), "n")
+        .orderBy("user_id")
+    )
+
+
+USER_TOP_EVENT_TYPE_SQL = """
+SELECT user_id, event_type AS top_type, n
+FROM (
+  SELECT user_id, event_type, count(*) AS n,
+         row_number() OVER (PARTITION BY user_id ORDER BY count(*) DESC, event_type) AS rnk
+  FROM events GROUP BY user_id, event_type
+)
+WHERE rnk = 1
+ORDER BY user_id
+"""
+
+
+def red_parts_by_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String-predicate pushdown: LIKE filter + prefix projection over the
+    part dim — contains() compiles to a pushable parquet filter
+    (StringContains), asserted in tests/test_plans.py."""
+    part = load_table(spark, sf_dir, "part")
+    return (
+        part.filter(F.col("p_name").contains("red"))
+        .groupBy("p_brand")
+        .agg(
+            F.count(F.lit(1)).alias("n_parts"),
+            F.min(F.substring("p_name", 1, 10)).alias("first_name_prefix"),
+        )
+        .orderBy("p_brand")
+    )
+
+
+RED_PARTS_BY_BRAND_SQL = """
+SELECT p_brand,
+       count(*) AS n_parts,
+       min(substring(p_name, 1, 10)) AS first_name_prefix
+FROM part
+WHERE p_name LIKE '%red%'
+GROUP BY p_brand
+ORDER BY p_brand
+"""
+
+
 QUERIES = {
     "pricing_summary": pricing_summary,
     "weighted_mean_price": weighted_mean_price,
@@ -770,6 +910,10 @@ QUERIES = {
     "error_only_users": error_only_users,
     "events_pivot_daily": events_pivot_daily,
     "customer_order_coverage": customer_order_coverage,
+    "order_priority_counts": order_priority_counts,
+    "events_day_spine": events_day_spine,
+    "user_top_event_type": user_top_event_type,
+    "red_parts_by_brand": red_parts_by_brand,
 }
 
 ORACLES = {
@@ -799,4 +943,8 @@ ORACLES = {
     "error_only_users": ERROR_ONLY_USERS_SQL,
     "events_pivot_daily": EVENTS_PIVOT_DAILY_SQL,
     "customer_order_coverage": CUSTOMER_ORDER_COVERAGE_SQL,
+    "order_priority_counts": ORDER_PRIORITY_COUNTS_SQL,
+    "events_day_spine": EVENTS_DAY_SPINE_SQL,
+    "user_top_event_type": USER_TOP_EVENT_TYPE_SQL,
+    "red_parts_by_brand": RED_PARTS_BY_BRAND_SQL,
 }

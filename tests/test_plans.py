@@ -105,3 +105,10 @@ def test_top_return_customers_scale_shape(spark, qs):
     assert has_pushed_filters(df, "l_returnflag")
     assert has_take_ordered(df)
     assert broadcast_join_count(df) >= 1
+
+
+def test_string_contains_pushdown(spark, qs):
+    df = qs["red_parts_by_brand"](spark, SF)
+    # the contains() predicate must reach the parquet scan as a
+    # StringContains pushed filter, not a post-scan Filter only
+    assert has_pushed_filters(df, "p_name")
