@@ -17,7 +17,14 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-__all__ = ["wrap_longitude", "bbox_filter", "positive_precip", "netcdf_to_long", "THAILAND_BBOX"]
+__all__ = [
+    "wrap_longitude",
+    "bbox_filter",
+    "positive_precip",
+    "netcdf_to_long",
+    "netcdf_files_to_long",
+    "THAILAND_BBOX",
+]
 
 #: reference bbox (``utils.py:69-71``): lat 5.6-20.5, lon 97.3-105.7
 THAILAND_BBOX = (5.6, 20.5, 97.3, 105.7)
@@ -69,3 +76,57 @@ def netcdf_to_long(spark: SparkSession, nc_path: str, var: str = "precip") -> Da
         columns={"latitude": "lat", "longitude": "lon", "time": "time", var: "precip"}
     )
     return spark.createDataFrame(pdf[["time", "lat", "lon", "precip"]])
+
+
+def netcdf_files_to_long(
+    spark: SparkSession,
+    dir_path: str,
+    decoder=None,
+    pattern: str = "*.nc",
+) -> DataFrame:
+    """S1 at scale: distributed grid-file conversion — the executor-side
+    path the reference's driver-bound ``da.to_dataframe()`` (``utils.py:77``)
+    cannot take.
+
+    ``binaryFile`` scan lists the landing directory; each task decodes one
+    file's bytes to long format via ``decoder(content: bytes) ->
+    pd.DataFrame[time, lat, lon, precip]``.  File bytes never visit the
+    driver, so 100 TB of yearly grids convert at scan parallelism.  The
+    default decoder needs xarray+h5netcdf (absent here — inject one; tests
+    use a CSV-bytes stand-in to prove the distributed plumbing).
+    """
+    import io
+
+    import pandas as pd
+
+    if decoder is None:
+        def decoder(content: bytes) -> pd.DataFrame:  # pragma: no cover
+            try:
+                import xarray as xr
+            except ImportError as e:
+                raise ImportError(
+                    "default NetCDF decoder needs xarray + h5netcdf; "
+                    "inject decoder= in this environment"
+                ) from e
+            ds = xr.open_dataset(io.BytesIO(content))
+            pdf = ds["precip"].to_dataframe().reset_index()
+            return pdf.rename(
+                columns={"latitude": "lat", "longitude": "lon"}
+            )[["time", "lat", "lon", "precip"]]
+
+    files = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", pattern)
+        .load(dir_path)
+        .select("content")
+    )
+
+    def worker(batches):
+        for pdf in batches:
+            for content in pdf["content"]:
+                out = decoder(bytes(content))
+                yield out[["time", "lat", "lon", "precip"]]
+
+    return files.mapInPandas(
+        worker, "time timestamp, lat double, lon double, precip double"
+    )

@@ -180,3 +180,35 @@ def test_excel_layout_normalization():
     assert choose_sheet(["A", "B"]) == "A"
     with pytest.raises(ValueError, match="missing required columns"):
         normalize_incident_sheet(pd.DataFrame({"X": [1]}))
+
+
+def test_netcdf_files_to_long_distributed_decode(spark, tmp_path):
+    """S1 scale path: binaryFile + mapInPandas converts a directory of
+    grid files executor-side.  Decoder injected (CSV-bytes stand-in —
+    the container has no NetCDF libs); plumbing, schema, and multi-file
+    union are the real thing."""
+    import io
+
+    import pandas as pd
+
+    from mini_project_204721_data_engineering_spark.sources.netcdf import netcdf_files_to_long
+
+    for day in (1, 2):
+        rows = "\n".join(
+            f"2024-01-0{day} 00:00:00,{15.0 + i * 0.05},{100.0 + j * 0.05},{i + j + day}"
+            for i in range(3)
+            for j in range(3)
+        )
+        (tmp_path / f"grid{day}.nc").write_bytes(
+            f"time,lat,lon,precip\n{rows}\n".encode()
+        )
+
+    def csv_decoder(content: bytes) -> pd.DataFrame:
+        pdf = pd.read_csv(io.BytesIO(content), parse_dates=["time"])
+        return pdf
+
+    out = netcdf_files_to_long(spark, str(tmp_path), decoder=csv_decoder)
+    rows = out.collect()
+    assert len(rows) == 18  # 2 files × 9 cells
+    assert {str(r["time"])[:10] for r in rows} == {"2024-01-01", "2024-01-02"}
+    assert all(isinstance(r["precip"], float) for r in rows)
