@@ -29,6 +29,11 @@ HEADLINE = [
     "union_dedup",
     "new_events_only",
     "discount_class",
+    "top_return_customers",
+    "daily_activity",
+    "events_rollup_daily",
+    "corpus_prep",
+    "events_asof_spend",
 ]
 
 

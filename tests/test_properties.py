@@ -93,3 +93,61 @@ def test_probability_invariants(rain, risk, cnt):
         assert p >= 80.0
     # monotone in incident count
     assert _estimate_probability_py(rain, risk, cnt + 1) >= p
+
+
+@settings(deadline=None, max_examples=8)
+@given(
+    left=st.lists(
+        st.tuples(st.integers(0, 2), st.integers(0, 20)), min_size=1, max_size=10
+    ),
+    right=st.lists(
+        st.tuples(
+            st.integers(0, 2),
+            st.integers(0, 20),
+            st.floats(min_value=-100, max_value=100, allow_nan=False),
+        ),
+        max_size=10,
+    ),
+)
+def test_asof_join_matches_pandas_merge_asof(spark, left, right):
+    """asof_join (union + window form) must agree with pandas merge_asof
+    (direction='backward', inclusive) on arbitrary small inputs — the
+    reference implementation for as-of semantics."""
+    import pandas as pd
+
+    from mini_project_204721_data_engineering_spark.operators.joins import asof_join
+
+    rd = {}
+    for k, t, v in right:
+        rd[(k, t)] = v  # unique (key, time) — the operator's contract
+    right_rows = [(k, t, v) for (k, t), v in sorted(rd.items())]
+
+    ldf = spark.createDataFrame(
+        [(i, k, t) for i, (k, t) in enumerate(left)], "lid long, k long, t long"
+    )
+    rdf = spark.createDataFrame(right_rows, "k long, rt long, v double")
+    got = {
+        r["lid"]: (r["rt"], r["v"])
+        for r in asof_join(
+            ldf, rdf, on=["k"], left_time="t", right_time="rt", payload=["rt", "v"]
+        ).collect()
+    }
+
+    lp = pd.DataFrame(
+        [(i, k, t) for i, (k, t) in enumerate(left)], columns=["lid", "k", "t"]
+    ).sort_values("t", kind="stable")
+    if right_rows:
+        rp = pd.DataFrame(right_rows, columns=["k", "rt", "v"]).sort_values(
+            "rt", kind="stable"
+        )
+        exp = pd.merge_asof(
+            lp, rp, left_on="t", right_on="rt", by="k",
+            direction="backward", allow_exact_matches=True,
+        )
+    else:
+        exp = lp.assign(rt=float("nan"), v=float("nan"))
+    assert len(got) == len(left)
+    for _, row in exp.iterrows():
+        want_rt = None if pd.isna(row["rt"]) else int(row["rt"])
+        want_v = None if pd.isna(row["v"]) else float(row["v"])
+        assert got[int(row["lid"])] == (want_rt, want_v)
