@@ -142,3 +142,17 @@ def test_write_geojson_roundtrip(tmp_path):
     assert f["properties"] == {"province": "P1", "district": "D1"}
     assert f["geometry"]["coordinates"][0][0] == [0.0, 0.0]
     assert len(f["geometry"]["coordinates"][0]) == 5
+
+
+def test_salted_broadcast_left_matches_plain_join(spark):
+    from mini_project_204721_data_engineering_spark.operators.skew import salted_broadcast_left
+
+    left = spark.createDataFrame(
+        [Row(k=i % 3, lid=i) for i in range(40)]  # key 0/1/2, deliberately hot
+    )
+    right = spark.createDataFrame([Row(k=0, tag="a"), Row(k=1, tag="b")])
+    salted = salted_broadcast_left(left, right, on=["k"], salt_from="lid", n_salts=4)
+    plain = left.join(right, "k", "inner")
+    got = sorted((r["lid"], r["tag"]) for r in salted.collect())
+    want = sorted((r["lid"], r["tag"]) for r in plain.collect())
+    assert got == want and len(got) > 0
