@@ -51,7 +51,12 @@ def chunk_payload(df: DataFrame, payload_col: str = "payload", chunk_bytes: int 
     n_chunks = F.ceil(F.length(F.col(payload_col)) / F.lit(chunk_bytes)).cast("int")
     return (
         df.withColumn("_n", n_chunks)
-        .withColumn("chunk_idx", F.explode(F.expr("sequence(0, _n - 1)")))
+        # guard _n = 0: sequence(0, -1) is the DESCENDING [0, -1] in Spark,
+        # which would fabricate chunks for empty payloads — emit none instead
+        .withColumn(
+            "chunk_idx",
+            F.explode(F.expr("CASE WHEN _n <= 0 THEN array() ELSE sequence(0, _n - 1) END")),
+        )
         .withColumn(
             "chunk",
             F.expr(f"substring({payload_col}, chunk_idx * {chunk_bytes} + 1, {chunk_bytes})"),

@@ -188,3 +188,15 @@ def test_sample_frames_keeps_every_nth_chunk(spark):
     assert {r["doc_id"] for r in out if r["chunk_idx"] == 0} == {
         r["doc_id"] for r in payloads.collect()
     }
+
+
+def test_chunk_payload_empty_payload_yields_no_chunks(spark):
+    from mini_project_204721_data_engineering_spark.llm.multimodal import chunk_payload
+
+    df = spark.createDataFrame(
+        [Row(doc_id=1, payload=b""), Row(doc_id=2, payload=b"abc")]
+    )
+    out = chunk_payload(df, chunk_bytes=2).collect()
+    # empty payload contributes nothing (not a phantom [0, -1] pair)
+    assert {r["doc_id"] for r in out} == {2}
+    assert sorted(r["chunk_idx"] for r in out) == [0, 1]
