@@ -58,10 +58,22 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLES}")
     if name == "events":
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
-        if dict(df.dtypes).get("ts") == "bigint":
-            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        # scope the legacy conf to this read: analysis of the scan (schema
+        # resolution) happens eagerly here, so restoring the previous value
+        # afterwards doesn't affect this DataFrame — but a lingering "true"
+        # would silently turn every later nano-timestamp read into bigint
+        key = "spark.sql.legacy.parquet.nanosAsLong"
+        prev = spark.conf.get(key, None)
+        spark.conf.set(key, "true")
+        try:
+            df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+            if dict(df.dtypes).get("ts") == "bigint":
+                df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        finally:
+            if prev is None:
+                spark.conf.unset(key)
+            else:
+                spark.conf.set(key, prev)
         return df
     return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
 

@@ -81,11 +81,15 @@ def asof_join(
 
     Implementation is the scalable union-and-scan form, NOT a range join:
     tag both sides, union, one shuffle on the key, then a single ordered
-    window pass carrying the last non-null payload forward
-    (``last(..., ignorenulls=True)``).  Cost is one shuffle + one
-    sort — no per-row range probe, no broadcast of a time index, so it
-    survives 100 TB fact-fact as-of joins.  Right-side rows must be
-    unique per (key, time) for deterministic output — pre-aggregate if not.
+    window pass carrying the last right row forward.  The payload travels
+    as ONE struct column through ``last(..., ignorenulls=True)`` — so a
+    legitimately-NULL payload field of the matched right row stays NULL,
+    and every payload column comes from the SAME right row (per-column
+    fill could mix rows), matching pandas ``merge_asof`` / DuckDB ASOF
+    semantics.  Cost is one shuffle + one sort — no per-row range probe,
+    no broadcast of a time index, so it survives 100 TB fact-fact as-of
+    joins.  Right-side rows must be unique per (key, time) for
+    deterministic output — pre-aggregate if not.
 
     Both time columns must share a comparable type (cast beforehand).
     At equal timestamps the right row wins (inclusive semantics, matching
@@ -95,19 +99,23 @@ def asof_join(
 
     keys = list(on)
     lcols = [c for c in left.columns]
+    pay_struct = F.struct(*[F.col(p).alias(p) for p in payload])
+    pay_type = (
+        right.select(pay_struct.alias("__pay")).schema["__pay"].dataType
+    )
     l = left.select(
         *lcols,
         F.col(left_time).alias("__t"),
         F.lit(1).alias("__side"),
-        *[F.lit(None).cast(right.schema[p].dataType).alias(f"__p_{p}") for p in payload],
+        F.lit(None).cast(pay_type).alias("__pay"),
     )
     r = right.select(
         *[F.col(k) for k in keys],
         *[F.lit(None).cast(left.schema[c].dataType).alias(c) for c in lcols if c not in keys],
         F.col(right_time).alias("__t"),
         F.lit(0).alias("__side"),
-        *[F.col(p).alias(f"__p_{p}") for p in payload],
-    ).select(*lcols, "__t", "__side", *[f"__p_{p}" for p in payload])
+        pay_struct.alias("__pay"),
+    ).select(*lcols, "__t", "__side", "__pay")
     w = (
         Window.partitionBy(*keys)
         .orderBy(F.col("__t").asc(), F.col("__side").asc())
@@ -116,6 +124,9 @@ def asof_join(
     filled = l.unionByName(r).select(
         *lcols,
         "__side",
-        *[F.last(f"__p_{p}", ignorenulls=True).over(w).alias(p) for p in payload],
+        F.last("__pay", ignorenulls=True).over(w).alias("__pay"),
     )
-    return filled.filter(F.col("__side") == 1).drop("__side")
+    return (
+        filled.filter(F.col("__side") == 1)
+        .select(*lcols, *[F.col(f"__pay.{p}").alias(p) for p in payload])
+    )

@@ -66,13 +66,19 @@ def ingest_rain_grid(
     else:
         joined = assign_points_udf(g, polygons_pdf, lon_col="lon", lat_col="lat")
 
-    # A3: grid resolution from the distinct coordinate steps
-    def _min_step(col: str) -> float:
-        vals = sorted(r[0] for r in joined.select(col).distinct().collect())
-        diffs = [abs(b - a) for a, b in zip(vals, vals[1:])]
+    # A3: grid resolution from the distinct coordinate steps — ONE job
+    # collects both axes (grid-sized, tiny by construction)
+    coords = [
+        (r["lat"], r["lon"]) for r in joined.select("lat", "lon").distinct().collect()
+    ]
+
+    def _min_step(vals: list[float]) -> float:
+        svals = sorted(set(vals))
+        diffs = [abs(b - a) for a, b in zip(svals, svals[1:])]
         return min(diffs) if diffs else 0.05
 
-    dlat, dlon = _min_step("lat"), _min_step("lon")
+    dlat = _min_step([c[0] for c in coords])
+    dlon = _min_step([c[1] for c in coords])
 
     w = cell_weight(F.col("lat"))
     cell_area = F.lit(KM_PER_DEG * dlat * KM_PER_DEG * dlon) * w

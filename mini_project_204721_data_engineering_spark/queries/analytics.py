@@ -353,16 +353,32 @@ FROM dim d LEFT JOIN per_nation p ON d.map_key = p.map_key
 # ---------------------------------------------------------------------------
 
 def discount_class(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """C4: ``class_to_num`` numeric branches — tertile bins on [0,1] values
-    (reference ``utils.py:264-269``), over l_discount*10."""
+    """C4: every ``class_to_num`` branch, driver-checked (reference
+    ``utils.py:255-274``):
+
+    - tertile branch over l_discount*10 (numerics in [0,1]),
+    - word branch: Thai risk words round-tripped through the real
+      :func:`class_to_num` (word → level),
+    - clamp branch: the full function on l_quantity (numeric outside
+      [0,1] → HALF_EVEN round, clamp to [1,3])."""
+    from mini_project_204721_data_engineering_spark.functions.binning import class_to_num
+
     li = load_table(spark, sf_dir, "lineitem")
     v = F.col("l_discount") * 10
     cls = F.when(v < 1.0 / 3.0, 1).when(v < 2.0 / 3.0, 2).otherwise(3)
+    # word branch input derived from the tertile class (Thai words from the
+    # reference's mapping), so the oracle can derive the same column
+    word = (
+        F.when(cls == 1, F.lit("ต่ำ")).when(cls == 2, F.lit("ปานกลาง")).otherwise(F.lit("สูง"))
+    )
     return li.select(
         "l_orderkey",
         "l_linenumber",
         F.round(v, 4).alias("value01"),
         cls.cast("int").alias("risk_class"),
+        word.alias("risk_word"),
+        class_to_num(word).alias("class_from_word"),
+        class_to_num(F.col("l_quantity")).alias("qty_clamped"),
     )
 
 
@@ -371,7 +387,18 @@ SELECT l_orderkey, l_linenumber,
        round(l_discount * 10, 4) AS value01,
        CASE WHEN l_discount * 10 < 1.0/3.0 THEN 1
             WHEN l_discount * 10 < 2.0/3.0 THEN 2
-            ELSE 3 END AS risk_class
+            ELSE 3 END AS risk_class,
+       CASE WHEN l_discount * 10 < 1.0/3.0 THEN 'ต่ำ'
+            WHEN l_discount * 10 < 2.0/3.0 THEN 'ปานกลาง'
+            ELSE 'สูง' END AS risk_word,
+       CASE WHEN l_discount * 10 < 1.0/3.0 THEN 1
+            WHEN l_discount * 10 < 2.0/3.0 THEN 2
+            ELSE 3 END AS class_from_word,
+       CAST(CASE WHEN l_quantity >= 0 AND l_quantity <= 1 THEN
+                 CASE WHEN l_quantity < 1.0/3.0 THEN 1
+                      WHEN l_quantity < 2.0/3.0 THEN 2 ELSE 3 END
+            ELSE least(greatest(CAST(round(l_quantity) AS INT), 1), 3)
+            END AS INT) AS qty_clamped
 FROM lineitem
 """
 
@@ -722,8 +749,10 @@ def customer_order_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
         full.groupBy(F.coalesce(F.col("c_nationkey"), F.lit(-1)).alias("nationkey"))
         .agg(
             F.count(F.lit(1)).alias("n_keys"),
-            F.sum(F.when(F.col("o_custkey").isNull(), 1).otherwise(0)).alias("no_orders"),
-            F.sum(F.when(F.col("c_custkey").isNull(), 1).otherwise(0)).alias("orphan_orders"),
+            # explicit long casts: DuckDB integer sums widen to HUGEINT/int128,
+            # whose wire repr diverges from Spark's bigint (r1 hash mismatch)
+            F.sum(F.when(F.col("o_custkey").isNull(), 1).otherwise(0)).cast("long").alias("no_orders"),
+            F.sum(F.when(F.col("c_custkey").isNull(), 1).otherwise(0)).cast("long").alias("orphan_orders"),
         )
         .orderBy("nationkey")
     )
@@ -735,8 +764,8 @@ WITH per_cust AS (
 )
 SELECT coalesce(c_nationkey, -1) AS nationkey,
        count(*) AS n_keys,
-       sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS no_orders,
-       sum(CASE WHEN c_custkey IS NULL THEN 1 ELSE 0 END) AS orphan_orders
+       CAST(sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS no_orders,
+       CAST(sum(CASE WHEN c_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS orphan_orders
 FROM customer FULL OUTER JOIN per_cust ON c_custkey = o_custkey
 GROUP BY 1
 ORDER BY nationkey

@@ -305,7 +305,8 @@ def corpus_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
         kept.groupBy("lang_guess")
         .agg(
             F.count(F.lit(1)).alias("n_docs"),
-            F.sum("n_tokens").alias("total_tokens"),
+            # long cast: DuckDB widens integer sums to HUGEINT (r1 hash mismatch)
+            F.sum("n_tokens").cast("long").alias("total_tokens"),
             F.round(F.avg("q"), 4).alias("avg_quality"),
         )
         .orderBy("lang_guess")
@@ -335,7 +336,7 @@ WITH t AS (
 )
 SELECT lang_guess,
        count(*) AS n_docs,
-       sum(n_tokens) AS total_tokens,
+       CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
        round(avg(q), 4) AS avg_quality
 FROM gated WHERE rn = 1
 GROUP BY lang_guess

@@ -143,6 +143,12 @@ def run_available_now(
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(timeout_sec)
+    finished = q.awaitTermination(timeout_sec)
+    if not finished:
+        # reading the sink now would silently return a partial batch
+        q.stop()
+        raise TimeoutError(
+            f"streaming query {query_name!r} did not finish within {timeout_sec}s"
+        )
     spark = stream_df.sparkSession
     return spark.table(query_name)
