@@ -37,6 +37,7 @@ __all__ = [
     "simhash",
     "embedding_neardup_pairs",
     "srp_signatures",
+    "srp_banded_pairs",
 ]
 
 
@@ -236,6 +237,76 @@ def embedding_neardup_pairs(
     )
 
 
+def srp_banded_pairs(
+    emb: DataFrame,
+    threshold: float = 0.45,
+    n_bits: int = 32,
+    bands: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    seed: int = 7,
+) -> DataFrame:
+    """Embedding near-dup pairs via SRP-LSH bucketing — the scale path:
+    signature bands bucket candidates (equi-join on the band key, the
+    corpus is NEVER self-crossed), then candidates are verified with the
+    exact cosine at ``threshold``.
+
+    Banding trade (standard LSH OR-amplification): a pair is a candidate
+    iff ANY of ``bands`` bands of ``n_bits/bands`` sign bits agree.  Bits
+    per band sets bucket selectivity (P[random collision] = 2^-bits/band
+    per band); band count sets recall (P[candidate] = 1-(1-p^bits)^bands,
+    p = 1 - angle/pi).  The 8×4 default favors recall at demo thresholds;
+    at production near-dup thresholds (cos >= 0.8) use >= 6 bits/band,
+    where buckets are sharply selective.  Pairs whose every band differs
+    are not emitted — that's the LSH recall trade, made explicit here
+    rather than hidden behind an exact all-pairs crossJoin that cannot
+    run at corpus scale."""
+    from mini_project_204721_data_engineering_spark.llm.similarity import as_double, cosine
+
+    if n_bits % bands:
+        raise ValueError(f"n_bits={n_bits} not divisible by bands={bands}")
+    bpb = n_bits // bands
+    sigs = srp_signatures(emb, n_bits=n_bits, id_col=id_col, vec_col=vec_col, dim=dim, seed=seed)
+    bt = (
+        sigs.select(
+            F.col(id_col),
+            "srp_sig",
+            F.explode(F.array(*[F.lit(b) for b in range(bands)])).alias("band"),
+        )
+        .select(
+            F.col(id_col),
+            "band",
+            F.expr(f"substring(srp_sig, band * {bpb} + 1, {bpb})").alias("bkey"),
+        )
+    )
+    a = bt.select(F.col(id_col).alias("id_a"), "band", "bkey")
+    b = bt.select(F.col(id_col).alias("id_b"), "band", "bkey")
+    cands = (
+        a.join(b, ["band", "bkey"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    va = emb.select(F.col(id_col).alias("id_a"), as_double(vec_col).alias("va"))
+    vb = emb.select(F.col(id_col).alias("id_b"), as_double(vec_col).alias("vb"))
+    return (
+        cands.join(va, "id_a")
+        .join(vb, "id_b")
+        .select("id_a", "id_b", F.round(cosine("va", "vb"), 6).alias("cos_sim"))
+        .filter(F.col("cos_sim") >= threshold)
+    )
+
+
+def srp_planes(n_bits: int = 32, dim: int = 64, seed: int = 7):
+    """The deterministic ±1 hyperplane matrix shared by the Spark
+    signature expression and the DuckDB oracle mirror."""
+    import numpy as np
+
+    rng = np.random.RandomState(seed)
+    return rng.choice([-1.0, 1.0], size=(n_bits, dim))
+
+
 def srp_signatures(
     emb: DataFrame,
     n_bits: int = 16,
@@ -250,11 +321,7 @@ def srp_signatures(
 
     Hyperplanes are deterministic pseudo-random ±1 vectors derived from
     a seeded hash (retry-safe, reproducible across runs/engines)."""
-    import numpy as np
-
-    rng = np.random.RandomState(seed)
-    planes = rng.choice([-1.0, 1.0], size=(n_bits, dim))
-    spark = emb.sparkSession
+    planes = srp_planes(n_bits=n_bits, dim=dim, seed=seed)
     planes_lit = F.array(
         *[F.array(*[F.lit(float(v)) for v in row]) for row in planes]
     )

@@ -20,7 +20,15 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-__all__ = ["as_double", "cosine", "cosine_topk", "ivf_topk", "kmeans_assign"]
+__all__ = [
+    "as_double",
+    "cosine",
+    "cosine_topk",
+    "ivf_topk",
+    "kmeans_assign",
+    "seeded_centroids",
+    "assign_cells",
+]
 
 
 def as_double(col: str) -> Column:
@@ -76,6 +84,51 @@ def cosine_topk(
     )
 
 
+def seeded_centroids(
+    corpus: DataFrame,
+    ncells: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Deterministic coarse quantizer: the ``ncells`` lowest-id vectors ARE
+    the centroids (cell id = seed's vec id, no Lloyd iterations).  Unlike
+    k-means this is closed-form — reproducible across engines, so the IVF
+    cell assignment and nprobe routing become ANSI-SQL-expressible and the
+    whole ANN query is oracle-checkable.  Centroid quality is data-order
+    dependent; use :func:`kmeans_assign` when recall matters more than
+    engine-portable determinism."""
+    return (
+        corpus.orderBy(F.col(id_col).asc())
+        .limit(ncells)
+        .select(F.col(id_col).alias("cell"), as_double(vec_col).alias("cv"))
+    )
+
+
+def assign_cells(
+    corpus: DataFrame,
+    centroids: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_dp: int = 6,
+) -> DataFrame:
+    """Attach a ``cell`` column: argmax cosine against the (broadcast)
+    centroid set, similarity rounded to ``round_dp`` with the cell id as
+    tiebreaker so the assignment is total-ordered and engine-portable."""
+    w = Window.partitionBy(id_col).orderBy(F.col("__sim").desc(), F.col("cell").asc())
+    return (
+        corpus.crossJoin(F.broadcast(centroids))
+        .withColumn("__sim", F.round(cosine_of(vec_col, "cv"), round_dp))
+        .withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__sim", "__rn", "cv")
+    )
+
+
+def cosine_of(vec_col: str, other: str) -> Column:
+    """cosine() over a raw (possibly float) column and a double column."""
+    return cosine(f"transform({vec_col}, x -> cast(x AS double))", other)
+
+
 def ivf_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -84,31 +137,41 @@ def ivf_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     cell_col: str = "label",
+    centroids: DataFrame | None = None,
+    route_round_dp: int | None = None,
 ) -> DataFrame:
     """Approximate top-k scanning only the ``nprobe`` most promising cells.
 
-    Cell centroids are computed per dimension with posexplode + groupBy
-    (distributed; never collected).  A query is routed to the cells whose
-    centroid it is most cosine-similar to, then scored exactly within
-    those cells only — the IVF trade: recall for a ~ncells/nprobe scan cut.
+    By default cell centroids are computed per dimension with posexplode +
+    groupBy (distributed; never collected); pass ``centroids`` (cell, cv)
+    to route against a fixed quantizer instead (see
+    :func:`seeded_centroids`).  A query is routed to the cells whose
+    centroid it is most cosine-similar to (rounded to ``route_round_dp``
+    when set, for engine-portable tie behavior), then scored exactly
+    within those cells only — the IVF trade: recall for a ~ncells/nprobe
+    scan cut.
     """
-    dims = (
-        corpus.select(F.col(cell_col).alias("cell"), F.posexplode(as_double(vec_col)).alias("pos", "x"))
-        .groupBy("cell", "pos")
-        .agg(F.avg("x").alias("cx"))
-    )
-    centroids = (
-        dims.groupBy("cell")
-        .agg(F.array_sort(F.collect_list(F.struct("pos", "cx"))).alias("pc"))
-        .select("cell", F.expr("transform(pc, s -> s.cx)").alias("cv"))
-    )
+    if centroids is None:
+        dims = (
+            corpus.select(F.col(cell_col).alias("cell"), F.posexplode(as_double(vec_col)).alias("pos", "x"))
+            .groupBy("cell", "pos")
+            .agg(F.avg("x").alias("cx"))
+        )
+        centroids = (
+            dims.groupBy("cell")
+            .agg(F.array_sort(F.collect_list(F.struct("pos", "cx"))).alias("pc"))
+            .select("cell", F.expr("transform(pc, s -> s.cx)").alias("cv"))
+        )
     q = queries.select(F.col(id_col).alias("query_id"), as_double(vec_col).alias("qv"))
+    route_sim = cosine("qv", "cv")
+    if route_round_dp is not None:
+        route_sim = F.round(route_sim, route_round_dp)
     route_w = Window.partitionBy("query_id").orderBy(
         F.col("cell_sim").desc(), F.col("cell").asc()
     )
     routed = (
         q.crossJoin(F.broadcast(centroids))
-        .select("query_id", "qv", "cell", cosine("qv", "cv").alias("cell_sim"))
+        .select("query_id", "qv", "cell", route_sim.alias("cell_sim"))
         .withColumn("cell_rank", F.row_number().over(route_w))
         .filter(F.col("cell_rank") <= nprobe)
         .select("query_id", "qv", "cell")

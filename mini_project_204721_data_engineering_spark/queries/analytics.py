@@ -706,6 +706,91 @@ ORDER BY user_id, day
 """
 
 
+def error_click_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U-family extension (SURVEY §2.7 notes the reference has neither
+    set op): INTERSECT and EXCEPT over (user, day) event populations in
+    one tagged result — 'both' rows are present in error AND click days,
+    'error_only' rows have errors but no clicks that day.  Each branch
+    compiles to a semi/anti shape: one shuffle per side on the key, no
+    row explosion."""
+    ev = load_table(spark, sf_dir, "events")
+    err, clk = _user_days(ev, "error"), _user_days(ev, "click")
+    both = err.intersect(clk).select(F.lit("both").alias("setop"), "user_id", "day")
+    only = err.subtract(clk).select(F.lit("error_only").alias("setop"), "user_id", "day")
+    return (
+        both.unionByName(only)
+        .select("setop", "user_id", F.date_format("day", "yyyy-MM-dd").alias("day"))
+        .orderBy("setop", "user_id", "day")
+    )
+
+
+ERROR_CLICK_SETOPS_SQL = """
+WITH err AS (SELECT user_id, CAST(ts AS DATE) AS day FROM events WHERE event_type = 'error'),
+     clk AS (SELECT user_id, CAST(ts AS DATE) AS day FROM events WHERE event_type = 'click')
+SELECT 'both' AS setop, user_id, strftime(day, '%Y-%m-%d') AS day
+FROM (SELECT * FROM err INTERSECT SELECT * FROM clk)
+UNION ALL
+SELECT 'error_only' AS setop, user_id, strftime(day, '%Y-%m-%d') AS day
+FROM (SELECT * FROM err EXCEPT SELECT * FROM clk)
+ORDER BY 1, 2, 3
+"""
+
+
+def events_spine_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap filling + pivot in one plan (two extensions the reference
+    lacks): a generated date spine (sequence + explode over one min/max
+    agg) left-joined to the days × event-type count matrix (explicit
+    pivot value list — no discovery pass), zero-filled.  The spine is
+    dim-sized so it broadcasts; the facts are scanned once for the pivot
+    agg and once for the 2-value bounds agg."""
+    ev = load_table(spark, sf_dir, "events")
+    types = ["click", "view", "signup", "purchase", "error"]
+    counts = (
+        ev.groupBy(F.col("ts").cast("date").alias("day"))
+        .pivot("event_type", types)
+        .agg(F.count(F.lit(1)))
+    )
+    bounds = ev.agg(
+        F.min(F.col("ts").cast("date")).alias("lo"),
+        F.max(F.col("ts").cast("date")).alias("hi"),
+    )
+    spine = bounds.select(
+        F.explode(F.expr("sequence(lo, hi, interval 1 day)")).alias("day")
+    )
+    return (
+        spine.join(counts, "day", "left")
+        .na.fill(0, types)
+        .select(F.date_format("day", "yyyy-MM-dd").alias("day"), *types)
+        .orderBy("day")
+    )
+
+
+EVENTS_SPINE_PIVOT_SQL = """
+WITH bounds AS (
+  SELECT min(CAST(ts AS DATE)) AS lo, max(CAST(ts AS DATE)) AS hi FROM events
+), spine AS (
+  SELECT CAST(unnest(generate_series(lo, hi, INTERVAL 1 DAY)) AS DATE) AS day
+  FROM bounds
+), counts AS (
+  SELECT CAST(ts AS DATE) AS day,
+         count(*) FILTER (event_type = 'click') AS click,
+         count(*) FILTER (event_type = 'view') AS view,
+         count(*) FILTER (event_type = 'signup') AS signup,
+         count(*) FILTER (event_type = 'purchase') AS purchase,
+         count(*) FILTER (event_type = 'error') AS error
+  FROM events GROUP BY 1
+)
+SELECT strftime(s.day, '%Y-%m-%d') AS day,
+       coalesce(c.click, 0) AS click,
+       coalesce(c.view, 0) AS view,
+       coalesce(c.signup, 0) AS signup,
+       coalesce(c.purchase, 0) AS purchase,
+       coalesce(c.error, 0) AS error
+FROM spine s LEFT JOIN counts c ON s.day = c.day
+ORDER BY 1
+"""
+
+
 def events_pivot_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pivot (extension): days × event-type count matrix.  Explicit value
     list so the pivot needs no discovery pass — one shuffle, map-side
@@ -912,6 +997,12 @@ ORDER BY p_brand
 """
 
 
+# Driver-facing set (≤50 across all modules — see queries/__init__.py).
+# Operator coverage notes for the variants demoted to EXTRA_*:
+# - J8 left-anti  → driver row via new_events_only (same anti_join operator)
+# - J13 left-semi → driver row via order_priority_counts (same semi_join)
+# - O3 pagination → list_orders_page / list_customers_by_dim_sort / keyset
+# - LIKE pushdown (red_parts_by_brand) stays asserted in tests/test_plans.py
 QUERIES = {
     "pricing_summary": pricing_summary,
     "weighted_mean_price": weighted_mean_price,
@@ -921,8 +1012,6 @@ QUERIES = {
     "incident_counts": incident_counts,
     "distinct_pairs": distinct_pairs,
     "dedup_first_event": dedup_first_event,
-    "customers_without_orders": customers_without_orders,
-    "customers_with_orders": customers_with_orders,
     "new_events_only": new_events_only,
     "order_item_counts": order_item_counts,
     "concat_key_join": concat_key_join,
@@ -930,19 +1019,15 @@ QUERIES = {
     "date_parts": date_parts,
     "union_dedup": union_dedup,
     "props_extract": props_extract,
-    "shipping_priority": shipping_priority,
     "value_percentiles": value_percentiles,
     "revenue_rollup": revenue_rollup,
     "events_asof_spend": events_asof_spend,
     "top_return_customers": top_return_customers,
-    "error_and_click_users": error_and_click_users,
-    "error_only_users": error_only_users,
-    "events_pivot_daily": events_pivot_daily,
+    "error_click_setops": error_click_setops,
+    "events_spine_pivot": events_spine_pivot,
     "customer_order_coverage": customer_order_coverage,
     "order_priority_counts": order_priority_counts,
-    "events_day_spine": events_day_spine,
     "user_top_event_type": user_top_event_type,
-    "red_parts_by_brand": red_parts_by_brand,
 }
 
 ORACLES = {
@@ -954,8 +1039,6 @@ ORACLES = {
     "incident_counts": INCIDENT_COUNTS_SQL,
     "distinct_pairs": DISTINCT_PAIRS_SQL,
     "dedup_first_event": DEDUP_FIRST_EVENT_SQL,
-    "customers_without_orders": CUSTOMERS_WITHOUT_ORDERS_SQL,
-    "customers_with_orders": CUSTOMERS_WITH_ORDERS_SQL,
     "new_events_only": NEW_EVENTS_ONLY_SQL,
     "order_item_counts": ORDER_ITEM_COUNTS_SQL,
     "concat_key_join": CONCAT_KEY_JOIN_SQL,
@@ -963,17 +1046,35 @@ ORACLES = {
     "date_parts": DATE_PARTS_SQL,
     "union_dedup": UNION_DEDUP_SQL,
     "props_extract": PROPS_EXTRACT_SQL,
-    "shipping_priority": SHIPPING_PRIORITY_SQL,
     "value_percentiles": VALUE_PERCENTILES_SQL,
     "revenue_rollup": REVENUE_ROLLUP_SQL,
     "events_asof_spend": EVENTS_ASOF_SPEND_SQL,
     "top_return_customers": TOP_RETURN_CUSTOMERS_SQL,
+    "error_click_setops": ERROR_CLICK_SETOPS_SQL,
+    "events_spine_pivot": EVENTS_SPINE_PIVOT_SQL,
+    "customer_order_coverage": CUSTOMER_ORDER_COVERAGE_SQL,
+    "order_priority_counts": ORDER_PRIORITY_COUNTS_SQL,
+    "user_top_event_type": USER_TOP_EVENT_TYPE_SQL,
+}
+
+EXTRA_QUERIES = {
+    "customers_without_orders": customers_without_orders,
+    "customers_with_orders": customers_with_orders,
+    "shipping_priority": shipping_priority,
+    "error_and_click_users": error_and_click_users,
+    "error_only_users": error_only_users,
+    "events_pivot_daily": events_pivot_daily,
+    "events_day_spine": events_day_spine,
+    "red_parts_by_brand": red_parts_by_brand,
+}
+
+EXTRA_ORACLES = {
+    "customers_without_orders": CUSTOMERS_WITHOUT_ORDERS_SQL,
+    "customers_with_orders": CUSTOMERS_WITH_ORDERS_SQL,
+    "shipping_priority": SHIPPING_PRIORITY_SQL,
     "error_and_click_users": ERROR_AND_CLICK_USERS_SQL,
     "error_only_users": ERROR_ONLY_USERS_SQL,
     "events_pivot_daily": EVENTS_PIVOT_DAILY_SQL,
-    "customer_order_coverage": CUSTOMER_ORDER_COVERAGE_SQL,
-    "order_priority_counts": ORDER_PRIORITY_COUNTS_SQL,
     "events_day_spine": EVENTS_DAY_SPINE_SQL,
-    "user_top_event_type": USER_TOP_EVENT_TYPE_SQL,
     "red_parts_by_brand": RED_PARTS_BY_BRAND_SQL,
 }

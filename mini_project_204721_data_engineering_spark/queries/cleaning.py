@@ -96,11 +96,14 @@ LIMIT 100 OFFSET 100
 QUERIES = {
     "text_clean": text_clean,
     "special_fix_masked_update": special_fix_masked_update,
-    "list_events_page": list_events_page,
 }
 
 ORACLES = {
     "text_clean": TEXT_CLEAN_SQL,
     "special_fix_masked_update": SPECIAL_FIX_SQL,
-    "list_events_page": LIST_EVENTS_PAGE_SQL,
 }
+
+# O3-variant demo over events — same ListQuery operator as
+# list_orders_page; kept out of the driver's 50-query budget
+EXTRA_QUERIES = {"list_events_page": list_events_page}
+EXTRA_ORACLES = {"list_events_page": LIST_EVENTS_PAGE_SQL}

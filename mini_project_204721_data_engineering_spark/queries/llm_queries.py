@@ -58,18 +58,31 @@ GROUP BY md5(text)
 """
 
 
+#: hot-shingle guard for the shipped Jaccard query: shingles appearing in
+#: more than this many docs are dropped before the self-join (prefix-filter
+#: style) — without it one stopword-like shingle across a large corpus
+#: explodes the candidate join quadratically.  Mirrored in the oracle.
+JACCARD_MAX_SHINGLE_DF = 25
+
+
 def ngram_jaccard_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact 3-gram Jaccard near-dup pairs at threshold 0.8."""
+    """3-gram Jaccard near-dup pairs at threshold 0.8 with the
+    hot-shingle cap ACTIVE (llm/dedup.py::ngram_jaccard_pairs
+    ``max_shingle_df`` — the guard that keeps the shingle self-join
+    linear-ish at corpus scale); the oracle mirrors the same drop."""
     docs = load_table(spark, sf_dir, "documents")
-    return ngram_jaccard_pairs(docs, threshold=0.8)
+    return ngram_jaccard_pairs(docs, threshold=0.8, max_shingle_df=JACCARD_MAX_SHINGLE_DF)
 
 
 NGRAM_JACCARD_DUPS_SQL = f"""
 WITH {_DUCK_SHINGLES},
-sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+hot AS (SELECT shingle FROM sh GROUP BY shingle
+        HAVING count(*) > {JACCARD_MAX_SHINGLE_DF}),
+shc AS (SELECT * FROM sh WHERE shingle NOT IN (SELECT shingle FROM hot)),
+sizes AS (SELECT doc_id, count(*) AS n_sh FROM shc GROUP BY doc_id),
 common AS (
   SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
-  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  FROM shc a JOIN shc b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
   GROUP BY 1, 2
 )
 SELECT doc_a, doc_b,
@@ -231,34 +244,121 @@ SELECT query_id, vec_id, cos_sim, rank FROM r WHERE rank <= 10
 
 
 def similarity_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF-bucketed ANN top-10 over k-means cells (distributed Lloyd's,
-    llm/similarity.py::kmeans_assign), nprobe=2 of 4 — the scale path;
-    rows-only check (approx results aren't naturally ANSI-SQL).
-    tests/test_llm.py proves nprobe=ncells degenerates to exact."""
-    from mini_project_204721_data_engineering_spark.llm.similarity import kmeans_assign
+    """IVF ANN top-10, nprobe=2 of 4 cells — a REAL approximate query with
+    a full value oracle: the coarse quantizer is deterministic
+    (seeded_centroids: the 4 lowest-id vectors are the centroids), so the
+    cell assignment, the nprobe routing, and the within-cell exact scoring
+    are all ANSI-SQL-expressible and DuckDB verifies the ANN result
+    value-for-value.  The k-means quantizer variant (distributed Lloyd's)
+    stays pytest-proven in tests/test_llm.py, incl. nprobe=ncells ≡ exact."""
+    from mini_project_204721_data_engineering_spark.llm.similarity import (
+        assign_cells,
+        seeded_centroids,
+    )
 
     emb = load_table(spark, sf_dir, "embeddings")
-    cells = kmeans_assign(emb, ncells=4, iters=2)
-    qs = emb.filter(F.col("vec_id") % 100 == 0)
-    return ivf_topk(cells, qs, k=10, nprobe=2, cell_col="cell")
+    cents = seeded_centroids(emb, ncells=4)
+    cells = assign_cells(emb, cents)
+    qs = cells.filter(F.col("vec_id") % 100 == 0)
+    return ivf_topk(
+        cells, qs, k=10, nprobe=2, cell_col="cell", centroids=cents, route_round_dp=6
+    )
+
+
+SIMILARITY_IVF_SQL = """
+WITH corpus AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+), centroids AS (
+  SELECT vec_id AS cell, v AS cv FROM corpus ORDER BY vec_id LIMIT 4
+), assigned AS (
+  SELECT vec_id, cell FROM (
+    SELECT c.vec_id, ct.cell,
+           row_number() OVER (
+             PARTITION BY c.vec_id
+             ORDER BY round(list_cosine_similarity(c.v, ct.cv), 6) DESC,
+                      ct.cell ASC) AS rn
+    FROM corpus c CROSS JOIN centroids ct
+  ) WHERE rn = 1
+), routed AS (
+  SELECT query_id, cell FROM (
+    SELECT q.vec_id AS query_id, ct.cell,
+           row_number() OVER (
+             PARTITION BY q.vec_id
+             ORDER BY round(list_cosine_similarity(q.v, ct.cv), 6) DESC,
+                      ct.cell ASC) AS rn
+    FROM corpus q CROSS JOIN centroids ct
+    WHERE q.vec_id % 100 = 0
+  ) WHERE rn <= 2
+), scored AS (
+  SELECT r.query_id, a.vec_id,
+         round(list_cosine_similarity(qc.v, c.v), 6) AS cos_sim
+  FROM routed r
+  JOIN assigned a ON a.cell = r.cell
+  JOIN corpus c ON c.vec_id = a.vec_id
+  JOIN corpus qc ON qc.vec_id = r.query_id
+  WHERE a.vec_id <> r.query_id
+), ranked AS (
+  SELECT query_id, vec_id, cos_sim,
+         CAST(row_number() OVER (
+           PARTITION BY query_id ORDER BY cos_sim DESC, vec_id ASC) AS INT) AS rank
+  FROM scored
+)
+SELECT query_id, vec_id, cos_sim, rank FROM ranked WHERE rank <= 10
+"""
 
 
 def embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-cosine near-dup pairs (exact verify stage; SRP-LSH
-    bucketing is the scale prefilter, tests/test_llm.py)."""
-    from mini_project_204721_data_engineering_spark.llm.dedup import embedding_neardup_pairs
+    """Embedding-cosine near-dup pairs, SRP-LSH-bucketed (the scale path):
+    band-key equi-join candidates → exact cosine verify — no corpus×corpus
+    crossJoin anywhere in the plan (asserted in tests/test_plans.py).  The
+    DuckDB oracle mirrors the same hyperplanes/banding, so the LSH result
+    is value-checked, not just the exact fallback
+    (llm/dedup.py::embedding_neardup_pairs keeps the exact all-pairs form
+    for small corpora)."""
+    from mini_project_204721_data_engineering_spark.llm.dedup import srp_banded_pairs
 
     emb = load_table(spark, sf_dir, "embeddings")
-    return embedding_neardup_pairs(emb, threshold=0.45)
+    return srp_banded_pairs(emb, threshold=0.45, n_bits=32, bands=8)
 
 
-EMBEDDING_NEARDUP_SQL = """
-WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
-SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-       round(list_cosine_similarity(a.v, b.v), 6) AS cos_sim
-FROM e a JOIN e b ON a.vec_id < b.vec_id
-WHERE round(list_cosine_similarity(a.v, b.v), 6) >= 0.45
+def _srp_neardup_duck_sql(
+    threshold: float = 0.45, n_bits: int = 32, bands: int = 8, dim: int = 64, seed: int = 7
+) -> str:
+    """DuckDB mirror of srp_banded_pairs: identical hyperplanes (same
+    seeded generator), identical band keys, identical verify stage."""
+    from mini_project_204721_data_engineering_spark.llm.dedup import srp_planes
+
+    planes = srp_planes(n_bits=n_bits, dim=dim, seed=seed)
+    plit = ", ".join(
+        "[" + ",".join(f"{v:.1f}" for v in row) + "]::DOUBLE[]" for row in planes
+    )
+    bits = " || ".join(
+        f"(CASE WHEN list_dot_product(v, p[{i + 1}]) > 0 THEN '1' ELSE '0' END)"
+        for i in range(n_bits)
+    )
+    bpb = n_bits // bands
+    band_sel = " UNION ALL ".join(
+        f"SELECT vec_id, {b} AS band, substring(sig, {b * bpb + 1}, {bpb}) AS bkey FROM sig"
+        for b in range(bands)
+    )
+    return f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v, [{plit}] AS p FROM embeddings),
+sig AS (SELECT vec_id, {bits} AS sig FROM e),
+bandtab AS ({band_sel}),
+cand AS (
+  SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+  FROM bandtab a JOIN bandtab b
+    ON a.band = b.band AND a.bkey = b.bkey AND a.vec_id < b.vec_id
+)
+SELECT id_a, id_b, round(list_cosine_similarity(x.v, y.v), 6) AS cos_sim
+FROM cand
+JOIN e x ON x.vec_id = id_a
+JOIN e y ON y.vec_id = id_b
+WHERE round(list_cosine_similarity(x.v, y.v), 6) >= {threshold}
 """
+
+
+EMBEDDING_NEARDUP_SQL = _srp_neardup_duck_sql(threshold=0.45, n_bits=32, bands=8)
 
 
 def multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -353,7 +453,7 @@ QUERIES = {
     "doc_fingerprint": doc_fingerprint,
     "token_stats": token_stats,
     "similarity_topk": similarity_topk,
-    "similarity_ivf": similarity_ivf,  # rows-only: ANN path
+    "similarity_ivf": similarity_ivf,
     "embedding_neardup": embedding_neardup,
     "multimodal_meta": multimodal_meta,
 }
@@ -367,6 +467,7 @@ ORACLES = {
     "doc_fingerprint": DOC_FINGERPRINT_SQL,
     "token_stats": TOKEN_STATS_SQL,
     "similarity_topk": SIMILARITY_TOPK_SQL,
+    "similarity_ivf": SIMILARITY_IVF_SQL,
     "embedding_neardup": EMBEDDING_NEARDUP_SQL,
     "multimodal_meta": MULTIMODAL_META_SQL,
 }

@@ -169,6 +169,34 @@ LIMIT 200 OFFSET 0
 """
 
 
+def order_scalar_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A6+A7 in one scan: the pagination-total count under dynamic
+    predicates (reference ``main.py:266-269``) AND the global min/max
+    date endpoint (``main.py:668-676``) — a conditional count plus
+    unconditional min/max needs no second pass over the table."""
+    orders = load_table(spark, sf_dir, "orders")
+    filt = (
+        (F.col("o_orderstatus") == "F")
+        & (F.col("o_orderdate").cast("date") >= F.lit("1995-06-01"))
+        & (F.col("o_orderdate").cast("date") <= F.lit("1997-05-31"))
+    )
+    return orders.agg(
+        F.count(F.when(filt, 1)).alias("total"),
+        F.min(F.col("o_orderdate").cast("date")).alias("min_date"),
+        F.max(F.col("o_orderdate").cast("date")).alias("max_date"),
+    )
+
+
+ORDER_SCALAR_STATS_SQL = """
+SELECT count(*) FILTER (WHERE o_orderstatus = 'F'
+                          AND CAST(o_orderdate AS DATE) >= DATE '1995-06-01'
+                          AND CAST(o_orderdate AS DATE) <= DATE '1997-05-31') AS total,
+       CAST(min(o_orderdate) AS DATE) AS min_date,
+       CAST(max(o_orderdate) AS DATE) AS max_date
+FROM orders
+"""
+
+
 def count_orders_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A6: pagination-total count under dynamic predicates
     (reference ``main.py:266-269``)."""
@@ -208,18 +236,30 @@ FROM orders
 """
 
 
+# Driver-facing set (the correctness driver evaluates at most 50 queries
+# total, so each family ships its distinct operators here and the
+# redundant-variant demos below in EXTRA_*, which tools/verify_local.py
+# still checks every run).
 QUERIES = {
     "list_orders_page": list_orders_page,
-    "list_lineitem_page": list_lineitem_page,
     "list_customers_by_dim_sort": list_customers_by_dim_sort,
-    "count_orders_filtered": count_orders_filtered,
-    "date_limit": date_limit,
+    "order_scalar_stats": order_scalar_stats,
 }
 
 ORACLES = {
     "list_orders_page": LIST_ORDERS_PAGE_SQL,
-    "list_lineitem_page": LIST_LINEITEM_PAGE_SQL,
     "list_customers_by_dim_sort": LIST_CUSTOMERS_BY_DIM_SORT_SQL,
+    "order_scalar_stats": ORDER_SCALAR_STATS_SQL,
+}
+
+EXTRA_QUERIES = {
+    "list_lineitem_page": list_lineitem_page,
+    "count_orders_filtered": count_orders_filtered,
+    "date_limit": date_limit,
+}
+
+EXTRA_ORACLES = {
+    "list_lineitem_page": LIST_LINEITEM_PAGE_SQL,
     "count_orders_filtered": COUNT_ORDERS_FILTERED_SQL,
     "date_limit": DATE_LIMIT_SQL,
 }

@@ -200,3 +200,48 @@ def test_chunk_payload_empty_payload_yields_no_chunks(spark):
     # empty payload contributes nothing (not a phantom [0, -1] pair)
     assert {r["doc_id"] for r in out} == {2}
     assert sorted(r["chunk_idx"] for r in out) == [0, 1]
+
+
+def test_srp_banded_pairs_subset_of_exact(spark):
+    """The LSH-bucketed near-dup result is exactly the verified subset of
+    the all-pairs result whose bands collide — never a false positive,
+    and at high similarity, recall is near-total."""
+    from mini_project_204721_data_engineering_spark.llm.dedup import (
+        embedding_neardup_pairs,
+        srp_banded_pairs,
+    )
+
+    emb = load_table(spark, SF, "embeddings")
+    exact = {
+        (r["id_a"], r["id_b"]): r["cos_sim"]
+        for r in embedding_neardup_pairs(emb, threshold=0.3).collect()
+    }
+    banded = {
+        (r["id_a"], r["id_b"]): r["cos_sim"]
+        for r in srp_banded_pairs(emb, threshold=0.3, n_bits=32, bands=8).collect()
+    }
+    assert set(banded) <= set(exact)
+    for k, v in banded.items():
+        assert v == exact[k]  # verify stage computes the same exact cosine
+
+
+def test_seeded_ivf_full_probe_equals_brute_force(spark):
+    """nprobe = ncells over the seeded quantizer scans every cell — the
+    ANN result must degenerate to the exact brute-force top-k."""
+    from mini_project_204721_data_engineering_spark.llm.similarity import (
+        assign_cells,
+        seeded_centroids,
+    )
+
+    emb = load_table(spark, SF, "embeddings")
+    cents = seeded_centroids(emb, ncells=4)
+    cells = assign_cells(emb, cents)
+    qs = cells.filter(F.col("vec_id") % 100 == 0)
+    exact = {(r["query_id"], r["vec_id"]) for r in cosine_topk(emb, qs, k=5).collect()}
+    full = {
+        (r["query_id"], r["vec_id"])
+        for r in ivf_topk(
+            cells, qs, k=5, nprobe=4, cell_col="cell", centroids=cents, route_round_dp=6
+        ).collect()
+    }
+    assert full == exact

@@ -58,6 +58,12 @@ def main() -> int:
     con = duck_con(SF_DIR)
     qs = entrymod.queries()
     oracles = entrymod.oracle_sql()
+    # variant demos outside the driver's 50-query budget are still
+    # value-checked here every run
+    from mini_project_204721_data_engineering_spark import queries as _q
+
+    qs = {**qs, **_q.all_extra_queries()}
+    oracles = {**oracles, **_q.all_extra_oracles()}
 
     failures = []
     for name, fn in qs.items():
