@@ -9,6 +9,8 @@ DBF table and Excel workbooks (S1-S5).  Here each source is split into
   sheet-layout normalization, spatial join) — pure DataFrame/pandas code,
   fully implemented and tested regardless of which readers are available.
 
-DBF gets a dependency-free pure-Python reader (the dBASE III layout is a
-fixed public binary format), so the risk pipeline is testable end-to-end.
+DBF and ESRI .shp get dependency-free pure-Python readers (both are
+small fixed public binary formats), so the dims/risk pipelines are
+testable end-to-end from the real binary inputs — no geopandas/dbfread
+needed.
 """

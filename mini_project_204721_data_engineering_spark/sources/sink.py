@@ -16,7 +16,7 @@ from typing import Sequence
 
 from pyspark.sql import DataFrame, SparkSession
 
-__all__ = ["write_fact_partitioned", "overwrite_fact_partitions"]
+__all__ = ["write_fact_partitioned", "overwrite_fact_partitions", "write_jdbc"]
 
 
 def write_fact_partitioned(df: DataFrame, path: str, partition_cols: Sequence[str]) -> None:
@@ -38,3 +38,41 @@ def overwrite_fact_partitions(df: DataFrame, path: str, partition_cols: Sequence
         df.write.partitionBy(*partition_cols).mode("overwrite").parquet(path)
     finally:
         spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+
+
+def write_jdbc(
+    df: DataFrame,
+    url: str,
+    table: str,
+    mode: str = "append",
+    batchsize: int = 2000,
+    num_partitions: int | None = None,
+    properties: dict[str, str] | None = None,
+    _writer=None,
+) -> None:
+    """S8 relational parity: append a DataFrame to a JDBC table, matching
+    the reference's chunked multi-row INSERT sink
+    (``backend/app/utils.py:170-179``: ``to_sql(..., method="multi",
+    chunksize=2000)``) — ``batchsize`` defaults to the same 2000.
+
+    Scale notes: each Spark partition opens one connection and writes its
+    rows in ``batchsize`` batches — pass ``num_partitions`` to coalesce
+    first so a 1000-executor job doesn't open 1000 connections against a
+    single Postgres (the classic JDBC-sink failure at scale).  Writes are
+    per-partition-atomic, not global: pair with
+    ``operators.joins.idempotent_append`` or an upsert-view on the target
+    for exactly-once semantics.
+
+    ``_writer`` injects the terminal write for tests (this environment
+    ships no JDBC driver jars); the production path is
+    ``DataFrameWriter.jdbc``.
+    """
+    if num_partitions is not None:
+        df = df.coalesce(num_partitions)
+    props = {"batchsize": str(batchsize), **(properties or {})}
+    if _writer is not None:
+        _writer(df, url, table, mode, props)
+        return
+    df.write.option("batchsize", str(batchsize)).jdbc(
+        url=url, table=table, mode=mode, properties=props
+    )

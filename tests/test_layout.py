@@ -121,3 +121,28 @@ def test_approx_cardinality_within_tolerance(spark):
     assert rows
     for r in rows:
         assert abs(r["approx"] - r["exact"]) <= max(1, 0.05 * r["exact"])
+
+
+def test_write_jdbc_batches_and_coalesces(spark):
+    """S8 JDBC parity via the injected terminal writer (no driver jars in
+    this env): the reference's chunksize=2000 becomes the JDBC batchsize,
+    and num_partitions bounds the connection count."""
+    from mini_project_204721_data_engineering_spark.sources.sink import write_jdbc
+
+    df = spark.range(100).selectExpr("id", "id * 2 AS v")
+    calls = []
+
+    def fake_writer(d, url, table, mode, props):
+        calls.append((d.rdd.getNumPartitions(), url, table, mode, props))
+
+    write_jdbc(
+        df,
+        "jdbc:postgresql://db/analytics",
+        "rain_points",
+        num_partitions=4,
+        _writer=fake_writer,
+    )
+    nparts, url, table, mode, props = calls[0]
+    assert nparts <= 4
+    assert (url, table, mode) == ("jdbc:postgresql://db/analytics", "rain_points", "append")
+    assert props["batchsize"] == "2000"

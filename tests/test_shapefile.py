@@ -1,0 +1,128 @@
+"""Binary ESRI .shp reader tests (S3): round-trip through write_shp the
+way write_dbf round-trips the DBF reader, .dbf attribute pairing, and the
+dims+rain pipeline running end-to-end from a real .shp+.dbf pair —
+matching the reference's ``gpd.read_file`` usage
+(``backend/app/utils.py:80``)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from mini_project_204721_data_engineering_spark.pipelines.dims import build_dims
+from mini_project_204721_data_engineering_spark.pipelines.rain import ingest_rain_grid
+from mini_project_204721_data_engineering_spark.sources.dbf import write_dbf
+from mini_project_204721_data_engineering_spark.sources.geometry import parse_wkt_polygon, point_in_ring
+from mini_project_204721_data_engineering_spark.sources.shapefile import (
+    SHAPE_POINT,
+    read_shapefile,
+    read_shp,
+    write_shp,
+)
+
+SQ_A = [(99.0, 18.0), (99.0, 19.0), (100.0, 19.0), (100.0, 18.0), (99.0, 18.0)]
+SQ_B = [(100.0, 18.0), (100.0, 19.0), (101.0, 19.0), (101.0, 18.0), (100.0, 18.0)]
+HOLE = [(99.4, 18.4), (99.6, 18.4), (99.6, 18.6), (99.4, 18.6), (99.4, 18.4)]
+
+
+def test_polygon_roundtrip(tmp_path):
+    p = str(tmp_path / "polys.shp")
+    write_shp([[SQ_A], [SQ_B], [SQ_A, HOLE]], p)
+    recs = read_shp(p)
+    assert [r["shape_type"] for r in recs] == [5, 5, 5]
+    assert recs[0]["parts"] == [SQ_A]
+    assert recs[2]["parts"] == [SQ_A, HOLE]  # multi-part survives
+    # WKT plugs into the existing geometry pipeline (outer ring)
+    ring = parse_wkt_polygon(recs[0]["wkt"])
+    assert ring.shape == (5, 2)
+    inside = point_in_ring(np.array([99.5, 98.0]), np.array([18.5, 18.5]), ring)
+    assert inside.tolist() == [True, False]
+    # hole-carrying record: regex still grabs the outer ring
+    assert parse_wkt_polygon(recs[2]["wkt"]).shape == (5, 2)
+
+
+def test_point_roundtrip(tmp_path):
+    p = str(tmp_path / "pts.shp")
+    write_shp([[[(99.5, 18.5)]], [[(100.5, 18.25)]]], p, shape_type=SHAPE_POINT)
+    recs = read_shp(p)
+    assert [r["wkt"] for r in recs] == ["POINT (99.5 18.5)", "POINT (100.5 18.25)"]
+
+
+def test_bad_magic_rejected(tmp_path):
+    p = tmp_path / "junk.shp"
+    p.write_bytes(b"\x00" * 120)
+    with pytest.raises(ValueError, match="file code"):
+        read_shp(str(p))
+
+
+def _write_adm_pair(tmp_path):
+    """A tiny ADM2-style .shp+.dbf pair: two Chiang Mai districts plus a
+    Bangkok one (filtered by F3), raw prefixed Thai names (exercises C1)."""
+    shp = str(tmp_path / "adm2.shp")
+    dbf = str(tmp_path / "adm2.dbf")
+    write_shp([[SQ_A], [SQ_B], [[(100.3, 13.5), (100.3, 14.0), (100.8, 14.0), (100.8, 13.5), (100.3, 13.5)]]], shp)
+    attrs = pd.DataFrame(
+        {
+            "ADM1_EN": ["Chiang Mai", "Chiang Mai", "Bangkok"],
+            "ADM1_TH": ["จังหวัดเชียงใหม่", "จังหวัดเชียงใหม่", "กรุงเทพมหานคร"],
+            "ADM2_EN": ["Muang", "Mae Rim", "Dusit"],
+            "ADM2_TH": ["เมือง", "แม่ริม", "ดุสิต"],
+        }
+    )
+    write_dbf(attrs, dbf, encoding="utf-8")
+    return shp, dbf
+
+
+def test_read_shapefile_pairs_attributes(tmp_path):
+    shp, dbf = _write_adm_pair(tmp_path)
+    gdf = read_shapefile(shp, dbf, encoding="utf-8")
+    assert list(gdf.columns) == ["ADM1_EN", "ADM1_TH", "ADM2_EN", "ADM2_TH", "wkt"]
+    assert len(gdf) == 3
+    assert gdf.loc[0, "ADM2_TH"] == "เมือง"
+    assert gdf.loc[0, "wkt"].startswith("POLYGON ((99 18")
+
+
+def test_record_count_mismatch_raises(tmp_path):
+    shp = str(tmp_path / "two.shp")
+    dbf = str(tmp_path / "three.dbf")
+    write_shp([[SQ_A], [SQ_B]], shp)
+    write_dbf(pd.DataFrame({"a": [1, 2, 3]}), dbf, encoding="utf-8")
+    with pytest.raises(ValueError, match="records"):
+        read_shapefile(shp, dbf, encoding="utf-8")
+
+
+def test_dims_and_rain_pipeline_from_shp_dbf_pair(spark, tmp_path):
+    """The reference's ingest path end-to-end from REAL binary inputs:
+    .shp+.dbf → build_dims (F3 filter + C1 clean + dense ids) →
+    ingest_rain_grid spatial join + weighted aggregation."""
+    shp, dbf = _write_adm_pair(tmp_path)
+    gdf = read_shapefile(shp, dbf, encoding="utf-8")
+
+    adm2 = spark.createDataFrame(gdf.drop(columns=["wkt"]))
+    province, district = build_dims(adm2, north_only=True)
+    assert province.count() == 1  # Bangkok filtered out
+
+    # polygon lookup keyed by the cleaned names, as the reference builds it
+    polygons = pd.DataFrame(
+        {
+            "province": gdf["ADM1_TH"].str.replace("จังหวัด", "", regex=False),
+            "district": gdf["ADM2_TH"],
+            "wkt": gdf["wkt"],
+        }
+    )
+    grid = spark.createDataFrame(
+        [
+            ("2023-06-01", 18.25, 99.25, 10.0),
+            ("2023-06-01", 18.75, 100.75, 20.0),
+            ("2023-06-01", 13.75, 100.5, 30.0),  # Bangkok poly: dim filtered → dropped
+        ],
+        ["time", "lat", "lon", "precip"],
+    ).withColumn("time", F.col("time").cast("timestamp"))
+
+    out = ingest_rain_grid(grid, polygons, province, district, upload_id=3)
+    rows = {r["district_id"]: r for r in out.collect()}
+    names = {r["district_name"]: r["district_id"] for r in district.collect()}
+    assert set(rows) == {names["เมือง"], names["แม่ริม"]}
+    assert abs(rows[names["เมือง"]]["rain_mm_wmean"] - 10.0) < 1e-9
