@@ -353,31 +353,22 @@ FROM dim d LEFT JOIN per_nation p ON d.map_key = p.map_key
 # ---------------------------------------------------------------------------
 
 def discount_class(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """C4: every ``class_to_num`` branch, driver-checked (reference
-    ``utils.py:255-274``):
-
-    - tertile branch over l_discount*10 (numerics in [0,1]),
-    - word branch: Thai risk words round-tripped through the real
-      :func:`class_to_num` (word → level),
-    - clamp branch: the full function on l_quantity (numeric outside
-      [0,1] → HALF_EVEN round, clamp to [1,3])."""
+    """C4 numeric branches (reference ``utils.py:255-274``): tertile bins
+    over l_discount*10 ([0,1] values) + the full :func:`class_to_num` on
+    l_quantity (numeric outside [0,1] → HALF_EVEN round, clamp to [1,3]).
+    The word branch is driver-checked on the cheap customer-table query
+    (``cleaning.special_fix_masked_update``) — this one stays lean: it is
+    a 600k-row headline bench query."""
     from mini_project_204721_data_engineering_spark.functions.binning import class_to_num
 
     li = load_table(spark, sf_dir, "lineitem")
     v = F.col("l_discount") * 10
     cls = F.when(v < 1.0 / 3.0, 1).when(v < 2.0 / 3.0, 2).otherwise(3)
-    # word branch input derived from the tertile class (Thai words from the
-    # reference's mapping), so the oracle can derive the same column
-    word = (
-        F.when(cls == 1, F.lit("ต่ำ")).when(cls == 2, F.lit("ปานกลาง")).otherwise(F.lit("สูง"))
-    )
     return li.select(
         "l_orderkey",
         "l_linenumber",
         F.round(v, 4).alias("value01"),
         cls.cast("int").alias("risk_class"),
-        word.alias("risk_word"),
-        class_to_num(word).alias("class_from_word"),
         class_to_num(F.col("l_quantity")).alias("qty_clamped"),
     )
 
@@ -388,12 +379,6 @@ SELECT l_orderkey, l_linenumber,
        CASE WHEN l_discount * 10 < 1.0/3.0 THEN 1
             WHEN l_discount * 10 < 2.0/3.0 THEN 2
             ELSE 3 END AS risk_class,
-       CASE WHEN l_discount * 10 < 1.0/3.0 THEN 'ต่ำ'
-            WHEN l_discount * 10 < 2.0/3.0 THEN 'ปานกลาง'
-            ELSE 'สูง' END AS risk_word,
-       CASE WHEN l_discount * 10 < 1.0/3.0 THEN 1
-            WHEN l_discount * 10 < 2.0/3.0 THEN 2
-            ELSE 3 END AS class_from_word,
        CAST(CASE WHEN l_quantity >= 0 AND l_quantity <= 1 THEN
                  CASE WHEN l_quantity < 1.0/3.0 THEN 1
                       WHEN l_quantity < 2.0/3.0 THEN 2 ELSE 3 END

@@ -39,24 +39,53 @@ FROM documents
 
 
 def special_fix_masked_update(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """F9: masked conditional overwrite — keys outside a known set are
-    rewritten to a fixed default (the reference's special_fix → Uttaradit,
-    ``utils.py:321-332``), here: segments outside the known list."""
+    """F9 masked conditional overwrite + the C4 WORD branch, driver-checked:
+    keys outside a known set are rewritten to a fixed default (the
+    reference's special_fix → Uttaradit, ``utils.py:321-332``), then a
+    Thai risk word derived from the fixed segment goes through the real
+    :func:`class_to_num` word mapping (``utils.py:255-260``) — both
+    word-table lookups and the masked update in one cheap dim-table
+    query."""
+    from mini_project_204721_data_engineering_spark.functions.binning import class_to_num
+
     cust = load_table(spark, sf_dir, "customer")
     known = ["BUILDING", "AUTOMOBILE", "MACHINERY"]
-    return cust.select(
-        "c_custkey",
+    fixed = (
         F.when(~F.col("c_mktsegment").isin(known), F.lit("OTHER"))
         .otherwise(F.col("c_mktsegment"))
-        .alias("segment_fixed"),
+    )
+    word = (
+        F.when(fixed == "BUILDING", F.lit("สูง"))
+        .when(fixed == "AUTOMOBILE", F.lit("ปานกลาง"))
+        .when(fixed == "MACHINERY", F.lit("ต่ำ"))
+        .otherwise(F.lit("very low"))
+    )
+    return cust.select(
+        "c_custkey",
+        fixed.alias("segment_fixed"),
+        word.alias("risk_word"),
+        class_to_num(word).alias("class_from_word"),
     )
 
 
 SPECIAL_FIX_SQL = """
-SELECT c_custkey,
-       CASE WHEN c_mktsegment NOT IN ('BUILDING', 'AUTOMOBILE', 'MACHINERY')
-            THEN 'OTHER' ELSE c_mktsegment END AS segment_fixed
-FROM customer
+WITH fixed AS (
+  SELECT c_custkey,
+         CASE WHEN c_mktsegment NOT IN ('BUILDING', 'AUTOMOBILE', 'MACHINERY')
+              THEN 'OTHER' ELSE c_mktsegment END AS segment_fixed
+  FROM customer
+), worded AS (
+  SELECT c_custkey, segment_fixed,
+         CASE segment_fixed WHEN 'BUILDING' THEN 'สูง'
+                            WHEN 'AUTOMOBILE' THEN 'ปานกลาง'
+                            WHEN 'MACHINERY' THEN 'ต่ำ'
+                            ELSE 'very low' END AS risk_word
+  FROM fixed
+)
+SELECT c_custkey, segment_fixed, risk_word,
+       CASE risk_word WHEN 'สูง' THEN 3 WHEN 'ปานกลาง' THEN 2
+                      WHEN 'ต่ำ' THEN 1 WHEN 'very low' THEN 1 END AS class_from_word
+FROM worded
 """
 
 

@@ -4,9 +4,10 @@ The reference accepts multi-sheet workbooks with two header layouts:
 format 1 (English headers on row 0) and format 2 (two junk rows, Thai
 headers).  Its sheet chooser fuzzy-normalizes sheet names.
 
-xlsx reading needs openpyxl (absent here), so the byte-level read is
-import-gated; the layout logic operates on ``{sheet_name: DataFrame}``
-dicts and is fully testable without it.
+Byte-level reads use pandas+openpyxl when available (full xlsx feature
+coverage) and fall back to the dependency-free OOXML reader
+(``sources/xlsx.py`` — xlsx is a public zip-of-XML format) otherwise,
+so S5 is real end-to-end in this environment too.
 """
 
 from __future__ import annotations
@@ -77,18 +78,21 @@ def normalize_incident_sheet(df: pd.DataFrame) -> pd.DataFrame:
 
 
 def read_incident_workbook(path: str) -> pd.DataFrame:
-    """Full byte-level read (needs openpyxl; import-gated here).  Tests
-    drive :func:`choose_sheet` + :func:`normalize_incident_sheet` from
-    constructed sheet dicts instead."""
+    """Full byte-level read: fuzzy sheet choice → layout normalization.
+
+    Uses pandas+openpyxl when installed; otherwise the dependency-free
+    OOXML reader (``sources/xlsx.py``) — same ``header=0`` row shape, so
+    the layout logic downstream is identical either way."""
     try:
         import openpyxl  # noqa: F401
-    except ImportError as e:  # pragma: no cover - env without openpyxl
-        raise ImportError(
-            "read_incident_workbook needs openpyxl, which this environment "
-            "lacks; construct {sheet: DataFrame} dicts and use "
-            "normalize_incident_sheet directly."
-        ) from e
-    xl = pd.ExcelFile(path)
-    sheet = choose_sheet(xl.sheet_names)
-    raw = pd.read_excel(xl, sheet_name=sheet, header=0)
+
+        xl = pd.ExcelFile(path)
+        sheet = choose_sheet(xl.sheet_names)
+        raw = pd.read_excel(xl, sheet_name=sheet, header=0)
+    except ImportError:
+        from mini_project_204721_data_engineering_spark.sources.xlsx import read_xlsx
+
+        sheets = read_xlsx(path)
+        sheet = choose_sheet(list(sheets))
+        raw = sheets[sheet]
     return normalize_incident_sheet(raw)

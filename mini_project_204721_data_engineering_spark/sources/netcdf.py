@@ -1,9 +1,12 @@
 """NetCDF rainfall-grid source (reference S1/S2, ``utils.py:63-77``).
 
-The environment has no NetCDF libraries, so the *file read* is import-
-gated; everything after the read — longitude wrapping, bbox filtering,
-positive-precip filtering — is Spark Column logic on the flattened
-long-format frame ``(time, lat, lon, precip)`` and fully tested.
+Byte-level reads: xarray when installed (full NetCDF-4/HDF5 coverage);
+classic CDF-1/CDF-2 files read through the dependency-free parser
+(``sources/netcdf3.py``) even without it — only NetCDF-4 containers
+still require an injected decoder in this environment.  Everything after
+the read — longitude wrapping, bbox filtering, positive-precip
+filtering — is Spark Column logic on the flattened long-format frame
+``(time, lat, lon, precip)`` and fully tested.
 
 Scale path (SURVEY §4.3.3): a full CHIRPS year is ~18M points for the
 Thailand bbox — fine through the driver once; for 100 TB of grids,
@@ -57,16 +60,22 @@ def positive_precip(df: DataFrame, col: str = "precip") -> DataFrame:
 def netcdf_to_long(spark: SparkSession, nc_path: str, var: str = "precip") -> DataFrame:
     """S1: NetCDF → long-format DataFrame (time, lat, lon, precip).
 
-    Requires xarray+netCDF4/h5netcdf (driver-side read; not available in
-    this environment — raises ImportError with the scale-path note).
+    xarray when installed; classic CDF files decode through the
+    dependency-free ``sources/netcdf3.py`` parser otherwise.  NetCDF-4
+    (HDF5 container) without xarray raises with the scale-path note.
     """
     try:
         import xarray as xr  # noqa: F401
-    except ImportError as e:  # pragma: no cover - env without xarray
+    except ImportError as e:
+        with open(nc_path, "rb") as f:
+            content = f.read()
+        if content[:3] == b"CDF":
+            from mini_project_204721_data_engineering_spark.sources.netcdf3 import netcdf3_grid_to_long
+
+            return spark.createDataFrame(netcdf3_grid_to_long(content, var=var))
         raise ImportError(
-            "netcdf_to_long needs xarray (+ a NetCDF backend). This "
-            "environment has none; tests exercise the downstream logic "
-            "from synthetic long-format frames instead. At scale, convert "
+            "netcdf_to_long needs xarray for NetCDF-4/HDF5 containers "
+            "(classic CDF files decode without it). At scale, convert "
             "via binaryFile + mapInPandas per time-chunk."
         ) from e
     ds = xr.open_dataset(nc_path)
@@ -92,21 +101,28 @@ def netcdf_files_to_long(
     file's bytes to long format via ``decoder(content: bytes) ->
     pd.DataFrame[time, lat, lon, precip]``.  File bytes never visit the
     driver, so 100 TB of yearly grids convert at scan parallelism.  The
-    default decoder needs xarray+h5netcdf (absent here — inject one; tests
-    use a CSV-bytes stand-in to prove the distributed plumbing).
+    default decoder uses xarray when installed and falls back to the
+    dependency-free classic-CDF parser (``sources/netcdf3.py``) —
+    NetCDF-4/HDF5 bytes without xarray need an injected decoder.
     """
     import io
 
     import pandas as pd
 
     if decoder is None:
-        def decoder(content: bytes) -> pd.DataFrame:  # pragma: no cover
+        def decoder(content: bytes) -> pd.DataFrame:
             try:
                 import xarray as xr
             except ImportError as e:
+                if content[:3] == b"CDF":
+                    from mini_project_204721_data_engineering_spark.sources.netcdf3 import (
+                        netcdf3_grid_to_long,
+                    )
+
+                    return netcdf3_grid_to_long(content)
                 raise ImportError(
-                    "default NetCDF decoder needs xarray + h5netcdf; "
-                    "inject decoder= in this environment"
+                    "default decoder needs xarray for NetCDF-4/HDF5 bytes "
+                    "(classic CDF decodes without it); inject decoder="
                 ) from e
             ds = xr.open_dataset(io.BytesIO(content))
             pdf = ds["precip"].to_dataframe().reset_index()

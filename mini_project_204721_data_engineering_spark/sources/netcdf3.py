@@ -1,0 +1,360 @@
+"""Dependency-free NetCDF-3 classic (.nc, CDF-1/CDF-2) reader (S1 byte
+level).
+
+The reference opens rainfall grids with xarray (``xr.open_dataset``,
+``backend/app/utils.py:63``); no NetCDF library ships in this
+environment, but the NetCDF *classic* container is a small public binary
+format (the NetCDF "CDF" spec): a header of dimension / attribute /
+variable lists followed by big-endian array data, fixed-size variables
+at absolute offsets and record variables interleaved along the unlimited
+dimension.  This module reads that subset — enough for CHIRPS-style
+``time × latitude × longitude`` grids exported as classic files.
+(NetCDF-4/HDF5 containers still need an injected decoder; the format is
+not a fixed small layout.)
+
+``netcdf3_grid_to_long`` is a drop-in ``decoder=`` for
+``sources.netcdf.netcdf_files_to_long`` — executor-side, bytes in /
+long-format pandas out — honoring ``_FillValue``, ``scale_factor``,
+``add_offset`` and CF "unit since epoch" time attributes.
+
+The writer emits valid classic files and exists to round-trip the reader
+in tests (the dbf/shp/xlsx strategy).
+"""
+
+from __future__ import annotations
+
+import struct
+from typing import Any
+
+import numpy as np
+import pandas as pd
+
+__all__ = ["read_netcdf3", "netcdf3_grid_to_long", "write_netcdf3"]
+
+_NC_DIMENSION = 0x0A
+_NC_VARIABLE = 0x0B
+_NC_ATTRIBUTE = 0x0C
+
+#: nc_type → (numpy dtype, size); data is big-endian on disk
+_TYPES = {
+    1: (np.dtype(">i1"), 1),  # byte
+    2: (np.dtype("S1"), 1),  # char
+    3: (np.dtype(">i2"), 2),  # short
+    4: (np.dtype(">i4"), 4),  # int
+    5: (np.dtype(">f4"), 4),  # float
+    6: (np.dtype(">f8"), 8),  # double
+}
+
+
+class _Cursor:
+    def __init__(self, data: bytes):
+        self.data = data
+        self.pos = 0
+
+    def i4(self) -> int:
+        (v,) = struct.unpack_from(">i", self.data, self.pos)
+        self.pos += 4
+        return v
+
+    def i8(self) -> int:
+        (v,) = struct.unpack_from(">q", self.data, self.pos)
+        self.pos += 8
+        return v
+
+    def name(self) -> str:
+        n = self.i4()
+        s = self.data[self.pos : self.pos + n].decode("utf-8", "replace")
+        self.pos += n + (-n) % 4  # names pad to 4-byte boundary
+        return s
+
+    def values(self, nc_type: int, nelems: int):
+        dt, size = _TYPES[nc_type]
+        nbytes = size * nelems
+        raw = self.data[self.pos : self.pos + nbytes]
+        self.pos += nbytes + (-nbytes) % 4
+        if nc_type == 2:
+            return raw.decode("utf-8", "replace")
+        arr = np.frombuffer(raw, dtype=dt)
+        return arr.tolist() if nelems > 1 else arr[0].item()
+
+
+def _att_list(c: _Cursor) -> dict[str, Any]:
+    tag, n = c.i4(), c.i4()
+    if tag == 0 and n == 0:
+        return {}
+    if tag != _NC_ATTRIBUTE:
+        raise ValueError(f"bad attribute-list tag {tag}")
+    out = {}
+    for _ in range(n):
+        name = c.name()
+        nc_type = c.i4()
+        nelems = c.i4()
+        out[name] = c.values(nc_type, nelems)
+    return out
+
+
+def read_netcdf3(source: str | bytes) -> dict:
+    """Parse a classic NetCDF file.
+
+    Returns ``{"dims": {name: size}, "record_dim": name | None,
+    "attrs": {...}, "vars": {name: {"dims": [...], "attrs": {...},
+    "data": np.ndarray}}}`` — data in native byte order, record variables
+    already stitched along the unlimited dimension.
+    """
+    data = source if isinstance(source, bytes) else open(source, "rb").read()
+    if data[:3] != b"CDF" or data[3] not in (1, 2):
+        raise ValueError("not a classic NetCDF (CDF-1/CDF-2) file")
+    version = data[3]
+    c = _Cursor(data)
+    c.pos = 4
+    numrecs = c.i4()
+
+    dims: list[tuple[str, int]] = []
+    record_dim: str | None = None
+    tag, n = c.i4(), c.i4()
+    if tag == _NC_DIMENSION:
+        for _ in range(n):
+            name = c.name()
+            size = c.i4()
+            if size == 0:
+                record_dim = name
+            dims.append((name, size))
+    elif not (tag == 0 and n == 0):
+        raise ValueError(f"bad dimension-list tag {tag}")
+
+    gattrs = _att_list(c)
+
+    variables: list[dict] = []
+    tag, n = c.i4(), c.i4()
+    if tag == _NC_VARIABLE:
+        for _ in range(n):
+            name = c.name()
+            ndims = c.i4()
+            dimids = [c.i4() for _ in range(ndims)]
+            vattrs = _att_list(c)
+            nc_type = c.i4()
+            vsize = c.i4()
+            begin = c.i8() if version == 2 else c.i4()
+            variables.append(
+                {
+                    "name": name,
+                    "dims": [dims[i][0] for i in dimids],
+                    "shape": [dims[i][1] for i in dimids],
+                    "attrs": vattrs,
+                    "nc_type": nc_type,
+                    "vsize": vsize,
+                    "begin": begin,
+                }
+            )
+    elif not (tag == 0 and n == 0):
+        raise ValueError(f"bad variable-list tag {tag}")
+
+    rec_vars = [v for v in variables if record_dim is not None and record_dim in v["dims"]]
+    rec_stride = sum(v["vsize"] for v in rec_vars)
+
+    out_vars: dict[str, dict] = {}
+    for v in variables:
+        dt, size = _TYPES[v["nc_type"]]
+        if v in rec_vars:
+            per_rec_shape = [s for d, s in zip(v["dims"], v["shape"]) if d != record_dim]
+            per_rec_elems = int(np.prod(per_rec_shape)) if per_rec_shape else 1
+            chunks = []
+            for r in range(numrecs):
+                off = v["begin"] + r * rec_stride
+                chunks.append(
+                    np.frombuffer(data, dtype=dt, count=per_rec_elems, offset=off)
+                )
+            arr = (
+                np.stack(chunks).reshape([numrecs] + per_rec_shape)
+                if chunks
+                else np.empty([0] + per_rec_shape, dtype=dt)
+            )
+        else:
+            nelems = int(np.prod(v["shape"])) if v["shape"] else 1
+            arr = np.frombuffer(data, dtype=dt, count=nelems, offset=v["begin"]).reshape(
+                v["shape"]
+            )
+        out_vars[v["name"]] = {
+            "dims": v["dims"],
+            "attrs": v["attrs"],
+            "data": arr.astype(dt.newbyteorder("=")) if v["nc_type"] != 2 else arr,
+        }
+
+    dim_sizes = {name: (numrecs if size == 0 else size) for name, size in dims}
+    return {"dims": dim_sizes, "record_dim": record_dim, "attrs": gattrs, "vars": out_vars}
+
+
+def _decode_cf_values(var: dict) -> np.ndarray:
+    """Apply _FillValue / missing_value → NaN and scale_factor/add_offset
+    (CF conventions; CHIRPS uses _FillValue=-9999)."""
+    arr = var["data"].astype(np.float64)
+    attrs = var["attrs"]
+    for key in ("_FillValue", "missing_value"):
+        if key in attrs:
+            arr = np.where(arr == float(attrs[key]), np.nan, arr)
+    if "scale_factor" in attrs:
+        arr = arr * float(attrs["scale_factor"])
+    if "add_offset" in attrs:
+        arr = arr + float(attrs["add_offset"])
+    return arr
+
+
+def _decode_cf_time(var: dict) -> np.ndarray:
+    """CF '<unit> since <epoch>' → datetime64[ns]; raw values otherwise."""
+    units = str(var["attrs"].get("units", ""))
+    if " since " in units:
+        unit, epoch = units.split(" since ", 1)
+        unit_td = {
+            "days": "D",
+            "hours": "h",
+            "minutes": "m",
+            "seconds": "s",
+        }.get(unit.strip().lower())
+        if unit_td:
+            base = pd.Timestamp(epoch.strip())
+            vals = np.asarray(var["data"], dtype=np.float64)
+            return (base + pd.to_timedelta(vals, unit=unit_td)).to_numpy()
+    return var["data"]
+
+
+def netcdf3_grid_to_long(
+    content: bytes,
+    var: str = "precip",
+    time_dim: str = "time",
+    lat_dim: str = "latitude",
+    lon_dim: str = "longitude",
+) -> pd.DataFrame:
+    """Classic-NetCDF decoder for ``netcdf_files_to_long``: bytes of one
+    ``time × latitude × longitude`` grid file → long-format
+    ``(time, lat, lon, precip)`` pandas frame, CF-decoded.  Runs on
+    executors — no driver round-trip, no external library."""
+    ds = read_netcdf3(content)
+    v = ds["vars"][var]
+    if v["dims"] != [time_dim, lat_dim, lon_dim]:
+        raise ValueError(f"{var} dims {v['dims']} != [{time_dim}, {lat_dim}, {lon_dim}]")
+    times = _decode_cf_time(ds["vars"][time_dim])
+    lats = np.asarray(ds["vars"][lat_dim]["data"], dtype=np.float64)
+    lons = np.asarray(ds["vars"][lon_dim]["data"], dtype=np.float64)
+    vals = _decode_cf_values(v)
+    nt, nla, nlo = len(times), len(lats), len(lons)
+    return pd.DataFrame(
+        {
+            "time": np.repeat(times, nla * nlo),
+            "lat": np.tile(np.repeat(lats, nlo), nt),
+            "lon": np.tile(lons, nt * nla),
+            "precip": vals.reshape(-1),
+        }
+    )
+
+
+def write_netcdf3(
+    path: str,
+    dims: dict[str, int],
+    variables: dict[str, tuple[list[str], np.ndarray, dict]],
+    record_dim: str | None = None,
+    attrs: dict | None = None,
+) -> None:
+    """Write a CDF-1 classic file (tests/fixtures — round-trips the
+    reader).  ``variables``: name → (dim names, array, attrs); arrays
+    must match the declared dim sizes; ``record_dim`` (if given) must be
+    the first dim of every variable that uses it."""
+
+    def pad4(b: bytes) -> bytes:
+        return b + b"\x00" * ((-len(b)) % 4)
+
+    def w_name(s: str) -> bytes:
+        b = s.encode("utf-8")
+        return struct.pack(">i", len(b)) + pad4(b)
+
+    def np_to_nc(arr: np.ndarray) -> int:
+        kind = arr.dtype.kind, arr.dtype.itemsize
+        return {("i", 1): 1, ("S", 1): 2, ("i", 2): 3, ("i", 4): 4, ("f", 4): 5, ("f", 8): 6}[kind]
+
+    def w_attrs(a: dict) -> bytes:
+        if not a:
+            return struct.pack(">ii", 0, 0)
+        out = struct.pack(">ii", _NC_ATTRIBUTE, len(a))
+        for k, v in a.items():
+            out += w_name(k)
+            if isinstance(v, str):
+                b = v.encode("utf-8")
+                out += struct.pack(">ii", 2, len(b)) + pad4(b)
+            else:
+                arr = np.asarray(v)
+                if arr.dtype.kind == "f":
+                    arr = arr.astype(">f8")
+                    t = 6
+                else:
+                    arr = arr.astype(">i4")
+                    t = 4
+                out += struct.pack(">ii", t, arr.size) + pad4(arr.tobytes())
+        return out
+
+    dim_names = list(dims)
+    numrecs = dims[record_dim] if record_dim else 0
+
+    header = b"CDF\x01" + struct.pack(">i", numrecs)
+    header += struct.pack(">ii", _NC_DIMENSION, len(dims))
+    for name in dim_names:
+        header += w_name(name) + struct.pack(">i", 0 if name == record_dim else dims[name])
+    header += w_attrs(attrs or {})
+
+    # variable metadata needs data offsets — lay out in two passes
+    metas = []
+    for name, (vdims, arr, vattrs) in variables.items():
+        arr = np.ascontiguousarray(arr)
+        nc_type = np_to_nc(arr)
+        _, size = _TYPES[nc_type]
+        is_rec = record_dim is not None and record_dim in vdims
+        per_rec = int(np.prod([dims[d] for d in vdims if d != record_dim])) if vdims else 1
+        n_elems = per_rec if is_rec else int(np.prod([dims[d] for d in vdims])) if vdims else 1
+        vsize = n_elems * size + (-(n_elems * size)) % 4
+        metas.append((name, vdims, arr, vattrs, nc_type, vsize, is_rec))
+
+    var_hdr_len = struct.calcsize(">ii")
+    var_entries = []
+    for name, vdims, arr, vattrs, nc_type, vsize, is_rec in metas:
+        entry = w_name(name) + struct.pack(">i", len(vdims))
+        entry += b"".join(struct.pack(">i", dim_names.index(d)) for d in vdims)
+        entry += w_attrs(vattrs) + struct.pack(">ii", nc_type, vsize)
+        var_entries.append(entry)
+    header_len = (
+        len(header)
+        + var_hdr_len
+        + sum(len(e) + 4 for e in var_entries)  # +4 for the CDF-1 begin field
+    )
+
+    # offsets: fixed vars first, then the record block
+    begins, off = [], header_len
+    for name, vdims, arr, vattrs, nc_type, vsize, is_rec in metas:
+        if not is_rec:
+            begins.append(off)
+            off += vsize
+        else:
+            begins.append(None)
+    rec_start = off
+    rec_off = rec_start
+    rec_stride = sum(m[5] for m in metas if m[6])
+    for i, (name, vdims, arr, vattrs, nc_type, vsize, is_rec) in enumerate(metas):
+        if is_rec:
+            begins[i] = rec_off
+            rec_off += vsize
+
+    out = bytearray(header)
+    out += struct.pack(">ii", _NC_VARIABLE, len(metas))
+    for entry, begin in zip(var_entries, begins):
+        out += entry + struct.pack(">i", begin)
+    for name, vdims, arr, vattrs, nc_type, vsize, is_rec in metas:
+        if not is_rec:
+            dt, _ = _TYPES[nc_type]
+            out += pad4(arr.astype(dt).tobytes())
+    # record block: per record, each record var's chunk in variable order
+    for r in range(numrecs):
+        for name, vdims, arr, vattrs, nc_type, vsize, is_rec in metas:
+            if is_rec:
+                dt, _ = _TYPES[nc_type]
+                # np.asarray: indexing a 1-d record var yields a numpy
+                # scalar, whose astype silently drops the big-endian order
+                out += pad4(np.asarray(arr[r]).astype(dt).tobytes())
+    with open(path, "wb") as f:
+        f.write(bytes(out))

@@ -1,0 +1,112 @@
+"""Dependency-free OOXML reader tests (S5 byte level): round-trip through
+write_xlsx (the dbf/shp strategy), shared-string fixtures, and the full
+read_incident_workbook path from a real .xlsx file for BOTH reference
+layouts (``backend/app/utils.py:451-501``)."""
+
+from __future__ import annotations
+
+import zipfile
+
+import pandas as pd
+import pytest
+
+from mini_project_204721_data_engineering_spark.sources.excel import read_incident_workbook
+from mini_project_204721_data_engineering_spark.sources.xlsx import read_xlsx, write_xlsx
+
+
+def test_roundtrip_types_and_sheets(tmp_path):
+    p = str(tmp_path / "wb.xlsx")
+    df1 = pd.DataFrame(
+        {"name": ["a", "ไทย & <x>", "c"], "n": [1, 2.5, -3], "ok": [True, False, True]}
+    )
+    df2 = pd.DataFrame({"only": ["z"]})
+    write_xlsx({"Data": df1, "Other": df2}, p)
+    out = read_xlsx(p)
+    assert list(out) == ["Data", "Other"]
+    got = out["Data"]
+    assert list(got.columns) == ["name", "n", "ok"]
+    assert got["name"].tolist() == ["a", "ไทย & <x>", "c"]  # escaping + Thai survive
+    assert got["n"].tolist() == [1, 2.5, -3]
+    assert got["ok"].tolist() == [True, False, True]
+
+
+def test_shared_strings_and_sparse_cells(tmp_path):
+    """Hand-built minimal workbook exercising the shared-string table and
+    missing cells (real producers emit both; our writer emits neither)."""
+    p = str(tmp_path / "sst.xlsx")
+    sheet = (
+        '<?xml version="1.0"?>'
+        '<worksheet xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main"><sheetData>'
+        '<row r="1"><c r="A1" t="s"><v>0</v></c><c r="C1" t="s"><v>1</v></c></row>'
+        '<row r="2"><c r="A2"><v>7</v></c><c r="C2" t="s"><v>2</v></c></row>'
+        "</sheetData></worksheet>"
+    )
+    sst = (
+        '<?xml version="1.0"?>'
+        '<sst xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main" count="3" uniqueCount="3">'
+        "<si><t>ID</t></si><si><t>Name</t></si>"
+        "<si><r><t>ri</t></r><r><t>ch</t></r></si></sst>"  # rich-text runs concatenate
+    )
+    wb = (
+        '<?xml version="1.0"?>'
+        '<workbook xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main" '
+        'xmlns:r="http://schemas.openxmlformats.org/officeDocument/2006/relationships">'
+        '<sheets><sheet name="S" sheetId="1" r:id="rId1"/></sheets></workbook>'
+    )
+    rels = (
+        '<?xml version="1.0"?>'
+        '<Relationships xmlns="http://schemas.openxmlformats.org/package/2006/relationships">'
+        '<Relationship Id="rId1" Type="t" Target="worksheets/sheet1.xml"/></Relationships>'
+    )
+    with zipfile.ZipFile(p, "w") as z:
+        z.writestr("xl/workbook.xml", wb)
+        z.writestr("xl/_rels/workbook.xml.rels", rels)
+        z.writestr("xl/sharedStrings.xml", sst)
+        z.writestr("xl/worksheets/sheet1.xml", sheet)
+    out = read_xlsx(p)["S"]
+    assert list(out.columns) == ["ID", "", "Name"]  # sparse B1 → empty header
+    assert out.iloc[0].tolist() == [7, None, "rich"]
+
+
+def test_incident_workbook_format1(tmp_path):
+    p = str(tmp_path / "f1.xlsx")
+    write_xlsx(
+        {
+            "summary": pd.DataFrame({"junk": [1]}),
+            "Incidents": pd.DataFrame(
+                {
+                    "Disaster Date": ["2023-06-01", "2023-06-02"],
+                    "Province": [" เชียงใหม่ ", "น่าน"],
+                    "District": ["เมือง", "ปัว"],
+                    "Extra": [1, 2],
+                }
+            ),
+        },
+        p,
+    )
+    out = read_incident_workbook(p)
+    assert list(out.columns) == ["Disaster Date", "Province", "District"]
+    assert out["Province"].tolist() == ["เชียงใหม่", "น่าน"]  # trimmed
+
+
+def test_incident_workbook_format2_thai_headers(tmp_path):
+    p = str(tmp_path / "f2.xlsx")
+    # format 2: junk columns row, then a junk row, then the Thai header row
+    raw = pd.DataFrame(
+        [
+            ["junk2", None, None],
+            ["วันที่เกิดภัย", "จังหวัด", "อำเภอ"],
+            ["2023-06-03", "แพร่", "สอง"],
+        ],
+        columns=["junk0", "junk1", "junkX"],
+    )
+    write_xlsx({"รายงาน!": raw}, p)
+    out = read_incident_workbook(p)
+    assert out.iloc[0].tolist() == ["2023-06-03", "แพร่", "สอง"]
+
+
+def test_incident_workbook_missing_columns_raises(tmp_path):
+    p = str(tmp_path / "bad.xlsx")
+    write_xlsx({"Data": pd.DataFrame({"a": [1], "b": [2]})}, p)
+    with pytest.raises(ValueError, match="missing required columns"):
+        read_incident_workbook(p)
