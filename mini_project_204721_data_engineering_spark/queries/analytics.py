@@ -353,14 +353,11 @@ FROM dim d LEFT JOIN per_nation p ON d.map_key = p.map_key
 # ---------------------------------------------------------------------------
 
 def discount_class(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """C4 numeric branches (reference ``utils.py:255-274``): tertile bins
-    over l_discount*10 ([0,1] values) + the full :func:`class_to_num` on
-    l_quantity (numeric outside [0,1] → HALF_EVEN round, clamp to [1,3]).
-    The word branch is driver-checked on the cheap customer-table query
-    (``cleaning.special_fix_masked_update``) — this one stays lean: it is
-    a 600k-row headline bench query."""
-    from mini_project_204721_data_engineering_spark.functions.binning import class_to_num
-
+    """C4 tertile branch — bins on [0,1] values (reference
+    ``utils.py:264-269``), over l_discount*10.  The word and clamp
+    branches are driver-checked on the cheap customer-table query
+    (``cleaning.special_fix_masked_update``); this 600k-row headline
+    bench query stays pure arithmetic."""
     li = load_table(spark, sf_dir, "lineitem")
     v = F.col("l_discount") * 10
     cls = F.when(v < 1.0 / 3.0, 1).when(v < 2.0 / 3.0, 2).otherwise(3)
@@ -369,7 +366,6 @@ def discount_class(spark: SparkSession, sf_dir: str) -> DataFrame:
         "l_linenumber",
         F.round(v, 4).alias("value01"),
         cls.cast("int").alias("risk_class"),
-        class_to_num(F.col("l_quantity")).alias("qty_clamped"),
     )
 
 
@@ -378,12 +374,7 @@ SELECT l_orderkey, l_linenumber,
        round(l_discount * 10, 4) AS value01,
        CASE WHEN l_discount * 10 < 1.0/3.0 THEN 1
             WHEN l_discount * 10 < 2.0/3.0 THEN 2
-            ELSE 3 END AS risk_class,
-       CAST(CASE WHEN l_quantity >= 0 AND l_quantity <= 1 THEN
-                 CASE WHEN l_quantity < 1.0/3.0 THEN 1
-                      WHEN l_quantity < 2.0/3.0 THEN 2 ELSE 3 END
-            ELSE least(greatest(CAST(round(l_quantity) AS INT), 1), 3)
-            END AS INT) AS qty_clamped
+            ELSE 3 END AS risk_class
 FROM lineitem
 """
 

@@ -39,13 +39,14 @@ FROM documents
 
 
 def special_fix_masked_update(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """F9 masked conditional overwrite + the C4 WORD branch, driver-checked:
-    keys outside a known set are rewritten to a fixed default (the
-    reference's special_fix → Uttaradit, ``utils.py:321-332``), then a
-    Thai risk word derived from the fixed segment goes through the real
-    :func:`class_to_num` word mapping (``utils.py:255-260``) — both
-    word-table lookups and the masked update in one cheap dim-table
-    query."""
+    """F9 masked conditional overwrite + the C4 WORD and CLAMP branches,
+    driver-checked on one cheap dim-table query: keys outside a known set
+    are rewritten to a fixed default (the reference's special_fix →
+    Uttaradit, ``utils.py:321-332``); a Thai risk word derived from the
+    fixed segment goes through the real :func:`class_to_num` word mapping
+    (``utils.py:255-260``); and the integer nation key goes through its
+    round-and-clamp branch (``utils.py:268``; integer input keeps
+    HALF_EVEN-vs-half-away out of the oracle compare)."""
     from mini_project_204721_data_engineering_spark.functions.binning import class_to_num
 
     cust = load_table(spark, sf_dir, "customer")
@@ -65,17 +66,18 @@ def special_fix_masked_update(spark: SparkSession, sf_dir: str) -> DataFrame:
         fixed.alias("segment_fixed"),
         word.alias("risk_word"),
         class_to_num(word).alias("class_from_word"),
+        class_to_num(F.col("c_nationkey")).alias("natkey_clamped"),
     )
 
 
 SPECIAL_FIX_SQL = """
 WITH fixed AS (
-  SELECT c_custkey,
+  SELECT c_custkey, c_nationkey,
          CASE WHEN c_mktsegment NOT IN ('BUILDING', 'AUTOMOBILE', 'MACHINERY')
               THEN 'OTHER' ELSE c_mktsegment END AS segment_fixed
   FROM customer
 ), worded AS (
-  SELECT c_custkey, segment_fixed,
+  SELECT c_custkey, c_nationkey, segment_fixed,
          CASE segment_fixed WHEN 'BUILDING' THEN 'สูง'
                             WHEN 'AUTOMOBILE' THEN 'ปานกลาง'
                             WHEN 'MACHINERY' THEN 'ต่ำ'
@@ -84,7 +86,12 @@ WITH fixed AS (
 )
 SELECT c_custkey, segment_fixed, risk_word,
        CASE risk_word WHEN 'สูง' THEN 3 WHEN 'ปานกลาง' THEN 2
-                      WHEN 'ต่ำ' THEN 1 WHEN 'very low' THEN 1 END AS class_from_word
+                      WHEN 'ต่ำ' THEN 1 WHEN 'very low' THEN 1 END AS class_from_word,
+       CAST(CASE WHEN c_nationkey >= 0 AND c_nationkey <= 1 THEN
+                 CASE WHEN c_nationkey < 1.0/3.0 THEN 1
+                      WHEN c_nationkey < 2.0/3.0 THEN 2 ELSE 3 END
+            ELSE least(greatest(c_nationkey, 1), 3)
+            END AS INT) AS natkey_clamped
 FROM worded
 """
 
