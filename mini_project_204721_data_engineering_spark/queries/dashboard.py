@@ -42,11 +42,19 @@ def dashboard_probability(spark: SparkSession, sf_dir: str) -> DataFrame:
     events = load_table(spark, sf_dir, "events")
 
     # "rain" fact: mean order value per customer, scaled into a mm-like range.
-    # Keep the raw average for the probability input: rounding first, then
-    # halving, manufactures exact .xxxx5 halfway values where Spark
-    # (HALF_UP on decimal repr) and DuckDB (binary value) disagree.
+    # Two float-parity rules at once: (1) keep the raw average for the
+    # probability input — rounding first then halving manufactures .xxxx5
+    # halfway values; (2) sum in DECIMAL, not double — the 2-dp prices are
+    # exact in decimal(18,2), so the sum is order-independent and both
+    # engines derive the identical double (a double sum differs from
+    # DuckDB's sequential fold by ULPs, which flip the 4-dp rounding on
+    # ~1e-4 of rows at sf0.1+).
     rain = orders.groupBy(F.col("o_custkey").alias("c_custkey")).agg(
-        (F.avg(F.col("o_totalprice")) / F.lit(5000.0)).alias("rain_raw")
+        (
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("double")
+            / F.count(F.lit(1))
+            / F.lit(5000.0)
+        ).alias("rain_raw")
     )
     # "risk" level: per-row deterministic bin of the account balance
     risk = customer.select(
@@ -80,7 +88,12 @@ def dashboard_probability(spark: SparkSession, sf_dir: str) -> DataFrame:
             "left",
         )
     )
-    prob = F.round(
+    # portable_round, not F.round: the decimal-sum averages land exactly on
+    # 4-dp halfway points for ~1e-4 of customers, where Spark HALF_UP and
+    # DuckDB scaled rounding disagree (functions/parity.py)
+    from mini_project_204721_data_engineering_spark.functions.parity import portable_round
+
+    prob = portable_round(
         estimate_probability(
             F.col("rain_raw"), F.col("risk_level"), F.col("count_of_disasters")
         ),
@@ -90,7 +103,7 @@ def dashboard_probability(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("c_custkey").alias("district_id"),
         F.col("district_name"),
         F.col("n_name").alias("province_name"),
-        F.round(F.coalesce(F.col("rain_raw"), F.lit(0.0)), 4).alias("rain_mm_wmean"),
+        portable_round(F.coalesce(F.col("rain_raw"), F.lit(0.0)), 4).alias("rain_mm_wmean"),
         F.coalesce(F.col("risk_level"), F.lit(0)).alias("risk_level"),
         F.coalesce(F.col("count_of_disasters"), F.lit(0)).alias("count_of_disasters"),
         prob.alias("probability"),
@@ -102,7 +115,8 @@ def dashboard_probability(spark: SparkSession, sf_dir: str) -> DataFrame:
 DASHBOARD_PROBABILITY_SQL = f"""
 WITH rain AS (
   SELECT o_custkey AS c_custkey,
-         avg(o_totalprice) / 5000.0 AS rain_raw
+         CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+           / count(*) / 5000.0 AS rain_raw
   FROM orders GROUP BY o_custkey
 ), risk AS (
   SELECT c_custkey,
@@ -118,10 +132,10 @@ WITH rain AS (
   SELECT c.c_custkey AS district_id,
          c.c_name AS district_name,
          n.n_name AS province_name,
-         round(coalesce(r.rain_raw, 0.0), 4) AS rain_mm_wmean,
+         round(coalesce(r.rain_raw, 0.0) * 10000.0) / 10000.0 AS rain_mm_wmean,
          coalesce(k.risk_level, 0) AS risk_level,
          coalesce(i.count_of_disasters, 0) AS count_of_disasters,
-         round(CASE
+         round((CASE
            WHEN coalesce(i.count_of_disasters, 0) > 0 THEN
              least(100.0, greatest(80.0,
                coalesce(r.rain_raw, 0.0) / 2.0
@@ -130,7 +144,7 @@ WITH rain AS (
            ELSE least(100.0,
                coalesce(r.rain_raw, 0.0) / 2.0
                + coalesce(k.risk_level, 0) * 10.0)
-         END, 4) AS probability
+         END) * 10000.0) / 10000.0 AS probability
   FROM customer c
   LEFT JOIN nation n ON c.c_nationkey = n.n_nationkey
   LEFT JOIN rain r ON c.c_custkey = r.c_custkey

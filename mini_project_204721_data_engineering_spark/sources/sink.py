@@ -16,7 +16,12 @@ from typing import Sequence
 
 from pyspark.sql import DataFrame, SparkSession
 
-__all__ = ["write_fact_partitioned", "overwrite_fact_partitions", "write_jdbc"]
+__all__ = [
+    "write_fact_partitioned",
+    "overwrite_fact_partitions",
+    "write_bucketed",
+    "write_jdbc",
+]
 
 
 def write_fact_partitioned(df: DataFrame, path: str, partition_cols: Sequence[str]) -> None:
@@ -38,6 +43,34 @@ def overwrite_fact_partitions(df: DataFrame, path: str, partition_cols: Sequence
         df.write.partitionBy(*partition_cols).mode("overwrite").parquet(path)
     finally:
         spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+
+
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    buckets: int,
+    bucket_cols: Sequence[str],
+    sort_cols: Sequence[str] | None = None,
+    path: str | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Bucketed-table sink — the co-located-join layout at 100 TB.
+
+    Pays the shuffle ONCE at write: rows are hashed into ``buckets``
+    files per partition on ``bucket_cols``, and that layout is recorded
+    in the catalog.  Every later equi-join or aggregation on the bucket
+    key between same-bucketed tables runs with NO exchange at all
+    (asserted in tests/test_layout.py) — the recurring fact⋈fact shuffle,
+    the dominant cost of a repeated 100 TB join, disappears from the
+    plan.  ``sort_cols`` additionally pre-sorts within buckets so
+    sort-merge joins skip their sort.  ``path`` makes the table external
+    (data at ``path``, metadata in the session catalog)."""
+    w = df.write.mode(mode).bucketBy(buckets, *bucket_cols)
+    if sort_cols:
+        w = w.sortBy(*sort_cols)
+    if path is not None:
+        w = w.option("path", path)
+    w.format("parquet").saveAsTable(table)
 
 
 def write_jdbc(

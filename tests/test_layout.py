@@ -146,3 +146,37 @@ def test_write_jdbc_batches_and_coalesces(spark):
     assert nparts <= 4
     assert (url, table, mode) == ("jdbc:postgresql://db/analytics", "rain_points", "append")
     assert props["batchsize"] == "2000"
+
+
+def test_bucketed_join_runs_without_any_shuffle(spark, tmp_path):
+    """The 100 TB co-location payoff: two tables bucketed (and sorted) on
+    the join key sort-merge-join with ZERO Exchange in the plan — the
+    write-once shuffle replaces every recurring join shuffle."""
+    from mini_project_204721_data_engineering_spark.catalog import load_table
+    from mini_project_204721_data_engineering_spark.plans.checks import shuffle_count
+    from mini_project_204721_data_engineering_spark.sources.sink import write_bucketed
+
+    sf = "/root/testdata/sf0.001"
+    orders = load_table(spark, sf, "orders").select("o_orderkey", "o_totalprice")
+    li = load_table(spark, sf, "lineitem").select("l_orderkey", "l_quantity")
+    write_bucketed(
+        orders, "b_orders", 4, ["o_orderkey"], ["o_orderkey"], path=str(tmp_path / "bo")
+    )
+    write_bucketed(
+        li, "b_lineitem", 4, ["l_orderkey"], ["l_orderkey"], path=str(tmp_path / "bl")
+    )
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")  # force SMJ
+    try:
+        j = spark.table("b_orders").join(
+            spark.table("b_lineitem"),
+            F.col("o_orderkey") == F.col("l_orderkey"),
+        )
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "SortMergeJoin" in plan
+        assert shuffle_count(j) == 0  # no Exchange anywhere
+        assert j.count() == li.count()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        spark.sql("DROP TABLE IF EXISTS b_orders")
+        spark.sql("DROP TABLE IF EXISTS b_lineitem")
