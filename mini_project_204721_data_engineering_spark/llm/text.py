@@ -14,10 +14,12 @@ __all__ = [
     "tokens",
     "shingles",
     "token_count",
+    "subword_count",
     "stopword_ratio",
     "quality_score",
     "lang_id",
     "STOPWORDS",
+    "SUBWORD_PATTERN",
 ]
 
 #: small English stopword list used by the quality heuristic
@@ -47,6 +49,22 @@ def shingles(toks_col: str, n: int = 3) -> Column:
 def token_count(text: Column) -> Column:
     """Number of whitespace tokens."""
     return F.size(tokens(text))
+
+
+#: GPT-2-style pre-tokenizer segments (the units BPE would merge within):
+#: contractions, space-prefixed letter runs, digit runs, punctuation runs.
+#: Kept to portable regex constructs (same semantics in Java and RE2/PCRE)
+#: so the DuckDB oracle can mirror it verbatim.
+SUBWORD_PATTERN = r"'[sdmt]|'ll|'re|'ve| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s]+"
+
+
+def subword_count(text: Column) -> Column:
+    """BPE-ish token-count estimate: the number of pre-tokenizer segments
+    (:data:`SUBWORD_PATTERN` matches).  An upper-bound proxy for the BPE
+    token count a real tokenizer would produce — the standard cheap
+    training-data budget estimator; stays in codegen (no Python UDF, no
+    vocab lookup)."""
+    return F.size(F.regexp_extract_all(text, F.lit(SUBWORD_PATTERN), 0))
 
 
 def stopword_ratio(text: Column) -> Column:

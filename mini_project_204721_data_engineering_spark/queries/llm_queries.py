@@ -23,9 +23,11 @@ from mini_project_204721_data_engineering_spark.llm.dedup import (
 from mini_project_204721_data_engineering_spark.llm.similarity import cosine_topk, ivf_topk
 from mini_project_204721_data_engineering_spark.llm.text import (
     STOPWORDS,
+    SUBWORD_PATTERN,
     lang_id,
     quality_score,
     stopword_ratio,
+    subword_count,
     token_count,
 )
 
@@ -180,12 +182,14 @@ FROM r WHERE rn <= 3 GROUP BY doc_id
 
 
 def token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-doc text analysis: token count, stopword ratio, quality score,
-    charclass language ID."""
+    """Per-doc text analysis: whitespace token count, BPE-ish subword
+    count (GPT-2-style pre-tokenizer segments), stopword ratio, quality
+    score, charclass language ID."""
     docs = load_table(spark, sf_dir, "documents")
     return docs.select(
         "doc_id",
         token_count(F.col("text")).alias("n_tokens"),
+        subword_count(F.col("text")).alias("n_subwords"),
         F.round(stopword_ratio(F.col("text")), 4).alias("sw_ratio"),
         F.round(quality_score(F.col("text")), 4).alias("quality"),
         lang_id(F.col("text")).alias("lang_guess"),
@@ -193,6 +197,7 @@ def token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _SW = ", ".join(f"'{w}'" for w in STOPWORDS)
+_SUBWORD_SQL = SUBWORD_PATTERN.replace("'", "''")
 TOKEN_STATS_SQL = rf"""
 WITH t AS (
   SELECT doc_id, text, regexp_split_to_array(trim(text), '\s+') AS toks
@@ -200,11 +205,13 @@ WITH t AS (
 ), m AS (
   SELECT doc_id, text,
          len(toks) AS n_tokens,
+         len(regexp_extract_all(text, '{_SUBWORD_SQL}')) AS n_subwords,
          len(list_filter(toks, x -> x IN ({_SW}))) * 1.0 / len(toks) AS swr
   FROM t
 )
 SELECT doc_id,
        CAST(n_tokens AS INT) AS n_tokens,
+       CAST(n_subwords AS INT) AS n_subwords,
        round(swr, 4) AS sw_ratio,
        round(least(1.0, n_tokens / 100.0) * 0.5 + (1.0 - swr) * 0.5, 4) AS quality,
        CASE WHEN length(text) = 0 THEN 'unknown'

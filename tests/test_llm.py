@@ -245,3 +245,21 @@ def test_seeded_ivf_full_probe_equals_brute_force(spark):
         ).collect()
     }
     assert full == exact
+
+
+def test_subword_count_gpt2_style_segments(spark):
+    from mini_project_204721_data_engineering_spark.llm.text import subword_count
+
+    rows = [
+        Row(doc_id=1, text="I'll pay $12.50, don't worry!"),
+        Row(doc_id=2, text=""),
+    ]
+    out = {
+        r["doc_id"]: r["n"]
+        for r in spark.createDataFrame(rows)
+        .select("doc_id", subword_count(F.col("text")).alias("n"))
+        .collect()
+    }
+    # I |'ll| pay| $|12|.|50|,| don|'t| worry|! → 12 segments
+    assert out[1] == 12
+    assert out[2] == 0
