@@ -33,7 +33,9 @@ __all__ = [
     "shingle_table",
     "ngram_jaccard_pairs",
     "minhash_table",
+    "minhash_band_candidates",
     "minhash_lsh_pairs",
+    "lsh_jaccard_verified",
     "simhash",
     "embedding_neardup_pairs",
     "srp_signatures",
@@ -139,6 +141,33 @@ def minhash_table(
     )
 
 
+def minhash_band_candidates(
+    mh: DataFrame,
+    k: int,
+    bands: int,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Banded-LSH candidate pairs from a minhash table: docs sharing ANY
+    band bucket (join on the band key — the corpus is never self-joined
+    at large).  Returns distinct (doc_a, doc_b), doc_a < doc_b."""
+    rows_per_band = k // bands
+    band = (
+        mh.withColumn("band", (F.col("seed") / rows_per_band).cast("int"))
+        .groupBy(id_col, "band")
+        # band key: the band's minhashes in seed order (seed ordering is
+        # deterministic because each (id, band) has distinct seeds)
+        .agg(F.concat_ws("|", F.array_sort(F.collect_list(F.concat_ws(":", F.lpad(F.col("seed").cast("string"), 2, "0"), F.col("minhash"))))).alias("band_key"))
+    )
+    a = band.select(F.col(id_col).alias("doc_a"), "band", "band_key")
+    b = band.select(F.col(id_col).alias("doc_b"), "band", "band_key")
+    return (
+        a.join(b, ["band", "band_key"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     k: int = 8,
@@ -151,27 +180,11 @@ def minhash_lsh_pairs(
     """MinHash + banded LSH near-dup candidates with estimated similarity.
 
     Signature of k hashes split into ``bands`` bands of k/bands rows;
-    docs sharing ANY band bucket become candidates (join happens on the
-    band key — the corpus is never self-joined at large).  Estimated
-    similarity = fraction of agreeing minhashes; filtered at ``threshold``.
+    candidates via :func:`minhash_band_candidates`.  Estimated similarity
+    = fraction of agreeing minhashes; filtered at ``threshold``.
     """
-    rows_per_band = k // bands
     mh = minhash_table(df, k, n, text_col, id_col)
-    band = (
-        mh.withColumn("band", (F.col("seed") / rows_per_band).cast("int"))
-        .groupBy(id_col, "band")
-        # band key: the band's minhashes in seed order (seed ordering is
-        # deterministic because each (id, band) has distinct seeds)
-        .agg(F.concat_ws("|", F.array_sort(F.collect_list(F.concat_ws(":", F.lpad(F.col("seed").cast("string"), 2, "0"), F.col("minhash"))))).alias("band_key"))
-    )
-    a = band.select(F.col(id_col).alias("doc_a"), "band", "band_key")
-    b = band.select(F.col(id_col).alias("doc_b"), "band", "band_key")
-    cands = (
-        a.join(b, ["band", "band_key"])
-        .filter(F.col("doc_a") < F.col("doc_b"))
-        .select("doc_a", "doc_b")
-        .distinct()
-    )
+    cands = minhash_band_candidates(mh, k, bands, id_col)
     ma = mh.select(F.col(id_col).alias("doc_a"), F.col("seed"), F.col("minhash").alias("mh_a"))
     mb = mh.select(F.col(id_col).alias("doc_b"), F.col("seed"), F.col("minhash").alias("mh_b"))
     return (
@@ -180,6 +193,47 @@ def minhash_lsh_pairs(
         .groupBy("doc_a", "doc_b")
         .agg((F.sum(F.when(F.col("mh_a") == F.col("mh_b"), 1).otherwise(0)) / F.lit(float(k))).alias("est_jaccard"))
         .filter(F.col("est_jaccard") >= threshold)
+    )
+
+
+def lsh_jaccard_verified(
+    df: DataFrame,
+    k: int = 8,
+    bands: int = 4,
+    n: int = 3,
+    threshold: float = 0.8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """The canonical two-stage near-dup pipeline at corpus scale:
+    MinHash-banded-LSH candidate generation → EXACT Jaccard verify at
+    ``threshold``, computed only on candidate pairs.
+
+    Cost shape: linear signature build + band-key equi-join candidates +
+    a verify join proportional to |candidates|, never |docs|² — the
+    composition to run when exact-threshold semantics are required but an
+    uncapped shingle self-join cannot be afforded."""
+    mh = minhash_table(df, k, n, text_col, id_col)
+    cands = minhash_band_candidates(mh, k, bands, id_col)
+    sh = shingle_table(df, text_col, id_col, n)
+    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
+    sa = sh.select(F.col(id_col).alias("doc_a"), "shingle")
+    sb = sh.select(F.col(id_col).alias("doc_b"), "shingle")
+    common = (
+        cands.join(sa, "doc_a")
+        .join(sb, ["doc_b", "shingle"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    return (
+        common.join(sizes.withColumnRenamed(id_col, "doc_a").withColumnRenamed("n_sh", "n_a"), "doc_a")
+        .join(sizes.withColumnRenamed(id_col, "doc_b").withColumnRenamed("n_sh", "n_b"), "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            (F.col("n_common") / (F.col("n_a") + F.col("n_b") - F.col("n_common"))).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
     )
 
 

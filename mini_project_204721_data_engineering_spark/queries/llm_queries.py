@@ -130,6 +130,51 @@ HAVING sum(CASE WHEN ma.minhash = mb.minhash THEN 1 ELSE 0 END) / 8.0 >= 0.5
 """
 
 
+def lsh_jaccard_verified_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed two-stage near-dup pipeline (EXTRA demo): MinHash-LSH
+    band candidates → exact Jaccard verify at 0.8 — exact-threshold
+    output at candidate-join cost (llm/dedup.py::lsh_jaccard_verified)."""
+    from mini_project_204721_data_engineering_spark.llm.dedup import lsh_jaccard_verified
+
+    docs = load_table(spark, sf_dir, "documents")
+    return lsh_jaccard_verified(docs, k=8, bands=4, threshold=0.8)
+
+
+LSH_JACCARD_VERIFIED_SQL = f"""
+WITH {_DUCK_SHINGLES},
+mh AS (
+  SELECT doc_id, seed, min(md5(seed::VARCHAR || '|' || shingle)) AS minhash
+  FROM sh CROSS JOIN (SELECT * FROM range(8) t(seed))
+  GROUP BY doc_id, seed
+),
+band AS (
+  SELECT doc_id, CAST(seed // 2 AS INT) AS band,
+         string_agg(lpad(seed::VARCHAR, 2, '0') || ':' || minhash, '|'
+                    ORDER BY lpad(seed::VARCHAR, 2, '0') || ':' || minhash) AS band_key
+  FROM mh GROUP BY 1, 2
+),
+cands AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM band a JOIN band b
+    ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+),
+sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+common AS (
+  SELECT c.doc_a, c.doc_b, count(*) AS n_common
+  FROM cands c
+  JOIN sh a ON a.doc_id = c.doc_a
+  JOIN sh b ON b.doc_id = c.doc_b AND b.shingle = a.shingle
+  GROUP BY 1, 2
+)
+SELECT doc_a, doc_b,
+       n_common * 1.0 / (x.n_sh + y.n_sh - n_common) AS jaccard
+FROM common
+JOIN sizes x ON doc_a = x.doc_id
+JOIN sizes y ON doc_b = y.doc_id
+WHERE n_common * 1.0 / (x.n_sh + y.n_sh - n_common) >= 0.8
+"""
+
+
 def simhash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     """32-bit SimHash fingerprint per document ('0'/'1' string)."""
     docs = load_table(spark, sf_dir, "documents")
@@ -464,6 +509,9 @@ QUERIES = {
     "embedding_neardup": embedding_neardup,
     "multimodal_meta": multimodal_meta,
 }
+
+EXTRA_QUERIES = {"lsh_jaccard_verified_dups": lsh_jaccard_verified_dups}
+EXTRA_ORACLES = {"lsh_jaccard_verified_dups": LSH_JACCARD_VERIFIED_SQL}
 
 ORACLES = {
     "dedup_exact": DEDUP_EXACT_SQL,

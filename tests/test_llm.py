@@ -263,3 +263,25 @@ def test_subword_count_gpt2_style_segments(spark):
     # I |'ll| pay| $|12|.|50|,| don|'t| worry|! → 12 segments
     assert out[1] == 12
     assert out[2] == 0
+
+
+def test_lsh_jaccard_verified_subset_of_exact(spark):
+    """The composed LSH→verify pipeline emits a subset of the exact
+    all-pairs Jaccard result with identical similarity values (verify is
+    exact; only candidate generation is approximate)."""
+    from mini_project_204721_data_engineering_spark.llm.dedup import lsh_jaccard_verified
+
+    docs = load_table(spark, SF, "documents")
+    exact = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in ngram_jaccard_pairs(docs, threshold=0.5).collect()
+    }
+    verified = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in lsh_jaccard_verified(docs, threshold=0.5).collect()
+    }
+    assert set(verified) <= set(exact)
+    for pair, j in verified.items():
+        assert j == exact[pair]
+    # planted near-dups (consecutive doc pairs with high overlap) survive
+    assert len(verified) > 0
