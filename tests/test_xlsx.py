@@ -110,3 +110,39 @@ def test_incident_workbook_missing_columns_raises(tmp_path):
     write_xlsx({"Data": pd.DataFrame({"a": [1], "b": [2]})}, p)
     with pytest.raises(ValueError, match="missing required columns"):
         read_incident_workbook(p)
+
+
+def test_incidents_pipeline_from_real_xlsx(spark, tmp_path):
+    """The reference's Excel ingest end-to-end from REAL workbook bytes:
+    .xlsx → fuzzy sheet choice → layout normalization → dim joins →
+    per-day counts (``backend/app/utils.py:470-616``)."""
+    from pyspark.sql import Row
+
+    from mini_project_204721_data_engineering_spark.pipelines.dims import build_dims
+    from mini_project_204721_data_engineering_spark.pipelines.incidents import ingest_incidents
+
+    p = str(tmp_path / "incidents.xlsx")
+    write_xlsx(
+        {
+            "Incidents": pd.DataFrame(
+                {
+                    "Disaster Date": ["2023-06-01", "2023-06-01", "not-a-date", "2023-06-02"],
+                    "Province": ["เชียงใหม่", "เชียงใหม่", "เชียงใหม่", "นอกเขต"],
+                    "District": ["เมือง", "เมือง", "เมือง", "ไม่มี"],
+                }
+            )
+        },
+        p,
+    )
+    rows = read_incident_workbook(p)
+
+    adm2 = spark.createDataFrame(
+        [Row(ADM1_EN="Chiang Mai", ADM1_TH="จังหวัดเชียงใหม่", ADM2_EN="Muang", ADM2_TH="อำเภอเมือง")]
+    )
+    province, district = build_dims(adm2, north_only=True)
+    out = ingest_incidents(spark.createDataFrame(rows), province, district).collect()
+    # bad date dropped (C6 coerce), unmapped province dropped (F8),
+    # two same-day incidents counted together (A5)
+    assert len(out) == 1
+    assert str(out[0]["disaster_date"]) == "2023-06-01"
+    assert out[0]["count_of_disasters"] == 2
