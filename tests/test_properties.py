@@ -151,3 +151,55 @@ def test_asof_join_matches_pandas_merge_asof(spark, left, right):
         want_rt = None if pd.isna(row["rt"]) else int(row["rt"])
         want_v = None if pd.isna(row["v"]) else float(row["v"])
         assert got[int(row["lid"])] == (want_rt, want_v)
+
+
+# --- round-2 surfaces: binary round-trips + cross-engine rounding --------
+
+@settings(max_examples=25, deadline=None)
+@given(
+    st.lists(
+        st.lists(
+            st.tuples(
+                st.floats(min_value=-180, max_value=180, allow_nan=False, width=32),
+                st.floats(min_value=-90, max_value=90, allow_nan=False, width=32),
+            ),
+            min_size=3,
+            max_size=8,
+        ).map(lambda pts: pts + pts[:1]),  # close the ring
+        min_size=1,
+        max_size=5,
+    )
+)
+def test_shapefile_roundtrip_property(tmp_path_factory, rings):
+    """write_shp → read_shp preserves every polygon ring bit-for-bit."""
+    from mini_project_204721_data_engineering_spark.sources.shapefile import read_shp, write_shp
+
+    p = str(tmp_path_factory.mktemp("shp") / "t.shp")
+    write_shp([[r] for r in rings], p)
+    recs = read_shp(p)
+    assert [rec["parts"][0] for rec in recs] == rings
+
+
+def test_portable_round_spark_duckdb_halfway_corpus(spark):
+    """The decisive fixed corpus: exact 4-dp halfway doubles (the values
+    that broke dashboard_probability at sf0.1) plus ULP-adjacent
+    neighbors — Spark portable_round must equal DuckDB's mirrored
+    expression on every one."""
+    import duckdb
+
+    from mini_project_204721_data_engineering_spark.functions.parity import portable_round
+
+    vals = [33.88325, 44.86335, 2.00005, -33.88325, 0.00005, 99.99995,
+            33.883249999999997, 33.88325000000001, 0.0, 100.0, -0.00015]
+    got = [
+        r[0]
+        for r in spark.createDataFrame([Row(x=float(v)) for v in vals])
+        .select(portable_round(F.col("x"), 4))
+        .collect()
+    ]
+    con = duckdb.connect()
+    want = [
+        con.execute("SELECT round(? * 10000.0) / 10000.0", [float(v)]).fetchone()[0]
+        for v in vals
+    ]
+    assert got == want
