@@ -16,6 +16,8 @@
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
@@ -111,17 +113,35 @@ def assign_cells(
     vec_col: str = "embedding",
     round_dp: int = 6,
 ) -> DataFrame:
-    """Attach a ``cell`` column: argmax cosine against the (broadcast)
-    centroid set, similarity rounded to ``round_dp`` with the cell id as
-    tiebreaker so the assignment is total-ordered and engine-portable."""
-    w = Window.partitionBy(id_col).orderBy(F.col("__sim").desc(), F.col("cell").asc())
-    return (
-        corpus.crossJoin(F.broadcast(centroids))
-        .withColumn("__sim", F.round(cosine_of(vec_col, "cv"), round_dp))
-        .withColumn("__rn", F.row_number().over(w))
-        .filter(F.col("__rn") == 1)
-        .drop("__sim", "__rn", "cv")
+    """Attach a ``cell`` column: argmax cosine against the centroid set,
+    similarity rounded to ``round_dp`` with the cell id as tiebreaker so
+    the assignment is total-ordered and engine-portable.
+
+    SHUFFLE-FREE: the argmax over ncells centroids is row-local, so the
+    centroid matrix (ncells×dim — always driver-sized, the same contract
+    as k-means) is inlined as literals and the whole assignment is one
+    codegen'd projection: ``array_max`` over (sim, -cell, cell) structs.
+    No crossJoin, no window, no exchange — at 100 TB the corpus is only
+    ever SCANNED for assignment."""
+    cents = sorted(
+        ((r["cell"], list(r["cv"])) for r in centroids.collect()), key=lambda t: t[0]
     )
+    vexpr = f"transform({vec_col}, x -> cast(x AS double))"
+    nv = f"sqrt(aggregate({vexpr}, cast(0 AS double), (a, v) -> a + v * v))"
+    entries = []
+    for cell, cv in cents:
+        lit = "array(" + ", ".join(f"{v!r}D" for v in cv) + ")"
+        dot = (
+            f"aggregate(zip_with({vexpr}, {lit}, (x, y) -> x * y), "
+            "cast(0 AS double), (a, v) -> a + v)"
+        )
+        ncv = math.sqrt(sum(v * v for v in cv))
+        sim = f"round({dot} / ({nv} * {ncv!r}D), {round_dp})"
+        entries.append(
+            f"named_struct('s', {sim}, 'nc', {-cell}, 'cell', {cell})"
+        )
+    best = f"array_max(array({', '.join(entries)})).cell"
+    return corpus.withColumn("cell", F.expr(best))
 
 
 def cosine_of(vec_col: str, other: str) -> Column:

@@ -129,6 +129,17 @@ def test_embedding_neardup_has_no_corpus_self_crossjoin(spark, qs):
 def test_similarity_ivf_routes_via_broadcast_centroids(spark, qs):
     df = qs["similarity_ivf"](spark, SF)
     plan = df._jdf.queryExecution().executedPlan().toString()
-    # assignment/routing cross the corpus only against the ncells-row
-    # centroid table, which must broadcast
+    # scoring joins the (tiny) routed-query side via broadcast
     assert "Broadcast" in plan
+
+
+def test_ivf_cell_assignment_is_shuffle_free(spark):
+    """The IVF coarse assignment must be a pure projection — centroids
+    are inlined literals, so at 100 TB the corpus is only SCANNED, never
+    exchanged, to get its cell labels."""
+    from mini_project_204721_data_engineering_spark.catalog import load_table
+    from mini_project_204721_data_engineering_spark.llm.similarity import assign_cells, seeded_centroids
+
+    emb = load_table(spark, SF, "embeddings")
+    cells = assign_cells(emb, seeded_centroids(emb, 4))
+    assert shuffle_count(cells) == 0
