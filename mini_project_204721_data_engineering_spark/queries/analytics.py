@@ -717,8 +717,9 @@ def events_spine_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     lacks): a generated date spine (sequence + explode over one min/max
     agg) left-joined to the days × event-type count matrix (explicit
     pivot value list — no discovery pass), zero-filled.  The spine is
-    dim-sized so it broadcasts; the facts are scanned once for the pivot
-    agg and once for the 2-value bounds agg."""
+    dim-sized so it broadcasts; the facts are scanned ONCE — the spine
+    bounds reaggregate from the (days-sized) pivot output, not from a
+    second fact scan."""
     ev = load_table(spark, sf_dir, "events")
     types = ["click", "view", "signup", "purchase", "error"]
     counts = (
@@ -726,10 +727,7 @@ def events_spine_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
         .pivot("event_type", types)
         .agg(F.count(F.lit(1)))
     )
-    bounds = ev.agg(
-        F.min(F.col("ts").cast("date")).alias("lo"),
-        F.max(F.col("ts").cast("date")).alias("hi"),
-    )
+    bounds = counts.agg(F.min("day").alias("lo"), F.max("day").alias("hi"))
     spine = bounds.select(
         F.explode(F.expr("sequence(lo, hi, interval 1 day)")).alias("day")
     )
@@ -873,21 +871,17 @@ def events_day_spine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gap filling (extension): dense per-type daily series over the full
     observed date range — a generated date spine (sequence + explode)
     cross-joined with the type dim, left-joined to actual counts,
-    zero-filled.  The spine is computed from one min/max agg and is
-    dim-sized (days × types), so it broadcasts; the facts are never
-    re-scanned."""
+    zero-filled.  The spine bounds and the type dim both reaggregate from
+    the (dim-sized) daily counts, so the facts are scanned exactly once."""
     ev = load_table(spark, sf_dir, "events")
     daily = ev.groupBy(
         F.col("ts").cast("date").alias("day"), "event_type"
     ).agg(F.count(F.lit(1)).alias("n"))
-    bounds = ev.agg(
-        F.min(F.col("ts").cast("date")).alias("lo"),
-        F.max(F.col("ts").cast("date")).alias("hi"),
-    )
+    bounds = daily.agg(F.min("day").alias("lo"), F.max("day").alias("hi"))
     spine = bounds.select(
         F.explode(F.expr("sequence(lo, hi, interval 1 day)")).alias("day")
     )
-    types = ev.select("event_type").distinct()
+    types = daily.select("event_type").distinct()
     return (
         spine.crossJoin(types)
         .join(daily, ["day", "event_type"], "left")
