@@ -144,11 +144,6 @@ def assign_cells(
     return corpus.withColumn("cell", F.expr(best))
 
 
-def cosine_of(vec_col: str, other: str) -> Column:
-    """cosine() over a raw (possibly float) column and a double column."""
-    return cosine(f"transform({vec_col}, x -> cast(x AS double))", other)
-
-
 def ivf_topk(
     corpus: DataFrame,
     queries: DataFrame,

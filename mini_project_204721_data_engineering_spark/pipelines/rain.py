@@ -66,19 +66,20 @@ def ingest_rain_grid(
     else:
         joined = assign_points_udf(g, polygons_pdf, lon_col="lon", lat_col="lat")
 
-    # A3: grid resolution from the distinct coordinate steps — ONE job
-    # collects both axes (grid-sized, tiny by construction)
-    coords = [
-        (r["lat"], r["lon"]) for r in joined.select("lat", "lon").distinct().collect()
-    ]
+    # A3: grid resolution from the distinct coordinate steps — ONE job,
+    # and only the AXES reach the driver (nlat + nlon values, not the
+    # nlat×nlon distinct-pair cross product)
+    axes = joined.agg(
+        F.collect_set("lat").alias("lats"), F.collect_set("lon").alias("lons")
+    ).first()
 
-    def _min_step(vals: list[float]) -> float:
+    def _min_step(vals) -> float:
         svals = sorted(set(vals))
         diffs = [abs(b - a) for a, b in zip(svals, svals[1:])]
         return min(diffs) if diffs else 0.05
 
-    dlat = _min_step([c[0] for c in coords])
-    dlon = _min_step([c[1] for c in coords])
+    dlat = _min_step(axes["lats"])
+    dlon = _min_step(axes["lons"])
 
     w = cell_weight(F.col("lat"))
     cell_area = F.lit(KM_PER_DEG * dlat * KM_PER_DEG * dlon) * w

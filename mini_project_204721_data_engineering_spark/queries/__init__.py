@@ -35,10 +35,11 @@ def all_queries():
     out = {}
     for m in _MODULES:
         out.update(m.QUERIES)
-    assert len(out) <= DRIVER_QUERY_BUDGET, (
-        f"{len(out)} driver-facing queries exceed the {DRIVER_QUERY_BUDGET}-query "
-        "driver budget; move variants to a module's EXTRA_QUERIES"
-    )
+    if len(out) > DRIVER_QUERY_BUDGET:  # not assert: must survive python -O
+        raise ValueError(
+            f"{len(out)} driver-facing queries exceed the {DRIVER_QUERY_BUDGET}-query "
+            "driver budget; move variants to a module's EXTRA_QUERIES"
+        )
     return out
 
 

@@ -83,13 +83,20 @@ def read_incident_workbook(path: str) -> pd.DataFrame:
     Uses pandas+openpyxl when installed; otherwise the dependency-free
     OOXML reader (``sources/xlsx.py``) — same ``header=0`` row shape, so
     the layout logic downstream is identical either way."""
+    # gate ONLY the import: a pandas-internal ImportError (e.g. openpyxl
+    # minimum-version check) should surface, not silently downgrade the
+    # read to the minimal fallback reader
     try:
         import openpyxl  # noqa: F401
 
+        have_openpyxl = True
+    except ImportError:
+        have_openpyxl = False
+    if have_openpyxl:
         xl = pd.ExcelFile(path)
         sheet = choose_sheet(xl.sheet_names)
         raw = pd.read_excel(xl, sheet_name=sheet, header=0)
-    except ImportError:
+    else:
         from mini_project_204721_data_engineering_spark.sources.xlsx import read_xlsx
 
         sheets = read_xlsx(path)

@@ -151,6 +151,11 @@ def read_netcdf3(source: str | bytes) -> dict:
 
     rec_vars = [v for v in variables if record_dim is not None and record_dim in v["dims"]]
     rec_stride = sum(v["vsize"] for v in rec_vars)
+    if numrecs < 0 and rec_vars:
+        # STREAMING sentinel (0xFFFFFFFF): record count is derived from
+        # the file size past the start of the record block (CDF spec)
+        rec_begin = min(v["begin"] for v in rec_vars)
+        numrecs = max(0, (len(data) - rec_begin) // rec_stride) if rec_stride else 0
 
     out_vars: dict[str, dict] = {}
     for v in variables:

@@ -84,7 +84,9 @@ def _parse_sheet_xml(xml: bytes, shared: list[str]) -> list[list]:
                 val = shared[int(v_el.text)]
             elif ctype == "inlineStr" and is_el is not None:
                 val = _si_text(is_el)
-            elif ctype == "str" and v_el is not None:
+            elif ctype in ("str", "e") and v_el is not None:
+                # "e" = error cells (#DIV/0! etc.) — surface the error
+                # string rather than crashing the whole ingest
                 val = v_el.text or ""
             elif ctype == "b" and v_el is not None:
                 val = v_el.text == "1"
@@ -122,7 +124,7 @@ def read_xlsx(path: str) -> dict[str, pd.DataFrame]:
         for sheet in (e for e in wb.iter() if _local(e.tag) == "sheet"):
             name = sheet.get("name")
             rid = next(v for k, v in sheet.attrib.items() if k.endswith("}id") or k == "id")
-            target = rel_target[rid]
+            target = rel_target[rid].lstrip("/")  # absolute OPC part names
             part = target if target.startswith("xl/") else f"xl/{target}"
             grid = _parse_sheet_xml(z.read(part), shared)
             if not grid:

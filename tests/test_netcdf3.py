@@ -111,3 +111,18 @@ def test_netcdf_to_long_reads_classic_without_xarray(spark, tmp_path):
     df = netcdf_to_long(spark, p)
     assert df.columns == ["time", "lat", "lon", "precip"]
     assert df.count() == 24
+
+
+def test_streaming_numrecs_sentinel(tmp_path):
+    """numrecs = 0xFFFFFFFF (STREAMING): record count derives from file
+    size, not from the (-1) header value."""
+    import struct
+
+    p = str(tmp_path / "s.nc")
+    precip = _grid_file(p, with_fill=False)
+    with open(p, "r+b") as f:
+        f.seek(4)
+        f.write(struct.pack(">i", -1))
+    ds = read_netcdf3(p)
+    assert ds["dims"]["time"] == 2
+    np.testing.assert_array_equal(ds["vars"]["precip"]["data"], precip)

@@ -146,3 +146,33 @@ def test_incidents_pipeline_from_real_xlsx(spark, tmp_path):
     assert len(out) == 1
     assert str(out[0]["disaster_date"]) == "2023-06-01"
     assert out[0]["count_of_disasters"] == 2
+
+
+def test_error_cells_and_absolute_rel_targets(tmp_path):
+    """Real-producer quirks: error-type cells (#DIV/0!) must not abort the
+    read, and absolute OPC part names ("/xl/worksheets/...") must resolve."""
+    p = str(tmp_path / "quirks.xlsx")
+    sheet = (
+        '<?xml version="1.0"?>'
+        '<worksheet xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main"><sheetData>'
+        '<row r="1"><c r="A1" t="inlineStr"><is><t>v</t></is></c></row>'
+        '<row r="2"><c r="A2" t="e"><v>#DIV/0!</v></c></row>'
+        "</sheetData></worksheet>"
+    )
+    wb = (
+        '<?xml version="1.0"?>'
+        '<workbook xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main" '
+        'xmlns:r="http://schemas.openxmlformats.org/officeDocument/2006/relationships">'
+        '<sheets><sheet name="S" sheetId="1" r:id="rId1"/></sheets></workbook>'
+    )
+    rels = (
+        '<?xml version="1.0"?>'
+        '<Relationships xmlns="http://schemas.openxmlformats.org/package/2006/relationships">'
+        '<Relationship Id="rId1" Type="t" Target="/xl/worksheets/sheet1.xml"/></Relationships>'
+    )
+    with zipfile.ZipFile(p, "w") as z:
+        z.writestr("xl/workbook.xml", wb)
+        z.writestr("xl/_rels/workbook.xml.rels", rels)
+        z.writestr("xl/worksheets/sheet1.xml", sheet)
+    out = read_xlsx(p)["S"]
+    assert out.iloc[0].tolist() == ["#DIV/0!"]
