@@ -967,6 +967,122 @@ ORDER BY p_brand
 """
 
 
+def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape (EXTRA): 6-way join with a same-nation join
+    predicate spanning two dims — the join-reordering stress test.  Dims
+    broadcast; the date filter pushes to the orders scan; one agg
+    shuffle."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    supp = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+    return (
+        cust.join(orders, cust.c_custkey == orders.o_custkey)
+        .filter(
+            (F.col("o_orderdate").cast("date") >= F.lit("1996-01-01"))
+            & (F.col("o_orderdate").cast("date") < F.lit("1997-01-01"))
+        )
+        .join(li, orders.o_orderkey == li.l_orderkey)
+        .join(supp, (li.l_suppkey == supp.s_suppkey) & (cust.c_nationkey == supp.s_nationkey))
+        .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .filter(region.r_name == "ASIA")
+        .groupBy(nation.n_name.alias("n_name"))
+        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))
+        .orderBy(F.col("revenue").desc(), F.col("n_name").asc())
+    )
+
+
+Q5_LOCAL_SUPPLIER_VOLUME_SQL = """
+SELECT n_name, round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM customer JOIN orders ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+JOIN nation ON s_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+WHERE r_name = 'ASIA'
+  AND CAST(o_orderdate AS DATE) >= DATE '1996-01-01'
+  AND CAST(o_orderdate AS DATE) < DATE '1997-01-01'
+GROUP BY n_name
+ORDER BY revenue DESC, n_name ASC
+"""
+
+
+def q7_nation_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 shape (EXTRA): the same dim joined twice under different
+    roles (supplier nation vs customer nation) with a symmetric OR
+    predicate, grouped by shipment year."""
+    supp = load_table(spark, sf_dir, "supplier")
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    n1 = nation.select(F.col("n_nationkey").alias("n1_key"), F.col("n_name").alias("supp_nation"))
+    n2 = nation.select(F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("cust_nation"))
+    pair = (
+        (F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2")
+    ) | ((F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1"))
+    return (
+        supp.join(li, supp.s_suppkey == li.l_suppkey)
+        .join(orders, orders.o_orderkey == li.l_orderkey)
+        .join(cust, cust.c_custkey == orders.o_custkey)
+        .join(F.broadcast(n1), supp.s_nationkey == F.col("n1_key"))
+        .join(F.broadcast(n2), cust.c_nationkey == F.col("n2_key"))
+        .filter(pair)
+        .groupBy(
+            "supp_nation",
+            "cust_nation",
+            F.year(F.col("l_shipdate")).alias("l_year"),
+        )
+        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))
+        .orderBy("supp_nation", "cust_nation", "l_year")
+    )
+
+
+Q7_NATION_VOLUME_SHIPPING_SQL = """
+SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+       CAST(year(l_shipdate) AS INT) AS l_year,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM supplier JOIN lineitem ON s_suppkey = l_suppkey
+JOIN orders ON o_orderkey = l_orderkey
+JOIN customer ON c_custkey = o_custkey
+JOIN nation n1 ON s_nationkey = n1.n_nationkey
+JOIN nation n2 ON c_nationkey = n2.n_nationkey
+WHERE ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+    OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+GROUP BY 1, 2, 3
+ORDER BY 1, 2, 3
+"""
+
+
+def q19_discounted_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 shape (EXTRA): disjunction of conjunctive brand/quantity
+    ranges — the OR-of-ANDs predicate-pushdown stress (Catalyst extracts
+    the common p_brand IN superset to the scans)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    j = li.join(part, part.p_partkey == li.l_partkey)
+    cond = (
+        ((F.col("p_brand") == "Brand#1") & F.col("l_quantity").between(1, 11))
+        | ((F.col("p_brand") == "Brand#2") & F.col("l_quantity").between(10, 20))
+        | ((F.col("p_brand") == "Brand#3") & F.col("l_quantity").between(20, 30))
+    )
+    return j.filter(cond).agg(
+        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue")
+    )
+
+
+Q19_DISCOUNTED_REVENUE_SQL = """
+SELECT round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM lineitem JOIN part ON p_partkey = l_partkey
+WHERE (p_brand = 'Brand#1' AND l_quantity BETWEEN 1 AND 11)
+   OR (p_brand = 'Brand#2' AND l_quantity BETWEEN 10 AND 20)
+   OR (p_brand = 'Brand#3' AND l_quantity BETWEEN 20 AND 30)
+"""
+
+
 # Driver-facing set (≤50 across all modules — see queries/__init__.py).
 # Operator coverage notes for the variants demoted to EXTRA_*:
 # - J8 left-anti  → driver row via new_events_only (same anti_join operator)
@@ -1036,9 +1152,15 @@ EXTRA_QUERIES = {
     "events_pivot_daily": events_pivot_daily,
     "events_day_spine": events_day_spine,
     "red_parts_by_brand": red_parts_by_brand,
+    "q5_local_supplier_volume": q5_local_supplier_volume,
+    "q7_nation_volume_shipping": q7_nation_volume_shipping,
+    "q19_discounted_revenue": q19_discounted_revenue,
 }
 
 EXTRA_ORACLES = {
+    "q5_local_supplier_volume": Q5_LOCAL_SUPPLIER_VOLUME_SQL,
+    "q7_nation_volume_shipping": Q7_NATION_VOLUME_SHIPPING_SQL,
+    "q19_discounted_revenue": Q19_DISCOUNTED_REVENUE_SQL,
     "customers_without_orders": CUSTOMERS_WITHOUT_ORDERS_SQL,
     "customers_with_orders": CUSTOMERS_WITH_ORDERS_SQL,
     "shipping_priority": SHIPPING_PRIORITY_SQL,
