@@ -1057,6 +1057,31 @@ ORDER BY 1, 2, 3
 """
 
 
+def revenue_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE grouping sets (EXTRA): revenue over every subset of
+    (returnflag, linestatus) — all four grouping combinations expanded
+    map-side, still one shuffle (the rollup's bigger sibling)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.cube("l_returnflag", "l_linestatus")
+        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))
+        .select(
+            F.coalesce(F.col("l_returnflag"), F.lit("ALL")).alias("returnflag"),
+            F.coalesce(F.col("l_linestatus"), F.lit("ALL")).alias("linestatus"),
+            "revenue",
+        )
+    )
+
+
+REVENUE_CUBE_SQL = """
+SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
+       coalesce(l_linestatus, 'ALL') AS linestatus,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM lineitem
+GROUP BY CUBE (l_returnflag, l_linestatus)
+"""
+
+
 def q19_discounted_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q19 shape (EXTRA): disjunction of conjunctive brand/quantity
     ranges — the OR-of-ANDs predicate-pushdown stress (Catalyst extracts
@@ -1155,9 +1180,11 @@ EXTRA_QUERIES = {
     "q5_local_supplier_volume": q5_local_supplier_volume,
     "q7_nation_volume_shipping": q7_nation_volume_shipping,
     "q19_discounted_revenue": q19_discounted_revenue,
+    "revenue_cube": revenue_cube,
 }
 
 EXTRA_ORACLES = {
+    "revenue_cube": REVENUE_CUBE_SQL,
     "q5_local_supplier_volume": Q5_LOCAL_SUPPLIER_VOLUME_SQL,
     "q7_nation_volume_shipping": Q7_NATION_VOLUME_SHIPPING_SQL,
     "q19_discounted_revenue": Q19_DISCOUNTED_REVENUE_SQL,

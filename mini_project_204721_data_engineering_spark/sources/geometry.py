@@ -38,6 +38,7 @@ __all__ = [
     "assign_points_udf",
     "build_cell_lookup",
     "write_geojson",
+    "read_geojson",
 ]
 
 _WKT_RE = re.compile(r"POLYGON\s*\(\s*\(([^)]*)\)", re.IGNORECASE)
@@ -191,3 +192,41 @@ def write_geojson(polygons_df: pd.DataFrame, path: str) -> int:
     with open(path, "w", encoding="utf-8") as fh:
         json.dump({"type": "FeatureCollection", "features": feats}, fh, ensure_ascii=False)
     return len(feats)
+
+
+def read_geojson(path: str) -> pd.DataFrame:
+    """Inverse of :func:`write_geojson` — the reference's generated
+    ``north_provinces_districts.geojson`` (consumed at
+    ``frontend/app/page.tsx:152-211``) back into the engine's polygon
+    frame ``(province, district, wkt)``, ready for
+    :func:`assign_points_udf` / :func:`build_cell_lookup`.  Polygon
+    features use their outer ring; MultiPolygon features contribute one
+    row per polygon (same first-match semantics as the reference's
+    row-per-geometry GeoDataFrame).  Driver-side by design: the boundary
+    file is dimension-sized at any fact scale."""
+    import json
+
+    with open(path, encoding="utf-8") as fh:
+        fc = json.load(fh)
+    rows = []
+    for feat in fc.get("features", []):
+        props = feat.get("properties", {})
+        geom = feat.get("geometry", {})
+        gtype = geom.get("type")
+        if gtype == "Polygon":
+            polys = [geom["coordinates"]]
+        elif gtype == "MultiPolygon":
+            polys = geom["coordinates"]
+        else:
+            continue
+        for rings in polys:
+            outer = rings[0]
+            wkt = "POLYGON ((" + ", ".join(f"{x:.10g} {y:.10g}" for x, y in outer) + "))"
+            rows.append(
+                {
+                    "province": props.get("province"),
+                    "district": props.get("district"),
+                    "wkt": wkt,
+                }
+            )
+    return pd.DataFrame(rows, columns=["province", "district", "wkt"])

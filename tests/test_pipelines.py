@@ -212,3 +212,19 @@ def test_netcdf_files_to_long_distributed_decode(spark, tmp_path):
     assert len(rows) == 18  # 2 files × 9 cells
     assert {str(r["time"])[:10] for r in rows} == {"2024-01-01", "2024-01-02"}
     assert all(isinstance(r["precip"], float) for r in rows)
+
+
+def test_geojson_roundtrip_to_polygon_frame(tmp_path):
+    """S10 completes the loop: write_geojson → read_geojson reproduces
+    the (province, district, wkt) polygon frame the spatial join
+    consumes (outer-ring geometry preserved to full precision)."""
+    from mini_project_204721_data_engineering_spark.sources.geometry import read_geojson, write_geojson
+
+    p = str(tmp_path / "adm.geojson")
+    n = write_geojson(POLYGONS, p)
+    assert n == len(POLYGONS)
+    back = read_geojson(p)
+    assert back["province"].tolist() == POLYGONS["province"].tolist()
+    assert back["district"].tolist() == POLYGONS["district"].tolist()
+    for got, orig in zip(back["wkt"], POLYGONS["wkt"]):
+        np.testing.assert_array_equal(parse_wkt_polygon(got), parse_wkt_polygon(orig))
