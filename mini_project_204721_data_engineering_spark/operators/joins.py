@@ -73,6 +73,7 @@ def asof_join(
     left_time: str,
     right_time: str,
     payload: Sequence[str],
+    payload_nonnull: bool = False,
 ) -> DataFrame:
     """As-of join (extension — absent from the reference, SURVEY §2.3 notes
     "no as-of joins"): for every ``left`` row, attach the ``payload``
@@ -94,11 +95,57 @@ def asof_join(
     Both time columns must share a comparable type (cast beforehand).
     At equal timestamps the right row wins (inclusive semantics, matching
     DuckDB ``ASOF LEFT JOIN ... ON l.t >= r.t``).
+
+    ``payload_nonnull=True`` is the caller's promise that every payload
+    column is non-null on every right row (true whenever the payload is
+    group keys + count/sum aggregates).  Then per-column
+    ``last(ignorenulls)`` fill necessarily picks every column from the
+    SAME (latest) right row, so the struct wrapper is unnecessary and the
+    window runs over flat primitive columns — measurably cheaper than
+    carrying a nested struct through the sort (the struct form cost the
+    r2 bench +27% on ``events_asof_spend``).  Leave it False when any
+    payload field can be NULL: per-column fill would skip back past the
+    matched row for just that field and mix rows.
     """
     from pyspark.sql.window import Window
 
     keys = list(on)
     lcols = [c for c in left.columns]
+    w = (
+        Window.partitionBy(*keys)
+        .orderBy(F.col("__t").asc(), F.col("__side").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    if payload_nonnull:
+        pay_types = {p: right.schema[p].dataType for p in payload}
+        l = left.select(
+            *lcols,
+            F.col(left_time).alias("__t"),
+            F.lit(1).alias("__side"),
+            *[F.lit(None).cast(pay_types[p]).alias(f"__p_{p}") for p in payload],
+        )
+        r = right.select(
+            *[F.col(k) for k in keys],
+            *[
+                F.lit(None).cast(left.schema[c].dataType).alias(c)
+                for c in lcols
+                if c not in keys
+            ],
+            F.col(right_time).alias("__t"),
+            F.lit(0).alias("__side"),
+            *[F.col(p).alias(f"__p_{p}") for p in payload],
+        ).select(*lcols, "__t", "__side", *[f"__p_{p}" for p in payload])
+        filled = l.unionByName(r).select(
+            *lcols,
+            "__side",
+            *[
+                F.last(f"__p_{p}", ignorenulls=True).over(w).alias(f"__p_{p}")
+                for p in payload
+            ],
+        )
+        return filled.filter(F.col("__side") == 1).select(
+            *lcols, *[F.col(f"__p_{p}").alias(p) for p in payload]
+        )
     pay_struct = F.struct(*[F.col(p).alias(p) for p in payload])
     pay_type = (
         right.select(pay_struct.alias("__pay")).schema["__pay"].dataType
@@ -116,11 +163,6 @@ def asof_join(
         F.lit(0).alias("__side"),
         pay_struct.alias("__pay"),
     ).select(*lcols, "__t", "__side", "__pay")
-    w = (
-        Window.partitionBy(*keys)
-        .orderBy(F.col("__t").asc(), F.col("__side").asc())
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
     filled = l.unionByName(r).select(
         *lcols,
         "__side",

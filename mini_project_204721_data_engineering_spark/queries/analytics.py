@@ -551,6 +551,9 @@ def events_asof_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
         left_time="event_day",
         right_time="order_day",
         payload=["order_day", "n_orders", "day_spend"],
+        # every payload field is a group key or a count/sum over non-null
+        # prices — provably non-null, so the flat fast path is exact
+        payload_nonnull=True,
     )
     return out.select(
         "event_id",

@@ -44,14 +44,19 @@ def dashboard_probability(spark: SparkSession, sf_dir: str) -> DataFrame:
     # "rain" fact: mean order value per customer, scaled into a mm-like range.
     # Two float-parity rules at once: (1) keep the raw average for the
     # probability input — rounding first then halving manufactures .xxxx5
-    # halfway values; (2) sum in DECIMAL, not double — the 2-dp prices are
-    # exact in decimal(18,2), so the sum is order-independent and both
-    # engines derive the identical double (a double sum differs from
-    # DuckDB's sequential fold by ULPs, which flip the 4-dp rounding on
-    # ~1e-4 of rows at sf0.1+).
+    # halfway values; (2) sum exact integer CENTS, not doubles — the 2-dp
+    # prices are exact after round(x*100), so the long sum is
+    # order-independent and both engines derive the identical double, like
+    # the r2 decimal(18,2) sum but codegen-cheap (no per-row BigDecimal
+    # aggregation buffer).  round() before the long cast is load-bearing:
+    # Spark's double→long cast truncates while DuckDB's rounds, and the
+    # double product of an exact-2dp price ×100 sits ~1e-9 off the integer
+    # on either side.  Halfway cases can't occur (true cents are integers),
+    # so Spark HALF_UP and DuckDB round agree bit-for-bit.
     rain = orders.groupBy(F.col("o_custkey").alias("c_custkey")).agg(
         (
-            F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("double")
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).cast("double")
+            / F.lit(100.0)
             / F.count(F.lit(1))
             / F.lit(5000.0)
         ).alias("rain_raw")
@@ -115,8 +120,8 @@ def dashboard_probability(spark: SparkSession, sf_dir: str) -> DataFrame:
 DASHBOARD_PROBABILITY_SQL = f"""
 WITH rain AS (
   SELECT o_custkey AS c_custkey,
-         CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
-           / count(*) / 5000.0 AS rain_raw
+         CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS DOUBLE)
+           / 100.0 / count(*) / 5000.0 AS rain_raw
   FROM orders GROUP BY o_custkey
 ), risk AS (
   SELECT c_custkey,

@@ -120,6 +120,28 @@ def test_asof_join_picks_latest_at_or_before(spark):
     assert out["e"] == (None, None)   # key absent on right
 
 
+def test_asof_join_nonnull_fast_path_matches_struct_path(spark):
+    """payload_nonnull=True (flat per-column fill) must be row-for-row
+    identical to the general struct path whenever the right-side payload
+    columns are all non-null — including at equal timestamps."""
+    from mini_project_204721_data_engineering_spark.operators.joins import asof_join
+
+    left = spark.createDataFrame(
+        [Row(k=1, t=5, tag="a"), Row(k=1, t=10, tag="b"), Row(k=1, t=2, tag="c"),
+         Row(k=2, t=7, tag="d"), Row(k=3, t=1, tag="e"), Row(k=2, t=9, tag="f")]
+    )
+    right = spark.createDataFrame(
+        [Row(k=1, rt=3, v=30.0, n=1), Row(k=1, rt=10, v=100.0, n=2),
+         Row(k=2, rt=9, v=90.0, n=3)]
+    )
+    kw = dict(on=["k"], left_time="t", right_time="rt", payload=["rt", "v", "n"])
+    slow = sorted(map(tuple, asof_join(left, right, **kw).collect()))
+    fast = sorted(
+        map(tuple, asof_join(left, right, payload_nonnull=True, **kw).collect())
+    )
+    assert fast == slow
+
+
 def test_write_geojson_roundtrip(tmp_path):
     import json
 
