@@ -42,12 +42,23 @@ def ingest_incidents(
         "district_id", "province_id", F.trim(F.col("district_name")).alias("District")
     )
 
+    from pyspark.sql.types import DateType, TimestampNTZType, TimestampType
+
+    # C6: strict yyyy-MM-dd parse, null on malformed — try_to_date matches
+    # pandas errors="coerce" and survives ANSI mode.  A workbook read via
+    # pandas+openpyxl surfaces date-styled cells as datetime columns
+    # already (reference utils.py:520-524) — accept those directly.
+    dd_type = workbook_rows.schema["Disaster Date"].dataType
+    if isinstance(dd_type, DateType):
+        parsed_date = F.col("Disaster Date")
+    elif isinstance(dd_type, (TimestampType, TimestampNTZType)):
+        parsed_date = F.col("Disaster Date").cast("date")
+    else:
+        parsed_date = F.try_to_date(F.col("Disaster Date"), "yyyy-MM-dd")
     rows = (
         workbook_rows.withColumn("Province", F.trim(F.col("Province")))
         .withColumn("District", F.trim(F.col("District")))
-        # C6: strict yyyy-MM-dd parse, null on malformed — try_to_date
-        # matches pandas errors="coerce" and survives ANSI mode
-        .withColumn("disaster_date", F.try_to_date(F.col("Disaster Date"), "yyyy-MM-dd"))
+        .withColumn("disaster_date", parsed_date)
         .join(F.broadcast(prov_keyed), "Province", "left")
         .join(F.broadcast(dist_keyed), ["province_id", "District"], "left")
         .na.drop(subset=["disaster_date", "province_id", "district_id"])
