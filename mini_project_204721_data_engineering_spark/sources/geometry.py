@@ -23,7 +23,6 @@ floating-point geometry, so we document rather than chase it.
 
 from __future__ import annotations
 
-import re
 from typing import Iterator, Sequence
 
 import numpy as np
@@ -33,7 +32,10 @@ from pyspark.sql import functions as F
 
 __all__ = [
     "parse_wkt_polygon",
+    "parse_wkt_geometry",
+    "parse_wkt_rings",
     "point_in_ring",
+    "point_in_rings",
     "assign_district",
     "assign_points_udf",
     "build_cell_lookup",
@@ -41,21 +43,66 @@ __all__ = [
     "read_geojson",
 ]
 
-_WKT_RE = re.compile(r"POLYGON\s*\(\s*\(([^)]*)\)", re.IGNORECASE)
+
+def _split_top(s: str) -> list[str]:
+    """Split on commas at parenthesis depth 0."""
+    out, depth, start = [], 0, 0
+    for i, ch in enumerate(s):
+        if ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+        elif ch == "," and depth == 0:
+            out.append(s[start:i])
+            start = i + 1
+    out.append(s[start:])
+    return out
+
+
+def _parse_ring(txt: str) -> np.ndarray:
+    pts = [
+        (float(p[0]), float(p[1]))
+        for p in (t.strip().split() for t in txt.split(",") if t.strip())
+    ]
+    return np.asarray(pts, dtype=np.float64)
+
+
+def _parse_polygon_body(txt: str) -> list[np.ndarray]:
+    """``((x y, ...), (x y, ...))`` → list of rings, outer first."""
+    inner = txt.strip()[1:-1]
+    return [_parse_ring(r.strip()[1:-1]) for r in _split_top(inner)]
+
+
+def parse_wkt_geometry(wkt: str) -> list[list[np.ndarray]]:
+    """WKT ``POLYGON``/``MULTIPOLYGON`` → list of parts, each a list of
+    (n, 2) rings with the outer ring first and interior rings (holes)
+    after — the full structure geopandas sees (the reference's ``within``
+    is hole-aware, ``backend/app/utils.py:92-97``)."""
+    s = wkt.strip()
+    u = s.upper()
+    try:
+        body = s[s.index("(") : s.rindex(")") + 1]
+    except ValueError:
+        raise ValueError(f"not a WKT polygon: {wkt[:60]!r}") from None
+    if u.startswith("MULTIPOLYGON"):
+        return [_parse_polygon_body(p.strip()) for p in _split_top(body[1:-1])]
+    if u.startswith("POLYGON"):
+        return [_parse_polygon_body(body)]
+    raise ValueError(f"not a WKT polygon: {wkt[:60]!r}")
+
+
+def parse_wkt_rings(wkt: str) -> list[np.ndarray]:
+    """Every ring of every part, flat — the even-odd point-in-polygon
+    input: a point inside an odd number of rings is inside the geometry
+    (holes cross two rings → even → out; a second outer part crosses one
+    → odd → in), so one rule covers holes AND multi-part islands."""
+    return [ring for part in parse_wkt_geometry(wkt) for ring in part]
 
 
 def parse_wkt_polygon(wkt: str) -> np.ndarray:
-    """WKT ``POLYGON ((x y, x y, ...))`` → (n, 2) array of the outer ring.
-    (Holes are out of scope: admin boundaries in the reference are simple
-    polygons; extend here if a source needs them.)"""
-    m = _WKT_RE.search(wkt)
-    if not m:
-        raise ValueError(f"not a WKT polygon: {wkt[:60]!r}")
-    pts = [
-        (float(a), float(b))
-        for a, b in (p.strip().split()[:2] for p in m.group(1).split(",") if p.strip())
-    ]
-    return np.asarray(pts, dtype=np.float64)
+    """First part's outer ring as an (n, 2) array (the pre-hole-support
+    shape; prefer :func:`parse_wkt_rings` for containment tests)."""
+    return parse_wkt_geometry(wkt)[0][0]
 
 
 def point_in_ring(lons: np.ndarray, lats: np.ndarray, ring: np.ndarray) -> np.ndarray:
@@ -73,28 +120,49 @@ def point_in_ring(lons: np.ndarray, lats: np.ndarray, ring: np.ndarray) -> np.nd
     return inside
 
 
+def point_in_rings(
+    lons: np.ndarray, lats: np.ndarray, rings: Sequence[np.ndarray]
+) -> np.ndarray:
+    """Even-odd containment over ALL rings of a geometry: XOR of the
+    per-ring ray-cast.  Makes holes correct for free (a point in a hole
+    crosses the outer ring and the hole ring → even → out) and handles
+    multi-part outers (inside exactly one part → odd → in) — matching
+    geopandas ``within`` (reference ``backend/app/utils.py:92-97``)."""
+    inside = np.zeros(len(lons), dtype=bool)
+    for ring in rings:
+        inside ^= point_in_ring(lons, lats, ring)
+    return inside
+
+
 def assign_district(
-    lons: np.ndarray, lats: np.ndarray, polygons: Sequence[tuple[str, str, np.ndarray]]
+    lons: np.ndarray,
+    lats: np.ndarray,
+    polygons: Sequence[tuple[str, str, Sequence[np.ndarray]]],
 ) -> tuple[np.ndarray, np.ndarray]:
     """First-match district assignment for point arrays.
 
-    ``polygons``: (province, district, ring) triples.  Returns parallel
-    object arrays (province, district) with None where no polygon matched.
-    A cheap bbox prefilter skips polygons that can't contain the batch.
+    ``polygons``: (province, district, rings) triples — ``rings`` is every
+    ring of the geometry (all parts + holes, :func:`parse_wkt_rings`).
+    Returns parallel object arrays (province, district) with None where no
+    polygon matched.  A cheap bbox prefilter (over all parts; holes never
+    widen it) skips geometries that can't contain the batch.
     """
     prov = np.full(len(lons), None, dtype=object)
     dist = np.full(len(lons), None, dtype=object)
     unassigned = np.ones(len(lons), dtype=bool)
-    for p_name, d_name, ring in polygons:
+    for p_name, d_name, rings in polygons:
         if not unassigned.any():
             break
-        lo_x, lo_y = ring.min(axis=0)
-        hi_x, hi_y = ring.max(axis=0)
+        if isinstance(rings, np.ndarray):  # single pre-parsed ring
+            rings = [rings]
+        allpts = np.vstack(rings)
+        lo_x, lo_y = allpts.min(axis=0)
+        hi_x, hi_y = allpts.max(axis=0)
         cand = unassigned & (lons >= lo_x) & (lons <= hi_x) & (lats >= lo_y) & (lats <= hi_y)
         if not cand.any():
             continue
         idx = np.flatnonzero(cand)
-        hit = point_in_ring(lons[idx], lats[idx], ring)
+        hit = point_in_rings(lons[idx], lats[idx], rings)
         hit_idx = idx[hit]
         prov[hit_idx] = p_name
         dist[hit_idx] = d_name
@@ -114,7 +182,7 @@ def assign_points_udf(
     ``sjoin(..., how="inner")``)."""
     spark = points.sparkSession
     polys = [
-        (r["province"], r["district"], parse_wkt_polygon(r["wkt"]))
+        (r["province"], r["district"], parse_wkt_rings(r["wkt"]))
         for _, r in polygons_df.iterrows()
     ]
     bpolys = spark.sparkContext.broadcast(polys)
@@ -149,7 +217,7 @@ def build_cell_lookup(
     gx, gy = np.meshgrid(lo, la)
     flat_x, flat_y = gx.ravel(), gy.ravel()
     polys = [
-        (r["province"], r["district"], parse_wkt_polygon(r["wkt"]))
+        (r["province"], r["district"], parse_wkt_rings(r["wkt"]))
         for _, r in polygons_df.iterrows()
     ]
     prov, dist = assign_district(flat_x, flat_y, polys)
@@ -175,7 +243,16 @@ def write_geojson(polygons_df: pd.DataFrame, path: str) -> int:
 
     feats = []
     for _, r in polygons_df.iterrows():
-        ring = parse_wkt_polygon(r["wkt"])
+        parts = parse_wkt_geometry(r["wkt"])
+
+        def coords(part: list[np.ndarray]) -> list:
+            return [[[float(x), float(y)] for x, y in ring] for ring in part]
+
+        geometry = (
+            {"type": "Polygon", "coordinates": coords(parts[0])}
+            if len(parts) == 1
+            else {"type": "MultiPolygon", "coordinates": [coords(p) for p in parts]}
+        )
         feats.append(
             {
                 "type": "Feature",
@@ -183,10 +260,7 @@ def write_geojson(polygons_df: pd.DataFrame, path: str) -> int:
                     "province": r["province"],
                     "district": r["district"],
                 },
-                "geometry": {
-                    "type": "Polygon",
-                    "coordinates": [[[float(x), float(y)] for x, y in ring]],
-                },
+                "geometry": geometry,
             }
         )
     with open(path, "w", encoding="utf-8") as fh:
@@ -199,11 +273,12 @@ def read_geojson(path: str) -> pd.DataFrame:
     ``north_provinces_districts.geojson`` (consumed at
     ``frontend/app/page.tsx:152-211``) back into the engine's polygon
     frame ``(province, district, wkt)``, ready for
-    :func:`assign_points_udf` / :func:`build_cell_lookup`.  Polygon
-    features use their outer ring; MultiPolygon features contribute one
-    row per polygon (same first-match semantics as the reference's
-    row-per-geometry GeoDataFrame).  Driver-side by design: the boundary
-    file is dimension-sized at any fact scale."""
+    :func:`assign_points_udf` / :func:`build_cell_lookup`.  Every ring is
+    preserved (holes stay holes); MultiPolygon features contribute one
+    row per part (same first-match semantics as the reference's
+    row-per-geometry GeoDataFrame).  GeoJSON positions may carry a third
+    (elevation) element — only x, y are read.  Driver-side by design: the
+    boundary file is dimension-sized at any fact scale."""
     import json
 
     with open(path, encoding="utf-8") as fh:
@@ -220,8 +295,16 @@ def read_geojson(path: str) -> pd.DataFrame:
         else:
             continue
         for rings in polys:
-            outer = rings[0]
-            wkt = "POLYGON ((" + ", ".join(f"{x:.10g} {y:.10g}" for x, y in outer) + "))"
+            wkt = (
+                "POLYGON ("
+                + ", ".join(
+                    "("
+                    + ", ".join(f"{x:.10g} {y:.10g}" for x, y in (p[:2] for p in ring))
+                    + ")"
+                    for ring in rings
+                )
+                + ")"
+            )
             rows.append(
                 {
                     "province": props.get("province"),

@@ -26,13 +26,22 @@ broadcasts the parsed result; the facts never touch the binary parser.
 
 from __future__ import annotations
 
+import os
 import struct
 
 import pandas as pd
 
 from mini_project_204721_data_engineering_spark.sources.dbf import read_dbf
 
-__all__ = ["read_shp", "read_shapefile", "write_shp", "SHAPE_POINT", "SHAPE_POLYLINE", "SHAPE_POLYGON"]
+__all__ = [
+    "read_shp",
+    "read_shapefile",
+    "write_shp",
+    "check_prj_wgs84",
+    "SHAPE_POINT",
+    "SHAPE_POLYLINE",
+    "SHAPE_POLYGON",
+]
 
 SHAPE_NULL = 0
 SHAPE_POINT = 1
@@ -47,15 +56,49 @@ def _ring_wkt(pts: list[tuple[float, float]]) -> str:
     return "(" + ", ".join(f"{x:.10g} {y:.10g}" for x, y in pts) + ")"
 
 
+def _signed_area(pts: list[tuple[float, float]]) -> float:
+    """Shoelace area: positive for counter-clockwise rings."""
+    a = 0.0
+    n = len(pts)
+    for i in range(n):
+        x1, y1 = pts[i]
+        x2, y2 = pts[(i + 1) % n]
+        a += x1 * y2 - x2 * y1
+    return a / 2.0
+
+
+def _polygon_wkt(parts: list[list[tuple[float, float]]]) -> str:
+    """Group a polygon record's parts into outer rings + their holes by
+    the shapefile winding convention (outer = clockwise, holes =
+    counter-clockwise; ESRI whitepaper p.8) and emit POLYGON or
+    MULTIPOLYGON WKT.  A CCW first ring (nonconformant writer) still
+    starts a polygon, so single-part files read fine regardless of
+    winding."""
+    polys: list[list[list[tuple[float, float]]]] = []
+    for part in parts:
+        if polys and _signed_area(part) > 0:
+            polys[-1].append(part)  # CCW → hole of the current outer
+        else:
+            polys.append([part])  # CW (or first) → a new outer ring
+    if len(polys) == 1:
+        return "POLYGON (" + ", ".join(_ring_wkt(r) for r in polys[0]) + ")"
+    return (
+        "MULTIPOLYGON ("
+        + ", ".join("(" + ", ".join(_ring_wkt(r) for r in p) + ")" for p in polys)
+        + ")"
+    )
+
+
 def read_shp(path: str) -> list[dict]:
     """Parse the .shp main file into shape records.
 
     Returns one dict per record: ``{"shape_type": int, "wkt": str | None,
     "parts": [[(x, y), ...], ...]}``; null shapes yield ``wkt=None``.
-    Polygons emit every part into the WKT (outer ring first per the
-    shapefile winding convention — downstream
-    ``geometry.parse_wkt_polygon`` consumes the outer ring; holes are
-    documented out of scope there).
+    Polygon parts are grouped by the spec's winding convention (clockwise
+    = outer ring, counter-clockwise = hole) into POLYGON or, when a
+    record holds several outer rings (island districts), MULTIPOLYGON
+    WKT — downstream ``geometry.parse_wkt_rings`` + even-odd containment
+    honor both holes and extra parts, matching geopandas.
     """
     with open(path, "rb") as f:
         data = f.read()
@@ -98,7 +141,7 @@ def read_shp(path: str) -> list[dict]:
             bounds = part_idx + [n_points]
             parts = [pts[bounds[i] : bounds[i + 1]] for i in range(n_parts)]
             if stype == SHAPE_POLYGON:
-                wkt = "POLYGON (" + ", ".join(_ring_wkt(p) for p in parts) + ")"
+                wkt = _polygon_wkt(parts)
             elif n_parts == 1:
                 wkt = "LINESTRING " + _ring_wkt(parts[0])
             else:
@@ -113,6 +156,41 @@ def read_shp(path: str) -> list[dict]:
     return records
 
 
+def check_prj_wgs84(shp_path: str) -> None:
+    """CRS guard (r2 verdict #4): when a ``.prj`` sidecar exists, require
+    a geographic WGS84 CRS and raise a clear error otherwise.
+
+    The reference reprojects everything to EPSG:4326 on read
+    (``gpd.read_file(...).to_crs("EPSG:4326")``, ``backend/app/utils.py:80``);
+    the engine's downstream point-in-polygon assumes lon/lat degrees.
+    Full reprojection needs pyproj (not in this environment), and an
+    honest error beats silently mis-assigning every point of a
+    UTM-projected file.  A missing ``.prj`` is accepted as-is (the spec
+    makes the sidecar optional; coordinates are taken as already 4326,
+    same leniency as geopandas' crs=None)."""
+    prj = os.path.splitext(shp_path)[0] + ".prj"
+    if not os.path.exists(prj):
+        return
+    with open(prj, encoding="utf-8", errors="replace") as fh:
+        wkt = fh.read().strip()
+    head = wkt.upper()
+    # ESRI/OGC WKT1 ("PROJCS"/"GEOGCS") and WKT2 ("PROJCRS"/"GEOGCRS")
+    if head.startswith(("PROJCS", "PROJCRS")):
+        raise ValueError(
+            f"projected CRS in {prj}: {wkt[:60]!r}... — reproject to "
+            "EPSG:4326 (WGS84 lon/lat) before ingest; this reader does not "
+            "transform coordinates"
+        )
+    if head.startswith(("GEOGCS", "GEOGCRS")):
+        if "WGS" in head and "84" in head:
+            return
+        raise ValueError(
+            f"non-WGS84 geographic CRS in {prj}: {wkt[:60]!r}... — "
+            "reproject to EPSG:4326 before ingest"
+        )
+    raise ValueError(f"unrecognized CRS definition in {prj}: {wkt[:60]!r}...")
+
+
 def read_shapefile(
     shp_path: str,
     dbf_path: str | None = None,
@@ -123,7 +201,9 @@ def read_shapefile(
     DataFrame with the attribute columns plus a ``wkt`` geometry column —
     the engine's equivalent of the reference's ``gpd.read_file``
     (``backend/app/utils.py:80``).  Records pair by file order per the
-    shapefile spec."""
+    shapefile spec.  A ``.prj`` sidecar, when present, must declare
+    geographic WGS84 (:func:`check_prj_wgs84`)."""
+    check_prj_wgs84(shp_path)
     shapes = read_shp(shp_path)
     geo = pd.DataFrame({"wkt": [s["wkt"] for s in shapes]})
     if dbf_path is None:

@@ -228,3 +228,44 @@ def test_geojson_roundtrip_to_polygon_frame(tmp_path):
     assert back["district"].tolist() == POLYGONS["district"].tolist()
     for got, orig in zip(back["wkt"], POLYGONS["wkt"]):
         np.testing.assert_array_equal(parse_wkt_polygon(got), parse_wkt_polygon(orig))
+
+
+def test_geojson_roundtrip_preserves_holes_and_parts(tmp_path):
+    """Holes survive the S10 loop; MultiPolygon features come back one
+    row per part with their holes; 3-element [x, y, z] GeoJSON positions
+    read fine (ADVICE r2)."""
+    import json
+
+    from mini_project_204721_data_engineering_spark.sources.geometry import (
+        parse_wkt_geometry,
+        read_geojson,
+        write_geojson,
+    )
+
+    donut = "POLYGON ((0 0, 4 0, 4 4, 0 4, 0 0), (1 1, 2 1, 2 2, 1 2, 1 1))"
+    multi = "MULTIPOLYGON (((0 0, 1 0, 1 1, 0 0)), ((5 5, 6 5, 6 6, 5 5), (5.2 5.2, 5.4 5.2, 5.3 5.4, 5.2 5.2)))"
+    pdf = pd.DataFrame(
+        {"province": ["P1", "P2"], "district": ["D1", "D2"], "wkt": [donut, multi]}
+    )
+    p = str(tmp_path / "holes.geojson")
+    assert write_geojson(pdf, p) == 2
+    gj = json.load(open(p))
+    assert gj["features"][0]["geometry"]["type"] == "Polygon"
+    assert len(gj["features"][0]["geometry"]["coordinates"]) == 2  # outer + hole
+    assert gj["features"][1]["geometry"]["type"] == "MultiPolygon"
+
+    back = read_geojson(p)
+    assert len(back) == 3  # donut row + one row per multipolygon part
+    assert [len(parse_wkt_geometry(w)[0]) for w in back["wkt"]] == [2, 1, 2]
+
+    # z-coordinate positions are legal GeoJSON — only x, y are read
+    gj["features"][0]["geometry"]["coordinates"] = [
+        [[x, y, 7.5] for x, y in ring]
+        for ring in gj["features"][0]["geometry"]["coordinates"]
+    ]
+    p3 = str(tmp_path / "z.geojson")
+    json.dump(gj, open(p3, "w"))
+    back3 = read_geojson(p3)
+    np.testing.assert_array_equal(
+        parse_wkt_geometry(back3["wkt"][0])[0][0], parse_wkt_geometry(donut)[0][0]
+    )

@@ -180,6 +180,38 @@ def test_shapefile_roundtrip_property(tmp_path_factory, rings):
     assert [rec["parts"][0] for rec in recs] == rings
 
 
+@settings(max_examples=200, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.floats(min_value=-0.5, max_value=4.5, allow_nan=False),
+            st.floats(min_value=-0.5, max_value=4.5, allow_nan=False),
+        ),
+        min_size=1,
+        max_size=64,
+    )
+)
+def test_donut_containment_property(points):
+    """VERDICT r3 item #3's property test: for a donut (square outer ring
+    with a square hole), even-odd containment over ALL rings must equal
+    'inside outer AND NOT inside hole' — points in the hole are OUT."""
+    import numpy as np
+
+    from mini_project_204721_data_engineering_spark.sources.geometry import (
+        parse_wkt_rings,
+        point_in_ring,
+        point_in_rings,
+    )
+
+    donut = "POLYGON ((0 0, 4 0, 4 4, 0 4, 0 0), (1 1, 3 1, 3 3, 1 3, 1 1))"
+    rings = parse_wkt_rings(donut)
+    xs = np.array([p[0] for p in points])
+    ys = np.array([p[1] for p in points])
+    got = point_in_rings(xs, ys, rings)
+    expect = point_in_ring(xs, ys, rings[0]) & ~point_in_ring(xs, ys, rings[1])
+    assert got.tolist() == expect.tolist()
+
+
 def test_portable_round_spark_duckdb_halfway_corpus(spark):
     """The decisive fixed corpus: exact 4-dp halfway doubles (the values
     that broke dashboard_probability at sf0.1) plus ULP-adjacent

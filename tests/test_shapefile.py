@@ -39,8 +39,56 @@ def test_polygon_roundtrip(tmp_path):
     assert ring.shape == (5, 2)
     inside = point_in_ring(np.array([99.5, 98.0]), np.array([18.5, 18.5]), ring)
     assert inside.tolist() == [True, False]
-    # hole-carrying record: regex still grabs the outer ring
+    # hole-carrying record: outer ring still comes back first
     assert parse_wkt_polygon(recs[2]["wkt"]).shape == (5, 2)
+
+
+def test_polygon_holes_and_multipart_wkt(tmp_path):
+    """Winding-convention grouping (r2 verdict #3 + ADVICE multi-part):
+    CW ring = outer, CCW ring = hole; a second CW ring starts a new part
+    → MULTIPOLYGON.  Containment is hole-aware and island-aware."""
+    from mini_project_204721_data_engineering_spark.sources.geometry import (
+        assign_district,
+        parse_wkt_geometry,
+        parse_wkt_rings,
+        point_in_rings,
+    )
+
+    p = str(tmp_path / "donut.shp")
+    # one record: donut (SQ_A with HOLE) + island part SQ_B
+    write_shp([[SQ_A, HOLE, SQ_B]], p)
+    (rec,) = read_shp(p)
+    assert rec["wkt"].startswith("MULTIPOLYGON (((")
+    parts = parse_wkt_geometry(rec["wkt"])
+    assert [len(pt) for pt in parts] == [2, 1]  # donut part has its hole
+
+    rings = parse_wkt_rings(rec["wkt"])
+    lons = np.array([99.5, 99.1, 100.5, 50.0])
+    lats = np.array([18.5, 18.5, 18.5, 18.5])
+    #       in hole→out, in donut→in, in island→in, far→out
+    assert point_in_rings(lons, lats, rings).tolist() == [False, True, True, False]
+
+    prov, dist = assign_district(lons, lats, [("P", "D", rings)])
+    assert dist.tolist() == [None, "D", "D", None]  # hole points UNassigned
+
+
+def test_parse_wkt_geometry_forms():
+    from mini_project_204721_data_engineering_spark.sources.geometry import (
+        parse_wkt_geometry,
+    )
+
+    single = parse_wkt_geometry("POLYGON ((0 0, 2 0, 2 2, 0 2, 0 0))")
+    assert len(single) == 1 and len(single[0]) == 1 and single[0][0].shape == (5, 2)
+    withhole = parse_wkt_geometry(
+        "POLYGON ((0 0, 4 0, 4 4, 0 4, 0 0), (1 1, 2 1, 2 2, 1 2, 1 1))"
+    )
+    assert len(withhole[0]) == 2
+    multi = parse_wkt_geometry(
+        "MULTIPOLYGON (((0 0, 1 0, 1 1, 0 0)), ((5 5, 6 5, 6 6, 5 5), (5.2 5.2, 5.4 5.2, 5.3 5.4, 5.2 5.2)))"
+    )
+    assert [len(p) for p in multi] == [1, 2]
+    with pytest.raises(ValueError, match="not a WKT polygon"):
+        parse_wkt_geometry("LINESTRING (0 0, 1 1)")
 
 
 def test_point_roundtrip(tmp_path):
@@ -82,6 +130,36 @@ def test_read_shapefile_pairs_attributes(tmp_path):
     assert len(gdf) == 3
     assert gdf.loc[0, "ADM2_TH"] == "เมือง"
     assert gdf.loc[0, "wkt"].startswith("POLYGON ((99 18")
+
+
+def test_prj_crs_guard(tmp_path):
+    """A UTM .prj must be rejected with a clear error; WGS84 (WKT1 and
+    WKT2 spellings) and a missing .prj pass through."""
+    from mini_project_204721_data_engineering_spark.sources.shapefile import check_prj_wgs84
+
+    shp = str(tmp_path / "adm.shp")
+    write_shp([[SQ_A]], shp)
+    read_shapefile(shp)  # no .prj → accepted
+
+    prj = tmp_path / "adm.prj"
+    prj.write_text(
+        'GEOGCS["GCS_WGS_1984",DATUM["D_WGS_1984",SPHEROID["WGS_1984",6378137.0,298.257223563]],'
+        'PRIMEM["Greenwich",0.0],UNIT["Degree",0.0174532925199433]]'
+    )
+    read_shapefile(shp)  # ESRI WKT1 WGS84 → accepted
+    prj.write_text('GEOGCRS["WGS 84",ENSEMBLE["World Geodetic System 1984 ensemble"]]')
+    check_prj_wgs84(shp)  # WKT2 → accepted
+
+    prj.write_text(
+        'PROJCS["WGS_1984_UTM_Zone_47N",GEOGCS["GCS_WGS_1984",DATUM["D_WGS_1984",'
+        'SPHEROID["WGS_1984",6378137.0,298.257223563]]],PROJECTION["Transverse_Mercator"]]'
+    )
+    with pytest.raises(ValueError, match="projected CRS"):
+        read_shapefile(shp)
+
+    prj.write_text('GEOGCS["GCS_Indian_1975",DATUM["D_Indian_1975"]]')
+    with pytest.raises(ValueError, match="non-WGS84"):
+        read_shapefile(shp)
 
 
 def test_record_count_mismatch_raises(tmp_path):
