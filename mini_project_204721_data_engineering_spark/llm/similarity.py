@@ -40,13 +40,20 @@ def as_double(col: str) -> Column:
 
 def cosine(a: str, b: str) -> Column:
     """Cosine similarity of two array<double> columns (by name) as a single
-    codegen'd expression: sequential folds, no UDF, no explode."""
+    codegen'd expression: sequential folds, no UDF, no explode.
+
+    Zero-norm guard (ADVICE r2): a zero vector yields -1.0 — exactly what
+    DuckDB's ``list_cosine_similarity`` returns for degenerate inputs —
+    instead of a NULL that would make downstream argmax/top-k ordering
+    engine-dependent.  Non-degenerate vectors take the plain division
+    path, bit-identical to before."""
     dot = F.expr(
         f"aggregate(zip_with({a}, {b}, (x, y) -> x * y), cast(0 AS double), (acc, v) -> acc + v)"
     )
     na = F.sqrt(F.expr(f"aggregate({a}, cast(0 AS double), (acc, v) -> acc + v * v)"))
     nb = F.sqrt(F.expr(f"aggregate({b}, cast(0 AS double), (acc, v) -> acc + v * v)"))
-    return dot / (na * nb)
+    denom = na * nb
+    return F.when(denom == 0.0, F.lit(-1.0)).otherwise(dot / denom)
 
 
 def cosine_topk(
@@ -136,7 +143,17 @@ def assign_cells(
             "cast(0 AS double), (a, v) -> a + v)"
         )
         ncv = math.sqrt(sum(v * v for v in cv))
-        sim = f"round({dot} / ({nv} * {ncv!r}D), {round_dp})"
+        # zero-norm guard, mirroring DuckDB list_cosine_similarity's -1.0
+        # on degenerate vectors (ADVICE r2) — a zero corpus vector ties
+        # every centroid at -1 and the nc tiebreaker deterministically
+        # picks the lowest cell, identically in both engines
+        if ncv == 0.0:
+            sim = "-1.0D"
+        else:
+            sim = (
+                f"round(CASE WHEN {nv} = 0.0D THEN -1.0D "
+                f"ELSE {dot} / ({nv} * {ncv!r}D) END, {round_dp})"
+            )
         entries.append(
             f"named_struct('s', {sim}, 'nc', {-cell}, 'cell', {cell})"
         )

@@ -57,21 +57,20 @@ def ingest_rain_grid(
     g = bbox_filter(g)
     g = positive_precip(g)
 
+    # ONE driver action for everything coordinate-shaped: the distinct
+    # axes (tiny — nlat + nlon values, never the nlat×nlon cross product)
+    # feed BOTH the broadcast cell lookup and the A3 step inference
+    # (r2 verdict #5 — previously two distinct().collect() plus a third
+    # axes agg; the extra jobs were pure scheduling latency).
+    axes = g.agg(
+        F.collect_set("lat").alias("lats"), F.collect_set("lon").alias("lons")
+    ).first()
+
     if use_lookup:
-        # distinct coordinates are tiny (grid axes), fine to collect
-        lats = [r["lat"] for r in g.select("lat").distinct().collect()]
-        lons = [r["lon"] for r in g.select("lon").distinct().collect()]
-        lookup = build_cell_lookup(spark, lats, lons, polygons_pdf)
+        lookup = build_cell_lookup(spark, axes["lats"], axes["lons"], polygons_pdf)
         joined = g.join(F.broadcast(lookup), ["lat", "lon"], "inner")
     else:
         joined = assign_points_udf(g, polygons_pdf, lon_col="lon", lat_col="lat")
-
-    # A3: grid resolution from the distinct coordinate steps — ONE job,
-    # and only the AXES reach the driver (nlat + nlon values, not the
-    # nlat×nlon distinct-pair cross product)
-    axes = joined.agg(
-        F.collect_set("lat").alias("lats"), F.collect_set("lon").alias("lons")
-    ).first()
 
     def _min_step(vals) -> float:
         svals = sorted(set(vals))

@@ -151,6 +151,18 @@ def read_netcdf3(source: str | bytes) -> dict:
 
     rec_vars = [v for v in variables if record_dim is not None and record_dim in v["dims"]]
     rec_stride = sum(v["vsize"] for v in rec_vars)
+    if len(rec_vars) == 1:
+        # CDF spec special case: with exactly ONE record variable of
+        # byte/char/short, record slabs are packed with NO padding even
+        # though the stored vsize stays rounded up to 4 (scipy.io.netcdf
+        # does the same) — using the padded vsize would silently shift
+        # every record after the first.
+        v0 = rec_vars[0]
+        _, tsize = _TYPES[v0["nc_type"]]
+        per = [s for d, s in zip(v0["dims"], v0["shape"]) if d != record_dim]
+        unpadded = (int(np.prod(per)) if per else 1) * tsize
+        if unpadded % 4:
+            rec_stride = unpadded
     if numrecs < 0 and rec_vars:
         # STREAMING sentinel (0xFFFFFFFF): record count is derived from
         # the file size past the start of the record block (CDF spec)
@@ -353,13 +365,16 @@ def write_netcdf3(
         if not is_rec:
             dt, _ = _TYPES[nc_type]
             out += pad4(arr.astype(dt).tobytes())
-    # record block: per record, each record var's chunk in variable order
+    # record block: per record, each record var's chunk in variable order;
+    # the spec's single-small-record-variable case packs WITHOUT padding
+    pad_records = sum(1 for m in metas if m[6]) != 1
     for r in range(numrecs):
         for name, vdims, arr, vattrs, nc_type, vsize, is_rec in metas:
             if is_rec:
                 dt, _ = _TYPES[nc_type]
                 # np.asarray: indexing a 1-d record var yields a numpy
                 # scalar, whose astype silently drops the big-endian order
-                out += pad4(np.asarray(arr[r]).astype(dt).tobytes())
+                chunk = np.asarray(arr[r]).astype(dt).tobytes()
+                out += pad4(chunk) if pad_records else chunk
     with open(path, "wb") as f:
         f.write(bytes(out))

@@ -285,3 +285,53 @@ def test_lsh_jaccard_verified_subset_of_exact(spark):
         assert j == exact[pair]
     # planted near-dups (consecutive doc pairs with high overlap) survive
     assert len(verified) > 0
+
+
+def test_zero_norm_cosine_matches_duckdb(spark):
+    """Zero-norm guard (ADVICE r2): Spark's cosine and assign_cells must
+    agree with DuckDB's list_cosine_similarity on degenerate (all-zero)
+    vectors — both yield -1.0, so argmax cell routing stays
+    engine-portable."""
+    import duckdb
+    from pyspark.sql import Row
+
+    from mini_project_204721_data_engineering_spark.llm.similarity import (
+        as_double,
+        assign_cells,
+        cosine,
+        seeded_centroids,
+    )
+
+    rows = [
+        Row(vec_id=0, embedding=[1.0, 0.0]),
+        Row(vec_id=1, embedding=[0.0, 1.0]),
+        Row(vec_id=2, embedding=[0.0, 0.0]),  # degenerate
+        Row(vec_id=3, embedding=[1.0, 1.0]),
+    ]
+    df = spark.createDataFrame(rows).select(
+        "vec_id", as_double("embedding").alias("v")
+    )
+    qv = [3.0, 4.0]
+    got = {
+        r["vec_id"]: r["c"]
+        for r in df.withColumn("q", F.expr(f"array({qv[0]}D, {qv[1]}D)"))
+        .select("vec_id", F.round(cosine("v", "q"), 6).alias("c"))
+        .collect()
+    }
+    con = duckdb.connect()
+    for r in rows:
+        want = con.execute(
+            "SELECT round(list_cosine_similarity(?::DOUBLE[], ?::DOUBLE[]), 6)",
+            [list(map(float, r.embedding)), qv],
+        ).fetchone()[0]
+        assert got[r.vec_id] == want, (r.vec_id, got[r.vec_id], want)
+    assert got[2] == -1.0
+
+    # assign_cells: the zero vector ties every centroid at -1 → the nc
+    # tiebreaker deterministically picks the LOWEST cell id
+    cents = seeded_centroids(spark.createDataFrame(rows[:2]), ncells=2)
+    assigned = {
+        r["vec_id"]: r["cell"]
+        for r in assign_cells(spark.createDataFrame(rows), cents).collect()
+    }
+    assert assigned[2] == 0

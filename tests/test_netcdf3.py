@@ -113,6 +113,40 @@ def test_netcdf_to_long_reads_classic_without_xarray(spark, tmp_path):
     assert df.count() == 24
 
 
+def test_single_short_record_var_unpadded_stride(tmp_path):
+    """CDF spec special case (ADVICE r2): exactly one record variable of
+    byte/char/short packs record slabs with NO padding (vsize stays
+    rounded up) — a padded-stride reader would silently shift every
+    record after the first."""
+    from mini_project_204721_data_engineering_spark.sources.netcdf3 import write_netcdf3
+
+    p = str(tmp_path / "short.nc")
+    vals = np.arange(12, dtype=np.int16).reshape(4, 3)  # 6 B/record: not %4
+    write_netcdf3(
+        p,
+        dims={"time": 4, "x": 3},
+        variables={"t": (["time", "x"], vals.astype(">i2"), {})},
+        record_dim="time",
+    )
+    raw = open(p, "rb").read()
+    ds = read_netcdf3(p)
+    np.testing.assert_array_equal(ds["vars"]["t"]["data"], vals)
+    # the record block really is packed: 4 records x 6 bytes, no padding
+    begin = len(raw) - 4 * 6
+    assert raw[begin:] == vals.astype(">i2").tobytes()
+
+    # byte var too (1 B/record x 3 = 3 B, not %4)
+    p2 = str(tmp_path / "byte.nc")
+    bvals = np.arange(9, dtype=np.int8).reshape(3, 3)
+    write_netcdf3(
+        p2,
+        dims={"time": 3, "x": 3},
+        variables={"b": (["time", "x"], bvals.astype(">i1"), {})},
+        record_dim="time",
+    )
+    np.testing.assert_array_equal(read_netcdf3(p2)["vars"]["b"]["data"], bvals)
+
+
 def test_streaming_numrecs_sentinel(tmp_path):
     """numrecs = 0xFFFFFFFF (STREAMING): record count derives from file
     size, not from the (-1) header value."""

@@ -104,6 +104,32 @@ def test_rain_pipeline_golden(spark, dims, use_lookup):
     assert len(got) == 4
 
 
+def test_rain_pipeline_single_driver_action(spark, dims, monkeypatch):
+    """r2 verdict #5: building the rain plan costs exactly ONE driver
+    action (the fused axes agg feeding both the cell lookup and the A3
+    step inference) — not two distinct().collect() plus an axes agg."""
+    province, district = dims
+    grid = spark.createDataFrame(
+        [Row(time="2023-06-01", lat=18.25, lon=99.25, precip=10.0)]
+    ).withColumn("time", F.col("time").cast("timestamp"))
+    DataFrame = type(grid)  # the concrete (classic) DataFrame class
+
+    # first()/head()/take() all funnel into collect(), so counting
+    # collect + toPandas counts every driver action exactly once
+    actions = []
+    for name in ("collect", "toPandas"):
+        orig = getattr(DataFrame, name)
+
+        def counted(self, *a, _orig=orig, _name=name, **kw):
+            actions.append(_name)
+            return _orig(self, *a, **kw)
+
+        monkeypatch.setattr(DataFrame, name, counted)
+    out = ingest_rain_grid(grid, POLYGONS, province, district, use_lookup=True)
+    assert actions == ["collect"], f"plan construction ran {actions}"
+    assert out.count() == 1  # the plan itself still executes fine
+
+
 def test_risk_pipeline_with_real_dbf_roundtrip(spark, dims, tmp_path):
     province, district = dims
     # DBF with Thai TIS-620 content: Mueang risk words avg→level 3,
