@@ -15,10 +15,12 @@ from __future__ import annotations
 from typing import Sequence
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 __all__ = [
     "write_fact_partitioned",
     "overwrite_fact_partitions",
+    "merge_into_fact",
     "write_bucketed",
     "write_jdbc",
 ]
@@ -43,6 +45,78 @@ def overwrite_fact_partitions(df: DataFrame, path: str, partition_cols: Sequence
         df.write.partitionBy(*partition_cols).mode("overwrite").parquet(path)
     finally:
         spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+
+
+def merge_into_fact(
+    incoming: DataFrame,
+    path: str,
+    keys: Sequence[str],
+    partition_col: str,
+) -> int:
+    """MERGE-grade idempotent ingest (SURVEY §7 hard-part #6, r2 verdict
+    #6): key-level dedup *and* partition-level atomicity in one
+    operation — the read-then-anti-join ``operators.joins.idempotent_append``
+    gives only the former (a crash mid-append can leave a partition
+    half-written, same as the reference's ingest,
+    ``backend/app/utils.py:565-591``).
+
+    Dataflow, all partition-pruned to the incoming batch's
+    ``partition_col`` range:
+
+    1. dedup ``incoming`` on ``keys`` (rows with the same key are
+       interchangeable at this grain — counts are pre-aggregated
+       upstream, ``pipelines.incidents``),
+    2. anti-join against the existing slice → genuinely-new rows,
+    3. partitions that gain no new row are NOT touched (their files stay
+       byte-identical — a re-run of an already-applied batch is a no-op),
+    4. each affected partition is rewritten in ONE dynamic partition
+       overwrite: existing slice ∪ new rows, so readers see the old or
+       the new partition content, never a half-appended state.
+
+    The merged slice is eagerly localCheckpoint-ed before the write —
+    Spark (correctly) refuses to overwrite a path its own plan is
+    reading.  The checkpoint is bounded by the affected partitions, not
+    the table.  Each partition is written by a single task (repartition
+    on ``partition_col``) for stable file counts; for single partitions
+    too big for one task, pre-split upstream with an extra bucket column.
+
+    Returns the number of new rows written (0 = no-op re-run).
+    """
+    spark: SparkSession = incoming.sparkSession
+    from mini_project_204721_data_engineering_spark.operators.joins import anti_join
+
+    incoming = incoming.dropDuplicates(list(keys))
+    try:
+        existing: DataFrame | None = spark.read.parquet(path)
+    except Exception:  # fresh table — AnalysisException: path does not exist
+        existing = None
+    if existing is None:
+        out = incoming.repartition(F.col(partition_col))
+        write_fact_partitioned(out, path, [partition_col])
+        return out.count()
+
+    bounds = incoming.agg(
+        F.min(partition_col).alias("lo"), F.max(partition_col).alias("hi")
+    ).first()
+    if bounds["lo"] is None:
+        return 0
+    sliced = existing.filter(
+        (F.col(partition_col) >= F.lit(bounds["lo"]))
+        & (F.col(partition_col) <= F.lit(bounds["hi"]))
+    )
+    new_rows = anti_join(incoming, sliced, keys)
+    affected = [r[0] for r in new_rows.select(partition_col).distinct().collect()]
+    if not affected:
+        return 0
+    merged = (
+        sliced.filter(F.col(partition_col).isin(affected))
+        .unionByName(new_rows.select(*sliced.columns))
+        .repartition(F.col(partition_col))
+        .localCheckpoint(eager=True)  # break lineage off `path` pre-overwrite
+    )
+    n_new = new_rows.count()
+    overwrite_fact_partitions(merged, path, [partition_col])
+    return n_new
 
 
 def write_bucketed(

@@ -106,6 +106,66 @@ def test_dynamic_partition_overwrite_touches_only_incoming(spark):
         shutil.rmtree(d, ignore_errors=True)
 
 
+def test_merge_into_fact_idempotent_and_partition_atomic(spark):
+    """r2 verdict #6 MERGE-grade ingest: overlapping sequential batches
+    produce no duplicate keys; partitions that gain nothing are untouched
+    (file listing + sizes + mtimes identical); an already-applied batch
+    re-run is a full no-op (every partition byte-identical)."""
+    from mini_project_204721_data_engineering_spark.sources.sink import merge_into_fact
+
+    def snapshot(d):
+        out = {}
+        for root, _dirs, files in os.walk(d):
+            for f in files:
+                if f.startswith(("_", ".")):
+                    continue
+                p = os.path.join(root, f)
+                st = os.stat(p)
+                out[os.path.relpath(p, d)] = (st.st_size, st.st_mtime_ns)
+        return out
+
+    d = tempfile.mkdtemp(prefix="merge_fact_")
+    try:
+        cols = ["disaster_date", "province_id", "district_id", "count_of_disasters"]
+        b1 = spark.createDataFrame(
+            [("2023-06-01", 1, 10, 2), ("2023-06-01", 1, 11, 1), ("2023-06-02", 1, 10, 3)],
+            cols,
+        )
+        assert merge_into_fact(b1, d, cols[:3], "disaster_date") == 3
+
+        day1_before = {
+            k: v for k, v in snapshot(d).items() if "disaster_date=2023-06-01" in k
+        }
+        # batch 2 overlaps: day-2 dup key (dropped), day-2 new key, day-3 new
+        b2 = spark.createDataFrame(
+            [("2023-06-02", 1, 10, 9), ("2023-06-02", 1, 12, 4), ("2023-06-03", 2, 20, 1)],
+            cols,
+        )
+        assert merge_into_fact(b2, d, cols[:3], "disaster_date") == 2
+
+        got = spark.read.parquet(d)
+        keys = [tuple(r) for r in got.select(*cols[:3]).collect()]
+        assert len(keys) == len(set(keys)) == 5  # no duplicate keys
+        # the overlapping key kept its ORIGINAL row (count 3, not 9)
+        assert (
+            got.filter("disaster_date = '2023-06-02' AND district_id = 10")
+            .first()["count_of_disasters"]
+            == 3
+        )
+        # day-1 gained nothing → its files completely untouched
+        day1_after = {
+            k: v for k, v in snapshot(d).items() if "disaster_date=2023-06-01" in k
+        }
+        assert day1_after == day1_before
+
+        # re-running b2 is a no-op: zero new rows, every file byte-identical
+        before_all = snapshot(d)
+        assert merge_into_fact(b2, d, cols[:3], "disaster_date") == 0
+        assert snapshot(d) == before_all
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
 def test_approx_cardinality_within_tolerance(spark):
     """The 100 TB path for type_user_cardinality: approx_count_distinct
     (HLL, fixed memory, no distinct expand) lands within 5% of exact."""
