@@ -37,6 +37,7 @@ __all__ = [
     "read_shp",
     "read_shapefile",
     "write_shp",
+    "wkt_to_shp_parts",
     "check_prj_wgs84",
     "SHAPE_POINT",
     "SHAPE_POLYLINE",
@@ -189,6 +190,27 @@ def check_prj_wgs84(shp_path: str) -> None:
             "reproject to EPSG:4326 before ingest"
         )
     raise ValueError(f"unrecognized CRS definition in {prj}: {wkt[:60]!r}...")
+
+
+def wkt_to_shp_parts(wkt: str) -> list[list[tuple[float, float]]]:
+    """POLYGON/MULTIPOLYGON WKT → the flat parts list :func:`write_shp`
+    takes, rings oriented to the spec's winding convention (outer
+    clockwise, holes counter-clockwise) so :func:`read_shp` groups them
+    back into the same geometry — the inverse completing the S3 round
+    trip for hole/multi-part records."""
+    from mini_project_204721_data_engineering_spark.sources.geometry import (
+        parse_wkt_geometry,
+    )
+
+    out: list[list[tuple[float, float]]] = []
+    for rings in parse_wkt_geometry(wkt):
+        for i, ring in enumerate(rings):
+            pts = [(float(x), float(y)) for x, y in ring]
+            want_ccw = i > 0  # hole rings are CCW, outer rings CW
+            if (_signed_area(pts) > 0) != want_ccw:
+                pts = pts[::-1]
+            out.append(pts)
+    return out
 
 
 def read_shapefile(

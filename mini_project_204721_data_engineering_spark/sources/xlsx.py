@@ -87,14 +87,21 @@ def _parse_date_styles(styles_xml: bytes) -> frozenset[int]:
 #: 1900-02-29 (serial 60), serials 1–59 before it
 _EPOCH_POST_LEAP = _dt.datetime(1899, 12, 30)
 _EPOCH_PRE_LEAP = _dt.datetime(1899, 12, 31)
+#: Mac 1904 date system: serial 0 = 1904-01-01, no phantom leap day
+_EPOCH_1904 = _dt.datetime(1904, 1, 1)
 
 
-def _date_from_serial(serial: float) -> str:
-    """Excel 1900-system serial → ISO string (date-only when there is no
-    time fraction).  Mirrors openpyxl's ``from_excel``."""
+def _date_from_serial(serial: float, date1904: bool = False) -> str:
+    """Excel serial → ISO string (date-only when there is no time
+    fraction).  Mirrors openpyxl's ``from_excel`` for both the 1900
+    system (incl. the phantom 1900-02-29) and the Mac 1904 system
+    (``workbookPr date1904``)."""
     days = int(serial)
     frac = serial - days
-    base = _EPOCH_POST_LEAP if days >= 61 else _EPOCH_PRE_LEAP
+    if date1904:
+        base = _EPOCH_1904
+    else:
+        base = _EPOCH_POST_LEAP if days >= 61 else _EPOCH_PRE_LEAP
     dt = base + _dt.timedelta(days=days, seconds=round(frac * 86400))
     if dt.hour == dt.minute == dt.second == 0:
         return dt.strftime("%Y-%m-%d")
@@ -120,7 +127,10 @@ def _si_text(si: ET.Element) -> str:
 
 
 def _parse_sheet_xml(
-    xml: bytes, shared: list[str], date_styles: frozenset[int] = frozenset()
+    xml: bytes,
+    shared: list[str],
+    date_styles: frozenset[int] = frozenset(),
+    date1904: bool = False,
 ) -> list[list]:
     root = ET.fromstring(xml)
     rows: dict[int, dict[int, object]] = {}
@@ -157,8 +167,10 @@ def _parse_sheet_xml(
             elif v_el is not None and v_el.text is not None:
                 f = float(v_el.text)
                 s_attr = c.get("s")
-                if s_attr is not None and int(s_attr) in date_styles and f >= 1:
-                    val = _date_from_serial(f)
+                if s_attr is not None and int(s_attr) in date_styles and (
+                    f >= 1 or (date1904 and f >= 0)
+                ):
+                    val = _date_from_serial(f, date1904)
                 else:
                     val = int(f) if f.is_integer() else f
             cells[ci] = val
@@ -192,6 +204,10 @@ def read_xlsx(path: str) -> dict[str, pd.DataFrame]:
             if "xl/styles.xml" in z.namelist()
             else frozenset()
         )
+        wbpr = next((e for e in wb.iter() if _local(e.tag) == "workbookPr"), None)
+        date1904 = wbpr is not None and (
+            (wbpr.get("date1904") or "").lower() in ("1", "true")
+        )
 
         out: dict[str, pd.DataFrame] = {}
         for sheet in (e for e in wb.iter() if _local(e.tag) == "sheet"):
@@ -199,7 +215,7 @@ def read_xlsx(path: str) -> dict[str, pd.DataFrame]:
             rid = next(v for k, v in sheet.attrib.items() if k.endswith("}id") or k == "id")
             target = rel_target[rid].lstrip("/")  # absolute OPC part names
             part = target if target.startswith("xl/") else f"xl/{target}"
-            grid = _parse_sheet_xml(z.read(part), shared, date_styles)
+            grid = _parse_sheet_xml(z.read(part), shared, date_styles, date1904)
             if not grid:
                 out[name] = pd.DataFrame()
                 continue

@@ -72,6 +72,29 @@ def test_polygon_holes_and_multipart_wkt(tmp_path):
     assert dist.tolist() == [None, "D", "D", None]  # hole points UNassigned
 
 
+def test_wkt_to_shp_roundtrip_with_holes_and_parts(tmp_path):
+    """WKT → write_shp → read_shp → identical WKT for donut and
+    multi-part geometries (winding canonicalized on write)."""
+    from mini_project_204721_data_engineering_spark.sources.shapefile import wkt_to_shp_parts
+
+    donut = "POLYGON ((0 0, 4 0, 4 4, 0 4, 0 0), (1 1, 2 1, 2 2, 1 2, 1 1))"
+    multi = "MULTIPOLYGON (((0 0, 1 0, 1 1, 0 0)), ((5 5, 6 5, 6 6, 5 5), (5.2 5.2, 5.4 5.2, 5.3 5.4, 5.2 5.2)))"
+    p = str(tmp_path / "rt.shp")
+    write_shp([wkt_to_shp_parts(donut), wkt_to_shp_parts(multi)], p)
+    recs = read_shp(p)
+    from mini_project_204721_data_engineering_spark.sources.geometry import (
+        parse_wkt_geometry,
+    )
+
+    for orig, rec in zip((donut, multi), recs):
+        got, want = parse_wkt_geometry(rec["wkt"]), parse_wkt_geometry(orig)
+        assert len(got) == len(want)
+        for gp, wp in zip(got, want):
+            assert len(gp) == len(wp)  # same ring count per part
+            for gr, wr in zip(gp, wp):
+                assert set(map(tuple, gr)) == set(map(tuple, wr))  # same points
+
+
 def test_parse_wkt_geometry_forms():
     from mini_project_204721_data_engineering_spark.sources.geometry import (
         parse_wkt_geometry,

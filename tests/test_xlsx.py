@@ -176,6 +176,46 @@ def test_date_styled_cells_decode_to_iso(tmp_path):
     assert out["n"].tolist() == [45078, 45078.5]  # unstyled → numeric
 
 
+def test_mac_1904_date_system(tmp_path):
+    """workbookPr date1904: serials are offset from 1904-01-01 with no
+    phantom leap day — a 1900-system read of a Mac workbook would be off
+    by 1462 days."""
+    p = str(tmp_path / "mac.xlsx")
+    sheet = (
+        '<?xml version="1.0"?>'
+        '<worksheet xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main"><sheetData>'
+        '<row r="1"><c r="A1" t="inlineStr"><is><t>d</t></is></c></row>'
+        '<row r="2"><c r="A2" s="1"><v>0</v></c></row>'
+        '<row r="3"><c r="A3" s="1"><v>43617</v></c></row>'
+        "</sheetData></worksheet>"
+    )
+    wb = (
+        '<?xml version="1.0"?>'
+        '<workbook xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main" '
+        'xmlns:r="http://schemas.openxmlformats.org/officeDocument/2006/relationships">'
+        "<workbookPr date1904=\"1\"/>"
+        '<sheets><sheet name="S" sheetId="1" r:id="rId1"/></sheets></workbook>'
+    )
+    rels = (
+        '<?xml version="1.0"?>'
+        '<Relationships xmlns="http://schemas.openxmlformats.org/package/2006/relationships">'
+        '<Relationship Id="rId1" Type="t" Target="worksheets/sheet1.xml"/></Relationships>'
+    )
+    styles = (
+        '<?xml version="1.0"?>'
+        '<styleSheet xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main">'
+        '<cellXfs count="2"><xf numFmtId="0"/><xf numFmtId="14"/></cellXfs></styleSheet>'
+    )
+    with zipfile.ZipFile(p, "w") as z:
+        z.writestr("xl/workbook.xml", wb)
+        z.writestr("xl/_rels/workbook.xml.rels", rels)
+        z.writestr("xl/styles.xml", styles)
+        z.writestr("xl/worksheets/sheet1.xml", sheet)
+    out = read_xlsx(p)["S"]
+    # serial 0 = the 1904 epoch itself; 43617 days later = 2023-06-02
+    assert out["d"].tolist() == ["1904-01-01", "2023-06-02"]
+
+
 def test_custom_date_format_codes():
     from mini_project_204721_data_engineering_spark.sources.xlsx import (
         _is_date_format_code,
