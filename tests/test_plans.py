@@ -86,6 +86,22 @@ def test_asof_join_is_union_window_not_range_join(spark, qs):
     # shuffles: right-side pre-aggregate + the window's key partition
     # (+ AQE reads); no per-row join exchange on top
     assert shuffle_count(df) <= 3
+    # r3 perf lock: the payload travels as FLAT per-column last() fills
+    # (payload_nonnull fast path), not one nested struct through the
+    # window sort — the struct form cost the r2 bench +27%
+    assert "__pay" not in plan
+    assert "__p_day_spend" in plan
+
+
+def test_dashboard_sum_is_integer_cents_not_decimal(spark, qs):
+    """r3 perf lock: the dashboard's money sum aggregates exact integer
+    CENTS (codegen-cheap, order-independent), never decimal(18,2) — the
+    r2 decimal aggregation buffer cost the bench +28%."""
+    df = qs["dashboard_probability"](spark, SF)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    agg = [ln for ln in plan.splitlines() if "sum(" in ln.lower()]
+    assert agg, "expected an aggregate over o_totalprice in the plan"
+    assert not any("decimal(18,2)" in ln for ln in agg), agg
 
 
 def test_keyset_pagination_pushes_cursor_and_topk(spark, qs):
