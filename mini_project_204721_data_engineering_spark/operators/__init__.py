@@ -7,7 +7,7 @@ from mini_project_204721_data_engineering_spark.operators.joins import (
     idempotent_append,
 )
 from mini_project_204721_data_engineering_spark.operators.aggregates import weighted_mean
-from mini_project_204721_data_engineering_spark.operators.dedup import dedup_keep_first
+from mini_project_204721_data_engineering_spark.operators.dedup import dedup_keep_first, dedup_keep_first_agg
 
 __all__ = [
     "ListQuery",
@@ -17,4 +17,5 @@ __all__ = [
     "idempotent_append",
     "weighted_mean",
     "dedup_keep_first",
+    "dedup_keep_first_agg",
 ]

@@ -23,7 +23,7 @@ from pyspark.sql import functions as F
 
 from mini_project_204721_data_engineering_spark.functions.binning import avg_to_level, class_to_num
 from mini_project_204721_data_engineering_spark.functions.text import normalize_th
-from mini_project_204721_data_engineering_spark.operators.dedup import dedup_keep_first
+from mini_project_204721_data_engineering_spark.operators.dedup import dedup_keep_first_agg
 from mini_project_204721_data_engineering_spark.operators.joins import anti_join
 
 __all__ = ["ingest_risk_dbf", "unmapped_classes"]
@@ -127,8 +127,8 @@ def ingest_risk_dbf(
         matched_ok.withColumn("_src", F.lit(0))
         .unionByName(missing.withColumn("_src", F.lit(1)))
     )
-    result = dedup_keep_first(
-        result, ["district_id"], [F.col("_src").asc(), F.col("province_id").asc()]
+    result = dedup_keep_first_agg(
+        result, ["district_id"], ["_src", "province_id"]
     ).drop("_src")
     return result.select(
         F.lit(upload_risk_id).alias("upload_risk_id"),

@@ -15,7 +15,7 @@ from pyspark.sql.window import Window
 from mini_project_204721_data_engineering_spark.catalog import load_table
 from mini_project_204721_data_engineering_spark.functions.binning import avg_to_level
 from mini_project_204721_data_engineering_spark.operators.aggregates import min_coord_step, weighted_mean
-from mini_project_204721_data_engineering_spark.operators.dedup import dedup_keep_first
+from mini_project_204721_data_engineering_spark.operators.dedup import dedup_keep_first_agg
 from mini_project_204721_data_engineering_spark.operators.joins import anti_join, asof_join, semi_join
 
 __all__ = ["QUERIES", "ORACLES"]
@@ -192,11 +192,11 @@ DISTINCT_PAIRS_SQL = "SELECT DISTINCT user_id, event_type FROM events"
 
 def dedup_first_event(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A9: dedup-keep-first with an EXPLICIT deterministic order (pandas
-    ``keep='first'`` is file-order-dependent; SURVEY §7 hard-part #3)."""
+    ``keep='first'`` is file-order-dependent; SURVEY §7 hard-part #3).
+    Aggregation form: min(struct) hash agg with map-side combine — only
+    one candidate row per (user, type) per map partition is shuffled."""
     ev = load_table(spark, sf_dir, "events")
-    first = dedup_keep_first(
-        ev, ["user_id", "event_type"], [F.col("ts").asc(), F.col("event_id").asc()]
-    )
+    first = dedup_keep_first_agg(ev, ["user_id", "event_type"], ["ts", "event_id"])
     return first.select(
         "user_id", "event_type", F.col("event_id").alias("first_event_id")
     )

@@ -439,10 +439,12 @@ def corpus_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The composed training-data pipeline, end-to-end in one plan:
     quality-score → gate (>= 0.5) → exact dedup (md5, keep lowest doc_id)
     → per-language corpus stats.  Everything stays in whole-stage codegen;
-    shuffles: one for the dedup window, one for the final (5-row) agg —
-    at 100 TB the dedup shuffle on a 32 B hash is the only wide stage."""
+    shuffles: one for the dedup agg, one for the final (5-row) agg — at
+    100 TB the dedup shuffle on a 32 B hash is the only wide stage, and
+    the agg-form dedup map-side-combines so only one candidate per hash
+    per map partition crosses it."""
     from mini_project_204721_data_engineering_spark.llm.text import lang_id, quality_score, token_count
-    from mini_project_204721_data_engineering_spark.operators.dedup import dedup_keep_first
+    from mini_project_204721_data_engineering_spark.operators.dedup import dedup_keep_first_agg
 
     docs = load_table(spark, sf_dir, "documents")
     enriched = docs.select(
@@ -452,7 +454,7 @@ def corpus_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
         quality_score(F.col("text")).alias("q"),
         lang_id(F.col("text")).alias("lang_guess"),
     ).filter(F.col("q") >= 0.5)
-    kept = dedup_keep_first(enriched, ["content_hash"], [F.col("doc_id").asc()])
+    kept = dedup_keep_first_agg(enriched, ["content_hash"], ["doc_id"])
     return (
         kept.groupBy("lang_guess")
         .agg(

@@ -120,6 +120,39 @@ def test_asof_join_picks_latest_at_or_before(spark):
     assert out["e"] == (None, None)   # key absent on right
 
 
+def test_dedup_keep_first_agg_matches_window_form(spark):
+    """The min(struct) aggregation form must be row-for-row identical to
+    the row_number window form for ascending orders — including NULL
+    order values (struct comparison treats a null field as smallest,
+    matching the window's asc nulls-first)."""
+    from mini_project_204721_data_engineering_spark.operators.dedup import (
+        dedup_keep_first,
+        dedup_keep_first_agg,
+    )
+
+    df = spark.createDataFrame(
+        [
+            Row(k="a", o=3, id=1, v="x"),
+            Row(k="a", o=1, id=2, v="y"),
+            Row(k="a", o=1, id=3, v="z"),  # tie on o → id breaks it
+            Row(k="b", o=None, id=4, v="n"),  # null sorts FIRST
+            Row(k="b", o=0, id=5, v="m"),
+            Row(k="c", o=7, id=6, v="s"),
+        ]
+    )
+    win = sorted(
+        map(tuple, dedup_keep_first(df, ["k"], [F.col("o").asc(), F.col("id").asc()])
+            .select("k", "o", "id", "v").collect())
+    )
+    agg = sorted(
+        map(tuple, dedup_keep_first_agg(df, ["k"], ["o", "id"])
+            .select("k", "o", "id", "v").collect())
+    )
+    assert agg == win
+    assert [r[0] for r in agg] == ["a", "b", "c"]
+    assert {r[2] for r in agg} == {2, 4, 6}
+
+
 def test_asof_join_nonnull_fast_path_matches_struct_path(spark):
     """payload_nonnull=True (flat per-column fill) must be row-for-row
     identical to the general struct path whenever the right-side payload
