@@ -49,11 +49,19 @@ SMALL_DIMS = frozenset({"region", "nation"})
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read one synthetic table as a DataFrame (lazy parquet scan).
 
-    ``events.parquet`` stores ``ts`` as parquet TIMESTAMP(NANOS), which
-    Spark has no native type for — we read it as raw nanos
-    (``spark.sql.legacy.parquet.nanosAsLong``, runtime-settable) and
-    rebuild a microsecond timestamp with integer division (``div``; float
-    division would lose precision above 2^53 ns ≈ 1970+104 days).
+    ``events.parquet`` ``ts`` has shipped in two physical forms across
+    driver rounds; both are handled:
+
+    - TIMESTAMP(NANOS) (r1-r2 data): Spark has no native type for it —
+      read as raw nanos (``spark.sql.legacy.parquet.nanosAsLong``,
+      runtime-settable) and rebuild a microsecond timestamp with integer
+      division (``div``; float division would lose precision above
+      2^53 ns ≈ 1970+104 days).
+    - timestamp[us] with isAdjustedToUTC=false (r4+ data): resolves to
+      ``TIMESTAMP_NTZ`` under Spark's ``inferTimestampNTZ`` default.  The
+      nanos conf is a no-op for it and the column passes through as NTZ,
+      so downstream code must use NTZ-safe expressions
+      (``timestamp_diff``, never ``unix_micros``).
     """
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLES}")

@@ -74,12 +74,15 @@ def events_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
     w_user = Window.partitionBy("user_id").orderBy(F.col("ts").asc(), F.col("event_id").asc())
     gap_us = 30 * 60 * 1_000_000
+    # timestamp_diff works on TIMESTAMP and TIMESTAMP_NTZ alike; unix_micros
+    # rejects NTZ, which is what parquet TIMESTAMP(isAdjustedToUTC=false)
+    # columns resolve to under Spark's inferTimestampNTZ default
     flagged = ev.select(
         "user_id",
         "ts",
         "event_id",
         F.when(
-            F.unix_micros(F.col("ts")) - F.unix_micros(F.lag("ts").over(w_user)) > gap_us,
+            F.timestamp_diff("MICROSECOND", F.lag("ts").over(w_user), F.col("ts")) > gap_us,
             1,
         )
         .otherwise(0)
@@ -90,7 +93,7 @@ def events_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.date_format(F.min("ts"), _FMT).alias("session_start"),
             F.count(F.lit(1)).alias("n_events"),
-            ((F.unix_micros(F.max("ts")) - F.unix_micros(F.min("ts"))) / 1_000_000.0).alias(
+            (F.timestamp_diff("MICROSECOND", F.min("ts"), F.max("ts")) / 1_000_000.0).alias(
                 "duration_sec"
             ),
         )

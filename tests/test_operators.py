@@ -211,3 +211,50 @@ def test_salted_broadcast_left_matches_plain_join(spark):
     got = sorted((r["lid"], r["tag"]) for r in salted.collect())
     want = sorted((r["lid"], r["tag"]) for r in plain.collect())
     assert got == want and len(got) > 0
+
+
+def test_events_sessions_handles_ntz_timestamps(spark):
+    """r4+ driver data ships events.ts as parquet timestamp[us] with
+    isAdjustedToUTC=false, which Spark 4 resolves to TIMESTAMP_NTZ;
+    unix_micros rejects NTZ (broke events_sessions in the r3 driver run).
+    The query must run on an NTZ column AND keep sub-second exactness."""
+    import datetime as dt
+
+    import pandas as pd
+
+    from mini_project_204721_data_engineering_spark.queries.windows import events_sessions
+
+    pdf = pd.DataFrame(
+        {
+            "event_id": [1, 2, 3, 4],
+            # naive datetimes -> TIMESTAMP_NTZ in Spark 4; 2nd gap > 30 min
+            "ts": [
+                dt.datetime(2024, 1, 1, 0, 0, 0, 250000),
+                dt.datetime(2024, 1, 1, 0, 10, 0, 750000),
+                dt.datetime(2024, 1, 1, 1, 0, 1),
+                dt.datetime(2024, 1, 1, 1, 5, 1),
+            ],
+            "user_id": [7, 7, 7, 7],
+            "event_type": ["a"] * 4,
+            "value": [0.0] * 4,
+            "props": ["{}"] * 4,
+        }
+    )
+    df = spark.createDataFrame(pdf)
+    df = df.withColumn("ts", F.col("ts").cast("timestamp_ntz"))
+    assert dict(df.dtypes)["ts"] == "timestamp_ntz"
+
+    import mini_project_204721_data_engineering_spark.queries.windows as windows_mod
+
+    orig = windows_mod.load_table
+    windows_mod.load_table = lambda _s, _d, _n: df
+    try:
+        rows = {(r.user_id, r.sess_id): r for r in events_sessions(spark, "unused").collect()}
+    finally:
+        windows_mod.load_table = orig
+    assert len(rows) == 2
+    # first session: two events 600.5s apart (sub-second micros preserved)
+    assert rows[(7, 0)].n_events == 2
+    assert rows[(7, 0)].duration_sec == 600.5
+    assert rows[(7, 1)].n_events == 2
+    assert rows[(7, 1)].duration_sec == 300.0
