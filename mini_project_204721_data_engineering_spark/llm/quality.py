@@ -1,0 +1,110 @@
+"""Corpus-quality operators a training-data pipeline runs between raw
+crawl and tokenization: repetition metrics (Gopher-style), PII scrubbing
+helpers (see :mod:`..llm.text`), and benchmark decontamination.
+
+The reference has no corpus surface at all — these extend the engine per
+the LLM-pipeline brief, alongside the dedup family in :mod:`.dedup`.
+
+Scale shapes
+------------
+- :func:`repetition_stats`: per-document array expressions (no shuffle)
+  plus one explode → (doc, bigram) count → per-doc argmax.  Both
+  aggregations are map-side combinable; cost is linear in corpus tokens.
+- :func:`contaminated_docs`: the benchmark side of the gram join is
+  DISTINCT'd and **broadcast** — benchmark suites are small by nature
+  (thousands of docs), so at 100 TB the corpus side streams through a
+  map-side hash join; the only corpus-wide shuffle is the per-doc hit
+  count, which is partial-aggregated.  Per-doc gram dedup happens with
+  ``array_distinct`` BEFORE the explode, so no corpus-scale distinct
+  shuffle exists anywhere in the plan (plan-asserted in
+  tests/test_plans.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from mini_project_204721_data_engineering_spark.llm.text import shingles, tokens
+
+__all__ = ["repetition_stats", "contaminated_docs"]
+
+
+def repetition_stats(
+    docs: DataFrame,
+    top_bigram_flag: float = 0.18,
+    distinct_flag: float = 0.2,
+) -> DataFrame:
+    """Per-document repetition metrics in the Gopher-rule family
+    (Rae et al. 2021, "Scaling Language Models: ... Gopher", table A1):
+
+    - ``distinct_frac``: distinct tokens / total tokens (type-token
+      ratio) — a pure array expression, rounded portably to 4 dp;
+    - ``top_bigram`` / ``top_bigram_n`` / ``top_bigram_frac``: the most
+      frequent word bigram and the fraction of the document's bigrams it
+      accounts for (tie-broken to the lexicographically greatest bigram,
+      deterministic on both engines);
+    - ``repetitive``: the filter verdict —
+      ``top_bigram_frac > top_bigram_flag OR distinct_frac < distinct_flag``.
+
+    Documents with fewer than two tokens have no bigram and are excluded
+    (same as the DuckDB oracle's empty ``unnest``).
+    """
+    base = docs.select("doc_id", tokens(F.col("text")).alias("toks")).select(
+        "doc_id",
+        F.size("toks").alias("n_tokens"),
+        (F.size(F.array_distinct("toks")) / F.size("toks")).alias("distinct_frac"),
+        shingles("toks", 2).alias("bgs"),
+    )
+    bg = base.select(
+        "doc_id", "n_tokens", "distinct_frac", F.explode("bgs").alias("bigram")
+    )
+    counts = bg.groupBy("doc_id", "n_tokens", "distinct_frac", "bigram").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    top = counts.groupBy("doc_id", "n_tokens", "distinct_frac").agg(
+        F.max(F.struct(F.col("cnt"), F.col("bigram"))).alias("top"),
+        F.sum("cnt").alias("n_bigrams"),
+    )
+    frac = F.col("top.cnt") / F.col("n_bigrams")
+    return top.select(
+        "doc_id",
+        "n_tokens",
+        # single divisions are bit-identical cross-engine; only the ROUNDED
+        # copy needs portable_round semantics (round(x*1e4)/1e4 mirrored)
+        (F.round(F.col("distinct_frac") * 10000.0) / 10000.0).alias("distinct_frac"),
+        F.col("top.bigram").alias("top_bigram"),
+        F.col("top.cnt").alias("top_bigram_n"),
+        frac.alias("top_bigram_frac"),
+        (
+            (frac > F.lit(top_bigram_flag))
+            | (F.col("distinct_frac") < F.lit(distinct_flag))
+        ).alias("repetitive"),
+    )
+
+
+def contaminated_docs(
+    docs: DataFrame, benchmark: DataFrame, n: int = 8
+) -> DataFrame:
+    """Benchmark decontamination: corpus documents sharing at least one
+    word ``n``-gram with any benchmark document, with the count of
+    distinct shared grams — the standard eval-leakage sweep (the GPT-3
+    paper's 13-gram dedup, Brown et al. 2020 §4; n is a parameter here
+    because the synthetic corpus' docs are short).
+
+    Both inputs need ``doc_id`` and ``text``.  Returns
+    ``(doc_id, n_shared_grams)`` for contaminated corpus docs only.
+    """
+    def grams(df: DataFrame) -> DataFrame:
+        # array_distinct BEFORE explode = per-doc gram dedup with no shuffle
+        return df.select(
+            "doc_id", tokens(F.col("text")).alias("toks")
+        ).select("doc_id", F.explode(F.array_distinct(shingles("toks", n))).alias("g"))
+
+    bench_grams = grams(benchmark).select("g").distinct()
+    return (
+        grams(docs)
+        .join(F.broadcast(bench_grams), "g")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_shared_grams"))
+    )

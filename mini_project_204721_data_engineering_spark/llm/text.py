@@ -18,8 +18,12 @@ __all__ = [
     "stopword_ratio",
     "quality_score",
     "lang_id",
+    "pii_count",
+    "pii_redact",
     "STOPWORDS",
     "SUBWORD_PATTERN",
+    "EMAIL_PATTERN",
+    "PHONE_PATTERN",
 ]
 
 #: small English stopword list used by the quality heuristic
@@ -84,6 +88,29 @@ def quality_score(text: Column) -> Column:
     return F.least(F.lit(1.0), n / F.lit(100.0)) * 0.5 + (
         F.lit(1.0) - stopword_ratio(text)
     ) * 0.5
+
+
+#: PII patterns kept to constructs with identical semantics in Java regex
+#: (Spark) and RE2 (DuckDB) so oracles can mirror them verbatim
+EMAIL_PATTERN = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PHONE_PATTERN = r"\b\d{3}[-. ]\d{3}[-. ]\d{4}\b"
+
+
+def pii_count(text: Column, pattern: str) -> Column:
+    """Number of matches of a PII pattern (codegen regexp, no UDF)."""
+    return F.size(F.regexp_extract_all(text, F.lit(pattern), 0))
+
+
+def pii_redact(text: Column) -> Column:
+    """Redact emails then phone numbers with typed placeholders —
+    the scrub a corpus pass applies before tokenization.  Spark's
+    ``regexp_replace`` is replace-ALL (mirror DuckDB with the ``'g'``
+    flag)."""
+    return F.regexp_replace(
+        F.regexp_replace(text, EMAIL_PATTERN, "<EMAIL>"),
+        PHONE_PATTERN,
+        "<PHONE>",
+    )
 
 
 def lang_id(text: Column) -> Column:

@@ -17,7 +17,13 @@ from typing import Sequence
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["rollup_time", "reaggregate"]
+__all__ = [
+    "rollup_time",
+    "reaggregate",
+    "rollup_distinct",
+    "reaggregate_distinct",
+    "estimate_distinct",
+]
 
 #: measure columns produced at every grain — algebraic, so any coarser
 #: grain is sum(count), sum(sum) of a finer one
@@ -55,3 +61,42 @@ def reaggregate(fine: DataFrame, keys: Sequence[str], grain: str) -> DataFrame:
             F.sum("value_sum").alias("value_sum"),
         )
     )
+
+
+def rollup_distinct(
+    df: DataFrame,
+    ts_col: str,
+    entity_col: str,
+    keys: Sequence[str],
+    grain: str,
+    lg_k: int = 12,
+) -> DataFrame:
+    """Distinct-count rollup: per bucket/key, an HLL **sketch** of the
+    entities (Apache DataSketches via ``hll_sketch_agg`` — Spark 3.5+).
+
+    ``count(DISTINCT x)`` is NOT algebraic — daily exact counts can't be
+    summed into a monthly one.  The sketch is the mergeable form: a fixed
+    ~2^lg_k-byte binary per group that unions exactly (union of sketches
+    ≡ sketch of the union, asserted in tests), which is what lets a
+    100 TB store serve "distinct users this month" from its daily rollup
+    without rescanning raw events.  At lg_k=12 the estimate holds ~±1.6%.
+    """
+    return df.groupBy(
+        F.date_trunc(grain, F.col(ts_col)).alias("bucket"), *keys
+    ).agg(F.hll_sketch_agg(F.col(entity_col), F.lit(lg_k)).alias("entity_sketch"))
+
+
+def reaggregate_distinct(fine: DataFrame, keys: Sequence[str], grain: str) -> DataFrame:
+    """Coarsen a :func:`rollup_distinct` output by unioning sketches —
+    byte-exact with sketching the raw span directly (merge associativity)."""
+    return fine.groupBy(
+        F.date_trunc(grain, F.col("bucket")).alias("bucket"), *keys
+    ).agg(F.hll_union_agg("entity_sketch").alias("entity_sketch"))
+
+
+def estimate_distinct(rollup: DataFrame) -> DataFrame:
+    """Serve a sketch rollup: replace the binary sketch with its
+    cardinality estimate."""
+    return rollup.withColumn(
+        "n_distinct", F.hll_sketch_estimate("entity_sketch")
+    ).drop("entity_sketch")

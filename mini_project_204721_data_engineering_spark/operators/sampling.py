@@ -1,0 +1,76 @@
+"""Deterministic hash-based sampling — the reproducible way to subsample
+or mix a 100 TB corpus.
+
+``df.sample()`` draws from a per-partition RNG: results change with
+partitioning, task retries, and cluster size, and no oracle can mirror
+them.  Hash sampling decides per ROW from a content key —
+``md5(salt | key) < threshold`` — so it is:
+
+- reproducible: same rows kept on any cluster layout, any rerun, any
+  engine (the DuckDB oracle mirrors the expression verbatim);
+- shuffle-free: a pure map-stage filter that composes with pushdown;
+- stratifiable: per-stratum thresholds give training-data mixture
+  weights (the "sample each source at its own rate" step of corpus
+  assembly).
+
+The threshold compares the first 4 hex chars of the md5 (16 bits of
+resolution, ±1.5e-5 of rate): lowercase fixed-width hex compares
+lexicographically == numerically in both Spark and DuckDB.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+__all__ = ["hash_sample_predicate", "hash_sample", "stratified_hash_sample"]
+
+
+def _threshold_hex(rate: float) -> str:
+    """4-hex-digit keep threshold for a rate in [0, 1)."""
+    return format(max(0, min(65535, int(rate * 65536))), "04x")
+
+
+def hash_sample_predicate(key: Column, rate: float, salt: str = "sample") -> Column:
+    """Keep-predicate: ``substr(md5(salt|key), 1, 4) < hex(rate·2^16)``.
+
+    ``rate >= 1`` short-circuits to TRUE (a 4-char string can't compare
+    below the 5-char threshold lexicographically, so it is special-cased
+    rather than encoded)."""
+    if rate >= 1.0:
+        return F.lit(True)
+    return (
+        F.substring(F.md5(F.concat(F.lit(salt + "|"), key.cast("string"))), 1, 4)
+        < F.lit(_threshold_hex(rate))
+    )
+
+
+def hash_sample(
+    df: DataFrame, key: str, rate: float, salt: str = "sample"
+) -> DataFrame:
+    """Uniform deterministic sample at ``rate`` keyed on column ``key``."""
+    return df.filter(hash_sample_predicate(F.col(key), rate, salt))
+
+
+def stratified_hash_sample(
+    df: DataFrame,
+    key: str,
+    strata: str,
+    rates: dict[str, float],
+    default_rate: float = 1.0,
+    salt: str = "sample",
+) -> DataFrame:
+    """Per-stratum deterministic sampling — the corpus-mixing primitive.
+
+    ``rates`` maps stratum values (of column ``strata``) to keep rates;
+    unlisted strata use ``default_rate``.  Decisions hash only ``key``,
+    so changing one stratum's rate monotonically grows/shrinks exactly
+    that stratum's kept set (nested samples — rerunning at a higher rate
+    keeps a superset)."""
+    default = hash_sample_predicate(F.col(key), default_rate, salt)
+    expr = None
+    for value, rate in sorted(rates.items()):
+        cond = F.col(strata) == F.lit(value)
+        branch = hash_sample_predicate(F.col(key), rate, salt)
+        expr = F.when(cond, branch) if expr is None else expr.when(cond, branch)
+    return df.filter(default if expr is None else expr.otherwise(default))

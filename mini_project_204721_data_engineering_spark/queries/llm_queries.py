@@ -498,6 +498,215 @@ ORDER BY lang_guess
 """
 
 
+def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition filter (llm/quality.py::repetition_stats):
+    type-token ratio + top-bigram fraction + the boolean verdict, per doc.
+    Per-doc array math shuffles nothing; the bigram mode is one
+    map-side-combinable explode→count→argmax."""
+    from mini_project_204721_data_engineering_spark.llm.quality import repetition_stats
+
+    docs = load_table(spark, sf_dir, "documents")
+    return repetition_stats(docs)
+
+
+TEXT_REPETITION_SQL = r"""
+WITH t AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks
+  FROM documents
+), base AS (
+  SELECT doc_id,
+         len(toks) AS n_tokens,
+         len(list_distinct(toks)) * 1.0 / len(toks) AS distinct_frac,
+         toks
+  FROM t
+), bg AS (
+  SELECT doc_id, n_tokens, distinct_frac,
+         unnest(list_transform(range(1, greatest(len(toks), 1)),
+                               i -> toks[i] || ' ' || toks[i+1])) AS bigram
+  FROM base
+), c AS (
+  SELECT doc_id, n_tokens, distinct_frac, bigram, count(*) AS cnt
+  FROM bg GROUP BY ALL
+), r AS (
+  SELECT *,
+         row_number() OVER (PARTITION BY doc_id ORDER BY cnt DESC, bigram DESC) AS rn,
+         sum(cnt) OVER (PARTITION BY doc_id) AS n_bigrams
+  FROM c
+)
+SELECT doc_id,
+       CAST(n_tokens AS INT) AS n_tokens,
+       round(distinct_frac * 10000.0) / 10000.0 AS distinct_frac,
+       bigram AS top_bigram,
+       CAST(cnt AS BIGINT) AS top_bigram_n,
+       cnt * 1.0 / n_bigrams AS top_bigram_frac,
+       (cnt * 1.0 / n_bigrams > 0.18 OR distinct_frac < 0.2) AS repetitive
+FROM r WHERE rn = 1
+"""
+
+
+def pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrub (llm/text.py::pii_redact): the corpus has no organic PII,
+    so the query injects deterministic emails/phones keyed off doc_id,
+    then proves the redaction finds and removes exactly those — counts
+    plus the redacted tail for every affected doc.  Pure codegen regexp;
+    the clean-doc majority short-circuits to zero matches."""
+    from mini_project_204721_data_engineering_spark.llm.text import (
+        EMAIL_PATTERN,
+        PHONE_PATTERN,
+        pii_count,
+        pii_redact,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    injected = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.when(
+                F.col("doc_id") % 7 == 0,
+                F.concat(
+                    F.lit(" contact user"),
+                    F.col("doc_id").cast("string"),
+                    F.lit("@example.com"),
+                ),
+            ).otherwise(F.lit("")),
+            F.when(F.col("doc_id") % 11 == 0, F.lit(" call 555-867-5309")).otherwise(
+                F.lit("")
+            ),
+        ).alias("text"),
+    )
+    per = injected.select(
+        "doc_id",
+        pii_count(F.col("text"), EMAIL_PATTERN).alias("n_emails"),
+        pii_count(F.col("text"), PHONE_PATTERN).alias("n_phones"),
+        pii_redact(F.col("text")).alias("redacted"),
+    )
+    return per.filter((F.col("n_emails") > 0) | (F.col("n_phones") > 0)).select(
+        "doc_id",
+        "n_emails",
+        "n_phones",
+        F.expr("right(redacted, 30)").alias("redacted_tail"),
+    )
+
+
+PII_SCRUB_SQL = r"""
+WITH injected AS (
+  SELECT doc_id,
+         text
+           || CASE WHEN doc_id % 7 = 0
+                   THEN ' contact user' || doc_id || '@example.com' ELSE '' END
+           || CASE WHEN doc_id % 11 = 0 THEN ' call 555-867-5309' ELSE '' END AS text
+  FROM documents
+), per AS (
+  SELECT doc_id,
+         len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS n_emails,
+         len(regexp_extract_all(text, '\b\d{3}[-. ]\d{3}[-. ]\d{4}\b')) AS n_phones,
+         regexp_replace(
+           regexp_replace(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+           '\b\d{3}[-. ]\d{3}[-. ]\d{4}\b', '<PHONE>', 'g') AS redacted
+  FROM injected
+)
+SELECT doc_id,
+       CAST(n_emails AS INT) AS n_emails,
+       CAST(n_phones AS INT) AS n_phones,
+       right(redacted, 30) AS redacted_tail
+FROM per
+WHERE n_emails > 0 OR n_phones > 0
+"""
+
+
+#: benchmark membership for the decontamination demo: ~9% of docs —
+#: synthetic stand-in for a held-out eval suite
+DECONTAM_BENCH_MOD = 11
+DECONTAM_NGRAM = 8
+
+
+def decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination (llm/quality.py::contaminated_docs):
+    corpus docs sharing any 8-token gram with the benchmark subset
+    (doc_id % 11 == 0).  The benchmark gram set is broadcast — the
+    GPT-3-style eval-leakage sweep with no corpus-side shuffle before
+    the per-doc hit count."""
+    from mini_project_204721_data_engineering_spark.llm.quality import contaminated_docs
+
+    docs = load_table(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("doc_id") % DECONTAM_BENCH_MOD == 0)
+    corpus = docs.filter(F.col("doc_id") % DECONTAM_BENCH_MOD != 0)
+    return contaminated_docs(corpus, bench, n=DECONTAM_NGRAM)
+
+
+_DECONTAM_PARTS = " || ' ' || ".join(f"toks[i+{k}]" for k in range(DECONTAM_NGRAM))
+DECONTAMINATE_SQL = rf"""
+WITH t AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks
+  FROM documents
+), sh AS (
+  SELECT DISTINCT doc_id,
+         unnest(list_transform(range(1, greatest(len(toks) - {DECONTAM_NGRAM - 2}, 1)),
+                               i -> {_DECONTAM_PARTS})) AS g
+  FROM t
+), bench AS (
+  SELECT DISTINCT g FROM sh WHERE doc_id % {DECONTAM_BENCH_MOD} = 0
+)
+SELECT s.doc_id, count(*) AS n_shared_grams
+FROM sh s JOIN bench USING (g)
+WHERE s.doc_id % {DECONTAM_BENCH_MOD} != 0
+GROUP BY s.doc_id
+"""
+
+
+#: training-mix keep rates by language for the sampling demo
+SAMPLE_MIX_RATES = {"en": 1.0, "zh": 0.5, "de": 0.25, "fr": 0.1, "es": 0.05}
+
+
+def corpus_sample_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified corpus sampling
+    (operators/sampling.py::stratified_hash_sample): per-language keep
+    rates via md5-hash thresholds — reproducible on any cluster layout
+    and mirrored verbatim in the oracle (``df.sample`` could never be).
+    Returns the per-language mix actually kept."""
+    from mini_project_204721_data_engineering_spark.llm.text import token_count
+    from mini_project_204721_data_engineering_spark.operators.sampling import (
+        stratified_hash_sample,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    kept = stratified_hash_sample(docs, key="doc_id", strata="lang", rates=SAMPLE_MIX_RATES)
+    return (
+        kept.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_kept"),
+            F.sum(token_count(F.col("text"))).cast("long").alias("tokens_kept"),
+        )
+        .orderBy("lang")
+    )
+
+
+def _mix_case_sql() -> str:
+    arms = []
+    for lang, rate in sorted(SAMPLE_MIX_RATES.items()):
+        if rate >= 1.0:
+            arms.append(f"WHEN lang = '{lang}' THEN TRUE")
+        else:
+            thr = format(int(rate * 65536), "04x")
+            arms.append(
+                f"WHEN lang = '{lang}' THEN "
+                f"substring(md5('sample|' || doc_id), 1, 4) < '{thr}'"
+            )
+    return "CASE " + " ".join(arms) + " ELSE TRUE END"
+
+
+CORPUS_SAMPLE_MIX_SQL = rf"""
+SELECT lang,
+       count(*) AS n_kept,
+       CAST(sum(len(regexp_split_to_array(trim(text), '\s+'))) AS BIGINT) AS tokens_kept
+FROM documents
+WHERE {_mix_case_sql()}
+GROUP BY lang
+ORDER BY lang
+"""
+
+
 QUERIES = {
     "dedup_exact": dedup_exact,
     "corpus_prep": corpus_prep,
@@ -512,8 +721,20 @@ QUERIES = {
     "multimodal_meta": multimodal_meta,
 }
 
-EXTRA_QUERIES = {"lsh_jaccard_verified_dups": lsh_jaccard_verified_dups}
-EXTRA_ORACLES = {"lsh_jaccard_verified_dups": LSH_JACCARD_VERIFIED_SQL}
+EXTRA_QUERIES = {
+    "lsh_jaccard_verified_dups": lsh_jaccard_verified_dups,
+    "text_repetition": text_repetition,
+    "pii_scrub": pii_scrub,
+    "decontaminate": decontaminate,
+    "corpus_sample_mix": corpus_sample_mix,
+}
+EXTRA_ORACLES = {
+    "lsh_jaccard_verified_dups": LSH_JACCARD_VERIFIED_SQL,
+    "text_repetition": TEXT_REPETITION_SQL,
+    "pii_scrub": PII_SCRUB_SQL,
+    "decontaminate": DECONTAMINATE_SQL,
+    "corpus_sample_mix": CORPUS_SAMPLE_MIX_SQL,
+}
 
 ORACLES = {
     "dedup_exact": DEDUP_EXACT_SQL,

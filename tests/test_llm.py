@@ -335,3 +335,107 @@ def test_zero_norm_cosine_matches_duckdb(spark):
         for r in assign_cells(spark.createDataFrame(rows), cents).collect()
     }
     assert assigned[2] == 0
+
+
+def _mk_docs(spark, texts):
+    return spark.createDataFrame(
+        [Row(doc_id=i, text=t, lang="en", source="s", n_chars=len(t)) for i, t in enumerate(texts)]
+    )
+
+
+def test_repetition_stats_flags_repeated_bigrams(spark):
+    from mini_project_204721_data_engineering_spark.llm.quality import repetition_stats
+
+    df = _mk_docs(
+        spark,
+        [
+            "spam spam spam spam spam",  # one bigram, 4/4 occurrences
+            "alpha beta gamma delta epsilon zeta eta theta iota kappa lam mu",  # all distinct
+        ],
+    )
+    out = {r["doc_id"]: r for r in repetition_stats(df).collect()}
+    r0 = out[0]
+    assert r0["n_tokens"] == 5
+    assert r0["distinct_frac"] == 0.2
+    assert r0["top_bigram"] == "spam spam"
+    assert r0["top_bigram_n"] == 4
+    assert r0["top_bigram_frac"] == 1.0
+    assert r0["repetitive"] is True
+    r1 = out[1]
+    assert r1["distinct_frac"] == 1.0
+    assert r1["top_bigram_n"] == 1
+    # tie among all bigrams -> lexicographically greatest wins
+    assert r1["top_bigram"] == "zeta eta"
+    assert r1["repetitive"] is False
+
+
+def test_pii_redact_and_count(spark):
+    from mini_project_204721_data_engineering_spark.llm.text import (
+        EMAIL_PATTERN,
+        PHONE_PATTERN,
+        pii_count,
+        pii_redact,
+    )
+
+    df = _mk_docs(
+        spark,
+        [
+            "reach me at jo.na+x@sub.example.org or 555-123-4567 thanks",
+            "no pii here at all",
+            "two mails a@b.io c.d@e.fr and 999 888.777 not a phone",
+        ],
+    )
+    got = {
+        r["doc_id"]: r
+        for r in df.select(
+            "doc_id",
+            pii_count(F.col("text"), EMAIL_PATTERN).alias("ne"),
+            pii_count(F.col("text"), PHONE_PATTERN).alias("np"),
+            pii_redact(F.col("text")).alias("red"),
+        ).collect()
+    }
+    assert (got[0]["ne"], got[0]["np"]) == (1, 1)
+    assert got[0]["red"] == "reach me at <EMAIL> or <PHONE> thanks"
+    assert got[1]["red"] == "no pii here at all"
+    assert (got[2]["ne"], got[2]["np"]) == (2, 0)
+    assert got[2]["red"] == "two mails <EMAIL> <EMAIL> and 999 888.777 not a phone"
+
+
+def test_contaminated_docs_finds_planted_overlap(spark):
+    from mini_project_204721_data_engineering_spark.llm.quality import contaminated_docs
+
+    bench = _mk_docs(spark, ["q w e r t y u i o p"])  # 10 tokens -> 3 8-grams
+    corpus = _mk_docs(
+        spark,
+        [
+            "q w e r t y u i o p",  # identical: shares all 3
+            "z z q w e r t y u i",  # shifted: shares 1 ("q w e r t y u i")
+            "totally different words here with no benchmark overlap at",
+        ],
+    )
+    got = {r["doc_id"]: r["n_shared_grams"] for r in contaminated_docs(corpus, bench, n=8).collect()}
+    assert got == {0: 3, 1: 1}
+
+
+def test_contaminated_docs_broadcasts_benchmark_grams(spark):
+    """The benchmark gram set must broadcast (no corpus-wide shuffle join)
+    and the corpus side must carry NO distinct/aggregate before the join —
+    per-doc gram dedup happens in array_distinct pre-explode."""
+    from mini_project_204721_data_engineering_spark.llm.quality import contaminated_docs
+    from mini_project_204721_data_engineering_spark.catalog import load_table
+
+    docs = load_table(spark, SF, "documents")
+    bench = docs.filter(F.col("doc_id") % 11 == 0)
+    corpus = docs.filter(F.col("doc_id") % 11 != 0)
+    df = contaminated_docs(corpus, bench, n=8)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    # shuffles: benchmark-side distinct + final per-doc count — the corpus
+    # side reaches the broadcast join straight from its scan (its per-doc
+    # gram dedup is array_distinct pre-explode, not a distinct shuffle)
+    from mini_project_204721_data_engineering_spark.plans import shuffle_count
+
+    assert shuffle_count(df) <= 2
+    # aggregate pairs: bench distinct (partial+final) + hit count (partial+final)
+    assert plan.count("HashAggregate") <= 4

@@ -258,3 +258,88 @@ def test_events_sessions_handles_ntz_timestamps(spark):
     assert rows[(7, 0)].duration_sec == 600.5
     assert rows[(7, 1)].n_events == 2
     assert rows[(7, 1)].duration_sec == 300.0
+
+
+def test_hash_sample_rate_and_nesting(spark):
+    """Deterministic hash sampling: empirical rate near target, rerun
+    identical, and a higher rate keeps a SUPERSET (nested samples)."""
+    from mini_project_204721_data_engineering_spark.operators.sampling import hash_sample
+
+    df = spark.range(0, 20000).withColumnRenamed("id", "k")
+    kept25 = {r["k"] for r in hash_sample(df, "k", 0.25).collect()}
+    kept50 = {r["k"] for r in hash_sample(df, "k", 0.50).collect()}
+    again = {r["k"] for r in hash_sample(df, "k", 0.25).collect()}
+    assert kept25 == again
+    assert kept25 <= kept50
+    assert abs(len(kept25) / 20000 - 0.25) < 0.02
+    assert abs(len(kept50) / 20000 - 0.50) < 0.02
+    # rate edges
+    from mini_project_204721_data_engineering_spark.operators.sampling import (
+        stratified_hash_sample,
+    )
+
+    assert hash_sample(df, "k", 1.0).count() == 20000
+    assert hash_sample(df, "k", 0.0).count() == 0
+
+
+def test_stratified_hash_sample_mixes_per_stratum(spark):
+    from pyspark.sql import functions as FF
+    from mini_project_204721_data_engineering_spark.operators.sampling import (
+        stratified_hash_sample,
+    )
+    from mini_project_204721_data_engineering_spark.plans import shuffle_count
+
+    df = spark.range(0, 10000).select(
+        FF.col("id").alias("k"), (FF.col("id") % 2 == 0).cast("string").alias("s")
+    )
+    out = stratified_hash_sample(
+        df, key="k", strata="s", rates={"true": 0.5}, default_rate=0.1
+    )
+    got = {r["s"]: r["n"] for r in out.groupBy("s").agg(FF.count("*").alias("n")).collect()}
+    assert abs(got["true"] / 5000 - 0.5) < 0.03
+    assert abs(got["false"] / 5000 - 0.1) < 0.03
+    # pure map-stage filter: sampling itself adds no shuffle (the one
+    # shuffle here is the verification groupBy)
+    assert shuffle_count(out) == 0
+
+
+def test_hll_sketch_rollup_cascade_exact_merge(spark):
+    """The sketch cascade contract: daily sketches unioned to a monthly
+    estimate give EXACTLY the same estimate as sketching the whole span
+    directly (merge associativity), and land within ~2% of the true
+    distinct count at lg_k=12."""
+    from mini_project_204721_data_engineering_spark.catalog import load_table
+    from mini_project_204721_data_engineering_spark.operators.rollup import (
+        estimate_distinct,
+        reaggregate_distinct,
+        rollup_distinct,
+    )
+
+    ev = load_table(spark, "/root/testdata/sf0.001", "events")
+    daily = rollup_distinct(ev, "ts", "user_id", ["event_type"], "day")
+    monthly_from_daily = estimate_distinct(
+        reaggregate_distinct(daily, ["event_type"], "month")
+    )
+    monthly_direct = estimate_distinct(
+        rollup_distinct(ev, "ts", "user_id", ["event_type"], "month")
+    )
+    a = {
+        (r["bucket"], r["event_type"]): r["n_distinct"]
+        for r in monthly_from_daily.collect()
+    }
+    b = {
+        (r["bucket"], r["event_type"]): r["n_distinct"]
+        for r in monthly_direct.collect()
+    }
+    assert a == b  # union-of-sketches == sketch-of-union, not just close
+    exact = {
+        (r["bucket"], r["event_type"]): r["n"]
+        for r in ev.groupBy(
+            F.date_trunc("month", "ts").alias("bucket"), "event_type"
+        )
+        .agg(F.countDistinct("user_id").alias("n"))
+        .collect()
+    }
+    assert set(a) == set(exact)
+    for k, est in a.items():
+        assert abs(est - exact[k]) / exact[k] < 0.05, (k, est, exact[k])
