@@ -707,6 +707,92 @@ ORDER BY lang
 """
 
 
+def corpus_assembly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full training-corpus assembly pipeline in ONE composed plan —
+    quality gate → exact dedup (keep lowest doc_id) → benchmark
+    decontamination (drop docs sharing an 8-gram with the held-out set)
+    → stratified mix sampling → per-language corpus stats.
+
+    Stage order is the scale order: cheap per-row gates first, the
+    map-side-combining dedup before gram explosion, the broadcast
+    decontamination join on deduped survivors only, and the shuffle-free
+    sampling filter last.  Composes corpus_prep + decontaminate +
+    corpus_sample_mix; every stage is mirrored in the oracle."""
+    from mini_project_204721_data_engineering_spark.llm.quality import contaminated_docs
+    from mini_project_204721_data_engineering_spark.llm.text import quality_score, token_count
+    from mini_project_204721_data_engineering_spark.operators.dedup import dedup_keep_first_agg
+    from mini_project_204721_data_engineering_spark.operators.sampling import (
+        stratified_hash_sample,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("doc_id") % DECONTAM_BENCH_MOD == 0)
+    gated = (
+        docs.filter(F.col("doc_id") % DECONTAM_BENCH_MOD != 0)
+        .filter(quality_score(F.col("text")) >= 0.5)
+        .select(
+            "doc_id",
+            "lang",
+            "text",
+            F.md5("text").alias("content_hash"),
+            token_count(F.col("text")).alias("n_tokens"),
+        )
+    )
+    kept = dedup_keep_first_agg(gated, ["content_hash"], ["doc_id"])
+    contam = contaminated_docs(kept, bench, n=DECONTAM_NGRAM).select("doc_id")
+    clean = kept.join(contam, "doc_id", "left_anti")
+    sampled = stratified_hash_sample(
+        clean, key="doc_id", strata="lang", rates=SAMPLE_MIX_RATES
+    )
+    return (
+        sampled.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").cast("long").alias("total_tokens"),
+        )
+        .orderBy("lang")
+    )
+
+
+CORPUS_ASSEMBLY_SQL = rf"""
+WITH t AS (
+  SELECT doc_id, text, lang, md5(text) AS content_hash,
+         regexp_split_to_array(trim(text), '\s+') AS toks
+  FROM documents
+), m AS (
+  SELECT doc_id, text, lang, content_hash, toks,
+         len(toks) AS n_tokens,
+         least(1.0, len(toks) / 100.0) * 0.5
+           + (1.0 - len(list_filter(toks, x -> x IN ({_SW}))) * 1.0 / len(toks)) * 0.5 AS q
+  FROM t
+), gated AS (
+  SELECT *,
+         row_number() OVER (PARTITION BY content_hash ORDER BY doc_id) AS rn
+  FROM m WHERE doc_id % {DECONTAM_BENCH_MOD} != 0 AND q >= 0.5
+), kept AS (
+  SELECT * FROM gated WHERE rn = 1
+), corpus_grams AS (
+  SELECT DISTINCT doc_id,
+         unnest(list_transform(range(1, greatest(len(toks) - {DECONTAM_NGRAM - 2}, 1)),
+                               i -> {_DECONTAM_PARTS})) AS g
+  FROM kept
+), bench_grams AS (
+  SELECT DISTINCT
+         unnest(list_transform(range(1, greatest(len(toks) - {DECONTAM_NGRAM - 2}, 1)),
+                               i -> {_DECONTAM_PARTS})) AS g
+  FROM t WHERE doc_id % {DECONTAM_BENCH_MOD} = 0
+), contam AS (
+  SELECT DISTINCT c.doc_id FROM corpus_grams c JOIN bench_grams USING (g)
+), sampled AS (
+  SELECT * FROM kept
+  WHERE doc_id NOT IN (SELECT doc_id FROM contam)
+    AND {_mix_case_sql()}
+)
+SELECT lang, count(*) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS total_tokens
+FROM sampled GROUP BY lang ORDER BY lang
+"""
+
+
 QUERIES = {
     "dedup_exact": dedup_exact,
     "corpus_prep": corpus_prep,
@@ -727,6 +813,7 @@ EXTRA_QUERIES = {
     "pii_scrub": pii_scrub,
     "decontaminate": decontaminate,
     "corpus_sample_mix": corpus_sample_mix,
+    "corpus_assembly": corpus_assembly,
 }
 EXTRA_ORACLES = {
     "lsh_jaccard_verified_dups": LSH_JACCARD_VERIFIED_SQL,
@@ -734,6 +821,7 @@ EXTRA_ORACLES = {
     "pii_scrub": PII_SCRUB_SQL,
     "decontaminate": DECONTAMINATE_SQL,
     "corpus_sample_mix": CORPUS_SAMPLE_MIX_SQL,
+    "corpus_assembly": CORPUS_ASSEMBLY_SQL,
 }
 
 ORACLES = {
