@@ -12,6 +12,7 @@ import pytest
 from pyspark.sql import functions as F
 
 from mini_project_204721_data_engineering_spark.catalog import load_table
+from mini_project_204721_data_engineering_spark.sources.sink import write_zordered
 from mini_project_204721_data_engineering_spark.plans.checks import physical_plan, shuffle_count
 
 SF = "/root/testdata/sf0.001"
@@ -240,3 +241,59 @@ def test_bucketed_join_runs_without_any_shuffle(spark, tmp_path):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
         spark.sql("DROP TABLE IF EXISTS b_orders")
         spark.sql("DROP TABLE IF EXISTS b_lineitem")
+
+
+def test_zorder_layout_prunes_on_both_columns(spark, tmp_path):
+    """Z-order vs linear sort, measured on REAL parquet footer stats:
+    with a (l_orderkey, l_partkey) Z-layout, a point filter on EITHER
+    column overlaps only a minority of files; a linear (l_orderkey,
+    l_partkey) sort prunes the leading key but leaves the trailing key
+    spanning ~every file."""
+    import pyarrow.parquet as pq
+
+    li = load_table(spark, SF, "lineitem").select("l_orderkey", "l_partkey", "l_quantity")
+    zdir, ldir = str(tmp_path / "zorder"), str(tmp_path / "linear")
+    write_zordered(li, zdir, ["l_orderkey", "l_partkey"], n_files=16)
+    (
+        li.repartitionByRange(16, "l_orderkey", "l_partkey")
+        .sortWithinPartitions("l_orderkey", "l_partkey")
+        .write.mode("overwrite")
+        .parquet(ldir)
+    )
+
+    def file_ranges(d, col):
+        out = []
+        for f in sorted(os.listdir(d)):
+            if not f.endswith(".parquet"):
+                continue
+            md = pq.ParquetFile(os.path.join(d, f)).metadata
+            los, his = [], []
+            for rg in range(md.num_row_groups):
+                for ci in range(md.num_columns):
+                    c = md.row_group(rg).column(ci)
+                    if c.path_in_schema == col and c.statistics is not None:
+                        los.append(c.statistics.min)
+                        his.append(c.statistics.max)
+            if los:
+                out.append((min(los), max(his)))
+        return out
+
+    # same bytes in both layouts
+    n_z = spark.read.parquet(zdir).count()
+    n_l = spark.read.parquet(ldir).count()
+    assert n_z == n_l == li.count()
+
+    probes = [r["l_partkey"] for r in li.limit(3).collect()]
+    z_ranges = file_ranges(zdir, "l_partkey")
+    l_ranges = file_ranges(ldir, "l_partkey")
+    assert len(z_ranges) >= 8  # layout actually produced many files
+    for p in probes:
+        z_hit = sum(1 for lo, hi in z_ranges if lo <= p <= hi)
+        l_hit = sum(1 for lo, hi in l_ranges if lo <= p <= hi)
+        # linear layout: trailing column spans ~every file; z-order: minority
+        assert l_hit >= len(l_ranges) - 1, (p, l_hit, len(l_ranges))
+        assert z_hit <= len(z_ranges) // 2, (p, z_hit, len(z_ranges))
+    # and the leading key still prunes in BOTH layouts
+    okey = [r["l_orderkey"] for r in li.limit(1).collect()][0]
+    z_hit_k = sum(1 for lo, hi in file_ranges(zdir, "l_orderkey") if lo <= okey <= hi)
+    assert z_hit_k <= len(z_ranges) // 2
