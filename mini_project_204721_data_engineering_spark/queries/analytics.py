@@ -1111,6 +1111,84 @@ WHERE (p_brand = 'Brand#1' AND l_quantity BETWEEN 1 AND 11)
 """
 
 
+def cheapest_supplier_per_part(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape (EXTRA): per-group argmin with a deterministic
+    tiebreak — for every part, the supplier quoting the lowest unit
+    price.  The correlated-subquery formulation (`WHERE price = (SELECT
+    min ... WHERE partkey = outer.partkey)`) decorrelates to ONE
+    map-side-combinable `min(struct(price, suppkey))` aggregate — the
+    100 TB shape; a correlated probe per row would re-scan per part."""
+    li = load_table(spark, sf_dir, "lineitem")
+    unit = li.select(
+        "l_partkey",
+        "l_suppkey",
+        (F.col("l_extendedprice") / F.col("l_quantity")).alias("unit_price"),
+    )
+    best = unit.groupBy("l_partkey").agg(
+        F.min(F.struct("unit_price", "l_suppkey")).alias("best")
+    )
+    return best.select(
+        "l_partkey",
+        F.col("best.l_suppkey").alias("l_suppkey"),
+        (F.round(F.col("best.unit_price") * 10000.0) / 10000.0).alias("unit_price"),
+    )
+
+
+CHEAPEST_SUPPLIER_PER_PART_SQL = """
+WITH unit AS (
+  SELECT l_partkey, l_suppkey, l_extendedprice / l_quantity AS unit_price
+  FROM lineitem
+), r AS (
+  SELECT *,
+         row_number() OVER (PARTITION BY l_partkey
+                            ORDER BY unit_price, l_suppkey) AS rn
+  FROM unit
+)
+SELECT l_partkey, l_suppkey,
+       round(unit_price * 10000.0) / 10000.0 AS unit_price
+FROM r WHERE rn = 1
+"""
+
+
+def orders_above_cust_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated scalar subquery, decorrelated (EXTRA): orders pricier
+    than their own customer's average.  One window pass partitioned by
+    custkey — a single shuffle on the customer key — instead of a
+    per-row correlated probe; the unrounded double comparison is
+    bit-identical cross-engine (identical IEEE division), rounding only
+    at the output edge."""
+    orders = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey")
+    # exact integer-cents sum: order-independent, so the comparison below
+    # can't flip on cross-engine summation order (same trick as the
+    # dashboard sum — see functions/parity.py)
+    cents = F.round(F.col("o_totalprice") * 100).cast("long")
+    avg = F.sum(cents).over(w) / (F.count(F.lit(1)).over(w) * 100.0)
+    return (
+        orders.withColumn("cust_avg", avg)
+        .filter(F.col("o_totalprice") > F.col("cust_avg"))
+        .select(
+            "o_orderkey",
+            "o_custkey",
+            "o_totalprice",
+            (F.round(F.col("cust_avg") * 10000.0) / 10000.0).alias("cust_avg"),
+        )
+    )
+
+
+ORDERS_ABOVE_CUST_AVG_SQL = """
+WITH w AS (
+  SELECT o_orderkey, o_custkey, o_totalprice,
+         sum(CAST(round(o_totalprice * 100) AS BIGINT)) OVER (PARTITION BY o_custkey)
+           / (count(*) OVER (PARTITION BY o_custkey) * 100.0) AS cust_avg
+  FROM orders
+)
+SELECT o_orderkey, o_custkey, o_totalprice,
+       round(cust_avg * 10000.0) / 10000.0 AS cust_avg
+FROM w WHERE o_totalprice > cust_avg
+"""
+
+
 # Driver-facing set (≤50 across all modules — see queries/__init__.py).
 # Operator coverage notes for the variants demoted to EXTRA_*:
 # - J8 left-anti  → driver row via new_events_only (same anti_join operator)
@@ -1184,6 +1262,8 @@ EXTRA_QUERIES = {
     "q7_nation_volume_shipping": q7_nation_volume_shipping,
     "q19_discounted_revenue": q19_discounted_revenue,
     "revenue_cube": revenue_cube,
+    "cheapest_supplier_per_part": cheapest_supplier_per_part,
+    "orders_above_cust_avg": orders_above_cust_avg,
 }
 
 EXTRA_ORACLES = {
@@ -1199,4 +1279,6 @@ EXTRA_ORACLES = {
     "events_pivot_daily": EVENTS_PIVOT_DAILY_SQL,
     "events_day_spine": EVENTS_DAY_SPINE_SQL,
     "red_parts_by_brand": RED_PARTS_BY_BRAND_SQL,
+    "cheapest_supplier_per_part": CHEAPEST_SUPPLIER_PER_PART_SQL,
+    "orders_above_cust_avg": ORDERS_ABOVE_CUST_AVG_SQL,
 }
