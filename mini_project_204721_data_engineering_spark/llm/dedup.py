@@ -33,6 +33,9 @@ __all__ = [
     "shingle_table",
     "ngram_jaccard_pairs",
     "minhash_table",
+    "band_table",
+    "build_band_index",
+    "incremental_neardup",
     "minhash_band_candidates",
     "minhash_lsh_pairs",
     "lsh_jaccard_verified",
@@ -141,6 +144,25 @@ def minhash_table(
     )
 
 
+def band_table(
+    mh: DataFrame,
+    k: int,
+    bands: int,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(id, band, band_key) from a minhash table — the banded-LSH index
+    rows.  Persisted (partitioned/bucketed on ``(band, band_key)``) this
+    IS the incremental near-dup index a growing corpus maintains."""
+    rows_per_band = k // bands
+    return (
+        mh.withColumn("band", (F.col("seed") / rows_per_band).cast("int"))
+        .groupBy(id_col, "band")
+        # band key: the band's minhashes in seed order (seed ordering is
+        # deterministic because each (id, band) has distinct seeds)
+        .agg(F.concat_ws("|", F.array_sort(F.collect_list(F.concat_ws(":", F.lpad(F.col("seed").cast("string"), 2, "0"), F.col("minhash"))))).alias("band_key"))
+    )
+
+
 def minhash_band_candidates(
     mh: DataFrame,
     k: int,
@@ -150,14 +172,7 @@ def minhash_band_candidates(
     """Banded-LSH candidate pairs from a minhash table: docs sharing ANY
     band bucket (join on the band key — the corpus is never self-joined
     at large).  Returns distinct (doc_a, doc_b), doc_a < doc_b."""
-    rows_per_band = k // bands
-    band = (
-        mh.withColumn("band", (F.col("seed") / rows_per_band).cast("int"))
-        .groupBy(id_col, "band")
-        # band key: the band's minhashes in seed order (seed ordering is
-        # deterministic because each (id, band) has distinct seeds)
-        .agg(F.concat_ws("|", F.array_sort(F.collect_list(F.concat_ws(":", F.lpad(F.col("seed").cast("string"), 2, "0"), F.col("minhash"))))).alias("band_key"))
-    )
+    band = band_table(mh, k, bands, id_col)
     a = band.select(F.col(id_col).alias("doc_a"), "band", "band_key")
     b = band.select(F.col(id_col).alias("doc_b"), "band", "band_key")
     return (
@@ -194,6 +209,55 @@ def minhash_lsh_pairs(
         .agg((F.sum(F.when(F.col("mh_a") == F.col("mh_b"), 1).otherwise(0)) / F.lit(float(k))).alias("est_jaccard"))
         .filter(F.col("est_jaccard") >= threshold)
     )
+
+
+def build_band_index(
+    df: DataFrame,
+    k: int = 8,
+    bands: int = 4,
+    n: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """The persistent LSH index of a corpus: (id, band, band_key) rows.
+
+    At 100 TB this table is written ONCE (partitioned by ``band``,
+    bucketed on ``band_key`` — `sources/sink.py::write_bucketed`) and
+    then only appended to; each ingest batch probes it instead of
+    re-running corpus-wide LSH."""
+    return band_table(minhash_table(df, k, n, text_col, id_col), k, bands, id_col)
+
+
+def incremental_neardup(
+    new_docs: DataFrame,
+    band_index: DataFrame,
+    k: int = 8,
+    bands: int = 4,
+    n: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Incremental near-dup check: candidates between a NEW batch and the
+    stored corpus :func:`build_band_index` — the production ingest shape.
+
+    Per batch the work is |batch| signatures plus an equi-join of the
+    batch's band keys against the index; the historical corpus is never
+    re-signatured and never self-joined.  A batch-internal self-check
+    (new×new) is included so duplicates arriving together are caught too.
+    Returns distinct (new_id, match_id) — match_id from the index or an
+    earlier id in the same batch.  Append the batch's band rows to the
+    index afterwards to keep it current."""
+    nb = build_band_index(new_docs, k, bands, n, text_col, id_col)
+    probe = nb.select(F.col(id_col).alias("new_id"), "band", "band_key")
+    vs_index = probe.join(
+        band_index.select(F.col(id_col).alias("match_id"), "band", "band_key"),
+        ["band", "band_key"],
+    ).filter(F.col("new_id") != F.col("match_id"))
+    within = probe.join(
+        nb.select(F.col(id_col).alias("match_id"), "band", "band_key"),
+        ["band", "band_key"],
+    ).filter(F.col("match_id") < F.col("new_id"))
+    return vs_index.unionByName(within).select("new_id", "match_id").distinct()
 
 
 def lsh_jaccard_verified(

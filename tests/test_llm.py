@@ -439,3 +439,46 @@ def test_contaminated_docs_broadcasts_benchmark_grams(spark):
     assert shuffle_count(df) <= 2
     # aggregate pairs: bench distinct (partial+final) + hit count (partial+final)
     assert plan.count("HashAggregate") <= 4
+
+
+def test_incremental_neardup_probes_index_not_corpus(spark):
+    """Incremental ingest: a stored band index catches a new near-dup of
+    an OLD doc and a dup pair WITHIN the new batch, passes fresh docs,
+    and equals the from-scratch LSH run on the union corpus."""
+    from mini_project_204721_data_engineering_spark.llm.dedup import (
+        build_band_index,
+        incremental_neardup,
+        minhash_band_candidates,
+        minhash_table,
+    )
+
+    corpus = _docs_df(spark)  # docs 1, 2 near-dups; 3 unrelated
+    index = build_band_index(corpus)
+    batch = spark.createDataFrame(
+        [
+            # near-dup of corpus doc 1 (one word changed)
+            Row(doc_id=10, text="the quick brown fox jumps over the lazy cat again and again"),
+            Row(doc_id=11, text="entirely novel content nothing like anything stored before now"),
+            # exact dup WITHIN the batch of doc 11
+            Row(doc_id=12, text="entirely novel content nothing like anything stored before now"),
+        ]
+    )
+    got = {
+        (r["new_id"], r["match_id"])
+        for r in incremental_neardup(batch, index).collect()
+    }
+    assert (10, 1) in got or (10, 2) in got  # historical near-dup caught
+    assert (12, 11) in got                   # batch-internal dup caught
+    assert all(nid != 11 for nid, _ in got)  # fresh doc not flagged
+
+    # equivalence: incremental == from-scratch on the union, restricted
+    # to pairs involving the batch
+    union = corpus.unionByName(batch)
+    scratch = {
+        (r["doc_a"], r["doc_b"])
+        for r in minhash_band_candidates(minhash_table(union), k=8, bands=4).collect()
+    }
+    scratch_batch_pairs = {
+        (b, a) for a, b in scratch if b >= 10 and a < 10
+    } | {(max(a, b), min(a, b)) for a, b in scratch if a >= 10 and b >= 10}
+    assert got == scratch_batch_pairs
