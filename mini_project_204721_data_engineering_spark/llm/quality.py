@@ -27,7 +27,7 @@ from pyspark.sql import functions as F
 
 from mini_project_204721_data_engineering_spark.llm.text import shingles, tokens
 
-__all__ = ["repetition_stats", "contaminated_docs"]
+__all__ = ["repetition_stats", "contaminated_docs", "pack_sequences"]
 
 
 def repetition_stats(
@@ -107,4 +107,41 @@ def contaminated_docs(
         .join(F.broadcast(bench_grams), "g")
         .groupBy("doc_id")
         .agg(F.count(F.lit(1)).alias("n_shared_grams"))
+    )
+
+
+def pack_sequences(
+    docs: DataFrame, window_tokens: int, strata: str = "lang"
+) -> DataFrame:
+    """Sequence packing: assign documents to fixed-token training bins.
+
+    Next-fit packing in deterministic ``doc_id`` order WITHIN each
+    stratum: running token total → ``bin_id = (cum − n_tokens) div
+    window_tokens`` (a doc starting inside bin b belongs to b; a doc
+    straddling a boundary overflows its bin rather than splitting —
+    the standard cheap packer; loss is bounded by max_doc/window).
+
+    The window is PARTITIONED by ``strata`` — per-stratum packing is
+    what training mixtures want anyway, and it keeps the prefix-sum a
+    keyed window (one shuffle, parallel across strata) instead of a
+    single-partition global sort that would serialize at 100 TB.
+    Returns (strata, doc_id, n_tokens, bin_id, bin_offset).
+    """
+    from mini_project_204721_data_engineering_spark.llm.text import token_count
+    from pyspark.sql.window import Window
+
+    w = (
+        Window.partitionBy(strata)
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    base = docs.select(strata, "doc_id", token_count(F.col("text")).alias("n_tokens"))
+    cum = base.withColumn("cum_tokens", F.sum("n_tokens").over(w))
+    start = F.col("cum_tokens") - F.col("n_tokens")
+    return cum.select(
+        strata,
+        "doc_id",
+        "n_tokens",
+        (start / window_tokens).cast("long").alias("bin_id"),
+        (start % window_tokens).cast("long").alias("bin_offset"),
     )

@@ -793,6 +793,39 @@ FROM sampled GROUP BY lang ORDER BY lang
 """
 
 
+#: context-window size for the sequence-packing demo
+PACK_WINDOW_TOKENS = 2048
+
+
+def sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing (llm/quality.py::pack_sequences): next-fit
+    assignment of docs to fixed-token training bins, packed per language
+    with a keyed window prefix-sum — never a global sort."""
+    from mini_project_204721_data_engineering_spark.llm.quality import pack_sequences
+
+    docs = load_table(spark, sf_dir, "documents")
+    return pack_sequences(docs, PACK_WINDOW_TOKENS, strata="lang")
+
+
+SEQUENCE_PACKING_SQL = rf"""
+WITH t AS (
+  SELECT lang, doc_id,
+         len(regexp_split_to_array(trim(text), '\s+')) AS n_tokens
+  FROM documents
+), c AS (
+  SELECT lang, doc_id, n_tokens,
+         sum(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+                             ROWS UNBOUNDED PRECEDING) AS cum
+  FROM t
+)
+SELECT lang, doc_id,
+       CAST(n_tokens AS INT) AS n_tokens,
+       CAST((cum - n_tokens) // {PACK_WINDOW_TOKENS} AS BIGINT) AS bin_id,
+       CAST((cum - n_tokens) % {PACK_WINDOW_TOKENS} AS BIGINT) AS bin_offset
+FROM c
+"""
+
+
 QUERIES = {
     "dedup_exact": dedup_exact,
     "corpus_prep": corpus_prep,
@@ -814,6 +847,7 @@ EXTRA_QUERIES = {
     "decontaminate": decontaminate,
     "corpus_sample_mix": corpus_sample_mix,
     "corpus_assembly": corpus_assembly,
+    "sequence_packing": sequence_packing,
 }
 EXTRA_ORACLES = {
     "lsh_jaccard_verified_dups": LSH_JACCARD_VERIFIED_SQL,
@@ -822,6 +856,7 @@ EXTRA_ORACLES = {
     "decontaminate": DECONTAMINATE_SQL,
     "corpus_sample_mix": CORPUS_SAMPLE_MIX_SQL,
     "corpus_assembly": CORPUS_ASSEMBLY_SQL,
+    "sequence_packing": SEQUENCE_PACKING_SQL,
 }
 
 ORACLES = {

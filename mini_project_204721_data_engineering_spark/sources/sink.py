@@ -25,6 +25,7 @@ __all__ = [
     "write_jdbc",
     "zorder_column",
     "write_zordered",
+    "write_jsonl",
 ]
 
 
@@ -252,3 +253,15 @@ def write_zordered(
         .write.mode("overwrite")
         .parquet(path)
     )
+
+
+def write_jsonl(
+    df: DataFrame, path: str, n_shards: int | None = None, compression: str = "gzip"
+) -> None:
+    """Training-corpus export: JSON-lines shards — the interchange format
+    downstream tokenizer/training jobs consume.  ``n_shards`` fixes the
+    output file count (repartition — at 100 TB pick shards of ~1 GB so
+    the training loader's parallelism matches the file count); gzip per
+    shard keeps text corpora ~3-5× smaller on the wire."""
+    w = df.repartition(n_shards) if n_shards else df
+    w.write.mode("overwrite").option("compression", compression).json(path)

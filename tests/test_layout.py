@@ -297,3 +297,19 @@ def test_zorder_layout_prunes_on_both_columns(spark, tmp_path):
     okey = [r["l_orderkey"] for r in li.limit(1).collect()][0]
     z_hit_k = sum(1 for lo, hi in file_ranges(zdir, "l_orderkey") if lo <= okey <= hi)
     assert z_hit_k <= len(z_ranges) // 2
+
+
+def test_write_jsonl_shards_round_trip(spark, tmp_path):
+    from mini_project_204721_data_engineering_spark.sources.sink import write_jsonl
+
+    docs = load_table(spark, SF, "documents").select("doc_id", "text", "lang")
+    out = str(tmp_path / "jsonl")
+    write_jsonl(docs, out, n_shards=4)
+    files = [f for f in os.listdir(out) if f.startswith("part-")]
+    assert len(files) == 4
+    assert all(f.endswith(".json.gz") for f in files)
+    back = spark.read.json(out)
+    assert back.count() == docs.count()
+    a = {r["doc_id"]: r["text"] for r in docs.collect()}
+    b = {r["doc_id"]: r["text"] for r in back.collect()}
+    assert a == b
