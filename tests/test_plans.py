@@ -159,3 +159,51 @@ def test_ivf_cell_assignment_is_shuffle_free(spark):
     emb = load_table(spark, SF, "embeddings")
     cells = assign_cells(emb, seeded_centroids(emb, 4))
     assert shuffle_count(cells) == 0
+
+
+def test_cheapest_supplier_is_one_aggregate_no_window(spark, qs):
+    """Q2-shape argmin must decorrelate to a partial-aggregated
+    min(struct) — one shuffle on the group key, no per-row window sort,
+    and only the three needed lineitem columns read."""
+    df = qs["cheapest_supplier_per_part"](spark, SF)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in plan
+    assert "partial" in plan.lower()
+    assert shuffle_count(df) <= 1
+    assert set(scan_columns(df, "lineitem.parquet")) == {
+        "l_partkey",
+        "l_suppkey",
+        "l_extendedprice",
+        "l_quantity",
+    }
+
+
+def test_orders_above_cust_avg_single_keyed_window(spark, qs):
+    """The decorrelated scalar subquery is ONE keyed window pass: a
+    single shuffle on o_custkey, no join, no subquery re-scan."""
+    df = qs["orders_above_cust_avg"](spark, SF)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Scan parquet") == 1
+    assert "Join" not in plan
+    assert shuffle_count(df) <= 1
+
+
+def test_sequence_packing_keyed_window_and_pruned_scan(spark, qs):
+    """Packing's prefix-sum must stay a KEYED window (partitioned by the
+    stratum — parallel across languages, one shuffle), never a global
+    single-partition sort; only (lang, doc_id, text) are read."""
+    df = qs["sequence_packing"](spark, SF)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert shuffle_count(df) <= 1
+    # a global (unpartitioned) window would shuffle to a single partition
+    assert "SinglePartition" not in plan
+    assert set(scan_columns(df, "documents.parquet")) == {"lang", "doc_id", "text"}
+
+
+def test_decontaminate_broadcast_shape(spark, qs):
+    """Driver-visible twin of the operator-level assert: the benchmark
+    gram set broadcasts; the corpus side never sort-merge-joins."""
+    df = qs["decontaminate"](spark, SF)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan

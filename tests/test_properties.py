@@ -235,3 +235,62 @@ def test_portable_round_spark_duckdb_halfway_corpus(spark):
         for v in vals
     ]
     assert got == want
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    st.lists(
+        st.lists(st.sampled_from(["a", "b", "c", "d"]), min_size=2, max_size=30),
+        min_size=1,
+        max_size=8,
+    )
+)
+def test_repetition_stats_matches_bruteforce(spark, docs_tokens):
+    """repetition_stats == a literal Python recount on arbitrary corpora:
+    same top-bigram count/fraction (with the cnt-then-lexicographic-max
+    tiebreak) and same distinct-token ratio."""
+    from collections import Counter
+
+    from mini_project_204721_data_engineering_spark.llm.quality import repetition_stats
+
+    rows = [Row(doc_id=i, text=" ".join(toks)) for i, toks in enumerate(docs_tokens)]
+    got = {r["doc_id"]: r for r in repetition_stats(spark.createDataFrame(rows)).collect()}
+    for i, toks in enumerate(docs_tokens):
+        bigrams = [f"{a} {b}" for a, b in zip(toks, toks[1:])]
+        cnt = Counter(bigrams)
+        best = max(cnt.items(), key=lambda kv: (kv[1], kv[0]))
+        r = got[i]
+        assert r["n_tokens"] == len(toks)
+        assert r["top_bigram"] == best[0]
+        assert r["top_bigram_n"] == best[1]
+        assert r["top_bigram_frac"] == best[1] / len(bigrams)
+        assert r["distinct_frac"] == round(len(set(toks)) / len(toks) * 10000) / 10000
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    st.lists(st.integers(min_value=1, max_value=400), min_size=1, max_size=40),
+    st.integers(min_value=64, max_value=512),
+)
+def test_pack_sequences_invariants(spark, token_counts, window):
+    """Packing invariants on arbitrary corpora: offsets in [0, window),
+    bin ids non-decreasing in doc order, every token accounted for
+    (cum of n_tokens == sum), and bin_id == floor(start/window)."""
+    from mini_project_204721_data_engineering_spark.llm.quality import pack_sequences
+
+    rows = [
+        Row(doc_id=i, text=" ".join(["w"] * n), lang="xx")
+        for i, n in enumerate(token_counts)
+    ]
+    out = sorted(
+        pack_sequences(spark.createDataFrame(rows), window).collect(),
+        key=lambda r: r["doc_id"],
+    )
+    start = 0
+    for r, n in zip(out, token_counts):
+        assert r["n_tokens"] == n
+        assert 0 <= r["bin_offset"] < window
+        assert r["bin_id"] == start // window
+        assert r["bin_offset"] == start % window
+        start += n
+    assert len(out) == len(token_counts)
