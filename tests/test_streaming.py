@@ -156,3 +156,67 @@ def test_watermark_drops_late_data_across_restarts(spark):
         shutil.rmtree(d, ignore_errors=True)
         shutil.rmtree(ckpt, ignore_errors=True)
         shutil.rmtree(out, ignore_errors=True)
+
+
+def test_corpus_intake_dedups_across_restart(spark):
+    """Streaming corpus intake: quality gate + PII scrub + exact dedup
+    whose hash-set state survives a checkpointed restart — a duplicate
+    arriving in a LATER run (new query, same checkpoint) is dropped, and
+    the raw-content hash dedups even though the stored text is scrubbed."""
+    d = tempfile.mkdtemp(prefix="docs_in_")
+    ckpt = tempfile.mkdtemp(prefix="docs_ckpt_")
+    out = tempfile.mkdtemp(prefix="docs_out_")
+
+    good = " ".join(f"w{i}" for i in range(120))  # clears the quality gate
+
+    def mk(rows):
+        return spark.createDataFrame(
+            rows, "doc_id long, text string, lang string, source string, n_chars long"
+        )
+
+    def run():
+        from mini_project_204721_data_engineering_spark.streaming.corpus import (
+            curate_stream,
+            read_docs_stream,
+        )
+
+        q = (
+            curate_stream(read_docs_stream(spark, d))
+            .writeStream.format("parquet")
+            .outputMode("append")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        assert q.awaitTermination(120)
+        return spark.read.parquet(out).collect()
+
+    try:
+        pii = good + " reach a.b@c.org now"
+        mk(
+            [
+                (1, good, "en", "s0", len(good)),
+                (2, pii, "en", "s0", len(pii)),
+                (3, "the of to and in is on", "en", "s0", 22),  # all glue words: fails the gate
+            ]
+        ).write.mode("append").parquet(d)
+        rows1 = run()
+        assert {r["doc_id"] for r in rows1} == {1, 2}
+        scrubbed = next(r for r in rows1 if r["doc_id"] == 2)
+        assert "<EMAIL>" in scrubbed["text"] and "a.b@c.org" not in scrubbed["text"]
+
+        # run 2: raw duplicate of doc 2 (pre-scrub content) + one fresh doc
+        fresh = " ".join(f"v{i}" for i in range(150))
+        mk(
+            [
+                (4, pii, "en", "s1", len(pii)),      # dup of doc 2's RAW text
+                (5, fresh, "de", "s1", len(fresh)),
+            ]
+        ).write.mode("append").parquet(d)
+        rows2 = run()
+        assert {r["doc_id"] for r in rows2} == {1, 2, 5}  # 4 deduped by state
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+        shutil.rmtree(ckpt, ignore_errors=True)
+        shutil.rmtree(out, ignore_errors=True)
