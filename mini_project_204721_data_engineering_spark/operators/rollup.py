@@ -23,6 +23,9 @@ __all__ = [
     "rollup_distinct",
     "reaggregate_distinct",
     "estimate_distinct",
+    "rollup_histogram",
+    "reaggregate_histogram",
+    "estimate_percentile",
 ]
 
 #: measure columns produced at every grain — algebraic, so any coarser
@@ -100,3 +103,74 @@ def estimate_distinct(rollup: DataFrame) -> DataFrame:
     return rollup.withColumn(
         "n_distinct", F.hll_sketch_estimate("entity_sketch")
     ).drop("entity_sketch")
+
+
+def rollup_histogram(
+    df: DataFrame,
+    ts_col: str,
+    value_col: str,
+    keys: Sequence[str],
+    grain: str,
+    lo: float,
+    hi: float,
+    n_bins: int = 128,
+) -> DataFrame:
+    """Percentile rollup: per bucket/key, an equi-width histogram of
+    ``value_col`` over [lo, hi] — rows of (bucket, keys..., bin, n).
+
+    Like ``count(DISTINCT)``, exact percentiles are not algebraic — a
+    daily p95 can't be combined into a weekly one.  Histogram counts ARE
+    (bin counts sum across any regrouping), so the rollup serves
+    percentile estimates at every grain from one fine table, error
+    bounded by bin width.  ``width_bucket`` is pure codegen; bins 0 and
+    n_bins+1 hold underflow/overflow so nothing is silently dropped.
+    """
+    return df.groupBy(
+        F.date_trunc(grain, F.col(ts_col)).alias("bucket"),
+        *keys,
+        F.width_bucket(F.col(value_col), F.lit(lo), F.lit(hi), F.lit(n_bins)).alias(
+            "bin"
+        ),
+    ).agg(F.count(F.lit(1)).alias("n"))
+
+
+def reaggregate_histogram(
+    fine: DataFrame, keys: Sequence[str], grain: str
+) -> DataFrame:
+    """Coarsen a histogram rollup: re-bucket time and SUM bin counts —
+    exact (no re-estimation error accumulates across grains)."""
+    return fine.groupBy(
+        F.date_trunc(grain, F.col("bucket")).alias("bucket"), *keys, "bin"
+    ).agg(F.sum("n").alias("n"))
+
+
+def estimate_percentile(
+    hist: DataFrame,
+    keys: Sequence[str],
+    p: float,
+    lo: float,
+    hi: float,
+    n_bins: int = 128,
+) -> DataFrame:
+    """Serve percentile ``p`` from a histogram rollup: per (bucket,
+    keys), walk the cumulative bin counts to the target rank and return
+    the covering bin's upper edge — error ≤ one bin width ((hi−lo)/n_bins).
+    One keyed window pass; no raw-data rescan."""
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("bucket", *keys).orderBy("bin").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    wall = Window.partitionBy("bucket", *keys)
+    width = (hi - lo) / n_bins
+    cum = hist.withColumn("cum", F.sum("n").over(w)).withColumn(
+        "total", F.sum("n").over(wall)
+    )
+    hit = cum.filter(F.col("cum") >= F.col("total") * p)
+    first_hit = hit.groupBy("bucket", *keys).agg(F.min("bin").alias("bin"))
+    return first_hit.select(
+        "bucket",
+        *keys,
+        # bin b covers (lo + (b-1)·width, lo + b·width]; report the upper edge
+        (F.lit(lo) + F.col("bin") * F.lit(width)).alias(f"p{int(p * 100)}_est"),
+    )

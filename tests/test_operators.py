@@ -343,3 +343,44 @@ def test_hll_sketch_rollup_cascade_exact_merge(spark):
     assert set(a) == set(exact)
     for k, est in a.items():
         assert abs(est - exact[k]) / exact[k] < 0.05, (k, est, exact[k])
+
+
+def test_histogram_rollup_percentiles_within_bin_width(spark):
+    """Histogram cascade contract: monthly-from-daily == monthly-direct
+    EXACTLY (bin counts are algebraic), and the served p50/p95 land
+    within one bin width of the true percentiles."""
+    from mini_project_204721_data_engineering_spark.catalog import load_table
+    from mini_project_204721_data_engineering_spark.operators.rollup import (
+        estimate_percentile,
+        reaggregate_histogram,
+        rollup_histogram,
+    )
+
+    ev = load_table(spark, "/root/testdata/sf0.001", "events")
+    lo, hi, n_bins = 0.0, 1000.0, 200
+    daily = rollup_histogram(ev, "ts", "value", ["event_type"], "day", lo, hi, n_bins)
+    monthly = reaggregate_histogram(daily, ["event_type"], "month")
+    direct = rollup_histogram(ev, "ts", "value", ["event_type"], "month", lo, hi, n_bins)
+    a = {(r["bucket"], r["event_type"], r["bin"]): r["n"] for r in monthly.collect()}
+    b = {(r["bucket"], r["event_type"], r["bin"]): r["n"] for r in direct.collect()}
+    assert a == b  # cascade is exact, not approximate
+
+    import math
+
+    width = (hi - lo) / n_bins
+    vals = {}
+    for r in ev.select(
+        F.date_trunc("month", "ts").alias("bucket"), "event_type", "value"
+    ).collect():
+        vals.setdefault((r["bucket"], r["event_type"]), []).append(r["value"])
+    for p in (0.5, 0.95):
+        est = {
+            (r["bucket"], r["event_type"]): r[f"p{int(p * 100)}_est"]
+            for r in estimate_percentile(monthly, ["event_type"], p, lo, hi, n_bins).collect()
+        }
+        assert set(est) == set(vals)
+        for k, xs in vals.items():
+            # type-1 (inverted-CDF) empirical quantile: the ceil(p·n)-th value
+            q1 = sorted(xs)[max(0, math.ceil(p * len(xs)) - 1)]
+            # the served estimate is the upper edge of the bin holding q1
+            assert est[k] - width - 1e-9 < q1 <= est[k] + 1e-9, (p, k, est[k], q1)
