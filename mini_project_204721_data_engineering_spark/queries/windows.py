@@ -296,6 +296,62 @@ FROM events GROUP BY event_type ORDER BY event_type
 """
 
 
+#: histogram-percentile demo bounds (events.value is bounded well below)
+HIST_LO, HIST_HI, HIST_BINS = 0.0, 1000.0, 200
+
+
+def value_p95_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """p95 per (month, event_type) served from the mergeable histogram
+    rollup (operators/rollup.py::rollup_histogram → estimate_percentile):
+    daily bin counts → monthly reaggregation → cumulative walk.  The
+    oracle recomputes the identical bin arithmetic from raw rows — what
+    it checks is that the cascade+walk is exactly the bin math it
+    claims, on top of the pytest guarantee that the bin contains the
+    type-1 quantile."""
+    from mini_project_204721_data_engineering_spark.operators.rollup import (
+        estimate_percentile,
+        reaggregate_histogram,
+        rollup_histogram,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    daily = rollup_histogram(
+        ev, "ts", "value", ["event_type"], "day", HIST_LO, HIST_HI, HIST_BINS
+    )
+    monthly = reaggregate_histogram(daily, ["event_type"], "month")
+    est = estimate_percentile(
+        monthly, ["event_type"], 0.95, HIST_LO, HIST_HI, HIST_BINS
+    )
+    return est.select(
+        F.date_format("bucket", "yyyy-MM").alias("month"),
+        "event_type",
+        "p95_est",
+    )
+
+
+_HIST_W = (HIST_HI - HIST_LO) / HIST_BINS
+VALUE_P95_HISTOGRAM_SQL = f"""
+WITH b AS (
+  SELECT strftime(date_trunc('month', ts), '%Y-%m') AS month, event_type,
+         CASE WHEN value < {HIST_LO} THEN 0
+              WHEN value >= {HIST_HI} THEN {HIST_BINS + 1}
+              ELSE CAST(floor((value - {HIST_LO}) / {_HIST_W}) AS BIGINT) + 1 END AS bin,
+         count(*) AS n
+  FROM events GROUP BY ALL
+), c AS (
+  SELECT month, event_type, bin, n,
+         sum(n) OVER (PARTITION BY month, event_type ORDER BY bin
+                      ROWS UNBOUNDED PRECEDING) AS cum,
+         sum(n) OVER (PARTITION BY month, event_type) AS total
+  FROM b
+)
+SELECT month, event_type,
+       {HIST_LO} + min(bin) * {_HIST_W} AS p95_est
+FROM c WHERE cum >= total * 0.95
+GROUP BY month, event_type
+"""
+
+
 QUERIES = {
     "events_hourly": events_hourly,
     "daily_activity": daily_activity,
@@ -307,6 +363,9 @@ QUERIES = {
     "events_sliding": events_sliding,
     "salted_counts": salted_counts,
 }
+
+EXTRA_QUERIES = {"value_p95_histogram": value_p95_histogram}
+EXTRA_ORACLES = {"value_p95_histogram": VALUE_P95_HISTOGRAM_SQL}
 
 ORACLES = {
     "events_hourly": EVENTS_HOURLY_SQL,
