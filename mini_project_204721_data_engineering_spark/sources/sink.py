@@ -26,6 +26,8 @@ __all__ = [
     "zorder_column",
     "write_zordered",
     "write_jsonl",
+    "delete_rows",
+    "compact_partitions",
 ]
 
 
@@ -120,6 +122,79 @@ def merge_into_fact(
     n_new = new_rows.count()
     overwrite_fact_partitions(merged, path, [partition_col])
     return n_new
+
+
+def delete_rows(
+    spark: SparkSession,
+    path: str,
+    predicate,
+    partition_col: str,
+) -> int:
+    """Targeted row deletion from a partitioned parquet fact — the
+    right-to-be-forgotten / takedown primitive a training-data store
+    must serve.  ``predicate`` is a Column selecting rows to DELETE.
+
+    Only partitions that actually contain matching rows are rewritten
+    (one dynamic partition overwrite each, same atomicity as
+    :func:`merge_into_fact`); every other partition's files stay
+    byte-identical, so the cost is proportional to the hit partitions,
+    not the table.  At 100 TB the affected-partition probe is a
+    scan-only job whose ``predicate`` pushes into the parquet footers.
+
+    Returns the number of rows deleted (0 = nothing matched, no write).
+    """
+    existing = spark.read.parquet(path)
+    affected = [
+        r[0]
+        for r in existing.filter(predicate).select(partition_col).distinct().collect()
+    ]
+    if not affected:
+        return 0
+    sliced = existing.filter(F.col(partition_col).isin(affected))
+    survivors = sliced.filter(~predicate)
+    n_deleted = sliced.count() - survivors.count()
+    if n_deleted == 0:
+        return 0
+    remaining = (
+        survivors.repartition(F.col(partition_col))
+        .localCheckpoint(eager=True)  # break lineage off `path` pre-overwrite
+    )
+    # dynamic overwrite only replaces partitions PRESENT in `remaining`;
+    # a partition whose every row matched has no survivors and must be
+    # dropped explicitly or its stale files would outlive the delete
+    kept = {r[0] for r in remaining.select(partition_col).distinct().collect()}
+    emptied = [v for v in affected if v not in kept]
+    if kept:
+        overwrite_fact_partitions(remaining, path, [partition_col])
+    jvm = spark._jvm
+    hconf = spark._jsc.hadoopConfiguration()
+    for v in emptied:
+        p = jvm.org.apache.hadoop.fs.Path(f"{path}/{partition_col}={v}")
+        p.getFileSystem(hconf).delete(p, True)
+    return n_deleted
+
+
+def compact_partitions(
+    spark: SparkSession,
+    path: str,
+    partition_col: str,
+    partitions: Sequence,
+) -> None:
+    """Small-file compaction: rewrite each listed partition as ONE file.
+    Streaming/incremental ingest accretes a file per trigger; at scale
+    readers pay per-file open and footer cost — periodic compaction of
+    cold partitions restores large files.  ``repartition(k, col)`` hashes
+    each partition value to exactly one task, so each partition directory
+    comes back as a single file; same partition-scoped dynamic overwrite
+    as :func:`delete_rows` — hot partitions not listed are untouched.
+    (Partitions larger than one task should stay with the ingest-time
+    layout instead — compact with a bucket column upstream.)"""
+    existing = spark.read.parquet(path)
+    sliced = existing.filter(F.col(partition_col).isin(list(partitions)))
+    compacted = sliced.repartition(
+        max(1, len(partitions)), F.col(partition_col)
+    ).localCheckpoint(eager=True)
+    overwrite_fact_partitions(compacted, path, [partition_col])
 
 
 def write_bucketed(

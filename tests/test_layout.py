@@ -313,3 +313,93 @@ def test_write_jsonl_shards_round_trip(spark, tmp_path):
     a = {r["doc_id"]: r["text"] for r in docs.collect()}
     b = {r["doc_id"]: r["text"] for r in back.collect()}
     assert a == b
+
+
+def test_delete_rows_rewrites_only_hit_partitions(spark, tmp_path):
+    """Right-to-be-forgotten: deleting one user's rows rewrites ONLY the
+    date partitions containing that user — untouched partitions keep
+    byte-identical files — and a re-run is a no-op."""
+    import glob
+    import hashlib
+
+    from mini_project_204721_data_engineering_spark.sources.sink import (
+        delete_rows,
+        write_fact_partitioned,
+    )
+
+    ev = load_table(spark, SF, "events").withColumn("day", F.col("ts").cast("date"))
+    root = str(tmp_path / "fact")
+    write_fact_partitioned(ev.repartition(1, "day"), root, ["day"])
+
+    target_user = ev.limit(1).collect()[0]["user_id"]
+    hit_days = {
+        str(r["day"]) for r in ev.filter(F.col("user_id") == target_user).select("day").distinct().collect()
+    }
+    all_days = {str(r["day"]) for r in ev.select("day").distinct().collect()}
+    untouched = sorted(all_days - hit_days)
+
+    def digest(day):
+        h = hashlib.md5()
+        for f in sorted(glob.glob(os.path.join(root, f"day={day}", "*.parquet"))):
+            h.update(open(f, "rb").read())
+        return h.hexdigest()
+
+    before = {d: digest(d) for d in untouched}
+    n_before = spark.read.parquet(root).count()
+    n_user = ev.filter(F.col("user_id") == target_user).count()
+
+    n_del = delete_rows(spark, root, F.col("user_id") == target_user, "day")
+    assert n_del == n_user
+    after = spark.read.parquet(root)
+    assert after.count() == n_before - n_user
+    assert after.filter(F.col("user_id") == target_user).count() == 0
+    # partitions without the user were not rewritten
+    assert {d: digest(d) for d in untouched} == before
+    # idempotent: nothing left to delete, no write happens
+    assert delete_rows(spark, root, F.col("user_id") == target_user, "day") == 0
+
+
+def test_compact_partitions_single_file_same_rows(spark, tmp_path):
+    from mini_project_204721_data_engineering_spark.sources.sink import (
+        compact_partitions,
+        write_fact_partitioned,
+    )
+    import glob
+
+    ev = load_table(spark, SF, "events").withColumn("day", F.col("ts").cast("date"))
+    root = str(tmp_path / "fact")
+    # fragment: 8 files per partition
+    write_fact_partitioned(ev.repartition(8), root, ["day"])
+    days = sorted({str(r["day"]) for r in ev.select("day").distinct().collect()})[:2]
+
+    def nfiles(day):
+        return len(glob.glob(os.path.join(root, f"day={day}", "*.parquet")))
+
+    assert all(nfiles(d) > 1 for d in days)
+    before = spark.read.parquet(root).count()
+    compact_partitions(spark, root, "day", days)
+    assert all(nfiles(d) == 1 for d in days)
+    assert spark.read.parquet(root).count() == before
+
+
+def test_delete_rows_drops_fully_emptied_partition(spark, tmp_path):
+    """Deleting EVERY row of a partition must remove its directory —
+    dynamic overwrite alone would leave the stale files in place."""
+    from mini_project_204721_data_engineering_spark.sources.sink import (
+        delete_rows,
+        write_fact_partitioned,
+    )
+
+    ev = load_table(spark, SF, "events").withColumn("day", F.col("ts").cast("date"))
+    root = str(tmp_path / "fact")
+    write_fact_partitioned(ev.repartition(1, "day"), root, ["day"])
+    victim = sorted(str(r["day"]) for r in ev.select("day").distinct().collect())[0]
+    n_victim = ev.filter(F.col("day") == victim).count()
+    assert n_victim > 0
+
+    n_del = delete_rows(spark, root, F.col("day").cast("string") == victim, "day")
+    assert n_del == n_victim
+    assert not os.path.exists(os.path.join(root, f"day={victim}"))
+    back = spark.read.parquet(root)
+    assert back.filter(F.col("day").cast("string") == victim).count() == 0
+    assert back.count() == ev.count() - n_victim
