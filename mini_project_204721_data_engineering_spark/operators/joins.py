@@ -74,6 +74,7 @@ def asof_join(
     right_time: str,
     payload: Sequence[str],
     payload_nonnull: bool = False,
+    tolerance: str | None = None,
 ) -> DataFrame:
     """As-of join (extension — absent from the reference, SURVEY §2.3 notes
     "no as-of joins"): for every ``left`` row, attach the ``payload``
@@ -96,6 +97,14 @@ def asof_join(
     At equal timestamps the right row wins (inclusive semantics, matching
     DuckDB ``ASOF LEFT JOIN ... ON l.t >= r.t``).
 
+    ``tolerance`` is a SQL expression for the maximum allowed
+    ``left_time − right_time`` staleness (``"INTERVAL '1' HOUR"`` for
+    timestamps, a numeric literal for numeric axes): a match older than
+    the tolerance yields NULL payloads, same as pandas
+    ``merge_asof(tolerance=...)``.  It is a post-fill filter on the one
+    carried right-timestamp — the plan shape (one shuffle + one sort)
+    does not change.
+
     ``payload_nonnull=True`` is the caller's promise that every payload
     column is non-null on every right row (true whenever the payload is
     group keys + count/sum aggregates).  Then per-column
@@ -117,12 +126,23 @@ def asof_join(
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     if payload_nonnull:
+        # the right-timestamp is carried (as one more filled column) only
+        # when a tolerance needs it — the default path pays nothing
         pay_types = {p: right.schema[p].dataType for p in payload}
+        l_extra, r_extra = [], []
+        if tolerance is not None:
+            rt_type = right.schema[right_time].dataType
+            l_extra = [F.lit(None).cast(rt_type).alias("__p___rt")]
+            r_extra = [F.col(right_time).alias("__p___rt")]
         l = left.select(
             *lcols,
             F.col(left_time).alias("__t"),
             F.lit(1).alias("__side"),
             *[F.lit(None).cast(pay_types[p]).alias(f"__p_{p}") for p in payload],
+            *l_extra,
+        )
+        names = [f"__p_{p}" for p in payload] + (
+            ["__p___rt"] if tolerance is not None else []
         )
         r = right.select(
             *[F.col(k) for k in keys],
@@ -134,19 +154,26 @@ def asof_join(
             F.col(right_time).alias("__t"),
             F.lit(0).alias("__side"),
             *[F.col(p).alias(f"__p_{p}") for p in payload],
-        ).select(*lcols, "__t", "__side", *[f"__p_{p}" for p in payload])
+            *r_extra,
+        ).select(*lcols, "__t", "__side", *names)
         filled = l.unionByName(r).select(
             *lcols,
+            "__t",
             "__side",
-            *[
-                F.last(f"__p_{p}", ignorenulls=True).over(w).alias(f"__p_{p}")
-                for p in payload
-            ],
+            *[F.last(c, ignorenulls=True).over(w).alias(c) for c in names],
         )
+        if tolerance is None:
+            return filled.filter(F.col("__side") == 1).select(
+                *lcols, *[F.col(f"__p_{p}").alias(p) for p in payload]
+            )
+        ok = (F.col("__t") - F.col("__p___rt")) <= F.expr(tolerance)
         return filled.filter(F.col("__side") == 1).select(
-            *lcols, *[F.col(f"__p_{p}").alias(p) for p in payload]
+            *lcols, *[F.when(ok, F.col(f"__p_{p}")).alias(p) for p in payload]
         )
-    pay_struct = F.struct(*[F.col(p).alias(p) for p in payload])
+    pay_fields = [F.col(p).alias(p) for p in payload]
+    if tolerance is not None:
+        pay_fields.append(F.col(right_time).alias("__rt"))
+    pay_struct = F.struct(*pay_fields)
     pay_type = (
         right.select(pay_struct.alias("__pay")).schema["__pay"].dataType
     )
@@ -165,10 +192,16 @@ def asof_join(
     ).select(*lcols, "__t", "__side", "__pay")
     filled = l.unionByName(r).select(
         *lcols,
+        "__t",
         "__side",
         F.last("__pay", ignorenulls=True).over(w).alias("__pay"),
     )
-    return (
-        filled.filter(F.col("__side") == 1)
-        .select(*lcols, *[F.col(f"__pay.{p}").alias(p) for p in payload])
+    if tolerance is None:
+        return (
+            filled.filter(F.col("__side") == 1)
+            .select(*lcols, *[F.col(f"__pay.{p}").alias(p) for p in payload])
+        )
+    ok = (F.col("__t") - F.col("__pay.__rt")) <= F.expr(tolerance)
+    return filled.filter(F.col("__side") == 1).select(
+        *lcols, *[F.when(ok, F.col(f"__pay.{p}")).alias(p) for p in payload]
     )

@@ -151,7 +151,10 @@ def delete_rows(
     if not affected:
         return 0
     sliced = existing.filter(F.col(partition_col).isin(affected))
-    survivors = sliced.filter(~predicate)
+    # three-valued logic: a row where the predicate evaluates NULL (e.g.
+    # a null key column) must SURVIVE — plain ~predicate is NULL there
+    # and filter would silently drop it
+    survivors = sliced.filter(~F.coalesce(predicate, F.lit(False)))
     n_deleted = sliced.count() - survivors.count()
     if n_deleted == 0:
         return 0

@@ -403,3 +403,23 @@ def test_delete_rows_drops_fully_emptied_partition(spark, tmp_path):
     back = spark.read.parquet(root)
     assert back.filter(F.col("day").cast("string") == victim).count() == 0
     assert back.count() == ev.count() - n_victim
+
+
+def test_delete_rows_null_predicate_rows_survive(spark, tmp_path):
+    """Three-valued logic: rows where the delete predicate evaluates NULL
+    (null key column) must survive, not be silently dropped."""
+    from mini_project_204721_data_engineering_spark.sources.sink import (
+        delete_rows,
+        write_fact_partitioned,
+    )
+
+    df = spark.createDataFrame(
+        [(1, 7, "2024-01-01"), (2, None, "2024-01-01"), (3, 8, "2024-01-02")],
+        "id long, user_id long, day string",
+    )
+    root = str(tmp_path / "fact")
+    write_fact_partitioned(df.repartition(1), root, ["day"])
+    n = delete_rows(spark, root, F.col("user_id") == 7, "day")
+    assert n == 1
+    back = {r["id"] for r in spark.read.parquet(root).collect()}
+    assert back == {2, 3}  # the null-user row survived

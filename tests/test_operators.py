@@ -384,3 +384,44 @@ def test_histogram_rollup_percentiles_within_bin_width(spark):
             q1 = sorted(xs)[max(0, math.ceil(p * len(xs)) - 1)]
             # the served estimate is the upper edge of the bin holding q1
             assert est[k] - width - 1e-9 < q1 <= est[k] + 1e-9, (p, k, est[k], q1)
+
+
+def test_asof_join_tolerance_matches_pandas(spark):
+    """tolerance nulls matches staler than the bound — exactly pandas
+    merge_asof(tolerance=...) — on both the struct and flat paths."""
+    import pandas as pd
+
+    left = spark.createDataFrame(
+        [(1, 10.0), (1, 25.0), (1, 100.0), (2, 5.0)], "k long, t double"
+    )
+    right = spark.createDataFrame(
+        [(1, 8.0, 80.0), (1, 20.0, 200.0), (2, 1.0, 10.0)], "k long, t double, v double"
+    )
+    from mini_project_204721_data_engineering_spark.operators.joins import asof_join
+
+    expected = pd.merge_asof(
+        left.toPandas().sort_values("t"),
+        right.toPandas().sort_values("t").rename(columns={"t": "rt"}),
+        left_on="t",
+        right_on="rt",
+        by="k",
+        tolerance=6.0,
+    )
+    want = {
+        (r.k, r.t): (None if pd.isna(r.v) else r.v) for r in expected.itertuples()
+    }
+    for nonnull in (False, True):
+        got = {
+            (r["k"], r["t"]): r["v"]
+            for r in asof_join(
+                left,
+                right,
+                on=["k"],
+                left_time="t",
+                right_time="t",
+                payload=["v"],
+                payload_nonnull=nonnull,
+                tolerance="6.0",
+            ).collect()
+        }
+        assert got == want, (nonnull, got, want)
