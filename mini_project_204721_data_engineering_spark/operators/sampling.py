@@ -36,7 +36,12 @@ def hash_sample_predicate(key: Column, rate: float, salt: str = "sample") -> Col
 
     ``rate >= 1`` short-circuits to TRUE (a 4-char string can't compare
     below the 5-char threshold lexicographically, so it is special-cased
-    rather than encoded)."""
+    rather than encoded).
+
+    NULL keys: the hash of a null key is null, so the predicate is null
+    and the row is dropped at any rate < 1 (identically in Spark and the
+    DuckDB oracle — ``concat``/``||`` propagate NULL in both).  Sample on
+    a non-null key, or ``coalesce`` upstream if null keys must be kept."""
     if rate >= 1.0:
         return F.lit(True)
     return (

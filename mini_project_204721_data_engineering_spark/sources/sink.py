@@ -290,6 +290,8 @@ def zorder_column(df: DataFrame, cols: Sequence[str], bits: int = 16):
     scaled = []
     for c in cols:
         lo, hi = stats[f"__min_{c}"], stats[f"__max_{c}"]
+        if lo is None or hi is None:  # empty or all-null column: no order
+            return F.lit(0).cast("long").alias("__zval")
         span = max(1, int(hi) - int(lo))
         # value → [0, 2^bits): codegen'd long arithmetic
         scaled.append(
