@@ -31,3 +31,16 @@ def test_probability_bounds(spark):
     assert bad == 0
     floored = df.filter((F.col("count_of_disasters") > 0) & (F.col("probability") < 80)).count()
     assert floored == 0
+
+
+def test_extra_queries_and_oracles_align(spark):
+    """EXTRA demos follow the same contract as the driver set: every
+    EXTRA oracle has an EXTRA query, and EXTRA names never shadow
+    driver-facing names (the driver merges by name)."""
+    from mini_project_204721_data_engineering_spark import queries as _q
+
+    qs = entrymod.queries()
+    extras = _q.all_extra_queries()
+    extra_oracles = _q.all_extra_oracles()
+    assert set(extra_oracles) <= set(extras)
+    assert not (set(extras) & set(qs))
