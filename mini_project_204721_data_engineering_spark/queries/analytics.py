@@ -1189,6 +1189,32 @@ FROM w WHERE o_totalprice > cust_avg
 """
 
 
+def events_unpivot_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNPIVOT / melt (EXTRA): the wide day×type matrix from
+    events_pivot_daily melted back to long form with ``DataFrame.unpivot``
+    (Spark's native melt — codegen Expand, no UDF, no shuffle beyond the
+    pivot's own).  The oracle computes the long form DIRECTLY from raw
+    events, so a green row proves pivot→unpivot is lossless (zero-count
+    cells included, which raw grouping would silently lack)."""
+    wide = events_pivot_daily(spark, sf_dir)
+    types = ["click", "view", "signup", "purchase", "error"]
+    return wide.unpivot("day", types, "event_type", "n").orderBy("day", "event_type")
+
+
+EVENTS_UNPIVOT_ROUNDTRIP_SQL = """
+WITH days AS (SELECT DISTINCT strftime(CAST(ts AS DATE), '%Y-%m-%d') AS day FROM events),
+types AS (SELECT unnest(['click','view','signup','purchase','error']) AS event_type),
+grid AS (SELECT day, event_type FROM days CROSS JOIN types),
+cnt AS (
+  SELECT strftime(CAST(ts AS DATE), '%Y-%m-%d') AS day, event_type, count(*) AS n
+  FROM events GROUP BY 1, 2
+)
+SELECT g.day, g.event_type, CAST(coalesce(c.n, 0) AS BIGINT) AS n
+FROM grid g LEFT JOIN cnt c ON g.day = c.day AND g.event_type = c.event_type
+ORDER BY g.day, g.event_type
+"""
+
+
 # Driver-facing set (≤50 across all modules — see queries/__init__.py).
 # Operator coverage notes for the variants demoted to EXTRA_*:
 # - J8 left-anti  → driver row via new_events_only (same anti_join operator)
@@ -1264,6 +1290,7 @@ EXTRA_QUERIES = {
     "revenue_cube": revenue_cube,
     "cheapest_supplier_per_part": cheapest_supplier_per_part,
     "orders_above_cust_avg": orders_above_cust_avg,
+    "events_unpivot_roundtrip": events_unpivot_roundtrip,
 }
 
 EXTRA_ORACLES = {
@@ -1281,4 +1308,5 @@ EXTRA_ORACLES = {
     "red_parts_by_brand": RED_PARTS_BY_BRAND_SQL,
     "cheapest_supplier_per_part": CHEAPEST_SUPPLIER_PER_PART_SQL,
     "orders_above_cust_avg": ORDERS_ABOVE_CUST_AVG_SQL,
+    "events_unpivot_roundtrip": EVENTS_UNPIVOT_ROUNDTRIP_SQL,
 }
