@@ -124,6 +124,37 @@ class ListQuery:
         df = self._filtered().orderBy(*self._order(order_by, order_type))
         return df.offset((page - 1) * page_size).limit(page_size)
 
+    def keyset_page(
+        self,
+        after: tuple[Any, Any] | None = None,
+        page_size: int = 10,
+        order_by: str | None = None,
+    ) -> DataFrame:
+        """O3 at scale: keyset (cursor) pagination — the deep-page form.
+
+        ``after`` is the last row of the previous page as
+        ``(sort_value, tiebreaker_value)``; the next page is a pushed-down
+        range predicate ``(sort, tie) > (after_sort, after_tie)`` + top-k.
+        Unlike ``offset``, cost does not grow with page depth: page 10⁶
+        still reads only rows past the cursor (partition-pruned when the
+        sort key is the partition key).  Ascending only — a cursor needs a
+        total order, which the mandatory tiebreaker provides.
+        """
+        if self.tiebreaker is None:
+            raise ValueError("keyset pagination requires a tiebreaker column")
+        page_size = max(1, min(self.max_page_size, page_size))
+        col = self.sortable.get(order_by or "", None)
+        if col is None:
+            col = self.sortable[self.default_order]
+        df = self._filtered()
+        if after is not None:
+            sort_v, tie_v = after
+            df = df.filter(
+                (col > F.lit(sort_v))
+                | ((col == F.lit(sort_v)) & (self.tiebreaker > F.lit(tie_v)))
+            )
+        return df.orderBy(col.asc(), self.tiebreaker.asc()).limit(page_size)
+
     def fetch(
         self,
         page: int = 1,

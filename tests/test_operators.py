@@ -425,3 +425,50 @@ def test_asof_join_tolerance_matches_pandas(spark):
             ).collect()
         }
         assert got == want, (nonnull, got, want)
+
+
+def test_keyset_pagination_walks_all_rows_and_stays_topk(spark):
+    """keyset_page: walking pages by cursor visits every row exactly once
+    in order, agrees with offset pagination, and each page compiles to
+    TakeOrderedAndProject with the cursor predicate pushed."""
+    from mini_project_204721_data_engineering_spark.plans.checks import has_take_ordered
+
+    df = _people(spark)  # 30 rows, val = 100-id (distinct), grp = id%3
+    q = ListQuery(
+        base=df,
+        sortable={"val": F.col("val")},
+        default_order="val",
+        tiebreaker=F.col("id"),
+    )
+    seen, cursor = [], None
+    while True:
+        page = q.keyset_page(after=cursor, page_size=7)
+        rows = page.collect()
+        if not rows:
+            break
+        assert has_take_ordered(page)
+        seen += [(r["val"], r["id"]) for r in rows]
+        cursor = (rows[-1]["val"], rows[-1]["id"])
+    assert seen == sorted(seen)
+    assert len(seen) == 30 and len(set(seen)) == 30
+    # same order as offset pagination
+    offset_rows = [
+        (r["val"], r["id"])
+        for p in range(1, 4)
+        for r in q.page_df(page=p, page_size=10).collect()
+    ]
+    assert seen == offset_rows
+    # ties on the sort key: duplicate vals still walk exactly once
+    dup = df.withColumn("val", F.col("grp").cast("double"))
+    q2 = ListQuery(
+        base=dup, sortable={"val": F.col("val")}, default_order="val",
+        tiebreaker=F.col("id"),
+    )
+    seen2, cursor = [], None
+    while True:
+        rows = q2.keyset_page(after=cursor, page_size=4).collect()
+        if not rows:
+            break
+        seen2 += [(r["val"], r["id"]) for r in rows]
+        cursor = (rows[-1]["val"], rows[-1]["id"])
+    assert len(seen2) == 30 and len(set(seen2)) == 30 and seen2 == sorted(seen2)
