@@ -220,3 +220,56 @@ def test_corpus_intake_dedups_across_restart(spark):
         shutil.rmtree(d, ignore_errors=True)
         shutil.rmtree(ckpt, ignore_errors=True)
         shutil.rmtree(out, ignore_errors=True)
+
+
+def test_stream_foreachbatch_merge_is_replay_safe(spark):
+    """End-to-end exactly-once: the curated doc stream lands in the fact
+    table through foreachBatch + merge_into_fact, so even a FULL REPLAY
+    (checkpoint lost, stream rerun from scratch) leaves the table
+    without duplicate keys — state-based dedup alone can't promise that."""
+    d = tempfile.mkdtemp(prefix="docs2_in_")
+    out = tempfile.mkdtemp(prefix="docs2_fact_") + "/t"
+
+    good1 = " ".join(f"w{i}" for i in range(120))
+    good2 = " ".join(f"x{i}" for i in range(130))
+    spark.createDataFrame(
+        [(1, good1, "en", "s0", len(good1)), (2, good2, "de", "s0", len(good2))],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).write.mode("append").parquet(d)
+
+    from mini_project_204721_data_engineering_spark.sources.sink import merge_into_fact
+    from mini_project_204721_data_engineering_spark.streaming.corpus import (
+        curate_stream,
+        read_docs_stream,
+    )
+
+    def run(ckpt):
+        q = (
+            curate_stream(read_docs_stream(spark, d))
+            .writeStream.foreachBatch(
+                lambda batch, _id: merge_into_fact(
+                    batch, out, keys=["content_hash"], partition_col="lang"
+                )
+            )
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        assert q.awaitTermination(120)
+
+    ck1 = tempfile.mkdtemp(prefix="docs2_ck1_")
+    ck2 = tempfile.mkdtemp(prefix="docs2_ck2_")
+    try:
+        run(ck1)
+        first = spark.read.parquet(out).collect()
+        assert {r["doc_id"] for r in first} == {1, 2}
+        # full replay with a FRESH checkpoint: every batch re-delivered
+        run(ck2)
+        again = spark.read.parquet(out)
+        assert again.count() == 2
+        assert again.groupBy("content_hash").count().filter("count > 1").count() == 0
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+        shutil.rmtree(os.path.dirname(out), ignore_errors=True)
+        shutil.rmtree(ck1, ignore_errors=True)
+        shutil.rmtree(ck2, ignore_errors=True)
