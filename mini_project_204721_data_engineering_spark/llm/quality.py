@@ -27,7 +27,7 @@ from pyspark.sql import functions as F
 
 from mini_project_204721_data_engineering_spark.llm.text import shingles, tokens
 
-__all__ = ["repetition_stats", "contaminated_docs", "pack_sequences"]
+__all__ = ["repetition_stats", "contaminated_docs", "pack_sequences", "build_vocab"]
 
 
 def repetition_stats(
@@ -107,6 +107,31 @@ def contaminated_docs(
         .join(F.broadcast(bench_grams), "g")
         .groupBy("doc_id")
         .agg(F.count(F.lit(1)).alias("n_shared_grams"))
+    )
+
+
+def build_vocab(docs: DataFrame, top_n: int = 1000) -> DataFrame:
+    """Vocabulary induction: corpus word counts → the ``top_n`` words
+    with contiguous ids (0-based, by count desc then word asc — the
+    deterministic tie-break a reproducible tokenizer needs).
+
+    One explode → map-side-combined count → a single top-n sort of the
+    DISTINCT-WORD table (vocabulary-sized, not corpus-sized — at 100 TB
+    the corpus has ~10⁶-10⁷ distinct words, trivially sortable; the
+    corpus itself is never globally sorted).  Returns
+    (token, n_occurrences, token_id)."""
+    from pyspark.sql.window import Window
+
+    counts = (
+        docs.select(F.explode(tokens(F.col("text"))).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("n_occurrences"))
+    )
+    w = Window.orderBy(F.col("n_occurrences").desc(), F.col("token").asc())
+    return (
+        counts.withColumn("token_id", F.row_number().over(w) - 1)
+        .filter(F.col("token_id") < top_n)
+        .select("token", "n_occurrences", "token_id")
     )
 
 

@@ -23,7 +23,12 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["hash_sample_predicate", "hash_sample", "stratified_hash_sample"]
+__all__ = [
+    "hash_sample_predicate",
+    "hash_sample",
+    "stratified_hash_sample",
+    "assign_split",
+]
 
 
 def _threshold_hex(rate: float) -> str:
@@ -79,3 +84,32 @@ def stratified_hash_sample(
         branch = hash_sample_predicate(F.col(key), rate, salt)
         expr = F.when(cond, branch) if expr is None else expr.when(cond, branch)
     return df.filter(default if expr is None else expr.otherwise(default))
+
+
+def assign_split(
+    df: DataFrame,
+    key: str,
+    splits: Sequence[tuple[str, float]] = (("train", 0.9), ("val", 0.05), ("test", 0.05)),
+    salt: str = "split",
+) -> DataFrame:
+    """Deterministic train/val/test assignment: a ``split`` column from
+    consecutive md5-threshold ranges over the same 16-bit hash as
+    :func:`hash_sample_predicate`.
+
+    Every row lands in exactly one split (the last split absorbs the
+    residual hash range, so weights that sum to 1 cover everything), the
+    assignment is stable under reruns/repartitioning, and — because the
+    hash is keyed, not row-ordered — adding new rows never moves old
+    rows between splits (no leakage of yesterday's train docs into
+    tomorrow's test set)."""
+    h = F.substring(F.md5(F.concat(F.lit(salt + "|"), F.col(key).cast("string"))), 1, 4)
+    expr = None
+    cum = 0.0
+    for name, weight in list(splits)[:-1]:
+        cum += weight
+        cond = h < F.lit(_threshold_hex(cum))
+        expr = F.when(cond, F.lit(name)) if expr is None else expr.when(cond, F.lit(name))
+    last = list(splits)[-1][0]
+    return df.withColumn(
+        "split", F.lit(last) if expr is None else expr.otherwise(F.lit(last))
+    )

@@ -826,6 +826,68 @@ FROM c
 """
 
 
+def corpus_splits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val/test assignment
+    (operators/sampling.py::assign_split): per-(split, lang) doc and
+    token counts.  Keyed hashing means new docs never move old docs
+    between splits — the no-leakage property a growing corpus needs."""
+    from mini_project_204721_data_engineering_spark.llm.text import token_count
+    from mini_project_204721_data_engineering_spark.operators.sampling import assign_split
+
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        assign_split(docs, key="doc_id")
+        .groupBy("split", "lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(token_count(F.col("text"))).cast("long").alias("n_tokens"),
+        )
+        .orderBy("split", "lang")
+    )
+
+
+#: thresholds: cum weights 0.9, 0.95 → hex(0.9·65536)=e666, hex(0.95·65536)=f333
+CORPUS_SPLITS_SQL = r"""
+WITH assigned AS (
+  SELECT lang,
+         len(regexp_split_to_array(trim(text), '\s+')) AS n_tokens,
+         CASE WHEN substring(md5('split|' || doc_id), 1, 4) < 'e666' THEN 'train'
+              WHEN substring(md5('split|' || doc_id), 1, 4) < 'f333' THEN 'val'
+              ELSE 'test' END AS split
+  FROM documents
+)
+SELECT split, lang, count(*) AS n_docs,
+       CAST(sum(n_tokens) AS BIGINT) AS n_tokens
+FROM assigned GROUP BY split, lang ORDER BY split, lang
+"""
+
+
+def vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary induction (llm/quality.py::build_vocab): corpus word
+    counts → top-50 tokens with deterministic contiguous ids."""
+    from mini_project_204721_data_engineering_spark.llm.quality import build_vocab
+
+    docs = load_table(spark, sf_dir, "documents")
+    return build_vocab(docs, top_n=50)
+
+
+VOCAB_TOPK_SQL = r"""
+WITH t AS (
+  SELECT unnest(regexp_split_to_array(trim(text), '\s+')) AS token
+  FROM documents
+), c AS (
+  SELECT token, count(*) AS n_occurrences FROM t GROUP BY token
+), r AS (
+  SELECT token, n_occurrences,
+         row_number() OVER (ORDER BY n_occurrences DESC, token ASC) - 1 AS token_id
+  FROM c
+)
+SELECT token, CAST(n_occurrences AS BIGINT) AS n_occurrences,
+       CAST(token_id AS INT) AS token_id
+FROM r WHERE token_id < 50
+"""
+
+
 QUERIES = {
     "dedup_exact": dedup_exact,
     "corpus_prep": corpus_prep,
@@ -848,6 +910,8 @@ EXTRA_QUERIES = {
     "corpus_sample_mix": corpus_sample_mix,
     "corpus_assembly": corpus_assembly,
     "sequence_packing": sequence_packing,
+    "corpus_splits": corpus_splits,
+    "vocab_topk": vocab_topk,
 }
 EXTRA_ORACLES = {
     "lsh_jaccard_verified_dups": LSH_JACCARD_VERIFIED_SQL,
@@ -857,6 +921,8 @@ EXTRA_ORACLES = {
     "corpus_sample_mix": CORPUS_SAMPLE_MIX_SQL,
     "corpus_assembly": CORPUS_ASSEMBLY_SQL,
     "sequence_packing": SEQUENCE_PACKING_SQL,
+    "corpus_splits": CORPUS_SPLITS_SQL,
+    "vocab_topk": VOCAB_TOPK_SQL,
 }
 
 ORACLES = {

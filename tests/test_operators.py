@@ -472,3 +472,27 @@ def test_keyset_pagination_walks_all_rows_and_stays_topk(spark):
         seen2 += [(r["val"], r["id"]) for r in rows]
         cursor = (rows[-1]["val"], rows[-1]["id"])
     assert len(seen2) == 30 and len(set(seen2)) == 30 and seen2 == sorted(seen2)
+
+
+def test_assign_split_partitions_and_never_reassigns(spark):
+    """Every row gets exactly one split at ~the requested weights, and
+    adding new rows never moves existing rows between splits (keyed
+    hashing — the no-leakage property)."""
+    from mini_project_204721_data_engineering_spark.operators.sampling import assign_split
+
+    df = spark.range(0, 20000).withColumnRenamed("id", "k")
+    out = assign_split(df, "k")
+    got = {r["split"]: r["n"] for r in out.groupBy("split").agg(F.count("*").alias("n")).collect()}
+    assert set(got) == {"train", "val", "test"}
+    assert sum(got.values()) == 20000
+    assert abs(got["train"] / 20000 - 0.9) < 0.01
+    assert abs(got["val"] / 20000 - 0.05) < 0.005
+    assert abs(got["test"] / 20000 - 0.05) < 0.005
+    first = {r["k"]: r["split"] for r in out.collect()}
+    grown = {
+        r["k"]: r["split"]
+        for r in assign_split(
+            spark.range(0, 40000).withColumnRenamed("id", "k"), "k"
+        ).collect()
+    }
+    assert all(grown[k] == v for k, v in first.items())
