@@ -888,6 +888,54 @@ FROM r WHERE token_id < 50
 """
 
 
+def oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Out-of-vocabulary rate per language against the induced top-10
+    vocabulary (llm/quality.py::build_vocab): the coverage metric that
+    decides whether a tokenizer's vocab is big enough.  The vocab side
+    is vocabulary-sized → broadcast; the corpus explode joins map-side.
+    Single-division ratio needs no rounding (identical IEEE both
+    engines)."""
+    from mini_project_204721_data_engineering_spark.llm.quality import build_vocab
+    from mini_project_204721_data_engineering_spark.llm.text import tokens
+
+    docs = load_table(spark, sf_dir, "documents")
+    vocab = build_vocab(docs, top_n=10).select("token")
+    tok = docs.select("lang", F.explode(tokens(F.col("text"))).alias("token"))
+    joined = tok.join(
+        F.broadcast(vocab.withColumn("in_vocab", F.lit(1))), "token", "left"
+    )
+    return (
+        joined.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            (1.0 - F.sum(F.coalesce(F.col("in_vocab"), F.lit(0))) / F.count(F.lit(1))).alias(
+                "oov_frac"
+            ),
+        )
+        .orderBy("lang")
+    )
+
+
+OOV_RATE_SQL = r"""
+WITH t AS (
+  SELECT lang, unnest(regexp_split_to_array(trim(text), '\s+')) AS token
+  FROM documents
+), c AS (
+  SELECT token, count(*) AS n FROM t GROUP BY token
+), vocab AS (
+  SELECT token FROM (
+    SELECT token, row_number() OVER (ORDER BY n DESC, token ASC) - 1 AS token_id
+    FROM c
+  ) WHERE token_id < 10
+)
+SELECT lang,
+       count(*) AS n_tokens,
+       1.0 - sum(CASE WHEN v.token IS NOT NULL THEN 1 ELSE 0 END) * 1.0 / count(*) AS oov_frac
+FROM t LEFT JOIN vocab v USING (token)
+GROUP BY lang ORDER BY lang
+"""
+
+
 QUERIES = {
     "dedup_exact": dedup_exact,
     "corpus_prep": corpus_prep,
@@ -912,6 +960,7 @@ EXTRA_QUERIES = {
     "sequence_packing": sequence_packing,
     "corpus_splits": corpus_splits,
     "vocab_topk": vocab_topk,
+    "oov_rate": oov_rate,
 }
 EXTRA_ORACLES = {
     "lsh_jaccard_verified_dups": LSH_JACCARD_VERIFIED_SQL,
@@ -923,6 +972,7 @@ EXTRA_ORACLES = {
     "sequence_packing": SEQUENCE_PACKING_SQL,
     "corpus_splits": CORPUS_SPLITS_SQL,
     "vocab_topk": VOCAB_TOPK_SQL,
+    "oov_rate": OOV_RATE_SQL,
 }
 
 ORACLES = {
