@@ -27,7 +27,13 @@ from pyspark.sql import functions as F
 
 from mini_project_204721_data_engineering_spark.llm.text import shingles, tokens
 
-__all__ = ["repetition_stats", "contaminated_docs", "pack_sequences", "build_vocab"]
+__all__ = [
+    "repetition_stats",
+    "contaminated_docs",
+    "pack_sequences",
+    "build_vocab",
+    "chunk_text",
+]
 
 
 def repetition_stats(
@@ -107,6 +113,37 @@ def contaminated_docs(
         .join(F.broadcast(bench_grams), "g")
         .groupBy("doc_id")
         .agg(F.count(F.lit(1)).alias("n_shared_grams"))
+    )
+
+
+def chunk_text(docs: DataFrame, window: int = 64, overlap: int = 16) -> DataFrame:
+    """Overlapping token-window chunking — the retrieval/embedding prep
+    step (each chunk embeds separately; overlap preserves cross-boundary
+    context).  Chunk starts stride by ``window − overlap``; the last
+    chunk may be short.
+
+    All array expressions (``sequence`` → ``transform`` → ``slice``)
+    until one explode — per-document work, embarrassingly parallel, no
+    shuffle at any corpus size.  Returns
+    (doc_id, chunk_idx, n_tokens, chunk_text).
+    """
+    if not 0 <= overlap < window:
+        raise ValueError("need 0 <= overlap < window")
+    stride = window - overlap
+    chunks = F.expr(
+        f"transform(sequence(0, size(toks) - 1, {stride}), "
+        f"s -> struct(cast(s / {stride} as int) as chunk_idx, "
+        f"slice(toks, s + 1, {window}) as chunk))"
+    )
+    return (
+        docs.select("doc_id", tokens(F.col("text")).alias("toks"))
+        .select("doc_id", F.explode(chunks).alias("c"))
+        .select(
+            "doc_id",
+            F.col("c.chunk_idx").alias("chunk_idx"),
+            F.size("c.chunk").alias("n_tokens"),
+            F.concat_ws(" ", F.col("c.chunk")).alias("chunk_text"),
+        )
     )
 
 

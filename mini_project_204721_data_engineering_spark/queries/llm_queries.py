@@ -936,6 +936,35 @@ GROUP BY lang ORDER BY lang
 """
 
 
+def text_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping token-window chunking (llm/quality.py::chunk_text):
+    64-token windows, 16-token overlap — per-doc array math, zero
+    shuffle.  Chunk text hashed so the oracle value-checks content
+    without hauling strings through the compare."""
+    from mini_project_204721_data_engineering_spark.llm.quality import chunk_text
+
+    docs = load_table(spark, sf_dir, "documents")
+    return chunk_text(docs, window=64, overlap=16).select(
+        "doc_id", "chunk_idx", "n_tokens", F.md5("chunk_text").alias("chunk_hash")
+    )
+
+
+TEXT_CHUNKS_SQL = r"""
+WITH t AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks
+  FROM documents
+), s AS (
+  SELECT doc_id, toks, unnest(range(0, len(toks), 48)) AS start
+  FROM t
+)
+SELECT doc_id,
+       CAST(start // 48 AS INT) AS chunk_idx,
+       CAST(len(toks[start + 1 : start + 64]) AS INT) AS n_tokens,
+       md5(array_to_string(toks[start + 1 : start + 64], ' ')) AS chunk_hash
+FROM s
+"""
+
+
 QUERIES = {
     "dedup_exact": dedup_exact,
     "corpus_prep": corpus_prep,
@@ -961,6 +990,7 @@ EXTRA_QUERIES = {
     "corpus_splits": corpus_splits,
     "vocab_topk": vocab_topk,
     "oov_rate": oov_rate,
+    "text_chunks": text_chunks,
 }
 EXTRA_ORACLES = {
     "lsh_jaccard_verified_dups": LSH_JACCARD_VERIFIED_SQL,
@@ -973,6 +1003,7 @@ EXTRA_ORACLES = {
     "corpus_splits": CORPUS_SPLITS_SQL,
     "vocab_topk": VOCAB_TOPK_SQL,
     "oov_rate": OOV_RATE_SQL,
+    "text_chunks": TEXT_CHUNKS_SQL,
 }
 
 ORACLES = {

@@ -482,3 +482,25 @@ def test_incremental_neardup_probes_index_not_corpus(spark):
         (b, a) for a, b in scratch if b >= 10 and a < 10
     } | {(max(a, b), min(a, b)) for a, b in scratch if a >= 10 and b >= 10}
     assert got == scratch_batch_pairs
+
+
+def test_chunk_text_overlap_and_coverage(spark):
+    """Chunk invariants: consecutive chunks share exactly `overlap`
+    tokens, concatenating de-overlapped chunks reconstructs the doc,
+    and short docs yield one short chunk."""
+    from mini_project_204721_data_engineering_spark.llm.quality import chunk_text
+
+    toks = [f"t{i}" for i in range(150)]
+    df = _mk_docs(spark, [" ".join(toks), "a b c"])
+    out = {}
+    for r in chunk_text(df, window=64, overlap=16).collect():
+        out.setdefault(r["doc_id"], []).append(r)
+    doc0 = sorted(out[0], key=lambda r: r["chunk_idx"])
+    assert [r["chunk_idx"] for r in doc0] == [0, 1, 2, 3]
+    chunks = [r["chunk_text"].split(" ") for r in doc0]
+    for a, b in zip(chunks, chunks[1:]):
+        assert a[-16:] == b[:16] or len(b) < 16  # shared overlap
+    rebuilt = chunks[0] + [t for c in chunks[1:] for t in c[16:]]
+    assert rebuilt == toks
+    assert len(out[1]) == 1 and out[1][0]["chunk_text"] == "a b c"
+    assert out[1][0]["n_tokens"] == 3
