@@ -1,6 +1,8 @@
 """Corpus-quality operators a training-data pipeline runs between raw
-crawl and tokenization: repetition metrics (Gopher-style), PII scrubbing
-helpers (see :mod:`..llm.text`), and benchmark decontamination.
+crawl and tokenization: repetition metrics (Gopher-style), benchmark
+decontamination, token-window chunking, vocabulary induction, and
+sequence packing (PII scrubbing lives with the other pure Column
+expressions in :mod:`..llm.text`).
 
 The reference has no corpus surface at all — these extend the engine per
 the LLM-pipeline brief, alongside the dedup family in :mod:`.dedup`.
@@ -18,6 +20,10 @@ Scale shapes
   ``array_distinct`` BEFORE the explode, so no corpus-scale distinct
   shuffle exists anywhere in the plan (plan-asserted in
   tests/test_plans.py).
+- :func:`chunk_text`: pure array math per doc, zero shuffle.
+- :func:`build_vocab`: only the distinct-word table is sorted.
+- :func:`pack_sequences`: keyed window prefix-sum, one shuffle,
+  parallel across strata (plan-asserted never single-partition).
 """
 
 from __future__ import annotations
