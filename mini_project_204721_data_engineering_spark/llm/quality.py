@@ -136,8 +136,11 @@ def chunk_text(docs: DataFrame, window: int = 64, overlap: int = 16) -> DataFram
     if not 0 <= overlap < window:
         raise ValueError("need 0 <= overlap < window")
     stride = window - overlap
+    # starts stop once a chunk would carry no NEW token (a start within
+    # `overlap` of the end is a pure suffix of the previous window —
+    # caught by the reconstruction property test)
     chunks = F.expr(
-        f"transform(sequence(0, size(toks) - 1, {stride}), "
+        f"transform(sequence(0, greatest(size(toks) - {overlap} - 1, 0), {stride}), "
         f"s -> struct(cast(s / {stride} as int) as chunk_idx, "
         f"slice(toks, s + 1, {window}) as chunk))"
     )

@@ -954,7 +954,7 @@ WITH t AS (
   SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks
   FROM documents
 ), s AS (
-  SELECT doc_id, toks, unnest(range(0, len(toks), 48)) AS start
+  SELECT doc_id, toks, unnest(range(0, greatest(len(toks) - 16, 1), 48)) AS start
   FROM t
 )
 SELECT doc_id,

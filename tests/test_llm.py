@@ -496,7 +496,8 @@ def test_chunk_text_overlap_and_coverage(spark):
     for r in chunk_text(df, window=64, overlap=16).collect():
         out.setdefault(r["doc_id"], []).append(r)
     doc0 = sorted(out[0], key=lambda r: r["chunk_idx"])
-    assert [r["chunk_idx"] for r in doc0] == [0, 1, 2, 3]
+    # starts 0/48/96; 144 would be a pure suffix of chunk 2 and is not emitted
+    assert [r["chunk_idx"] for r in doc0] == [0, 1, 2]
     chunks = [r["chunk_text"].split(" ") for r in doc0]
     for a, b in zip(chunks, chunks[1:]):
         assert a[-16:] == b[:16] or len(b) < 16  # shared overlap

@@ -294,3 +294,35 @@ def test_pack_sequences_invariants(spark, token_counts, window):
         assert r["bin_offset"] == start % window
         start += n
     assert len(out) == len(token_counts)
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    st.integers(min_value=1, max_value=200),
+    st.integers(min_value=2, max_value=40),
+    st.integers(min_value=0, max_value=20),
+)
+def test_chunk_text_reconstruction_invariant(spark, n_tokens, window, overlap):
+    """For any doc length and any valid (window, overlap): chunk 0 plus
+    the de-overlapped tails of later chunks reconstructs the document
+    exactly, every full chunk has `window` tokens, and consecutive
+    chunks share exactly `overlap` tokens (when both are long enough)."""
+    from hypothesis import assume
+
+    from mini_project_204721_data_engineering_spark.llm.quality import chunk_text
+
+    assume(overlap < window)
+    toks = [f"w{i}" for i in range(n_tokens)]
+    df = spark.createDataFrame([Row(doc_id=0, text=" ".join(toks))])
+    rows = sorted(chunk_text(df, window, overlap).collect(), key=lambda r: r["chunk_idx"])
+    chunks = [r["chunk_text"].split(" ") for r in rows]
+    assert [r["chunk_idx"] for r in rows] == list(range(len(rows)))
+    assert all(len(c) <= window for c in chunks)
+    # every non-final chunk is full; every later chunk carries >= 1 NEW
+    # token (no pure-suffix chunk already covered by its predecessor)
+    assert all(len(c) == window for c in chunks[:-1])
+    assert all(len(c) > overlap for c in chunks[1:])
+    rebuilt = list(chunks[0])
+    for c in chunks[1:]:
+        rebuilt += c[overlap:]
+    assert rebuilt == toks
