@@ -326,3 +326,41 @@ def test_chunk_text_reconstruction_invariant(spark, n_tokens, window, overlap):
     for c in chunks[1:]:
         rebuilt += c[overlap:]
     assert rebuilt == toks
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    st.lists(
+        st.lists(st.sampled_from(["a", "b", "c"]), min_size=1, max_size=12),
+        min_size=2,
+        max_size=10,
+    ),
+    st.integers(min_value=2, max_value=4),
+)
+def test_contaminated_docs_matches_bruteforce(spark, docs_tokens, n):
+    """contaminated_docs == a literal Python n-gram set intersection on
+    arbitrary corpora (benchmark = every 3rd doc)."""
+    from mini_project_204721_data_engineering_spark.llm.quality import contaminated_docs
+
+    rows = [Row(doc_id=i, text=" ".join(toks)) for i, toks in enumerate(docs_tokens)]
+    df = spark.createDataFrame(rows)
+    bench_ids = {i for i in range(len(docs_tokens)) if i % 3 == 0}
+    bench = df.filter(F.col("doc_id").isin(list(bench_ids)))
+    corpus = df.filter(~F.col("doc_id").isin(list(bench_ids)))
+
+    def grams(toks):
+        return {" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)}
+
+    bench_grams = set().union(*(grams(docs_tokens[i]) for i in bench_ids))
+    want = {}
+    for i, toks in enumerate(docs_tokens):
+        if i in bench_ids:
+            continue
+        shared = grams(toks) & bench_grams
+        if shared:
+            want[i] = len(shared)
+    got = {
+        r["doc_id"]: r["n_shared_grams"]
+        for r in contaminated_docs(corpus, bench, n=n).collect()
+    }
+    assert got == want
