@@ -192,10 +192,12 @@ def compact_partitions(
     as :func:`delete_rows` — hot partitions not listed are untouched.
     (Partitions larger than one task should stay with the ingest-time
     layout instead — compact with a bucket column upstream.)"""
+    if not partitions:
+        return
     existing = spark.read.parquet(path)
     sliced = existing.filter(F.col(partition_col).isin(list(partitions)))
     compacted = sliced.repartition(
-        max(1, len(partitions)), F.col(partition_col)
+        len(list(partitions)), F.col(partition_col)
     ).localCheckpoint(eager=True)
     overwrite_fact_partitions(compacted, path, [partition_col])
 

@@ -446,3 +446,42 @@ def test_schema_evolution_merge_read(spark, tmp_path):
     # validation contract catches a missing REQUIRED column either way
     missing = {"id", "v", "nonexistent"} - set(merged.columns)
     assert missing == {"nonexistent"}
+
+
+def test_zorder_handles_negative_and_constant_columns(spark, tmp_path):
+    """Z-order edge cases: negative value ranges normalize correctly, and
+    a constant column degrades gracefully (ordering falls entirely to the
+    varying column)."""
+    from mini_project_204721_data_engineering_spark.sources.sink import write_zordered
+
+    df = spark.range(0, 4000).selectExpr(
+        "id", "CAST(id - 2000 AS LONG) AS a", "CAST(7 AS LONG) AS c"
+    )
+    out = str(tmp_path / "z")
+    write_zordered(df, out, ["a", "c"], n_files=8)
+    back = spark.read.parquet(out)
+    assert back.count() == 4000
+    assert back.agg(F.min("a"), F.max("a")).collect()[0][0:2] == (-2000, 1999)
+    # with c constant, files must still partition a's range (z reduces to a)
+    import glob
+    import pyarrow.parquet as pq
+
+    ranges = []
+    for f in sorted(glob.glob(os.path.join(out, "*.parquet"))):
+        md = pq.ParquetFile(f).metadata
+        los = [
+            md.row_group(rg).column(ci).statistics.min
+            for rg in range(md.num_row_groups)
+            for ci in range(md.num_columns)
+            if md.row_group(rg).column(ci).path_in_schema == "a"
+        ]
+        his = [
+            md.row_group(rg).column(ci).statistics.max
+            for rg in range(md.num_row_groups)
+            for ci in range(md.num_columns)
+            if md.row_group(rg).column(ci).path_in_schema == "a"
+        ]
+        ranges.append((min(los), max(his)))
+    ranges.sort()
+    for (lo1, hi1), (lo2, hi2) in zip(ranges, ranges[1:]):
+        assert hi1 <= lo2  # disjoint ascending ranges: a-ordering preserved
