@@ -1,0 +1,162 @@
+"""Measured scale evidence: run the core operator shapes on synthetic
+data 100-400x the sf0.1 events table (driver sf0.1 events = 1e5 rows;
+this generates 1e7-4e7) with a DELIBERATE hot key, and time them.
+
+The point is to measure, not guess, the claims SCALE.md leans on.
+Measured findings (SCALE.md "Measured at 100-400x" table):
+
+1. the wide operators (dedup agg, asof union+window, rollup cascade)
+   scale linearly-to-sublinearly from 1e7 to 4e7 rows; the rollup and
+   the plain groupBy stay nearly FLAT because their shuffle volume is
+   |groups|, not |rows| (map-side combine absorbs the growth);
+2. for ALGEBRAIC aggregates, partial aggregation already neutralizes
+   hot-key skew — salting a count costs ~20-150% extra (second shuffle
+   phase) for nothing.  `salted_agg`'s lane is NON-combinable partials
+   and skewed-join replication (`salted_broadcast_left`), not counts;
+   the probe keeps both timings to document that honestly.
+
+Data is generated deterministically from `spark.range` + xxhash64 (no
+rand(): reruns are identical).  ~20% of rows share ONE hot user.
+
+Usage: python tools/scale_probe.py [n_rows]   (default 10_000_000)
+Prints one JSON line per probe and a summary line.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F
+
+
+def synth_events(spark, n: int):
+    """Deterministic events-shaped frame with a planted hot user (~20%)."""
+    h = F.xxhash64(F.col("id"))
+    return (
+        spark.range(n)
+        .select(
+            F.col("id").alias("event_id"),
+            # 30 days of event time, second granularity
+            F.timestamp_seconds(
+                F.lit(1704067200) + F.pmod(h, F.lit(30 * 86400))
+            ).alias("ts"),
+            # hot key: id % 5 == 0 -> user 0 (20% of all rows)
+            F.when(F.col("id") % 5 == 0, F.lit(0))
+            .otherwise(F.pmod(h, F.lit(50_000)))
+            .alias("user_id"),
+            F.element_at(
+                F.array(*[F.lit(t) for t in ("click", "view", "signup", "purchase", "error")]),
+                (F.pmod(h, F.lit(5)) + 1).cast("int"),
+            ).alias("event_type"),
+            (F.pmod(h, F.lit(1000)) / F.lit(1.0)).alias("value"),
+        )
+    )
+
+
+def timed(name, fn, out):
+    t0 = time.time()
+    n = fn()
+    sec = round(time.time() - t0, 3)
+    rec = {"probe": name, "sec": sec, "rows": n}
+    out.append(rec)
+    print(json.dumps(rec), flush=True)
+    return sec
+
+
+def main() -> None:
+    n = int(sys.argv[1]) if len(sys.argv) > 1 else 10_000_000
+    from mini_project_204721_data_engineering_spark.session import get_spark
+
+    spark = get_spark("scale-probe")
+    ev = synth_events(spark, n).localCheckpoint(eager=True)  # materialize input once
+    out: list[dict] = []
+
+    # every probe CONSUMES its computed measure (a bare count() would let
+    # Catalyst prune the window/agg expressions and time only the scan)
+
+    # 1. skew: plain groupBy vs salted two-phase on the hot-key distribution
+    timed(
+        "groupby_plain_skewed",
+        lambda: ev.groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .agg(F.sum("n"))
+        .collect()[0][0],
+        out,
+    )
+
+    def salted():
+        from mini_project_204721_data_engineering_spark.operators.skew import salted_agg
+
+        return salted_agg(
+            ev,
+            keys=["user_id"],
+            salt_from="event_id",
+            partials={"n": (F.count(F.lit(1)), F.sum("n"))},
+            n_salts=32,
+        ).agg(F.sum("n")).collect()[0][0]
+
+    timed("groupby_salted_skewed", salted, out)
+
+    # 2. exact dedup (agg form) on a 50%-duplicated key space
+    def dedup():
+        from mini_project_204721_data_engineering_spark.operators.dedup import (
+            dedup_keep_first_agg,
+        )
+
+        d = ev.withColumn("k", F.pmod(F.col("event_id"), F.lit(n // 2)))
+        kept = dedup_keep_first_agg(d, ["k"], ["event_id"])
+        return kept.agg(F.count(F.lit(1)), F.sum("event_id")).collect()[0][0]
+
+    timed("dedup_keep_first_agg_50pct_dups", dedup, out)
+
+    # 3. as-of join: every event against a daily per-user spine (fact-fact)
+    def asof():
+        from mini_project_204721_data_engineering_spark.operators.joins import asof_join
+
+        right = (
+            ev.groupBy("user_id", F.date_trunc("day", "ts").alias("rt"))
+            .agg(F.sum("value").alias("spend"))
+        )
+        joined = asof_join(
+            ev.select("event_id", "user_id", "ts"),
+            right,
+            on=["user_id"],
+            left_time="ts",
+            right_time="rt",
+            payload=["spend"],
+            payload_nonnull=True,
+        )
+        # consume the filled payload so the window cannot be pruned
+        return joined.agg(F.count("spend")).collect()[0][0]
+
+    timed("asof_union_window_fact_fact", asof, out)
+
+    # 4. hourly -> daily rollup cascade
+    def rollup():
+        from mini_project_204721_data_engineering_spark.operators.rollup import (
+            reaggregate,
+            rollup_time,
+        )
+
+        hourly = rollup_time(ev, "ts", "value", ["event_type"], "hour")
+        daily = reaggregate(hourly, ["event_type"], "day")
+        return daily.agg(F.count(F.lit(1)), F.sum("value_sum")).collect()[0][0]
+
+    timed("rollup_cascade_hour_day", rollup, out)
+
+    total = round(sum(r["sec"] for r in out), 3)
+    print(
+        json.dumps(
+            {"metric": "scale_probe_total", "value": total, "unit": "sec", "n_rows": n,
+             "probes": {r["probe"]: r["sec"] for r in out}}
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()
