@@ -69,12 +69,23 @@ def timed(name, fn, out):
 
 
 def main() -> None:
-    n = int(sys.argv[1]) if len(sys.argv) > 1 else 10_000_000
+    mode = "events"
+    args = [a for a in sys.argv[1:]]
+    if args and args[0] in ("events", "docs", "ann"):
+        mode = args.pop(0)
+    n = int(args[0]) if args else {"events": 10_000_000, "docs": 1_000_000, "ann": 1_000_000}[mode]
     from mini_project_204721_data_engineering_spark.session import get_spark
 
     spark = get_spark("scale-probe")
-    ev = synth_events(spark, n).localCheckpoint(eager=True)  # materialize input once
     out: list[dict] = []
+    if mode != "events":
+        (probe_docs if mode == "docs" else probe_ann)(spark, n, out)
+        total = round(sum(r["sec"] for r in out), 3)
+        print(json.dumps({"metric": f"scale_probe_{mode}_total", "value": total,
+                          "unit": "sec", "n_rows": n,
+                          "probes": {r["probe"]: r["sec"] for r in out}}))
+        return
+    ev = synth_events(spark, n).localCheckpoint(eager=True)  # materialize input once
 
     # every probe CONSUMES its computed measure (a bare count() would let
     # Catalyst prune the window/agg expressions and time only the scan)
@@ -157,6 +168,79 @@ def main() -> None:
         )
     )
 
+
+
+def synth_docs(spark, n: int, n_tokens: int = 50, vocab: int = 1000, dup_frac_mod: int = 10):
+    """Deterministic word-soup docs; every ``dup_frac_mod``-th doc is an
+    exact duplicate of its predecessor (near-dup structure for LSH)."""
+    d = spark.range(n).select(
+        F.col("id").alias("doc_id"),
+        F.when(F.col("id") % dup_frac_mod == 0, F.col("id") - 1)
+        .otherwise(F.col("id"))
+        .alias("bid"),
+    )
+    words = F.expr(
+        f"transform(sequence(0, {n_tokens - 1}), "
+        f"i -> concat('w', pmod(xxhash64(bid * {n_tokens} + i), {vocab})))"
+    )
+    return d.select("doc_id", F.concat_ws(" ", words).alias("text"))
+
+
+def synth_embeddings(spark, n: int, dim: int = 64):
+    """Deterministic unit-ish embeddings: dim pseudo-random doubles."""
+    vec = F.expr(
+        f"transform(sequence(0, {dim - 1}), "
+        f"i -> cast(pmod(xxhash64(id * {dim} + i), 2000) - 1000 as double) / 1000.0)"
+    )
+    return spark.range(n).select(
+        F.col("id").alias("vec_id"),
+        vec.alias("embedding"),
+        # a 16-cell routing label (hash partition: timing-representative
+        # for the nprobe/ncells scan-cost ratio, not a recall claim)
+        F.pmod(F.xxhash64(F.col("id")), F.lit(16)).alias("label"),
+    )
+
+
+def probe_docs(spark, n: int, out: list) -> None:
+    """LLM-surface probes: MinHash-LSH dedup at corpus scale."""
+    docs = synth_docs(spark, n).localCheckpoint(eager=True)
+
+    def lsh():
+        from mini_project_204721_data_engineering_spark.llm.dedup import minhash_lsh_pairs
+
+        pairs = minhash_lsh_pairs(docs, k=8, bands=4, threshold=0.5)
+        return pairs.agg(F.count(F.lit(1))).collect()[0][0]
+
+    timed(f"minhash_lsh_pairs_docs", lsh, out)
+
+    def exact():
+        from mini_project_204721_data_engineering_spark.llm.dedup import exact_dedup
+
+        return exact_dedup(docs).agg(F.count(F.lit(1))).collect()[0][0]
+
+    timed(f"exact_dedup_docs", exact, out)
+
+
+def probe_ann(spark, n: int, out: list) -> None:
+    """ANN probes: brute-force cosine top-k vs IVF at corpus scale."""
+    emb = synth_embeddings(spark, n).localCheckpoint(eager=True)
+    qs = emb.filter(F.col("vec_id") % max(1, n // 100) == 0)  # ~100 queries
+
+    def brute():
+        from mini_project_204721_data_engineering_spark.llm.similarity import cosine_topk
+
+        return cosine_topk(emb, qs, k=10).agg(F.count(F.lit(1))).collect()[0][0]
+
+    timed("ann_bruteforce_topk", brute, out)
+
+    def ivf():
+        from mini_project_204721_data_engineering_spark.llm.similarity import ivf_topk
+
+        return ivf_topk(emb, qs, k=10, nprobe=2).agg(
+            F.count(F.lit(1))
+        ).collect()[0][0]
+
+    timed("ann_ivf_nprobe2_of16cells", ivf, out)
 
 if __name__ == "__main__":
     main()
