@@ -16,9 +16,11 @@ Scale design (the point of each variant):
   Hamming-close fingerprints; grouping by fingerprint prefix buckets
   candidates cheaply.
 
-Determinism: all hashing is md5-based (no engine-specific hash functions),
-so results are reproducible across engines — which is also what lets the
-DuckDB oracle check these operators value-for-value.
+Determinism: oracle-checked paths hash with md5 (engine-portable — the
+DuckDB oracle mirrors it value-for-value).  The MinHash family also
+offers ``hash_fn="xxhash64"`` as the cheaper 100 TB path: identical LSH
+semantics (min over a uniform hash), Spark-side determinism, just not
+DuckDB-mirrorable.
 """
 
 from __future__ import annotations
@@ -123,22 +125,33 @@ def minhash_table(
     n: int = 3,
     text_col: str = "text",
     id_col: str = "doc_id",
+    hash_fn: str = "md5",
 ) -> DataFrame:
-    """(id, seed, minhash) — k md5-derived minhashes per document.
+    """(id, seed, minhash) — k hash-derived minhashes per document.
 
-    hash_i(shingle) = md5(i || '|' || shingle); the per-seed minimum over a
-    doc's shingle set is an (engine-portable) minhash.  Computed with one
-    explode + one partial-aggregated groupBy; no UDFs.
+    hash_i(shingle) = hash(i || '|' || shingle); the per-seed minimum over
+    a doc's shingle set is the minhash.  Computed with one explode + one
+    partial-aggregated groupBy; no UDFs.
+
+    ``hash_fn``: ``"md5"`` (default) is engine-portable — the DuckDB
+    oracles mirror it verbatim; ``"xxhash64"`` is the 100 TB path — the
+    corpus-dominant cost is hashing |docs|·|shingles|·k values, and
+    xxhash64 is measurably cheaper than md5 at identical LSH semantics
+    (min over a uniform hash; tools/scale_probe.py measures the gap,
+    tests prove both paths find the same planted dups).
     """
     sh = shingle_table(df, text_col, id_col, n)
     seeds = F.explode(F.array(*[F.lit(i) for i in range(k)])).alias("seed")
+    salted = F.concat_ws("|", F.col("seed").cast("string"), F.col("shingle"))
+    if hash_fn == "md5":
+        h = F.md5(salted)
+    elif hash_fn == "xxhash64":
+        h = F.xxhash64(salted)
+    else:
+        raise ValueError(f"unknown hash_fn {hash_fn!r}")
     return (
         sh.select(F.col(id_col), F.col("shingle"), seeds)
-        .select(
-            id_col,
-            "seed",
-            F.md5(F.concat_ws("|", F.col("seed").cast("string"), F.col("shingle"))).alias("h"),
-        )
+        .select(id_col, "seed", h.alias("h"))
         .groupBy(id_col, "seed")
         .agg(F.min("h").alias("minhash"))
     )
@@ -191,14 +204,17 @@ def minhash_lsh_pairs(
     threshold: float = 0.5,
     text_col: str = "text",
     id_col: str = "doc_id",
+    hash_fn: str = "md5",
 ) -> DataFrame:
     """MinHash + banded LSH near-dup candidates with estimated similarity.
 
     Signature of k hashes split into ``bands`` bands of k/bands rows;
     candidates via :func:`minhash_band_candidates`.  Estimated similarity
     = fraction of agreeing minhashes; filtered at ``threshold``.
+    ``hash_fn`` as in :func:`minhash_table` (md5 = oracle-portable,
+    xxhash64 = cheap scale path, identical semantics).
     """
-    mh = minhash_table(df, k, n, text_col, id_col)
+    mh = minhash_table(df, k, n, text_col, id_col, hash_fn)
     cands = minhash_band_candidates(mh, k, bands, id_col)
     ma = mh.select(F.col(id_col).alias("doc_a"), F.col("seed"), F.col("minhash").alias("mh_a"))
     mb = mh.select(F.col(id_col).alias("doc_b"), F.col("seed"), F.col("minhash").alias("mh_b"))

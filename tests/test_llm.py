@@ -505,3 +505,22 @@ def test_chunk_text_overlap_and_coverage(spark):
     assert rebuilt == toks
     assert len(out[1]) == 1 and out[1][0]["chunk_text"] == "a b c"
     assert out[1][0]["n_tokens"] == 3
+
+
+def test_minhash_xxhash64_path_same_planted_dups(spark):
+    """The xxhash64 scale path must find the same planted near-dups as
+    the oracle-portable md5 path (identical LSH semantics)."""
+    from mini_project_204721_data_engineering_spark.llm.dedup import minhash_lsh_pairs
+
+    md5_pairs = {
+        (p["doc_a"], p["doc_b"])
+        for p in minhash_lsh_pairs(_docs_df(spark), threshold=0.5).collect()
+    }
+    xx_pairs = {
+        (p["doc_a"], p["doc_b"])
+        for p in minhash_lsh_pairs(
+            _docs_df(spark), threshold=0.5, hash_fn="xxhash64"
+        ).collect()
+    }
+    assert (1, 2) in xx_pairs
+    assert xx_pairs == md5_pairs

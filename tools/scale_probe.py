@@ -205,13 +205,17 @@ def probe_docs(spark, n: int, out: list) -> None:
     """LLM-surface probes: MinHash-LSH dedup at corpus scale."""
     docs = synth_docs(spark, n).localCheckpoint(eager=True)
 
-    def lsh():
-        from mini_project_204721_data_engineering_spark.llm.dedup import minhash_lsh_pairs
+    def lsh(hash_fn):
+        def run():
+            from mini_project_204721_data_engineering_spark.llm.dedup import minhash_lsh_pairs
 
-        pairs = minhash_lsh_pairs(docs, k=8, bands=4, threshold=0.5)
-        return pairs.agg(F.count(F.lit(1))).collect()[0][0]
+            pairs = minhash_lsh_pairs(docs, k=8, bands=4, threshold=0.5, hash_fn=hash_fn)
+            return pairs.agg(F.count(F.lit(1))).collect()[0][0]
 
-    timed(f"minhash_lsh_pairs_docs", lsh, out)
+        return run
+
+    timed("minhash_lsh_pairs_md5", lsh("md5"), out)
+    timed("minhash_lsh_pairs_xxhash64", lsh("xxhash64"), out)
 
     def exact():
         from mini_project_204721_data_engineering_spark.llm.dedup import exact_dedup
