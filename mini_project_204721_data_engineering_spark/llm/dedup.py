@@ -234,6 +234,7 @@ def build_band_index(
     n: int = 3,
     text_col: str = "text",
     id_col: str = "doc_id",
+    hash_fn: str = "md5",
 ) -> DataFrame:
     """The persistent LSH index of a corpus: (id, band, band_key) rows.
 
@@ -241,7 +242,7 @@ def build_band_index(
     bucketed on ``band_key`` — `sources/sink.py::write_bucketed`) and
     then only appended to; each ingest batch probes it instead of
     re-running corpus-wide LSH."""
-    return band_table(minhash_table(df, k, n, text_col, id_col), k, bands, id_col)
+    return band_table(minhash_table(df, k, n, text_col, id_col, hash_fn), k, bands, id_col)
 
 
 def incremental_neardup(
@@ -252,6 +253,7 @@ def incremental_neardup(
     n: int = 3,
     text_col: str = "text",
     id_col: str = "doc_id",
+    hash_fn: str = "md5",
 ) -> DataFrame:
     """Incremental near-dup check: candidates between a NEW batch and the
     stored corpus :func:`build_band_index` — the production ingest shape.
@@ -263,7 +265,7 @@ def incremental_neardup(
     Returns distinct (new_id, match_id) — match_id from the index or an
     earlier id in the same batch.  Append the batch's band rows to the
     index afterwards to keep it current."""
-    nb = build_band_index(new_docs, k, bands, n, text_col, id_col)
+    nb = build_band_index(new_docs, k, bands, n, text_col, id_col, hash_fn)
     probe = nb.select(F.col(id_col).alias("new_id"), "band", "band_key")
     vs_index = probe.join(
         band_index.select(F.col(id_col).alias("match_id"), "band", "band_key"),
