@@ -236,13 +236,26 @@ def build_band_index(
     id_col: str = "doc_id",
     hash_fn: str = "md5",
 ) -> DataFrame:
-    """The persistent LSH index of a corpus: (id, band, band_key) rows.
+    """The persistent LSH index of a corpus: (id, band, band_key, params)
+    rows.
 
     At 100 TB this table is written ONCE (partitioned by ``band``,
     bucketed on ``band_key`` — `sources/sink.py::write_bucketed`) and
     then only appended to; each ingest batch probes it instead of
-    re-running corpus-wide LSH."""
-    return band_table(minhash_table(df, k, n, text_col, id_col, hash_fn), k, bands, id_col)
+    re-running corpus-wide LSH.
+
+    ``params`` stamps the signature recipe (k/bands/n/hash_fn) into every
+    row: band keys built under DIFFERENT parameters never collide, so a
+    mismatched probe would silently read as "no duplicates" —
+    :func:`incremental_neardup` validates the stamp and raises instead."""
+    idx = band_table(
+        minhash_table(df, k, n, text_col, id_col, hash_fn), k, bands, id_col
+    )
+    return idx.withColumn("params", F.lit(_index_params(k, bands, n, hash_fn)))
+
+
+def _index_params(k: int, bands: int, n: int, hash_fn: str) -> str:
+    return f"k={k};bands={bands};n={n};hash={hash_fn}"
 
 
 def incremental_neardup(
@@ -264,7 +277,24 @@ def incremental_neardup(
     (new×new) is included so duplicates arriving together are caught too.
     Returns distinct (new_id, match_id) — match_id from the index or an
     earlier id in the same batch.  Append the batch's band rows to the
-    index afterwards to keep it current."""
+    index afterwards to keep it current.
+
+    INVARIANT: the probe's (k, bands, n, hash_fn) must equal the ones the
+    index was built with — mismatched band keys never match and would
+    read as "no duplicates".  Indexes from :func:`build_band_index` carry
+    a ``params`` stamp; a mismatch raises ``ValueError`` here rather than
+    returning an empty, plausible-looking result.  (An index without the
+    stamp column — e.g. hand-built — skips the check.)"""
+    if "params" in band_index.columns:
+        expected = _index_params(k, bands, n, hash_fn)
+        # one distinct over a metadata column of identical literals —
+        # parquet dictionary-encodes it, so this probe is footer-cheap
+        stored = [r[0] for r in band_index.select("params").distinct().limit(2).collect()]
+        if stored and (len(stored) > 1 or stored[0] != expected):
+            raise ValueError(
+                f"band index params {stored} != probe params {expected!r}: "
+                "rebuild the index or probe with the index's k/bands/n/hash_fn"
+            )
     nb = build_band_index(new_docs, k, bands, n, text_col, id_col, hash_fn)
     probe = nb.select(F.col(id_col).alias("new_id"), "band", "band_key")
     vs_index = probe.join(

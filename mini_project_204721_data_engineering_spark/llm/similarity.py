@@ -243,35 +243,56 @@ def kmeans_assign(
     ncells×dim centroid matrix ever reaches the driver (same contract as
     Spark MLlib's KMeans).  Deterministic: seeds are the ``ncells`` lowest
     ids, ties broken by id everywhere.
+
+    The (id, vector) projection is persisted for the duration of the loop
+    — without it iteration *i* re-reads the source AND replays the i−1
+    prior assignment plans, tripling the scan cost of a 3-iter fit at
+    100 TB (MLlib caches at the same point).  The final assignment is
+    ``localCheckpoint``-ed (ids+cells only — small) so the returned
+    DataFrame's lineage is severed from the loop and the cache can be
+    released before returning.
     """
-    c = corpus.select(F.col(id_col).alias("__id"), as_double(vec_col).alias("v"))
-    seeds = c.orderBy("__id").limit(ncells).collect()
-    centroids = [list(r["v"]) for r in seeds]
-    spark = corpus.sparkSession
-    assigned = None
-    for _ in range(max(1, iters)):
-        cent_df = spark.createDataFrame(
-            [(i, vec) for i, vec in enumerate(centroids)], ["cell", "cv"]
-        ).select("cell", F.expr("transform(cv, x -> cast(x AS double))").alias("cv"))
-        w = Window.partitionBy("__id").orderBy(F.col("sim").desc(), F.col("cell").asc())
-        assigned = (
-            c.crossJoin(F.broadcast(cent_df))
-            .select("__id", "v", "cell", cosine("v", "cv").alias("sim"))
-            .withColumn("rnk", F.row_number().over(w))
-            .filter(F.col("rnk") == 1)
-            .select("__id", "v", "cell")
-        )
-        new_cent = (
-            assigned.select("cell", F.posexplode("v").alias("pos", "x"))
-            .groupBy("cell", "pos")
-            .agg(F.avg("x").alias("cx"))
-            .groupBy("cell")
-            .agg(F.array_sort(F.collect_list(F.struct("pos", "cx"))).alias("pc"))
-            .select("cell", F.expr("transform(pc, s -> s.cx)").alias("cv"))
-            .collect()
-        )
-        for r in new_cent:  # empty cells keep their previous centroid
-            centroids[r["cell"]] = list(r["cv"])
-    return corpus.join(
-        assigned.select(F.col("__id").alias(id_col), "cell"), id_col
+    c = (
+        corpus.select(F.col(id_col).alias("__id"), as_double(vec_col).alias("v"))
+        .persist()
+    )
+    try:
+        seeds = c.orderBy("__id").limit(ncells).collect()  # materializes the cache
+        centroids = [list(r["v"]) for r in seeds]
+        spark = corpus.sparkSession
+        assigned = None
+        for _ in range(max(1, iters)):
+            cent_df = spark.createDataFrame(
+                [(i, vec) for i, vec in enumerate(centroids)], ["cell", "cv"]
+            ).select("cell", F.expr("transform(cv, x -> cast(x AS double))").alias("cv"))
+            assigned = _assign_to_centroids(c, cent_df)
+            new_cent = (
+                assigned.select("cell", F.posexplode("v").alias("pos", "x"))
+                .groupBy("cell", "pos")
+                .agg(F.avg("x").alias("cx"))
+                .groupBy("cell")
+                .agg(F.array_sort(F.collect_list(F.struct("pos", "cx"))).alias("pc"))
+                .select("cell", F.expr("transform(pc, s -> s.cx)").alias("cv"))
+                .collect()
+            )
+            for r in new_cent:  # empty cells keep their previous centroid
+                centroids[r["cell"]] = list(r["cv"])
+        final = assigned.select("__id", "cell").localCheckpoint(eager=True)
+    finally:
+        c.unpersist()
+    return corpus.join(final.withColumnRenamed("__id", id_col), id_col)
+
+
+def _assign_to_centroids(c: DataFrame, cent_df: DataFrame) -> DataFrame:
+    """One Lloyd assignment step: nearest (max-cosine) centroid per row.
+    ``c`` is the persisted (__id, v) projection; ``cent_df`` the tiny
+    (cell, cv) centroid table — broadcast, so the step is shuffle-free up
+    to the per-id argmax window."""
+    w = Window.partitionBy("__id").orderBy(F.col("sim").desc(), F.col("cell").asc())
+    return (
+        c.crossJoin(F.broadcast(cent_df))
+        .select("__id", "v", "cell", cosine("v", "cv").alias("sim"))
+        .withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") == 1)
+        .select("__id", "v", "cell")
     )

@@ -154,7 +154,13 @@ def estimate_percentile(
 ) -> DataFrame:
     """Serve percentile ``p`` from a histogram rollup: per (bucket,
     keys), walk the cumulative bin counts to the target rank and return
-    the covering bin's upper edge — error ≤ one bin width ((hi−lo)/n_bins).
+    the covering bin's upper edge — error ≤ one bin width ((hi−lo)/n_bins)
+    for percentiles landing inside [lo, hi).  When the target rank lands
+    in the OVERFLOW bin (values ≥ hi) the edge would be an arbitrarily
+    loose lower bound, so the estimate is NULL — the honest answer is
+    "above hi, rebuild the rollup with a wider range".  The underflow
+    bin (values < lo) reports ``lo``: a true upper bound, though the
+    one-bin-width error claim doesn't apply there either.
     One keyed window pass; no raw-data rescan."""
     from pyspark.sql.window import Window
 
@@ -171,6 +177,11 @@ def estimate_percentile(
     return first_hit.select(
         "bucket",
         *keys,
-        # bin b covers (lo + (b-1)·width, lo + b·width]; report the upper edge
-        (F.lit(lo) + F.col("bin") * F.lit(width)).alias(f"p{int(p * 100)}_est"),
+        # bin b covers (lo + (b-1)·width, lo + b·width]; report the upper
+        # edge — unless b is the overflow bin, where no finite edge bounds
+        # the true percentile
+        F.when(
+            F.col("bin") <= F.lit(n_bins),
+            F.lit(lo) + F.col("bin") * F.lit(width),
+        ).alias(f"p{int(p * 100)}_est"),
     )

@@ -20,6 +20,8 @@ lexicographically == numerically in both Spark and DuckDB.
 
 from __future__ import annotations
 
+from typing import Sequence
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 

@@ -74,6 +74,9 @@ def ingest_risk_dbf(
             .select("prov_key")
             .first()
         )
+        # driver-side collect is safe BY CONTRACT: prov_keyed is the
+        # province dimension (Thailand has 77 provinces; any country is
+        # O(100)) — the isin literal stays a few KB at any fact scale
         known = [r["prov_key"] for r in prov_keyed.select("prov_key").collect()]
         if utt is not None:
             rows = rows.withColumn(

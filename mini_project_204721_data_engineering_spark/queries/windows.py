@@ -346,7 +346,8 @@ WITH b AS (
   FROM b
 )
 SELECT month, event_type,
-       {HIST_LO} + min(bin) * {_HIST_W} AS p95_est
+       CASE WHEN min(bin) <= {HIST_BINS}
+            THEN {HIST_LO} + min(bin) * {_HIST_W} END AS p95_est
 FROM c WHERE cum >= total * 0.95
 GROUP BY month, event_type
 """

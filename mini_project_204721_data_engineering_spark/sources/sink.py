@@ -150,7 +150,14 @@ def delete_rows(
     ]
     if not affected:
         return 0
-    sliced = existing.filter(F.col(partition_col).isin(affected))
+    # NULL partition values live in __HIVE_DEFAULT_PARTITION__; a plain
+    # isin(affected) is three-valued-NULL for them and would silently
+    # leave their matching rows on disk while reporting a smaller count
+    non_null = [v for v in affected if v is not None]
+    slice_pred = F.col(partition_col).isin(non_null) if non_null else F.lit(False)
+    if None in affected:
+        slice_pred = slice_pred | F.col(partition_col).isNull()
+    sliced = existing.filter(slice_pred)
     # three-valued logic: a row where the predicate evaluates NULL (e.g.
     # a null key column) must SURVIVE — plain ~predicate is NULL there
     # and filter would silently drop it
@@ -172,9 +179,34 @@ def delete_rows(
     jvm = spark._jvm
     hconf = spark._jsc.hadoopConfiguration()
     for v in emptied:
-        p = jvm.org.apache.hadoop.fs.Path(f"{path}/{partition_col}={v}")
+        # build the directory name the way Spark wrote it: NULL rows go
+        # to __HIVE_DEFAULT_PARTITION__, everything else through Hive's
+        # path escaping (a raw f-string would miss ':' '/' '%' etc.)
+        leaf = f"{partition_col}={_escape_partition_value(v)}"
+        p = jvm.org.apache.hadoop.fs.Path(f"{path}/{leaf}")
         p.getFileSystem(hconf).delete(p, True)
     return n_deleted
+
+
+# Hive/Spark partition-path escaping (ExternalCatalogUtils.escapePathName):
+# these chars are %-hex-encoded in partition directory names.
+_PATH_ESCAPE_CHARS = set('"#%\'*/:=?\\\x7f{[]^') | {chr(c) for c in range(0x20)}
+
+
+def _escape_partition_value(v) -> str:
+    """Render a partition VALUE as Spark renders it on disk — NULL →
+    ``__HIVE_DEFAULT_PARTITION__``, empty string likewise, other values
+    stringified then %-escaped char-for-char like Hive's
+    ``escapePathName`` (so ``delete_rows`` can address e.g. a
+    ``ts=2024-01-01 00%3A00`` directory)."""
+    if v is None:
+        return "__HIVE_DEFAULT_PARTITION__"
+    s = str(v)
+    if s == "":
+        return "__HIVE_DEFAULT_PARTITION__"
+    return "".join(
+        f"%{ord(ch):02X}" if ch in _PATH_ESCAPE_CHARS else ch for ch in s
+    )
 
 
 def compact_partitions(
@@ -284,7 +316,18 @@ def zorder_column(df: DataFrame, cols: Sequence[str], bits: int = 16):
     either column overlaps only ~2^(bits/2) of the curve, so file- and
     row-group-level stats skip most of the table (asserted against real
     parquet footers in tests/test_layout.py).
+
+    ``bits * len(cols)`` must fit in the 63 value bits of a signed long:
+    the JVM wraps shift amounts mod 64, so an overflowing interleave
+    would silently corrupt the curve order (and bit 63 is the sign bit).
+    ``bits`` is auto-shrunk to ``63 // len(cols)`` when the default (or
+    the caller's value) would overflow — e.g. 4 columns → 15 bits each.
     """
+    if not cols:
+        raise ValueError("zorder_column requires at least one column")
+    bits = min(bits, 63 // len(cols))
+    if bits < 1:
+        raise ValueError(f"too many Z-order columns ({len(cols)}): need >=1 bit each")
     stats = df.agg(
         *[F.min(c).alias(f"__min_{c}") for c in cols],
         *[F.max(c).alias(f"__max_{c}") for c in cols],

@@ -425,6 +425,87 @@ def test_delete_rows_null_predicate_rows_survive(spark, tmp_path):
     assert back == {2, 3}  # the null-user row survived
 
 
+def test_delete_rows_null_partition_value(spark, tmp_path):
+    """Rows whose PARTITION value is NULL live in __HIVE_DEFAULT_PARTITION__;
+    isin(affected) is three-valued-NULL for them, so without the explicit
+    isNull branch a delete would skip them while under-reporting the
+    count (ADVICE r4)."""
+    from mini_project_204721_data_engineering_spark.sources.sink import (
+        delete_rows,
+        write_fact_partitioned,
+    )
+
+    df = spark.createDataFrame(
+        [(1, 7, "2024-01-01"), (2, 7, None), (3, 8, None), (4, 9, "2024-01-02")],
+        "id long, user_id long, day string",
+    )
+    root = str(tmp_path / "fact")
+    write_fact_partitioned(df.repartition(1), root, ["day"])
+    assert os.path.exists(os.path.join(root, "day=__HIVE_DEFAULT_PARTITION__"))
+
+    # user 7 has rows in BOTH a real partition and the null partition
+    n = delete_rows(spark, root, F.col("user_id") == 7, "day")
+    assert n == 2
+    back = {r["id"] for r in spark.read.parquet(root).collect()}
+    assert back == {3, 4}  # null-partition row of user 8 survived
+
+    # deleting the null partition's last row must remove its directory
+    n = delete_rows(spark, root, F.col("user_id") == 8, "day")
+    assert n == 1
+    assert not os.path.exists(os.path.join(root, "day=__HIVE_DEFAULT_PARTITION__"))
+    assert {r["id"] for r in spark.read.parquet(root).collect()} == {4}
+
+
+def test_delete_rows_escaped_partition_value(spark, tmp_path):
+    """Partition values with path-special chars (':' in a timestamp-like
+    string) are %-escaped by Spark on write; emptied-partition cleanup
+    must address the ESCAPED directory, not a raw f-string path."""
+    from mini_project_204721_data_engineering_spark.sources.sink import (
+        _escape_partition_value,
+        delete_rows,
+        write_fact_partitioned,
+    )
+
+    assert _escape_partition_value("2024-01-01 00:00") == "2024-01-01 00%3A00"
+    assert _escape_partition_value(None) == "__HIVE_DEFAULT_PARTITION__"
+
+    df = spark.createDataFrame(
+        [(1, "a:1"), (2, "a:1"), (3, "b:2")], "id long, grp string"
+    )
+    root = str(tmp_path / "fact")
+    write_fact_partitioned(df.repartition(1), root, ["grp"])
+    assert os.path.exists(os.path.join(root, "grp=a%3A1"))
+
+    n = delete_rows(spark, root, F.col("id") <= 2, "grp")
+    assert n == 2
+    assert not os.path.exists(os.path.join(root, "grp=a%3A1"))
+    assert {r["id"] for r in spark.read.parquet(root).collect()} == {3}
+
+
+def test_zorder_bits_auto_shrink_many_columns(spark, tmp_path):
+    """bits·len(cols) must stay ≤ 63 (the JVM wraps shifts mod 64, which
+    would silently corrupt the curve): 4+ columns auto-shrink bits, and
+    the resulting key still orders corners correctly (ADVICE r4)."""
+    from mini_project_204721_data_engineering_spark.sources.sink import zorder_column
+
+    df = spark.range(0, 256).selectExpr(
+        *[f"CAST(id % {m} AS LONG) AS c{i}" for i, m in enumerate([4, 8, 16, 32])]
+    )
+    cols = ["c0", "c1", "c2", "c3"]
+    z = zorder_column(df, cols, bits=16)  # 16·4 = 64 would overflow → 15
+    vals = df.select(z).collect()
+    assert all(0 <= r["__zval"] < (1 << 60) for r in vals)  # 15 bits × 4 cols
+    # corner ordering survives: all-min < all-max
+    lo = df.orderBy(*cols).limit(1).select(z).collect()[0][0]
+    hi = df.orderBy(*[F.col(c).desc() for c in cols]).limit(1).select(z).collect()[0][0]
+    assert lo == 0 and hi == (1 << 60) - 1
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="at least one column"):
+        zorder_column(df, [], bits=16)
+
+
 def test_schema_evolution_merge_read(spark, tmp_path):
     """Schema drift across ingest batches: a later batch adds a column;
     mergeSchema reads the union schema with nulls for old rows, and the

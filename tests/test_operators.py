@@ -386,6 +386,28 @@ def test_histogram_rollup_percentiles_within_bin_width(spark):
             assert est[k] - width - 1e-9 < q1 <= est[k] + 1e-9, (p, k, est[k], q1)
 
 
+def test_estimate_percentile_overflow_bin_is_null(spark):
+    """When the target rank lands in the overflow bin (values ≥ hi) no
+    finite bin edge bounds the true percentile — the estimate must be
+    NULL, not a plausible-looking lo+(n_bins+1)·width (ADVICE r4)."""
+    from mini_project_204721_data_engineering_spark.operators.rollup import (
+        estimate_percentile,
+        rollup_histogram,
+    )
+
+    # 10 values, 9 of them way above hi=10 → p95 is in the overflow bin
+    rows = [("2024-01-01 00:00:00", "a", float(v)) for v in [5] + [999] * 9]
+    df = spark.createDataFrame(rows, "ts_s string, k string, value double").select(
+        F.col("ts_s").cast("timestamp").alias("ts"), "k", "value"
+    )
+    hist = rollup_histogram(df, "ts", "value", ["k"], "day", 0.0, 10.0, 4)
+    est = estimate_percentile(hist, ["k"], 0.95, 0.0, 10.0, 4).collect()
+    assert len(est) == 1 and est[0]["p95_est"] is None
+    # but a percentile inside [lo, hi) still serves a finite edge
+    low = estimate_percentile(hist, ["k"], 0.05, 0.0, 10.0, 4).collect()
+    assert low[0]["p5_est"] is not None and low[0]["p5_est"] <= 10.0
+
+
 def test_asof_join_tolerance_matches_pandas(spark):
     """tolerance nulls matches staler than the bound — exactly pandas
     merge_asof(tolerance=...) — on both the struct and flat paths."""
