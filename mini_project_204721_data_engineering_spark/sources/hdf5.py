@@ -1,0 +1,974 @@
+"""Dependency-free NetCDF-4/HDF5 reader (S1 parity with the reference's
+``xr.open_dataset``, ``/root/reference/backend/app/utils.py:63``).
+
+The reference's golden input (``chirps-v2.0.<year>.days_p05.nc``,
+``/root/reference/backend/app/main.py:162``) ships as NetCDF-4 — an HDF5
+container.  No HDF5 library is installed here, but the HDF5 disk format
+is a public specification (the HDF Group's "HDF5 File Format
+Specification Version 3.0") and the subset netCDF-4 actually writes is
+bounded.  This module is a clean-room reader of that subset:
+
+- superblock versions 0/1 (symbol-table root) and 2/3 (root header addr);
+- object headers v1 and v2 (``OHDR``), with continuation blocks;
+- groups both old-style (v1 B-tree + local heap + ``SNOD`` symbol
+  tables) and new-style *compact* (Link messages in the header — what
+  netCDF-4's link-creation-order tracking produces for its handful of
+  variables).  Dense (fractal-heap) links exceed the subset → clear error;
+- dataset layouts: compact, contiguous, and chunked via the v1 B-tree
+  chunk index (+ the v4 Single Chunk index);
+- filter pipeline: deflate (stdlib zlib), shuffle, fletcher32 — the
+  exact pipeline CHIRPS-style files use (``shuffle+deflate``);
+- datatypes: fixed-point, IEEE float, fixed strings, variable-length
+  strings and VL sequences of object references (via the global heap) —
+  enough for CF attributes and netCDF-4's ``DIMENSION_LIST``.
+
+``read_netcdf4`` adapts the generic HDF5 tree to the same dict shape as
+``netcdf3.read_netcdf3`` (netCDF semantics: dimension-scale datasets
+become dims, ``DIMENSION_LIST`` references become per-variable dim
+names); ``netcdf_grid_to_long`` sniffs the magic and routes classic
+bytes to the CDF parser and HDF5 bytes here, so
+``sources.netcdf.netcdf_files_to_long`` handles BOTH container families
+executor-side with no injected decoder.
+
+``write_hdf5`` emits valid-subset files in both flavors (old-style
+symbol-table groups and new-style ``OHDR``+link-message groups) and
+exists to round-trip the reader in tests — the same strategy as the
+dbf/shp/xlsx/netcdf3 readers.  (Checksums in v2-flavor structures are
+written as zeros; this reader never verifies them, per the spec's note
+that checksums protect against corruption, not semantics.)
+
+Scale shape: one file is decoded per executor task from in-memory bytes
+(``binaryFile`` + ``mapInPandas``) — the container is parsed with numpy
+slicing, no Python per-element loops, and only the requested variables
+materialize.
+"""
+
+from __future__ import annotations
+
+import struct
+import zlib
+from typing import Any
+
+import numpy as np
+import pandas as pd
+
+__all__ = ["read_hdf5", "read_netcdf4", "netcdf4_grid_to_long", "netcdf_grid_to_long", "write_hdf5"]
+
+_SIG = b"\x89HDF\r\n\x1a\n"
+_UNDEF = 0xFFFFFFFFFFFFFFFF
+
+# --------------------------------------------------------------------------
+# reader
+# --------------------------------------------------------------------------
+
+
+class _H5:
+    """Parsed-file context: raw bytes + superblock geometry."""
+
+    def __init__(self, data: bytes):
+        self.data = data
+        base = -1
+        off = 0
+        while off < len(data):  # spec: superblock at 0, 512, 1024, 2048...
+            if data[off : off + 8] == _SIG:
+                base = off
+                break
+            off = 512 if off == 0 else off * 2
+        if base < 0:
+            raise ValueError("not an HDF5 file (no superblock signature)")
+        self.base = base
+        ver = data[base + 8]
+        if ver in (0, 1):
+            self.offs = data[base + 13]
+            self.lens = data[base + 14]
+            p = base + 24 + (4 if ver == 1 else 0)
+            p += 4 * self.offs  # base, free-space, eof, driver-info
+            # root group symbol-table entry: link-name offset, header addr
+            p += self.offs
+            self.root = self._off_at(p)
+        elif ver in (2, 3):
+            self.offs = data[base + 9]
+            self.lens = data[base + 10]
+            p = base + 12 + 3 * self.offs  # base, extension, eof
+            self.root = self._off_at(p)
+        else:
+            raise ValueError(f"unsupported HDF5 superblock version {ver}")
+        if self.offs not in (4, 8) or self.lens not in (4, 8):
+            raise ValueError(f"unsupported offset/length sizes {self.offs}/{self.lens}")
+
+    def _off_at(self, p: int) -> int:
+        return int.from_bytes(self.data[p : p + self.offs], "little")
+
+    def _len_at(self, p: int) -> int:
+        return int.from_bytes(self.data[p : p + self.lens], "little")
+
+
+def _u(buf: bytes, p: int, n: int) -> int:
+    return int.from_bytes(buf[p : p + n], "little")
+
+
+# ---- object headers -------------------------------------------------------
+
+
+def _messages(h: _H5, addr: int) -> list[tuple[int, bytes]]:
+    """All (type, body) messages of the object header at ``addr``,
+    following continuation blocks; handles header versions 1 and 2."""
+    d = h.data
+    if d[addr : addr + 4] == b"OHDR":
+        return _messages_v2(h, addr)
+    if d[addr] != 1:
+        raise ValueError(f"unsupported object header version {d[addr]} at {addr}")
+    nmsgs = _u(d, addr + 2, 2)  # counts continuation messages too
+    hdr_size = _u(d, addr + 8, 4)
+    blocks = [(addr + 16, hdr_size)]
+    out: list[tuple[int, bytes]] = []
+    seen = 0
+    while blocks and seen < nmsgs:
+        start, size = blocks.pop(0)
+        p, end = start, start + size
+        while p + 8 <= end and seen < nmsgs:
+            mtype = _u(d, p, 2)
+            msize = _u(d, p + 2, 2)
+            body = d[p + 8 : p + 8 + msize]
+            p += 8 + msize
+            seen += 1
+            if mtype == 0x10:  # continuation: offset + length
+                blocks.append((_u(body, 0, h.offs), _u(body, h.offs, h.lens)))
+            else:
+                out.append((mtype, body))
+    return out
+
+
+def _messages_v2(h: _H5, addr: int) -> list[tuple[int, bytes]]:
+    d = h.data
+    flags = d[addr + 5]
+    p = addr + 6
+    if flags & 0x20:
+        p += 16  # access/mod/change/birth times
+    if flags & 0x10:
+        p += 4  # max compact / min dense attributes
+    size_bytes = 1 << (flags & 0x3)
+    chunk0 = _u(d, p, size_bytes)
+    p += size_bytes
+    tracked = bool(flags & 0x04)  # message creation order present
+    out: list[tuple[int, bytes]] = []
+    blocks = [(p, chunk0, False)]
+    while blocks:
+        start, size, is_cont = blocks.pop(0)
+        if is_cont:
+            if d[start : start + 4] != b"OCHK":
+                raise ValueError("bad OCHK continuation signature")
+            start += 4
+            size -= 8  # signature + trailing checksum
+        q, end = start, start + size
+        while q + 4 <= end:
+            mtype = d[q]
+            msize = _u(d, q + 1, 2)
+            mflags = d[q + 3]
+            q += 4 + (2 if tracked else 0)
+            body = d[q : q + msize]
+            q += msize
+            if mtype == 0x10:
+                blocks.append((_u(body, 0, h.offs), _u(body, h.offs, h.lens), True))
+            elif not (mtype == 0 and msize == 0):
+                out.append((mtype, body))
+            del mflags
+    return out
+
+
+# ---- datatype / dataspace -------------------------------------------------
+
+
+def _datatype(buf: bytes) -> dict:
+    cls = buf[0] & 0x0F
+    bits0 = buf[1]
+    size = _u(buf, 4, 4)
+    order = ">" if (bits0 & 1) else "<"
+    if cls == 0:  # fixed-point
+        kind = "i" if (bits0 & 0x08) else "u"
+        return {"class": cls, "np": np.dtype(f"{order}{kind}{size}"), "size": size}
+    if cls == 1:  # IEEE float
+        if size not in (2, 4, 8):
+            raise ValueError(f"unsupported float size {size}")
+        return {"class": cls, "np": np.dtype(f"{order}f{size}"), "size": size}
+    if cls == 3:  # fixed-length string
+        return {"class": cls, "np": np.dtype(f"S{size}"), "size": size}
+    if cls == 7:  # object reference
+        return {"class": cls, "size": size}
+    if cls == 9:  # variable-length
+        vtype = bits0 & 0x0F
+        base = _datatype(buf[8:])
+        return {"class": cls, "vl": "string" if vtype == 1 else "sequence", "base": base, "size": size}
+    raise ValueError(f"unsupported HDF5 datatype class {cls}")
+
+
+def _dataspace(buf: bytes, lens: int) -> list[int]:
+    ver, rank = buf[0], buf[1]
+    p = 8 if ver == 1 else 4
+    return [_u(buf, p + i * lens, lens) for i in range(rank)]
+
+
+# ---- global heap / VL data ------------------------------------------------
+
+
+def _gheap_object(h: _H5, addr: int, index: int) -> bytes:
+    d = h.data
+    if d[addr : addr + 4] != b"GCOL":
+        raise ValueError("bad global heap signature")
+    total = _u(d, addr + 8, h.lens)
+    p = addr + 8 + h.lens
+    end = addr + total
+    while p < end:
+        idx = _u(d, p, 2)
+        osize = _u(d, p + 8, h.lens)
+        body = d[p + 8 + h.lens : p + 8 + h.lens + osize]
+        if idx == index:
+            return body
+        if idx == 0:
+            break
+        p += 8 + h.lens + osize + (-osize) % 8
+    raise ValueError(f"global heap object {index} not found at {addr}")
+
+
+def _read_vl(h: _H5, dt: dict, raw: bytes, count: int) -> list:
+    """VL elements: (u4 count, gheap addr, u4 index) each."""
+    esize = 4 + h.offs + 4
+    out = []
+    for i in range(count):
+        p = i * esize
+        n = _u(raw, p, 4)
+        addr = _u(raw, p + 4, h.offs)
+        idx = _u(raw, p + 4 + h.offs, 4)
+        if addr == 0 or addr == _UNDEF:
+            out.append("" if dt["vl"] == "string" else [])
+            continue
+        body = _gheap_object(h, addr, idx)
+        if dt["vl"] == "string":
+            out.append(body[:n].decode("utf-8", "replace"))
+        else:
+            base = dt["base"]
+            if base["class"] == 7:  # sequence of object references
+                out.append([_u(body, j * base["size"], base["size"]) for j in range(n)])
+            else:
+                out.append(np.frombuffer(body, dtype=base["np"], count=n).tolist())
+    return out
+
+
+def _attr_value(h: _H5, dt: dict, shape: list[int], raw: bytes):
+    n = int(np.prod(shape)) if shape else 1
+    if dt["class"] == 3:
+        if not shape:
+            return raw[: dt["size"]].split(b"\x00")[0].decode("utf-8", "replace")
+        return [
+            raw[i * dt["size"] : (i + 1) * dt["size"]].split(b"\x00")[0].decode("utf-8", "replace")
+            for i in range(n)
+        ]
+    if dt["class"] == 9:
+        vals = _read_vl(h, dt, raw, n)
+        return vals[0] if not shape else vals
+    if dt["class"] == 7:
+        refs = [_u(raw, i * dt["size"], dt["size"]) for i in range(n)]
+        return refs[0] if not shape else refs
+    arr = np.frombuffer(raw, dtype=dt["np"], count=n)
+    if not shape:
+        return arr[0].item()
+    return arr.reshape(shape).tolist()
+
+
+def _attribute(h: _H5, body: bytes) -> tuple[str, Any]:
+    ver = body[0]
+    name_size = _u(body, 2, 2)
+    dt_size = _u(body, 4, 2)
+    ds_size = _u(body, 6, 2)
+    p = 8 + (1 if ver == 3 else 0)
+
+    def pad8(n: int) -> int:
+        return n + (-n) % 8 if ver == 1 else n
+
+    name = body[p : p + name_size].split(b"\x00")[0].decode("utf-8", "replace")
+    p += pad8(name_size)
+    dt = _datatype(body[p : p + dt_size])
+    p += pad8(dt_size)
+    shape = _dataspace(body[p : p + ds_size], h.lens)
+    p += pad8(ds_size)
+    return name, _attr_value(h, dt, shape, body[p:])
+
+
+# ---- group traversal ------------------------------------------------------
+
+
+def _local_heap_name(h: _H5, heap_addr: int, offset: int) -> str:
+    d = h.data
+    if d[heap_addr : heap_addr + 4] != b"HEAP":
+        raise ValueError("bad local heap signature")
+    data_addr = _u(d, heap_addr + 8 + 2 * h.lens, h.offs)
+    end = d.index(b"\x00", data_addr + offset)
+    return d[data_addr + offset : end].decode("utf-8", "replace")
+
+
+def _walk_group_btree(h: _H5, btree_addr: int, heap_addr: int, out: dict[str, int]) -> None:
+    d = h.data
+    if d[btree_addr : btree_addr + 4] != b"TREE":
+        raise ValueError("bad v1 B-tree signature")
+    level = d[btree_addr + 5]
+    nused = _u(d, btree_addr + 6, 2)
+    p = btree_addr + 8 + 2 * h.offs
+    key_size = h.lens
+    for i in range(nused):
+        child = _u(d, p + key_size + i * (key_size + h.offs), h.offs)
+        if level > 0:
+            _walk_group_btree(h, child, heap_addr, out)
+        else:  # SNOD symbol-table node
+            if d[child : child + 4] != b"SNOD":
+                raise ValueError("bad SNOD signature")
+            nsyms = _u(d, child + 6, 2)
+            q = child + 8
+            for _ in range(nsyms):
+                name_off = _u(d, q, h.offs)
+                ohdr = _u(d, q + h.offs, h.offs)
+                out[_local_heap_name(h, heap_addr, name_off)] = ohdr
+                q += 2 * h.offs + 24
+
+
+def _link_target(h: _H5, body: bytes) -> tuple[str, int] | None:
+    flags = body[1]
+    p = 2
+    ltype = 0
+    if flags & 0x08:
+        ltype = body[p]
+        p += 1
+    if flags & 0x04:
+        p += 8  # creation order
+    if flags & 0x10:
+        p += 1  # charset
+    nlen = _u(body, p, 1 << (flags & 0x3))
+    p += 1 << (flags & 0x3)
+    name = body[p : p + nlen].decode("utf-8", "replace")
+    p += nlen
+    if ltype != 0:
+        return None  # soft/external links: outside the netCDF subset
+    return name, _u(body, p, h.offs)
+
+
+def _group_children(h: _H5, msgs: list[tuple[int, bytes]]) -> dict[str, int]:
+    children: dict[str, int] = {}
+    for mtype, body in msgs:
+        if mtype == 0x11:  # old-style: symbol table (btree + local heap)
+            btree = _u(body, 0, h.offs)
+            heap = _u(body, h.offs, h.offs)
+            _walk_group_btree(h, btree, heap, children)
+        elif mtype == 0x06:  # new-style compact link message
+            t = _link_target(h, body)
+            if t:
+                children[t[0]] = t[1]
+        elif mtype == 0x02:  # link info: dense storage → fractal heap
+            heap_addr = _u(body, 2 + (8 if body[1] & 1 else 0), h.offs)
+            if heap_addr != _UNDEF:
+                raise NotImplementedError(
+                    "dense (fractal-heap) link storage exceeds the netCDF-4 "
+                    "subset this reader covers (netCDF keeps links compact)"
+                )
+    return children
+
+
+# ---- dataset data ---------------------------------------------------------
+
+
+def _filters(body: bytes) -> list[tuple[int, list[int]]]:
+    ver = body[0]
+    nf = body[1]
+    out = []
+    p = 8 if ver == 1 else 2
+    for _ in range(nf):
+        fid = _u(body, p, 2)
+        p += 2
+        nlen = 0
+        if ver == 1 or fid >= 256:
+            nlen = _u(body, p, 2)
+            p += 2
+        p += 2  # flags
+        ncv = _u(body, p, 2)
+        p += 2
+        if ver == 1:
+            p += nlen + (-nlen) % 8
+        else:
+            p += nlen
+        vals = [_u(body, p + 4 * i, 4) for i in range(ncv)]
+        p += 4 * ncv
+        if ver == 1 and ncv % 2:
+            p += 4
+        out.append((fid, vals))
+    return out
+
+
+def _defilter(raw: bytes, filters: list[tuple[int, list[int]]], mask: int) -> bytes:
+    for i in range(len(filters) - 1, -1, -1):
+        if mask & (1 << i):
+            continue
+        fid, vals = filters[i]
+        if fid == 1:  # deflate
+            raw = zlib.decompress(raw)
+        elif fid == 2:  # shuffle: de-interleave byte planes
+            es = vals[0] if vals else 1
+            if es > 1 and len(raw) % es == 0:
+                raw = (
+                    np.frombuffer(raw, dtype=np.uint8)
+                    .reshape(es, len(raw) // es)
+                    .T.tobytes()
+                )
+        elif fid == 3:  # fletcher32: payload + 4-byte checksum
+            raw = raw[:-4]
+        else:
+            raise NotImplementedError(f"HDF5 filter id {fid} not supported")
+    return raw
+
+
+def _walk_chunk_btree(h: _H5, addr: int, rank: int) -> list[tuple[tuple[int, ...], int, int, int]]:
+    """(chunk offsets, nbytes, filter mask, data addr) for every chunk."""
+    d = h.data
+    if d[addr : addr + 4] != b"TREE":
+        raise ValueError("bad chunk B-tree signature")
+    level = d[addr + 5]
+    nused = _u(d, addr + 6, 2)
+    key_size = 8 + 8 * (rank + 1)
+    p = addr + 8 + 2 * h.offs
+    out = []
+    for _ in range(nused):
+        nbytes = _u(d, p, 4)
+        mask = _u(d, p + 4, 4)
+        offs = tuple(_u(d, p + 8 + 8 * i, 8) for i in range(rank))
+        child = _u(d, p + key_size, h.offs)
+        if level > 0:
+            out.extend(_walk_chunk_btree(h, child, rank))
+        else:
+            out.append((offs, nbytes, mask, child))
+        p += key_size + h.offs
+    return out
+
+
+def _dataset_data(h: _H5, msgs: list[tuple[int, bytes]]) -> tuple[np.ndarray, dict]:
+    dt = space = layout = None
+    filters: list[tuple[int, list[int]]] = []
+    attrs: dict[str, Any] = {}
+    for mtype, body in msgs:
+        if mtype == 0x01:
+            space = _dataspace(body, h.lens)
+        elif mtype == 0x03:
+            dt = _datatype(body)
+        elif mtype == 0x08:
+            layout = body
+        elif mtype == 0x0B:
+            filters = _filters(body)
+        elif mtype == 0x0C:
+            k, v = _attribute(h, body)
+            attrs[k] = v
+        elif mtype == 0x15 and len(body) > 2:  # attribute info → dense attrs
+            fheap = _u(body, 2 + (2 if body[1] & 1 else 0), h.offs)
+            if fheap != _UNDEF:
+                raise NotImplementedError("dense attribute storage not supported")
+    if dt is None or space is None or layout is None:
+        raise ValueError("dataset header missing datatype/dataspace/layout")
+    if dt["class"] not in (0, 1, 3):
+        raise NotImplementedError("only numeric/fixed-string dataset types supported")
+    shape = space
+    npdt = dt["np"]
+    ver, cls = layout[0], layout[1]
+    if ver == 3:
+        if cls == 0:  # compact
+            size = _u(layout, 2, 2)
+            arr = np.frombuffer(layout[4 : 4 + size], dtype=npdt, count=int(np.prod(shape)) if shape else 1)
+            return arr.reshape(shape), attrs
+        if cls == 1:  # contiguous
+            addr = _u(layout, 2, h.offs)
+            n = int(np.prod(shape)) if shape else 1
+            if addr == _UNDEF:  # never written: fill with zeros
+                return np.zeros(shape, dtype=npdt), attrs
+            arr = np.frombuffer(h.data, dtype=npdt, count=n, offset=addr)
+            return arr.reshape(shape), attrs
+        if cls == 2:  # chunked, v1 B-tree index
+            ndims = layout[2]  # rank + 1 (element-size dim)
+            btree = _u(layout, 3, h.offs)
+            chunk = [_u(layout, 3 + h.offs + 4 * i, 4) for i in range(ndims - 1)]
+            return _read_chunked(h, shape, chunk, npdt, btree, filters), attrs
+        raise NotImplementedError(f"layout v3 class {cls} not supported")
+    if ver == 4 and cls == 2:  # v4 chunked: support the Single Chunk index
+        flags = layout[2]
+        ndims = layout[3]
+        enc = layout[4]
+        chunk = [_u(layout, 5 + enc * i, enc) for i in range(ndims)]
+        p = 5 + enc * ndims
+        idx_type = layout[p]
+        p += 1
+        if idx_type != 1:
+            raise NotImplementedError(f"chunk index type {idx_type} not supported (need v1 B-tree or Single Chunk)")
+        # the single chunk covers the whole dataspace — sizing from the
+        # shape sidesteps the v3-vs-v4 element-size-dimension convention
+        nbytes = int(np.prod(shape)) * npdt.itemsize
+        mask = 0
+        if flags & 0x02:  # filtered single chunk: size + mask precede addr
+            nbytes = _u(layout, p, h.lens)
+            mask = _u(layout, p + h.lens, 4)
+            p += h.lens + 4
+        addr = _u(layout, p, h.offs)
+        raw = _defilter(h.data[addr : addr + nbytes], filters, mask)
+        arr = np.frombuffer(raw, dtype=npdt, count=int(np.prod(shape))).reshape(shape)
+        return arr, attrs
+    raise NotImplementedError(f"layout message version {ver} not supported")
+
+
+def _read_chunked(h, shape, chunk, npdt, btree_addr, filters) -> np.ndarray:
+    out = np.zeros(shape, dtype=npdt)
+    if btree_addr == _UNDEF:
+        return out
+    rank = len(shape)
+    for offs, nbytes, mask, addr in _walk_chunk_btree(h, btree_addr, rank):
+        raw = _defilter(h.data[addr : addr + nbytes], filters, mask)
+        carr = np.frombuffer(raw, dtype=npdt, count=int(np.prod(chunk))).reshape(chunk)
+        dst = tuple(
+            slice(o, min(o + c, s)) for o, c, s in zip(offs, chunk, shape)
+        )
+        src = tuple(
+            slice(0, min(c, s - o)) for o, c, s in zip(offs, chunk, shape)
+        )
+        out[dst] = carr[src]
+    return out
+
+
+# ---- public reader --------------------------------------------------------
+
+
+def read_hdf5(source: str | bytes) -> dict:
+    """Parse an HDF5 file (netCDF-4 subset).
+
+    Returns ``{"attrs": {...}, "datasets": {path: {"shape": [...],
+    "attrs": {...}, "data": np.ndarray, "addr": int}}}`` — ``addr`` is
+    the object-header address, used to resolve ``DIMENSION_LIST``
+    object references.  Nested groups flatten to ``group/name`` paths.
+    """
+    data = source if isinstance(source, bytes) else open(source, "rb").read()
+    h = _H5(data)
+    datasets: dict[str, dict] = {}
+    root_attrs: dict[str, Any] = {}
+
+    def visit(addr: int, path: str) -> None:
+        msgs = _messages(h, addr)
+        if any(t == 0x08 for t, _ in msgs):  # has a data layout → dataset
+            arr, attrs = _dataset_data(h, msgs)
+            datasets[path] = {
+                "shape": list(arr.shape),
+                "attrs": attrs,
+                "data": arr,
+                "addr": addr,
+            }
+            return
+        if path == "":  # root group carries the global attributes
+            for mtype, body in msgs:
+                if mtype == 0x0C:
+                    k, v = _attribute(h, body)
+                    root_attrs[k] = v
+        for name, child in _group_children(h, msgs).items():
+            visit(child, f"{path}/{name}" if path else name)
+
+    visit(h.root, "")
+    return {"attrs": root_attrs, "datasets": datasets}
+
+
+_NC4_HIDDEN_ATTRS = {
+    "CLASS",
+    "NAME",
+    "DIMENSION_LIST",
+    "REFERENCE_LIST",
+    "_Netcdf4Dimid",
+    "_Netcdf4Coordinates",
+    "_NCProperties",
+}
+
+
+def read_netcdf4(source: str | bytes) -> dict:
+    """NetCDF-4 semantics over :func:`read_hdf5` — same output shape as
+    ``netcdf3.read_netcdf3``: ``{"dims", "record_dim", "attrs",
+    "vars": {name: {"dims", "attrs", "data"}}}``.
+
+    Dimensions are the datasets netCDF marks as dimension scales
+    (``CLASS="DIMENSION_SCALE"``); each variable's dim names resolve
+    through its ``DIMENSION_LIST`` object references, falling back to
+    unique size-matching against the scales when the reference attribute
+    is absent (plain HDF5 files).
+    """
+    ds = read_hdf5(source)
+    by_addr = {v["addr"]: name for name, v in ds["datasets"].items()}
+    dims: dict[str, int] = {}
+    for name, v in ds["datasets"].items():
+        if str(v["attrs"].get("CLASS", "")) == "DIMENSION_SCALE":
+            dims[name] = v["shape"][0] if v["shape"] else 1
+
+    out_vars: dict[str, dict] = {}
+    for name, v in ds["datasets"].items():
+        dim_list = v["attrs"].get("DIMENSION_LIST")
+        if dim_list is not None:
+            dnames = []
+            for refs in dim_list:
+                # each element: the dim-scale dataset(s) attached to this axis
+                addrs = refs if isinstance(refs, list) else [refs]
+                dnames.append(by_addr.get(addrs[0], "?") if addrs else "?")
+        elif name in dims:
+            dnames = [name]
+        else:
+            dnames = _match_dims_by_size(v["shape"], dims)
+        clean = {k: a for k, a in v["attrs"].items() if k not in _NC4_HIDDEN_ATTRS}
+        arr = v["data"]
+        if arr.dtype.byteorder == ">":
+            arr = arr.astype(arr.dtype.newbyteorder("="))
+        out_vars[name] = {"dims": dnames, "attrs": clean, "data": arr}
+
+    attrs = {k: v for k, v in ds["attrs"].items() if k not in _NC4_HIDDEN_ATTRS}
+    return {"dims": dims, "record_dim": None, "attrs": attrs, "vars": out_vars}
+
+
+def _match_dims_by_size(shape: list[int], dims: dict[str, int]) -> list[str]:
+    names = []
+    for s in shape:
+        hits = [d for d, n in dims.items() if n == s]
+        names.append(hits[0] if len(hits) == 1 else "?")
+    return names
+
+
+def netcdf4_grid_to_long(
+    content: bytes,
+    var: str = "precip",
+    time_dim: str = "time",
+    lat_dim: str = "latitude",
+    lon_dim: str = "longitude",
+) -> pd.DataFrame:
+    """NetCDF-4 twin of ``netcdf3.netcdf3_grid_to_long``: bytes of one
+    HDF5-container ``time × latitude × longitude`` grid → long-format
+    ``(time, lat, lon, precip)`` pandas frame, CF-decoded (_FillValue /
+    scale_factor / add_offset / "unit since epoch" time)."""
+    from mini_project_204721_data_engineering_spark.sources.netcdf3 import (
+        _decode_cf_time,
+        _decode_cf_values,
+    )
+
+    ds = read_netcdf4(content)
+    v = ds["vars"][var]
+    if v["dims"] != [time_dim, lat_dim, lon_dim]:
+        raise ValueError(f"{var} dims {v['dims']} != [{time_dim}, {lat_dim}, {lon_dim}]")
+    times = _decode_cf_time(ds["vars"][time_dim])
+    lats = np.asarray(ds["vars"][lat_dim]["data"], dtype=np.float64)
+    lons = np.asarray(ds["vars"][lon_dim]["data"], dtype=np.float64)
+    vals = _decode_cf_values(v)
+    nt, nla, nlo = len(times), len(lats), len(lons)
+    return pd.DataFrame(
+        {
+            "time": np.repeat(times, nla * nlo),
+            "lat": np.tile(np.repeat(lats, nlo), nt),
+            "lon": np.tile(lons, nt * nla),
+            "precip": vals.reshape(-1),
+        }
+    )
+
+
+def netcdf_grid_to_long(content: bytes, **kw) -> pd.DataFrame:
+    """Container-agnostic decoder: sniffs the magic and routes classic
+    CDF bytes to the NetCDF-3 parser and HDF5 bytes to the NetCDF-4
+    reader — the default executor-side decoder for
+    ``sources.netcdf.netcdf_files_to_long``."""
+    if content[:3] == b"CDF":
+        from mini_project_204721_data_engineering_spark.sources.netcdf3 import (
+            netcdf3_grid_to_long,
+        )
+
+        return netcdf3_grid_to_long(content, **kw)
+    if content[:8] == _SIG or _SIG in content[:4096]:
+        return netcdf4_grid_to_long(content, **kw)
+    raise ValueError("not a NetCDF file (neither CDF nor HDF5 magic)")
+
+
+# --------------------------------------------------------------------------
+# writer (test fixtures — round-trips the reader, netcdf3/dbf/shp strategy)
+# --------------------------------------------------------------------------
+
+
+def _enc_datatype(arr_or_val) -> tuple[bytes, np.dtype]:
+    """Encode a datatype message body for a numpy dtype (v1 datatypes)."""
+    if isinstance(arr_or_val, np.dtype):
+        dt = arr_or_val
+    else:
+        dt = np.asarray(arr_or_val).dtype
+    if dt.kind == "S":
+        size = dt.itemsize
+        return bytes([0x13, 0, 0, 0]) + struct.pack("<I", size), dt
+    be = dt.byteorder == ">"
+    order = 1 if be else 0
+    if dt.kind in ("i", "u"):
+        bits0 = order | (0x08 if dt.kind == "i" else 0)
+        body = bytes([0x10, bits0, 0, 0]) + struct.pack("<I", dt.itemsize)
+        body += struct.pack("<HH", 0, dt.itemsize * 8)
+        return body, dt
+    if dt.kind == "f":
+        if dt.itemsize == 4:
+            sign, exploc, expsz, mansz, bias = 31, 23, 8, 23, 127
+        else:
+            sign, exploc, expsz, mansz, bias = 63, 52, 11, 52, 1023
+        bits = bytes([order | 0x20, sign, 0])
+        body = bytes([0x11]) + bits + struct.pack("<I", dt.itemsize)
+        body += struct.pack("<HHBBBBI", 0, dt.itemsize * 8, exploc, expsz, 0, mansz, bias)
+        return body, dt
+    raise ValueError(f"unsupported dtype {dt}")
+
+
+_DT_REF = bytes([0x17, 0, 0, 0]) + struct.pack("<I", 8)
+_DT_VLREF = bytes([0x19, 0, 0, 0]) + struct.pack("<I", 16) + _DT_REF
+
+
+def _enc_dataspace(shape: tuple[int, ...]) -> bytes:
+    return bytes([1, len(shape), 0, 0, 0, 0, 0, 0]) + b"".join(
+        struct.pack("<Q", s) for s in shape
+    )
+
+
+def _attr_payload(value) -> tuple[bytes, bytes, bytes]:
+    """(datatype msg, dataspace msg, raw data) for a python/numpy value."""
+    if isinstance(value, str):
+        raw = value.encode() + b"\x00"
+        dt, _ = _enc_datatype(np.dtype(f"S{len(raw)}"))
+        return dt, _enc_dataspace(()), raw
+    arr = np.asarray(value)
+    if arr.dtype.kind == "U":
+        raise ValueError("use python str for string attributes")
+    if arr.dtype == np.int64 and arr.ndim == 0:
+        arr = arr.astype("<i8")
+    dt, _ = _enc_datatype(arr.dtype.newbyteorder("<"))
+    return dt, _enc_dataspace(arr.shape if arr.ndim else ()), arr.astype(
+        arr.dtype.newbyteorder("<")
+    ).tobytes()
+
+
+def _attr_msg_v1(name: str, dtmsg: bytes, dsmsg: bytes, data: bytes) -> bytes:
+    nb = name.encode() + b"\x00"
+
+    def pad8(b: bytes) -> bytes:
+        return b + b"\x00" * ((-len(b)) % 8)
+
+    head = struct.pack("<BBHHH", 1, 0, len(nb), len(dtmsg), len(dsmsg))
+    return head + pad8(nb) + pad8(dtmsg) + pad8(dsmsg) + data
+
+
+def _attr_msg_v3(name: str, dtmsg: bytes, dsmsg: bytes, data: bytes) -> bytes:
+    nb = name.encode() + b"\x00"
+    head = struct.pack("<BBHHHB", 3, 0, len(nb), len(dtmsg), len(dsmsg), 0)
+    return head + nb + dtmsg + dsmsg + data
+
+
+def _ohdr_v1(messages: list[tuple[int, bytes]]) -> bytes:
+    body = b""
+    for mtype, mbody in messages:
+        mbody = mbody + b"\x00" * ((-len(mbody)) % 8)
+        body += struct.pack("<HHB3x", mtype, len(mbody), 0) + mbody
+    return struct.pack("<BBHII4x", 1, 0, len(messages), 1, len(body)) + body
+
+
+def _ohdr_v2(messages: list[tuple[int, bytes]]) -> bytes:
+    body = b""
+    for mtype, mbody in messages:
+        body += struct.pack("<BHB", mtype, len(mbody), 0) + mbody
+    # flags=1: 2-byte size-of-chunk-0 field; trailing checksum unverified
+    return b"OHDR" + struct.pack("<BBH", 2, 1, len(body)) + body + b"\x00" * 4
+
+
+def write_hdf5(
+    path: str,
+    datasets: dict[str, tuple[np.ndarray, dict]],
+    dim_names: dict[str, list[str]] | None = None,
+    root_attrs: dict | None = None,
+    options: dict[str, dict] | None = None,
+    flavor: str = "v0",
+) -> None:
+    """Write an HDF5 file in the netCDF-4 shape, for reader round-trips.
+
+    ``datasets``: name → (array, attrs).  ``dim_names``: name → dim-name
+    list; names listed anywhere become dimension-scale datasets
+    (``CLASS="DIMENSION_SCALE"``) and variables get real
+    ``DIMENSION_LIST`` object-reference attributes through a global
+    heap — the structure netCDF-4 itself writes.  ``options``: name →
+    ``{"chunks": tuple, "deflate": level, "shuffle": bool}``.
+    ``flavor="v0"``: superblock v0 + old-style symbol-table root;
+    ``flavor="v2"``: superblock v3 + v2 object headers + compact link
+    messages (the modern-netCDF shape).
+    """
+    dim_names = dim_names or {}
+    root_attrs = root_attrs or {}
+    options = options or {}
+    scale_names = {d for dl in dim_names.values() for d in dl if d in datasets}
+    buf = bytearray(b"\x00" * (96 if flavor == "v0" else 48))
+
+    def alloc(b: bytes) -> int:
+        addr = len(buf)
+        buf.extend(b)
+        return addr
+
+    def dataset_blob(name: str, arr: np.ndarray, attrs: dict, extra_msgs) -> int:
+        opt = options.get(name, {})
+        dtmsg, dt = _enc_datatype(arr.dtype.newbyteorder("<"))
+        arr = np.ascontiguousarray(arr.astype(arr.dtype.newbyteorder("<")))
+        msgs: list[tuple[int, bytes]] = [(0x01, _enc_dataspace(arr.shape)), (0x03, dtmsg)]
+        chunks = opt.get("chunks")
+        if chunks:
+            filters: list[tuple[int, list[int]]] = []
+            if opt.get("shuffle"):
+                filters.append((2, [arr.dtype.itemsize]))
+            if opt.get("deflate") is not None:
+                filters.append((1, [int(opt["deflate"])]))
+            if filters:
+                fbody = struct.pack("<BB6x", 1, len(filters))
+                for fid, vals in filters:
+                    fbody += struct.pack("<HHHH", fid, 0, 0, len(vals))
+                    fbody += b"".join(struct.pack("<I", v) for v in vals)
+                    if len(vals) % 2:
+                        fbody += b"\x00" * 4
+                msgs.append((0x0B, fbody))
+            entries = []
+            grid = [range(0, s, c) for s, c in zip(arr.shape, chunks)]
+            import itertools
+
+            for offs in itertools.product(*grid):
+                sl = tuple(slice(o, o + c) for o, c in zip(offs, chunks))
+                carr = np.zeros(chunks, dtype=arr.dtype)
+                piece = arr[sl]
+                carr[tuple(slice(0, s) for s in piece.shape)] = piece
+                raw = carr.tobytes()
+                for fid, vals in filters:
+                    if fid == 2:
+                        es = vals[0]
+                        raw = (
+                            np.frombuffer(raw, dtype=np.uint8)
+                            .reshape(len(raw) // es, es)
+                            .T.tobytes()
+                        )
+                    elif fid == 1:
+                        raw = zlib.compress(raw, vals[0])
+                entries.append((offs, len(raw), alloc(raw)))
+            key_size = 8 + 8 * (len(arr.shape) + 1)
+            node = b"TREE" + struct.pack("<BBH", 1, 0, len(entries))
+            node += struct.pack("<QQ", _UNDEF, _UNDEF)
+            for offs, nbytes, addr in entries:
+                node += struct.pack("<II", nbytes, 0)
+                node += b"".join(struct.pack("<Q", o) for o in offs) + struct.pack("<Q", 0)
+                node += struct.pack("<Q", addr)
+            node += struct.pack("<II", 0, 0)  # final key: past-the-end
+            node += b"".join(struct.pack("<Q", s) for s in arr.shape) + struct.pack("<Q", 0)
+            btree_addr = alloc(node)
+            del key_size
+            lay = struct.pack("<BBB", 3, 2, len(arr.shape) + 1)
+            lay += struct.pack("<Q", btree_addr)
+            lay += b"".join(struct.pack("<I", c) for c in chunks)
+            lay += struct.pack("<I", arr.dtype.itemsize)
+            msgs.append((0x08, lay))
+        else:
+            daddr = alloc(arr.tobytes())
+            msgs.append((0x08, struct.pack("<BBQQ", 3, 1, daddr, arr.nbytes)))
+        attr_enc = _attr_msg_v1 if flavor == "v0" else _attr_msg_v3
+        for k, v in attrs.items():
+            msgs.append((0x0C, attr_enc(k, *_attr_payload(v))))
+        msgs.extend(extra_msgs)
+        hdr = _ohdr_v1(msgs) if flavor == "v0" else _ohdr_v2(msgs)
+        return alloc(hdr)
+
+    # 1) dimension-scale datasets first (variables will reference them)
+    addrs: dict[str, int] = {}
+    attr_enc = _attr_msg_v1 if flavor == "v0" else _attr_msg_v3
+    for name in datasets:
+        if name in scale_names:
+            arr, attrs = datasets[name]
+            a = dict(attrs)
+            a["CLASS"] = "DIMENSION_SCALE"
+            a["NAME"] = name
+            addrs[name] = dataset_blob(name, arr, a, [])
+
+    # 2) one global heap collection holding the DIMENSION_LIST references
+    gheap_objs: dict[tuple[str, int], int] = {}
+    gheap_body = b""
+    next_idx = 1
+    for name, dl in dim_names.items():
+        if name in scale_names:
+            continue
+        for axis, dname in enumerate(dl):
+            data = struct.pack("<Q", addrs[dname])
+            gheap_body += struct.pack("<HH4xQ", next_idx, 1, len(data)) + data
+            gheap_body += b"\x00" * ((-len(data)) % 8)
+            gheap_objs[(name, axis)] = next_idx
+            next_idx += 1
+    gheap_addr = 0
+    if gheap_body:
+        total = max(4096, 16 + len(gheap_body) + 16)
+        head = b"GCOL" + struct.pack("<B3xQ", 1, total)
+        free = total - len(head) - len(gheap_body)
+        tail = struct.pack("<HH4xQ", 0, 0, free) + b"\x00" * (free - 16)
+        gheap_addr = alloc(head + gheap_body + tail)
+
+    # 3) data variables, with DIMENSION_LIST when dims are declared
+    for name in datasets:
+        if name in scale_names:
+            continue
+        arr, attrs = datasets[name]
+        extra = []
+        dl = dim_names.get(name)
+        if dl:
+            data = b"".join(
+                struct.pack("<IQI", 1, gheap_addr, gheap_objs[(name, ax)])
+                for ax in range(len(dl))
+            )
+            body = _attr_msg_v1("DIMENSION_LIST", _DT_VLREF, _enc_dataspace((len(dl),)), data) if flavor == "v0" else _attr_msg_v3(
+                "DIMENSION_LIST", _DT_VLREF, _enc_dataspace((len(dl),)), data
+            )
+            extra.append((0x0C, body))
+        addrs[name] = dataset_blob(name, arr, attrs, extra)
+
+    # 4) root group
+    names = sorted(datasets)
+    if flavor == "v0":
+        heap_data = bytearray(b"\x00" * 8)
+        name_offs = {}
+        for n in names:
+            name_offs[n] = len(heap_data)
+            nb = n.encode() + b"\x00"
+            heap_data.extend(nb + b"\x00" * ((-len(nb)) % 8))
+        heap_data_addr = alloc(bytes(heap_data))
+        heap_addr = alloc(
+            b"HEAP" + struct.pack("<B3xQQQ", 1, len(heap_data), 1, heap_data_addr)
+        )
+        snod = b"SNOD" + struct.pack("<BBH", 1, 0, len(names))
+        for n in names:
+            snod += struct.pack("<QQII16x", name_offs[n], addrs[n], 0, 0)
+        snod_addr = alloc(snod)
+        btree = b"TREE" + struct.pack("<BBH", 0, 0, 1)
+        btree += struct.pack("<QQ", _UNDEF, _UNDEF)
+        btree += struct.pack("<Q", 0) + struct.pack("<Q", snod_addr)
+        btree += struct.pack("<Q", name_offs[names[-1]] if names else 0)
+        btree_addr = alloc(btree)
+        root_msgs: list[tuple[int, bytes]] = [
+            (0x11, struct.pack("<QQ", btree_addr, heap_addr))
+        ]
+        for k, v in root_attrs.items():
+            root_msgs.append((0x0C, attr_enc(k, *_attr_payload(v))))
+        root_addr = alloc(_ohdr_v1(root_msgs))
+        sb = _SIG + struct.pack("<BBBBBBBBHHI", 0, 0, 0, 0, 0, 8, 8, 0, 4, 16, 0)
+        sb += struct.pack("<QQQQ", 0, _UNDEF, len(buf), _UNDEF)
+        sb += struct.pack("<QQII16x", 0, root_addr, 0, 0)
+        buf[: len(sb)] = sb
+    else:
+        root_msgs = []
+        for n in names:
+            nb = n.encode()
+            body = struct.pack("<BBB", 1, 0, len(nb)) + nb + struct.pack("<Q", addrs[n])
+            root_msgs.append((0x06, body))
+        for k, v in root_attrs.items():
+            root_msgs.append((0x0C, attr_enc(k, *_attr_payload(v))))
+        root_addr = alloc(_ohdr_v2(root_msgs))
+        sb = _SIG + struct.pack("<BBBB", 3, 8, 8, 0)
+        sb += struct.pack("<QQQQ", 0, _UNDEF, len(buf), root_addr)
+        sb += struct.pack("<I", 0)  # checksum (unverified by this reader)
+        buf[: len(sb)] = sb
+
+    with open(path, "wb") as f:
+        f.write(bytes(buf))

@@ -101,34 +101,21 @@ def netcdf_files_to_long(
     file's bytes to long format via ``decoder(content: bytes) ->
     pd.DataFrame[time, lat, lon, precip]``.  File bytes never visit the
     driver, so 100 TB of yearly grids convert at scan parallelism.  The
-    default decoder uses xarray when installed and falls back to the
-    dependency-free classic-CDF parser (``sources/netcdf3.py``) —
-    NetCDF-4/HDF5 bytes without xarray need an injected decoder.
+    default decoder sniffs the container magic and handles BOTH NetCDF
+    families dependency-free: classic CDF-1/2/5 via ``sources/netcdf3.py``
+    and NetCDF-4/HDF5 (the reference's real CHIRPS input,
+    ``backend/app/main.py:162``) via ``sources/hdf5.py`` — no xarray, no
+    injected decoder needed.  ``decoder=`` still overrides for exotic
+    variable names or containers.
     """
-    import io
-
     import pandas as pd
 
     if decoder is None:
-        def decoder(content: bytes) -> pd.DataFrame:
-            try:
-                import xarray as xr
-            except ImportError as e:
-                if content[:3] == b"CDF":
-                    from mini_project_204721_data_engineering_spark.sources.netcdf3 import (
-                        netcdf3_grid_to_long,
-                    )
+        from mini_project_204721_data_engineering_spark.sources.hdf5 import (
+            netcdf_grid_to_long,
+        )
 
-                    return netcdf3_grid_to_long(content)
-                raise ImportError(
-                    "default decoder needs xarray for NetCDF-4/HDF5 bytes "
-                    "(classic CDF decodes without it); inject decoder="
-                ) from e
-            ds = xr.open_dataset(io.BytesIO(content))
-            pdf = ds["precip"].to_dataframe().reset_index()
-            return pdf.rename(
-                columns={"latitude": "lat", "longitude": "lon"}
-            )[["time", "lat", "lon", "precip"]]
+        decoder = netcdf_grid_to_long
 
     files = (
         spark.read.format("binaryFile")

@@ -1,16 +1,16 @@
-"""Dependency-free NetCDF-3 classic (.nc, CDF-1/CDF-2) reader (S1 byte
-level).
+"""Dependency-free NetCDF classic (.nc, CDF-1/CDF-2/CDF-5) reader (S1
+byte level).
 
 The reference opens rainfall grids with xarray (``xr.open_dataset``,
 ``backend/app/utils.py:63``); no NetCDF library ships in this
 environment, but the NetCDF *classic* container is a small public binary
-format (the NetCDF "CDF" spec): a header of dimension / attribute /
-variable lists followed by big-endian array data, fixed-size variables
-at absolute offsets and record variables interleaved along the unlimited
-dimension.  This module reads that subset — enough for CHIRPS-style
+format (the NetCDF "CDF" spec; CDF-5 64-bit extensions per pnetcdf's
+published spec): a header of dimension / attribute / variable lists
+followed by big-endian array data, fixed-size variables at absolute
+offsets and record variables interleaved along the unlimited dimension.
+This module reads that family — enough for CHIRPS-style
 ``time × latitude × longitude`` grids exported as classic files.
-(NetCDF-4/HDF5 containers still need an injected decoder; the format is
-not a fixed small layout.)
+(NetCDF-4/HDF5 containers are covered by ``sources/hdf5.py``.)
 
 ``netcdf3_grid_to_long`` is a drop-in ``decoder=`` for
 ``sources.netcdf.netcdf_files_to_long`` — executor-side, bytes in /
@@ -36,6 +36,7 @@ _NC_VARIABLE = 0x0B
 _NC_ATTRIBUTE = 0x0C
 
 #: nc_type → (numpy dtype, size); data is big-endian on disk
+#: (7-11 are the CDF-5 extended types — pnetcdf's public CDF-5 spec)
 _TYPES = {
     1: (np.dtype(">i1"), 1),  # byte
     2: (np.dtype("S1"), 1),  # char
@@ -43,13 +44,19 @@ _TYPES = {
     4: (np.dtype(">i4"), 4),  # int
     5: (np.dtype(">f4"), 4),  # float
     6: (np.dtype(">f8"), 8),  # double
+    7: (np.dtype(">u1"), 1),  # ubyte   (CDF-5)
+    8: (np.dtype(">u2"), 2),  # ushort  (CDF-5)
+    9: (np.dtype(">u4"), 4),  # uint    (CDF-5)
+    10: (np.dtype(">i8"), 8),  # int64  (CDF-5)
+    11: (np.dtype(">u8"), 8),  # uint64 (CDF-5)
 }
 
 
 class _Cursor:
-    def __init__(self, data: bytes):
+    def __init__(self, data: bytes, wide: bool = False):
         self.data = data
         self.pos = 0
+        self.wide = wide  # CDF-5: NON_NEG fields are 64-bit
 
     def i4(self) -> int:
         (v,) = struct.unpack_from(">i", self.data, self.pos)
@@ -61,8 +68,12 @@ class _Cursor:
         self.pos += 8
         return v
 
+    def nn(self) -> int:
+        """NON_NEG: 4 bytes in CDF-1/2, 8 in CDF-5."""
+        return self.i8() if self.wide else self.i4()
+
     def name(self) -> str:
-        n = self.i4()
+        n = self.nn()
         s = self.data[self.pos : self.pos + n].decode("utf-8", "replace")
         self.pos += n + (-n) % 4  # names pad to 4-byte boundary
         return s
@@ -79,7 +90,7 @@ class _Cursor:
 
 
 def _att_list(c: _Cursor) -> dict[str, Any]:
-    tag, n = c.i4(), c.i4()
+    tag, n = c.i4(), c.nn()
     if tag == 0 and n == 0:
         return {}
     if tag != _NC_ATTRIBUTE:
@@ -88,7 +99,7 @@ def _att_list(c: _Cursor) -> dict[str, Any]:
     for _ in range(n):
         name = c.name()
         nc_type = c.i4()
-        nelems = c.i4()
+        nelems = c.nn()
         out[name] = c.values(nc_type, nelems)
     return out
 
@@ -102,20 +113,20 @@ def read_netcdf3(source: str | bytes) -> dict:
     already stitched along the unlimited dimension.
     """
     data = source if isinstance(source, bytes) else open(source, "rb").read()
-    if data[:3] != b"CDF" or data[3] not in (1, 2):
-        raise ValueError("not a classic NetCDF (CDF-1/CDF-2) file")
+    if data[:3] != b"CDF" or data[3] not in (1, 2, 5):
+        raise ValueError("not a classic NetCDF (CDF-1/CDF-2/CDF-5) file")
     version = data[3]
-    c = _Cursor(data)
+    c = _Cursor(data, wide=version == 5)
     c.pos = 4
-    numrecs = c.i4()
+    numrecs = c.nn()
 
     dims: list[tuple[str, int]] = []
     record_dim: str | None = None
-    tag, n = c.i4(), c.i4()
+    tag, n = c.i4(), c.nn()
     if tag == _NC_DIMENSION:
         for _ in range(n):
             name = c.name()
-            size = c.i4()
+            size = c.nn()
             if size == 0:
                 record_dim = name
             dims.append((name, size))
@@ -125,16 +136,16 @@ def read_netcdf3(source: str | bytes) -> dict:
     gattrs = _att_list(c)
 
     variables: list[dict] = []
-    tag, n = c.i4(), c.i4()
+    tag, n = c.i4(), c.nn()
     if tag == _NC_VARIABLE:
         for _ in range(n):
             name = c.name()
-            ndims = c.i4()
+            ndims = c.nn()
             dimids = [c.i4() for _ in range(ndims)]
             vattrs = _att_list(c)
             nc_type = c.i4()
-            vsize = c.i4()
-            begin = c.i8() if version == 2 else c.i4()
+            vsize = c.nn()
+            begin = c.i8() if version in (2, 5) else c.i4()
             variables.append(
                 {
                     "name": name,
@@ -270,32 +281,43 @@ def write_netcdf3(
     variables: dict[str, tuple[list[str], np.ndarray, dict]],
     record_dim: str | None = None,
     attrs: dict | None = None,
+    version: int = 1,
 ) -> None:
-    """Write a CDF-1 classic file (tests/fixtures — round-trips the
-    reader).  ``variables``: name → (dim names, array, attrs); arrays
-    must match the declared dim sizes; ``record_dim`` (if given) must be
-    the first dim of every variable that uses it."""
+    """Write a classic file (tests/fixtures — round-trips the reader).
+    ``variables``: name → (dim names, array, attrs); arrays must match
+    the declared dim sizes; ``record_dim`` (if given) must be the first
+    dim of every variable that uses it.  ``version``: 1 (CDF-1) or 5
+    (CDF-5: 64-bit NON_NEG fields + int64/unsigned types)."""
+    if version not in (1, 5):
+        raise ValueError("write_netcdf3 emits CDF-1 or CDF-5")
+    nn = ">q" if version == 5 else ">i"  # NON_NEG field width
 
     def pad4(b: bytes) -> bytes:
         return b + b"\x00" * ((-len(b)) % 4)
 
     def w_name(s: str) -> bytes:
         b = s.encode("utf-8")
-        return struct.pack(">i", len(b)) + pad4(b)
+        return struct.pack(nn, len(b)) + pad4(b)
 
     def np_to_nc(arr: np.ndarray) -> int:
         kind = arr.dtype.kind, arr.dtype.itemsize
-        return {("i", 1): 1, ("S", 1): 2, ("i", 2): 3, ("i", 4): 4, ("f", 4): 5, ("f", 8): 6}[kind]
+        classic = {("i", 1): 1, ("S", 1): 2, ("i", 2): 3, ("i", 4): 4, ("f", 4): 5, ("f", 8): 6}
+        cdf5 = {("u", 1): 7, ("u", 2): 8, ("u", 4): 9, ("i", 8): 10, ("u", 8): 11}
+        if kind in classic:
+            return classic[kind]
+        if version == 5 and kind in cdf5:
+            return cdf5[kind]
+        raise ValueError(f"dtype {arr.dtype} needs CDF-5" if kind in cdf5 else f"unsupported dtype {arr.dtype}")
 
     def w_attrs(a: dict) -> bytes:
         if not a:
-            return struct.pack(">ii", 0, 0)
-        out = struct.pack(">ii", _NC_ATTRIBUTE, len(a))
+            return struct.pack(">i", 0) + struct.pack(nn, 0)
+        out = struct.pack(">i", _NC_ATTRIBUTE) + struct.pack(nn, len(a))
         for k, v in a.items():
             out += w_name(k)
             if isinstance(v, str):
                 b = v.encode("utf-8")
-                out += struct.pack(">ii", 2, len(b)) + pad4(b)
+                out += struct.pack(">i", 2) + struct.pack(nn, len(b)) + pad4(b)
             else:
                 arr = np.asarray(v)
                 if arr.dtype.kind == "f":
@@ -304,16 +326,16 @@ def write_netcdf3(
                 else:
                     arr = arr.astype(">i4")
                     t = 4
-                out += struct.pack(">ii", t, arr.size) + pad4(arr.tobytes())
+                out += struct.pack(">i", t) + struct.pack(nn, arr.size) + pad4(arr.tobytes())
         return out
 
     dim_names = list(dims)
     numrecs = dims[record_dim] if record_dim else 0
 
-    header = b"CDF\x01" + struct.pack(">i", numrecs)
-    header += struct.pack(">ii", _NC_DIMENSION, len(dims))
+    header = b"CDF" + bytes([version]) + struct.pack(nn, numrecs)
+    header += struct.pack(">i", _NC_DIMENSION) + struct.pack(nn, len(dims))
     for name in dim_names:
-        header += w_name(name) + struct.pack(">i", 0 if name == record_dim else dims[name])
+        header += w_name(name) + struct.pack(nn, 0 if name == record_dim else dims[name])
     header += w_attrs(attrs or {})
 
     # variable metadata needs data offsets — lay out in two passes
@@ -328,17 +350,18 @@ def write_netcdf3(
         vsize = n_elems * size + (-(n_elems * size)) % 4
         metas.append((name, vdims, arr, vattrs, nc_type, vsize, is_rec))
 
-    var_hdr_len = struct.calcsize(">ii")
+    begin_size = 8 if version == 5 else 4
+    var_hdr_len = 4 + struct.calcsize(nn)
     var_entries = []
     for name, vdims, arr, vattrs, nc_type, vsize, is_rec in metas:
-        entry = w_name(name) + struct.pack(">i", len(vdims))
+        entry = w_name(name) + struct.pack(nn, len(vdims))
         entry += b"".join(struct.pack(">i", dim_names.index(d)) for d in vdims)
-        entry += w_attrs(vattrs) + struct.pack(">ii", nc_type, vsize)
+        entry += w_attrs(vattrs) + struct.pack(">i", nc_type) + struct.pack(nn, vsize)
         var_entries.append(entry)
     header_len = (
         len(header)
         + var_hdr_len
-        + sum(len(e) + 4 for e in var_entries)  # +4 for the CDF-1 begin field
+        + sum(len(e) + begin_size for e in var_entries)
     )
 
     # offsets: fixed vars first, then the record block
@@ -358,9 +381,9 @@ def write_netcdf3(
             rec_off += vsize
 
     out = bytearray(header)
-    out += struct.pack(">ii", _NC_VARIABLE, len(metas))
+    out += struct.pack(">i", _NC_VARIABLE) + struct.pack(nn, len(metas))
     for entry, begin in zip(var_entries, begins):
-        out += entry + struct.pack(">i", begin)
+        out += entry + struct.pack(">q" if version == 5 else ">i", begin)
     for name, vdims, arr, vattrs, nc_type, vsize, is_rec in metas:
         if not is_rec:
             dt, _ = _TYPES[nc_type]
