@@ -80,9 +80,21 @@ def normalize_incident_sheet(df: pd.DataFrame) -> pd.DataFrame:
 def read_incident_workbook(path: str) -> pd.DataFrame:
     """Full byte-level read: fuzzy sheet choice → layout normalization.
 
-    Uses pandas+openpyxl when installed; otherwise the dependency-free
-    OOXML reader (``sources/xlsx.py``) — same ``header=0`` row shape, so
-    the layout logic downstream is identical either way."""
+    Container routing matches the reference's ``pd.ExcelFile``
+    (``utils.py:475-485``), which accepts both ``.xlsx`` and legacy
+    ``.xls``: OLE2/CFB magic routes to the dependency-free BIFF8 reader
+    (``sources/xls.py``); OOXML zips use pandas+openpyxl when installed
+    or the dependency-free reader (``sources/xlsx.py``) otherwise — same
+    ``header=0`` row shape every way, so the layout logic downstream is
+    container-agnostic."""
+    with open(path, "rb") as f:
+        magic = f.read(8)
+    if magic == b"\xd0\xcf\x11\xe0\xa1\xb1\x1a\xe1":  # legacy .xls
+        from mini_project_204721_data_engineering_spark.sources.xls import read_xls
+
+        sheets = read_xls(path)
+        sheet = choose_sheet(list(sheets))
+        return normalize_incident_sheet(sheets[sheet])
     # gate ONLY the import: a pandas-internal ImportError (e.g. openpyxl
     # minimum-version check) should surface, not silently downgrade the
     # read to the minimal fallback reader
