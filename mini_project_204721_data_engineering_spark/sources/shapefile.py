@@ -39,6 +39,7 @@ __all__ = [
     "write_shp",
     "wkt_to_shp_parts",
     "check_prj_wgs84",
+    "prj_transform",
     "SHAPE_POINT",
     "SHAPE_POLYLINE",
     "SHAPE_POLYGON",
@@ -90,7 +91,7 @@ def _polygon_wkt(parts: list[list[tuple[float, float]]]) -> str:
     )
 
 
-def read_shp(path: str) -> list[dict]:
+def read_shp(path: str, transform=None) -> list[dict]:
     """Parse the .shp main file into shape records.
 
     Returns one dict per record: ``{"shape_type": int, "wkt": str | None,
@@ -100,6 +101,12 @@ def read_shp(path: str) -> list[dict]:
     record holds several outer rings (island districts), MULTIPOLYGON
     WKT — downstream ``geometry.parse_wkt_rings`` + even-odd containment
     honor both holes and extra parts, matching geopandas.
+
+    ``transform``: optional vectorized ``(x, y) → (lon, lat)`` applied to
+    every coordinate as records are unpacked (``sources/crs.py`` supplies
+    one for projected ``.prj`` sidecars — the reference's ``to_crs``
+    parity).  Winding orientation is preserved by transverse Mercator
+    (conformal), so ring grouping is unaffected.
     """
     with open(path, "rb") as f:
         data = f.read()
@@ -126,6 +133,8 @@ def read_shp(path: str) -> list[dict]:
             records.append({"shape_type": stype, "wkt": None, "parts": []})
         elif stype == SHAPE_POINT:
             x, y = struct.unpack_from("<dd", content, 4)
+            if transform is not None:
+                x, y = (float(v) for v in transform(x, y))
             records.append(
                 {
                     "shape_type": stype,
@@ -138,7 +147,15 @@ def read_shp(path: str) -> list[dict]:
             part_idx = list(struct.unpack_from(f"<{n_parts}i", content, 44))
             pts_off = 44 + 4 * n_parts
             flat = struct.unpack_from(f"<{2 * n_points}d", content, pts_off)
-            pts = [(flat[2 * i], flat[2 * i + 1]) for i in range(n_points)]
+            if transform is not None:
+                import numpy as _np
+
+                xs, ys = transform(
+                    _np.asarray(flat[0::2]), _np.asarray(flat[1::2])
+                )
+                pts = list(zip(xs.tolist(), ys.tolist()))
+            else:
+                pts = [(flat[2 * i], flat[2 * i + 1]) for i in range(n_points)]
             bounds = part_idx + [n_points]
             parts = [pts[bounds[i] : bounds[i + 1]] for i in range(n_parts)]
             if stype == SHAPE_POLYGON:
@@ -157,39 +174,38 @@ def read_shp(path: str) -> list[dict]:
     return records
 
 
-def check_prj_wgs84(shp_path: str) -> None:
-    """CRS guard (r2 verdict #4): when a ``.prj`` sidecar exists, require
-    a geographic WGS84 CRS and raise a clear error otherwise.
+def prj_transform(shp_path: str):
+    """CRS handling (r2 verdict #4, upgraded to reprojection in r5): when
+    a ``.prj`` sidecar exists, return ``None`` for geographic WGS84 (use
+    coordinates as-is), a vectorized ``(x, y) → (lon, lat)`` transform
+    for WGS84-datum transverse-Mercator projections (every UTM zone —
+    ``sources/crs.py``, Snyder's public inverse series), or raise the
+    clear pre-r5 error for CRS outside that family.
 
-    The reference reprojects everything to EPSG:4326 on read
-    (``gpd.read_file(...).to_crs("EPSG:4326")``, ``backend/app/utils.py:80``);
-    the engine's downstream point-in-polygon assumes lon/lat degrees.
-    Full reprojection needs pyproj (not in this environment), and an
-    honest error beats silently mis-assigning every point of a
-    UTM-projected file.  A missing ``.prj`` is accepted as-is (the spec
-    makes the sidecar optional; coordinates are taken as already 4326,
-    same leniency as geopandas' crs=None)."""
+    This matches the reference's reproject-on-read
+    (``gpd.read_file(...).to_crs("EPSG:4326")``, ``backend/app/utils.py:80``)
+    for the CRS Thai agency shapefiles actually use, while still
+    refusing (rather than silently mis-assigning) exotic datums.  A
+    missing ``.prj`` is accepted as-is (the spec makes the sidecar
+    optional; coordinates are taken as already 4326, same leniency as
+    geopandas' crs=None)."""
     prj = os.path.splitext(shp_path)[0] + ".prj"
     if not os.path.exists(prj):
-        return
+        return None
     with open(prj, encoding="utf-8", errors="replace") as fh:
         wkt = fh.read().strip()
-    head = wkt.upper()
-    # ESRI/OGC WKT1 ("PROJCS"/"GEOGCS") and WKT2 ("PROJCRS"/"GEOGCRS")
-    if head.startswith(("PROJCS", "PROJCRS")):
-        raise ValueError(
-            f"projected CRS in {prj}: {wkt[:60]!r}... — reproject to "
-            "EPSG:4326 (WGS84 lon/lat) before ingest; this reader does not "
-            "transform coordinates"
-        )
-    if head.startswith(("GEOGCS", "GEOGCRS")):
-        if "WGS" in head and "84" in head:
-            return
-        raise ValueError(
-            f"non-WGS84 geographic CRS in {prj}: {wkt[:60]!r}... — "
-            "reproject to EPSG:4326 before ingest"
-        )
-    raise ValueError(f"unrecognized CRS definition in {prj}: {wkt[:60]!r}...")
+    from mini_project_204721_data_engineering_spark.sources.crs import transform_from_prj
+
+    try:
+        return transform_from_prj(wkt)
+    except ValueError as e:
+        raise ValueError(f"{prj}: {e}") from None
+
+
+def check_prj_wgs84(shp_path: str) -> None:
+    """Back-compat guard: raises for unsupported CRS, accepts WGS84 and
+    (since r5) anything :func:`prj_transform` can reproject."""
+    prj_transform(shp_path)
 
 
 def wkt_to_shp_parts(wkt: str) -> list[list[tuple[float, float]]]:
@@ -223,10 +239,11 @@ def read_shapefile(
     DataFrame with the attribute columns plus a ``wkt`` geometry column —
     the engine's equivalent of the reference's ``gpd.read_file``
     (``backend/app/utils.py:80``).  Records pair by file order per the
-    shapefile spec.  A ``.prj`` sidecar, when present, must declare
-    geographic WGS84 (:func:`check_prj_wgs84`)."""
-    check_prj_wgs84(shp_path)
-    shapes = read_shp(shp_path)
+    shapefile spec.  A ``.prj`` sidecar, when present, is honored: WGS84
+    passes through, WGS84-datum transverse-Mercator (UTM) coordinates
+    reproject on read (:func:`prj_transform` — the reference's
+    ``to_crs`` behavior), anything else raises."""
+    shapes = read_shp(shp_path, transform=prj_transform(shp_path))
     geo = pd.DataFrame({"wkt": [s["wkt"] for s in shapes]})
     if dbf_path is None:
         return geo

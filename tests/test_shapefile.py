@@ -155,9 +155,20 @@ def test_read_shapefile_pairs_attributes(tmp_path):
     assert gdf.loc[0, "wkt"].startswith("POLYGON ((99 18")
 
 
+UTM47N_PRJ = (
+    'PROJCS["WGS_1984_UTM_Zone_47N",GEOGCS["GCS_WGS_1984",DATUM["D_WGS_1984",'
+    'SPHEROID["WGS_1984",6378137.0,298.257223563]],PRIMEM["Greenwich",0.0],'
+    'UNIT["Degree",0.0174532925199433]],PROJECTION["Transverse_Mercator"],'
+    'PARAMETER["False_Easting",500000.0],PARAMETER["False_Northing",0.0],'
+    'PARAMETER["Central_Meridian",99.0],PARAMETER["Scale_Factor",0.9996],'
+    'PARAMETER["Latitude_Of_Origin",0.0],UNIT["Meter",1.0]]'
+)
+
+
 def test_prj_crs_guard(tmp_path):
-    """A UTM .prj must be rejected with a clear error; WGS84 (WKT1 and
-    WKT2 spellings) and a missing .prj pass through."""
+    """WGS84 (WKT1 and WKT2) and a missing .prj pass through; WGS84-datum
+    UTM is now ACCEPTED (reprojected on read, r5); CRS outside that
+    family still raise the clear error."""
     from mini_project_204721_data_engineering_spark.sources.shapefile import check_prj_wgs84
 
     shp = str(tmp_path / "adm.shp")
@@ -173,16 +184,128 @@ def test_prj_crs_guard(tmp_path):
     prj.write_text('GEOGCRS["WGS 84",ENSEMBLE["World Geodetic System 1984 ensemble"]]')
     check_prj_wgs84(shp)  # WKT2 → accepted
 
+    # UTM 47N on the WGS84 datum: accepted since r5 (check only — the
+    # geometry here is in degrees, so just assert no raise)
+    prj.write_text(UTM47N_PRJ)
+    check_prj_wgs84(shp)
+
+    # projected CRS on a non-WGS84 datum: still an honest hard stop
     prj.write_text(
-        'PROJCS["WGS_1984_UTM_Zone_47N",GEOGCS["GCS_WGS_1984",DATUM["D_WGS_1984",'
-        'SPHEROID["WGS_1984",6378137.0,298.257223563]]],PROJECTION["Transverse_Mercator"]]'
+        'PROJCS["Indian_1975_UTM_Zone_47N",GEOGCS["GCS_Indian_1975",'
+        'DATUM["D_Indian_1975"]],PROJECTION["Transverse_Mercator"]]'
     )
-    with pytest.raises(ValueError, match="projected CRS"):
+    with pytest.raises(ValueError, match="transverse-Mercator family"):
         read_shapefile(shp)
 
     prj.write_text('GEOGCS["GCS_Indian_1975",DATUM["D_Indian_1975"]]')
     with pytest.raises(ValueError, match="non-WGS84"):
         read_shapefile(shp)
+
+
+def test_utm_prj_reprojects_to_wgs84(tmp_path):
+    """VERDICT r5 #3 done-criterion: a UTM-47N .prj + projected
+    coordinates yield geometry identical to the WGS84 fixture within
+    1e-6°."""
+    import numpy as np
+
+    from mini_project_204721_data_engineering_spark.sources.crs import forward_tm
+
+    # project the WGS84 squares into UTM 47N meters
+    def project(ring):
+        xs, ys = forward_tm([p[0] for p in ring], [p[1] for p in ring], lon0=99.0)
+        return list(zip(xs.tolist(), ys.tolist()))
+
+    shp = str(tmp_path / "utm.shp")
+    write_shp([[project(SQ_A)], [project(SQ_B)], [project(SQ_A), project(HOLE)]], shp)
+    (tmp_path / "utm.prj").write_text(UTM47N_PRJ)
+
+    recs = read_shapefile(shp)
+    wgs = str(tmp_path / "wgs.shp")
+    write_shp([[SQ_A], [SQ_B], [SQ_A, HOLE]], wgs)
+    expect = read_shapefile(wgs)
+
+    from mini_project_204721_data_engineering_spark.sources.geometry import (
+        parse_wkt_geometry,
+    )
+
+    for got_wkt, want_wkt in zip(recs["wkt"], expect["wkt"]):
+        got = np.concatenate([np.asarray(r) for g in parse_wkt_geometry(got_wkt) for r in g])
+        want = np.concatenate([np.asarray(r) for g in parse_wkt_geometry(want_wkt) for r in g])
+        assert got.shape == want.shape
+        assert np.abs(got - want).max() < 1e-6
+
+
+def test_utm_shapefile_through_rain_pipeline(spark, tmp_path):
+    """End-to-end: UTM-projected admin boundaries + WGS84 rain grid give
+    the same district-day aggregates as the WGS84 shapefile (the
+    reference's to_crs-on-read semantics)."""
+    import numpy as np
+    from pyspark.sql import Row
+
+    from mini_project_204721_data_engineering_spark.sources.crs import forward_tm
+
+    def project(ring):
+        xs, ys = forward_tm([p[0] for p in ring], [p[1] for p in ring], lon0=99.0)
+        return list(zip(xs.tolist(), ys.tolist()))
+
+    grids = {}
+    for name, geoms in (
+        ("utm", [[project(SQ_A)], [project(SQ_B)]]),
+        ("wgs", [[SQ_A], [SQ_B]]),
+    ):
+        shp = str(tmp_path / f"{name}.shp")
+        dbf = str(tmp_path / f"{name}.dbf")
+        write_shp(geoms, shp)
+        write_dbf(
+            pd.DataFrame(
+                {
+                    "ADM1_TH": ["จังหวัดเชียงใหม่", "จังหวัดเชียงใหม่"],
+                    "ADM1_EN": ["Chiang Mai", "Chiang Mai"],
+                    "ADM2_TH": ["เมือง", "แม่ริม"],
+                    "ADM2_EN": ["Muang", "Mae Rim"],
+                }
+            ),
+            dbf,
+            encoding="utf-8",
+        )
+        if name == "utm":
+            (tmp_path / "utm.prj").write_text(UTM47N_PRJ)
+        gdf = read_shapefile(shp, dbf, encoding="utf-8")
+
+        from mini_project_204721_data_engineering_spark.pipelines.dims import build_dims
+        from mini_project_204721_data_engineering_spark.pipelines.rain import (
+            ingest_rain_grid,
+        )
+        from pyspark.sql import functions as F
+
+        adm2 = spark.createDataFrame(gdf.drop(columns=["wkt"]))
+        province, district = build_dims(adm2, north_only=True)
+        polygons = pd.DataFrame(
+            {
+                "province": gdf["ADM1_TH"].str.replace("จังหวัด", "", regex=False),
+                "district": gdf["ADM2_TH"],
+                "wkt": gdf["wkt"],
+            }
+        )
+        grid = spark.createDataFrame(
+            [
+                ("2023-06-01", 18.25, 99.25, 10.0),
+                ("2023-06-01", 18.75, 99.75, 20.0),
+                ("2023-06-01", 18.25, 100.25, 5.0),
+            ],
+            ["time", "lat", "lon", "precip"],
+        ).withColumn("time", F.col("time").cast("timestamp"))
+        out = ingest_rain_grid(grid, polygons, province, district, upload_id=3)
+        names = {r["district_name"]: r["district_id"] for r in district.collect()}
+        grids[name] = {
+            r["district_id"]: (round(r["rain_mm_wmean"], 9), round(r["rainfall_mm"], 9))
+            for r in out.collect()
+        }, names
+    # same district-day aggregates from UTM-projected and WGS84 boundaries
+    (agg_utm, names_u), (agg_wgs, names_w) = grids["utm"], grids["wgs"]
+    assert names_u == names_w
+    assert agg_utm == agg_wgs and len(agg_utm) == 2
+    del Row, np
 
 
 def test_record_count_mismatch_raises(tmp_path):
