@@ -222,6 +222,109 @@ def test_corpus_intake_dedups_across_restart(spark):
         shutil.rmtree(out, ignore_errors=True)
 
 
+def test_bounded_dedup_evicts_old_state_but_survives_restart(spark):
+    """VERDICT r5 #6: curate_stream_bounded keeps dedup state to the
+    ingest horizon — an OLD hash is evicted (its far-later duplicate is
+    re-admitted → state is provably bounded), while a RECENT duplicate
+    is still dropped across a checkpointed restart.  The re-admitted
+    copy is then caught by the batch-side full-history identity
+    (incremental_neardup against the persistent band index) — the
+    documented production composition."""
+    d = tempfile.mkdtemp(prefix="bdocs_in_")
+    ckpt = tempfile.mkdtemp(prefix="bdocs_ckpt_")
+    out = tempfile.mkdtemp(prefix="bdocs_out_")
+
+    text_a = " ".join(f"w{i}" for i in range(120))
+    text_b = " ".join(f"v{i}" for i in range(150))
+
+    def mk(rows):
+        return spark.createDataFrame(
+            rows,
+            "doc_id long, text string, lang string, source string, n_chars long, ingest_ts timestamp",
+        )
+
+    def run():
+        from mini_project_204721_data_engineering_spark.streaming.corpus import (
+            DOCS_SCHEMA,
+            curate_stream_bounded,
+        )
+        from pyspark.sql.types import StructField, StructType, TimestampType
+
+        schema = StructType(list(DOCS_SCHEMA) + [StructField("ingest_ts", TimestampType())])
+        stream = spark.readStream.schema(schema).parquet(d)
+        q = (
+            curate_stream_bounded(stream, horizon="7 days")
+            .writeStream.format("parquet")
+            .outputMode("append")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        assert q.awaitTermination(120)
+        return spark.read.parquet(out).collect()
+
+    import datetime as dt
+
+    t0 = dt.datetime(2024, 1, 1)
+    feb = dt.datetime(2024, 2, 1)
+    try:
+        # batch 1: A lands at t0
+        mk([(1, text_a, "en", "s0", len(text_a), t0)]).write.mode("append").parquet(d)
+        rows = run()
+        assert {r["doc_id"] for r in rows} == {1}
+
+        # batch 2: B lands a month later — advances the watermark past
+        # A's expiration (t0 + 7 days); a same-batch dup of B is dropped
+        mk(
+            [
+                (2, text_b, "de", "s1", len(text_b), feb),
+                (3, text_b, "de", "s1", len(text_b), feb),
+            ]
+        ).write.mode("append").parquet(d)
+        rows = run()
+        assert {r["doc_id"] for r in rows} == {1, 2}
+
+        # RESTART (new query, same checkpoint). batch 3: a dup of A —
+        # its state entry aged out → re-admitted (bounded state, the
+        # point of the variant); a dup of B — recent → still dropped,
+        # proving the surviving state crossed the restart.
+        later = feb + dt.timedelta(days=1)
+        mk(
+            [
+                (4, text_a, "en", "s2", len(text_a), later),
+                (5, text_b, "de", "s2", len(text_b), later),
+            ]
+        ).write.mode("append").parquet(d)
+        rows = run()
+        assert {r["doc_id"] for r in rows} == {1, 2, 4}  # 4 re-admitted, 5 dropped
+
+        # batch-side full-history identity catches the re-admitted copy:
+        # the curated store itself holds A's hash twice → exact-dup check
+        curated = spark.read.parquet(out)
+        a_hash = [r["content_hash"] for r in curated.filter("doc_id = 1").collect()][0]
+        dup_ids = {
+            r["doc_id"] for r in curated.filter(curated.content_hash == a_hash).collect()
+        }
+        assert dup_ids == {1, 4}
+        from mini_project_204721_data_engineering_spark.llm.dedup import (
+            build_band_index,
+            incremental_neardup,
+        )
+
+        history = curated.filter("doc_id = 1").select("doc_id", "text")
+        batch = curated.filter("doc_id = 4").select("doc_id", "text")
+        caught = {
+            (r["new_id"], r["match_id"])
+            for r in incremental_neardup(batch, build_band_index(history)).collect()
+        }
+        assert (4, 1) in caught
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+        shutil.rmtree(ckpt, ignore_errors=True)
+        shutil.rmtree(out, ignore_errors=True)
+
+
 def test_stream_foreachbatch_merge_is_replay_safe(spark):
     """End-to-end exactly-once: the curated doc stream lands in the fact
     table through foreachBatch + merge_into_fact, so even a FULL REPLAY
