@@ -1275,7 +1275,67 @@ ORACLES = {
     "user_top_event_type": USER_TOP_EVENT_TYPE_SQL,
 }
 
+def events_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join with a staleness bound (the pandas
+    ``merge_asof(tolerance=...)`` form): like :func:`events_asof_spend`
+    but a matched order-day summary older than 7 days yields NULLs —
+    exercising the tolerance post-fill filter end-to-end against the
+    DuckDB ASOF oracle (same union-window plan, one extra carried
+    column)."""
+    ev = load_table(spark, sf_dir, "events").filter(F.col("event_type") == "error")
+    orders = load_table(spark, sf_dir, "orders")
+    daily = orders.groupBy(
+        F.col("o_custkey").alias("user_id"),
+        F.col("o_orderdate").cast("date").alias("order_day"),
+    ).agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.round(F.sum("o_totalprice"), 2).alias("day_spend"),
+    )
+    left = ev.select("event_id", "user_id", F.col("ts").cast("date").alias("event_day"))
+    out = asof_join(
+        left,
+        daily,
+        on=["user_id"],
+        left_time="event_day",
+        right_time="order_day",
+        payload=["order_day", "n_orders", "day_spend"],
+        payload_nonnull=True,
+        tolerance="INTERVAL '7' DAY",
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        F.date_format("event_day", "yyyy-MM-dd").alias("event_day"),
+        F.date_format("order_day", "yyyy-MM-dd").alias("order_day"),
+        "n_orders",
+        "day_spend",
+    )
+
+
+EVENTS_ASOF_TOLERANCE_SQL = """
+WITH daily AS (
+  SELECT o_custkey AS user_id,
+         CAST(o_orderdate AS DATE) AS order_day,
+         count(*) AS n_orders,
+         round(sum(o_totalprice), 2) AS day_spend
+  FROM orders GROUP BY 1, 2
+), ev AS (
+  SELECT event_id, user_id, CAST(ts AS DATE) AS event_day
+  FROM events WHERE event_type = 'error'
+)
+SELECT ev.event_id, ev.user_id,
+       strftime(ev.event_day, '%Y-%m-%d') AS event_day,
+       CASE WHEN ev.event_day - d.order_day <= 7
+            THEN strftime(d.order_day, '%Y-%m-%d') END AS order_day,
+       CASE WHEN ev.event_day - d.order_day <= 7 THEN d.n_orders END AS n_orders,
+       CASE WHEN ev.event_day - d.order_day <= 7 THEN d.day_spend END AS day_spend
+FROM ev ASOF LEFT JOIN daily d
+  ON ev.user_id = d.user_id AND ev.event_day >= d.order_day
+"""
+
+
 EXTRA_QUERIES = {
+    "events_asof_tolerance": events_asof_tolerance,
     "customers_without_orders": customers_without_orders,
     "customers_with_orders": customers_with_orders,
     "shipping_priority": shipping_priority,
@@ -1294,6 +1354,7 @@ EXTRA_QUERIES = {
 }
 
 EXTRA_ORACLES = {
+    "events_asof_tolerance": EVENTS_ASOF_TOLERANCE_SQL,
     "revenue_cube": REVENUE_CUBE_SQL,
     "q5_local_supplier_volume": Q5_LOCAL_SUPPLIER_VOLUME_SQL,
     "q7_nation_volume_shipping": Q7_NATION_VOLUME_SHIPPING_SQL,

@@ -276,14 +276,17 @@ def test_bounded_dedup_evicts_old_state_but_survives_restart(spark):
 
         # batch 2: B lands a month later — advances the watermark past
         # A's expiration (t0 + 7 days); a same-batch dup of B is dropped
+        # (WHICH of the two copies survives is partition-order dependent —
+        # assert exactly one did, not which)
         mk(
             [
                 (2, text_b, "de", "s1", len(text_b), feb),
                 (3, text_b, "de", "s1", len(text_b), feb),
             ]
         ).write.mode("append").parquet(d)
-        rows = run()
-        assert {r["doc_id"] for r in rows} == {1, 2}
+        ids = {r["doc_id"] for r in run()}
+        assert 1 in ids and len(ids & {2, 3}) == 1
+        b_survivor = (ids & {2, 3}).pop()
 
         # RESTART (new query, same checkpoint). batch 3: a dup of A —
         # its state entry aged out → re-admitted (bounded state, the
@@ -297,7 +300,7 @@ def test_bounded_dedup_evicts_old_state_but_survives_restart(spark):
             ]
         ).write.mode("append").parquet(d)
         rows = run()
-        assert {r["doc_id"] for r in rows} == {1, 2, 4}  # 4 re-admitted, 5 dropped
+        assert {r["doc_id"] for r in rows} == {1, b_survivor, 4}  # 4 re-admitted, 5 dropped
 
         # batch-side full-history identity catches the re-admitted copy:
         # the curated store itself holds A's hash twice → exact-dup check

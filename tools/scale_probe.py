@@ -71,15 +71,17 @@ def timed(name, fn, out):
 def main() -> None:
     mode = "events"
     args = [a for a in sys.argv[1:]]
-    if args and args[0] in ("events", "docs", "ann"):
+    if args and args[0] in ("events", "docs", "ann", "srp"):
         mode = args.pop(0)
-    n = int(args[0]) if args else {"events": 10_000_000, "docs": 1_000_000, "ann": 1_000_000}[mode]
+    n = int(args[0]) if args else {
+        "events": 10_000_000, "docs": 1_000_000, "ann": 1_000_000, "srp": 1_000_000
+    }[mode]
     from mini_project_204721_data_engineering_spark.session import get_spark
 
     spark = get_spark("scale-probe")
     out: list[dict] = []
     if mode != "events":
-        (probe_docs if mode == "docs" else probe_ann)(spark, n, out)
+        {"docs": probe_docs, "ann": probe_ann, "srp": probe_srp}[mode](spark, n, out)
         total = round(sum(r["sec"] for r in out), 3)
         print(json.dumps({"metric": f"scale_probe_{mode}_total", "value": total,
                           "unit": "sec", "n_rows": n,
@@ -146,6 +148,30 @@ def main() -> None:
         return joined.agg(F.count("spend")).collect()[0][0]
 
     timed("asof_union_window_fact_fact", asof, out)
+
+    # 3b. as-of with tolerance: same union-window plan + the post-fill
+    # staleness filter — must cost the same shape as the plain as-of
+    def asof_tolerance():
+        from mini_project_204721_data_engineering_spark.operators.joins import asof_join
+
+        right = (
+            ev.groupBy("user_id", F.date_trunc("day", "ts").alias("rt"))
+            .agg(F.sum("value").alias("spend"))
+        )
+        joined = asof_join(
+            ev.select("event_id", "user_id", "ts"),
+            right,
+            on=["user_id"],
+            left_time="ts",
+            right_time="rt",
+            payload=["spend"],
+            payload_nonnull=True,
+            tolerance="INTERVAL '12' HOUR",
+        )
+        # count(spend) consumes the tolerance-nulled fill
+        return joined.agg(F.count("spend")).collect()[0][0]
+
+    timed("asof_union_window_tolerance_12h", asof_tolerance, out)
 
     # 4. hourly -> daily rollup cascade
     def rollup():
@@ -245,6 +271,50 @@ def probe_ann(spark, n: int, out: list) -> None:
         ).collect()[0][0]
 
     timed("ann_ivf_nprobe2_of16cells", ivf, out)
+
+
+def synth_embeddings_with_dups(spark, n: int, dim: int = 64, dup_mod: int = 10):
+    """Embeddings where every ``dup_mod``-th vector exactly copies its
+    predecessor — planted near-dup structure for the SRP-LSH probe."""
+    d = spark.range(n).select(
+        F.col("id").alias("vec_id"),
+        F.when(F.col("id") % dup_mod == 0, F.col("id") - 1)
+        .otherwise(F.col("id"))
+        .alias("bid"),
+    )
+    vec = F.expr(
+        f"transform(sequence(0, {dim - 1}), "
+        f"i -> cast(pmod(xxhash64(bid * {dim} + i), 2000) - 1000 as double) / 1000.0)"
+    )
+    return d.select("vec_id", vec.alias("embedding"))
+
+
+def probe_srp(spark, n: int, out: list) -> None:
+    """SRP-LSH embedding near-dup at corpus scale (VERDICT r5 #5).
+
+    The load-bearing variable is BITS PER BAND vs corpus size: random
+    unrelated vectors agree on a sign bit with p≈0.5, so a band of b
+    bits collides at ≈2^-b and random candidates ≈ bands·n²/2^b.
+    Keeping that ≈O(n) needs b ≳ log2(bands·n/2) — at n=1e6 that is
+    ~21+ bits/band.  The two probes measure both regimes: 16-bit bands
+    (under-provisioned at 1e6: candidates grow ~n²) vs 24-bit bands
+    (candidates ∝ planted dups).  Run at two n to see the shape."""
+    emb = synth_embeddings_with_dups(spark, n).localCheckpoint(eager=True)
+
+    def srp(n_bits, bands, label):
+        def run():
+            from mini_project_204721_data_engineering_spark.llm.dedup import srp_banded_pairs
+
+            pairs = srp_banded_pairs(
+                emb, threshold=0.99, n_bits=n_bits, bands=bands
+            )
+            return pairs.agg(F.count(F.lit(1))).collect()[0][0]
+
+        return run
+
+    timed("srp_16bit_bands_underprovisioned", srp(32, 2, "16b"), out)
+    timed("srp_24bit_bands_provisioned", srp(48, 2, "24b"), out)
+
 
 if __name__ == "__main__":
     main()
