@@ -52,7 +52,15 @@ from typing import Any
 import numpy as np
 import pandas as pd
 
-__all__ = ["read_hdf5", "read_netcdf4", "netcdf4_grid_to_long", "netcdf_grid_to_long", "write_hdf5"]
+__all__ = [
+    "read_hdf5",
+    "read_netcdf4",
+    "netcdf4_grid_to_long",
+    "netcdf4_grid_to_long_batches",
+    "netcdf_grid_to_long",
+    "netcdf_grid_to_long_batches",
+    "write_hdf5",
+]
 
 _SIG = b"\x89HDF\r\n\x1a\n"
 _UNDEF = 0xFFFFFFFFFFFFFFFF
@@ -446,7 +454,9 @@ def _walk_chunk_btree(h: _H5, addr: int, rank: int) -> list[tuple[tuple[int, ...
     return out
 
 
-def _dataset_data(h: _H5, msgs: list[tuple[int, bytes]]) -> tuple[np.ndarray, dict]:
+def _dataset_meta(h: _H5, msgs: list[tuple[int, bytes]]) -> dict:
+    """Metadata-only view of a dataset header: dtype, shape, layout,
+    filters, attrs — no array bytes touched (the slab reader's half)."""
     dt = space = layout = None
     filters: list[tuple[int, list[int]]] = []
     attrs: dict[str, Any] = {}
@@ -470,37 +480,81 @@ def _dataset_data(h: _H5, msgs: list[tuple[int, bytes]]) -> tuple[np.ndarray, di
         raise ValueError("dataset header missing datatype/dataspace/layout")
     if dt["class"] not in (0, 1, 3):
         raise NotImplementedError("only numeric/fixed-string dataset types supported")
-    shape = space
-    npdt = dt["np"]
+    return {"dt": dt, "shape": space, "layout": layout, "filters": filters,
+            "attrs": attrs, "_chunks": None}
+
+
+def _chunk_entries(h: _H5, meta: dict):
+    """(chunk offsets, nbytes, mask, addr) list for a v3 chunked layout,
+    walked once and cached on the meta dict."""
+    if meta["_chunks"] is None:
+        layout = meta["layout"]
+        btree = _u(layout, 3, h.offs)
+        rank = len(meta["shape"])
+        meta["_chunks"] = (
+            [] if btree == _UNDEF else _walk_chunk_btree(h, btree, rank)
+        )
+    return meta["_chunks"]
+
+
+def _read_slab(h: _H5, meta: dict, t0: int | None = None, t1: int | None = None) -> np.ndarray:
+    """Materialize a dataset — all of it, or only leading-axis rows
+    [t0, t1): the slab-streamed path that keeps a year-long grid from
+    decoding at once.  Chunked layouts inflate only the chunks that
+    intersect the slab."""
+    shape = meta["shape"]
+    npdt = meta["dt"]["np"]
+    layout = meta["layout"]
+    filters = meta["filters"]
+    full = t0 is None or not shape
+    lo, hi = (0, shape[0] if shape else 1) if full else (t0, t1)
+    out_shape = list(shape) if full else [hi - lo] + list(shape[1:])
+    n_out = int(np.prod(out_shape)) if out_shape else 1
+    row_elems = int(np.prod(shape[1:])) if len(shape) > 1 else 1
     ver, cls = layout[0], layout[1]
-    if ver == 3:
-        if cls == 0:  # compact
-            size = _u(layout, 2, 2)
-            arr = np.frombuffer(layout[4 : 4 + size], dtype=npdt, count=int(np.prod(shape)) if shape else 1)
-            return arr.reshape(shape), attrs
-        if cls == 1:  # contiguous
-            addr = _u(layout, 2, h.offs)
-            n = int(np.prod(shape)) if shape else 1
-            if addr == _UNDEF:  # never written: fill with zeros
-                return np.zeros(shape, dtype=npdt), attrs
-            arr = np.frombuffer(h.data, dtype=npdt, count=n, offset=addr)
-            return arr.reshape(shape), attrs
-        if cls == 2:  # chunked, v1 B-tree index
-            ndims = layout[2]  # rank + 1 (element-size dim)
-            btree = _u(layout, 3, h.offs)
-            chunk = [_u(layout, 3 + h.offs + 4 * i, 4) for i in range(ndims - 1)]
-            return _read_chunked(h, shape, chunk, npdt, btree, filters), attrs
-        raise NotImplementedError(f"layout v3 class {cls} not supported")
+    if ver == 3 and cls == 0:  # compact — tiny by definition
+        size = _u(layout, 2, 2)
+        arr = np.frombuffer(layout[4 : 4 + size], dtype=npdt,
+                            count=int(np.prod(shape)) if shape else 1)
+        arr = arr.reshape(shape) if shape else arr.reshape(())
+        return arr if full else arr[lo:hi]
+    if ver == 3 and cls == 1:  # contiguous: pure offset math per slab
+        addr = _u(layout, 2, h.offs)
+        if addr == _UNDEF:  # never written: fill with zeros
+            return np.zeros(out_shape, dtype=npdt)
+        off = addr + lo * row_elems * npdt.itemsize
+        return np.frombuffer(h.data, dtype=npdt, count=n_out, offset=off).reshape(out_shape)
+    if ver == 3 and cls == 2:  # chunked, v1 B-tree index
+        ndims = layout[2]  # rank + 1 (element-size dim)
+        chunk = [_u(layout, 3 + h.offs + 4 * i, 4) for i in range(ndims - 1)]
+        out = np.zeros(out_shape, dtype=npdt)
+        for offs, nbytes, mask, addr in _chunk_entries(h, meta):
+            if offs[0] >= hi or offs[0] + chunk[0] <= lo:
+                continue  # chunk entirely outside the slab: never inflated
+            raw = _defilter(h.data[addr : addr + nbytes], filters, mask)
+            carr = np.frombuffer(raw, dtype=npdt, count=int(np.prod(chunk))).reshape(chunk)
+            # leading axis clipped against the slab window, others as usual
+            d0 = slice(max(offs[0], lo) - lo, min(offs[0] + chunk[0], hi) - lo)
+            s0 = slice(max(lo - offs[0], 0), min(chunk[0], hi - offs[0]))
+            dst = (d0,) + tuple(
+                slice(o, min(o + c, s)) for o, c, s in zip(offs[1:], chunk[1:], shape[1:])
+            )
+            src = (s0,) + tuple(
+                slice(0, min(c, s - o)) for o, c, s in zip(offs[1:], chunk[1:], shape[1:])
+            )
+            out[dst] = carr[src]
+        return out
     if ver == 4 and cls == 2:  # v4 chunked: support the Single Chunk index
         flags = layout[2]
         ndims = layout[3]
         enc = layout[4]
-        chunk = [_u(layout, 5 + enc * i, enc) for i in range(ndims)]
         p = 5 + enc * ndims
         idx_type = layout[p]
         p += 1
         if idx_type != 1:
-            raise NotImplementedError(f"chunk index type {idx_type} not supported (need v1 B-tree or Single Chunk)")
+            raise NotImplementedError(
+                f"chunk index type {idx_type} not supported (need v1 B-tree or Single Chunk)"
+            )
         # the single chunk covers the whole dataspace — sizing from the
         # shape sidesteps the v3-vs-v4 element-size-dimension convention
         nbytes = int(np.prod(shape)) * npdt.itemsize
@@ -512,26 +566,13 @@ def _dataset_data(h: _H5, msgs: list[tuple[int, bytes]]) -> tuple[np.ndarray, di
         addr = _u(layout, p, h.offs)
         raw = _defilter(h.data[addr : addr + nbytes], filters, mask)
         arr = np.frombuffer(raw, dtype=npdt, count=int(np.prod(shape))).reshape(shape)
-        return arr, attrs
-    raise NotImplementedError(f"layout message version {ver} not supported")
+        return arr if full else arr[lo:hi]
+    raise NotImplementedError(f"layout message version {ver} class {cls} not supported")
 
 
-def _read_chunked(h, shape, chunk, npdt, btree_addr, filters) -> np.ndarray:
-    out = np.zeros(shape, dtype=npdt)
-    if btree_addr == _UNDEF:
-        return out
-    rank = len(shape)
-    for offs, nbytes, mask, addr in _walk_chunk_btree(h, btree_addr, rank):
-        raw = _defilter(h.data[addr : addr + nbytes], filters, mask)
-        carr = np.frombuffer(raw, dtype=npdt, count=int(np.prod(chunk))).reshape(chunk)
-        dst = tuple(
-            slice(o, min(o + c, s)) for o, c, s in zip(offs, chunk, shape)
-        )
-        src = tuple(
-            slice(0, min(c, s - o)) for o, c, s in zip(offs, chunk, shape)
-        )
-        out[dst] = carr[src]
-    return out
+def _dataset_data(h: _H5, msgs: list[tuple[int, bytes]]) -> tuple[np.ndarray, dict]:
+    meta = _dataset_meta(h, msgs)
+    return _read_slab(h, meta), meta["attrs"]
 
 
 # ---- public reader --------------------------------------------------------
@@ -546,20 +587,31 @@ def read_hdf5(source: str | bytes) -> dict:
     object references.  Nested groups flatten to ``group/name`` paths.
     """
     data = source if isinstance(source, bytes) else open(source, "rb").read()
-    h = _H5(data)
+    h, entries, root_attrs = _walk_datasets(data)
     datasets: dict[str, dict] = {}
+    for path, (addr, msgs) in entries.items():
+        arr, attrs = _dataset_data(h, msgs)
+        datasets[path] = {
+            "shape": list(arr.shape),
+            "attrs": attrs,
+            "data": arr,
+            "addr": addr,
+        }
+    return {"attrs": root_attrs, "datasets": datasets}
+
+
+def _walk_datasets(data: bytes):
+    """Metadata walk shared by the eager and slab-streamed readers:
+    (``_H5``, {path: (header addr, messages)}, root attrs) — no dataset
+    array bytes touched."""
+    h = _H5(data)
+    entries: dict[str, tuple[int, list]] = {}
     root_attrs: dict[str, Any] = {}
 
     def visit(addr: int, path: str) -> None:
         msgs = _messages(h, addr)
         if any(t == 0x08 for t, _ in msgs):  # has a data layout → dataset
-            arr, attrs = _dataset_data(h, msgs)
-            datasets[path] = {
-                "shape": list(arr.shape),
-                "attrs": attrs,
-                "data": arr,
-                "addr": addr,
-            }
+            entries[path] = (addr, msgs)
             return
         if path == "":  # root group carries the global attributes
             for mtype, body in msgs:
@@ -570,7 +622,7 @@ def read_hdf5(source: str | bytes) -> dict:
             visit(child, f"{path}/{name}" if path else name)
 
     visit(h.root, "")
-    return {"attrs": root_attrs, "datasets": datasets}
+    return h, entries, root_attrs
 
 
 _NC4_HIDDEN_ATTRS = {
@@ -643,36 +695,94 @@ def netcdf4_grid_to_long(
     """NetCDF-4 twin of ``netcdf3.netcdf3_grid_to_long``: bytes of one
     HDF5-container ``time × latitude × longitude`` grid → long-format
     ``(time, lat, lon, precip)`` pandas frame, CF-decoded (_FillValue /
-    scale_factor / add_offset / "unit since epoch" time)."""
+    scale_factor / add_offset / "unit since epoch" time).  Eager form —
+    one concatenated frame (the slab generator underneath)."""
+    batches = list(
+        netcdf4_grid_to_long_batches(content, var, time_dim, lat_dim, lon_dim)
+    )
+    return pd.concat(batches, ignore_index=True) if batches else pd.DataFrame(
+        {"time": [], "lat": [], "lon": [], "precip": []}
+    )
+
+
+def netcdf4_grid_to_long_batches(
+    content: bytes,
+    var: str = "precip",
+    time_dim: str = "time",
+    lat_dim: str = "latitude",
+    lon_dim: str = "longitude",
+    records_per_batch: int = 32,
+):
+    """Slab-streamed NetCDF-4 decode: yields long-format frames of ~
+    ``records_per_batch`` time steps, inflating only the chunks that
+    intersect each slab — a year-long chunked CHIRPS file never
+    materializes its decoded expansion at once.  Slabs align to the
+    chunk time-extent so no chunk is inflated twice."""
     from mini_project_204721_data_engineering_spark.sources.netcdf3 import (
         _decode_cf_time,
         _decode_cf_values,
     )
 
-    ds = read_netcdf4(content)
-    v = ds["vars"][var]
-    if v["dims"] != [time_dim, lat_dim, lon_dim]:
-        raise ValueError(f"{var} dims {v['dims']} != [{time_dim}, {lat_dim}, {lon_dim}]")
-    times = _decode_cf_time(ds["vars"][time_dim])
-    lats = np.asarray(ds["vars"][lat_dim]["data"], dtype=np.float64)
-    lons = np.asarray(ds["vars"][lon_dim]["data"], dtype=np.float64)
-    vals = _decode_cf_values(v)
-    nt, nla, nlo = len(times), len(lats), len(lons)
-    return pd.DataFrame(
-        {
-            "time": np.repeat(times, nla * nlo),
-            "lat": np.tile(np.repeat(lats, nlo), nt),
-            "lon": np.tile(lons, nt * nla),
-            "precip": vals.reshape(-1),
+    h, entries, _ = _walk_datasets(content)
+    metas = {p: _dataset_meta(h, msgs) for p, (addr, msgs) in entries.items()}
+    by_addr = {addr: p for p, (addr, _) in entries.items()}
+    vmeta = metas[var]
+    dim_list = vmeta["attrs"].get("DIMENSION_LIST")
+    if dim_list is not None:
+        dnames = [
+            by_addr.get((refs if isinstance(refs, list) else [refs])[0], "?")
+            for refs in dim_list
+        ]
+    else:
+        scales = {
+            p: m["shape"][0]
+            for p, m in metas.items()
+            if str(m["attrs"].get("CLASS", "")) == "DIMENSION_SCALE" and m["shape"]
         }
-    )
+        dnames = _match_dims_by_size(vmeta["shape"], scales)
+    if dnames != [time_dim, lat_dim, lon_dim]:
+        raise ValueError(f"{var} dims {dnames} != [{time_dim}, {lat_dim}, {lon_dim}]")
+
+    def coord(name):
+        m = metas[name]
+        arr = _read_slab(h, m)
+        if arr.dtype.byteorder == ">":
+            arr = arr.astype(arr.dtype.newbyteorder("="))
+        return {"attrs": {k: v for k, v in m["attrs"].items()}, "data": arr}
+
+    times = _decode_cf_time(coord(time_dim))
+    lats = np.asarray(coord(lat_dim)["data"], dtype=np.float64)
+    lons = np.asarray(coord(lon_dim)["data"], dtype=np.float64)
+    nt, nla, nlo = len(times), len(lats), len(lons)
+    lat_tile = np.repeat(lats, nlo)
+    # align slabs to the chunk time-extent: each chunk inflates once
+    step = records_per_batch
+    layout = vmeta["layout"]
+    if layout[0] == 3 and layout[1] == 2:
+        tchunk = _u(layout, 3 + h.offs, 4)
+        step = max(tchunk, (records_per_batch // tchunk) * tchunk or tchunk)
+    clean_attrs = {k: v for k, v in vmeta["attrs"].items() if k not in _NC4_HIDDEN_ATTRS}
+    for t0 in range(0, nt, step):
+        t1 = min(nt, t0 + step)
+        slab = _read_slab(h, vmeta, t0, t1)
+        if slab.dtype.byteorder == ">":
+            slab = slab.astype(slab.dtype.newbyteorder("="))
+        vals = _decode_cf_values({"data": slab, "attrs": clean_attrs})
+        k = t1 - t0
+        yield pd.DataFrame(
+            {
+                "time": np.repeat(times[t0:t1], nla * nlo),
+                "lat": np.tile(lat_tile, k),
+                "lon": np.tile(lons, k * nla),
+                "precip": vals.reshape(-1),
+            }
+        )
 
 
 def netcdf_grid_to_long(content: bytes, **kw) -> pd.DataFrame:
     """Container-agnostic decoder: sniffs the magic and routes classic
     CDF bytes to the NetCDF-3 parser and HDF5 bytes to the NetCDF-4
-    reader — the default executor-side decoder for
-    ``sources.netcdf.netcdf_files_to_long``."""
+    reader — eager form (one frame per file)."""
     if content[:3] == b"CDF":
         from mini_project_204721_data_engineering_spark.sources.netcdf3 import (
             netcdf3_grid_to_long,
@@ -681,6 +791,25 @@ def netcdf_grid_to_long(content: bytes, **kw) -> pd.DataFrame:
         return netcdf3_grid_to_long(content, **kw)
     if content[:8] == _SIG or _SIG in content[:4096]:
         return netcdf4_grid_to_long(content, **kw)
+    raise ValueError("not a NetCDF file (neither CDF nor HDF5 magic)")
+
+
+def netcdf_grid_to_long_batches(content: bytes, **kw):
+    """Container-agnostic SLAB-STREAMED decoder — the default for
+    ``sources.netcdf.netcdf_files_to_long``: yields one long-format
+    frame per time slab, so the per-task peak is the raw file bytes plus
+    one decoded slab (~8× a slab of the raw f4 grid), never the whole
+    decoded year."""
+    if content[:3] == b"CDF":
+        from mini_project_204721_data_engineering_spark.sources.netcdf3 import (
+            netcdf3_grid_to_long_batches,
+        )
+
+        yield from netcdf3_grid_to_long_batches(content, **kw)
+        return
+    if content[:8] == _SIG or _SIG in content[:4096]:
+        yield from netcdf4_grid_to_long_batches(content, **kw)
+        return
     raise ValueError("not a NetCDF file (neither CDF nor HDF5 magic)")
 
 

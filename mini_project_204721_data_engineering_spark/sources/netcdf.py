@@ -98,24 +98,26 @@ def netcdf_files_to_long(
     cannot take.
 
     ``binaryFile`` scan lists the landing directory; each task decodes one
-    file's bytes to long format via ``decoder(content: bytes) ->
-    pd.DataFrame[time, lat, lon, precip]``.  File bytes never visit the
-    driver, so 100 TB of yearly grids convert at scan parallelism.  The
-    default decoder sniffs the container magic and handles BOTH NetCDF
-    families dependency-free: classic CDF-1/2/5 via ``sources/netcdf3.py``
-    and NetCDF-4/HDF5 (the reference's real CHIRPS input,
-    ``backend/app/main.py:162``) via ``sources/hdf5.py`` — no xarray, no
-    injected decoder needed.  ``decoder=`` still overrides for exotic
-    variable names or containers.
+    file's bytes to long format via ``decoder(content: bytes)`` returning
+    either one ``pd.DataFrame[time, lat, lon, precip]`` or an ITERABLE of
+    such frames (slab-streamed).  File bytes never visit the driver, so
+    100 TB of yearly grids convert at scan parallelism.  The default
+    decoder sniffs the container magic and handles BOTH NetCDF families
+    dependency-free — classic CDF-1/2/5 via ``sources/netcdf3.py`` and
+    NetCDF-4/HDF5 (the reference's real CHIRPS input,
+    ``backend/app/main.py:162``) via ``sources/hdf5.py`` — and streams
+    per-time-slab frames, so a year-long file's decoded expansion never
+    materializes in one task (peak = raw bytes + one slab).
+    ``decoder=`` still overrides for exotic variable names or containers.
     """
     import pandas as pd
 
     if decoder is None:
         from mini_project_204721_data_engineering_spark.sources.hdf5 import (
-            netcdf_grid_to_long,
+            netcdf_grid_to_long_batches,
         )
 
-        decoder = netcdf_grid_to_long
+        decoder = netcdf_grid_to_long_batches
 
     files = (
         spark.read.format("binaryFile")
@@ -128,7 +130,11 @@ def netcdf_files_to_long(
         for pdf in batches:
             for content in pdf["content"]:
                 out = decoder(bytes(content))
-                yield out[["time", "lat", "lon", "precip"]]
+                if isinstance(out, pd.DataFrame):
+                    yield out[["time", "lat", "lon", "precip"]]
+                else:  # slab generator: one frame per time slab
+                    for part in out:
+                        yield part[["time", "lat", "lon", "precip"]]
 
     return files.mapInPandas(
         worker, "time timestamp, lat double, lon double, precip double"

@@ -29,7 +29,12 @@ from typing import Any
 import numpy as np
 import pandas as pd
 
-__all__ = ["read_netcdf3", "netcdf3_grid_to_long", "write_netcdf3"]
+__all__ = [
+    "read_netcdf3",
+    "netcdf3_grid_to_long",
+    "netcdf3_grid_to_long_batches",
+    "write_netcdf3",
+]
 
 _NC_DIMENSION = 0x0A
 _NC_VARIABLE = 0x0B
@@ -104,15 +109,10 @@ def _att_list(c: _Cursor) -> dict[str, Any]:
     return out
 
 
-def read_netcdf3(source: str | bytes) -> dict:
-    """Parse a classic NetCDF file.
-
-    Returns ``{"dims": {name: size}, "record_dim": name | None,
-    "attrs": {...}, "vars": {name: {"dims": [...], "attrs": {...},
-    "data": np.ndarray}}}`` — data in native byte order, record variables
-    already stitched along the unlimited dimension.
-    """
-    data = source if isinstance(source, bytes) else open(source, "rb").read()
+def _parse_header(data: bytes) -> dict:
+    """Header-only parse: dimension/attribute/variable lists + record
+    geometry, NO array materialization — the piece the slab-streaming
+    reader shares with the eager one."""
     if data[:3] != b"CDF" or data[3] not in (1, 2, 5):
         raise ValueError("not a classic NetCDF (CDF-1/CDF-2/CDF-5) file")
     version = data[3]
@@ -180,36 +180,84 @@ def read_netcdf3(source: str | bytes) -> dict:
         rec_begin = min(v["begin"] for v in rec_vars)
         numrecs = max(0, (len(data) - rec_begin) // rec_stride) if rec_stride else 0
 
-    out_vars: dict[str, dict] = {}
-    for v in variables:
-        dt, size = _TYPES[v["nc_type"]]
-        if v in rec_vars:
-            per_rec_shape = [s for d, s in zip(v["dims"], v["shape"]) if d != record_dim]
-            per_rec_elems = int(np.prod(per_rec_shape)) if per_rec_shape else 1
-            chunks = []
-            for r in range(numrecs):
-                off = v["begin"] + r * rec_stride
-                chunks.append(
-                    np.frombuffer(data, dtype=dt, count=per_rec_elems, offset=off)
-                )
-            arr = (
-                np.stack(chunks).reshape([numrecs] + per_rec_shape)
-                if chunks
-                else np.empty([0] + per_rec_shape, dtype=dt)
+    return {
+        "version": version,
+        "dims": dims,
+        "record_dim": record_dim,
+        "attrs": gattrs,
+        "variables": variables,
+        "rec_var_names": {v["name"] for v in rec_vars},
+        "rec_stride": rec_stride,
+        "numrecs": numrecs,
+    }
+
+
+def _materialize_var(
+    data: bytes, hdr: dict, v: dict, r0: int | None = None, r1: int | None = None
+) -> np.ndarray:
+    """Decode one variable's array — optionally only rows [r0, r1) of
+    its FIRST axis (records for record variables, leading-dim rows for
+    fixed variables): the slab the streaming reader materializes."""
+    dt, size = _TYPES[v["nc_type"]]
+    record_dim = hdr["record_dim"]
+    if v["name"] in hdr["rec_var_names"]:
+        per_rec_shape = [s for d, s in zip(v["dims"], v["shape"]) if d != record_dim]
+        per_rec_elems = int(np.prod(per_rec_shape)) if per_rec_shape else 1
+        lo, hi = (0, hdr["numrecs"]) if r0 is None else (r0, r1)
+        chunks = [
+            np.frombuffer(
+                data, dtype=dt, count=per_rec_elems,
+                offset=v["begin"] + r * hdr["rec_stride"],
             )
-        else:
-            nelems = int(np.prod(v["shape"])) if v["shape"] else 1
-            arr = np.frombuffer(data, dtype=dt, count=nelems, offset=v["begin"]).reshape(
-                v["shape"]
-            )
-        out_vars[v["name"]] = {
+            for r in range(lo, hi)
+        ]
+        arr = (
+            np.stack(chunks).reshape([hi - lo] + per_rec_shape)
+            if chunks
+            else np.empty([0] + per_rec_shape, dtype=dt)
+        )
+    elif r0 is not None and v["shape"]:
+        # fixed variable, leading-axis slab: rows are contiguous
+        row_elems = int(np.prod(v["shape"][1:])) if len(v["shape"]) > 1 else 1
+        arr = np.frombuffer(
+            data, dtype=dt, count=(r1 - r0) * row_elems,
+            offset=v["begin"] + r0 * row_elems * size,
+        ).reshape([r1 - r0] + v["shape"][1:])
+    else:
+        nelems = int(np.prod(v["shape"])) if v["shape"] else 1
+        arr = np.frombuffer(data, dtype=dt, count=nelems, offset=v["begin"]).reshape(
+            v["shape"]
+        )
+    return arr.astype(dt.newbyteorder("=")) if v["nc_type"] != 2 else arr
+
+
+def read_netcdf3(source: str | bytes) -> dict:
+    """Parse a classic NetCDF file.
+
+    Returns ``{"dims": {name: size}, "record_dim": name | None,
+    "attrs": {...}, "vars": {name: {"dims": [...], "attrs": {...},
+    "data": np.ndarray}}}`` — data in native byte order, record variables
+    already stitched along the unlimited dimension.
+    """
+    data = source if isinstance(source, bytes) else open(source, "rb").read()
+    hdr = _parse_header(data)
+    out_vars = {
+        v["name"]: {
             "dims": v["dims"],
             "attrs": v["attrs"],
-            "data": arr.astype(dt.newbyteorder("=")) if v["nc_type"] != 2 else arr,
+            "data": _materialize_var(data, hdr, v),
         }
-
-    dim_sizes = {name: (numrecs if size == 0 else size) for name, size in dims}
-    return {"dims": dim_sizes, "record_dim": record_dim, "attrs": gattrs, "vars": out_vars}
+        for v in hdr["variables"]
+    }
+    dim_sizes = {
+        name: (hdr["numrecs"] if size == 0 else size) for name, size in hdr["dims"]
+    }
+    return {
+        "dims": dim_sizes,
+        "record_dim": hdr["record_dim"],
+        "attrs": hdr["attrs"],
+        "vars": out_vars,
+    }
 
 
 def _decode_cf_values(var: dict) -> np.ndarray:
@@ -256,23 +304,55 @@ def netcdf3_grid_to_long(
     ``time × latitude × longitude`` grid file → long-format
     ``(time, lat, lon, precip)`` pandas frame, CF-decoded.  Runs on
     executors — no driver round-trip, no external library."""
-    ds = read_netcdf3(content)
-    v = ds["vars"][var]
+    batches = list(netcdf3_grid_to_long_batches(content, var, time_dim, lat_dim, lon_dim))
+    return pd.concat(batches, ignore_index=True) if batches else pd.DataFrame(
+        {"time": [], "lat": [], "lon": [], "precip": []}
+    )
+
+
+def netcdf3_grid_to_long_batches(
+    content: bytes,
+    var: str = "precip",
+    time_dim: str = "time",
+    lat_dim: str = "latitude",
+    lon_dim: str = "longitude",
+    records_per_batch: int = 32,
+):
+    """Slab-streamed decode: yields long-format frames of
+    ``records_per_batch`` time steps each, so a full-year file's DECODED
+    expansion (~8× the raw f4 grid as four float64 long columns) never
+    materializes at once — peak task memory is the raw bytes plus ONE
+    slab.  Record variables slice by record stride; a fixed time-first
+    variable slices by leading-axis offset math.  This is the default
+    executor decode path under ``netcdf_files_to_long``."""
+    hdr = _parse_header(content)
+    by_name = {v["name"]: v for v in hdr["variables"]}
+    v = by_name[var]
     if v["dims"] != [time_dim, lat_dim, lon_dim]:
         raise ValueError(f"{var} dims {v['dims']} != [{time_dim}, {lat_dim}, {lon_dim}]")
-    times = _decode_cf_time(ds["vars"][time_dim])
-    lats = np.asarray(ds["vars"][lat_dim]["data"], dtype=np.float64)
-    lons = np.asarray(ds["vars"][lon_dim]["data"], dtype=np.float64)
-    vals = _decode_cf_values(v)
+    coords = {
+        n: {"dims": by_name[n]["dims"], "attrs": by_name[n]["attrs"],
+            "data": _materialize_var(content, hdr, by_name[n])}
+        for n in (time_dim, lat_dim, lon_dim)
+    }
+    times = _decode_cf_time(coords[time_dim])
+    lats = np.asarray(coords[lat_dim]["data"], dtype=np.float64)
+    lons = np.asarray(coords[lon_dim]["data"], dtype=np.float64)
     nt, nla, nlo = len(times), len(lats), len(lons)
-    return pd.DataFrame(
-        {
-            "time": np.repeat(times, nla * nlo),
-            "lat": np.tile(np.repeat(lats, nlo), nt),
-            "lon": np.tile(lons, nt * nla),
-            "precip": vals.reshape(-1),
-        }
-    )
+    lat_tile = np.repeat(lats, nlo)
+    for r0 in range(0, nt, records_per_batch):
+        r1 = min(nt, r0 + records_per_batch)
+        slab = _materialize_var(content, hdr, v, r0, r1)
+        vals = _decode_cf_values({"data": slab, "attrs": v["attrs"]})
+        k = r1 - r0
+        yield pd.DataFrame(
+            {
+                "time": np.repeat(times[r0:r1], nla * nlo),
+                "lat": np.tile(lat_tile, k),
+                "lon": np.tile(lons, k * nla),
+                "precip": vals.reshape(-1),
+            }
+        )
 
 
 def write_netcdf3(

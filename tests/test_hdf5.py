@@ -228,6 +228,57 @@ def test_hdf5_flagship_end_to_end_matches_classic(spark, tmp_path):
     assert all(v[0] > 0 for v in got_h5.values())
 
 
+def test_slab_streaming_equals_eager(tmp_path):
+    """Slab-streamed decode (VERDICT r5 #1a: 'a full-year file never
+    materializes per task') — concatenated slabs are EXACTLY the eager
+    frame for every container/layout combination, at slab sizes below,
+    equal to, and above the chunk time-extent."""
+    from mini_project_204721_data_engineering_spark.sources.hdf5 import (
+        netcdf4_grid_to_long_batches,
+    )
+    from mini_project_204721_data_engineering_spark.sources.netcdf3 import (
+        netcdf3_grid_to_long,
+        netcdf3_grid_to_long_batches,
+    )
+
+    # HDF5 chunked (time-chunk 1) and contiguous
+    for chunked in (True, False):
+        p = str(tmp_path / f"h5_{chunked}.nc")
+        _hdf5_grid_file(p, flavor="v2", chunked=chunked)
+        content = open(p, "rb").read()
+        eager = netcdf_grid_to_long(content)
+        for rpb in (1, 2, 64):
+            parts = list(netcdf4_grid_to_long_batches(content, records_per_batch=rpb))
+            got = pd.concat(parts, ignore_index=True)
+            pd.testing.assert_frame_equal(got, eager)
+        # time-chunked file: one slab per chunk extent at rpb=1
+        if chunked:
+            assert len(list(netcdf4_grid_to_long_batches(content, records_per_batch=1))) == 2
+
+    # classic: record-dim file AND fixed-time-dim file
+    precip = _grid_precip()
+    for rec in (True, False):
+        p = str(tmp_path / f"cdf_{rec}.nc")
+        write_netcdf3(
+            p,
+            dims={"time": 2, "latitude": 3, "longitude": 4},
+            variables={
+                "time": (["time"], np.array([0.0, 1.0]), {"units": "days since 2023-06-01"}),
+                "latitude": (["latitude"], LATS, {}),
+                "longitude": (["longitude"], LONS, {}),
+                "precip": (["time", "latitude", "longitude"], precip, {"_FillValue": -9999.0}),
+            },
+            record_dim="time" if rec else None,
+        )
+        content = open(p, "rb").read()
+        eager = netcdf3_grid_to_long(content)
+        for rpb in (1, 2, 64):
+            parts = list(netcdf3_grid_to_long_batches(content, records_per_batch=rpb))
+            got = pd.concat(parts, ignore_index=True)
+            pd.testing.assert_frame_equal(got, eager)
+        assert len(list(netcdf3_grid_to_long_batches(content, records_per_batch=1))) == 2
+
+
 def test_unsupported_structures_raise_clearly(tmp_path):
     with pytest.raises(ValueError, match="superblock"):
         read_hdf5(b"\x00" * 64)
