@@ -65,6 +65,13 @@ __all__ = [
 _SIG = b"\x89HDF\r\n\x1a\n"
 _UNDEF = 0xFFFFFFFFFFFFFFFF
 
+#: low-level exceptions a malformed container can surface from the byte
+#: walkers — public readers re-raise these as ValueError with context
+_PARSE_ERRORS = (
+    struct.error, IndexError, KeyError, OverflowError, zlib.error,
+    RecursionError, MemoryError,
+)
+
 # --------------------------------------------------------------------------
 # reader
 # --------------------------------------------------------------------------
@@ -510,6 +517,14 @@ def _read_slab(h: _H5, meta: dict, t0: int | None = None, t1: int | None = None)
     lo, hi = (0, shape[0] if shape else 1) if full else (t0, t1)
     out_shape = list(shape) if full else [hi - lo] + list(shape[1:])
     n_out = int(np.prod(out_shape)) if out_shape else 1
+    # corruption guard: a flipped dataspace dim can claim terabytes —
+    # cap the decoded slab at a generous multiple of the container size
+    # (even 1000:1-compressed chunks stay far under this)
+    if n_out * npdt.itemsize > max(4096 * len(h.data), 1 << 28):
+        raise ValueError(
+            f"implausible dataset size {out_shape} ({n_out * npdt.itemsize} B) "
+            f"for a {len(h.data)} B file — corrupt dataspace?"
+        )
     row_elems = int(np.prod(shape[1:])) if len(shape) > 1 else 1
     ver, cls = layout[0], layout[1]
     if ver == 3 and cls == 0:  # compact — tiny by definition
@@ -587,17 +602,22 @@ def read_hdf5(source: str | bytes) -> dict:
     object references.  Nested groups flatten to ``group/name`` paths.
     """
     data = source if isinstance(source, bytes) else open(source, "rb").read()
-    h, entries, root_attrs = _walk_datasets(data)
-    datasets: dict[str, dict] = {}
-    for path, (addr, msgs) in entries.items():
-        arr, attrs = _dataset_data(h, msgs)
-        datasets[path] = {
-            "shape": list(arr.shape),
-            "attrs": attrs,
-            "data": arr,
-            "addr": addr,
-        }
-    return {"attrs": root_attrs, "datasets": datasets}
+    try:
+        h, entries, root_attrs = _walk_datasets(data)
+        datasets: dict[str, dict] = {}
+        for path, (addr, msgs) in entries.items():
+            arr, attrs = _dataset_data(h, msgs)
+            datasets[path] = {
+                "shape": list(arr.shape),
+                "attrs": attrs,
+                "data": arr,
+                "addr": addr,
+            }
+        return {"attrs": root_attrs, "datasets": datasets}
+    except _PARSE_ERRORS as e:
+        # truncated/corrupt containers must fail loudly with context, not
+        # leak a bare struct/index error from 6 layers down
+        raise ValueError(f"corrupt or truncated HDF5 file: {e!r}") from e
 
 
 def _walk_datasets(data: bytes):
@@ -723,9 +743,14 @@ def netcdf4_grid_to_long_batches(
         _decode_cf_values,
     )
 
-    h, entries, _ = _walk_datasets(content)
-    metas = {p: _dataset_meta(h, msgs) for p, (addr, msgs) in entries.items()}
+    try:
+        h, entries, _ = _walk_datasets(content)
+        metas = {p: _dataset_meta(h, msgs) for p, (addr, msgs) in entries.items()}
+    except _PARSE_ERRORS as e:
+        raise ValueError(f"corrupt or truncated HDF5 file: {e!r}") from e
     by_addr = {addr: p for p, (addr, _) in entries.items()}
+    if var not in metas:
+        raise ValueError(f"variable {var!r} not in file (has {sorted(metas)})")
     vmeta = metas[var]
     dim_list = vmeta["attrs"].get("DIMENSION_LIST")
     if dim_list is not None:
@@ -750,9 +775,12 @@ def netcdf4_grid_to_long_batches(
             arr = arr.astype(arr.dtype.newbyteorder("="))
         return {"attrs": {k: v for k, v in m["attrs"].items()}, "data": arr}
 
-    times = _decode_cf_time(coord(time_dim))
-    lats = np.asarray(coord(lat_dim)["data"], dtype=np.float64)
-    lons = np.asarray(coord(lon_dim)["data"], dtype=np.float64)
+    try:
+        times = _decode_cf_time(coord(time_dim))
+        lats = np.asarray(coord(lat_dim)["data"], dtype=np.float64)
+        lons = np.asarray(coord(lon_dim)["data"], dtype=np.float64)
+    except _PARSE_ERRORS as e:
+        raise ValueError(f"corrupt or truncated HDF5 file: {e!r}") from e
     nt, nla, nlo = len(times), len(lats), len(lons)
     lat_tile = np.repeat(lats, nlo)
     # align slabs to the chunk time-extent: each chunk inflates once
@@ -764,7 +792,10 @@ def netcdf4_grid_to_long_batches(
     clean_attrs = {k: v for k, v in vmeta["attrs"].items() if k not in _NC4_HIDDEN_ATTRS}
     for t0 in range(0, nt, step):
         t1 = min(nt, t0 + step)
-        slab = _read_slab(h, vmeta, t0, t1)
+        try:
+            slab = _read_slab(h, vmeta, t0, t1)
+        except _PARSE_ERRORS as e:
+            raise ValueError(f"corrupt or truncated HDF5 file: {e!r}") from e
         if slab.dtype.byteorder == ">":
             slab = slab.astype(slab.dtype.newbyteorder("="))
         vals = _decode_cf_values({"data": slab, "attrs": clean_attrs})

@@ -60,24 +60,20 @@ def positive_precip(df: DataFrame, col: str = "precip") -> DataFrame:
 def netcdf_to_long(spark: SparkSession, nc_path: str, var: str = "precip") -> DataFrame:
     """S1: NetCDF → long-format DataFrame (time, lat, lon, precip).
 
-    xarray when installed; classic CDF files decode through the
-    dependency-free ``sources/netcdf3.py`` parser otherwise.  NetCDF-4
-    (HDF5 container) without xarray raises with the scale-path note.
-    """
+    Both container families decode dependency-free (classic CDF-1/2/5
+    via ``sources/netcdf3.py``, NetCDF-4/HDF5 via ``sources/hdf5.py``);
+    xarray, when installed, is preferred for its broader edge coverage
+    (the reference's own read path, ``backend/app/utils.py:63``)."""
     try:
         import xarray as xr  # noqa: F401
-    except ImportError as e:
+    except ImportError:
+        from mini_project_204721_data_engineering_spark.sources.hdf5 import (
+            netcdf_grid_to_long,
+        )
+
         with open(nc_path, "rb") as f:
             content = f.read()
-        if content[:3] == b"CDF":
-            from mini_project_204721_data_engineering_spark.sources.netcdf3 import netcdf3_grid_to_long
-
-            return spark.createDataFrame(netcdf3_grid_to_long(content, var=var))
-        raise ImportError(
-            "netcdf_to_long needs xarray for NetCDF-4/HDF5 containers "
-            "(classic CDF files decode without it). At scale, convert "
-            "via binaryFile + mapInPandas per time-chunk."
-        ) from e
+        return spark.createDataFrame(netcdf_grid_to_long(content, var=var))
     ds = xr.open_dataset(nc_path)
     da = ds[var]
     pdf = da.to_dataframe().reset_index()

@@ -240,15 +240,18 @@ def read_netcdf3(source: str | bytes) -> dict:
     already stitched along the unlimited dimension.
     """
     data = source if isinstance(source, bytes) else open(source, "rb").read()
-    hdr = _parse_header(data)
-    out_vars = {
-        v["name"]: {
-            "dims": v["dims"],
-            "attrs": v["attrs"],
-            "data": _materialize_var(data, hdr, v),
+    try:
+        hdr = _parse_header(data)
+        out_vars = {
+            v["name"]: {
+                "dims": v["dims"],
+                "attrs": v["attrs"],
+                "data": _materialize_var(data, hdr, v),
+            }
+            for v in hdr["variables"]
         }
-        for v in hdr["variables"]
-    }
+    except (struct.error, IndexError, KeyError, OverflowError, MemoryError) as e:
+        raise ValueError(f"corrupt or truncated NetCDF classic file: {e!r}") from e
     dim_sizes = {
         name: (hdr["numrecs"] if size == 0 else size) for name, size in hdr["dims"]
     }
@@ -325,16 +328,24 @@ def netcdf3_grid_to_long_batches(
     slab.  Record variables slice by record stride; a fixed time-first
     variable slices by leading-axis offset math.  This is the default
     executor decode path under ``netcdf_files_to_long``."""
-    hdr = _parse_header(content)
+    try:
+        hdr = _parse_header(content)
+    except (struct.error, IndexError, KeyError, OverflowError, MemoryError) as e:
+        raise ValueError(f"corrupt or truncated NetCDF classic file: {e!r}") from e
     by_name = {v["name"]: v for v in hdr["variables"]}
+    if var not in by_name:
+        raise ValueError(f"variable {var!r} not in file (has {sorted(by_name)})")
     v = by_name[var]
     if v["dims"] != [time_dim, lat_dim, lon_dim]:
         raise ValueError(f"{var} dims {v['dims']} != [{time_dim}, {lat_dim}, {lon_dim}]")
-    coords = {
-        n: {"dims": by_name[n]["dims"], "attrs": by_name[n]["attrs"],
-            "data": _materialize_var(content, hdr, by_name[n])}
-        for n in (time_dim, lat_dim, lon_dim)
-    }
+    try:
+        coords = {
+            n: {"dims": by_name[n]["dims"], "attrs": by_name[n]["attrs"],
+                "data": _materialize_var(content, hdr, by_name[n])}
+            for n in (time_dim, lat_dim, lon_dim)
+        }
+    except (struct.error, IndexError, KeyError, OverflowError, MemoryError) as e:
+        raise ValueError(f"corrupt or truncated NetCDF classic file: {e!r}") from e
     times = _decode_cf_time(coords[time_dim])
     lats = np.asarray(coords[lat_dim]["data"], dtype=np.float64)
     lons = np.asarray(coords[lon_dim]["data"], dtype=np.float64)
@@ -342,7 +353,10 @@ def netcdf3_grid_to_long_batches(
     lat_tile = np.repeat(lats, nlo)
     for r0 in range(0, nt, records_per_batch):
         r1 = min(nt, r0 + records_per_batch)
-        slab = _materialize_var(content, hdr, v, r0, r1)
+        try:
+            slab = _materialize_var(content, hdr, v, r0, r1)
+        except (struct.error, IndexError, KeyError, OverflowError, MemoryError) as e:
+            raise ValueError(f"corrupt or truncated NetCDF classic file: {e!r}") from e
         vals = _decode_cf_values({"data": slab, "attrs": v["attrs"]})
         k = r1 - r0
         yield pd.DataFrame(

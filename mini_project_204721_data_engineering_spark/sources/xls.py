@@ -249,7 +249,15 @@ def read_xls(source: str | bytes) -> dict[str, pd.DataFrame]:
     """Read every sheet of a BIFF8 ``.xls`` into ``{name: DataFrame}``
     with the same header-promotion semantics as ``read_xlsx``."""
     data = source if isinstance(source, bytes) else open(source, "rb").read()
-    stream = _cfb_stream(data, ("Workbook", "Book"))
+    try:
+        return _read_xls_stream(_cfb_stream(data, ("Workbook", "Book")))
+    except (struct.error, IndexError, KeyError, OverflowError, UnicodeDecodeError) as e:
+        # truncated/corrupt workbooks fail loudly with context, not with
+        # a bare struct error from the record walker
+        raise ValueError(f"corrupt or truncated .xls file: {e!r}") from e
+
+
+def _read_xls_stream(stream: bytes) -> dict[str, pd.DataFrame]:
 
     # ---- globals substream
     shared: list[str] = []

@@ -1,0 +1,104 @@
+"""Corruption-robustness fuzzing for the binary readers (hypothesis):
+for ANY truncation or single-byte flip of a valid fixture, the readers
+must either succeed (corruption may land in padding/unused bytes) or
+raise a clean ValueError / NotImplementedError — never a bare
+struct.error / IndexError / KeyError from deep inside a byte walker,
+and never hang.  Real landing zones contain half-uploaded files; the
+ingest error a user sees should name the format, not a stack frame."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from mini_project_204721_data_engineering_spark.sources.hdf5 import read_hdf5, write_hdf5
+from mini_project_204721_data_engineering_spark.sources.netcdf3 import (
+    read_netcdf3,
+    write_netcdf3,
+)
+from mini_project_204721_data_engineering_spark.sources.xls import read_xls, write_xls
+
+#: what a reader may raise on corrupt input.  numpy's frombuffer raises
+#: ValueError on short buffers, so ValueError is the lingua franca.
+OK_ERRORS = (ValueError, NotImplementedError)
+
+
+@pytest.fixture(scope="module")
+def xls_bytes(tmp_path_factory) -> bytes:
+    p = str(tmp_path_factory.mktemp("fuzz") / "wb.xls")
+    write_xls(p, {"S": [["a", "b"], ["x", 1.5], ["y", 2.0]]}, date_cols={"S": [1]})
+    return open(p, "rb").read()
+
+
+@pytest.fixture(scope="module")
+def hdf5_bytes(tmp_path_factory) -> bytes:
+    p = str(tmp_path_factory.mktemp("fuzz") / "g.nc")
+    write_hdf5(
+        p,
+        datasets={
+            "time": (np.array([0.0, 1.0]), {"units": "days since 2023-01-01"}),
+            "v": (np.arange(24, dtype="<f4").reshape(2, 3, 4), {}),
+        },
+        options={"v": {"chunks": (1, 2, 3), "deflate": 4, "shuffle": True}},
+    )
+    return open(p, "rb").read()
+
+
+@pytest.fixture(scope="module")
+def cdf_bytes(tmp_path_factory) -> bytes:
+    p = str(tmp_path_factory.mktemp("fuzz") / "c.nc")
+    write_netcdf3(
+        p,
+        dims={"t": 2, "x": 3},
+        variables={
+            "t": (["t"], np.array([0.0, 1.0]), {}),
+            "v": (["t", "x"], np.arange(6, dtype=np.float32).reshape(2, 3), {}),
+        },
+        record_dim="t",
+    )
+    return open(p, "rb").read()
+
+
+def _fuzz(reader, data: bytes, cut: int, flip_at: int, flip_to: int):
+    mutated = bytearray(data[:cut])
+    if mutated and flip_at < len(mutated):
+        mutated[flip_at] = flip_to
+    try:
+        out = reader(bytes(mutated))
+        # success is fine (mutation hit padding) — result must be sane
+        assert out is not None
+    except OK_ERRORS:
+        pass  # the contract: a clean, catchable error
+
+
+@settings(max_examples=120, deadline=2000, suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(frac=st.floats(0.0, 1.0), flip_frac=st.floats(0.0, 1.0), flip_to=st.integers(0, 255))
+def test_xls_fuzz(xls_bytes, frac, flip_frac, flip_to):
+    cut = int(len(xls_bytes) * frac)
+    _fuzz(read_xls, xls_bytes, cut, int(cut * flip_frac), flip_to)
+
+
+@settings(max_examples=120, deadline=2000, suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(frac=st.floats(0.0, 1.0), flip_frac=st.floats(0.0, 1.0), flip_to=st.integers(0, 255))
+def test_hdf5_fuzz(hdf5_bytes, frac, flip_frac, flip_to):
+    cut = int(len(hdf5_bytes) * frac)
+    _fuzz(read_hdf5, hdf5_bytes, cut, int(cut * flip_frac), flip_to)
+
+
+@settings(max_examples=120, deadline=2000, suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(frac=st.floats(0.0, 1.0), flip_frac=st.floats(0.0, 1.0), flip_to=st.integers(0, 255))
+def test_cdf_fuzz(cdf_bytes, frac, flip_frac, flip_to):
+    cut = int(len(cdf_bytes) * frac)
+    _fuzz(read_netcdf3, cdf_bytes, cut, int(cut * flip_frac), flip_to)
+
+
+def test_valid_fixtures_still_read(xls_bytes, hdf5_bytes, cdf_bytes):
+    """The fuzz baseline: unmutated fixtures parse (guards against a
+    fixture bug making every fuzz case vacuously 'error = pass')."""
+    assert read_xls(xls_bytes)["S"]["a"].tolist() == ["x", "y"]
+    assert read_hdf5(hdf5_bytes)["datasets"]["v"]["data"].shape == (2, 3, 4)
+    assert read_netcdf3(cdf_bytes)["vars"]["v"]["data"].shape == (2, 3)
+    assert isinstance(read_xls(xls_bytes)["S"], pd.DataFrame)
