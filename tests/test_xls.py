@@ -127,6 +127,43 @@ def test_sst_continue_split(tmp_path):
     assert df["col"].tolist() == [f"string-{i:04d}-" + "x" * 8 for i in range(n)]
 
 
+def test_incidents_pipeline_from_real_xls(spark, tmp_path):
+    """The reference's Excel ingest end-to-end from LEGACY workbook
+    bytes: .xls → fuzzy sheet choice → layout normalization → dim joins
+    → per-day counts — the twin of the .xlsx pipeline test, proving
+    container parity all the way into Spark."""
+    from pyspark.sql import Row
+
+    from mini_project_204721_data_engineering_spark.pipelines.dims import build_dims
+    from mini_project_204721_data_engineering_spark.pipelines.incidents import ingest_incidents
+
+    p = str(tmp_path / "incidents.xls")
+    write_xls(
+        p,
+        {
+            "Incidents": [
+                ["Disaster Date", "Province", "District"],
+                ["2023-06-01", "เชียงใหม่", "เมือง"],
+                ["2023-06-01", "เชียงใหม่", "เมือง"],
+                ["not-a-date", "เชียงใหม่", "เมือง"],
+                ["2023-06-02", "นอกเขต", "ไม่มี"],
+            ]
+        },
+    )
+    rows = read_incident_workbook(p)
+
+    adm2 = spark.createDataFrame(
+        [Row(ADM1_EN="Chiang Mai", ADM1_TH="จังหวัดเชียงใหม่", ADM2_EN="Muang", ADM2_TH="อำเภอเมือง")]
+    )
+    province, district = build_dims(adm2, north_only=True)
+    out = ingest_incidents(spark.createDataFrame(rows), province, district).collect()
+    # bad date dropped (C6 coerce), unmapped province dropped (F8),
+    # two same-day incidents counted together (A5)
+    assert len(out) == 1
+    assert str(out[0]["disaster_date"]) == "2023-06-01"
+    assert out[0]["count_of_disasters"] == 2
+
+
 def test_not_cfb_rejected(tmp_path):
     p = str(tmp_path / "x.xls")
     open(p, "wb").write(b"PK\x03\x04" + b"\x00" * 100)
