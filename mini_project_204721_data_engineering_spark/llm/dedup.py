@@ -44,6 +44,8 @@ __all__ = [
     "simhash",
     "embedding_neardup_pairs",
     "srp_signatures",
+    "dup_clusters",
+    "canonical_keep",
     "srp_banded_pairs",
 ]
 
@@ -400,6 +402,84 @@ def embedding_neardup_pairs(
         .filter(F.col("id_a") < F.col("id_b"))
         .select("id_a", "id_b", F.round(cosine("va", "vb"), 6).alias("cos_sim"))
         .filter(F.col("cos_sim") >= threshold)
+    )
+
+
+def dup_clusters(
+    pairs: DataFrame,
+    id_a: str = "doc_a",
+    id_b: str = "doc_b",
+    max_iters: int = 25,
+) -> DataFrame:
+    """Connected components over near-dup PAIRS → (doc_id, cluster_id):
+    the cluster-resolution step real corpus dedup needs — dropping the
+    second element of every pair over-deletes when A~B and B~C but the
+    A~C pair was never emitted (each doc of a transitive chain must map
+    to ONE cluster, keep ONE representative).
+
+    Min-label propagation: every vertex starts labeled with its own id;
+    each round takes the min of its label and its neighbors' labels.
+    Converges in O(cluster diameter) rounds — near-dup clusters are
+    shallow (a chain of k edits has diameter k, and k is small by the
+    similarity threshold), so this is a handful of self-terminating
+    rounds, each one broadcast-free equi-join + min-agg.  Labels are
+    ``localCheckpoint``-ed per round so the plan doesn't nest.  At 100 TB
+    the pairs table is LSH output — already ∝ duplicates, not corpus² —
+    and each round shuffles only (vertex, label) pairs.  cluster_id =
+    min doc id of the component (deterministic on any layout).
+    """
+    edges = (
+        pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+        .unionByName(pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    labels = edges.select(F.col("src").alias("id")).distinct().select(
+        "id", F.col("id").alias("label")
+    ).localCheckpoint(eager=True)
+    for _ in range(max_iters):
+        neighbor_min = (
+            edges.join(labels, edges.src == labels.id)
+            .groupBy(F.col("dst").alias("id"))
+            .agg(F.min("label").alias("nmin"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, "id", "left")
+            .select("id", F.least("label", F.coalesce("nmin", "label")).alias("label"))
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "id")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    else:
+        raise RuntimeError(
+            f"dup_clusters did not converge in {max_iters} rounds — "
+            "pathologically deep component; raise max_iters"
+        )
+    return labels.select(F.col("id").alias("doc_id"), F.col("label").alias("cluster_id"))
+
+
+def canonical_keep(
+    docs: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    id_a: str = "doc_a",
+    id_b: str = "doc_b",
+) -> DataFrame:
+    """Cluster-aware dedup: keep every doc not in any near-dup pair,
+    plus ONE canonical representative (min id) per duplicate cluster —
+    the delete set a production dedup actually applies."""
+    clusters = dup_clusters(pairs, id_a, id_b)
+    return (
+        docs.join(clusters.withColumnRenamed("doc_id", id_col), id_col, "left")
+        .filter(F.col("cluster_id").isNull() | (F.col(id_col) == F.col("cluster_id")))
+        .drop("cluster_id")
     )
 
 

@@ -979,7 +979,64 @@ QUERIES = {
     "multimodal_meta": multimodal_meta,
 }
 
+def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-CLUSTER resolution (llm/dedup.py::dup_clusters):
+    MinHash-LSH near-dup pairs → connected components → (doc_id,
+    cluster_id), cluster_id = min doc id of the component.  Pair lists
+    alone over-delete transitive chains; this is the step that makes
+    corpus dedup keep exactly one representative per cluster.  The
+    oracle recomputes the components with a recursive CTE over the
+    identical pair set."""
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = minhash_lsh_pairs(docs, k=8, bands=4, threshold=0.5)
+    from mini_project_204721_data_engineering_spark.llm.dedup import dup_clusters
+
+    return dup_clusters(pairs)
+
+
+DEDUP_CLUSTERS_SQL = f"""
+WITH RECURSIVE {_DUCK_SHINGLES},
+mh AS (
+  SELECT doc_id, seed, min(md5(seed::VARCHAR || '|' || shingle)) AS minhash
+  FROM sh CROSS JOIN (SELECT * FROM range(8) t(seed))
+  GROUP BY doc_id, seed
+),
+band AS (
+  SELECT doc_id, CAST(seed // 2 AS INT) AS band,
+         string_agg(lpad(seed::VARCHAR, 2, '0') || ':' || minhash, '|'
+                    ORDER BY lpad(seed::VARCHAR, 2, '0') || ':' || minhash) AS band_key
+  FROM mh GROUP BY 1, 2
+),
+cands AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM band a JOIN band b
+    ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+),
+pairs AS (
+  SELECT doc_a, doc_b
+  FROM cands
+  JOIN mh ma ON ma.doc_id = doc_a
+  JOIN mh mb ON mb.doc_id = doc_b AND mb.seed = ma.seed
+  GROUP BY doc_a, doc_b
+  HAVING sum(CASE WHEN ma.minhash = mb.minhash THEN 1 ELSE 0 END) / 8.0 >= 0.5
+),
+edges AS (
+  SELECT doc_a AS a, doc_b AS b FROM pairs
+  UNION
+  SELECT doc_b, doc_a FROM pairs
+),
+reach(id, root) AS (
+  SELECT DISTINCT a, a FROM edges
+  UNION
+  SELECT e.b, r.root FROM reach r JOIN edges e ON e.a = r.id
+)
+SELECT id AS doc_id, CAST(min(root) AS BIGINT) AS cluster_id
+FROM reach GROUP BY id
+"""
+
+
 EXTRA_QUERIES = {
+    "dedup_clusters": dedup_clusters,
     "lsh_jaccard_verified_dups": lsh_jaccard_verified_dups,
     "text_repetition": text_repetition,
     "pii_scrub": pii_scrub,
@@ -993,6 +1050,7 @@ EXTRA_QUERIES = {
     "text_chunks": text_chunks,
 }
 EXTRA_ORACLES = {
+    "dedup_clusters": DEDUP_CLUSTERS_SQL,
     "lsh_jaccard_verified_dups": LSH_JACCARD_VERIFIED_SQL,
     "text_repetition": TEXT_REPETITION_SQL,
     "pii_scrub": PII_SCRUB_SQL,

@@ -517,6 +517,48 @@ def test_incremental_neardup_probes_index_not_corpus(spark):
     assert got == scratch_batch_pairs
 
 
+def test_dup_clusters_transitive_chain(spark):
+    """Cluster resolution: A~B and B~C (no A~C pair) must land in ONE
+    cluster labeled min(id); disconnected pairs stay separate; and
+    canonical_keep keeps one representative per cluster plus every
+    unpaired doc."""
+    from mini_project_204721_data_engineering_spark.llm.dedup import (
+        canonical_keep,
+        dup_clusters,
+    )
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11), (20, 21), (21, 20)],
+        "doc_a long, doc_b long",
+    )
+    got = {r["doc_id"]: r["cluster_id"] for r in dup_clusters(pairs).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 20: 20, 21: 20}
+
+    docs = spark.createDataFrame(
+        [(i, f"d{i}") for i in [1, 2, 3, 4, 10, 11, 20, 21, 99]],
+        "doc_id long, text string",
+    )
+    kept = {r["doc_id"] for r in canonical_keep(docs, pairs).collect()}
+    assert kept == {1, 10, 20, 99}  # one per cluster + the singleton
+
+
+def test_dup_clusters_long_chain_converges(spark):
+    """A diameter-8 chain exercises multi-round propagation and the
+    convergence check (label must travel the whole chain)."""
+    from mini_project_204721_data_engineering_spark.llm.dedup import dup_clusters
+
+    n = 9
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)], "doc_a long, doc_b long"
+    )
+    got = {r["doc_id"]: r["cluster_id"] for r in dup_clusters(pairs).collect()}
+    assert got == {i: 0 for i in range(n)}
+    import pytest as _pytest
+
+    with _pytest.raises(RuntimeError, match="converge"):
+        dup_clusters(pairs, max_iters=2)
+
+
 def test_incremental_neardup_rejects_mismatched_index_params(spark):
     """Probing a band index with different (k, bands, n, hash_fn) than it
     was built with yields band keys that never match — which would read
