@@ -71,17 +71,20 @@ def timed(name, fn, out):
 def main() -> None:
     mode = "events"
     args = [a for a in sys.argv[1:]]
-    if args and args[0] in ("events", "docs", "ann", "srp"):
+    if args and args[0] in ("events", "docs", "ann", "srp", "cc"):
         mode = args.pop(0)
     n = int(args[0]) if args else {
-        "events": 10_000_000, "docs": 1_000_000, "ann": 1_000_000, "srp": 1_000_000
+        "events": 10_000_000, "docs": 1_000_000, "ann": 1_000_000,
+        "srp": 1_000_000, "cc": 1_000_000,
     }[mode]
     from mini_project_204721_data_engineering_spark.session import get_spark
 
     spark = get_spark("scale-probe")
     out: list[dict] = []
     if mode != "events":
-        {"docs": probe_docs, "ann": probe_ann, "srp": probe_srp}[mode](spark, n, out)
+        {"docs": probe_docs, "ann": probe_ann, "srp": probe_srp, "cc": probe_cc}[mode](
+            spark, n, out
+        )
         total = round(sum(r["sec"] for r in out), 3)
         print(json.dumps({"metric": f"scale_probe_{mode}_total", "value": total,
                           "unit": "sec", "n_rows": n,
@@ -314,6 +317,31 @@ def probe_srp(spark, n: int, out: list) -> None:
 
     timed("srp_16bit_bands_underprovisioned", srp(32, 2, "16b"), out)
     timed("srp_24bit_bands_provisioned", srp(48, 2, "24b"), out)
+
+
+def probe_cc(spark, n: int, out: list) -> None:
+    """dup_clusters (connected components) over n planted near-dup
+    PAIRS: clusters of 5 docs chained (diameter 4 — the realistic
+    near-dup shape), so rounds stay constant while edges scale.  The
+    claim under test: cost ∝ edges × diameter, not corpus²."""
+    from mini_project_204721_data_engineering_spark.llm.dedup import dup_clusters
+
+    # chains 0-1-2-3-4, 5-6-..., each cluster spans 5 ids → n pairs total
+    pairs = (
+        spark.range(n)
+        .filter(F.pmod("id", F.lit(5)) != 4)  # last link of each 5-chain omitted
+        .select(F.col("id").alias("doc_a"), (F.col("id") + 1).alias("doc_b"))
+        .localCheckpoint(eager=True)
+    )
+
+    def cc():
+        labels = dup_clusters(pairs)
+        # consume: every doc labeled with its chain head (id - id%5)
+        return labels.filter(
+            F.col("cluster_id") == F.col("doc_id") - F.pmod("doc_id", F.lit(5))
+        ).count()
+
+    timed("dup_clusters_chain5", cc, out)
 
 
 if __name__ == "__main__":
