@@ -467,11 +467,14 @@ def _dataset_meta(h: _H5, msgs: list[tuple[int, bytes]]) -> dict:
     dt = space = layout = None
     filters: list[tuple[int, list[int]]] = []
     attrs: dict[str, Any] = {}
+    fill_raw: bytes | None = None
     for mtype, body in msgs:
         if mtype == 0x01:
             space = _dataspace(body, h.lens)
         elif mtype == 0x03:
             dt = _datatype(body)
+        elif mtype == 0x05:  # fill value (v1/v2/v3)
+            fill_raw = _fill_value_bytes(body)
         elif mtype == 0x08:
             layout = body
         elif mtype == 0x0B:
@@ -488,7 +491,35 @@ def _dataset_meta(h: _H5, msgs: list[tuple[int, bytes]]) -> dict:
     if dt["class"] not in (0, 1, 3):
         raise NotImplementedError("only numeric/fixed-string dataset types supported")
     return {"dt": dt, "shape": space, "layout": layout, "filters": filters,
-            "attrs": attrs, "_chunks": None}
+            "attrs": attrs, "fill_raw": fill_raw, "_chunks": None}
+
+
+def _fill_value_bytes(body: bytes) -> bytes | None:
+    """Defined fill bytes of a Fill Value message, or None (default 0s).
+    v1/v2: version, space-alloc time, fill-write time, defined flag,
+    [size + data if defined].  v3: version, flags — bit5 = defined,
+    [size + data]."""
+    ver = body[0]
+    if ver in (1, 2):
+        if ver == 2 and body[3] == 0:  # fill value undefined
+            return None
+        p = 4
+    else:  # v3
+        if not body[1] & 0x20:
+            return None
+        p = 2
+    if p + 4 > len(body):
+        return None
+    size = _u(body, p, 4)
+    return body[p + 4 : p + 4 + size] if size else None
+
+
+def _fill_array(meta: dict, shape: list[int]) -> np.ndarray:
+    npdt = meta["dt"]["np"]
+    raw = meta.get("fill_raw")
+    if raw and len(raw) == npdt.itemsize:
+        return np.full(shape, np.frombuffer(raw, dtype=npdt, count=1)[0])
+    return np.zeros(shape, dtype=npdt)
 
 
 def _chunk_entries(h: _H5, meta: dict):
@@ -535,14 +566,17 @@ def _read_slab(h: _H5, meta: dict, t0: int | None = None, t1: int | None = None)
         return arr if full else arr[lo:hi]
     if ver == 3 and cls == 1:  # contiguous: pure offset math per slab
         addr = _u(layout, 2, h.offs)
-        if addr == _UNDEF:  # never written: fill with zeros
-            return np.zeros(out_shape, dtype=npdt)
+        if addr == _UNDEF:  # never written: the declared fill value
+            return _fill_array(meta, out_shape)
         off = addr + lo * row_elems * npdt.itemsize
         return np.frombuffer(h.data, dtype=npdt, count=n_out, offset=off).reshape(out_shape)
     if ver == 3 and cls == 2:  # chunked, v1 B-tree index
         ndims = layout[2]  # rank + 1 (element-size dim)
         chunk = [_u(layout, 3 + h.offs + 4 * i, 4) for i in range(ndims - 1)]
-        out = np.zeros(out_shape, dtype=npdt)
+        # chunks absent from the B-tree were never written: they read as
+        # the dataset's declared fill value (netCDF's partially-written
+        # variables), zeros only when no fill is defined
+        out = _fill_array(meta, out_shape)
         for offs, nbytes, mask, addr in _chunk_entries(h, meta):
             if offs[0] >= hi or offs[0] + chunk[0] <= lo:
                 continue  # chunk entirely outside the slab: never inflated
@@ -972,6 +1006,12 @@ def write_hdf5(
         dtmsg, dt = _enc_datatype(arr.dtype.newbyteorder("<"))
         arr = np.ascontiguousarray(arr.astype(arr.dtype.newbyteorder("<")))
         msgs: list[tuple[int, bytes]] = [(0x01, _enc_dataspace(arr.shape)), (0x03, dtmsg)]
+        fill = opt.get("fill")
+        if fill is not None:
+            fraw = np.asarray(fill, dtype=arr.dtype).tobytes()
+            # fill value message v2: alloc time 2 (early), write time 2,
+            # defined=1, size + bytes
+            msgs.append((0x05, bytes([2, 2, 2, 1]) + struct.pack("<I", len(fraw)) + fraw))
         chunks = opt.get("chunks")
         if chunks:
             filters: list[tuple[int, list[int]]] = []
@@ -993,8 +1033,14 @@ def write_hdf5(
 
             for offs in itertools.product(*grid):
                 sl = tuple(slice(o, o + c) for o, c in zip(offs, chunks))
-                carr = np.zeros(chunks, dtype=arr.dtype)
                 piece = arr[sl]
+                if (
+                    opt.get("omit_fill_chunks")
+                    and fill is not None
+                    and bool(np.all(piece == np.asarray(fill, dtype=arr.dtype)))
+                ):
+                    continue  # never-written chunk: absent from the B-tree
+                carr = np.zeros(chunks, dtype=arr.dtype)
                 carr[tuple(slice(0, s) for s in piece.shape)] = piece
                 raw = carr.tobytes()
                 for fid, vals in filters:

@@ -228,6 +228,32 @@ def test_hdf5_flagship_end_to_end_matches_classic(spark, tmp_path):
     assert all(v[0] > 0 for v in got_h5.values())
 
 
+def test_fill_value_for_unwritten_chunks(tmp_path):
+    """Chunks absent from the B-tree (never written) must read as the
+    dataset's declared FILL VALUE, not zeros — netCDF writes sparse
+    variables exactly this way (all-fill chunks are skipped on disk)."""
+    from mini_project_204721_data_engineering_spark.sources.hdf5 import read_netcdf4
+
+    arr = np.full((4, 3), -9999.0, dtype="<f4")
+    arr[0, :] = [1.0, 2.0, 3.0]  # only the first chunk-row has data
+    p = str(tmp_path / "sparse.nc")
+    write_hdf5(
+        p,
+        datasets={"v": (arr, {})},
+        options={"v": {"chunks": (1, 3), "fill": -9999.0, "omit_fill_chunks": True}},
+    )
+    ds = read_hdf5(p)
+    got = ds["datasets"]["v"]["data"]
+    np.testing.assert_array_equal(got, arr)  # fill restored, not zeros
+    # the file really does omit the all-fill chunks (3 of 4 rows)
+    smaller = str(tmp_path / "dense.nc")
+    write_hdf5(smaller, datasets={"v": (arr, {})}, options={"v": {"chunks": (1, 3)}})
+    import os
+
+    assert os.path.getsize(p) < os.path.getsize(smaller)
+    del read_netcdf4
+
+
 def test_slab_streaming_equals_eager(tmp_path):
     """Slab-streamed decode (VERDICT r5 #1a: 'a full-year file never
     materializes per task') — concatenated slabs are EXACTLY the eager
