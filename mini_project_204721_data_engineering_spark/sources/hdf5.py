@@ -377,13 +377,130 @@ def _group_children(h: _H5, msgs: list[tuple[int, bytes]]) -> dict[str, int]:
             if t:
                 children[t[0]] = t[1]
         elif mtype == 0x02:  # link info: dense storage → fractal heap
-            heap_addr = _u(body, 2 + (8 if body[1] & 1 else 0), h.offs)
+            p = 2 + (8 if body[1] & 1 else 0)
+            heap_addr = _u(body, p, h.offs)
+            btree_addr = _u(body, p + h.offs, h.offs)
             if heap_addr != _UNDEF:
-                raise NotImplementedError(
-                    "dense (fractal-heap) link storage exceeds the netCDF-4 "
-                    "subset this reader covers (netCDF keeps links compact)"
-                )
+                # dense links: groups with >8 links (multi-variable files)
+                # store link messages in a fractal heap indexed by a v2
+                # B-tree on the name hash
+                for link_body in _dense_link_messages(h, heap_addr, btree_addr):
+                    t = _link_target(h, link_body)
+                    if t:
+                        children[t[0]] = t[1]
     return children
+
+
+# ---- dense link storage: fractal heap + v2 B-tree -------------------------
+
+
+def _fractal_heap(h: _H5, addr: int):
+    """Parse a fractal heap header → ``read_id(heap_id) -> bytes``.
+
+    Covers managed objects in a root DIRECT block or a one-level root
+    INDIRECT block of direct blocks (the shape a group's dense link
+    storage actually takes; nested indirect blocks raise)."""
+    d = h.data
+    if d[addr : addr + 4] != b"FRHP":
+        raise ValueError("bad fractal heap signature")
+    p = addr + 4 + 1
+    heap_id_len = _u(d, p, 2)
+    p += 2
+    filter_len = _u(d, p, 2)
+    p += 2
+    flags = d[p]
+    p += 1
+    max_managed = _u(d, p, 4)
+    p += 4
+    p += h.lens + h.offs  # next huge id, huge btree addr
+    p += h.lens + h.offs  # free space, free-space manager addr
+    p += 4 * h.lens  # managed space, allocated space, iterator offset, n managed
+    p += 4 * h.lens  # huge size, n huge, tiny size, n tiny
+    table_width = _u(d, p, 2)
+    p += 2
+    start_block = _u(d, p, h.lens)
+    p += h.lens
+    max_direct = _u(d, p, h.lens)
+    p += h.lens
+    max_heap_bits = _u(d, p, 2)
+    p += 2
+    p += 2  # starting # rows
+    root_addr = _u(d, p, h.offs)
+    p += h.offs
+    cur_rows = _u(d, p, 2)
+    del filter_len, max_direct
+    off_len = (max_heap_bits + 7) // 8
+    len_len = max(1, (max_managed.bit_length() + 7) // 8)
+    checksummed = bool(flags & 0x02)
+    hdr_size = 4 + 1 + h.offs + off_len + (4 if checksummed else 0)
+
+    # (heap-space offset, size, file addr) per direct block
+    blocks: list[tuple[int, int, int]] = []
+    if cur_rows == 0:  # root IS a direct block of the starting size
+        blocks.append((0, start_block, root_addr))
+    else:  # root indirect block: rows of direct-block children
+        if d[root_addr : root_addr + 4] != b"FHIB":
+            raise ValueError("bad fractal heap indirect block signature")
+        q = root_addr + 4 + 1 + h.offs + off_len
+        heap_off = 0
+        for row in range(cur_rows):
+            size = start_block * (1 << max(0, row - 1))
+            for _ in range(table_width):
+                baddr = _u(d, q, h.offs)
+                q += h.offs
+                if baddr != _UNDEF:
+                    blocks.append((heap_off, size, baddr))
+                heap_off += size
+
+    def read_id(heap_id: bytes) -> bytes:
+        vtype = heap_id[0]
+        if (vtype >> 4) & 0x3 != 0:
+            raise NotImplementedError("only managed fractal-heap objects supported")
+        off = _u(heap_id, 1, off_len)
+        ln = _u(heap_id, 1 + off_len, len_len)
+        for b_off, b_size, b_addr in blocks:
+            if b_off <= off < b_off + b_size:
+                if d[b_addr : b_addr + 4] != b"FHDB":
+                    raise ValueError("bad fractal heap direct block signature")
+                return d[b_addr + (off - b_off) : b_addr + (off - b_off) + ln]
+        raise ValueError(f"fractal heap offset {off} outside every block")
+
+    del hdr_size
+    return heap_id_len, read_id
+
+
+def _btree_v2_records(h: _H5, addr: int) -> list[bytes]:
+    """All records of a v2 B-tree (depth 0 — a leaf root; group link
+    indexes only go deeper with hundreds of links, which raise)."""
+    d = h.data
+    if d[addr : addr + 4] != b"BTHD":
+        raise ValueError("bad v2 B-tree header signature")
+    p = addr + 4 + 1 + 1  # sig, version, type
+    p += 4  # node size
+    rec_size = _u(d, p, 2)
+    p += 2
+    depth = _u(d, p, 2)
+    p += 2
+    p += 2  # split/merge percents
+    root = _u(d, p, h.offs)
+    p += h.offs
+    n_root = _u(d, p, 2)
+    if depth != 0:
+        raise NotImplementedError("multi-level v2 B-trees not supported (hundreds of links)")
+    if d[root : root + 4] != b"BTLF":
+        raise ValueError("bad v2 B-tree leaf signature")
+    q = root + 4 + 1 + 1
+    return [d[q + i * rec_size : q + (i + 1) * rec_size] for i in range(n_root)]
+
+
+def _dense_link_messages(h: _H5, heap_addr: int, btree_addr: int):
+    """Link-message bodies of a dense-storage group: v2 B-tree records
+    (name hash + heap ID) resolved through the fractal heap."""
+    heap_id_len, read_id = _fractal_heap(h, heap_addr)
+    if btree_addr == _UNDEF:
+        return
+    for rec in _btree_v2_records(h, btree_addr):
+        yield read_id(rec[4 : 4 + heap_id_len])  # skip the 4-byte name hash
 
 
 # ---- dataset data ---------------------------------------------------------
@@ -970,6 +1087,52 @@ def _ohdr_v2(messages: list[tuple[int, bytes]]) -> bytes:
     return b"OHDR" + struct.pack("<BBH", 2, 1, len(body)) + body + b"\x00" * 4
 
 
+def _write_dense_links(alloc, next_addr: int, link_bodies: list[bytes]) -> tuple[int, int]:
+    """Emit dense link storage: a fractal heap (single root direct
+    block) holding the link-message bodies + a depth-0 v2 B-tree whose
+    records point at them.  Returns (heap addr, btree addr).  Name
+    hashes are written as zeros — this library's reader iterates all
+    records rather than probing by hash."""
+    MAX_HEAP_BITS = 32  # → 4-byte heap offsets
+    MAX_MANAGED = 4096  # → 2-byte heap lengths
+    db_header = 4 + 1 + 8 + (MAX_HEAP_BITS + 7) // 8  # FHDB: sig+ver+hdr addr+offset
+    heap_ids = []
+    pos = db_header
+    for b in link_bodies:
+        heap_ids.append(b"\x00" + struct.pack("<I", pos) + struct.pack("<H", len(b)))
+        pos += len(b)
+    block_size = max(512, 1 << (pos - 1).bit_length())
+
+    frhp = b"FRHP" + struct.pack("<BHHB", 0, 7, 0, 0)
+    frhp += struct.pack("<I", MAX_MANAGED)
+    frhp += struct.pack("<QQ", 0, _UNDEF)  # next huge id, huge btree
+    frhp += struct.pack("<QQ", block_size - pos, _UNDEF)  # free space, fs mgr
+    frhp += struct.pack("<QQQQ", pos, block_size, pos, len(link_bodies))
+    frhp += struct.pack("<QQQQ", 0, 0, 0, 0)  # huge/tiny sizes+counts
+    frhp += struct.pack("<HQQH", 4, block_size, block_size, MAX_HEAP_BITS)
+    frhp += struct.pack("<H", 1)  # starting # rows
+    fheap_addr = next_addr
+    root_addr = fheap_addr + len(frhp) + 8 + 2 + 4  # + root addr, cur rows, checksum
+    frhp += struct.pack("<QH", root_addr, 0) + struct.pack("<I", 0)
+    assert alloc(frhp) == fheap_addr
+
+    fhdb = b"FHDB" + struct.pack("<BQI", 0, fheap_addr, 0) + b"".join(link_bodies)
+    fhdb += b"\x00" * (block_size - len(fhdb))
+    assert alloc(fhdb) == root_addr
+
+    rec_size = 4 + 7  # name hash + heap id
+    btlf = b"BTLF" + struct.pack("<BB", 0, 5)
+    for hid in heap_ids:
+        btlf += struct.pack("<I", 0) + hid
+    btlf += struct.pack("<I", 0)  # checksum (unverified by this reader)
+    btlf_addr = alloc(btlf)
+    bthd = b"BTHD" + struct.pack("<BBIHHBB", 0, 5, 4096, rec_size, 0, 100, 40)
+    bthd += struct.pack("<QH", btlf_addr, len(heap_ids))
+    bthd += struct.pack("<Q", len(heap_ids)) + struct.pack("<I", 0)
+    btree_addr = alloc(bthd)
+    return fheap_addr, btree_addr
+
+
 def write_hdf5(
     path: str,
     datasets: dict[str, tuple[np.ndarray, dict]],
@@ -1164,10 +1327,22 @@ def write_hdf5(
         buf[: len(sb)] = sb
     else:
         root_msgs = []
-        for n in names:
-            nb = n.encode()
-            body = struct.pack("<BBB", 1, 0, len(nb)) + nb + struct.pack("<Q", addrs[n])
-            root_msgs.append((0x06, body))
+        if len(names) > 8:  # HDF5's max_compact: spill links to DENSE storage
+            link_bodies = []
+            for n in names:
+                nb = n.encode()
+                link_bodies.append(
+                    struct.pack("<BBB", 1, 0, len(nb)) + nb + struct.pack("<Q", addrs[n])
+                )
+            fheap_addr, btree_addr = _write_dense_links(alloc, len(buf), link_bodies)
+            root_msgs.append(
+                (0x02, struct.pack("<BBQQ", 0, 0, fheap_addr, btree_addr))
+            )
+        else:
+            for n in names:
+                nb = n.encode()
+                body = struct.pack("<BBB", 1, 0, len(nb)) + nb + struct.pack("<Q", addrs[n])
+                root_msgs.append((0x06, body))
         for k, v in root_attrs.items():
             root_msgs.append((0x0C, attr_enc(k, *_attr_payload(v))))
         root_addr = alloc(_ohdr_v2(root_msgs))

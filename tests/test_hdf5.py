@@ -228,6 +228,37 @@ def test_hdf5_flagship_end_to_end_matches_classic(spark, tmp_path):
     assert all(v[0] > 0 for v in got_h5.values())
 
 
+def test_dense_link_storage_many_variables(tmp_path):
+    """Groups with >8 links use DENSE storage (fractal heap + v2
+    B-tree) — the shape real multi-variable netCDF-4 files (ERA5-style)
+    take.  12 variables round-trip with data and attributes, and the
+    netCDF adapter still resolves dimensions end-to-end."""
+    from mini_project_204721_data_engineering_spark.sources.hdf5 import read_netcdf4
+
+    nt, nla, nlo = 2, 3, 4
+    ds = {
+        "time": (np.array([0.0, 1.0]), {"units": "days since 2023-06-01"}),
+        "latitude": (LATS, {}),
+        "longitude": (LONS, {}),
+    }
+    rng = np.random.RandomState(5)
+    for i in range(9):  # 12 datasets total → dense links
+        ds[f"v{i:02d}"] = (rng.uniform(size=(nt, nla, nlo)).astype("<f4"), {"idx": i})
+    dim_names = {n: ["time", "latitude", "longitude"] for n in ds if n.startswith("v")}
+    dim_names.update({"time": ["time"], "latitude": ["latitude"], "longitude": ["longitude"]})
+    p = str(tmp_path / "many.nc")
+    write_hdf5(p, datasets=ds, dim_names=dim_names, flavor="v2")
+
+    back = read_netcdf4(p)
+    assert back["dims"] == {"time": 2, "latitude": 3, "longitude": 4}
+    assert len(back["vars"]) == 12
+    for i in range(9):
+        v = back["vars"][f"v{i:02d}"]
+        assert v["dims"] == ["time", "latitude", "longitude"]
+        np.testing.assert_array_equal(v["data"], ds[f"v{i:02d}"][0])
+        assert v["attrs"]["idx"] == i
+
+
 def test_fill_value_for_unwritten_chunks(tmp_path):
     """Chunks absent from the B-tree (never written) must read as the
     dataset's declared FILL VALUE, not zeros — netCDF writes sparse

@@ -48,6 +48,24 @@ def hdf5_bytes(tmp_path_factory) -> bytes:
 
 
 @pytest.fixture(scope="module")
+def hdf5_dense_bytes(tmp_path_factory) -> bytes:
+    p = str(tmp_path_factory.mktemp("fuzz") / "dense.nc")
+    write_hdf5(
+        p,
+        datasets={f"v{i}": (np.arange(4, dtype="<f4"), {}) for i in range(12)},
+        flavor="v2",
+    )
+    return open(p, "rb").read()
+
+
+@settings(max_examples=120, deadline=2000, suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(frac=st.floats(0.0, 1.0), flip_frac=st.floats(0.0, 1.0), flip_to=st.integers(0, 255))
+def test_hdf5_dense_fuzz(hdf5_dense_bytes, frac, flip_frac, flip_to):
+    cut = int(len(hdf5_dense_bytes) * frac)
+    _fuzz(read_hdf5, hdf5_dense_bytes, cut, int(cut * flip_frac), flip_to)
+
+
+@pytest.fixture(scope="module")
 def cdf_bytes(tmp_path_factory) -> bytes:
     p = str(tmp_path_factory.mktemp("fuzz") / "c.nc")
     write_netcdf3(
