@@ -500,7 +500,42 @@ def _dense_link_messages(h: _H5, heap_addr: int, btree_addr: int):
     if btree_addr == _UNDEF:
         return
     for rec in _btree_v2_records(h, btree_addr):
-        yield read_id(rec[4 : 4 + heap_id_len])  # skip the 4-byte name hash
+        yield read_id(rec[4 : 4 + heap_id_len])  # type 5: hash, then heap id
+
+
+def _dense_attr_messages(h: _H5, heap_addr: int, btree_addr: int):
+    """Attribute-message bodies of dense attribute storage (objects with
+    >8 attributes): v2 B-tree type-8 records lead with the heap ID."""
+    heap_id_len, read_id = _fractal_heap(h, heap_addr)
+    if btree_addr == _UNDEF:
+        return
+    for rec in _btree_v2_records(h, btree_addr):
+        yield read_id(rec[:heap_id_len])
+
+
+def _attr_info_addrs(h: _H5, body: bytes) -> tuple[int, int]:
+    """(fractal heap addr, name-index btree addr) of an Attribute Info
+    message — (UNDEF, UNDEF) when attributes are compact."""
+    p = 2 + (2 if body[1] & 1 else 0)  # version, flags, [max creation index]
+    return _u(body, p, h.offs), _u(body, p + h.offs, h.offs)
+
+
+def _collect_attrs(h: _H5, msgs: list[tuple[int, bytes]]) -> dict[str, Any]:
+    """All attributes of an object header: compact Attribute messages
+    plus dense (fractal-heap) storage when an Attribute Info message
+    points at one."""
+    attrs: dict[str, Any] = {}
+    for mtype, body in msgs:
+        if mtype == 0x0C:
+            k, v = _attribute(h, body)
+            attrs[k] = v
+        elif mtype == 0x15 and len(body) > 2:
+            fheap, btree = _attr_info_addrs(h, body)
+            if fheap != _UNDEF:
+                for abody in _dense_attr_messages(h, fheap, btree):
+                    k, v = _attribute(h, abody)
+                    attrs[k] = v
+    return attrs
 
 
 # ---- dataset data ---------------------------------------------------------
@@ -583,7 +618,6 @@ def _dataset_meta(h: _H5, msgs: list[tuple[int, bytes]]) -> dict:
     filters, attrs — no array bytes touched (the slab reader's half)."""
     dt = space = layout = None
     filters: list[tuple[int, list[int]]] = []
-    attrs: dict[str, Any] = {}
     fill_raw: bytes | None = None
     for mtype, body in msgs:
         if mtype == 0x01:
@@ -596,13 +630,7 @@ def _dataset_meta(h: _H5, msgs: list[tuple[int, bytes]]) -> dict:
             layout = body
         elif mtype == 0x0B:
             filters = _filters(body)
-        elif mtype == 0x0C:
-            k, v = _attribute(h, body)
-            attrs[k] = v
-        elif mtype == 0x15 and len(body) > 2:  # attribute info → dense attrs
-            fheap = _u(body, 2 + (2 if body[1] & 1 else 0), h.offs)
-            if fheap != _UNDEF:
-                raise NotImplementedError("dense attribute storage not supported")
+    attrs = _collect_attrs(h, msgs)  # compact messages + dense storage
     if dt is None or space is None or layout is None:
         raise ValueError("dataset header missing datatype/dataspace/layout")
     if dt["class"] not in (0, 1, 3):
@@ -785,10 +813,7 @@ def _walk_datasets(data: bytes):
             entries[path] = (addr, msgs)
             return
         if path == "":  # root group carries the global attributes
-            for mtype, body in msgs:
-                if mtype == 0x0C:
-                    k, v = _attribute(h, body)
-                    root_attrs[k] = v
+            root_attrs.update(_collect_attrs(h, msgs))
         for name, child in _group_children(h, msgs).items():
             visit(child, f"{path}/{name}" if path else name)
 
@@ -1087,12 +1112,16 @@ def _ohdr_v2(messages: list[tuple[int, bytes]]) -> bytes:
     return b"OHDR" + struct.pack("<BBH", 2, 1, len(body)) + body + b"\x00" * 4
 
 
-def _write_dense_links(alloc, next_addr: int, link_bodies: list[bytes]) -> tuple[int, int]:
-    """Emit dense link storage: a fractal heap (single root direct
-    block) holding the link-message bodies + a depth-0 v2 B-tree whose
-    records point at them.  Returns (heap addr, btree addr).  Name
-    hashes are written as zeros — this library's reader iterates all
-    records rather than probing by hash."""
+def _write_dense_storage(
+    alloc, next_addr: int, link_bodies: list[bytes], btree_type: int = 5
+) -> tuple[int, int]:
+    """Emit dense storage: a fractal heap (single root direct block)
+    holding message bodies + a depth-0 v2 B-tree whose records point at
+    them.  ``btree_type`` 5 = link name index (hash, heap id), 8 =
+    attribute name index (heap id, flags, creation order, hash).
+    Returns (heap addr, btree addr).  Name hashes are written as zeros —
+    this library's reader iterates all records rather than probing by
+    hash."""
     MAX_HEAP_BITS = 32  # → 4-byte heap offsets
     MAX_MANAGED = 4096  # → 2-byte heap lengths
     db_header = 4 + 1 + 8 + (MAX_HEAP_BITS + 7) // 8  # FHDB: sig+ver+hdr addr+offset
@@ -1120,13 +1149,17 @@ def _write_dense_links(alloc, next_addr: int, link_bodies: list[bytes]) -> tuple
     fhdb += b"\x00" * (block_size - len(fhdb))
     assert alloc(fhdb) == root_addr
 
-    rec_size = 4 + 7  # name hash + heap id
-    btlf = b"BTLF" + struct.pack("<BB", 0, 5)
-    for hid in heap_ids:
-        btlf += struct.pack("<I", 0) + hid
+    if btree_type == 5:  # link name index: hash, then heap id
+        recs = [struct.pack("<I", 0) + hid for hid in heap_ids]
+    else:  # type 8 attribute name index: heap id, flags, corder, hash
+        recs = [hid + struct.pack("<BII", 0, 0, 0) for hid in heap_ids]
+    rec_size = len(recs[0])
+    btlf = b"BTLF" + struct.pack("<BB", 0, btree_type)
+    for rec in recs:
+        btlf += rec
     btlf += struct.pack("<I", 0)  # checksum (unverified by this reader)
     btlf_addr = alloc(btlf)
-    bthd = b"BTHD" + struct.pack("<BBIHHBB", 0, 5, 4096, rec_size, 0, 100, 40)
+    bthd = b"BTHD" + struct.pack("<BBIHHBB", 0, btree_type, 4096, rec_size, 0, 100, 40)
     bthd += struct.pack("<QH", btlf_addr, len(heap_ids))
     bthd += struct.pack("<Q", len(heap_ids)) + struct.pack("<I", 0)
     btree_addr = alloc(bthd)
@@ -1237,9 +1270,14 @@ def write_hdf5(
             daddr = alloc(arr.tobytes())
             msgs.append((0x08, struct.pack("<BBQQ", 3, 1, daddr, arr.nbytes)))
         attr_enc = _attr_msg_v1 if flavor == "v0" else _attr_msg_v3
-        for k, v in attrs.items():
-            msgs.append((0x0C, attr_enc(k, *_attr_payload(v))))
-        msgs.extend(extra_msgs)
+        attr_bodies = [attr_enc(k, *_attr_payload(v)) for k, v in attrs.items()]
+        attr_bodies += [b for t, b in extra_msgs if t == 0x0C]
+        if flavor != "v0" and len(attr_bodies) > 8:  # max_compact → dense attrs
+            fheap, btree = _write_dense_storage(alloc, len(buf), attr_bodies, btree_type=8)
+            msgs.append((0x15, struct.pack("<BBQQ", 0, 0, fheap, btree)))
+        else:
+            msgs += [(0x0C, b) for b in attr_bodies]
+        msgs.extend((t, b) for t, b in extra_msgs if t != 0x0C)
         hdr = _ohdr_v1(msgs) if flavor == "v0" else _ohdr_v2(msgs)
         return alloc(hdr)
 
@@ -1334,7 +1372,7 @@ def write_hdf5(
                 link_bodies.append(
                     struct.pack("<BBB", 1, 0, len(nb)) + nb + struct.pack("<Q", addrs[n])
                 )
-            fheap_addr, btree_addr = _write_dense_links(alloc, len(buf), link_bodies)
+            fheap_addr, btree_addr = _write_dense_storage(alloc, len(buf), link_bodies)
             root_msgs.append(
                 (0x02, struct.pack("<BBQQ", 0, 0, fheap_addr, btree_addr))
             )
@@ -1343,8 +1381,14 @@ def write_hdf5(
                 nb = n.encode()
                 body = struct.pack("<BBB", 1, 0, len(nb)) + nb + struct.pack("<Q", addrs[n])
                 root_msgs.append((0x06, body))
-        for k, v in root_attrs.items():
-            root_msgs.append((0x0C, attr_enc(k, *_attr_payload(v))))
+        root_attr_bodies = [attr_enc(k, *_attr_payload(v)) for k, v in root_attrs.items()]
+        if len(root_attr_bodies) > 8:  # dense global attributes
+            fheap, btree = _write_dense_storage(
+                alloc, len(buf), root_attr_bodies, btree_type=8
+            )
+            root_msgs.append((0x15, struct.pack("<BBQQ", 0, 0, fheap, btree)))
+        else:
+            root_msgs += [(0x0C, b) for b in root_attr_bodies]
         root_addr = alloc(_ohdr_v2(root_msgs))
         sb = _SIG + struct.pack("<BBBB", 3, 8, 8, 0)
         sb += struct.pack("<QQQQ", 0, _UNDEF, len(buf), root_addr)

@@ -259,6 +259,38 @@ def test_dense_link_storage_many_variables(tmp_path):
         assert v["attrs"]["idx"] == i
 
 
+def test_dense_attribute_storage(tmp_path):
+    """Objects with >8 attributes spill to dense (fractal-heap)
+    attribute storage — the shape a real file's global-attribute block
+    (title/history/institution/Conventions/...) takes.  Round-trips for
+    both a dataset and the root group, mixed with CF decode."""
+    from mini_project_204721_data_engineering_spark.sources.hdf5 import read_netcdf4
+
+    many = {f"a{i:02d}": float(i) for i in range(9)}
+    root_many = {f"g{i:02d}": f"value {i}" for i in range(10)}
+    root_many["title"] = "dense-attr grid"
+    p = str(tmp_path / "dattr.nc")
+    write_hdf5(
+        p,
+        datasets={
+            "time": (np.array([0.0, 1.0]), {"units": "days since 2023-06-01", **many}),
+            "v": (np.arange(2, dtype="<f4"), {}),
+        },
+        dim_names={"time": ["time"], "v": ["time"]},
+        root_attrs=root_many,
+        flavor="v2",
+    )
+    ds = read_hdf5(p)
+    assert ds["attrs"]["title"] == "dense-attr grid"
+    assert ds["attrs"]["g04"] == "value 4"
+    assert len(ds["attrs"]) == 11
+    t = ds["datasets"]["time"]["attrs"]
+    assert t["units"] == "days since 2023-06-01" and t["a08"] == 8.0
+    # netCDF adapter still resolves dims through the dense-attr header
+    nc = read_netcdf4(p)
+    assert nc["vars"]["v"]["dims"] == ["time"]
+
+
 def test_fill_value_for_unwritten_chunks(tmp_path):
     """Chunks absent from the B-tree (never written) must read as the
     dataset's declared FILL VALUE, not zeros — netCDF writes sparse
