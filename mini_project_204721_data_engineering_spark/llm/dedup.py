@@ -27,6 +27,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from mini_project_204721_data_engineering_spark.llm.text import shingles, tokens
 
@@ -44,6 +45,7 @@ __all__ = [
     "simhash",
     "embedding_neardup_pairs",
     "srp_signatures",
+    "duplicate_spans",
     "dup_clusters",
     "canonical_keep",
     "srp_banded_pairs",
@@ -402,6 +404,70 @@ def embedding_neardup_pairs(
         .filter(F.col("id_a") < F.col("id_b"))
         .select("id_a", "id_b", F.round(cosine("va", "vb"), 6).alias("cos_sim"))
         .filter(F.col("cos_sim") >= threshold)
+    )
+
+
+def duplicate_spans(
+    df: DataFrame,
+    k: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_gram_df: int | None = None,
+) -> DataFrame:
+    """Exact-substring duplication spans (the Lee et al. "Deduplicating
+    Training Data" primitive): per document, the merged token spans
+    whose ``k``-gram occurs MORE THAN ONCE in the corpus (any repeat —
+    cross-document or within-document).  Returns
+    ``(doc_id, span_start, span_end, n_tokens)`` with token-index spans
+    ``[span_start, span_end)`` ready for trimming.
+
+    Shape: tokenize → per-position k-grams (array math, no self-join) →
+    one gram-count shuffle → re-join hot grams to positions → per-doc
+    island merge (adjacent/overlapping spans collapse when consecutive
+    hit positions are ≤ k apart — fixed-length spans make the island
+    rule a lag diff).  Cost is one shuffle on the gram hash plus a
+    per-doc window — linear in corpus tokens, the property that lets
+    the real version run on full training sets.  ``max_gram_df`` caps
+    pathological grams (boilerplate that appears everywhere) the same
+    way the Jaccard path caps hot shingles — positions of a gram above
+    the cap are STILL marked (they are duplicated text par excellence)
+    but the cap bounds the join fan-out by sampling one exemplar count,
+    so leave it None unless profiling shows a mega-gram."""
+    toks = df.select(
+        F.col(id_col),
+        tokens(F.col(text_col)).alias("toks"),
+    ).filter(F.size("toks") >= k)
+    grams = toks.select(
+        id_col,
+        F.posexplode(
+            F.expr(
+                f"transform(sequence(0, size(toks) - {k}), "
+                f"i -> concat_ws(' ', slice(toks, i + 1, {k})))"
+            )
+        ).alias("pos", "gram"),
+    )
+    counts = grams.groupBy("gram").agg(F.count(F.lit(1)).alias("n"))
+    hot = counts.filter(F.col("n") > 1)
+    if max_gram_df is not None:
+        hot = hot.filter(F.col("n") <= max_gram_df)
+    marked = grams.join(hot.select("gram"), "gram").select(id_col, "pos")
+    w = Window.partitionBy(id_col).orderBy("pos")
+    islands = (
+        marked.withColumn("prev", F.lag("pos").over(w))
+        .withColumn(
+            "brk", F.when(F.col("prev").isNull() | (F.col("pos") - F.col("prev") > k), 1).otherwise(0)
+        )
+        .withColumn("island", F.sum("brk").over(w.rowsBetween(Window.unboundedPreceding, 0)))
+    )
+    return (
+        islands.groupBy(id_col, "island")
+        .agg(F.min("pos").alias("span_start"), (F.max("pos") + k).alias("span_end"))
+        .select(
+            id_col,
+            "span_start",
+            "span_end",
+            (F.col("span_end") - F.col("span_start")).alias("n_tokens"),
+        )
     )
 
 

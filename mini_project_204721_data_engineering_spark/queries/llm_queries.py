@@ -1035,7 +1035,59 @@ FROM reach GROUP BY id
 """
 
 
+def duplicate_spans_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-substring duplication spans (llm/dedup.py::duplicate_spans,
+    the Lee-et-al. training-data primitive): per doc, merged token spans
+    whose 8-gram repeats anywhere in the corpus — the spans a trim pass
+    would cut.  Oracle mirrors tokenize → positional grams → hot grams →
+    island merge exactly."""
+    from mini_project_204721_data_engineering_spark.llm.dedup import duplicate_spans
+
+    docs = load_table(spark, sf_dir, "documents")
+    out = duplicate_spans(docs, k=8)
+    return out.select(
+        "doc_id",
+        F.col("span_start").cast("long").alias("span_start"),
+        F.col("span_end").cast("long").alias("span_end"),
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+    )
+
+
+DUPLICATE_SPANS_SQL = r"""
+WITH toks AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t FROM documents
+),
+g AS (
+  SELECT doc_id,
+         unnest(range(1, greatest(len(t) - 6, 1))) - 1 AS pos,
+         unnest(list_transform(range(1, greatest(len(t) - 6, 1)),
+                i -> array_to_string(t[i:i+7], ' '))) AS gram
+  FROM toks WHERE len(t) >= 8
+),
+hot AS (SELECT gram FROM g GROUP BY gram HAVING count(*) > 1),
+m AS (SELECT g.doc_id, g.pos FROM g JOIN hot USING (gram)),
+isl AS (
+  SELECT doc_id, pos,
+         CASE WHEN lag(pos) OVER w IS NULL OR pos - lag(pos) OVER w > 8
+              THEN 1 ELSE 0 END AS brk
+  FROM m WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+),
+grp AS (
+  SELECT doc_id, pos,
+         sum(brk) OVER (PARTITION BY doc_id ORDER BY pos
+                        ROWS UNBOUNDED PRECEDING) AS island
+  FROM isl
+)
+SELECT doc_id,
+       CAST(min(pos) AS BIGINT) AS span_start,
+       CAST(max(pos) + 8 AS BIGINT) AS span_end,
+       CAST(max(pos) + 8 - min(pos) AS BIGINT) AS n_tokens
+FROM grp GROUP BY doc_id, island
+"""
+
+
 EXTRA_QUERIES = {
+    "duplicate_spans": duplicate_spans_q,
     "dedup_clusters": dedup_clusters,
     "lsh_jaccard_verified_dups": lsh_jaccard_verified_dups,
     "text_repetition": text_repetition,
@@ -1050,6 +1102,7 @@ EXTRA_QUERIES = {
     "text_chunks": text_chunks,
 }
 EXTRA_ORACLES = {
+    "duplicate_spans": DUPLICATE_SPANS_SQL,
     "dedup_clusters": DEDUP_CLUSTERS_SQL,
     "lsh_jaccard_verified_dups": LSH_JACCARD_VERIFIED_SQL,
     "text_repetition": TEXT_REPETITION_SQL,

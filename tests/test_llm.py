@@ -517,6 +517,35 @@ def test_incremental_neardup_probes_index_not_corpus(spark):
     assert got == scratch_batch_pairs
 
 
+def test_duplicate_spans_cross_doc_and_merge(spark):
+    """Exact-substring spans: a shared 10-token run marks merged spans
+    in BOTH docs (three overlapping 8-gram hits collapse to one
+    island), a within-doc repeat marks both occurrences, and a clean
+    doc yields nothing."""
+    from mini_project_204721_data_engineering_spark.llm.dedup import duplicate_spans
+
+    shared = " ".join(f"s{i}" for i in range(10))
+    uniq = lambda p, n: " ".join(f"{p}{i}" for i in range(n))  # noqa: E731
+    rep8 = " ".join(f"r{i}" for i in range(8))
+    docs = spark.createDataFrame(
+        [
+            (1, f"{uniq('a', 5)} {shared} {uniq('b', 5)}"),
+            (2, f"{shared} {uniq('c', 12)}"),
+            (3, f"{rep8} {uniq('d', 4)} {rep8}"),  # within-doc repeat
+            (4, uniq("e", 30)),  # clean
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        (r["doc_id"], r["span_start"], r["span_end"])
+        for r in duplicate_spans(docs, k=8).collect()
+    }
+    # doc 1: shared run at tokens [5, 15) — one merged span
+    # doc 2: shared run at [0, 10)
+    # doc 3: both copies of the 8-gram: [0, 8) and [12, 20)
+    assert got == {(1, 5, 15), (2, 0, 10), (3, 0, 8), (3, 12, 20)}
+
+
 def test_dup_clusters_transitive_chain(spark):
     """Cluster resolution: A~B and B~C (no A~C pair) must land in ONE
     cluster labeled min(id); disconnected pairs stay separate; and
