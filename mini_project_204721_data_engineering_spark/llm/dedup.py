@@ -46,6 +46,7 @@ __all__ = [
     "embedding_neardup_pairs",
     "srp_signatures",
     "duplicate_spans",
+    "trim_duplicate_spans",
     "dup_clusters",
     "canonical_keep",
     "srp_banded_pairs",
@@ -468,6 +469,37 @@ def duplicate_spans(
             "span_end",
             (F.col("span_end") - F.col("span_start")).alias("n_tokens"),
         )
+    )
+
+
+def trim_duplicate_spans(
+    docs: DataFrame,
+    spans: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Apply :func:`duplicate_spans`: remove every token inside a marked
+    span and reassemble the text (the "trim" half of exact-substring
+    dedup).  Docs without spans pass through byte-identical.  Pure
+    codegen array expressions — the spans list per doc is small (merged
+    islands), so the per-token ``exists`` probe is a tiny constant."""
+    sp = spans.groupBy(id_col).agg(
+        F.collect_list(F.struct("span_start", "span_end")).alias("__spans")
+    )
+    kept_text = F.expr(
+        "concat_ws(' ', transform("
+        "  filter(transform(__toks, (t, i) -> struct(t AS t, i AS i)),"
+        "         s -> NOT exists(__spans, p -> s.i >= p.span_start AND s.i < p.span_end)),"
+        "  s -> s.t))"
+    )
+    return (
+        docs.join(sp, id_col, "left")
+        .withColumn("__toks", tokens(F.col(text_col)))
+        .withColumn(
+            text_col,
+            F.when(F.col("__spans").isNull(), F.col(text_col)).otherwise(kept_text),
+        )
+        .drop("__spans", "__toks")
     )
 
 

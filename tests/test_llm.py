@@ -546,6 +546,31 @@ def test_duplicate_spans_cross_doc_and_merge(spark):
     assert got == {(1, 5, 15), (2, 0, 10), (3, 0, 8), (3, 12, 20)}
 
 
+def test_trim_duplicate_spans_removes_marked_tokens(spark):
+    """The trim half: every token inside a marked span is removed, all
+    others survive in order, and span-free docs pass through
+    byte-identical (including their original whitespace)."""
+    from mini_project_204721_data_engineering_spark.llm.dedup import (
+        duplicate_spans,
+        trim_duplicate_spans,
+    )
+
+    shared = " ".join(f"s{i}" for i in range(10))
+    docs = spark.createDataFrame(
+        [
+            (1, f"a0 a1 a2 a3 a4 {shared} b0 b1 b2 b3 b4"),
+            (2, f"{shared} c0 c1 c2 c3 c4 c5 c6 c7 c8 c9 c10 c11"),
+            (3, "untouched  doc   with   odd spacing and no duplicate runs"),
+        ],
+        "doc_id long, text string",
+    )
+    spans = duplicate_spans(docs, k=8)
+    out = {r["doc_id"]: r["text"] for r in trim_duplicate_spans(docs, spans).collect()}
+    assert out[1] == "a0 a1 a2 a3 a4 b0 b1 b2 b3 b4"
+    assert out[2] == " ".join(f"c{i}" for i in range(12))
+    assert out[3] == "untouched  doc   with   odd spacing and no duplicate runs"
+
+
 def test_dup_clusters_transitive_chain(spark):
     """Cluster resolution: A~B and B~C (no A~C pair) must land in ONE
     cluster labeled min(id); disconnected pairs stay separate; and
