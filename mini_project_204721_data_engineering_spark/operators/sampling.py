@@ -30,6 +30,7 @@ __all__ = [
     "hash_sample",
     "stratified_hash_sample",
     "assign_split",
+    "exemplars_per_group",
 ]
 
 
@@ -114,4 +115,31 @@ def assign_split(
     last = list(splits)[-1][0]
     return df.withColumn(
         "split", F.lit(last) if expr is None else expr.otherwise(F.lit(last))
+    )
+
+
+def exemplars_per_group(
+    df: DataFrame,
+    group_col: str,
+    key: str,
+    k: int = 5,
+    salt: str = "exemplar",
+) -> DataFrame:
+    """Deterministic k exemplars per group: rank rows inside each group
+    by the same keyed md5 hash the samplers use and keep the k smallest
+    — "show me k random-but-reproducible rows per source", the
+    inspection/QA primitive of a corpus pipeline.
+
+    Unlike ``ORDER BY rand() LIMIT k`` per group, the pick is stable
+    under reruns, repartitioning, and engine (the DuckDB oracle mirrors
+    it verbatim), and adding rows to one group never changes another
+    group's exemplars.  One keyed window; partial top-k per partition
+    keeps the sort shallow at scale.  Adds ``exemplar_rank`` (1..k)."""
+    from pyspark.sql.window import Window
+
+    h = F.md5(F.concat(F.lit(salt + "|"), F.col(key).cast("string")))
+    w = Window.partitionBy(group_col).orderBy(h.asc(), F.col(key).asc())
+    return (
+        df.withColumn("exemplar_rank", F.row_number().over(w))
+        .filter(F.col("exemplar_rank") <= k)
     )

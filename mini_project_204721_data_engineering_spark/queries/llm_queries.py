@@ -1086,7 +1086,38 @@ FROM grp GROUP BY doc_id, island
 """
 
 
+def source_exemplars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-source exemplar sampling
+    (operators/sampling.py::exemplars_per_group): 3
+    random-but-reproducible docs per source for inspection/QA — stable
+    under reruns, repartitioning, and engine (the oracle mirrors the
+    keyed-hash ranking verbatim)."""
+    from mini_project_204721_data_engineering_spark.operators.sampling import (
+        exemplars_per_group,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return exemplars_per_group(docs, "source", "doc_id", k=3).select(
+        "source", "exemplar_rank", "doc_id", "lang", "n_chars"
+    )
+
+
+SOURCE_EXEMPLARS_SQL = """
+WITH ranked AS (
+  SELECT source, doc_id, lang, n_chars,
+         row_number() OVER (
+           PARTITION BY source
+           ORDER BY md5('exemplar|' || CAST(doc_id AS VARCHAR)), doc_id
+         ) AS exemplar_rank
+  FROM documents
+)
+SELECT source, CAST(exemplar_rank AS INT) AS exemplar_rank, doc_id, lang, n_chars
+FROM ranked WHERE exemplar_rank <= 3
+"""
+
+
 EXTRA_QUERIES = {
+    "source_exemplars": source_exemplars,
     "duplicate_spans": duplicate_spans_q,
     "dedup_clusters": dedup_clusters,
     "lsh_jaccard_verified_dups": lsh_jaccard_verified_dups,
@@ -1102,6 +1133,7 @@ EXTRA_QUERIES = {
     "text_chunks": text_chunks,
 }
 EXTRA_ORACLES = {
+    "source_exemplars": SOURCE_EXEMPLARS_SQL,
     "duplicate_spans": DUPLICATE_SPANS_SQL,
     "dedup_clusters": DEDUP_CLUSTERS_SQL,
     "lsh_jaccard_verified_dups": LSH_JACCARD_VERIFIED_SQL,

@@ -282,6 +282,44 @@ def test_hash_sample_rate_and_nesting(spark):
     assert hash_sample(df, "k", 0.0).count() == 0
 
 
+def test_exemplars_per_group_stable_under_growth(spark):
+    """Exemplar picks are keyed-hash ranks: adding rows to ONE group
+    must not change another group's exemplars, every group yields
+    exactly min(k, |group|) rows, and reruns are identical."""
+    from mini_project_204721_data_engineering_spark.operators.sampling import (
+        exemplars_per_group,
+    )
+
+    base = spark.createDataFrame(
+        [(i, "a" if i % 2 else "b") for i in range(40)], "doc_id long, source string"
+    )
+    first = {
+        (r["source"], r["exemplar_rank"]): r["doc_id"]
+        for r in exemplars_per_group(base, "source", "doc_id", k=3).collect()
+    }
+    assert len(first) == 6  # 3 per group
+    # grow ONLY group a (new odd ids)
+    grown = base.unionByName(
+        spark.createDataFrame([(i, "a") for i in range(41, 61, 2)], "doc_id long, source string")
+    )
+    second = {
+        (r["source"], r["exemplar_rank"]): r["doc_id"]
+        for r in exemplars_per_group(grown, "source", "doc_id", k=3).collect()
+    }
+    b_first = {kv for kv in first.items() if kv[0][0] == "b"}
+    b_second = {kv for kv in second.items() if kv[0][0] == "b"}
+    assert b_first == b_second  # group b untouched by group a's growth
+    # rerun identical
+    again = {
+        (r["source"], r["exemplar_rank"]): r["doc_id"]
+        for r in exemplars_per_group(base, "source", "doc_id", k=3).collect()
+    }
+    assert again == first
+    # tiny group: min(k, |group|)
+    tiny = spark.createDataFrame([(1, "x"), (2, "x")], "doc_id long, source string")
+    assert exemplars_per_group(tiny, "source", "doc_id", k=5).count() == 2
+
+
 def test_stratified_hash_sample_mixes_per_stratum(spark):
     from pyspark.sql import functions as FF
     from mini_project_204721_data_engineering_spark.operators.sampling import (
