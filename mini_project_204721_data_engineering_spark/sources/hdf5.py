@@ -292,6 +292,11 @@ def _attr_value(h: _H5, dt: dict, shape: list[int], raw: bytes):
 
 def _attribute(h: _H5, body: bytes) -> tuple[str, Any]:
     ver = body[0]
+    if ver in (2, 3) and body[1] & 0x01:
+        # flag bit 0: the datatype is SHARED (committed elsewhere) — the
+        # body holds a shared-message reference, not an inline datatype;
+        # parsing it as one would yield garbage values silently
+        raise NotImplementedError("shared (committed) attribute datatypes not supported")
     name_size = _u(body, 2, 2)
     dt_size = _u(body, 4, 2)
     ds_size = _u(body, 6, 2)
