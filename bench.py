@@ -72,15 +72,23 @@ def main() -> None:
                 except Exception:
                     pass
 
-    # Multiple timed passes, per-query MIN: back-to-back identical runs of
-    # this suite differ by ±7% total from scheduler/GC noise alone (r2's
-    # "regression" on unchanged queries was largely this).  The min over
-    # passes is the standard steady-state estimate of what the PLAN costs;
-    # every pass total is reported under "runs" so drift stays visible.
-    repeats = int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "3"))
+    # Timed passes run UNTIL CONVERGENCE, per-query MIN: back-to-back
+    # identical runs of this suite differ by ±7% total from scheduler/GC
+    # noise alone, and a driver bench taken right after a heavy test phase
+    # starts ~30% high (r5: 14.6→12.3→11.4 monotone cooling; a cooled re-run
+    # measured 10.0s).  Fixed-N passes can therefore record warm-machine
+    # state as if it were the plan cost.  Instead: keep running passes until
+    # two consecutive TOTALS agree within SPARK_GRAFT_BENCH_TOL (default 5%),
+    # with a floor of SPARK_GRAFT_BENCH_REPEATS (default 3) and a cap of
+    # SPARK_GRAFT_BENCH_MAX (default 6) passes.  The min over passes is the
+    # steady-state estimate of what the PLAN costs; every pass total is
+    # reported under "runs" so drift (and convergence) stays visible.
+    repeats = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "3")))
+    max_passes = max(repeats, int(os.environ.get("SPARK_GRAFT_BENCH_MAX", "6")))
+    tol = float(os.environ.get("SPARK_GRAFT_BENCH_TOL", "0.05"))
     timings: dict[str, float] = {}
     run_totals: list[float] = []
-    for i in range(max(1, repeats)):
+    for i in range(max_passes):
         pass_t: dict[str, float] = {}
         for name in HEADLINE:
             fn = qs.get(name)
@@ -97,6 +105,15 @@ def main() -> None:
         run_totals.append(round(sum(pass_t.values()), 3))
         for name, sec in pass_t.items():
             timings[name] = min(timings.get(name, sec), sec)
+        if i + 1 >= repeats and len(run_totals) >= 2:
+            a, b = run_totals[-2], run_totals[-1]
+            if abs(a - b) <= tol * min(a, b):
+                print(
+                    f"# converged after {i + 1} passes "
+                    f"({a:.3f}s vs {b:.3f}s within {tol:.0%})",
+                    file=sys.stderr,
+                )
+                break
 
     total = round(sum(timings.values()), 3)
     # round-over-round comparability (ADVICE r2): the 17-query headline set

@@ -25,6 +25,8 @@ DuckDB-mirrorable.
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
@@ -414,6 +416,7 @@ def duplicate_spans(
     text_col: str = "text",
     id_col: str = "doc_id",
     max_gram_df: int | None = None,
+    hash_grams: bool = True,
 ) -> DataFrame:
     """Exact-substring duplication spans (the Lee et al. "Deduplicating
     Training Data" primitive): per document, the merged token spans
@@ -433,18 +436,27 @@ def duplicate_spans(
     way the Jaccard path caps hot shingles — positions of a gram above
     the cap are STILL marked (they are duplicated text par excellence)
     but the cap bounds the join fan-out by sampling one exemplar count,
-    so leave it None unless profiling shows a mega-gram."""
+    so leave it None unless profiling shows a mega-gram.
+
+    Shuffle compression: grams are ``xxhash64``-ed to 8-byte bigints
+    BEFORE the count shuffle and the hot-gram join, so neither stage
+    moves the ~50-100 B gram strings — ~6-10× less shuffle I/O at the
+    |tokens|-row positional-gram table, which is what dominates at
+    corpus scale.  Output is position spans only, so the hash is
+    invisible in results; a 64-bit collision falsely marks one position
+    pair (birthday bound ~5e9 grams — the standard, accepted error of
+    hashed exact-substring dedup à la Lee et al.; pass
+    ``hash_grams=False`` for the collision-free audit path)."""
     toks = df.select(
         F.col(id_col),
         tokens(F.col(text_col)).alias("toks"),
     ).filter(F.size("toks") >= k)
+    gram_str = f"concat_ws(' ', slice(toks, i + 1, {k}))"
+    gram_expr = f"xxhash64({gram_str})" if hash_grams else gram_str
     grams = toks.select(
         id_col,
         F.posexplode(
-            F.expr(
-                f"transform(sequence(0, size(toks) - {k}), "
-                f"i -> concat_ws(' ', slice(toks, i + 1, {k})))"
-            )
+            F.expr(f"transform(sequence(0, size(toks) - {k}), i -> {gram_expr})")
         ).alias("pos", "gram"),
     )
     counts = grams.groupBy("gram").agg(F.count(F.lit(1)).alias("n"))
@@ -482,7 +494,17 @@ def trim_duplicate_spans(
     span and reassemble the text (the "trim" half of exact-substring
     dedup).  Docs without spans pass through byte-identical.  Pure
     codegen array expressions — the spans list per doc is small (merged
-    islands), so the per-token ``exists`` probe is a tiny constant."""
+    islands), so the per-token ``exists`` probe is a tiny constant.
+
+    Whitespace contract: a doc WITH at least one span is re-assembled
+    from its token stream with single spaces, so newlines/tabs and
+    repeated-space runs OUTSIDE the trimmed spans are normalized too —
+    the same normalization ``duplicate_spans``' tokenizer already
+    applied when matching, and the standard output shape of token-level
+    exact-substring dedup (spans are token indices, not byte offsets).
+    If byte fidelity outside spans matters, map spans back to character
+    offsets against the original text and splice — at the cost of
+    carrying the untokenized text through the join."""
     sp = spans.groupBy(id_col).agg(
         F.collect_list(F.struct("span_start", "span_end")).alias("__spans")
     )
@@ -590,6 +612,7 @@ def srp_banded_pairs(
     vec_col: str = "embedding",
     dim: int = 64,
     seed: int = 7,
+    expected_n: int | None = None,
 ) -> DataFrame:
     """Embedding near-dup pairs via SRP-LSH bucketing — the scale path:
     signature bands bucket candidates (equi-join on the band key, the
@@ -605,12 +628,35 @@ def srp_banded_pairs(
     where buckets are sharply selective.  Pairs whose every band differs
     are not emitted — that's the LSH recall trade, made explicit here
     rather than hidden behind an exact all-pairs crossJoin that cannot
-    run at corpus scale."""
+    run at corpus scale.
+
+    Provisioning guard (SCALE.md, measured): random-collision candidate
+    volume is ~bands * n^2 / 2^(bits/band) — super-linear (effectively
+    quadratic) once bits/band < log2(bands * n / 2).  The r5 probes
+    measured exactly this: 4-bit bands went 12.6x for 5x vectors at n=1e6
+    while 24-bit bands stayed linear.  Pass ``expected_n`` (the rough
+    corpus vector count) and this function warns loudly when the chosen
+    geometry is below the measured rule, instead of silently melting."""
     from mini_project_204721_data_engineering_spark.llm.similarity import as_double, cosine
 
     if n_bits % bands:
         raise ValueError(f"n_bits={n_bits} not divisible by bands={bands}")
     bpb = n_bits // bands
+    if expected_n is not None and expected_n > 1:
+        need = math.log2(bands * expected_n / 2)
+        if bpb < need:
+            import warnings
+
+            warnings.warn(
+                f"srp_banded_pairs: {bpb} bits/band with bands={bands} at "
+                f"n~{expected_n:.0e} is below the measured provisioning rule "
+                f"bits/band >= log2(bands*n/2) = {need:.1f}; random-collision "
+                f"candidates go super-linear (SCALE.md r5: 12.6x work for 5x "
+                f"vectors at 4 bits/band, n=1e6). Raise n_bits (e.g. "
+                f"n_bits={bands * math.ceil(need)}, bands={bands}).",
+                RuntimeWarning,
+                stacklevel=2,
+            )
     sigs = srp_signatures(emb, n_bits=n_bits, id_col=id_col, vec_col=vec_col, dim=dim, seed=seed)
     bt = (
         sigs.select(

@@ -156,16 +156,28 @@ def chunk_text(docs: DataFrame, window: int = 64, overlap: int = 16) -> DataFram
     )
 
 
-def build_vocab(docs: DataFrame, top_n: int = 1000) -> DataFrame:
+def build_vocab(
+    docs: DataFrame, top_n: int = 1000, rank_partitions: int = 32
+) -> DataFrame:
     """Vocabulary induction: corpus word counts → the ``top_n`` words
     with contiguous ids (0-based, by count desc then word asc — the
     deterministic tie-break a reproducible tokenizer needs).
 
-    One explode → map-side-combined count → a single top-n sort of the
-    DISTINCT-WORD table (vocabulary-sized, not corpus-sized — at 100 TB
-    the corpus has ~10⁶-10⁷ distinct words, trivially sortable; the
-    corpus itself is never globally sorted).  Returns
-    (token, n_occurrences, token_id)."""
+    One explode → map-side-combined count → TWO-PHASE rank of the
+    distinct-word table: range-partition on the sort key, per-partition
+    ``row_number`` (a keyed window over ``rank_partitions`` range
+    buckets — NO single-partition global window), then add each range
+    bucket's cumulative offset, looked up from a broadcast literal map.
+    The sort key (count desc, token asc) is UNIQUE, so bucket boundaries
+    never split ties and the two-phase rank is exactly the global rank.
+    A 100 TB corpus has 10⁷-10⁸ distinct tokens; a single-partition sort
+    of that table is a real straggler — this shape sorts each range
+    bucket in parallel.  The per-bucket row counts are collected to the
+    driver to build the offsets — ``rank_partitions`` rows by contract,
+    never data-sized.  The ranked table is ``localCheckpoint``-ed so the
+    offset job and the id assignment see the SAME partition layout
+    (range boundaries are sampled; two independent recomputations could
+    legally disagree).  Returns (token, n_occurrences, token_id)."""
     from pyspark.sql.window import Window
 
     counts = (
@@ -173,9 +185,33 @@ def build_vocab(docs: DataFrame, top_n: int = 1000) -> DataFrame:
         .groupBy("token")
         .agg(F.count(F.lit(1)).alias("n_occurrences"))
     )
-    w = Window.orderBy(F.col("n_occurrences").desc(), F.col("token").asc())
+    sort_cols = [F.col("n_occurrences").desc(), F.col("token").asc()]
+    ranged = counts.repartitionByRange(rank_partitions, *sort_cols).withColumn(
+        "__pid", F.spark_partition_id()
+    )
+    w = Window.partitionBy("__pid").orderBy(*sort_cols)
+    local = ranged.withColumn("__lrank", F.row_number().over(w)).localCheckpoint(
+        eager=True
+    )
+    sizes = {
+        r["__pid"]: r["__n"]
+        for r in local.groupBy("__pid").agg(F.count(F.lit(1)).alias("__n")).collect()
+    }
+    if not sizes:
+        return local.select(
+            "token", "n_occurrences", F.lit(0).cast("int").alias("token_id")
+        )
+    off_items: list = []
+    acc = 0
+    for pid in sorted(sizes):  # range partition order == global sort order
+        off_items += [F.lit(pid), F.lit(acc)]
+        acc += sizes[pid]
+    off_map = F.create_map(*off_items)
     return (
-        counts.withColumn("token_id", F.row_number().over(w) - 1)
+        local.withColumn(
+            "token_id",
+            (F.col("__lrank") - 1 + off_map[F.col("__pid")]).cast("int"),
+        )
         .filter(F.col("token_id") < top_n)
         .select("token", "n_occurrences", "token_id")
     )

@@ -168,9 +168,13 @@ def _messages_v2(h: _H5, addr: int) -> list[tuple[int, bytes]]:
     tracked = bool(flags & 0x04)  # message creation order present
     out: list[tuple[int, bytes]] = []
     blocks = [(p, chunk0, False)]
+    seen_cont: set[int] = set()
     while blocks:
         start, size, is_cont = blocks.pop(0)
         if is_cont:
+            if start in seen_cont:
+                raise ValueError("cyclic OCHK continuation chain")
+            seen_cont.add(start)
             if d[start : start + 4] != b"OCHK":
                 raise ValueError("bad OCHK continuation signature")
             start += 4
@@ -200,6 +204,8 @@ def _datatype(buf: bytes) -> dict:
     size = _u(buf, 4, 4)
     order = ">" if (bits0 & 1) else "<"
     if cls == 0:  # fixed-point
+        if size not in (1, 2, 4, 8):
+            raise ValueError(f"unsupported fixed-point size {size}")
         kind = "i" if (bits0 & 0x08) else "u"
         return {"class": cls, "np": np.dtype(f"{order}{kind}{size}"), "size": size}
     if cls == 1:  # IEEE float
@@ -991,6 +997,19 @@ def netcdf4_grid_to_long_batches(
         )
 
 
+def _has_hdf5_sig(content: bytes) -> bool:
+    """Spec-conformant magic sniff: the superblock may sit at offset 0,
+    512, 1024, 2048, ... (doubling) to allow arbitrary user blocks — the
+    same scan ``_H5.__init__`` performs, so routing accepts exactly what
+    ``read_hdf5`` accepts (a >=4096-byte user block is still HDF5)."""
+    off = 0
+    while off < len(content):
+        if content[off : off + 8] == _SIG:
+            return True
+        off = 512 if off == 0 else off * 2
+    return False
+
+
 def netcdf_grid_to_long(content: bytes, **kw) -> pd.DataFrame:
     """Container-agnostic decoder: sniffs the magic and routes classic
     CDF bytes to the NetCDF-3 parser and HDF5 bytes to the NetCDF-4
@@ -1001,7 +1020,7 @@ def netcdf_grid_to_long(content: bytes, **kw) -> pd.DataFrame:
         )
 
         return netcdf3_grid_to_long(content, **kw)
-    if content[:8] == _SIG or _SIG in content[:4096]:
+    if _has_hdf5_sig(content):
         return netcdf4_grid_to_long(content, **kw)
     raise ValueError("not a NetCDF file (neither CDF nor HDF5 magic)")
 
@@ -1019,7 +1038,7 @@ def netcdf_grid_to_long_batches(content: bytes, **kw):
 
         yield from netcdf3_grid_to_long_batches(content, **kw)
         return
-    if content[:8] == _SIG or _SIG in content[:4096]:
+    if _has_hdf5_sig(content):
         yield from netcdf4_grid_to_long_batches(content, **kw)
         return
     raise ValueError("not a NetCDF file (neither CDF nor HDF5 magic)")

@@ -109,10 +109,13 @@ def _cfb_stream(data: bytes, wanted: tuple[str, ...]) -> bytes:
     minifat: list[int] = []
     if root is not None and root[2] not in (_ENDOFCHAIN, _FREESECT):
         mini_raw = chain(root[2])[: root[3]]
-        m = first_minifat
+        m, hops = first_minifat, 0
         while m not in (_ENDOFCHAIN, _FREESECT):
+            if hops > len(fat):
+                raise ValueError("cyclic mini-FAT chain in CFB container")
             minifat.extend(struct.unpack_from(f"<{ssz // 4}I", sector(m), 0))
             m = fat[m]
+            hops += 1
 
     targets = {w.lower() for w in wanted}
     for name, etype, start, size in entries:

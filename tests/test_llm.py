@@ -678,3 +678,84 @@ def test_minhash_xxhash64_path_same_planted_dups(spark):
     }
     assert (1, 2) in xx_pairs
     assert xx_pairs == md5_pairs
+
+
+def test_duplicate_spans_hashed_equals_string_grams(spark):
+    """The xxhash64 gram compression (8-B shuffle keys instead of
+    ~50-100 B gram strings) must produce identical spans to the
+    collision-free string path."""
+    from mini_project_204721_data_engineering_spark.llm.dedup import duplicate_spans
+
+    shared = " ".join(f"s{i}" for i in range(10))
+    uniq = lambda p, n: " ".join(f"{p}{i}" for i in range(n))  # noqa: E731
+    docs = spark.createDataFrame(
+        [
+            (1, f"{uniq('a', 5)} {shared} {uniq('b', 5)}"),
+            (2, f"{shared} {uniq('c', 12)}"),
+            (3, uniq("e", 30)),
+        ],
+        "doc_id long, text string",
+    )
+    hashed = {
+        tuple(r) for r in duplicate_spans(docs, k=8, hash_grams=True).collect()
+    }
+    strings = {
+        tuple(r) for r in duplicate_spans(docs, k=8, hash_grams=False).collect()
+    }
+    assert hashed == strings == {(1, 5, 15, 10), (2, 0, 10, 10)}
+
+
+def test_duplicate_spans_plan_shuffles_bigint_not_strings(spark):
+    """The count shuffle must key on the 8-byte hash: no string gram
+    column survives into the exchange when hash_grams=True."""
+    from mini_project_204721_data_engineering_spark.llm.dedup import duplicate_spans
+
+    import re
+
+    docs = spark.createDataFrame([(1, "a b c d e f g h i")], "doc_id long, text string")
+    plan = duplicate_spans(docs, k=8)._jdf.queryExecution().optimizedPlan().toString()
+    assert "xxhash64" in plan
+    # every gram attribute is bigint (#NL) — the string form never leaves
+    # the map-side Generate, so the count shuffle and join move 8-B keys
+    assert re.findall(r"gram#\d+L", plan)
+    assert not re.findall(r"gram#\d+(?![\dL])", plan)
+
+
+def test_srp_provisioning_guard_warns_when_underbanded(spark):
+    """4 bits/band at n=1e6 violates the measured SCALE.md rule
+    bits/band >= log2(bands*n/2) and must warn; 24 bits/band must not."""
+    import warnings
+
+    from mini_project_204721_data_engineering_spark.llm.dedup import srp_banded_pairs
+
+    emb = spark.createDataFrame(
+        [(1, [1.0] * 8), (2, [1.0] * 8)], "vec_id long, embedding array<double>"
+    )
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        srp_banded_pairs(emb, n_bits=32, bands=8, dim=8, expected_n=1_000_000)
+    assert any("provisioning rule" in str(x.message) for x in w)
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        srp_banded_pairs(emb, n_bits=48, bands=2, dim=8, expected_n=1_000_000)
+    assert not w
+
+
+def test_build_vocab_two_phase_matches_single_partition_rank(spark):
+    """Two-phase ranked ids (range buckets + offsets) must equal the
+    global rank for any rank_partitions, with ties on count broken by
+    token asc, and the plan must contain no partition-less window."""
+    from mini_project_204721_data_engineering_spark.llm.quality import build_vocab
+
+    docs = spark.createDataFrame(
+        [(1, "b b b a a c"), (2, "a d d e"), (3, "f f f f g")],
+        "doc_id long, text string",
+    )
+    # counts: f=4, a=3, b=3, d=2, c=1, e=1, g=1
+    expect = [("f", 4, 0), ("a", 3, 1), ("b", 3, 2), ("d", 2, 3), ("c", 1, 4)]
+    for nparts in (1, 4, 16):
+        got = sorted(
+            tuple(r)
+            for r in build_vocab(docs, top_n=5, rank_partitions=nparts).collect()
+        )
+        assert got == sorted(expect), nparts
