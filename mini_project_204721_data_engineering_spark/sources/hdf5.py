@@ -10,12 +10,16 @@ bounded.  This module is a clean-room reader of that subset:
 
 - superblock versions 0/1 (symbol-table root) and 2/3 (root header addr);
 - object headers v1 and v2 (``OHDR``), with continuation blocks;
-- groups both old-style (v1 B-tree + local heap + ``SNOD`` symbol
-  tables) and new-style *compact* (Link messages in the header — what
-  netCDF-4's link-creation-order tracking produces for its handful of
-  variables).  Dense (fractal-heap) links exceed the subset → clear error;
-- dataset layouts: compact, contiguous, and chunked via the v1 B-tree
-  chunk index (+ the v4 Single Chunk index);
+- groups old-style (v1 B-tree + local heap + ``SNOD`` symbol tables),
+  new-style compact (Link messages in the header), and new-style DENSE
+  (fractal heap + v2 B-tree name index, any tree depth — the shape a
+  file with hundreds of variables gets); dense attributes likewise;
+- dataset layouts: compact, contiguous, and chunked via every index a
+  netCDF-4 writer emits — the v3 v1-B-tree index and the v4 indexes of
+  HDF5 >= 1.10 ``libver=latest`` files: Single Chunk, Implicit, Fixed
+  Array (paged and not), and Extensible Array (index block, super
+  blocks, paged data blocks).  Only the v2-B-tree chunk index (type 5,
+  requires >1 unlimited dimension — not a netCDF grid shape) raises;
 - filter pipeline: deflate (stdlib zlib), shuffle, fletcher32 — the
   exact pipeline CHIRPS-style files use (``shuffle+deflate``);
 - datatypes: fixed-point, IEEE float, fixed strings, variable-length
@@ -480,14 +484,26 @@ def _fractal_heap(h: _H5, addr: int):
     return heap_id_len, read_id
 
 
+def _b2_enc_size(n: int) -> int:
+    """Bytes libhdf5 uses to store a count bounded by ``n``
+    (H5VM_limit_enc_size: floor(log2 n)/8 + 1)."""
+    return ((max(n, 1).bit_length() - 1) + 8) // 8
+
+
 def _btree_v2_records(h: _H5, addr: int) -> list[bytes]:
-    """All records of a v2 B-tree (depth 0 — a leaf root; group link
-    indexes only go deeper with hundreds of links, which raise)."""
+    """All records of a v2 B-tree, any depth: leaf root ("BTLF") or
+    internal nodes ("BTIN") holding records interleaved with child
+    pointers (child addr + child record count [+ cumulative subtree
+    count when the child is itself internal]).  The count-field widths
+    derive from the node capacities exactly as libhdf5 computes them
+    (leaf capacity = (node_size - 10)/rec_size; internal capacity
+    shrinks by the pointer overhead per level)."""
     d = h.data
     if d[addr : addr + 4] != b"BTHD":
         raise ValueError("bad v2 B-tree header signature")
     p = addr + 4 + 1 + 1  # sig, version, type
-    p += 4  # node size
+    node_size = _u(d, p, 4)
+    p += 4
     rec_size = _u(d, p, 2)
     p += 2
     depth = _u(d, p, 2)
@@ -496,12 +512,52 @@ def _btree_v2_records(h: _H5, addr: int) -> list[bytes]:
     root = _u(d, p, h.offs)
     p += h.offs
     n_root = _u(d, p, 2)
-    if depth != 0:
-        raise NotImplementedError("multi-level v2 B-trees not supported (hundreds of links)")
-    if d[root : root + 4] != b"BTLF":
-        raise ValueError("bad v2 B-tree leaf signature")
-    q = root + 4 + 1 + 1
-    return [d[q + i * rec_size : q + (i + 1) * rec_size] for i in range(n_root)]
+    if rec_size == 0 or node_size < 10 + rec_size:
+        raise ValueError("corrupt v2 B-tree header geometry")
+    if depth > 16:
+        raise ValueError(f"implausible v2 B-tree depth {depth}")
+    # node capacities per level (libhdf5 H5B2hdr geometry): the # -of-
+    # records field is sized by the LEAF capacity (the largest); the
+    # cumulative-count field by each level's cumulative capacity
+    leaf_max = (node_size - 10) // rec_size
+    nrec_size = _b2_enc_size(leaf_max)
+    cum_max = [leaf_max]
+    cum_size = [0]  # leaf children carry no cumulative-count field
+    for lvl in range(1, depth + 1):
+        ptr = h.offs + nrec_size + cum_size[lvl - 1]
+        cap = (node_size - (10 + ptr)) // (rec_size + ptr)
+        if cap <= 0:
+            raise ValueError("corrupt v2 B-tree: zero internal capacity")
+        cum = (cap + 1) * cum_max[lvl - 1] + cap
+        cum_max.append(cum)
+        cum_size.append(_b2_enc_size(cum))
+
+    out: list[bytes] = []
+
+    def walk(naddr: int, nrec: int, lvl: int) -> None:
+        if lvl == 0:
+            if d[naddr : naddr + 4] != b"BTLF":
+                raise ValueError("bad v2 B-tree leaf signature")
+            q = naddr + 6
+            for i in range(nrec):
+                out.append(d[q + i * rec_size : q + (i + 1) * rec_size])
+            return
+        if d[naddr : naddr + 4] != b"BTIN":
+            raise ValueError("bad v2 B-tree internal node signature")
+        q = naddr + 6
+        recs = [d[q + i * rec_size : q + (i + 1) * rec_size] for i in range(nrec)]
+        q += nrec * rec_size
+        ptr_extra = nrec_size + (cum_size[lvl - 1] if lvl > 1 else 0)
+        for i in range(nrec + 1):
+            caddr = _u(d, q, h.offs)
+            cnrec = _u(d, q + h.offs, nrec_size)
+            q += h.offs + ptr_extra
+            walk(caddr, cnrec, lvl - 1)
+            if i < nrec:
+                out.append(recs[i])
+
+    walk(root, n_root, depth)
+    return out
 
 
 def _dense_link_messages(h: _H5, heap_addr: int, btree_addr: int):
@@ -678,16 +734,307 @@ def _fill_array(meta: dict, shape: list[int]) -> np.ndarray:
     return np.zeros(shape, dtype=npdt)
 
 
+def _chunk_dims(h: _H5, layout: bytes, rank: int) -> list[int]:
+    """Chunk dimensions of a chunked layout message, v3 or v4.  v3
+    stores rank+1 4-byte dims (last = element size) after the B-tree
+    address; v4 stores variable-width dims before the index type —
+    libhdf5 writes rank+1 (last = element size), but plain rank is
+    accepted for robustness."""
+    if layout[0] == 3:
+        ndims = layout[2]
+        return [_u(layout, 3 + h.offs + 4 * i, 4) for i in range(ndims - 1)]
+    ndims = layout[3]
+    enc = layout[4]
+    if enc not in (1, 2, 4, 8):
+        raise ValueError(f"invalid v4 dim-size encoded length {enc}")
+    dims = [_u(layout, 5 + enc * i, enc) for i in range(ndims)]
+    if ndims == rank + 1:
+        dims = dims[:-1]
+    elif ndims != rank:
+        raise ValueError(f"v4 chunk dimensionality {ndims} vs dataset rank {rank}")
+    if any(c <= 0 for c in dims):
+        raise ValueError(f"invalid v4 chunk dims {dims}")
+    return dims
+
+
+def _grid_offsets(i: int, grid: list[int], chunk: list[int]) -> tuple[int, ...]:
+    """Linear chunk index (C-order, last dim fastest — the order every
+    v4 chunk index uses) → element-space chunk offsets."""
+    offs = []
+    for g, c in zip(reversed(grid), reversed(chunk)):
+        offs.append((i % g) * c)
+        i //= g
+    return tuple(reversed(offs))
+
+
+def _fixed_array_entries(h: _H5, addr: int, chunk_nbytes: int):
+    """Fixed Array chunk index (v4 type 3; HDF5 spec III.G): header
+    "FAHD" → data block "FADB" (+ element pages when the array exceeds
+    one page).  Yields (linear index, addr, nbytes, mask); elements in
+    uninitialized pages and elements with an undefined address are
+    never-written chunks (fill value)."""
+    d = h.data
+    if d[addr : addr + 4] != b"FAHD":
+        raise ValueError("bad Fixed Array header signature")
+    client = d[addr + 5]
+    if client > 1:
+        raise ValueError(f"unknown Fixed Array client id {client}")
+    entry_size = d[addr + 6]
+    page_bits = d[addr + 7]
+    nelmts = _u(d, addr + 8, h.lens)
+    dblk_addr = _u(d, addr + 8 + h.lens, h.offs)
+    if dblk_addr == _UNDEF or nelmts == 0:
+        return
+    if entry_size < h.offs + (0 if client == 0 else 5):
+        raise ValueError(f"implausible Fixed Array entry size {entry_size}")
+    if nelmts * entry_size > len(d):  # elements must fit in the file
+        raise ValueError(f"implausible Fixed Array element count {nelmts}")
+    if d[dblk_addr : dblk_addr + 4] != b"FADB":
+        raise ValueError("bad Fixed Array data block signature")
+    size_len = entry_size - h.offs - 4  # client 1: addr + size + mask
+
+    def dec(i: int, e: bytes):
+        a = _u(e, 0, h.offs)
+        if a == _UNDEF:
+            return None
+        if client == 0:
+            return (i, a, chunk_nbytes, 0)
+        return (i, a, _u(e, h.offs, size_len), _u(e, h.offs + size_len, 4))
+
+    q = dblk_addr + 6 + h.offs  # sig + version + client + header addr
+    page_size = 1 << page_bits
+    if nelmts <= page_size:
+        raw = d[q : q + nelmts * entry_size]
+        for i in range(nelmts):
+            out = dec(i, raw[i * entry_size : (i + 1) * entry_size])
+            if out:
+                yield out
+        return
+    npages = -(-nelmts // page_size)
+    bitmap = d[q : q + (npages + 7) // 8]
+    q += (npages + 7) // 8 + 4  # bitmap + data-block checksum
+    for pg in range(npages):
+        cnt = min(page_size, nelmts - pg * page_size)
+        if (bitmap[pg // 8] >> (pg % 8)) & 1:
+            raw = d[q : q + cnt * entry_size]
+            for i in range(cnt):
+                out = dec(
+                    pg * page_size + i, raw[i * entry_size : (i + 1) * entry_size]
+                )
+                if out:
+                    yield out
+        q += cnt * entry_size + 4  # page elements + page checksum
+
+
+def _ea_sblk_info(max_nelmts_bits: int, idx_blk_elmts: int, dblk_min_elmts: int):
+    """Extensible Array super-block geometry (public libhdf5 H5EA
+    design): data-block capacity doubles every second super block."""
+    nsblks = 2 * (max_nelmts_bits - (dblk_min_elmts.bit_length() - 1))
+    info = []
+    start_idx, start_dblk = idx_blk_elmts, 0
+    for u in range(nsblks):
+        ndblks = 1 << (u // 2)
+        dblk_nelmts = dblk_min_elmts << ((u + 1) // 2)
+        info.append((ndblks, dblk_nelmts, start_idx, start_dblk))
+        start_idx += ndblks * dblk_nelmts
+        start_dblk += ndblks
+    return info
+
+
+def _ext_array_entries(h: _H5, addr: int, chunk_nbytes: int):
+    """Extensible Array chunk index (v4 type 4; HDF5 spec III.F):
+    header "EAHD" → index block "EAIB" (inline elements + direct data
+    block pointers + super block pointers) → super blocks "EASB" → data
+    blocks "EADB" (paged above 2^page_bits elements).  Yields
+    (linear index, addr, nbytes, mask) for every allocated element."""
+    d = h.data
+    if d[addr : addr + 4] != b"EAHD":
+        raise ValueError("bad Extensible Array header signature")
+    client = d[addr + 5]
+    if client > 1:
+        raise ValueError(f"unknown Extensible Array client id {client}")
+    elt_size = d[addr + 6]
+    max_bits = d[addr + 7]
+    idx_elmts = d[addr + 8]
+    dblk_min = d[addr + 9]
+    sblk_min_ptrs = d[addr + 10]
+    page_bits = d[addr + 11]
+    p = addr + 12 + 4 * h.lens  # skip nsblks/sblk size/ndblks/dblk size stats
+    max_idx_set = _u(d, p, h.lens)
+    p += 2 * h.lens  # + nelmts stat
+    iblk_addr = _u(d, p, h.offs)
+    if iblk_addr == _UNDEF or max_idx_set == 0:
+        return
+    if elt_size < h.offs + (0 if client == 0 else 5):
+        raise ValueError(f"implausible Extensible Array element size {elt_size}")
+    # (no element-count cap here: a sparse EA legitimately has
+    # max_idx_set far beyond its allocated blocks; every loop below is
+    # bounded by the caller's index-range check instead)
+    if dblk_min == 0 or max_bits == 0 or sblk_min_ptrs < 2:
+        raise ValueError("implausible Extensible Array creation parameters")
+    size_len = elt_size - h.offs - 4
+    blk_off_len = (max_bits + 7) // 8
+    page_size = 1 << page_bits
+
+    def dec(i: int, e: bytes):
+        a = _u(e, 0, h.offs)
+        if a == _UNDEF:
+            return None
+        if client == 0:
+            return (i, a, chunk_nbytes, 0)
+        return (i, a, _u(e, h.offs, size_len), _u(e, h.offs + size_len, 4))
+
+    sblk_info = _ea_sblk_info(max_bits, idx_elmts, dblk_min)
+    iblk_nsblks = 2 * (sblk_min_ptrs.bit_length() - 1)
+    ndblk_addrs = 2 * (sblk_min_ptrs - 1)
+
+    if d[iblk_addr : iblk_addr + 4] != b"EAIB":
+        raise ValueError("bad Extensible Array index block signature")
+    q = iblk_addr + 6 + h.offs
+    inline = d[q : q + idx_elmts * elt_size]
+    q += idx_elmts * elt_size
+    dblk_addrs = [_u(d, q + i * h.offs, h.offs) for i in range(ndblk_addrs)]
+    q += ndblk_addrs * h.offs
+    nsblk_addrs = len(sblk_info) - iblk_nsblks
+    sblk_addrs = [_u(d, q + i * h.offs, h.offs) for i in range(nsblk_addrs)]
+
+    for i in range(min(idx_elmts, max_idx_set)):
+        out = dec(i, inline[i * elt_size : (i + 1) * elt_size])
+        if out:
+            yield out
+
+    def dblk_elements(daddr: int, nelmts: int, base_idx: int):
+        if daddr == _UNDEF:
+            return
+        if d[daddr : daddr + 4] != b"EADB":
+            raise ValueError("bad Extensible Array data block signature")
+        q = daddr + 6 + h.offs + blk_off_len
+        if nelmts <= page_size:
+            raw = d[q : q + nelmts * elt_size]
+            for i in range(nelmts):
+                if base_idx + i >= max_idx_set:
+                    return
+                out = dec(base_idx + i, raw[i * elt_size : (i + 1) * elt_size])
+                if out:
+                    yield out
+            return
+        q += 4  # prefix checksum precedes the pages
+        npages = -(-nelmts // page_size)
+        for pg in range(npages):
+            cnt = min(page_size, nelmts - pg * page_size)
+            raw = d[q : q + cnt * elt_size]
+            for i in range(cnt):
+                gi = base_idx + pg * page_size + i
+                if gi >= max_idx_set:
+                    return
+                out = dec(gi, raw[i * elt_size : (i + 1) * elt_size])
+                if out:
+                    yield out
+            q += cnt * elt_size + 4
+
+    # super blocks 0..iblk_nsblks-1: data blocks addressed directly
+    # from the index block
+    di = 0
+    for u in range(min(iblk_nsblks, len(sblk_info))):
+        ndblks, dblk_nelmts, start_idx, _ = sblk_info[u]
+        for b in range(ndblks):
+            if di < len(dblk_addrs) and start_idx + b * dblk_nelmts < max_idx_set:
+                yield from dblk_elements(
+                    dblk_addrs[di], dblk_nelmts, start_idx + b * dblk_nelmts
+                )
+            di += 1
+
+    # later super blocks: one indirection through "EASB"
+    for si, saddr in enumerate(sblk_addrs):
+        u = iblk_nsblks + si
+        ndblks, dblk_nelmts, start_idx, _ = sblk_info[u]
+        if saddr == _UNDEF or start_idx >= max_idx_set:
+            continue
+        if d[saddr : saddr + 4] != b"EASB":
+            raise ValueError("bad Extensible Array super block signature")
+        q = saddr + 6 + h.offs + blk_off_len
+        if dblk_nelmts > page_size:  # page-init bitmap lives in the sblock
+            dblk_npages = -(-dblk_nelmts // page_size)
+            q += (ndblks * dblk_npages + 7) // 8
+        for b in range(ndblks):
+            daddr = _u(d, q + b * h.offs, h.offs)
+            if start_idx + b * dblk_nelmts < max_idx_set:
+                yield from dblk_elements(
+                    daddr, dblk_nelmts, start_idx + b * dblk_nelmts
+                )
+
+
 def _chunk_entries(h: _H5, meta: dict):
-    """(chunk offsets, nbytes, mask, addr) list for a v3 chunked layout,
-    walked once and cached on the meta dict."""
-    if meta["_chunks"] is None:
-        layout = meta["layout"]
+    """(chunk dims, [(chunk offsets, nbytes, mask, addr), ...]) for any
+    chunked layout — v3 (v1 B-tree) or v4 (Single Chunk, Implicit,
+    Fixed Array, Extensible Array) — walked once and cached on the meta
+    dict."""
+    if meta["_chunks"] is not None:
+        return meta["_chunks"]
+    layout = meta["layout"]
+    shape = meta["shape"]
+    rank = len(shape)
+    npdt = meta["dt"]["np"]
+    ver = layout[0]
+    if ver == 3:
         btree = _u(layout, 3, h.offs)
-        rank = len(meta["shape"])
-        meta["_chunks"] = (
-            [] if btree == _UNDEF else _walk_chunk_btree(h, btree, rank)
+        chunk = _chunk_dims(h, layout, rank)
+        entries = [] if btree == _UNDEF else _walk_chunk_btree(h, btree, rank)
+        meta["_chunks"] = (chunk, entries)
+        return meta["_chunks"]
+    # v4 chunked layout
+    flags = layout[2]
+    ndims = layout[3]
+    enc = layout[4]
+    chunk = _chunk_dims(h, layout, rank)
+    p = 5 + enc * ndims
+    idx_type = layout[p]
+    p += 1
+    chunk_nbytes = int(np.prod(chunk)) * npdt.itemsize
+    grid = [max(1, -(-s // c)) for s, c in zip(shape, chunk)]
+    nchunks = int(np.prod(grid)) if grid else 1
+    entries: list[tuple[tuple[int, ...], int, int, int]] = []
+    if idx_type == 1:  # Single Chunk
+        nbytes, mask = chunk_nbytes, 0
+        if flags & 0x02:  # filtered: size + mask precede the address
+            nbytes = _u(layout, p, h.lens)
+            mask = _u(layout, p + h.lens, 4)
+            p += h.lens + 4
+        addr = _u(layout, p, h.offs)
+        if addr != _UNDEF:
+            entries.append(((0,) * rank, nbytes, mask, addr))
+    elif idx_type == 2:  # Implicit: contiguous chunk array, unfiltered
+        addr = _u(layout, p, h.offs)
+        if addr != _UNDEF:
+            for i in range(nchunks):
+                entries.append(
+                    (
+                        _grid_offsets(i, grid, chunk),
+                        chunk_nbytes,
+                        0,
+                        addr + i * chunk_nbytes,
+                    )
+                )
+    elif idx_type == 3:  # Fixed Array
+        addr = _u(layout, p + 1, h.offs)  # 1-byte page-bits param first
+        if addr != _UNDEF:
+            for i, caddr, nbytes, mask in _fixed_array_entries(h, addr, chunk_nbytes):
+                if i >= nchunks:
+                    raise ValueError("Fixed Array chunk index out of range")
+                entries.append((_grid_offsets(i, grid, chunk), nbytes, mask, caddr))
+    elif idx_type == 4:  # Extensible Array
+        addr = _u(layout, p + 5, h.offs)  # 5 creation-param bytes first
+        if addr != _UNDEF:
+            for i, caddr, nbytes, mask in _ext_array_entries(h, addr, chunk_nbytes):
+                if i >= nchunks:
+                    raise ValueError("Extensible Array chunk index out of range")
+                entries.append((_grid_offsets(i, grid, chunk), nbytes, mask, caddr))
+    else:
+        raise NotImplementedError(
+            f"chunk index type {idx_type} not supported (v2 B-tree chunk "
+            "indexes appear only with >1 unlimited dimension)"
         )
+    meta["_chunks"] = (chunk, entries)
     return meta["_chunks"]
 
 
@@ -726,14 +1073,13 @@ def _read_slab(h: _H5, meta: dict, t0: int | None = None, t1: int | None = None)
             return _fill_array(meta, out_shape)
         off = addr + lo * row_elems * npdt.itemsize
         return np.frombuffer(h.data, dtype=npdt, count=n_out, offset=off).reshape(out_shape)
-    if ver == 3 and cls == 2:  # chunked, v1 B-tree index
-        ndims = layout[2]  # rank + 1 (element-size dim)
-        chunk = [_u(layout, 3 + h.offs + 4 * i, 4) for i in range(ndims - 1)]
-        # chunks absent from the B-tree were never written: they read as
+    if cls == 2 and ver in (3, 4):  # chunked: any supported index
+        chunk, entries = _chunk_entries(h, meta)
+        # chunks absent from the index were never written: they read as
         # the dataset's declared fill value (netCDF's partially-written
         # variables), zeros only when no fill is defined
         out = _fill_array(meta, out_shape)
-        for offs, nbytes, mask, addr in _chunk_entries(h, meta):
+        for offs, nbytes, mask, addr in entries:
             if offs[0] >= hi or offs[0] + chunk[0] <= lo:
                 continue  # chunk entirely outside the slab: never inflated
             raw = _defilter(h.data[addr : addr + nbytes], filters, mask)
@@ -749,29 +1095,6 @@ def _read_slab(h: _H5, meta: dict, t0: int | None = None, t1: int | None = None)
             )
             out[dst] = carr[src]
         return out
-    if ver == 4 and cls == 2:  # v4 chunked: support the Single Chunk index
-        flags = layout[2]
-        ndims = layout[3]
-        enc = layout[4]
-        p = 5 + enc * ndims
-        idx_type = layout[p]
-        p += 1
-        if idx_type != 1:
-            raise NotImplementedError(
-                f"chunk index type {idx_type} not supported (need v1 B-tree or Single Chunk)"
-            )
-        # the single chunk covers the whole dataspace — sizing from the
-        # shape sidesteps the v3-vs-v4 element-size-dimension convention
-        nbytes = int(np.prod(shape)) * npdt.itemsize
-        mask = 0
-        if flags & 0x02:  # filtered single chunk: size + mask precede addr
-            nbytes = _u(layout, p, h.lens)
-            mask = _u(layout, p + h.lens, 4)
-            p += h.lens + 4
-        addr = _u(layout, p, h.offs)
-        raw = _defilter(h.data[addr : addr + nbytes], filters, mask)
-        arr = np.frombuffer(raw, dtype=npdt, count=int(np.prod(shape))).reshape(shape)
-        return arr if full else arr[lo:hi]
     raise NotImplementedError(f"layout message version {ver} class {cls} not supported")
 
 
@@ -973,8 +1296,9 @@ def netcdf4_grid_to_long_batches(
     # align slabs to the chunk time-extent: each chunk inflates once
     step = records_per_batch
     layout = vmeta["layout"]
-    if layout[0] == 3 and layout[1] == 2:
-        tchunk = _u(layout, 3 + h.offs, 4)
+    if layout[1] == 2 and layout[0] in (3, 4):
+        cd = _chunk_dims(h, layout, len(vmeta["shape"]))
+        tchunk = cd[0] if cd else 1
         step = max(tchunk, (records_per_batch // tchunk) * tchunk or tchunk)
     clean_attrs = {k: v for k, v in vmeta["attrs"].items() if k not in _NC4_HIDDEN_ATTRS}
     for t0 in range(0, nt, step):
@@ -1136,8 +1460,132 @@ def _ohdr_v2(messages: list[tuple[int, bytes]]) -> bytes:
     return b"OHDR" + struct.pack("<BBH", 2, 1, len(body)) + body + b"\x00" * 4
 
 
+def _write_fixed_array(alloc, buf: bytearray, raws, page_bits: int, filtered: bool) -> int:
+    """Emit a Fixed Array chunk index: chunk payloads, FADB (paged when
+    the element count exceeds 2^page_bits), FAHD.  ``raws`` is the full
+    linear chunk list in C-order; ``None`` slots are never-written
+    chunks (undefined address → fill value on read).  Returns the FAHD
+    address.  Checksums are written as zeros — this library's reader
+    does not verify them (same policy as the v2 B-tree writer)."""
+    client = 1 if filtered else 0
+    entry_size = 8 if client == 0 else 8 + 4 + 4  # addr [+ size + mask]
+    addrs = [(alloc(r), len(r)) if r is not None else (None, 0) for r in raws]
+    fahd_addr = alloc(b"\x00" * 28)  # patched once the data block lands
+
+    def enc(a, n):
+        e = struct.pack("<Q", _UNDEF if a is None else a)
+        return e if client == 0 else e + struct.pack("<II", n, 0)
+
+    elems = b"".join(enc(a, n) for a, n in addrs)
+    nelmts = len(raws)
+    page = 1 << page_bits
+    body = b"FADB" + struct.pack("<BBQ", 0, client, fahd_addr)
+    if nelmts <= page:
+        body += elems + struct.pack("<I", 0)
+    else:
+        npages = -(-nelmts // page)
+        bitmap = bytearray((npages + 7) // 8)
+        for pg in range(npages):
+            bitmap[pg // 8] |= 1 << (pg % 8)  # every page initialized
+        body += bytes(bitmap) + struct.pack("<I", 0)
+        for pg in range(npages):
+            lo, hi = pg * page, min((pg + 1) * page, nelmts)
+            body += elems[lo * entry_size : hi * entry_size] + struct.pack("<I", 0)
+    dblk_addr = alloc(body)
+    hdr = b"FAHD" + struct.pack("<BBBB", 0, client, entry_size, page_bits)
+    hdr += struct.pack("<QQI", nelmts, dblk_addr, 0)
+    buf[fahd_addr : fahd_addr + len(hdr)] = hdr
+    return fahd_addr
+
+
+def _write_ext_array(
+    alloc, buf: bytearray, raws, filtered: bool,
+    cparam: tuple[int, int, int, int, int] = (32, 4, 4, 16, 10),
+) -> int:
+    """Emit an Extensible Array chunk index: chunk payloads, data
+    blocks ("EADB", paged above 2^page_bits elements), super blocks
+    ("EASB") for the range beyond the index block's direct pointers,
+    index block ("EAIB"), header ("EAHD").  ``cparam`` = (max nelmts
+    bits, index block elements, super-block min data pointers, data
+    block min elements, data-block page bits) — libhdf5's chunk-index
+    defaults.  Returns the EAHD address."""
+    max_bits, idx_elmts, sblk_min_ptrs, dblk_min, page_bits = cparam
+    client = 1 if filtered else 0
+    elt_size = 8 if client == 0 else 8 + 4 + 4
+    blk_off_len = (max_bits + 7) // 8
+    page = 1 << page_bits
+    addrs = [(alloc(r), len(r)) if r is not None else (None, 0) for r in raws]
+    eahd_addr = alloc(b"\x00" * 72)  # patched once the index block lands
+
+    def enc(a, n):
+        e = struct.pack("<Q", _UNDEF if a is None else a)
+        return e if client == 0 else e + struct.pack("<II", n, 0)
+
+    elems = [enc(a, n) for a, n in addrs]
+    nelmts = len(elems)
+    sblk_info = _ea_sblk_info(max_bits, idx_elmts, dblk_min)
+    iblk_nsblks = 2 * (sblk_min_ptrs.bit_length() - 1)
+    ndblk_addrs = 2 * (sblk_min_ptrs - 1)
+
+    def write_dblk(start: int, cnt: int) -> int:
+        if start >= nelmts:
+            return _UNDEF
+        blk = b"EADB" + struct.pack("<BBQ", 0, client, eahd_addr)
+        blk += start.to_bytes(blk_off_len, "little")
+        payload = b"".join(elems[start : start + cnt])
+        payload += enc(None, 0) * max(0, cnt - (nelmts - start))
+        if cnt <= page:
+            blk += payload + struct.pack("<I", 0)
+        else:
+            blk += struct.pack("<I", 0)  # prefix checksum precedes the pages
+            for pg in range(-(-cnt // page)):
+                lo, hi = pg * page, min((pg + 1) * page, cnt)
+                blk += payload[lo * elt_size : hi * elt_size] + struct.pack("<I", 0)
+        return alloc(blk)
+
+    dblk_addrs: list[int] = []
+    sblk_addrs: list[int] = []
+    for u, (ndblks, dn, start_idx, _sd) in enumerate(sblk_info):
+        if u < iblk_nsblks:
+            for b in range(ndblks):
+                dblk_addrs.append(write_dblk(start_idx + b * dn, dn))
+        elif start_idx >= nelmts:
+            sblk_addrs.append(_UNDEF)
+        else:
+            da = [write_dblk(start_idx + b * dn, dn) for b in range(ndblks)]
+            sb = b"EASB" + struct.pack("<BBQ", 0, client, eahd_addr)
+            sb += start_idx.to_bytes(blk_off_len, "little")
+            if dn > page:  # page-init bitmap lives in the super block
+                npg = -(-dn // page)
+                bm = bytearray((ndblks * npg + 7) // 8)
+                for i in range(ndblks * npg):
+                    bm[i // 8] |= 1 << (i % 8)
+                sb += bytes(bm)
+            sb += b"".join(struct.pack("<Q", a) for a in da) + struct.pack("<I", 0)
+            sblk_addrs.append(alloc(sb))
+    dblk_addrs = (dblk_addrs + [_UNDEF] * ndblk_addrs)[:ndblk_addrs]
+    nsblk_addrs = len(sblk_info) - iblk_nsblks
+    sblk_addrs = (sblk_addrs + [_UNDEF] * nsblk_addrs)[:nsblk_addrs]
+
+    inline = b"".join(elems[:idx_elmts]) + enc(None, 0) * max(0, idx_elmts - nelmts)
+    ib = b"EAIB" + struct.pack("<BBQ", 0, client, eahd_addr) + inline
+    ib += b"".join(struct.pack("<Q", a) for a in dblk_addrs)
+    ib += b"".join(struct.pack("<Q", a) for a in sblk_addrs)
+    ib += struct.pack("<I", 0)
+    iblk_addr = alloc(ib)
+    hdr = b"EAHD" + struct.pack(
+        "<BBBBBBBB", 0, client, elt_size, max_bits, idx_elmts, dblk_min,
+        sblk_min_ptrs, page_bits,
+    )
+    hdr += struct.pack("<QQQQQQ", 0, 0, 0, 0, nelmts, nelmts)
+    hdr += struct.pack("<QI", iblk_addr, 0)
+    buf[eahd_addr : eahd_addr + len(hdr)] = hdr
+    return eahd_addr
+
+
 def _write_dense_storage(
-    alloc, next_addr: int, link_bodies: list[bytes], btree_type: int = 5
+    alloc, next_addr: int, link_bodies: list[bytes], btree_type: int = 5,
+    leaf_cap: int | None = None,
 ) -> tuple[int, int]:
     """Emit dense storage: a fractal heap (single root direct block)
     holding message bodies + a depth-0 v2 B-tree whose records point at
@@ -1178,14 +1626,44 @@ def _write_dense_storage(
     else:  # type 8 attribute name index: heap id, flags, corder, hash
         recs = [hid + struct.pack("<BII", 0, 0, 0) for hid in heap_ids]
     rec_size = len(recs[0])
-    btlf = b"BTLF" + struct.pack("<BB", 0, btree_type)
-    for rec in recs:
-        btlf += rec
-    btlf += struct.pack("<I", 0)  # checksum (unverified by this reader)
-    btlf_addr = alloc(btlf)
-    bthd = b"BTHD" + struct.pack("<BBIHHBB", 0, btree_type, 4096, rec_size, 0, 100, 40)
-    bthd += struct.pack("<QH", btlf_addr, len(heap_ids))
-    bthd += struct.pack("<Q", len(heap_ids)) + struct.pack("<I", 0)
+    node_size = 4096
+    if leaf_cap and len(recs) > leaf_cap:
+        # depth-1 tree: split records across leaves, pulling one record
+        # up into the internal root between adjacent leaves (a real
+        # B-tree separator, not a duplicate)
+        groups: list[list[bytes]] = []
+        seps: list[bytes] = []
+        i = 0
+        while True:
+            if len(recs) - i <= leaf_cap + 1:  # final leaf — no trailing sep
+                groups.append(recs[i:])
+                break
+            groups.append(recs[i : i + leaf_cap])
+            i += leaf_cap
+            seps.append(recs[i])  # separator lives in the internal node
+            i += 1
+        leaf_addrs = []
+        for g in groups:
+            btlf = b"BTLF" + struct.pack("<BB", 0, btree_type)
+            btlf += b"".join(g) + struct.pack("<I", 0)
+            leaf_addrs.append((alloc(btlf), len(g)))
+        nrec_size = _b2_enc_size((node_size - 10) // rec_size)
+        btin = b"BTIN" + struct.pack("<BB", 0, btree_type) + b"".join(seps)
+        for a, n in leaf_addrs:
+            btin += struct.pack("<Q", a) + n.to_bytes(nrec_size, "little")
+        btin += struct.pack("<I", 0)
+        root_addr, depth, n_root = alloc(btin), 1, len(seps)
+    else:
+        btlf = b"BTLF" + struct.pack("<BB", 0, btree_type)
+        for rec in recs:
+            btlf += rec
+        btlf += struct.pack("<I", 0)  # checksum (unverified by this reader)
+        root_addr, depth, n_root = alloc(btlf), 0, len(recs)
+    bthd = b"BTHD" + struct.pack(
+        "<BBIHHBB", 0, btree_type, node_size, rec_size, depth, 100, 40
+    )
+    bthd += struct.pack("<QH", root_addr, n_root)
+    bthd += struct.pack("<Q", len(recs)) + struct.pack("<I", 0)
     btree_addr = alloc(bthd)
     return fheap_addr, btree_addr
 
@@ -1197,6 +1675,7 @@ def write_hdf5(
     root_attrs: dict | None = None,
     options: dict[str, dict] | None = None,
     flavor: str = "v0",
+    dense_leaf_cap: int | None = None,
 ) -> None:
     """Write an HDF5 file in the netCDF-4 shape, for reader round-trips.
 
@@ -1247,11 +1726,11 @@ def write_hdf5(
                     if len(vals) % 2:
                         fbody += b"\x00" * 4
                 msgs.append((0x0B, fbody))
-            entries = []
             grid = [range(0, s, c) for s, c in zip(arr.shape, chunks)]
             import itertools
 
-            for offs in itertools.product(*grid):
+            chunk_recs: list[tuple[tuple[int, ...], bytes | None]] = []
+            for offs in itertools.product(*grid):  # C-order = linear index
                 sl = tuple(slice(o, o + c) for o, c in zip(offs, chunks))
                 piece = arr[sl]
                 if (
@@ -1259,7 +1738,8 @@ def write_hdf5(
                     and fill is not None
                     and bool(np.all(piece == np.asarray(fill, dtype=arr.dtype)))
                 ):
-                    continue  # never-written chunk: absent from the B-tree
+                    chunk_recs.append((offs, None))  # never-written chunk
+                    continue
                 carr = np.zeros(chunks, dtype=arr.dtype)
                 carr[tuple(slice(0, s) for s in piece.shape)] = piece
                 raw = carr.tobytes()
@@ -1273,22 +1753,60 @@ def write_hdf5(
                         )
                     elif fid == 1:
                         raw = zlib.compress(raw, vals[0])
-                entries.append((offs, len(raw), alloc(raw)))
-            key_size = 8 + 8 * (len(arr.shape) + 1)
-            node = b"TREE" + struct.pack("<BBH", 1, 0, len(entries))
-            node += struct.pack("<QQ", _UNDEF, _UNDEF)
-            for offs, nbytes, addr in entries:
-                node += struct.pack("<II", nbytes, 0)
-                node += b"".join(struct.pack("<Q", o) for o in offs) + struct.pack("<Q", 0)
-                node += struct.pack("<Q", addr)
-            node += struct.pack("<II", 0, 0)  # final key: past-the-end
-            node += b"".join(struct.pack("<Q", s) for s in arr.shape) + struct.pack("<Q", 0)
-            btree_addr = alloc(node)
-            del key_size
-            lay = struct.pack("<BBB", 3, 2, len(arr.shape) + 1)
-            lay += struct.pack("<Q", btree_addr)
-            lay += b"".join(struct.pack("<I", c) for c in chunks)
-            lay += struct.pack("<I", arr.dtype.itemsize)
+                chunk_recs.append((offs, raw))
+            index = opt.get("index", "btree1")
+            if index == "btree1":
+                entries = [
+                    (offs, len(raw), alloc(raw))
+                    for offs, raw in chunk_recs
+                    if raw is not None
+                ]
+                node = b"TREE" + struct.pack("<BBH", 1, 0, len(entries))
+                node += struct.pack("<QQ", _UNDEF, _UNDEF)
+                for offs, nbytes, addr in entries:
+                    node += struct.pack("<II", nbytes, 0)
+                    node += b"".join(struct.pack("<Q", o) for o in offs) + struct.pack("<Q", 0)
+                    node += struct.pack("<Q", addr)
+                node += struct.pack("<II", 0, 0)  # final key: past-the-end
+                node += b"".join(struct.pack("<Q", s) for s in arr.shape) + struct.pack("<Q", 0)
+                btree_addr = alloc(node)
+                lay = struct.pack("<BBB", 3, 2, len(arr.shape) + 1)
+                lay += struct.pack("<Q", btree_addr)
+                lay += b"".join(struct.pack("<I", c) for c in chunks)
+                lay += struct.pack("<I", arr.dtype.itemsize)
+            else:  # v4 layouts: the HDF5 >= 1.10 libver=latest indexes
+                raws = [raw for _, raw in chunk_recs]
+                flags = 0
+                if index == "single":
+                    if len(raws) != 1 or raws[0] is None:
+                        raise ValueError("single-chunk index needs exactly one chunk")
+                    addr = alloc(raws[0])
+                    body = b"\x01"
+                    if filters:
+                        flags = 0x02
+                        body += struct.pack("<QI", len(raws[0]), 0)
+                    body += struct.pack("<Q", addr)
+                elif index == "implicit":
+                    if filters or any(r is None for r in raws):
+                        raise ValueError("implicit index: unfiltered, fully allocated")
+                    base = len(buf)
+                    for r in raws:
+                        alloc(r)
+                    body = b"\x02" + struct.pack("<Q", base)
+                elif index == "fixed":
+                    pb = int(opt.get("page_bits", 10))
+                    fa = _write_fixed_array(alloc, buf, raws, pb, bool(filters))
+                    body = b"\x03" + bytes([pb]) + struct.pack("<Q", fa)
+                elif index == "earray":
+                    cp = tuple(opt.get("earray_params", (32, 4, 4, 16, 10)))
+                    ea = _write_ext_array(alloc, buf, raws, bool(filters), cp)
+                    body = b"\x04" + bytes(cp) + struct.pack("<Q", ea)
+                else:
+                    raise ValueError(f"unknown chunk index {index!r}")
+                lay = struct.pack("<BBBBB", 4, 2, flags, len(arr.shape) + 1, 8)
+                lay += b"".join(struct.pack("<Q", c) for c in chunks)
+                lay += struct.pack("<Q", arr.dtype.itemsize)
+                lay += body
             msgs.append((0x08, lay))
         else:
             daddr = alloc(arr.tobytes())
@@ -1297,7 +1815,7 @@ def write_hdf5(
         attr_bodies = [attr_enc(k, *_attr_payload(v)) for k, v in attrs.items()]
         attr_bodies += [b for t, b in extra_msgs if t == 0x0C]
         if flavor != "v0" and len(attr_bodies) > 8:  # max_compact → dense attrs
-            fheap, btree = _write_dense_storage(alloc, len(buf), attr_bodies, btree_type=8)
+            fheap, btree = _write_dense_storage(alloc, len(buf), attr_bodies, btree_type=8, leaf_cap=dense_leaf_cap)
             msgs.append((0x15, struct.pack("<BBQQ", 0, 0, fheap, btree)))
         else:
             msgs += [(0x0C, b) for b in attr_bodies]
@@ -1396,7 +1914,7 @@ def write_hdf5(
                 link_bodies.append(
                     struct.pack("<BBB", 1, 0, len(nb)) + nb + struct.pack("<Q", addrs[n])
                 )
-            fheap_addr, btree_addr = _write_dense_storage(alloc, len(buf), link_bodies)
+            fheap_addr, btree_addr = _write_dense_storage(alloc, len(buf), link_bodies, leaf_cap=dense_leaf_cap)
             root_msgs.append(
                 (0x02, struct.pack("<BBQQ", 0, 0, fheap_addr, btree_addr))
             )
@@ -1408,7 +1926,7 @@ def write_hdf5(
         root_attr_bodies = [attr_enc(k, *_attr_payload(v)) for k, v in root_attrs.items()]
         if len(root_attr_bodies) > 8:  # dense global attributes
             fheap, btree = _write_dense_storage(
-                alloc, len(buf), root_attr_bodies, btree_type=8
+                alloc, len(buf), root_attr_bodies, btree_type=8, leaf_cap=dense_leaf_cap
             )
             root_msgs.append((0x15, struct.pack("<BBQQ", 0, 0, fheap, btree)))
         else:

@@ -378,3 +378,218 @@ def test_unsupported_structures_raise_clearly(tmp_path):
         _defilter(b"xx", [(32000, [])], mask=0)
     # masked-out filter is skipped
     assert _defilter(b"xx", [(32000, [])], mask=1) == b"xx"
+
+
+# ---- v4 chunk indexes (HDF5 >= 1.10 libver=latest writers) ---------------
+
+
+@pytest.mark.parametrize("index", ["implicit", "fixed", "earray"])
+@pytest.mark.parametrize("filtered", [False, True])
+def test_v4_chunk_index_roundtrip(tmp_path, index, filtered):
+    """Implicit / Fixed Array / Extensible Array chunk indexes decode
+    byte-identically to the array written, filtered and not (implicit
+    forbids filters by spec, so that combination is skipped)."""
+    if index == "implicit" and filtered:
+        pytest.skip("implicit index is unfiltered by definition")
+    rng = np.random.RandomState(7)
+    arr = rng.uniform(-5, 40, size=(5, 3, 4)).astype(np.float32)
+    opt = {"chunks": (2, 2, 3), "index": index}
+    if filtered:
+        opt.update({"deflate": 4, "shuffle": True})
+    p = str(tmp_path / "v4.nc")
+    write_hdf5(p, datasets={"v": (arr, {})}, options={"v": opt}, flavor="v2")
+    got = read_hdf5(p)["datasets"]["v"]["data"]
+    np.testing.assert_array_equal(got, arr)
+
+
+def test_v4_single_chunk_roundtrip(tmp_path):
+    """Single Chunk index (type 1), filtered and unfiltered."""
+    arr = np.arange(24, dtype=np.float64).reshape(2, 3, 4)
+    for filtered in (False, True):
+        opt = {"chunks": (2, 3, 4), "index": "single"}
+        if filtered:
+            opt["deflate"] = 6
+        p = str(tmp_path / f"sc{filtered}.nc")
+        write_hdf5(p, datasets={"v": (arr, {})}, options={"v": opt}, flavor="v2")
+        np.testing.assert_array_equal(read_hdf5(p)["datasets"]["v"]["data"], arr)
+
+
+def test_fixed_array_paged_data_block(tmp_path):
+    """A Fixed Array whose element count exceeds 2^page_bits pages the
+    data block (page bitmap + per-page checksums): 40 chunks at
+    page_bits=3 → 5 pages."""
+    rng = np.random.RandomState(11)
+    arr = rng.uniform(0, 1, size=(40, 2, 2)).astype(np.float32)
+    p = str(tmp_path / "fap.nc")
+    write_hdf5(
+        p,
+        datasets={"v": (arr, {})},
+        options={"v": {"chunks": (1, 2, 2), "index": "fixed", "page_bits": 3}},
+        flavor="v2",
+    )
+    np.testing.assert_array_equal(read_hdf5(p)["datasets"]["v"]["data"], arr)
+
+
+def test_fixed_array_fill_chunks(tmp_path):
+    """Fixed Array with never-written chunks (undefined element
+    addresses) reads the declared fill value, matching the v1-B-tree
+    omitted-chunk semantics."""
+    arr = np.full((4, 3), -9999.0, dtype=np.float64)
+    arr[0, :] = [1.0, 2.0, 3.0]
+    arr[3, :] = [7.0, 8.0, 9.0]
+    p = str(tmp_path / "faf.nc")
+    write_hdf5(
+        p,
+        datasets={"v": (arr, {})},
+        options={
+            "v": {
+                "chunks": (1, 3),
+                "index": "fixed",
+                "fill": -9999.0,
+                "omit_fill_chunks": True,
+            }
+        },
+        flavor="v2",
+    )
+    np.testing.assert_array_equal(read_hdf5(p)["datasets"]["v"]["data"], arr)
+
+
+def test_ext_array_default_params_through_data_blocks(tmp_path):
+    """Extensible Array with libhdf5's default creation parameters: 30
+    chunks — 4 inline in the index block, the rest through directly-
+    pointed data blocks (16- and 32-element)."""
+    rng = np.random.RandomState(13)
+    arr = rng.uniform(0, 9, size=(30, 2, 2)).astype(np.float32)
+    p = str(tmp_path / "ead.nc")
+    write_hdf5(
+        p,
+        datasets={"v": (arr, {})},
+        options={"v": {"chunks": (1, 2, 2), "index": "earray"}},
+        flavor="v2",
+    )
+    np.testing.assert_array_equal(read_hdf5(p)["datasets"]["v"]["data"], arr)
+
+
+def test_ext_array_super_blocks_and_paged_data_blocks(tmp_path):
+    """Extensible Array pushed through super blocks AND paged data
+    blocks: cparam (10,2,2,2,3) reaches "EASB" indirection at chunk 9
+    and 16-element paged data blocks (page=8, bitmap in the super
+    block) by chunk 64 — 80 chunks covers both, filtered too."""
+    rng = np.random.RandomState(17)
+    arr = rng.uniform(0, 9, size=(80, 2, 2)).astype(np.float32)
+    for filtered in (False, True):
+        opt = {
+            "chunks": (1, 2, 2),
+            "index": "earray",
+            "earray_params": (10, 2, 2, 2, 3),
+        }
+        if filtered:
+            opt.update({"deflate": 4, "shuffle": True})
+        p = str(tmp_path / f"eas{filtered}.nc")
+        write_hdf5(p, datasets={"v": (arr, {})}, options={"v": opt}, flavor="v2")
+        np.testing.assert_array_equal(read_hdf5(p)["datasets"]["v"]["data"], arr)
+
+
+@pytest.mark.parametrize("index", ["fixed", "earray", "implicit"])
+def test_v4_index_slab_streaming_equals_eager(tmp_path, index):
+    """The slab-streamed reader path (the 100 TB shape: one time-slab
+    in memory at a time) decodes v4-indexed files identically to the
+    eager read — chunks outside the slab are never inflated."""
+    from mini_project_204721_data_engineering_spark.sources.hdf5 import _read_slab, _dataset_meta, _walk_datasets
+
+    rng = np.random.RandomState(19)
+    arr = rng.uniform(0, 9, size=(7, 3, 4)).astype(np.float32)
+    opt = {"chunks": (2, 2, 3), "index": index}
+    if index != "implicit":
+        opt.update({"deflate": 4})
+    p = str(tmp_path / "slab.nc")
+    write_hdf5(p, datasets={"v": (arr, {})}, options={"v": opt}, flavor="v2")
+    data = open(p, "rb").read()
+    h, entries, _ = _walk_datasets(data)
+    addr, msgs = entries["v"]
+    meta = _dataset_meta(h, msgs)
+    eager = _read_slab(h, meta)
+    np.testing.assert_array_equal(eager, arr)
+    for t0 in range(0, 7, 2):
+        t1 = min(7, t0 + 2)
+        np.testing.assert_array_equal(_read_slab(h, meta, t0, t1), arr[t0:t1])
+
+
+def test_multilevel_v2_btree_dense_links(tmp_path):
+    """A depth-1 v2 B-tree link index (the shape a file with hundreds
+    of variables gets): 40 variables, leaf cap 6 → BTIN root with BTLF
+    children and real separator records — every variable readable."""
+    ds = {
+        f"var{i:03d}": (np.full(3, float(i), dtype=np.float64), {"idx": i})
+        for i in range(40)
+    }
+    p = str(tmp_path / "deep.nc")
+    write_hdf5(p, datasets=ds, flavor="v2", dense_leaf_cap=6)
+    got = read_hdf5(p)["datasets"]
+    assert sorted(got) == sorted(ds)
+    for i in range(40):
+        np.testing.assert_array_equal(got[f"var{i:03d}"]["data"], np.full(3, float(i)))
+        assert got[f"var{i:03d}"]["attrs"]["idx"] == i
+
+
+def test_multilevel_v2_btree_dense_attrs(tmp_path):
+    """Depth-1 v2 B-tree ATTRIBUTE index: 30 attributes on one dataset
+    with leaf cap 4 — all resolved through the fractal heap."""
+    attrs = {f"a{i:02d}": i * 10 for i in range(30)}
+    p = str(tmp_path / "attrs.nc")
+    write_hdf5(
+        p,
+        datasets={"v": (np.arange(4, dtype=np.float64), attrs)},
+        flavor="v2",
+        dense_leaf_cap=4,
+    )
+    got = read_hdf5(p)["datasets"]["v"]["attrs"]
+    assert {k: got[k] for k in attrs} == attrs
+
+
+@pytest.mark.parametrize("index", ["fixed", "earray"])
+def test_v4_index_grid_through_unified_decoder(tmp_path, index):
+    """VERDICT r5 #1 done-criterion: a NetCDF-4 grid whose precip
+    variable uses a modern (HDF5 >= 1.10 libver=latest) chunk index
+    decodes through the container-agnostic CF decoder identically to
+    the same grid in a classic CDF file."""
+    h5 = str(tmp_path / "h5.nc")
+    classic = str(tmp_path / "classic.nc")
+    precip = _grid_precip(False)
+    write_hdf5(
+        h5,
+        datasets={
+            "time": (np.array([0.0, 1.0]), {"units": "days since 2023-06-01"}),
+            "latitude": (LATS, {"units": "degrees_north"}),
+            "longitude": (LONS, {"units": "degrees_east"}),
+            "precip": (precip, {"_FillValue": np.float32(-9999.0), "units": "mm/day"}),
+        },
+        dim_names={
+            "time": ["time"],
+            "latitude": ["latitude"],
+            "longitude": ["longitude"],
+            "precip": ["time", "latitude", "longitude"],
+        },
+        options={
+            "precip": {
+                "chunks": (1, 2, 3),
+                "deflate": 4,
+                "shuffle": True,
+                "index": index,
+            }
+        },
+        flavor="v2",
+    )
+    write_netcdf3(
+        classic,
+        dims={"time": 2, "latitude": 3, "longitude": 4},
+        variables={
+            "time": (["time"], np.array([0.0, 1.0]), {"units": "days since 2023-06-01"}),
+            "latitude": (["latitude"], LATS, {}),
+            "longitude": (["longitude"], LONS, {}),
+            "precip": (["time", "latitude", "longitude"], precip, {}),
+        },
+    )
+    a = netcdf_grid_to_long(open(h5, "rb").read())
+    b = netcdf_grid_to_long(open(classic, "rb").read())
+    pd.testing.assert_frame_equal(a, b)

@@ -120,3 +120,41 @@ def test_valid_fixtures_still_read(xls_bytes, hdf5_bytes, cdf_bytes):
     assert read_hdf5(hdf5_bytes)["datasets"]["v"]["data"].shape == (2, 3, 4)
     assert read_netcdf3(cdf_bytes)["vars"]["v"]["data"].shape == (2, 3)
     assert isinstance(read_xls(xls_bytes)["S"], pd.DataFrame)
+
+
+@pytest.fixture(scope="module")
+def hdf5_v4_bytes(tmp_path_factory) -> bytes:
+    """v4-layout fixture covering BOTH modern chunk indexes plus a
+    depth-1 dense link tree — the r6 structures, fuzzed like the rest."""
+    p = str(tmp_path_factory.mktemp("fuzz") / "v4.nc")
+    ds = {f"v{i}": (np.arange(8, dtype="<f4") + i, {}) for i in range(10)}
+    ds["fa"] = (np.arange(40, dtype="<f4").reshape(10, 4), {})
+    ds["ea"] = (np.arange(48, dtype="<f4").reshape(12, 4), {})
+    write_hdf5(
+        p,
+        datasets=ds,
+        options={
+            "fa": {"chunks": (2, 3), "index": "fixed", "page_bits": 2, "deflate": 4},
+            "ea": {
+                "chunks": (1, 4),
+                "index": "earray",
+                "earray_params": (10, 2, 2, 2, 3),
+            },
+        },
+        flavor="v2",
+        dense_leaf_cap=3,
+    )
+    return open(p, "rb").read()
+
+
+@settings(max_examples=120, deadline=2000, suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(frac=st.floats(0.0, 1.0), flip_frac=st.floats(0.0, 1.0), flip_to=st.integers(0, 255))
+def test_hdf5_v4_fuzz(hdf5_v4_bytes, frac, flip_frac, flip_to):
+    cut = int(len(hdf5_v4_bytes) * frac)
+    _fuzz(read_hdf5, hdf5_v4_bytes, cut, int(cut * flip_frac), flip_to)
+
+
+def test_hdf5_v4_fixture_still_reads(hdf5_v4_bytes):
+    out = read_hdf5(hdf5_v4_bytes)
+    assert out["datasets"]["fa"]["data"].shape == (10, 4)
+    assert out["datasets"]["ea"]["data"].shape == (12, 4)
