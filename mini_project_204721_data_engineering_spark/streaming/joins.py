@@ -32,9 +32,19 @@ def stream_interval_join(
     right_ts: str,
     interval: str = "15 minutes",
     watermark: str = "30 minutes",
+    how: str = "inner",
 ) -> DataFrame:
-    """Inner stream-stream join: rows pair when keys match and
+    """Stream-stream join: rows pair when keys match and
     ``left_ts - interval <= right_ts <= left_ts``.
+
+    ``how="inner"`` emits matches only; ``how="left_outer"`` is the
+    enrichment-with-nulls variant — every left row appears, null-padded
+    when no right row fell in its interval.  Outer results need the
+    WATERMARK to prove absence: Spark emits an unmatched left row only
+    once the watermark passes the last instant a matching right row
+    could still arrive (~``left_ts + watermark``), so null-padded rows
+    surface in a LATER micro-batch than their matches — the inherent
+    latency of correct streaming outer joins, not a defect.
 
     Both inputs may be streaming (the canonical case) or batch — the
     SAME function computes the batch twin, so tests can assert
@@ -46,6 +56,8 @@ def stream_interval_join(
     right row is held ~``watermark + interval``, the minimum that still
     guarantees complete results for data within the lateness bound.
     """
+    if how not in ("inner", "left_outer"):
+        raise ValueError(f"how must be 'inner' or 'left_outer', got {how!r}")
     lw = left.withWatermark(left_ts, watermark) if left.isStreaming else left
     rw = right.withWatermark(right_ts, watermark) if right.isStreaming else right
     r2 = rw.withColumnRenamed(key, "__rkey")
@@ -54,4 +66,4 @@ def stream_interval_join(
         & (F.col(right_ts) >= F.col(left_ts) - F.expr(f"INTERVAL {interval}"))
         & (F.col(right_ts) <= F.col(left_ts))
     )
-    return lw.join(r2, cond, "inner").drop("__rkey")
+    return lw.join(r2, cond, how).drop("__rkey")
