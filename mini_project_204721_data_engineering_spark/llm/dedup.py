@@ -440,13 +440,16 @@ def duplicate_spans(
 
     Shuffle compression: grams are ``xxhash64``-ed to 8-byte bigints
     BEFORE the count shuffle and the hot-gram join, so neither stage
-    moves the ~50-100 B gram strings — ~6-10× less shuffle I/O at the
-    |tokens|-row positional-gram table, which is what dominates at
-    corpus scale.  Output is position spans only, so the hash is
-    invisible in results; a 64-bit collision falsely marks one position
-    pair (birthday bound ~5e9 grams — the standard, accepted error of
-    hashed exact-substring dedup à la Lee et al.; pass
-    ``hash_grams=False`` for the collision-free audit path)."""
+    moves the ~50-100 B gram strings — **measured 2.7× fewer shuffle
+    bytes** (88.8 vs 238.5 MB at 8.6M grams; LZ4 narrows the naive 8×)
+    at the |tokens|-row positional-gram table, the traffic that
+    dominates on a cluster where shuffle crosses the network.  (In
+    local mode the hash CPU makes this path ~15-30% slower wall-clock —
+    SCALE.md records both numbers.)  Output is position spans only, so
+    the hash is invisible in results; a 64-bit collision falsely marks
+    one position pair (birthday bound ~5e9 grams — the standard,
+    accepted error of hashed exact-substring dedup à la Lee et al.;
+    pass ``hash_grams=False`` for the collision-free audit path)."""
     toks = df.select(
         F.col(id_col),
         tokens(F.col(text_col)).alias("toks"),

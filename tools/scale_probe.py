@@ -71,20 +71,19 @@ def timed(name, fn, out):
 def main() -> None:
     mode = "events"
     args = [a for a in sys.argv[1:]]
-    if args and args[0] in ("events", "docs", "ann", "srp", "cc"):
+    if args and args[0] in ("events", "docs", "ann", "srp", "cc", "spans"):
         mode = args.pop(0)
     n = int(args[0]) if args else {
         "events": 10_000_000, "docs": 1_000_000, "ann": 1_000_000,
-        "srp": 1_000_000, "cc": 1_000_000,
+        "srp": 1_000_000, "cc": 1_000_000, "spans": 200_000,
     }[mode]
     from mini_project_204721_data_engineering_spark.session import get_spark
 
     spark = get_spark("scale-probe")
     out: list[dict] = []
     if mode != "events":
-        {"docs": probe_docs, "ann": probe_ann, "srp": probe_srp, "cc": probe_cc}[mode](
-            spark, n, out
-        )
+        {"docs": probe_docs, "ann": probe_ann, "srp": probe_srp, "cc": probe_cc,
+         "spans": probe_spans}[mode](spark, n, out)
         total = round(sum(r["sec"] for r in out), 3)
         print(json.dumps({"metric": f"scale_probe_{mode}_total", "value": total,
                           "unit": "sec", "n_rows": n,
@@ -317,6 +316,30 @@ def probe_srp(spark, n: int, out: list) -> None:
 
     timed("srp_16bit_bands_underprovisioned", srp(32, 2, "16b"), out)
     timed("srp_24bit_bands_provisioned", srp(48, 2, "24b"), out)
+
+
+def probe_spans(spark, n: int, out: list) -> None:
+    """Exact-substring duplicate_spans at corpus scale — the r6 claim
+    under test: xxhash64-ing positional grams before the count shuffle
+    and the hot-gram join moves 8-B keys instead of ~60-B gram strings
+    (identical output; the oracle checks that at sf).  n docs x 50
+    tokens -> ~43 n positional 8-grams through the shuffle."""
+    from mini_project_204721_data_engineering_spark.llm.dedup import duplicate_spans
+
+    docs = synth_docs(spark, n).localCheckpoint(eager=True)
+
+    def spans(hash_grams):
+        def run():
+            return (
+                duplicate_spans(docs, k=8, hash_grams=hash_grams)
+                .agg(F.count(F.lit(1)), F.sum("n_tokens"))
+                .collect()[0][0]
+            )
+
+        return run
+
+    timed("duplicate_spans_hashed", spans(True), out)
+    timed("duplicate_spans_strings", spans(False), out)
 
 
 def probe_cc(spark, n: int, out: list) -> None:
