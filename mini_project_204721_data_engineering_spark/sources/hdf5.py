@@ -21,7 +21,10 @@ bounded.  This module is a clean-room reader of that subset:
   blocks, paged data blocks).  Only the v2-B-tree chunk index (type 5,
   requires >1 unlimited dimension — not a netCDF grid shape) raises;
 - filter pipeline: deflate (stdlib zlib), shuffle, fletcher32 — the
-  exact pipeline CHIRPS-style files use (``shuffle+deflate``);
+  exact pipeline CHIRPS-style files use (``shuffle+deflate``) — plus
+  lzf (h5py's default lightweight compressor, clean-room libLZF codec);
+  szip remains an honest NotImplementedError (patent-encumbered,
+  rare in netCDF practice);
 - datatypes: fixed-point, IEEE float, fixed strings, variable-length
   strings and VL sequences of object references (via the global heap) —
   enough for CF attributes and netCDF-4's ``DIMENSION_LIST``.
@@ -635,6 +638,92 @@ def _filters(body: bytes) -> list[tuple[int, list[int]]]:
     return out
 
 
+_LZF_FILTER = 32000  # h5py's registered lzf filter id
+
+
+def _lzf_decompress(raw: bytes, max_out: int = 1 << 31) -> bytes:
+    """Decompress a libLZF stream (Marc Lehmann's public BSD format —
+    what h5py's lzf filter stores): control byte < 32 → literal run of
+    ctrl+1 bytes; otherwise a back-reference of (ctrl >> 5) + 2 bytes
+    (+ an extension byte when the 3-bit length saturates) at distance
+    ((ctrl & 0x1f) << 8 | next) + 1."""
+    out = bytearray()
+    i, n = 0, len(raw)
+    while i < n:
+        ctrl = raw[i]
+        i += 1
+        if ctrl < 32:  # literal run
+            run = ctrl + 1
+            if i + run > n:
+                raise ValueError("truncated LZF literal run")
+            out += raw[i : i + run]
+            i += run
+        else:  # back-reference
+            length = ctrl >> 5
+            if length == 7:
+                if i >= n:
+                    raise ValueError("truncated LZF length extension")
+                length += raw[i]
+                i += 1
+            if i >= n:
+                raise ValueError("truncated LZF back-reference")
+            dist = ((ctrl & 0x1F) << 8 | raw[i]) + 1
+            i += 1
+            if dist > len(out):
+                raise ValueError("LZF back-reference before stream start")
+            # overlapping copies are the repeat idiom — copy byte-wise
+            start = len(out) - dist
+            for j in range(length + 2):
+                out.append(out[start + j])
+        if len(out) > max_out:
+            raise ValueError("implausible LZF output size")
+    return bytes(out)
+
+
+def _lzf_compress(raw: bytes) -> bytes:
+    """Greedy libLZF-format compressor (fixture/writer half): 3-byte
+    hash table finds repeats within the 8 KiB window; emits literal
+    runs (≤32) and back-references (≤264 bytes).  Output decodes with
+    any conformant LZF decoder, including :func:`_lzf_decompress`."""
+    out = bytearray()
+    lit: bytearray = bytearray()
+    table: dict[bytes, int] = {}
+    i, n = 0, len(raw)
+
+    def flush_lit():
+        for k in range(0, len(lit), 32):
+            chunk = lit[k : k + 32]
+            out.append(len(chunk) - 1)
+            out.extend(chunk)
+        lit.clear()
+
+    while i < n:
+        if i + 3 <= n:
+            key = raw[i : i + 3]
+            ref = table.get(key)
+            table[key] = i
+            if ref is not None and i - ref <= 0x2000 and raw[ref : ref + 3] == key:
+                length = 3
+                maxlen = min(264, n - i)
+                while length < maxlen and raw[ref + length] == raw[i + length]:
+                    length += 1
+                flush_lit()
+                dist = i - ref - 1
+                enc_len = length - 2
+                if enc_len < 7:
+                    out.append((enc_len << 5) | (dist >> 8))
+                else:
+                    out.append((7 << 5) | (dist >> 8))
+                    out.append(enc_len - 7)
+                out.append(dist & 0xFF)
+                i += length
+                continue
+        lit.append(raw[i])
+        i += 1
+    flush_lit()
+    return bytes(out)
+
+
 def _defilter(raw: bytes, filters: list[tuple[int, list[int]]], mask: int) -> bytes:
     for i in range(len(filters) - 1, -1, -1):
         if mask & (1 << i):
@@ -652,6 +741,8 @@ def _defilter(raw: bytes, filters: list[tuple[int, list[int]]], mask: int) -> by
                 )
         elif fid == 3:  # fletcher32: payload + 4-byte checksum
             raw = raw[:-4]
+        elif fid == _LZF_FILTER:  # h5py lzf
+            raw = _lzf_decompress(raw)
         else:
             raise NotImplementedError(f"HDF5 filter id {fid} not supported")
     return raw
@@ -1718,10 +1809,14 @@ def write_hdf5(
                 filters.append((2, [arr.dtype.itemsize]))
             if opt.get("deflate") is not None:
                 filters.append((1, [int(opt["deflate"])]))
+            if opt.get("lzf"):
+                filters.append((_LZF_FILTER, []))
             if filters:
                 fbody = struct.pack("<BB6x", 1, len(filters))
                 for fid, vals in filters:
-                    fbody += struct.pack("<HHHH", fid, 0, 0, len(vals))
+                    # v1 filter descriptions name non-predefined filters
+                    name = b"lzf\x00\x00\x00\x00\x00" if fid >= 256 else b""
+                    fbody += struct.pack("<HHHH", fid, len(name), 0, len(vals)) + name
                     fbody += b"".join(struct.pack("<I", v) for v in vals)
                     if len(vals) % 2:
                         fbody += b"\x00" * 4
@@ -1753,6 +1848,8 @@ def write_hdf5(
                         )
                     elif fid == 1:
                         raw = zlib.compress(raw, vals[0])
+                    elif fid == _LZF_FILTER:
+                        raw = _lzf_compress(raw)
                 chunk_recs.append((offs, raw))
             index = opt.get("index", "btree1")
             if index == "btree1":

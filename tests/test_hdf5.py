@@ -374,10 +374,10 @@ def test_unsupported_structures_raise_clearly(tmp_path):
     # unknown filter id in the pipeline → NotImplementedError, not garbage
     from mini_project_204721_data_engineering_spark.sources.hdf5 import _defilter
 
-    with pytest.raises(NotImplementedError, match="filter id 32000"):
-        _defilter(b"xx", [(32000, [])], mask=0)
+    with pytest.raises(NotImplementedError, match="filter id 4"):
+        _defilter(b"xx", [(4, [])], mask=0)  # szip stays unsupported
     # masked-out filter is skipped
-    assert _defilter(b"xx", [(32000, [])], mask=1) == b"xx"
+    assert _defilter(b"xx", [(4, [])], mask=1) == b"xx"
 
 
 # ---- v4 chunk indexes (HDF5 >= 1.10 libver=latest writers) ---------------
@@ -593,3 +593,43 @@ def test_v4_index_grid_through_unified_decoder(tmp_path, index):
     a = netcdf_grid_to_long(open(h5, "rb").read())
     b = netcdf_grid_to_long(open(classic, "rb").read())
     pd.testing.assert_frame_equal(a, b)
+
+
+# ---- lzf filter (h5py's default lightweight compressor) -------------------
+
+
+def test_lzf_codec_roundtrip_and_known_vectors():
+    from mini_project_204721_data_engineering_spark.sources.hdf5 import (
+        _lzf_compress,
+        _lzf_decompress,
+    )
+
+    rng = np.random.RandomState(5)
+    for payload in (
+        b"",
+        b"a",
+        b"abcabcabcabcabcabcabc",          # overlapping back-refs (RLE idiom)
+        b"x" * 1000,                        # long run → length-extension byte
+        rng.bytes(4096),                    # incompressible
+        (b"0123456789" * 40) + rng.bytes(64) + (b"0123456789" * 40),
+    ):
+        assert _lzf_decompress(_lzf_compress(payload)) == payload
+    # hand-built stream: literal "ab", back-ref len 4 dist 2 → "ababab"
+    stream = bytes([1, ord("a"), ord("b"), (2 << 5) | 0, 1])
+    assert _lzf_decompress(stream) == b"ababab"
+    with pytest.raises(ValueError, match="before stream start"):
+        _lzf_decompress(bytes([(2 << 5), 5]))  # distance 6 into empty output
+    with pytest.raises(ValueError, match="truncated"):
+        _lzf_decompress(bytes([3, ord("a")]))  # literal run cut short
+
+
+def test_lzf_chunked_dataset_roundtrip(tmp_path):
+    """lzf-filtered chunks (optionally shuffled, and under a v4 index)
+    decode byte-identically — the h5py-written NetCDF-4 shape."""
+    rng = np.random.RandomState(23)
+    arr = (rng.uniform(0, 30, size=(5, 3, 4)) * 4).astype(np.float32)
+    for extra in ({}, {"shuffle": True}, {"index": "fixed"}):
+        opt = {"chunks": (2, 2, 3), "lzf": True, **extra}
+        p = str(tmp_path / f"lzf{len(extra)}.nc")
+        write_hdf5(p, datasets={"v": (arr, {})}, options={"v": opt}, flavor="v2")
+        np.testing.assert_array_equal(read_hdf5(p)["datasets"]["v"]["data"], arr)
