@@ -1,4 +1,4 @@
-"""Dependency-free legacy ``.xls`` (BIFF8) reader (S5 parity edge).
+"""Dependency-free legacy ``.xls`` (BIFF8 and BIFF5/7) reader (S5 parity edge).
 
 The reference's ``pd.ExcelFile`` (``/root/reference/backend/app/utils.py:475-485``)
 accepts both ``.xlsx`` and legacy ``.xls`` incident logs; the OOXML
@@ -8,12 +8,15 @@ two stacked public formats:
 - **OLE2 / Compound File Binary** (Microsoft's open-spec MS-CFB): a
   FAT-style container of named streams in 512-byte sectors, with a
   64-byte "mini stream" for small streams;
-- **BIFF8** (open-spec MS-XLS): the ``Workbook`` stream — a sequence of
-  (id, length, payload) records: one workbook-globals substream
-  (``SST`` shared strings, ``XF`` cell formats, ``FORMAT`` codes,
-  ``BOUNDSHEET`` directory) followed by one substream per sheet
-  (``LABELSST``/``NUMBER``/``RK``/``MULRK``/``LABEL``/``FORMULA``
-  cells).
+- **BIFF** (open-spec MS-XLS): the ``Workbook`` (BIFF8) or ``Book``
+  (BIFF5) stream — a sequence of (id, length, payload) records: one
+  workbook-globals substream (``SST`` shared strings in BIFF8, ``XF``
+  cell formats, ``FORMAT`` codes, ``BOUNDSHEET`` directory) followed by
+  one substream per sheet (``LABELSST``/``NUMBER``/``RK``/``MULRK``/
+  ``LABEL``/``RSTRING``/``FORMULA`` cells).  The BOF version routes the
+  two dialects: BIFF8 strings are SST/UTF-16; BIFF5 strings are inline
+  bytes decoded via the workbook ``CODEPAGE`` (cp874 for Thai-era
+  files).
 
 ``read_xls`` returns the same ``{sheet: DataFrame}`` shape as
 ``read_xlsx`` — header row promoted, date-formatted cells rendered as
@@ -249,8 +252,11 @@ def _rk_value(rk: int) -> float:
 
 
 def read_xls(source: str | bytes) -> dict[str, pd.DataFrame]:
-    """Read every sheet of a BIFF8 ``.xls`` into ``{name: DataFrame}``
-    with the same header-promotion semantics as ``read_xlsx``."""
+    """Read every sheet of a ``.xls`` into ``{name: DataFrame}`` with
+    the same header-promotion semantics as ``read_xlsx``.  Handles both
+    BIFF8 (Excel 97+: SST, UTF-16 strings) and BIFF5/7 (Excel 5.0/95:
+    inline LABEL/RSTRING byte strings decoded via the workbook's
+    CODEPAGE record — e.g. cp874 for Thai-era files)."""
     data = source if isinstance(source, bytes) else open(source, "rb").read()
     try:
         return _read_xls_stream(_cfb_stream(data, ("Workbook", "Book")))
@@ -260,7 +266,35 @@ def read_xls(source: str | bytes) -> dict[str, pd.DataFrame]:
         raise ValueError(f"corrupt or truncated .xls file: {e!r}") from e
 
 
+def _codepage_codec(cp: int) -> str:
+    """Windows codepage id → Python codec (874 Thai, 1252 Western, …);
+    unknown pages fall back to latin-1 (byte-preserving)."""
+    import codecs
+
+    if cp == 1200:
+        return "utf-16-le"
+    if cp == 10000:
+        return "mac-roman"
+    try:
+        codecs.lookup(f"cp{cp}")
+        return f"cp{cp}"
+    except LookupError:
+        return "latin-1"
+
+
 def _read_xls_stream(stream: bytes) -> dict[str, pd.DataFrame]:
+
+    # ---- BOF: route BIFF8 (Excel 97+) vs BIFF5/7 (Excel 5.0/95)
+    rid0, sz0 = struct.unpack_from("<HH", stream, 0)
+    if rid0 != 0x0809:
+        raise ValueError(f"workbook stream does not start with BOF (rid {rid0:#x})")
+    bof_ver = struct.unpack_from("<H", stream, 4)[0] if sz0 >= 2 else 0
+    biff5 = bof_ver < 0x0600
+    if bof_ver < 0x0500:
+        raise NotImplementedError(
+            f"BIFF version {bof_ver:#x} (< Excel 5.0) not supported"
+        )
+    enc = "latin-1"  # BIFF5 byte-string encoding until CODEPAGE arrives
 
     # ---- globals substream
     shared: list[str] = []
@@ -283,19 +317,28 @@ def _read_xls_stream(stream: bytes) -> dict[str, pd.DataFrame]:
         collecting_sst = False  # CONTINUEs after another record aren't SST's
         if rid == 0x0022:
             date1904 = bool(struct.unpack_from("<H", payload, 0)[0])
-        elif rid == 0x041E:  # FORMAT: ifmt + unicode code string
+        elif rid == 0x0042:  # CODEPAGE: byte-string encoding (BIFF5 path)
+            enc = _codepage_codec(struct.unpack_from("<H", payload, 0)[0])
+        elif rid == 0x041E:  # FORMAT: ifmt + code string
             ifmt = struct.unpack_from("<H", payload, 0)[0]
-            cch = struct.unpack_from("<H", payload, 2)[0]
-            cur = _SegCursor([payload[4:]])
-            custom_fmt[ifmt] = cur.chars(cch, bool(cur.u8() & 1))
-        elif rid == 0x00E0:  # XF
+            if biff5:  # 1-byte length + codepage bytes
+                cch = payload[2]
+                custom_fmt[ifmt] = payload[3 : 3 + cch].decode(enc, "replace")
+            else:
+                cch = struct.unpack_from("<H", payload, 2)[0]
+                cur = _SegCursor([payload[4:]])
+                custom_fmt[ifmt] = cur.chars(cch, bool(cur.u8() & 1))
+        elif rid == 0x00E0:  # XF (ifmt at offset 2 in BIFF5 and BIFF8)
             xf_ifmt.append(struct.unpack_from("<H", payload, 2)[0])
         elif rid == 0x0085:  # BOUNDSHEET
             lb_pos = struct.unpack_from("<I", payload, 0)[0]
             cch = payload[6]
-            high = bool(payload[7] & 1)
-            raw = payload[8 : 8 + cch * (2 if high else 1)]
-            name = raw.decode("utf-16-le" if high else "latin-1", "replace")
+            if biff5:  # 8-bit name in the workbook codepage
+                name = payload[7 : 7 + cch].decode(enc, "replace")
+            else:
+                high = bool(payload[7] & 1)
+                raw = payload[8 : 8 + cch * (2 if high else 1)]
+                name = raw.decode("utf-16-le" if high else "latin-1", "replace")
             sheets.append((name, lb_pos))
     if sst_segments:
         shared = _parse_sst(sst_segments)
@@ -335,10 +378,13 @@ def _read_xls_stream(stream: bytes) -> dict[str, pd.DataFrame]:
                 for k in range(n):
                     ixfe, rk = struct.unpack_from("<HI", payload, 4 + 6 * k)
                     cells[(rw, col0 + k)] = cell_number(_rk_value(rk), ixfe)
-            elif rid == 0x0204:  # LABEL (inline string)
+            elif rid in (0x0204, 0x00D6):  # LABEL / RSTRING (inline string)
                 rw, col, _ixfe, cch = struct.unpack_from("<HHHH", payload, 0)
-                cur = _SegCursor([payload[8:]])
-                cells[(rw, col)] = cur.chars(cch, bool(cur.u8() & 1))
+                if biff5:  # codepage bytes (RSTRING's runs follow — ignored)
+                    cells[(rw, col)] = payload[8 : 8 + cch].decode(enc, "replace")
+                else:
+                    cur = _SegCursor([payload[8:]])
+                    cells[(rw, col)] = cur.chars(cch, bool(cur.u8() & 1))
             elif rid == 0x0205:  # BOOLERR
                 rw, col, _ixfe = struct.unpack_from("<HHH", payload, 0)
                 val, is_err = payload[6], payload[7]
@@ -356,8 +402,11 @@ def _read_xls_stream(stream: bytes) -> dict[str, pd.DataFrame]:
                     cells[(rw, col)] = cell_number(f, ixfe)
             elif rid == 0x0207 and pending_formula is not None:  # STRING
                 cch = struct.unpack_from("<H", payload, 0)[0]
-                cur = _SegCursor([payload[2:]])
-                cells[pending_formula] = cur.chars(cch, bool(cur.u8() & 1))
+                if biff5:
+                    cells[pending_formula] = payload[2 : 2 + cch].decode(enc, "replace")
+                else:
+                    cur = _SegCursor([payload[2:]])
+                    cells[pending_formula] = cur.chars(cch, bool(cur.u8() & 1))
                 pending_formula = None
         if not cells:
             out[name] = pd.DataFrame()
@@ -388,10 +437,20 @@ def write_xls(
     path: str,
     sheets: dict[str, list[list]],
     date_cols: dict[str, list[int]] | None = None,
+    biff: int = 8,
+    codepage: int = 874,
 ) -> None:
-    """Write a minimal BIFF8 workbook: strings via SST (UTF-16 — Thai
-    headers round-trip), numbers as NUMBER records, ``date_cols``
-    columns (by sheet, data rows only) as date-formatted serials."""
+    """Write a minimal workbook: BIFF8 (default — strings via SST,
+    UTF-16, Thai headers round-trip) or BIFF5 (Excel 5.0/95 fixture
+    shape: inline LABEL byte strings in ``codepage``, 8-bit sheet
+    names, CODEPAGE record) — the writer half of the BIFF5 reader
+    round-trip.  Numbers as NUMBER records, ``date_cols`` columns (by
+    sheet, data rows only) as date-formatted serials."""
+    if biff not in (5, 8):
+        raise ValueError(f"biff must be 5 or 8, got {biff}")
+    biff5 = biff == 5
+    bof_ver = 0x0500 if biff5 else 0x0600
+    enc = _codepage_codec(codepage)
     date_cols = date_cols or {}
     strings: list[str] = []
     sst_index: dict[str, int] = {}
@@ -404,14 +463,20 @@ def write_xls(
 
     sheet_streams: list[bytes] = []
     for name, grid in sheets.items():
-        body = _rec(0x0809, struct.pack("<HHHHII", 0x0600, 0x0010, 0, 0, 0, 0))
+        body = _rec(0x0809, struct.pack("<HHHHII", bof_ver, 0x0010, 0, 0, 0, 0))
         dcols = set(date_cols.get(name, ()))
         for r, row in enumerate(grid):
             for c, v in enumerate(row):
                 if v is None:
                     continue
                 if isinstance(v, str):
-                    body += _rec(0x00FD, struct.pack("<HHHI", r, c, 0, isst(v)))
+                    if biff5:  # inline LABEL, codepage bytes
+                        vb = v.encode(enc)
+                        body += _rec(
+                            0x0204, struct.pack("<HHHH", r, c, 0, len(vb)) + vb
+                        )
+                    else:
+                        body += _rec(0x00FD, struct.pack("<HHHI", r, c, 0, isst(v)))
                 elif isinstance(v, bool):
                     body += _rec(0x0205, struct.pack("<HHHBB", r, c, 0, int(v), 0))
                 else:
@@ -445,34 +510,46 @@ def write_xls(
             segments[-1] += data[:take]
             data = data[take:]
 
-    globals_body = _rec(0x0809, struct.pack("<HHHHII", 0x0600, 0x0005, 0, 0, 0, 0))
+    globals_body = _rec(0x0809, struct.pack("<HHHHII", bof_ver, 0x0005, 0, 0, 0, 0))
     globals_body += _rec(0x0022, struct.pack("<H", 0))
-    globals_body += _rec(0x041E, struct.pack("<H", 164) + _ustr("yyyy\\-mm\\-dd"))
+    fmt_code = "yyyy\\-mm\\-dd"
+    if biff5:
+        globals_body += _rec(0x0042, struct.pack("<H", codepage))
+        fb = fmt_code.encode(enc)
+        globals_body += _rec(0x041E, struct.pack("<HB", 164, len(fb)) + fb)
+    else:
+        globals_body += _rec(0x041E, struct.pack("<H", 164) + _ustr(fmt_code))
     globals_body += _rec(0x00E0, struct.pack("<HH", 0, 0) + b"\x00" * 16)  # XF 0: general
     globals_body += _rec(0x00E0, struct.pack("<HH", 0, 164) + b"\x00" * 16)  # XF 1: date
-    globals_body += _rec(0x00FC, bytes(segments[0]))
-    for seg in segments[1:]:
-        globals_body += _rec(0x003C, bytes(seg))
+    if not biff5:
+        globals_body += _rec(0x00FC, bytes(segments[0]))
+        for seg in segments[1:]:
+            globals_body += _rec(0x003C, bytes(seg))
 
     # BOUNDSHEET offsets need the final globals length — two passes
-    bs_len = sum(
-        4 + 8 + len(n.encode("utf-16-le")) for n in sheets
-    )
+    if biff5:
+        bs_len = sum(4 + 7 + len(n.encode(enc)) for n in sheets)
+    else:
+        bs_len = sum(4 + 8 + len(n.encode("utf-16-le")) for n in sheets)
     globals_len = len(globals_body) + bs_len + 4  # + EOF
     offsets, acc = [], globals_len
     for body in sheet_streams:
         offsets.append(acc)
         acc += len(body)
     for (name, _), off in zip(sheets.items(), offsets):
-        nb = name.encode("utf-16-le")
-        globals_body += _rec(0x0085, struct.pack("<IHBB", off, 0, len(name), 1) + nb)
+        if biff5:
+            nb = name.encode(enc)
+            globals_body += _rec(0x0085, struct.pack("<IHB", off, 0, len(nb)) + nb)
+        else:
+            nb = name.encode("utf-16-le")
+            globals_body += _rec(0x0085, struct.pack("<IHBB", off, 0, len(name), 1) + nb)
     globals_body += _rec(0x000A, b"")
     assert len(globals_body) == globals_len
 
     stream = globals_body + b"".join(sheet_streams)
     if len(stream) < 4096:
         stream += b"\x00" * (4096 - len(stream))  # stay out of the mini-stream
-    _write_cfb(path, "Workbook", stream)
+    _write_cfb(path, "Book" if biff5 else "Workbook", stream)
 
 
 def _write_cfb(path: str, stream_name: str, stream: bytes) -> None:

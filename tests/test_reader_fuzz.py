@@ -158,3 +158,22 @@ def test_hdf5_v4_fixture_still_reads(hdf5_v4_bytes):
     out = read_hdf5(hdf5_v4_bytes)
     assert out["datasets"]["fa"]["data"].shape == (10, 4)
     assert out["datasets"]["ea"]["data"].shape == (12, 4)
+
+
+@pytest.fixture(scope="module")
+def xls5_bytes(tmp_path_factory) -> bytes:
+    p = str(tmp_path_factory.mktemp("fuzz") / "old.xls")
+    write_xls(
+        p, {"S": [["a", "b"], ["กรุงเทพ", 1.5], ["y", 2.0]]},
+        date_cols={"S": [1]}, biff=5, codepage=874,
+    )
+    return open(p, "rb").read()
+
+
+@settings(max_examples=120, deadline=2000, suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(frac=st.floats(0.0, 1.0), flip_frac=st.floats(0.0, 1.0), flip_to=st.integers(0, 255))
+def test_xls_biff5_fuzz(xls5_bytes, frac, flip_frac, flip_to):
+    from mini_project_204721_data_engineering_spark.sources.xls import read_xls
+
+    cut = int(len(xls5_bytes) * frac)
+    _fuzz(read_xls, xls5_bytes, cut, int(cut * flip_frac), flip_to)

@@ -169,3 +169,62 @@ def test_not_cfb_rejected(tmp_path):
     open(p, "wb").write(b"PK\x03\x04" + b"\x00" * 100)
     with pytest.raises(ValueError, match="OLE2/CFB"):
         read_xls(p)
+
+
+# ---- BIFF5 (Excel 5.0/95) -------------------------------------------------
+
+
+def test_biff5_roundtrip_thai_codepage(tmp_path):
+    """BIFF5 workbook ('Book' stream, inline cp874 LABELs, 8-bit sheet
+    names): Thai strings, numbers, and dates round-trip through the same
+    reader that handles BIFF8 — the BOF version routes the dialect."""
+    p = str(tmp_path / "old.xls")
+    write_xls(
+        p,
+        {
+            "ข้อมูล": [
+                ["name", "qty", "Disaster Date"],
+                ["กรุงเทพ", 3, 45108.0],
+                ["เชียงใหม่", 0, 45109.5],
+            ],
+        },
+        date_cols={"ข้อมูล": [2]},
+        biff=5,
+        codepage=874,
+    )
+    sheets = read_xls(p)
+    assert list(sheets) == ["ข้อมูล"]
+    df = sheets["ข้อมูล"]
+    assert df["name"].tolist() == ["กรุงเทพ", "เชียงใหม่"]
+    assert df["qty"].tolist() == [3, 0]
+    assert df["Disaster Date"].tolist() == ["2023-07-01", "2023-07-02 12:00:00"]
+
+
+def test_biff5_equals_biff8_through_normalization(tmp_path):
+    """The same incident grid written as BIFF5 and BIFF8 yields
+    identical DataFrames — dialect is invisible downstream."""
+    grid = {
+        "Sheet1": [
+            ["Province", "Qty"],
+            ["Chiang Mai", 5],
+            ["Lamphun", 2.5],
+        ]
+    }
+    p5, p8 = str(tmp_path / "b5.xls"), str(tmp_path / "b8.xls")
+    write_xls(p5, grid, biff=5, codepage=1252)
+    write_xls(p8, grid, biff=8)
+    import pandas as pd
+
+    pd.testing.assert_frame_equal(read_xls(p5)["Sheet1"], read_xls(p8)["Sheet1"])
+
+
+def test_pre_biff5_raises_clearly(tmp_path):
+    """A BIFF4-era BOF version fails with the honest unsupported error,
+    not a garbage parse."""
+    import struct
+
+    from mini_project_204721_data_engineering_spark.sources.xls import _read_xls_stream
+
+    stream = struct.pack("<HH", 0x0809, 8) + struct.pack("<HHHH", 0x0400, 0x0005, 0, 0)
+    with pytest.raises(NotImplementedError, match="BIFF version"):
+        _read_xls_stream(stream)
