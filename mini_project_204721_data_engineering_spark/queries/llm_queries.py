@@ -1116,9 +1116,77 @@ FROM ranked WHERE exemplar_rank <= 3
 """
 
 
+def trim_duplicate_spans_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The APPLY side of exact-substring dedup oracle-checked end-to-end
+    (llm/dedup.py::trim_duplicate_spans): every doc that has a duplicate
+    span comes back with the span tokens removed and the text
+    reassembled — the whole spans→trim chain mirrored in DuckDB (nested
+    list_filter lambdas), not just the span positions."""
+    from mini_project_204721_data_engineering_spark.llm.dedup import (
+        duplicate_spans,
+        trim_duplicate_spans,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    spans = duplicate_spans(docs, k=8)
+    trimmed = trim_duplicate_spans(docs, spans)
+    return (
+        trimmed.join(spans.select("doc_id").distinct(), "doc_id")
+        .select(
+            "doc_id",
+            F.col("text").alias("trimmed_text"),
+            F.when(F.length("text") == 0, F.lit(0))
+            .otherwise(F.size(F.split("text", " ")))
+            .cast("long")
+            .alias("n_kept_tokens"),
+        )
+    )
+
+
+TRIM_DUPLICATE_SPANS_SQL = r"""
+WITH toks AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t FROM documents
+),
+g AS (
+  SELECT doc_id,
+         unnest(range(1, greatest(len(t) - 6, 1))) - 1 AS pos,
+         unnest(list_transform(range(1, greatest(len(t) - 6, 1)),
+                i -> array_to_string(t[i:i+7], ' '))) AS gram
+  FROM toks WHERE len(t) >= 8
+),
+hot AS (SELECT gram FROM g GROUP BY gram HAVING count(*) > 1),
+m AS (SELECT g.doc_id, g.pos FROM g JOIN hot USING (gram)),
+isl AS (
+  SELECT doc_id, pos,
+         CASE WHEN lag(pos) OVER w IS NULL OR pos - lag(pos) OVER w > 8
+              THEN 1 ELSE 0 END AS brk
+  FROM m WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+),
+grp AS (
+  SELECT doc_id, pos,
+         sum(brk) OVER (PARTITION BY doc_id ORDER BY pos
+                        ROWS UNBOUNDED PRECEDING) AS island
+  FROM isl
+),
+spans AS (
+  SELECT doc_id, min(pos) AS s, max(pos) + 8 AS e FROM grp GROUP BY doc_id, island
+),
+ds AS (SELECT doc_id, list([s, e]) AS sp FROM spans GROUP BY doc_id)
+SELECT t.doc_id,
+       coalesce(array_to_string(
+         list_filter(t.t, (tok, i) ->
+           len(list_filter(ds.sp, p -> (i - 1) >= p[1] AND (i - 1) < p[2])) = 0),
+         ' '), '') AS trimmed_text,
+       CAST(len(list_filter(t.t, (tok, i) ->
+           len(list_filter(ds.sp, p -> (i - 1) >= p[1] AND (i - 1) < p[2])) = 0)) AS BIGINT) AS n_kept_tokens
+FROM toks t JOIN ds USING (doc_id)
+"""
+
+
 EXTRA_QUERIES = {
     "source_exemplars": source_exemplars,
     "duplicate_spans": duplicate_spans_q,
+    "trim_duplicate_spans": trim_duplicate_spans_q,
     "dedup_clusters": dedup_clusters,
     "lsh_jaccard_verified_dups": lsh_jaccard_verified_dups,
     "text_repetition": text_repetition,
@@ -1135,6 +1203,7 @@ EXTRA_QUERIES = {
 EXTRA_ORACLES = {
     "source_exemplars": SOURCE_EXEMPLARS_SQL,
     "duplicate_spans": DUPLICATE_SPANS_SQL,
+    "trim_duplicate_spans": TRIM_DUPLICATE_SPANS_SQL,
     "dedup_clusters": DEDUP_CLUSTERS_SQL,
     "lsh_jaccard_verified_dups": LSH_JACCARD_VERIFIED_SQL,
     "text_repetition": TEXT_REPETITION_SQL,
