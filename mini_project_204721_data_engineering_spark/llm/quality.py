@@ -156,6 +156,21 @@ def chunk_text(docs: DataFrame, window: int = 64, overlap: int = 16) -> DataFram
     )
 
 
+def _ranked_token_counts(counts: DataFrame, rank_partitions: int) -> DataFrame:
+    """Phase 1 of the two-phase rank: range-partition on the unique sort
+    key and row_number WITHIN each range bucket — a keyed window, never
+    a partition-less (single-partition) one.  Split out so tests can
+    assert the pre-checkpoint plan shape."""
+    from pyspark.sql.window import Window
+
+    sort_cols = [F.col("n_occurrences").desc(), F.col("token").asc()]
+    ranged = counts.repartitionByRange(rank_partitions, *sort_cols).withColumn(
+        "__pid", F.spark_partition_id()
+    )
+    w = Window.partitionBy("__pid").orderBy(*sort_cols)
+    return ranged.withColumn("__lrank", F.row_number().over(w))
+
+
 def build_vocab(
     docs: DataFrame, top_n: int = 1000, rank_partitions: int = 32
 ) -> DataFrame:
@@ -185,14 +200,7 @@ def build_vocab(
         .groupBy("token")
         .agg(F.count(F.lit(1)).alias("n_occurrences"))
     )
-    sort_cols = [F.col("n_occurrences").desc(), F.col("token").asc()]
-    ranged = counts.repartitionByRange(rank_partitions, *sort_cols).withColumn(
-        "__pid", F.spark_partition_id()
-    )
-    w = Window.partitionBy("__pid").orderBy(*sort_cols)
-    local = ranged.withColumn("__lrank", F.row_number().over(w)).localCheckpoint(
-        eager=True
-    )
+    local = _ranked_token_counts(counts, rank_partitions).localCheckpoint(eager=True)
     sizes = {
         r["__pid"]: r["__n"]
         for r in local.groupBy("__pid").agg(F.count(F.lit(1)).alias("__n")).collect()

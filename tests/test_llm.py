@@ -759,3 +759,33 @@ def test_build_vocab_two_phase_matches_single_partition_rank(spark):
             for r in build_vocab(docs, top_n=5, rank_partitions=nparts).collect()
         )
         assert got == sorted(expect), nparts
+
+
+def test_build_vocab_window_is_keyed_not_global(spark):
+    """VERDICT r6 #6 done-criterion: vocab induction's ranking window is
+    PARTITIONED (by the range-bucket id), never the partition-less
+    single-partition window that stragglers at 10^7-10^8 distinct
+    tokens.  Asserted on the pre-checkpoint plan (the checkpoint
+    truncates lineage on the public API's return value)."""
+    import re
+
+    from mini_project_204721_data_engineering_spark.llm.quality import (
+        _ranked_token_counts,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "a b c a b"), (2, "b d e")], "doc_id long, text string"
+    )
+    counts = (
+        docs.select(F.explode(F.split("text", " ")).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("n_occurrences"))
+    )
+    plan = (
+        _ranked_token_counts(counts, 4)._jdf.queryExecution().optimizedPlan().toString()
+    )
+    windows = [l for l in plan.splitlines() if "Window [" in l]
+    assert len(windows) == 1
+    # partition spec present: windowspecdefinition(__pid, ...) — a global
+    # window would have the sort order as its first argument instead
+    assert re.search(r"windowspecdefinition\(__pid#\d+", windows[0])

@@ -71,11 +71,12 @@ def timed(name, fn, out):
 def main() -> None:
     mode = "events"
     args = [a for a in sys.argv[1:]]
-    if args and args[0] in ("events", "docs", "ann", "srp", "cc", "spans"):
+    if args and args[0] in ("events", "docs", "ann", "srp", "cc", "spans", "vocab"):
         mode = args.pop(0)
     n = int(args[0]) if args else {
         "events": 10_000_000, "docs": 1_000_000, "ann": 1_000_000,
         "srp": 1_000_000, "cc": 1_000_000, "spans": 200_000,
+        "vocab": 5_000_000,
     }[mode]
     from mini_project_204721_data_engineering_spark.session import get_spark
 
@@ -83,7 +84,7 @@ def main() -> None:
     out: list[dict] = []
     if mode != "events":
         {"docs": probe_docs, "ann": probe_ann, "srp": probe_srp, "cc": probe_cc,
-         "spans": probe_spans}[mode](spark, n, out)
+         "spans": probe_spans, "vocab": probe_vocab}[mode](spark, n, out)
         total = round(sum(r["sec"] for r in out), 3)
         print(json.dumps({"metric": f"scale_probe_{mode}_total", "value": total,
                           "unit": "sec", "n_rows": n,
@@ -340,6 +341,43 @@ def probe_spans(spark, n: int, out: list) -> None:
 
     timed("duplicate_spans_hashed", spans(True), out)
     timed("duplicate_spans_strings", spans(False), out)
+
+
+def probe_vocab(spark, n: int, out: list) -> None:
+    """Two-phase vocab rank (r6 #6) vs the single-partition global
+    window it replaced, at n DISTINCT tokens (the straggler axis: a
+    100 TB corpus has 1e7-1e8 distinct tokens).  Both variants consume
+    sum(rank) = n(n+1)/2, so neither can dead-code the window."""
+    from mini_project_204721_data_engineering_spark.llm.quality import (
+        _ranked_token_counts,
+    )
+
+    counts = (
+        spark.range(n)
+        .select(
+            F.concat(F.lit("w"), F.col("id")).alias("token"),
+            (F.pmod(F.xxhash64(F.col("id")), F.lit(1000)) + 1001).alias("n_occurrences"),
+        )
+        .localCheckpoint(eager=True)
+    )
+
+    def two_phase():
+        return (
+            _ranked_token_counts(counts, 32).agg(F.sum("__lrank")).collect()[0][0]
+        )
+
+    def global_window():
+        from pyspark.sql.window import Window
+
+        w = Window.orderBy(F.col("n_occurrences").desc(), F.col("token").asc())
+        return (
+            counts.withColumn("r", F.row_number().over(w))
+            .agg(F.sum("r"))
+            .collect()[0][0]
+        )
+
+    timed("vocab_rank_two_phase", two_phase, out)
+    timed("vocab_rank_global_window", global_window, out)
 
 
 def probe_cc(spark, n: int, out: list) -> None:
