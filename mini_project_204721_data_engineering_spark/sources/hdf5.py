@@ -17,9 +17,10 @@ bounded.  This module is a clean-room reader of that subset:
 - dataset layouts: compact, contiguous, and chunked via every index a
   netCDF-4 writer emits — the v3 v1-B-tree index and the v4 indexes of
   HDF5 >= 1.10 ``libver=latest`` files: Single Chunk, Implicit, Fixed
-  Array (paged and not), and Extensible Array (index block, super
-  blocks, paged data blocks).  Only the v2-B-tree chunk index (type 5,
-  requires >1 unlimited dimension — not a netCDF grid shape) raises;
+  Array (paged and not), Extensible Array (index block, super blocks,
+  paged data blocks), and the v2-B-tree chunk index (type 5, records
+  10/11 — the >1-unlimited-dimension shape), i.e. every defined chunk
+  index;
 - filter pipeline: deflate (stdlib zlib), shuffle, fletcher32 — the
   exact pipeline CHIRPS-style files use (``shuffle+deflate``) — plus
   lzf (h5py's default lightweight compressor, clean-room libLZF codec);
@@ -1120,11 +1121,31 @@ def _chunk_entries(h: _H5, meta: dict):
                 if i >= nchunks:
                     raise ValueError("Extensible Array chunk index out of range")
                 entries.append((_grid_offsets(i, grid, chunk), nbytes, mask, caddr))
+    elif idx_type == 5:  # v2 B-tree chunk index (>1 unlimited dim)
+        # index data: node size(4), split %(1), merge %(1), then addr
+        addr = _u(layout, p + 6, h.offs)
+        if addr != _UNDEF:
+            btype = h.data[addr + 5]  # 10 = non-filtered, 11 = filtered
+            if btype not in (10, 11):
+                raise ValueError(f"unexpected v2 B-tree record type {btype} for chunks")
+            for rec in _btree_v2_records(h, addr):
+                caddr = _u(rec, 0, h.offs)
+                if btype == 10:
+                    nbytes, mask, off_pos = chunk_nbytes, 0, h.offs
+                else:  # addr + size (variable width) + filter mask + offsets
+                    size_len = len(rec) - h.offs - 4 - 8 * rank
+                    if size_len < 1:
+                        raise ValueError("corrupt v2 B-tree chunk record size")
+                    nbytes = _u(rec, h.offs, size_len)
+                    mask = _u(rec, h.offs + size_len, 4)
+                    off_pos = h.offs + size_len + 4
+                scaled = [_u(rec, off_pos + 8 * i, 8) for i in range(rank)]
+                offs_t = tuple(s * c for s, c in zip(scaled, chunk))
+                if any(o >= s for o, s in zip(offs_t, shape)):
+                    raise ValueError("v2 B-tree chunk offset out of range")
+                entries.append((offs_t, nbytes, mask, caddr))
     else:
-        raise NotImplementedError(
-            f"chunk index type {idx_type} not supported (v2 B-tree chunk "
-            "indexes appear only with >1 unlimited dimension)"
-        )
+        raise NotImplementedError(f"chunk index type {idx_type} not supported")
     meta["_chunks"] = (chunk, entries)
     return meta["_chunks"]
 
@@ -1898,6 +1919,32 @@ def write_hdf5(
                     cp = tuple(opt.get("earray_params", (32, 4, 4, 16, 10)))
                     ea = _write_ext_array(alloc, buf, raws, bool(filters), cp)
                     body = b"\x04" + bytes(cp) + struct.pack("<Q", ea)
+                elif index == "btree2":
+                    recs = []
+                    for offs, raw in chunk_recs:
+                        if raw is None:
+                            continue  # never-written chunk: absent from tree
+                        a = alloc(raw)
+                        rec = struct.pack("<Q", a)
+                        if filters:
+                            rec += struct.pack("<II", len(raw), 0)
+                        rec += b"".join(
+                            struct.pack("<Q", o // c) for o, c in zip(offs, chunks)
+                        )
+                        recs.append(rec)
+                    btype = 11 if filters else 10
+                    rec_size = len(recs[0]) if recs else 8 + 8 * len(chunks)
+                    btlf = b"BTLF" + struct.pack("<BB", 0, btype)
+                    btlf += b"".join(recs) + struct.pack("<I", 0)
+                    root = alloc(btlf)
+                    bthd = b"BTHD" + struct.pack(
+                        "<BBIHHBB", 0, btype, 2048, rec_size, 0, 100, 40
+                    )
+                    bthd += struct.pack("<QH", root, len(recs))
+                    bthd += struct.pack("<Q", len(recs)) + struct.pack("<I", 0)
+                    bt = alloc(bthd)
+                    body = b"\x05" + struct.pack("<IBB", 2048, 100, 40)
+                    body += struct.pack("<Q", bt)
                 else:
                     raise ValueError(f"unknown chunk index {index!r}")
                 lay = struct.pack("<BBBBB", 4, 2, flags, len(arr.shape) + 1, 8)

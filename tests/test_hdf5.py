@@ -383,7 +383,7 @@ def test_unsupported_structures_raise_clearly(tmp_path):
 # ---- v4 chunk indexes (HDF5 >= 1.10 libver=latest writers) ---------------
 
 
-@pytest.mark.parametrize("index", ["implicit", "fixed", "earray"])
+@pytest.mark.parametrize("index", ["implicit", "fixed", "earray", "btree2"])
 @pytest.mark.parametrize("filtered", [False, True])
 def test_v4_chunk_index_roundtrip(tmp_path, index, filtered):
     """Implicit / Fixed Array / Extensible Array chunk indexes decode
@@ -490,7 +490,7 @@ def test_ext_array_super_blocks_and_paged_data_blocks(tmp_path):
         np.testing.assert_array_equal(read_hdf5(p)["datasets"]["v"]["data"], arr)
 
 
-@pytest.mark.parametrize("index", ["fixed", "earray", "implicit"])
+@pytest.mark.parametrize("index", ["fixed", "earray", "implicit", "btree2"])
 def test_v4_index_slab_streaming_equals_eager(tmp_path, index):
     """The slab-streamed reader path (the 100 TB shape: one time-slab
     in memory at a time) decodes v4-indexed files identically to the
@@ -633,3 +633,25 @@ def test_lzf_chunked_dataset_roundtrip(tmp_path):
         p = str(tmp_path / f"lzf{len(extra)}.nc")
         write_hdf5(p, datasets={"v": (arr, {})}, options={"v": opt}, flavor="v2")
         np.testing.assert_array_equal(read_hdf5(p)["datasets"]["v"]["data"], arr)
+
+
+def test_btree2_index_fill_chunks(tmp_path):
+    """v2-B-tree chunk index with never-written chunks: records absent
+    from the tree read as the declared fill value."""
+    arr = np.full((4, 3), -1.0, dtype=np.float64)
+    arr[1, :] = [4.0, 5.0, 6.0]
+    p = str(tmp_path / "bt2f.nc")
+    write_hdf5(
+        p,
+        datasets={"v": (arr, {})},
+        options={
+            "v": {
+                "chunks": (1, 3),
+                "index": "btree2",
+                "fill": -1.0,
+                "omit_fill_chunks": True,
+            }
+        },
+        flavor="v2",
+    )
+    np.testing.assert_array_equal(read_hdf5(p)["datasets"]["v"]["data"], arr)
