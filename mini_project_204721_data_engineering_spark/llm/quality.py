@@ -96,7 +96,8 @@ def repetition_stats(
 
 
 def contaminated_docs(
-    docs: DataFrame, benchmark: DataFrame, n: int = 8
+    docs: DataFrame, benchmark: DataFrame, n: int = 8,
+    bloom_fpp: float | None = None,
 ) -> DataFrame:
     """Benchmark decontamination: corpus documents sharing at least one
     word ``n``-gram with any benchmark document, with the count of
@@ -106,7 +107,21 @@ def contaminated_docs(
 
     Both inputs need ``doc_id`` and ``text``.  Returns
     ``(doc_id, n_shared_grams)`` for contaminated corpus docs only.
-    """
+
+    ``bloom_fpp=None`` (default): the benchmark gram set is DISTINCT'd
+    and broadcast — right whenever the eval suite fits an executor.
+    ``bloom_fpp=0.01``-style: the scale path for a benchmark set whose
+    raw gram strings outgrow broadcast — a SPLIT-BLOCK Bloom filter
+    (the parquet SBBF idea: one 64-bit word per block, 8 bits set per
+    gram from its second hash) is built as a tiny (word_idx, bits)
+    DataFrame via ``bit_or`` aggregation — pure codegen, nothing ever
+    collected to the driver — and broadcast-joined against the corpus
+    gram stream on the 8-byte word index as a pre-filter.  The bloom
+    table is n_bits/8 bytes (~25-50× smaller than the gram strings it
+    stands for), so broadcastability extends by that factor; only the
+    ~fpp-sized survivor set reaches the exact verify join, which then
+    runs as an ordinary shuffle join.  Output is IDENTICAL either way —
+    the bloom only prunes, the exact join decides."""
     def grams(df: DataFrame) -> DataFrame:
         # array_distinct BEFORE explode = per-doc gram dedup with no shuffle
         return df.select(
@@ -114,9 +129,47 @@ def contaminated_docs(
         ).select("doc_id", F.explode(F.array_distinct(shingles("toks", n))).alias("g"))
 
     bench_grams = grams(benchmark).select("g").distinct()
+    if bloom_fpp is None:
+        return (
+            grams(docs)
+            .join(F.broadcast(bench_grams), "g")
+            .groupBy("doc_id")
+            .agg(F.count(F.lit(1)).alias("n_shared_grams"))
+        )
+    import math
+
+    if not 0 < bloom_fpp < 1:
+        raise ValueError(f"bloom_fpp must be in (0, 1), got {bloom_fpp}")
+    n_items = max(1, bench_grams.count())
+    n_bits = max(64, int(-n_items * math.log(bloom_fpp) / (math.log(2) ** 2)))
+    n_words = (n_bits + 63) // 64
+    # 8 bit positions per gram, 6 bits each from the second hash — the
+    # split-block construction keeps both build and probe one word wide
+    mask_sql = "|".join(
+        f"shiftleft(1L, cast((__h2 >> {6 * i}) & 63 AS INT))" for i in range(8)
+    )
+
+    def blocked(df: DataFrame) -> DataFrame:
+        return (
+            df.withColumn("__h2", F.xxhash64("g", F.lit(1337)))
+            .withColumn("__word", F.pmod(F.xxhash64("g"), F.lit(n_words)))
+            .withColumn("__mask", F.expr(mask_sql))
+            .drop("__h2")
+        )
+
+    bloom_words = (
+        blocked(bench_grams)
+        .groupBy("__word")
+        .agg(F.expr("bit_or(__mask)").alias("__bits"))
+    )
+    candidates = (
+        blocked(grams(docs))
+        .join(F.broadcast(bloom_words), "__word")
+        .filter(F.expr("(__bits & __mask) = __mask"))
+        .select("doc_id", "g")
+    )
     return (
-        grams(docs)
-        .join(F.broadcast(bench_grams), "g")
+        candidates.join(bench_grams, "g")
         .groupBy("doc_id")
         .agg(F.count(F.lit(1)).alias("n_shared_grams"))
     )

@@ -789,3 +789,28 @@ def test_build_vocab_window_is_keyed_not_global(spark):
     # partition spec present: windowspecdefinition(__pid, ...) — a global
     # window would have the sort order as its first argument instead
     assert re.search(r"windowspecdefinition\(__pid#\d+", windows[0])
+
+
+def test_contaminated_docs_bloom_path_equals_broadcast(spark):
+    """The bloom-prefilter scale path (benchmark too big to broadcast)
+    returns IDENTICAL contamination results to the broadcast path — the
+    bloom only prunes, the exact join decides — and its plan contains
+    might_contain as a map-side filter."""
+    from mini_project_204721_data_engineering_spark.llm.quality import (
+        contaminated_docs,
+    )
+
+    docs = load_table(spark, SF, "documents")
+    bench = docs.filter(F.col("doc_id") % 37 == 0).select(
+        F.col("doc_id").alias("doc_id"), "text"
+    )
+    broadcast = {
+        (r["doc_id"], r["n_shared_grams"])
+        for r in contaminated_docs(docs, bench, n=8).collect()
+    }
+    bloomed_df = contaminated_docs(docs, bench, n=8, bloom_fpp=0.01)
+    bloomed = {(r["doc_id"], r["n_shared_grams"]) for r in bloomed_df.collect()}
+    assert bloomed == broadcast and len(broadcast) > 0
+    plan = bloomed_df._jdf.queryExecution().optimizedPlan().toString()
+    assert "bitor" in plan.lower() or "bit_or" in plan.lower()  # bloom build
+    assert "__mask" in plan  # word-level membership probe
