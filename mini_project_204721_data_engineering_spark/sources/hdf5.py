@@ -133,9 +133,31 @@ def _u(buf: bytes, p: int, n: int) -> int:
 # ---- object headers -------------------------------------------------------
 
 
+def _resolve_shared(h: _H5, mtype: int, body: bytes) -> bytes:
+    """A message whose header flags mark it SHARED stores a Shared
+    Message structure — version, share type, and the address of the
+    object header holding the real message (netCDF-4 committed/named
+    datatypes take this form).  Returns the target message body of the
+    same type.  SOHM heap storage (v3 share type 1) is out of scope."""
+    ver = body[0]
+    if ver == 1:  # version, type, 6 reserved, address
+        addr = _u(body, 8, h.offs)
+    elif ver == 2 or (ver == 3 and body[1] in (0, 2)):
+        addr = _u(body, 2, h.offs)
+    else:
+        raise NotImplementedError(
+            "shared-message heap (SOHM) storage not supported"
+        )
+    for t, b in _messages(h, addr):
+        if t == mtype:
+            return b
+    raise ValueError(f"shared-message target at {addr} lacks message type {mtype}")
+
+
 def _messages(h: _H5, addr: int) -> list[tuple[int, bytes]]:
     """All (type, body) messages of the object header at ``addr``,
-    following continuation blocks; handles header versions 1 and 2."""
+    following continuation blocks and resolving SHARED messages to
+    their committed targets; handles header versions 1 and 2."""
     d = h.data
     if d[addr : addr + 4] == b"OHDR":
         return _messages_v2(h, addr)
@@ -152,12 +174,15 @@ def _messages(h: _H5, addr: int) -> list[tuple[int, bytes]]:
         while p + 8 <= end and seen < nmsgs:
             mtype = _u(d, p, 2)
             msize = _u(d, p + 2, 2)
+            mflags = d[p + 4]
             body = d[p + 8 : p + 8 + msize]
             p += 8 + msize
             seen += 1
             if mtype == 0x10:  # continuation: offset + length
                 blocks.append((_u(body, 0, h.offs), _u(body, h.offs, h.lens)))
             else:
+                if mflags & 0x02:  # shared: resolve the committed target
+                    body = _resolve_shared(h, mtype, body)
                 out.append((mtype, body))
     return out
 
@@ -198,8 +223,9 @@ def _messages_v2(h: _H5, addr: int) -> list[tuple[int, bytes]]:
             if mtype == 0x10:
                 blocks.append((_u(body, 0, h.offs), _u(body, h.offs, h.lens), True))
             elif not (mtype == 0 and msize == 0):
+                if mflags & 0x02:  # shared: resolve the committed target
+                    body = _resolve_shared(h, mtype, body)
                 out.append((mtype, body))
-            del mflags
     return out
 
 
@@ -306,11 +332,10 @@ def _attr_value(h: _H5, dt: dict, shape: list[int], raw: bytes):
 
 def _attribute(h: _H5, body: bytes) -> tuple[str, Any]:
     ver = body[0]
-    if ver in (2, 3) and body[1] & 0x01:
-        # flag bit 0: the datatype is SHARED (committed elsewhere) — the
-        # body holds a shared-message reference, not an inline datatype;
-        # parsing it as one would yield garbage values silently
-        raise NotImplementedError("shared (committed) attribute datatypes not supported")
+    # flag bit 0 (v2/v3): the datatype is SHARED (committed elsewhere) —
+    # the datatype field holds a shared-message reference to resolve,
+    # not an inline datatype (netCDF-4 named types)
+    shared_dt = ver in (2, 3) and bool(body[1] & 0x01)
     name_size = _u(body, 2, 2)
     dt_size = _u(body, 4, 2)
     ds_size = _u(body, 6, 2)
@@ -321,7 +346,10 @@ def _attribute(h: _H5, body: bytes) -> tuple[str, Any]:
 
     name = body[p : p + name_size].split(b"\x00")[0].decode("utf-8", "replace")
     p += pad8(name_size)
-    dt = _datatype(body[p : p + dt_size])
+    if shared_dt:
+        dt = _datatype(_resolve_shared(h, 0x03, body[p : p + dt_size]))
+    else:
+        dt = _datatype(body[p : p + dt_size])
     p += pad8(dt_size)
     shape = _dataspace(body[p : p + ds_size], h.lens)
     p += pad8(ds_size)
@@ -1550,24 +1578,29 @@ def _attr_msg_v1(name: str, dtmsg: bytes, dsmsg: bytes, data: bytes) -> bytes:
     return head + pad8(nb) + pad8(dtmsg) + pad8(dsmsg) + data
 
 
-def _attr_msg_v3(name: str, dtmsg: bytes, dsmsg: bytes, data: bytes) -> bytes:
+def _attr_msg_v3(
+    name: str, dtmsg: bytes, dsmsg: bytes, data: bytes, shared_dt: bool = False
+) -> bytes:
     nb = name.encode() + b"\x00"
-    head = struct.pack("<BBHHHB", 3, 0, len(nb), len(dtmsg), len(dsmsg), 0)
+    flags = 0x01 if shared_dt else 0  # bit 0: datatype field is a shared ref
+    head = struct.pack("<BBHHHB", 3, flags, len(nb), len(dtmsg), len(dsmsg), 0)
     return head + nb + dtmsg + dsmsg + data
 
 
-def _ohdr_v1(messages: list[tuple[int, bytes]]) -> bytes:
+def _ohdr_v1(messages: list) -> bytes:
     body = b""
-    for mtype, mbody in messages:
+    for m in messages:  # (mtype, body) or (mtype, body, header flags)
+        mtype, mbody, mflags = m if len(m) == 3 else (*m, 0)
         mbody = mbody + b"\x00" * ((-len(mbody)) % 8)
-        body += struct.pack("<HHB3x", mtype, len(mbody), 0) + mbody
+        body += struct.pack("<HHB3x", mtype, len(mbody), mflags) + mbody
     return struct.pack("<BBHII4x", 1, 0, len(messages), 1, len(body)) + body
 
 
-def _ohdr_v2(messages: list[tuple[int, bytes]]) -> bytes:
+def _ohdr_v2(messages: list) -> bytes:
     body = b""
-    for mtype, mbody in messages:
-        body += struct.pack("<BHB", mtype, len(mbody), 0) + mbody
+    for m in messages:
+        mtype, mbody, mflags = m if len(m) == 3 else (*m, 0)
+        body += struct.pack("<BHB", mtype, len(mbody), mflags) + mbody
     # flags=1: 2-byte size-of-chunk-0 field; trailing checksum unverified
     return b"OHDR" + struct.pack("<BBH", 2, 1, len(body)) + body + b"\x00" * 4
 
@@ -1816,7 +1849,15 @@ def write_hdf5(
         opt = options.get(name, {})
         dtmsg, dt = _enc_datatype(arr.dtype.newbyteorder("<"))
         arr = np.ascontiguousarray(arr.astype(arr.dtype.newbyteorder("<")))
-        msgs: list[tuple[int, bytes]] = [(0x01, _enc_dataspace(arr.shape)), (0x03, dtmsg)]
+        if opt.get("committed_dtype"):
+            # named/committed type: a standalone header holds the real
+            # datatype; the dataset stores a SHARED reference to it
+            hdr = _ohdr_v1([(0x03, dtmsg)]) if flavor == "v0" else _ohdr_v2([(0x03, dtmsg)])
+            tgt = alloc(hdr)
+            dt_entry = (0x03, bytes([3, 2]) + struct.pack("<Q", tgt), 0x02)
+            msgs: list = [(0x01, _enc_dataspace(arr.shape)), dt_entry]
+        else:
+            msgs = [(0x01, _enc_dataspace(arr.shape)), (0x03, dtmsg)]
         fill = opt.get("fill")
         if fill is not None:
             fraw = np.asarray(fill, dtype=arr.dtype).tobytes()

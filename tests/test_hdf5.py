@@ -655,3 +655,74 @@ def test_btree2_index_fill_chunks(tmp_path):
         flavor="v2",
     )
     np.testing.assert_array_equal(read_hdf5(p)["datasets"]["v"]["data"], arr)
+
+
+@pytest.mark.parametrize("flavor", ["v0", "v2"])
+def test_committed_shared_datatype_roundtrip(tmp_path, flavor):
+    """Named (committed) datatypes: the dataset's datatype message is a
+    SHARED reference to a standalone datatype header — the netCDF-4
+    named-type shape the reader previously refused.  Values and attrs
+    decode identically to the inline form."""
+    rng = np.random.RandomState(29)
+    arr = rng.uniform(-1, 1, size=(3, 4)).astype(np.float64)
+    p = str(tmp_path / "named.nc")
+    write_hdf5(
+        p,
+        datasets={"v": (arr, {"units": "m"})},
+        options={"v": {"committed_dtype": True}},
+        flavor=flavor,
+    )
+    ds = read_hdf5(p)["datasets"]["v"]
+    np.testing.assert_array_equal(ds["data"], arr)
+    assert ds["attrs"]["units"] == "m"
+
+
+def test_shared_attribute_datatype_resolves(tmp_path):
+    """An ATTRIBUTE whose own datatype field is a shared reference (v3
+    attribute flag bit 0) resolves through the committed header instead
+    of raising — closing the r5 NotImplementedError guard."""
+    import struct
+
+    from mini_project_204721_data_engineering_spark.sources.hdf5 import (
+        _attr_msg_v3,
+        _enc_dataspace,
+        _enc_datatype,
+        _ohdr_v2,
+        _SIG,
+    )
+
+    buf = bytearray(b"\x00" * 48)
+
+    def alloc(b: bytes) -> int:
+        addr = len(buf)
+        buf.extend(b)
+        return addr
+
+    dtmsg, _ = _enc_datatype(np.dtype("<f8"))
+    tgt = alloc(_ohdr_v2([(0x03, dtmsg)]))  # committed datatype header
+    shared_ref = bytes([3, 2]) + struct.pack("<Q", tgt)
+    val = np.float64(2.5).tobytes()
+    attr = _attr_msg_v3("scale", shared_ref, _enc_dataspace(()), val, shared_dt=True)
+    arr = np.arange(4, dtype="<f8")
+    daddr = alloc(arr.tobytes())
+    ds_msgs = [
+        (0x01, _enc_dataspace(arr.shape)),
+        (0x03, dtmsg),
+        (0x08, struct.pack("<BBQQ", 3, 1, daddr, arr.nbytes)),
+        (0x0C, attr),
+    ]
+    dset = alloc(_ohdr_v2(ds_msgs))
+    link = struct.pack("<BBB", 1, 0, 1) + b"v" + struct.pack("<Q", dset)
+    root = alloc(_ohdr_v2([(0x06, link)]))
+    sb = _SIG + struct.pack("<BBBB", 3, 8, 8, 0)
+    sb += struct.pack("<QQQQ", 0, 0xFFFFFFFFFFFFFFFF, len(buf), root)
+    sb += struct.pack("<I", 0)
+    buf[: len(sb)] = sb
+    p = tmp_path / "sharedattr.nc"
+    p.write_bytes(bytes(buf))
+
+    from mini_project_204721_data_engineering_spark.sources.hdf5 import read_hdf5
+
+    ds = read_hdf5(str(p))["datasets"]["v"]
+    np.testing.assert_array_equal(ds["data"], arr)
+    assert ds["attrs"]["scale"] == 2.5
