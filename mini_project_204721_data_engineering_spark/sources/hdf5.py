@@ -820,8 +820,12 @@ def _dataset_meta(h: _H5, msgs: list[tuple[int, bytes]]) -> dict:
     attrs = _collect_attrs(h, msgs)  # compact messages + dense storage
     if dt is None or space is None or layout is None:
         raise ValueError("dataset header missing datatype/dataspace/layout")
-    if dt["class"] not in (0, 1, 3):
-        raise NotImplementedError("only numeric/fixed-string dataset types supported")
+    if dt["class"] not in (0, 1, 3) and not (
+        dt["class"] == 9 and dt.get("vl") == "string"
+    ):
+        raise NotImplementedError(
+            "only numeric/fixed-string/VL-string dataset types supported"
+        )
     return {"dt": dt, "shape": space, "layout": layout, "filters": filters,
             "attrs": attrs, "fill_raw": fill_raw, "_chunks": None}
 
@@ -1184,13 +1188,38 @@ def _read_slab(h: _H5, meta: dict, t0: int | None = None, t1: int | None = None)
     decoding at once.  Chunked layouts inflate only the chunks that
     intersect the slab."""
     shape = meta["shape"]
-    npdt = meta["dt"]["np"]
     layout = meta["layout"]
     filters = meta["filters"]
     full = t0 is None or not shape
     lo, hi = (0, shape[0] if shape else 1) if full else (t0, t1)
     out_shape = list(shape) if full else [hi - lo] + list(shape[1:])
     n_out = int(np.prod(out_shape)) if out_shape else 1
+    row_elems = int(np.prod(shape[1:])) if len(shape) > 1 else 1
+    ver, cls = layout[0], layout[1]
+    if meta["dt"]["class"] == 9:  # VL strings: descriptors + global heap
+        esize = 4 + h.offs + 4
+        if n_out * esize > max(4096 * len(h.data), 1 << 28):
+            raise ValueError(f"implausible VL dataset size {out_shape}")
+        if ver == 3 and cls == 1:  # contiguous
+            addr = _u(layout, 2, h.offs)
+            if addr == _UNDEF:
+                return np.full(out_shape, "", dtype=object)
+            off = addr + lo * row_elems * esize
+            raw = h.data[off : off + n_out * esize]
+        elif ver == 3 and cls == 0:  # compact
+            size = _u(layout, 2, 2)
+            raw = layout[4 : 4 + size][
+                lo * row_elems * esize : (lo * row_elems + n_out) * esize
+            ]
+        else:
+            raise NotImplementedError(
+                "VL-string datasets: compact/contiguous layouts only "
+                "(the netCDF string-variable shape)"
+            )
+        vals = _read_vl(h, meta["dt"], raw, n_out)
+        out = np.array(vals, dtype=object)
+        return out.reshape(out_shape) if out_shape else out.reshape(())
+    npdt = meta["dt"]["np"]
     # corruption guard: a flipped dataspace dim can claim terabytes —
     # cap the decoded slab at a generous multiple of the container size
     # (even 1000:1-compressed chunks stay far under this)
@@ -1199,8 +1228,6 @@ def _read_slab(h: _H5, meta: dict, t0: int | None = None, t1: int | None = None)
             f"implausible dataset size {out_shape} ({n_out * npdt.itemsize} B) "
             f"for a {len(h.data)} B file — corrupt dataspace?"
         )
-    row_elems = int(np.prod(shape[1:])) if len(shape) > 1 else 1
-    ver, cls = layout[0], layout[1]
     if ver == 3 and cls == 0:  # compact — tiny by definition
         size = _u(layout, 2, 2)
         arr = np.frombuffer(layout[4 : 4 + size], dtype=npdt,
@@ -1543,6 +1570,8 @@ def _enc_datatype(arr_or_val) -> tuple[bytes, np.dtype]:
 
 _DT_REF = bytes([0x17, 0, 0, 0]) + struct.pack("<I", 8)
 _DT_VLREF = bytes([0x19, 0, 0, 0]) + struct.pack("<I", 16) + _DT_REF
+_DT_S1 = bytes([0x13, 0, 0, 0]) + struct.pack("<I", 1)
+_DT_VLSTR = bytes([0x19, 1, 0, 0]) + struct.pack("<I", 16) + _DT_S1
 
 
 def _enc_dataspace(shape: tuple[int, ...]) -> bytes:
@@ -1847,6 +1876,36 @@ def write_hdf5(
 
     def dataset_blob(name: str, arr: np.ndarray, attrs: dict, extra_msgs) -> int:
         opt = options.get(name, {})
+        attr_enc_local = _attr_msg_v1 if flavor == "v0" else _attr_msg_v3
+        if getattr(arr, "dtype", None) is not None and arr.dtype.kind in ("O", "U"):
+            # VL-string dataset (netCDF string variable): one global-heap
+            # collection for the payloads, a contiguous descriptor array
+            strs = [("" if v is None else str(v)) for v in np.asarray(arr).ravel()]
+            gbody = b""
+            sizes = []
+            for i, sv in enumerate(strs, start=1):
+                data = sv.encode("utf-8")
+                sizes.append(len(data))
+                gbody += struct.pack("<HH4xQ", i, 1, len(data)) + data
+                gbody += b"\x00" * ((-len(data)) % 8)
+            total = max(4096, 16 + len(gbody) + 16)
+            head = b"GCOL" + struct.pack("<B3xQ", 1, total)
+            free = total - len(head) - len(gbody)
+            tail = struct.pack("<HH4xQ", 0, 0, free) + b"\x00" * (free - 16)
+            gaddr = alloc(head + gbody + tail)
+            descs = b"".join(
+                struct.pack("<IQI", n, gaddr, i)
+                for i, n in enumerate(sizes, start=1)
+            )
+            daddr = alloc(descs)
+            msgs = [
+                (0x01, _enc_dataspace(arr.shape)),
+                (0x03, _DT_VLSTR),
+                (0x08, struct.pack("<BBQQ", 3, 1, daddr, len(descs))),
+            ]
+            msgs += [(0x0C, attr_enc_local(k, *_attr_payload(v))) for k, v in attrs.items()]
+            msgs.extend(extra_msgs)
+            return alloc(_ohdr_v1(msgs) if flavor == "v0" else _ohdr_v2(msgs))
         dtmsg, dt = _enc_datatype(arr.dtype.newbyteorder("<"))
         arr = np.ascontiguousarray(arr.astype(arr.dtype.newbyteorder("<")))
         if opt.get("committed_dtype"):

@@ -726,3 +726,24 @@ def test_shared_attribute_datatype_resolves(tmp_path):
     ds = read_hdf5(str(p))["datasets"]["v"]
     np.testing.assert_array_equal(ds["data"], arr)
     assert ds["attrs"]["scale"] == 2.5
+
+
+@pytest.mark.parametrize("flavor", ["v0", "v2"])
+def test_vl_string_dataset_roundtrip(tmp_path, flavor):
+    """Variable-length STRING datasets (netCDF string variables, e.g.
+    station names): descriptors + global-heap payloads round-trip,
+    including Thai text and empties, in both container flavors."""
+    names = np.array(["Chiang Mai", "เชียงใหม่", "", "Lamphun"], dtype=object)
+    p = str(tmp_path / "strvar.nc")
+    write_hdf5(
+        p,
+        datasets={
+            "station": (names, {"long_name": "station name"}),
+            "v": (np.arange(4, dtype=np.float64), {}),
+        },
+        flavor=flavor,
+    )
+    ds = read_hdf5(p)["datasets"]
+    assert ds["station"]["data"].tolist() == names.tolist()
+    assert ds["station"]["attrs"]["long_name"] == "station name"
+    np.testing.assert_array_equal(ds["v"]["data"], np.arange(4.0))
