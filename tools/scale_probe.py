@@ -71,12 +71,12 @@ def timed(name, fn, out):
 def main() -> None:
     mode = "events"
     args = [a for a in sys.argv[1:]]
-    if args and args[0] in ("events", "docs", "ann", "srp", "cc", "spans", "vocab"):
+    if args and args[0] in ("events", "docs", "ann", "srp", "cc", "spans", "vocab", "decon"):
         mode = args.pop(0)
     n = int(args[0]) if args else {
         "events": 10_000_000, "docs": 1_000_000, "ann": 1_000_000,
         "srp": 1_000_000, "cc": 1_000_000, "spans": 200_000,
-        "vocab": 5_000_000,
+        "vocab": 5_000_000, "decon": 500_000,
     }[mode]
     from mini_project_204721_data_engineering_spark.session import get_spark
 
@@ -84,7 +84,8 @@ def main() -> None:
     out: list[dict] = []
     if mode != "events":
         {"docs": probe_docs, "ann": probe_ann, "srp": probe_srp, "cc": probe_cc,
-         "spans": probe_spans, "vocab": probe_vocab}[mode](spark, n, out)
+         "spans": probe_spans, "vocab": probe_vocab,
+         "decon": probe_decon}[mode](spark, n, out)
         total = round(sum(r["sec"] for r in out), 3)
         print(json.dumps({"metric": f"scale_probe_{mode}_total", "value": total,
                           "unit": "sec", "n_rows": n,
@@ -378,6 +379,33 @@ def probe_vocab(spark, n: int, out: list) -> None:
 
     timed("vocab_rank_two_phase", two_phase, out)
     timed("vocab_rank_global_window", global_window, out)
+
+
+def probe_decon(spark, n: int, out: list) -> None:
+    """Decontamination at corpus scale: broadcast gram-set join vs the
+    r6 split-block-Bloom pre-filter, n corpus docs against a 2%-of-n
+    benchmark.  Both must return identical contaminated-doc counts."""
+    from mini_project_204721_data_engineering_spark.llm.quality import (
+        contaminated_docs,
+    )
+
+    docs = synth_docs(spark, n).localCheckpoint(eager=True)
+    bench = synth_docs(spark, max(1000, n // 50)).select(
+        (F.col("doc_id") + 10_000_000).alias("doc_id"), "text"
+    ).localCheckpoint(eager=True)
+
+    def run(bloom_fpp):
+        def go():
+            return (
+                contaminated_docs(docs, bench, n=8, bloom_fpp=bloom_fpp)
+                .agg(F.count(F.lit(1)), F.sum("n_shared_grams"))
+                .collect()[0][0]
+            )
+
+        return go
+
+    timed("decon_broadcast", run(None), out)
+    timed("decon_bloom_sbbf", run(0.01), out)
 
 
 def probe_cc(spark, n: int, out: list) -> None:
