@@ -459,7 +459,9 @@ def _fractal_heap(h: _H5, addr: int):
     p += 1
     max_managed = _u(d, p, 4)
     p += 4
-    p += h.lens + h.offs  # next huge id, huge btree addr
+    p += h.lens  # next huge object id
+    huge_btree = _u(d, p, h.offs)
+    p += h.offs
     p += h.lens + h.offs  # free space, free-space manager addr
     p += 4 * h.lens  # managed space, allocated space, iterator offset, n managed
     p += 4 * h.lens  # huge size, n huge, tiny size, n tiny
@@ -475,7 +477,7 @@ def _fractal_heap(h: _H5, addr: int):
     root_addr = _u(d, p, h.offs)
     p += h.offs
     cur_rows = _u(d, p, 2)
-    del filter_len, max_direct
+    del max_direct
     off_len = (max_heap_bits + 7) // 8
     len_len = max(1, (max_managed.bit_length() + 7) // 8)
     checksummed = bool(flags & 0x02)
@@ -500,9 +502,29 @@ def _fractal_heap(h: _H5, addr: int):
                 heap_off += size
 
     def read_id(heap_id: bytes) -> bytes:
-        vtype = heap_id[0]
-        if (vtype >> 4) & 0x3 != 0:
-            raise NotImplementedError("only managed fractal-heap objects supported")
+        vtype = (heap_id[0] >> 4) & 0x3
+        if vtype == 2:  # tiny: payload embedded in the id itself
+            n = (heap_id[0] & 0x0F) + 1
+            return heap_id[1 : 1 + n]
+        if vtype == 1:  # huge: > max-managed-size object
+            if filter_len:
+                raise NotImplementedError(
+                    "filtered huge fractal-heap objects not supported"
+                )
+            if huge_btree == _UNDEF:  # directly-accessed id: addr + length
+                a = _u(heap_id, 1, h.offs)
+                n = _u(heap_id, 1 + h.offs, h.lens)
+                return d[a : a + n]
+            want = _u(heap_id, 1, h.lens)
+            for rec in _btree_v2_records(h, huge_btree):
+                # type-1 record: address, length, huge object id
+                if _u(rec, h.offs + h.lens, h.lens) == want:
+                    a = _u(rec, 0, h.offs)
+                    n = _u(rec, h.offs, h.lens)
+                    return d[a : a + n]
+            raise ValueError(f"huge fractal-heap object {want} not in B-tree")
+        if vtype != 0:
+            raise ValueError("reserved fractal-heap id type")
         off = _u(heap_id, 1, off_len)
         ln = _u(heap_id, 1 + off_len, len_len)
         for b_off, b_size, b_addr in blocks:
@@ -1771,27 +1793,62 @@ def _write_dense_storage(
     MAX_HEAP_BITS = 32  # → 4-byte heap offsets
     MAX_MANAGED = 4096  # → 2-byte heap lengths
     db_header = 4 + 1 + 8 + (MAX_HEAP_BITS + 7) // 8  # FHDB: sig+ver+hdr addr+offset
+    # objects above the managed max become HUGE: payload allocated
+    # standalone, id routed through the huge-object v2 B-tree
+    huge_recs: list[bytes] = []
+    managed = [b for b in link_bodies if len(b) <= MAX_MANAGED]
+    heap_id_len = 7 if len(managed) == len(link_bodies) else 9
     heap_ids = []
     pos = db_header
+    mi = 0
     for b in link_bodies:
-        heap_ids.append(b"\x00" + struct.pack("<I", pos) + struct.pack("<H", len(b)))
+        if len(b) > MAX_MANAGED:
+            haddr = alloc(b)
+            hid = len(huge_recs) + 1
+            huge_recs.append(
+                struct.pack("<QQQ", haddr, len(b), hid)  # addr, length, id
+            )
+            heap_ids.append(
+                (bytes([0x10]) + struct.pack("<Q", hid))[:heap_id_len].ljust(
+                    heap_id_len, b"\x00"
+                )
+            )
+            continue
+        heap_ids.append(
+            (b"\x00" + struct.pack("<I", pos) + struct.pack("<H", len(b))).ljust(
+                heap_id_len, b"\x00"
+            )
+        )
         pos += len(b)
+        mi += 1
+    huge_bt = _UNDEF
+    if huge_recs:
+        btlf = b"BTLF" + struct.pack("<BB", 0, 1)  # type 1: huge, direct
+        btlf += b"".join(huge_recs) + struct.pack("<I", 0)
+        hroot = alloc(btlf)
+        bthd = b"BTHD" + struct.pack("<BBIHHBB", 0, 1, 2048, 24, 0, 100, 40)
+        bthd += struct.pack("<QH", hroot, len(huge_recs))
+        bthd += struct.pack("<Q", len(huge_recs)) + struct.pack("<I", 0)
+        huge_bt = alloc(bthd)
     block_size = max(512, 1 << (pos - 1).bit_length())
 
-    frhp = b"FRHP" + struct.pack("<BHHB", 0, 7, 0, 0)
+    frhp = b"FRHP" + struct.pack("<BHHB", 0, heap_id_len, 0, 0)
     frhp += struct.pack("<I", MAX_MANAGED)
-    frhp += struct.pack("<QQ", 0, _UNDEF)  # next huge id, huge btree
+    frhp += struct.pack("<QQ", len(huge_recs) + 1, huge_bt)  # next huge id, btree
     frhp += struct.pack("<QQ", block_size - pos, _UNDEF)  # free space, fs mgr
-    frhp += struct.pack("<QQQQ", pos, block_size, pos, len(link_bodies))
-    frhp += struct.pack("<QQQQ", 0, 0, 0, 0)  # huge/tiny sizes+counts
+    frhp += struct.pack("<QQQQ", pos, block_size, pos, mi)
+    frhp += struct.pack(
+        "<QQQQ", sum(len(r) for r in huge_recs), len(huge_recs), 0, 0
+    )  # huge/tiny sizes+counts
     frhp += struct.pack("<HQQH", 4, block_size, block_size, MAX_HEAP_BITS)
     frhp += struct.pack("<H", 1)  # starting # rows
-    fheap_addr = next_addr
+    fheap_addr = alloc(b"")  # current end = the header address
     root_addr = fheap_addr + len(frhp) + 8 + 2 + 4  # + root addr, cur rows, checksum
     frhp += struct.pack("<QH", root_addr, 0) + struct.pack("<I", 0)
     assert alloc(frhp) == fheap_addr
 
-    fhdb = b"FHDB" + struct.pack("<BQI", 0, fheap_addr, 0) + b"".join(link_bodies)
+    fhdb = b"FHDB" + struct.pack("<BQI", 0, fheap_addr, 0)
+    fhdb += b"".join(b for b in link_bodies if len(b) <= MAX_MANAGED)
     fhdb += b"\x00" * (block_size - len(fhdb))
     assert alloc(fhdb) == root_addr
 

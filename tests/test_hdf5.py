@@ -747,3 +747,22 @@ def test_vl_string_dataset_roundtrip(tmp_path, flavor):
     assert ds["station"]["data"].tolist() == names.tolist()
     assert ds["station"]["attrs"]["long_name"] == "station name"
     np.testing.assert_array_equal(ds["v"]["data"], np.arange(4.0))
+
+
+def test_huge_fractal_heap_attribute(tmp_path):
+    """Dense attribute storage with one value above the managed-object
+    max (a >4 KB 'history'-style attribute): stored as a HUGE fractal-
+    heap object routed through the huge-object v2 B-tree — previously a
+    NotImplementedError."""
+    big = "x" * 6000 + " end"
+    attrs = {f"a{i:02d}": i for i in range(9)}  # > max_compact → dense
+    attrs["history"] = big
+    p = str(tmp_path / "huge.nc")
+    write_hdf5(
+        p, datasets={"v": (np.arange(4, dtype=np.float64), attrs)}, flavor="v2"
+    )
+    got = read_hdf5(p)["datasets"]["v"]["attrs"]
+    assert got["history"] == big
+    assert {k: got[k] for k in attrs if k != "history"} == {
+        k: v for k, v in attrs.items() if k != "history"
+    }
