@@ -51,6 +51,7 @@ __all__ = [
     "trim_duplicate_spans",
     "dup_clusters",
     "canonical_keep",
+    "semantic_dedup",
     "srp_banded_pairs",
 ]
 
@@ -604,6 +605,66 @@ def canonical_keep(
         .filter(F.col("cluster_id").isNull() | (F.col(id_col) == F.col("cluster_id")))
         .drop("cluster_id")
     )
+
+
+def semantic_dedup(
+    corpus: DataFrame,
+    threshold: float = 0.40,
+    ncells: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroids: DataFrame | None = None,
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    arXiv:2303.09540): cluster the embedding space with a coarse
+    quantizer, compute pairwise cosine only WITHIN each cluster, and
+    drop every vector that is ``>= threshold``-similar to a lower-id
+    vector in its cluster.  Returns the surviving corpus rows with
+    their ``cell`` assignment attached.
+
+    Keep rule: deterministic min-id — a vector is dropped iff some
+    lower-id vector in the SAME cell is cosine-similar at or above the
+    threshold (the paper keeps the member least similar to the
+    centroid; min-id gives identical dedup power, is total-ordered,
+    and is engine-portable so the whole operator is oracle-checkable
+    in ANSI SQL).  Like the paper, cross-cluster near-dups are the
+    accepted recall trade: quantization makes the O(n²) pairwise step
+    O(sum of cell² ) ≈ n²/ncells for balanced cells.
+
+    Scale shape: assignment is a shuffle-free codegen projection
+    (:func:`~..similarity.assign_cells` inlines the driver-sized
+    centroid matrix as literals); the pairwise step is an equi-join on
+    ``cell`` — the corpus is never self-crossed.  Provision
+    ``ncells ~ n / target_cell_size`` (the paper uses ~11k clusters at
+    LAION scale); a skewed hot cell is the failure mode to watch —
+    cap-and-subcluster it rather than letting one reducer take a
+    quadratic cell.  By default the quantizer is
+    :func:`~..similarity.seeded_centroids` (deterministic, oracle-able);
+    pass ``centroids`` from ``kmeans_assign`` when cluster quality
+    matters more than engine portability."""
+    from mini_project_204721_data_engineering_spark.llm.similarity import (
+        as_double,
+        assign_cells,
+        cosine,
+        seeded_centroids,
+    )
+
+    cents = (
+        centroids
+        if centroids is not None
+        else seeded_centroids(corpus, ncells=ncells, id_col=id_col, vec_col=vec_col)
+    )
+    cells = assign_cells(corpus, cents, id_col=id_col, vec_col=vec_col)
+    a = cells.select(F.col(id_col).alias("__id_a"), "cell", as_double(vec_col).alias("va"))
+    b = cells.select(F.col(id_col).alias("__id_b"), "cell", as_double(vec_col).alias("vb"))
+    dropped = (
+        a.join(b, "cell")
+        .filter(F.col("__id_b") < F.col("__id_a"))
+        .filter(F.round(cosine("va", "vb"), 6) >= threshold)
+        .select(F.col("__id_a").alias(id_col))
+        .distinct()
+    )
+    return cells.join(dropped, id_col, "left_anti")
 
 
 def srp_banded_pairs(

@@ -1183,8 +1183,47 @@ FROM toks t JOIN ds USING (doc_id)
 """
 
 
+def semantic_dedup_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup semantic dedup (cluster → within-cell cosine → min-id
+    keep): the survivors of the embeddings table at threshold 0.40 over
+    8 seeded cells.  Whole chain — quantizer, assignment, pairwise
+    prune — is deterministic, so DuckDB verifies it value-for-value."""
+    from mini_project_204721_data_engineering_spark.llm.dedup import semantic_dedup
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return semantic_dedup(emb, threshold=0.40, ncells=8).select("vec_id", "cell")
+
+
+SEMANTIC_DEDUP_KEEP_SQL = """
+WITH corpus AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+), centroids AS (
+  SELECT vec_id AS cell, v AS cv FROM corpus ORDER BY vec_id LIMIT 8
+), assigned AS (
+  SELECT vec_id, cell FROM (
+    SELECT c.vec_id, ct.cell,
+           row_number() OVER (
+             PARTITION BY c.vec_id
+             ORDER BY round(list_cosine_similarity(c.v, ct.cv), 6) DESC,
+                      ct.cell ASC) AS rn
+    FROM corpus c CROSS JOIN centroids ct
+  ) WHERE rn = 1
+), dropped AS (
+  SELECT DISTINCT a.vec_id
+  FROM assigned a
+  JOIN assigned b ON a.cell = b.cell AND b.vec_id < a.vec_id
+  JOIN corpus x ON x.vec_id = a.vec_id
+  JOIN corpus y ON y.vec_id = b.vec_id
+  WHERE round(list_cosine_similarity(x.v, y.v), 6) >= 0.40
+)
+SELECT vec_id, cell FROM assigned
+WHERE vec_id NOT IN (SELECT vec_id FROM dropped)
+"""
+
+
 EXTRA_QUERIES = {
     "source_exemplars": source_exemplars,
+    "semantic_dedup_keep": semantic_dedup_keep,
     "duplicate_spans": duplicate_spans_q,
     "trim_duplicate_spans": trim_duplicate_spans_q,
     "dedup_clusters": dedup_clusters,
@@ -1202,6 +1241,7 @@ EXTRA_QUERIES = {
 }
 EXTRA_ORACLES = {
     "source_exemplars": SOURCE_EXEMPLARS_SQL,
+    "semantic_dedup_keep": SEMANTIC_DEDUP_KEEP_SQL,
     "duplicate_spans": DUPLICATE_SPANS_SQL,
     "trim_duplicate_spans": TRIM_DUPLICATE_SPANS_SQL,
     "dedup_clusters": DEDUP_CLUSTERS_SQL,

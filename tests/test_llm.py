@@ -814,3 +814,63 @@ def test_contaminated_docs_bloom_path_equals_broadcast(spark):
     plan = bloomed_df._jdf.queryExecution().optimizedPlan().toString()
     assert "bitor" in plan.lower() or "bit_or" in plan.lower()  # bloom build
     assert "__mask" in plan  # word-level membership probe
+
+
+def test_semantic_dedup_drops_planted_semantic_duplicate(spark):
+    """An exact-copy vector with a higher id lands in the same cell and is
+    dropped; survivors ∪ dropped partition the corpus; no survivor has a
+    lower-id within-cell neighbor at/above the threshold (full numpy
+    cross-check at this corpus size)."""
+    import numpy as np
+
+    from mini_project_204721_data_engineering_spark.llm.dedup import semantic_dedup
+
+    emb = load_table(spark, SF, "embeddings")
+    emb = emb.select("vec_id", "embedding")
+    planted_src = emb.filter(F.col("vec_id") == 123).collect()[0]
+    planted = spark.createDataFrame([(9001, list(planted_src["embedding"]))], emb.schema)
+    corpus = emb.union(planted)
+    kept = semantic_dedup(corpus, threshold=0.40, ncells=8)
+    kept_ids = {r["vec_id"] for r in kept.select("vec_id").collect()}
+    assert 9001 not in kept_ids  # the exact copy is a semantic dup (cos=1)
+    assert 123 in kept_ids  # the lower-id original survives as keeper
+    # full verification: recompute cells + pairwise cosine in numpy
+    rows = corpus.collect()
+    ids = np.array([r["vec_id"] for r in rows])
+    V = np.array([r["embedding"] for r in rows], dtype=np.float64)
+    seeds = np.argsort(ids)[:8]
+    C = V[seeds]
+    ncv = np.linalg.norm(C, axis=1)
+    nv = np.linalg.norm(V, axis=1)
+    sims = np.round((V @ C.T) / np.outer(np.where(nv == 0, 1, nv), ncv), 6)
+    sims[nv == 0] = -1.0
+    cell_ids = ids[seeds]
+    # argmax with (sim desc, cell asc) tiebreak
+    cells = np.array([
+        cell_ids[min(range(len(cell_ids)), key=lambda c: (-sims[i, c], cell_ids[c]))]
+        for i in range(len(ids))
+    ])
+    norm = np.where(nv == 0, 1, nv)
+    cos = np.round((V @ V.T) / np.outer(norm, norm), 6)
+    expect_drop = set()
+    for i in range(len(ids)):
+        for j in range(len(ids)):
+            if cells[i] == cells[j] and ids[j] < ids[i] and cos[i, j] >= 0.40:
+                expect_drop.add(int(ids[i]))
+    assert kept_ids == set(int(i) for i in ids) - expect_drop
+    assert len(expect_drop) > 0
+
+
+def test_semantic_dedup_pairwise_is_cell_equijoin(spark):
+    """The pairwise stage must be an equi-join on cell (the corpus is
+    never self-crossed): no CartesianProduct/BroadcastNestedLoopJoin in
+    the physical plan."""
+    from mini_project_204721_data_engineering_spark.llm.dedup import semantic_dedup
+
+    emb = load_table(spark, SF, "embeddings")
+    plan = (
+        semantic_dedup(emb, threshold=0.40, ncells=8)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
