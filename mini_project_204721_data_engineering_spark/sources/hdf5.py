@@ -28,7 +28,10 @@ bounded.  This module is a clean-room reader of that subset:
   rare in netCDF practice);
 - datatypes: fixed-point, IEEE float, fixed strings, variable-length
   strings and VL sequences of object references (via the global heap) —
-  enough for CF attributes and netCDF-4's ``DIMENSION_LIST``.
+  enough for CF attributes and netCDF-4's ``DIMENSION_LIST`` — plus
+  compound (v1/v2/v3 member encodings → numpy structured dtypes), enum
+  (→ base ints + a name map on the dataset entry) and array datatypes
+  (→ numpy subarray dtypes), the netCDF-4 user-defined-type surface.
 
 ``read_netcdf4`` adapts the generic HDF5 tree to the same dict shape as
 ``netcdf3.read_netcdf3`` (netCDF semantics: dimension-scale datasets
@@ -233,27 +236,126 @@ def _messages_v2(h: _H5, addr: int) -> list[tuple[int, bytes]]:
 
 
 def _datatype(buf: bytes) -> dict:
+    return _parse_dt(buf)[0]
+
+
+def _nt_name(buf: bytes, p: int, padded: bool) -> tuple[str, int]:
+    """Null-terminated name at ``p`` → (name, next offset); ``padded``
+    pads the field (name + NUL) to a multiple of 8 (datatype versions
+    1/2; version 3 drops the padding)."""
+    end = buf.index(b"\x00", p)
+    name = buf[p:end].decode("utf-8", "replace")
+    field = end - p + 1
+    return name, p + (field + (-field) % 8 if padded else field)
+
+
+def _parse_dt(buf: bytes) -> tuple[dict, int]:
+    """Parse one (possibly nested) datatype message → (dict, bytes
+    consumed).  The consumed length is what lets compound members, enum
+    bases and array bases be decoded recursively — the spec stores no
+    per-member length."""
     cls = buf[0] & 0x0F
+    ver = buf[0] >> 4
     bits0 = buf[1]
     size = _u(buf, 4, 4)
     order = ">" if (bits0 & 1) else "<"
-    if cls == 0:  # fixed-point
+    if cls == 0:  # fixed-point; property: bit offset + precision
         if size not in (1, 2, 4, 8):
             raise ValueError(f"unsupported fixed-point size {size}")
         kind = "i" if (bits0 & 0x08) else "u"
-        return {"class": cls, "np": np.dtype(f"{order}{kind}{size}"), "size": size}
-    if cls == 1:  # IEEE float
+        return {"class": cls, "np": np.dtype(f"{order}{kind}{size}"), "size": size}, 12
+    if cls == 1:  # IEEE float; property: offsets/sizes/bias
         if size not in (2, 4, 8):
             raise ValueError(f"unsupported float size {size}")
-        return {"class": cls, "np": np.dtype(f"{order}f{size}"), "size": size}
-    if cls == 3:  # fixed-length string
-        return {"class": cls, "np": np.dtype(f"S{size}"), "size": size}
-    if cls == 7:  # object reference
-        return {"class": cls, "size": size}
+        return {"class": cls, "np": np.dtype(f"{order}f{size}"), "size": size}, 20
+    if cls == 3:  # fixed-length string; no properties
+        return {"class": cls, "np": np.dtype(f"S{size}"), "size": size}, 8
+    if cls == 6:  # compound
+        nmem = buf[1] | (buf[2] << 8)
+        if ver not in (1, 2, 3):
+            raise ValueError(f"unsupported compound datatype version {ver}")
+        # v3 member offsets use the minimum bytes that encode `size`
+        # (libhdf5 H5VM_limit_enc_size: floor(log2 size)/8 + 1)
+        obytes = (max(size, 1).bit_length() - 1) // 8 + 1
+        p = 8
+        names: list[str] = []
+        formats: list = []
+        offsets: list[int] = []
+        for _ in range(nmem):
+            name, p = _nt_name(buf, p, padded=ver < 3)
+            if ver == 3:
+                off = _u(buf, p, obytes)
+                p += obytes
+            else:
+                off = _u(buf, p, 4)
+                p += 4
+            shape: tuple[int, ...] = ()
+            if ver == 1:  # dimensionality + perm + 4 dim sizes
+                d = buf[p]
+                dims = [_u(buf, p + 12 + 4 * i, 4) for i in range(4)]
+                shape = tuple(dims[:d])
+                p += 28
+            member, used = _parse_dt(buf[p:])
+            p += used
+            if "np" not in member:
+                raise NotImplementedError(
+                    f"compound member {name!r} of class {member['class']} "
+                    "(VL/reference members) not supported"
+                )
+            names.append(name)
+            formats.append((member["np"], shape) if shape else member["np"])
+            offsets.append(off)
+        npdt = np.dtype(
+            {"names": names, "formats": formats, "offsets": offsets, "itemsize": size}
+        )
+        return {"class": cls, "np": npdt, "size": size}, p
+    if cls == 7:  # object reference; no properties
+        return {"class": cls, "size": size}, 8
+    if cls == 8:  # enumeration: base datatype + named values
+        nmem = buf[1] | (buf[2] << 8)
+        base, used = _parse_dt(buf[8:])
+        if base["class"] != 0:
+            raise ValueError("enum base datatype must be fixed-point")
+        p = 8 + used
+        enames = []
+        for _ in range(nmem):
+            name, p = _nt_name(buf, p, padded=ver < 3)
+            enames.append(name)
+        vals = np.frombuffer(buf, dtype=base["np"], count=nmem, offset=p)
+        p += nmem * base["size"]
+        return {
+            "class": cls,
+            "np": base["np"],
+            "size": size,
+            "enum": dict(zip(enames, vals.tolist())),
+        }, p
     if cls == 9:  # variable-length
         vtype = bits0 & 0x0F
-        base = _datatype(buf[8:])
-        return {"class": cls, "vl": "string" if vtype == 1 else "sequence", "base": base, "size": size}
+        base, used = _parse_dt(buf[8:])
+        return {
+            "class": cls,
+            "vl": "string" if vtype == 1 else "sequence",
+            "base": base,
+            "size": size,
+        }, 8 + used
+    if cls == 10:  # array: fixed multi-dim elements (compound-member shape)
+        ndims = buf[8]
+        if ver == 2:  # reserved bytes + dims + permutation indices
+            p = 12
+            dims = [_u(buf, p + 4 * i, 4) for i in range(ndims)]
+            p += 8 * ndims
+        else:  # v3: dims only
+            p = 9
+            dims = [_u(buf, p + 4 * i, 4) for i in range(ndims)]
+            p += 4 * ndims
+        base, used = _parse_dt(buf[p:])
+        if "np" not in base:
+            raise NotImplementedError("array datatype over VL/reference base")
+        return {
+            "class": cls,
+            "np": np.dtype((base["np"], tuple(dims))),
+            "size": size,
+        }, p + used
     raise ValueError(f"unsupported HDF5 datatype class {cls}")
 
 
@@ -842,11 +944,12 @@ def _dataset_meta(h: _H5, msgs: list[tuple[int, bytes]]) -> dict:
     attrs = _collect_attrs(h, msgs)  # compact messages + dense storage
     if dt is None or space is None or layout is None:
         raise ValueError("dataset header missing datatype/dataspace/layout")
-    if dt["class"] not in (0, 1, 3) and not (
+    if dt["class"] not in (0, 1, 3, 6, 8, 10) and not (
         dt["class"] == 9 and dt.get("vl") == "string"
     ):
         raise NotImplementedError(
-            "only numeric/fixed-string/VL-string dataset types supported"
+            "only numeric/fixed-string/VL-string/compound/enum/array "
+            "dataset types supported"
         )
     return {"dt": dt, "shape": space, "layout": layout, "filters": filters,
             "attrs": attrs, "fill_raw": fill_raw, "_chunks": None}
@@ -1289,7 +1392,7 @@ def _read_slab(h: _H5, meta: dict, t0: int | None = None, t1: int | None = None)
 
 def _dataset_data(h: _H5, msgs: list[tuple[int, bytes]]) -> tuple[np.ndarray, dict]:
     meta = _dataset_meta(h, msgs)
-    return _read_slab(h, meta), meta["attrs"]
+    return _read_slab(h, meta), meta
 
 
 # ---- public reader --------------------------------------------------------
@@ -1308,13 +1411,15 @@ def read_hdf5(source: str | bytes) -> dict:
         h, entries, root_attrs = _walk_datasets(data)
         datasets: dict[str, dict] = {}
         for path, (addr, msgs) in entries.items():
-            arr, attrs = _dataset_data(h, msgs)
+            arr, meta = _dataset_data(h, msgs)
             datasets[path] = {
                 "shape": list(arr.shape),
-                "attrs": attrs,
+                "attrs": meta["attrs"],
                 "data": arr,
                 "addr": addr,
             }
+            if "enum" in meta["dt"]:  # enum datasets: ints + name map
+                datasets[path]["enum"] = meta["dt"]["enum"]
         return {"attrs": root_attrs, "datasets": datasets}
     except _PARSE_ERRORS as e:
         # truncated/corrupt containers must fail loudly with context, not
@@ -1563,11 +1668,30 @@ def netcdf_grid_to_long_batches(content: bytes, **kw):
 
 
 def _enc_datatype(arr_or_val) -> tuple[bytes, np.dtype]:
-    """Encode a datatype message body for a numpy dtype (v1 datatypes)."""
+    """Encode a datatype message body for a numpy dtype (v1 datatypes);
+    structured dtypes become v1 compound messages (subarray fields →
+    member dimensions, the array-datatype-in-compound shape)."""
     if isinstance(arr_or_val, np.dtype):
         dt = arr_or_val
     else:
         dt = np.asarray(arr_or_val).dtype
+    if dt.names:  # compound v1
+        members = b""
+        for nm in dt.names:
+            fdt, off = dt.fields[nm][0], dt.fields[nm][1]
+            if fdt.subdtype is not None:
+                base, shape = fdt.subdtype
+                d = len(shape)
+                dims = list(shape) + [0] * (4 - d)
+            else:
+                base, d, dims = fdt, 0, [0, 0, 0, 0]
+            mmsg, _ = _enc_datatype(base)
+            nb = nm.encode() + b"\x00"
+            nb += b"\x00" * ((-len(nb)) % 8)
+            members += nb + struct.pack("<IB3xI4x4I", off, d, 0, *dims) + mmsg
+        n = len(dt.names)
+        head = bytes([0x16, n & 0xFF, (n >> 8) & 0xFF, 0]) + struct.pack("<I", dt.itemsize)
+        return head + members, dt
     if dt.kind == "S":
         size = dt.itemsize
         return bytes([0x13, 0, 0, 0]) + struct.pack("<I", size), dt
@@ -1588,6 +1712,21 @@ def _enc_datatype(arr_or_val) -> tuple[bytes, np.dtype]:
         body += struct.pack("<HHBBBBI", 0, dt.itemsize * 8, exploc, expsz, 0, mansz, bias)
         return body, dt
     raise ValueError(f"unsupported dtype {dt}")
+
+
+def _enc_enum(base_msg: bytes, base_dt: np.dtype, mapping: dict[str, int]) -> bytes:
+    """Enum (class 8) v1 datatype message over a fixed-point base:
+    base message + padded member names + base-typed member values."""
+    n = len(mapping)
+    head = bytes([0x18, n & 0xFF, (n >> 8) & 0xFF, 0]) + struct.pack(
+        "<I", base_dt.itemsize
+    )
+    names = b""
+    for k in mapping:
+        nb = k.encode() + b"\x00"
+        names += nb + b"\x00" * ((-len(nb)) % 8)
+    vals = np.array(list(mapping.values()), dtype=base_dt).tobytes()
+    return head + base_msg + names + vals
 
 
 _DT_REF = bytes([0x17, 0, 0, 0]) + struct.pack("<I", 8)
@@ -1965,6 +2104,8 @@ def write_hdf5(
             return alloc(_ohdr_v1(msgs) if flavor == "v0" else _ohdr_v2(msgs))
         dtmsg, dt = _enc_datatype(arr.dtype.newbyteorder("<"))
         arr = np.ascontiguousarray(arr.astype(arr.dtype.newbyteorder("<")))
+        if opt.get("enum"):  # enum dataset: ints stored, names in the type
+            dtmsg = _enc_enum(dtmsg, dt, opt["enum"])
         if opt.get("committed_dtype"):
             # named/committed type: a standalone header holds the real
             # datatype; the dataset stores a SHARED reference to it

@@ -766,3 +766,70 @@ def test_huge_fractal_heap_attribute(tmp_path):
     assert {k: got[k] for k in attrs if k != "history"} == {
         k: v for k, v in attrs.items() if k != "history"
     }
+
+
+def test_compound_dataset_roundtrip(tmp_path):
+    """Compound (structured) datasets round-trip: scalar members with
+    mixed types, a subarray member (array datatype as member dims), in
+    both contiguous and chunked+deflate layouts."""
+    dt = np.dtype(
+        [("station", "S4"), ("t", "<i4"), ("rain", "<f8"), ("window", "<f4", (3,))]
+    )
+    arr = np.zeros(5, dtype=dt)
+    arr["station"] = [b"A", b"BB", b"CCC", b"DDDD", b"E"]
+    arr["t"] = np.arange(5)
+    arr["rain"] = np.linspace(0, 2, 5)
+    arr["window"] = np.arange(15, dtype="<f4").reshape(5, 3)
+    for opt in ({}, {"chunks": (2,), "deflate": 4}):
+        p = str(tmp_path / f"compound_{bool(opt)}.h5")
+        write_hdf5(p, datasets={"obs": (arr, {"title": "stations"})}, options={"obs": opt})
+        got = read_hdf5(p)["datasets"]["obs"]
+        assert got["attrs"]["title"] == "stations"
+        assert got["data"].dtype.names == dt.names
+        for name in dt.names:
+            np.testing.assert_array_equal(got["data"][name], arr[name])
+
+
+def test_compound_v3_member_encoding_parses():
+    """Hand-crafted v3 compound message (unpadded names, minimal-byte
+    offsets — the HDF5 >= 1.8 latest-format member encoding) decodes to
+    the same structured dtype as the v1 writer emits."""
+    from mini_project_204721_data_engineering_spark.sources.hdf5 import _datatype, _enc_datatype
+
+    i4 = _enc_datatype(np.dtype("<i4"))[0]
+    f8 = _enc_datatype(np.dtype("<f8"))[0]
+    # size 12, two members at offsets 0 and 4 -> 1-byte offsets
+    body = bytes([0x36, 2, 0, 0]) + (12).to_bytes(4, "little")
+    body += b"a\x00" + bytes([0]) + i4
+    body += b"b\x00" + bytes([4]) + f8
+    dt = _datatype(body)
+    assert dt["class"] == 6
+    assert dt["np"].names == ("a", "b")
+    assert dt["np"].fields["b"][0] == np.dtype("<f8")
+    assert dt["np"].itemsize == 12
+
+
+def test_enum_dataset_roundtrip(tmp_path):
+    """Enum datasets read as their base integers with the name->value
+    map exposed on the dataset entry (the netCDF-4 enum type shape)."""
+    mapping = {"clear": 0, "cloudy": 1, "rain": 2, "snow": 3}
+    arr = np.array([0, 1, 2, 3, 2, 1], dtype="<i1")
+    p = str(tmp_path / "enum.h5")
+    write_hdf5(p, datasets={"sky": (arr, {})}, options={"sky": {"enum": mapping}})
+    got = read_hdf5(p)["datasets"]["sky"]
+    np.testing.assert_array_equal(got["data"], arr)
+    assert got["enum"] == mapping
+
+
+def test_array_datatype_standalone_parses():
+    """Standalone array datatype (v3): elements are fixed-shape vectors
+    -> numpy subarray dtype."""
+    from mini_project_204721_data_engineering_spark.sources.hdf5 import _datatype, _enc_datatype
+
+    f4 = _enc_datatype(np.dtype("<f4"))[0]
+    body = bytes([0x3A, 0, 0, 0]) + (8).to_bytes(4, "little")
+    body += bytes([2]) + (2).to_bytes(4, "little") + (1).to_bytes(4, "little") + f4
+    dt = _datatype(body)
+    assert dt["class"] == 10
+    assert dt["np"].shape == (2, 1)
+    assert dt["np"].base == np.dtype("<f4")
