@@ -71,12 +71,12 @@ def timed(name, fn, out):
 def main() -> None:
     mode = "events"
     args = [a for a in sys.argv[1:]]
-    if args and args[0] in ("events", "docs", "ann", "srp", "cc", "spans", "vocab", "decon"):
+    if args and args[0] in ("events", "docs", "ann", "srp", "cc", "spans", "vocab", "decon", "semdedup"):
         mode = args.pop(0)
     n = int(args[0]) if args else {
         "events": 10_000_000, "docs": 1_000_000, "ann": 1_000_000,
         "srp": 1_000_000, "cc": 1_000_000, "spans": 200_000,
-        "vocab": 5_000_000, "decon": 500_000,
+        "vocab": 5_000_000, "decon": 500_000, "semdedup": 100_000,
     }[mode]
     from mini_project_204721_data_engineering_spark.session import get_spark
 
@@ -85,7 +85,7 @@ def main() -> None:
     if mode != "events":
         {"docs": probe_docs, "ann": probe_ann, "srp": probe_srp, "cc": probe_cc,
          "spans": probe_spans, "vocab": probe_vocab,
-         "decon": probe_decon}[mode](spark, n, out)
+         "decon": probe_decon, "semdedup": probe_semdedup}[mode](spark, n, out)
         total = round(sum(r["sec"] for r in out), 3)
         print(json.dumps({"metric": f"scale_probe_{mode}_total", "value": total,
                           "unit": "sec", "n_rows": n,
@@ -406,6 +406,29 @@ def probe_decon(spark, n: int, out: list) -> None:
 
     timed("decon_broadcast", run(None), out)
     timed("decon_bloom_sbbf", run(0.01), out)
+
+
+def probe_semdedup(spark, n: int, out: list) -> None:
+    """semantic_dedup (SemDeDup) at corpus scale.  The pairwise stage
+    costs ~n x cell_size / 2 cosine evaluations, so the load-bearing
+    knob is CELL SIZE, not corpus size: a fixed quantizer (ncells
+    constant) goes quadratic as n grows, while provisioning
+    ncells ∝ n (constant cell size) keeps the operator linear — the
+    same provisioning discipline as the SRP bits/band rule.  Two
+    probes: fixed ncells=64, and ncells scaled to hold cell size at
+    ~390 vectors."""
+    emb = synth_embeddings_with_dups(spark, n).localCheckpoint(eager=True)
+
+    def run(ncells):
+        def go():
+            from mini_project_204721_data_engineering_spark.llm.dedup import semantic_dedup
+
+            return semantic_dedup(emb, threshold=0.99, ncells=ncells).count()
+
+        return go
+
+    timed("semdedup_fixed_64cells", run(64), out)
+    timed("semdedup_cells_prop_n", run(max(8, n // 390)), out)
 
 
 def probe_cc(spark, n: int, out: list) -> None:
