@@ -39,12 +39,15 @@ def stream_interval_join(
 
     ``how="inner"`` emits matches only; ``how="left_outer"`` is the
     enrichment-with-nulls variant — every left row appears, null-padded
-    when no right row fell in its interval.  Outer results need the
-    WATERMARK to prove absence: Spark emits an unmatched left row only
-    once the watermark passes the last instant a matching right row
-    could still arrive (~``left_ts + watermark``), so null-padded rows
-    surface in a LATER micro-batch than their matches — the inherent
-    latency of correct streaming outer joins, not a defect.
+    when no right row fell in its interval.  ``how="right_outer"``
+    mirrors that for the right side, and ``how="full_outer"`` emits
+    unmatched rows of BOTH sides (the audit shape: every click and
+    every error accounted for exactly once).  Outer results need the
+    WATERMARK to prove absence: Spark emits an unmatched row only once
+    the watermark passes the last instant a matching partner could
+    still arrive, so null-padded rows surface in a LATER micro-batch
+    than their matches — the inherent latency of correct streaming
+    outer joins, not a defect.
 
     Both inputs may be streaming (the canonical case) or batch — the
     SAME function computes the batch twin, so tests can assert
@@ -56,8 +59,10 @@ def stream_interval_join(
     right row is held ~``watermark + interval``, the minimum that still
     guarantees complete results for data within the lateness bound.
     """
-    if how not in ("inner", "left_outer"):
-        raise ValueError(f"how must be 'inner' or 'left_outer', got {how!r}")
+    if how not in ("inner", "left_outer", "right_outer", "full_outer"):
+        raise ValueError(
+            f"how must be inner/left_outer/right_outer/full_outer, got {how!r}"
+        )
     lw = left.withWatermark(left_ts, watermark) if left.isStreaming else left
     rw = right.withWatermark(right_ts, watermark) if right.isStreaming else right
     r2 = rw.withColumnRenamed(key, "__rkey")
@@ -66,4 +71,9 @@ def stream_interval_join(
         & (F.col(right_ts) >= F.col(left_ts) - F.expr(f"INTERVAL {interval}"))
         & (F.col(right_ts) <= F.col(left_ts))
     )
-    return lw.join(r2, cond, how).drop("__rkey")
+    joined = lw.join(r2, cond, how)
+    if how in ("right_outer", "full_outer"):
+        # an unmatched right row has a null key on the left side — keep
+        # the key from whichever side is present, then drop the helper
+        joined = joined.withColumn(key, F.coalesce(F.col(key), F.col("__rkey")))
+    return joined.drop("__rkey")

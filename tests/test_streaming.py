@@ -532,3 +532,80 @@ def test_stream_interval_left_outer_join_emits_null_padded_rows(spark):
         shutil.rmtree(d, ignore_errors=True)
         shutil.rmtree(ckpt, ignore_errors=True)
         shutil.rmtree(out, ignore_errors=True)
+
+
+def test_stream_interval_full_outer_join_accounts_for_both_sides(spark):
+    """Full-outer stream-stream interval join: an unmatched click AND an
+    unmatched error both surface null-padded (the audit shape — every
+    row of both streams accounted for exactly once).  Stream emits a
+    subset of the batch twin, converging as the watermark advances."""
+    import datetime as dt
+
+    from mini_project_204721_data_engineering_spark.streaming.joins import (
+        stream_interval_join,
+    )
+
+    d = tempfile.mkdtemp(prefix="sjf_in_")
+    ckpt = tempfile.mkdtemp(prefix="sjf_ckpt_")
+    out = tempfile.mkdtemp(prefix="sjf_out_")
+    t0 = dt.datetime(2024, 3, 1, 12, 0, 0)
+    schema = "event_id long, ts timestamp, event_type string, user_id long"
+
+    batch1 = [
+        (1, t0, "click", 1),                               # matched pair
+        (2, t0 - dt.timedelta(minutes=10), "error", 1),
+        (3, t0, "click", 3),                               # click, no error
+        (4, t0, "error", 4),                               # error, no click
+    ]
+    batch2 = [(9, t0 + dt.timedelta(hours=3), "click", 9),
+              (90, t0 + dt.timedelta(hours=3), "error", 9)]
+    batch3 = [(10, t0 + dt.timedelta(hours=6), "click", 10),
+              (100, t0 + dt.timedelta(hours=6), "error", 10)]
+    for b in (batch1, batch2, batch3):
+        spark.createDataFrame(b, schema).coalesce(1).write.mode("append").parquet(d)
+
+    def split(df):
+        clicks = df.filter("event_type = 'click'").select(
+            "user_id", F.col("ts").alias("click_ts"), F.col("event_id").alias("click_id")
+        )
+        errors = df.filter("event_type = 'error'").select(
+            F.col("user_id"), F.col("ts").alias("error_ts"), F.col("event_id").alias("error_id")
+        )
+        return clicks, errors
+
+    ev = spark.createDataFrame(batch1 + batch2 + batch3, schema)
+    batch = stream_interval_join(
+        *split(ev), key="user_id", left_ts="click_ts", right_ts="error_ts",
+        how="full_outer",
+    )
+    rows = batch.collect()
+    expect = {(r["click_id"], r["error_id"]) for r in rows}
+    assert expect == {(1, 2), (3, None), (None, 4), (9, 90), (10, 100)}
+    # the key survives from whichever side is present
+    assert {r["user_id"] for r in rows} == {1, 3, 4, 9, 10}
+
+    stream = spark.readStream.schema(ev.schema).option("maxFilesPerTrigger", 1).parquet(d)
+    joined = stream_interval_join(
+        *split(stream), key="user_id", left_ts="click_ts", right_ts="error_ts",
+        how="full_outer",
+    )
+    try:
+        q = (
+            joined.writeStream.format("parquet")
+            .outputMode("append")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        assert q.awaitTermination(120)
+        got = {
+            (r["click_id"], r["error_id"]) for r in spark.read.parquet(out).collect()
+        }
+        # both batch1 unmatched rows must be finalized by the flushes
+        assert {(1, 2), (3, None), (None, 4)} <= got
+        assert got <= expect
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+        shutil.rmtree(ckpt, ignore_errors=True)
+        shutil.rmtree(out, ignore_errors=True)
