@@ -874,3 +874,62 @@ def test_semantic_dedup_pairwise_is_cell_equijoin(spark):
     )
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_bpe_train_matches_reference_implementation(spark):
+    """Distributed BPE induction produces the identical merge sequence
+    and word segmentations as the pure-Python reference (same
+    frequency-then-lexicographic tie-breaks) on a corpus with known
+    structure."""
+    from mini_project_204721_data_engineering_spark.llm.bpe import bpe_reference, bpe_train
+
+    texts = [
+        "low lower lowest low low",
+        "new newer newest new new new",
+        "wide wider widest",
+        "low newer low lower",
+    ]
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    ref_merges, ref_words = bpe_reference(texts, n_merges=12)
+    merges, segmented = bpe_train(docs, n_merges=12)
+    assert merges == ref_merges
+    assert len(merges) > 3
+    got = {r["word"]: list(r["syms"]) for r in segmented.collect()}
+    assert got == ref_words
+
+
+def test_bpe_merge_is_nonoverlapping_leftmost(spark):
+    """'aaaa' under merge (a,a) becomes [aa, aa, </w>] in one round —
+    the merged token never re-merges within the same round."""
+    from mini_project_204721_data_engineering_spark.llm.bpe import bpe_train
+
+    docs = spark.createDataFrame([(1, "aaaa aaaa aaaa")], "doc_id long, text string")
+    merges, segmented = bpe_train(docs, n_merges=1)
+    assert merges == [("a", "a")]
+    syms = list(segmented.collect()[0]["syms"])
+    assert syms == ["aa", "aa", "</w>"]
+
+
+def test_bpe_apply_broadcast_join_with_oov_fallback(spark):
+    """bpe_apply segments in-vocab words with the trained table and
+    falls back to character symbols for OOV words; the join is a
+    broadcast hash join (no shuffle of the corpus side beyond the
+    per-doc reassembly)."""
+    from mini_project_204721_data_engineering_spark.llm.bpe import bpe_apply, bpe_train
+
+    train = spark.createDataFrame(
+        [(1, "low low low lower lower")], "doc_id long, text string"
+    )
+    merges, segmented = bpe_train(train, n_merges=6)
+    new = spark.createDataFrame([(7, "low zap")], "doc_id long, text string")
+    out = bpe_apply(new, segmented)
+    rows = {r["doc_id"]: list(r["bpe_tokens"]) for r in out.collect()}
+    toks = rows[7]
+    # 'low' uses the trained segmentation (merged), 'zap' falls back to chars
+    seg_low = {r["word"]: list(r["syms"]) for r in segmented.collect()}["low"]
+    assert toks[: len(seg_low)] == seg_low
+    assert toks[len(seg_low):] == ["z", "a", "p", "</w>"]
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
