@@ -39,6 +39,8 @@ __all__ = [
     "pack_sequences",
     "build_vocab",
     "chunk_text",
+    "unigram_lm",
+    "doc_logprob",
 ]
 
 
@@ -312,4 +314,61 @@ def pack_sequences(
         "n_tokens",
         (start / window_tokens).cast("long").alias("bin_id"),
         (start % window_tokens).cast("long").alias("bin_offset"),
+    )
+
+
+def unigram_lm(
+    ref_docs: DataFrame, text_col: str = "text", alpha: float = 0.5
+) -> tuple[DataFrame, float]:
+    """Add-alpha-smoothed unigram language model from an in-domain
+    reference corpus → ((token, logp) table, OOV floor logprob).
+
+    The CCNet-style quality filter shape: train a cheap LM on trusted
+    in-domain text, score candidate documents by mean token
+    log-probability, keep the head of the distribution.  The LM table
+    is VOCAB-sized (broadcastable at any corpus size); ``alpha``
+    reserves unseen-token mass so the floor is a proper probability,
+    not an arbitrary penalty.  One aggregate row (total count + vocab
+    size) reaches the driver to close the formula — dimension-sized by
+    contract."""
+    import math
+
+    counts = (
+        ref_docs.select(F.explode(tokens(F.col(text_col))).alias("token"))
+        .filter(F.col("token") != "")
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    tot = counts.agg(
+        F.sum("c").alias("total"), F.count(F.lit(1)).alias("vocab")
+    ).collect()[0]
+    denom = float(tot["total"]) + alpha * (float(tot["vocab"]) + 1.0)
+    lm = counts.select(
+        "token", F.log((F.col("c") + F.lit(alpha)) / F.lit(denom)).alias("logp")
+    )
+    return lm, math.log(alpha / denom)
+
+
+def doc_logprob(
+    docs: DataFrame,
+    lm: DataFrame,
+    floor: float,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-document mean token log-probability under a unigram LM:
+    explode tokens, broadcast-join the vocab-sized LM (OOV → the
+    smoothed floor), one per-doc aggregate.  Returns (id, n_tokens,
+    sum_logp, mean_logp) — filter on ``mean_logp`` to keep in-domain
+    documents (higher = closer to the reference corpus)."""
+    toks = docs.select(
+        F.col(id_col), F.explode(tokens(F.col(text_col))).alias("token")
+    ).filter(F.col("token") != "")
+    scored = toks.join(F.broadcast(lm), "token", "left").select(
+        id_col, F.coalesce(F.col("logp"), F.lit(floor)).alias("logp")
+    )
+    return scored.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.sum("logp").alias("sum_logp"),
+        (F.sum("logp") / F.count(F.lit(1))).alias("mean_logp"),
     )

@@ -1221,9 +1221,51 @@ WHERE vec_id NOT IN (SELECT vec_id FROM dropped)
 """
 
 
+def unigram_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style in-domain quality scoring: add-alpha unigram LM
+    trained on the lang='en' slice, every document scored by mean token
+    log-probability (OOV tokens get the smoothed floor).  The LM table
+    is vocab-sized → broadcast; one corpus-side shuffle (per-doc agg)."""
+    from mini_project_204721_data_engineering_spark.llm.quality import doc_logprob, unigram_lm
+
+    docs = load_table(spark, sf_dir, "documents")
+    lm, floor = unigram_lm(docs.filter(F.col("lang") == "en"))
+    return doc_logprob(docs, lm, floor).select(
+        "doc_id", "n_tokens", F.round("mean_logp", 6).alias("mean_logp")
+    )
+
+
+UNIGRAM_QUALITY_SQL = r"""
+WITH toks AS (
+  SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS token
+  FROM documents
+), ref AS (
+  SELECT t.token, CAST(count(*) AS DOUBLE) AS c
+  FROM toks t JOIN documents d USING (doc_id)
+  WHERE d.lang = 'en' AND t.token <> ''
+  GROUP BY t.token
+), tot AS (
+  SELECT sum(c) AS total, CAST(count(*) AS DOUBLE) AS vocab FROM ref
+), lm AS (
+  SELECT token, ln((c + 0.5) / (total + 0.5 * (vocab + 1.0))) AS logp
+  FROM ref CROSS JOIN tot
+), floor_v AS (
+  SELECT ln(0.5 / (total + 0.5 * (vocab + 1.0))) AS floor_lp FROM tot
+), scored AS (
+  SELECT t.doc_id, coalesce(lm.logp, f.floor_lp) AS logp
+  FROM toks t LEFT JOIN lm USING (token) CROSS JOIN floor_v f
+  WHERE t.token <> ''
+)
+SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+       round(sum(logp) / count(*), 6) AS mean_logp
+FROM scored GROUP BY doc_id
+"""
+
+
 EXTRA_QUERIES = {
     "source_exemplars": source_exemplars,
     "semantic_dedup_keep": semantic_dedup_keep,
+    "unigram_quality": unigram_quality,
     "duplicate_spans": duplicate_spans_q,
     "trim_duplicate_spans": trim_duplicate_spans_q,
     "dedup_clusters": dedup_clusters,
@@ -1242,6 +1284,7 @@ EXTRA_QUERIES = {
 EXTRA_ORACLES = {
     "source_exemplars": SOURCE_EXEMPLARS_SQL,
     "semantic_dedup_keep": SEMANTIC_DEDUP_KEEP_SQL,
+    "unigram_quality": UNIGRAM_QUALITY_SQL,
     "duplicate_spans": DUPLICATE_SPANS_SQL,
     "trim_duplicate_spans": TRIM_DUPLICATE_SPANS_SQL,
     "dedup_clusters": DEDUP_CLUSTERS_SQL,

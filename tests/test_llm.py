@@ -933,3 +933,27 @@ def test_bpe_apply_broadcast_join_with_oov_fallback(spark):
     assert toks[len(seg_low):] == ["z", "a", "p", "</w>"]
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan
+
+
+def test_unigram_lm_scores_indomain_above_gibberish(spark):
+    """A document made of reference-corpus words scores a higher mean
+    logprob than OOV gibberish; the LM join is a broadcast hash join."""
+    from mini_project_204721_data_engineering_spark.llm.quality import doc_logprob, unigram_lm
+
+    ref = spark.createDataFrame(
+        [(i, "the cat sat on the mat and the dog ran") for i in range(5)],
+        "doc_id long, text string",
+    )
+    lm, floor = unigram_lm(ref)
+    cand = spark.createDataFrame(
+        [(1, "the cat and the dog"), (2, "zxqv wjkp qqrr vvzz")],
+        "doc_id long, text string",
+    )
+    out = doc_logprob(cand, lm, floor)
+    rows = {r["doc_id"]: r for r in out.collect()}
+    assert rows[1]["mean_logp"] > rows[2]["mean_logp"]
+    # all-OOV doc sits exactly at the floor
+    assert abs(rows[2]["mean_logp"] - floor) < 1e-12
+    assert rows[1]["n_tokens"] == 5 and rows[2]["n_tokens"] == 4
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
