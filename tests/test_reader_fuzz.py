@@ -177,3 +177,38 @@ def test_xls_biff5_fuzz(xls5_bytes, frac, flip_frac, flip_to):
 
     cut = int(len(xls5_bytes) * frac)
     _fuzz(read_xls, xls5_bytes, cut, int(cut * flip_frac), flip_to)
+
+
+@pytest.fixture(scope="module")
+def hdf5_typed_bytes(tmp_path_factory) -> bytes:
+    """Fixture exercising the r6 datatype surface: a compound dataset
+    (with a subarray member) chunked+deflate, and an enum dataset."""
+    cdt = np.dtype([("t", "<i4"), ("x", "<f8"), ("w", "<f4", (2,))])
+    carr = np.zeros(6, dtype=cdt)
+    carr["t"] = np.arange(6)
+    carr["x"] = np.linspace(-1, 1, 6)
+    carr["w"] = np.arange(12, dtype="<f4").reshape(6, 2)
+    earr = np.array([0, 1, 2, 1, 0], dtype="<i1")
+    p = str(tmp_path_factory.mktemp("fz") / "typed.h5")
+    write_hdf5(
+        p,
+        datasets={"obs": (carr, {}), "sky": (earr, {})},
+        options={
+            "obs": {"chunks": (4,), "deflate": 2},
+            "sky": {"enum": {"a": 0, "b": 1, "c": 2}},
+        },
+    )
+    return open(p, "rb").read()
+
+
+@settings(max_examples=120, deadline=2000, suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(frac=st.floats(0.0, 1.0), flip_frac=st.floats(0.0, 1.0), flip_to=st.integers(0, 255))
+def test_hdf5_typed_fuzz(hdf5_typed_bytes, frac, flip_frac, flip_to):
+    cut = int(len(hdf5_typed_bytes) * frac)
+    _fuzz(read_hdf5, hdf5_typed_bytes, cut, int(cut * flip_frac), flip_to)
+
+
+def test_hdf5_typed_fixture_still_reads(hdf5_typed_bytes):
+    out = read_hdf5(hdf5_typed_bytes)
+    assert out["datasets"]["obs"]["data"].dtype.names == ("t", "x", "w")
+    assert out["datasets"]["sky"]["enum"] == {"a": 0, "b": 1, "c": 2}
