@@ -1262,10 +1262,48 @@ FROM scored GROUP BY doc_id
 """
 
 
+def documents_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-pass table profiling (ANALYZE shape) of the documents table:
+    per-column nulls / exact distinct / min / max from a single scan
+    and a single aggregate row, unpivoted with stack.  Exact-distinct
+    form so DuckDB verifies every statistic (the 100 TB default swaps
+    in approx_count_distinct — operators/profile.py)."""
+    from mini_project_204721_data_engineering_spark.operators.profile import profile_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    return profile_table(docs, exact_distinct=True)
+
+
+DOCUMENTS_PROFILE_SQL = """
+SELECT 'doc_id' AS col_name, CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(count(*) - count(doc_id) AS BIGINT) AS n_nulls,
+       CAST(count(DISTINCT doc_id) AS BIGINT) AS n_distinct,
+       CAST(min(doc_id) AS VARCHAR) AS min_val, CAST(max(doc_id) AS VARCHAR) AS max_val
+FROM documents
+UNION ALL
+SELECT 'text', CAST(count(*) AS BIGINT), CAST(count(*) - count(text) AS BIGINT),
+       CAST(count(DISTINCT text) AS BIGINT), CAST(min(text) AS VARCHAR), CAST(max(text) AS VARCHAR)
+FROM documents
+UNION ALL
+SELECT 'lang', CAST(count(*) AS BIGINT), CAST(count(*) - count(lang) AS BIGINT),
+       CAST(count(DISTINCT lang) AS BIGINT), CAST(min(lang) AS VARCHAR), CAST(max(lang) AS VARCHAR)
+FROM documents
+UNION ALL
+SELECT 'source', CAST(count(*) AS BIGINT), CAST(count(*) - count(source) AS BIGINT),
+       CAST(count(DISTINCT source) AS BIGINT), CAST(min(source) AS VARCHAR), CAST(max(source) AS VARCHAR)
+FROM documents
+UNION ALL
+SELECT 'n_chars', CAST(count(*) AS BIGINT), CAST(count(*) - count(n_chars) AS BIGINT),
+       CAST(count(DISTINCT n_chars) AS BIGINT), CAST(min(n_chars) AS VARCHAR), CAST(max(n_chars) AS VARCHAR)
+FROM documents
+"""
+
+
 EXTRA_QUERIES = {
     "source_exemplars": source_exemplars,
     "semantic_dedup_keep": semantic_dedup_keep,
     "unigram_quality": unigram_quality,
+    "documents_profile": documents_profile,
     "duplicate_spans": duplicate_spans_q,
     "trim_duplicate_spans": trim_duplicate_spans_q,
     "dedup_clusters": dedup_clusters,
@@ -1285,6 +1323,7 @@ EXTRA_ORACLES = {
     "source_exemplars": SOURCE_EXEMPLARS_SQL,
     "semantic_dedup_keep": SEMANTIC_DEDUP_KEEP_SQL,
     "unigram_quality": UNIGRAM_QUALITY_SQL,
+    "documents_profile": DOCUMENTS_PROFILE_SQL,
     "duplicate_spans": DUPLICATE_SPANS_SQL,
     "trim_duplicate_spans": TRIM_DUPLICATE_SPANS_SQL,
     "dedup_clusters": DEDUP_CLUSTERS_SQL,

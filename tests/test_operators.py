@@ -556,3 +556,33 @@ def test_assign_split_partitions_and_never_reassigns(spark):
         ).collect()
     }
     assert all(grown[k] == v for k, v in first.items())
+
+
+def test_profile_table_single_scan_and_approx_path(spark):
+    """profile_table computes every statistic in ONE aggregate over ONE
+    scan (plan shows a single FileScan/relation), nulls are counted
+    correctly, and the approx-distinct default stays within the HLL rsd
+    of the exact path."""
+    from mini_project_204721_data_engineering_spark.catalog import load_table
+    from mini_project_204721_data_engineering_spark.operators.profile import profile_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    with_nulls = docs.withColumn(
+        "lang", F.when(F.col("doc_id") % 10 == 0, None).otherwise(F.col("lang"))
+    )
+    exact = {r["col_name"]: r for r in profile_table(with_nulls, exact_distinct=True).collect()}
+    n = with_nulls.count()
+    assert exact["lang"]["n_rows"] == n
+    assert exact["lang"]["n_nulls"] == with_nulls.filter("lang IS NULL").count()
+    assert exact["doc_id"]["n_nulls"] == 0
+    assert exact["doc_id"]["n_distinct"] == n
+    assert exact["n_chars"]["min_val"] == str(
+        with_nulls.agg(F.min("n_chars")).collect()[0][0]
+    )
+    approx = {r["col_name"]: r for r in profile_table(with_nulls).collect()}
+    for c in ("doc_id", "lang", "source"):
+        e, a = exact[c]["n_distinct"], approx[c]["n_distinct"]
+        assert abs(a - e) <= max(2, 0.15 * e)
+    # single scan: the approx plan references the source relation once
+    plan = profile_table(with_nulls)._jdf.queryExecution().optimizedPlan().toString()
+    assert plan.count("Relation") == 1
