@@ -355,16 +355,23 @@ def doc_logprob(
     floor: float,
     text_col: str = "text",
     id_col: str = "doc_id",
+    broadcast_lm: bool = True,
 ) -> DataFrame:
     """Per-document mean token log-probability under a unigram LM:
     explode tokens, broadcast-join the vocab-sized LM (OOV → the
     smoothed floor), one per-doc aggregate.  Returns (id, n_tokens,
     sum_logp, mean_logp) — filter on ``mean_logp`` to keep in-domain
-    documents (higher = closer to the reference corpus)."""
+    documents (higher = closer to the reference corpus).
+
+    ``broadcast_lm=False`` falls back to a shuffle hash join for LMs
+    whose vocabulary outgrows executor memory (≳1e8 tokens ≈ several
+    GB); a practical middle ground is truncating the LM to the top-k
+    tokens first — tail tokens sit near the floor anyway."""
     toks = docs.select(
         F.col(id_col), F.explode(tokens(F.col(text_col))).alias("token")
     ).filter(F.col("token") != "")
-    scored = toks.join(F.broadcast(lm), "token", "left").select(
+    lm_side = F.broadcast(lm) if broadcast_lm else lm
+    scored = toks.join(lm_side, "token", "left").select(
         id_col, F.coalesce(F.col("logp"), F.lit(floor)).alias("logp")
     )
     return scored.groupBy(id_col).agg(
