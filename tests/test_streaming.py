@@ -609,3 +609,66 @@ def test_stream_interval_full_outer_join_accounts_for_both_sides(spark):
         shutil.rmtree(d, ignore_errors=True)
         shutil.rmtree(ckpt, ignore_errors=True)
         shutil.rmtree(out, ignore_errors=True)
+
+
+def test_transform_with_state_running_totals_accumulate(spark):
+    """Spark 4 transformWithStateInPandas: per-user ValueState totals
+    accumulate across micro-batches (state restored each batch), final
+    emission per user equals the batch groupBy; RocksDB state store.
+
+    The transformWithState state-server protocol needs google.protobuf,
+    which this container does not ship (and installs are off-limits) —
+    skip with the environment reason; applyInPandasWithState
+    (user_burst_monitor) is the fully-tested stateful path here."""
+    pytest.importorskip(
+        "google.protobuf",
+        reason="transformWithState state server requires protobuf (absent here)",
+    )
+    import datetime as dt
+
+    from mini_project_204721_data_engineering_spark.streaming.stateful import (
+        user_running_totals,
+    )
+
+    d = tempfile.mkdtemp(prefix="tws_in_")
+    ckpt = tempfile.mkdtemp(prefix="tws_ckpt_")
+    t0 = dt.datetime(2024, 3, 1, 12, 0, 0)
+    schema = "event_id long, ts timestamp, user_id long, value double"
+    batch1 = [(1, t0, 1, 10.0), (2, t0, 1, 5.0), (3, t0, 2, 1.0)]
+    batch2 = [(4, t0, 1, 2.5), (5, t0, 3, 7.0)]
+    for b in (batch1, batch2):
+        spark.createDataFrame(b, schema).coalesce(1).write.mode("append").parquet(d)
+
+    prev = spark.conf.get("spark.sql.streaming.stateStore.providerClass", None)
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    try:
+        stream = spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(d)
+        q = (
+            user_running_totals(stream)
+            .writeStream.format("memory")
+            .queryName("tws_totals")
+            .outputMode("update")
+            .trigger(availableNow=True)
+            .start()
+        )
+        assert q.awaitTermination(180)
+        rows = spark.sql("SELECT * FROM tws_totals").collect()
+        # last emission per user = cumulative totals over both batches
+        final = {}
+        for r in rows:
+            cur = final.get(r["user_id"])
+            if cur is None or r["n_events"] > cur[0]:
+                final[r["user_id"]] = (r["n_events"], r["total_value"])
+        assert final[1] == (3, 17.5)
+        assert final[2] == (1, 1.0)
+        assert final[3] == (1, 7.0)
+    finally:
+        if prev is None:
+            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+        else:
+            spark.conf.set("spark.sql.streaming.stateStore.providerClass", prev)
+        shutil.rmtree(d, ignore_errors=True)
+        shutil.rmtree(ckpt, ignore_errors=True)
