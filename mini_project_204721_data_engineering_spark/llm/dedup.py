@@ -52,6 +52,7 @@ __all__ = [
     "dup_clusters",
     "canonical_keep",
     "semantic_dedup",
+    "incremental_semantic_dedup",
     "srp_banded_pairs",
 ]
 
@@ -665,6 +666,58 @@ def semantic_dedup(
         .distinct()
     )
     return cells.join(dropped, id_col, "left_anti")
+
+
+def incremental_semantic_dedup(
+    new_vecs: DataFrame,
+    assign_index: DataFrame,
+    centroids: DataFrame,
+    threshold: float = 0.40,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Incremental form of :func:`semantic_dedup` — the production
+    ingest shape (the embedding twin of :func:`incremental_neardup`):
+    assign the NEW batch against the FIXED quantizer ``centroids``,
+    then compare each new vector only against (a) the stored
+    ``assign_index`` rows in its cell and (b) lower-id vectors of the
+    same batch — the historical corpus is never re-assigned and never
+    self-joined.  Returns the batch's survivors with ``cell`` attached;
+    append the batch's (id, cell, embedding) rows to the index
+    afterwards to keep it current.
+
+    ``assign_index`` must hold ALL prior vectors (kept and dropped)
+    with their cells: the min-id rule drops a vector similar to ANY
+    lower-id cell-mate, keeper or not, so a survivors-only index would
+    silently under-drop.  INVARIANT for equivalence with the
+    from-scratch run on the union: ids are ingest-monotone (every
+    prior id < every new id) and the quantizer is the same — both the
+    normal append-only corpus shape; proven ≡ from-scratch in
+    tests/test_llm.py."""
+    from mini_project_204721_data_engineering_spark.llm.similarity import (
+        as_double,
+        assign_cells,
+        cosine,
+    )
+
+    cells_new = assign_cells(new_vecs, centroids, id_col=id_col, vec_col=vec_col)
+    a = cells_new.select(
+        F.col(id_col).alias("__id_a"), "cell", as_double(vec_col).alias("va")
+    )
+    prior = assign_index.select(
+        F.col(id_col).alias("__id_b"), "cell", as_double(vec_col).alias("vb")
+    )
+    batch = cells_new.select(
+        F.col(id_col).alias("__id_b"), "cell", as_double(vec_col).alias("vb")
+    )
+    dropped = (
+        a.join(prior.unionByName(batch), "cell")
+        .filter(F.col("__id_b") < F.col("__id_a"))
+        .filter(F.round(cosine("va", "vb"), 6) >= threshold)
+        .select(F.col("__id_a").alias(id_col))
+        .distinct()
+    )
+    return cells_new.join(dropped, id_col, "left_anti")
 
 
 def srp_banded_pairs(

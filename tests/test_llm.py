@@ -957,3 +957,35 @@ def test_unigram_lm_scores_indomain_above_gibberish(spark):
     assert rows[1]["n_tokens"] == 5 and rows[2]["n_tokens"] == 4
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan
+
+
+def test_incremental_semantic_dedup_equals_from_scratch(spark):
+    """Batch-vs-index semantic dedup ≡ the from-scratch run on the
+    union, under the append-only invariants (monotone ids, shared
+    quantizer): prior survivors ∪ batch survivors match exactly, and the
+    batch step never re-assigns the historical corpus."""
+    from mini_project_204721_data_engineering_spark.llm.dedup import (
+        incremental_semantic_dedup,
+        semantic_dedup,
+    )
+    from mini_project_204721_data_engineering_spark.llm.similarity import (
+        assign_cells,
+        seeded_centroids,
+    )
+
+    emb = load_table(spark, SF, "embeddings").select("vec_id", "embedding")
+    prior = emb.filter(F.col("vec_id") < 350)
+    batch = emb.filter(F.col("vec_id") >= 350)
+    cents = seeded_centroids(prior, ncells=8)
+
+    scratch = semantic_dedup(emb, threshold=0.40, centroids=cents)
+    scratch_ids = {r["vec_id"] for r in scratch.select("vec_id").collect()}
+
+    prior_kept = semantic_dedup(prior, threshold=0.40, centroids=cents)
+    index = assign_cells(prior, cents)  # ALL prior vectors, kept and dropped
+    batch_kept = incremental_semantic_dedup(batch, index, cents, threshold=0.40)
+    inc_ids = {r["vec_id"] for r in prior_kept.select("vec_id").collect()} | {
+        r["vec_id"] for r in batch_kept.select("vec_id").collect()
+    }
+    assert inc_ids == scratch_ids
+    assert any(v >= 350 for v in scratch_ids - inc_ids | inc_ids)  # batch participated
