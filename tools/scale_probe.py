@@ -71,12 +71,13 @@ def timed(name, fn, out):
 def main() -> None:
     mode = "events"
     args = [a for a in sys.argv[1:]]
-    if args and args[0] in ("events", "docs", "ann", "srp", "cc", "spans", "vocab", "decon", "semdedup"):
+    if args and args[0] in ("events", "docs", "ann", "srp", "cc", "spans", "vocab", "decon", "semdedup", "spatial"):
         mode = args.pop(0)
     n = int(args[0]) if args else {
         "events": 10_000_000, "docs": 1_000_000, "ann": 1_000_000,
         "srp": 1_000_000, "cc": 1_000_000, "spans": 200_000,
         "vocab": 5_000_000, "decon": 500_000, "semdedup": 100_000,
+        "spatial": 1_000_000,
     }[mode]
     from mini_project_204721_data_engineering_spark.session import get_spark
 
@@ -85,7 +86,8 @@ def main() -> None:
     if mode != "events":
         {"docs": probe_docs, "ann": probe_ann, "srp": probe_srp, "cc": probe_cc,
          "spans": probe_spans, "vocab": probe_vocab,
-         "decon": probe_decon, "semdedup": probe_semdedup}[mode](spark, n, out)
+         "decon": probe_decon, "semdedup": probe_semdedup,
+         "spatial": probe_spatial}[mode](spark, n, out)
         total = round(sum(r["sec"] for r in out), 3)
         print(json.dumps({"metric": f"scale_probe_{mode}_total", "value": total,
                           "unit": "sec", "n_rows": n,
@@ -429,6 +431,46 @@ def probe_semdedup(spark, n: int, out: list) -> None:
 
     timed("semdedup_fixed_64cells", run(64), out)
     timed("semdedup_cells_prop_n", run(max(8, n // 390)), out)
+
+
+def probe_spatial(spark, n: int, out: list) -> None:
+    """Point-in-polygon spatial join (J1's general mapInPandas path) at
+    fact scale: n points against a 900-polygon ADM2-sized boundary set
+    (the reference's Thailand ADM2 file has 928).  Claim under test:
+    cost is linear in points — the polygon set is broadcast once, the
+    bbox prefilter makes the per-polygon work ∝ candidate points, and
+    no shuffle exists anywhere (pure map stage)."""
+    import pandas as pd
+
+    from mini_project_204721_data_engineering_spark.sources.geometry import (
+        assign_points_udf,
+    )
+
+    # 30x30 grid of unit-cell "districts" over [0,30)x[0,30)
+    polys = []
+    for i in range(30):
+        for j in range(30):
+            wkt = (
+                f"POLYGON(({i} {j}, {i + 1} {j}, {i + 1} {j + 1}, "
+                f"{i} {j + 1}, {i} {j}))"
+            )
+            polys.append({"province": f"p{i}", "district": f"d{i}_{j}", "wkt": wkt})
+    polygons_df = pd.DataFrame(polys)
+    pts = (
+        spark.range(n)
+        .select(
+            F.col("id").alias("pt_id"),
+            (F.pmod(F.xxhash64("id"), F.lit(30_000)) / 1000.0).alias("lon"),
+            (F.pmod(F.xxhash64(F.col("id") + 1), F.lit(30_000)) / 1000.0).alias("lat"),
+        )
+        .localCheckpoint(eager=True)
+    )
+
+    def run():
+        tagged = assign_points_udf(pts, polygons_df)
+        return tagged.agg(F.count(F.lit(1))).collect()[0][0]
+
+    timed("spatial_join_900_polys", run, out)
 
 
 def probe_cc(spark, n: int, out: list) -> None:
