@@ -11,4 +11,7 @@ operators a 100 TB text/embedding corpus pipeline needs, built Spark-first:
 - :mod:`.multimodal` — opaque binary columns with typed metadata and
   Arrow-batched decode plumbing (decode itself stubbed: no image/audio
   libs in this environment)
+- :mod:`.quality` — repetition metrics, decontamination, vocabulary,
+  sequence packing, unigram-LM in-domain scoring
+- :mod:`.bpe` — distributed BPE tokenizer induction + broadcast apply
 """
