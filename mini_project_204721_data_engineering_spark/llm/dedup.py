@@ -615,6 +615,7 @@ def semantic_dedup(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     centroids: DataFrame | None = None,
+    cells_df: DataFrame | None = None,
 ) -> DataFrame:
     """SemDeDup-style semantic deduplication (Abbas et al. 2023,
     arXiv:2303.09540): cluster the embedding space with a coarse
@@ -642,7 +643,10 @@ def semantic_dedup(
     quadratic cell.  By default the quantizer is
     :func:`~..similarity.seeded_centroids` (deterministic, oracle-able);
     pass ``centroids`` from ``kmeans_assign`` when cluster quality
-    matters more than engine portability."""
+    matters more than engine portability, or ``cells_df`` (the corpus
+    WITH a precomputed ``cell`` column — e.g. from
+    :func:`~..similarity.assign_cells_two_level`, the linear-assignment
+    path beyond ~1e7 vectors) to skip assignment entirely."""
     from mini_project_204721_data_engineering_spark.llm.similarity import (
         as_double,
         assign_cells,
@@ -650,12 +654,15 @@ def semantic_dedup(
         seeded_centroids,
     )
 
-    cents = (
-        centroids
-        if centroids is not None
-        else seeded_centroids(corpus, ncells=ncells, id_col=id_col, vec_col=vec_col)
-    )
-    cells = assign_cells(corpus, cents, id_col=id_col, vec_col=vec_col)
+    if cells_df is not None:
+        cells = cells_df
+    else:
+        cents = (
+            centroids
+            if centroids is not None
+            else seeded_centroids(corpus, ncells=ncells, id_col=id_col, vec_col=vec_col)
+        )
+        cells = assign_cells(corpus, cents, id_col=id_col, vec_col=vec_col)
     a = cells.select(F.col(id_col).alias("__id_a"), "cell", as_double(vec_col).alias("va"))
     b = cells.select(F.col(id_col).alias("__id_b"), "cell", as_double(vec_col).alias("vb"))
     dropped = (

@@ -30,6 +30,9 @@ __all__ = [
     "kmeans_assign",
     "seeded_centroids",
     "assign_cells",
+    "assign_cells_bcast",
+    "seeded_two_level",
+    "assign_cells_two_level",
 ]
 
 
@@ -223,6 +226,128 @@ def ivf_topk(
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select("query_id", "vec_id", "cos_sim", "rank")
+    )
+
+
+def _norm_expr(col: str) -> str:
+    return f"sqrt(aggregate({col}, cast(0 AS double), (a, x) -> a + x * x))"
+
+
+def _nested_centroids(centroids: DataFrame) -> DataFrame:
+    """(cell, cv) → one row holding array<struct(cell, cv, n)> with the
+    centroid norms precomputed (so the per-row argmax never re-folds a
+    centroid's norm)."""
+    return (
+        centroids.select("cell", "cv", F.expr(_norm_expr("cv")).alias("n"))
+        .agg(F.array_sort(F.collect_list(F.struct("cell", "cv", "n"))).alias("__cents"))
+    )
+
+
+def _argmax_cell(round_dp: int) -> str:
+    """Argmax-cosine over the joined ``__cents`` array against the row's
+    ``__v``/``__nv`` — the same (sim desc, cell asc) total order as
+    :func:`assign_cells`, as one codegen expression."""
+    dot = (
+        "aggregate(zip_with(__v, c.cv, (x, y) -> x * y), "
+        "cast(0 AS double), (a, b) -> a + b)"
+    )
+    sim = (
+        f"CASE WHEN __nv = 0D OR c.n = 0D THEN -1.0D "
+        f"ELSE round({dot} / (__nv * c.n), {round_dp}) END"
+    )
+    return (
+        f"array_max(transform(__cents, c -> "
+        f"named_struct('s', {sim}, 'nc', -c.cell, 'cell', c.cell))).cell"
+    )
+
+
+def assign_cells_bcast(
+    corpus: DataFrame,
+    centroids: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_dp: int = 6,
+    cell_col: str = "cell",
+) -> DataFrame:
+    """:func:`assign_cells` without literal inlining: the centroid table
+    is collapsed to ONE nested row and broadcast, and the argmax runs
+    over the array column — so ncells scales to 10⁴+ without blowing up
+    the generated code (the literal path materializes every centroid in
+    the expression tree).  Identical assignment to :func:`assign_cells`
+    (same rounding, same (sim desc, cell asc) tiebreak — asserted in
+    tests/test_llm.py); still shuffle-free: a broadcast of one nested
+    row plus a per-row fold of ncells·dim multiplies."""
+    c2 = corpus.withColumn("__v", as_double(vec_col)).withColumn(
+        "__nv", F.expr(_norm_expr("__v"))
+    )
+    joined = c2.crossJoin(F.broadcast(_nested_centroids(centroids)))
+    return (
+        joined.withColumn(cell_col, F.expr(_argmax_cell(round_dp)))
+        .drop("__v", "__nv", "__cents")
+    )
+
+
+def seeded_two_level(
+    corpus: DataFrame,
+    k1: int = 8,
+    k2: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> tuple[DataFrame, DataFrame]:
+    """Deterministic two-level quantizer seeds: the k1 lowest-id vectors
+    are the SUPER centroids; within each super cell the k2 lowest-id
+    members are its SUB centroids.  Returns (supers(cell, cv),
+    subs(super_cell, cell, cv)) for :func:`assign_cells_two_level`."""
+    supers = seeded_centroids(corpus, ncells=k1, id_col=id_col, vec_col=vec_col)
+    s1 = assign_cells_bcast(corpus, supers, id_col, vec_col, cell_col="__super")
+    w = Window.partitionBy("__super").orderBy(F.col(id_col).asc())
+    subs = (
+        s1.withColumn("__r", F.row_number().over(w))
+        .filter(F.col("__r") <= k2)
+        .select(
+            F.col("__super").alias("super_cell"),
+            F.col(id_col).alias("cell"),
+            as_double(vec_col).alias("cv"),
+        )
+    )
+    return supers, subs
+
+
+def assign_cells_two_level(
+    corpus: DataFrame,
+    supers: DataFrame,
+    subs: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_dp: int = 6,
+) -> DataFrame:
+    """Two-level (IMI-style) cell assignment — the linear scale path
+    SCALE.md derives for semantic dedup beyond ~1e7 vectors: route each
+    vector to its super cell (n·k1 dot products), then argmax only that
+    super's k2 sub-centroids (n·k2) — n·(k1+k2) total instead of the
+    flat quantizer's n·(k1·k2) for the same effective cell count.  The
+    ``cell`` ids are the sub-centroid ids (globally unique: they are
+    vector ids); identical vectors always land in the same cell, so the
+    dedup guarantee of :func:`~..dedup.semantic_dedup` is preserved.
+    Both routing steps are broadcast joins + codegen argmax — no
+    shuffle, no literal blowup."""
+    s1 = assign_cells_bcast(corpus, supers, id_col, vec_col, cell_col="__super")
+    nested = (
+        subs.select(
+            "super_cell", "cell", "cv", F.expr(_norm_expr("cv")).alias("n")
+        )
+        .groupBy("super_cell")
+        .agg(F.array_sort(F.collect_list(F.struct("cell", "cv", "n"))).alias("__cents"))
+    )
+    c2 = s1.withColumn("__v", as_double(vec_col)).withColumn(
+        "__nv", F.expr(_norm_expr("__v"))
+    )
+    joined = c2.join(
+        F.broadcast(nested), c2["__super"] == nested["super_cell"]
+    )
+    return (
+        joined.withColumn("cell", F.expr(_argmax_cell(round_dp)))
+        .drop("__v", "__nv", "__cents", "__super", "super_cell")
     )
 
 

@@ -989,3 +989,58 @@ def test_incremental_semantic_dedup_equals_from_scratch(spark):
     }
     assert inc_ids == scratch_ids
     assert any(v >= 350 for v in scratch_ids - inc_ids | inc_ids)  # batch participated
+
+
+def test_assign_cells_bcast_equals_literal_path(spark):
+    """The broadcast-argmax assignment (no literal inlining — the
+    ncells-scalable form) produces IDENTICAL cells to assign_cells'
+    literal-inlined projection: same rounding, same tiebreaks."""
+    from mini_project_204721_data_engineering_spark.llm.similarity import (
+        assign_cells,
+        assign_cells_bcast,
+        seeded_centroids,
+    )
+
+    emb = load_table(spark, SF, "embeddings").select("vec_id", "embedding")
+    cents = seeded_centroids(emb, ncells=8)
+    lit = {r["vec_id"]: r["cell"] for r in assign_cells(emb, cents).collect()}
+    bc = {r["vec_id"]: r["cell"] for r in assign_cells_bcast(emb, cents).collect()}
+    assert bc == lit
+
+
+def test_two_level_assignment_and_semantic_dedup(spark):
+    """Two-level (IMI-style) assignment: every vector lands in a sub-cell
+    of its routed super cell; identical vectors share a cell, so
+    semantic_dedup over the two-level cells still drops a planted exact
+    duplicate; the plan stays shuffle-free joins (broadcast, no
+    CartesianProduct)."""
+    from mini_project_204721_data_engineering_spark.llm.dedup import semantic_dedup
+    from mini_project_204721_data_engineering_spark.llm.similarity import (
+        assign_cells_bcast,
+        assign_cells_two_level,
+        seeded_two_level,
+    )
+
+    emb = load_table(spark, SF, "embeddings").select("vec_id", "embedding")
+    src = emb.filter(F.col("vec_id") == 77).collect()[0]
+    planted = spark.createDataFrame([(9009, list(src["embedding"]))], emb.schema)
+    corpus = emb.union(planted)
+    supers, subs = seeded_two_level(corpus, k1=4, k2=4)
+    cells = assign_cells_two_level(corpus, supers, subs)
+    # validity: each vector's cell is a sub of its super route
+    routed = assign_cells_bcast(corpus, supers, cell_col="super_check")
+    sub_of = {
+        (r["super_cell"], r["cell"]) for r in subs.collect()
+    }
+    both = (
+        cells.select("vec_id", "cell")
+        .join(routed.select("vec_id", "super_check"), "vec_id")
+        .collect()
+    )
+    assert all((r["super_check"], r["cell"]) in sub_of for r in both)
+    # identical vectors share a cell → the planted copy is dropped
+    kept = semantic_dedup(corpus, threshold=0.40, cells_df=cells)
+    kept_ids = {r["vec_id"] for r in kept.select("vec_id").collect()}
+    assert 9009 not in kept_ids and 77 in kept_ids
+    plan = kept._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan

@@ -432,6 +432,22 @@ def probe_semdedup(spark, n: int, out: list) -> None:
     timed("semdedup_fixed_64cells", run(64), out)
     timed("semdedup_cells_prop_n", run(max(8, n // 390)), out)
 
+    def run_two_level():
+        from mini_project_204721_data_engineering_spark.llm.dedup import semantic_dedup
+        from mini_project_204721_data_engineering_spark.llm.similarity import (
+            assign_cells_two_level,
+            seeded_two_level,
+        )
+
+        k = max(2, int(round((n / 390) ** 0.5)))
+        supers, subs = seeded_two_level(emb, k1=k, k2=k)
+        cells = assign_cells_two_level(emb, supers, subs)
+        return semantic_dedup(emb, threshold=0.99, cells_df=cells).count()
+
+    # same effective cell count as cells_prop_n, but assignment costs
+    # n·2√k instead of n·k — the SCALE.md linear path beyond 1e7 vectors
+    timed("semdedup_two_level", run_two_level, out)
+
 
 def probe_spatial(spark, n: int, out: list) -> None:
     """Point-in-polygon spatial join (J1's general mapInPandas path) at
