@@ -672,3 +672,55 @@ def test_transform_with_state_running_totals_accumulate(spark):
             spark.conf.set("spark.sql.streaming.stateStore.providerClass", prev)
         shutil.rmtree(d, ignore_errors=True)
         shutil.rmtree(ckpt, ignore_errors=True)
+
+
+def test_streaming_semantic_dedup_matches_batch(spark):
+    """foreachBatch semantic-dedup intake ≡ the from-scratch batch run on
+    all data: two micro-batches of embeddings stream through
+    dedup_embeddings_stream; the kept store equals semantic_dedup over
+    the union with the same quantizer, and the index holds every vector."""
+    from mini_project_204721_data_engineering_spark.llm.dedup import semantic_dedup
+    from mini_project_204721_data_engineering_spark.llm.similarity import seeded_centroids
+    from mini_project_204721_data_engineering_spark.streaming.embeddings import (
+        dedup_embeddings_stream,
+    )
+    from mini_project_204721_data_engineering_spark.catalog import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings").select(
+        "vec_id", "embedding"
+    )
+    d = tempfile.mkdtemp(prefix="sem_in_")
+    ckpt = tempfile.mkdtemp(prefix="sem_ckpt_")
+    base = tempfile.mkdtemp(prefix="sem_store_")
+    cents_path = os.path.join(base, "centroids")
+    index_path = os.path.join(base, "index")
+    kept_path = os.path.join(base, "kept")
+    # fixed quantizer from the first slice (ids are ingest-monotone)
+    prior = emb.filter(F.col("vec_id") < 250)
+    later = emb.filter(F.col("vec_id") >= 250)
+    cents = seeded_centroids(prior, ncells=8)
+    cents.write.parquet(cents_path)
+    prior.coalesce(1).write.mode("append").parquet(d)
+    later.coalesce(1).write.mode("append").parquet(d)
+
+    stream = (
+        spark.readStream.schema(emb.schema).option("maxFilesPerTrigger", 1).parquet(d)
+    )
+    try:
+        q = (
+            dedup_embeddings_stream(stream, cents_path, index_path, kept_path)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        assert q.awaitTermination(180)
+        kept_ids = {
+            r["vec_id"] for r in spark.read.parquet(kept_path).collect()
+        }
+        scratch = semantic_dedup(emb, threshold=0.40, centroids=cents)
+        assert kept_ids == {r["vec_id"] for r in scratch.select("vec_id").collect()}
+        assert spark.read.parquet(index_path).count() == emb.count()
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+        shutil.rmtree(ckpt, ignore_errors=True)
+        shutil.rmtree(base, ignore_errors=True)
