@@ -364,3 +364,36 @@ def test_contaminated_docs_matches_bruteforce(spark, docs_tokens, n):
         for r in contaminated_docs(corpus, bench, n=n).collect()
     }
     assert got == want
+
+
+@settings(max_examples=20, deadline=None)
+@given(
+    syms=st.lists(st.sampled_from(["a", "b", "ab", "c"]), min_size=0, max_size=12),
+    pair=st.sampled_from([("a", "a"), ("a", "b"), ("b", "a"), ("ab", "c")]),
+)
+def test_bpe_merge_fold_property(spark, syms, pair):
+    """The codegen fold in llm/bpe.py merges adjacent pairs exactly like
+    the reference's left-to-right non-overlapping pass, on arbitrary
+    symbol sequences (incl. overlap chains like a,a,a and merged symbols
+    re-appearing as literals)."""
+    from mini_project_204721_data_engineering_spark.llm.bpe import _merge_expr
+
+    a, b = pair
+    out, pending = [], None
+    for x in syms:
+        if pending == a and x == b:
+            out.append(a + b)
+            pending = None
+        elif pending is None:
+            pending = x
+        else:
+            out.append(pending)
+            pending = x
+    if pending is not None:
+        out.append(pending)
+
+    import pyspark.sql.functions as F
+
+    df = spark.createDataFrame([(syms,)], "syms array<string>")
+    got = df.select(F.expr(_merge_expr(a, b)).alias("m")).collect()[0]["m"]
+    assert list(got) == out
