@@ -51,7 +51,10 @@ def _merge_expr(a: str, b: str) -> str:
     non-overlapping, leftmost first: carry (out, pending); a pending
     ``a`` followed by ``b`` emits the merged symbol and clears pending,
     so the merged token cannot re-merge within the same round."""
-    qa, qb = a.replace("'", "\\'"), b.replace("'", "\\'")
+    def q(s: str) -> str:  # SQL string literal: escape \ first, then '
+        return s.replace("\\", "\\\\").replace("'", "\\'")
+
+    qa, qb = q(a), q(b)
     return f"""
     aggregate(
       syms,

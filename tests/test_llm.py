@@ -1044,3 +1044,20 @@ def test_two_level_assignment_and_semantic_dedup(spark):
     assert 9009 not in kept_ids and 77 in kept_ids
     plan = kept._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan
+
+
+def test_bpe_handles_quote_and_backslash_symbols(spark):
+    """Merge-pair literals are SQL-escaped: corpora whose characters
+    include quotes and backslashes train without expression errors and
+    match the reference."""
+    from mini_project_204721_data_engineering_spark.llm.bpe import bpe_reference, bpe_train
+
+    texts = ["d'x d'x d'x", "a\\b a\\b a\\b a\\b"]
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    ref_merges, ref_words = bpe_reference(texts, n_merges=6)
+    merges, segmented = bpe_train(docs, n_merges=6)
+    assert merges == ref_merges
+    got = {r["word"]: list(r["syms"]) for r in segmented.collect()}
+    assert got == ref_words
