@@ -342,6 +342,8 @@ def unigram_lm(
     tot = counts.agg(
         F.sum("c").alias("total"), F.count(F.lit(1)).alias("vocab")
     ).collect()[0]
+    if tot["total"] is None:
+        raise ValueError("unigram_lm: reference corpus has no tokens")
     denom = float(tot["total"]) + alpha * (float(tot["vocab"]) + 1.0)
     lm = counts.select(
         "token", F.log((F.col("c") + F.lit(alpha)) / F.lit(denom)).alias("logp")
