@@ -37,6 +37,7 @@ __all__ = [
     "exact_dedup",
     "shingle_table",
     "ngram_jaccard_pairs",
+    "ngram_containment_pairs",
     "minhash_table",
     "band_table",
     "build_band_index",
@@ -125,6 +126,63 @@ def ngram_jaccard_pairs(
             (F.col("n_common") / (F.col("n_a") + F.col("n_b") - F.col("n_common"))).alias("jaccard"),
         )
         .filter(F.col("jaccard") >= threshold)
+    )
+
+
+def ngram_containment_pairs(
+    df: DataFrame,
+    threshold: float = 0.8,
+    n: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_shingle_df: int | None = None,
+) -> DataFrame:
+    """Asymmetric containment near-dup pairs:
+    ``|A∩B| / min(|A|, |B|) >= threshold`` — the metric that catches a
+    SHORT document embedded inside a longer one (quoted articles,
+    boilerplate-wrapped reposts), which symmetric Jaccard misses: a
+    200-shingle doc fully contained in a 2000-shingle doc has Jaccard
+    0.1 but containment 1.0.  Emits (doc_a, doc_b, containment,
+    contained) with ``contained`` = the id of the smaller side (ties →
+    the higher id, matching the min-id keep rule).  Same shingle
+    self-join shape and hot-shingle guard as
+    :func:`ngram_jaccard_pairs`; run on LSH candidates at scale."""
+    sh = shingle_table(df, text_col, id_col, n)
+    if max_shingle_df is not None:
+        hot = (
+            sh.groupBy("shingle")
+            .agg(F.count(F.lit(1)).alias("df_"))
+            .filter(F.col("df_") > max_shingle_df)
+            .select("shingle")
+        )
+        sh = sh.join(hot, "shingle", "left_anti")
+    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
+    a = sh.select(F.col(id_col).alias("doc_a"), "shingle")
+    b = sh.select(F.col(id_col).alias("doc_b"), "shingle")
+    common = (
+        a.join(b, "shingle")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    return (
+        common.join(
+            sizes.withColumnRenamed(id_col, "doc_a").withColumnRenamed("n_sh", "n_a"),
+            "doc_a",
+        )
+        .join(
+            sizes.withColumnRenamed(id_col, "doc_b").withColumnRenamed("n_sh", "n_b"),
+            "doc_b",
+        )
+        .select(
+            "doc_a",
+            "doc_b",
+            (F.col("n_common") / F.least("n_a", "n_b")).alias("containment"),
+            F.when(F.col("n_a") < F.col("n_b"), F.col("doc_a"))
+            .otherwise(F.col("doc_b"))
+            .alias("contained"),
+        )
+        .filter(F.col("containment") >= threshold)
     )
 
 

@@ -96,6 +96,34 @@ WHERE n_common * 1.0 / (x.n_sh + y.n_sh - n_common) >= 0.8
 """
 
 
+def ngram_containment_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric 3-gram containment pairs at 0.8 — catches short docs
+    embedded in longer ones (quotes/boilerplate reposts) that symmetric
+    Jaccard misses; `contained` names the smaller side to drop."""
+    from mini_project_204721_data_engineering_spark.llm.dedup import ngram_containment_pairs
+
+    docs = load_table(spark, sf_dir, "documents")
+    return ngram_containment_pairs(docs, threshold=0.8)
+
+
+NGRAM_CONTAINMENT_SQL = f"""
+WITH {_DUCK_SHINGLES},
+sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+common AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT doc_a, doc_b,
+       n_common * 1.0 / least(x.n_sh, y.n_sh) AS containment,
+       CASE WHEN x.n_sh < y.n_sh THEN doc_a ELSE doc_b END AS contained
+FROM common
+JOIN sizes x ON doc_a = x.doc_id
+JOIN sizes y ON doc_b = y.doc_id
+WHERE n_common * 1.0 / least(x.n_sh, y.n_sh) >= 0.8
+"""
+
+
 def minhash_lsh_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash(k=8) + 4-band LSH candidates with estimated similarity."""
     docs = load_table(spark, sf_dir, "documents")
@@ -1304,6 +1332,7 @@ EXTRA_QUERIES = {
     "semantic_dedup_keep": semantic_dedup_keep,
     "unigram_quality": unigram_quality,
     "documents_profile": documents_profile,
+    "ngram_containment_dups": ngram_containment_dups,
     "duplicate_spans": duplicate_spans_q,
     "trim_duplicate_spans": trim_duplicate_spans_q,
     "dedup_clusters": dedup_clusters,
@@ -1324,6 +1353,7 @@ EXTRA_ORACLES = {
     "semantic_dedup_keep": SEMANTIC_DEDUP_KEEP_SQL,
     "unigram_quality": UNIGRAM_QUALITY_SQL,
     "documents_profile": DOCUMENTS_PROFILE_SQL,
+    "ngram_containment_dups": NGRAM_CONTAINMENT_SQL,
     "duplicate_spans": DUPLICATE_SPANS_SQL,
     "trim_duplicate_spans": TRIM_DUPLICATE_SPANS_SQL,
     "dedup_clusters": DEDUP_CLUSTERS_SQL,

@@ -1061,3 +1061,24 @@ def test_bpe_handles_quote_and_backslash_symbols(spark):
     assert merges == ref_merges
     got = {r["word"]: list(r["syms"]) for r in segmented.collect()}
     assert got == ref_words
+
+
+def test_containment_catches_embedded_doc_jaccard_misses(spark):
+    """A short doc fully embedded in a long one: containment flags it
+    (contained = the short side) while symmetric Jaccard at the same
+    threshold does not."""
+    from mini_project_204721_data_engineering_spark.llm.dedup import (
+        ngram_containment_pairs,
+        ngram_jaccard_pairs,
+    )
+
+    short = "alpha beta gamma delta epsilon zeta"
+    filler = " ".join(f"w{i} x{i} y{i}" for i in range(30))
+    docs = spark.createDataFrame(
+        [(1, short), (2, filler + " " + short + " " + filler.upper())],
+        "doc_id long, text string",
+    )
+    cont = ngram_containment_pairs(docs, threshold=0.9).collect()
+    assert len(cont) == 1
+    assert cont[0]["contained"] == 1 and cont[0]["containment"] >= 0.9
+    assert ngram_jaccard_pairs(docs, threshold=0.9).count() == 0
