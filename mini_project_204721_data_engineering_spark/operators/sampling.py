@@ -31,6 +31,7 @@ __all__ = [
     "stratified_hash_sample",
     "assign_split",
     "exemplars_per_group",
+    "rates_for_token_budget",
 ]
 
 
@@ -143,3 +144,39 @@ def exemplars_per_group(
         df.withColumn("exemplar_rank", F.row_number().over(w))
         .filter(F.col("exemplar_rank") <= k)
     )
+
+
+def rates_for_token_budget(
+    df: DataFrame,
+    strata: str,
+    budgets: dict[str, int],
+    token_col: str = "n_tokens",
+    cap: float = 1.0,
+) -> dict[str, float]:
+    """Turn per-source TOKEN budgets into the keep-rates
+    :func:`stratified_hash_sample` consumes — the "mix to N tokens per
+    source" step of training-mix assembly (budgets are how mixes are
+    actually specified; rates are an implementation detail).
+
+    One aggregate over the corpus computes per-stratum token totals
+    (map-side combinable; the result is strata-sized, driver-safe by
+    contract); each rate is ``min(cap, budget / available)``.  Strata
+    absent from ``budgets`` get no entry — pair with ``default_rate``
+    at the sampler.  Deterministic: same corpus + budgets → same rates
+    → (hash sampling) same kept rows.  The realized token count is
+    rate·available in expectation with hash-uniform deviation
+    (~1/√docs); budgets are targets, not exact quotas — exact packing
+    would need a corpus-ordered prefix sum (a global sort) for a
+    guarantee training mixes don't actually need."""
+    totals = {
+        r["__s"]: r["__t"]
+        for r in df.groupBy(F.col(strata).alias("__s"))
+        .agg(F.sum(token_col).alias("__t"))
+        .collect()
+        if r["__s"] in budgets and r["__t"]
+    }
+    return {
+        s: min(cap, float(budgets[s]) / float(totals[s]))
+        for s in budgets
+        if totals.get(s)
+    }

@@ -586,3 +586,39 @@ def test_profile_table_single_scan_and_approx_path(spark):
     # single scan: the approx plan references the source relation once
     plan = profile_table(with_nulls)._jdf.queryExecution().optimizedPlan().toString()
     assert plan.count("Relation") == 1
+
+
+def test_rates_for_token_budget_hits_targets(spark):
+    """Token budgets → keep rates → stratified sample: realized token
+    counts land within hash-sampling tolerance of each budget, an
+    over-budget stratum caps at keeping everything, and the whole chain
+    is deterministic across reruns."""
+    from mini_project_204721_data_engineering_spark.catalog import load_table
+    from mini_project_204721_data_engineering_spark.llm.text import token_count
+    from mini_project_204721_data_engineering_spark.operators.sampling import (
+        rates_for_token_budget,
+        stratified_hash_sample,
+    )
+
+    docs = load_table(spark, "/root/testdata/sf0.01", "documents").withColumn(
+        "n_tokens", token_count(F.col("text"))
+    )
+    avail = {
+        r["lang"]: r["t"]
+        for r in docs.groupBy("lang").agg(F.sum("n_tokens").alias("t")).collect()
+    }
+    budgets = {"en": int(avail["en"] * 0.4), "de": int(avail["de"] * 2)}
+    rates = rates_for_token_budget(docs, "lang", budgets)
+    assert rates["de"] == 1.0  # over-budget stratum: keep everything
+    assert 0.3 < rates["en"] < 0.5
+    kept = stratified_hash_sample(docs, "doc_id", "lang", rates, default_rate=0.0)
+    got = {
+        r["lang"]: r["t"]
+        for r in kept.groupBy("lang").agg(F.sum("n_tokens").alias("t")).collect()
+    }
+    assert set(got) == {"en", "de"}
+    assert got["de"] == avail["de"]
+    # hash sampling: expectation rate*total, tolerance ~1/sqrt(n_docs)
+    assert abs(got["en"] - budgets["en"]) / budgets["en"] < 0.25
+    rates2 = rates_for_token_budget(docs, "lang", budgets)
+    assert rates2 == rates
