@@ -270,6 +270,13 @@ def _parse_dt(buf: bytes) -> tuple[dict, int]:
         return {"class": cls, "np": np.dtype(f"{order}f{size}"), "size": size}, 20
     if cls == 3:  # fixed-length string; no properties
         return {"class": cls, "np": np.dtype(f"S{size}"), "size": size}, 8
+    if cls == 4:  # bitfield: flag words — expose as unsigned of the size
+        if size not in (1, 2, 4, 8):
+            raise ValueError(f"unsupported bitfield size {size}")
+        return {"class": cls, "np": np.dtype(f"{order}u{size}"), "size": size}, 12
+    if cls == 5:  # opaque: uninterpreted bytes (netCDF NC_OPAQUE);
+        # property = the ASCII tag (length in bits 0-7 of the bit field)
+        return {"class": cls, "np": np.dtype(f"V{size}"), "size": size}, 8 + bits0
     if cls == 6:  # compound
         nmem = buf[1] | (buf[2] << 8)
         if ver not in (1, 2, 3):
@@ -944,7 +951,7 @@ def _dataset_meta(h: _H5, msgs: list[tuple[int, bytes]]) -> dict:
     attrs = _collect_attrs(h, msgs)  # compact messages + dense storage
     if dt is None or space is None or layout is None:
         raise ValueError("dataset header missing datatype/dataspace/layout")
-    if dt["class"] not in (0, 1, 3, 6, 8, 10) and not (
+    if dt["class"] not in (0, 1, 3, 4, 5, 6, 8, 10) and not (
         dt["class"] == 9 and dt.get("vl") == "string"
     ):
         raise NotImplementedError(
@@ -1695,6 +1702,10 @@ def _enc_datatype(arr_or_val) -> tuple[bytes, np.dtype]:
     if dt.kind == "S":
         size = dt.itemsize
         return bytes([0x13, 0, 0, 0]) + struct.pack("<I", size), dt
+    if dt.kind == "V" and dt.names is None:  # opaque (NC_OPAQUE shape)
+        tag = b"opaque\x00\x00"  # null-terminated, padded to 8
+        head = bytes([0x15, len(tag), 0, 0]) + struct.pack("<I", dt.itemsize)
+        return head + tag, dt
     be = dt.byteorder == ">"
     order = 1 if be else 0
     if dt.kind in ("i", "u"):

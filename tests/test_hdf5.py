@@ -833,3 +833,53 @@ def test_array_datatype_standalone_parses():
     assert dt["class"] == 10
     assert dt["np"].shape == (2, 1)
     assert dt["np"].base == np.dtype("<f4")
+
+
+def test_opaque_dataset_roundtrip_and_bitfield_parse(tmp_path):
+    """Opaque (NC_OPAQUE-shape) datasets round-trip as raw byte blobs;
+    a hand-crafted bitfield message decodes to the unsigned dtype."""
+    from mini_project_204721_data_engineering_spark.sources.hdf5 import _datatype
+
+    arr = np.zeros(4, dtype="V8")
+    raw = [b"ABCDEFGH", b"12345678", b"\x00" * 8, b"zzzzzzzz"]
+    for i, b in enumerate(raw):
+        arr[i] = np.frombuffer(b, dtype="V8")[0]
+    p = str(tmp_path / "opaque.h5")
+    write_hdf5(p, datasets={"blob": (arr, {})})
+    got = read_hdf5(p)["datasets"]["blob"]["data"]
+    assert got.dtype == np.dtype("V8")
+    assert [bytes(v) for v in got] == raw
+    # bitfield v1: class 4, little-endian, 2 bytes
+    body = bytes([0x14, 0, 0, 0]) + (2).to_bytes(4, "little") + bytes(4)
+    dt = _datatype(body)
+    assert dt["class"] == 4 and dt["np"] == np.dtype("<u2")
+
+
+def test_compound_var_alongside_grid_does_not_break_conversion(tmp_path):
+    """A netCDF-4 file carrying an extra compound dataset (user-defined
+    type) still yields the grid rows — the converter skips non-grid
+    variables instead of failing on them."""
+    from mini_project_204721_data_engineering_spark.sources.hdf5 import (
+        netcdf_grid_to_long,
+    )
+
+    time = np.arange(2, dtype="<f8")
+    lat = np.array([10.0, 10.05], dtype="<f8")
+    lon = np.array([99.0, 99.05], dtype="<f8")
+    precip = np.arange(8, dtype="<f4").reshape(2, 2, 2)
+    side = np.zeros(3, dtype=[("a", "<i4"), ("b", "<f8")])
+    p = str(tmp_path / "mixed.h5")
+    write_hdf5(
+        p,
+        datasets={
+            "time": (time, {"units": "days since 2020-01-01"}),
+            "latitude": (lat, {}),
+            "longitude": (lon, {}),
+            "precip": (precip, {}),
+            "station_meta": (side, {}),
+        },
+        dim_names={"precip": ["time", "latitude", "longitude"]},
+    )
+    out = netcdf_grid_to_long(open(p, "rb").read(), var="precip")
+    assert len(out) == 8
+    assert set(out.columns) >= {"time", "lat", "lon", "precip"}
