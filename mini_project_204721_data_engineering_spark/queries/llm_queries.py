@@ -1327,9 +1327,71 @@ FROM documents
 """
 
 
+def semantic_dedup_two_level(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic dedup over the two-level (IMI-style) quantizer — the
+    linear assignment path: 4 super cells, 4 sub-centroids each, both
+    routing steps deterministic (seeded + min-id sub-seeds), so DuckDB
+    mirrors super argmax → sub argmax → within-cell prune exactly."""
+    from mini_project_204721_data_engineering_spark.llm.dedup import semantic_dedup
+    from mini_project_204721_data_engineering_spark.llm.similarity import (
+        assign_cells_two_level,
+        seeded_two_level,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    supers, subs = seeded_two_level(emb, k1=4, k2=4)
+    cells = assign_cells_two_level(emb, supers, subs)
+    return semantic_dedup(emb, threshold=0.40, cells_df=cells).select("vec_id", "cell")
+
+
+SEMANTIC_DEDUP_TWO_LEVEL_SQL = """
+WITH corpus AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+), supers AS (
+  SELECT vec_id AS cell, v AS cv FROM corpus ORDER BY vec_id LIMIT 4
+), routed AS (
+  SELECT vec_id, cell AS super FROM (
+    SELECT c.vec_id, s.cell,
+           row_number() OVER (
+             PARTITION BY c.vec_id
+             ORDER BY round(list_cosine_similarity(c.v, s.cv), 6) DESC,
+                      s.cell ASC) AS rn
+    FROM corpus c CROSS JOIN supers s
+  ) WHERE rn = 1
+), subs AS (
+  SELECT super AS super_cell, vec_id AS cell, v AS cv FROM (
+    SELECT r.super, r.vec_id, c.v,
+           row_number() OVER (PARTITION BY r.super ORDER BY r.vec_id ASC) AS rn
+    FROM routed r JOIN corpus c USING (vec_id)
+  ) WHERE rn <= 4
+), assigned AS (
+  SELECT vec_id, cell FROM (
+    SELECT r.vec_id, sb.cell,
+           row_number() OVER (
+             PARTITION BY r.vec_id
+             ORDER BY round(list_cosine_similarity(c.v, sb.cv), 6) DESC,
+                      sb.cell ASC) AS rn
+    FROM routed r
+    JOIN corpus c USING (vec_id)
+    JOIN subs sb ON sb.super_cell = r.super
+  ) WHERE rn = 1
+), dropped AS (
+  SELECT DISTINCT a.vec_id
+  FROM assigned a
+  JOIN assigned b ON a.cell = b.cell AND b.vec_id < a.vec_id
+  JOIN corpus x ON x.vec_id = a.vec_id
+  JOIN corpus y ON y.vec_id = b.vec_id
+  WHERE round(list_cosine_similarity(x.v, y.v), 6) >= 0.40
+)
+SELECT vec_id, cell FROM assigned
+WHERE vec_id NOT IN (SELECT vec_id FROM dropped)
+"""
+
+
 EXTRA_QUERIES = {
     "source_exemplars": source_exemplars,
     "semantic_dedup_keep": semantic_dedup_keep,
+    "semantic_dedup_two_level": semantic_dedup_two_level,
     "unigram_quality": unigram_quality,
     "documents_profile": documents_profile,
     "ngram_containment_dups": ngram_containment_dups,
@@ -1351,6 +1413,7 @@ EXTRA_QUERIES = {
 EXTRA_ORACLES = {
     "source_exemplars": SOURCE_EXEMPLARS_SQL,
     "semantic_dedup_keep": SEMANTIC_DEDUP_KEEP_SQL,
+    "semantic_dedup_two_level": SEMANTIC_DEDUP_TWO_LEVEL_SQL,
     "unigram_quality": UNIGRAM_QUALITY_SQL,
     "documents_profile": DOCUMENTS_PROFILE_SQL,
     "ngram_containment_dups": NGRAM_CONTAINMENT_SQL,
