@@ -30,8 +30,10 @@ bounded.  This module is a clean-room reader of that subset:
   strings and VL sequences of object references (via the global heap) —
   enough for CF attributes and netCDF-4's ``DIMENSION_LIST`` — plus
   compound (v1/v2/v3 member encodings → numpy structured dtypes), enum
-  (→ base ints + a name map on the dataset entry) and array datatypes
-  (→ numpy subarray dtypes), the netCDF-4 user-defined-type surface.
+  (→ base ints + a name map on the dataset entry), array datatypes
+  (→ numpy subarray dtypes), bitfields (→ unsigned words) and opaque
+  blobs (NC_OPAQUE → raw bytes) — the netCDF-4 user-defined-type
+  surface.
 
 ``read_netcdf4`` adapts the generic HDF5 tree to the same dict shape as
 ``netcdf3.read_netcdf3`` (netCDF semantics: dimension-scale datasets
