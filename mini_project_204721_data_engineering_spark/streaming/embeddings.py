@@ -23,8 +23,6 @@ the stream ≡ batch twin is tests/test_streaming.py.
 
 from __future__ import annotations
 
-import os
-
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -56,12 +54,17 @@ def dedup_embeddings_stream(
     )
 
     def process_batch(batch_df: DataFrame, _batch_id: int) -> None:
+        from pyspark.errors import AnalysisException
+
         spark = batch_df.sparkSession
         if batch_df.isEmpty():
             return
         centroids = spark.read.parquet(centroids_path)
-        if os.path.exists(index_path) and _parquet_nonempty(index_path):
+        try:  # first batch: no index yet (works on any filesystem/object store)
             index = spark.read.parquet(index_path).select(id_col, "cell", vec_col)
+        except AnalysisException:
+            index = None
+        if index is not None:
             kept = incremental_semantic_dedup(
                 batch_df, index, centroids, threshold, id_col, vec_col
             )
@@ -85,9 +88,3 @@ def dedup_embeddings_stream(
 
     return vecs.writeStream.outputMode("append").foreachBatch(process_batch)
 
-
-def _parquet_nonempty(path: str) -> bool:
-    for root, _dirs, files in os.walk(path):
-        if any(f.endswith(".parquet") for f in files):
-            return True
-    return False
