@@ -23,8 +23,7 @@ the stream ≡ batch twin is tests/test_streaming.py.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
-from pyspark.sql import functions as F
+from pyspark.sql import DataFrame
 
 __all__ = ["dedup_embeddings_stream"]
 
