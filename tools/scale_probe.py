@@ -71,13 +71,13 @@ def timed(name, fn, out):
 def main() -> None:
     mode = "events"
     args = [a for a in sys.argv[1:]]
-    if args and args[0] in ("events", "docs", "ann", "srp", "cc", "spans", "vocab", "decon", "semdedup", "spatial"):
+    if args and args[0] in ("events", "docs", "ann", "srp", "cc", "spans", "vocab", "decon", "semdedup", "spatial", "bpe"):
         mode = args.pop(0)
     n = int(args[0]) if args else {
         "events": 10_000_000, "docs": 1_000_000, "ann": 1_000_000,
         "srp": 1_000_000, "cc": 1_000_000, "spans": 200_000,
         "vocab": 5_000_000, "decon": 500_000, "semdedup": 100_000,
-        "spatial": 1_000_000,
+        "spatial": 1_000_000, "bpe": 200_000,
     }[mode]
     from mini_project_204721_data_engineering_spark.session import get_spark
 
@@ -87,7 +87,7 @@ def main() -> None:
         {"docs": probe_docs, "ann": probe_ann, "srp": probe_srp, "cc": probe_cc,
          "spans": probe_spans, "vocab": probe_vocab,
          "decon": probe_decon, "semdedup": probe_semdedup,
-         "spatial": probe_spatial}[mode](spark, n, out)
+         "spatial": probe_spatial, "bpe": probe_bpe}[mode](spark, n, out)
         total = round(sum(r["sec"] for r in out), 3)
         print(json.dumps({"metric": f"scale_probe_{mode}_total", "value": total,
                           "unit": "sec", "n_rows": n,
@@ -447,6 +447,36 @@ def probe_semdedup(spark, n: int, out: list) -> None:
     # same effective cell count as cells_prop_n, but assignment costs
     # n·2√k instead of n·k — the SCALE.md linear path beyond 1e7 vectors
     timed("semdedup_two_level", run_two_level, out)
+
+
+def probe_bpe(spark, n: int, out: list) -> None:
+    """BPE induction over an n-distinct-word frequency table (the r6
+    operator's working set — every merge round is a pair-count groupBy
+    + argmax + fold over THIS table, never the corpus).  Claim under
+    test: per-round cost ∝ vocab size; 8 merges at n and 4n should
+    scale ~linearly.  Words are synthetic 8-char strings so the symbol
+    arrays (and pair tables) have realistic size."""
+    from mini_project_204721_data_engineering_spark.llm.bpe import bpe_train
+
+    words = (
+        spark.range(n)
+        .select(
+            F.concat(
+                F.lit("w"),
+                F.lpad(F.conv(F.pmod(F.xxhash64("id"), F.lit(1 << 40)).cast("string"), 10, 36), 8, "a"),
+            ).alias("word"),
+            (F.pmod(F.xxhash64(F.col("id") + 7), F.lit(1000)) + 1).alias("n"),
+        )
+        .localCheckpoint(eager=True)
+    )
+
+    def run():
+        merges, seg = bpe_train(words.withColumn("syms", F.expr(
+            "array_append(split(word, ''), '</w>')")), n_merges=8)
+        # consume the final segmentation so no round is dead-coded
+        return seg.agg(F.sum(F.size("syms"))).collect()[0][0]
+
+    timed("bpe_8_merges", run, out)
 
 
 def probe_spatial(spark, n: int, out: list) -> None:
