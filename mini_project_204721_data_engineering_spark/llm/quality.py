@@ -40,6 +40,7 @@ __all__ = [
     "build_vocab",
     "chunk_text",
     "unigram_lm",
+    "length_outliers",
     "doc_logprob",
 ]
 
@@ -380,4 +381,47 @@ def doc_logprob(
         F.count(F.lit(1)).alias("n_tokens"),
         F.sum("logp").alias("sum_logp"),
         (F.sum("logp") / F.count(F.lit(1))).alias("mean_logp"),
+    )
+
+
+def length_outliers(
+    docs: DataFrame,
+    group_col: str = "source",
+    z: float = 3.0,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-group length-outlier gate: flag documents whose token count
+    sits more than ``z`` population standard deviations from their
+    group's mean — the cheap tail-trim (truncated pages, concatenation
+    accidents, boilerplate floods) a corpus pass runs per source, since
+    length distributions differ wildly across sources.
+
+    One grouped aggregate (map-side combinable, groups-sized result)
+    broadcast back onto the corpus — no window over the corpus, so no
+    corpus-wide sort/shuffle beyond the tiny stats join.  Degenerate
+    groups (a single doc, or zero variance) have stddev 0 and flag
+    nothing.  Returns (id, group, n_tokens, z_score, is_outlier)."""
+    from mini_project_204721_data_engineering_spark.llm.text import token_count
+
+    base = docs.select(
+        F.col(id_col),
+        F.col(group_col).alias("grp"),
+        token_count(F.col(text_col)).alias("n_tokens"),
+    )
+    stats = base.groupBy("grp").agg(
+        F.avg("n_tokens").alias("__mu"),
+        F.stddev_pop("n_tokens").alias("__sigma"),
+    )
+    return (
+        base.join(F.broadcast(stats), "grp")
+        .select(
+            id_col,
+            F.col("grp").alias(group_col),
+            "n_tokens",
+            F.when(F.col("__sigma") == 0.0, F.lit(0.0))
+            .otherwise((F.col("n_tokens") - F.col("__mu")) / F.col("__sigma"))
+            .alias("z_score"),
+        )
+        .withColumn("is_outlier", F.abs(F.col("z_score")) > z)
     )

@@ -1388,8 +1388,40 @@ WHERE vec_id NOT IN (SELECT vec_id FROM dropped)
 """
 
 
+def length_outlier_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source token-length z-score gate at 3σ (llm/quality.py::
+    length_outliers) — one groups-sized stats aggregate broadcast back,
+    no corpus window.  z rounded to 6 dp for the cross-engine compare;
+    the verdict uses the raw value."""
+    from mini_project_204721_data_engineering_spark.llm.quality import length_outliers
+
+    docs = load_table(spark, sf_dir, "documents")
+    out = length_outliers(docs, group_col="source", z=3.0)
+    return out.select(
+        "doc_id", "source", "n_tokens",
+        F.round("z_score", 6).alias("z_score"), "is_outlier",
+    )
+
+
+LENGTH_OUTLIERS_SQL = r"""
+WITH base AS (
+  SELECT doc_id, source,
+         CAST(len(regexp_split_to_array(trim(text), '\s+')) AS INT) AS n_tokens
+  FROM documents
+), stats AS (
+  SELECT source, avg(n_tokens) AS mu, stddev_pop(n_tokens) AS sigma
+  FROM base GROUP BY source
+)
+SELECT doc_id, b.source, n_tokens,
+       round(CASE WHEN sigma = 0 THEN 0.0 ELSE (n_tokens - mu) / sigma END, 6) AS z_score,
+       (CASE WHEN sigma = 0 THEN 0.0 ELSE abs((n_tokens - mu) / sigma) END) > 3.0 AS is_outlier
+FROM base b JOIN stats USING (source)
+"""
+
+
 EXTRA_QUERIES = {
     "source_exemplars": source_exemplars,
+    "length_outlier_docs": length_outlier_docs,
     "semantic_dedup_keep": semantic_dedup_keep,
     "semantic_dedup_two_level": semantic_dedup_two_level,
     "unigram_quality": unigram_quality,
@@ -1412,6 +1444,7 @@ EXTRA_QUERIES = {
 }
 EXTRA_ORACLES = {
     "source_exemplars": SOURCE_EXEMPLARS_SQL,
+    "length_outlier_docs": LENGTH_OUTLIERS_SQL,
     "semantic_dedup_keep": SEMANTIC_DEDUP_KEEP_SQL,
     "semantic_dedup_two_level": SEMANTIC_DEDUP_TWO_LEVEL_SQL,
     "unigram_quality": UNIGRAM_QUALITY_SQL,

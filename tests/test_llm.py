@@ -1082,3 +1082,21 @@ def test_containment_catches_embedded_doc_jaccard_misses(spark):
     assert len(cont) == 1
     assert cont[0]["contained"] == 1 and cont[0]["containment"] >= 0.9
     assert ngram_jaccard_pairs(docs, threshold=0.9).count() == 0
+
+
+def test_length_outliers_flags_planted_extreme(spark):
+    """A planted extreme-length doc is flagged; its groupmates are not;
+    single-doc groups flag nothing; the stats join is broadcast."""
+    from mini_project_204721_data_engineering_spark.llm.quality import length_outliers
+
+    rows = [(i, "w " * 20, "a") for i in range(30)]
+    rows.append((100, "w " * 4000, "a"))  # extreme in group a
+    rows.append((200, "solo doc here", "b"))  # singleton group
+    docs = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    out = length_outliers(docs, group_col="source", z=3.0)
+    flagged = {r["doc_id"] for r in out.filter("is_outlier").collect()}
+    assert flagged == {100}
+    solo = out.filter("doc_id = 200").collect()[0]
+    assert solo["z_score"] == 0.0 and not solo["is_outlier"]
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
