@@ -32,6 +32,7 @@ __all__ = [
     "assign_split",
     "exemplars_per_group",
     "rates_for_token_budget",
+    "hash_topk_sample",
 ]
 
 
@@ -180,3 +181,25 @@ def rates_for_token_budget(
         for s in budgets
         if totals.get(s)
     }
+
+
+def hash_topk_sample(
+    df: DataFrame, key: str, k: int, salt: str = "sample"
+) -> DataFrame:
+    """EXACTLY-k deterministic sample: the k rows with the smallest
+    ``md5(salt|key)`` — rate-based sampling sized ±√n around its
+    expectation, and some jobs need a fixed budget ("pick exactly 10k
+    docs for human eval").  Hash order is uniform and layout-independent,
+    so the picked set is stable across clusters/reruns and NESTED in k
+    (k+1 adds one row, never reshuffles the rest).  Plans as a
+    distributed top-k (TakeOrderedAndProject — per-partition heaps, no
+    global sort materialization); k is driver-bounded by contract.
+    Ties (md5 collisions) break on the key itself, so the result is
+    total-ordered even then."""
+    h = F.md5(F.concat(F.lit(salt + "|"), F.col(key).cast("string")))
+    return (
+        df.withColumn("__h", h)
+        .orderBy(F.col("__h").asc(), F.col(key).asc())
+        .limit(k)
+        .drop("__h")
+    )

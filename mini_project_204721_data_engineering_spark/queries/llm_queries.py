@@ -1419,9 +1419,28 @@ FROM base b JOIN stats USING (source)
 """
 
 
+def eval_sample_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exactly-k deterministic sample (hash top-k): the 40 docs with the
+    smallest keyed md5 — fixed-budget selection (human-eval picks) that
+    is layout-independent and nested in k; plans as a distributed top-k
+    (operators/sampling.py::hash_topk_sample)."""
+    from mini_project_204721_data_engineering_spark.operators.sampling import hash_topk_sample
+
+    docs = load_table(spark, sf_dir, "documents")
+    return hash_topk_sample(docs.select("doc_id", "lang", "source"), "doc_id", 40)
+
+
+EVAL_SAMPLE_EXACT_SQL = """
+SELECT doc_id, lang, source FROM documents
+ORDER BY md5('sample|' || CAST(doc_id AS VARCHAR)) ASC, doc_id ASC
+LIMIT 40
+"""
+
+
 EXTRA_QUERIES = {
     "source_exemplars": source_exemplars,
     "length_outlier_docs": length_outlier_docs,
+    "eval_sample_exact": eval_sample_exact,
     "semantic_dedup_keep": semantic_dedup_keep,
     "semantic_dedup_two_level": semantic_dedup_two_level,
     "unigram_quality": unigram_quality,
@@ -1445,6 +1464,7 @@ EXTRA_QUERIES = {
 EXTRA_ORACLES = {
     "source_exemplars": SOURCE_EXEMPLARS_SQL,
     "length_outlier_docs": LENGTH_OUTLIERS_SQL,
+    "eval_sample_exact": EVAL_SAMPLE_EXACT_SQL,
     "semantic_dedup_keep": SEMANTIC_DEDUP_KEEP_SQL,
     "semantic_dedup_two_level": SEMANTIC_DEDUP_TWO_LEVEL_SQL,
     "unigram_quality": UNIGRAM_QUALITY_SQL,

@@ -622,3 +622,20 @@ def test_rates_for_token_budget_hits_targets(spark):
     assert abs(got["en"] - budgets["en"]) / budgets["en"] < 0.25
     rates2 = rates_for_token_budget(docs, "lang", budgets)
     assert rates2 == rates
+
+
+def test_hash_topk_sample_exact_nested_and_topk_plan(spark):
+    """hash_topk_sample: exactly k rows, k+1 is a strict superset
+    (nested picks), layout-independent (repartitioned input gives the
+    same set), and the plan is a distributed top-k, not a global sort."""
+    from mini_project_204721_data_engineering_spark.catalog import load_table
+    from mini_project_204721_data_engineering_spark.operators.sampling import hash_topk_sample
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents").select("doc_id")
+    k10 = {r["doc_id"] for r in hash_topk_sample(docs, "doc_id", 10).collect()}
+    k11 = {r["doc_id"] for r in hash_topk_sample(docs, "doc_id", 11).collect()}
+    assert len(k10) == 10 and len(k11) == 11 and k10 < k11
+    shuffled = {r["doc_id"] for r in hash_topk_sample(docs.repartition(7), "doc_id", 10).collect()}
+    assert shuffled == k10
+    plan = hash_topk_sample(docs, "doc_id", 10)._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
