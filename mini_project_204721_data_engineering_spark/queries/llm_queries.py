@@ -1437,10 +1437,64 @@ LIMIT 40
 """
 
 
+def corpus_health(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source corpus health report — the daily operational rollup a
+    data platform serves: doc/token volume, exact-duplicate exposure
+    (docs whose text recurs within the source, via a keyed window over
+    (source, content_hash)), mean quality score, and language breadth.
+    One scan, one keyed window, one groups-sized aggregate."""
+    from pyspark.sql.window import Window
+
+    from mini_project_204721_data_engineering_spark.llm.text import quality_score, token_count
+
+    docs = load_table(spark, sf_dir, "documents")
+    w = Window.partitionBy("source", F.md5("text"))
+    per_doc = docs.select(
+        "source",
+        "lang",
+        token_count(F.col("text")).alias("nt"),
+        quality_score(F.col("text")).alias("q"),
+        F.count(F.lit(1)).over(w).alias("dup_n"),
+    )
+    return per_doc.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("nt").cast("long").alias("total_tokens"),
+        F.sum((F.col("dup_n") > 1).cast("long")).alias("n_dup_docs"),
+        F.round(F.avg("q"), 6).alias("avg_quality"),
+        F.count_distinct("lang").alias("n_langs"),
+    )
+
+
+_SW_HEALTH = ", ".join(f"'{w}'" for w in (
+    "the", "a", "of", "to", "and", "in", "is", "on", "for", "with"
+))
+
+CORPUS_HEALTH_SQL = rf"""
+WITH per_doc AS (
+  SELECT source, lang,
+         len(regexp_split_to_array(trim(text), '\s+')) AS nt,
+         least(1.0, len(regexp_split_to_array(trim(text), '\s+')) / 100.0) * 0.5
+           + (1.0 - len(list_filter(regexp_split_to_array(trim(text), '\s+'),
+                                    x -> x IN ({_SW_HEALTH}))) * 1.0
+                  / len(regexp_split_to_array(trim(text), '\s+'))) * 0.5 AS q,
+         count(*) OVER (PARTITION BY source, md5(text)) AS dup_n
+  FROM documents
+)
+SELECT source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(nt) AS BIGINT) AS total_tokens,
+       CAST(sum(CASE WHEN dup_n > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_docs,
+       round(avg(q), 6) AS avg_quality,
+       CAST(count(DISTINCT lang) AS BIGINT) AS n_langs
+FROM per_doc GROUP BY source
+"""
+
+
 EXTRA_QUERIES = {
     "source_exemplars": source_exemplars,
     "length_outlier_docs": length_outlier_docs,
     "eval_sample_exact": eval_sample_exact,
+    "corpus_health": corpus_health,
     "semantic_dedup_keep": semantic_dedup_keep,
     "semantic_dedup_two_level": semantic_dedup_two_level,
     "unigram_quality": unigram_quality,
@@ -1465,6 +1519,7 @@ EXTRA_ORACLES = {
     "source_exemplars": SOURCE_EXEMPLARS_SQL,
     "length_outlier_docs": LENGTH_OUTLIERS_SQL,
     "eval_sample_exact": EVAL_SAMPLE_EXACT_SQL,
+    "corpus_health": CORPUS_HEALTH_SQL,
     "semantic_dedup_keep": SEMANTIC_DEDUP_KEEP_SQL,
     "semantic_dedup_two_level": SEMANTIC_DEDUP_TWO_LEVEL_SQL,
     "unigram_quality": UNIGRAM_QUALITY_SQL,
