@@ -99,19 +99,27 @@ WHERE n_common * 1.0 / (x.n_sh + y.n_sh - n_common) >= 0.8
 def ngram_containment_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Asymmetric 3-gram containment pairs at 0.8 — catches short docs
     embedded in longer ones (quotes/boilerplate reposts) that symmetric
-    Jaccard misses; `contained` names the smaller side to drop."""
+    Jaccard misses; `contained` names the smaller side to drop.  Runs
+    with the hot-shingle cap ACTIVE (same discipline as
+    ngram_jaccard_dups — the guard that keeps the shingle self-join
+    linear-ish at corpus scale), mirrored in the oracle."""
     from mini_project_204721_data_engineering_spark.llm.dedup import ngram_containment_pairs
 
     docs = load_table(spark, sf_dir, "documents")
-    return ngram_containment_pairs(docs, threshold=0.8)
+    return ngram_containment_pairs(
+        docs, threshold=0.8, max_shingle_df=JACCARD_MAX_SHINGLE_DF
+    )
 
 
 NGRAM_CONTAINMENT_SQL = f"""
 WITH {_DUCK_SHINGLES},
-sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+hot AS (SELECT shingle FROM sh GROUP BY shingle
+        HAVING count(*) > {JACCARD_MAX_SHINGLE_DF}),
+shc AS (SELECT * FROM sh WHERE shingle NOT IN (SELECT shingle FROM hot)),
+sizes AS (SELECT doc_id, count(*) AS n_sh FROM shc GROUP BY doc_id),
 common AS (
   SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
-  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  FROM shc a JOIN shc b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
   GROUP BY 1, 2
 )
 SELECT doc_a, doc_b,
