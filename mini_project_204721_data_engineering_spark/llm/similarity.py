@@ -297,7 +297,13 @@ def seeded_two_level(
     """Deterministic two-level quantizer seeds: the k1 lowest-id vectors
     are the SUPER centroids; within each super cell the k2 lowest-id
     members are its SUB centroids.  Returns (supers(cell, cv),
-    subs(super_cell, cell, cv)) for :func:`assign_cells_two_level`."""
+    subs(super_cell, cell, cv)) for :func:`assign_cells_two_level`.
+
+    Cost note: sub-seed selection runs ONE keyed window over the corpus
+    (a shuffle by super cell) — a one-time seeding cost, not per-query.
+    At extreme corpus sizes, seed from a hash-sampled slice instead
+    (``operators.sampling.hash_sample``) — seeds only need to span the
+    distribution, and a deterministic sample keeps reproducibility."""
     supers = seeded_centroids(corpus, ncells=k1, id_col=id_col, vec_col=vec_col)
     s1 = assign_cells_bcast(corpus, supers, id_col, vec_col, cell_col="__super")
     w = Window.partitionBy("__super").orderBy(F.col(id_col).asc())
