@@ -29,6 +29,8 @@ __all__ = [
     "fake_feature_extract",
     "decode_batches",
     "sample_frames",
+    "sniff_media_header",
+    "sniff_media_batches",
 ]
 
 
@@ -126,3 +128,112 @@ def sample_frames(
     chunking, no extra shuffle."""
     chunks = chunk_payload(df, payload_col=payload_col, chunk_bytes=chunk_bytes)
     return chunks.filter(F.col("chunk_idx") % every_n == 0)
+
+
+def sniff_media_header(payload: bytes) -> dict:
+    """REAL (dependency-free) media metadata from container headers —
+    the one decode-adjacent step that needs no media library, because
+    formats put their geometry in fixed byte positions:
+
+    - PNG: IHDR width/height (big-endian u32 at bytes 16/20);
+    - JPEG: scan markers to the first SOF0-SOF15 frame header;
+    - GIF87a/89a: logical screen descriptor (little-endian u16);
+    - BMP: BITMAPINFOHEADER i32 dims;
+    - WAV (RIFF): fmt chunk channels/sample-rate + data-chunk byte size
+      → duration.
+
+    Returns {"format", "width", "height", "channels", "sample_rate",
+    "duration_s"} with None for inapplicable fields and format
+    "unknown" for unrecognized/truncated bytes — never raises (this
+    runs inside a corpus-wide scan; one corrupt blob must not kill the
+    task)."""
+    import struct as _st
+
+    out = {"format": "unknown", "width": None, "height": None,
+           "channels": None, "sample_rate": None, "duration_s": None}
+    try:
+        if payload[:8] == b"\x89PNG\r\n\x1a\n" and payload[12:16] == b"IHDR":
+            out["format"] = "png"
+            out["width"], out["height"] = _st.unpack(">II", payload[16:24])
+        elif payload[:3] == b"\xff\xd8\xff":
+            p = 2
+            while p + 9 < len(payload):
+                if payload[p] != 0xFF:
+                    break
+                marker = payload[p + 1]
+                if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
+                    p += 2
+                    continue
+                seg_len = _st.unpack(">H", payload[p + 2 : p + 4])[0]
+                if 0xC0 <= marker <= 0xCF and marker not in (0xC4, 0xC8, 0xCC):
+                    out["format"] = "jpeg"
+                    out["height"], out["width"] = _st.unpack(
+                        ">HH", payload[p + 5 : p + 9]
+                    )
+                    break
+                p += 2 + seg_len
+        elif payload[:6] in (b"GIF87a", b"GIF89a"):
+            out["format"] = "gif"
+            out["width"], out["height"] = _st.unpack("<HH", payload[6:10])
+        elif payload[:2] == b"BM" and len(payload) >= 26:
+            out["format"] = "bmp"
+            w, h = _st.unpack("<ii", payload[18:26])
+            out["width"], out["height"] = abs(w), abs(h)
+        elif payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
+            p = 12
+            rate = channels = bits = data_len = None
+            while p + 8 <= len(payload):
+                cid = payload[p : p + 4]
+                clen = _st.unpack("<I", payload[p + 4 : p + 8])[0]
+                if cid == b"fmt " and clen >= 16:
+                    channels, rate = _st.unpack("<HI", payload[p + 10 : p + 16])
+                    bits = _st.unpack("<H", payload[p + 22 : p + 24])[0]
+                elif cid == b"data":
+                    data_len = clen
+                p += 8 + clen + (clen & 1)  # chunks are word-aligned
+            if rate:
+                out["format"] = "wav"
+                out["channels"], out["sample_rate"] = channels, rate
+                if data_len is not None and bits:
+                    bytes_per_s = rate * channels * (bits // 8)
+                    if bytes_per_s:
+                        out["duration_s"] = round(data_len / bytes_per_s, 6)
+    except Exception:  # noqa: BLE001 — corrupt blob → "unknown", by contract
+        return {"format": "unknown", "width": None, "height": None,
+                "channels": None, "sample_rate": None, "duration_s": None}
+    return out
+
+
+def sniff_media_batches(
+    df: DataFrame, payload_col: str = "payload", id_col: str = "doc_id"
+) -> DataFrame:
+    """Distributed header sniff over a binary column (``mapInPandas`` —
+    Arrow batches, payload bytes never on the driver): (id, format,
+    width, height, channels, sample_rate, duration_s).  This is real
+    metadata extraction, not a stub — only sample/pixel DECODE needs
+    the absent media libs."""
+    schema = (
+        f"{id_col} long, format string, width int, height int, "
+        "channels int, sample_rate int, duration_s double"
+    )
+
+    def worker(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            metas = [sniff_media_header(bytes(p)) for p in pdf[payload_col]]
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col],
+                    "format": [m["format"] for m in metas],
+                    "width": pd.array([m["width"] for m in metas], dtype="Int32"),
+                    "height": pd.array([m["height"] for m in metas], dtype="Int32"),
+                    "channels": pd.array([m["channels"] for m in metas], dtype="Int32"),
+                    "sample_rate": pd.array(
+                        [m["sample_rate"] for m in metas], dtype="Int32"
+                    ),
+                    "duration_s": pd.array(
+                        [m["duration_s"] for m in metas], dtype="Float64"
+                    ),
+                }
+            )
+
+    return df.select(id_col, payload_col).mapInPandas(worker, schema)

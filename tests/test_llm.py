@@ -1100,3 +1100,68 @@ def test_length_outliers_flags_planted_extreme(spark):
     assert solo["z_score"] == 0.0 and not solo["is_outlier"]
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan
+
+
+def _png_bytes(w, h):
+    import struct, zlib
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    chunk = struct.pack(">I", len(ihdr)) + b"IHDR" + ihdr + struct.pack(
+        ">I", zlib.crc32(b"IHDR" + ihdr)
+    )
+    return b"\x89PNG\r\n\x1a\n" + chunk
+
+
+def _jpeg_bytes(w, h):
+    import struct
+
+    app0 = b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00" + b"\x00" * 9
+    sof0 = b"\xff\xc0" + struct.pack(">HBHHB", 11, 8, h, w, 3) + b"\x00\x00\x00"
+    return b"\xff\xd8" + app0 + sof0 + b"\xff\xd9"
+
+
+def _wav_bytes(rate, channels, seconds):
+    import struct
+
+    bits = 16
+    n = int(rate * channels * (bits // 8) * seconds)
+    fmt = struct.pack("<HHIIHH", 1, channels, rate, rate * channels * 2, channels * 2, bits)
+    body = b"fmt " + struct.pack("<I", len(fmt)) + fmt
+    body += b"data" + struct.pack("<I", n) + b"\x00" * n
+    return b"RIFF" + struct.pack("<I", 4 + len(body)) + b"WAVE" + body
+
+
+def test_media_header_sniff_real_formats(spark):
+    """Header sniffing is REAL (no media libs): synthesized PNG/JPEG/
+    GIF/WAV containers yield their true geometry and audio params;
+    garbage yields format=unknown with null fields; runs distributed
+    over mapInPandas."""
+    import struct
+
+    from mini_project_204721_data_engineering_spark.llm.multimodal import (
+        sniff_media_batches,
+        sniff_media_header,
+    )
+
+    gif = b"GIF89a" + struct.pack("<HH", 320, 200) + b"\x00" * 5
+    rows = [
+        (1, _png_bytes(640, 480)),
+        (2, _jpeg_bytes(1024, 768)),
+        (3, gif),
+        (4, _wav_bytes(16000, 2, 1.5)),
+        (5, b"not a media file at all"),
+    ]
+    # driver-side truth
+    assert sniff_media_header(rows[0][1]) == {
+        "format": "png", "width": 640, "height": 480,
+        "channels": None, "sample_rate": None, "duration_s": None,
+    }
+    df = spark.createDataFrame(rows, "doc_id long, payload binary")
+    got = {r["doc_id"]: r.asDict() for r in sniff_media_batches(df).collect()}
+    assert (got[1]["format"], got[1]["width"], got[1]["height"]) == ("png", 640, 480)
+    assert (got[2]["format"], got[2]["width"], got[2]["height"]) == ("jpeg", 1024, 768)
+    assert (got[3]["format"], got[3]["width"], got[3]["height"]) == ("gif", 320, 200)
+    assert got[4]["format"] == "wav"
+    assert got[4]["channels"] == 2 and got[4]["sample_rate"] == 16000
+    assert abs(got[4]["duration_s"] - 1.5) < 1e-6
+    assert got[5]["format"] == "unknown" and got[5]["width"] is None
