@@ -11,6 +11,10 @@ no image/audio libraries) behind ``decode_stub``/``fake_feature_extract``:
 - :func:`decode_batches` — the ``mapInPandas`` decode pipeline; the
   per-batch worker calls ``decoder`` which defaults to a deterministic
   fake; a real deployment passes e.g. a PIL/librosa-backed callable.
+- :func:`sniff_media_header` / :func:`sniff_media_batches` — REAL
+  header-level metadata (PNG/JPEG/GIF/BMP dimensions, WAV audio
+  params) parsed from container bytes with no media library; only
+  pixel/sample decode remains behind the injectable stub.
 """
 
 from __future__ import annotations
