@@ -430,3 +430,26 @@ def test_assign_cells_bcast_equals_literal_property(spark, vecs, ncells):
     lit = {r["vec_id"]: r["cell"] for r in assign_cells(df, cents).collect()}
     bc = {r["vec_id"]: r["cell"] for r in assign_cells_bcast(df, cents).collect()}
     assert bc == lit
+
+
+@settings(max_examples=300, deadline=None)
+@given(st.binary(max_size=256))
+def test_sniff_media_header_never_raises(payload):
+    """The header sniffer's contract: arbitrary bytes (including valid
+    magic prefixes with garbage bodies) never raise — a corrupt blob in
+    a corpus-wide scan must not kill the task."""
+    from mini_project_204721_data_engineering_spark.llm.multimodal import sniff_media_header
+
+    out = sniff_media_header(payload)
+    assert out["format"] in ("unknown", "png", "jpeg", "gif", "bmp", "wav")
+
+
+@settings(max_examples=150, deadline=None)
+@given(prefix=st.sampled_from([
+    b"\x89PNG\r\n\x1a\n", b"\xff\xd8\xff", b"GIF89a", b"BM", b"RIFF"]),
+    body=st.binary(max_size=64))
+def test_sniff_media_header_magic_plus_garbage_never_raises(prefix, body):
+    from mini_project_204721_data_engineering_spark.llm.multimodal import sniff_media_header
+
+    out = sniff_media_header(prefix + body)
+    assert isinstance(out, dict) and "format" in out
