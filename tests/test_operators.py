@@ -639,3 +639,42 @@ def test_hash_topk_sample_exact_nested_and_topk_plan(spark):
     assert shuffled == k10
     plan = hash_topk_sample(docs, "doc_id", 10)._jdf.queryExecution().executedPlan().toString()
     assert "TakeOrderedAndProject" in plan
+
+
+def test_countmin_rollup_merge_and_estimates(spark):
+    """Count-min rollup family invariants: (1) the one-sided guarantee —
+    every estimate >= the true count; (2) with width >> distinct items
+    the estimates are EXACT; (3) coarsening daily sketches to monthly by
+    cell addition equals sketching the month directly (mergeability);
+    (4) absent items estimate 0."""
+    from mini_project_204721_data_engineering_spark.catalog import load_table
+    from mini_project_204721_data_engineering_spark.operators.rollup import (
+        estimate_item_count,
+        reaggregate_countmin,
+        rollup_countmin,
+    )
+
+    ev = load_table(spark, "/root/testdata/sf0.001", "events")
+    daily = rollup_countmin(ev, "ts", "event_type", [], "day", depth=4, width=256)
+    monthly = reaggregate_countmin(daily, [], "month")
+    direct = rollup_countmin(ev, "ts", "event_type", [], "month", depth=4, width=256)
+    m = {(r["bucket"], r["cm_row"], r["cm_bucket"]): r["cnt"] for r in monthly.collect()}
+    d = {(r["bucket"], r["cm_row"], r["cm_bucket"]): r["cnt"] for r in direct.collect()}
+    assert m == d  # merge ≡ direct
+    items = ev.select("event_type").distinct()
+    est = estimate_item_count(monthly, items, "event_type", [])
+    truth = {
+        (r["bucket"], r["event_type"]): r["n"]
+        for r in ev.groupBy(
+            F.date_trunc("month", "ts").alias("bucket"), "event_type"
+        ).agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    got = {(r["bucket"], r["event_type"]): r["est_count"] for r in est.collect()}
+    assert set(got) == set(truth)
+    for k, v in got.items():
+        assert v >= truth[k]  # one-sided
+        assert v == truth[k]  # exact at width >> 5 distinct event types
+    # absent item → 0
+    ghost = spark.createDataFrame([("no_such_event",)], "event_type string")
+    zs = estimate_item_count(monthly, ghost, "event_type", []).collect()
+    assert all(r["est_count"] == 0 for r in zs) and len(zs) > 0
