@@ -198,6 +198,7 @@ def rollup_countmin(
     grain: str,
     depth: int = 4,
     width: int = 256,
+    hash_fn: str = "xxhash64",
 ) -> DataFrame:
     """Count-min-sketch rollup: per bucket/key, a ``depth × width``
     counter table over ``item_col`` — the mergeable form of "how often
@@ -208,17 +209,20 @@ def rollup_countmin(
     one explode + one map-side-combinable groupBy; the sketch for a
     group is ``depth·width`` longs regardless of item cardinality, so a
     100 TB store can serve "play count of THIS item that month" from
-    daily sketches without a per-item rollup.  Hashes are
-    ``xxhash64(item, seed=row)`` — deterministic, engine-side.  Stored
-    long-form ``(bucket, keys…, cm_row, cm_bucket, cnt)`` — only
-    touched cells materialize (≤ depth·distinct-items per group), and
-    coarsening is a plain additive groupBy."""
+    daily sketches without a per-item rollup.  Stored long-form
+    ``(bucket, keys…, cm_row, cm_bucket, cnt)`` — only touched cells
+    materialize (≤ depth·distinct-items per group), and coarsening is a
+    plain additive groupBy.
+
+    ``hash_fn="xxhash64"`` (default): numeric buckets mod ``width`` —
+    the cheap scale path.  ``hash_fn="md5"``: the bucket is the first
+    ``width``-determining hex chars of ``md5(row|item)`` (``width`` must
+    be a power of 16) — identical sketch semantics and ENGINE-PORTABLE,
+    so the whole build→merge→estimate chain is DuckDB-oracle-checkable
+    (the same md5-vs-xxhash64 split as the MinHash family)."""
     cells = F.explode(
         F.array(*[
-            F.struct(
-                F.lit(r).alias("cm_row"),
-                F.pmod(F.xxhash64(F.col(item_col), F.lit(r)), F.lit(width)).alias("cm_bucket"),
-            )
+            F.struct(F.lit(r).alias("cm_row"), _cm_bucket(item_col, r, width, hash_fn))
             for r in range(depth)
         ])
     ).alias("c")
@@ -230,6 +234,25 @@ def rollup_countmin(
         .groupBy("bucket", *keys, "cm_row", "cm_bucket")
         .agg(F.count(F.lit(1)).alias("cnt"))
     )
+
+
+def _cm_bucket(item_col: str, r: int, width: int, hash_fn: str):
+    """One (row, item) → bucket cell; md5 buckets are hex prefixes so
+    the DuckDB mirror needs no hex→int conversion."""
+    if hash_fn == "xxhash64":
+        return F.pmod(F.xxhash64(F.col(item_col), F.lit(r)), F.lit(width)).cast(
+            "string"
+        ).alias("cm_bucket")
+    if hash_fn == "md5":
+        import math
+
+        nhex = round(math.log(width, 16))
+        if 16 ** nhex != width:
+            raise ValueError(f"md5 buckets need width = 16^k, got {width}")
+        return F.substring(
+            F.md5(F.concat(F.lit(f"{r}|"), F.col(item_col))), 1, nhex
+        ).alias("cm_bucket")
+    raise ValueError(f"unknown hash_fn {hash_fn!r}")
 
 
 def reaggregate_countmin(fine: DataFrame, keys: Sequence[str], grain: str) -> DataFrame:
@@ -250,6 +273,7 @@ def estimate_item_count(
     keys: Sequence[str],
     depth: int = 4,
     width: int = 256,
+    hash_fn: str = "xxhash64",
 ) -> DataFrame:
     """Point-query a count-min rollup for the given items: per
     (bucket, keys, item), the MIN over the item's ``depth`` cells —
@@ -261,10 +285,7 @@ def estimate_item_count(
         F.col(item_col).alias("__item"),
         F.explode(
             F.array(*[
-                F.struct(
-                    F.lit(r).alias("cm_row"),
-                    F.pmod(F.xxhash64(F.col(item_col), F.lit(r)), F.lit(width)).alias("cm_bucket"),
-                )
+                F.struct(F.lit(r).alias("cm_row"), _cm_bucket(item_col, r, width, hash_fn))
                 for r in range(depth)
             ])
         ).alias("c"),

@@ -1498,11 +1498,60 @@ FROM per_doc GROUP BY source
 """
 
 
+def countmin_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full count-min chain oracle-checked: daily sketches (md5
+    hex-prefix buckets — the engine-portable variant), merged to
+    monthly by cell addition, point-estimated for every event type.
+    DuckDB rebuilds the identical sketch, so build, merge AND the
+    min-over-rows estimate are verified value-for-value
+    (operators/rollup.py::rollup_countmin family)."""
+    from mini_project_204721_data_engineering_spark.operators.rollup import (
+        estimate_item_count,
+        reaggregate_countmin,
+        rollup_countmin,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    daily = rollup_countmin(ev, "ts", "event_type", [], "day", hash_fn="md5")
+    monthly = reaggregate_countmin(daily, [], "month")
+    items = ev.select("event_type").distinct()
+    return estimate_item_count(monthly, items, "event_type", [], hash_fn="md5")
+
+
+COUNTMIN_EVENT_COUNTS_SQL = """
+WITH rows4 AS (SELECT unnest(range(4)) AS r),
+cells AS (
+  SELECT date_trunc('day', ts) AS bucket, r,
+         substring(md5(r || '|' || event_type), 1, 2) AS cm_bucket
+  FROM events CROSS JOIN rows4
+), daily AS (
+  SELECT bucket, r AS cm_row, cm_bucket, count(*) AS cnt
+  FROM cells GROUP BY 1, 2, 3
+), monthly AS (
+  SELECT date_trunc('month', bucket) AS bucket, cm_row, cm_bucket,
+         sum(cnt) AS cnt
+  FROM daily GROUP BY 1, 2, 3
+), items AS (SELECT DISTINCT event_type FROM events),
+groups AS (SELECT DISTINCT bucket FROM monthly),
+probes AS (
+  SELECT g.bucket, i.event_type, r AS cm_row,
+         substring(md5(r || '|' || i.event_type), 1, 2) AS cm_bucket
+  FROM groups g CROSS JOIN items i CROSS JOIN rows4
+)
+SELECT CAST(p.bucket AS TIMESTAMP) AS bucket, p.event_type,
+       CAST(min(coalesce(m.cnt, 0)) AS BIGINT) AS est_count
+FROM probes p
+LEFT JOIN monthly m USING (bucket, cm_row, cm_bucket)
+GROUP BY 1, 2
+"""
+
+
 EXTRA_QUERIES = {
     "source_exemplars": source_exemplars,
     "length_outlier_docs": length_outlier_docs,
     "eval_sample_exact": eval_sample_exact,
     "corpus_health": corpus_health,
+    "countmin_event_counts": countmin_event_counts,
     "semantic_dedup_keep": semantic_dedup_keep,
     "semantic_dedup_two_level": semantic_dedup_two_level,
     "unigram_quality": unigram_quality,
@@ -1528,6 +1577,7 @@ EXTRA_ORACLES = {
     "length_outlier_docs": LENGTH_OUTLIERS_SQL,
     "eval_sample_exact": EVAL_SAMPLE_EXACT_SQL,
     "corpus_health": CORPUS_HEALTH_SQL,
+    "countmin_event_counts": COUNTMIN_EVENT_COUNTS_SQL,
     "semantic_dedup_keep": SEMANTIC_DEDUP_KEEP_SQL,
     "semantic_dedup_two_level": SEMANTIC_DEDUP_TWO_LEVEL_SQL,
     "unigram_quality": UNIGRAM_QUALITY_SQL,
