@@ -46,7 +46,9 @@ def profile_table(
         ]
     row = df.agg(*aggs)
     parts = ", ".join(
-        f"'{c}', __nulls_{i}, __nd_{i}, __min_{i}, __max_{i}"
+        "'{}', __nulls_{}, __nd_{}, __min_{}, __max_{}".format(
+            c.replace("\\", "\\\\").replace("'", "\\'"), i, i, i, i
+        )
         for i, c in enumerate(cols)
     )
     return row.select(
