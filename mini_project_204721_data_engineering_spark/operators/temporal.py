@@ -1,0 +1,76 @@
+"""Temporal state operators: collapse event streams into validity
+intervals (the SCD2 / gaps-and-islands build primitive).
+
+``state_intervals`` turns a keyed, timestamped state stream ("user 7
+was in state A, then A again, then B") into one row per CONSECUTIVE
+run of equal state with its validity window — the transformation that
+builds slowly-changing-dimension (type 2) history from change events,
+run-length-encodes sensor states, and feeds downtime/uptime reports.
+
+Scale shape: two keyed window functions (lag + a running sum) over ONE
+shuffle by key, then a groups-sized aggregate — the standard
+gaps-and-islands plan; nothing global, nothing iterative.  Fully
+deterministic given unique (key, ts) pairs, so the DuckDB oracle
+mirrors it exactly.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+__all__ = ["state_intervals"]
+
+
+def state_intervals(
+    df: DataFrame,
+    key: str,
+    ts_col: str,
+    state_col: str,
+    tiebreak: str | None = None,
+) -> DataFrame:
+    """One row per consecutive same-state run per key:
+    ``(key, state, valid_from, valid_to, n_events)`` — ``valid_from`` =
+    the run's first event time, ``valid_to`` = the NEXT run's first
+    event time (half-open intervals, the SCD2 convention), NULL for the
+    current (open) run.
+
+    Island detection: a run boundary is any row whose state differs
+    from its predecessor (``lag``); a running count of boundaries
+    numbers the islands, and each island aggregates to one interval.
+    ``valid_to`` comes from ``lead`` over the aggregated intervals —
+    cheaper than joining back to events.
+
+    ``tiebreak``: extra ordering column for streams where (key, ts) is
+    not unique — without it, tied timestamps make run boundaries
+    order-dependent (pass the event id)."""
+    order = [F.col("__ts").asc()] + (
+        [F.col(tiebreak).asc()] if tiebreak else []
+    )
+    w = Window.partitionBy(key).orderBy(*order)
+    cols = [key, F.col(ts_col).alias("__ts"), F.col(state_col).alias("__state")]
+    if tiebreak:
+        cols.append(F.col(tiebreak))
+    marked = df.select(*cols).withColumn(
+        "__new_run",
+        F.when(
+            F.lag("__state").over(w).isNull()
+            | (F.lag("__state").over(w) != F.col("__state")),
+            F.lit(1),
+        ).otherwise(F.lit(0)),
+    )
+    runs = marked.withColumn("__run", F.sum("__new_run").over(w))
+    intervals = runs.groupBy(key, "__run").agg(
+        F.first("__state").alias(state_col),
+        F.min("__ts").alias("valid_from"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+    wi = Window.partitionBy(key).orderBy(F.col("valid_from").asc())
+    return intervals.select(
+        key,
+        state_col,
+        "valid_from",
+        F.lead("valid_from").over(wi).alias("valid_to"),
+        "n_events",
+    )

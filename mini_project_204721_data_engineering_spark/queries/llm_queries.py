@@ -1546,8 +1546,45 @@ GROUP BY 1, 2
 """
 
 
+def user_state_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD2-style validity intervals from the event stream: one row per
+    consecutive same-event-type run per user, half-open
+    [valid_from, valid_to) windows, open run's valid_to NULL — the
+    gaps-and-islands build primitive (operators/temporal.py)."""
+    from mini_project_204721_data_engineering_spark.operators.temporal import state_intervals
+
+    ev = load_table(spark, sf_dir, "events")
+    return state_intervals(ev, "user_id", "ts", "event_type", tiebreak="event_id")
+
+
+USER_STATE_INTERVALS_SQL = """
+WITH marked AS (
+  SELECT user_id, ts, event_type, event_id,
+         CASE WHEN lag(event_type) OVER w IS NULL
+                   OR lag(event_type) OVER w <> event_type
+              THEN 1 ELSE 0 END AS new_run
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
+), runs AS (
+  SELECT *, sum(new_run) OVER (
+    PARTITION BY user_id ORDER BY ts ASC, event_id ASC) AS run
+  FROM marked
+), intervals AS (
+  SELECT user_id, run, min(event_type) AS event_type,
+         min(ts) AS valid_from, CAST(count(*) AS BIGINT) AS n_events
+  FROM runs GROUP BY user_id, run
+)
+SELECT user_id, event_type, valid_from,
+       lead(valid_from) OVER (PARTITION BY user_id ORDER BY valid_from ASC)
+         AS valid_to,
+       n_events
+FROM intervals
+"""
+
+
 EXTRA_QUERIES = {
     "source_exemplars": source_exemplars,
+    "user_state_intervals": user_state_intervals,
     "length_outlier_docs": length_outlier_docs,
     "eval_sample_exact": eval_sample_exact,
     "corpus_health": corpus_health,
@@ -1574,6 +1611,7 @@ EXTRA_QUERIES = {
 }
 EXTRA_ORACLES = {
     "source_exemplars": SOURCE_EXEMPLARS_SQL,
+    "user_state_intervals": USER_STATE_INTERVALS_SQL,
     "length_outlier_docs": LENGTH_OUTLIERS_SQL,
     "eval_sample_exact": EVAL_SAMPLE_EXACT_SQL,
     "corpus_health": CORPUS_HEALTH_SQL,

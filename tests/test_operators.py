@@ -678,3 +678,30 @@ def test_countmin_rollup_merge_and_estimates(spark):
     ghost = spark.createDataFrame([("no_such_event",)], "event_type string")
     zs = estimate_item_count(monthly, ghost, "event_type", []).collect()
     assert all(r["est_count"] == 0 for r in zs) and len(zs) > 0
+
+
+def test_state_intervals_scd2_semantics(spark):
+    """state_intervals: consecutive same-state events collapse to one
+    interval; valid_to = next run's valid_from (half-open SCD2), open
+    run has NULL valid_to; per-key intervals tile the key's timeline."""
+    import datetime as dt
+
+    from mini_project_204721_data_engineering_spark.operators.temporal import state_intervals
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [
+        (1, t0, "A", 1), (2, t0 + dt.timedelta(hours=1), "A", 1),
+        (3, t0 + dt.timedelta(hours=2), "B", 1),
+        (4, t0 + dt.timedelta(hours=3), "A", 1),  # A returns: NEW run
+        (5, t0, "C", 2),
+    ]
+    df = spark.createDataFrame(rows, "event_id long, ts timestamp, state string, k long")
+    out = state_intervals(df, "k", "ts", "state", tiebreak="event_id").collect()
+    u1 = sorted([r for r in out if r["k"] == 1], key=lambda r: r["valid_from"])
+    assert [(r["state"], r["n_events"]) for r in u1] == [("A", 2), ("B", 1), ("A", 1)]
+    # half-open tiling: each valid_to equals the next valid_from
+    assert u1[0]["valid_to"] == u1[1]["valid_from"]
+    assert u1[1]["valid_to"] == u1[2]["valid_from"]
+    assert u1[2]["valid_to"] is None  # open (current) run
+    u2 = [r for r in out if r["k"] == 2]
+    assert len(u2) == 1 and u2[0]["valid_to"] is None and u2[0]["n_events"] == 1
