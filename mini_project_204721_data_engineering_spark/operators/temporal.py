@@ -20,7 +20,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-__all__ = ["state_intervals"]
+__all__ = ["state_intervals", "pit_lookup"]
 
 
 def state_intervals(
@@ -73,4 +73,37 @@ def state_intervals(
         "valid_from",
         F.lead("valid_from").over(wi).alias("valid_to"),
         "n_events",
+    )
+
+
+def pit_lookup(
+    facts: DataFrame,
+    intervals: DataFrame,
+    key: str,
+    fact_ts: str,
+    state_col: str,
+) -> DataFrame:
+    """Point-in-time lookup — the CONSUME side of SCD2: attach to every
+    fact the state whose validity interval contains ``fact_ts``.
+
+    Because :func:`state_intervals` produces TILING half-open intervals
+    per key (each ``valid_to`` = the next ``valid_from``), containment
+    lookup reduces to an as-of join on ``valid_from`` alone: the latest
+    interval starting at or before the fact time IS the containing one,
+    and a fact at an exact boundary lands in the newer interval
+    (half-open semantics fall out of the as-of tie rule).  Facts before
+    the key's first interval get NULL.  Inherits the as-of join's
+    union+keyed-window plan — one shuffle, one sort, no range join
+    (operators/joins.py::asof_join)."""
+    from mini_project_204721_data_engineering_spark.operators.joins import asof_join
+
+    right = intervals.select(key, F.col("valid_from"), F.col(state_col))
+    return asof_join(
+        facts,
+        right,
+        on=[key],
+        left_time=fact_ts,
+        right_time="valid_from",
+        payload=[state_col],
+        payload_nonnull=True,
     )

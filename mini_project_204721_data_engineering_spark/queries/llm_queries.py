@@ -1582,9 +1582,62 @@ FROM intervals
 """
 
 
+def error_pit_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time (SCD2 consume) lookup: for every 'error' event, the
+    state the user was in — the latest non-error activity run containing
+    the error's timestamp (state_intervals on the non-error stream +
+    pit_lookup = as-of on valid_from; no range join).  NULL when the
+    error precedes the user's first non-error activity."""
+    from mini_project_204721_data_engineering_spark.operators.temporal import (
+        pit_lookup,
+        state_intervals,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    intervals = state_intervals(
+        ev.filter(F.col("event_type") != "error"),
+        "user_id",
+        "ts",
+        "event_type",
+        tiebreak="event_id",
+    ).withColumnRenamed("event_type", "state")
+    errors = ev.filter(F.col("event_type") == "error").select(
+        "event_id", "user_id", "ts"
+    )
+    return pit_lookup(errors, intervals, "user_id", "ts", "state")
+
+
+ERROR_PIT_STATE_SQL = """
+WITH nonerr AS (
+  SELECT * FROM events WHERE event_type <> 'error'
+), marked AS (
+  SELECT user_id, ts, event_type, event_id,
+         CASE WHEN lag(event_type) OVER w IS NULL
+                   OR lag(event_type) OVER w <> event_type
+              THEN 1 ELSE 0 END AS new_run
+  FROM nonerr
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
+), runs AS (
+  SELECT *, sum(new_run) OVER (
+    PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+    ROWS UNBOUNDED PRECEDING) AS run
+  FROM marked
+), intervals AS (
+  SELECT user_id, run, min(event_type) AS state, min(ts) AS valid_from
+  FROM runs GROUP BY user_id, run
+), errors AS (
+  SELECT event_id, user_id, ts FROM events WHERE event_type = 'error'
+)
+SELECT e.event_id, e.user_id, e.ts, i.state
+FROM errors e ASOF LEFT JOIN intervals i
+  ON e.user_id = i.user_id AND e.ts >= i.valid_from
+"""
+
+
 EXTRA_QUERIES = {
     "source_exemplars": source_exemplars,
     "user_state_intervals": user_state_intervals,
+    "error_pit_state": error_pit_state,
     "length_outlier_docs": length_outlier_docs,
     "eval_sample_exact": eval_sample_exact,
     "corpus_health": corpus_health,
@@ -1612,6 +1665,7 @@ EXTRA_QUERIES = {
 EXTRA_ORACLES = {
     "source_exemplars": SOURCE_EXEMPLARS_SQL,
     "user_state_intervals": USER_STATE_INTERVALS_SQL,
+    "error_pit_state": ERROR_PIT_STATE_SQL,
     "length_outlier_docs": LENGTH_OUTLIERS_SQL,
     "eval_sample_exact": EVAL_SAMPLE_EXACT_SQL,
     "corpus_health": CORPUS_HEALTH_SQL,
