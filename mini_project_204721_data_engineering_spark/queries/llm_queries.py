@@ -1634,10 +1634,61 @@ FROM errors e ASOF LEFT JOIN intervals i
 """
 
 
+def event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel: per user, first 'click' then first 'purchase' AT
+    OR AFTER that click — the sequential-conversion shape ad-hoc
+    windowing gets wrong (a purchase before any click must not count).
+    Two keyed aggregates (map-side combinable) + one user-sized join —
+    no window over the raw stream; returns one row per funnel step with
+    the surviving-user count."""
+    ev = load_table(spark, sf_dir, "events")
+    t1 = ev.filter(F.col("event_type") == "click").groupBy("user_id").agg(
+        F.min("ts").alias("t1")
+    )
+    t2 = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(t1, "user_id")
+        .filter(F.col("ts") >= F.col("t1"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t2"))
+    )
+    steps = t1.join(t2, "user_id", "left")
+    return steps.agg(
+        F.count(F.lit(1)).alias("n_clicked"),
+        F.count("t2").alias("n_converted"),
+    ).select(
+        F.explode(
+            F.array(
+                F.struct(F.lit("1_click").alias("step"), F.col("n_clicked").alias("n_users")),
+                F.struct(F.lit("2_purchase_after_click").alias("step"), F.col("n_converted").alias("n_users")),
+            )
+        ).alias("s")
+    ).select("s.step", "s.n_users")
+
+
+EVENT_FUNNEL_SQL = """
+WITH t1 AS (
+  SELECT user_id, min(ts) AS t1 FROM events
+  WHERE event_type = 'click' GROUP BY user_id
+), t2 AS (
+  SELECT e.user_id, min(e.ts) AS t2
+  FROM events e JOIN t1 USING (user_id)
+  WHERE e.event_type = 'purchase' AND e.ts >= t1.t1
+  GROUP BY e.user_id
+), steps AS (
+  SELECT t1.user_id, t2.t2 FROM t1 LEFT JOIN t2 USING (user_id)
+)
+SELECT '1_click' AS step, CAST(count(*) AS BIGINT) AS n_users FROM steps
+UNION ALL
+SELECT '2_purchase_after_click', CAST(count(t2) AS BIGINT) FROM steps
+"""
+
+
 EXTRA_QUERIES = {
     "source_exemplars": source_exemplars,
     "user_state_intervals": user_state_intervals,
     "error_pit_state": error_pit_state,
+    "event_funnel": event_funnel,
     "length_outlier_docs": length_outlier_docs,
     "eval_sample_exact": eval_sample_exact,
     "corpus_health": corpus_health,
@@ -1666,6 +1717,7 @@ EXTRA_ORACLES = {
     "source_exemplars": SOURCE_EXEMPLARS_SQL,
     "user_state_intervals": USER_STATE_INTERVALS_SQL,
     "error_pit_state": ERROR_PIT_STATE_SQL,
+    "event_funnel": EVENT_FUNNEL_SQL,
     "length_outlier_docs": LENGTH_OUTLIERS_SQL,
     "eval_sample_exact": EVAL_SAMPLE_EXACT_SQL,
     "corpus_health": CORPUS_HEALTH_SQL,
