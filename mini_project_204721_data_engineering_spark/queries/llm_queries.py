@@ -1684,11 +1684,47 @@ SELECT '2_purchase_after_click', CAST(count(t2) AS BIGINT) FROM steps
 """
 
 
+def user_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention triangle: users grouped by first-activity day,
+    counted distinct-active at each day offset — the standard retention
+    report.  Shape: one (user, day) distinct (map-side combinable), a
+    user-sized cohort aggregate joined back, then a groups-sized count;
+    offsets limited to 14 days to keep the report bounded."""
+    ev = load_table(spark, sf_dir, "events")
+    days = ev.select(
+        "user_id", F.date_trunc("day", "ts").alias("day")
+    ).distinct()
+    cohorts = days.groupBy("user_id").agg(F.min("day").alias("cohort_day"))
+    return (
+        days.join(cohorts, "user_id")
+        .withColumn("day_offset", F.datediff("day", "cohort_day"))
+        .filter(F.col("day_offset") <= 14)
+        .groupBy("cohort_day", "day_offset")
+        .agg(F.count(F.lit(1)).alias("n_active_users"))
+    )
+
+
+USER_RETENTION_SQL = """
+WITH days AS (
+  SELECT DISTINCT user_id, date_trunc('day', ts) AS day FROM events
+), cohorts AS (
+  SELECT user_id, min(day) AS cohort_day FROM days GROUP BY user_id
+)
+SELECT CAST(c.cohort_day AS TIMESTAMP) AS cohort_day,
+       CAST(datediff('day', c.cohort_day, d.day) AS INT) AS day_offset,
+       CAST(count(*) AS BIGINT) AS n_active_users
+FROM days d JOIN cohorts c USING (user_id)
+WHERE datediff('day', c.cohort_day, d.day) <= 14
+GROUP BY 1, 2
+"""
+
+
 EXTRA_QUERIES = {
     "source_exemplars": source_exemplars,
     "user_state_intervals": user_state_intervals,
     "error_pit_state": error_pit_state,
     "event_funnel": event_funnel,
+    "user_retention_cohorts": user_retention_cohorts,
     "length_outlier_docs": length_outlier_docs,
     "eval_sample_exact": eval_sample_exact,
     "corpus_health": corpus_health,
@@ -1718,6 +1754,7 @@ EXTRA_ORACLES = {
     "user_state_intervals": USER_STATE_INTERVALS_SQL,
     "error_pit_state": ERROR_PIT_STATE_SQL,
     "event_funnel": EVENT_FUNNEL_SQL,
+    "user_retention_cohorts": USER_RETENTION_SQL,
     "length_outlier_docs": LENGTH_OUTLIERS_SQL,
     "eval_sample_exact": EVAL_SAMPLE_EXACT_SQL,
     "corpus_health": CORPUS_HEALTH_SQL,
