@@ -1719,8 +1719,50 @@ GROUP BY 1, 2
 """
 
 
+def user_longest_streak(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Longest consecutive-day activity streak per user — the date-
+    anchored gaps-and-islands form (day minus row_number is constant
+    exactly within a consecutive run): distinct (user, day) grain, one
+    keyed window, two groups-sized aggregates."""
+    from pyspark.sql.window import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    days = ev.select(
+        "user_id", F.to_date(F.date_trunc("day", "ts")).alias("day")
+    ).distinct()
+    w = Window.partitionBy("user_id").orderBy("day")
+    anchored = days.withColumn(
+        "anchor", F.date_sub("day", F.row_number().over(w))
+    )
+    streaks = anchored.groupBy("user_id", "anchor").agg(
+        F.count(F.lit(1)).alias("len")
+    )
+    return streaks.groupBy("user_id").agg(
+        F.max("len").alias("longest_streak_days")
+    )
+
+
+USER_LONGEST_STREAK_SQL = """
+WITH days AS (
+  SELECT DISTINCT user_id, CAST(date_trunc('day', ts) AS DATE) AS day
+  FROM events
+), anchored AS (
+  SELECT user_id, day,
+         day - CAST(row_number() OVER (
+           PARTITION BY user_id ORDER BY day) AS INT) AS anchor
+  FROM days
+), streaks AS (
+  SELECT user_id, anchor, count(*) AS len
+  FROM anchored GROUP BY user_id, anchor
+)
+SELECT user_id, CAST(max(len) AS BIGINT) AS longest_streak_days
+FROM streaks GROUP BY user_id
+"""
+
+
 EXTRA_QUERIES = {
     "source_exemplars": source_exemplars,
+    "user_longest_streak": user_longest_streak,
     "user_state_intervals": user_state_intervals,
     "error_pit_state": error_pit_state,
     "event_funnel": event_funnel,
@@ -1751,6 +1793,7 @@ EXTRA_QUERIES = {
 }
 EXTRA_ORACLES = {
     "source_exemplars": SOURCE_EXEMPLARS_SQL,
+    "user_longest_streak": USER_LONGEST_STREAK_SQL,
     "user_state_intervals": USER_STATE_INTERVALS_SQL,
     "error_pit_state": ERROR_PIT_STATE_SQL,
     "event_funnel": EVENT_FUNNEL_SQL,
