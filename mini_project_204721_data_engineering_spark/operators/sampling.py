@@ -33,6 +33,7 @@ __all__ = [
     "exemplars_per_group",
     "rates_for_token_budget",
     "hash_topk_sample",
+    "epoch_order",
 ]
 
 
@@ -201,5 +202,55 @@ def hash_topk_sample(
         df.withColumn("__h", h)
         .orderBy(F.col("__h").asc(), F.col(key).asc())
         .limit(k)
+        .drop("__h")
+    )
+
+
+def epoch_order(
+    df: DataFrame,
+    key: str,
+    seed: int = 0,
+    n_shards: int = 8,
+    hash_fn: str = "xxhash64",
+) -> DataFrame:
+    """Deterministic training-epoch shuffle: a stable pseudo-random
+    ordering of the corpus as (shard, position) — what a data loader
+    needs to stream a 100 TB corpus in a "random" order that is
+    IDENTICAL across reruns, resumable mid-epoch, and different per
+    ``seed`` (epoch number).
+
+    No global sort: the order key ``xxhash64(seed, key)`` assigns a
+    shard by modulo, and position is a ``row_number`` window WITHIN the
+    shard — one shuffle by shard, per-shard sorts run in parallel.  A
+    loader reads shards round-robin for global mixing; within-shard
+    order is hash order, so any contiguous slice is an unbiased sample
+    of the corpus (the property epoch shuffling exists to provide).
+
+    ``hash_fn="md5"`` is the engine-portable variant (shards are hex
+    prefixes, ``n_shards`` must be a power of 16) so the whole ordering
+    is DuckDB-oracle-checkable — the same portability split as the
+    MinHash and count-min families; xxhash64 stays the scale default."""
+    from pyspark.sql.window import Window
+
+    if hash_fn == "xxhash64":
+        h = F.xxhash64(F.lit(seed), F.col(key))  # numeric order key
+        shard = F.pmod(F.xxhash64(F.lit(seed), F.col(key)), F.lit(n_shards)).cast(
+            "int"
+        ).cast("string")
+    elif hash_fn == "md5":
+        import math
+
+        nhex = round(math.log(n_shards, 16))
+        if 16 ** nhex != n_shards:
+            raise ValueError(f"md5 shards need n_shards = 16^k, got {n_shards}")
+        h = F.md5(F.concat(F.lit(f"{seed}|"), F.col(key).cast("string")))
+        shard = F.substring(h, 1, nhex)
+    else:
+        raise ValueError(f"unknown hash_fn {hash_fn!r}")
+    w = Window.partitionBy("shard").orderBy(F.col("__h").asc(), F.col(key).asc())
+    return (
+        df.withColumn("__h", h)
+        .withColumn("shard", shard)
+        .withColumn("position", F.row_number().over(w))
         .drop("__h")
     )

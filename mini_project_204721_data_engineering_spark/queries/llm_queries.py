@@ -1760,8 +1760,32 @@ FROM streaks GROUP BY user_id
 """
 
 
+def epoch_order_demo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic epoch shuffle (md5 engine-portable variant, 16 hex
+    shards): every doc's (shard, position) for epoch seed 3 — stable
+    across reruns/layouts, per-shard ordering so no global sort
+    (operators/sampling.py::epoch_order)."""
+    from mini_project_204721_data_engineering_spark.operators.sampling import epoch_order
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    return epoch_order(docs, "doc_id", seed=3, n_shards=16, hash_fn="md5")
+
+
+EPOCH_ORDER_SQL = """
+WITH h AS (
+  SELECT doc_id, md5('3|' || CAST(doc_id AS VARCHAR)) AS hh FROM documents
+)
+SELECT doc_id, substring(hh, 1, 1) AS shard,
+       CAST(row_number() OVER (
+         PARTITION BY substring(hh, 1, 1) ORDER BY hh ASC, doc_id ASC
+       ) AS INT) AS position
+FROM h
+"""
+
+
 EXTRA_QUERIES = {
     "source_exemplars": source_exemplars,
+    "epoch_order_demo": epoch_order_demo,
     "user_longest_streak": user_longest_streak,
     "user_state_intervals": user_state_intervals,
     "error_pit_state": error_pit_state,
@@ -1793,6 +1817,7 @@ EXTRA_QUERIES = {
 }
 EXTRA_ORACLES = {
     "source_exemplars": SOURCE_EXEMPLARS_SQL,
+    "epoch_order_demo": EPOCH_ORDER_SQL,
     "user_longest_streak": USER_LONGEST_STREAK_SQL,
     "user_state_intervals": USER_STATE_INTERVALS_SQL,
     "error_pit_state": ERROR_PIT_STATE_SQL,

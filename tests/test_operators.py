@@ -705,3 +705,22 @@ def test_state_intervals_scd2_semantics(spark):
     assert u1[2]["valid_to"] is None  # open (current) run
     u2 = [r for r in out if r["k"] == 2]
     assert len(u2) == 1 and u2[0]["valid_to"] is None and u2[0]["n_events"] == 1
+
+
+def test_epoch_order_deterministic_seeded_and_sharded(spark):
+    """epoch_order: same seed → identical (shard, position) on any input
+    layout; different seed → different order; every (shard, position)
+    pair unique; plan has no global single-partition sort."""
+    from mini_project_204721_data_engineering_spark.catalog import load_table
+    from mini_project_204721_data_engineering_spark.operators.sampling import epoch_order
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents").select("doc_id")
+    a = {r["doc_id"]: (r["shard"], r["position"]) for r in epoch_order(docs, "doc_id", seed=1).collect()}
+    b = {r["doc_id"]: (r["shard"], r["position"]) for r in epoch_order(docs.repartition(13), "doc_id", seed=1).collect()}
+    c = {r["doc_id"]: (r["shard"], r["position"]) for r in epoch_order(docs, "doc_id", seed=2).collect()}
+    assert a == b  # layout-independent
+    assert a != c  # epoch reshuffle
+    assert len(set(a.values())) == len(a)  # (shard, position) unique
+    plan = epoch_order(docs, "doc_id", seed=1)._jdf.queryExecution().executedPlan().toString()
+    # per-shard window sort, not a 1-partition global Sort before the window
+    assert "Window" in plan and "windowspecdefinition" not in plan.split("Window")[0]
