@@ -1,0 +1,100 @@
+"""Compressed JSONL ingest — ``.jsonl.zst`` / ``.jsonl.gz`` /
+``.jsonl.lz4`` shard directories, the wire format web-scale text
+corpora actually ship in (Common-Crawl derivatives, RedPajama, etc.).
+
+Spark's native JSON reader handles gzip but NOT zstd/lz4 text files in
+this environment; pyarrow (already on every executor — it powers
+``mapInPandas``) bundles all three codecs, so the distributed shape is
+the same as the NetCDF/Arrow readers: ``binaryFile`` lists the shard
+directory, each task streams ONE shard through
+``pyarrow.input_stream(compression=...)`` and parses line-delimited
+JSON in bounded chunks — shard bytes never visit the driver.
+
+The caller declares the schema (the corpus contract); fields absent
+from a record are null, extra fields are dropped — JSONL's usual
+loose-schema discipline, applied explicitly.
+"""
+
+from __future__ import annotations
+
+import io
+
+from pyspark.sql import DataFrame, SparkSession
+
+__all__ = ["read_jsonl", "write_jsonl_shard"]
+
+_EXT_CODECS = {".zst": "zstd", ".zstd": "zstd", ".gz": "gzip", ".lz4": "lz4"}
+
+
+def _codec_for(path: str) -> str | None:
+    low = path.lower()
+    for ext, codec in _EXT_CODECS.items():
+        if low.endswith(ext):
+            return codec
+    return None
+
+
+def read_jsonl(
+    spark: SparkSession,
+    dir_path: str,
+    schema: str,
+    pattern: str = "*.jsonl*",
+    chunk_rows: int = 50_000,
+) -> DataFrame:
+    """Distributed compressed-JSONL scan → DataFrame with the declared
+    ``schema`` (a DDL string, e.g. ``"doc_id long, text string"``).
+    Compression is per-file by extension (mixed directories are fine);
+    parsing streams ``chunk_rows``-line pandas chunks per shard so task
+    memory stays bounded regardless of shard size."""
+    import pandas as pd
+
+    from pyspark.sql.types import _parse_datatype_string
+
+    fields = [f.name for f in _parse_datatype_string(schema).fields]
+
+    def worker(batches):
+        import pyarrow as pa
+
+        for pdf in batches:
+            for _, row in pdf.iterrows():
+                content = bytes(row["content"])
+                codec = _codec_for(row["path"])
+                if codec is not None:
+                    content = pa.input_stream(
+                        pa.BufferReader(content), compression=codec
+                    ).read()
+                reader = pd.read_json(
+                    io.BytesIO(content), lines=True, chunksize=chunk_rows
+                )
+                for chunk in reader:
+                    for col in fields:
+                        if col not in chunk.columns:
+                            chunk[col] = None
+                    yield chunk[fields]
+
+    return (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", pattern)
+        .load(dir_path)
+        .select("path", "content")
+        .mapInPandas(worker, schema)
+    )
+
+
+def write_jsonl_shard(records, path: str) -> None:
+    """Write one compressed JSONL shard (codec from the extension;
+    plain text when none) — the round-trip half for tests and for
+    emitting loader-ready shards from driver-side tooling."""
+    import json
+
+    import pyarrow as pa
+
+    raw = "".join(json.dumps(r, ensure_ascii=False) + "\n" for r in records).encode()
+    codec = _codec_for(path)
+    if codec is None:
+        with open(path, "wb") as fh:
+            fh.write(raw)
+        return
+    with open(path, "wb") as fh:
+        with pa.output_stream(fh, compression=codec) as out:
+            out.write(raw)

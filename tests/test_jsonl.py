@@ -1,0 +1,74 @@
+"""Compressed-JSONL shard ingest (sources/jsonl.py): zstd/gzip/plain
+mixed directories, loose-schema alignment, chunked parsing."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+
+from mini_project_204721_data_engineering_spark.sources.jsonl import (
+    read_jsonl,
+    write_jsonl_shard,
+)
+
+SCHEMA = "doc_id long, text string, lang string"
+
+
+def test_jsonl_mixed_codecs_roundtrip(spark, tmp_path):
+    d = str(tmp_path)
+    write_jsonl_shard(
+        [{"doc_id": i, "text": f"zstd doc {i}", "lang": "en"} for i in range(40)],
+        os.path.join(d, "a.jsonl.zst"),
+    )
+    write_jsonl_shard(
+        [{"doc_id": 100 + i, "text": f"gzip doc {i}", "lang": "de"} for i in range(30)],
+        os.path.join(d, "b.jsonl.gz"),
+    )
+    write_jsonl_shard(
+        [{"doc_id": 200 + i, "text": f"plain doc {i}", "lang": "fr"} for i in range(20)],
+        os.path.join(d, "c.jsonl"),
+    )
+    out = read_jsonl(spark, d, SCHEMA)
+    rows = {r["doc_id"]: r for r in out.collect()}
+    assert len(rows) == 90
+    assert rows[3]["text"] == "zstd doc 3" and rows[3]["lang"] == "en"
+    assert rows[115]["text"] == "gzip doc 15"
+    assert rows[210]["lang"] == "fr"
+
+
+def test_jsonl_loose_schema_missing_and_extra_fields(spark, tmp_path):
+    d = str(tmp_path)
+    write_jsonl_shard(
+        [
+            {"doc_id": 1, "text": "has extra", "lang": "en", "junk": 42},
+            {"doc_id": 2, "text": "missing lang"},
+        ],
+        os.path.join(d, "x.jsonl.zst"),
+    )
+    out = read_jsonl(spark, d, SCHEMA)
+    rows = {r["doc_id"]: r for r in out.collect()}
+    assert set(out.columns) == {"doc_id", "text", "lang"}  # junk dropped
+    assert rows[2]["lang"] is None  # missing → null
+    assert rows[1]["lang"] == "en"
+
+
+def test_jsonl_chunked_parse_bounds_memory(spark, tmp_path):
+    """chunk_rows smaller than the shard forces multiple yielded chunks
+    with identical results — the bounded-task-memory path."""
+    d = str(tmp_path)
+    write_jsonl_shard(
+        [{"doc_id": i, "text": "x" * 50, "lang": "en"} for i in range(500)],
+        os.path.join(d, "big.jsonl.zst"),
+    )
+    out = read_jsonl(spark, d, SCHEMA, chunk_rows=64)
+    assert out.count() == 500
+    assert out.agg({"doc_id": "sum"}).collect()[0][0] == sum(range(500))
+
+
+def test_jsonl_no_match_is_empty_scan(spark, tmp_path):
+    # binaryFile on a dir with no matching shards → empty DataFrame with
+    # the declared schema (new landing directories read as zero rows)
+    out = read_jsonl(spark, str(tmp_path), SCHEMA)
+    assert out.collect() == []
+    assert out.columns == ["doc_id", "text", "lang"]
