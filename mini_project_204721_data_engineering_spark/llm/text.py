@@ -19,6 +19,10 @@ __all__ = [
     "quality_score",
     "lang_id",
     "pii_count",
+    "strip_html",
+    "SCRIPT_STYLE_PATTERN",
+    "HTML_COMMENT_PATTERN",
+    "HTML_TAG_PATTERN",
     "pii_redact",
     "STOPWORDS",
     "SUBWORD_PATTERN",
@@ -130,3 +134,35 @@ def lang_id(text: Column) -> Column:
         .when(latin > total * 0.5, F.lit("latin"))
         .otherwise(F.lit("unknown"))
     )
+
+
+#: HTML-extraction patterns, restricted (like the PII set) to constructs
+#: with identical Java-regex and RE2 semantics so oracles mirror them:
+#: (?is) flags, non-greedy block bodies, no backreferences.
+SCRIPT_STYLE_PATTERN = (
+    r"(?is)(<script\b[^>]*>.*?</script\s*>|<style\b[^>]*>.*?</style\s*>)"
+)
+HTML_COMMENT_PATTERN = r"(?s)<!--.*?-->"
+HTML_TAG_PATTERN = r"(?s)<[^>]+>"
+
+
+def strip_html(text: Column) -> Column:
+    """Boilerplate-free text from raw HTML — the crawl→corpus extraction
+    step, entirely in codegen ``regexp_replace`` (no parser, no UDF):
+    drop script/style blocks WITH their contents, drop comments, strip
+    remaining tags, decode the common entities, collapse whitespace.
+
+    Regex-based extraction is the deliberate trade at 100 TB: a DOM
+    parser is per-row Python; these five codegen passes handle the
+    overwhelming majority of crawl text (malformed nesting degrades to
+    extra whitespace, never an exception).  Runs of whitespace collapse
+    to single spaces and the result is trimmed."""
+    t = F.regexp_replace(text, SCRIPT_STYLE_PATTERN, " ")
+    t = F.regexp_replace(t, HTML_COMMENT_PATTERN, " ")
+    t = F.regexp_replace(t, HTML_TAG_PATTERN, " ")
+    for ent, rep in (
+        ("&nbsp;", " "), ("&amp;", "&"), ("&lt;", "<"), ("&gt;", ">"),
+        ("&quot;", '"'), ("&#39;", "'"),
+    ):
+        t = F.replace(t, F.lit(ent), F.lit(rep))
+    return F.trim(F.regexp_replace(t, r"\s+", " "))

@@ -1783,8 +1783,68 @@ FROM h
 """
 
 
+def html_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Crawl→corpus HTML text extraction (llm/text.py::strip_html): the
+    corpus has no organic HTML, so (pii_scrub's injection pattern) every
+    3rd doc is wrapped in deterministic boilerplate — script, style,
+    comment, tags, entities — and the strip must recover exactly the
+    original text plus the decoded entity tail.  Five codegen
+    regexp/replace passes, RE2-compatible so the oracle mirrors them."""
+    from mini_project_204721_data_engineering_spark.llm.text import strip_html
+
+    docs = load_table(spark, sf_dir, "documents")
+    wrapped = docs.select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 3 == 0,
+            F.concat(
+                F.lit("<html><head><script>var t = 1 < 2;</script>"
+                      "<style>p { color: red; }</style></head><body>"
+                      "<!-- boilerplate --><p class='x'>"),
+                F.col("text"),
+                F.lit("</p><div>Tom &amp; Jerry&nbsp;&#39;99</div></body></html>"),
+            ),
+        ).otherwise(F.col("text")).alias("text"),
+    )
+    return wrapped.select(
+        "doc_id", strip_html(F.col("text")).alias("clean_text")
+    )
+
+
+HTML_EXTRACT_SQL = r"""
+WITH wrapped AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 3 = 0 THEN
+           '<html><head><script>var t = 1 < 2;</script>'
+           || '<style>p { color: red; }</style></head><body>'
+           || '<!-- boilerplate --><p class=''x''>' || text
+           || '</p><div>Tom &amp; Jerry&nbsp;&#39;99</div></body></html>'
+         ELSE text END AS text
+  FROM documents
+), stripped AS (
+  SELECT doc_id,
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(text,
+          '(?is)(<script\b[^>]*>.*?</script\s*>|<style\b[^>]*>.*?</style\s*>)', ' ', 'g'),
+        '(?s)<!--.*?-->', ' ', 'g'),
+      '(?s)<[^>]+>', ' ', 'g') AS t
+  FROM wrapped
+), decoded AS (
+  SELECT doc_id,
+    replace(replace(replace(replace(replace(replace(t,
+      '&nbsp;', ' '), '&amp;', '&'), '&lt;', '<'), '&gt;', '>'),
+      '&quot;', '"'), '&#39;', '''') AS t
+  FROM stripped
+)
+SELECT doc_id, trim(regexp_replace(t, '\s+', ' ', 'g')) AS clean_text
+FROM decoded
+"""
+
+
 EXTRA_QUERIES = {
     "source_exemplars": source_exemplars,
+    "html_extract": html_extract,
     "epoch_order_demo": epoch_order_demo,
     "user_longest_streak": user_longest_streak,
     "user_state_intervals": user_state_intervals,
@@ -1817,6 +1877,7 @@ EXTRA_QUERIES = {
 }
 EXTRA_ORACLES = {
     "source_exemplars": SOURCE_EXEMPLARS_SQL,
+    "html_extract": HTML_EXTRACT_SQL,
     "epoch_order_demo": EPOCH_ORDER_SQL,
     "user_longest_streak": USER_LONGEST_STREAK_SQL,
     "user_state_intervals": USER_STATE_INTERVALS_SQL,

@@ -1165,3 +1165,23 @@ def test_media_header_sniff_real_formats(spark):
     assert got[4]["channels"] == 2 and got[4]["sample_rate"] == 16000
     assert abs(got[4]["duration_s"] - 1.5) < 1e-6
     assert got[5]["format"] == "unknown" and got[5]["width"] is None
+
+
+def test_strip_html_recovers_inner_text(spark):
+    """strip_html drops script/style bodies, comments and tags, decodes
+    entities and collapses whitespace — malformed fragments degrade to
+    whitespace, never an error."""
+    from mini_project_204721_data_engineering_spark.llm.text import strip_html
+
+    rows = [
+        (1, "<html><script>ignore<me</script><p>Keep &amp; hold</p></html>"),
+        (2, "no markup at all"),
+        (3, "<div><broken <unclosed"),
+        (4, "<STYLE>p{}</STYLE>UPPER<B>case</B>&nbsp;tags"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r["t"] for r in df.select("doc_id", strip_html(F.col("text")).alias("t")).collect()}
+    assert got[1] == "Keep & hold"
+    assert got[2] == "no markup at all"
+    assert "broken" in got[3]  # degraded, not raised
+    assert got[4] == "UPPER case tags"
