@@ -212,3 +212,24 @@ def test_hdf5_typed_fixture_still_reads(hdf5_typed_bytes):
     out = read_hdf5(hdf5_typed_bytes)
     assert out["datasets"]["obs"]["data"].dtype.names == ("t", "x", "w")
     assert out["datasets"]["sky"]["enum"] == {"a": 0, "b": 1, "c": 2}
+
+
+@pytest.fixture(scope="module")
+def warc_bytes(tmp_path_factory) -> bytes:
+    from mini_project_204721_data_engineering_spark.sources.warc import write_warc
+
+    p = str(tmp_path_factory.mktemp("fz") / "f.warc")
+    write_warc(p, [
+        {"uri": f"http://x.example/{i}", "html": f"<p>page {i} &amp; body</p>"}
+        for i in range(5)
+    ])
+    return open(p, "rb").read()
+
+
+@settings(max_examples=120, deadline=2000, suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(frac=st.floats(0.0, 1.0), flip_frac=st.floats(0.0, 1.0), flip_to=st.integers(0, 255))
+def test_warc_fuzz(warc_bytes, frac, flip_frac, flip_to):
+    from mini_project_204721_data_engineering_spark.sources.warc import parse_warc
+
+    cut = int(len(warc_bytes) * frac)
+    _fuzz(parse_warc, warc_bytes, cut, int(cut * flip_frac), flip_to)

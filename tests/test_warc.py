@@ -1,0 +1,64 @@
+"""WARC reader round-trips (sources/warc.py): plain + per-record-gzip
+containers, charset handling, HTTP header split, and the end-to-end
+crawl→strip_html extraction composition."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from mini_project_204721_data_engineering_spark.sources.warc import (
+    parse_warc,
+    read_warc,
+    write_warc,
+)
+
+PAGES = [
+    {"uri": "http://a.example/1", "html": "<html><body><p>First page &amp; text</p></body></html>"},
+    {"uri": "http://a.example/2", "html": "<p>Zweite Seite: grüße</p>", "charset": "latin-1"},
+    {"uri": "http://a.example/3", "html": "<script>x</script><p>Third</p>", "status": 404},
+]
+
+
+def test_parse_warc_roundtrip_plain_and_gzip(tmp_path):
+    for name in ("f.warc", "f.warc.gz"):
+        p = str(tmp_path / name)
+        write_warc(p, PAGES)
+        recs = parse_warc(open(p, "rb").read())
+        assert [r["target_uri"] for r in recs] == [pg["uri"] for pg in PAGES]
+        assert all(r["warc_type"] == "response" for r in recs)
+        assert recs[0]["http_status"] == 200 and recs[2]["http_status"] == 404
+        assert "First page" in recs[0]["body_text"]
+        assert "grüße" in recs[1]["body_text"]  # latin-1 charset honored
+        assert "text/html" in recs[0]["content_type"]
+
+
+def test_parse_warc_corrupt_raises_value_error(tmp_path):
+    p = str(tmp_path / "f.warc")
+    write_warc(p, PAGES)
+    raw = open(p, "rb").read()
+    with pytest.raises(ValueError):
+        parse_warc(raw[: len(raw) // 2 - 7])  # truncated mid-record
+    with pytest.raises(ValueError):
+        parse_warc(b"NOT A WARC AT ALL\r\n\r\n")
+
+
+def test_read_warc_distributed_and_strip_html_composition(spark, tmp_path):
+    d = str(tmp_path)
+    write_warc(os.path.join(d, "a.warc.gz"), PAGES)
+    write_warc(
+        os.path.join(d, "b.warc"),
+        [{"uri": "http://b.example/x", "html": "<div>Fourth &lt;doc&gt;</div>"}],
+    )
+    from mini_project_204721_data_engineering_spark.llm.text import strip_html
+
+    out = read_warc(spark, d).filter("http_status = 200").select(
+        "target_uri", strip_html(F.col("body_text")).alias("text")
+    )
+    got = {r["target_uri"]: r["text"] for r in out.collect()}
+    assert got["http://a.example/1"] == "First page & text"
+    assert "http://a.example/3" not in got  # the 404 is filtered out
+    assert got["http://a.example/2"] == "Zweite Seite: grüße"
+    assert got["http://b.example/x"] == "Fourth <doc>"
