@@ -62,3 +62,38 @@ def test_read_warc_distributed_and_strip_html_composition(spark, tmp_path):
     assert "http://a.example/3" not in got  # the 404 is filtered out
     assert got["http://a.example/2"] == "Zweite Seite: grüße"
     assert got["http://b.example/x"] == "Fourth <doc>"
+
+
+def test_crawl_to_training_corpus_capstone(spark, tmp_path):
+    """The full crawl→corpus pipeline in one composed plan over real
+    WARC bytes: ingest → HTML text extraction → quality gate → exact
+    dedup → curated parquet.  A duplicated page survives once; the
+    boilerplate-only page is gated out; all text is markup-free."""
+    import os
+
+    from mini_project_204721_data_engineering_spark.llm.text import quality_score, strip_html
+
+    body = " ".join(f"solid sentence number {i} with plenty of words" for i in range(12))
+    pages = [
+        {"uri": "http://c.example/good1", "html": f"<html><body><p>{body}</p></body></html>"},
+        {"uri": "http://c.example/dup", "html": f"<div>{body}</div>"},      # same text
+        {"uri": "http://c.example/thin", "html": "<script>x()</script><p>ok</p>"},
+    ]
+    d = str(tmp_path / "crawl")
+    os.makedirs(d)
+    write_warc(os.path.join(d, "shard0.warc.gz"), pages)
+    out_dir = str(tmp_path / "curated")
+
+    curated = (
+        read_warc(spark, d)
+        .filter("http_status = 200")
+        .select("target_uri", strip_html(F.col("body_text")).alias("text"))
+        .filter(quality_score(F.col("text")) >= 0.6)
+        .withColumn("content_hash", F.md5("text"))
+        .dropDuplicates(["content_hash"])
+    )
+    curated.write.parquet(out_dir)
+    rows = spark.read.parquet(out_dir).collect()
+    assert len(rows) == 1  # dup collapsed, thin page gated
+    assert rows[0]["text"] == body
+    assert "<" not in rows[0]["text"]
