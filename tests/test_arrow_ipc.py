@@ -60,3 +60,25 @@ def test_arrow_ipc_empty_dir_and_corrupt_file(spark, tmp_path):
         fh.write(b"ARROW1 this is not a real footer")
     with pytest.raises(Exception):  # pyarrow's own clean invalid-file error
         arrow_ipc_schema(bad)
+
+
+def test_arrow_ipc_timestamp_and_list_columns(spark, tmp_path):
+    """Type-mapping coverage: naive timestamps → timestamp_ntz, float
+    lists → array<double> — the columns ML shards actually carry."""
+    import pandas as pd
+
+    d = str(tmp_path)
+    pdf = pd.DataFrame(
+        {
+            "doc_id": [1, 2],
+            "ts": pd.to_datetime(["2024-03-01 12:00:00", "2024-03-02 00:30:00"]),
+            "embedding": [[0.1, 0.2], [0.3, 0.4]],
+        }
+    )
+    write_arrow_ipc(pdf, os.path.join(d, "t.arrow"))
+    out = read_arrow_ipc(spark, d)
+    assert dict(out.dtypes)["ts"] == "timestamp_ntz"
+    assert dict(out.dtypes)["embedding"] == "array<double>"
+    rows = {r["doc_id"]: r for r in out.collect()}
+    assert rows[1]["ts"].hour == 12
+    assert rows[2]["embedding"] == [0.3, 0.4]
