@@ -336,7 +336,14 @@ def assign_cells_two_level(
     vector ids); identical vectors always land in the same cell, so the
     dedup guarantee of :func:`~..dedup.semantic_dedup` is preserved.
     Both routing steps are broadcast joins + codegen argmax — no
-    shuffle, no literal blowup."""
+    shuffle, no literal blowup.
+
+    A vector routed to a super cell with NO sub-centroids (possible on
+    the incremental path: new vectors arriving after seeding can land
+    in a super the seed corpus never populated) falls back to the super
+    cell id itself rather than being dropped — the super seed's own
+    sub-cell shares that id, so such vectors pool with the super seed's
+    neighborhood, which only ADDS comparisons (dedup stays sound)."""
     s1 = assign_cells_bcast(corpus, supers, id_col, vec_col, cell_col="__super")
     nested = (
         subs.select(
@@ -349,10 +356,13 @@ def assign_cells_two_level(
         "__nv", F.expr(_norm_expr("__v"))
     )
     joined = c2.join(
-        F.broadcast(nested), c2["__super"] == nested["super_cell"]
+        F.broadcast(nested), c2["__super"] == nested["super_cell"], "left"
     )
     return (
-        joined.withColumn("cell", F.expr(_argmax_cell(round_dp)))
+        joined.withColumn(
+            "cell",
+            F.coalesce(F.expr(_argmax_cell(round_dp)), F.col("__super")),
+        )
         .drop("__v", "__nv", "__cents", "__super", "super_cell")
     )
 

@@ -14,6 +14,15 @@ Both container flavors are handled: the IPC *file* format (Feather v2,
 magic ``ARROW1``) and the IPC *stream* format (no footer, fed from
 sockets/queues).  Compressed record batches (lz4/zstd) decode iff the
 running pyarrow build carries the codec — the standard wheel does.
+
+Schema inference goes through the Hadoop FileSystem abstraction when a
+``SparkSession`` is in hand, so the reader works identically on local
+paths, HDFS, and object stores (the same listing the ``binaryFile``
+scan uses), and it reads ONLY the leading schema message — in both
+container flavors the stream header (after the 8-byte file magic, for
+the file format) begins with the encapsulated Schema message, so a
+bounded head read suffices; record batches and the footer are never
+fetched.
 """
 
 from __future__ import annotations
@@ -33,10 +42,71 @@ def _open_reader(content: bytes):
     return pa.ipc.open_stream(pa.BufferReader(content))
 
 
-def arrow_ipc_schema(path: str):
-    """The pyarrow schema of one IPC file (footer/stream-header read —
-    no record batches decoded)."""
-    return _open_reader(open(path, "rb").read()).schema
+def _fs_for(spark: SparkSession, path_str: str):
+    """(Hadoop FileSystem, Path) for a path string — the same resolution
+    chain Spark's own file sources use, so any configured filesystem
+    (file://, hdfs://, s3a://, ...) works."""
+    jvm = spark._jvm
+    jpath = jvm.org.apache.hadoop.fs.Path(path_str)
+    fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    return fs, jpath, jvm
+
+
+def _fs_glob_first(spark: SparkSession, dir_path: str, pattern: str) -> str | None:
+    """Lexicographically first file matching ``pattern`` under
+    ``dir_path`` on whatever filesystem owns the path."""
+    fs, _, jvm = _fs_for(spark, dir_path)
+    glob = jvm.org.apache.hadoop.fs.Path(dir_path, pattern)
+    statuses = fs.globStatus(glob)
+    if statuses is None:
+        return None
+    files = sorted(
+        str(s.getPath().toString()) for s in statuses if s.isFile()
+    )
+    return files[0] if files else None
+
+
+def _head_bytes(path: str, n: int, spark: SparkSession | None) -> bytes:
+    """First ``min(n, filesize)`` bytes of ``path`` — via Hadoop FS when
+    a session is given (any filesystem), plain ``open`` otherwise."""
+    if spark is None:
+        with open(path, "rb") as fh:
+            return fh.read(n)
+    fs, jpath, jvm = _fs_for(spark, path)
+    size = fs.getFileStatus(jpath).getLen()
+    want = min(n, int(size))
+    stream = fs.open(jpath)
+    try:
+        return bytes(
+            jvm.org.apache.commons.io.IOUtils.toByteArray(stream, want)
+        )
+    finally:
+        stream.close()
+
+
+def arrow_ipc_schema(path: str, spark: SparkSession | None = None):
+    """The pyarrow schema of one IPC file or stream — a bounded HEAD
+    read (magic + the encapsulated Schema message only; record batches
+    and the file-format footer are never touched).  Pass ``spark`` to
+    resolve the path through the Hadoop FS abstraction (HDFS/S3/...);
+    without it the path must be driver-local."""
+    import pyarrow as pa
+
+    head = _head_bytes(path, 16, spark)
+    off = 8 if head[:6] == _MAGIC else 0  # file magic is 8 bytes padded
+    # encapsulated message: 0xFFFFFFFF continuation + int32 metadata
+    # length (current format), or a bare int32 length (legacy pre-0.15)
+    if head[off : off + 4] == b"\xff\xff\xff\xff":
+        meta_len = int.from_bytes(head[off + 4 : off + 8], "little")
+        need = off + 8 + meta_len
+    else:
+        meta_len = int.from_bytes(head[off : off + 4], "little")
+        need = off + 4 + meta_len
+    if meta_len <= 0 or meta_len > 64 << 20:  # corrupt header: let
+        # pyarrow produce its own clean invalid-file error on the head
+        return _open_reader(head).schema
+    buf = head if need <= len(head) else _head_bytes(path, need, spark)
+    return pa.ipc.read_schema(pa.BufferReader(buf[off:need]))
 
 
 def read_arrow_ipc(
@@ -48,19 +118,18 @@ def read_arrow_ipc(
     """Distributed Arrow-IPC directory scan → DataFrame.
 
     The Spark schema derives from the first matching file driver-side
-    (footer only); every file is then decoded executor-side, one pandas
-    frame per record batch (bounded task memory), with optional column
-    pruning applied AT DECODE (the IPC file layout lets pyarrow skip
-    unprojected column buffers entirely)."""
-    import glob as _glob
-    import os
-
+    (a bounded head read of the Schema message via the Hadoop FS
+    abstraction — works on any configured filesystem); every file is
+    then decoded executor-side, one pandas frame per record batch
+    (bounded task memory), with optional column pruning applied AT
+    DECODE (the IPC file layout lets pyarrow skip unprojected column
+    buffers entirely)."""
     import pyarrow as pa
 
-    first = sorted(_glob.glob(os.path.join(dir_path, pattern)))
-    if not first:
+    first = _fs_glob_first(spark, dir_path, pattern)
+    if first is None:
         raise ValueError(f"no files match {pattern!r} under {dir_path}")
-    schema = arrow_ipc_schema(first[0])
+    schema = arrow_ipc_schema(first, spark)
     if columns is not None:
         schema = pa.schema([schema.field(c) for c in columns])
     spark_schema = ", ".join(

@@ -12,7 +12,12 @@ JSON in bounded chunks — shard bytes never visit the driver.
 
 The caller declares the schema (the corpus contract); fields absent
 from a record are null, extra fields are dropped — JSONL's usual
-loose-schema discipline, applied explicitly.
+loose-schema discipline, applied explicitly.  Absence is handled
+per-VALUE, not per-column: a shard where only some lines miss a
+numeric field parses as a pandas float column with NaN, so every
+column is coerced to the declared type with NULLABLE dtypes (Int64 &c.)
+before Arrow conversion — missing values become SQL nulls instead of
+failing the task on a float→long cast.
 """
 
 from __future__ import annotations
@@ -48,9 +53,31 @@ def read_jsonl(
     memory stays bounded regardless of shard size."""
     import pandas as pd
 
-    from pyspark.sql.types import _parse_datatype_string
+    from pyspark.sql.types import (
+        BooleanType,
+        ByteType,
+        DoubleType,
+        FloatType,
+        IntegerType,
+        LongType,
+        ShortType,
+        _parse_datatype_string,
+    )
 
-    fields = [f.name for f in _parse_datatype_string(schema).fields]
+    parsed = _parse_datatype_string(schema)
+    fields = [f.name for f in parsed.fields]
+    # declared type → pandas NULLABLE dtype, so per-line absence (NaN in
+    # an otherwise-integral column) lands as null instead of a cast error
+    _nullable = {
+        LongType: "Int64", IntegerType: "Int32", ShortType: "Int16",
+        ByteType: "Int8", DoubleType: "Float64", FloatType: "Float32",
+        BooleanType: "boolean",
+    }
+    coerce = {
+        f.name: _nullable[type(f.dataType)]
+        for f in parsed.fields
+        if type(f.dataType) in _nullable
+    }
 
     def worker(batches):
         import pyarrow as pa
@@ -70,6 +97,15 @@ def read_jsonl(
                     for col in fields:
                         if col not in chunk.columns:
                             chunk[col] = None
+                    for col, dtype in coerce.items():
+                        try:
+                            chunk[col] = chunk[col].astype(dtype)
+                        except (TypeError, ValueError):
+                            # mixed junk (e.g. strings in a long field):
+                            # salvage what parses, null the rest
+                            chunk[col] = pd.to_numeric(
+                                chunk[col], errors="coerce"
+                            ).astype(dtype)
                     yield chunk[fields]
 
     return (

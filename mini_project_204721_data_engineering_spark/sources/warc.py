@@ -30,10 +30,23 @@ __all__ = ["parse_warc", "read_warc", "write_warc"]
 _CHARSET_RE = re.compile(rb"charset\s*=\s*[\"']?([\w.-]+)", re.I)
 
 
+def _unfold(lines: list[bytes]) -> list[bytes]:
+    """RFC-822-style header unfolding (ISO 28500 §4: a header line may
+    continue on the next line with leading SP/HTAB): join continuation
+    lines onto their predecessor with a single space."""
+    out: list[bytes] = []
+    for line in lines:
+        if line[:1] in (b" ", b"\t") and out:
+            out[-1] = out[-1] + b" " + line.strip()
+        else:
+            out.append(line)
+    return out
+
+
 def _split_headers(block: bytes) -> tuple[dict[str, str], bytes]:
     head, _, rest = block.partition(b"\r\n\r\n")
     headers: dict[str, str] = {}
-    for line in head.split(b"\r\n")[1:]:  # [0] is the version/status line
+    for line in _unfold(head.split(b"\r\n")[1:]):  # [0] is version/status
         k, _, v = line.partition(b":")
         if _:
             headers[k.strip().decode("latin-1").lower()] = v.strip().decode(
@@ -47,7 +60,11 @@ def parse_warc(content: bytes, max_records: int = 1_000_000) -> list[dict]:
     ``record_id, warc_type, target_uri, http_status, content_type,
     body_text``.  Non-response records carry their block decoded
     UTF-8/replace in ``body_text``; corrupt/truncated containers raise
-    ``ValueError`` (the binary readers' shared contract)."""
+    ``ValueError`` (the binary readers' shared contract).  Folded
+    (SP/HTAB-continued) header lines unfold per ISO 28500 §4.
+    ``max_records`` is a runaway-file guard, not a silent cap: hitting
+    it with bytes still unread raises — split the file or raise the
+    cap; records are never dropped silently."""
     if content[:2] == b"\x1f\x8b":
         try:
             content = gzip.GzipFile(fileobj=io.BytesIO(content)).read()
@@ -66,7 +83,7 @@ def parse_warc(content: bytes, max_records: int = 1_000_000) -> list[dict]:
         if head_end < 0:
             raise ValueError("truncated WARC header")
         headers: dict[str, str] = {}
-        for line in content[p:head_end].split(b"\r\n")[1:]:
+        for line in _unfold(content[p:head_end].split(b"\r\n")[1:]):
             k, sep, v = line.partition(b":")
             if sep:
                 headers[k.strip().decode("latin-1").lower()] = v.strip().decode(
@@ -107,6 +124,13 @@ def parse_warc(content: bytes, max_records: int = 1_000_000) -> list[dict]:
             rec["body_text"] = block.decode("utf-8", "replace")
         out.append(rec)
         p = block_start + clen
+    while p < n and content[p : p + 2] == b"\r\n":
+        p += 2
+    if p < n:
+        raise ValueError(
+            f"WARC file exceeds max_records={max_records} "
+            f"({n - p} bytes unread) — split the file or raise the cap"
+        )
     return out
 
 

@@ -72,3 +72,39 @@ def test_jsonl_no_match_is_empty_scan(spark, tmp_path):
     out = read_jsonl(spark, str(tmp_path), SCHEMA)
     assert out.collect() == []
     assert out.columns == ["doc_id", "text", "lang"]
+
+
+def test_jsonl_per_line_missing_numeric_field_yields_nulls(spark, tmp_path):
+    """A shard where only SOME lines miss a numeric field parses as a
+    pandas float column with NaN — the nullable-dtype coercion must turn
+    those into SQL nulls instead of failing the task on the long cast."""
+    d = str(tmp_path)
+    write_jsonl_shard(
+        [
+            {"doc_id": 1, "text": "has id", "lang": "en"},
+            {"text": "no id at all", "lang": "en"},
+            {"doc_id": 3, "text": "has id too", "lang": "de"},
+        ],
+        os.path.join(d, "partial.jsonl.gz"),
+    )
+    out = read_jsonl(spark, d, SCHEMA)
+    rows = sorted(out.collect(), key=lambda r: (r["doc_id"] is None, r["doc_id"]))
+    assert [r["doc_id"] for r in rows] == [1, 3, None]
+    assert rows[2]["text"] == "no id at all"
+    assert dict(out.dtypes)["doc_id"] == "bigint"
+
+
+def test_jsonl_mixed_junk_in_numeric_field_salvages_parseable(spark, tmp_path):
+    """Strings in a declared-long field null out rather than killing the
+    shard; numeric strings salvage."""
+    d = str(tmp_path)
+    write_jsonl_shard(
+        [
+            {"doc_id": "7", "text": "numeric string id", "lang": "en"},
+            {"doc_id": "oops", "text": "junk id", "lang": "en"},
+        ],
+        os.path.join(d, "junk.jsonl"),
+    )
+    rows = {r["text"]: r["doc_id"] for r in read_jsonl(spark, d, SCHEMA).collect()}
+    assert rows["numeric string id"] == 7
+    assert rows["junk id"] is None

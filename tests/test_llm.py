@@ -1046,6 +1046,31 @@ def test_two_level_assignment_and_semantic_dedup(spark):
     assert "CartesianProduct" not in plan
 
 
+def test_two_level_unseeded_super_falls_back_not_dropped(spark):
+    """A vector routed to a super cell with NO sub-centroids (possible
+    on the incremental path: new vectors after seeding) must fall back
+    to the super cell id — never silently vanish from the output."""
+    from mini_project_204721_data_engineering_spark.llm.similarity import (
+        assign_cells_two_level,
+    )
+
+    supers = spark.createDataFrame(
+        [(0, [1.0, 0.0]), (1, [0.0, 1.0])], "cell long, cv array<double>"
+    )
+    subs = spark.createDataFrame(  # super 1 deliberately unseeded
+        [(0, 10, [1.0, 0.1]), (0, 11, [0.9, -0.1])],
+        "super_cell long, cell long, cv array<double>",
+    )
+    vecs = spark.createDataFrame(
+        [(100, [0.95, 0.05]), (101, [0.1, 1.0])],
+        "vec_id long, embedding array<double>",
+    )
+    out = {r["vec_id"]: r["cell"] for r in assign_cells_two_level(vecs, supers, subs).collect()}
+    assert len(out) == 2  # nothing dropped
+    assert out[100] in (10, 11)  # seeded super: real sub-cell
+    assert out[101] == 1  # unseeded super: falls back to the super id
+
+
 def test_bpe_handles_quote_and_backslash_symbols(spark):
     """Merge-pair literals are SQL-escaped: corpora whose characters
     include quotes and backslashes train without expression errors and

@@ -724,3 +724,43 @@ def test_streaming_semantic_dedup_matches_batch(spark):
         shutil.rmtree(d, ignore_errors=True)
         shutil.rmtree(ckpt, ignore_errors=True)
         shutil.rmtree(base, ignore_errors=True)
+
+
+def test_embedding_batch_replay_is_idempotent(spark):
+    """foreachBatch replays are at-least-once: re-running a batch with
+    the same batch id (simulating a crash-and-replay at any point after
+    the index write) must leave the index and kept stores byte-for-byte
+    equivalent — counts unchanged, no duplicate rows."""
+    from mini_project_204721_data_engineering_spark.llm.similarity import seeded_centroids
+    from mini_project_204721_data_engineering_spark.streaming.embeddings import (
+        process_embedding_batch,
+    )
+    from mini_project_204721_data_engineering_spark.catalog import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings").select(
+        "vec_id", "embedding"
+    )
+    base = tempfile.mkdtemp(prefix="sem_replay_")
+    cents_path = os.path.join(base, "centroids")
+    index_path = os.path.join(base, "index")
+    kept_path = os.path.join(base, "kept")
+    b0 = emb.filter(F.col("vec_id") < 250)
+    b1 = emb.filter(F.col("vec_id") >= 250)
+    seeded_centroids(b0, ncells=8).write.parquet(cents_path)
+    try:
+        process_embedding_batch(b0, 0, cents_path, index_path, kept_path)
+        process_embedding_batch(b1, 1, cents_path, index_path, kept_path)
+        kept_before = sorted(
+            r["vec_id"] for r in spark.read.parquet(kept_path).collect()
+        )
+        index_n = spark.read.parquet(index_path).count()
+        assert index_n == emb.count()
+        # replay batch 1 (crash between index write and kept write, or
+        # after both) — identical stores either way
+        process_embedding_batch(b1, 1, cents_path, index_path, kept_path)
+        assert sorted(
+            r["vec_id"] for r in spark.read.parquet(kept_path).collect()
+        ) == kept_before
+        assert spark.read.parquet(index_path).count() == index_n
+    finally:
+        shutil.rmtree(base, ignore_errors=True)

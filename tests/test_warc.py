@@ -97,3 +97,41 @@ def test_crawl_to_training_corpus_capstone(spark, tmp_path):
     assert len(rows) == 1  # dup collapsed, thin page gated
     assert rows[0]["text"] == body
     assert "<" not in rows[0]["text"]
+
+
+def test_warc_folded_header_lines_unfold():
+    """ISO 28500 §4 allows header values to continue on lines starting
+    with SP/HTAB — the parser joins them instead of corrupting the
+    block-boundary search."""
+    body = b"hello folded world"
+    http = (
+        b"HTTP/1.1 200 OK\r\n"
+        b"Content-Type: text/plain;\r\n\t charset=utf-8\r\n"
+        + b"Content-Length: " + str(len(body)).encode() + b"\r\n\r\n" + body
+    )
+    rec = (
+        b"WARC/1.0\r\n"
+        b"WARC-Type: response\r\n"
+        b"WARC-Target-URI: http://f.example/\r\n"
+        b"  folded-uri-tail\r\n"
+        b"Content-Type: application/http; msgtype=response\r\n"
+        + b"Content-Length: " + str(len(http)).encode() + b"\r\n\r\n"
+        + http + b"\r\n\r\n"
+    )
+    recs = parse_warc(rec)
+    assert len(recs) == 1
+    assert recs[0]["target_uri"] == "http://f.example/ folded-uri-tail"
+    assert recs[0]["http_status"] == 200
+    assert recs[0]["content_type"].startswith("text/plain")
+    assert recs[0]["body_text"] == "hello folded world"
+
+
+def test_warc_max_records_cap_raises_not_truncates(tmp_path):
+    """Hitting max_records with bytes still unread raises — records are
+    never silently dropped."""
+    p = str(tmp_path / "many.warc")
+    write_warc(p, [{"uri": f"http://m.example/{i}", "html": f"<p>pg {i}</p>"} for i in range(5)])
+    content = open(p, "rb").read()
+    assert len(parse_warc(content)) == 5  # default cap: all records
+    with pytest.raises(ValueError, match="max_records"):
+        parse_warc(content, max_records=3)
