@@ -52,6 +52,7 @@ __all__ = [
     "trim_duplicate_spans",
     "dup_clusters",
     "canonical_keep",
+    "cap_cells",
     "semantic_dedup",
     "incremental_semantic_dedup",
     "srp_banded_pairs",
@@ -666,6 +667,49 @@ def canonical_keep(
     )
 
 
+def cap_cells(
+    cells: DataFrame,
+    max_cell_size: int,
+    vec_col: str = "embedding",
+    cell_col: str = "cell",
+) -> DataFrame:
+    """Hot-cell guard for cell-confined pairwise operators: any cell
+    whose member count exceeds ``max_cell_size`` is split into
+    ``ceil(count / max_cell_size)`` sub-cells by a hash of the VECTOR
+    (``cell_col`` becomes a string ``"<cell>#<bucket>"``; unsplit cells
+    keep ``"<cell>"``).  Hashing the vector — not the id — keeps the
+    exact-duplicate guarantee: identical embeddings always share a
+    sub-cell, so :func:`semantic_dedup` still drops them.  NEAR-dup
+    pairs inside a split cell may land in different sub-cells — the
+    same accepted recall trade quantization already makes at the cell
+    boundary, here applied only where the alternative is a quadratic
+    reducer (one 1e7-member hot cell is 1e14 pairs; capped at 1e5 it is
+    ≤ 1e10 spread over 100 reducers).
+
+    Cost: one cells-sized aggregate broadcast back — no extra shuffle
+    of the corpus (the counts table is |cells| rows by construction)."""
+    from mini_project_204721_data_engineering_spark.llm.similarity import as_double
+
+    counts = cells.groupBy(cell_col).agg(F.count(F.lit(1)).alias("__cnt"))
+    bucket = F.pmod(
+        F.xxhash64(as_double(vec_col)),
+        F.ceil(F.col("__cnt") / F.lit(max_cell_size)).cast("long"),
+    )
+    return (
+        cells.join(F.broadcast(counts), cell_col)
+        .withColumn(
+            cell_col,
+            F.when(
+                F.col("__cnt") > max_cell_size,
+                F.concat(
+                    F.col(cell_col).cast("string"), F.lit("#"), bucket.cast("string")
+                ),
+            ).otherwise(F.col(cell_col).cast("string")),
+        )
+        .drop("__cnt")
+    )
+
+
 def semantic_dedup(
     corpus: DataFrame,
     threshold: float = 0.40,
@@ -674,6 +718,7 @@ def semantic_dedup(
     vec_col: str = "embedding",
     centroids: DataFrame | None = None,
     cells_df: DataFrame | None = None,
+    max_cell_size: int | None = None,
 ) -> DataFrame:
     """SemDeDup-style semantic deduplication (Abbas et al. 2023,
     arXiv:2303.09540): cluster the embedding space with a coarse
@@ -697,8 +742,12 @@ def semantic_dedup(
     ``cell`` — the corpus is never self-crossed.  Provision
     ``ncells ~ n / target_cell_size`` (the paper uses ~11k clusters at
     LAION scale); a skewed hot cell is the failure mode to watch —
-    cap-and-subcluster it rather than letting one reducer take a
-    quadratic cell.  By default the quantizer is
+    pass ``max_cell_size`` to cap-and-subcluster it (:func:`cap_cells`:
+    over-full cells split by a vector hash, bounding any reducer's
+    pairwise work at ~``max_cell_size²`` while identical vectors still
+    share a sub-cell; the ``cell`` column becomes a string when the
+    guard is on) rather than letting one reducer take a quadratic
+    cell.  By default the quantizer is
     :func:`~..similarity.seeded_centroids` (deterministic, oracle-able);
     pass ``centroids`` from ``kmeans_assign`` when cluster quality
     matters more than engine portability, or ``cells_df`` (the corpus
@@ -721,6 +770,8 @@ def semantic_dedup(
             else seeded_centroids(corpus, ncells=ncells, id_col=id_col, vec_col=vec_col)
         )
         cells = assign_cells(corpus, cents, id_col=id_col, vec_col=vec_col)
+    if max_cell_size is not None:
+        cells = cap_cells(cells, max_cell_size, vec_col=vec_col)
     a = cells.select(F.col(id_col).alias("__id_a"), "cell", as_double(vec_col).alias("va"))
     b = cells.select(F.col(id_col).alias("__id_b"), "cell", as_double(vec_col).alias("vb"))
     dropped = (

@@ -210,8 +210,9 @@ def epoch_order(
     df: DataFrame,
     key: str,
     seed: int = 0,
-    n_shards: int = 8,
+    n_shards: int | None = None,
     hash_fn: str = "xxhash64",
+    target_rows_per_shard: int = 4_000_000,
 ) -> DataFrame:
     """Deterministic training-epoch shuffle: a stable pseudo-random
     ordering of the corpus as (shard, position) — what a data loader
@@ -226,12 +227,29 @@ def epoch_order(
     order is hash order, so any contiguous slice is an unbiased sample
     of the corpus (the property epoch shuffling exists to provide).
 
+    SHARD PROVISIONING is the scale knob: parallelism of the sort ==
+    shard count, so a fixed small default is a straggler by
+    construction (8 reducers sorting 100 TB).  When ``n_shards`` is
+    None it derives as ``ceil(count / target_rows_per_shard)`` — one
+    extra counting pass over the corpus (cheap: a column-pruned scan),
+    paid once per epoch ordering.  Pass ``n_shards`` explicitly to skip
+    the count when the corpus size is already known.
+
     ``hash_fn="md5"`` is the engine-portable variant (shards are hex
-    prefixes, ``n_shards`` must be a power of 16) so the whole ordering
-    is DuckDB-oracle-checkable — the same portability split as the
-    MinHash and count-min families; xxhash64 stays the scale default."""
+    prefixes, ``n_shards`` must be a power of 16 — a derived count
+    rounds UP to the next power of 16, never down) so the whole
+    ordering is DuckDB-oracle-checkable — the same portability split as
+    the MinHash and count-min families; xxhash64 stays the scale
+    default."""
+    import math
+
     from pyspark.sql.window import Window
 
+    if n_shards is None:
+        n_rows = df.count()
+        n_shards = max(1, math.ceil(n_rows / target_rows_per_shard))
+        if hash_fn == "md5":  # round up to the next power of 16
+            n_shards = 16 ** max(0, math.ceil(math.log(n_shards, 16)))
     if hash_fn == "xxhash64":
         h = F.xxhash64(F.lit(seed), F.col(key))  # numeric order key
         shard = F.pmod(F.xxhash64(F.lit(seed), F.col(key)), F.lit(n_shards)).cast(

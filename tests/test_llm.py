@@ -876,6 +876,72 @@ def test_semantic_dedup_pairwise_is_cell_equijoin(spark):
     assert "BroadcastNestedLoopJoin" not in plan
 
 
+def test_semantic_dedup_hot_cell_cap_bounds_pairs(spark):
+    """Hot-cell guard (cap_cells): a planted 50%-hot cell — half the
+    corpus collapsed onto one direction so one cell takes ~half the
+    vectors — must split into bounded sub-cells: every capped cell stays
+    ≤ ~2×max_cell_size (hash-split variance), total pairwise work drops
+    by ≥4×, exact duplicates are STILL dropped (the split hashes the
+    vector, not the id), and max_cell_size=None keeps the old behavior
+    bit-for-bit."""
+    import math
+
+    from mini_project_204721_data_engineering_spark.llm.dedup import cap_cells, semantic_dedup
+    from mini_project_204721_data_engineering_spark.llm.similarity import (
+        assign_cells,
+        seeded_centroids,
+    )
+
+    emb = load_table(spark, SF, "embeddings").select("vec_id", "embedding")
+    n = emb.count()
+    hot_dir = emb.filter(F.col("vec_id") == 3).collect()[0]["embedding"]
+    # half the corpus: per-id SCALINGS of one direction — identical
+    # cosine to every centroid, so they all land in one cell — plus one
+    # EXACT copy (id 8888) of the base vector (ids 3 and 7000 hold it)
+    base = [float(x) for x in hot_dir]
+    hot_rows = [
+        (
+            7000 + i,
+            [x * (1.0 + 0.001 * ((i * 7919) % 97)) for x in base],
+        )
+        for i in range(n)
+    ]
+    hot_rows.append((8888, list(hot_rows[0][1])))
+    hot = spark.createDataFrame(hot_rows, "vec_id long, embedding array<double>")
+    corpus = emb.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    ).union(hot)
+    cents = seeded_centroids(corpus, ncells=8)
+    cells = assign_cells(corpus, cents)
+
+    def pair_work(cdf):
+        sizes = [r["c"] for r in cdf.groupBy("cell").agg(F.count("*").alias("c")).collect()]
+        return sizes, sum(s * (s - 1) // 2 for s in sizes)
+
+    sizes0, pairs0 = pair_work(cells)
+    assert max(sizes0) >= n  # the hot cell really is hot (≥50%)
+    cap = 50
+    capped = cap_cells(cells, max_cell_size=cap)
+    sizes1, pairs1 = pair_work(capped)
+    assert max(sizes1) <= 2 * cap  # bounded reducers (hash variance slack)
+    assert pairs1 * 4 <= pairs0  # quadratic trap defused
+    # exact duplicate still caught: the vector-hash split keeps copies
+    # together, so 8888 shares a sub-cell with its lower-id twins (3,
+    # 7000) and is dropped
+    kept = semantic_dedup(corpus, threshold=0.40, centroids=cents, max_cell_size=cap)
+    kept_ids = {r["vec_id"] for r in kept.select("vec_id").collect()}
+    assert 8888 not in kept_ids
+    # guard off ≡ old behavior
+    k_none = {r["vec_id"] for r in semantic_dedup(emb, threshold=0.40, ncells=8).collect()}
+    k_old = {
+        r["vec_id"]
+        for r in semantic_dedup(emb, threshold=0.40, ncells=8, max_cell_size=None).collect()
+    }
+    assert k_none == k_old
+    # sub-cell provisioning: at least ceil(hot/cap) cells exist post-split
+    assert len(sizes1) >= math.ceil(max(sizes0) / cap)
+
+
 def test_bpe_train_matches_reference_implementation(spark):
     """Distributed BPE induction produces the identical merge sequence
     and word segmentations as the pure-Python reference (same

@@ -724,3 +724,34 @@ def test_epoch_order_deterministic_seeded_and_sharded(spark):
     plan = epoch_order(docs, "doc_id", seed=1)._jdf.queryExecution().executedPlan().toString()
     # per-shard window sort, not a 1-partition global Sort before the window
     assert "Window" in plan and "windowspecdefinition" not in plan.split("Window")[0]
+    # the window is PARTITIONED by shard (parallelism == shard count)
+    assert "windowspecdefinition(shard" in plan
+
+
+def test_epoch_order_derives_shard_count_from_corpus(spark):
+    """n_shards=None provisions shards from the corpus size:
+    ceil(n / target_rows_per_shard) reducers, so the per-shard sort
+    stays bounded at any corpus scale instead of defaulting to a fixed
+    handful of straggler reducers; the md5 (oracle-portable) variant
+    rounds UP to the next power of 16."""
+    from mini_project_204721_data_engineering_spark.catalog import load_table
+    from mini_project_204721_data_engineering_spark.operators.sampling import epoch_order
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents").select("doc_id")
+    n = docs.count()
+    assert n >= 100
+    out = epoch_order(docs, "doc_id", seed=1, target_rows_per_shard=25)
+    import math
+
+    want = math.ceil(n / 25)
+    got = out.select("shard").distinct().count()
+    assert got == want  # every derived shard populated at this density
+    sizes = [r["c"] for r in out.groupBy("shard").agg(F.count("*").alias("c")).collect()]
+    assert max(sizes) <= 3 * 25  # hash balance within slack of target
+    # md5 variant: derived count rounds up to a power of 16 — shard
+    # labels are hex prefixes of exactly log16(provisioned) chars
+    out16 = epoch_order(docs, "doc_id", seed=1, hash_fn="md5", target_rows_per_shard=25)
+    nhex = math.ceil(math.log(want, 16))
+    labels = {r["shard"] for r in out16.select("shard").distinct().collect()}
+    assert all(len(s) == nhex for s in labels)
+    assert len(labels) <= 16 ** nhex

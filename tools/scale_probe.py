@@ -71,13 +71,13 @@ def timed(name, fn, out):
 def main() -> None:
     mode = "events"
     args = [a for a in sys.argv[1:]]
-    if args and args[0] in ("events", "docs", "ann", "srp", "cc", "spans", "vocab", "decon", "semdedup", "spatial", "bpe"):
+    if args and args[0] in ("events", "docs", "ann", "srp", "cc", "spans", "vocab", "decon", "semdedup", "spatial", "bpe", "hotcell"):
         mode = args.pop(0)
     n = int(args[0]) if args else {
         "events": 10_000_000, "docs": 1_000_000, "ann": 1_000_000,
         "srp": 1_000_000, "cc": 1_000_000, "spans": 200_000,
         "vocab": 5_000_000, "decon": 500_000, "semdedup": 100_000,
-        "spatial": 1_000_000, "bpe": 200_000,
+        "spatial": 1_000_000, "bpe": 200_000, "hotcell": 50_000,
     }[mode]
     from mini_project_204721_data_engineering_spark.session import get_spark
 
@@ -87,7 +87,8 @@ def main() -> None:
         {"docs": probe_docs, "ann": probe_ann, "srp": probe_srp, "cc": probe_cc,
          "spans": probe_spans, "vocab": probe_vocab,
          "decon": probe_decon, "semdedup": probe_semdedup,
-         "spatial": probe_spatial, "bpe": probe_bpe}[mode](spark, n, out)
+         "spatial": probe_spatial, "bpe": probe_bpe,
+         "hotcell": probe_hotcell}[mode](spark, n, out)
         total = round(sum(r["sec"] for r in out), 3)
         print(json.dumps({"metric": f"scale_probe_{mode}_total", "value": total,
                           "unit": "sec", "n_rows": n,
@@ -447,6 +448,47 @@ def probe_semdedup(spark, n: int, out: list) -> None:
     # same effective cell count as cells_prop_n, but assignment costs
     # n·2√k instead of n·k — the SCALE.md linear path beyond 1e7 vectors
     timed("semdedup_two_level", run_two_level, out)
+
+
+def probe_hotcell(spark, n: int, out: list) -> None:
+    """Hot-cell guard for semantic_dedup (r7): a corpus whose lower
+    half collapses onto ONE direction (per-id scalings — identical
+    cosine to every centroid, so one cell takes 50% of the vectors)
+    is the quadratic failure mode the cap defuses.  Claim under test:
+    uncapped cost grows ~n² in the hot-cell population while
+    max_cell_size holds the per-reducer pairwise work constant, so the
+    capped runtime stays ~linear in n."""
+    dim = 64
+    hot = F.expr(
+        f"transform(sequence(0, {dim - 1}), "
+        f"i -> cast(1 + pmod(i * 37, 29) as double) / 29.0 "
+        f"* (1.0 + cast(pmod(id, 97) as double) / 97000.0))"
+    )
+    spread = F.expr(
+        f"transform(sequence(0, {dim - 1}), "
+        f"i -> cast(pmod(xxhash64(id * {dim} + i), 2000) - 1000 as double) / 1000.0)"
+    )
+    emb = (
+        spark.range(n)
+        .select(
+            F.col("id").alias("vec_id"),
+            F.when(F.col("id") % 2 == 0, hot).otherwise(spread).alias("embedding"),
+        )
+        .localCheckpoint(eager=True)
+    )
+
+    def run(cap):
+        def go():
+            from mini_project_204721_data_engineering_spark.llm.dedup import semantic_dedup
+
+            return semantic_dedup(
+                emb, threshold=0.99, ncells=64, max_cell_size=cap
+            ).count()
+
+        return go
+
+    timed("hotcell_uncapped", run(None), out)
+    timed("hotcell_cap500", run(500), out)
 
 
 def probe_bpe(spark, n: int, out: list) -> None:
