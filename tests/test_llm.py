@@ -966,6 +966,112 @@ def test_bpe_train_matches_reference_implementation(spark):
     assert got == ref_words
 
 
+def test_bpe_batched_training_identical_to_sequential(spark):
+    """max_batch > 1 must produce the IDENTICAL merge list and word
+    segmentations as one-merge-per-round training (and the pure-Python
+    reference) — including on corpora engineered for interacting pairs
+    (shared symbols, chained merges, colliding merge outputs, ties)."""
+    from mini_project_204721_data_engineering_spark.llm.bpe import bpe_reference, bpe_train
+
+    corpora = [
+        # natural-ish: suffix families force chained interactions
+        ["low lower lowest low low", "new newer newest new new new",
+         "wide wider widest", "low newer low lower"],
+        # tiny alphabet: nearly every pair shares a symbol
+        ["abab abab ababab ba", "aabb aabb bbaa", "abba baab abab"],
+        # runs: self-pairs (a,a) and colliding outputs ('aa' exists as
+        # a symbol once merged, then (aa,aa) etc.)
+        ["aaaa aaaaaaaa aa aaaa", "bbbb bb bbbbbb", "abab aabb"],
+        # ties everywhere: equal-frequency pairs exercise the
+        # lexicographic tie-break inside a batch
+        ["cd cd ef ef gh gh ij ij", "cdef ghij cdef ghij"],
+    ]
+    for texts in corpora:
+        docs = spark.createDataFrame(
+            [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+        )
+        ref_merges, ref_words = bpe_reference(texts, n_merges=14)
+        for mb in (4, 16):
+            merges, segmented = bpe_train(docs, n_merges=14, max_batch=mb)
+            assert merges == ref_merges, (texts, mb)
+            got = {r["word"]: list(r["syms"]) for r in segmented.collect()}
+            assert got == ref_words, (texts, mb)
+
+
+def test_bpe_batched_multi_merge_round_when_provably_safe(spark):
+    """A corpus engineered so the top two pairs are symbol-disjoint AND
+    the runner-up's count strictly dominates every pair the leader's
+    merge can create — the provable multi-merge case — lands both in
+    ONE round (round_log shows it), still matching the reference."""
+    from mini_project_204721_data_engineering_spark.llm.bpe import bpe_reference, bpe_train
+
+    # (a,b)=10 with successors split between q/r (fst_max[b]=5);
+    # (c,d)=6 > 5 → both merge in round 1; the 5-count pairs interact
+    texts = (["abq"] * 5 + ["abr"] * 5 + ["cdu"] * 3 + ["cdv"] * 3)
+    docs = spark.createDataFrame([(0, " ".join(texts))], "doc_id long, text string")
+    log: list = []
+    merges, segmented = bpe_train(docs, n_merges=2, max_batch=8, round_log=log)
+    ref_merges, ref_words = bpe_reference([" ".join(texts)], n_merges=2)
+    assert merges == ref_merges == [("a", "b"), ("c", "d")]
+    assert log == [2]  # both merges in a single Spark round
+    got = {r["word"]: list(r["syms"]) for r in segmented.collect()}
+    assert got == ref_words
+
+
+def test_bpe_train_local_identical_and_round_free(spark):
+    """The production trainer (one distributed word-count pass, then
+    driver-side incremental sequential BPE): merge-for-merge identical
+    to the reference AND the distributed trainer at 100+ merges —
+    where one-job-per-merge needs 100+ Spark rounds, this needs zero,
+    the >=10x round reduction the scale path requires."""
+    from mini_project_204721_data_engineering_spark.llm.bpe import (
+        bpe_apply,
+        bpe_reference,
+        bpe_train,
+        bpe_train_local,
+    )
+
+    corpora = [
+        ["low lower lowest low low", "new newer newest new new new",
+         "wide wider widest", "low newer low lower"],
+        ["abab abab ababab ba", "aabb aabb bbaa", "abba baab abab"],
+        ["aaaa aaaaaaaa aa aaaa", "bbbb bb bbbbbb", "abab aabb"],
+        ["cd cd ef ef gh gh ij ij", "cdef ghij cdef ghij"],
+    ]
+    for texts in corpora:
+        docs = spark.createDataFrame(
+            [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+        )
+        ref_merges, ref_words = bpe_reference(texts, n_merges=120)
+        merges, segmented = bpe_train_local(docs, n_merges=120)
+        assert merges == ref_merges, texts
+        got = {r["word"]: list(r["syms"]) for r in segmented.collect()}
+        assert got == ref_words, texts
+    # segmented table feeds bpe_apply unchanged (same contract)
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(corpora[0])], "doc_id long, text string"
+    )
+    merges, segmented = bpe_train_local(docs, n_merges=12)
+    m2, s2 = bpe_train(docs, n_merges=12)
+    assert merges == m2
+    a = {r["doc_id"]: list(r["bpe_tokens"]) for r in bpe_apply(docs, segmented).collect()}
+    b = {r["doc_id"]: list(r["bpe_tokens"]) for r in bpe_apply(docs, s2).collect()}
+    assert a == b
+
+
+def test_bpe_train_local_word_cap_guard(spark):
+    """max_words is a loud driver-memory guard, not a silent truncation."""
+    import pytest as _pytest
+
+    from mini_project_204721_data_engineering_spark.llm.bpe import bpe_train_local
+
+    docs = spark.createDataFrame(
+        [(0, "one two three four five six")], "doc_id long, text string"
+    )
+    with _pytest.raises(ValueError, match="max_words"):
+        bpe_train_local(docs, n_merges=2, max_words=3)
+
+
 def test_bpe_merge_is_nonoverlapping_leftmost(spark):
     """'aaaa' under merge (a,a) becomes [aa, aa, </w>] in one round —
     the merged token never re-merges within the same round."""

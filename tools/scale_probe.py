@@ -520,6 +520,17 @@ def probe_bpe(spark, n: int, out: list) -> None:
 
     timed("bpe_8_merges", run, out)
 
+    def run_local():
+        # the production trainer: collect the word table once, run 512
+        # EXACT sequential merges driver-side (incremental pair counts,
+        # zero Spark rounds) — 64× the merges of the distributed probe
+        from mini_project_204721_data_engineering_spark.llm.bpe import bpe_train_local
+
+        merges, seg = bpe_train_local(words, n_merges=512, max_words=n + 1)
+        return len(merges) + seg.count()
+
+    timed("bpe_local_512_merges", run_local, out)
+
 
 def probe_spatial(spark, n: int, out: list) -> None:
     """Point-in-polygon spatial join (J1's general mapInPandas path) at
