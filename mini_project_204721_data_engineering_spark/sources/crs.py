@@ -100,7 +100,14 @@ def parse_prj(wkt: str) -> dict:
     ``towgs84`` is ``None`` on the WGS84 datum), or raises
     ``ValueError`` with the honest can't-transform message."""
     head = wkt.strip().upper()
-    is_wgs_datum = ("WGS" in head and "84" in head) or "D_WGS_1984" in head
+    # the WGS84-datum sniff must ignore the TOWGS84 keyword itself
+    # (it literally contains "WGS"+"84", which would classify EVERY
+    # datum carrying an explicit shift clause as already-WGS84 and
+    # silently skip the shift)
+    head_no_tow = _TOWGS84.sub("", head)
+    is_wgs_datum = ("WGS" in head_no_tow and "84" in head_no_tow) or (
+        "D_WGS_1984" in head_no_tow
+    )
     ell = (_A, _INVF)
     m = _SPHEROID.search(wkt)
     if m:

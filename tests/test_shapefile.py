@@ -464,3 +464,111 @@ def test_towgs84_clause_beats_builtin_table(tmp_path):
     lon, lat = tf(x, y)
     assert np.abs(lon - lon0).max() < 1e-8
     assert np.abs(lat - lat0).max() < 1e-8
+
+
+def test_towgs84_seven_param_foreign_datum_roundtrip(tmp_path):
+    """VERDICT r7 #3 done-criterion: a .prj that spells out a full
+    7-parameter TOWGS84 clause on a datum NOT in the built-in table
+    (DHDN / 3-degree Gauss-Krüger zone 4 — Bessel 1841 ellipsoid,
+    rotations + ppm scale) transforms with ITS parameters.  Truth is an
+    independent inverse chain (WGS84 geodetic → geocentric → EXACT
+    matrix inverse of the position-vector Helmert → Bessel geodetic by
+    iteration → forward TM), so the assertion pins parse_prj's
+    parameter pickup AND helmert_shift's convention against an
+    independently-coded transform; agreement bar 1e-5° (~1.1 m),
+    observed ~1e-9."""
+    import numpy as np
+
+    from mini_project_204721_data_engineering_spark.sources.crs import (
+        forward_tm,
+        transform_from_prj,
+    )
+
+    dhdn = (
+        'PROJCS["DHDN / 3-degree Gauss-Kruger zone 4",'
+        'GEOGCS["DHDN",DATUM["Deutsches_Hauptdreiecksnetz",'
+        'SPHEROID["Bessel 1841",6377397.155,299.1528128],'
+        "TOWGS84[598.1,73.7,418.2,0.202,0.045,-2.455,6.7]],"
+        'PRIMEM["Greenwich",0],UNIT["degree",0.0174532925199433]],'
+        'PROJECTION["Transverse_Mercator"],'
+        'PARAMETER["latitude_of_origin",0],PARAMETER["central_meridian",12],'
+        'PARAMETER["scale_factor",1],PARAMETER["false_easting",4500000],'
+        'PARAMETER["false_northing",0],UNIT["metre",1]]'
+    )
+    a_w, invf_w = 6378137.0, 298.257223563
+    f_w = 1 / invf_w
+    e2_w = f_w * (2 - f_w)
+    a_b, invf_b = 6377397.155, 299.1528128
+    f_b = 1 / invf_b
+    e2_b = f_b * (2 - f_b)
+    dx, dy, dz, rx, ry, rz, s = 598.1, 73.7, 418.2, 0.202, 0.045, -2.455, 6.7
+    arc = np.pi / (180.0 * 3600.0)
+    m = 1.0 + s * 1e-6
+    # position-vector rotation matrix as helmert_shift composes it
+    R = np.array(
+        [
+            [1.0, -rz * arc, ry * arc],
+            [rz * arc, 1.0, -rx * arc],
+            [-ry * arc, rx * arc, 1.0],
+        ]
+    )
+
+    def wgs84_to_dhdn(lon, lat):
+        lam = np.radians(np.asarray(lon, float))
+        phi = np.radians(np.asarray(lat, float))
+        n = a_w / np.sqrt(1 - e2_w * np.sin(phi) ** 2)
+        xyz_w = np.stack(
+            [
+                n * np.cos(phi) * np.cos(lam),
+                n * np.cos(phi) * np.sin(lam),
+                n * (1 - e2_w) * np.sin(phi),
+            ]
+        )
+        # exact inverse of x' = T + m R x
+        xyz_b = np.linalg.inv(R) @ ((xyz_w - np.array([[dx], [dy], [dz]])) / m)
+        x, y, z = xyz_b
+        p = np.hypot(x, y)
+        lat_b = np.arctan2(z, p * (1 - e2_b))
+        for _ in range(10):
+            nb = a_b / np.sqrt(1 - e2_b * np.sin(lat_b) ** 2)
+            lat_b = np.arctan2(z + e2_b * nb * np.sin(lat_b), p)
+        return np.degrees(np.arctan2(y, x)), np.degrees(lat_b)
+
+    lon0 = np.array([12.37, 11.58, 13.40])
+    lat0 = np.array([51.34, 48.14, 52.52])
+    lon_b, lat_b = wgs84_to_dhdn(lon0, lat0)
+    x, y = forward_tm(
+        lon_b, lat_b, lon0=12.0, k0=1.0, fe=4500000.0, fn=0.0,
+        a=a_b, invf=invf_b,
+    )
+    tf = transform_from_prj(dhdn)
+    assert tf is not None
+    lon, lat = tf(x, y)
+    assert np.abs(lon - lon0).max() < 1e-5
+    assert np.abs(lat - lat0).max() < 1e-5
+
+
+def test_towgs84_geographic_crs_foreign_datum(tmp_path):
+    """The geog_shift path with an explicit foreign TOWGS84: a
+    GEOGCS-only DHDN .prj (no projection) shifts lon/lat directly."""
+    import numpy as np
+
+    from mini_project_204721_data_engineering_spark.sources.crs import (
+        parse_prj,
+        transform_from_prj,
+    )
+
+    wkt = (
+        'GEOGCS["DHDN",DATUM["Deutsches_Hauptdreiecksnetz",'
+        'SPHEROID["Bessel 1841",6377397.155,299.1528128],'
+        "TOWGS84[598.1,73.7,418.2,0.202,0.045,-2.455,6.7]],"
+        'PRIMEM["Greenwich",0],UNIT["degree",0.0174532925199433]]'
+    )
+    info = parse_prj(wkt)
+    assert info["kind"] == "geog_shift"
+    assert info["towgs84"] == (598.1, 73.7, 418.2, 0.202, 0.045, -2.455, 6.7)
+    tf = transform_from_prj(wkt)
+    lon, lat = tf(np.array([12.0]), np.array([51.0]))
+    # the German shift moves coordinates ~100 m NE-ish, never degrees
+    assert 1e-4 < abs(lon[0] - 12.0) < 0.01
+    assert 1e-4 < abs(lat[0] - 51.0) < 0.01
