@@ -453,3 +453,71 @@ def test_sniff_media_header_magic_plus_garbage_never_raises(prefix, body):
 
     out = sniff_media_header(prefix + body)
     assert isinstance(out, dict) and "format" in out
+
+
+def test_pit_lookup_boundary_facts_match_duckdb_asof_left(spark):
+    """VERDICT r7 #8: the payload_nonnull=True tie rule of pit_lookup
+    against a DuckDB ASOF LEFT JOIN, with facts planted EXACTLY at
+    interval boundaries — including at the valid_from of each key's
+    FIRST interval (the one as-of edge not previously pinned), before
+    the first interval, mid-interval, and after the last.  Semantics
+    under test: a fact at an exact boundary belongs to the interval
+    STARTING there (half-open SCD2), and facts before a key's first
+    interval get NULL state."""
+    import duckdb
+
+    from mini_project_204721_data_engineering_spark.operators.temporal import (
+        pit_lookup,
+        state_intervals,
+    )
+
+    events = [
+        # key 1: runs A(10..20) A(15) B(20..40) B(30) A(40..)
+        (1, 10, "A"), (1, 15, "A"), (1, 20, "B"), (1, 30, "B"), (1, 40, "A"),
+        # key 2: single open run starting at 100
+        (2, 100, "X"),
+        # key 3: two runs with adjacent boundaries
+        (3, 5, "P"), (3, 6, "Q"), (3, 7, "P"),
+    ]
+    ev = spark.createDataFrame(events, "k long, ts long, st string")
+    iv = state_intervals(ev, "k", "ts", "st")
+    facts = [
+        (1, 9), (1, 10), (1, 15), (1, 19), (1, 20), (1, 39), (1, 40), (1, 99),
+        (2, 99), (2, 100), (2, 101),
+        (3, 4), (3, 5), (3, 6), (3, 7), (3, 8),
+        (4, 10),  # key with no intervals at all
+    ]
+    fc = spark.createDataFrame(facts, "k long, fts long")
+    got = {
+        (r["k"], r["fts"]): r["st"]
+        for r in pit_lookup(fc, iv, "k", "fts", "st").collect()
+    }
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE iv AS SELECT * FROM (VALUES "
+        + ", ".join(
+            f"({r['k']}, {r['valid_from']}, '{r['st']}')" for r in iv.collect()
+        )
+        + ") t(k, valid_from, st)"
+    )
+    con.execute(
+        "CREATE TABLE fc AS SELECT * FROM (VALUES "
+        + ", ".join(f"({k}, {t})" for k, t in facts)
+        + ") t(k, fts)"
+    )
+    want = {
+        (r[0], r[1]): r[2]
+        for r in con.execute(
+            "SELECT fc.k, fc.fts, iv.st FROM fc "
+            "ASOF LEFT JOIN iv ON fc.k = iv.k AND fc.fts >= iv.valid_from"
+        ).fetchall()
+    }
+    assert set(got) == set(want)  # every fact surfaces exactly once
+    assert got == want
+    # spot-pin the named edge: a fact exactly at the FIRST interval's
+    # valid_from joins that interval (not NULL)
+    assert got[(1, 10)] == "A" and got[(2, 100)] == "X" and got[(3, 5)] == "P"
+    assert got[(1, 9)] is None and got[(2, 99)] is None and got[(4, 10)] is None
+    # and exact later boundaries take the NEWER interval (half-open)
+    assert got[(1, 20)] == "B" and got[(1, 40)] == "A" and got[(3, 6)] == "Q"
