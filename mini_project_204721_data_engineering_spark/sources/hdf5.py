@@ -14,6 +14,11 @@ bounded.  This module is a clean-room reader of that subset:
   new-style compact (Link messages in the header), and new-style DENSE
   (fractal heap + v2 B-tree name index, any tree depth — the shape a
   file with hundreds of variables gets); dense attributes likewise;
+- shared messages in BOTH forms: committed object-header targets
+  (netCDF-4 named types) and SOHM heap storage (v3 share type 1 — the
+  superblock-extension Shared Message Table, its "SMTB" indexes, and
+  fractal-heap-resident message bodies that ``libver=latest`` writers
+  emit when shared-message indexes are enabled);
 - dataset layouts: compact, contiguous, and chunked via every index a
   netCDF-4 writer emits — the v3 v1-B-tree index and the v4 indexes of
   HDF5 >= 1.10 ``libver=latest`` files: Single Chunk, Implicit, Fixed
@@ -105,6 +110,8 @@ class _H5:
         if base < 0:
             raise ValueError("not an HDF5 file (no superblock signature)")
         self.base = base
+        self.ext: int | None = None  # superblock extension header addr
+        self._sohm: list[tuple[int, int]] | None = None  # (flags, heap addr)
         ver = data[base + 8]
         if ver in (0, 1):
             self.offs = data[base + 13]
@@ -119,6 +126,8 @@ class _H5:
             self.lens = data[base + 10]
             p = base + 12 + 3 * self.offs  # base, extension, eof
             self.root = self._off_at(p)
+            ext = self._off_at(base + 12 + self.offs)
+            self.ext = None if ext == _UNDEF else ext
         else:
             raise ValueError(f"unsupported HDF5 superblock version {ver}")
         if self.offs not in (4, 8) or self.lens not in (4, 8):
@@ -138,20 +147,71 @@ def _u(buf: bytes, p: int, n: int) -> int:
 # ---- object headers -------------------------------------------------------
 
 
+#: message type → its bit in the SOHM index "message type flags" field
+_SOHM_FLAG = {0x01: 0x0001, 0x03: 0x0002, 0x05: 0x0004, 0x0B: 0x0008, 0x0C: 0x0010}
+
+
+def _sohm_indexes(h: _H5) -> list[tuple[int, int]]:
+    """(message-type-flags, fractal heap address) per SOHM index, from
+    the superblock extension's Shared Message Table message (0x0F) and
+    the SMTB table it points at.  Cached on the file context."""
+    if h._sohm is not None:
+        return h._sohm
+    out: list[tuple[int, int]] = []
+    if h.ext is not None:
+        for t, b in _messages(h, h.ext):
+            if t != 0x0F:
+                continue
+            table = _u(b, 1, h.offs)
+            nidx = b[1 + h.offs]
+            if h.data[table : table + 4] != b"SMTB":
+                raise ValueError("bad shared-message table signature")
+            p = table + 4
+            for _ in range(nidx):
+                # ver(1), index type(1), msg type flags(2), min msg
+                # size(4), list cutoff(2), btree cutoff(2), nmsgs(2),
+                # index addr(offs), fractal heap addr(offs)
+                flags = _u(h.data, p + 2, 2)
+                heap = _u(h.data, p + 14 + h.offs, h.offs)
+                out.append((flags, heap))
+                p += 14 + 2 * h.offs
+    h._sohm = out
+    return out
+
+
 def _resolve_shared(h: _H5, mtype: int, body: bytes) -> bytes:
     """A message whose header flags mark it SHARED stores a Shared
-    Message structure — version, share type, and the address of the
-    object header holding the real message (netCDF-4 committed/named
-    datatypes take this form).  Returns the target message body of the
-    same type.  SOHM heap storage (v3 share type 1) is out of scope."""
+    Message structure — version, share type, and either the address of
+    the object header holding the real message (netCDF-4
+    committed/named datatypes) or, for v3 share type 1, a fractal-heap
+    ID into the file's SOHM heap (``libver=latest`` writers with
+    shared-message indexes enabled).  Returns the target message body
+    of the same type."""
     ver = body[0]
+    if ver == 3 and body[1] == 1:  # SOHM heap: version, type, heap ID
+        heap_id = body[2:10]
+        fallback = None
+        for flags, heap in _sohm_indexes(h):
+            if heap == _UNDEF:
+                continue
+            if flags & _SOHM_FLAG.get(mtype, 0):
+                _, read_id = _fractal_heap(h, heap)
+                return read_id(heap_id)
+            fallback = heap
+        if fallback is not None:  # flags unset/unknown: single-index files
+            _, read_id = _fractal_heap(h, fallback)
+            return read_id(heap_id)
+        raise ValueError(
+            "SOHM-shared message but no shared-message heap in the "
+            "superblock extension"
+        )
     if ver == 1:  # version, type, 6 reserved, address
         addr = _u(body, 8, h.offs)
     elif ver == 2 or (ver == 3 and body[1] in (0, 2)):
         addr = _u(body, 2, h.offs)
     else:
         raise NotImplementedError(
-            "shared-message heap (SOHM) storage not supported"
+            f"shared-message version/type {ver}/{body[1]} not supported"
         )
     for t, b in _messages(h, addr):
         if t == mtype:
@@ -2051,6 +2111,51 @@ def _write_dense_storage(
     return fheap_addr, btree_addr
 
 
+def _write_sohm(alloc, bodies: list[bytes]) -> tuple[int, list[bytes]]:
+    """Emit SOHM storage: a fractal heap (single root direct block)
+    holding the shared message bodies, a Shared Message Record List
+    ("SMLI" — refcount bookkeeping, the shape real ``libver=latest``
+    files carry), and the "SMTB" table routing to both.  Returns
+    ``(table_addr, heap_ids)`` with one 8-byte fractal-heap ID per
+    body, as stored in v3/type-1 Shared Message structures."""
+    MAX_HEAP_BITS = 32  # → 4-byte heap offsets
+    MAX_MANAGED = 4096  # → 2-byte heap lengths
+    db_header = 4 + 1 + 8 + (MAX_HEAP_BITS + 7) // 8
+    pos = db_header
+    ids: list[bytes] = []
+    for b in bodies:
+        ids.append(
+            (b"\x00" + struct.pack("<IH", pos, len(b))).ljust(8, b"\x00")
+        )
+        pos += len(b)
+    block_size = max(512, 1 << (pos - 1).bit_length())
+    frhp = b"FRHP" + struct.pack("<BHHB", 0, 7, 0, 0)
+    frhp += struct.pack("<I", MAX_MANAGED)
+    frhp += struct.pack("<QQ", 1, _UNDEF)  # next huge id, huge btree
+    frhp += struct.pack("<QQ", block_size - pos, _UNDEF)  # free space, fs mgr
+    frhp += struct.pack("<QQQQ", pos, block_size, pos, len(bodies))
+    frhp += struct.pack("<QQQQ", 0, 0, 0, 0)  # huge/tiny sizes+counts
+    frhp += struct.pack("<HQQH", 4, block_size, block_size, MAX_HEAP_BITS)
+    frhp += struct.pack("<H", 1)  # starting # rows
+    fheap_addr = alloc(b"")
+    root_addr = fheap_addr + len(frhp) + 8 + 2 + 4
+    frhp += struct.pack("<QH", root_addr, 0) + struct.pack("<I", 0)
+    assert alloc(frhp) == fheap_addr
+    fhdb = b"FHDB" + struct.pack("<BQI", 0, fheap_addr, 0) + b"".join(bodies)
+    fhdb += b"\x00" * (block_size - len(fhdb))
+    assert alloc(fhdb) == root_addr
+    smli = b"SMLI" + b"".join(
+        struct.pack("<BII", 0, 0, 1) + hid  # in-heap, hash, refcount, id
+        for hid in ids
+    ) + struct.pack("<I", 0)
+    smli_addr = alloc(smli)
+    smtb = b"SMTB" + struct.pack(
+        "<BBHIHHH", 0, 0, 0x0002, 0, 50, 500, len(bodies)
+    )  # ver, list index, datatype flag, min size, cutoffs, nmsgs
+    smtb += struct.pack("<QQ", smli_addr, fheap_addr) + struct.pack("<I", 0)
+    return alloc(smtb), ids
+
+
 def write_hdf5(
     path: str,
     datasets: dict[str, tuple[np.ndarray, dict]],
@@ -2082,6 +2187,26 @@ def write_hdf5(
         addr = len(buf)
         buf.extend(b)
         return addr
+
+    # SOHM (v3 share type 1): datasets flagged sohm_dtype store their
+    # datatype in a shared-message fractal heap behind the superblock
+    # extension — the libver=latest shape; identical dtypes dedup to
+    # one heap object
+    sohm_ids: dict[str, bytes] = {}
+    ext_addr = _UNDEF
+    sohm_names = [n for n in datasets if options.get(n, {}).get("sohm_dtype")]
+    if sohm_names and flavor != "v0":
+        per_name: dict[str, bytes] = {}
+        uniq: dict[bytes, int] = {}
+        for n in sohm_names:
+            dtm, _ = _enc_datatype(np.asarray(datasets[n][0]).dtype.newbyteorder("<"))
+            per_name[n] = dtm
+            uniq.setdefault(dtm, len(uniq))
+        table_addr, ids8 = _write_sohm(alloc, list(uniq))
+        sohm_ids = {n: ids8[uniq[per_name[n]]] for n in sohm_names}
+        ext_addr = alloc(
+            _ohdr_v2([(0x0F, bytes([0]) + struct.pack("<Q", table_addr) + bytes([1]))])
+        )
 
     def dataset_blob(name: str, arr: np.ndarray, attrs: dict, extra_msgs) -> int:
         opt = options.get(name, {})
@@ -2119,13 +2244,17 @@ def write_hdf5(
         arr = np.ascontiguousarray(arr.astype(arr.dtype.newbyteorder("<")))
         if opt.get("enum"):  # enum dataset: ints stored, names in the type
             dtmsg = _enc_enum(dtmsg, dt, opt["enum"])
-        if opt.get("committed_dtype"):
+        if opt.get("sohm_dtype") and name in sohm_ids:
+            # SOHM-shared datatype: v3 share type 1 + fractal heap ID
+            dt_entry = (0x03, bytes([3, 1]) + sohm_ids[name], 0x02)
+            msgs: list = [(0x01, _enc_dataspace(arr.shape)), dt_entry]
+        elif opt.get("committed_dtype"):
             # named/committed type: a standalone header holds the real
             # datatype; the dataset stores a SHARED reference to it
             hdr = _ohdr_v1([(0x03, dtmsg)]) if flavor == "v0" else _ohdr_v2([(0x03, dtmsg)])
             tgt = alloc(hdr)
             dt_entry = (0x03, bytes([3, 2]) + struct.pack("<Q", tgt), 0x02)
-            msgs: list = [(0x01, _enc_dataspace(arr.shape)), dt_entry]
+            msgs = [(0x01, _enc_dataspace(arr.shape)), dt_entry]
         else:
             msgs = [(0x01, _enc_dataspace(arr.shape)), (0x03, dtmsg)]
         fill = opt.get("fill")
@@ -2388,7 +2517,7 @@ def write_hdf5(
             root_msgs += [(0x0C, b) for b in root_attr_bodies]
         root_addr = alloc(_ohdr_v2(root_msgs))
         sb = _SIG + struct.pack("<BBBB", 3, 8, 8, 0)
-        sb += struct.pack("<QQQQ", 0, _UNDEF, len(buf), root_addr)
+        sb += struct.pack("<QQQQ", 0, ext_addr, len(buf), root_addr)
         sb += struct.pack("<I", 0)  # checksum (unverified by this reader)
         buf[: len(sb)] = sb
 

@@ -883,3 +883,63 @@ def test_compound_var_alongside_grid_does_not_break_conversion(tmp_path):
     out = netcdf_grid_to_long(open(p, "rb").read(), var="precip")
     assert len(out) == 8
     assert set(out.columns) >= {"time", "lat", "lon", "precip"}
+
+
+def test_sohm_heap_shared_datatype_roundtrip(tmp_path):
+    """VERDICT r7 #6: SOHM shared-message heap (v3 share type 1) — the
+    libver=latest shape where datasets with identical datatypes store
+    ONE copy in a fractal heap behind the superblock extension and
+    reference it by heap ID.  Two f8 datasets share one heap object
+    (the dedup is the point of SOHM); an f4 dataset gets its own; all
+    three round-trip with correct dtypes and values."""
+    p = str(tmp_path / "sohm.nc")
+    a = np.arange(12, dtype="<f8").reshape(3, 4)
+    b = np.linspace(0.0, 1.0, 5)
+    c = np.arange(4, dtype="<f4")
+    write_hdf5(
+        p,
+        datasets={"a": (a, {"units": "m"}), "b": (b, {}), "c": (c, {})},
+        options={
+            "a": {"sohm_dtype": True},
+            "b": {"sohm_dtype": True},
+            "c": {"sohm_dtype": True},
+        },
+        flavor="v2",
+    )
+    ds = read_hdf5(p)
+    np.testing.assert_array_equal(ds["datasets"]["a"]["data"], a)
+    np.testing.assert_array_equal(ds["datasets"]["b"]["data"], b)
+    np.testing.assert_array_equal(ds["datasets"]["c"]["data"], c)
+    assert ds["datasets"]["a"]["data"].dtype == np.float64
+    assert ds["datasets"]["c"]["data"].dtype == np.float32
+    assert ds["datasets"]["a"]["attrs"]["units"] == "m"
+    # the file really does carry SOHM structures (not silently inlined)
+    raw = open(p, "rb").read()
+    assert b"SMTB" in raw and b"SMLI" in raw
+    # superblock extension address is set
+    assert raw[20:28] != b"\xff" * 8
+
+
+def test_sohm_mixed_with_plain_and_committed_dtypes(tmp_path):
+    """SOHM, committed (object-header) shared, and plain inline
+    datatypes coexist in one file — all three resolution paths of
+    _resolve_shared exercise at once."""
+    p = str(tmp_path / "mix.nc")
+    write_hdf5(
+        p,
+        datasets={
+            "s": (np.arange(6, dtype="<i4"), {}),
+            "k": (np.arange(6, dtype="<i8"), {}),
+            "plain": (np.arange(6, dtype="<f8"), {}),
+        },
+        options={
+            "s": {"sohm_dtype": True},
+            "k": {"committed_dtype": True},
+        },
+        flavor="v2",
+    )
+    ds = read_hdf5(p)
+    assert ds["datasets"]["s"]["data"].dtype == np.int32
+    assert ds["datasets"]["k"]["data"].dtype == np.int64
+    assert ds["datasets"]["plain"]["data"].dtype == np.float64
+    np.testing.assert_array_equal(ds["datasets"]["s"]["data"], np.arange(6))
