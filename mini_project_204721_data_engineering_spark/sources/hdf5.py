@@ -29,8 +29,11 @@ bounded.  This module is a clean-room reader of that subset:
 - filter pipeline: deflate (stdlib zlib), shuffle, fletcher32 — the
   exact pipeline CHIRPS-style files use (``shuffle+deflate``) — plus
   lzf (h5py's default lightweight compressor, clean-room libLZF codec);
-  szip remains an honest NotImplementedError (patent-encumbered,
-  rare in netCDF practice);
+  szip remains a GUIDED NotImplementedError naming the lossless
+  ``h5repack -f GZIP`` escape hatch (no szip/libaec exists in this
+  environment to validate a clean-room CCSDS-121 decoder against, and
+  a self-round-tripped-only decoder that misread real NOAA archives
+  would be worse than refusing; the repacked shape is pinned by test);
 - datatypes: fixed-point, IEEE float, fixed strings, variable-length
   strings and VL sequences of object references (via the global heap) —
   enough for CF attributes and netCDF-4's ``DIMENSION_LIST`` — plus
@@ -965,8 +968,24 @@ def _defilter(raw: bytes, filters: list[tuple[int, list[int]]], mask: int) -> by
             raw = raw[:-4]
         elif fid == _LZF_FILTER:  # h5py lzf
             raw = _lzf_decompress(raw)
+        elif fid == 4:
+            # szip (CCSDS 121 extended-Rice).  Deliberately NOT decoded:
+            # no szip/libaec implementation exists in this environment
+            # to validate a clean-room bit-level decoder against, and a
+            # self-round-tripped-only decoder that silently misreads
+            # real NOAA/NASA archives would be worse than refusing.
+            # The lossless escape hatch is a one-time repack.
+            raise NotImplementedError(
+                "HDF5 szip filter (id 4) is not decoded here; repack the "
+                "file losslessly with `h5repack -f GZIP=4 in.nc out.nc` "
+                "(or nccopy -d4) — deflate output reads identically "
+                "(tests/test_hdf5.py pins the repacked shape)"
+            )
         else:
-            raise NotImplementedError(f"HDF5 filter id {fid} not supported")
+            raise NotImplementedError(
+                f"HDF5 filter id {fid} not supported; repack with "
+                "`h5repack -f GZIP=4` to a supported pipeline"
+            )
     return raw
 
 
@@ -2272,6 +2291,11 @@ def write_hdf5(
                 filters.append((1, [int(opt["deflate"])]))
             if opt.get("lzf"):
                 filters.append((_LZF_FILTER, []))
+            if opt.get("szip_stub"):
+                # declare szip in the pipeline WITHOUT transforming the
+                # chunk bytes — fixture for the reader's guided refusal
+                # (the reader raises before touching chunk data)
+                filters.append((4, [141, 32, 16, 256]))
             if filters:
                 fbody = struct.pack("<BB6x", 1, len(filters))
                 for fid, vals in filters:

@@ -374,8 +374,10 @@ def test_unsupported_structures_raise_clearly(tmp_path):
     # unknown filter id in the pipeline → NotImplementedError, not garbage
     from mini_project_204721_data_engineering_spark.sources.hdf5 import _defilter
 
-    with pytest.raises(NotImplementedError, match="filter id 4"):
-        _defilter(b"xx", [(4, [])], mask=0)  # szip stays unsupported
+    with pytest.raises(NotImplementedError, match="szip"):
+        _defilter(b"xx", [(4, [])], mask=0)  # szip: guided refusal
+    with pytest.raises(NotImplementedError, match="filter id 99"):
+        _defilter(b"xx", [(99, [])], mask=0)  # unknown id named
     # masked-out filter is skipped
     assert _defilter(b"xx", [(4, [])], mask=1) == b"xx"
 
@@ -943,3 +945,41 @@ def test_sohm_mixed_with_plain_and_committed_dtypes(tmp_path):
     assert ds["datasets"]["k"]["data"].dtype == np.int64
     assert ds["datasets"]["plain"]["data"].dtype == np.float64
     np.testing.assert_array_equal(ds["datasets"]["s"]["data"], np.arange(6))
+
+
+def test_szip_filter_guided_refusal_and_repack_equivalence(tmp_path):
+    """VERDICT r7 #5 (guided-error form): a szip-filtered chunk raises a
+    targeted error naming the lossless `h5repack -f GZIP` escape hatch
+    (never a silent misread — no szip implementation exists here to
+    validate a clean-room decoder against), and the repacked shape the
+    message prescribes — the same data under shuffle+deflate — reads
+    bit-identically to the uncompressed original."""
+    import pytest as _pytest
+
+    arr = np.arange(48, dtype="<f8").reshape(6, 8) * 1.5
+
+    p_szip = str(tmp_path / "szip.nc")
+    write_hdf5(
+        p_szip,
+        datasets={"v": (arr, {})},
+        options={"v": {"chunks": (3, 4), "szip_stub": True}},
+        flavor="v2",
+    )
+    with _pytest.raises(NotImplementedError, match="h5repack -f GZIP"):
+        read_hdf5(p_szip)
+
+    # what h5repack -f GZIP produces: the identical dataset under
+    # shuffle+deflate — must read identically to the plain original
+    p_plain = str(tmp_path / "plain.nc")
+    p_gzip = str(tmp_path / "repacked.nc")
+    write_hdf5(p_plain, datasets={"v": (arr, {})}, flavor="v2")
+    write_hdf5(
+        p_gzip,
+        datasets={"v": (arr, {})},
+        options={"v": {"chunks": (3, 4), "deflate": 4, "shuffle": True}},
+        flavor="v2",
+    )
+    a = read_hdf5(p_plain)["datasets"]["v"]["data"]
+    b = read_hdf5(p_gzip)["datasets"]["v"]["data"]
+    np.testing.assert_array_equal(a, b)
+    np.testing.assert_array_equal(b, arr)
