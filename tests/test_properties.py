@@ -395,7 +395,7 @@ def test_bpe_merge_fold_property(spark, syms, pair):
     import pyspark.sql.functions as F
 
     df = spark.createDataFrame([(syms,)], "syms array<string>")
-    got = df.select(F.expr(_merge_expr(a, b)).alias("m")).collect()[0]["m"]
+    got = df.select(F.expr(_merge_expr([(a, b)])).alias("m")).collect()[0]["m"]
     assert list(got) == out
 
 
