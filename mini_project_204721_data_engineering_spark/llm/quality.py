@@ -42,6 +42,7 @@ __all__ = [
     "unigram_lm",
     "length_outliers",
     "doc_logprob",
+    "tfidf_topk",
 ]
 
 
@@ -424,4 +425,56 @@ def length_outliers(
             .alias("z_score"),
         )
         .withColumn("is_outlier", F.abs(F.col("z_score")) > z)
+    )
+
+
+def tfidf_topk(
+    docs: DataFrame,
+    k: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    round_dp: int = 4,
+) -> DataFrame:
+    """Top-``k`` TF-IDF terms per document — the classic keyword /
+    document-signature extractor (smoothed idf: ``ln((N+1)/(df+1))+1``,
+    so a term in every document still scores positive and the log never
+    sees zero).  Returns ``(id, term, tf, score, rank)`` with the
+    deterministic (score desc, term asc) tie-break.
+
+    Scale shape: explode → (doc, term) count and the vocab-sized
+    document-frequency aggregate are both map-side combinable; idf
+    joins back on ``term`` (one keyed shuffle — the df table is
+    vocab-sized, NOT broadcast: web-scale vocabularies exceed broadcast
+    limits); N is a broadcast 1-row aggregate (no driver collect); the
+    ranking window partitions by document, so per-reducer work is one
+    document's vocabulary.  No global sort, no corpus-sized window.
+    ``ln`` is bit-identical across engines (libm); scores round
+    portably (``round(x·10^dp)/10^dp``) at the output edge only."""
+    from pyspark.sql.window import Window
+
+    from mini_project_204721_data_engineering_spark.functions.parity import portable_round
+
+    toks = docs.select(
+        F.col(id_col), F.explode(tokens(F.col(text_col))).alias("term")
+    ).filter(F.col("term") != "")
+    tf = toks.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    n = docs.agg(F.count(F.lit(1)).cast("double").alias("__n"))
+    scored = (
+        tf.join(dfreq, "term")
+        .crossJoin(F.broadcast(n))
+        .withColumn(
+            "score",
+            portable_round(
+                F.col("tf")
+                * (F.log((F.col("__n") + 1.0) / (F.col("df") + 1.0)) + 1.0),
+                round_dp,
+            ),
+        )
+    )
+    w = Window.partitionBy(id_col).orderBy(F.col("score").desc(), F.col("term").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(id_col, "term", "tf", "score", "rank")
     )

