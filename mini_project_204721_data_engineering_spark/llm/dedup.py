@@ -672,6 +672,7 @@ def cap_cells(
     max_cell_size: int,
     vec_col: str = "embedding",
     cell_col: str = "cell",
+    splits_df: DataFrame | None = None,
 ) -> DataFrame:
     """Hot-cell guard for cell-confined pairwise operators: any cell
     whose member count exceeds ``max_cell_size`` is split into
@@ -687,26 +688,46 @@ def cap_cells(
     ≤ 1e10 spread over 100 reducers).
 
     Cost: one cells-sized aggregate broadcast back — no extra shuffle
-    of the corpus (the counts table is |cells| rows by construction)."""
+    of the corpus (the counts table is |cells| rows by construction).
+
+    ``splits_df`` (``(cell, nsplit)``) FREEZES the split factors: the
+    sub-cell then depends only on (cell, vector, nsplit), so two
+    datasets capped with the same table land identical vectors in
+    identical sub-cells — required on the incremental path, where the
+    batch and the persisted index must agree (derive the table once
+    from the seed corpus: ``cells.groupBy("cell").count()`` →
+    ``ceil(count / max_cell_size)``).  Without it, factors derive from
+    THIS dataframe's counts — correct for one-shot dedup only."""
     from mini_project_204721_data_engineering_spark.llm.similarity import as_double
 
-    counts = cells.groupBy(cell_col).agg(F.count(F.lit(1)).alias("__cnt"))
-    bucket = F.pmod(
-        F.xxhash64(as_double(vec_col)),
-        F.ceil(F.col("__cnt") / F.lit(max_cell_size)).cast("long"),
-    )
+    if splits_df is not None:
+        splits = splits_df.select(
+            cell_col, F.col("nsplit").cast("long").alias("__nsplit")
+        )
+    else:
+        splits = (
+            cells.groupBy(cell_col)
+            .agg(F.count(F.lit(1)).alias("__cnt"))
+            .select(
+                cell_col,
+                F.ceil(F.col("__cnt") / F.lit(max_cell_size)).cast("long").alias(
+                    "__nsplit"
+                ),
+            )
+        )
+    bucket = F.pmod(F.xxhash64(as_double(vec_col)), F.col("__nsplit"))
     return (
-        cells.join(F.broadcast(counts), cell_col)
+        cells.join(F.broadcast(splits), cell_col, "left")
         .withColumn(
             cell_col,
             F.when(
-                F.col("__cnt") > max_cell_size,
+                F.coalesce(F.col("__nsplit"), F.lit(1)) > 1,
                 F.concat(
                     F.col(cell_col).cast("string"), F.lit("#"), bucket.cast("string")
                 ),
             ).otherwise(F.col(cell_col).cast("string")),
         )
-        .drop("__cnt")
+        .drop("__nsplit")
     )
 
 
@@ -805,7 +826,14 @@ def incremental_semantic_dedup(
     ``assign_index`` must hold ALL prior vectors (kept and dropped)
     with their cells: the min-id rule drops a vector similar to ANY
     lower-id cell-mate, keeper or not, so a survivors-only index would
-    silently under-drop.  INVARIANT for equivalence with the
+    silently under-drop.  Hot-cell note: the per-batch join cost is
+    |batch∩cell|·|index∩cell| — bounded as long as the INDEX's cells
+    are bounded.  To cap a skewed quantizer here, freeze a per-cell
+    split table once (from the seed corpus) and apply
+    :func:`cap_cells(..., splits_df=table)` to assignments BEFORE they
+    enter the index AND to each batch — with a frozen table the
+    sub-cell is a pure function of (cell, vector), so batch and index
+    agree with no re-assignment of history.  INVARIANT for equivalence with the
     from-scratch run on the union: ids are ingest-monotone (every
     prior id < every new id) and the quantizer is the same — both the
     normal append-only corpus shape; proven ≡ from-scratch in

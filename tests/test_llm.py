@@ -1433,3 +1433,54 @@ def test_tfidf_topk_orders_distinctive_terms_first(spark):
     # doc 2: 'the' (tf=2, score 2.0) leads; quick/fox tie at
     # 1·(ln(2)+1) → lexicographic: fox takes rank 2
     assert rows[(2, 1)]["term"] == "the" and rows[(2, 2)]["term"] == "fox"
+
+
+def test_cap_cells_frozen_splits_agree_across_datasets(spark):
+    """The incremental contract: capping two different frames with the
+    SAME frozen (cell, nsplit) table puts identical vectors in
+    identical sub-cells — while per-frame derived factors need not
+    agree.  Also composes with the two-level quantizer path (cells_df
+    from assign_cells_two_level feeds semantic_dedup with a cap)."""
+    from mini_project_204721_data_engineering_spark.llm.dedup import cap_cells, semantic_dedup
+    from mini_project_204721_data_engineering_spark.llm.similarity import (
+        assign_cells_two_level,
+        seeded_two_level,
+    )
+
+    emb = load_table(spark, SF, "embeddings").select("vec_id", "embedding")
+    # a "batch": one duplicated vector + a handful of others
+    src = emb.filter(F.col("vec_id") == 42).collect()[0]
+    batch = spark.createDataFrame(
+        [(5042, list(src["embedding"]))], emb.schema
+    ).union(emb.filter(F.col("vec_id") > 480))
+    supers, subs = seeded_two_level(emb, k1=4, k2=4)
+    corpus_cells = assign_cells_two_level(emb, supers, subs)
+    splits = corpus_cells.groupBy("cell").agg(
+        F.ceil(F.count(F.lit(1)) / F.lit(20)).cast("long").alias("nsplit")
+    )
+    capped_corpus = cap_cells(corpus_cells, 20, splits_df=splits)
+    batch_cells = assign_cells_two_level(batch, supers, subs)
+    capped_batch = cap_cells(batch_cells, 20, splits_df=splits)
+    cc = {r["vec_id"]: r["cell"] for r in capped_corpus.collect()}
+    cb = {r["vec_id"]: r["cell"] for r in capped_batch.collect()}
+    assert cb[5042] == cc[42]  # identical vector → identical sub-cell
+    for vid in cb:
+        if vid in cc:
+            assert cb[vid] == cc[vid]
+    # the capped two-level cells still drive semantic_dedup end-to-end
+    kept = semantic_dedup(
+        emb.union(spark.createDataFrame([(5042, list(src["embedding"]))], emb.schema)),
+        threshold=0.40,
+        cells_df=cap_cells(
+            assign_cells_two_level(
+                emb.union(
+                    spark.createDataFrame([(5042, list(src["embedding"]))], emb.schema)
+                ),
+                supers,
+                subs,
+            ),
+            20,
+        ),
+    )
+    kept_ids = {r["vec_id"] for r in kept.select("vec_id").collect()}
+    assert 5042 not in kept_ids and 42 in kept_ids

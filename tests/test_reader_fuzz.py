@@ -233,3 +233,33 @@ def test_warc_fuzz(warc_bytes, frac, flip_frac, flip_to):
 
     cut = int(len(warc_bytes) * frac)
     _fuzz(parse_warc, warc_bytes, cut, int(cut * flip_frac), flip_to)
+
+
+@pytest.fixture(scope="module")
+def hdf5_sohm_bytes(tmp_path_factory) -> bytes:
+    p = str(tmp_path_factory.mktemp("fuzz") / "sohm.nc")
+    write_hdf5(
+        p,
+        datasets={
+            "a": (np.arange(8, dtype="<f8"), {}),
+            "b": (np.arange(8, dtype="<f8") * 2, {}),
+        },
+        options={"a": {"sohm_dtype": True}, "b": {"sohm_dtype": True}},
+        flavor="v2",
+    )
+    return open(p, "rb").read()
+
+
+@settings(max_examples=120, deadline=2000, suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(frac=st.floats(0.0, 1.0), flip_frac=st.floats(0.0, 1.0), flip_to=st.integers(0, 255))
+def test_hdf5_sohm_fuzz(hdf5_sohm_bytes, frac, flip_frac, flip_to):
+    """Truncations/flips through the SOHM path (superblock extension,
+    SMTB, fractal-heap IDs) fail cleanly, never with a raw IndexError."""
+    cut = int(len(hdf5_sohm_bytes) * frac)
+    _fuzz(read_hdf5, hdf5_sohm_bytes, cut, int(cut * flip_frac), flip_to)
+
+
+def test_hdf5_sohm_fixture_still_reads(hdf5_sohm_bytes):
+    out = read_hdf5(hdf5_sohm_bytes)
+    assert out["datasets"]["a"]["data"].dtype == np.float64
+    assert list(out["datasets"]["b"]["data"][:2]) == [0.0, 2.0]
