@@ -1334,7 +1334,102 @@ FROM ev ASOF LEFT JOIN daily d
 """
 
 
+def data_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declarative data-quality suite (operators/expectations.py —
+    Deequ/dbt-tests-style): uniqueness, null, range, set-membership,
+    row-count, and referential-integrity checks over the warehouse
+    tables, fused to one scan per table plus one counted anti-join per
+    FK.  The report is checks-sized; every count is mirrored in the
+    oracle."""
+    from mini_project_204721_data_engineering_spark.operators.expectations import (
+        expect_fk,
+        expect_in_range,
+        expect_in_set,
+        expect_not_null,
+        expect_row_count,
+        expect_unique,
+        run_expectations,
+    )
+
+    tables = {
+        t: load_table(spark, sf_dir, t)
+        for t in ("orders", "customer", "lineitem", "events")
+    }
+    suite = {
+        "orders": [
+            expect_unique("o_orderkey"),
+            expect_not_null("o_custkey"),
+            expect_in_set("o_orderstatus", ("O", "F", "P")),
+            expect_row_count(100),
+            expect_fk("o_custkey", "customer", "c_custkey"),
+        ],
+        "customer": [
+            expect_unique("c_custkey"),
+            expect_in_range("c_acctbal", -1000.0, 10000.0),
+        ],
+        "lineitem": [
+            expect_in_range("l_discount", 0.0, 0.05),
+            expect_fk("l_orderkey", "orders", "o_orderkey"),
+        ],
+        "events": [
+            expect_unique("event_id"),
+            expect_not_null("user_id"),
+        ],
+    }
+    return run_expectations(tables, suite)
+
+
+DATA_EXPECTATIONS_SQL = """
+SELECT *, n_violations = 0 AS passed FROM (
+  SELECT 'orders' AS table_name, 'unique(o_orderkey)' AS "check",
+         CAST(count(*) - count(DISTINCT o_orderkey) AS BIGINT) AS n_violations
+  FROM orders
+  UNION ALL
+  SELECT 'orders', 'not_null(o_custkey)',
+         CAST(count(*) - count(o_custkey) AS BIGINT) FROM orders
+  UNION ALL
+  SELECT 'orders', 'in_set(o_orderstatus)',
+         CAST(sum(CASE WHEN o_orderstatus IS NOT NULL
+                        AND o_orderstatus NOT IN ('O', 'F', 'P')
+                       THEN 1 ELSE 0 END) AS BIGINT) FROM orders
+  UNION ALL
+  SELECT 'orders', 'row_count>=100',
+         CAST(greatest(0, 100 - count(*)) AS BIGINT) FROM orders
+  UNION ALL
+  SELECT 'orders', 'fk(o_custkey->customer)', CAST(count(*) AS BIGINT)
+  FROM (SELECT o_custkey FROM orders WHERE o_custkey IS NOT NULL) o
+  LEFT JOIN customer c ON o.o_custkey = c.c_custkey
+  WHERE c.c_custkey IS NULL
+  UNION ALL
+  SELECT 'customer', 'unique(c_custkey)',
+         CAST(count(*) - count(DISTINCT c_custkey) AS BIGINT) FROM customer
+  UNION ALL
+  SELECT 'customer', 'range(c_acctbal,-1000.0,10000.0)',
+         CAST(sum(CASE WHEN c_acctbal IS NOT NULL
+                        AND (c_acctbal < -1000.0 OR c_acctbal > 10000.0)
+                       THEN 1 ELSE 0 END) AS BIGINT) FROM customer
+  UNION ALL
+  SELECT 'lineitem', 'range(l_discount,0.0,0.05)',
+         CAST(sum(CASE WHEN l_discount IS NOT NULL
+                        AND (l_discount < 0.0 OR l_discount > 0.05)
+                       THEN 1 ELSE 0 END) AS BIGINT) FROM lineitem
+  UNION ALL
+  SELECT 'lineitem', 'fk(l_orderkey->orders)', CAST(count(*) AS BIGINT)
+  FROM (SELECT l_orderkey FROM lineitem WHERE l_orderkey IS NOT NULL) l
+  LEFT JOIN orders o ON l.l_orderkey = o.o_orderkey
+  WHERE o.o_orderkey IS NULL
+  UNION ALL
+  SELECT 'events', 'unique(event_id)',
+         CAST(count(*) - count(DISTINCT event_id) AS BIGINT) FROM events
+  UNION ALL
+  SELECT 'events', 'not_null(user_id)',
+         CAST(count(*) - count(user_id) AS BIGINT) FROM events
+) t
+"""
+
+
 EXTRA_QUERIES = {
+    "data_expectations": data_expectations,
     "events_asof_tolerance": events_asof_tolerance,
     "customers_without_orders": customers_without_orders,
     "customers_with_orders": customers_with_orders,
@@ -1354,6 +1449,7 @@ EXTRA_QUERIES = {
 }
 
 EXTRA_ORACLES = {
+    "data_expectations": DATA_EXPECTATIONS_SQL,
     "events_asof_tolerance": EVENTS_ASOF_TOLERANCE_SQL,
     "revenue_cube": REVENUE_CUBE_SQL,
     "q5_local_supplier_volume": Q5_LOCAL_SUPPLIER_VOLUME_SQL,

