@@ -1428,8 +1428,94 @@ SELECT *, n_violations = 0 AS passed FROM (
 """
 
 
+def snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC-style snapshot reconciliation (operators/diff.py): diff two
+    deterministic versions of ``orders`` — new drops every 7th key
+    (removed), bumps price on every 5th (changed), and appends shifted
+    copies of every 11th (added) — then report per-status counts AND
+    the per-column change breakdown in one output (status rows carry a
+    NULL column; column rows carry status 'changed')."""
+    from mini_project_204721_data_engineering_spark.operators.diff import (
+        changed_column_counts,
+        diff_summary,
+        table_diff,
+    )
+
+    orders = load_table(spark, sf_dir, "orders")
+    old = orders.select("o_orderkey", "o_totalprice", "o_orderstatus")
+    shift = orders.agg((F.max("o_orderkey") + 1).alias("__s"))
+    new = (
+        old.filter(F.col("o_orderkey") % 7 != 0)
+        .withColumn(
+            "o_totalprice",
+            F.when(
+                F.col("o_orderkey") % 5 == 0, F.col("o_totalprice") * 1.1
+            ).otherwise(F.col("o_totalprice")),
+        )
+        .unionByName(
+            old.filter(F.col("o_orderkey") % 11 == 0)
+            .crossJoin(F.broadcast(shift))
+            .select(
+                (F.col("o_orderkey") + F.col("__s")).alias("o_orderkey"),
+                "o_totalprice",
+                "o_orderstatus",
+            )
+        )
+    )
+    d = table_diff(old, new, keys=["o_orderkey"])
+    summary = diff_summary(d).select(
+        F.col("diff_status"), F.lit(None).cast("string").alias("column"), "n"
+    )
+    cols = changed_column_counts(d).select(
+        F.lit("changed").alias("diff_status"),
+        "column",
+        F.col("n_changed").alias("n"),
+    )
+    return summary.unionByName(cols)
+
+
+SNAPSHOT_DIFF_SQL = """
+WITH old AS (
+  SELECT o_orderkey, o_totalprice, o_orderstatus FROM orders
+),
+s AS (SELECT max(o_orderkey) + 1 AS shift FROM orders),
+new AS (
+  SELECT o_orderkey,
+         CASE WHEN o_orderkey % 5 = 0 THEN o_totalprice * 1.1
+              ELSE o_totalprice END AS o_totalprice,
+         o_orderstatus
+  FROM old WHERE o_orderkey % 7 <> 0
+  UNION ALL
+  SELECT o_orderkey + shift, o_totalprice, o_orderstatus
+  FROM old CROSS JOIN s WHERE o_orderkey % 11 = 0
+),
+d AS (
+  SELECT COALESCE(o.o_orderkey, n.o_orderkey) AS k,
+         CASE WHEN o.o_orderkey IS NULL THEN 'added'
+              WHEN n.o_orderkey IS NULL THEN 'removed'
+              WHEN o.o_totalprice IS NOT DISTINCT FROM n.o_totalprice
+               AND o.o_orderstatus IS NOT DISTINCT FROM n.o_orderstatus
+              THEN 'unchanged' ELSE 'changed' END AS diff_status,
+         NOT (o.o_totalprice IS NOT DISTINCT FROM n.o_totalprice) AS ch_price,
+         NOT (o.o_orderstatus IS NOT DISTINCT FROM n.o_orderstatus) AS ch_status
+  FROM old o FULL OUTER JOIN new n ON o.o_orderkey = n.o_orderkey
+)
+SELECT diff_status, CAST(NULL AS VARCHAR) AS "column", count(*) AS n
+FROM d GROUP BY diff_status
+UNION ALL
+SELECT 'changed', col, count(*) FROM (
+  SELECT k, unnest(list_filter(
+    [CASE WHEN ch_status THEN 'o_orderstatus' END,
+     CASE WHEN ch_price THEN 'o_totalprice' END],
+    x -> x IS NOT NULL)) AS col
+  FROM d WHERE diff_status = 'changed'
+) GROUP BY col
+"""
+
+
 EXTRA_QUERIES = {
     "data_expectations": data_expectations,
+    "snapshot_diff": snapshot_diff,
     "events_asof_tolerance": events_asof_tolerance,
     "customers_without_orders": customers_without_orders,
     "customers_with_orders": customers_with_orders,
@@ -1450,6 +1536,7 @@ EXTRA_QUERIES = {
 
 EXTRA_ORACLES = {
     "data_expectations": DATA_EXPECTATIONS_SQL,
+    "snapshot_diff": SNAPSHOT_DIFF_SQL,
     "events_asof_tolerance": EVENTS_ASOF_TOLERANCE_SQL,
     "revenue_cube": REVENUE_CUBE_SQL,
     "q5_local_supplier_volume": Q5_LOCAL_SUPPLIER_VOLUME_SQL,

@@ -804,3 +804,47 @@ def test_expectations_detect_planted_violations(spark):
     # all aggregate checks fuse: exactly one Aggregate consumes `child`
     plan = report._jdf.queryExecution().optimizedPlan().toString()
     assert plan.count("LocalRelation") + plan.count("LogicalRDD") >= 1  # sanity
+
+
+def test_table_diff_statuses_and_changed_columns(spark):
+    """table_diff: added/removed/changed/unchanged classification with
+    null-safe semantics (NULL→NULL unchanged, NULL→value changed), and
+    per-column change attribution; the plan carries exactly one join."""
+    from mini_project_204721_data_engineering_spark.operators.diff import (
+        changed_column_counts,
+        diff_summary,
+        table_diff,
+    )
+
+    old = spark.createDataFrame(
+        [
+            (1, 10.0, "A"), (2, 20.0, None), (3, 30.0, "C"), (4, 40.0, "D"),
+        ],
+        "k long, price double, status string",
+    )
+    new = spark.createDataFrame(
+        [
+            (1, 10.0, "A"),      # unchanged
+            (2, 25.0, None),     # changed: price only (NULL==NULL status)
+            (3, 30.0, None),     # changed: status value→NULL
+            (5, 50.0, "E"),      # added (4 removed)
+        ],
+        "k long, price double, status string",
+    )
+    d = table_diff(old, new, keys=["k"])
+    got = {r["k"]: (r["diff_status"], list(r["changed_cols"])) for r in d.collect()}
+    assert got[1] == ("unchanged", [])
+    assert got[2] == ("changed", ["price"])
+    assert got[3] == ("changed", ["status"])
+    assert got[4] == ("removed", [])
+    assert got[5] == ("added", [])
+    s = {r["diff_status"]: r["n"] for r in diff_summary(d).collect()}
+    assert s == {"unchanged": 1, "changed": 2, "removed": 1, "added": 1}
+    c = {r["column"]: r["n_changed"] for r in changed_column_counts(d).collect()}
+    assert c == {"price": 1, "status": 1}
+    plan = d._jdf.queryExecution().executedPlan().toString()
+    final = plan.split("== Initial Plan ==")[0]  # AQE echoes both plans
+    assert sum(
+        final.count(j)
+        for j in ("SortMergeJoin", "ShuffledHashJoin", "BroadcastHashJoin")
+    ) == 1
