@@ -20,7 +20,12 @@ from typing import Sequence
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["table_diff", "diff_summary", "changed_column_counts"]
+__all__ = [
+    "table_diff",
+    "diff_summary",
+    "changed_column_counts",
+    "apply_changes",
+]
 
 
 def table_diff(
@@ -74,6 +79,54 @@ def table_diff(
         F.when(status == "changed", changed)
         .otherwise(F.array().cast("array<string>"))
         .alias("changed_cols"),
+    )
+
+
+def apply_changes(
+    old: DataFrame,
+    changes: DataFrame,
+    keys: Sequence[str],
+) -> DataFrame:
+    """The CONSUME side of CDC: apply a change feed — rows carrying the
+    new values plus an ``op`` column in {upsert, delete} — to a
+    snapshot, producing the next snapshot (SCD1 merge semantics:
+    upsert wins over the old row, delete removes it, untouched keys
+    pass through).  ``MERGE INTO`` without a transactional table
+    format: one keyed outer join, no window, no driver data.
+
+    Duplicate keys in the feed are a contract violation (a change feed
+    is per-key terminal state); they raise on detection rather than
+    applying an arbitrary winner.
+
+    Round-trip invariant (pytest-pinned):
+    ``apply_changes(old, changes_from(table_diff(old, new), new))``
+    ≡ ``new`` for any two snapshots."""
+    keys = list(keys)
+    val_cols = [c for c in old.columns if c not in keys]
+    dup = (
+        changes.groupBy(*keys).agg(F.count(F.lit(1)).alias("__n"))
+        .filter(F.col("__n") > 1)
+        .limit(1)
+        .collect()
+    )
+    if dup:
+        raise ValueError(
+            f"change feed carries duplicate key {tuple(dup[0][k] for k in keys)}"
+            " — a feed must hold one terminal state per key"
+        )
+    ch = changes.select(
+        *keys,
+        F.col("op").alias("__op"),
+        F.struct(*[F.col(c) for c in val_cols]).alias("__new"),
+    )
+    o = old.withColumn("__old", F.struct(*[F.col(c) for c in val_cols])).select(
+        *keys, "__old"
+    )
+    j = o.join(ch, on=keys, how="full_outer")
+    kept = j.filter(F.col("__op").isNull() | (F.col("__op") == "upsert"))
+    winner = F.coalesce(F.col("__new"), F.col("__old"))
+    return kept.select(
+        *keys, *[winner[c].alias(c) for c in val_cols]
     )
 
 

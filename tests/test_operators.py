@@ -848,3 +848,55 @@ def test_table_diff_statuses_and_changed_columns(spark):
         final.count(j)
         for j in ("SortMergeJoin", "ShuffledHashJoin", "BroadcastHashJoin")
     ) == 1
+
+
+def test_apply_changes_roundtrip_reconstructs_new_snapshot(spark):
+    """The CDC round-trip invariant: turning table_diff(old, new) into
+    a change feed and applying it to old reconstructs new exactly —
+    on real data (orders at sf0.001) with deletes, updates, and
+    inserts planted.  Duplicate feed keys raise."""
+    import pytest as _pytest
+
+    from mini_project_204721_data_engineering_spark.catalog import load_table
+    from mini_project_204721_data_engineering_spark.operators.diff import (
+        apply_changes,
+        table_diff,
+    )
+
+    orders = load_table(spark, "/root/testdata/sf0.001", "orders").select(
+        "o_orderkey", "o_totalprice", "o_orderstatus"
+    )
+    old = orders
+    new = (
+        old.filter(F.col("o_orderkey") % 7 != 0)
+        .withColumn(
+            "o_totalprice",
+            F.when(F.col("o_orderkey") % 5 == 0, F.col("o_totalprice") * 1.1)
+            .otherwise(F.col("o_totalprice")),
+        )
+        .unionByName(
+            old.filter(F.col("o_orderkey") % 11 == 0).select(
+                (F.col("o_orderkey") + 1_000_000).alias("o_orderkey"),
+                "o_totalprice",
+                "o_orderstatus",
+            )
+        )
+    )
+    d = table_diff(old, new, keys=["o_orderkey"])
+    feed = (
+        d.filter(F.col("diff_status") != "unchanged")
+        .select(
+            "o_orderkey",
+            F.when(F.col("diff_status") == "removed", "delete")
+            .otherwise("upsert")
+            .alias("op"),
+        )
+        .join(new, "o_orderkey", "left")  # new values for upserts
+    )
+    rebuilt = apply_changes(old, feed, keys=["o_orderkey"])
+    assert rebuilt.count() == new.count()
+    assert rebuilt.exceptAll(new).count() == 0
+    assert new.exceptAll(rebuilt).count() == 0
+    bad = feed.unionByName(feed.limit(1))
+    with _pytest.raises(ValueError, match="duplicate key"):
+        apply_changes(old, bad, keys=["o_orderkey"])
