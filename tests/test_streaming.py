@@ -764,3 +764,65 @@ def test_embedding_batch_replay_is_idempotent(spark):
         assert spark.read.parquet(index_path).count() == index_n
     finally:
         shutil.rmtree(base, ignore_errors=True)
+
+
+def test_streaming_expectations_reports_per_batch(spark):
+    """Per-micro-batch quality gate: two batches stream through
+    expectations_stream; each batch's report carries its own violation
+    counts (batch 2 plants a null user_id and a duplicate event_id),
+    reports equal the batch-form run, and replaying a batch id is
+    idempotent."""
+    from mini_project_204721_data_engineering_spark.operators.expectations import (
+        expect_not_null,
+        expect_unique,
+        run_expectations,
+    )
+    from mini_project_204721_data_engineering_spark.streaming.quality import (
+        expectations_stream,
+        process_expectations_batch,
+    )
+
+    d = tempfile.mkdtemp(prefix="exq_in_")
+    ckpt = tempfile.mkdtemp(prefix="exq_ckpt_")
+    rep = tempfile.mkdtemp(prefix="exq_rep_") + "/report"
+    schema = "event_id long, user_id long"
+    clean = spark.createDataFrame([(1, 10), (2, 11), (3, 12)], schema)
+    dirty = spark.createDataFrame([(7, None), (8, 13), (8, 14)], schema)
+    clean.coalesce(1).write.mode("append").parquet(d)
+    dirty.coalesce(1).write.mode("append").parquet(d)
+    expects = [expect_unique("event_id"), expect_not_null("user_id")]
+    stream = (
+        spark.readStream.schema(clean.schema).option("maxFilesPerTrigger", 1).parquet(d)
+    )
+    try:
+        q = (
+            expectations_stream(stream, expects, rep, table_name="events_stream")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        assert q.awaitTermination(120)
+        rows = spark.read.parquet(rep).collect()
+        assert len(rows) == 4  # 2 checks × 2 batches
+        by_batch = {}
+        for r in rows:
+            by_batch.setdefault(r["batch_id"], {})[r["check"]] = r["n_violations"]
+        totals = sorted(by_batch.values(), key=lambda m: sum(m.values()))
+        assert totals[0] == {"unique(event_id)": 0, "not_null(user_id)": 0}
+        assert totals[1] == {"unique(event_id)": 1, "not_null(user_id)": 1}
+        # per-batch report ≡ the batch-form suite on the same rows
+        batch_run = {
+            r["check"]: r["n_violations"]
+            for r in run_expectations(
+                {"events_stream": dirty}, {"events_stream": expects}
+            ).collect()
+        }
+        assert batch_run == totals[1]
+        # replay idempotence: rerunning a batch id leaves counts equal
+        n_before = spark.read.parquet(rep).count()
+        process_expectations_batch(dirty, max(by_batch), expects, rep, "events_stream")
+        assert spark.read.parquet(rep).count() == n_before
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+        shutil.rmtree(ckpt, ignore_errors=True)
+        shutil.rmtree(rep.rsplit("/", 1)[0], ignore_errors=True)
