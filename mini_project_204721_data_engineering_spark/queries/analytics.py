@@ -1513,9 +1513,72 @@ SELECT 'changed', col, count(*) FROM (
 """
 
 
+def nearby_site_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Radius join (operators/geo.py): users and sites get DETERMINISTIC
+    synthetic coordinates from pure key arithmetic (mirrorable in SQL —
+    no hash functions), Spark runs the grid-bucketed path, and the
+    oracle brute-forces the cross join + haversine — so the value hash
+    itself proves grid-pruned ≡ exact."""
+    from mini_project_204721_data_engineering_spark.functions.parity import portable_round
+    from mini_project_204721_data_engineering_spark.operators.geo import radius_join
+
+    users = (
+        load_table(spark, sf_dir, "events")
+        .select("user_id")
+        .distinct()
+        .select(
+            "user_id",
+            (F.lit(6.0) + (F.col("user_id") * 7919 % 1000) / 1000.0 * 14.0).alias("lat"),
+            (F.lit(97.0) + (F.col("user_id") * 104729 % 1000) / 1000.0 * 8.0).alias("lon"),
+        )
+    )
+    sites = load_table(spark, sf_dir, "nation").select(
+        "n_nationkey",
+        (F.lit(6.0) + (F.col("n_nationkey") * 7927 % 1000) / 1000.0 * 14.0).alias("slat"),
+        (F.lit(97.0) + (F.col("n_nationkey") * 104723 % 1000) / 1000.0 * 8.0).alias("slon"),
+    )
+    out = radius_join(
+        users, sites, radius_km=120.0, point_cols=("lat", "lon"),
+        site_cols=("slat", "slon"), lat_range=(5.0, 21.0),
+    )
+    return out.select(
+        "user_id",
+        "n_nationkey",
+        portable_round(F.col("dist_km"), 4).alias("dist_km"),
+    )
+
+
+NEARBY_SITE_PAIRS_SQL = """
+WITH u AS (
+  SELECT DISTINCT user_id,
+         6.0 + (user_id * 7919 % 1000) / 1000.0 * 14.0 AS lat,
+         97.0 + (user_id * 104729 % 1000) / 1000.0 * 8.0 AS lon
+  FROM events
+),
+s AS (
+  SELECT n_nationkey,
+         6.0 + (n_nationkey * 7927 % 1000) / 1000.0 * 14.0 AS slat,
+         97.0 + (n_nationkey * 104723 % 1000) / 1000.0 * 8.0 AS slon
+  FROM nation
+),
+d AS (
+  SELECT user_id, n_nationkey,
+         2 * 6371.0088 * asin(sqrt(
+           sin(radians(slat - lat) / 2) * sin(radians(slat - lat) / 2)
+           + cos(radians(lat)) * cos(radians(slat))
+             * sin(radians(slon - lon) / 2) * sin(radians(slon - lon) / 2)
+         )) AS dist
+  FROM u CROSS JOIN s
+)
+SELECT user_id, n_nationkey, round(dist * 10000.0) / 10000.0 AS dist_km
+FROM d WHERE dist <= 120.0
+"""
+
+
 EXTRA_QUERIES = {
     "data_expectations": data_expectations,
     "snapshot_diff": snapshot_diff,
+    "nearby_site_pairs": nearby_site_pairs,
     "events_asof_tolerance": events_asof_tolerance,
     "customers_without_orders": customers_without_orders,
     "customers_with_orders": customers_with_orders,
@@ -1537,6 +1600,7 @@ EXTRA_QUERIES = {
 EXTRA_ORACLES = {
     "data_expectations": DATA_EXPECTATIONS_SQL,
     "snapshot_diff": SNAPSHOT_DIFF_SQL,
+    "nearby_site_pairs": NEARBY_SITE_PAIRS_SQL,
     "events_asof_tolerance": EVENTS_ASOF_TOLERANCE_SQL,
     "revenue_cube": REVENUE_CUBE_SQL,
     "q5_local_supplier_volume": Q5_LOCAL_SUPPLIER_VOLUME_SQL,

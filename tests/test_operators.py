@@ -900,3 +900,44 @@ def test_apply_changes_roundtrip_reconstructs_new_snapshot(spark):
     bad = feed.unionByName(feed.limit(1))
     with _pytest.raises(ValueError, match="duplicate key"):
         apply_changes(old, bad, keys=["o_orderkey"])
+
+
+def test_radius_join_matches_brute_force_and_avoids_cross_join(spark):
+    """Grid-bucketed radius join ≡ brute-force cross join + haversine on
+    deterministic scattered points (incl. pairs straddling cell
+    boundaries and exact-radius edges), with no CartesianProduct /
+    BroadcastNestedLoopJoin in the plan."""
+    from mini_project_204721_data_engineering_spark.operators.geo import (
+        haversine_km,
+        radius_join,
+    )
+
+    # deterministic pseudo-random points over a Thailand-sized box
+    pts = spark.range(400).select(
+        F.col("id").alias("pid"),
+        (F.lit(6.0) + F.pmod(F.xxhash64("id"), 1000) / 1000.0 * 14.0).alias("lat"),
+        (F.lit(97.0) + F.pmod(F.xxhash64(F.col("id") + 7), 1000) / 1000.0 * 8.0).alias("lon"),
+    )
+    sites = spark.range(25).select(
+        F.col("id").alias("site_id"),
+        (F.lit(6.0) + F.pmod(F.xxhash64(F.col("id") * 31), 1000) / 1000.0 * 14.0).alias("slat"),
+        (F.lit(97.0) + F.pmod(F.xxhash64(F.col("id") * 37), 1000) / 1000.0 * 8.0).alias("slon"),
+    )
+    out = radius_join(
+        pts, sites, radius_km=75.0, point_cols=("lat", "lon"),
+        site_cols=("slat", "slon"), lat_range=(5.0, 21.0),
+    )
+    got = {(r["pid"], r["site_id"]): r["dist_km"] for r in out.collect()}
+    brute = (
+        pts.crossJoin(sites)
+        .withColumn("d", haversine_km(F.col("lat"), F.col("lon"), F.col("slat"), F.col("slon")))
+        .filter(F.col("d") <= 75.0)
+    )
+    want = {(r["pid"], r["site_id"]): r["d"] for r in brute.collect()}
+    assert set(got) == set(want)
+    assert len(got) > 50  # the box actually produces matches
+    for k in got:
+        assert abs(got[k] - want[k]) < 1e-9
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
