@@ -71,13 +71,13 @@ def timed(name, fn, out):
 def main() -> None:
     mode = "events"
     args = [a for a in sys.argv[1:]]
-    if args and args[0] in ("events", "docs", "ann", "srp", "cc", "spans", "vocab", "decon", "semdedup", "spatial", "bpe", "hotcell"):
+    if args and args[0] in ("events", "docs", "ann", "srp", "cc", "spans", "vocab", "decon", "semdedup", "spatial", "bpe", "hotcell", "radius"):
         mode = args.pop(0)
     n = int(args[0]) if args else {
         "events": 10_000_000, "docs": 1_000_000, "ann": 1_000_000,
         "srp": 1_000_000, "cc": 1_000_000, "spans": 200_000,
         "vocab": 5_000_000, "decon": 500_000, "semdedup": 100_000,
-        "spatial": 1_000_000, "bpe": 200_000, "hotcell": 50_000,
+        "spatial": 1_000_000, "bpe": 200_000, "hotcell": 50_000, "radius": 1_000_000,
     }[mode]
     from mini_project_204721_data_engineering_spark.session import get_spark
 
@@ -88,7 +88,7 @@ def main() -> None:
          "spans": probe_spans, "vocab": probe_vocab,
          "decon": probe_decon, "semdedup": probe_semdedup,
          "spatial": probe_spatial, "bpe": probe_bpe,
-         "hotcell": probe_hotcell}[mode](spark, n, out)
+         "hotcell": probe_hotcell, "radius": probe_radius}[mode](spark, n, out)
         total = round(sum(r["sec"] for r in out), 3)
         print(json.dumps({"metric": f"scale_probe_{mode}_total", "value": total,
                           "unit": "sec", "n_rows": n,
@@ -489,6 +489,57 @@ def probe_hotcell(spark, n: int, out: list) -> None:
 
     timed("hotcell_uncapped", run(None), out)
     timed("hotcell_cap500", run(500), out)
+
+
+def probe_radius(spark, n: int, out: list) -> None:
+    """Grid-bucketed radius join at point scale: n points against 1000
+    sites in a Thailand-sized box.  Claim under test: candidates are
+    bounded by local density (grid equi-join), so cost is ~linear in n
+    — against the brute-force n×1000 cross join whose cost is the
+    product.  Both consume their match count."""
+    from mini_project_204721_data_engineering_spark.operators.geo import (
+        haversine_km,
+        radius_join,
+    )
+
+    pts = (
+        spark.range(n)
+        .select(
+            F.col("id").alias("pid"),
+            (F.lit(6.0) + F.pmod(F.xxhash64("id"), 100000) / 100000.0 * 14.0).alias("lat"),
+            (F.lit(97.0) + F.pmod(F.xxhash64(F.col("id") + 7), 100000) / 100000.0 * 8.0).alias("lon"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    sites = (
+        spark.range(1000)
+        .select(
+            F.col("id").alias("site_id"),
+            (F.lit(6.0) + F.pmod(F.xxhash64(F.col("id") * 31), 100000) / 100000.0 * 14.0).alias("slat"),
+            (F.lit(97.0) + F.pmod(F.xxhash64(F.col("id") * 37), 100000) / 100000.0 * 8.0).alias("slon"),
+        )
+        .localCheckpoint(eager=True)
+    )
+
+    def grid():
+        return radius_join(
+            pts, sites, radius_km=25.0, point_cols=("lat", "lon"),
+            site_cols=("slat", "slon"), lat_range=(5.0, 21.0),
+        ).count()
+
+    def brute():
+        return (
+            pts.crossJoin(sites)
+            .withColumn(
+                "d",
+                haversine_km(F.col("lat"), F.col("lon"), F.col("slat"), F.col("slon")),
+            )
+            .filter(F.col("d") <= 25.0)
+            .count()
+        )
+
+    timed("radius_grid", grid, out)
+    timed("radius_brute_crossjoin", brute, out)
 
 
 def probe_bpe(spark, n: int, out: list) -> None:
