@@ -28,7 +28,7 @@ import math
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["haversine_km", "radius_join"]
+__all__ = ["haversine_km", "radius_join", "knn_join"]
 
 _EARTH_KM = 6371.0088  # IUGG mean Earth radius
 
@@ -93,3 +93,59 @@ def radius_join(
         .filter(F.col("dist_km") <= radius_km)
         .drop("__ci", "__cj")
     )
+
+
+def knn_join(
+    points: DataFrame,
+    sites: DataFrame,
+    k: int,
+    point_key: str,
+    radius_km: float,
+    point_cols: tuple[str, str] = ("lat", "lon"),
+    site_cols: tuple[str, str] = ("lat", "lon"),
+    lat_range: tuple[float, float] = (-66.0, 66.0),
+) -> DataFrame:
+    """EXACT k-nearest sites per point, grid-accelerated: rank the
+    9-cell-ring candidates of :func:`radius_join` and keep rank ≤ k —
+    provably the true k nearest whenever the in-ring k-th distance is
+    ≤ ``radius_km`` (cell geometry guarantees every site within the
+    radius is a candidate).  Points that FAIL that certificate (fewer
+    than k in-ring candidates, or a k-th candidate beyond the radius —
+    sparse neighborhoods) fall back to a brute-force pass against the
+    full site table, so the result is exact everywhere while the
+    expensive path is confined to the sparse tail (pick ``radius_km``
+    so a typical neighborhood holds ≥ k sites; the fallback fraction is
+    the knob to monitor).  Ties on distance break on site order via the
+    full column tuple, deterministically.  Output: point columns +
+    site columns + ``dist_km`` + ``knn_rank``."""
+    from pyspark.sql.window import Window
+
+    plat, plon = point_cols
+    slat, slon = site_cols
+    cand = radius_join(
+        points, sites, radius_km, point_cols, site_cols, lat_range
+    )
+    w = Window.partitionBy(point_key).orderBy(
+        F.col("dist_km").asc(), *[F.col(c).asc() for c in sites.columns]
+    )
+    ranked = cand.withColumn("knn_rank", F.row_number().over(w))
+    topk = ranked.filter(F.col("knn_rank") <= k)
+    # certificate: a point's in-ring top-k is the TRUE top-k iff it has
+    # k candidates and the k-th lies within the radius (all nearer
+    # sites are then guaranteed candidates)
+    certified = (
+        topk.groupBy(point_key)
+        .agg(F.count(F.lit(1)).alias("__n"), F.max("dist_km").alias("__kth"))
+        .filter((F.col("__n") == k) & (F.col("__kth") <= radius_km))
+        .select(point_key)
+    )
+    good = topk.join(certified, point_key, "left_semi")
+    starved = points.join(certified, point_key, "left_anti")
+    dist = haversine_km(F.col(plat), F.col(plon), F.col(slat), F.col(slon))
+    brute = (
+        starved.crossJoin(sites)
+        .withColumn("dist_km", dist)
+        .withColumn("knn_rank", F.row_number().over(w))
+        .filter(F.col("knn_rank") <= k)
+    )
+    return good.unionByName(brute)

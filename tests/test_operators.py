@@ -941,3 +941,51 @@ def test_radius_join_matches_brute_force_and_avoids_cross_join(spark):
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_knn_join_exact_incl_sparse_fallback(spark):
+    """knn_join ≡ brute-force k-nearest everywhere — including points in
+    sparse neighborhoods that fail the in-ring certificate and take the
+    fallback path (planted far-away outlier point), and ties broken
+    deterministically."""
+    from pyspark.sql.window import Window
+
+    from mini_project_204721_data_engineering_spark.operators.geo import (
+        haversine_km,
+        knn_join,
+    )
+
+    pts = spark.range(200).select(
+        F.col("id").alias("pid"),
+        (F.lit(6.0) + F.pmod(F.xxhash64("id"), 1000) / 1000.0 * 14.0).alias("lat"),
+        (F.lit(97.0) + F.pmod(F.xxhash64(F.col("id") + 7), 1000) / 1000.0 * 8.0).alias("lon"),
+    ).union(
+        spark.createDataFrame([(9000, 25.0, 120.0)], "pid long, lat double, lon double")
+    )  # planted far outlier: zero in-ring candidates → fallback
+    sites = spark.range(30).select(
+        F.col("id").alias("site_id"),
+        (F.lit(6.0) + F.pmod(F.xxhash64(F.col("id") * 31), 1000) / 1000.0 * 14.0).alias("slat"),
+        (F.lit(97.0) + F.pmod(F.xxhash64(F.col("id") * 37), 1000) / 1000.0 * 8.0).alias("slon"),
+    )
+    out = knn_join(
+        pts, sites, k=3, point_key="pid", radius_km=400.0,
+        point_cols=("lat", "lon"), site_cols=("slat", "slon"),
+        lat_range=(5.0, 26.0),
+    )
+    got = {(r["pid"], r["knn_rank"]): (r["site_id"], r["dist_km"]) for r in out.collect()}
+    w = Window.partitionBy("pid").orderBy(
+        F.col("d").asc(), F.col("site_id").asc(), F.col("slat").asc(), F.col("slon").asc()
+    )
+    brute = (
+        pts.crossJoin(sites)
+        .withColumn("d", haversine_km(F.col("lat"), F.col("lon"), F.col("slat"), F.col("slon")))
+        .withColumn("r", F.row_number().over(w))
+        .filter(F.col("r") <= 3)
+    )
+    want = {(r["pid"], r["r"]): (r["site_id"], r["d"]) for r in brute.collect()}
+    assert set(got) == set(want)
+    assert len(got) == 201 * 3
+    for key in got:
+        assert got[key][0] == want[key][0]
+        assert abs(got[key][1] - want[key][1]) < 1e-9
+    assert (9000, 1) in got  # the outlier got served via fallback
