@@ -40,6 +40,8 @@ __all__ = [
     "build_vocab",
     "chunk_text",
     "unigram_lm",
+    "bigram_lm",
+    "doc_bigram_logprob",
     "length_outliers",
     "doc_logprob",
     "tfidf_topk",
@@ -477,4 +479,96 @@ def tfidf_topk(
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select(id_col, "term", "tf", "score", "rank")
+    )
+
+
+def _pair_expr(text_col: str, bos: str) -> str:
+    """Codegen expression: BOS-prepended token array → array of
+    (prev, token) structs — the shared tokenization of the bigram LM
+    trainer and scorer (no window, no per-row Python)."""
+    toks = (
+        f"concat(array('{bos}'), "
+        f"filter(split(trim({text_col}), '\\\\s+'), x -> x != ''))"
+    )
+    return (
+        f"transform(sequence(1, size({toks}) - 1), "
+        f"i -> named_struct('prev', {toks}[i - 1], 'token', {toks}[i]))"
+    )
+
+
+def bigram_lm(
+    ref_docs: DataFrame,
+    text_col: str = "text",
+    alpha: float = 0.5,
+    bos: str = "<s>",
+) -> tuple[DataFrame, DataFrame, float]:
+    """Add-alpha bigram language model from an in-domain reference
+    corpus — the context-sensitive upgrade of :func:`unigram_lm`
+    (a unigram LM scores word-salad as fluently as prose; bigrams see
+    word ORDER, the thing quality filtering actually wants).
+
+    ``p(w | h) = (c(h,w) + α) / (c(h) + α·(V+1))`` with per-history
+    normalization; returns ``(bigram_table(prev, token, logp),
+    history_floor(prev, floor_lp), global_floor)`` — an unseen (h, w)
+    with a SEEN history backs off to that history's smoothed floor,
+    an unseen history to the global ``ln(1/(V+1))``.  Both tables are
+    vocab-sized (broadcastable); one 1-row aggregate (V) reaches the
+    driver to close the formula.  Documents are BOS-prepended so the
+    first real token is conditioned too."""
+    import math
+
+    pairs = (
+        ref_docs.select(F.explode(F.expr(_pair_expr(text_col, bos))).alias("p"))
+        .select(F.col("p.prev").alias("prev"), F.col("p.token").alias("token"))
+    )
+    counts = pairs.groupBy("prev", "token").agg(F.count(F.lit(1)).alias("c"))
+    vrow = counts.select("token").distinct().agg(F.count(F.lit(1))).collect()
+    v = float(vrow[0][0])
+    if v == 0:
+        raise ValueError("bigram_lm: reference corpus has no tokens")
+    hist = counts.groupBy("prev").agg(F.sum("c").alias("ch"))
+    denom = F.col("ch") + F.lit(alpha) * F.lit(v + 1.0)
+    bi = counts.join(hist, "prev").select(
+        "prev", "token", F.log((F.col("c") + F.lit(alpha)) / denom).alias("logp")
+    )
+    floors = hist.select(
+        "prev", F.log(F.lit(alpha) / denom).alias("floor_lp")
+    )
+    return bi, floors, math.log(1.0 / (v + 1.0))
+
+
+def doc_bigram_logprob(
+    docs: DataFrame,
+    bi: DataFrame,
+    floors: DataFrame,
+    global_floor: float,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bos: str = "<s>",
+    broadcast_lm: bool = True,
+) -> DataFrame:
+    """Per-document mean bigram log-probability: explode (prev, token)
+    pairs, join the vocab-sized bigram table (miss → the history's
+    smoothed floor → the global floor), one per-doc aggregate.
+    Returns (id, n_bigrams, sum_logp, mean_logp); ``exp(-mean_logp)``
+    is the document perplexity.  Same broadcast/shuffle switch as
+    :func:`doc_logprob`."""
+    prs = docs.select(
+        F.col(id_col), F.explode(F.expr(_pair_expr(text_col, bos))).alias("p")
+    ).select(id_col, F.col("p.prev").alias("prev"), F.col("p.token").alias("token"))
+    b = (F.broadcast(bi), F.broadcast(floors)) if broadcast_lm else (bi, floors)
+    scored = (
+        prs.join(b[0], ["prev", "token"], "left")
+        .join(b[1], "prev", "left")
+        .select(
+            id_col,
+            F.coalesce(
+                F.col("logp"), F.col("floor_lp"), F.lit(global_floor)
+            ).alias("lp"),
+        )
+    )
+    return scored.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_bigrams"),
+        F.sum("lp").alias("sum_logp"),
+        (F.sum("lp") / F.count(F.lit(1))).alias("mean_logp"),
     )

@@ -1842,6 +1842,62 @@ FROM decoded
 """
 
 
+def bigram_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Context-sensitive quality scoring (llm/quality.py::bigram_lm +
+    doc_bigram_logprob): train an add-α bigram LM on the English slice,
+    score every document's mean bigram log-probability with the full
+    backoff ladder (seen pair → seen-history floor → global floor) —
+    the whole thing, including the BOS-conditioned pair construction
+    and per-history normalization, mirrored in the oracle."""
+    from mini_project_204721_data_engineering_spark.llm.quality import (
+        bigram_lm,
+        doc_bigram_logprob,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    bi, floors, gfloor = bigram_lm(docs.filter(F.col("lang") == "en"), alpha=0.5)
+    out = doc_bigram_logprob(docs, bi, floors, gfloor)
+    return out.select(
+        "doc_id", "n_bigrams", F.round(F.col("mean_logp"), 6).alias("mean_logp")
+    )
+
+
+BIGRAM_QUALITY_SQL = r"""
+WITH tok AS (
+  SELECT doc_id, lang,
+         list_prepend('<s>',
+           list_filter(regexp_split_to_array(trim(text), '\s+'),
+                       x -> x <> '')) AS toks
+  FROM documents
+), pairs AS (
+  SELECT doc_id, lang, toks[i] AS prev, toks[i + 1] AS token
+  FROM tok, UNNEST(range(1, len(toks))) AS u(i)
+), ref AS (
+  SELECT prev, token, CAST(count(*) AS DOUBLE) AS c
+  FROM pairs WHERE lang = 'en' GROUP BY prev, token
+), vocab AS (
+  SELECT CAST(count(DISTINCT token) AS DOUBLE) AS v FROM ref
+), hist AS (
+  SELECT prev, sum(c) AS ch FROM ref GROUP BY prev
+), bi AS (
+  SELECT prev, token, ln((c + 0.5) / (ch + 0.5 * (v + 1.0))) AS logp
+  FROM ref JOIN hist USING (prev) CROSS JOIN vocab
+), floors AS (
+  SELECT prev, ln(0.5 / (ch + 0.5 * (v + 1.0))) AS floor_lp
+  FROM hist CROSS JOIN vocab
+), scored AS (
+  SELECT p.doc_id,
+         coalesce(bi.logp, f.floor_lp, (SELECT ln(1.0 / (v + 1.0)) FROM vocab)) AS lp
+  FROM pairs p
+  LEFT JOIN bi ON p.prev = bi.prev AND p.token = bi.token
+  LEFT JOIN floors f ON p.prev = f.prev
+)
+SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+       round(sum(lp) / count(*), 6) AS mean_logp
+FROM scored GROUP BY doc_id
+"""
+
+
 def alpha_mix_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Temperature-weighted (α-power) source mixing
     (operators/sampling.py::alpha_mix_rates): per-language keep rates
@@ -1939,6 +1995,7 @@ WHERE rank <= 3
 
 EXTRA_QUERIES = {
     "alpha_mix_counts": alpha_mix_counts,
+    "bigram_quality": bigram_quality,
     "tfidf_top_terms": tfidf_top_terms,
     "source_exemplars": source_exemplars,
     "html_extract": html_extract,
@@ -1974,6 +2031,7 @@ EXTRA_QUERIES = {
 }
 EXTRA_ORACLES = {
     "alpha_mix_counts": ALPHA_MIX_COUNTS_SQL,
+    "bigram_quality": BIGRAM_QUALITY_SQL,
     "tfidf_top_terms": TFIDF_TOP_TERMS_SQL,
     "source_exemplars": SOURCE_EXEMPLARS_SQL,
     "html_extract": HTML_EXTRACT_SQL,

@@ -1484,3 +1484,41 @@ def test_cap_cells_frozen_splits_agree_across_datasets(spark):
     )
     kept_ids = {r["vec_id"] for r in kept.select("vec_id").collect()}
     assert 5042 not in kept_ids and 42 in kept_ids
+
+
+def test_bigram_lm_scores_ordered_text_above_shuffled(spark):
+    """Bigram LM: exact hand-computed probabilities on a tiny corpus,
+    word ORDER matters (shuffled text scores below in-order text — the
+    thing the unigram LM cannot see), and backoff layers engage
+    (seen-history floor vs global floor)."""
+    import math
+
+    from mini_project_204721_data_engineering_spark.llm.quality import (
+        bigram_lm,
+        doc_bigram_logprob,
+    )
+
+    ref = spark.createDataFrame(
+        [(1, "the cat sat"), (2, "the cat ran")], "doc_id long, text string"
+    )
+    bi, floors, gfloor = bigram_lm(ref, alpha=0.5)
+    rows = {(r["prev"], r["token"]): r["logp"] for r in bi.collect()}
+    # V = distinct next-tokens = {the, cat, sat, ran} = 4
+    # c(<s>,the)=2, c(<s>)=2 → ln(2.5 / (2 + 0.5*5)) = ln(2.5/4.5)
+    assert abs(rows[("<s>", "the")] - math.log(2.5 / 4.5)) < 1e-12
+    assert abs(rows[("cat", "sat")] - math.log(1.5 / 4.5)) < 1e-12
+    fl = {r["prev"]: r["floor_lp"] for r in floors.collect()}
+    assert abs(fl["cat"] - math.log(0.5 / 4.5)) < 1e-12
+    assert abs(gfloor - math.log(1.0 / 5.0)) < 1e-12
+    cand = spark.createDataFrame(
+        [(10, "the cat sat"), (11, "sat cat the"), (12, "zork blap")],
+        "doc_id long, text string",
+    )
+    scored = {r["doc_id"]: r for r in doc_bigram_logprob(cand, bi, floors, gfloor).collect()}
+    assert scored[10]["mean_logp"] > scored[11]["mean_logp"]  # order matters
+    assert scored[12]["n_bigrams"] == 2
+    # (<s>, zork): seen-history floor; (zork, blap): unseen history →
+    # global floor (the c(h)=0 limit of the same formula)
+    assert abs(
+        scored[12]["sum_logp"] - (math.log(0.5 / 4.5) + gfloor)
+    ) < 1e-9
