@@ -24,6 +24,8 @@ __all__ = [
     "HTML_COMMENT_PATTERN",
     "HTML_TAG_PATTERN",
     "pii_redact",
+    "url_parts",
+    "canonical_url",
     "STOPWORDS",
     "SUBWORD_PATTERN",
     "EMAIL_PATTERN",
@@ -166,3 +168,47 @@ def strip_html(text: Column) -> Column:
     ):
         t = F.replace(t, F.lit(ent), F.lit(rep))
     return F.trim(F.regexp_replace(t, r"\s+", " "))
+
+
+def url_parts(url: Column) -> Column:
+    """Decompose a URL into a struct (scheme, host, registered_domain,
+    path, query) — the crawl-pipeline grouping key factory (per-domain
+    rate stats, host-level dedup, domain blocklists).  Pure codegen
+    regexp extraction, no UDF.
+
+    ``registered_domain`` is the last two host labels — the standard
+    cheap heuristic; it under-splits multi-label public suffixes
+    (``example.co.uk`` → ``co.uk``), which is the documented trade for
+    not shipping the public-suffix list.  Hosts lowercase; a missing
+    component is the empty string (regexp_extract's no-match value),
+    so group-bys never see NULL keys."""
+    scheme = F.lower(F.regexp_extract(url, r"^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
+    host = F.lower(
+        F.regexp_extract(url, r"^[A-Za-z][A-Za-z0-9+.-]*://(?:[^/@?#]*@)?([^/:?#]+)", 1)
+    )
+    domain = F.regexp_extract(host, r"([^.]+\.[^.]+)$", 1)
+    path = F.regexp_extract(url, r"^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)", 1)
+    query = F.regexp_extract(url, r"\?([^#]*)", 1)
+    return F.struct(
+        scheme.alias("scheme"),
+        host.alias("host"),
+        domain.alias("registered_domain"),
+        path.alias("path"),
+        query.alias("query"),
+    )
+
+
+def canonical_url(url: Column) -> Column:
+    """Canonical form for URL-level dedup: lowercase scheme and host,
+    drop the fragment, drop a trailing slash on the bare path, keep the
+    query (it routes content on real sites).  Deterministic and purely
+    lexical — the frontier-dedup key of a crawler (pair with
+    ``exact_dedup``/``dedup_keep_first`` on this column)."""
+    p = url_parts(url)
+    path = F.when(p["path"] == "/", F.lit("")).otherwise(
+        F.regexp_replace(p["path"], r"/$", "")
+    )
+    q = F.when(p["query"] == "", F.lit("")).otherwise(
+        F.concat(F.lit("?"), p["query"])
+    )
+    return F.concat(p["scheme"], F.lit("://"), p["host"], path, q)

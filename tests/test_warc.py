@@ -135,3 +135,44 @@ def test_warc_max_records_cap_raises_not_truncates(tmp_path):
     assert len(parse_warc(content)) == 5  # default cap: all records
     with pytest.raises(ValueError, match="max_records"):
         parse_warc(content, max_records=3)
+
+
+def test_url_parts_and_canonical_dedup_composition(spark):
+    """URL decomposition + canonicalization over crawl records: parts
+    extract correctly (scheme/host/domain/path/query, userinfo and
+    ports stripped from host), canonical forms collapse trivial
+    variants, and the WARC→canonical-URL frontier-dedup composition
+    keeps one record per canonical URL."""
+    from mini_project_204721_data_engineering_spark.llm.text import (
+        canonical_url,
+        url_parts,
+    )
+
+    urls = [
+        "https://News.Example.co.uk:443/a/b?q=1#frag",
+        "http://user:pw@sub.site.org/path/",
+        "https://news.example.co.uk/a/b?q=1",
+        "ftp://files.example.com",
+        "not a url at all",
+    ]
+    df = spark.createDataFrame([(i, u) for i, u in enumerate(urls)], "i long, url string")
+    out = {r["i"]: r["p"] for r in df.select("i", url_parts(F.col("url")).alias("p")).collect()}
+    assert out[0]["scheme"] == "https"
+    assert out[0]["host"] == "news.example.co.uk"  # lowercased, port stripped
+    # last-two-labels heuristic: multi-label public suffixes under-split
+    # (documented trade) — co.uk, not example.co.uk
+    assert out[0]["registered_domain"] == "co.uk"
+    assert out[0]["path"] == "/a/b" and out[0]["query"] == "q=1"
+    assert out[1]["host"] == "sub.site.org"  # userinfo stripped
+    assert out[1]["registered_domain"] == "site.org"
+    assert out[3]["scheme"] == "ftp" and out[3]["path"] == ""
+    assert out[4]["scheme"] == "" and out[4]["host"] == ""
+    canon = {r["i"]: r["c"] for r in df.select("i", canonical_url(F.col("url")).alias("c")).collect()}
+    assert canon[0] == canon[2] == "https://news.example.co.uk/a/b?q=1"
+    assert canon[1] == "http://sub.site.org/path"
+    # frontier dedup: one row per canonical URL
+    kept = (
+        df.withColumn("c", canonical_url(F.col("url")))
+        .groupBy("c").agg(F.min("i").alias("first_i"))
+    )
+    assert kept.count() == 4
