@@ -20,7 +20,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-__all__ = ["state_intervals", "pit_lookup"]
+__all__ = ["state_intervals", "pit_lookup", "interval_join"]
 
 
 def state_intervals(
@@ -106,4 +106,67 @@ def pit_lookup(
         right_time="valid_from",
         payload=[state_col],
         payload_nonnull=True,
+    )
+
+
+def interval_join(
+    facts: DataFrame,
+    intervals: DataFrame,
+    fact_ts: str,
+    start_col: str,
+    end_col: str,
+    bucket: float,
+    on: list[str] | None = None,
+    max_span_buckets: int = 10_000,
+) -> DataFrame:
+    """General interval CONTAINMENT join — every (fact, interval) pair
+    with ``start <= ts < end`` (half-open), intervals MAY overlap and a
+    fact may match many — the case :func:`pit_lookup` (tiling, single
+    match) cannot express, and which a naive theta-join plans as a
+    per-row range probe that explodes at scale (open-source Spark has
+    no range-join optimization).
+
+    The 1-D form of the radius join's grid trick: time buckets of width
+    ``bucket``, each interval replicated to every bucket it spans, facts
+    keyed to their single bucket, EQUI-join on (keys..., bucket), exact
+    containment filter.  Candidates are bounded by per-bucket density;
+    provision ``bucket`` near the typical interval length (an interval
+    of length L replicates to ~L/bucket + 1 rows — spans longer than
+    ``max_span_buckets`` buckets raise rather than silently exploding
+    the replication; split such intervals or raise the bucket width).
+    Inputs must be numeric (epoch seconds etc.) — cast timestamps
+    upstream with ``timestamp_diff`` (NTZ-safe), mirroring DuckDB's
+    ``epoch()``.  NULL ``end`` (open intervals) is rejected — cap them
+    to a horizon first; unbounded intervals have unbounded replication
+    by construction."""
+    on = list(on or [])
+    b0 = F.floor(F.col(start_col) / F.lit(bucket)).cast("long")
+    b1 = F.floor(F.col(end_col) / F.lit(bucket)).cast("long")
+    iv = intervals.withColumn("__nb", (b1 - b0 + 1).cast("long"))
+    guard = iv.filter(
+        F.col(end_col).isNull() | (F.col("__nb") > max_span_buckets)
+    ).limit(1)
+    bad = guard.collect()
+    if bad:
+        raise ValueError(
+            "interval_join: open-ended interval or span exceeding "
+            f"max_span_buckets={max_span_buckets} (row {bad[0].asDict()}) — "
+            "cap open intervals to a horizon and/or widen the bucket"
+        )
+    iv = (
+        iv.withColumn(
+            "__bucket",
+            F.explode(F.sequence(b0, F.floor(F.col(end_col) / F.lit(bucket)).cast("long"))),
+        )
+        .drop("__nb")
+    )
+    f = facts.withColumn(
+        "__bucket", F.floor(F.col(fact_ts) / F.lit(bucket)).cast("long")
+    )
+    return (
+        f.join(iv, on + ["__bucket"])
+        .filter(
+            (F.col(fact_ts) >= F.col(start_col)) & (F.col(fact_ts) < F.col(end_col))
+        )
+        .drop("__bucket")
     )

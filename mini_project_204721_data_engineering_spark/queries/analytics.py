@@ -1575,10 +1575,76 @@ FROM d WHERE dist <= 120.0
 """
 
 
+def error_window_clicks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """General interval containment join
+    (operators/temporal.py::interval_join): ±1 h windows around each
+    user's ERROR events — overlapping intervals, so a click may match
+    many — joined to the user's clicks via the bucketed equi-join path;
+    the oracle brute-forces the theta join, so the value hash proves
+    bucketed ≡ exact.  Epoch arithmetic uses timestamp_diff against an
+    anchor cast to the column's OWN type (NTZ-safe)."""
+    from mini_project_204721_data_engineering_spark.operators.temporal import interval_join
+
+    events = load_table(spark, sf_dir, "events")
+    anchor = F.lit("2024-01-01 00:00:00").cast(dict(events.dtypes)["ts"])
+    e = events.select(
+        "user_id",
+        "event_id",
+        "event_type",
+        F.timestamp_diff("SECOND", anchor, F.col("ts")).alias("s"),
+    )
+    err = e.filter(F.col("event_type") == "error").select(
+        "user_id",
+        F.col("event_id").alias("err_id"),
+        (F.col("s") - 3600).alias("lo"),
+        (F.col("s") + 3600).alias("hi"),
+    )
+    clk = e.filter(F.col("event_type") == "click").select(
+        "user_id", F.col("event_id").alias("click_id"), "s"
+    )
+    pairs = interval_join(
+        clk, err, fact_ts="s", start_col="lo", end_col="hi",
+        bucket=3600.0, on=["user_id"],
+    )
+    return (
+        pairs.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.countDistinct("click_id").alias("n_covered_clicks"),
+        )
+        .orderBy("user_id")
+    )
+
+
+ERROR_WINDOW_CLICKS_SQL = """
+WITH e AS (
+  SELECT user_id, event_id, event_type,
+         date_diff('second', TIMESTAMP '2024-01-01 00:00:00', ts) AS s
+  FROM events
+),
+err AS (
+  SELECT user_id, s - 3600 AS lo, s + 3600 AS hi
+  FROM e WHERE event_type = 'error'
+),
+clk AS (
+  SELECT user_id, event_id AS click_id, s FROM e WHERE event_type = 'click'
+),
+p AS (
+  SELECT c.user_id, c.click_id
+  FROM clk c JOIN err r
+    ON c.user_id = r.user_id AND c.s >= r.lo AND c.s < r.hi
+)
+SELECT user_id, CAST(count(*) AS BIGINT) AS n_pairs,
+       CAST(count(DISTINCT click_id) AS BIGINT) AS n_covered_clicks
+FROM p GROUP BY user_id ORDER BY user_id
+"""
+
+
 EXTRA_QUERIES = {
     "data_expectations": data_expectations,
     "snapshot_diff": snapshot_diff,
     "nearby_site_pairs": nearby_site_pairs,
+    "error_window_clicks": error_window_clicks,
     "events_asof_tolerance": events_asof_tolerance,
     "customers_without_orders": customers_without_orders,
     "customers_with_orders": customers_with_orders,
@@ -1601,6 +1667,7 @@ EXTRA_ORACLES = {
     "data_expectations": DATA_EXPECTATIONS_SQL,
     "snapshot_diff": SNAPSHOT_DIFF_SQL,
     "nearby_site_pairs": NEARBY_SITE_PAIRS_SQL,
+    "error_window_clicks": ERROR_WINDOW_CLICKS_SQL,
     "events_asof_tolerance": EVENTS_ASOF_TOLERANCE_SQL,
     "revenue_cube": REVENUE_CUBE_SQL,
     "q5_local_supplier_volume": Q5_LOCAL_SUPPLIER_VOLUME_SQL,

@@ -989,3 +989,52 @@ def test_knn_join_exact_incl_sparse_fallback(spark):
         assert got[key][0] == want[key][0]
         assert abs(got[key][1] - want[key][1]) < 1e-9
     assert (9000, 1) in got  # the outlier got served via fallback
+
+
+def test_interval_join_overlapping_matches_brute_force(spark):
+    """Bucketed interval join ≡ brute-force theta join on OVERLAPPING
+    intervals (multi-match facts, boundary semantics start-inclusive /
+    end-exclusive, keyed and unkeyed), with no per-row range probe
+    (the join is an equi-join; no CartesianProduct/BNLJ) and a loud
+    guard on open-ended intervals."""
+    import pytest as _pytest
+
+    from mini_project_204721_data_engineering_spark.operators.temporal import interval_join
+
+    facts = spark.createDataFrame(
+        [(i, k, float(t)) for i, (k, t) in enumerate(
+            [(1, 5), (1, 10), (1, 15), (1, 20), (2, 10), (2, 300), (3, 7)]
+        )],
+        "fid long, k long, ts double",
+    )
+    ivs = spark.createDataFrame(
+        [
+            (100, 1, 0.0, 12.0),    # overlaps 101
+            (101, 1, 8.0, 30.0),
+            (102, 1, 15.0, 16.0),   # ts=15 boundary: start-inclusive
+            (103, 2, 10.0, 10.0),   # empty interval matches nothing
+            (104, 2, 250.0, 1000.0),  # long span, many buckets
+            (105, 9, 0.0, 100.0),   # key with no facts
+        ],
+        "iid long, k long, lo double, hi double",
+    )
+    out = interval_join(
+        facts, ivs, fact_ts="ts", start_col="lo", end_col="hi",
+        bucket=10.0, on=["k"],
+    )
+    got = {(r["fid"], r["iid"]) for r in out.collect()}
+    brute = facts.join(ivs, "k").filter(
+        (F.col("ts") >= F.col("lo")) & (F.col("ts") < F.col("hi"))
+    )
+    want = {(r["fid"], r["iid"]) for r in brute.collect()}
+    assert got == want
+    assert (1, 100) in got and (1, 101) in got  # overlap: both match
+    assert (2, 102) in got  # ts=15 lands in [15,16)
+    assert all(iid != 103 for _, iid in got)  # empty interval
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    # open-ended interval → loud guard
+    open_iv = spark.createDataFrame([(9, 1, 0.0, None)], "iid long, k long, lo double, hi double")
+    with _pytest.raises(ValueError, match="open-ended"):
+        interval_join(facts, open_iv, "ts", "lo", "hi", bucket=10.0, on=["k"])
