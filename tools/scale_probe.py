@@ -71,13 +71,13 @@ def timed(name, fn, out):
 def main() -> None:
     mode = "events"
     args = [a for a in sys.argv[1:]]
-    if args and args[0] in ("events", "docs", "ann", "srp", "cc", "spans", "vocab", "decon", "semdedup", "spatial", "bpe", "hotcell", "radius"):
+    if args and args[0] in ("events", "docs", "ann", "srp", "cc", "spans", "vocab", "decon", "semdedup", "spatial", "bpe", "hotcell", "radius", "interval"):
         mode = args.pop(0)
     n = int(args[0]) if args else {
         "events": 10_000_000, "docs": 1_000_000, "ann": 1_000_000,
         "srp": 1_000_000, "cc": 1_000_000, "spans": 200_000,
         "vocab": 5_000_000, "decon": 500_000, "semdedup": 100_000,
-        "spatial": 1_000_000, "bpe": 200_000, "hotcell": 50_000, "radius": 1_000_000,
+        "spatial": 1_000_000, "bpe": 200_000, "hotcell": 50_000, "radius": 1_000_000, "interval": 1_000_000,
     }[mode]
     from mini_project_204721_data_engineering_spark.session import get_spark
 
@@ -88,7 +88,8 @@ def main() -> None:
          "spans": probe_spans, "vocab": probe_vocab,
          "decon": probe_decon, "semdedup": probe_semdedup,
          "spatial": probe_spatial, "bpe": probe_bpe,
-         "hotcell": probe_hotcell, "radius": probe_radius}[mode](spark, n, out)
+         "hotcell": probe_hotcell, "radius": probe_radius,
+         "interval": probe_interval}[mode](spark, n, out)
         total = round(sum(r["sec"] for r in out), 3)
         print(json.dumps({"metric": f"scale_probe_{mode}_total", "value": total,
                           "unit": "sec", "n_rows": n,
@@ -540,6 +541,52 @@ def probe_radius(spark, n: int, out: list) -> None:
 
     timed("radius_grid", grid, out)
     timed("radius_brute_crossjoin", brute, out)
+
+
+def probe_interval(spark, n: int, out: list) -> None:
+    """Bucketed interval join at fact scale: n facts against n/2
+    overlapping intervals over 1000 keys (mean length ~= bucket).
+    Claim under test: bucketed candidates ∝ per-(key, bucket) density →
+    ~linear in n, while the brute-force theta join (equi-join on key +
+    range filter) carries facts × intervals / keys candidate pairs —
+    quadratic in n when both sides grow."""
+    from mini_project_204721_data_engineering_spark.operators.temporal import interval_join
+
+    facts = (
+        spark.range(n)
+        .select(
+            F.col("id").alias("fid"),
+            F.pmod(F.xxhash64("id"), 1000).alias("k"),
+            (F.pmod(F.xxhash64(F.col("id") + 3), 1_000_000) * 1.0).alias("ts"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    ivs = (
+        spark.range(n // 2)
+        .select(
+            F.col("id").alias("iid"),
+            F.pmod(F.xxhash64(F.col("id") * 13), 1000).alias("k"),
+            (F.pmod(F.xxhash64(F.col("id") * 17), 1_000_000) * 1.0).alias("lo"),
+        )
+        .withColumn("hi", F.col("lo") + 500.0 + F.pmod(F.xxhash64("iid"), 1000))
+        .localCheckpoint(eager=True)
+    )
+
+    def bucketed():
+        return interval_join(
+            facts, ivs, fact_ts="ts", start_col="lo", end_col="hi",
+            bucket=1000.0, on=["k"],
+        ).count()
+
+    def brute():
+        return (
+            facts.join(ivs, "k")
+            .filter((F.col("ts") >= F.col("lo")) & (F.col("ts") < F.col("hi")))
+            .count()
+        )
+
+    timed("interval_bucketed", bucketed, out)
+    timed("interval_brute_theta", brute, out)
 
 
 def probe_bpe(spark, n: int, out: list) -> None:
