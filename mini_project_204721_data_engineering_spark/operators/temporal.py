@@ -20,7 +20,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-__all__ = ["state_intervals", "pit_lookup", "interval_join"]
+__all__ = ["state_intervals", "pit_lookup", "interval_join", "event_chain"]
 
 
 def state_intervals(
@@ -170,3 +170,55 @@ def interval_join(
         )
         .drop("__bucket")
     )
+
+
+def event_chain(
+    events: DataFrame,
+    types: list[str],
+    within: str,
+    key: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """Earliest completion per key of the ordered event chain
+    ``types[0] → types[1] → ...`` with EACH consecutive step within
+    ``within`` (an as-of tolerance: ``"INTERVAL '2' HOUR"`` for
+    timestamps, a numeric literal for numeric axes) — the k-step funnel
+    with per-step deadlines (signup flows, checkout timeouts, incident
+    escalation chains).
+
+    Greedy-earliest is WRONG under deadlines (taking the first A can
+    strand a B that a later A would have reached), so each stage joins
+    BACKWARD instead: stage i keeps every type_i event whose latest
+    QUALIFIED stage-(i−1) event lies within the deadline — monotone, so
+    as-of's latest-match is exactly the right witness (if the latest
+    qualified predecessor is too old, every earlier one is older).
+    k−1 as-of joins (one shuffle+sort each, no range probe); each
+    intermediate set is at most the type's event count.  Returns
+    ``(key, completed_at)`` — the earliest final-stage timestamp whose
+    full chain met every deadline."""
+    from mini_project_204721_data_engineering_spark.operators.joins import asof_join
+
+    if len(types) < 2:
+        raise ValueError("event_chain needs at least two stage types")
+    stage = (
+        events.filter(F.col(type_col) == types[0])
+        .select(key, F.col(ts_col).alias("__pt"))
+    )
+    for t in types[1:]:
+        nxt = events.filter(F.col(type_col) == t).select(key, ts_col)
+        joined = asof_join(
+            nxt,
+            stage.groupBy(key, "__pt").agg(F.lit(1).alias("__one")),
+            on=[key],
+            left_time=ts_col,
+            right_time="__pt",
+            payload=["__one"],
+            payload_nonnull=True,
+            tolerance=within,
+        )
+        stage = (
+            joined.filter(F.col("__one").isNotNull())
+            .select(key, F.col(ts_col).alias("__pt"))
+        )
+    return stage.groupBy(key).agg(F.min("__pt").alias("completed_at"))

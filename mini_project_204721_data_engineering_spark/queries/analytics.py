@@ -1640,11 +1640,48 @@ FROM p GROUP BY user_id ORDER BY user_id
 """
 
 
+def chain_click_view_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-step funnel with per-step deadlines
+    (operators/temporal.py::event_chain): earliest
+    click→view→purchase completion per user with each step within 2 h,
+    built on backward as-of joins (greedy-earliest is wrong under
+    deadlines — the oracle mirrors the same staged ASOF+tolerance
+    construction)."""
+    from mini_project_204721_data_engineering_spark.operators.temporal import event_chain
+
+    events = load_table(spark, sf_dir, "events")
+    return event_chain(
+        events, ["click", "view", "purchase"], within="INTERVAL '2' HOUR"
+    ).orderBy("user_id")
+
+
+CHAIN_CVP_SQL = """
+WITH clk AS (SELECT user_id, ts FROM events WHERE event_type = 'click'),
+v0 AS (SELECT user_id, ts FROM events WHERE event_type = 'view'),
+qv AS (
+  SELECT DISTINCT v.user_id, v.ts
+  FROM v0 v ASOF LEFT JOIN clk c
+    ON v.user_id = c.user_id AND v.ts >= c.ts
+  WHERE c.ts IS NOT NULL AND v.ts - c.ts <= INTERVAL 2 HOUR
+),
+p0 AS (SELECT user_id, ts FROM events WHERE event_type = 'purchase'),
+qp AS (
+  SELECT p.user_id, p.ts
+  FROM p0 p ASOF LEFT JOIN (SELECT user_id, ts AS qts FROM qv) q
+    ON p.user_id = q.user_id AND p.ts >= q.qts
+  WHERE q.qts IS NOT NULL AND p.ts - q.qts <= INTERVAL 2 HOUR
+)
+SELECT user_id, min(ts) AS completed_at FROM qp GROUP BY user_id
+ORDER BY user_id
+"""
+
+
 EXTRA_QUERIES = {
     "data_expectations": data_expectations,
     "snapshot_diff": snapshot_diff,
     "nearby_site_pairs": nearby_site_pairs,
     "error_window_clicks": error_window_clicks,
+    "chain_click_view_purchase": chain_click_view_purchase,
     "events_asof_tolerance": events_asof_tolerance,
     "customers_without_orders": customers_without_orders,
     "customers_with_orders": customers_with_orders,
@@ -1668,6 +1705,7 @@ EXTRA_ORACLES = {
     "snapshot_diff": SNAPSHOT_DIFF_SQL,
     "nearby_site_pairs": NEARBY_SITE_PAIRS_SQL,
     "error_window_clicks": ERROR_WINDOW_CLICKS_SQL,
+    "chain_click_view_purchase": CHAIN_CVP_SQL,
     "events_asof_tolerance": EVENTS_ASOF_TOLERANCE_SQL,
     "revenue_cube": REVENUE_CUBE_SQL,
     "q5_local_supplier_volume": Q5_LOCAL_SUPPLIER_VOLUME_SQL,

