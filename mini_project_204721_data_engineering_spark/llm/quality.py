@@ -450,6 +450,10 @@ def tfidf_topk(
     limits); N is a broadcast 1-row aggregate (no driver collect); the
     ranking window partitions by document, so per-reducer work is one
     document's vocabulary.  No global sort, no corpus-sized window.
+    The (doc, term) count table feeds both the score join and the
+    document-frequency aggregate — Spark recomputes it per branch, so
+    at corpus scale persist the ``tf`` stage (or write it) before the
+    fan-out; at demo scale the double scan is cheaper than a cache.
     ``ln`` is bit-identical across engines (libm); scores round
     portably (``round(x·10^dp)/10^dp``) at the output edge only."""
     from pyspark.sql.window import Window
