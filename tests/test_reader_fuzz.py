@@ -263,3 +263,46 @@ def test_hdf5_sohm_fixture_still_reads(hdf5_sohm_bytes):
     out = read_hdf5(hdf5_sohm_bytes)
     assert out["datasets"]["a"]["data"].dtype == np.float64
     assert list(out["datasets"]["b"]["data"][:2]) == [0.0, 2.0]
+
+
+@pytest.fixture(scope="module")
+def avro_bytes(tmp_path_factory) -> bytes:
+    import datetime as dt
+
+    from mini_project_204721_data_engineering_spark.sources.avro import write_avro
+
+    p = str(tmp_path_factory.mktemp("fuzz") / "f.avro")
+    schema = {
+        "type": "record", "name": "R",
+        "fields": [
+            {"name": "i", "type": "long"},
+            {"name": "s", "type": ["null", "string"]},
+            {"name": "d", "type": "double"},
+            {"name": "t", "type": {"type": "long", "logicalType": "timestamp-micros"}},
+        ],
+    }
+    rows = [
+        {"i": i, "s": None if i % 3 == 0 else f"v{i}", "d": i / 7.0,
+         "t": dt.datetime(2024, 1, 1) + dt.timedelta(minutes=i)}
+        for i in range(60)
+    ]
+    write_avro(p, schema, rows, codec="deflate", block_rows=16)
+    return open(p, "rb").read()
+
+
+@settings(max_examples=120, deadline=2000, suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(frac=st.floats(0.0, 1.0), flip_frac=st.floats(0.0, 1.0), flip_to=st.integers(0, 255))
+def test_avro_fuzz(avro_bytes, frac, flip_frac, flip_to):
+    """Truncations/bit-flips of an Avro container fail cleanly
+    (ValueError/NotImplementedError), never raw IndexError/struct.error."""
+    from mini_project_204721_data_engineering_spark.sources.avro import parse_avro
+
+    cut = int(len(avro_bytes) * frac)
+    _fuzz(lambda b: parse_avro(b), avro_bytes, cut, int(cut * flip_frac), flip_to)
+
+
+def test_avro_fixture_still_reads(avro_bytes):
+    from mini_project_204721_data_engineering_spark.sources.avro import parse_avro
+
+    schema, rows = parse_avro(avro_bytes)
+    assert len(rows) == 60 and rows[5][0] == 5
