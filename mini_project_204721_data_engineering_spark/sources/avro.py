@@ -196,7 +196,10 @@ def parse_avro(content: bytes) -> tuple[dict, list[tuple]]:
                 raise ValueError("Avro sync marker mismatch")
         return schema, rows
     except (IndexError, struct.error, KeyError, zlib.error, UnicodeDecodeError,
-            json.JSONDecodeError) as e:
+            json.JSONDecodeError, OverflowError, MemoryError) as e:
+        # OverflowError: a corrupt varint decoding to an astronomical
+        # date/timestamp offset (hypothesis-found); MemoryError: a
+        # corrupt length prefix
         raise ValueError(f"corrupt or truncated Avro container: {e!r}") from e
 
 
