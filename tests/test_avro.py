@@ -104,3 +104,46 @@ def test_avro_corrupt_and_unsupported(tmp_path, spark):
         write_avro(str(tmp_path / "m.avro"), bad_schema, [{"m": {}}])
     with pytest.raises(ValueError, match="no files match"):
         read_avro(spark, str(tmp_path / "empty_nowhere"))
+
+
+def test_avro_to_corpus_pipeline_capstone(spark, tmp_path):
+    """CDC-dump-to-corpus composition: the documents table landed as
+    Avro containers (the Kafka-sink shape), read back distributed, and
+    fed through the corpus gate→dedup→stats pipeline — result equals
+    the same pipeline over the parquet original (format-independence
+    of the engine surface)."""
+    from mini_project_204721_data_engineering_spark.catalog import load_table
+    from mini_project_204721_data_engineering_spark.llm.text import quality_score
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents").select(
+        "doc_id", "text", "lang"
+    )
+    schema = {
+        "type": "record", "name": "Docs",
+        "fields": [
+            {"name": "doc_id", "type": "long"},
+            {"name": "text", "type": ["null", "string"]},
+            {"name": "lang", "type": ["null", "string"]},
+        ],
+    }
+    rows = [r.asDict() for r in docs.collect()]
+    d = str(tmp_path / "land")
+    os.makedirs(d)
+    write_avro(os.path.join(d, "s0.avro"), schema, rows[: len(rows) // 2],
+               codec="deflate")
+    write_avro(os.path.join(d, "s1.avro"), schema, rows[len(rows) // 2 :])
+
+    from pyspark.sql import functions as F
+
+    def pipeline(df):
+        return (
+            df.filter(quality_score(F.col("text")) >= 0.3)
+            .withColumn("h", F.md5("text"))
+            .groupBy("h").agg(F.min("doc_id").alias("keep_id"))
+        )
+
+    via_avro = pipeline(read_avro(spark, d))
+    via_parquet = pipeline(docs)
+    a = {(r["h"], r["keep_id"]) for r in via_avro.collect()}
+    b = {(r["h"], r["keep_id"]) for r in via_parquet.collect()}
+    assert a == b and len(a) > 100
