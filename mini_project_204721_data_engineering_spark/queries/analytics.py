@@ -1676,12 +1676,50 @@ ORDER BY user_id
 """
 
 
+def part_name_linkage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Record linkage (operators/linkage.py::fuzzy_join): every 10th
+    part's name deterministically corrupted (4th character deleted) and
+    fuzzy-joined back to the distinct name catalog at edit distance ≤ 2
+    via q-gram blocking + exact levenshtein verify; the oracle
+    brute-forces the cross join, so the value hash proves the blocked
+    join is complete."""
+    from mini_project_204721_data_engineering_spark.operators.linkage import fuzzy_join
+
+    part = load_table(spark, sf_dir, "part")
+    corrupted = part.filter(F.col("p_partkey") % 10 == 0).select(
+        "p_partkey",
+        F.expr("concat(substring(p_name, 1, 3), substring(p_name, 5))").alias(
+            "cname"
+        ),
+    )
+    names = part.select("p_name").distinct()
+    out = fuzzy_join(corrupted, names, "cname", "p_name", max_dist=2)
+    return out.select(
+        "p_partkey", "cname", "p_name", F.col("edit_dist").cast("int").alias("edit_dist")
+    )
+
+
+PART_NAME_LINKAGE_SQL = """
+WITH c AS (
+  SELECT p_partkey,
+         substring(p_name, 1, 3) || substring(p_name, 5) AS cname
+  FROM part WHERE p_partkey % 10 = 0
+),
+n AS (SELECT DISTINCT p_name FROM part)
+SELECT c.p_partkey, c.cname, n.p_name,
+       CAST(levenshtein(c.cname, n.p_name) AS INT) AS edit_dist
+FROM c CROSS JOIN n
+WHERE levenshtein(c.cname, n.p_name) <= 2
+"""
+
+
 EXTRA_QUERIES = {
     "data_expectations": data_expectations,
     "snapshot_diff": snapshot_diff,
     "nearby_site_pairs": nearby_site_pairs,
     "error_window_clicks": error_window_clicks,
     "chain_click_view_purchase": chain_click_view_purchase,
+    "part_name_linkage": part_name_linkage,
     "events_asof_tolerance": events_asof_tolerance,
     "customers_without_orders": customers_without_orders,
     "customers_with_orders": customers_with_orders,
@@ -1706,6 +1744,7 @@ EXTRA_ORACLES = {
     "nearby_site_pairs": NEARBY_SITE_PAIRS_SQL,
     "error_window_clicks": ERROR_WINDOW_CLICKS_SQL,
     "chain_click_view_purchase": CHAIN_CVP_SQL,
+    "part_name_linkage": PART_NAME_LINKAGE_SQL,
     "events_asof_tolerance": EVENTS_ASOF_TOLERANCE_SQL,
     "revenue_cube": REVENUE_CUBE_SQL,
     "q5_local_supplier_volume": Q5_LOCAL_SUPPLIER_VOLUME_SQL,

@@ -1071,3 +1071,38 @@ def test_event_chain_deadlines_and_greedy_trap(spark):
     # key 4: C@6 has no qualified B at-or-before it (B@0 precedes A@5 —
     # wait: B@0 has no A at-or-before within 20 → unqualified) → no chain
     assert 4 not in out
+
+
+def test_fuzzy_join_matches_brute_force(spark):
+    """q-gram-filtered fuzzy join ≡ brute-force cross join + levenshtein
+    filter on realistic misspellings (substitutions, deletions,
+    insertions, short strings below q, non-matches), with an equi-join
+    candidate plan (no CartesianProduct)."""
+    from mini_project_204721_data_engineering_spark.operators.linkage import fuzzy_join
+
+    left = spark.createDataFrame(
+        [(1, "red widget"), (2, "blue gadget"), (3, "green sprocket"),
+         (4, "ab"), (5, "grey flange")],
+        "lid long, lname string",
+    )
+    right = spark.createDataFrame(
+        [(10, "red widgit"),     # 1 substitution
+         (11, "blu gadget"),     # 1 deletion
+         (12, "green sprockets"),  # 1 insertion
+         (13, "ac"),             # short string, dist 1
+         (14, "totally other")],
+        "rid long, rname string",
+    )
+    out = fuzzy_join(left, right, "lname", "rname", max_dist=2)
+    got = {(r["lid"], r["rid"], r["edit_dist"]) for r in out.collect()}
+    brute = (
+        left.crossJoin(right)
+        .withColumn("d", F.levenshtein(F.col("lname"), F.col("rname")))
+        .filter(F.col("d") <= 2)
+    )
+    want = {(r["lid"], r["rid"], r["d"]) for r in brute.collect()}
+    assert got == want  # COMPLETE, incl. the short-string pair ab↔ac
+    assert (1, 10, 1) in got and (2, 11, 1) in got and (3, 12, 1) in got
+    assert all(r != 14 for _, r, _ in got)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
