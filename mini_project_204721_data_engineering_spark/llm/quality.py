@@ -489,14 +489,23 @@ def tfidf_topk(
 def _pair_expr(text_col: str, bos: str) -> str:
     """Codegen expression: BOS-prepended token array → array of
     (prev, token) structs — the shared tokenization of the bigram LM
-    trainer and scorer (no window, no per-row Python)."""
+    trainer and scorer (no window, no per-row Python).
+
+    An empty/whitespace-only document tokenizes to just the BOS token,
+    making ``sequence(1, size-1)`` = ``sequence(1, 0)`` — which Spark
+    evaluates as the DESCENDING ``[1, 0]`` (out-of-bounds indexing:
+    ANSI crash / phantom null pairs).  Guarded to an empty pair array,
+    matching the SQL oracle which emits zero pairs for such docs (same
+    pitfall as llm/multimodal.py's chunk sequence)."""
     toks = (
         f"concat(array('{bos}'), "
         f"filter(split(trim({text_col}), '\\\\s+'), x -> x != ''))"
     )
+    pair_t = "array<struct<prev:string,token:string>>"
     return (
-        f"transform(sequence(1, size({toks}) - 1), "
-        f"i -> named_struct('prev', {toks}[i - 1], 'token', {toks}[i]))"
+        f"CASE WHEN size({toks}) <= 1 THEN cast(array() as {pair_t}) "
+        f"ELSE transform(sequence(1, size({toks}) - 1), "
+        f"i -> named_struct('prev', {toks}[i - 1], 'token', {toks}[i])) END"
     )
 
 

@@ -96,28 +96,48 @@ def apply_changes(
 
     Duplicate keys in the feed are a contract violation (a change feed
     is per-key terminal state); they raise on detection rather than
-    applying an arbitrary winner.
+    applying an arbitrary winner.  The check is IN the plan: the feed
+    is aggregated by key (the same hash partitioning the merge join
+    needs anyway, so Catalyst reuses the exchange) and a per-key count
+    guards the op column with ``raise_error`` — no separate guard job,
+    no extra pass over the feed on clean input; the violation surfaces
+    at first execution of the merged result.
 
     Round-trip invariant (pytest-pinned):
     ``apply_changes(old, changes_from(table_diff(old, new), new))``
     ≡ ``new`` for any two snapshots."""
     keys = list(keys)
     val_cols = [c for c in old.columns if c not in keys]
-    dup = (
-        changes.groupBy(*keys).agg(F.count(F.lit(1)).alias("__n"))
-        .filter(F.col("__n") > 1)
-        .limit(1)
-        .collect()
+    dup_msg = F.concat(
+        F.lit("change feed carries duplicate key ("),
+        F.concat_ws(
+            ", ", *[F.coalesce(F.col(k).cast("string"), F.lit("NULL")) for k in keys]
+        ),
+        F.lit(") — a feed must hold one terminal state per key"),
     )
-    if dup:
-        raise ValueError(
-            f"change feed carries duplicate key {tuple(dup[0][k] for k in keys)}"
-            " — a feed must hold one terminal state per key"
+    ch = (
+        changes.select(
+            *keys,
+            F.struct(
+                F.col("op").alias("__op"),
+                F.struct(*[F.col(c) for c in val_cols]).alias("__v"),
+            ).alias("__pick"),
         )
-    ch = changes.select(
-        *keys,
-        F.col("op").alias("__op"),
-        F.struct(*[F.col(c) for c in val_cols]).alias("__new"),
+        .groupBy(*keys)
+        .agg(
+            F.count(F.lit(1)).alias("__cn"),
+            # first, not max: value structs need not be orderable, and
+            # with __cn == 1 (the only path that survives the guard)
+            # first IS the unique row — deterministic.
+            F.first("__pick").alias("__pick"),
+        )
+        .select(
+            *keys,
+            F.when(F.col("__cn") > 1, F.raise_error(dup_msg))
+            .otherwise(F.col("__pick.__op"))
+            .alias("__op"),
+            F.col("__pick.__v").alias("__new"),
+        )
     )
     o = old.withColumn("__old", F.struct(*[F.col(c) for c in val_cols])).select(
         *keys, "__old"

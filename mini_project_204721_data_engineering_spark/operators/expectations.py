@@ -46,13 +46,21 @@ class _Expect:
 
 def expect_unique(*cols: str) -> _Expect:
     """No two rows share these column values (PK/BK check).  Violations
-    = rows beyond the first of each duplicated key — counted as
-    ``count(*) - count(distinct cols)`` in one fused aggregate (exact;
-    at extreme cardinality swap in approx_count_distinct upstream)."""
+    = rows beyond the first of each duplicated key.  NULL-keyed rows
+    are EXCLUDED from both sides — ``count(DISTINCT c1, c2)`` ignores
+    rows with any NULL key, so a plain ``count(*)`` minuend would flag
+    a lone NULL-keyed row (no duplicate at all) as a violation; pair
+    it with ``expect_not_null`` to forbid NULL keys.  Counted as
+    ``count(all-keys-non-null) - count(distinct cols)`` in one fused
+    aggregate (exact; at extreme cardinality swap in
+    approx_count_distinct upstream)."""
     d = ", ".join(cols)
+    nn = F.lit(True)
+    for c in cols:
+        nn = nn & F.col(c).isNotNull()
     return _Expect(
         f"unique({d})",
-        F.count(F.lit(1)) - F.countDistinct(*[F.col(c) for c in cols]),
+        F.count(F.when(nn, 1)) - F.countDistinct(*[F.col(c) for c in cols]),
     )
 
 

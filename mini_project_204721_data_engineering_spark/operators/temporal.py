@@ -136,29 +136,48 @@ def interval_join(
     the replication; split such intervals or raise the bucket width).
     Inputs must be numeric (epoch seconds etc.) — cast timestamps
     upstream with ``timestamp_diff`` (NTZ-safe), mirroring DuckDB's
-    ``epoch()``.  NULL ``end`` (open intervals) is rejected — cap them
-    to a horizon first; unbounded intervals have unbounded replication
-    by construction."""
+    ``epoch()``.  NULL ``end`` (open intervals) and INVERTED intervals
+    (``end < start``) are rejected — cap open intervals to a horizon
+    first (unbounded intervals have unbounded replication by
+    construction), and fix inverted rows upstream (``sequence(b0, b1)``
+    with b1 < b0 counts DOWN, silently replicating a malformed row to
+    buckets it never covered).
+
+    The contract check is IN the plan (``raise_error`` under a
+    ``when()`` guarding the end column) — zero extra pass over the
+    intervals table on clean input, surfacing at first execution of the
+    join rather than eagerly at call time.  Every downstream use of the
+    interval end (bucket sequence AND containment filter) goes through
+    the guarded expression, so Catalyst's inferred-constraint pushdown
+    (e.g. the ``IsNotNull`` it derives from ``ts < end``) evaluates the
+    guard too instead of silently filtering the malformed row away."""
     on = list(on or [])
-    b0 = F.floor(F.col(start_col) / F.lit(bucket)).cast("long")
-    b1 = F.floor(F.col(end_col) / F.lit(bucket)).cast("long")
-    iv = intervals.withColumn("__nb", (b1 - b0 + 1).cast("long"))
-    guard = iv.filter(
-        F.col(end_col).isNull() | (F.col("__nb") > max_span_buckets)
-    ).limit(1)
-    bad = guard.collect()
-    if bad:
-        raise ValueError(
-            "interval_join: open-ended interval or span exceeding "
-            f"max_span_buckets={max_span_buckets} (row {bad[0].asDict()}) — "
-            "cap open intervals to a horizon and/or widen the bucket"
-        )
-    iv = (
-        iv.withColumn(
-            "__bucket",
-            F.explode(F.sequence(b0, F.floor(F.col(end_col) / F.lit(bucket)).cast("long"))),
-        )
-        .drop("__nb")
+    raw_end = F.col(end_col)
+    raw_start = F.col(start_col)
+    b0 = F.floor(raw_start / F.lit(bucket)).cast("long")
+    b1 = F.floor(raw_end / F.lit(bucket)).cast("long")
+    bad = (
+        raw_end.isNull()
+        | (raw_end < raw_start)
+        | ((b1 - b0 + 1) > F.lit(max_span_buckets))
+    )
+    msg = F.concat(
+        F.lit("interval_join: open-ended interval, inverted interval, or "
+              f"span exceeding max_span_buckets={max_span_buckets} (start="),
+        F.coalesce(raw_start.cast("string"), F.lit("NULL")),
+        F.lit(", end="),
+        F.coalesce(raw_end.cast("string"), F.lit("NULL")),
+        F.lit(") — cap open intervals to a horizon, fix end<start rows, "
+              "and/or widen the bucket"),
+    )
+    iv = intervals.withColumn(
+        "__end", F.when(bad, F.raise_error(msg)).otherwise(raw_end)
+    )
+    iv = iv.withColumn(
+        "__bucket",
+        F.explode(
+            F.sequence(b0, F.floor(F.col("__end") / F.lit(bucket)).cast("long"))
+        ),
     )
     f = facts.withColumn(
         "__bucket", F.floor(F.col(fact_ts) / F.lit(bucket)).cast("long")
@@ -166,9 +185,9 @@ def interval_join(
     return (
         f.join(iv, on + ["__bucket"])
         .filter(
-            (F.col(fact_ts) >= F.col(start_col)) & (F.col(fact_ts) < F.col(end_col))
+            (F.col(fact_ts) >= F.col(start_col)) & (F.col(fact_ts) < F.col("__end"))
         )
-        .drop("__bucket")
+        .drop("__bucket", "__end")
     )
 
 

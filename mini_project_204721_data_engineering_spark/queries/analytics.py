@@ -1382,7 +1382,7 @@ def data_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
 DATA_EXPECTATIONS_SQL = """
 SELECT *, n_violations = 0 AS passed FROM (
   SELECT 'orders' AS table_name, 'unique(o_orderkey)' AS "check",
-         CAST(count(*) - count(DISTINCT o_orderkey) AS BIGINT) AS n_violations
+         CAST(count(o_orderkey) - count(DISTINCT o_orderkey) AS BIGINT) AS n_violations
   FROM orders
   UNION ALL
   SELECT 'orders', 'not_null(o_custkey)',
@@ -1402,7 +1402,7 @@ SELECT *, n_violations = 0 AS passed FROM (
   WHERE c.c_custkey IS NULL
   UNION ALL
   SELECT 'customer', 'unique(c_custkey)',
-         CAST(count(*) - count(DISTINCT c_custkey) AS BIGINT) FROM customer
+         CAST(count(c_custkey) - count(DISTINCT c_custkey) AS BIGINT) FROM customer
   UNION ALL
   SELECT 'customer', 'range(c_acctbal,-1000.0,10000.0)',
          CAST(sum(CASE WHEN c_acctbal IS NOT NULL
@@ -1420,7 +1420,7 @@ SELECT *, n_violations = 0 AS passed FROM (
   WHERE o.o_orderkey IS NULL
   UNION ALL
   SELECT 'events', 'unique(event_id)',
-         CAST(count(*) - count(DISTINCT event_id) AS BIGINT) FROM events
+         CAST(count(event_id) - count(DISTINCT event_id) AS BIGINT) FROM events
   UNION ALL
   SELECT 'events', 'not_null(user_id)',
          CAST(count(*) - count(user_id) AS BIGINT) FROM events

@@ -103,9 +103,15 @@ def read_jsonl(
                         except (TypeError, ValueError):
                             # mixed junk (e.g. strings in a long field):
                             # salvage what parses, null the rest
-                            chunk[col] = pd.to_numeric(
-                                chunk[col], errors="coerce"
-                            ).astype(dtype)
+                            vals = pd.to_numeric(chunk[col], errors="coerce")
+                            if dtype.startswith("Int"):
+                                # fractional/non-finite floats in a
+                                # declared integer column are an unsafe
+                                # cast (astype would raise and fail the
+                                # whole task) — null them, keep the
+                                # integral values
+                                vals = vals.where(vals.mod(1) == 0)
+                            chunk[col] = vals.astype(dtype)
                     yield chunk[fields]
 
     return (

@@ -108,3 +108,23 @@ def test_jsonl_mixed_junk_in_numeric_field_salvages_parseable(spark, tmp_path):
     rows = {r["text"]: r["doc_id"] for r in read_jsonl(spark, d, SCHEMA).collect()}
     assert rows["numeric string id"] == 7
     assert rows["junk id"] is None
+
+
+def test_jsonl_fractional_float_in_integer_field_nulls_not_fails(spark, tmp_path):
+    """A fractional float (1.5) in a declared-long field is an unsafe
+    cast pandas refuses even after to_numeric — the coercion must null
+    the non-integral value and keep the rest of the shard (integral
+    floats like 3.0 still land as longs)."""
+    d = str(tmp_path)
+    write_jsonl_shard(
+        [
+            {"doc_id": 1.5, "text": "fractional id", "lang": "en"},
+            {"doc_id": 3.0, "text": "integral float id", "lang": "en"},
+            {"doc_id": 4, "text": "plain int id", "lang": "de"},
+        ],
+        os.path.join(d, "frac.jsonl"),
+    )
+    rows = {r["text"]: r["doc_id"] for r in read_jsonl(spark, d, SCHEMA).collect()}
+    assert rows["fractional id"] is None
+    assert rows["integral float id"] == 3
+    assert rows["plain int id"] == 4

@@ -1522,3 +1522,34 @@ def test_bigram_lm_scores_ordered_text_above_shuffled(spark):
     assert abs(
         scored[12]["sum_logp"] - (math.log(0.5 / 4.5) + gfloor)
     ) < 1e-9
+
+
+def test_bigram_lm_empty_docs_yield_zero_pairs_not_crash(spark):
+    """Empty / whitespace-only documents tokenize to just the BOS
+    token; without the guard, ``sequence(1, 0)`` counts DOWN in Spark
+    and the out-of-bounds indexing crashes under ANSI mode (or emits
+    phantom null pairs without it).  Empty docs must contribute ZERO
+    pairs — to training counts and to scoring output — matching the
+    SQL-oracle semantics."""
+    from mini_project_204721_data_engineering_spark.llm.quality import (
+        bigram_lm,
+        doc_bigram_logprob,
+    )
+
+    ref = spark.createDataFrame(
+        [(1, "the cat sat"), (2, ""), (3, "   \t  ")],
+        "doc_id long, text string",
+    )
+    bi, floors, gfloor = bigram_lm(ref, alpha=0.5)
+    pairs = {(r["prev"], r["token"]) for r in bi.collect()}
+    # only doc 1's pairs — the empty docs added nothing (no (<s>, NULL))
+    assert pairs == {("<s>", "the"), ("the", "cat"), ("cat", "sat")}
+    cand = spark.createDataFrame(
+        [(10, "the cat sat"), (11, ""), (12, " ")], "doc_id long, text string"
+    )
+    scored = {
+        r["doc_id"]: r for r in doc_bigram_logprob(cand, bi, floors, gfloor).collect()
+    }
+    assert scored[10]["n_bigrams"] == 3
+    # empty docs produce no pair rows, hence no score row at all
+    assert 11 not in scored and 12 not in scored

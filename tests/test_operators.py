@@ -806,6 +806,37 @@ def test_expectations_detect_planted_violations(spark):
     assert plan.count("LocalRelation") + plan.count("LogicalRDD") >= 1  # sanity
 
 
+def test_expect_unique_null_keys_are_not_violations(spark):
+    """count(DISTINCT cols) ignores NULL-keyed rows, so the minuend
+    must too: a lone NULL-keyed row (no duplicate at all) is NOT a
+    uniqueness violation — pair with expect_not_null to forbid NULL
+    keys.  Real duplicates still count, including composite keys with
+    a NULL in one column of the pair."""
+    from mini_project_204721_data_engineering_spark.operators.expectations import (
+        expect_unique,
+        run_expectations,
+    )
+
+    t = spark.createDataFrame(
+        [
+            (1, "a"), (1, "a"),     # true duplicate → 1 violation
+            (None, "b"),            # lone NULL key → NOT a violation
+            (None, "c"),            # another lone NULL key → still not
+            (2, None),              # NULL in one col of composite key
+            (3, "d"),
+        ],
+        "id long, sub string",
+    )
+    report = run_expectations(
+        {"t": t}, {"t": [expect_unique("id"), expect_unique("id", "sub")]}
+    )
+    got = {r["check"]: r["n_violations"] for r in report.collect()}
+    # single-col: ids are [1,1,N,N,2,3] → 4 non-null, 3 distinct → 1
+    assert got["unique(id)"] == 1
+    # composite: (2,NULL) excluded from both counts → only the (1,a) dup
+    assert got["unique(id, sub)"] == 1
+
+
 def test_table_diff_statuses_and_changed_columns(spark):
     """table_diff: added/removed/changed/unchanged classification with
     null-safe semantics (NULL→NULL unchanged, NULL→value changed), and
@@ -897,9 +928,16 @@ def test_apply_changes_roundtrip_reconstructs_new_snapshot(spark):
     assert rebuilt.count() == new.count()
     assert rebuilt.exceptAll(new).count() == 0
     assert new.exceptAll(rebuilt).count() == 0
+    # duplicate feed keys → loud in-plan guard at first execution (the
+    # r7 version ran an eager guard job; now construction is free)
     bad = feed.unionByName(feed.limit(1))
-    with _pytest.raises(ValueError, match="duplicate key"):
-        apply_changes(old, bad, keys=["o_orderkey"])
+    tracker = spark.sparkContext.statusTracker()
+    jobs_before = set(tracker.getJobIdsForGroup(None) or [])
+    merged_bad = apply_changes(old, bad, keys=["o_orderkey"])
+    jobs_after = set(tracker.getJobIdsForGroup(None) or [])
+    assert jobs_before == jobs_after
+    with _pytest.raises(Exception, match="duplicate key"):
+        merged_bad.collect()
 
 
 def test_radius_join_matches_brute_force_and_avoids_cross_join(spark):
@@ -1018,10 +1056,16 @@ def test_interval_join_overlapping_matches_brute_force(spark):
         ],
         "iid long, k long, lo double, hi double",
     )
+    tracker = spark.sparkContext.statusTracker()
+    jobs_before = set(tracker.getJobIdsForGroup(None) or [])
     out = interval_join(
         facts, ivs, fact_ts="ts", start_col="lo", end_col="hi",
         bucket=10.0, on=["k"],
     )
+    # the contract guard is in-plan: constructing the join launches no
+    # separate validation job (the r7 version ran an eager full scan)
+    jobs_after = set(tracker.getJobIdsForGroup(None) or [])
+    assert jobs_before == jobs_after
     got = {(r["fid"], r["iid"]) for r in out.collect()}
     brute = facts.join(ivs, "k").filter(
         (F.col("ts") >= F.col("lo")) & (F.col("ts") < F.col("hi"))
@@ -1034,10 +1078,17 @@ def test_interval_join_overlapping_matches_brute_force(spark):
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
-    # open-ended interval → loud guard
+    # open-ended interval → loud in-plan guard at first execution
     open_iv = spark.createDataFrame([(9, 1, 0.0, None)], "iid long, k long, lo double, hi double")
-    with _pytest.raises(ValueError, match="open-ended"):
-        interval_join(facts, open_iv, "ts", "lo", "hi", bucket=10.0, on=["k"])
+    with _pytest.raises(Exception, match="open-ended"):
+        interval_join(facts, open_iv, "ts", "lo", "hi", bucket=10.0, on=["k"]).collect()
+    # inverted interval (end < start) → rejected, not silently
+    # replicated to descending-sequence buckets
+    inv_iv = spark.createDataFrame(
+        [(9, 1, 50.0, 5.0)], "iid long, k long, lo double, hi double"
+    )
+    with _pytest.raises(Exception, match="inverted"):
+        interval_join(facts, inv_iv, "ts", "lo", "hi", bucket=10.0, on=["k"]).collect()
 
 
 def test_event_chain_deadlines_and_greedy_trap(spark):
