@@ -8,12 +8,18 @@ Clean-room byte reader of the PUBLIC Avro 1.11 specification
 Encoding"), same strategy as the netcdf/xls/warc readers: magic
 ``Obj\\x01``, a file-metadata map carrying the writer schema JSON and
 codec, a 16-byte sync marker, then sync-delimited blocks of
-zigzag-varint-encoded records.  Codecs: ``null`` and ``deflate``
-(raw DEFLATE, no zlib wrapper).  Schema subset: records of primitives,
-nullable unions ``["null", T]``, enum, fixed, bytes, arrays of
-primitives, and the common logical types (date,
-timestamp-millis/micros) — anything else refuses loudly with the field
-name.
+zigzag-varint-encoded records.  Codecs: ``null``, ``deflate`` (raw
+DEFLATE, no zlib wrapper), and ``snappy`` (raw snappy block + 4-byte
+big-endian CRC32 of the uncompressed data, per the spec; decompressed
+via pyarrow's bundled codec — the Kafka-ecosystem default).  Schema:
+records (NESTED records too, including named-type references — the
+Debezium CDC envelope is a record whose ``before``/``after`` fields
+are ``["null", RowRecord]`` with the second occurrence a name ref),
+``map`` types (string keys per the spec → ``map<string,T>``),
+nullable unions ``["null", T]``, enum, fixed, bytes, arrays, and the
+common logical types (date, timestamp-millis/micros) — anything else
+(multi-branch unions, recursive types) refuses loudly with the field
+path.
 
 Scale shape: ``binaryFile`` + ``mapInPandas``, one container per task,
 bytes never on the driver; the schema is read driver-side from the
@@ -82,8 +88,46 @@ def _meta_map(r: _R) -> dict[str, bytes]:
     return out
 
 
-def _field_decoder(sch, path: str):
+_PRIMITIVES = frozenset(
+    ("null", "boolean", "int", "long", "float", "double", "bytes", "string")
+)
+
+
+def _resolve_named(sch, names: dict, path: str):
+    """A bare string that is not a primitive is a reference to a
+    previously DEFINED named type (record/enum/fixed) — the Avro
+    named-type mechanism Debezium uses for its ``before``/``after``
+    envelope fields (first occurrence defines ``Value``, the second
+    just says ``"Value"``)."""
+    if isinstance(sch, str) and sch not in _PRIMITIVES:
+        try:
+            return names[sch]
+        except KeyError:
+            raise NotImplementedError(
+                f"Avro named-type reference {sch!r} at {path} has no "
+                "preceding definition (forward/recursive references "
+                "are not supported)"
+            ) from None
+    return sch
+
+
+def _register_named(sch: dict, names: dict) -> None:
+    """Record a record/enum/fixed definition under its short AND full
+    (namespace-qualified) name, the two forms a reference may use."""
+    name = sch.get("name")
+    if not name:
+        return
+    names[name] = sch
+    ns = sch.get("namespace")
+    if ns:
+        names[f"{ns}.{name}"] = sch
+
+
+def _field_decoder(sch, path: str, names: dict | None = None):
     """schema node → (python decode fn, spark type ddl)."""
+    if names is None:
+        names = {}
+    sch = _resolve_named(sch, names, path)
     if isinstance(sch, str):
         sch = {"type": sch}
     if isinstance(sch, list):  # union: only ["null", T] (either order)
@@ -92,14 +136,44 @@ def _field_decoder(sch, path: str):
             raise NotImplementedError(
                 f"Avro union beyond ['null', T] at {path}: {sch}"
             )
-        inner, ddl = _field_decoder(branches[0], path)
         null_idx = sch.index("null")
+        inner, ddl = _field_decoder(branches[0], path, names)
 
         def dec_union(r: _R):
             return None if r.long() == null_idx else inner(r)
 
         return dec_union, ddl
     t = sch["type"]
+    if t == "record":  # nested record → Spark struct
+        _register_named(sch, names)
+        sub_decs, sub_names, sub_ddls = [], [], []
+        for f in sch["fields"]:
+            d, ddl = _field_decoder(f["type"], f"{path}.{f['name']}", names)
+            sub_decs.append(d)
+            sub_names.append(f["name"])
+            sub_ddls.append(f"{f['name']}:{ddl}")
+
+        def dec_rec(r: _R):
+            return {n: d(r) for n, d in zip(sub_names, sub_decs)}
+
+        return dec_rec, f"struct<{','.join(sub_ddls)}>"
+    if t == "map":  # string-keyed per the spec → map<string,T>
+        inner, ddl = _field_decoder(sch["values"], path + "{}", names)
+
+        def dec_map(r: _R):
+            out = {}
+            while True:
+                n = r.long()
+                if n == 0:
+                    return out
+                if n < 0:
+                    n = -n
+                    r.long()  # byte size, unused
+                for _ in range(n):
+                    k = r.bytes_().decode("utf-8")
+                    out[k] = inner(r)
+
+        return dec_map, f"map<string,{ddl}>"
     logical = sch.get("logicalType")
     if t == "long" and logical in ("timestamp-micros", "timestamp-millis"):
         mult = 1 if logical == "timestamp-micros" else 1000
@@ -132,13 +206,15 @@ def _field_decoder(sch, path: str):
     if t == "null":
         return (lambda r: None), "string"
     if t == "enum":
+        _register_named(sch, names)
         symbols = sch["symbols"]
         return (lambda r: symbols[r.long()]), "string"
     if t == "fixed":
+        _register_named(sch, names)
         size = sch["size"]
         return (lambda r: r.raw(size)), "binary"
     if t == "array":
-        inner, ddl = _field_decoder(sch["items"], path + "[]")
+        inner, ddl = _field_decoder(sch["items"], path + "[]", names)
 
         def dec_arr(r: _R):
             out = []
@@ -159,13 +235,37 @@ def _field_decoder(sch, path: str):
 def _record_decoder(schema: dict):
     if schema.get("type") != "record":
         raise NotImplementedError("top-level Avro schema must be a record")
+    registry: dict = {}
+    _register_named(schema, registry)
     decs, names, ddls = [], [], []
     for f in schema["fields"]:
-        d, ddl = _field_decoder(f["type"], f["name"])
+        d, ddl = _field_decoder(f["type"], f["name"], registry)
         decs.append(d)
         names.append(f["name"])
         ddls.append(f"`{f['name']}` {ddl}")
     return decs, names, ", ".join(ddls)
+
+
+def _snappy_decompress(data: bytes) -> bytes:
+    """Raw snappy block (NOT the framed format): the stream's own
+    leading plain varint is the uncompressed length — parse it so
+    pyarrow's bundled codec (which demands ``decompressed_size``) can
+    allocate.  The 4-byte big-endian CRC32 of the UNCOMPRESSED bytes
+    that the Avro spec appends after the block is verified by the
+    caller."""
+    import pyarrow as pa
+
+    n = shift = i = 0
+    while True:
+        if i >= len(data):
+            raise ValueError("truncated snappy length header")
+        byte = data[i]
+        i += 1
+        n |= (byte & 0x7F) << shift
+        if not byte & 0x80:
+            break
+        shift += 7
+    return bytes(pa.Codec("snappy").decompress(data, n))
 
 
 def parse_avro(content: bytes) -> tuple[dict, list[tuple]]:
@@ -178,7 +278,7 @@ def parse_avro(content: bytes) -> tuple[dict, list[tuple]]:
         meta = _meta_map(r)
         schema = json.loads(meta["avro.schema"].decode("utf-8"))
         codec = meta.get("avro.codec", b"null").decode("ascii")
-        if codec not in ("null", "deflate"):
+        if codec not in ("null", "deflate", "snappy"):
             raise NotImplementedError(f"Avro codec {codec!r} not supported")
         sync = r.raw(16)
         decs, names, _ = _record_decoder(schema)
@@ -189,6 +289,12 @@ def parse_avro(content: bytes) -> tuple[dict, list[tuple]]:
             block = r.raw(size)
             if codec == "deflate":
                 block = zlib.decompress(block, -15)
+            elif codec == "snappy":
+                if len(block) < 4:
+                    raise ValueError("snappy block too short for its CRC")
+                block, crc = _snappy_decompress(block[:-4]), block[-4:]
+                if struct.pack(">I", zlib.crc32(block) & 0xFFFFFFFF) != crc:
+                    raise ValueError("snappy block CRC32 mismatch")
             br = _R(block)
             for _ in range(count):
                 rows.append(tuple(d(br) for d in decs))
@@ -267,18 +373,63 @@ def _zig(n: int) -> bytes:
             return bytes(out)
 
 
-def _encode_value(v, sch, out: bytearray) -> None:
+def _collect_names(sch, names: dict) -> None:
+    """Pre-walk a schema in definition order, registering every named
+    type — the writer can't rely on lazy registration during encoding
+    because a ``["null", Record]`` union whose value is null never
+    recurses into the branch that defines the record."""
+    if isinstance(sch, str):
+        return
+    if isinstance(sch, list):
+        for s in sch:
+            _collect_names(s, names)
+        return
+    t = sch.get("type")
+    if t in ("record", "enum", "fixed"):
+        _register_named(sch, names)
+    if t == "record":
+        for f in sch["fields"]:
+            _collect_names(f["type"], names)
+    elif t == "array":
+        _collect_names(sch["items"], names)
+    elif t == "map":
+        _collect_names(sch["values"], names)
+
+
+def _encode_value(v, sch, out: bytearray, names: dict | None = None) -> None:
+    if names is None:
+        names = {}
+    sch = _resolve_named(sch, names, "<write>")
     if isinstance(sch, str):
         sch = {"type": sch}
     if isinstance(sch, list):
+        branches = [s for s in sch if s != "null"]
+        if len(sch) != 2 or len(branches) != 1:
+            raise NotImplementedError(
+                f"Avro writer union beyond ['null', T]: {sch}"
+            )
         null_idx = sch.index("null")
         if v is None:
             out += _zig(null_idx)
             return
         out += _zig(1 - null_idx)
-        _encode_value(v, [s for s in sch if s != "null"][0], out)
+        _encode_value(v, branches[0], out, names)
         return
     t = sch["type"]
+    if t == "record":
+        _register_named(sch, names)
+        for f in sch["fields"]:
+            _encode_value(v.get(f["name"]), f["type"], out, names)
+        return
+    if t == "map":
+        if v:
+            out += _zig(len(v))
+            for k, item in v.items():
+                kb = str(k).encode("utf-8")
+                out += _zig(len(kb)) + kb
+                _encode_value(item, sch["values"], out, names)
+        out += _zig(0)
+        return
     logical = sch.get("logicalType")
     if t == "long" and logical in ("timestamp-micros", "timestamp-millis"):
         import datetime as _dt
@@ -301,15 +452,18 @@ def _encode_value(v, sch, out: bytearray) -> None:
         b = str(v).encode("utf-8")
         out += _zig(len(b)) + b
     elif t in ("bytes", "fixed"):
+        if t == "fixed":
+            _register_named(sch, names)
         b = bytes(v)
         out += (_zig(len(b)) + b) if t == "bytes" else b
     elif t == "enum":
+        _register_named(sch, names)
         out += _zig(sch["symbols"].index(v))
     elif t == "array":
         if v:
             out += _zig(len(v))
             for item in v:
-                _encode_value(item, sch["items"], out)
+                _encode_value(item, sch["items"], out, names)
         out += _zig(0)
     else:
         raise NotImplementedError(f"Avro writer type {t!r}")
@@ -324,7 +478,8 @@ def write_avro(
     sync: bytes = b"0123456789abcdef",
 ) -> None:
     """Fixture writer: one container with the given writer schema —
-    the round-trip half for tests and fuzzing (codecs null/deflate)."""
+    the round-trip half for tests and fuzzing (codecs
+    null/deflate/snappy)."""
     out = bytearray(_MAGIC)
     meta = {"avro.schema": json.dumps(schema).encode(), "avro.codec": codec.encode()}
     out += _zig(len(meta))
@@ -333,6 +488,8 @@ def write_avro(
         out += _zig(len(kb)) + kb + _zig(len(v)) + v
     out += _zig(0)
     out += sync
+    registry: dict = {}
+    _collect_names(schema, registry)
     for i in range(0, max(len(rows), 1), block_rows):
         chunk = rows[i : i + block_rows]
         if not chunk:
@@ -340,11 +497,16 @@ def write_avro(
         body = bytearray()
         for row in chunk:
             for f in schema["fields"]:
-                _encode_value(row.get(f["name"]), f["type"], body)
+                _encode_value(row.get(f["name"]), f["type"], body, registry)
         payload = bytes(body)
         if codec == "deflate":
             c = zlib.compressobj(9, zlib.DEFLATED, -15)
             payload = c.compress(payload) + c.flush()
+        elif codec == "snappy":
+            import pyarrow as pa
+
+            crc = struct.pack(">I", zlib.crc32(payload) & 0xFFFFFFFF)
+            payload = bytes(pa.Codec("snappy").compress(payload)) + crc
         out += _zig(len(chunk)) + _zig(len(payload)) + payload + sync
     with open(path, "wb") as fh:
         fh.write(bytes(out))

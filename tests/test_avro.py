@@ -53,7 +53,7 @@ def _rows(n=120, offset=0):
     ]
 
 
-@pytest.mark.parametrize("codec", ["null", "deflate"])
+@pytest.mark.parametrize("codec", ["null", "deflate", "snappy"])
 def test_avro_roundtrip_all_types(tmp_path, codec):
     p = str(tmp_path / f"r_{codec}.avro")
     rows = _rows(120)
@@ -97,13 +97,110 @@ def test_avro_corrupt_and_unsupported(tmp_path, spark):
     truncated = bytes(raw[: len(raw) // 2])
     with pytest.raises(ValueError):
         parse_avro(truncated)
-    # unsupported codec named loudly
-    bad_schema = {"type": "record", "name": "X",
-                  "fields": [{"name": "m", "type": {"type": "map", "values": "long"}}]}
-    with pytest.raises(NotImplementedError, match="map"):
-        write_avro(str(tmp_path / "m.avro"), bad_schema, [{"m": {}}])
+    # unsupported shapes named loudly: multi-branch union, dangling ref
+    multi_union = {"type": "record", "name": "X",
+                   "fields": [{"name": "u", "type": ["null", "long", "string"]}]}
+    with pytest.raises(NotImplementedError, match="union"):
+        write_avro(str(tmp_path / "u.avro"), multi_union, [{"u": 1}])
+    dangling = {"type": "record", "name": "Y",
+                "fields": [{"name": "r", "type": "NoSuchType"}]}
+    with pytest.raises(NotImplementedError, match="NoSuchType"):
+        write_avro(str(tmp_path / "r.avro"), dangling, [{"r": None}])
+    # corrupt snappy payload (CRC region flipped) → ValueError
+    ps = str(tmp_path / "s.avro")
+    write_avro(ps, SCHEMA, _rows(30), codec="snappy")
+    sraw = bytearray(open(ps, "rb").read())
+    sraw[-18] ^= 0xFF  # inside the final block's CRC32 / sync region
+    with pytest.raises(ValueError):
+        parse_avro(bytes(sraw))
     with pytest.raises(ValueError, match="no files match"):
         read_avro(spark, str(tmp_path / "empty_nowhere"))
+
+
+DBZ_VALUE = {
+    "type": "record", "name": "Value", "namespace": "dbz.inventory.docs",
+    "fields": [
+        {"name": "doc_id", "type": "long"},
+        {"name": "text", "type": ["null", "string"]},
+        {"name": "lang", "type": ["null", "string"]},
+    ],
+}
+DBZ_ENVELOPE = {
+    "type": "record", "name": "Envelope", "namespace": "dbz.inventory.docs",
+    "fields": [
+        # first occurrence DEFINES Value; the second is a name REFERENCE
+        # — the exact shape Debezium emits for before/after
+        {"name": "before", "type": ["null", DBZ_VALUE]},
+        {"name": "after", "type": ["null", "Value"]},
+        {"name": "op", "type": "string"},
+        {"name": "ts_ms", "type": "long"},
+        {"name": "source", "type": {"type": "map", "values": "string"}},
+    ],
+}
+
+
+def _envelope_rows(docs_rows):
+    out = []
+    for i, r in enumerate(docs_rows):
+        val = {"doc_id": r["doc_id"], "text": r["text"], "lang": r["lang"]}
+        if i % 13 == 0:  # a delete: after=null, before carries the row
+            out.append({"before": val, "after": None, "op": "d",
+                        "ts_ms": 1700000000000 + i,
+                        "source": {"table": "documents", "lsn": str(i)}})
+        else:
+            out.append({"before": val if i % 3 == 0 else None, "after": val,
+                        "op": "u" if i % 3 == 0 else "c",
+                        "ts_ms": 1700000000000 + i,
+                        "source": {"table": "documents"}})
+    return out
+
+
+def test_avro_debezium_envelope_nested_records_and_maps(spark, tmp_path):
+    """The reader's own headline use case: a Debezium CDC envelope is a
+    record with NESTED ``before``/``after`` sub-records (the second via
+    a named-type reference) plus a ``map<string,string>`` source block,
+    snappy-coded in Kafka-ecosystem landings.  Round-trips byte-level
+    and reads distributed into Spark struct/map columns."""
+    rows = [
+        {"doc_id": i, "text": None if i % 11 == 0 else f"doc {i}",
+         "lang": ["en", "de", "th"][i % 3]}
+        for i in range(60)
+    ]
+    env_rows = _envelope_rows(rows)
+    d = str(tmp_path)
+    write_avro(os.path.join(d, "cdc0.avro"), DBZ_ENVELOPE, env_rows[:30],
+               codec="snappy", block_rows=7)
+    write_avro(os.path.join(d, "cdc1.avro"), DBZ_ENVELOPE, env_rows[30:],
+               codec="deflate")
+    # byte-level round-trip
+    schema, got = parse_avro(open(os.path.join(d, "cdc0.avro"), "rb").read())
+    assert len(got) == 30
+    assert got[0][1] is None and got[0][0]["doc_id"] == 0  # delete row
+    assert got[1][1] == {"doc_id": 1, "text": "doc 1", "lang": "de"}
+    assert got[0][4] == {"table": "documents", "lsn": "0"}
+    # distributed scan → struct / map dtypes
+    out = read_avro(spark, d, pattern="cdc*.avro")
+    types = dict(out.dtypes)
+    assert types["after"] == "struct<doc_id:bigint,text:string,lang:string>"
+    assert types["before"] == types["after"]  # name ref resolved
+    assert types["source"] == "map<string,string>"
+    assert out.count() == 60
+    from pyspark.sql import functions as F
+
+    # unwrap after → the row-level table (the CDC-consume projection)
+    live = (
+        out.filter(F.col("op") != "d")
+        .select(F.col("after.doc_id").alias("doc_id"),
+                F.col("after.text").alias("text"),
+                F.col("after.lang").alias("lang"))
+    )
+    got_live = {r["doc_id"]: (r["text"], r["lang"]) for r in live.collect()}
+    want_live = {r["doc_id"]: (r["text"], r["lang"])
+                 for i, r in enumerate(rows) if i % 13 != 0}
+    assert got_live == want_live
+    # map access is a plain Spark expression
+    lsns = out.filter(F.col("source")["lsn"].isNotNull()).count()
+    assert lsns == len([i for i in range(60) if i % 13 == 0])
 
 
 def test_avro_to_corpus_pipeline_capstone(spark, tmp_path):
@@ -147,3 +244,28 @@ def test_avro_to_corpus_pipeline_capstone(spark, tmp_path):
     a = {(r["h"], r["keep_id"]) for r in via_avro.collect()}
     b = {(r["h"], r["keep_id"]) for r in via_parquet.collect()}
     assert a == b and len(a) > 100
+
+    # same corpus landed as Debezium CDC envelopes (nested before/after
+    # records, snappy): unwrap `after` → identical pipeline result for
+    # the non-deleted subset
+    denv = str(tmp_path / "cdc")
+    os.makedirs(denv)
+    env_rows = _envelope_rows(rows)
+    write_avro(os.path.join(denv, "e0.avro"), DBZ_ENVELOPE,
+               env_rows[: len(env_rows) // 2], codec="snappy")
+    write_avro(os.path.join(denv, "e1.avro"), DBZ_ENVELOPE,
+               env_rows[len(env_rows) // 2 :], codec="deflate")
+    unwrapped = (
+        read_avro(spark, denv)
+        .filter(F.col("op") != "d")
+        .select("after.doc_id", "after.text", "after.lang")
+    )
+    deleted_ids = {r["doc_id"] for i, r in enumerate(rows) if i % 13 == 0}
+    via_env = {
+        (r["h"], r["keep_id"]) for r in pipeline(unwrapped).collect()
+    }
+    want = {
+        (r["h"], r["keep_id"])
+        for r in pipeline(docs.filter(~F.col("doc_id").isin(deleted_ids))).collect()
+    }
+    assert via_env == want

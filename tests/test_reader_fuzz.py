@@ -301,6 +301,48 @@ def test_avro_fuzz(avro_bytes, frac, flip_frac, flip_to):
     _fuzz(lambda b: parse_avro(b), avro_bytes, cut, int(cut * flip_frac), flip_to)
 
 
+@pytest.fixture(scope="module")
+def avro_nested_snappy_bytes(tmp_path_factory) -> bytes:
+    from mini_project_204721_data_engineering_spark.sources.avro import write_avro
+
+    p = str(tmp_path_factory.mktemp("fuzz") / "n.avro")
+    value = {
+        "type": "record", "name": "V",
+        "fields": [
+            {"name": "id", "type": "long"},
+            {"name": "m", "type": {"type": "map", "values": "string"}},
+        ],
+    }
+    schema = {
+        "type": "record", "name": "E",
+        "fields": [
+            {"name": "before", "type": ["null", value]},
+            {"name": "after", "type": ["null", "V"]},
+        ],
+    }
+    rows = [
+        {"before": None if i % 2 else {"id": i, "m": {"k": str(i)}},
+         "after": {"id": i, "m": {} if i % 3 else {"a": "b", "c": "d"}}}
+        for i in range(50)
+    ]
+    write_avro(p, schema, rows, codec="snappy", block_rows=16)
+    return open(p, "rb").read()
+
+
+@settings(max_examples=120, deadline=2000, suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(frac=st.floats(0.0, 1.0), flip_frac=st.floats(0.0, 1.0), flip_to=st.integers(0, 255))
+def test_avro_nested_snappy_fuzz(avro_nested_snappy_bytes, frac, flip_frac, flip_to):
+    """The r8 surfaces under corruption: nested records, named refs,
+    maps, and the snappy codec (pyarrow's ArrowInvalid subclasses
+    ValueError; a corrupt length varint lands as MemoryError → wrapped
+    ValueError)."""
+    from mini_project_204721_data_engineering_spark.sources.avro import parse_avro
+
+    cut = int(len(avro_nested_snappy_bytes) * frac)
+    _fuzz(lambda b: parse_avro(b), avro_nested_snappy_bytes, cut,
+          int(cut * flip_frac), flip_to)
+
+
 def test_avro_fixture_still_reads(avro_bytes):
     from mini_project_204721_data_engineering_spark.sources.avro import parse_avro
 
