@@ -436,6 +436,7 @@ def tfidf_topk(
     text_col: str = "text",
     id_col: str = "doc_id",
     round_dp: int = 4,
+    persist_tf: bool = False,
 ) -> DataFrame:
     """Top-``k`` TF-IDF terms per document — the classic keyword /
     document-signature extractor (smoothed idf: ``ln((N+1)/(df+1))+1``,
@@ -451,9 +452,14 @@ def tfidf_topk(
     ranking window partitions by document, so per-reducer work is one
     document's vocabulary.  No global sort, no corpus-sized window.
     The (doc, term) count table feeds both the score join and the
-    document-frequency aggregate — Spark recomputes it per branch, so
-    at corpus scale persist the ``tf`` stage (or write it) before the
-    fan-out; at demo scale the double scan is cheaper than a cache.
+    document-frequency aggregate — ``persist_tf=True`` caches that
+    stage (MEMORY_AND_DISK) so both branches share ONE tokenize+count
+    pass, the mandatory setting at corpus scale where the double scan
+    is two full passes over 100 TB of text; the default False skips the
+    cache at demo scale where the double scan is cheaper.  The cache
+    belongs to this plan only — call ``.unpersist()`` on the returned
+    frame's ``tf`` lineage via ``spark.catalog.clearCache()`` or let it
+    age out; it is tf-table-sized (doc×term counts), not corpus-sized.
     ``ln`` is bit-identical across engines (libm); scores round
     portably (``round(x·10^dp)/10^dp``) at the output edge only."""
     from pyspark.sql.window import Window
@@ -464,6 +470,10 @@ def tfidf_topk(
         F.col(id_col), F.explode(tokens(F.col(text_col))).alias("term")
     ).filter(F.col("term") != "")
     tf = toks.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
+    if persist_tf:
+        from pyspark import StorageLevel
+
+        tf = tf.persist(StorageLevel.MEMORY_AND_DISK)
     dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     n = docs.agg(F.count(F.lit(1)).cast("double").alias("__n"))
     scored = (

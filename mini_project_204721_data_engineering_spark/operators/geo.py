@@ -104,6 +104,7 @@ def knn_join(
     point_cols: tuple[str, str] = ("lat", "lon"),
     site_cols: tuple[str, str] = ("lat", "lon"),
     lat_range: tuple[float, float] = (-66.0, 66.0),
+    max_brute_fraction: float | None = None,
 ) -> DataFrame:
     """EXACT k-nearest sites per point, grid-accelerated: rank the
     9-cell-ring candidates of :func:`radius_join` and keep rank ≤ k —
@@ -114,10 +115,20 @@ def knn_join(
     sparse neighborhoods) fall back to a brute-force pass against the
     full site table, so the result is exact everywhere while the
     expensive path is confined to the sparse tail (pick ``radius_km``
-    so a typical neighborhood holds ≥ k sites; the fallback fraction is
-    the knob to monitor).  Ties on distance break on site order via the
-    full column tuple, deterministically.  Output: point columns +
-    site columns + ``dist_km`` + ``knn_rank``."""
+    so a typical neighborhood holds ≥ k sites).  Ties on distance break
+    on site order via the full column tuple, deterministically.
+    Output: point columns + site columns + ``dist_km`` + ``knn_rank``.
+
+    ``max_brute_fraction`` BOUNDS the fallback: when set, the starved
+    fraction is measured (one counting pass over the points — an
+    explicit, opt-in cost, unlike the zero-pass in-plan contract guards
+    elsewhere, because a fraction is a whole-dataset aggregate) and a
+    fraction above the bound raises ValueError naming the measured
+    value and the radius to grow — an under-provisioned ``radius_km``
+    on sparse data otherwise silently degrades toward a full cross
+    join.  Leave ``None`` (default) for zero measurement overhead once
+    the radius is provisioned; set it in exploratory/first runs
+    (mirrors the SRP provisioning-rule guard, llm/dedup.py)."""
     from pyspark.sql.window import Window
 
     plat, plon = point_cols
@@ -141,6 +152,22 @@ def knn_join(
     )
     good = topk.join(certified, point_key, "left_semi")
     starved = points.join(certified, point_key, "left_anti")
+    if max_brute_fraction is not None:
+        counts = (
+            points.agg(F.count(F.lit(1)).alias("n")).collect()[0]["n"],
+            starved.agg(F.count(F.lit(1)).alias("n")).collect()[0]["n"],
+        )
+        frac = counts[1] / counts[0] if counts[0] else 0.0
+        if frac > max_brute_fraction:
+            raise ValueError(
+                f"knn_join: {counts[1]}/{counts[0]} points "
+                f"({frac:.1%}) failed the exactness certificate and would "
+                f"brute-force against the full site table — above "
+                f"max_brute_fraction={max_brute_fraction:.1%}. Grow "
+                f"radius_km (now {radius_km}) until a typical neighborhood "
+                f"holds >= k={k} sites, or raise the bound if the sparse "
+                "tail is acceptable"
+            )
     dist = haversine_km(F.col(plat), F.col(plon), F.col(slat), F.col(slon))
     brute = (
         starved.crossJoin(sites)

@@ -26,10 +26,12 @@ grams, which is exactly how production blocking is tuned)."""
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+import math
+
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["fuzzy_join"]
+__all__ = ["fuzzy_join", "fuzzy_join_tokensort", "token_sort_key"]
 
 
 def _grams(col: str, q: int, short_below: int):
@@ -100,3 +102,97 @@ def fuzzy_join(
         right, verified["__rs"] == right[right_col]
     )
     return out.drop("__ls", "__rs")
+
+
+def token_sort_key(col: Column | str) -> Column:
+    """Sorted-token normalization: split on whitespace, drop empties,
+    sort, re-join with single spaces — "widget red" and "red  widget"
+    share one key.  Pure codegen (split/filter/sort/concat), mirrored
+    in DuckDB as
+    ``array_to_string(list_sort(list_filter(regexp_split_to_array(
+    trim(s), '\\s+'), x -> x != '')), ' ')``."""
+    c = F.col(col) if isinstance(col, str) else col
+    toks = F.filter(F.split(F.trim(c), r"\s+"), lambda x: x != "")
+    return F.array_join(F.sort_array(toks), " ")
+
+
+def fuzzy_join_tokensort(
+    left: DataFrame,
+    right: DataFrame,
+    left_col: str,
+    right_col: str,
+    min_sim: float = 0.8,
+    q: int = 3,
+    max_gram_df: int | None = None,
+) -> DataFrame:
+    """Normalized-similarity record linkage — the scoring mode plain
+    edit distance gets wrong on TRANSPOSED words, the most common real
+    linkage failure ("widget red" vs "red widget" is levenshtein 6+ yet
+    the same entity).  Matches every (left, right) pair whose
+    token-sort ratio
+
+    ``sim = 1 − levenshtein(key_l, key_r) / max(len_l, len_r, 1)``
+
+    (keys = :func:`token_sort_key` normalizations) is ≥ ``min_sim``,
+    attaching ``similarity`` (raw double — round at the output edge).
+    Word transpositions normalize away entirely (sim = 1.0); remaining
+    edits are scored length-relative, so a 1-char typo in a long name
+    scores higher than in a short one — the behavior linkage ranking
+    wants.
+
+    Completeness: the same q-gram count-filter theorem applied to the
+    NORMALIZED keys.  ``sim ≥ min_sim`` bounds the edit distance by
+    ``(1 − min_sim)·maxlen``, so keys of length ≥
+    ``q / (1 − (1 − min_sim)·q)`` are guaranteed a shared q-gram, and
+    every shorter key carries the ``#short`` blocking gram — provably
+    no lost match (pytest + brute-force oracle).  Requires
+    ``(1 − min_sim)·q < 1`` (else NO length guarantees a shared gram —
+    raise ``min_sim`` or lower ``q``); same ``max_gram_df`` hot-gram
+    trade as :func:`fuzzy_join`."""
+    slack = (1.0 - min_sim) * q
+    if slack >= 1.0:
+        raise ValueError(
+            f"fuzzy_join_tokensort: (1 - min_sim)*q = {slack:.2f} >= 1 — "
+            "q-gram blocking has no completeness guarantee at this "
+            f"looseness; raise min_sim above {1.0 - 1.0 / q:.3f} or lower q"
+        )
+    short_below = math.ceil(q / (1.0 - slack))
+    ln = (
+        left.select(F.col(left_col).alias("__ls")).distinct()
+        .withColumn("__lk", token_sort_key("__ls"))
+    )
+    rn = (
+        right.select(F.col(right_col).alias("__rs")).distinct()
+        .withColumn("__rk", token_sort_key("__rs"))
+    )
+    lg = ln.select(
+        "__ls", "__lk", F.explode(_grams("__lk", q, short_below)).alias("__g")
+    ).distinct()
+    rg = rn.select(
+        "__rs", "__rk", F.explode(_grams("__rk", q, short_below)).alias("__g")
+    ).distinct()
+    if max_gram_df is not None:
+        hot = (
+            lg.groupBy("__g").agg(F.count(F.lit(1)).alias("__n"))
+            .filter(F.col("__n") > max_gram_df)
+            .select("__g")
+            .union(
+                rg.groupBy("__g").agg(F.count(F.lit(1)).alias("__n"))
+                .filter(F.col("__n") > max_gram_df)
+                .select("__g")
+            )
+            .distinct()
+        )
+        lg = lg.join(hot, "__g", "left_anti")
+        rg = rg.join(hot, "__g", "left_anti")
+    cand = lg.join(rg, "__g").select("__ls", "__lk", "__rs", "__rk").distinct()
+    sim = F.lit(1.0) - F.levenshtein(F.col("__lk"), F.col("__rk")) / F.greatest(
+        F.length("__lk"), F.length("__rk"), F.lit(1)
+    ).cast("double")
+    verified = cand.withColumn("similarity", sim).filter(
+        F.col("similarity") >= min_sim
+    )
+    out = left.join(verified, left[left_col] == verified["__ls"]).join(
+        right, verified["__rs"] == right[right_col]
+    )
+    return out.drop("__ls", "__lk", "__rs", "__rk")

@@ -1713,6 +1713,83 @@ WHERE levenshtein(c.cname, n.p_name) <= 2
 """
 
 
+def part_name_tokensort(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-sort record linkage
+    (operators/linkage.py::fuzzy_join_tokensort): every 10th part name
+    WORD-TRANSPOSED ("red widget" → "widget red" — levenshtein would
+    mis-rank these, the classic linkage failure), every 20th
+    additionally loses its 4th character, then similarity-joined back
+    to the name catalog at token-sort ratio ≥ 0.8.  The oracle
+    brute-forces the cross join with the same normalize+score formula,
+    so the value hash proves the q-gram-blocked join is complete."""
+    from mini_project_204721_data_engineering_spark.functions.parity import (
+        portable_round,
+    )
+    from mini_project_204721_data_engineering_spark.operators.linkage import (
+        fuzzy_join_tokensort,
+    )
+
+    part = load_table(spark, sf_dir, "part")
+    swapped = F.concat_ws(
+        " ",
+        F.element_at(F.split(F.col("p_name"), " "), 2),
+        F.element_at(F.split(F.col("p_name"), " "), 1),
+    )
+    corrupted = part.filter(F.col("p_partkey") % 10 == 0).select(
+        "p_partkey",
+        F.when(
+            F.col("p_partkey") % 20 == 0,
+            F.concat(F.substring(swapped, 1, 3), F.expr(
+                "substring(concat_ws(' ', element_at(split(p_name, ' '), 2),"
+                " element_at(split(p_name, ' '), 1)), 5)"
+            )),
+        ).otherwise(swapped).alias("cname"),
+    )
+    names = part.select("p_name").distinct()
+    out = fuzzy_join_tokensort(corrupted, names, "cname", "p_name", min_sim=0.8)
+    return out.select(
+        "p_partkey",
+        "cname",
+        "p_name",
+        portable_round(F.col("similarity"), 4).alias("similarity"),
+    )
+
+
+PART_NAME_TOKENSORT_SQL = r"""
+WITH c0 AS (
+  SELECT p_partkey,
+         list_element(string_split(p_name, ' '), 2) || ' ' ||
+         list_element(string_split(p_name, ' '), 1) AS sw
+  FROM part WHERE p_partkey % 10 = 0
+),
+c AS (
+  SELECT p_partkey,
+         CASE WHEN p_partkey % 20 = 0
+              THEN substring(sw, 1, 3) || substring(sw, 5)
+              ELSE sw END AS cname
+  FROM c0
+),
+n AS (SELECT DISTINCT p_name FROM part),
+keyed AS (
+  SELECT c.p_partkey, c.cname, n.p_name,
+         array_to_string(list_sort(list_filter(
+           regexp_split_to_array(trim(c.cname), '\s+'), x -> x != '')), ' ')
+           AS kl,
+         array_to_string(list_sort(list_filter(
+           regexp_split_to_array(trim(n.p_name), '\s+'), x -> x != '')), ' ')
+           AS kr
+  FROM c CROSS JOIN n
+)
+SELECT p_partkey, cname, p_name,
+       round((1.0 - CAST(levenshtein(kl, kr) AS DOUBLE)
+              / greatest(length(kl), length(kr), 1)) * 10000.0) / 10000.0
+         AS similarity
+FROM keyed
+WHERE 1.0 - CAST(levenshtein(kl, kr) AS DOUBLE)
+      / greatest(length(kl), length(kr), 1) >= 0.8
+"""
+
+
 EXTRA_QUERIES = {
     "data_expectations": data_expectations,
     "snapshot_diff": snapshot_diff,
@@ -1720,6 +1797,7 @@ EXTRA_QUERIES = {
     "error_window_clicks": error_window_clicks,
     "chain_click_view_purchase": chain_click_view_purchase,
     "part_name_linkage": part_name_linkage,
+    "part_name_tokensort": part_name_tokensort,
     "events_asof_tolerance": events_asof_tolerance,
     "customers_without_orders": customers_without_orders,
     "customers_with_orders": customers_with_orders,
@@ -1745,6 +1823,7 @@ EXTRA_ORACLES = {
     "error_window_clicks": ERROR_WINDOW_CLICKS_SQL,
     "chain_click_view_purchase": CHAIN_CVP_SQL,
     "part_name_linkage": PART_NAME_LINKAGE_SQL,
+    "part_name_tokensort": PART_NAME_TOKENSORT_SQL,
     "events_asof_tolerance": EVENTS_ASOF_TOLERANCE_SQL,
     "revenue_cube": REVENUE_CUBE_SQL,
     "q5_local_supplier_volume": Q5_LOCAL_SUPPLIER_VOLUME_SQL,

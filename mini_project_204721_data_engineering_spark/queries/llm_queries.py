@@ -1957,11 +1957,12 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     smoothed idf, deterministic (score desc, term asc) tie-break,
     portable rounding at the output edge.  Limited to the first 200
     docs so the EXTRA suite stays light; the operator itself has no
-    such cap."""
+    such cap.  ``persist_tf=True`` exercises the production single-pass
+    path (tf stage cached, both branches share one tokenize+count)."""
     from mini_project_204721_data_engineering_spark.llm.quality import tfidf_topk
 
     docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
-    return tfidf_topk(docs, k=3)
+    return tfidf_topk(docs, k=3, persist_tf=True)
 
 
 TFIDF_TOP_TERMS_SQL = r"""

@@ -1435,6 +1435,35 @@ def test_tfidf_topk_orders_distinctive_terms_first(spark):
     assert rows[(2, 1)]["term"] == "the" and rows[(2, 2)]["term"] == "fox"
 
 
+def test_tfidf_topk_persist_tf_single_tokenize_pass(spark):
+    """persist_tf=True: the (doc, term) count stage is computed ONCE
+    and both consumers (df aggregate + score join) read the cache —
+    the executed plan shows InMemoryTableScan on both branches and the
+    tokenize explode appears only inside the cached relation, not once
+    per branch.  Results identical to the uncached path."""
+    from mini_project_204721_data_engineering_spark.llm.quality import tfidf_topk
+
+    docs = spark.createDataFrame(
+        [(i, f"alpha beta w{i} w{i % 7} gamma") for i in range(50)],
+        "doc_id long, text string",
+    )
+    try:
+        cached = tfidf_topk(docs, k=2, persist_tf=True)
+        plain = tfidf_topk(docs, k=2)
+        a = {(r["doc_id"], r["rank"], r["term"], r["score"]) for r in cached.collect()}
+        b = {(r["doc_id"], r["rank"], r["term"], r["score"]) for r in plain.collect()}
+        assert a == b and len(a) == 100
+        plan = cached._jdf.queryExecution().executedPlan().toString()
+        # both the idf branch and the score branch hit the cache
+        assert plan.count("InMemoryTableScan") >= 2
+        # the tokenize+count pipeline lives only inside the cached
+        # relation: no Generate (explode) in the outer executed plan
+        outer = plan.split("InMemoryRelation")[0]
+        assert "Generate" not in outer
+    finally:
+        spark.catalog.clearCache()
+
+
 def test_cap_cells_frozen_splits_agree_across_datasets(spark):
     """The incremental contract: capping two different frames with the
     SAME frozen (cell, nsplit) table puts identical vectors in

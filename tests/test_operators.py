@@ -1029,6 +1029,44 @@ def test_knn_join_exact_incl_sparse_fallback(spark):
     assert (9000, 1) in got  # the outlier got served via fallback
 
 
+def test_knn_join_brute_fraction_guard(spark):
+    """An under-provisioned radius on sparse data starves most points of
+    their certificate and would silently degrade toward a full cross
+    join — max_brute_fraction surfaces that with a loud ValueError
+    naming the measured fraction; a provisioned radius (or a permissive
+    bound) passes."""
+    import pytest as _pytest
+
+    from mini_project_204721_data_engineering_spark.operators.geo import knn_join
+
+    pts = spark.range(80).select(
+        F.col("id").alias("pid"),
+        (F.lit(6.0) + F.pmod(F.xxhash64("id"), 1000) / 1000.0 * 14.0).alias("lat"),
+        (F.lit(97.0) + F.pmod(F.xxhash64(F.col("id") + 7), 1000) / 1000.0 * 8.0).alias("lon"),
+    )
+    sites = spark.range(12).select(
+        F.col("id").alias("site_id"),
+        (F.lit(6.0) + F.pmod(F.xxhash64(F.col("id") * 31), 1000) / 1000.0 * 14.0).alias("slat"),
+        (F.lit(97.0) + F.pmod(F.xxhash64(F.col("id") * 37), 1000) / 1000.0 * 8.0).alias("slon"),
+    )
+    kw = dict(point_cols=("lat", "lon"), site_cols=("slat", "slon"),
+              lat_range=(5.0, 21.0))
+    # 5 km on a ~1500 km box with 12 sites: nearly every point starves
+    with _pytest.raises(ValueError, match="max_brute_fraction"):
+        knn_join(pts, sites, k=3, point_key="pid", radius_km=5.0,
+                 max_brute_fraction=0.2, **kw)
+    # provisioned radius certifies (virtually) everyone → passes
+    out = knn_join(pts, sites, k=3, point_key="pid", radius_km=800.0,
+                   max_brute_fraction=0.2, **kw)
+    assert out.count() == 80 * 3
+    # default None: no measurement, construction is free even when sparse
+    tracker = spark.sparkContext.statusTracker()
+    before = set(tracker.getJobIdsForGroup(None) or [])
+    knn_join(pts, sites, k=3, point_key="pid", radius_km=5.0, **kw)
+    after = set(tracker.getJobIdsForGroup(None) or [])
+    assert before == after
+
+
 def test_interval_join_overlapping_matches_brute_force(spark):
     """Bucketed interval join ≡ brute-force theta join on OVERLAPPING
     intervals (multi-match facts, boundary semantics start-inclusive /
@@ -1157,3 +1195,54 @@ def test_fuzzy_join_matches_brute_force(spark):
     assert all(r != 14 for _, r, _ in got)
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan
+
+
+def test_fuzzy_join_tokensort_transpositions_and_brute_force(spark):
+    """Token-sort-ratio linkage ≡ brute-force normalize+score on word
+    transpositions (sim 1.0 where levenshtein mis-ranks), typos inside
+    transposed names (length-relative score), short strings (the
+    derived #short threshold), and non-matches — equi-join candidate
+    plan, and the no-guarantee parameter region raises."""
+    import pytest as _pytest
+
+    from mini_project_204721_data_engineering_spark.operators.linkage import (
+        fuzzy_join_tokensort,
+        token_sort_key,
+    )
+
+    left = spark.createDataFrame(
+        [(1, "widget red"), (2, "gadget  blue"), (3, "sprocket green"),
+         (4, "ab ba"), (5, "flange grey extra")],
+        "lid long, lname string",
+    )
+    right = spark.createDataFrame(
+        [(10, "red widget"),        # pure transposition → sim 1.0
+         (11, "blue gadgot"),       # transposition + 1 typo
+         (12, "green sprockets"),   # transposition + 1 insertion
+         (13, "ba ab"),             # short transposition
+         (14, "totally other")],
+        "rid long, rname string",
+    )
+    out = fuzzy_join_tokensort(left, right, "lname", "rname", min_sim=0.8)
+    got = {(r["lid"], r["rid"], round(r["similarity"], 4)) for r in out.collect()}
+    sim = F.lit(1.0) - F.levenshtein(F.col("kl"), F.col("kr")) / F.greatest(
+        F.length("kl"), F.length("kr"), F.lit(1)
+    ).cast("double")
+    brute = (
+        left.crossJoin(right)
+        .withColumn("kl", token_sort_key("lname"))
+        .withColumn("kr", token_sort_key("rname"))
+        .withColumn("s", sim)
+        .filter(F.col("s") >= 0.8)
+    )
+    want = {(r["lid"], r["rid"], round(r["s"], 4)) for r in brute.collect()}
+    assert got == want  # blocking is COMPLETE on the normalized keys
+    assert (1, 10, 1.0) in got    # transposition scores perfect
+    assert (4, 13, 1.0) in got    # short-bucket transposition found
+    assert any(l == 2 and r == 11 and s < 1.0 for l, r, s in got)
+    assert all(r != 14 for _, r, _ in got)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    # (1 - min_sim)*q >= 1 → no completeness guarantee → loud refusal
+    with _pytest.raises(ValueError, match="completeness"):
+        fuzzy_join_tokensort(left, right, "lname", "rname", min_sim=0.5, q=3)
