@@ -21,6 +21,7 @@ __all__ = [
     "write_fact_partitioned",
     "overwrite_fact_partitions",
     "merge_into_fact",
+    "merge_into",
     "write_bucketed",
     "write_jdbc",
     "zorder_column",
@@ -122,6 +123,161 @@ def merge_into_fact(
     n_new = new_rows.count()
     overwrite_fact_partitions(merged, path, [partition_col])
     return n_new
+
+
+def merge_into(
+    source: DataFrame,
+    path: str,
+    keys: Sequence[str],
+    partition_col: str,
+    when_matched: str = "update",
+    when_not_matched: str = "insert",
+) -> dict[str, int]:
+    """Full MERGE-style keyed upsert into a partitioned parquet table —
+    the single atomic-per-partition operation the reference's
+    read-then-write ingest (``backend/app/utils.py:565-611``)
+    approximates non-atomically, completing the CDC family:
+    :func:`~mini_project_204721_data_engineering_spark.operators.diff.apply_changes`
+    merges snapshots in memory; this lands the merge on disk.
+
+    ``when_matched``: ``"update"`` (SCD1 — source values replace the
+    target row, even across a partition move), ``"delete"``, or
+    ``"ignore"``.  ``when_not_matched``: ``"insert"`` or ``"ignore"``.
+    Source keys must be unique — the same per-key terminal-state
+    contract as ``apply_changes``, enforced IN the plan (the source is
+    aggregated by key and a count guard wraps the first key column with
+    ``raise_error``, so a duplicate feed fails at execution with no
+    separate guard job).
+
+    Scale shape: matching is one keys-only pass over the target (a
+    general MERGE key can live in any partition — no pruning shortcut
+    exists); only partitions that gain, lose, or change a row are
+    rewritten (existing-survivors ∪ updates ∪ inserts, one dynamic
+    partition overwrite), every other partition's files stay
+    byte-identical.  An update whose source row carries a NEW partition
+    value moves the row: the old partition is rewritten without it, the
+    new one with it.  Partitions emptied by deletes are removed
+    explicitly (dynamic overwrite cannot drop a partition it writes no
+    rows to).  The affected-partition list and the returned counts are
+    driver-side by necessity (partition-count- and scalar-sized).
+
+    Idempotent replay: re-running the same source against the merged
+    table is a no-op state-wise (updates rewrite identical values,
+    inserts become updates) — pytest-pinned.  Returns
+    ``{"updated", "deleted", "inserted", "partitions_rewritten"}``.
+    """
+    if when_matched not in ("update", "delete", "ignore"):
+        raise ValueError(f"when_matched must be update/delete/ignore, got {when_matched!r}")
+    if when_not_matched not in ("insert", "ignore"):
+        raise ValueError(f"when_not_matched must be insert/ignore, got {when_not_matched!r}")
+    spark: SparkSession = source.sparkSession
+    keys = list(keys)
+    vals = [c for c in source.columns if c not in keys]
+    if partition_col not in source.columns:
+        raise ValueError(f"source must carry partition_col {partition_col!r}")
+    dup_msg = F.concat(
+        F.lit("merge_into: source carries duplicate key ("),
+        F.concat_ws(
+            ", ", *[F.coalesce(F.col(k).cast("string"), F.lit("NULL")) for k in keys]
+        ),
+        F.lit(") — a merge source must hold one terminal state per key"),
+    )
+    # aggregate-by-key + in-plan guard on the first key column (keys are
+    # always evaluated by the joins below, so the guard cannot be pruned)
+    agg = (
+        source.select(*keys, F.struct(*[F.col(c) for c in vals]).alias("__v"))
+        .groupBy(*keys)
+        .agg(F.count(F.lit(1)).alias("__cn"), F.first("__v").alias("__v"))
+    )
+    guarded_key = (
+        F.when(F.col("__cn") > 1, F.raise_error(dup_msg))
+        .otherwise(F.col(keys[0]))
+        .alias(keys[0])
+    )
+    src = agg.select(
+        guarded_key, *keys[1:], *[F.col("__v")[c].alias(c) for c in vals]
+    )
+    try:
+        existing: DataFrame | None = spark.read.parquet(path)
+    except Exception:  # fresh table — AnalysisException: path does not exist
+        existing = None
+    if existing is None:
+        if when_not_matched != "insert":
+            return {"updated": 0, "deleted": 0, "inserted": 0,
+                    "partitions_rewritten": 0}
+        out = src.repartition(F.col(partition_col))
+        write_fact_partitioned(out, path, [partition_col])
+        n = out.count()
+        parts = out.select(partition_col).distinct().count()
+        return {"updated": 0, "deleted": 0, "inserted": n,
+                "partitions_rewritten": parts}
+
+    tgt_keys = existing.select(*keys)
+    matched_src = src.join(tgt_keys, keys, "left_semi")
+    unmatched_src = src.join(tgt_keys, keys, "left_anti")
+    matched_tgt = existing.join(src.select(*keys), keys, "left_semi")
+
+    n_updated = matched_src.count() if when_matched == "update" else 0
+    n_deleted = matched_src.count() if when_matched == "delete" else 0
+    n_inserted = unmatched_src.count() if when_not_matched == "insert" else 0
+
+    # partitions needing a rewrite: where matched target rows live (they
+    # get replaced or removed), plus where updates/inserts will land
+    aff = []
+    if when_matched in ("update", "delete"):
+        aff.append(matched_tgt.select(partition_col))
+    if when_matched == "update":
+        aff.append(matched_src.select(partition_col))
+    if when_not_matched == "insert":
+        aff.append(unmatched_src.select(partition_col))
+    if not aff:
+        return {"updated": 0, "deleted": 0, "inserted": 0,
+                "partitions_rewritten": 0}
+    aff_df = aff[0]
+    for a in aff[1:]:
+        aff_df = aff_df.unionByName(a)
+    affected = [r[0] for r in aff_df.distinct().collect()]
+    if not affected:
+        return {"updated": n_updated, "deleted": n_deleted,
+                "inserted": n_inserted, "partitions_rewritten": 0}
+
+    # NULL partition values: plain isin() is three-valued-NULL for them
+    # and would silently drop their rows (same hazard as delete_rows)
+    non_null = [v for v in affected if v is not None]
+    slice_pred = F.col(partition_col).isin(non_null) if non_null else F.lit(False)
+    if None in affected:
+        slice_pred = slice_pred | F.col(partition_col).isNull()
+    sliced = existing.filter(slice_pred)
+    survivors = (
+        sliced.join(src.select(*keys), keys, "left_anti")
+        if when_matched in ("update", "delete")
+        else sliced
+    )
+    pieces = [survivors]
+    if when_matched == "update":
+        pieces.append(matched_src.select(*survivors.columns))
+    if when_not_matched == "insert":
+        # every unmatched insert's partition is in `affected` by
+        # construction — no filter needed
+        pieces.append(unmatched_src.select(*survivors.columns))
+    merged = pieces[0]
+    for p in pieces[1:]:
+        merged = merged.unionByName(p)
+    merged = merged.repartition(F.col(partition_col)).localCheckpoint(
+        eager=True  # break lineage off `path` pre-overwrite
+    )
+    kept = {r[0] for r in merged.select(partition_col).distinct().collect()}
+    emptied = [v for v in affected if v not in kept]
+    if kept:
+        overwrite_fact_partitions(merged, path, [partition_col])
+    jvm = spark._jvm
+    hconf = spark._jsc.hadoopConfiguration()
+    for v in emptied:
+        leaf = f"{partition_col}={_escape_partition_value(v)}"
+        p = jvm.org.apache.hadoop.fs.Path(f"{path}/{leaf}")
+        p.getFileSystem(hconf).delete(p, True)
+    return {"updated": n_updated, "deleted": n_deleted,
+            "inserted": n_inserted, "partitions_rewritten": len(affected)}
 
 
 def delete_rows(

@@ -167,6 +167,89 @@ def test_merge_into_fact_idempotent_and_partition_atomic(spark):
         shutil.rmtree(d, ignore_errors=True)
 
 
+def test_merge_into_full_upsert_delete_move_and_replay(spark):
+    """merge_into: the full MERGE matrix over a partitioned table —
+    update-in-place, update that MOVES a row across partitions, insert
+    into existing and brand-new partitions, delete that empties a
+    partition (directory removed), untouched partitions byte-identical,
+    idempotent replay, and the in-plan duplicate-source guard."""
+    import pytest as _pytest
+
+    from mini_project_204721_data_engineering_spark.sources.sink import merge_into
+
+    def snapshot(d):
+        out = {}
+        for root, _dirs, files in os.walk(d):
+            for f in files:
+                if f.startswith(("_", ".")):
+                    continue
+                p = os.path.join(root, f)
+                st = os.stat(p)
+                out[os.path.relpath(p, d)] = (st.st_size, st.st_mtime_ns)
+        return out
+
+    def state(d):
+        return {
+            r["k"]: (r["day"], r["v"])
+            for r in spark.read.parquet(d).collect()
+        }
+
+    d = tempfile.mkdtemp(prefix="merge_into_")
+    cols = "k long, day string, v double"
+    try:
+        # seed via merge on an absent table → pure insert
+        seed = spark.createDataFrame(
+            [(1, "d1", 1.0), (2, "d1", 2.0), (3, "d2", 3.0), (4, "d3", 4.0)],
+            cols,
+        )
+        r = merge_into(seed, d, ["k"], "day")
+        assert r == {"updated": 0, "deleted": 0, "inserted": 4,
+                     "partitions_rewritten": 3}
+
+        d3_before = {k: v for k, v in snapshot(d).items() if "day=d3" in k}
+        # update in place (k=1), update moving partition (k=3: d2→d1),
+        # insert existing partition (k=5→d1), insert new partition (k=6→d9)
+        src = spark.createDataFrame(
+            [(1, "d1", 10.0), (3, "d1", 30.0), (5, "d1", 5.0), (6, "d9", 6.0)],
+            cols,
+        )
+        r = merge_into(src, d, ["k"], "day")
+        assert r["updated"] == 2 and r["inserted"] == 2 and r["deleted"] == 0
+        assert state(d) == {1: ("d1", 10.0), 2: ("d1", 2.0), 3: ("d1", 30.0),
+                            4: ("d3", 4.0), 5: ("d1", 5.0), 6: ("d9", 6.0)}
+        # d3 gained/lost nothing → files byte-identical
+        assert {k: v for k, v in snapshot(d).items() if "day=d3" in k} == d3_before
+        # the moved row left d2 empty → its directory is gone
+        assert not any("day=d2" in k for k in snapshot(d))
+
+        # idempotent replay: same source again → same state (inserts
+        # become updates), d3 still untouched
+        r2 = merge_into(src, d, ["k"], "day")
+        assert r2["updated"] == 4 and r2["inserted"] == 0
+        assert state(d) == {1: ("d1", 10.0), 2: ("d1", 2.0), 3: ("d1", 30.0),
+                            4: ("d3", 4.0), 5: ("d1", 5.0), 6: ("d9", 6.0)}
+        assert {k: v for k, v in snapshot(d).items() if "day=d3" in k} == d3_before
+
+        # delete: remove k=4 (empties d3) and k=5; unmatched source key
+        # ignored under when_not_matched="ignore"
+        dels = spark.createDataFrame(
+            [(4, "d3", 0.0), (5, "d1", 0.0), (99, "d1", 0.0)], cols
+        )
+        r3 = merge_into(dels, d, ["k"], "day",
+                        when_matched="delete", when_not_matched="ignore")
+        assert r3["deleted"] == 2 and r3["inserted"] == 0
+        assert state(d) == {1: ("d1", 10.0), 2: ("d1", 2.0), 3: ("d1", 30.0),
+                            6: ("d9", 6.0)}
+        assert not any("day=d3" in k for k in snapshot(d))
+
+        # duplicate source keys → loud in-plan guard at execution
+        dup = spark.createDataFrame([(1, "d1", 7.0), (1, "d1", 8.0)], cols)
+        with _pytest.raises(Exception, match="duplicate key"):
+            merge_into(dup, d, ["k"], "day")
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
 def test_approx_cardinality_within_tolerance(spark):
     """The 100 TB path for type_user_cardinality: approx_count_distinct
     (HLL, fixed memory, no distinct expand) lands within 5% of exact."""
