@@ -1513,6 +1513,145 @@ SELECT 'changed', col, count(*) FROM (
 """
 
 
+def apply_changes_rebuild(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The CDC APPLY side oracle-checked end-to-end
+    (operators/diff.py::apply_changes): derive a deterministic new
+    version of ``orders`` (every 7th key deleted, +7.25 on every 5th's
+    price — exact in binary, no halfway hazard — every 11th key
+    re-appended shifted), turn ``table_diff(old, new)`` into a change
+    feed, apply it to ``old``, and report per-status (count, exact-cents
+    price sum) of the REBUILT snapshot.  The oracle aggregates the
+    target version directly — equality proves the diff→feed→apply chain
+    reconstructs it value-for-value."""
+    from mini_project_204721_data_engineering_spark.operators.diff import (
+        apply_changes,
+        table_diff,
+    )
+
+    orders = load_table(spark, sf_dir, "orders")
+    old = orders.select("o_orderkey", "o_totalprice", "o_orderstatus")
+    shift = orders.agg((F.max("o_orderkey") + 1).alias("__s"))
+    new = (
+        old.filter(F.col("o_orderkey") % 7 != 0)
+        .withColumn(
+            "o_totalprice",
+            F.when(
+                F.col("o_orderkey") % 5 == 0, F.col("o_totalprice") + 7.25
+            ).otherwise(F.col("o_totalprice")),
+        )
+        .unionByName(
+            old.filter(F.col("o_orderkey") % 11 == 0)
+            .crossJoin(F.broadcast(shift))
+            .select(
+                (F.col("o_orderkey") + F.col("__s")).alias("o_orderkey"),
+                "o_totalprice",
+                "o_orderstatus",
+            )
+        )
+    )
+    d = table_diff(old, new, keys=["o_orderkey"])
+    feed = (
+        d.filter(F.col("diff_status") != "unchanged")
+        .select(
+            "o_orderkey",
+            F.when(F.col("diff_status") == "removed", F.lit("delete"))
+            .otherwise(F.lit("upsert"))
+            .alias("op"),
+        )
+        .join(new, "o_orderkey", "left")
+    )
+    rebuilt = apply_changes(old, feed, keys=["o_orderkey"])
+    return rebuilt.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias(
+            "sum_cents"
+        ),
+    )
+
+
+APPLY_CHANGES_REBUILD_SQL = """
+WITH old AS (
+  SELECT o_orderkey, o_totalprice, o_orderstatus FROM orders
+),
+s AS (SELECT max(o_orderkey) + 1 AS shift FROM orders),
+new AS (
+  SELECT o_orderkey,
+         CASE WHEN o_orderkey % 5 = 0 THEN o_totalprice + 7.25
+              ELSE o_totalprice END AS o_totalprice,
+         o_orderstatus
+  FROM old WHERE o_orderkey % 7 <> 0
+  UNION ALL
+  SELECT o_orderkey + shift, o_totalprice, o_orderstatus
+  FROM old CROSS JOIN s WHERE o_orderkey % 11 = 0
+)
+SELECT o_orderstatus, count(*) AS n,
+       CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+         AS sum_cents
+FROM new GROUP BY o_orderstatus
+"""
+
+
+def corr_qty_discount(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson correlation from EXACT integer sums — the portable way
+    to cross-check a statistical aggregate between engines: built-in
+    ``corr()`` accumulates floats in partition order (non-deterministic
+    across engines AND runs), so both sides instead derive
+    ``(n·Σxy − Σx·Σy) / sqrt((n·Σx² − (Σx)²)(n·Σy² − (Σy)²))`` from
+    exact integer sums (quantity is integral, discount is 2-dp →
+    cents), giving a bit-identical double on any engine.  Per
+    returnflag over lineitem; all six sums are map-side combinable —
+    one groups-sized shuffle, no second pass (the textbook one-pass
+    covariance shape)."""
+    from mini_project_204721_data_engineering_spark.functions.parity import (
+        portable_round,
+    )
+
+    li = load_table(spark, sf_dir, "lineitem")
+    x = F.col("l_quantity").cast("long")
+    y = F.round(F.col("l_discount") * 100).cast("long")
+    agg = li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(x).alias("sx"),
+        F.sum(y).alias("sy"),
+        F.sum(x * x).alias("sxx"),
+        F.sum(y * y).alias("syy"),
+        F.sum(x * y).alias("sxy"),
+    )
+    num = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+    den = F.sqrt(
+        (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
+        * (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")).cast("double")
+    )
+    return agg.select(
+        "l_returnflag",
+        "n",
+        portable_round(num / den, 6).alias("corr_qty_disc"),
+    ).orderBy("l_returnflag")
+
+
+CORR_QTY_DISCOUNT_SQL = """
+WITH a AS (
+  SELECT l_returnflag,
+         count(*) AS n,
+         CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sx,
+         CAST(sum(CAST(round(l_discount * 100) AS BIGINT)) AS BIGINT) AS sy,
+         CAST(sum(CAST(l_quantity AS BIGINT) * CAST(l_quantity AS BIGINT))
+              AS BIGINT) AS sxx,
+         CAST(sum(CAST(round(l_discount * 100) AS BIGINT)
+                  * CAST(round(l_discount * 100) AS BIGINT)) AS BIGINT) AS syy,
+         CAST(sum(CAST(l_quantity AS BIGINT)
+                  * CAST(round(l_discount * 100) AS BIGINT)) AS BIGINT) AS sxy
+  FROM lineitem GROUP BY l_returnflag
+)
+SELECT l_returnflag, n,
+       round(CAST(n * sxy - sx * sy AS DOUBLE)
+             / sqrt(CAST(n * sxx - sx * sx AS DOUBLE)
+                    * CAST(n * syy - sy * sy AS DOUBLE)) * 1000000.0)
+         / 1000000.0 AS corr_qty_disc
+FROM a ORDER BY l_returnflag
+"""
+
+
 def nearby_site_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Radius join (operators/geo.py): users and sites get DETERMINISTIC
     synthetic coordinates from pure key arithmetic (mirrorable in SQL —
@@ -1793,6 +1932,8 @@ WHERE 1.0 - CAST(levenshtein(kl, kr) AS DOUBLE)
 EXTRA_QUERIES = {
     "data_expectations": data_expectations,
     "snapshot_diff": snapshot_diff,
+    "apply_changes_rebuild": apply_changes_rebuild,
+    "corr_qty_discount": corr_qty_discount,
     "nearby_site_pairs": nearby_site_pairs,
     "error_window_clicks": error_window_clicks,
     "chain_click_view_purchase": chain_click_view_purchase,
@@ -1819,6 +1960,8 @@ EXTRA_QUERIES = {
 EXTRA_ORACLES = {
     "data_expectations": DATA_EXPECTATIONS_SQL,
     "snapshot_diff": SNAPSHOT_DIFF_SQL,
+    "apply_changes_rebuild": APPLY_CHANGES_REBUILD_SQL,
+    "corr_qty_discount": CORR_QTY_DISCOUNT_SQL,
     "nearby_site_pairs": NEARBY_SITE_PAIRS_SQL,
     "error_window_clicks": ERROR_WINDOW_CLICKS_SQL,
     "chain_click_view_purchase": CHAIN_CVP_SQL,

@@ -71,13 +71,14 @@ def timed(name, fn, out):
 def main() -> None:
     mode = "events"
     args = [a for a in sys.argv[1:]]
-    if args and args[0] in ("events", "docs", "ann", "srp", "cc", "spans", "vocab", "decon", "semdedup", "spatial", "bpe", "hotcell", "radius", "interval"):
+    if args and args[0] in ("events", "docs", "ann", "srp", "cc", "spans", "vocab", "decon", "semdedup", "spatial", "bpe", "hotcell", "radius", "interval", "knn"):
         mode = args.pop(0)
     n = int(args[0]) if args else {
         "events": 10_000_000, "docs": 1_000_000, "ann": 1_000_000,
         "srp": 1_000_000, "cc": 1_000_000, "spans": 200_000,
         "vocab": 5_000_000, "decon": 500_000, "semdedup": 100_000,
         "spatial": 1_000_000, "bpe": 200_000, "hotcell": 50_000, "radius": 1_000_000, "interval": 1_000_000,
+        "knn": 1_000_000,
     }[mode]
     from mini_project_204721_data_engineering_spark.session import get_spark
 
@@ -89,7 +90,7 @@ def main() -> None:
          "decon": probe_decon, "semdedup": probe_semdedup,
          "spatial": probe_spatial, "bpe": probe_bpe,
          "hotcell": probe_hotcell, "radius": probe_radius,
-         "interval": probe_interval}[mode](spark, n, out)
+         "interval": probe_interval, "knn": probe_knn}[mode](spark, n, out)
         total = round(sum(r["sec"] for r in out), 3)
         print(json.dumps({"metric": f"scale_probe_{mode}_total", "value": total,
                           "unit": "sec", "n_rows": n,
@@ -541,6 +542,57 @@ def probe_radius(spark, n: int, out: list) -> None:
 
     timed("radius_grid", grid, out)
     timed("radius_brute_crossjoin", brute, out)
+
+
+def probe_knn(spark, n: int, out: list) -> None:
+    """knn_join starved-fraction vs radius on a SPARSE synthetic: n
+    points against only 200 sites in a Thailand-sized box.  Claim under
+    test: the brute-force fallback (certificate-failing points × full
+    site table) is the cost cliff an under-provisioned radius walks
+    off — the starved fraction collapses as the radius grows past the
+    k-neighborhood scale, and max_brute_fraction is the guard that
+    surfaces it.  Each probe row records the measured fraction."""
+    from mini_project_204721_data_engineering_spark.operators.geo import knn_join
+
+    pts = (
+        spark.range(n)
+        .select(
+            F.col("id").alias("pid"),
+            (F.lit(6.0) + F.pmod(F.xxhash64("id"), 100000) / 100000.0 * 14.0).alias("lat"),
+            (F.lit(97.0) + F.pmod(F.xxhash64(F.col("id") + 7), 100000) / 100000.0 * 8.0).alias("lon"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    sites = (
+        spark.range(200)
+        .select(
+            F.col("id").alias("site_id"),
+            (F.lit(6.0) + F.pmod(F.xxhash64(F.col("id") * 31), 100000) / 100000.0 * 14.0).alias("slat"),
+            (F.lit(97.0) + F.pmod(F.xxhash64(F.col("id") * 37), 100000) / 100000.0 * 8.0).alias("slon"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    kw = dict(point_cols=("lat", "lon"), site_cols=("slat", "slon"),
+              lat_range=(5.0, 21.0))
+    for radius in (25.0, 100.0, 400.0):
+        # measure the starved fraction the guard would see, then run the
+        # full join (fallback included) and consume it
+        try:
+            knn_join(pts, sites, k=3, point_key="pid", radius_km=radius,
+                     max_brute_fraction=0.0, **kw)
+            frac = 0.0
+        except ValueError as e:
+            import re
+
+            m = re.search(r"\((\d+(?:\.\d+)?)%\)", str(e))
+            frac = float(m.group(1)) / 100.0 if m else -1.0
+
+        def run(r=radius):
+            return knn_join(pts, sites, k=3, point_key="pid",
+                            radius_km=r, **kw).count()
+
+        sec = timed(f"knn_r{int(radius)}km_starved{frac:.3f}", run, out)
+        del sec
 
 
 def probe_interval(spark, n: int, out: list) -> None:
