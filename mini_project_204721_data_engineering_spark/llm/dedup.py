@@ -46,6 +46,7 @@ __all__ = [
     "minhash_lsh_pairs",
     "lsh_jaccard_verified",
     "simhash",
+    "simhash_hamming_pairs",
     "embedding_neardup_pairs",
     "srp_signatures",
     "duplicate_spans",
@@ -445,6 +446,76 @@ def simhash(
     agg = tok.groupBy(id_col).agg(*sums)
     fp = F.concat(*[F.when(F.col(f"s{j}") > 0, F.lit("1")).otherwise(F.lit("0")) for j in range(bits)])
     return agg.select(F.col(id_col), fp.alias("simhash"))
+
+
+def simhash_hamming_pairs(
+    df: DataFrame,
+    max_hamming: int = 3,
+    bands: int = 4,
+    bits: int = 32,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """All ``id_a < id_b`` pairs whose SimHash fingerprints lie within
+    ``max_hamming`` bits — the SEARCH side of :func:`simhash` (the
+    fingerprint alone only helps if you can find its near neighbors
+    without comparing every pair).
+
+    Banded by pigeonhole: the fingerprint splits into ``bands`` equal
+    substrings, and ``max_hamming`` differing bits can touch at most
+    ``max_hamming`` bands — so any pair within the distance shares at
+    least one band VERBATIM whenever ``bands > max_hamming`` (enforced;
+    the candidate equi-join on (band index, band substring) is provably
+    COMPLETE, brute-force-pinned in pytest and by the EXTRA oracle).
+    Exact Hamming verify is a pure-codegen positional mismatch count
+    (``aggregate`` over character positions — engine-portable, mirrored
+    verbatim in DuckDB).  Candidates are bounded by per-band bucket
+    density, never all-pairs — the same scale shape as the MinHash-LSH
+    band join; hot buckets (constant-region fingerprints) follow the
+    same max-df capping recipe if a corpus needs it."""
+    if bands <= max_hamming:
+        raise ValueError(
+            f"simhash_hamming_pairs: bands={bands} must exceed "
+            f"max_hamming={max_hamming} — pigeonhole completeness needs "
+            "at least one untouched band"
+        )
+    if bits % bands:
+        raise ValueError(f"bits={bits} not divisible by bands={bands}")
+    blen = bits // bands
+    fps = simhash(df, bits=bits, text_col=text_col, id_col=id_col)
+    banded = fps.select(
+        F.col(id_col),
+        F.col("simhash"),
+        F.explode(F.array(*[F.lit(b) for b in range(bands)])).alias("band"),
+    ).select(
+        id_col,
+        "simhash",
+        "band",
+        F.expr(f"substring(simhash, band * {blen} + 1, {blen})").alias("bkey"),
+    )
+    a = banded.select(
+        F.col(id_col).alias("id_a"), F.col("simhash").alias("sh_a"),
+        "band", "bkey",
+    )
+    b = banded.select(
+        F.col(id_col).alias("id_b"), F.col("simhash").alias("sh_b"),
+        "band", "bkey",
+    )
+    cand = (
+        a.join(b, ["band", "bkey"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "sh_a", "sh_b")
+        .distinct()
+    )
+    hamming = F.expr(
+        "aggregate(sequence(1, length(sh_a)), 0, (acc, i) -> "
+        "acc + IF(substring(sh_a, i, 1) <> substring(sh_b, i, 1), 1, 0))"
+    )
+    return (
+        cand.withColumn("hamming", hamming.cast("int"))
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )
 
 
 def embedding_neardup_pairs(

@@ -217,6 +217,38 @@ def simhash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simhash(docs, bits=32)
 
 
+def simhash_hamming_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Banded Hamming-distance near-dup search over SimHash
+    (llm/dedup.py::simhash_hamming_pairs): pairs within 3 bits of each
+    other found via the pigeonhole band equi-join (4 bands of 8 bits —
+    3 differing bits leave ≥1 band identical).  The oracle brute-forces
+    ALL pairs over the same DuckDB-computed fingerprints, so the value
+    hash proves the banded candidate set is complete."""
+    from mini_project_204721_data_engineering_spark.llm.dedup import (
+        simhash_hamming_pairs,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return simhash_hamming_pairs(docs, max_hamming=3, bands=4, bits=32)
+
+
+def _simhash_hamming_duck_sql(bits: int = 32, max_hamming: int = 3) -> str:
+    # reuse the whole fingerprint derivation as a nested CTE (a WITH
+    # inside a CTE body is valid DuckDB), brute-force the pairs on top
+    base = _simhash_duck_sql(bits).strip()
+    return f"""
+WITH fp AS ({base})
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       CAST(list_sum(list_transform(range(1, {bits} + 1),
+         i -> CASE WHEN substring(a.simhash, i, 1) <> substring(b.simhash, i, 1)
+                   THEN 1 ELSE 0 END)) AS INT) AS hamming
+FROM fp a JOIN fp b ON a.doc_id < b.doc_id
+WHERE list_sum(list_transform(range(1, {bits} + 1),
+        i -> CASE WHEN substring(a.simhash, i, 1) <> substring(b.simhash, i, 1)
+                  THEN 1 ELSE 0 END)) <= {max_hamming}
+"""
+
+
 def _simhash_duck_sql(bits: int = 32) -> str:
     sums, cases = [], []
     for j in range(bits):
@@ -1998,6 +2030,7 @@ EXTRA_QUERIES = {
     "alpha_mix_counts": alpha_mix_counts,
     "bigram_quality": bigram_quality,
     "tfidf_top_terms": tfidf_top_terms,
+    "simhash_hamming_dups": simhash_hamming_dups,
     "source_exemplars": source_exemplars,
     "html_extract": html_extract,
     "epoch_order_demo": epoch_order_demo,
@@ -2034,6 +2067,7 @@ EXTRA_ORACLES = {
     "alpha_mix_counts": ALPHA_MIX_COUNTS_SQL,
     "bigram_quality": BIGRAM_QUALITY_SQL,
     "tfidf_top_terms": TFIDF_TOP_TERMS_SQL,
+    "simhash_hamming_dups": _simhash_hamming_duck_sql(32, 3),
     "source_exemplars": SOURCE_EXEMPLARS_SQL,
     "html_extract": HTML_EXTRACT_SQL,
     "epoch_order_demo": EPOCH_ORDER_SQL,

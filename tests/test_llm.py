@@ -53,6 +53,37 @@ def test_simhash_near_dups_are_hamming_close(spark):
     assert ham(fps[1], fps[3]) > ham(fps[1], fps[2])  # unrelated: farther
 
 
+def test_simhash_hamming_pairs_banded_equals_brute_force(spark):
+    """Banded Hamming search ≡ brute-force all-pairs over the same
+    fingerprints (pigeonhole completeness: d < bands ⇒ one band
+    identical) on real documents, with the parameter guard loud."""
+    import pytest as _pytest
+
+    from mini_project_204721_data_engineering_spark.llm.dedup import (
+        simhash,
+        simhash_hamming_pairs,
+    )
+
+    docs = load_table(spark, SF, "documents").filter(F.col("doc_id") < 300)
+    got = {
+        (r["id_a"], r["id_b"]): r["hamming"]
+        for r in simhash_hamming_pairs(docs, max_hamming=3, bands=4).collect()
+    }
+    fps = {r["doc_id"]: r["simhash"] for r in simhash(docs).collect()}
+    ids = sorted(fps)
+    want = {}
+    for i, a in enumerate(ids):
+        for b in ids[i + 1 :]:
+            h = sum(x != y for x, y in zip(fps[a], fps[b]))
+            if h <= 3:
+                want[(a, b)] = h
+    assert got == want and len(want) > 0
+    with _pytest.raises(ValueError, match="pigeonhole"):
+        simhash_hamming_pairs(docs, max_hamming=4, bands=4)
+    with _pytest.raises(ValueError, match="divisible"):
+        simhash_hamming_pairs(docs, max_hamming=3, bands=5, bits=32)
+
+
 def test_ivf_full_probe_equals_brute_force(spark):
     """With nprobe = #cells, IVF degrades to exact search — results must
     match brute force exactly.  (A recall-at-small-nprobe test would be

@@ -448,6 +448,85 @@ def test_stream_foreachbatch_merge_is_replay_safe(spark):
         shutil.rmtree(ck2, ignore_errors=True)
 
 
+def test_cdc_upsert_stream_applies_feed_and_replays_idempotently(spark):
+    """Streaming CDC upsert (streaming/cdc.py): a change-feed stream
+    applied per-batch via merge_into reaches the same table state as a
+    single batch merge, updates move rows across partitions, deletes
+    land, and a full replay (fresh checkpoint, every batch
+    re-delivered) leaves the state unchanged — plus a direct
+    double-invoke of the batch function (mid-stream crash replay)."""
+    from mini_project_204721_data_engineering_spark.sources.sink import merge_into
+    from mini_project_204721_data_engineering_spark.streaming.cdc import (
+        cdc_upsert_stream,
+        process_cdc_batch,
+    )
+
+    feed_dir = tempfile.mkdtemp(prefix="cdc_feed_")
+    tab = tempfile.mkdtemp(prefix="cdc_tab_") + "/t"
+    cols = "k long, day string, v double, op string"
+
+    def state():
+        return {r["k"]: (r["day"], r["v"]) for r in spark.read.parquet(tab).collect()}
+
+    # seed snapshot
+    seed = spark.createDataFrame(
+        [(1, "d1", 1.0), (2, "d1", 2.0), (3, "d2", 3.0)], "k long, day string, v double"
+    )
+    merge_into(seed, tab, ["k"], "day")
+
+    # two feed part-files → two micro-batches (maxFilesPerTrigger=1);
+    # keys are disjoint across files so any file→batch split is valid
+    spark.createDataFrame(
+        [(1, "d1", 10.0, "upsert"),      # update in place
+         (3, "d1", 30.0, "upsert"),      # update moving d2 → d1
+         (4, "d3", 4.0, "upsert")],      # insert, new partition
+        cols,
+    ).coalesce(1).write.mode("append").parquet(feed_dir)
+    spark.createDataFrame(
+        [(2, "d1", 0.0, "delete"),       # delete
+         (5, "d1", 5.0, "upsert")],      # insert, existing partition
+        cols,
+    ).coalesce(1).write.mode("append").parquet(feed_dir)
+
+    def run(ckpt):
+        changes = (
+            spark.readStream.schema(cols)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(feed_dir)
+        )
+        q = (
+            cdc_upsert_stream(changes, tab, ["k"], "day")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        assert q.awaitTermination(120)
+
+    ck1 = tempfile.mkdtemp(prefix="cdc_ck1_")
+    ck2 = tempfile.mkdtemp(prefix="cdc_ck2_")
+    try:
+        run(ck1)
+        want = {1: ("d1", 10.0), 3: ("d1", 30.0), 4: ("d3", 4.0), 5: ("d1", 5.0)}
+        assert state() == want
+        assert not any(  # the moved row's old partition is gone
+            "day=d2" in r for r, _, _ in os.walk(tab)
+        )
+        # full replay, fresh checkpoint: every batch re-delivered → same state
+        run(ck2)
+        assert state() == want
+        # mid-stream crash shape: re-invoke one batch function directly
+        replay = spark.createDataFrame(
+            [(2, "d1", 0.0, "delete"), (5, "d1", 5.0, "upsert")], cols
+        )
+        process_cdc_batch(replay, 99, tab, ["k"], "day")
+        assert state() == want
+    finally:
+        shutil.rmtree(feed_dir, ignore_errors=True)
+        shutil.rmtree(os.path.dirname(tab), ignore_errors=True)
+        shutil.rmtree(ck1, ignore_errors=True)
+        shutil.rmtree(ck2, ignore_errors=True)
+
+
 def test_stream_interval_left_outer_join_emits_null_padded_rows(spark):
     """Left-outer stream-stream interval join (VERDICT r6 #8): a click
     with no error in its interval IS emitted, null-padded — but only
