@@ -17,7 +17,9 @@ Debezium CDC envelope is a record whose ``before``/``after`` fields
 are ``["null", RowRecord]`` with the second occurrence a name ref),
 ``map`` types (string keys per the spec → ``map<string,T>``),
 nullable unions ``["null", T]``, enum, fixed, bytes, arrays, and the
-common logical types (date, timestamp-millis/micros) — anything else
+common logical types (date, timestamp-millis/micros, and decimal over
+bytes/fixed — the Debezium NUMERIC encoding: two's-complement
+big-endian unscaled int → Spark ``decimal(p,s)``) — anything else
 (multi-branch unions, recursive types) refuses loudly with the field
 path.
 
@@ -144,6 +146,38 @@ def _field_decoder(sch, path: str, names: dict | None = None):
 
         return dec_union, ddl
     t = sch["type"]
+    logical0 = sch.get("logicalType")
+    if logical0 == "decimal" and t in ("bytes", "fixed"):
+        # two's-complement big-endian unscaled int (the Debezium NUMERIC
+        # encoding) → Spark decimal(p, s)
+        import decimal as _dec
+
+        prec, scale = sch.get("precision"), sch.get("scale", 0)
+        if prec is None:
+            raise NotImplementedError(
+                f"Avro decimal at {path} lacks 'precision'"
+            )
+        if t == "fixed":
+            _register_named(sch, names)
+            size = sch["size"]
+
+            def dec_decimal_fixed(r: _R, _s=scale, _n=size):
+                raw = r.raw(_n)
+                return _dec.Decimal(
+                    int.from_bytes(raw, "big", signed=True)
+                ).scaleb(-_s)
+
+            return dec_decimal_fixed, f"decimal({prec},{scale})"
+
+        def dec_decimal(r: _R, _s=scale):
+            raw = r.bytes_()
+            if not raw:
+                raise ValueError(f"empty Avro decimal at {path}")
+            return _dec.Decimal(
+                int.from_bytes(raw, "big", signed=True)
+            ).scaleb(-_s)
+
+        return dec_decimal, f"decimal({prec},{scale})"
     if t == "record":  # nested record → Spark struct
         _register_named(sch, names)
         sub_decs, sub_names, sub_ddls = [], [], []
@@ -431,7 +465,19 @@ def _encode_value(v, sch, out: bytearray, names: dict | None = None) -> None:
         out += _zig(0)
         return
     logical = sch.get("logicalType")
-    if t == "long" and logical in ("timestamp-micros", "timestamp-millis"):
+    if logical == "decimal" and t in ("bytes", "fixed"):
+        import decimal as _dec
+
+        unscaled = int(_dec.Decimal(v).scaleb(sch.get("scale", 0)))
+        if t == "fixed":
+            _register_named(sch, names)
+            out += unscaled.to_bytes(sch["size"], "big", signed=True)
+        else:
+            b = unscaled.to_bytes(
+                (unscaled.bit_length() + 8) // 8, "big", signed=True
+            )
+            out += _zig(len(b)) + b
+    elif t == "long" and logical in ("timestamp-micros", "timestamp-millis"):
         import datetime as _dt
 
         us = int((v - _dt.datetime(1970, 1, 1)).total_seconds() * 1_000_000)

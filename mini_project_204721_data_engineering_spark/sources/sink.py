@@ -144,22 +144,27 @@ def merge_into(
     target row, even across a partition move), ``"delete"``, or
     ``"ignore"``.  ``when_not_matched``: ``"insert"`` or ``"ignore"``.
     Source keys must be unique — the same per-key terminal-state
-    contract as ``apply_changes``, enforced IN the plan (the source is
+    contract as ``apply_changes``, enforced in the plan (the source is
     aggregated by key and a count guard wraps the first key column with
-    ``raise_error``, so a duplicate feed fails at execution with no
-    separate guard job).
+    ``raise_error``, so a duplicate feed fails during the flagging pass
+    with no separate guard job).
 
-    Scale shape: matching is one keys-only pass over the target (a
-    general MERGE key can live in any partition — no pruning shortcut
-    exists); only partitions that gain, lose, or change a row are
-    rewritten (existing-survivors ∪ updates ∪ inserts, one dynamic
-    partition overwrite), every other partition's files stay
-    byte-identical.  An update whose source row carries a NEW partition
-    value moves the row: the old partition is rewritten without it, the
-    new one with it.  Partitions emptied by deletes are removed
-    explicitly (dynamic overwrite cannot drop a partition it writes no
-    rows to).  The affected-partition list and the returned counts are
-    driver-side by necessity (partition-count- and scalar-sized).
+    Scale shape: matching is ONE keys+partition-pruned-columns pass
+    over the target (a general MERGE key can live in any partition — no
+    pruning shortcut exists), checkpointed source-sized so the counts
+    and affected-partition questions never rescan the target
+    (measured: the per-question semi/anti-join form cost 8.6× this on
+    a 10M-row table — tools/scale_probe.py merge); then only
+    partitions that gain, lose, or change a row are rewritten
+    (existing-survivors ∪ updates ∪ inserts, one dynamic partition
+    overwrite — the survivor scan partition-prunes to those
+    directories), every other partition's files stay byte-identical.
+    An update whose source row carries a NEW partition value moves the
+    row: the old partition is rewritten without it, the new one with
+    it.  Partitions emptied by deletes are removed explicitly (dynamic
+    overwrite cannot drop a partition it writes no rows to).  The
+    affected-partition list and the returned counts are driver-side by
+    necessity (partition-count- and scalar-sized).
 
     Idempotent replay: re-running the same source against the merged
     table is a no-op state-wise (updates rewrite identical values,
@@ -212,20 +217,37 @@ def merge_into(
         return {"updated": 0, "deleted": 0, "inserted": n,
                 "partitions_rewritten": parts}
 
-    tgt_keys = existing.select(*keys)
-    matched_src = src.join(tgt_keys, keys, "left_semi")
-    unmatched_src = src.join(tgt_keys, keys, "left_anti")
-    matched_tgt = existing.join(src.select(*keys), keys, "left_semi")
+    # ONE column-pruned pass over the target, with the SOURCE broadcast
+    # (a CDC feed is batch-sized; the target is the 100 TB side): an
+    # inner broadcast-hash join finds every (matched key, target
+    # partition) without shuffling a single target row, and its
+    # checkpointed result (≈ |matches|) answers every count /
+    # distinct-partition question below without rescanning the target.
+    # The probe that motivated this (tools/scale_probe.py merge)
+    # measured the naive per-question semi/anti-join form at 8.6× and
+    # the shuffle-the-target left-join form at 4.4× this plan's cost
+    # on a 10M-row table.  For a source too big to broadcast (giant
+    # backfill), pass it pre-deduped through merge_into in partition
+    # batches instead.
+    src = src.localCheckpoint(eager=True)  # fires the dup guard once
+    tgt_kp = existing.select(*keys, F.col(partition_col).alias("__tpart"))
+    hits = tgt_kp.join(F.broadcast(src.select(*keys)), keys, "inner")
+    hits = hits.localCheckpoint(eager=True)
+    matched_keys = hits.select(*keys).distinct()
+    matched_src = src.join(F.broadcast(matched_keys), keys, "left_semi")
+    unmatched_src = src.join(F.broadcast(matched_keys), keys, "left_anti")
 
-    n_updated = matched_src.count() if when_matched == "update" else 0
-    n_deleted = matched_src.count() if when_matched == "delete" else 0
+    n_matched = matched_src.count()
+    n_updated = n_matched if when_matched == "update" else 0
+    n_deleted = n_matched if when_matched == "delete" else 0
     n_inserted = unmatched_src.count() if when_not_matched == "insert" else 0
 
     # partitions needing a rewrite: where matched target rows live (they
-    # get replaced or removed), plus where updates/inserts will land
+    # get replaced or removed), plus where updates/inserts will land —
+    # all derivable from the flagged frame, no target scan
     aff = []
     if when_matched in ("update", "delete"):
-        aff.append(matched_tgt.select(partition_col))
+        aff.append(hits.select(F.col("__tpart").alias(partition_col)))
     if when_matched == "update":
         aff.append(matched_src.select(partition_col))
     if when_not_matched == "insert":
@@ -249,7 +271,7 @@ def merge_into(
         slice_pred = slice_pred | F.col(partition_col).isNull()
     sliced = existing.filter(slice_pred)
     survivors = (
-        sliced.join(src.select(*keys), keys, "left_anti")
+        sliced.join(F.broadcast(src.select(*keys)), keys, "left_anti")
         if when_matched in ("update", "delete")
         else sliced
     )

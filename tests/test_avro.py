@@ -31,11 +31,19 @@ SCHEMA = {
                                 "logicalType": "timestamp-micros"}},
         {"name": "tags", "type": {"type": "array", "items": "string"}},
         {"name": "blob", "type": "bytes"},
+        # Debezium NUMERIC shapes: bytes- and fixed-based decimals
+        {"name": "price", "type": {"type": "bytes", "logicalType": "decimal",
+                                   "precision": 12, "scale": 2}},
+        {"name": "rate", "type": {"type": "fixed", "name": "R8", "size": 8,
+                                  "logicalType": "decimal",
+                                  "precision": 18, "scale": 6}},
     ],
 }
 
 
 def _rows(n=120, offset=0):
+    import decimal
+
     return [
         {
             "doc_id": i,
@@ -48,6 +56,9 @@ def _rows(n=120, offset=0):
             + dt.timedelta(seconds=i * 37, microseconds=i),
             "tags": [f"t{i % 5}", "x"] if i % 4 else [],
             "blob": bytes([i % 256, 255 - i % 256]),
+            # signed decimals incl. negatives and zero
+            "price": decimal.Decimal(i * 7 - 200) / 100,
+            "rate": decimal.Decimal(i * 11 - 300) / 1_000_000,
         }
         for i in range(offset, offset + n)
     ]
@@ -69,6 +80,12 @@ def test_avro_roundtrip_all_types(tmp_path, codec):
     assert got[3][5] == dt.date(2024, 1, 4)  # logical date
     assert got[1][6] == dt.datetime(2024, 3, 1, 12, 0, 37, 1)
     assert got[5][8] == bytes([5, 250])
+    import decimal as _d
+
+    assert got[0][9] == _d.Decimal("-2.00")    # negative bytes decimal
+    assert got[30][9] == _d.Decimal("0.10")
+    assert got[0][10] == _d.Decimal("-0.000300")  # fixed(8) decimal
+    assert got[40][10] == _d.Decimal("0.000140")
 
 
 def test_avro_distributed_scan_and_schema(spark, tmp_path):
@@ -80,10 +97,15 @@ def test_avro_distributed_scan_and_schema(spark, tmp_path):
     types = dict(out.dtypes)
     assert types["doc_id"] == "bigint" and types["at"] == "timestamp_ntz"
     assert types["day"] == "date" and types["tags"] == "array<string>"
+    assert types["price"] == "decimal(12,2)" and types["rate"] == "decimal(18,6)"
     rows = {r["doc_id"]: r for r in out.collect()}
     assert rows[503]["text"] == "doc 503 körper"
     assert rows[7]["text"] is None
     assert rows[502]["tags"] == ["t2", "x"]
+    import decimal as _d
+
+    assert rows[0]["price"] == _d.Decimal("-2.00")
+    assert rows[505]["rate"] == _d.Decimal("0.005255")
     sch = avro_schema(os.path.join(d, "a.avro"))
     assert [f["name"] for f in sch["fields"]][0] == "doc_id"
 
