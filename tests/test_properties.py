@@ -521,3 +521,120 @@ def test_pit_lookup_boundary_facts_match_duckdb_asof_left(spark):
     assert got[(1, 9)] is None and got[(2, 99)] is None and got[(4, 10)] is None
     # and exact later boundaries take the NEWER interval (half-open)
     assert got[(1, 20)] == "B" and got[(1, 40)] == "A" and got[(3, 6)] == "Q"
+
+
+@settings(deadline=None, max_examples=8)
+@given(
+    lwords=st.lists(
+        st.lists(st.sampled_from(["red", "blue", "widget", "gadget", "flange",
+                                  "wx", "ab"]), min_size=1, max_size=3),
+        min_size=1, max_size=6,
+    ),
+    rwords=st.lists(
+        st.lists(st.sampled_from(["red", "blu", "widget", "gadgot", "flange",
+                                  "wy", "ba"]), min_size=1, max_size=3),
+        min_size=1, max_size=6,
+    ),
+)
+def test_fuzzy_join_tokensort_property(spark, lwords, rwords):
+    """For ARBITRARY word sequences (duplicated words, repeated strings,
+    short strings, any transposition structure), the q-gram-blocked
+    token-sort join equals the brute-force normalize+score reference
+    computed in Python — the completeness theorem has no untested edge."""
+    from mini_project_204721_data_engineering_spark.operators.linkage import (
+        fuzzy_join_tokensort,
+    )
+
+    def key(words):
+        return " ".join(sorted(words))
+
+    def lev(a, b):
+        prev = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            cur = [i]
+            for j, cb in enumerate(b, 1):
+                cur.append(min(prev[j] + 1, cur[-1] + 1,
+                               prev[j - 1] + (ca != cb)))
+            prev = cur
+        return prev[-1]
+
+    lstr = sorted({" ".join(w) for w in lwords})
+    rstr = sorted({" ".join(w) for w in rwords})
+    ldf = spark.createDataFrame([(i, s) for i, s in enumerate(lstr)],
+                                "lid long, ls string")
+    rdf = spark.createDataFrame([(i, s) for i, s in enumerate(rstr)],
+                                "rid long, rs string")
+    out = fuzzy_join_tokensort(ldf, rdf, "ls", "rs", min_sim=0.8)
+    got = {(r["lid"], r["rid"]) for r in out.collect()}
+    want = set()
+    for i, a in enumerate(lstr):
+        for j, b in enumerate(rstr):
+            ka, kb = key(a.split()), key(b.split())
+            sim = 1.0 - lev(ka, kb) / max(len(ka), len(kb), 1)
+            if sim >= 0.8:
+                want.add((i, j))
+    assert got == want
+
+
+@settings(deadline=None, max_examples=5)
+@given(
+    seed_rows=st.dictionaries(st.integers(0, 12),
+                              st.tuples(st.integers(0, 3), st.integers(0, 50)),
+                              min_size=1, max_size=8),
+    feed1=st.dictionaries(st.integers(0, 12),
+                          st.tuples(st.sampled_from(["upsert", "delete"]),
+                                    st.integers(0, 3), st.integers(51, 99)),
+                          max_size=8),
+    feed2=st.dictionaries(st.integers(0, 12),
+                          st.tuples(st.sampled_from(["upsert", "delete"]),
+                                    st.integers(0, 3), st.integers(100, 150)),
+                          max_size=8),
+)
+def test_merge_into_model_property(spark, seed_rows, feed1, feed2):
+    """Model-based MERGE check: arbitrary seed snapshots and two
+    arbitrary change feeds (upserts/deletes over overlapping keys and
+    shifting partitions) applied through merge_into on disk must equal
+    a plain Python dict model — including partition directories
+    (no stale files for moved/deleted keys)."""
+    import os
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from mini_project_204721_data_engineering_spark.sources.sink import merge_into
+
+    base = tempfile.mkdtemp(prefix="merge_prop_")
+    tab = base + "/t"
+    cols = "k long, day string, v long"
+    try:
+        model = {k: (f"d{p}", v) for k, (p, v) in seed_rows.items()}
+        seed = spark.createDataFrame(
+            [(k, d, v) for k, (d, v) in model.items()], cols
+        )
+        merge_into(seed, tab, ["k"], "day")
+        for feed in (feed1, feed2):
+            if not feed:
+                continue
+            rows = [(k, f"d{p}", v, op) for k, (op, p, v) in feed.items()]
+            fdf = spark.createDataFrame(rows, cols + ", op string")
+            ups = fdf.filter(F.col("op") == "upsert").drop("op")
+            dels = fdf.filter(F.col("op") == "delete").drop("op")
+            merge_into(ups, tab, ["k"], "day")
+            merge_into(dels, tab, ["k"], "day",
+                       when_matched="delete", when_not_matched="ignore")
+            for k, (op, p, v) in feed.items():
+                if op == "upsert":
+                    model[k] = (f"d{p}", v)
+                else:
+                    model.pop(k, None)
+        got = {r["k"]: (r["day"], r["v"])
+               for r in spark.read.parquet(tab).collect()}
+        assert got == model
+        # no stale partition directories beyond the model's live set
+        live = {d for d, _ in model.values()}
+        on_disk = {e.split("=", 1)[1] for e in os.listdir(tab)
+                   if e.startswith("day=")}
+        assert on_disk == live
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
