@@ -144,7 +144,10 @@ def sniff_media_header(payload: bytes) -> dict:
     - GIF87a/89a: logical screen descriptor (little-endian u16);
     - BMP: BITMAPINFOHEADER i32 dims;
     - WAV (RIFF): fmt chunk channels/sample-rate + data-chunk byte size
-      → duration.
+      → duration;
+    - MP4/ISO-BMFF (the video modality): box walk to ``moov`` →
+      ``mvhd`` timescale+duration (v0 u32s / v1 u64s) and the first
+      visual ``trak``'s ``tkhd`` 16.16-fixed width/height.
 
     Returns {"format", "width", "height", "channels", "sample_rate",
     "duration_s"} with None for inapplicable fields and format
@@ -183,6 +186,67 @@ def sniff_media_header(payload: bytes) -> dict:
             out["format"] = "bmp"
             w, h = _st.unpack("<ii", payload[18:26])
             out["width"], out["height"] = abs(w), abs(h)
+        elif len(payload) >= 12 and payload[4:8] == b"ftyp":
+            # ISO BMFF: [u32 size][4cc type][payload] boxes; size==1 →
+            # 64-bit largesize follows, size==0 → box runs to EOF
+            def boxes(buf, p, end):
+                while p + 8 <= end:
+                    size = _st.unpack(">I", buf[p : p + 4])[0]
+                    typ = buf[p + 4 : p + 8]
+                    body = p + 8
+                    if size == 1:
+                        if p + 16 > end:
+                            return
+                        size = _st.unpack(">Q", buf[p + 8 : p + 16])[0]
+                        body = p + 16
+                    elif size == 0:
+                        size = end - p
+                    if size < 8 or p + size > end:
+                        return
+                    yield typ, body, p + size
+                    p += size
+
+            def find(buf, p, end, typ4):
+                for typ, body, nxt in boxes(buf, p, end):
+                    if typ == typ4:
+                        return body, nxt
+                return None
+
+            moov = find(payload, 0, len(payload), b"moov")
+            if moov:
+                out["format"] = "mp4"
+                mb, me = moov
+                mvhd = find(payload, mb, me, b"mvhd")
+                if mvhd:
+                    vb, _ = mvhd
+                    ver = payload[vb]
+                    if ver == 1:
+                        tscale = _st.unpack(">I", payload[vb + 20 : vb + 24])[0]
+                        dur = _st.unpack(">Q", payload[vb + 24 : vb + 32])[0]
+                    else:
+                        tscale, dur = _st.unpack(
+                            ">II", payload[vb + 12 : vb + 20]
+                        )
+                    if tscale:
+                        out["duration_s"] = round(dur / tscale, 6)
+                # first trak with non-zero tkhd dims = the visual track
+                p = mb
+                while True:
+                    trak = find(payload, p, me, b"trak")
+                    if trak is None:
+                        break
+                    tb, tn = trak
+                    tkhd = find(payload, tb, tn, b"tkhd")
+                    if tkhd:
+                        kb, _ = tkhd
+                        koff = kb + (96 if payload[kb] == 1 else 84)
+                        w, h = _st.unpack(
+                            ">II", payload[koff - 8 : koff]
+                        )
+                        if w and h:  # 16.16 fixed point
+                            out["width"], out["height"] = w >> 16, h >> 16
+                            break
+                    p = tn
         elif payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
             p = 12
             rate = channels = bits = data_len = None

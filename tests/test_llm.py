@@ -1359,11 +1359,45 @@ def _wav_bytes(rate, channels, seconds):
     return b"RIFF" + struct.pack("<I", 4 + len(body)) + b"WAVE" + body
 
 
+def _box(typ: bytes, body: bytes) -> bytes:
+    import struct
+
+    return struct.pack(">I", 8 + len(body)) + typ + body
+
+
+def _mp4_bytes(w, h, timescale, duration, version=0):
+    """Minimal ISO-BMFF: ftyp + moov(mvhd, audio trak, visual trak) —
+    the audio trak (zero tkhd dims) first, so the sniffer must SKIP it
+    to find the visual one."""
+    import struct
+
+    ftyp = _box(b"ftyp", b"isom" + struct.pack(">I", 512) + b"isomiso2")
+    if version:
+        mvhd = _box(b"mvhd", bytes([1, 0, 0, 0]) + b"\x00" * 16
+                    + struct.pack(">IQ", timescale, duration) + b"\x00" * 80)
+
+        def tkhd(wf, hf):
+            return _box(b"tkhd", bytes([1, 0, 0, 0]) + b"\x00" * 84
+                        + struct.pack(">II", wf, hf))
+    else:
+        mvhd = _box(b"mvhd", bytes([0, 0, 0, 0]) + b"\x00" * 8
+                    + struct.pack(">II", timescale, duration) + b"\x00" * 80)
+
+        def tkhd(wf, hf):
+            return _box(b"tkhd", bytes([0, 0, 0, 0]) + b"\x00" * 72
+                        + struct.pack(">II", wf, hf))
+
+    audio_trak = _box(b"trak", tkhd(0, 0))
+    video_trak = _box(b"trak", tkhd(w << 16, h << 16))
+    moov = _box(b"moov", mvhd + audio_trak + video_trak)
+    return ftyp + moov + _box(b"mdat", b"\x00" * 32)
+
+
 def test_media_header_sniff_real_formats(spark):
     """Header sniffing is REAL (no media libs): synthesized PNG/JPEG/
-    GIF/WAV containers yield their true geometry and audio params;
-    garbage yields format=unknown with null fields; runs distributed
-    over mapInPandas."""
+    GIF/WAV/MP4 containers yield their true geometry and audio/video
+    params; garbage yields format=unknown with null fields; runs
+    distributed over mapInPandas."""
     import struct
 
     from mini_project_204721_data_engineering_spark.llm.multimodal import (
@@ -1378,6 +1412,7 @@ def test_media_header_sniff_real_formats(spark):
         (3, gif),
         (4, _wav_bytes(16000, 2, 1.5)),
         (5, b"not a media file at all"),
+        (6, _mp4_bytes(1920, 1080, timescale=600, duration=1500)),
     ]
     # driver-side truth
     assert sniff_media_header(rows[0][1]) == {
@@ -1393,6 +1428,14 @@ def test_media_header_sniff_real_formats(spark):
     assert got[4]["channels"] == 2 and got[4]["sample_rate"] == 16000
     assert abs(got[4]["duration_s"] - 1.5) < 1e-6
     assert got[5]["format"] == "unknown" and got[5]["width"] is None
+    # MP4: visual trak found PAST the zero-dim audio trak; 16.16 fixed
+    # dims decoded; duration = mvhd duration/timescale
+    assert (got[6]["format"], got[6]["width"], got[6]["height"]) == ("mp4", 1920, 1080)
+    assert abs(got[6]["duration_s"] - 2.5) < 1e-6
+    # the 64-bit (version 1) box variant driver-side
+    v1 = sniff_media_header(_mp4_bytes(640, 360, 1000, 7250, version=1))
+    assert (v1["format"], v1["width"], v1["height"]) == ("mp4", 640, 360)
+    assert abs(v1["duration_s"] - 7.25) < 1e-6
 
 
 def test_strip_html_recovers_inner_text(spark):
