@@ -30,6 +30,7 @@ __all__ = [
     "expect_in_range",
     "expect_in_set",
     "expect_row_count",
+    "expect_expr",
     "expect_fk",
     "run_expectations",
 ]
@@ -97,6 +98,23 @@ def expect_row_count(min_rows: int) -> _Expect:
     return _Expect(
         f"row_count>={min_rows}",
         F.greatest(F.lit(0).cast("long"), F.lit(min_rows) - F.count(F.lit(1))),
+    )
+
+
+def expect_expr(name: str, predicate: str) -> _Expect:
+    """Arbitrary row-level invariant as a SQL boolean expression — the
+    dbt-style generic test ("every row must satisfy X").  Violations =
+    rows where the predicate is NOT TRUE; a NULL predicate result (e.g.
+    a NULL operand) counts as a violation — deliberately STRICTER than
+    a SQL CHECK constraint (which passes UNKNOWN), because a quality
+    gate should flag rows it cannot prove clean; write
+    ``x IS NULL OR x > 0`` to permit NULLs.
+    Fuses into the same single scan as the other aggregate checks."""
+    return _Expect(
+        f"expr({name})",
+        F.sum(
+            F.when(F.coalesce(F.expr(predicate), F.lit(False)), 0).otherwise(1)
+        ),
     )
 
 

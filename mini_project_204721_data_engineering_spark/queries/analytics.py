@@ -1342,6 +1342,7 @@ def data_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
     FK.  The report is checks-sized; every count is mirrored in the
     oracle."""
     from mini_project_204721_data_engineering_spark.operators.expectations import (
+        expect_expr,
         expect_fk,
         expect_in_range,
         expect_in_set,
@@ -1369,6 +1370,11 @@ def data_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
         ],
         "lineitem": [
             expect_in_range("l_discount", 0.0, 0.05),
+            # cross-column invariant: the dbt-style generic expression
+            expect_expr(
+                "price_consistent",
+                "l_extendedprice >= 0 AND l_quantity >= 1",
+            ),
             expect_fk("l_orderkey", "orders", "o_orderkey"),
         ],
         "events": [
@@ -1413,6 +1419,11 @@ SELECT *, n_violations = 0 AS passed FROM (
          CAST(sum(CASE WHEN l_discount IS NOT NULL
                         AND (l_discount < 0.0 OR l_discount > 0.05)
                        THEN 1 ELSE 0 END) AS BIGINT) FROM lineitem
+  UNION ALL
+  SELECT 'lineitem', 'expr(price_consistent)',
+         CAST(sum(CASE WHEN coalesce(l_extendedprice >= 0
+                                     AND l_quantity >= 1, FALSE)
+                       THEN 0 ELSE 1 END) AS BIGINT) FROM lineitem
   UNION ALL
   SELECT 'lineitem', 'fk(l_orderkey->orders)', CAST(count(*) AS BIGINT)
   FROM (SELECT l_orderkey FROM lineitem WHERE l_orderkey IS NOT NULL) l

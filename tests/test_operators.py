@@ -762,6 +762,7 @@ def test_expectations_detect_planted_violations(spark):
     violation counts, and the per-table aggregate checks fuse into one
     scan (a single Aggregate over the table for all non-FK checks)."""
     from mini_project_204721_data_engineering_spark.operators.expectations import (
+        expect_expr,
         expect_fk,
         expect_in_range,
         expect_in_set,
@@ -790,6 +791,10 @@ def test_expectations_detect_planted_violations(spark):
                 expect_in_set("status", ("A", "B")),
                 expect_in_range("v", 0.0, 10.0),
                 expect_row_count(10),
+                # generic expression: NULL predicate (row 4's NULL
+                # parent_id) counts as a violation alongside row 3's
+                # out-of-range parent
+                expect_expr("pid_small", "parent_id < 50"),
                 expect_fk("parent_id", "parent", "pid"),
             ]
         },
@@ -800,6 +805,7 @@ def test_expectations_detect_planted_violations(spark):
     assert got["in_set(status)"] == (1, False)
     assert got["range(v,0.0,10.0)"] == (2, False)
     assert got["row_count>=10"] == (6, False)
+    assert got["expr(pid_small)"] == (2, False)
     assert got["fk(parent_id->parent)"] == (1, False)
     # all aggregate checks fuse: exactly one Aggregate consumes `child`
     plan = report._jdf.queryExecution().optimizedPlan().toString()
