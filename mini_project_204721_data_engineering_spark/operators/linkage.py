@@ -72,14 +72,22 @@ def fuzzy_join(
     documented blocking trade).  Column name collisions must be
     resolved by the caller."""
     short_below = (max_dist + 1) * q
+    # lineage cut (lazy localCheckpoint): each gram table feeds BOTH
+    # the hot-gram aggregate and the candidate join — Spark has no
+    # cross-branch common-subplan elimination, and .persist() proved
+    # fragile here (column pruning from the caller's extra columns
+    # makes the optimized subplan no longer match the cached plan —
+    # measured 7× slowdown from ONE extra input column).  The
+    # checkpointed RDD is shared by construction, immune to plan
+    # matching; it materializes on first use.
     lg = left.select(
         F.col(left_col).alias("__ls"),
         F.explode(_grams(left_col, q, short_below)).alias("__g"),
-    ).distinct()
+    ).distinct().localCheckpoint(eager=False)
     rg = right.select(
         F.col(right_col).alias("__rs"),
         F.explode(_grams(right_col, q, short_below)).alias("__g"),
-    ).distinct()
+    ).distinct().localCheckpoint(eager=False)
     if max_gram_df is not None:
         hot = (
             lg.groupBy("__g").agg(F.count(F.lit(1)).alias("__n"))
@@ -165,12 +173,33 @@ def fuzzy_join_tokensort(
         right.select(F.col(right_col).alias("__rs")).distinct()
         .withColumn("__rk", token_sort_key("__rs"))
     )
-    lg = ln.select(
-        "__ls", "__lk", F.explode(_grams("__lk", q, short_below)).alias("__g")
-    ).distinct()
-    rg = rn.select(
-        "__rs", "__rk", F.explode(_grams("__rk", q, short_below)).alias("__g")
-    ).distinct()
+    # the whole candidate pipeline (gram explode → equi-join → distinct
+    # → levenshtein verify) runs at the DISTINCT-NORMALIZED-KEY level:
+    # the score depends only on the keys, every transposition variant
+    # of a name collapses to ONE key (fewer candidates than string
+    # pairs by construction), and the distinct stays two-strings-wide.
+    # Surviving (key, key) pairs — matches-sized — fan back out to the
+    # original strings through the two small key→string maps at the
+    # end.  (Measured at 18M candidates: carrying all four strings
+    # through the distinct cost 5×, re-deriving keys per candidate 9×,
+    # this key-level form ~1× the plain fuzzy_join pipeline.)
+    # EAGER checkpoint of the distinct-key tables (names-sized — one
+    # bounded job at call time): the candidate join's planner otherwise
+    # sees the keys behind two unmaterialized shuffles with no size
+    # statistics and picks a plan measured 4× slower at 100k names
+    # (tools/scale_probe.py linkage); with real sizes known, AQE plans
+    # the gram join/distinct correctly.  fuzzy_join doesn't need this —
+    # its gram tables derive directly from the caller's inputs.
+    lkeys = ln.select("__lk").distinct().localCheckpoint(eager=True)
+    rkeys = rn.select("__rk").distinct().localCheckpoint(eager=True)
+    # lineage cut for the same cross-branch reuse reason as fuzzy_join
+    # (see the measured plan-matching fragility note there)
+    lg = lkeys.select(
+        "__lk", F.explode(_grams("__lk", q, short_below)).alias("__g")
+    ).distinct().localCheckpoint(eager=False)
+    rg = rkeys.select(
+        "__rk", F.explode(_grams("__rk", q, short_below)).alias("__g")
+    ).distinct().localCheckpoint(eager=False)
     if max_gram_df is not None:
         hot = (
             lg.groupBy("__g").agg(F.count(F.lit(1)).alias("__n"))
@@ -185,14 +214,15 @@ def fuzzy_join_tokensort(
         )
         lg = lg.join(hot, "__g", "left_anti")
         rg = rg.join(hot, "__g", "left_anti")
-    cand = lg.join(rg, "__g").select("__ls", "__lk", "__rs", "__rk").distinct()
+    cand = lg.join(rg, "__g").select("__lk", "__rk").distinct()
     sim = F.lit(1.0) - F.levenshtein(F.col("__lk"), F.col("__rk")) / F.greatest(
         F.length("__lk"), F.length("__rk"), F.lit(1)
     ).cast("double")
     verified = cand.withColumn("similarity", sim).filter(
         F.col("similarity") >= min_sim
     )
-    out = left.join(verified, left[left_col] == verified["__ls"]).join(
-        right, verified["__rs"] == right[right_col]
+    expanded = verified.join(ln, "__lk").join(rn, "__rk")
+    out = left.join(expanded, left[left_col] == expanded["__ls"]).join(
+        right, expanded["__rs"] == right[right_col]
     )
     return out.drop("__ls", "__lk", "__rs", "__rk")

@@ -71,14 +71,14 @@ def timed(name, fn, out):
 def main() -> None:
     mode = "events"
     args = [a for a in sys.argv[1:]]
-    if args and args[0] in ("events", "docs", "ann", "srp", "cc", "spans", "vocab", "decon", "semdedup", "spatial", "bpe", "hotcell", "radius", "interval", "knn", "merge"):
+    if args and args[0] in ("events", "docs", "ann", "srp", "cc", "spans", "vocab", "decon", "semdedup", "spatial", "bpe", "hotcell", "radius", "interval", "knn", "merge", "linkage"):
         mode = args.pop(0)
     n = int(args[0]) if args else {
         "events": 10_000_000, "docs": 1_000_000, "ann": 1_000_000,
         "srp": 1_000_000, "cc": 1_000_000, "spans": 200_000,
         "vocab": 5_000_000, "decon": 500_000, "semdedup": 100_000,
         "spatial": 1_000_000, "bpe": 200_000, "hotcell": 50_000, "radius": 1_000_000, "interval": 1_000_000,
-        "knn": 1_000_000, "merge": 10_000_000,
+        "knn": 1_000_000, "merge": 10_000_000, "linkage": 100_000,
     }[mode]
     from mini_project_204721_data_engineering_spark.session import get_spark
 
@@ -91,7 +91,7 @@ def main() -> None:
          "spatial": probe_spatial, "bpe": probe_bpe,
          "hotcell": probe_hotcell, "radius": probe_radius,
          "interval": probe_interval, "knn": probe_knn,
-         "merge": probe_merge}[mode](spark, n, out)
+         "merge": probe_merge, "linkage": probe_linkage}[mode](spark, n, out)
         total = round(sum(r["sec"] for r in out), 3)
         print(json.dumps({"metric": f"scale_probe_{mode}_total", "value": total,
                           "unit": "sec", "n_rows": n,
@@ -281,6 +281,44 @@ def probe_ann(spark, n: int, out: list) -> None:
         ).collect()[0][0]
 
     timed("ann_ivf_nprobe2_of16cells", ivf, out)
+
+    # honest RECALL measurement needs geometric cluster structure the
+    # flat synthetic lacks: plant 16 well-separated centers (one-hot-ish
+    # blocks scaled to dominate) + small deterministic jitter, so true
+    # neighbors concentrate in cells and nprobe routing is meaningful
+    dim = 64
+    centers = 16
+    clustered = spark.range(n).select(
+        F.col("id").alias("vec_id"),
+        F.expr(
+            f"transform(sequence(0, {dim - 1}), i -> "
+            f"cast(IF(i div {dim // centers} = pmod(id, {centers}), 10.0, 0.0) "
+            f"+ (pmod(xxhash64(id * {dim} + i), 2000) - 1000) / 1000.0 as double))"
+        ).alias("embedding"),
+    ).localCheckpoint(eager=True)
+    cqs = clustered.filter(F.col("vec_id") % max(1, n // 50) == 0)
+
+    def recall():
+        from mini_project_204721_data_engineering_spark.llm.similarity import (
+            cosine_topk,
+            ivf_topk,
+        )
+
+        exact = {
+            (r["query_id"], r["vec_id"])
+            for r in cosine_topk(clustered, cqs, k=10).collect()
+        }
+        approx = {
+            (r["query_id"], r["vec_id"])
+            for r in ivf_topk(clustered, cqs, k=10, nprobe=2).collect()
+        }
+        hit = len(exact & approx)
+        rec = round(hit / max(1, len(exact)), 4)
+        print(json.dumps({"probe": "ann_ivf_recall_at10_nprobe2",
+                          "recall": rec, "n_true": len(exact)}), flush=True)
+        return hit
+
+    timed("ann_ivf_recall_clustered", recall, out)
 
 
 def synth_embeddings_with_dups(spark, n: int, dim: int = 64, dup_mod: int = 10):
@@ -594,6 +632,88 @@ def probe_knn(spark, n: int, out: list) -> None:
 
         sec = timed(f"knn_r{int(radius)}km_starved{frac:.3f}", run, out)
         del sec
+
+
+def probe_linkage(spark, n: int, out: list) -> None:
+    """Fuzzy-join blocking at catalog scale: n left names (realistic
+    SKU shape — word pair + 5-hex suffix, so grams are DIVERSE like
+    real catalogs; an earlier revision with only 100 word combos was a
+    worst case where every string shared every gram and blocking bought
+    little) against n/10 intact right names; every 3rd left name loses
+    a char, every 5th transposes its words.  Claims under test: blocked
+    candidates ∝ matches vs the quadratic brute cross join, and
+    tokensort additionally recovers the transposed pairs that raw
+    levenshtein-distance-2 linkage MISSES."""
+    from mini_project_204721_data_engineering_spark.operators.linkage import (
+        fuzzy_join,
+        fuzzy_join_tokensort,
+    )
+
+    colors = "red blue green grey teal navy coral amber ivory umber".split()
+    nouns = "widget gadget flange sprocket bracket grommet spindle washer bolt clasp".split()
+
+    def base(m):
+        return spark.range(m).select(
+            F.col("id").alias("nid"),
+            F.concat(
+                F.array(*[F.lit(c) for c in colors])[
+                    F.pmod(F.xxhash64(F.col("id")), 10)
+                ],
+                F.lit(" "),
+                F.array(*[F.lit(w) for w in nouns])[
+                    F.pmod(F.xxhash64(F.col("id") * 31), 10)
+                ],
+                F.lit(" "),
+                F.substring(F.md5(F.col("id").cast("string")), 1, 5),
+            ).alias("name"),
+        )
+
+    left = (
+        base(n)
+        .withColumn(
+            "name",
+            F.when(  # word transposition: "red widget ab12f" -> "widget red ab12f"
+                F.col("nid") % 5 == 0,
+                F.concat(
+                    F.element_at(F.split("name", " "), 2), F.lit(" "),
+                    F.element_at(F.split("name", " "), 1), F.lit(" "),
+                    F.element_at(F.split("name", " "), 3),
+                ),
+            ).when(  # typo: delete the 4th char
+                F.col("nid") % 3 == 0,
+                F.concat(F.substring("name", 1, 3), F.expr("substring(name, 5)")),
+            ).otherwise(F.col("name")),
+        )
+        .withColumnRenamed("name", "lname")
+        .localCheckpoint(eager=True)
+    )
+    right = (
+        base(n // 10).withColumnRenamed("name", "rname").localCheckpoint(eager=True)
+    )
+
+    def blocked():
+        return fuzzy_join(
+            left, right, "lname", "rname", max_dist=2, max_gram_df=2000
+        ).count()
+
+    nb = timed("linkage_blocked_qgram", blocked, out)
+    del nb
+
+    def tokensort():
+        return fuzzy_join_tokensort(
+            left, right, "lname", "rname", min_sim=0.85, max_gram_df=2000
+        ).count()
+
+    timed("linkage_tokensort_blocked", tokensort, out)
+
+    def brute():
+        return (
+            left.crossJoin(right)
+            .filter(F.levenshtein(F.col("lname"), F.col("rname")) <= 2)
+            .count()
+        )
+
+    timed("linkage_bruteforce_crossjoin", brute, out)
 
 
 def probe_merge(spark, n: int, out: list) -> None:
