@@ -288,37 +288,42 @@ def probe_ann(spark, n: int, out: list) -> None:
     # neighbors concentrate in cells and nprobe routing is meaningful
     dim = 64
     centers = 16
-    clustered = spark.range(n).select(
-        F.col("id").alias("vec_id"),
-        F.expr(
-            f"transform(sequence(0, {dim - 1}), i -> "
-            f"cast(IF(i div {dim // centers} = pmod(id, {centers}), 10.0, 0.0) "
-            f"+ (pmod(xxhash64(id * {dim} + i), 2000) - 1000) / 1000.0 as double))"
-        ).alias("embedding"),
-    ).localCheckpoint(eager=True)
-    cqs = clustered.filter(F.col("vec_id") % max(1, n // 50) == 0)
+    for signal, tag in ((10.0, "separated"), (1.5, "overlapping")):
+        clustered = spark.range(n).select(
+            F.col("id").alias("vec_id"),
+            # IVF lists = the true clusters (what a converged k-means
+            # finds on these centers) — the probe measures nprobe
+            # ROUTING recall, not quantizer training
+            F.pmod(F.col("id"), F.lit(centers)).cast("int").alias("label"),
+            F.expr(
+                f"transform(sequence(0, {dim - 1}), i -> "
+                f"cast(IF(i div {dim // centers} = pmod(id, {centers}), {signal}, 0.0) "
+                f"+ (pmod(xxhash64(id * {dim} + i), 2000) - 1000) / 1000.0 as double))"
+            ).alias("embedding"),
+        ).localCheckpoint(eager=True)
+        cqs = clustered.filter(F.col("vec_id") % max(1, n // 50) == 0)
 
-    def recall():
-        from mini_project_204721_data_engineering_spark.llm.similarity import (
-            cosine_topk,
-            ivf_topk,
-        )
+        def recall(c=clustered, q=cqs, t=tag):
+            from mini_project_204721_data_engineering_spark.llm.similarity import (
+                cosine_topk,
+                ivf_topk,
+            )
 
-        exact = {
-            (r["query_id"], r["vec_id"])
-            for r in cosine_topk(clustered, cqs, k=10).collect()
-        }
-        approx = {
-            (r["query_id"], r["vec_id"])
-            for r in ivf_topk(clustered, cqs, k=10, nprobe=2).collect()
-        }
-        hit = len(exact & approx)
-        rec = round(hit / max(1, len(exact)), 4)
-        print(json.dumps({"probe": "ann_ivf_recall_at10_nprobe2",
-                          "recall": rec, "n_true": len(exact)}), flush=True)
-        return hit
+            exact = {
+                (r["query_id"], r["vec_id"])
+                for r in cosine_topk(c, q, k=10).collect()
+            }
+            approx = {
+                (r["query_id"], r["vec_id"])
+                for r in ivf_topk(c, q, k=10, nprobe=2).collect()
+            }
+            hit = len(exact & approx)
+            rec = round(hit / max(1, len(exact)), 4)
+            print(json.dumps({"probe": f"ann_ivf_recall_at10_nprobe2_{t}",
+                              "recall": rec, "n_true": len(exact)}), flush=True)
+            return hit
 
-    timed("ann_ivf_recall_clustered", recall, out)
+        timed(f"ann_ivf_recall_{tag}", recall, out)
 
 
 def synth_embeddings_with_dups(spark, n: int, dim: int = 64, dup_mod: int = 10):
