@@ -132,6 +132,7 @@ def merge_into(
     partition_col: str,
     when_matched: str = "update",
     when_not_matched: str = "insert",
+    broadcast_source: bool = True,
 ) -> dict[str, int]:
     """Full MERGE-style keyed upsert into a partitioned parquet table —
     the single atomic-per-partition operation the reference's
@@ -227,15 +228,19 @@ def merge_into(
     # measured the naive per-question semi/anti-join form at 8.6× and
     # the shuffle-the-target left-join form at 4.4× this plan's cost
     # on a 10M-row table.  For a source too big to broadcast (giant
-    # backfill), pass it pre-deduped through merge_into in partition
-    # batches instead.
+    # backfill), pass ``broadcast_source=False`` — the same single
+    # flagging pass runs as a shuffle join (one target key shuffle, the
+    # 4.4× shape) instead of OOMing the driver on the broadcast.
+    def _maybe_bcast(df):
+        return F.broadcast(df) if broadcast_source else df
+
     src = src.localCheckpoint(eager=True)  # fires the dup guard once
     tgt_kp = existing.select(*keys, F.col(partition_col).alias("__tpart"))
-    hits = tgt_kp.join(F.broadcast(src.select(*keys)), keys, "inner")
+    hits = tgt_kp.join(_maybe_bcast(src.select(*keys)), keys, "inner")
     hits = hits.localCheckpoint(eager=True)
     matched_keys = hits.select(*keys).distinct()
-    matched_src = src.join(F.broadcast(matched_keys), keys, "left_semi")
-    unmatched_src = src.join(F.broadcast(matched_keys), keys, "left_anti")
+    matched_src = src.join(_maybe_bcast(matched_keys), keys, "left_semi")
+    unmatched_src = src.join(_maybe_bcast(matched_keys), keys, "left_anti")
 
     n_matched = matched_src.count()
     n_updated = n_matched if when_matched == "update" else 0
@@ -271,7 +276,7 @@ def merge_into(
         slice_pred = slice_pred | F.col(partition_col).isNull()
     sliced = existing.filter(slice_pred)
     survivors = (
-        sliced.join(F.broadcast(src.select(*keys)), keys, "left_anti")
+        sliced.join(_maybe_bcast(src.select(*keys)), keys, "left_anti")
         if when_matched in ("update", "delete")
         else sliced
     )

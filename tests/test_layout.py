@@ -246,6 +246,14 @@ def test_merge_into_full_upsert_delete_move_and_replay(spark):
         dup = spark.createDataFrame([(1, "d1", 7.0), (1, "d1", 8.0)], cols)
         with _pytest.raises(Exception, match="duplicate key"):
             merge_into(dup, d, ["k"], "day")
+
+        # broadcast_source=False (giant-backfill path): same semantics
+        # through the shuffle-join plan
+        src2 = spark.createDataFrame([(1, "d1", 11.0), (7, "d1", 7.0)], cols)
+        r4 = merge_into(src2, d, ["k"], "day", broadcast_source=False)
+        assert r4["updated"] == 1 and r4["inserted"] == 1
+        s4 = state(d)
+        assert s4[1] == ("d1", 11.0) and s4[7] == ("d1", 7.0)
     finally:
         shutil.rmtree(d, ignore_errors=True)
 
