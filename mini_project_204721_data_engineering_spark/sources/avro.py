@@ -336,10 +336,12 @@ def parse_avro(content: bytes) -> tuple[dict, list[tuple]]:
                 raise ValueError("Avro sync marker mismatch")
         return schema, rows
     except (IndexError, struct.error, KeyError, zlib.error, UnicodeDecodeError,
-            json.JSONDecodeError, OverflowError, MemoryError) as e:
+            json.JSONDecodeError, OverflowError, MemoryError, OSError) as e:
         # OverflowError: a corrupt varint decoding to an astronomical
         # date/timestamp offset (hypothesis-found); MemoryError: a
-        # corrupt length prefix
+        # corrupt length prefix; OSError: pyarrow's snappy codec raises
+        # ArrowIOError (an OSError) on corrupt compressed bytes
+        # (hypothesis-found) — its ArrowInvalid is already a ValueError
         raise ValueError(f"corrupt or truncated Avro container: {e!r}") from e
 
 
