@@ -33,6 +33,7 @@ __all__ = [
     "exemplars_per_group",
     "rates_for_token_budget",
     "hash_topk_sample",
+    "weighted_sample",
     "epoch_order",
     "alpha_mix_rates",
 ]
@@ -234,6 +235,50 @@ def hash_topk_sample(
         .orderBy(F.col("__h").asc(), F.col(key).asc())
         .limit(k)
         .drop("__h")
+    )
+
+
+def weighted_sample(
+    df: DataFrame,
+    k: int,
+    weight_col: str,
+    key: str,
+    seed: int = 0,
+) -> DataFrame:
+    """EXACTLY-k weighted sample without replacement — importance
+    sampling for training mixes ("pick 100k documents, proportional to
+    quality score"), which uniform hash sampling cannot express.
+
+    Efraimidis–Spirakis A-ES: each row draws a deterministic uniform
+    ``u ∈ (0, 1]`` from ``xxhash64(seed | key)`` and ranks by
+    ``ln(u) / w`` descending (the numerically stable equivalent of
+    ``u^(1/w)``); the top k are EXACTLY a weighted sample without
+    replacement.  Same scale shape as :func:`hash_topk_sample`: plans
+    as a distributed top-k (per-partition heaps, no global sort), is
+    layout/rerun-stable, and is NESTED in k.  Rows with NULL or
+    non-positive weight are excluded (they have zero selection
+    probability; a negative weight is meaningless here).
+
+    Not oracle-paired by design: ``ln``/division on the rank BOUNDARY
+    could differ across engines in the last ulp, silently swapping the
+    k-th and (k+1)-th pick — statistical properties are pytest-pinned
+    instead (frequency ∝ weight over many seeds, determinism across
+    repartitionings, nesting)."""
+    w = F.col(weight_col).cast("double")
+    # seed hashed as LONG: xxhash64 output depends on the input's width,
+    # so an int-literal seed would silently disagree with a bigint seed
+    # column in any mirrored computation
+    u = (
+        F.pmod(F.xxhash64(F.lit(seed).cast("long"), F.col(key)), F.lit(1_000_003))
+        + 1
+    ) / F.lit(1_000_003.0)  # uniform on (0, 1], never 0 → ln finite
+    rank_key = F.log(u) / w
+    return (
+        df.filter(w.isNotNull() & (w > 0))
+        .withColumn("__wk", rank_key)
+        .orderBy(F.col("__wk").desc(), F.col(key).asc())
+        .limit(k)
+        .drop("__wk")
     )
 
 

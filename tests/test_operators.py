@@ -641,6 +641,66 @@ def test_hash_topk_sample_exact_nested_and_topk_plan(spark):
     assert "TakeOrderedAndProject" in plan
 
 
+def test_weighted_sample_proportional_deterministic_nested(spark):
+    """weighted_sample (Efraimidis–Spirakis): k=1 winner frequency over
+    many seeds ∝ weight (the exact A-ES guarantee at k=1), the operator
+    matches a window-computed reference for spot seeds,
+    layout-independence, nesting in k, top-k plan, and NULL/zero/
+    negative weights excluded."""
+    from pyspark.sql.window import Window
+
+    from mini_project_204721_data_engineering_spark.operators.sampling import (
+        weighted_sample,
+    )
+
+    items = [("a", 1.0), ("b", 2.0), ("c", 4.0), ("d", 8.0)]
+    df = spark.createDataFrame(items, "key string, w double")
+    # ALL seeds in one job: per-seed uniform + A-ES rank, winner per seed
+    n_seeds = 600
+    seeds = spark.range(n_seeds).select(F.col("id").alias("seed"))
+    g = seeds.crossJoin(df).select(
+        "seed", "key", "w",
+        ((F.pmod(F.xxhash64(F.col("seed"), F.col("key")), F.lit(1_000_003)) + 1)
+         / F.lit(1_000_003.0)).alias("u"),
+    )
+    wdw = Window.partitionBy("seed").orderBy(
+        (F.log("u") / F.col("w")).desc(), F.col("key").asc()
+    )
+    winners = (
+        g.withColumn("rn", F.row_number().over(wdw)).filter("rn = 1")
+        .groupBy("key").agg(F.count(F.lit(1)).alias("n"))
+    )
+    freq = {r["key"]: r["n"] / n_seeds for r in winners.collect()}
+    total_w = sum(w for _, w in items)
+    for key, w in items:
+        expect = w / total_w
+        # binomial std at n=600 is ~0.02 for these p's; allow 4 sigma
+        assert abs(freq.get(key, 0.0) - expect) < 0.085, (key, freq)
+    # heavier strictly more frequent
+    assert freq["d"] > freq["c"] > freq["b"] > freq["a"]
+    # the operator agrees with the reference winner for spot seeds
+    for seed in (0, 7, 123):
+        got = weighted_sample(df, 1, "w", "key", seed=seed).collect()[0]["key"]
+        want = (
+            g.filter(F.col("seed") == seed)
+            .withColumn("rn", F.row_number().over(wdw)).filter("rn = 1")
+            .collect()[0]["key"]
+        )
+        assert got == want
+    # layout independence + nesting
+    k2 = {r["key"] for r in weighted_sample(df, 2, "w", "key", seed=5).collect()}
+    k3 = {r["key"] for r in weighted_sample(df, 3, "w", "key", seed=5).collect()}
+    k2r = {r["key"] for r in weighted_sample(df.repartition(9), 2, "w", "key", seed=5).collect()}
+    assert k2 == k2r and k2 < k3
+    # NULL / zero / negative weights never selected
+    dirty = spark.createDataFrame(
+        [("a", 1.0), ("z", 0.0), ("n", None), ("m", -3.0)], "key string, w double"
+    )
+    assert {r["key"] for r in weighted_sample(dirty, 4, "w", "key").collect()} == {"a"}
+    plan = weighted_sample(df, 2, "w", "key")._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
+
+
 def test_countmin_rollup_merge_and_estimates(spark):
     """Count-min rollup family invariants: (1) the one-sided guarantee —
     every estimate >= the true count; (2) with width >> distinct items
