@@ -8,6 +8,8 @@ operators a 100 TB text/embedding corpus pipeline needs, built Spark-first:
 - :mod:`.dedup` — exact (hash), n-gram Jaccard, MinHash-LSH, SimHash
 - :mod:`.similarity` — embedding cosine top-k (brute-force baseline +
   label-cell IVF scale path)
+- :mod:`.sparse_sim` — exact all-pairs tf-cosine join (prefix-filtered
+  inverted index, Bayardo et al. WWW'07)
 - :mod:`.multimodal` — opaque binary columns with typed metadata and
   Arrow-batched decode plumbing (decode itself stubbed: no image/audio
   libs in this environment)

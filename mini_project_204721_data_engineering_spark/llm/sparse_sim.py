@@ -1,0 +1,159 @@
+"""All-pairs sparse cosine similarity join — EXACT lexical near-dup /
+similarity pairs over token tf vectors, at scale.
+
+The lexical analogue of the embedding-side SRP-LSH dedup
+(:mod:`mini_project_204721_data_engineering_spark.llm.dedup`): find every document pair whose
+L2-normalized term-frequency cosine is ≥ a threshold, with NO
+approximation.  The scale mechanism is the prefix-filtered inverted
+index of Bayardo, Ma & Srikant, *Scaling Up All Pairs Similarity
+Search* (WWW 2007): a document only needs to be INDEXED under its
+rarest terms, because pairs that overlap only on the remaining
+low-mass suffix provably cannot reach the threshold.
+
+Completeness theorem (why prefix filtering drops no pair).  Fix a
+global term order (document frequency ascending, term as tie-break)
+and sort every document's terms by it.  For normalized vector ``x``
+let ``suffix_norm(x, i) = ‖x[i:]‖`` and index term ``i`` of ``x`` iff
+``suffix_norm(x, i) ≥ t``.  Suppose ``cos(x, y) ≥ t`` but NO shared
+term is indexed by either side.  Let ``i`` (resp. ``j``) be the first
+shared term's position in ``x`` (resp. ``y``).  All shared mass lives
+in ``x[i:]`` and ``y[j:]``, so by Cauchy-Schwarz
+``cos(x, y) ≤ ‖x[i:]‖·‖y[j:]‖ < t·t ≤ t`` (both suffix norms < t
+since unindexed, and t ≤ 1) — contradiction.  Hence every qualifying
+pair shares ≥ 1 term indexed by at least one side, and joining
+[prefix entries] × [all entries] on term generates a complete
+candidate set.  Candidates are then verified EXACTLY over all shared
+terms, so the output is identical to the brute inverted-index join
+(pinned in tests/test_llm.py).
+
+Scale shape: tokenize → (doc, term) tf and the per-doc norm are
+map-side-combinable aggregates plus one doc-partitioned window; the
+document-frequency ordering joins on ``term`` (vocab-sized table —
+NOT broadcast, web-scale vocabularies exceed broadcast limits);
+candidate generation is a term-keyed equi-join whose cost is
+``Σ_t |prefix postings(t)| · |postings(t)|`` — rare terms carry the
+index, and a common term enters a document's prefix only when that
+document's remaining mass is concentrated in it; the verify stage is
+two keyed joins sized |candidates| × doc length.  Nothing is
+all-pairs.  The reference has no similarity operator (its nearest
+analogue is pandas ``drop_duplicates``, ``backend/app/utils.py``);
+this is the engine-native extension SURVEY §2.8 calls for.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from mini_project_204721_data_engineering_spark.llm.text import tokens
+
+__all__ = ["doc_tf_vectors", "sparse_cosine_join"]
+
+
+def doc_tf_vectors(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """L2-normalized sparse token-tf vectors: ``(id, term, w)`` with
+    ``Σ w² = 1`` per document.  Empty documents produce no rows (a
+    zero vector has no cosine).  One (id, term) shuffle for the tf
+    count, one id-partitioned window for the norm — no join-back."""
+    tok = docs.select(
+        F.col(id_col).alias("id"), F.explode(tokens(F.col(text_col))).alias("term")
+    ).filter(F.col("term") != "")
+    tf = tok.groupBy("id", "term").agg(
+        F.count(F.lit(1)).cast("double").alias("w")
+    )
+    nw = Window.partitionBy("id")
+    return tf.withColumn(
+        "w", F.col("w") / F.sqrt(F.sum(F.col("w") * F.col("w")).over(nw))
+    )
+
+
+def _dot(v1_alias: str, v2_alias: str) -> Column:
+    return F.sum(F.col(f"{v1_alias}") * F.col(f"{v2_alias}")).alias("sim")
+
+
+def sparse_cosine_join(
+    docs: DataFrame,
+    threshold: float,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    prefix_filter: bool = True,
+    round_dp: int = 4,
+    persist_vectors: bool = False,
+) -> DataFrame:
+    """Every document pair with tf-vector cosine ≥ ``threshold`` —
+    exact, never all-pairs.  Returns ``(id_1, id_2, cos_sim)`` with
+    ``id_1 < id_2`` and ``cos_sim`` portably rounded to ``round_dp``
+    (the threshold compares against the ROUNDED value so distributed
+    partial-sum order can never flip a boundary pair between engines).
+
+    ``prefix_filter=True`` is the production path (see the module
+    docstring's completeness theorem); ``False`` runs the plain
+    inverted-index join — complete for any threshold > 0 because a
+    qualifying pair must share a term — used as the in-repo oracle.
+    ``persist_vectors=True`` caches the normalized vectors
+    (MEMORY_AND_DISK) so the flag/candidate/verify stages share ONE
+    tokenize+normalize pass — the mandatory setting at corpus scale
+    (three full text scans otherwise), same contract as
+    ``tfidf_topk(persist_tf=)``.  The cache is tf-table-sized."""
+    if not 0.0 < threshold <= 1.0:
+        raise ValueError(f"threshold must be in (0, 1], got {threshold}")
+    vec = doc_tf_vectors(docs, id_col, text_col)
+    if persist_vectors:
+        from pyspark import StorageLevel
+
+        vec = vec.persist(StorageLevel.MEMORY_AND_DISK)
+
+    if prefix_filter:
+        dfreq = vec.groupBy("term").agg(F.count(F.lit(1)).alias("__df"))
+        ordw = Window.partitionBy("id").orderBy(
+            F.col("__df").asc(), F.col("term").asc()
+        )
+        suffix = ordw.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+        flagged = vec.join(dfreq, "term").withColumn(
+            "__suffix_norm", F.sqrt(F.sum(F.col("w") * F.col("w")).over(suffix))
+        )
+        index_side = flagged.filter(
+            F.col("__suffix_norm") >= F.lit(float(threshold))
+        ).select(F.col("id").alias("__ia"), "term")
+        probe_side = vec.select(F.col("id").alias("__ib"), "term")
+        cand = (
+            index_side.join(probe_side, "term")
+            .filter(F.col("__ia") != F.col("__ib"))
+            .select(
+                F.least("__ia", "__ib").alias("id_1"),
+                F.greatest("__ia", "__ib").alias("id_2"),
+            )
+            .distinct()
+        )
+        v1 = vec.select(
+            F.col("id").alias("id_1"), "term", F.col("w").alias("__w1")
+        )
+        v2 = vec.select(
+            F.col("id").alias("id_2"), "term", F.col("w").alias("__w2")
+        )
+        sims = (
+            cand.join(v1, "id_1")
+            .join(v2, ["id_2", "term"])
+            .groupBy("id_1", "id_2")
+            .agg(F.sum(F.col("__w1") * F.col("__w2")).alias("__sim"))
+        )
+    else:
+        v1 = vec.select(F.col("id").alias("id_1"), "term", F.col("w").alias("__w1"))
+        v2 = vec.select(F.col("id").alias("id_2"), "term", F.col("w").alias("__w2"))
+        sims = (
+            v1.join(v2, "term")
+            .filter(F.col("id_1") < F.col("id_2"))
+            .groupBy("id_1", "id_2")
+            .agg(F.sum(F.col("__w1") * F.col("__w2")).alias("__sim"))
+        )
+
+    from mini_project_204721_data_engineering_spark.functions.parity import portable_round
+
+    return (
+        sims.withColumn("cos_sim", portable_round(F.col("__sim"), round_dp))
+        .filter(F.col("cos_sim") >= F.lit(float(threshold)))
+        .select("id_1", "id_2", "cos_sim")
+    )

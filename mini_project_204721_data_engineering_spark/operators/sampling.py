@@ -267,11 +267,17 @@ def weighted_sample(
     w = F.col(weight_col).cast("double")
     # seed hashed as LONG: xxhash64 output depends on the input's width,
     # so an int-literal seed would silently disagree with a bigint seed
-    # column in any mirrored computation
+    # column in any mirrored computation.  Modulus 2^53 (the largest
+    # power of two a double holds exactly): u takes ~9e15 distinct
+    # values, so equal-weight rank-key ties at the top-k boundary are
+    # vanishingly rare — a small modulus would collide equal-weight rows
+    # on the rank key and the deterministic `key asc` tie-break would
+    # systematically favor small keys, biasing the boundary picks.
+    _m = 1 << 53
     u = (
-        F.pmod(F.xxhash64(F.lit(seed).cast("long"), F.col(key)), F.lit(1_000_003))
+        F.pmod(F.xxhash64(F.lit(seed).cast("long"), F.col(key)), F.lit(_m))
         + 1
-    ) / F.lit(1_000_003.0)  # uniform on (0, 1], never 0 → ln finite
+    ) / F.lit(float(_m))  # uniform on (0, 1], never 0 → ln finite
     rank_key = F.log(u) / w
     return (
         df.filter(w.isNotNull() & (w > 0))

@@ -2026,7 +2026,48 @@ WHERE rank <= 3
 """
 
 
+def sparse_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT all-pairs tf-cosine similarity join at threshold 0.9
+    (llm/sparse_sim.py::sparse_cosine_join): prefix-filtered inverted
+    index (Bayardo et al. WWW'07) + full verify — identical output to
+    the brute inverted-index join, pinned here against a DuckDB
+    brute-force oracle.  ``persist_vectors=True`` exercises the
+    production single-tokenize path.  The threshold compares ROUNDED
+    cosines on both sides so partial-sum order can't flip a boundary
+    pair."""
+    from mini_project_204721_data_engineering_spark.llm.sparse_sim import sparse_cosine_join
+
+    docs = load_table(spark, sf_dir, "documents")
+    return sparse_cosine_join(
+        docs, 0.9, prefix_filter=True, persist_vectors=True
+    ).select(
+        F.col("id_1").alias("doc_id_1"),
+        F.col("id_2").alias("doc_id_2"),
+        "cos_sim",
+    )
+
+
+SPARSE_COSINE_PAIRS_SQL = r"""
+WITH toks AS (
+  SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS term
+  FROM documents
+), tf AS (
+  SELECT doc_id, term, CAST(count(*) AS DOUBLE) AS w
+  FROM toks WHERE term <> '' GROUP BY doc_id, term
+), nrm AS (SELECT doc_id, sqrt(sum(w * w)) AS n FROM tf GROUP BY doc_id),
+v AS (SELECT tf.doc_id, term, w / n AS w FROM tf JOIN nrm USING (doc_id)),
+p AS (
+  SELECT a.doc_id AS doc_id_1, b.doc_id AS doc_id_2, sum(a.w * b.w) AS s
+  FROM v a JOIN v b ON a.term = b.term AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT doc_id_1, doc_id_2, round(s * 10000) / 10000 AS cos_sim
+FROM p WHERE round(s * 10000) / 10000 >= 0.9
+"""
+
+
 EXTRA_QUERIES = {
+    "sparse_cosine_pairs": sparse_cosine_pairs,
     "alpha_mix_counts": alpha_mix_counts,
     "bigram_quality": bigram_quality,
     "tfidf_top_terms": tfidf_top_terms,
@@ -2064,6 +2105,7 @@ EXTRA_QUERIES = {
     "text_chunks": text_chunks,
 }
 EXTRA_ORACLES = {
+    "sparse_cosine_pairs": SPARSE_COSINE_PAIRS_SQL,
     "alpha_mix_counts": ALPHA_MIX_COUNTS_SQL,
     "bigram_quality": BIGRAM_QUALITY_SQL,
     "tfidf_top_terms": TFIDF_TOP_TERMS_SQL,

@@ -353,6 +353,46 @@ GROUP BY month, event_type
 """
 
 
+def user_rolling_1h_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing 1-hour RANGE window per user
+    (operators/aggregates.py::rolling_time_agg): for every event, the
+    user's spend and event count over the preceding hour INCLUDING the
+    event — row-anchored frames that tumbling/sliding buckets cannot
+    express.  One user-keyed shuffle; Spark's running-frame window
+    never rescans the hour per row.  The range key is
+    ``unix_micros(ts)`` — exact integer microseconds, so the frame
+    boundary agrees bit-for-bit with DuckDB's ``RANGE BETWEEN INTERVAL
+    1 HOUR PRECEDING`` at the timestamp's native resolution; sums
+    round portably."""
+    from mini_project_204721_data_engineering_spark.functions.parity import portable_round
+    from mini_project_204721_data_engineering_spark.operators.aggregates import rolling_time_agg
+
+    ev = load_table(spark, sf_dir, "events")
+    out = rolling_time_agg(
+        ev,
+        ["user_id"],
+        "ts",
+        3600.0,
+        {"spend_1h": F.sum("value"), "n_events_1h": F.count(F.lit(1))},
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        portable_round(F.col("spend_1h"), 2).alias("spend_1h"),
+        "n_events_1h",
+    )
+
+
+USER_ROLLING_1H_SPEND_SQL = """
+SELECT event_id, user_id,
+       round(sum(value) OVER w * 100) / 100 AS spend_1h,
+       CAST(count(*) OVER w AS BIGINT) AS n_events_1h
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts
+             RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)
+"""
+
+
 QUERIES = {
     "events_hourly": events_hourly,
     "daily_activity": daily_activity,
@@ -365,8 +405,14 @@ QUERIES = {
     "salted_counts": salted_counts,
 }
 
-EXTRA_QUERIES = {"value_p95_histogram": value_p95_histogram}
-EXTRA_ORACLES = {"value_p95_histogram": VALUE_P95_HISTOGRAM_SQL}
+EXTRA_QUERIES = {
+    "value_p95_histogram": value_p95_histogram,
+    "user_rolling_1h_spend": user_rolling_1h_spend,
+}
+EXTRA_ORACLES = {
+    "value_p95_histogram": VALUE_P95_HISTOGRAM_SQL,
+    "user_rolling_1h_spend": USER_ROLLING_1H_SPEND_SQL,
+}
 
 ORACLES = {
     "events_hourly": EVENTS_HOURLY_SQL,

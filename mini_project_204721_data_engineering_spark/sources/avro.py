@@ -95,19 +95,28 @@ _PRIMITIVES = frozenset(
 )
 
 
-def _resolve_named(sch, names: dict, path: str):
+def _resolve_named(sch, names: dict, path: str, open_names: set):
     """A bare string that is not a primitive is a reference to a
     previously DEFINED named type (record/enum/fixed) — the Avro
     named-type mechanism Debezium uses for its ``before``/``after``
     envelope fields (first occurrence defines ``Value``, the second
-    just says ``"Value"``)."""
+    just says ``"Value"``).  A reference to a type STILL BEING defined
+    (``record Node { next: ["null","Node"] }``) is a recursive schema —
+    unrepresentable as a fixed-depth Spark struct, so it refuses loudly
+    with the field path instead of recursing forever."""
     if isinstance(sch, str) and sch not in _PRIMITIVES:
+        if sch in open_names:
+            raise NotImplementedError(
+                f"Avro recursive named-type reference {sch!r} at {path} "
+                "(the type is still being defined) — recursive schemas "
+                "have no fixed-depth Spark struct equivalent"
+            )
         try:
             return names[sch]
         except KeyError:
             raise NotImplementedError(
                 f"Avro named-type reference {sch!r} at {path} has no "
-                "preceding definition (forward/recursive references "
+                "preceding definition (forward references "
                 "are not supported)"
             ) from None
     return sch
@@ -125,11 +134,19 @@ def _register_named(sch: dict, names: dict) -> None:
         names[f"{ns}.{name}"] = sch
 
 
-def _field_decoder(sch, path: str, names: dict | None = None):
-    """schema node → (python decode fn, spark type ddl)."""
+def _field_decoder(sch, path: str, names: dict | None = None,
+                   open_names: set | None = None):
+    """schema node → (python decode fn, spark type ddl).
+
+    ``open_names`` tracks named types whose definition is in progress
+    down the current walk, so a self/mutually-recursive reference is
+    caught as a loud :class:`NotImplementedError` (with the field path)
+    instead of a ``RecursionError`` outside the documented contract."""
     if names is None:
         names = {}
-    sch = _resolve_named(sch, names, path)
+    if open_names is None:
+        open_names = set()
+    sch = _resolve_named(sch, names, path, open_names)
     if isinstance(sch, str):
         sch = {"type": sch}
     if isinstance(sch, list):  # union: only ["null", T] (either order)
@@ -139,7 +156,7 @@ def _field_decoder(sch, path: str, names: dict | None = None):
                 f"Avro union beyond ['null', T] at {path}: {sch}"
             )
         null_idx = sch.index("null")
-        inner, ddl = _field_decoder(branches[0], path, names)
+        inner, ddl = _field_decoder(branches[0], path, names, open_names)
 
         def dec_union(r: _R):
             return None if r.long() == null_idx else inner(r)
@@ -180,19 +197,29 @@ def _field_decoder(sch, path: str, names: dict | None = None):
         return dec_decimal, f"decimal({prec},{scale})"
     if t == "record":  # nested record → Spark struct
         _register_named(sch, names)
+        # both names a reference may use are OPEN until the fields are
+        # fully walked — a field referring back to either is recursion
+        opened = {sch["name"]} if sch.get("name") else set()
+        if sch.get("namespace") and sch.get("name"):
+            opened.add(f"{sch['namespace']}.{sch['name']}")
+        open_names |= opened
         sub_decs, sub_names, sub_ddls = [], [], []
         for f in sch["fields"]:
-            d, ddl = _field_decoder(f["type"], f"{path}.{f['name']}", names)
+            d, ddl = _field_decoder(
+                f["type"], f"{path}.{f['name']}", names, open_names
+            )
             sub_decs.append(d)
             sub_names.append(f["name"])
             sub_ddls.append(f"{f['name']}:{ddl}")
+        open_names -= opened
 
         def dec_rec(r: _R):
             return {n: d(r) for n, d in zip(sub_names, sub_decs)}
 
         return dec_rec, f"struct<{','.join(sub_ddls)}>"
     if t == "map":  # string-keyed per the spec → map<string,T>
-        inner, ddl = _field_decoder(sch["values"], path + "{}", names)
+        inner, ddl = _field_decoder(sch["values"], path + "{}", names,
+                                    open_names)
 
         def dec_map(r: _R):
             out = {}
@@ -248,7 +275,8 @@ def _field_decoder(sch, path: str, names: dict | None = None):
         size = sch["size"]
         return (lambda r: r.raw(size)), "binary"
     if t == "array":
-        inner, ddl = _field_decoder(sch["items"], path + "[]", names)
+        inner, ddl = _field_decoder(sch["items"], path + "[]", names,
+                                    open_names)
 
         def dec_arr(r: _R):
             out = []
@@ -271,9 +299,15 @@ def _record_decoder(schema: dict):
         raise NotImplementedError("top-level Avro schema must be a record")
     registry: dict = {}
     _register_named(schema, registry)
+    # the top-level record's own names stay OPEN for the whole walk — a
+    # field referring back to the root is recursion, caught immediately
+    root_open = {schema["name"]} if schema.get("name") else set()
+    if schema.get("namespace") and schema.get("name"):
+        root_open.add(f"{schema['namespace']}.{schema['name']}")
     decs, names, ddls = [], [], []
     for f in schema["fields"]:
-        d, ddl = _field_decoder(f["type"], f["name"], registry)
+        d, ddl = _field_decoder(f["type"], f["name"], registry,
+                                set(root_open))
         decs.append(d)
         names.append(f["name"])
         ddls.append(f"`{f['name']}` {ddl}")
@@ -435,7 +469,9 @@ def _collect_names(sch, names: dict) -> None:
 def _encode_value(v, sch, out: bytearray, names: dict | None = None) -> None:
     if names is None:
         names = {}
-    sch = _resolve_named(sch, names, "<write>")
+    # the writer resolves per-VALUE, so recursion terminates with the
+    # data itself — no open-name tracking needed here
+    sch = _resolve_named(sch, names, "<write>", set())
     if isinstance(sch, str):
         sch = {"type": sch}
     if isinstance(sch, list):

@@ -32,6 +32,30 @@ __all__ = [
 ]
 
 
+def _read_if_exists(spark: SparkSession, path: str) -> DataFrame | None:
+    """``spark.read.parquet(path)`` or None if the table is FRESH —
+    the path does not exist, or exists but holds no visible data file
+    (an empty staging directory, or only ``_SUCCESS``/hidden markers).
+
+    Freshness is decided by an explicit Hadoop FS probe, never by
+    catching read failures: a corrupt footer, transient FS error, or
+    permission problem on a POPULATED table must raise, not silently
+    degrade the caller to treat-as-fresh (which would append the full
+    source, duplicating every existing key and returning wrong counts).
+    """
+    jvm = spark._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    if not fs.exists(hpath):
+        return None
+    it = fs.listFiles(hpath, True)  # recursive — partition dirs
+    while it.hasNext():
+        name = it.next().getPath().getName()
+        if not name.startswith("_") and not name.startswith("."):
+            return spark.read.parquet(path)
+    return None  # exists but no visible data file → fresh
+
+
 def write_fact_partitioned(df: DataFrame, path: str, partition_cols: Sequence[str]) -> None:
     """Initial/append write of a fact table partitioned for pruning
     (reference's B-tree indexes on date/year, ``models.py:91-99`` →
@@ -92,10 +116,7 @@ def merge_into_fact(
     from mini_project_204721_data_engineering_spark.operators.joins import anti_join
 
     incoming = incoming.dropDuplicates(list(keys))
-    try:
-        existing: DataFrame | None = spark.read.parquet(path)
-    except Exception:  # fresh table — AnalysisException: path does not exist
-        existing = None
+    existing = _read_if_exists(spark, path)
     if existing is None:
         out = incoming.repartition(F.col(partition_col))
         write_fact_partitioned(out, path, [partition_col])
@@ -203,10 +224,7 @@ def merge_into(
     src = agg.select(
         guarded_key, *keys[1:], *[F.col("__v")[c].alias(c) for c in vals]
     )
-    try:
-        existing: DataFrame | None = spark.read.parquet(path)
-    except Exception:  # fresh table — AnalysisException: path does not exist
-        existing = None
+    existing = _read_if_exists(spark, path)
     if existing is None:
         if when_not_matched != "insert":
             return {"updated": 0, "deleted": 0, "inserted": 0,

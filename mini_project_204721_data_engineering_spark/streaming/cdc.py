@@ -16,8 +16,11 @@ function twice in tests/test_streaming.py).
 Contract: within one micro-batch, each key appears AT MOST ONCE (the
 per-key terminal-state contract of every change feed here; Debezium
 compacted topics satisfy it, raw topics need an upstream
-``dedup_keep_first`` on offset).  Violations surface loudly via
-``merge_into``'s in-plan duplicate-key guard.
+``dedup_keep_first`` on offset).  Violations surface loudly via a
+cross-op duplicate-key check on the whole batch BEFORE the op split
+(``merge_into``'s own in-plan guard only sees one op subset at a time,
+so a key appearing as both upsert and delete would otherwise slip
+through and resolve by apply order).
 
 Scale shape per batch: one keys-only pass over the target (irreducible
 for general MERGE — a CDC key can live in any partition) plus a
@@ -52,6 +55,28 @@ def process_cdc_batch(
 
     if batch_df.isEmpty():
         return
+    # cross-op duplicate-key check on the WHOLE batch before splitting:
+    # merge_into's in-plan guard sees one op subset at a time, so a key
+    # appearing once as upsert AND once as delete would pass both guards
+    # and the final state would silently depend on the fixed
+    # upsert-then-delete apply order.  One aggregate over the (batch-
+    # sized) feed closes that hole loudly.
+    keys = list(keys)
+    dup = (
+        batch_df.groupBy(*keys)
+        .agg(F.count(F.lit(1)).alias("__cn"))
+        .filter(F.col("__cn") > 1)
+        .limit(1)
+        .collect()
+    )
+    if dup:
+        kv = ", ".join(f"{k}={dup[0][k]!r}" for k in keys)
+        raise ValueError(
+            f"process_cdc_batch: batch {batch_id} carries the same key "
+            f"({kv}) more than once (possibly across ops) — a change "
+            "feed must hold one terminal state per key per batch; "
+            "dedup_keep_first on offset upstream"
+        )
     ups = batch_df.filter(F.col(op_col) == "upsert").drop(op_col)
     dels = batch_df.filter(F.col(op_col) == "delete").drop(op_col)
     merge_into(ups, path, keys, partition_col,

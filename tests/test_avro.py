@@ -137,6 +137,27 @@ def test_avro_corrupt_and_unsupported(tmp_path, spark):
         parse_avro(bytes(sraw))
     with pytest.raises(ValueError, match="no files match"):
         read_avro(spark, str(tmp_path / "empty_nowhere"))
+    # recursive named types refuse LOUDLY with the field path — never a
+    # RecursionError outside the documented contract.  Values use the
+    # null branch so the fixture writer terminates.
+    node = {"type": "record", "name": "Node",
+            "fields": [{"name": "v", "type": "long"},
+                       {"name": "next", "type": ["null", "Node"]}]}
+    pr = str(tmp_path / "rec.avro")
+    write_avro(pr, node, [{"v": 1, "next": None}])
+    with pytest.raises(NotImplementedError,
+                       match="recursive named-type reference 'Node' at next"):
+        parse_avro(open(pr, "rb").read())
+    # ... including recursion back to the ROOT from a nested record
+    outer = {"type": "record", "name": "Outer", "namespace": "ns",
+             "fields": [{"name": "inner", "type": {
+                 "type": "record", "name": "Inner",
+                 "fields": [{"name": "back", "type": ["null", "ns.Outer"]}],
+             }}]}
+    po = str(tmp_path / "rec2.avro")
+    write_avro(po, outer, [{"inner": {"back": None}}])
+    with pytest.raises(NotImplementedError, match="recursive named-type"):
+        parse_avro(open(po, "rb").read())
 
 
 DBZ_VALUE = {

@@ -167,6 +167,39 @@ def test_merge_into_fact_idempotent_and_partition_atomic(spark):
         shutil.rmtree(d, ignore_errors=True)
 
 
+def test_merge_unreadable_populated_target_raises_not_treated_fresh(spark):
+    """A target path that EXISTS but fails to read (corrupt footer,
+    permission problem, transient FS error) must RAISE — treating any
+    read failure as 'fresh table' would append the full source over a
+    populated table, duplicating every key and returning wrong counts.
+    Fresh means the path does not exist, decided by an FS probe."""
+    from mini_project_204721_data_engineering_spark.sources.sink import (
+        merge_into,
+        merge_into_fact,
+    )
+
+    d = tempfile.mkdtemp(prefix="merge_corrupt_")
+    tab = os.path.join(d, "t")
+    os.makedirs(tab)
+    with open(os.path.join(tab, "part-00000.parquet"), "wb") as fh:
+        fh.write(b"this is not a parquet file")
+    src = spark.createDataFrame([(1, "d1", 1.0)], "k long, day string, v double")
+    try:
+        with pytest.raises(Exception):
+            merge_into(src, tab, ["k"], "day")
+        with pytest.raises(Exception):
+            merge_into_fact(src, tab, ["k"], "day")
+        # nothing was appended to the corrupt table by either path
+        assert os.listdir(tab) == ["part-00000.parquet"]
+        # a genuinely ABSENT path is still fresh and bootstraps cleanly
+        fresh = os.path.join(d, "fresh")
+        out = merge_into(src, fresh, ["k"], "day")
+        assert out == {"updated": 0, "deleted": 0, "inserted": 1,
+                       "partitions_rewritten": 1}
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
 def test_merge_into_full_upsert_delete_move_and_replay(spark):
     """merge_into: the full MERGE matrix over a partitioned table —
     update-in-place, update that MOVES a row across partitions, insert

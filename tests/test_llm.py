@@ -1656,3 +1656,59 @@ def test_bigram_lm_empty_docs_yield_zero_pairs_not_crash(spark):
     assert scored[10]["n_bigrams"] == 3
     # empty docs produce no pair rows, hence no score row at all
     assert 11 not in scored and 12 not in scored
+
+
+def test_sparse_cosine_join_prefix_equals_brute_and_edge_cases(spark):
+    """All-pairs tf-cosine (llm/sparse_sim.py): the prefix-filtered
+    inverted index returns EXACTLY the brute inverted-index join's
+    pairs (the WWW'07 completeness theorem, exercised on real docs and
+    on adversarial edges: exact duplicates, empty docs, single-term
+    docs, disjoint docs, threshold 1.0), and the plan never falls back
+    to a cartesian product."""
+    from mini_project_204721_data_engineering_spark.llm.sparse_sim import (
+        doc_tf_vectors,
+        sparse_cosine_join,
+    )
+
+    docs = load_table(spark, SF, "documents").filter(F.col("doc_id") < 150)
+    for t in (0.6, 0.85, 0.95):
+        a = sorted(map(tuple, sparse_cosine_join(docs, t).collect()))
+        b = sorted(map(tuple,
+                       sparse_cosine_join(docs, t, prefix_filter=False).collect()))
+        assert a == b, f"prefix != brute at t={t}"
+        # symmetric-canonical ids, threshold respected on rounded sims
+        assert all(x[0] < x[1] and x[2] >= t for x in a)
+
+    edge = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma"),
+            (2, "alpha beta gamma"),          # exact duplicate of 1
+            (3, ""),                           # empty → no vector
+            (4, "   "),                        # whitespace-only → no vector
+            (5, "zeta"),                       # single-term
+            (6, "zeta"),                       # its duplicate
+            (7, "omega psi chi"),              # disjoint from everything
+            (8, "alpha alpha alpha alpha beta"),  # skewed mass
+        ],
+        "doc_id long, text string",
+    )
+    for t in (0.3, 0.7, 1.0):
+        a = sorted(map(tuple, sparse_cosine_join(edge, t).collect()))
+        b = sorted(map(tuple,
+                       sparse_cosine_join(edge, t, prefix_filter=False).collect()))
+        assert a == b, f"edge prefix != brute at t={t}"
+    exact = {(x[0], x[1]) for x in
+             sparse_cosine_join(edge, 1.0).collect()}
+    assert exact == {(1, 2), (5, 6)}
+    # vectors are L2-normalized and empty docs vanish
+    v = doc_tf_vectors(edge)
+    norms = v.groupBy("id").agg(F.round(F.sum(F.col("w") * F.col("w")), 9).alias("n2")).collect()
+    assert {r["id"] for r in norms} == {1, 2, 5, 6, 7, 8}
+    assert all(abs(r["n2"] - 1.0) < 1e-8 for r in norms)
+    plan = (sparse_cosine_join(docs, 0.9)
+            ._jdf.queryExecution().executedPlan().toString())
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan
+    with pytest.raises(ValueError, match="threshold"):
+        sparse_cosine_join(edge, 0.0)
+    with pytest.raises(ValueError, match="threshold"):
+        sparse_cosine_join(edge, 1.5)

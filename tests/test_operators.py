@@ -656,12 +656,15 @@ def test_weighted_sample_proportional_deterministic_nested(spark):
     items = [("a", 1.0), ("b", 2.0), ("c", 4.0), ("d", 8.0)]
     df = spark.createDataFrame(items, "key string, w double")
     # ALL seeds in one job: per-seed uniform + A-ES rank, winner per seed
+    # (mirrors the operator's u formula — 2^53 modulus; the spot-seed
+    # agreement check below pins the mirror to the operator)
+    _m = 1 << 53
     n_seeds = 600
     seeds = spark.range(n_seeds).select(F.col("id").alias("seed"))
     g = seeds.crossJoin(df).select(
         "seed", "key", "w",
-        ((F.pmod(F.xxhash64(F.col("seed"), F.col("key")), F.lit(1_000_003)) + 1)
-         / F.lit(1_000_003.0)).alias("u"),
+        ((F.pmod(F.xxhash64(F.col("seed"), F.col("key")), F.lit(_m)) + 1)
+         / F.lit(float(_m))).alias("u"),
     )
     wdw = Window.partitionBy("seed").orderBy(
         (F.log("u") / F.col("w")).desc(), F.col("key").asc()
@@ -699,6 +702,20 @@ def test_weighted_sample_proportional_deterministic_nested(spark):
     assert {r["key"] for r in weighted_sample(dirty, 4, "w", "key").collect()} == {"a"}
     plan = weighted_sample(df, 2, "w", "key")._jdf.queryExecution().executedPlan().toString()
     assert "TakeOrderedAndProject" in plan
+    # 2^53 modulus: 50k equal-weight rows draw 50k DISTINCT u values
+    # (collision prob ~1.4e-7) — a small modulus (e.g. ~1e6) would
+    # collide ~1250 of them on the rank key and the `key asc` tie-break
+    # would systematically favor small keys at the top-k boundary
+    big = spark.range(50_000).select(F.col("id").cast("string").alias("key"))
+    n_u = (
+        big.select(
+            ((F.pmod(F.xxhash64(F.lit(0).cast("long"), F.col("key")), F.lit(_m)) + 1)
+             / F.lit(float(_m))).alias("u")
+        )
+        .distinct()
+        .count()
+    )
+    assert n_u == 50_000
 
 
 def test_countmin_rollup_merge_and_estimates(spark):
@@ -1312,3 +1329,41 @@ def test_fuzzy_join_tokensort_transpositions_and_brute_force(spark):
     # (1 - min_sim)*q >= 1 → no completeness guarantee → loud refusal
     with _pytest.raises(ValueError, match="completeness"):
         fuzzy_join_tokensort(left, right, "lname", "rname", min_sim=0.5, q=3)
+
+
+def test_rolling_time_agg_trailing_frame_and_refusals(spark):
+    """rolling_time_agg: trailing [ts-window, ts] frame is inclusive on
+    BOTH ends at exact-microsecond resolution (hand-computed fixture,
+    including a row exactly window seconds earlier), partitions are
+    independent, and empty partition_cols is refused (single-reducer
+    plan)."""
+    import datetime as dt
+
+    from mini_project_204721_data_engineering_spark.operators.aggregates import rolling_time_agg
+
+    t0 = dt.datetime(2024, 1, 1, 12, 0, 0)
+    rows = [
+        (1, "u", t0, 1.0),
+        (2, "u", t0 + dt.timedelta(seconds=30), 2.0),
+        (3, "u", t0 + dt.timedelta(seconds=60), 4.0),   # exactly 60s after t0
+        (4, "u", t0 + dt.timedelta(seconds=61), 8.0),   # row 1 just fell out
+        (5, "v", t0 + dt.timedelta(seconds=45), 16.0),  # other partition
+    ]
+    df = spark.createDataFrame(rows, "id long, u string, ts timestamp, v double")
+    out = {
+        r["id"]: (r["s"], r["n"])
+        for r in rolling_time_agg(
+            df, ["u"], "ts", 60.0, {"s": F.sum("v"), "n": F.count(F.lit(1))}
+        ).collect()
+    }
+    assert out == {
+        1: (1.0, 1),
+        2: (3.0, 2),
+        3: (7.0, 3),   # 60s-old row INCLUDED (closed lower bound)
+        4: (14.0, 3),  # row 1 excluded at 61s
+        5: (16.0, 1),  # partition isolation
+    }
+    import pytest
+
+    with pytest.raises(ValueError, match="partition column"):
+        rolling_time_agg(df, [], "ts", 60.0, {"s": F.sum("v")})

@@ -527,6 +527,34 @@ def test_cdc_upsert_stream_applies_feed_and_replays_idempotently(spark):
         shutil.rmtree(ck2, ignore_errors=True)
 
 
+def test_cdc_batch_cross_op_duplicate_key_raises(spark):
+    """A key appearing as both upsert AND delete in ONE micro-batch
+    violates the per-key terminal-state contract — each op subset is
+    key-unique so merge_into's per-merge guard cannot see it; the
+    batch-level cross-op check must refuse before any merge runs (the
+    final state would otherwise silently depend on apply order)."""
+    from mini_project_204721_data_engineering_spark.streaming.cdc import process_cdc_batch
+
+    tab = tempfile.mkdtemp(prefix="cdc_dup_") + "/t"
+    cols = "k long, day string, v double, op string"
+    try:
+        bad = spark.createDataFrame(
+            [(1, "d1", 1.0, "upsert"), (1, "d1", 0.0, "delete"),
+             (2, "d1", 2.0, "upsert")],
+            cols,
+        )
+        with pytest.raises(ValueError, match="more than once"):
+            process_cdc_batch(bad, 0, tab, ["k"], "day")
+        assert not os.path.exists(tab)  # refused BEFORE any merge landed
+        ok = spark.createDataFrame(
+            [(1, "d1", 1.0, "upsert"), (2, "d1", 0.0, "delete")], cols
+        )
+        process_cdc_batch(ok, 1, tab, ["k"], "day")
+        assert {r["k"] for r in spark.read.parquet(tab).collect()} == {1}
+    finally:
+        shutil.rmtree(os.path.dirname(tab), ignore_errors=True)
+
+
 def test_stream_interval_left_outer_join_emits_null_padded_rows(spark):
     """Left-outer stream-stream interval join (VERDICT r6 #8): a click
     with no error in its interval IS emitted, null-padded — but only
