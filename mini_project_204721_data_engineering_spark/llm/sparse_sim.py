@@ -33,11 +33,22 @@ NOT broadcast, web-scale vocabularies exceed broadcast limits);
 candidate generation is a term-keyed equi-join whose cost is
 ``Σ_t |prefix postings(t)| · |postings(t)|`` — rare terms carry the
 index, and a common term enters a document's prefix only when that
-document's remaining mass is concentrated in it; the verify stage is
-two keyed joins sized |candidates| × doc length.  Nothing is
-all-pairs.  The reference has no similarity operator (its nearest
-analogue is pandas ``drop_duplicates``, ``backend/app/utils.py``);
-this is the engine-native extension SURVEY §2.8 calls for.
+document's remaining mass is concentrated in it; a positional
+suffix-product filter then prunes join rows before the distinct, and
+the verify stage is two id-keyed joins over packed map vectors, O(L)
+per candidate.  Nothing is all-pairs.
+
+Measured posture (tools/scale_probe.py sparsesim, SCALE.md): the
+plain inverted join ("brute", ``prefix_filter=False``) carries
+``Σ_t |postings(t)|²`` join rows — quadratic in hot posting lists —
+yet WINS below a ~40k-doc crossover at the probe's density, because
+Spark shuffles narrow join rows faster than the prefix path's
+distinct+verify overhead; beyond the crossover the prefix path's
+flatter growth (5.2× vs 7.6× per 3× docs, join volume 14× lower)
+takes over, which is why it is the default.  The reference has no
+similarity operator (its nearest analogue is pandas
+``drop_duplicates``, ``backend/app/utils.py``); this is the
+engine-native extension SURVEY §2.8 calls for.
 """
 
 from __future__ import annotations
@@ -117,28 +128,68 @@ def sparse_cosine_join(
         )
         index_side = flagged.filter(
             F.col("__suffix_norm") >= F.lit(float(threshold))
-        ).select(F.col("id").alias("__ia"), "term")
-        probe_side = vec.select(F.col("id").alias("__ib"), "term")
+        ).select(
+            F.col("id").alias("__ia"), "term", F.col("__suffix_norm").alias("__sa")
+        )
+        probe_side = flagged.select(
+            F.col("id").alias("__ib"), "term", F.col("__suffix_norm").alias("__sb")
+        )
+        # positional (suffix-product) filter, applied per JOIN ROW before
+        # the distinct: a row for shared term t survives only if
+        # suffix_norm_x(t) · suffix_norm_y(t) ≥ threshold.  Sound: for a
+        # qualifying pair let t* be its EARLIEST shared term in the
+        # canonical order — all shared mass lies in both suffixes from
+        # t*, so t ≤ cos(x,y) ≤ sn_x(t*)·sn_y(t*); with both factors ≤ 1
+        # each is ≥ t, hence t* is indexed on BOTH sides and its row
+        # passes this filter.  Junk candidates that share only a
+        # mid-order term (both suffix norms already decayed) die here
+        # instead of flooding the distinct + verify stages — measured
+        # 2.5× fewer verified candidates (9.4M → 3.8M) on the
+        # sparsesim probe's 10k-doc Zipf corpus.
         cand = (
             index_side.join(probe_side, "term")
-            .filter(F.col("__ia") != F.col("__ib"))
+            .filter(
+                (F.col("__ia") != F.col("__ib"))
+                & (F.col("__sa") * F.col("__sb") >= F.lit(float(threshold)))
+            )
             .select(
                 F.least("__ia", "__ib").alias("id_1"),
                 F.greatest("__ia", "__ib").alias("id_2"),
             )
             .distinct()
         )
-        v1 = vec.select(
-            F.col("id").alias("id_1"), "term", F.col("w").alias("__w1")
-        )
-        v2 = vec.select(
-            F.col("id").alias("id_2"), "term", F.col("w").alias("__w2")
+        # verify with PACKED vectors: one map<term,w> row per doc, two
+        # id-keyed joins, dot product as a codegen'd aggregate over the
+        # map entries — |candidates| rows through the shuffle, never the
+        # |candidates| × doc-length exploded 3-way-join form (measured
+        # 1.6× slower end-to-end at the 30k-doc sparsesim probe)
+        packed = vec.groupBy("id").agg(
+            F.map_from_entries(
+                F.collect_list(F.struct("term", "w"))
+            ).alias("__m")
         )
         sims = (
-            cand.join(v1, "id_1")
-            .join(v2, ["id_2", "term"])
-            .groupBy("id_1", "id_2")
-            .agg(F.sum(F.col("__w1") * F.col("__w2")).alias("__sim"))
+            cand.join(
+                packed.select(F.col("id").alias("id_1"), F.col("__m").alias("__m1")),
+                "id_1",
+            )
+            .join(
+                packed.select(F.col("id").alias("id_2"), F.col("__m").alias("__m2")),
+                "id_2",
+            )
+            .select(
+                "id_1",
+                "id_2",
+                # hash-merge dot: map_zip_with is O(L1+L2) per pair;
+                # a per-key element_at lookup loop is O(L1·L2) and
+                # measured 2.6× slower end-to-end (67.1 s → 25.9 s,
+                # 10k-doc sparsesim probe)
+                F.expr(
+                    "aggregate(map_values(map_zip_with(__m1, __m2, "
+                    "(k, a, b) -> coalesce(a, 0D) * coalesce(b, 0D))), "
+                    "0D, (acc, v) -> acc + v)"
+                ).alias("__sim"),
+            )
         )
     else:
         v1 = vec.select(F.col("id").alias("id_1"), "term", F.col("w").alias("__w1"))

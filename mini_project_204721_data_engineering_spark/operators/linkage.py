@@ -27,11 +27,12 @@ grams, which is exactly how production blocking is tuned)."""
 from __future__ import annotations
 
 import math
+from typing import Sequence
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["fuzzy_join", "fuzzy_join_tokensort", "token_sort_key"]
+__all__ = ["fuzzy_join", "fuzzy_join_tokensort", "token_sort_key", "golden_record"]
 
 
 def _grams(col: str, q: int, short_below: int):
@@ -226,3 +227,38 @@ def fuzzy_join_tokensort(
         right, expanded["__rs"] == right[right_col]
     )
     return out.drop("__ls", "__lk", "__rs", "__rk")
+
+
+def golden_record(
+    df: DataFrame,
+    cluster_cols: Sequence[str],
+    order_cols: Sequence[str],
+    value_cols: Sequence[str],
+) -> DataFrame:
+    """Survivorship: ONE golden row per cluster, each value column
+    resolved INDEPENDENTLY to the most recent non-NULL observation —
+    the step after record linkage (``fuzzy_join`` finds that three CRM
+    rows are the same customer; this merges them into the master
+    record, back-filling each field from the freshest row that has it).
+
+    Per column the survivor key is ``struct(value IS NOT NULL,
+    *order_cols)`` under ``max_by``: any non-NULL beats every NULL,
+    then recency wins, and the caller-supplied tie-break columns (make
+    the last one unique, e.g. an event/record id) pin exact-timestamp
+    ties deterministically.  A column NULL in every row of a cluster
+    stays NULL.
+
+    Scale shape: ONE map-side-combinable groupBy — ``max_by`` is
+    algebraic (partial maxima merge), so 100 TB of claims reduce to
+    cluster-count rows with no window, no join, no second pass.  The
+    reference's nearest analogue is pandas ``drop_duplicates(keep=)``
+    (``backend/app/utils.py``), which keeps one WHOLE row and cannot
+    back-fill per field."""
+    aggs = []
+    for c in value_cols:
+        key = F.struct(
+            F.col(c).isNotNull().alias("__nn"),
+            *[F.col(o).alias(f"__o{i}") for i, o in enumerate(order_cols)],
+        )
+        aggs.append(F.max_by(F.col(c), key).alias(c))
+    return df.groupBy(*cluster_cols).agg(*aggs)

@@ -1940,7 +1940,50 @@ WHERE 1.0 - CAST(levenshtein(kl, kr) AS DOUBLE)
 """
 
 
+def user_golden_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Survivorship after linkage (operators/linkage.py::golden_record):
+    one golden row per user, each field resolved INDEPENDENTLY to the
+    most recent non-NULL observation — last purchase amount and last
+    error event, back-filled from different rows.  One map-side-
+    combinable max_by groupBy; event_id pins exact-timestamp ties.
+    No arithmetic on the surviving values → no rounding needed."""
+    from mini_project_204721_data_engineering_spark.operators.linkage import golden_record
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.when(F.col("event_type") == "purchase", F.col("value")).alias(
+            "last_purchase_value"
+        ),
+        F.when(F.col("event_type") == "error", F.col("event_id")).alias(
+            "last_error_event"
+        ),
+    )
+    return golden_record(
+        ev,
+        ["user_id"],
+        ["ts", "event_id"],
+        ["last_purchase_value", "last_error_event"],
+    )
+
+
+USER_GOLDEN_PROFILE_SQL = """
+SELECT user_id,
+       first(CASE WHEN event_type = 'purchase' THEN value END
+             ORDER BY (CASE WHEN event_type = 'purchase' THEN value END
+                       IS NOT NULL) DESC, ts DESC, event_id DESC)
+         AS last_purchase_value,
+       first(CASE WHEN event_type = 'error' THEN event_id END
+             ORDER BY (CASE WHEN event_type = 'error' THEN event_id END
+                       IS NOT NULL) DESC, ts DESC, event_id DESC)
+         AS last_error_event
+FROM events GROUP BY user_id
+"""
+
+
 EXTRA_QUERIES = {
+    "user_golden_profile": user_golden_profile,
     "data_expectations": data_expectations,
     "snapshot_diff": snapshot_diff,
     "apply_changes_rebuild": apply_changes_rebuild,
@@ -1969,6 +2012,7 @@ EXTRA_QUERIES = {
 }
 
 EXTRA_ORACLES = {
+    "user_golden_profile": USER_GOLDEN_PROFILE_SQL,
     "data_expectations": DATA_EXPECTATIONS_SQL,
     "snapshot_diff": SNAPSHOT_DIFF_SQL,
     "apply_changes_rebuild": APPLY_CHANGES_REBUILD_SQL,

@@ -1367,3 +1367,36 @@ def test_rolling_time_agg_trailing_frame_and_refusals(spark):
 
     with pytest.raises(ValueError, match="partition column"):
         rolling_time_agg(df, [], "ts", 60.0, {"s": F.sum("v")})
+
+
+def test_golden_record_survivorship_per_column_backfill(spark):
+    """golden_record (operators/linkage.py): each column survives
+    INDEPENDENTLY from the freshest row that has it non-NULL; a column
+    NULL throughout a cluster stays NULL; exact-timestamp ties break on
+    the unique id; the plan is one partial-aggregating groupBy (no
+    window, no join)."""
+    from mini_project_204721_data_engineering_spark.operators.linkage import golden_record
+
+    rows = [
+        # cluster A: email freshest at t3 (null name there); name freshest at t2
+        ("A", 1, 1, "alice", None),
+        ("A", 2, 2, "alicia", "a@old.com"),
+        ("A", 3, 3, None, "a@new.com"),
+        # cluster B: name always NULL; email tie on ts=5 → id 11 wins
+        ("B", 5, 10, None, "b@ten.com"),
+        ("B", 5, 11, None, "b@eleven.com"),
+    ]
+    df = spark.createDataFrame(
+        rows, "cluster string, ts long, id long, name string, email string"
+    )
+    out = {
+        r["cluster"]: (r["name"], r["email"])
+        for r in golden_record(df, ["cluster"], ["ts", "id"], ["name", "email"]).collect()
+    }
+    assert out == {"A": ("alicia", "a@new.com"), "B": (None, "b@eleven.com")}
+    plan = (
+        golden_record(df, ["cluster"], ["ts", "id"], ["name", "email"])
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "partial_max_by" in plan.lower() or "HashAggregate" in plan
+    assert "Window" not in plan and "Join" not in plan

@@ -71,7 +71,7 @@ def timed(name, fn, out):
 def main() -> None:
     mode = "events"
     args = [a for a in sys.argv[1:]]
-    if args and args[0] in ("events", "docs", "ann", "srp", "cc", "spans", "vocab", "decon", "semdedup", "spatial", "bpe", "hotcell", "radius", "interval", "knn", "merge", "linkage"):
+    if args and args[0] in ("events", "docs", "ann", "srp", "cc", "spans", "vocab", "decon", "semdedup", "spatial", "bpe", "hotcell", "radius", "interval", "knn", "merge", "linkage", "sparsesim"):
         mode = args.pop(0)
     n = int(args[0]) if args else {
         "events": 10_000_000, "docs": 1_000_000, "ann": 1_000_000,
@@ -79,6 +79,7 @@ def main() -> None:
         "vocab": 5_000_000, "decon": 500_000, "semdedup": 100_000,
         "spatial": 1_000_000, "bpe": 200_000, "hotcell": 50_000, "radius": 1_000_000, "interval": 1_000_000,
         "knn": 1_000_000, "merge": 10_000_000, "linkage": 100_000,
+        "sparsesim": 10_000,
     }[mode]
     from mini_project_204721_data_engineering_spark.session import get_spark
 
@@ -91,7 +92,8 @@ def main() -> None:
          "spatial": probe_spatial, "bpe": probe_bpe,
          "hotcell": probe_hotcell, "radius": probe_radius,
          "interval": probe_interval, "knn": probe_knn,
-         "merge": probe_merge, "linkage": probe_linkage}[mode](spark, n, out)
+         "merge": probe_merge, "linkage": probe_linkage,
+         "sparsesim": probe_sparsesim}[mode](spark, n, out)
         total = round(sum(r["sec"] for r in out), 3)
         print(json.dumps({"metric": f"scale_probe_{mode}_total", "value": total,
                           "unit": "sec", "n_rows": n,
@@ -932,6 +934,57 @@ def probe_cc(spark, n: int, out: list) -> None:
         ).count()
 
     timed("dup_clusters_chain5", cc, out)
+
+
+
+
+def probe_sparsesim(spark, n: int, out: list) -> None:
+    """All-pairs tf-cosine join: prefix-filtered inverted index vs the
+    brute inverted-index join on a Zipf-ish vocabulary (u² draw — hot
+    terms carry quadratic posting-list cost, exactly where prefix
+    filtering pays: hot terms are suffix-ranked and drop out of the
+    INDEX side unless a document's mass concentrates in them).  Both
+    variants return identical pairs (pinned in tests/test_llm.py);
+    here we pin the COST separation."""
+    from mini_project_204721_data_engineering_spark.llm.sparse_sim import (
+        sparse_cosine_join,
+    )
+
+    # realistic corpus shape: 50k-term vocabulary under a heavy-tailed
+    # (u^4) draw — the top "stopword" lands in ~98% of documents, so the
+    # brute join's hot posting list is ~|docs| and its cost quadratic,
+    # while tf-L2 weighting leaves stopwords LOW-mass per doc, so they
+    # sort last and fall out of the prefix index
+    n_tokens, vocab = 60, 50_000
+    d = spark.range(n).select(
+        F.col("id").alias("doc_id"),
+        F.when(F.col("id") % 10 == 0, F.col("id") - 1)
+        .otherwise(F.col("id"))
+        .alias("bid"),
+    )
+    words = F.expr(
+        f"transform(sequence(0, {n_tokens - 1}), "
+        f"i -> concat('w', cast(pow(pmod(xxhash64(bid * {n_tokens} + i), 10000) "
+        f"/ 10000.0, 4.0) * {vocab} as int)))"
+    )
+    docs = d.select(
+        "doc_id", F.concat_ws(" ", words).alias("text")
+    ).localCheckpoint(eager=True)
+
+    def run(prefix, label):
+        def f():
+            return (
+                sparse_cosine_join(
+                    docs, 0.8, prefix_filter=prefix, persist_vectors=True
+                )
+                .agg(F.count(F.lit(1)))
+                .collect()[0][0]
+            )
+
+        return f
+
+    timed("sparse_cosine_prefix", run(True, "prefix"), out)
+    timed("sparse_cosine_brute", run(False, "brute"), out)
 
 
 if __name__ == "__main__":
