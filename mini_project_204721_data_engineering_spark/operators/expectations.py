@@ -33,6 +33,7 @@ __all__ = [
     "expect_expr",
     "expect_fk",
     "run_expectations",
+    "psi_drift",
 ]
 
 
@@ -174,3 +175,67 @@ def run_expectations(
     for p in pieces[1:]:
         out = out.unionByName(p)
     return out.withColumn("passed", F.col("n_violations") == 0)
+
+
+def psi_drift(
+    ref: DataFrame,
+    cur: DataFrame,
+    col: str,
+    breaks: "list[float]",
+    eps: float = 1e-6,
+) -> DataFrame:
+    """Population Stability Index between a reference and a current
+    distribution of ``col`` — the standard drift monitor for feature /
+    score distributions (PSI < 0.1 stable, 0.1-0.25 moderate shift,
+    > 0.25 investigate).  Returns one row per bin:
+    ``(bin, ref_frac, cur_frac, psi_term)`` with
+    ``psi_term = (cur − ref) · ln(cur / ref)`` on ε-clamped fractions
+    (an empty bin on either side contributes a finite, loud term
+    instead of ±∞); total PSI is ``sum(psi_term)``.
+
+    ``breaks`` are CALLER-FIXED bin edges (bin 0 = underflow, bin i =
+    [breaks[i-1], breaks[i]), bin len(breaks) = overflow) — fixed edges
+    make the sketch mergeable and the monitor comparable across runs;
+    deriving edges from quantiles of the current batch would make every
+    run's bins different and drift unmeasurable.  NULLs are excluded
+    (monitor them with expect_not_null).
+
+    Scale shape: one map-side-combinable groupBy per side (shuffle is
+    |bins|, not |rows|), totals as broadcast 1-row aggregates, and the
+    bin spine is a range() frame joined on bin id — both inputs can be
+    100 TB; nothing row-sized leaves the executors."""
+    if len(breaks) < 1 or sorted(breaks) != list(breaks):
+        raise ValueError(f"breaks must be a non-empty ascending list, got {breaks}")
+    n = len(breaks)
+    c = F.col(col)
+
+    def binned(df: DataFrame, out: str) -> DataFrame:
+        b = F.when(c < F.lit(float(breaks[0])), F.lit(0))
+        for i in range(1, n):
+            b = b.when(c < F.lit(float(breaks[i])), F.lit(i))
+        b = b.otherwise(F.lit(n))
+        counts = (
+            df.filter(c.isNotNull())
+            .groupBy(b.alias("bin"))
+            .agg(F.count(F.lit(1)).alias("__n"))
+        )
+        total = counts.agg(F.sum("__n").cast("double").alias("__t"))
+        return counts.crossJoin(F.broadcast(total)).select(
+            "bin", (F.col("__n") / F.col("__t")).alias(out)
+        )
+    spark = ref.sparkSession
+    spine = spark.range(0, n + 1).select(F.col("id").cast("int").alias("bin"))
+    r = binned(ref, "ref_frac")
+    u = binned(cur, "cur_frac")
+    rf = F.greatest(F.coalesce(F.col("ref_frac"), F.lit(0.0)), F.lit(float(eps)))
+    cf = F.greatest(F.coalesce(F.col("cur_frac"), F.lit(0.0)), F.lit(float(eps)))
+    return (
+        spine.join(F.broadcast(r), "bin", "left")
+        .join(F.broadcast(u), "bin", "left")
+        .select(
+            "bin",
+            rf.alias("ref_frac"),
+            cf.alias("cur_frac"),
+            ((cf - rf) * F.log(cf / rf)).alias("psi_term"),
+        )
+    )

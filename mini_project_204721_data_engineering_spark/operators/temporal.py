@@ -20,7 +20,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-__all__ = ["state_intervals", "pit_lookup", "interval_join", "event_chain"]
+__all__ = ["state_intervals", "pit_lookup", "interval_join", "event_chain", "interpolate_linear"]
 
 
 def state_intervals(
@@ -241,3 +241,71 @@ def event_chain(
             .select(key, F.col(ts_col).alias("__pt"))
         )
     return stage.groupBy(key).agg(F.min("__pt").alias("completed_at"))
+
+
+def interpolate_linear(
+    df: DataFrame,
+    partition_cols: Sequence[str],
+    ts_col: str,
+    value_col: str,
+    out_col: str | None = None,
+    tiebreak_cols: Sequence[str] = (),
+) -> DataFrame:
+    """Linear interpolation of NULL gaps in a keyed time series: each
+    NULL ``value_col`` becomes the straight-line value between the
+    nearest non-NULL observations before and after it (time-weighted,
+    at the timestamp's native microsecond resolution).  Leading and
+    trailing gaps stay NULL — no extrapolation: inventing data outside
+    the observed range is a policy decision the caller must make
+    explicitly (coalesce with the nearest fill afterwards if wanted).
+    Rows with equal timestamps cannot be interpolated between (zero
+    time span) and also stay NULL rather than dividing by zero.
+
+    The standard sensor-feed repair (the reference's rain grids carry
+    exactly such gap structure after QC masking — ``F2``/``F8``
+    null-dropping discards the row; this KEEPS the row and repairs the
+    value).
+
+    Scale shape: ONE keyed shuffle, then two running window passes
+    (``last ignorenulls`` forward, ``first ignorenulls`` backward) over
+    the same sort — no self-join, no per-gap work; cost is rows, not
+    rows × gap length.  Mirrors DuckDB's ``IGNORE NULLS`` window
+    semantics exactly (pinned by the ``sensor_interpolate`` EXTRA)."""
+    from pyspark.sql.window import Window
+
+    if not partition_cols:
+        raise ValueError(
+            "interpolate_linear needs >=1 partition column; a global "
+            "series is a single-reducer plan — pre-bucket first"
+        )
+    out_col = out_col or value_col
+    t = F.unix_micros(F.col(ts_col).cast("timestamp")).cast("double")
+    v = F.col(value_col)
+    # ROWS frames need a TOTAL order: pass tiebreak_cols (e.g. a unique
+    # id) when timestamps can collide, or the running last/first is
+    # permutation-dependent for the tied rows
+    order = [F.col(ts_col).asc()] + [F.col(c).asc() for c in tiebreak_cols]
+    back = (
+        Window.partitionBy(*partition_cols)
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    fwd = (
+        Window.partitionBy(*partition_cols)
+        .orderBy(*order)
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    prev_v = F.last(v, ignorenulls=True).over(back)
+    next_v = F.first(v, ignorenulls=True).over(fwd)
+    prev_t = F.last(F.when(v.isNotNull(), t), ignorenulls=True).over(back)
+    next_t = F.first(F.when(v.isNotNull(), t), ignorenulls=True).over(fwd)
+    interp = prev_v + (next_v - prev_v) * (t - prev_t) / (next_t - prev_t)
+    filled = (
+        F.when(v.isNotNull(), v.cast("double"))
+        .when(
+            prev_v.isNotNull() & next_v.isNotNull() & (next_t > prev_t),
+            interp,
+        )
+        .otherwise(F.lit(None).cast("double"))
+    )
+    return df.withColumn(out_col, filled)

@@ -1982,8 +1982,69 @@ FROM events GROUP BY user_id
 """
 
 
+#: fixed PSI bin edges for the events value distribution (caller-fixed
+#: by design — quantile-derived edges would change every run and make
+#: drift unmeasurable; see operators/expectations.py::psi_drift)
+_PSI_BREAKS = [5.0, 10.0, 20.0, 50.0, 100.0, 200.0]
+
+
+def value_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution-drift monitor (operators/expectations.py::psi_drift):
+    PSI of the events value distribution, first half of January as the
+    reference vs the rest as current, over fixed bin edges.  One
+    |bins|-sized shuffle per side, broadcast totals; psi terms are a
+    deterministic expression over identical doubles in both engines —
+    rounding is at the output edge only."""
+    from mini_project_204721_data_engineering_spark.functions.parity import portable_round
+    from mini_project_204721_data_engineering_spark.operators.expectations import psi_drift
+
+    ev = load_table(spark, sf_dir, "events")
+    cut = "2024-01-16"
+    ref = ev.filter(F.col("ts") < F.lit(cut).cast("timestamp_ntz"))
+    cur = ev.filter(F.col("ts") >= F.lit(cut).cast("timestamp_ntz"))
+    out = psi_drift(ref, cur, "value", _PSI_BREAKS)
+    return out.select(
+        "bin",
+        portable_round(F.col("ref_frac"), 6).alias("ref_frac"),
+        portable_round(F.col("cur_frac"), 6).alias("cur_frac"),
+        portable_round(F.col("psi_term"), 6).alias("psi_term"),
+    )
+
+
+VALUE_DRIFT_PSI_SQL = """
+WITH binned AS (
+  SELECT CASE WHEN ts < TIMESTAMP '2024-01-16' THEN 'r' ELSE 'c' END AS side,
+         CASE WHEN value < 5 THEN 0 WHEN value < 10 THEN 1
+              WHEN value < 20 THEN 2 WHEN value < 50 THEN 3
+              WHEN value < 100 THEN 4 WHEN value < 200 THEN 5
+              ELSE 6 END AS bin
+  FROM events WHERE value IS NOT NULL
+), counts AS (
+  SELECT side, bin, count(*) AS n FROM binned GROUP BY side, bin
+), fracs AS (
+  SELECT side, bin,
+         n / CAST(sum(n) OVER (PARTITION BY side) AS DOUBLE) AS frac
+  FROM counts
+), spine AS (SELECT CAST(range AS INT) AS bin FROM range(0, 7)),
+clamped AS (
+  SELECT s.bin,
+         greatest(coalesce(r.frac, 0.0), 1e-6) AS rf,
+         greatest(coalesce(c.frac, 0.0), 1e-6) AS cf
+  FROM spine s
+  LEFT JOIN (SELECT bin, frac FROM fracs WHERE side = 'r') r ON s.bin = r.bin
+  LEFT JOIN (SELECT bin, frac FROM fracs WHERE side = 'c') c ON s.bin = c.bin
+)
+SELECT bin,
+       round(rf * 1000000.0) / 1000000.0 AS ref_frac,
+       round(cf * 1000000.0) / 1000000.0 AS cur_frac,
+       round((cf - rf) * ln(cf / rf) * 1000000.0) / 1000000.0 AS psi_term
+FROM clamped
+"""
+
+
 EXTRA_QUERIES = {
     "user_golden_profile": user_golden_profile,
+    "value_drift_psi": value_drift_psi,
     "data_expectations": data_expectations,
     "snapshot_diff": snapshot_diff,
     "apply_changes_rebuild": apply_changes_rebuild,
@@ -2013,6 +2074,7 @@ EXTRA_QUERIES = {
 
 EXTRA_ORACLES = {
     "user_golden_profile": USER_GOLDEN_PROFILE_SQL,
+    "value_drift_psi": VALUE_DRIFT_PSI_SQL,
     "data_expectations": DATA_EXPECTATIONS_SQL,
     "snapshot_diff": SNAPSHOT_DIFF_SQL,
     "apply_changes_rebuild": APPLY_CHANGES_REBUILD_SQL,

@@ -393,6 +393,65 @@ WINDOW w AS (PARTITION BY user_id ORDER BY ts
 """
 
 
+def sensor_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap repair by linear interpolation
+    (operators/temporal.py::interpolate_linear): treat non-purchase
+    events as sensor dropouts (value → NULL) and repair each gap with
+    the time-weighted straight line between the user's surrounding
+    purchases; leading/trailing gaps stay NULL (no extrapolation).
+    Two running IGNORE-NULLS window passes over one keyed sort — no
+    self-join, cost ∝ rows not gap length.  The same expression tree
+    is evaluated on identical doubles in DuckDB, so values match to
+    the last ulp; rounding is belt-and-braces."""
+    from mini_project_204721_data_engineering_spark.functions.parity import portable_round
+    from mini_project_204721_data_engineering_spark.operators.temporal import interpolate_linear
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.when(F.col("event_type") == "purchase", F.col("value")).alias("v"),
+    )
+    out = interpolate_linear(
+        ev, ["user_id"], "ts", "v", out_col="v_filled",
+        tiebreak_cols=["event_id"],
+    )
+    return out.select(
+        "event_id", "user_id", portable_round(F.col("v_filled"), 4).alias("v_filled")
+    )
+
+
+SENSOR_INTERPOLATE_SQL = """
+WITH base AS (
+  SELECT event_id, user_id, ts,
+         CASE WHEN event_type = 'purchase' THEN value END AS v,
+         CAST(epoch_us(ts) AS DOUBLE) AS t
+  FROM events
+), w AS (
+  SELECT event_id, user_id, v, t,
+    last_value(v IGNORE NULLS) OVER wb AS prev_v,
+    first_value(v IGNORE NULLS) OVER wf AS next_v,
+    last_value(CASE WHEN v IS NOT NULL THEN t END IGNORE NULLS)
+      OVER wb AS prev_t,
+    first_value(CASE WHEN v IS NOT NULL THEN t END IGNORE NULLS)
+      OVER wf AS next_t
+  FROM base
+  WINDOW wb AS (PARTITION BY user_id ORDER BY ts, event_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+         wf AS (PARTITION BY user_id ORDER BY ts, event_id
+                ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+)
+SELECT event_id, user_id,
+       round((CASE WHEN v IS NOT NULL THEN v
+                   WHEN prev_v IS NOT NULL AND next_v IS NOT NULL
+                        AND next_t > prev_t
+                   THEN prev_v + (next_v - prev_v) * (t - prev_t)
+                        / (next_t - prev_t) END) * 10000.0) / 10000.0
+         AS v_filled
+FROM w
+"""
+
+
 QUERIES = {
     "events_hourly": events_hourly,
     "daily_activity": daily_activity,
@@ -408,10 +467,12 @@ QUERIES = {
 EXTRA_QUERIES = {
     "value_p95_histogram": value_p95_histogram,
     "user_rolling_1h_spend": user_rolling_1h_spend,
+    "sensor_interpolate": sensor_interpolate,
 }
 EXTRA_ORACLES = {
     "value_p95_histogram": VALUE_P95_HISTOGRAM_SQL,
     "user_rolling_1h_spend": USER_ROLLING_1H_SPEND_SQL,
+    "sensor_interpolate": SENSOR_INTERPOLATE_SQL,
 }
 
 ORACLES = {

@@ -1400,3 +1400,84 @@ def test_golden_record_survivorship_per_column_backfill(spark):
     )
     assert "partial_max_by" in plan.lower() or "HashAggregate" in plan
     assert "Window" not in plan and "Join" not in plan
+
+
+def test_interpolate_linear_hand_computed_gaps_edges_ties(spark):
+    """interpolate_linear: interior NULLs become the time-weighted line
+    between neighbors (hand-computed), leading/trailing gaps stay NULL,
+    non-null rows pass through, zero-span (equal-ts) gaps stay NULL,
+    partitions are independent, empty partition_cols refused."""
+    import datetime as dt
+
+    import pytest
+
+    from mini_project_204721_data_engineering_spark.operators.temporal import interpolate_linear
+
+    t0 = dt.datetime(2024, 1, 1)
+
+    def at(s):
+        return t0 + dt.timedelta(seconds=s)
+
+    rows = [
+        ("u", 1, at(0), None),     # leading gap -> NULL
+        ("u", 2, at(10), 10.0),
+        ("u", 3, at(15), None),    # halfway 10->20 over [10s,30s] => 12.5
+        ("u", 4, at(30), 20.0),
+        ("u", 5, at(40), None),    # trailing gap -> NULL
+        ("v", 6, at(0), 5.0),      # other partition: u's points invisible
+        ("v", 7, at(10), None),
+    ]
+    df = spark.createDataFrame(rows, "k string, id long, ts timestamp, v double")
+    out = {
+        r["id"]: r["f"]
+        for r in interpolate_linear(
+            df, ["k"], "ts", "v", out_col="f", tiebreak_cols=["id"]
+        ).collect()
+    }
+    assert out[1] is None and out[5] is None and out[7] is None
+    assert out[2] == 10.0 and out[4] == 20.0
+    assert abs(out[3] - 12.5) < 1e-12
+    # equal timestamps on the surrounding points: zero span -> NULL
+    z = spark.createDataFrame(
+        [("w", 1, at(0), 1.0), ("w", 2, at(0), None), ("w", 3, at(0), 3.0)],
+        "k string, id long, ts timestamp, v double",
+    )
+    zo = {
+        r["id"]: r["v"]
+        for r in interpolate_linear(z, ["k"], "ts", "v", tiebreak_cols=["id"]).collect()
+    }
+    assert zo[2] is None and zo[1] == 1.0 and zo[3] == 3.0
+    with pytest.raises(ValueError, match="partition column"):
+        interpolate_linear(df, [], "ts", "v")
+
+
+def test_psi_drift_planted_shift_empty_bins_and_refusal(spark):
+    """psi_drift: identical distributions give PSI ~ 0 exactly (every
+    term 0 since fractions match); a planted shift yields positive
+    terms; bins empty on one side appear via the spine with ε-clamped
+    fractions; NULLs excluded; unsorted breaks refused."""
+    import math
+
+    import pytest
+
+    from mini_project_204721_data_engineering_spark.operators.expectations import psi_drift
+
+    a = spark.createDataFrame([(float(x),) for x in (1, 1, 5, 5, 9, 9)], "x double")
+    same = psi_drift(a, a, "x", [4.0, 8.0]).collect()
+    assert len(same) == 3
+    assert all(r["psi_term"] == 0.0 for r in same)
+    # shift everything into the top bin; bottom bins empty on cur side
+    b = spark.createDataFrame([(9.0,), (9.5,), (None,)], "x double")
+    rows = {r["bin"]: r for r in psi_drift(a, b, "x", [4.0, 8.0]).collect()}
+    assert rows[0]["cur_frac"] == 1e-6 and rows[1]["cur_frac"] == 1e-6
+    assert rows[2]["cur_frac"] == 1.0  # the NULL row was excluded
+    total = sum(r["psi_term"] for r in rows.values())
+    # hand check: bins (1/3,eps),(1/3,eps),(1/3,1.0)
+    exp = 2 * ((1e-6 - 1 / 3) * math.log(1e-6 / (1 / 3))) + (
+        (1.0 - 1 / 3) * math.log(1.0 / (1 / 3))
+    )
+    assert abs(total - exp) < 1e-9
+    with pytest.raises(ValueError, match="ascending"):
+        psi_drift(a, b, "x", [8.0, 4.0])
+    with pytest.raises(ValueError, match="ascending"):
+        psi_drift(a, b, "x", [])
