@@ -63,18 +63,51 @@ __all__ = ["doc_tf_vectors", "sparse_cosine_join"]
 
 
 def doc_tf_vectors(
-    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    weighting: str = "tf",
 ) -> DataFrame:
-    """L2-normalized sparse token-tf vectors: ``(id, term, w)`` with
+    """L2-normalized sparse token vectors: ``(id, term, w)`` with
     ``Σ w² = 1`` per document.  Empty documents produce no rows (a
-    zero vector has no cosine).  One (id, term) shuffle for the tf
-    count, one id-partitioned window for the norm — no join-back."""
+    zero vector has no cosine).  ``weighting="tf"`` uses raw term
+    frequency; ``"tfidf"`` scales by the same smoothed idf as
+    :func:`~mini_project_204721_data_engineering_spark.llm.quality.tfidf_topk`
+    (``ln((N+1)/(df+1)) + 1``) — the production setting for topical
+    similarity, and the one that starves stopwords of mass so the
+    prefix index sheds their posting lists.  One (id, term) shuffle
+    for the tf count, an id-partitioned window for the norm; tfidf
+    adds one vocab-sized ``term`` join and a broadcast 1-row N."""
+    if weighting not in ("tf", "tfidf"):
+        raise ValueError(f"weighting must be 'tf' or 'tfidf', got {weighting!r}")
     tok = docs.select(
         F.col(id_col).alias("id"), F.explode(tokens(F.col(text_col))).alias("term")
     ).filter(F.col("term") != "")
     tf = tok.groupBy("id", "term").agg(
         F.count(F.lit(1)).cast("double").alias("w")
     )
+    if weighting == "tfidf":
+        dfreq = tf.groupBy("term").agg(
+            F.count(F.lit(1)).cast("double").alias("__idf_df")
+        )
+        n = docs.agg(F.count(F.lit(1)).cast("double").alias("__n"))
+        tf = (
+            tf.join(dfreq, "term")
+            .crossJoin(F.broadcast(n))
+            .select(
+                "id",
+                "term",
+                (
+                    F.col("w")
+                    * (
+                        F.log(
+                            (F.col("__n") + 1.0) / (F.col("__idf_df") + 1.0)
+                        )
+                        + 1.0
+                    )
+                ).alias("w"),
+            )
+        )
     nw = Window.partitionBy("id")
     return tf.withColumn(
         "w", F.col("w") / F.sqrt(F.sum(F.col("w") * F.col("w")).over(nw))
@@ -93,6 +126,7 @@ def sparse_cosine_join(
     prefix_filter: bool = True,
     round_dp: int = 4,
     persist_vectors: bool = False,
+    weighting: str = "tf",
 ) -> DataFrame:
     """Every document pair with tf-vector cosine ≥ ``threshold`` —
     exact, never all-pairs.  Returns ``(id_1, id_2, cos_sim)`` with
@@ -108,10 +142,13 @@ def sparse_cosine_join(
     (MEMORY_AND_DISK) so the flag/candidate/verify stages share ONE
     tokenize+normalize pass — the mandatory setting at corpus scale
     (three full text scans otherwise), same contract as
-    ``tfidf_topk(persist_tf=)``.  The cache is tf-table-sized."""
+    ``tfidf_topk(persist_tf=)``.  The cache is tf-table-sized.
+    ``weighting`` selects raw-tf or smoothed-tfidf vectors (see
+    :func:`doc_tf_vectors`); the completeness theorem is
+    weighting-agnostic — it only needs L2-normalized vectors."""
     if not 0.0 < threshold <= 1.0:
         raise ValueError(f"threshold must be in (0, 1], got {threshold}")
-    vec = doc_tf_vectors(docs, id_col, text_col)
+    vec = doc_tf_vectors(docs, id_col, text_col, weighting=weighting)
     if persist_vectors:
         from pyspark import StorageLevel
 

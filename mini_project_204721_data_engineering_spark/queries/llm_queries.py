@@ -2047,6 +2047,52 @@ def sparse_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def sparse_cosine_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The idf-weighted variant of :func:`sparse_cosine_pairs` — the
+    production setting for topical similarity: term weights scale by
+    the same smoothed idf as tfidf_topk before L2 normalization, so
+    boilerplate/common terms carry ~no mass and pairs qualify on
+    INFORMATIVE overlap.  Same prefix-filtered plan (the completeness
+    theorem is weighting-agnostic); oracle re-derives tf·idf, the
+    norms, and the brute join in SQL."""
+    from mini_project_204721_data_engineering_spark.llm.sparse_sim import sparse_cosine_join
+
+    docs = load_table(spark, sf_dir, "documents")
+    return sparse_cosine_join(
+        docs, 0.85, prefix_filter=True, persist_vectors=True,
+        weighting="tfidf",
+    ).select(
+        F.col("id_1").alias("doc_id_1"),
+        F.col("id_2").alias("doc_id_2"),
+        "cos_sim",
+    )
+
+
+SPARSE_COSINE_TFIDF_SQL = r"""
+WITH toks AS (
+  SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS term
+  FROM documents
+), tf AS (
+  SELECT doc_id, term, CAST(count(*) AS DOUBLE) AS w
+  FROM toks WHERE term <> '' GROUP BY doc_id, term
+), dfreq AS (
+  SELECT term, CAST(count(*) AS DOUBLE) AS df FROM tf GROUP BY term
+), n AS (SELECT CAST(count(*) AS DOUBLE) AS nn FROM documents),
+wts AS (
+  SELECT doc_id, term, w * (ln((nn + 1.0) / (df + 1.0)) + 1.0) AS w
+  FROM tf JOIN dfreq USING (term) CROSS JOIN n
+), nrm AS (SELECT doc_id, sqrt(sum(w * w)) AS nm FROM wts GROUP BY doc_id),
+v AS (SELECT wts.doc_id, term, w / nm AS w FROM wts JOIN nrm USING (doc_id)),
+p AS (
+  SELECT a.doc_id AS doc_id_1, b.doc_id AS doc_id_2, sum(a.w * b.w) AS s
+  FROM v a JOIN v b ON a.term = b.term AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT doc_id_1, doc_id_2, round(s * 10000) / 10000 AS cos_sim
+FROM p WHERE round(s * 10000) / 10000 >= 0.85
+"""
+
+
 SPARSE_COSINE_PAIRS_SQL = r"""
 WITH toks AS (
   SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS term
@@ -2068,6 +2114,7 @@ FROM p WHERE round(s * 10000) / 10000 >= 0.9
 
 EXTRA_QUERIES = {
     "sparse_cosine_pairs": sparse_cosine_pairs,
+    "sparse_cosine_tfidf": sparse_cosine_tfidf,
     "alpha_mix_counts": alpha_mix_counts,
     "bigram_quality": bigram_quality,
     "tfidf_top_terms": tfidf_top_terms,
@@ -2106,6 +2153,7 @@ EXTRA_QUERIES = {
 }
 EXTRA_ORACLES = {
     "sparse_cosine_pairs": SPARSE_COSINE_PAIRS_SQL,
+    "sparse_cosine_tfidf": SPARSE_COSINE_TFIDF_SQL,
     "alpha_mix_counts": ALPHA_MIX_COUNTS_SQL,
     "bigram_quality": BIGRAM_QUALITY_SQL,
     "tfidf_top_terms": TFIDF_TOP_TERMS_SQL,

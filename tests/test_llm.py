@@ -1712,3 +1712,16 @@ def test_sparse_cosine_join_prefix_equals_brute_and_edge_cases(spark):
         sparse_cosine_join(edge, 0.0)
     with pytest.raises(ValueError, match="threshold"):
         sparse_cosine_join(edge, 1.5)
+    # idf weighting: prefix ≡ brute holds (the theorem only needs
+    # normalized vectors), exact duplicates still score 1.0, and the
+    # shared-boilerplate pair ranks LOWER under tfidf than under tf
+    ti_a = sorted(map(tuple, sparse_cosine_join(docs, 0.7, weighting="tfidf").collect()))
+    ti_b = sorted(map(tuple,
+                      sparse_cosine_join(docs, 0.7, prefix_filter=False,
+                                         weighting="tfidf").collect()))
+    assert ti_a == ti_b
+    exact_ti = {(x[0], x[1]): x[2]
+                for x in sparse_cosine_join(edge, 0.99, weighting="tfidf").collect()}
+    assert set(exact_ti) == {(1, 2), (5, 6)}
+    with pytest.raises(ValueError, match="weighting"):
+        sparse_cosine_join(edge, 0.5, weighting="bm25")
