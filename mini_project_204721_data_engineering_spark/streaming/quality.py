@@ -16,7 +16,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["expectations_stream", "process_expectations_batch"]
+__all__ = ["expectations_stream", "process_expectations_batch",
+           "drift_stream", "process_drift_batch"]
 
 
 def process_expectations_batch(
@@ -56,6 +57,55 @@ def expectations_stream(
     def process(batch_df: DataFrame, batch_id: int) -> None:
         process_expectations_batch(
             batch_df, batch_id, expects, report_path, table_name, static_tables
+        )
+
+    return stream_df.writeStream.outputMode("append").foreachBatch(process)
+
+
+def process_drift_batch(
+    batch_df: DataFrame,
+    batch_id: int,
+    ref: DataFrame,
+    col: str,
+    breaks: list,
+    report_path: str,
+    eps: float = 1e-6,
+) -> None:
+    """One epoch of the drift monitor: PSI of this batch's ``col``
+    distribution against a STATIC reference snapshot (the training-set
+    or last-known-good distribution), written as this batch's
+    bins-sized report.  Same statelessness/idempotence contract as the
+    expectations gate: the report is a pure function of the batch, and
+    each batch overwrites its own ``batch=<id>/`` directory."""
+    from mini_project_204721_data_engineering_spark.operators.expectations import psi_drift
+
+    if batch_df.isEmpty():
+        return
+    report = (
+        psi_drift(ref, batch_df, col, breaks, eps=eps)
+        .withColumn("batch_id", F.lit(batch_id).cast("long"))
+    )
+    report.write.mode("overwrite").parquet(f"{report_path}/batch={batch_id}")
+
+
+def drift_stream(
+    stream_df: DataFrame,
+    ref: DataFrame,
+    col: str,
+    breaks: list,
+    report_path: str,
+    eps: float = 1e-6,
+):
+    """Wire a streaming DataFrame into the per-batch PSI drift monitor
+    (operators/expectations.py::psi_drift vs a static reference).
+    Returns the ``DataStreamWriter`` (caller adds checkpoint/trigger
+    and ``.start()``).  Downstream alerting reads the report stream
+    and triggers on ``sum(psi_term) > 0.25`` per batch — the standard
+    investigate threshold."""
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        process_drift_batch(
+            batch_df, batch_id, ref, col, breaks, report_path, eps=eps
         )
 
     return stream_df.writeStream.outputMode("append").foreachBatch(process)

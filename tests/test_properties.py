@@ -638,3 +638,57 @@ def test_merge_into_model_property(spark, seed_rows, feed1, feed2):
         assert on_disk == live
     finally:
         shutil.rmtree(base, ignore_errors=True)
+
+
+@settings(deadline=None, max_examples=6)
+@given(
+    docs=st.lists(
+        st.lists(
+            st.sampled_from(["aa", "bb", "cc", "dd", "ee", "ff"]),
+            min_size=0, max_size=8,
+        ),
+        min_size=2, max_size=10,
+    ),
+    threshold=st.sampled_from([0.3, 0.6, 0.9]),
+)
+def test_sparse_cosine_prefix_complete_and_matches_numpy(spark, docs, threshold):
+    """Property: on arbitrary corpora the prefix-filtered all-pairs
+    cosine join returns EXACTLY the brute inverted-index join's pairs
+    (the completeness theorem), and both agree with an independent
+    numpy dense-cosine computation away from the rounding knife-edge."""
+    import numpy as np
+
+    from mini_project_204721_data_engineering_spark.llm.sparse_sim import sparse_cosine_join
+
+    df = spark.createDataFrame(
+        [(i, " ".join(words)) for i, words in enumerate(docs)],
+        "doc_id long, text string",
+    )
+    got = sorted(map(tuple, sparse_cosine_join(df, threshold).collect()))
+    brute = sorted(
+        map(tuple, sparse_cosine_join(df, threshold, prefix_filter=False).collect())
+    )
+    assert got == brute
+    # numpy dense reference
+    vocab = sorted({w for d in docs for w in d})
+    idx = {w: i for i, w in enumerate(vocab)}
+    mats = []
+    for d in docs:
+        v = np.zeros(max(len(vocab), 1))
+        for w in d:
+            v[idx[w]] += 1.0
+        n = np.linalg.norm(v)
+        mats.append(v / n if n > 0 else v)
+    expected = {}
+    for i in range(len(docs)):
+        for j in range(i + 1, len(docs)):
+            if docs[i] and docs[j]:
+                expected[(i, j)] = float(np.dot(mats[i], mats[j]))
+    got_pairs = {(a, b): s for a, b, s in got}
+    for (i, j), s in expected.items():
+        if s >= threshold + 1e-4:
+            assert (i, j) in got_pairs, (i, j, s, got_pairs)
+        if s <= threshold - 1e-4:
+            assert (i, j) not in got_pairs, (i, j, s)
+    for (a, b), s in got_pairs.items():
+        assert abs(s - expected[(a, b)]) < 1e-3

@@ -992,3 +992,71 @@ def test_streaming_geofence_alerts_match_batch(spark):
         shutil.rmtree(d, ignore_errors=True)
         shutil.rmtree(ckpt, ignore_errors=True)
         shutil.rmtree(alerts.rsplit("/", 1)[0], ignore_errors=True)
+
+
+def test_drift_stream_per_batch_psi_matches_batch_and_replays(spark):
+    """Streaming PSI drift gate (streaming/quality.py::drift_stream):
+    each micro-batch's report equals the batch psi_drift against the
+    same static reference (stream ≡ batch), a planted shifted batch
+    crosses the 0.25 investigate threshold while an in-distribution
+    batch stays under it, and re-invoking a batch function overwrites
+    idempotently."""
+    from mini_project_204721_data_engineering_spark.operators.expectations import psi_drift
+    from mini_project_204721_data_engineering_spark.streaming.quality import (
+        drift_stream,
+        process_drift_batch,
+    )
+
+    feed = tempfile.mkdtemp(prefix="drift_feed_")
+    rep = tempfile.mkdtemp(prefix="drift_rep_") + "/r"
+    ck = tempfile.mkdtemp(prefix="drift_ck_")
+    breaks = [10.0, 20.0]
+    ref = spark.createDataFrame(
+        [(float(v),) for v in (5, 5, 15, 15, 25, 25)], "x double"
+    )
+    # batch 1: same shape as ref (uniform thirds); batch 2: all-top shift
+    b1 = [(float(v),) for v in (6, 16, 26)]
+    b2 = [(float(v),) for v in (27, 28, 29)]
+    spark.createDataFrame(b1, "x double").coalesce(1).write.mode("append").parquet(feed)
+    spark.createDataFrame(b2, "x double").coalesce(1).write.mode("append").parquet(feed)
+    try:
+        q = (
+            drift_stream(
+                spark.readStream.schema("x double")
+                .option("maxFilesPerTrigger", 1).parquet(feed),
+                ref, "x", breaks, rep,
+            )
+            .option("checkpointLocation", ck)
+            .trigger(availableNow=True)
+            .start()
+        )
+        assert q.awaitTermination(120)
+        got = spark.read.parquet(rep)
+        assert got.select("batch_id").distinct().count() == 2
+        # per-batch totals: which batch got which file is
+        # order-dependent, so compare the SET of totals
+        totals = {
+            round(r["t"], 6)
+            for r in got.groupBy("batch_id").agg(F.sum("psi_term").alias("t")).collect()
+        }
+        exp = set()
+        for rows in (b1, b2):
+            bdf = spark.createDataFrame(rows, "x double")
+            exp.add(round(
+                psi_drift(ref, bdf, "x", breaks)
+                .agg(F.sum("psi_term")).collect()[0][0], 6))
+        assert totals == exp
+        assert min(totals) < 0.25 < max(totals)  # planted shift detected
+        # replay idempotence: re-run one batch id with the same data
+        bid = got.select("batch_id").distinct().orderBy("batch_id").collect()[0][0]
+        one = spark.read.parquet(f"{rep}/batch={bid}").drop("batch_id")
+        process_drift_batch(
+            spark.createDataFrame(b1, "x double"), bid, ref, "x", breaks, rep
+        )
+        two = spark.read.parquet(f"{rep}/batch={bid}").drop("batch_id")
+        assert two.count() == len(breaks) + 1
+        assert one.columns == two.columns
+    finally:
+        shutil.rmtree(feed, ignore_errors=True)
+        shutil.rmtree(os.path.dirname(rep), ignore_errors=True)
+        shutil.rmtree(ck, ignore_errors=True)
