@@ -34,6 +34,7 @@ __all__ = [
     "rates_for_token_budget",
     "hash_topk_sample",
     "weighted_sample",
+    "weighted_sample_threshold",
     "epoch_order",
     "alpha_mix_rates",
 ]
@@ -264,6 +265,18 @@ def weighted_sample(
     k-th and (k+1)-th pick — statistical properties are pytest-pinned
     instead (frequency ∝ weight over many seeds, determinism across
     repartitionings, nesting)."""
+    scored = _aes_scored(df, weight_col, key, seed)
+    return (
+        scored.orderBy(F.col("__wk").desc(), F.col(key).asc())
+        .limit(k)
+        .drop("__wk")
+    )
+
+
+def _aes_scored(df: DataFrame, weight_col: str, key: str, seed: int) -> DataFrame:
+    """Positive-weight rows with the A-ES rank key ``__wk`` attached —
+    shared by :func:`weighted_sample` (top-k form) and
+    :func:`weighted_sample_threshold` (filter form)."""
     w = F.col(weight_col).cast("double")
     # seed hashed as LONG: xxhash64 output depends on the input's width,
     # so an int-literal seed would silently disagree with a bigint seed
@@ -279,13 +292,86 @@ def weighted_sample(
         + 1
     ) / F.lit(float(_m))  # uniform on (0, 1], never 0 → ln finite
     rank_key = F.log(u) / w
-    return (
-        df.filter(w.isNotNull() & (w > 0))
-        .withColumn("__wk", rank_key)
-        .orderBy(F.col("__wk").desc(), F.col(key).asc())
-        .limit(k)
-        .drop("__wk")
+    return df.filter(w.isNotNull() & (w > 0)).withColumn("__wk", rank_key)
+
+
+def weighted_sample_threshold(
+    df: DataFrame,
+    k: int,
+    weight_col: str,
+    key: str,
+    seed: int = 0,
+    rel_err: float = 1e-4,
+    margin: float = 4.0,
+) -> DataFrame:
+    """:func:`weighted_sample` for CORPUS-SIZED ``k`` ("pick 100M docs
+    by quality weight"): the same exactly-k A-ES sample, selected by a
+    distributed FILTER instead of a top-k heap.  ``orderBy().limit(k)``
+    plans as TakeOrderedAndProject — per-task k-row heaps and a k-row
+    driver materialization, fine at 10k picks and fatal at 100M.  Here
+    the k-th rank key is LOCATED rather than collected:
+
+    1. one pass scores rows (persisted — the 3 bounded follow-up jobs
+       reuse it), 2. ``approxQuantile`` brackets the k-th largest key
+       at ``1 − k/n ± margin·rel_err``, 3. one conditional aggregate
+       counts the definitely-in rows above the bracket and validates
+       the bracket actually straddles k (falls back to the top-k form
+       on the rare estimator miss), 4. the exact boundary row is the
+       j-th of the BAND (≈ ``2·margin·rel_err·n`` rows, the only
+       sorted set), 5. the output is ``filter(wk > cut OR (wk = cut
+       AND key ≤ cut_key))`` — no heap anywhere, every job bounded.
+
+    Selects EXACTLY the same rows as ``weighted_sample`` for the same
+    seed (pytest-pinned), because both cut the identical total order
+    ``(wk desc, key asc)`` at position k.  Returns all positive-weight
+    rows when ``k ≥ n``.  The persisted score frame is input-sized —
+    call ``spark.catalog.clearCache()`` when done if memory is tight."""
+    from pyspark import StorageLevel
+
+    scored = _aes_scored(df, weight_col, key, seed).persist(
+        StorageLevel.MEMORY_AND_DISK
     )
+    n = scored.count()
+    if k >= n:
+        return scored.drop("__wk")
+    p = 1.0 - k / n
+    lo_q = max(0.0, p - margin * rel_err)
+    hi_q = min(1.0, p + margin * rel_err)
+    t_lo, t_hi = scored.stat.approxQuantile("__wk", [lo_q, hi_q], rel_err)
+    counts = scored.agg(
+        F.count(F.when(F.col("__wk") > t_hi, 1)).alias("c_hi"),
+        F.count(F.when(F.col("__wk") > t_lo, 1)).alias("c_lo"),
+    ).collect()[0]
+    c_hi, c_lo = counts["c_hi"], counts["c_lo"]
+    if not (c_hi <= k <= c_lo):  # estimator miss — guaranteed-exact fallback
+        return (
+            scored.orderBy(F.col("__wk").desc(), F.col(key).asc())
+            .limit(k)
+            .drop("__wk")
+        )
+    j = k - c_hi
+    if j == 0:
+        return scored.filter(F.col("__wk") > t_hi).drop("__wk")
+    band = scored.filter(
+        (F.col("__wk") > t_lo) & (F.col("__wk") <= t_hi)
+    )
+    # the j-th row of the band under (wk desc, key asc) is the LAST of
+    # the limited set under that order: re-order the j survivors by the
+    # REVERSED order and take the first — two bounded TakeOrdereds over
+    # the band, never over the table
+    cut_row = (
+        band.orderBy(F.col("__wk").desc(), F.col(key).asc())
+        .limit(j)
+        .orderBy(F.col("__wk").asc(), F.col(key).desc())
+        .limit(1)
+        .select("__wk", F.col(key).alias("__ck"))
+        .collect()[0]
+    )
+    cut_wk, cut_key = cut_row["__wk"], cut_row["__ck"]
+    return scored.filter(
+        (F.col("__wk") > F.lit(cut_wk))
+        | ((F.col("__wk") == F.lit(cut_wk)) & (F.col(key) <= F.lit(cut_key)))
+    ).drop("__wk")
 
 
 def epoch_order(

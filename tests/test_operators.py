@@ -1481,3 +1481,34 @@ def test_psi_drift_planted_shift_empty_bins_and_refusal(spark):
         psi_drift(a, b, "x", [8.0, 4.0])
     with pytest.raises(ValueError, match="ascending"):
         psi_drift(a, b, "x", [])
+
+
+def test_weighted_sample_threshold_equals_topk_form(spark):
+    """weighted_sample_threshold: the filter-form large-k path selects
+    EXACTLY the same rows as the TakeOrderedAndProject form for the
+    same seed (both cut the identical (wk desc, key asc) total order at
+    position k), at several k including j=0-ish brackets; k >= n
+    returns all positive-weight rows; the output plan carries no
+    TakeOrderedAndProject."""
+    from mini_project_204721_data_engineering_spark.operators.sampling import (
+        weighted_sample,
+        weighted_sample_threshold,
+    )
+
+    df = spark.range(5000).select(
+        F.concat(F.lit("k"), F.col("id")).alias("key"),
+        (F.pmod(F.xxhash64("id"), F.lit(97)) + 1).cast("double").alias("w"),
+    )
+    for k, seed in ((1, 0), (137, 1), (500, 2), (2500, 0)):
+        a = {r["key"] for r in weighted_sample(df, k, "w", "key", seed=seed).collect()}
+        b = {r["key"] for r in
+             weighted_sample_threshold(df, k, "w", "key", seed=seed).collect()}
+        assert a == b and len(a) == k, (k, seed, len(a), len(b))
+    allr = weighted_sample_threshold(df, 10_000, "w", "key")
+    assert allr.count() == 5000
+    plan = (
+        weighted_sample_threshold(df, 137, "w", "key")
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "TakeOrderedAndProject" not in plan
+    spark.catalog.clearCache()
