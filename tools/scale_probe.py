@@ -71,7 +71,7 @@ def timed(name, fn, out):
 def main() -> None:
     mode = "events"
     args = [a for a in sys.argv[1:]]
-    if args and args[0] in ("events", "docs", "ann", "srp", "cc", "spans", "vocab", "decon", "semdedup", "spatial", "bpe", "hotcell", "radius", "interval", "knn", "merge", "linkage", "sparsesim"):
+    if args and args[0] in ("events", "docs", "ann", "srp", "cc", "spans", "vocab", "decon", "semdedup", "spatial", "bpe", "hotcell", "radius", "interval", "knn", "merge", "linkage", "sparsesim", "wsample"):
         mode = args.pop(0)
     n = int(args[0]) if args else {
         "events": 10_000_000, "docs": 1_000_000, "ann": 1_000_000,
@@ -79,7 +79,7 @@ def main() -> None:
         "vocab": 5_000_000, "decon": 500_000, "semdedup": 100_000,
         "spatial": 1_000_000, "bpe": 200_000, "hotcell": 50_000, "radius": 1_000_000, "interval": 1_000_000,
         "knn": 1_000_000, "merge": 10_000_000, "linkage": 100_000,
-        "sparsesim": 10_000,
+        "sparsesim": 10_000, "wsample": 10_000_000,
     }[mode]
     from mini_project_204721_data_engineering_spark.session import get_spark
 
@@ -93,7 +93,8 @@ def main() -> None:
          "hotcell": probe_hotcell, "radius": probe_radius,
          "interval": probe_interval, "knn": probe_knn,
          "merge": probe_merge, "linkage": probe_linkage,
-         "sparsesim": probe_sparsesim}[mode](spark, n, out)
+         "sparsesim": probe_sparsesim,
+         "wsample": probe_wsample}[mode](spark, n, out)
         total = round(sum(r["sec"] for r in out), 3)
         print(json.dumps({"metric": f"scale_probe_{mode}_total", "value": total,
                           "unit": "sec", "n_rows": n,
@@ -985,6 +986,41 @@ def probe_sparsesim(spark, n: int, out: list) -> None:
 
     timed("sparse_cosine_prefix", run(True, "prefix"), out)
     timed("sparse_cosine_brute", run(False, "brute"), out)
+
+
+def probe_wsample(spark, n: int, out: list) -> None:
+    """Exactly-k weighted sampling at corpus-sized k (k = n/10): the
+    TakeOrderedAndProject form holds a k-row heap per task and
+    materializes k rows on the driver; the threshold form locates the
+    k-th rank key and selects by filter.  Both must return the same
+    row count; the probe pins the cost separation and that the filter
+    form stays driver-safe."""
+    from mini_project_204721_data_engineering_spark.operators.sampling import (
+        weighted_sample,
+        weighted_sample_threshold,
+    )
+
+    df = spark.range(n).select(
+        F.col("id").alias("key"),
+        (F.pmod(F.xxhash64("id"), F.lit(997)) + 1).cast("double").alias("w"),
+    ).localCheckpoint(eager=True)
+    k = n // 10
+
+    def topk():
+        return weighted_sample(df, k, "w", "key").agg(
+            F.count(F.lit(1)), F.sum("key")
+        ).collect()[0][0]
+
+    def threshold():
+        got = weighted_sample_threshold(df, k, "w", "key").agg(
+            F.count(F.lit(1)), F.sum("key")
+        ).collect()[0][0]
+        spark.catalog.clearCache()
+        return got
+
+    timed("weighted_topk_form", topk, out)
+    timed("weighted_threshold_form", threshold, out)
+    assert out[-1]["rows"] == out[-2]["rows"] == k, (out[-2], out[-1])
 
 
 if __name__ == "__main__":
