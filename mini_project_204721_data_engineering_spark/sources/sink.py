@@ -56,6 +56,32 @@ def _read_if_exists(spark: SparkSession, path: str) -> DataFrame | None:
     return None  # exists but no visible data file → fresh
 
 
+def _check_merge_schema(source: DataFrame, existing: DataFrame, op: str) -> None:
+    """Column-set contract for merging into an EXISTING table: the
+    source must carry exactly the target's columns.  Without this, an
+    extra source column was SILENTLY DROPPED (the merge projects the
+    target's columns) and a missing one surfaced as an opaque
+    UNRESOLVED_COLUMN from deep inside the plan — both real data-loss /
+    debuggability hazards on a CDC feed.  Schema evolution is an
+    explicit upstream decision (add the column to the target first, or
+    drop/derive it on the source), not something a merge infers."""
+    src, tgt = set(source.columns), set(existing.columns)
+    if src != tgt:
+        extra = sorted(src - tgt)
+        missing = sorted(tgt - src)
+        parts = []
+        if extra:
+            parts.append(f"source-only columns {extra} would be silently dropped")
+        if missing:
+            parts.append(f"target columns {missing} are missing from the source")
+        raise ValueError(
+            f"{op}: source schema does not match the existing table — "
+            + "; ".join(parts)
+            + ". Align the schemas explicitly (evolve the target or project "
+            "the source) before merging."
+        )
+
+
 def write_fact_partitioned(df: DataFrame, path: str, partition_cols: Sequence[str]) -> None:
     """Initial/append write of a fact table partitioned for pruning
     (reference's B-tree indexes on date/year, ``models.py:91-99`` →
@@ -121,6 +147,7 @@ def merge_into_fact(
         out = incoming.repartition(F.col(partition_col))
         write_fact_partitioned(out, path, [partition_col])
         return out.count()
+    _check_merge_schema(incoming, existing, "merge_into_fact")
 
     bounds = incoming.agg(
         F.min(partition_col).alias("lo"), F.max(partition_col).alias("hi")
@@ -225,6 +252,8 @@ def merge_into(
         guarded_key, *keys[1:], *[F.col("__v")[c].alias(c) for c in vals]
     )
     existing = _read_if_exists(spark, path)
+    if existing is not None:
+        _check_merge_schema(src, existing, "merge_into")
     if existing is None:
         if when_not_matched != "insert":
             return {"updated": 0, "deleted": 0, "inserted": 0,

@@ -690,3 +690,43 @@ def test_zorder_handles_negative_and_constant_columns(spark, tmp_path):
     ranges.sort()
     for (lo1, hi1), (lo2, hi2) in zip(ranges, ranges[1:]):
         assert hi1 <= lo2  # disjoint ascending ranges: a-ordering preserved
+
+
+def test_merge_schema_contract_refuses_extra_and_missing_columns(spark):
+    """Merging into an EXISTING table with a source schema that doesn't
+    match must refuse LOUDLY naming the columns — an extra source
+    column was previously dropped silently (data loss on a CDC feed)
+    and a missing one raised an opaque plan-internal error."""
+    from mini_project_204721_data_engineering_spark.sources.sink import (
+        merge_into,
+        merge_into_fact,
+    )
+
+    d = tempfile.mkdtemp(prefix="merge_schema_")
+    tab = os.path.join(d, "t")
+    seed = spark.createDataFrame([(1, "d1", 1.0)], "k long, day string, v double")
+    try:
+        merge_into(seed, tab, ["k"], "day")
+        extra = spark.createDataFrame(
+            [(2, "d1", 2.0, "x")], "k long, day string, v double, extra string"
+        )
+        with pytest.raises(ValueError, match=r"silently dropped.*extra|\['extra'\]"):
+            merge_into(extra, tab, ["k"], "day")
+        with pytest.raises(ValueError, match=r"\['extra'\]"):
+            merge_into_fact(extra, tab, ["k"], "day")
+        missing = spark.createDataFrame([(3, "d1")], "k long, day string")
+        with pytest.raises(ValueError, match=r"\['v'\] are missing from the source"):
+            merge_into(missing, tab, ["k"], "day")
+        with pytest.raises(ValueError, match=r"\['v'\]"):
+            merge_into_fact(missing, tab, ["k"], "day")
+        # the table was not touched by any refused merge (column order
+        # on disk puts the partition column last — compare as dicts)
+        assert [r.asDict() for r in
+                spark.read.parquet(tab).select("k", "day", "v").collect()] == [
+            r.asDict() for r in seed.collect()
+        ]
+        # matching schema still merges fine
+        ok = spark.createDataFrame([(2, "d1", 2.0)], "k long, day string, v double")
+        assert merge_into(ok, tab, ["k"], "day")["inserted"] == 1
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
