@@ -10,6 +10,8 @@ operators a 100 TB text/embedding corpus pipeline needs, built Spark-first:
   label-cell IVF scale path)
 - :mod:`.sparse_sim` — exact all-pairs tf-cosine join (prefix-filtered
   inverted index, Bayardo et al. WWW'07)
+- :mod:`.pq` — product-quantization ANN (Jégou et al. TPAMI 2011):
+  32×-compressed codes, pure-codegen ADC search, shortlist+rerank
 - :mod:`.multimodal` — opaque binary columns with typed metadata and
   Arrow-batched decode plumbing (decode itself stubbed: no image/audio
   libs in this environment)

@@ -1725,3 +1725,85 @@ def test_sparse_cosine_join_prefix_equals_brute_and_edge_cases(spark):
     assert set(exact_ti) == {(1, 2), (5, 6)}
     with pytest.raises(ValueError, match="weighting"):
         sparse_cosine_join(edge, 0.5, weighting="bm25")
+
+
+def test_pq_train_encode_search_recall_and_contracts(spark):
+    """Product quantization (llm/pq.py): deterministic codebooks/codes,
+    reconstruction error shrinks as k grows, ADC search recall@10 vs
+    brute L2 is high on clustered data, the search plan is pure
+    codegen (no Python), and the geometry contracts refuse loudly."""
+    import numpy as np
+    import pytest as pt
+
+    from mini_project_204721_data_engineering_spark.llm.pq import (
+        pq_encode,
+        pq_reconstruct,
+        pq_search,
+        pq_train,
+    )
+
+    # clustered synthetic: 8 well-separated centers in 16-d, 400 points
+    rng = np.random.default_rng(7)
+    centers = rng.normal(0, 10, size=(8, 16))
+    pts = np.concatenate(
+        [c + rng.normal(0, 0.5, size=(50, 16)) for c in centers]
+    )
+    emb = spark.createDataFrame(
+        [(i, [float(v) for v in pts[i]]) for i in range(len(pts))],
+        "vec_id long, embedding array<double>",
+    )
+    cb = pq_train(emb, m=4, k=16, sample=400, iters=8)
+    assert len(cb) == 4 and all(len(c) <= 16 for c in cb)
+    cb2 = pq_train(emb, m=4, k=16, sample=400, iters=8)
+    assert cb == cb2  # bit-deterministic
+    codes = pq_encode(emb, cb)
+    rows = codes.collect()
+    assert len(rows) == 400
+    assert all(len(r["codes"]) == 4 for r in rows)
+    assert all(0 <= c < 16 for r in rows for c in r["codes"])
+    # encode is layout-stable
+    rows2 = pq_encode(emb.repartition(7), cb).collect()
+    assert {r["vec_id"]: r["codes"] for r in rows} == {
+        r["vec_id"]: r["codes"] for r in rows2
+    }
+    # reconstruction error shrinks with k
+    def mse(k):
+        c = pq_train(emb, m=4, k=k, sample=400, iters=8)
+        enc = {r["vec_id"]: r["codes"] for r in pq_encode(emb, c).collect()}
+        errs = [
+            np.sum((np.array(pq_reconstruct(enc[i], c)) - pts[i]) ** 2)
+            for i in range(len(pts))
+        ]
+        return float(np.mean(errs))
+
+    assert mse(16) < mse(2)
+    # the production contract: ADC shortlist mostly CONTAINS the true
+    # top-10 (coarse codes cannot ORDER intra-cluster neighbors — the
+    # textbook PQ limitation), and shortlist + exact rerank recovers
+    # the brute-force answer
+    from mini_project_204721_data_engineering_spark.llm.pq import pq_search_rerank
+
+    codes = codes.localCheckpoint(eager=True)
+    short_rec, rerank_rec = [], []
+    for qi in (3, 77, 150, 260, 399):
+        q = [float(v) for v in pts[qi]]
+        true = set(np.argsort(((pts - np.array(q)) ** 2).sum(axis=1))[:10].tolist())
+        short = {r["vec_id"] for r in pq_search(codes, q, cb, topk=60).collect()}
+        short_rec.append(len(short & true) / 10)
+        rr = {r["vec_id"]
+              for r in pq_search_rerank(codes, emb, q, cb, topk=10,
+                                        shortlist=60).collect()}
+        rerank_rec.append(len(rr & true) / 10)
+    assert sum(short_rec) / len(short_rec) >= 0.8, short_rec
+    assert sum(rerank_rec) / len(rerank_rec) >= 0.9, rerank_rec
+    # pure-codegen search plan: no Python evals
+    plan = pq_search(codes, [0.0] * 16, cb, topk=5)._jdf.queryExecution().executedPlan().toString()
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+    assert "TakeOrderedAndProject" in plan
+    # contracts
+    with pt.raises(ValueError, match="not divisible"):
+        pq_train(emb, m=5, k=8)
+    with pt.raises(ValueError, match="out of range"):
+        pq_train(emb, m=4, k=1)
+    with pt.raises(ValueError, match="query dim"):
+        pq_search(codes, [0.0] * 7, cb)

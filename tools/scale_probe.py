@@ -71,7 +71,7 @@ def timed(name, fn, out):
 def main() -> None:
     mode = "events"
     args = [a for a in sys.argv[1:]]
-    if args and args[0] in ("events", "docs", "ann", "srp", "cc", "spans", "vocab", "decon", "semdedup", "spatial", "bpe", "hotcell", "radius", "interval", "knn", "merge", "linkage", "sparsesim", "wsample"):
+    if args and args[0] in ("events", "docs", "ann", "srp", "cc", "spans", "vocab", "decon", "semdedup", "spatial", "bpe", "hotcell", "radius", "interval", "knn", "merge", "linkage", "sparsesim", "wsample", "pq"):
         mode = args.pop(0)
     n = int(args[0]) if args else {
         "events": 10_000_000, "docs": 1_000_000, "ann": 1_000_000,
@@ -79,7 +79,7 @@ def main() -> None:
         "vocab": 5_000_000, "decon": 500_000, "semdedup": 100_000,
         "spatial": 1_000_000, "bpe": 200_000, "hotcell": 50_000, "radius": 1_000_000, "interval": 1_000_000,
         "knn": 1_000_000, "merge": 10_000_000, "linkage": 100_000,
-        "sparsesim": 10_000, "wsample": 10_000_000,
+        "sparsesim": 10_000, "wsample": 10_000_000, "pq": 1_000_000,
     }[mode]
     from mini_project_204721_data_engineering_spark.session import get_spark
 
@@ -94,7 +94,8 @@ def main() -> None:
          "interval": probe_interval, "knn": probe_knn,
          "merge": probe_merge, "linkage": probe_linkage,
          "sparsesim": probe_sparsesim,
-         "wsample": probe_wsample}[mode](spark, n, out)
+         "wsample": probe_wsample,
+         "pq": probe_pq}[mode](spark, n, out)
         total = round(sum(r["sec"] for r in out), 3)
         print(json.dumps({"metric": f"scale_probe_{mode}_total", "value": total,
                           "unit": "sec", "n_rows": n,
@@ -986,6 +987,38 @@ def probe_sparsesim(spark, n: int, out: list) -> None:
 
     timed("sparse_cosine_prefix", run(True, "prefix"), out)
     timed("sparse_cosine_brute", run(False, "brute"), out)
+
+
+def probe_pq(spark, n: int, out: list) -> None:
+    """Product quantization at embedding-corpus scale: one-off encode
+    cost, then the per-query separation that justifies it — the ADC
+    scan reads m=8 one-byte codes per vector, the brute cosine scan
+    reads all 64 doubles.  Recall is pinned in tests/test_llm.py; this
+    pins the COST."""
+    from mini_project_204721_data_engineering_spark.llm.pq import pq_encode, pq_search, pq_train
+    from mini_project_204721_data_engineering_spark.llm.similarity import cosine_topk
+
+    emb = synth_embeddings(spark, n).localCheckpoint(eager=True)
+    cb = pq_train(emb, m=8, k=256, sample=20_000, iters=5)
+    q = [float((i % 7) - 3) / 3.0 for i in range(64)]
+
+    codes_box = {}
+
+    def encode():
+        codes_box["c"] = pq_encode(emb, cb).localCheckpoint(eager=True)
+        return codes_box["c"].count()
+
+    timed("pq_encode_once", encode, out)
+
+    def adc():
+        return pq_search(codes_box["c"], q, cb, topk=10).count()
+
+    def brute():
+        qdf = spark.createDataFrame([(-1, q)], "vec_id long, embedding array<double>")
+        return cosine_topk(emb, qdf, k=10).count()
+
+    timed("pq_adc_query", adc, out)
+    timed("brute_cosine_query", brute, out)
 
 
 def probe_wsample(spark, n: int, out: list) -> None:
