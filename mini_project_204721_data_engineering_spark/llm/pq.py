@@ -8,9 +8,12 @@ reads every float of every vector per query — 256 B/vector for d=64
 float32.  PQ stores ``m`` one-byte codes per vector instead (32×
 smaller for m=8) and scans per-query lookup tables, so a 100 TB
 embedding corpus becomes a ~3 TB code table that often fits the
-cluster's page cache; IVF routing (:func:`..similarity.ivf_topk`)
-composes on top by encoding residuals per cell — here PQ is kept flat
-and the composition documented.
+cluster's page cache.  The full FAISS ``IndexIVFPQ`` composition is
+implemented too: :func:`ivfpq_build` routes vectors through the
+distributed k-means coarse quantizer and PQ-encodes the per-cell
+RESIDUALS (centered → finer quantization at equal code budget —
+reconstruction-error halving pinned in tests), and
+:func:`ivfpq_search` probes only ``nprobe`` cells' code lists.
 
 Division of labor (deliberate):
 
@@ -41,7 +44,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["pq_train", "pq_encode", "pq_search", "pq_search_rerank", "pq_reconstruct"]
+__all__ = ["pq_train", "pq_encode", "pq_search", "pq_search_rerank",
+           "pq_reconstruct", "ivfpq_build", "ivfpq_search", "ivfpq_search_rerank"]
 
 
 def _check_geometry(d: int, m: int, k: int) -> None:
@@ -252,3 +256,170 @@ def pq_reconstruct(codes: list, codebooks: list) -> list:
     for s, c in enumerate(codes):
         out.extend(codebooks[s][c])
     return out
+
+
+def _exact_rerank(
+    embeddings: DataFrame,
+    cand: DataFrame,
+    query: list,
+    topk: int,
+    id_col: str,
+    vec_col: str,
+) -> DataFrame:
+    """Exact L2 rerank of a bounded candidate id set (broadcast join +
+    zip_with/aggregate codegen) → ``(id, dist)`` ascending."""
+    q = F.array(*[F.lit(float(v)) for v in query])
+    dist = F.expr(
+        f"aggregate(zip_with({vec_col}, __q, (a, b) -> (a - b) * (a - b)), "
+        "0D, (acc, x) -> acc + x)"
+    )
+    return (
+        embeddings.join(F.broadcast(cand.select(id_col)), id_col)
+        .withColumn("__q", q)
+        .select(F.col(id_col), dist.alias("dist"))
+        .orderBy(F.col("dist").asc(), F.col(id_col).asc())
+        .limit(int(topk))
+    )
+
+
+def ivfpq_build(
+    embeddings: DataFrame,
+    ncells: int = 16,
+    m: int = 8,
+    k: int = 256,
+    kmeans_iters: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    sample: int = 65536,
+    pq_iters: int = 10,
+):
+    """IVF-PQ index build — the full FAISS ``IndexIVFPQ`` shape on
+    DataFrames: a k-means coarse quantizer routes each vector to a
+    cell (:func:`..similarity.kmeans_assign` — fully distributed), the
+    RESIDUAL ``v − centroid(cell)`` is what gets PQ-encoded (residuals
+    are centered and small, so the same k centroids quantize them far
+    more finely than raw vectors — the core IVF-PQ insight), and
+    search probes only ``nprobe`` cells' code lists.
+
+    Returns ``(codes_df, centroids, codebooks)``: ``codes_df`` =
+    ``(id, cell, codes)`` — persist it; ``centroids`` = ncells×d
+    nested list; ``codebooks`` as in :func:`pq_train`.  Residual
+    subtraction is ``zip_with`` codegen against the broadcast
+    centroid table; nothing corpus-sized reaches the driver."""
+    from mini_project_204721_data_engineering_spark.llm.similarity import kmeans_assign
+
+    assigned = kmeans_assign(
+        embeddings, ncells=ncells, iters=kmeans_iters,
+        id_col=id_col, vec_col=vec_col,
+    )
+    cent_rows = (
+        assigned.select("cell", F.posexplode(vec_col).alias("pos", "x"))
+        .groupBy("cell", "pos")
+        .agg(F.avg("x").alias("cx"))
+        .groupBy("cell")
+        .agg(F.array_sort(F.collect_list(F.struct("pos", "cx"))).alias("pc"))
+        .select("cell", F.expr("transform(pc, s -> s.cx)").alias("cv"))
+        .collect()
+    )
+    centroids = {r["cell"]: [float(v) for v in r["cv"]] for r in cent_rows}
+    spark = embeddings.sparkSession
+    cent_df = spark.createDataFrame(
+        [(c, v) for c, v in sorted(centroids.items())], ["cell", "cv"]
+    ).select("cell", F.expr("transform(cv, x -> cast(x as double))").alias("cv"))
+    resid = (
+        assigned.join(F.broadcast(cent_df), "cell")
+        .select(
+            id_col,
+            "cell",
+            F.expr(
+                f"zip_with(transform({vec_col}, x -> cast(x as double)), cv, "
+                "(a, b) -> a - b)"
+            ).alias("__resid"),
+        )
+    )
+    codebooks = pq_train(
+        resid, m=m, k=k, id_col=id_col, vec_col="__resid",
+        sample=sample, iters=pq_iters,
+    )
+    codes = pq_encode(
+        resid.select(id_col, "cell", "__resid"), codebooks,
+        id_col=id_col, vec_col="__resid",
+    )
+    # mapInPandas drops non-selected columns — re-attach cell via the
+    # (id, cell) projection (id-keyed join, both sides code-table-sized)
+    codes = codes.join(resid.select(id_col, "cell"), id_col)
+    cent_list = [centroids[c] for c in sorted(centroids)]
+    return codes, cent_list, codebooks
+
+
+def ivfpq_search(
+    codes_df: DataFrame,
+    query: list,
+    centroids: list,
+    codebooks: list,
+    topk: int = 10,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Probed ADC search over an IVF-PQ index → ``(id, approx_dist)``
+    ascending.  Driver picks the ``nprobe`` nearest cells (an
+    ncells×d numpy scan of the MODEL, not the data), builds one
+    residual lookup table per probed cell (query − that centroid), and
+    the scan is a PURE-codegen filter + per-cell LUT aggregate: cells
+    outside the probe set are PRUNED before any distance math — the
+    1/ncells·nprobe scan reduction that makes PQ corpus-scale.
+    Combine with :func:`_exact_rerank`-style reranking via
+    :func:`ivfpq_search_rerank`."""
+    import numpy as np
+
+    q = np.asarray(query, dtype=np.float64)
+    cents = np.asarray(centroids, dtype=np.float64)
+    if q.shape[0] != cents.shape[1]:
+        raise ValueError(f"query dim {q.shape[0]} != centroid dim {cents.shape[1]}")
+    d2 = ((cents - q[None, :]) ** 2).sum(axis=1)
+    order = np.lexsort((np.arange(len(d2)), d2))
+    probed = [int(c) for c in order[: max(1, int(nprobe))]]
+    k = max(len(cb) for cb in codebooks)
+    m = len(codebooks)
+    cell_keys, luts = [], []
+    for c in probed:
+        cell_keys.append(F.lit(c))
+        luts.append(
+            F.array(*[F.lit(v) for v in _lut((q - cents[c]).tolist(), codebooks)])
+        )
+    lut_map = F.map_from_arrays(F.array(*cell_keys), F.array(*luts))
+    dist = F.expr(
+        f"aggregate(sequence(0, {m - 1}), 0D, (acc, s) -> acc + "
+        f"element_at(element_at(__luts, cell), s * {k} + element_at(codes, s + 1) + 1))"
+    )
+    return (
+        codes_df.filter(F.col("cell").isin(probed))
+        .withColumn("__luts", lut_map)
+        .select(F.col(id_col), dist.alias("approx_dist"))
+        .orderBy(F.col("approx_dist").asc(), F.col(id_col).asc())
+        .limit(int(topk))
+    )
+
+
+def ivfpq_search_rerank(
+    codes_df: DataFrame,
+    embeddings: DataFrame,
+    query: list,
+    centroids: list,
+    codebooks: list,
+    topk: int = 10,
+    nprobe: int = 4,
+    shortlist: int = 100,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF-PQ shortlist → exact rerank (the production read path):
+    probed ADC proposes ``shortlist`` ids, only those join back to the
+    full embeddings for exact L2 — same contract as
+    :func:`pq_search_rerank` with the additional 1/ncells·nprobe scan
+    pruning."""
+    cand = ivfpq_search(
+        codes_df, query, centroids, codebooks,
+        topk=int(shortlist), nprobe=nprobe, id_col=id_col,
+    )
+    return _exact_rerank(embeddings, cand, query, topk, id_col, vec_col)

@@ -1807,3 +1807,76 @@ def test_pq_train_encode_search_recall_and_contracts(spark):
         pq_train(emb, m=4, k=1)
     with pt.raises(ValueError, match="query dim"):
         pq_search(codes, [0.0] * 7, cb)
+
+
+def test_ivfpq_residual_index_probes_prune_and_rerank_recovers(spark):
+    """IVF-PQ (llm/pq.py): residual encoding + probed search — the
+    probed scan PRUNES to nprobe cells (plan + row-count asserted),
+    residual quantization beats raw-vector PQ at equal geometry
+    (reconstruction-error comparison), and shortlist+rerank recovers
+    brute-force top-10 on clustered data even at nprobe=2."""
+    import numpy as np
+
+    from mini_project_204721_data_engineering_spark.llm.pq import (
+        ivfpq_build,
+        ivfpq_search,
+        ivfpq_search_rerank,
+        pq_encode,
+        pq_reconstruct,
+        pq_train,
+    )
+
+    rng = np.random.default_rng(11)
+    centers = rng.normal(0, 12, size=(6, 16))
+    pts = np.concatenate([c + rng.normal(0, 0.4, size=(60, 16)) for c in centers])
+    emb = spark.createDataFrame(
+        [(i, [float(v) for v in pts[i]]) for i in range(len(pts))],
+        "vec_id long, embedding array<double>",
+    )
+    codes, cents, cbs = ivfpq_build(
+        emb, ncells=6, m=4, k=8, kmeans_iters=4, sample=360, pq_iters=8
+    )
+    codes = codes.localCheckpoint(eager=True)
+    assert codes.count() == 360
+    assert {r["cell"] for r in codes.select("cell").distinct().collect()} <= set(range(6))
+
+    # residual PQ reconstructs better than raw PQ at the SAME geometry
+    raw_cb = pq_train(emb, m=4, k=8, sample=360, iters=8)
+    raw_codes = {r["vec_id"]: r["codes"] for r in pq_encode(emb, raw_cb).collect()}
+    res_codes = {r["vec_id"]: (r["cell"], r["codes"]) for r in codes.collect()}
+
+    def err_raw(i):
+        return np.sum((np.array(pq_reconstruct(raw_codes[i], raw_cb)) - pts[i]) ** 2)
+
+    def err_res(i):
+        cell, cd = res_codes[i]
+        rec = np.array(cents[cell]) + np.array(pq_reconstruct(cd, cbs))
+        return np.sum((rec - pts[i]) ** 2)
+
+    mse_raw = float(np.mean([err_raw(i) for i in range(360)]))
+    mse_res = float(np.mean([err_res(i) for i in range(360)]))
+    assert mse_res < mse_raw / 2, (mse_res, mse_raw)
+
+    # probed search scans ONLY nprobe cells' rows
+    q = [float(v) for v in pts[42]]
+    probe2 = ivfpq_search(codes, q, cents, cbs, topk=10, nprobe=2)
+    plan = probe2._jdf.queryExecution().executedPlan().toString()
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+    # recall with rerank at nprobe=2 (query's own cluster is probed)
+    rec = []
+    for qi in (5, 100, 222, 359):
+        qv = [float(v) for v in pts[qi]]
+        true = set(np.argsort(((pts - np.array(qv)) ** 2).sum(axis=1))[:10].tolist())
+        got = {
+            r["vec_id"]
+            for r in ivfpq_search_rerank(
+                codes, emb, qv, cents, cbs, topk=10, nprobe=2, shortlist=60
+            ).collect()
+        }
+        rec.append(len(got & true) / 10)
+    assert sum(rec) / len(rec) >= 0.9, rec
+    # dim contract
+    import pytest as pt
+
+    with pt.raises(ValueError, match="query dim"):
+        ivfpq_search(codes, [0.0] * 5, cents, cbs)
