@@ -153,7 +153,13 @@ def read_webdataset(spark: SparkSession, path: str) -> DataFrame:
             shards, keys, exts, payloads = [], [], [], []
             for fpath, content in zip(pdf["path"], pdf["content"]):
                 shard = fpath.rsplit("/", 1)[-1]
-                with tarfile.open(fileobj=io.BytesIO(bytes(content))) as tf:
+                try:
+                    tf_open = tarfile.open(fileobj=io.BytesIO(bytes(content)))
+                except tarfile.TarError as e:
+                    raise ValueError(
+                        f"corrupt WebDataset shard {shard}: {e}"
+                    ) from e
+                with tf_open as tf:
                     for member in tf.getmembers():
                         if not member.isfile():
                             continue

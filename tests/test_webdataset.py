@@ -106,3 +106,16 @@ def test_webdataset_composes_with_multimodal_sniff(spark):
             assert (meta["width"], meta["height"]) == (16 + i, 9 + i)
     finally:
         shutil.rmtree(d, ignore_errors=True)
+
+
+def test_webdataset_corrupt_shard_raises_named_error(spark):
+    """A corrupt shard fails the read LOUDLY naming the file — not a
+    bare TarError from deep inside a task."""
+    d = tempfile.mkdtemp(prefix="wds_bad_")
+    try:
+        with open(os.path.join(d, "shard-00000.tar"), "wb") as fh:
+            fh.write(b"this is definitely not a tar archive" * 20)
+        with pytest.raises(Exception, match="corrupt WebDataset shard shard-00000.tar"):
+            read_webdataset(spark, d).collect()
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
