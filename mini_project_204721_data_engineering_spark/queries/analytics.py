@@ -2042,8 +2042,80 @@ FROM clamped
 """
 
 
+def revenue_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental aggregate-view maintenance
+    (operators/incremental.py::maintain_aggregate): a revenue-by-priority
+    aggregate built over the pre-1997 snapshot, then maintained through a
+    before/after-image CDC feed — deletes (pre-1993 purge), in-place
+    updates (June-1995 price correction of +10.00), and inserts (the
+    1997+ arrivals) — WITHOUT re-reading the fact table.  The oracle
+    recomputes the final state from scratch; value-hash equality proves
+    delta maintenance ≡ full recompute.  Money is summed as integer
+    cents (order-independent, exactly mergeable with deltas); the one
+    divide happens at the output edge."""
+    from mini_project_204721_data_engineering_spark.operators.incremental import (
+        base_aggregate,
+        maintain_aggregate,
+    )
+
+    o = load_table(spark, sf_dir, "orders")
+    keys = ["o_orderpriority"]
+    meas = {"revenue_cents": lambda r: F.round(r["o_totalprice"] * 100).cast("long")}
+    d = F.col("o_orderdate").cast("date")
+
+    base = base_aggregate(
+        o.filter(d < F.lit("1997-01-01")), keys, meas, count_col="order_cnt"
+    )
+
+    row = F.struct(*[F.col(c) for c in o.columns])
+    null_row = F.when(F.lit(False), row)  # typed NULL struct
+    bumped = F.struct(
+        *[
+            (F.col(c) + F.lit(10.0)).alias(c) if c == "o_totalprice" else F.col(c)
+            for c in o.columns
+        ]
+    )
+    feed = (
+        o.filter(d >= F.lit("1997-01-01"))
+        .select(F.lit("insert").alias("op"), null_row.alias("before"), row.alias("after"))
+        .unionByName(
+            o.filter(d < F.lit("1993-01-01")).select(
+                F.lit("delete").alias("op"), row.alias("before"), null_row.alias("after")
+            )
+        )
+        .unionByName(
+            o.filter((d >= F.lit("1995-06-01")) & (d < F.lit("1995-07-01"))).select(
+                F.lit("update").alias("op"),
+                row.alias("before"),
+                bumped.alias("after"),
+            )
+        )
+    )
+    out = maintain_aggregate(base, feed, keys, meas, count_col="order_cnt")
+    return out.select(
+        "o_orderpriority",
+        (F.col("revenue_cents") / F.lit(100.0)).alias("revenue"),
+        "order_cnt",
+    )
+
+
+REVENUE_MAINTENANCE_SQL = """
+SELECT o_orderpriority,
+       CAST(sum(CAST(round(
+         (CASE WHEN CAST(o_orderdate AS DATE) >= DATE '1995-06-01'
+                AND CAST(o_orderdate AS DATE) <  DATE '1995-07-01'
+               THEN o_totalprice + 10.0 ELSE o_totalprice END) * 100) AS BIGINT)
+       ) AS BIGINT) / 100.0 AS revenue,
+       count(*) AS order_cnt
+FROM orders
+WHERE CAST(o_orderdate AS DATE) >= DATE '1993-01-01'
+GROUP BY o_orderpriority
+"""
+
+
 EXTRA_QUERIES = {
     "user_golden_profile": user_golden_profile,
+    "revenue_maintenance": revenue_maintenance,
     "value_drift_psi": value_drift_psi,
     "data_expectations": data_expectations,
     "snapshot_diff": snapshot_diff,
@@ -2074,6 +2146,7 @@ EXTRA_QUERIES = {
 
 EXTRA_ORACLES = {
     "user_golden_profile": USER_GOLDEN_PROFILE_SQL,
+    "revenue_maintenance": REVENUE_MAINTENANCE_SQL,
     "value_drift_psi": VALUE_DRIFT_PSI_SQL,
     "data_expectations": DATA_EXPECTATIONS_SQL,
     "snapshot_diff": SNAPSHOT_DIFF_SQL,
