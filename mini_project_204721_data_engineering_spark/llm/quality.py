@@ -142,38 +142,12 @@ def contaminated_docs(
             .groupBy("doc_id")
             .agg(F.count(F.lit(1)).alias("n_shared_grams"))
         )
-    import math
+    from mini_project_204721_data_engineering_spark.operators.bloom import bloom_filter, build_bloom
 
-    if not 0 < bloom_fpp < 1:
-        raise ValueError(f"bloom_fpp must be in (0, 1), got {bloom_fpp}")
-    n_items = max(1, bench_grams.count())
-    n_bits = max(64, int(-n_items * math.log(bloom_fpp) / (math.log(2) ** 2)))
-    n_words = (n_bits + 63) // 64
-    # 8 bit positions per gram, 6 bits each from the second hash — the
-    # split-block construction keeps both build and probe one word wide
-    mask_sql = "|".join(
-        f"shiftleft(1L, cast((__h2 >> {6 * i}) & 63 AS INT))" for i in range(8)
-    )
-
-    def blocked(df: DataFrame) -> DataFrame:
-        return (
-            df.withColumn("__h2", F.xxhash64("g", F.lit(1337)))
-            .withColumn("__word", F.pmod(F.xxhash64("g"), F.lit(n_words)))
-            .withColumn("__mask", F.expr(mask_sql))
-            .drop("__h2")
-        )
-
-    bloom_words = (
-        blocked(bench_grams)
-        .groupBy("__word")
-        .agg(F.expr("bit_or(__mask)").alias("__bits"))
-    )
-    candidates = (
-        blocked(grams(docs))
-        .join(F.broadcast(bloom_words), "__word")
-        .filter(F.expr("(__bits & __mask) = __mask"))
-        .select("doc_id", "g")
-    )
+    # the generalized split-block Bloom operator (operators/bloom.py);
+    # the construction commentary lives there
+    bloom = build_bloom(bench_grams, ["g"], fpp=bloom_fpp)
+    candidates = bloom_filter(grams(docs), bloom, ["g"]).select("doc_id", "g")
     return (
         candidates.join(bench_grams, "g")
         .groupBy("doc_id")

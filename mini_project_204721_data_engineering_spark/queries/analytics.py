@@ -2042,6 +2042,42 @@ FROM clamped
 """
 
 
+def bloom_semi_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Split-block Bloom join pruning (operators/bloom.py): lineitem is
+    pre-filtered against a bloom of the size-1 part keys — a broadcast
+    word-table join and a codegen bit test, the probe side never
+    shuffled — and only the ~fpp-sized survivor set reaches the exact
+    semi-join that decides.  The oracle is the plain IN-subquery
+    semi-join: value-hash equality proves the bloom path prunes without
+    ever dropping a true match.  Revenue summed as integer cents."""
+    from mini_project_204721_data_engineering_spark.operators.bloom import bloom_semi_join
+
+    li = load_table(spark, sf_dir, "lineitem")
+    keys = (
+        load_table(spark, sf_dir, "part")
+        .filter(F.col("p_size") == 1)
+        .select("p_partkey")
+    )
+    pruned = bloom_semi_join(li, keys, ["l_partkey"], ["p_partkey"], fpp=0.01)
+    return pruned.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n_items"),
+        (
+            F.sum(F.round(F.col("l_extendedprice") * 100).cast("long")) / F.lit(100.0)
+        ).alias("revenue"),
+    )
+
+
+BLOOM_SEMI_PRUNE_SQL = """
+SELECT l_returnflag,
+       count(*) AS n_items,
+       CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) / 100.0
+         AS revenue
+FROM lineitem
+WHERE l_partkey IN (SELECT p_partkey FROM part WHERE p_size = 1)
+GROUP BY l_returnflag
+"""
+
+
 def revenue_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental aggregate-view maintenance
     (operators/incremental.py::maintain_aggregate): a revenue-by-priority
@@ -2116,6 +2152,7 @@ GROUP BY o_orderpriority
 EXTRA_QUERIES = {
     "user_golden_profile": user_golden_profile,
     "revenue_maintenance": revenue_maintenance,
+    "bloom_semi_prune": bloom_semi_prune,
     "value_drift_psi": value_drift_psi,
     "data_expectations": data_expectations,
     "snapshot_diff": snapshot_diff,
@@ -2147,6 +2184,7 @@ EXTRA_QUERIES = {
 EXTRA_ORACLES = {
     "user_golden_profile": USER_GOLDEN_PROFILE_SQL,
     "revenue_maintenance": REVENUE_MAINTENANCE_SQL,
+    "bloom_semi_prune": BLOOM_SEMI_PRUNE_SQL,
     "value_drift_psi": VALUE_DRIFT_PSI_SQL,
     "data_expectations": DATA_EXPECTATIONS_SQL,
     "snapshot_diff": SNAPSHOT_DIFF_SQL,
