@@ -2042,6 +2042,64 @@ FROM clamped
 """
 
 
+def value_anomalies_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust per-group anomaly gate: median/MAD outlier detection on the
+    events value stream (|x − med| > 3 · 1.4826 · MAD — the consistent
+    normal-σ estimate; mean/σ would let the outliers inflate their own
+    threshold).  Two grouped medians with the group-stat joins
+    broadcast (type-sized), anomaly decision a codegen comparison.
+    Exact medians here for bit-for-bit oracle parity; at fact scale
+    swap F.median for approx_percentile(0.5) — the mergeable-sketch
+    path — the thresholds are statistics, not contracts."""
+    from mini_project_204721_data_engineering_spark.functions.parity import portable_round
+
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("value").isNotNull())
+        .select("event_type", "value")
+    )
+    med = ev.groupBy("event_type").agg(F.median("value").alias("med"))
+    mad = (
+        ev.join(F.broadcast(med), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.median(F.abs(F.col("value") - F.col("med"))).alias("mad"),
+            F.first("med").alias("med"),
+        )
+    )
+    flagged = ev.join(F.broadcast(mad), "event_type")
+    is_anom = F.abs(F.col("value") - F.col("med")) > F.lit(3.0) * F.lit(1.4826) * F.col("mad")
+    return flagged.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_total"),
+        F.sum(is_anom.cast("long")).alias("n_anomalous"),
+        portable_round(F.first("med"), 4).alias("med"),
+        portable_round(F.first("mad"), 4).alias("mad"),
+    )
+
+
+VALUE_ANOMALIES_MAD_SQL = """
+WITH vals AS (
+  SELECT event_type, value FROM events WHERE value IS NOT NULL
+), med AS (
+  SELECT event_type, median(value) AS med FROM vals GROUP BY event_type
+), mad AS (
+  SELECT v.event_type,
+         median(abs(v.value - m.med)) AS mad,
+         any_value(m.med) AS med
+  FROM vals v JOIN med m USING (event_type)
+  GROUP BY v.event_type
+)
+SELECT v.event_type,
+       count(*) AS n_total,
+       CAST(sum(CASE WHEN abs(v.value - d.med) > 3.0 * 1.4826 * d.mad
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_anomalous,
+       round(d.med * 10000.0) / 10000.0 AS med,
+       round(d.mad * 10000.0) / 10000.0 AS mad
+FROM vals v JOIN mad d USING (event_type)
+GROUP BY v.event_type, d.med, d.mad
+"""
+
+
 def bloom_semi_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Split-block Bloom join pruning (operators/bloom.py): lineitem is
     pre-filtered against a bloom of the size-1 part keys — a broadcast
@@ -2153,6 +2211,7 @@ EXTRA_QUERIES = {
     "user_golden_profile": user_golden_profile,
     "revenue_maintenance": revenue_maintenance,
     "bloom_semi_prune": bloom_semi_prune,
+    "value_anomalies_mad": value_anomalies_mad,
     "value_drift_psi": value_drift_psi,
     "data_expectations": data_expectations,
     "snapshot_diff": snapshot_diff,
@@ -2185,6 +2244,7 @@ EXTRA_ORACLES = {
     "user_golden_profile": USER_GOLDEN_PROFILE_SQL,
     "revenue_maintenance": REVENUE_MAINTENANCE_SQL,
     "bloom_semi_prune": BLOOM_SEMI_PRUNE_SQL,
+    "value_anomalies_mad": VALUE_ANOMALIES_MAD_SQL,
     "value_drift_psi": VALUE_DRIFT_PSI_SQL,
     "data_expectations": DATA_EXPECTATIONS_SQL,
     "snapshot_diff": SNAPSHOT_DIFF_SQL,
