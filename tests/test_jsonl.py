@@ -128,3 +128,53 @@ def test_jsonl_fractional_float_in_integer_field_nulls_not_fails(spark, tmp_path
     assert rows["fractional id"] is None
     assert rows["integral float id"] == 3
     assert rows["plain int id"] == 4
+
+
+def test_jsonl_quarantine_routes_bad_lines(spark, tmp_path):
+    """Dead-letter mode: broken JSON and non-object lines become
+    _corrupt_record rows carrying the raw line; good rows parse
+    normally with _corrupt_record NULL — one filter splits the two."""
+    d = str(tmp_path)
+    raw = (
+        '{"doc_id": 1, "text": "ok one", "lang": "en"}\n'
+        '{"doc_id": 2, "text": "broken\n'  # truncated mid-string
+        "42\n"  # valid JSON, not an object
+        "\n"  # blank: skipped, not quarantined
+        '{"doc_id": 3, "text": "ok two", "lang": "fr"}\n'
+        "not json at all\n"
+    )
+    with open(os.path.join(d, "dirty.jsonl"), "w") as fh:
+        fh.write(raw)
+    out = read_jsonl(spark, d, SCHEMA, on_error="quarantine")
+    assert out.columns == ["doc_id", "text", "lang", "_corrupt_record"]
+    rows = out.collect()
+    good = {r["doc_id"]: r for r in rows if r["_corrupt_record"] is None}
+    bad = sorted(r["_corrupt_record"] for r in rows if r["_corrupt_record"] is not None)
+    assert set(good) == {1, 3} and good[3]["lang"] == "fr"
+    assert bad == ['42', "not json at all", '{"doc_id": 2, "text": "broken']
+    assert all(r["doc_id"] is None for r in rows if r["_corrupt_record"] is not None)
+
+
+def test_jsonl_quarantine_compressed_and_all_good(spark, tmp_path):
+    d = str(tmp_path)
+    write_jsonl_shard(
+        [{"doc_id": i, "text": f"doc {i}", "lang": "en"} for i in range(25)],
+        os.path.join(d, "clean.jsonl.zst"),
+    )
+    out = read_jsonl(spark, d, SCHEMA, on_error="quarantine")
+    assert out.filter("_corrupt_record IS NOT NULL").count() == 0
+    assert out.count() == 25
+
+
+def test_jsonl_fail_mode_still_raises_and_bad_args_refused(spark, tmp_path):
+    d = str(tmp_path)
+    with open(os.path.join(d, "dirty.jsonl"), "w") as fh:
+        fh.write('{"doc_id": 1}\nnot json\n')
+    with pytest.raises(Exception):
+        read_jsonl(spark, d, SCHEMA).collect()
+    with pytest.raises(ValueError, match="on_error"):
+        read_jsonl(spark, d, SCHEMA, on_error="skip")
+    with pytest.raises(ValueError, match="reserved"):
+        read_jsonl(
+            spark, d, "doc_id long, _corrupt_record string", on_error="quarantine"
+        )
