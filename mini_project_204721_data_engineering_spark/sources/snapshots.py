@@ -1,0 +1,345 @@
+"""Manifest-based snapshot log over parquet — atomic commits, snapshot
+isolation, and time travel WITHOUT a table-format dependency.
+
+The reference ingests by read-modify-rewrite of whole files
+(``backend/app/utils.py:565-611``) — a reader racing that rewrite sees
+a torn table, and there is no way back after a bad load.  This module
+is the minimal clean-room form of the public Iceberg/Delta idea
+(Iceberg spec's snapshot+manifest model; Hive-to-Iceberg motivation in
+the Netflix/Apache talks), sized to what the engine needs:
+
+- ``data/<commit-uuid>/part-*.parquet`` — every commit writes NEW files
+  into its own directory; existing bytes are never touched.
+- ``_manifests/v%010d.json`` — a snapshot is an explicit FILE LIST plus
+  op metadata.  The manifest is the unit of atomicity: it is created
+  with Hadoop ``FileSystem.create(path, overwrite=false)`` — an atomic
+  exclusive-create on HDFS-like filesystems — so a version can be won
+  by exactly one writer; losers re-read the log and retry on top of
+  the new tip (optimistic concurrency).  A crash before the manifest
+  write leaves only unreferenced data files: readers never see them,
+  and :func:`expire_snapshots` garbage-collects them.
+- Readers resolve the tip (or any version / timestamp) and scan the
+  file list directly — no directory listing over data at read time,
+  the log is file-count-sized, and a reader's plan keeps pointing at
+  its snapshot's immutable files no matter what commits after it.
+
+Scale: manifests are driver-side JSON whose size is O(live files), not
+O(rows); at 100 TB with compacted ~1 GB files that is ~1e5 entries —
+kilobyte-sized wire format per entry, well inside driver comfort, and
+the same order Iceberg's own metadata holds before it shards manifests.
+Per-file min/max pruning stays with the parquet footers (Spark reads
+them anyway); promoting stats into the manifest is the known next rung
+and out of scope here.
+"""
+
+from __future__ import annotations
+
+import json
+import time
+import uuid
+from typing import Sequence
+
+from pyspark.sql import DataFrame, SparkSession
+
+__all__ = [
+    "snapshot_append",
+    "snapshot_overwrite",
+    "snapshot_delete_where",
+    "read_snapshot",
+    "snapshot_history",
+    "expire_snapshots",
+]
+
+_MANIFEST_DIR = "_manifests"
+_DATA_DIR = "data"
+_V_FMT = "v%010d.json"
+
+
+def _fs_for(spark: SparkSession, path_str: str):
+    jvm = spark._jvm
+    jpath = jvm.org.apache.hadoop.fs.Path(path_str)
+    fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    return fs, jpath, jvm
+
+
+def _child(jvm, base: str, *parts: str):
+    p = jvm.org.apache.hadoop.fs.Path(base)
+    for part in parts:
+        p = jvm.org.apache.hadoop.fs.Path(p, part)
+    return p
+
+
+def _list_versions(spark: SparkSession, table_dir: str) -> list[int]:
+    fs, _, jvm = _fs_for(spark, table_dir)
+    glob = _child(jvm, table_dir, _MANIFEST_DIR, "v*.json")
+    statuses = fs.globStatus(glob)
+    if statuses is None:
+        return []
+    out = []
+    for s in statuses:
+        name = str(s.getPath().getName())
+        if s.isFile() and name.startswith("v") and name.endswith(".json"):
+            try:
+                out.append(int(name[1:-5]))
+            except ValueError:
+                continue
+    return sorted(out)
+
+
+def _read_manifest(spark: SparkSession, table_dir: str, version: int) -> dict:
+    fs, _, jvm = _fs_for(spark, table_dir)
+    jpath = _child(jvm, table_dir, _MANIFEST_DIR, _V_FMT % version)
+    stream = fs.open(jpath)
+    try:
+        raw = bytes(jvm.org.apache.commons.io.IOUtils.toByteArray(stream))
+    finally:
+        stream.close()
+    return json.loads(raw.decode("utf-8"))
+
+
+def _try_write_manifest(
+    spark: SparkSession, table_dir: str, version: int, manifest: dict
+) -> bool:
+    """Exclusive-create the manifest for ``version``; False when another
+    writer already owns it (the optimistic-concurrency loss signal)."""
+    fs, _, jvm = _fs_for(spark, table_dir)
+    jpath = _child(jvm, table_dir, _MANIFEST_DIR, _V_FMT % version)
+    fs.mkdirs(jpath.getParent())
+    if fs.exists(jpath):  # cheap fast-path; the create below is the gate
+        return False
+    try:
+        stream = fs.create(jpath, False)  # overwrite=false: atomic claim
+    except Exception:
+        return False
+    try:
+        stream.write(json.dumps(manifest, indent=1).encode("utf-8"))
+        stream.hflush()
+    finally:
+        stream.close()
+    return True
+
+
+def _write_data_files(df: DataFrame, table_dir: str) -> tuple[list[str], str]:
+    """Write one commit's data files into their own directory; return
+    (file paths, commit dir).  Bytes land BEFORE any manifest points at
+    them — a crash here strands orphans, never corrupts the table."""
+    spark = df.sparkSession
+    commit = uuid.uuid4().hex
+    fs, _, jvm = _fs_for(spark, table_dir)
+    cdir = _child(jvm, table_dir, _DATA_DIR, commit)
+    df.write.mode("error").parquet(str(cdir.toString()))
+    statuses = fs.globStatus(_child(jvm, str(cdir.toString()), "part-*"))
+    files = sorted(str(s.getPath().toString()) for s in (statuses or []) if s.isFile())
+    return files, str(cdir.toString())
+
+
+def _commit(
+    spark: SparkSession,
+    table_dir: str,
+    op: str,
+    files_fn,
+    schema_ddl: str,
+    meta: dict | None = None,
+    max_retries: int = 20,
+) -> dict:
+    """The optimistic-concurrency loop: resolve the tip, build the new
+    file list via ``files_fn(parent_manifest)``, claim the next version;
+    on a lost race, re-resolve and rebuild on the new tip."""
+    for _ in range(max_retries):
+        versions = _list_versions(spark, table_dir)
+        parent = versions[-1] if versions else 0
+        parent_manifest = (
+            _read_manifest(spark, table_dir, parent) if versions else None
+        )
+        manifest = {
+            "version": parent + 1,
+            "parent": parent,
+            "ts": time.time(),
+            "op": op,
+            "schema": schema_ddl,
+            "files": files_fn(parent_manifest),
+            "meta": meta or {},
+        }
+        if _try_write_manifest(spark, table_dir, parent + 1, manifest):
+            return manifest
+    raise RuntimeError(
+        f"lost the commit race {max_retries} times on {table_dir} — "
+        "pathological writer contention; serialize writers or raise max_retries"
+    )
+
+
+def _check_schema(parent: dict | None, ddl: str, op: str) -> None:
+    if parent is not None and parent["schema"] != ddl:
+        raise ValueError(
+            f"{op}: schema {ddl!r} does not match table schema "
+            f"{parent['schema']!r}; snapshot_overwrite is the declared "
+            "schema-change path"
+        )
+
+
+def snapshot_append(df: DataFrame, table_dir: str) -> dict:
+    """Atomically append ``df``: new snapshot = parent's files + this
+    commit's files.  Safe under concurrent appenders (each lands its own
+    version; a lost race retries on the new tip — file lists compose, so
+    appends never conflict semantically).  Returns the manifest."""
+    spark = df.sparkSession
+    ddl = df.schema.simpleString()
+    new_files, _ = _write_data_files(df, table_dir)
+
+    def files_fn(parent):
+        _check_schema(parent, ddl, "snapshot_append")
+        base = parent["files"] if parent else []
+        return base + new_files
+
+    return _commit(spark, table_dir, "append", files_fn, ddl,
+                   meta={"added_files": len(new_files)})
+
+
+def snapshot_overwrite(df: DataFrame, table_dir: str) -> dict:
+    """Atomically replace the table contents (logical TRUNCATE+INSERT).
+    Prior snapshots stay readable via time travel until expired; this is
+    also the declared schema-change path."""
+    spark = df.sparkSession
+    new_files, _ = _write_data_files(df, table_dir)
+    return _commit(
+        spark, table_dir, "overwrite", lambda parent: list(new_files),
+        df.schema.simpleString(), meta={"added_files": len(new_files)},
+    )
+
+
+def read_snapshot(
+    spark: SparkSession,
+    table_dir: str,
+    version: int | None = None,
+    as_of: float | None = None,
+) -> DataFrame:
+    """Read a snapshot: the tip by default, an explicit ``version``, or
+    the newest snapshot committed at/before unix-time ``as_of`` (time
+    travel).  The scan is pinned to the manifest's explicit file list —
+    immutable bytes, so concurrent commits never tear this reader."""
+    if version is not None and as_of is not None:
+        raise ValueError("pass version OR as_of, not both")
+    versions = _list_versions(spark, table_dir)
+    if not versions:
+        raise ValueError(f"no snapshots at {table_dir}")
+    if version is None:
+        if as_of is None:
+            version = versions[-1]
+        else:
+            eligible = [
+                v for v in versions
+                if _read_manifest(spark, table_dir, v)["ts"] <= as_of
+            ]
+            if not eligible:
+                raise ValueError(f"no snapshot at or before ts={as_of}")
+            version = eligible[-1]
+    elif version not in versions:
+        raise ValueError(f"version {version} not in log (have {versions[:5]}...)")
+    manifest = _read_manifest(spark, table_dir, version)
+    if not manifest["files"]:
+        return spark.createDataFrame([], manifest["schema"])
+    return spark.read.parquet(*manifest["files"])
+
+
+def snapshot_delete_where(
+    spark: SparkSession, table_dir: str, predicate: str
+) -> dict:
+    """Copy-on-write targeted delete: ONLY files containing matching rows
+    are rewritten (without those rows) into a new commit; untouched
+    files carry over by reference — cost ∝ hit files, not table size
+    (the same contract as ``sink.delete_rows``, now with atomic cutover
+    and time travel back to the pre-delete snapshot)."""
+    from pyspark.sql import functions as F
+
+    versions = _list_versions(spark, table_dir)
+    if not versions:
+        raise ValueError(f"no snapshots at {table_dir}")
+    tip = versions[-1]
+    manifest = _read_manifest(spark, table_dir, tip)
+    if not manifest["files"]:
+        return manifest
+    snap = spark.read.parquet(*manifest["files"])
+    _, _, jvm = _fs_for(spark, table_dir)
+    # input_file_name() yields URI form (file:///...); manifests hold
+    # Hadoop Path form (file:/...) — canonicalize through Path so the
+    # hit set compares against the manifest's own spelling
+    hit_files = sorted(
+        str(jvm.org.apache.hadoop.fs.Path(r["f"]).toString())
+        for r in snap.filter(predicate)
+        .select(F.input_file_name().alias("f"))
+        .distinct()
+        .collect()
+    )
+    if not hit_files:
+        return manifest  # nothing to delete: current tip already correct
+    # survivors are written unconditionally — a fully-emptied rewrite
+    # produces a schema-only part file, which is cheaper than an extra
+    # guard pass over the hit files to detect it
+    survivors = spark.read.parquet(*hit_files).filter(f"NOT ({predicate})")
+    new_files, _ = _write_data_files(survivors, table_dir)
+    hit = set(hit_files)
+
+    def files_fn(parent):
+        missing = hit - set(parent["files"] if parent else [])
+        if missing:
+            raise RuntimeError(
+                "concurrent commit replaced files this delete rewrote; "
+                "re-run snapshot_delete_where on the new tip"
+            )
+        return [f for f in parent["files"] if f not in hit] + new_files
+
+    return _commit(
+        spark, table_dir, "delete", files_fn, manifest["schema"],
+        meta={"predicate": predicate, "rewritten_files": len(hit_files)},
+    )
+
+
+def snapshot_history(spark: SparkSession, table_dir: str) -> list[dict]:
+    """The log, oldest→newest: (version, ts, op, n_files, meta)."""
+    return [
+        {
+            "version": m["version"], "ts": m["ts"], "op": m["op"],
+            "n_files": len(m["files"]), "meta": m["meta"],
+        }
+        for v in _list_versions(spark, table_dir)
+        for m in [_read_manifest(spark, table_dir, v)]
+    ]
+
+
+def expire_snapshots(
+    spark: SparkSession, table_dir: str, keep_last: int = 1
+) -> dict:
+    """Retention + GC: drop all but the newest ``keep_last`` manifests,
+    then delete every data file no surviving manifest references —
+    including orphans stranded by crashed commits.  Time travel beyond
+    the horizon is gone after this; readers of SURVIVING snapshots are
+    unaffected (their files are all referenced).  Returns counts."""
+    if keep_last < 1:
+        raise ValueError("keep_last must be >= 1")
+    versions = _list_versions(spark, table_dir)
+    if not versions:
+        return {"expired_manifests": 0, "deleted_files": 0}
+    keep = set(versions[-keep_last:])
+    referenced: set[str] = set()
+    for v in keep:
+        referenced.update(_read_manifest(spark, table_dir, v)["files"])
+    fs, _, jvm = _fs_for(spark, table_dir)
+    expired = 0
+    for v in versions:
+        if v not in keep:
+            fs.delete(_child(jvm, table_dir, _MANIFEST_DIR, _V_FMT % v), False)
+            expired += 1
+    deleted = 0
+    statuses = fs.globStatus(_child(jvm, table_dir, _DATA_DIR, "*", "*"))
+    for s in statuses or []:
+        p = str(s.getPath().toString())
+        if s.isFile() and p not in referenced and not s.getPath().getName().startswith("_"):
+            fs.delete(s.getPath(), False)
+            deleted += 1
+    # sweep now-empty commit dirs
+    for s in fs.globStatus(_child(jvm, table_dir, _DATA_DIR, "*")) or []:
+        if s.isDirectory():
+            kids = fs.listStatus(s.getPath())
+            if not [k for k in kids if not str(k.getPath().getName()).startswith("_")]:
+                fs.delete(s.getPath(), True)
+    return {"expired_manifests": expired, "deleted_files": deleted}

@@ -1,0 +1,163 @@
+"""Manifest-based snapshot log (sources/snapshots.py): atomic commits,
+snapshot isolation, time travel, copy-on-write delete, retention GC."""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from mini_project_204721_data_engineering_spark.sources.snapshots import (
+    _list_versions,
+    _read_manifest,
+    expire_snapshots,
+    read_snapshot,
+    snapshot_append,
+    snapshot_delete_where,
+    snapshot_history,
+    snapshot_overwrite,
+)
+
+
+def _df(spark, lo, hi, tag):
+    return spark.range(lo, hi).select(
+        F.col("id"), F.lit(tag).alias("tag")
+    )
+
+
+def _ids(df):
+    return {r["id"] for r in df.collect()}
+
+
+def test_append_read_history(spark, tmp_path):
+    t = str(tmp_path / "t")
+    m1 = snapshot_append(_df(spark, 0, 10, "a"), t)
+    m2 = snapshot_append(_df(spark, 10, 20, "b"), t)
+    assert (m1["version"], m2["version"]) == (1, 2)
+    assert _ids(read_snapshot(spark, t)) == set(range(20))
+    assert _ids(read_snapshot(spark, t, version=1)) == set(range(10))
+    hist = snapshot_history(spark, t)
+    assert [h["op"] for h in hist] == ["append", "append"]
+    assert hist[1]["n_files"] > hist[0]["n_files"]  # file lists compose
+
+
+def test_overwrite_keeps_time_travel_and_changes_schema(spark, tmp_path):
+    t = str(tmp_path / "t")
+    snapshot_append(_df(spark, 0, 10, "a"), t)
+    m1_ts = snapshot_history(spark, t)[0]["ts"]
+    wide = spark.range(5).select("id", F.lit(1).alias("extra"))
+    snapshot_overwrite(wide, t)
+    assert read_snapshot(spark, t).columns == ["id", "extra"]
+    assert _ids(read_snapshot(spark, t, version=1)) == set(range(10))
+    assert _ids(read_snapshot(spark, t, as_of=m1_ts)) == set(range(10))
+
+
+def test_append_schema_mismatch_refused(spark, tmp_path):
+    t = str(tmp_path / "t")
+    snapshot_append(_df(spark, 0, 5, "a"), t)
+    with pytest.raises(ValueError, match="schema"):
+        snapshot_append(spark.range(3).select("id"), t)
+
+
+def test_reader_snapshot_isolation(spark, tmp_path):
+    """A plan resolved before later commits keeps reading ITS files —
+    commits only add manifests and new data dirs, never touch old
+    bytes."""
+    t = str(tmp_path / "t")
+    snapshot_append(_df(spark, 0, 10, "a"), t)
+    pinned = read_snapshot(spark, t)  # resolved at v1
+    snapshot_append(_df(spark, 10, 1000, "b"), t)
+    snapshot_overwrite(_df(spark, 0, 1, "c"), t)
+    assert _ids(pinned) == set(range(10))
+
+
+def test_delete_where_rewrites_only_hit_files(spark, tmp_path):
+    t = str(tmp_path / "t")
+    snapshot_append(_df(spark, 0, 10, "a").repartition(1), t)
+    snapshot_append(_df(spark, 10, 20, "b").repartition(1), t)
+    before = set(_read_manifest(spark, t, 2)["files"])
+    m = snapshot_delete_where(spark, t, "id = 15")
+    after = set(m["files"])
+    assert m["meta"]["rewritten_files"] == 1
+    # the file holding 0-9 carries over BY REFERENCE; the hit file is out
+    assert len(before & after) == 1
+    assert _ids(read_snapshot(spark, t)) == set(range(20)) - {15}
+    # pre-delete snapshot still time-travels
+    assert _ids(read_snapshot(spark, t, version=2)) == set(range(20))
+
+
+def test_delete_where_no_match_is_noop_commit(spark, tmp_path):
+    t = str(tmp_path / "t")
+    snapshot_append(_df(spark, 0, 5, "a"), t)
+    m = snapshot_delete_where(spark, t, "id = 999")
+    assert m["version"] == 1  # tip unchanged, no new snapshot
+    assert _ids(read_snapshot(spark, t)) == set(range(5))
+
+
+def test_commit_race_retries_onto_new_tip(spark, tmp_path):
+    """Claim the next version out from under an append (what a
+    concurrent writer does): the append must land at the version AFTER
+    the interloper, composing with its files — no lost update."""
+    t = str(tmp_path / "t")
+    snapshot_append(_df(spark, 0, 5, "a"), t)
+    # interloper: hand-write v2 referencing v1's files plus nothing new
+    v1 = _read_manifest(spark, t, 1)
+    os.makedirs(os.path.join(t, "_manifests"), exist_ok=True)
+    interloper = dict(v1, version=2, parent=1, op="append", meta={})
+    with open(os.path.join(t, "_manifests", "v%010d.json" % 2), "w") as fh:
+        json.dump(interloper, fh)
+    m = snapshot_append(_df(spark, 5, 10, "b"), t)
+    assert m["version"] == 3 and m["parent"] == 2
+    assert _ids(read_snapshot(spark, t)) == set(range(10))
+
+
+def test_crashed_commit_invisible_then_gc(spark, tmp_path):
+    """Data files with no manifest (a crash between write and commit)
+    are invisible to readers and swept by expire_snapshots."""
+    t = str(tmp_path / "t")
+    snapshot_append(_df(spark, 0, 5, "a"), t)
+    # simulate the crash: data written, manifest never created
+    orphan_dir = os.path.join(t, "data", "deadbeefcrash")
+    _df(spark, 100, 200, "crash").write.parquet(orphan_dir)
+    assert _ids(read_snapshot(spark, t)) == set(range(5))
+    stats = expire_snapshots(spark, t, keep_last=1)
+    assert stats["deleted_files"] > 0  # the orphans
+    assert not os.path.exists(orphan_dir)
+    assert _ids(read_snapshot(spark, t)) == set(range(5))
+
+
+def test_expire_drops_old_versions_keeps_live_bytes(spark, tmp_path):
+    t = str(tmp_path / "t")
+    snapshot_append(_df(spark, 0, 10, "a"), t)
+    snapshot_overwrite(_df(spark, 50, 60, "b"), t)
+    snapshot_append(_df(spark, 60, 70, "c"), t)
+    stats = expire_snapshots(spark, t, keep_last=2)
+    assert stats["expired_manifests"] == 1
+    assert stats["deleted_files"] > 0  # v1's bytes were only reachable from v1
+    assert _list_versions(spark, t) == [2, 3]
+    assert _ids(read_snapshot(spark, t)) == set(range(50, 70))
+    assert _ids(read_snapshot(spark, t, version=2)) == set(range(50, 60))
+    with pytest.raises(ValueError, match="not in log"):
+        read_snapshot(spark, t, version=1)
+
+
+def test_read_empty_table_and_missing_version_errors(spark, tmp_path):
+    t = str(tmp_path / "empty")
+    with pytest.raises(ValueError, match="no snapshots"):
+        read_snapshot(spark, t)
+    snapshot_append(_df(spark, 0, 3, "a"), t)
+    with pytest.raises(ValueError, match="no snapshot at or before"):
+        read_snapshot(spark, t, as_of=0.0)
+    with pytest.raises(ValueError, match="version OR as_of"):
+        read_snapshot(spark, t, version=1, as_of=1.0)
+
+
+def test_delete_everything_yields_empty_snapshot(spark, tmp_path):
+    t = str(tmp_path / "t")
+    snapshot_append(_df(spark, 0, 5, "a").repartition(1), t)
+    snapshot_delete_where(spark, t, "id >= 0")
+    out = read_snapshot(spark, t)
+    assert out.count() == 0
+    assert out.columns == ["id", "tag"]
