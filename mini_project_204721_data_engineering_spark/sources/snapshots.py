@@ -45,10 +45,17 @@ __all__ = [
     "snapshot_append",
     "snapshot_overwrite",
     "snapshot_delete_where",
+    "snapshot_txn_append",
+    "snapshot_stream_sink",
     "read_snapshot",
     "snapshot_history",
     "expire_snapshots",
 ]
+
+
+class _AlreadyApplied(Exception):
+    """Raised inside the commit loop when the tip already records this
+    (app_id, batch_id) — the replayed-batch no-op signal."""
 
 _MANIFEST_DIR = "_manifests"
 _DATA_DIR = "data"
@@ -141,6 +148,7 @@ def _commit(
     schema_ddl: str,
     meta: dict | None = None,
     max_retries: int = 20,
+    txn_update: dict | None = None,
 ) -> dict:
     """The optimistic-concurrency loop: resolve the tip, build the new
     file list via ``files_fn(parent_manifest)``, claim the next version;
@@ -158,6 +166,14 @@ def _commit(
             "op": op,
             "schema": schema_ddl,
             "files": files_fn(parent_manifest),
+            # the per-app transaction watermarks ride EVERY commit so the
+            # tip alone answers "has stream X applied batch N" — a plain
+            # append/overwrite/delete between stream batches must not
+            # amnesia the stream's progress
+            "txn": {
+                **(parent_manifest or {}).get("txn", {}),
+                **(txn_update or {}),
+            },
             "meta": meta or {},
         }
         if _try_write_manifest(spark, table_dir, parent + 1, manifest):
@@ -205,6 +221,66 @@ def snapshot_overwrite(df: DataFrame, table_dir: str) -> dict:
         spark, table_dir, "overwrite", lambda parent: list(new_files),
         df.schema.simpleString(), meta={"added_files": len(new_files)},
     )
+
+
+def snapshot_txn_append(
+    df: DataFrame, table_dir: str, app_id: str, batch_id: int
+) -> dict | None:
+    """Idempotent transactional append — the exactly-once building block
+    for streaming.  Every commit carries a per-app watermark map
+    ``txn: {app_id: last_batch_id}`` forward from its parent; an append
+    whose ``batch_id`` is ≤ the tip's watermark for ``app_id`` is a
+    NO-OP returning None (the Delta ``txn`` appId/version idea).  The
+    check runs INSIDE the optimistic-commit loop, so it re-evaluates
+    against the new tip after every lost race — two workers replaying
+    the same batch cannot both land it.
+
+    A skipped replay may still have written data files (bytes before
+    manifest); they are unreferenced orphans, invisible to readers and
+    swept by :func:`expire_snapshots`."""
+    spark = df.sparkSession
+    ddl = df.schema.simpleString()
+    # fast path: tip already has it — skip before paying the data write
+    versions = _list_versions(spark, table_dir)
+    if versions:
+        tip = _read_manifest(spark, table_dir, versions[-1])
+        if tip.get("txn", {}).get(app_id, -1) >= batch_id:
+            return None
+    new_files, _ = _write_data_files(df, table_dir)
+
+    def files_fn(parent):
+        if parent is not None and parent.get("txn", {}).get(app_id, -1) >= batch_id:
+            raise _AlreadyApplied()
+        _check_schema(parent, ddl, "snapshot_txn_append")
+        return (parent["files"] if parent else []) + new_files
+
+    try:
+        return _commit(
+            spark, table_dir, "append", files_fn, ddl,
+            meta={"added_files": len(new_files), "app_id": app_id,
+                  "batch_id": batch_id},
+            txn_update={app_id: batch_id},
+        )
+    except _AlreadyApplied:
+        return None
+
+
+def snapshot_stream_sink(table_dir: str, app_id: str):
+    """``foreachBatch`` body landing a stream into the snapshot log with
+    exactly-once TABLE state: Structured Streaming's checkpoint gives
+    at-least-once foreachBatch invocation; the txn watermark makes the
+    duplicate invocations no-ops, so even a replay from a lost
+    checkpoint cannot double-append (pytest-pinned).  Usage::
+
+        stream.writeStream.foreachBatch(
+            snapshot_stream_sink(path, "curated-events")
+        ).start()
+    """
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        snapshot_txn_append(batch_df, table_dir, app_id, int(batch_id))
+
+    return sink
 
 
 def read_snapshot(

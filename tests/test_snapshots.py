@@ -18,6 +18,7 @@ from mini_project_204721_data_engineering_spark.sources.snapshots import (
     snapshot_delete_where,
     snapshot_history,
     snapshot_overwrite,
+    snapshot_txn_append,
 )
 
 
@@ -161,3 +162,60 @@ def test_delete_everything_yields_empty_snapshot(spark, tmp_path):
     out = read_snapshot(spark, t)
     assert out.count() == 0
     assert out.columns == ["id", "tag"]
+
+
+def test_txn_append_idempotent_replay(spark, tmp_path):
+    t = str(tmp_path / "t")
+    assert snapshot_txn_append(_df(spark, 0, 5, "a"), t, "appX", 0) is not None
+    assert snapshot_txn_append(_df(spark, 5, 10, "a"), t, "appX", 1) is not None
+    # replay of batch 1 and of an older batch: both no-ops
+    assert snapshot_txn_append(_df(spark, 5, 10, "a"), t, "appX", 1) is None
+    assert snapshot_txn_append(_df(spark, 0, 5, "a"), t, "appX", 0) is None
+    assert _ids(read_snapshot(spark, t)) == set(range(10))
+    assert _list_versions(spark, t) == [1, 2]
+
+
+def test_txn_watermark_survives_interleaved_commits_and_apps(spark, tmp_path):
+    """A plain append between stream batches must not amnesia the
+    stream's progress; two apps track independently."""
+    t = str(tmp_path / "t")
+    snapshot_txn_append(_df(spark, 0, 5, "a"), t, "appX", 7)
+    snapshot_append(_df(spark, 100, 105, "plain"), t)  # unrelated writer
+    snapshot_txn_append(_df(spark, 5, 10, "a"), t, "appY", 7)  # other app
+    # appX batch 7 replay AFTER both: still skipped
+    assert snapshot_txn_append(_df(spark, 0, 5, "a"), t, "appX", 7) is None
+    assert snapshot_txn_append(_df(spark, 5, 10, "a"), t, "appY", 7) is None
+    assert snapshot_txn_append(_df(spark, 10, 15, "a"), t, "appX", 8) is not None
+    assert _ids(read_snapshot(spark, t)) == set(range(15)) | set(range(100, 105))
+
+
+def test_stream_sink_exactly_once_across_checkpoint_loss(spark, tmp_path):
+    """End-to-end: a file stream lands via foreachBatch; a FULL replay
+    with a fresh checkpoint (lost-checkpoint disaster) leaves the table
+    state unchanged — idempotence lives in the txn watermark, not the
+    checkpoint."""
+    from mini_project_204721_data_engineering_spark.sources.snapshots import snapshot_stream_sink
+
+    src = str(tmp_path / "src")
+    t = str(tmp_path / "t")
+    _df(spark, 0, 50, "s").write.parquet(src)
+    schema = spark.read.parquet(src).schema
+
+    def run(chk):
+        q = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+            .writeStream.foreachBatch(snapshot_stream_sink(t, "curated"))
+            .option("checkpointLocation", chk)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    run(str(tmp_path / "chk1"))
+    n_versions = len(_list_versions(spark, t))
+    assert _ids(read_snapshot(spark, t)) == set(range(50))
+    run(str(tmp_path / "chk2"))  # full replay, fresh checkpoint
+    assert _ids(read_snapshot(spark, t)) == set(range(50))
+    assert len(_list_versions(spark, t)) == n_versions  # zero new commits
