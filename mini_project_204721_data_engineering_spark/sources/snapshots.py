@@ -145,27 +145,34 @@ def _commit(
     table_dir: str,
     op: str,
     files_fn,
-    schema_ddl: str,
+    schema_ddl,
     meta: dict | None = None,
     max_retries: int = 20,
     txn_update: dict | None = None,
+    stats_fn=None,
 ) -> dict:
     """The optimistic-concurrency loop: resolve the tip, build the new
     file list via ``files_fn(parent_manifest)``, claim the next version;
-    on a lost race, re-resolve and rebuild on the new tip."""
+    on a lost race, re-resolve and rebuild on the new tip.
+
+    ``schema_ddl`` may be a callable ``parent_manifest -> ddl`` (schema
+    evolution must re-derive against the tip that actually wins);
+    ``stats_fn(parent, files) -> (stats dict, stats_cols)`` likewise."""
     for _ in range(max_retries):
         versions = _list_versions(spark, table_dir)
         parent = versions[-1] if versions else 0
         parent_manifest = (
             _read_manifest(spark, table_dir, parent) if versions else None
         )
+        files = files_fn(parent_manifest)
+        ddl = schema_ddl(parent_manifest) if callable(schema_ddl) else schema_ddl
         manifest = {
             "version": parent + 1,
             "parent": parent,
             "ts": time.time(),
             "op": op,
-            "schema": schema_ddl,
-            "files": files_fn(parent_manifest),
+            "schema": ddl,
+            "files": files,
             # the per-app transaction watermarks ride EVERY commit so the
             # tip alone answers "has stream X applied batch N" — a plain
             # append/overwrite/delete between stream batches must not
@@ -176,6 +183,11 @@ def _commit(
             },
             "meta": meta or {},
         }
+        if stats_fn is not None:
+            stats, stats_cols = stats_fn(parent_manifest, files)
+            if stats_cols:
+                manifest["stats"] = stats
+                manifest["stats_cols"] = stats_cols
         if _try_write_manifest(spark, table_dir, parent + 1, manifest):
             return manifest
     raise RuntimeError(
@@ -188,38 +200,156 @@ def _check_schema(parent: dict | None, ddl: str, op: str) -> None:
     if parent is not None and parent["schema"] != ddl:
         raise ValueError(
             f"{op}: schema {ddl!r} does not match table schema "
-            f"{parent['schema']!r}; snapshot_overwrite is the declared "
-            "schema-change path"
+            f"{parent['schema']!r}; pass merge_schema=True for additive "
+            "evolution, or snapshot_overwrite for a full schema change"
         )
 
 
-def snapshot_append(df: DataFrame, table_dir: str) -> dict:
+def _merged_schema(parent_ddl: str, df_schema) -> str:
+    """Additive by-name schema merge: parent columns keep their place
+    and types; NEW df columns append.  A type conflict on a shared
+    column refuses (silent widening is a correctness bug factory)."""
+    from pyspark.sql.types import StructType, _parse_datatype_string
+
+    old = _parse_datatype_string(parent_ddl)
+    old_types = {f.name: f.dataType for f in old.fields}
+    for f in df_schema.fields:
+        if f.name in old_types and old_types[f.name] != f.dataType:
+            raise ValueError(
+                f"merge_schema: column {f.name!r} is {old_types[f.name].simpleString()} "
+                f"in the table but {f.dataType.simpleString()} in the append"
+            )
+    merged = list(old.fields) + [
+        f for f in df_schema.fields if f.name not in old_types
+    ]
+    return StructType(merged).simpleString()
+
+
+def _json_safe(v):
+    if v is None or isinstance(v, (int, float, str, bool)):
+        return v
+    iso = getattr(v, "isoformat", None)
+    if iso is not None:
+        return iso()
+    return None  # unsupported stats type: recorded absent, file never pruned
+
+
+def _file_stats(spark: SparkSession, files: list[str], cols: Sequence[str]) -> dict:
+    """Per-file min/max for ``cols`` over exactly the given files — a
+    column-pruned scan of THIS COMMIT's files only (never the table).
+    Values land JSON-safe; a type that can't (complex cols) records
+    absent, which pruning treats as 'always keep'."""
+    from pyspark.sql import functions as F
+
+    if not files:
+        return {}
+    _, _, jvm = _fs_for(spark, files[0])
+    aggs = []
+    for c in cols:
+        aggs += [F.min(c).alias(f"__mn_{c}"), F.max(c).alias(f"__mx_{c}")]
+    rows = (
+        spark.read.parquet(*files)
+        .groupBy(F.input_file_name().alias("__f"))
+        .agg(*aggs)
+        .collect()
+    )
+    out = {}
+    for r in rows:
+        key = str(jvm.org.apache.hadoop.fs.Path(r["__f"]).toString())
+        out[key] = {
+            c: [_json_safe(r[f"__mn_{c}"]), _json_safe(r[f"__mx_{c}"])]
+            for c in cols
+        }
+    return out
+
+
+def _compose_stats(spark, new_files: list[str], stats_cols):
+    """stats_fn for append-shaped commits: parent stats for carried
+    files + freshly computed stats for this commit's files.  The column
+    set is sticky — parent's ``stats_cols`` wins when the caller passes
+    none, so one configured writer keeps the whole chain pruned."""
+
+    def stats_fn(parent, files):
+        cols = list(
+            stats_cols
+            if stats_cols is not None
+            else (parent or {}).get("stats_cols", [])
+        )
+        if not cols:
+            return {}, []
+        parent_stats = (parent or {}).get("stats", {})
+        fresh = _file_stats(spark, new_files, cols)
+        return (
+            {f: (parent_stats.get(f) or fresh.get(f)) for f in files
+             if (parent_stats.get(f) or fresh.get(f)) is not None},
+            cols,
+        )
+
+    return stats_fn
+
+
+def snapshot_append(
+    df: DataFrame,
+    table_dir: str,
+    merge_schema: bool = False,
+    stats_cols: Sequence[str] | None = None,
+) -> dict:
     """Atomically append ``df``: new snapshot = parent's files + this
     commit's files.  Safe under concurrent appenders (each lands its own
     version; a lost race retries on the new tip — file lists compose, so
-    appends never conflict semantically).  Returns the manifest."""
+    appends never conflict semantically).  Returns the manifest.
+
+    ``merge_schema=True`` allows ADDITIVE by-name evolution: new columns
+    append to the table schema; old files read them as NULL (the reader
+    pins the manifest schema, so this is purely metadata).  A type
+    conflict still refuses.  ``stats_cols`` records per-file min/max in
+    the manifest for :func:`read_snapshot` file pruning; the column set
+    is sticky across the commit chain."""
     spark = df.sparkSession
     ddl = df.schema.simpleString()
     new_files, _ = _write_data_files(df, table_dir)
 
     def files_fn(parent):
-        _check_schema(parent, ddl, "snapshot_append")
-        base = parent["files"] if parent else []
-        return base + new_files
+        if not merge_schema:
+            _check_schema(parent, ddl, "snapshot_append")
+        return (parent["files"] if parent else []) + new_files
 
-    return _commit(spark, table_dir, "append", files_fn, ddl,
-                   meta={"added_files": len(new_files)})
+    def schema_fn(parent):
+        if parent is None or not merge_schema:
+            return ddl
+        return _merged_schema(parent["schema"], df.schema)
+
+    return _commit(
+        spark, table_dir, "append", files_fn, schema_fn,
+        meta={"added_files": len(new_files)},
+        stats_fn=_compose_stats(spark, new_files, stats_cols),
+    )
 
 
-def snapshot_overwrite(df: DataFrame, table_dir: str) -> dict:
+def snapshot_overwrite(
+    df: DataFrame, table_dir: str, stats_cols: Sequence[str] | None = None
+) -> dict:
     """Atomically replace the table contents (logical TRUNCATE+INSERT).
     Prior snapshots stay readable via time travel until expired; this is
-    also the declared schema-change path."""
+    also the declared full-schema-change path."""
     spark = df.sparkSession
     new_files, _ = _write_data_files(df, table_dir)
+
+    def stats_fn(parent, files):
+        cols = list(
+            stats_cols
+            if stats_cols is not None
+            else (parent or {}).get("stats_cols", [])
+        )
+        cols = [c for c in cols if c in df.columns]
+        if not cols:
+            return {}, []
+        return _file_stats(spark, new_files, cols), cols
+
     return _commit(
         spark, table_dir, "overwrite", lambda parent: list(new_files),
         df.schema.simpleString(), meta={"added_files": len(new_files)},
+        stats_fn=stats_fn,
     )
 
 
@@ -260,6 +390,7 @@ def snapshot_txn_append(
             meta={"added_files": len(new_files), "app_id": app_id,
                   "batch_id": batch_id},
             txn_update={app_id: batch_id},
+            stats_fn=_compose_stats(spark, new_files, None),  # sticky cols
         )
     except _AlreadyApplied:
         return None
@@ -288,11 +419,20 @@ def read_snapshot(
     table_dir: str,
     version: int | None = None,
     as_of: float | None = None,
+    prune: dict | None = None,
 ) -> DataFrame:
     """Read a snapshot: the tip by default, an explicit ``version``, or
     the newest snapshot committed at/before unix-time ``as_of`` (time
     travel).  The scan is pinned to the manifest's explicit file list —
-    immutable bytes, so concurrent commits never tear this reader."""
+    immutable bytes, so concurrent commits never tear this reader.
+
+    ``prune={"col": (lo, hi)}`` drops files whose manifest-recorded
+    min/max range (``stats_cols`` at write time) is provably disjoint
+    from ``[lo, hi]`` BEFORE the scan plan exists — at 100 TB this is
+    the difference between planning over ~1e5 files and the handful a
+    time- or key-range query touches, without opening a single footer.
+    Pruning only skips files; apply the real filter on the result for
+    row-level semantics (files without stats are always kept)."""
     if version is not None and as_of is not None:
         raise ValueError("pass version OR as_of, not both")
     versions = _list_versions(spark, table_dir)
@@ -312,9 +452,47 @@ def read_snapshot(
     elif version not in versions:
         raise ValueError(f"version {version} not in log (have {versions[:5]}...)")
     manifest = _read_manifest(spark, table_dir, version)
-    if not manifest["files"]:
-        return spark.createDataFrame([], manifest["schema"])
-    return spark.read.parquet(*manifest["files"])
+    files = manifest["files"]
+    if prune:
+        files = _prune_files(manifest, prune)
+    from pyspark.sql.types import _parse_datatype_string
+
+    schema = _parse_datatype_string(manifest["schema"])
+    if not files:
+        return spark.createDataFrame([], schema)
+    # the manifest schema PINS the read: files written before an additive
+    # merge_schema evolution surface the newer columns as NULL, and a
+    # stray file-level type drift fails loudly instead of silently
+    # winning schema inference
+    return spark.read.schema(schema).parquet(*files)
+
+
+def _prune_files(manifest: dict, prune: dict) -> list[str]:
+    """Manifest-level file pruning: keep a file unless its recorded
+    [min, max] for some pruned column is PROVABLY disjoint from the
+    requested [lo, hi] (either bound may be None = open).  Files with no
+    stats for a column are always kept — pruning can only skip work,
+    never answers."""
+    stats = manifest.get("stats", {})
+
+    def keep(f: str) -> bool:
+        fstats = stats.get(f)
+        if not fstats:
+            return True
+        for col, (lo, hi) in prune.items():
+            rng = fstats.get(col)
+            if not rng or rng[0] is None or rng[1] is None:
+                continue
+            try:
+                if (hi is not None and rng[0] > hi) or (
+                    lo is not None and rng[1] < lo
+                ):
+                    return False
+            except TypeError:  # incomparable request vs stored type
+                continue
+        return True
+
+    return [f for f in manifest["files"] if keep(f)]
 
 
 def snapshot_delete_where(
@@ -367,6 +545,7 @@ def snapshot_delete_where(
     return _commit(
         spark, table_dir, "delete", files_fn, manifest["schema"],
         meta={"predicate": predicate, "rewritten_files": len(hit_files)},
+        stats_fn=_compose_stats(spark, new_files, None),  # sticky cols
     )
 
 

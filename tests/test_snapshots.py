@@ -219,3 +219,57 @@ def test_stream_sink_exactly_once_across_checkpoint_loss(spark, tmp_path):
     run(str(tmp_path / "chk2"))  # full replay, fresh checkpoint
     assert _ids(read_snapshot(spark, t)) == set(range(50))
     assert len(_list_versions(spark, t)) == n_versions  # zero new commits
+
+
+def test_merge_schema_additive_evolution(spark, tmp_path):
+    t = str(tmp_path / "t")
+    snapshot_append(_df(spark, 0, 5, "a"), t)
+    wider = spark.range(5, 8).select(
+        "id", F.lit("b").alias("tag"), F.lit(3.5).alias("score")
+    )
+    # without the flag: refused; with it: additive merge
+    with pytest.raises(ValueError, match="merge_schema"):
+        snapshot_append(wider, t)
+    snapshot_append(wider, t, merge_schema=True)
+    out = read_snapshot(spark, t)
+    assert out.columns == ["id", "tag", "score"]
+    rows = {r["id"]: r["score"] for r in out.collect()}
+    assert rows[0] is None and rows[6] == 3.5  # old files read NULL
+    # a TYPE conflict on a shared column still refuses
+    conflict = spark.range(1).select(
+        "id", F.lit(1).alias("tag")  # tag was string
+    )
+    with pytest.raises(ValueError, match="tag"):
+        snapshot_append(conflict, t, merge_schema=True)
+
+
+def test_stats_pruning_skips_disjoint_files(spark, tmp_path):
+    t = str(tmp_path / "t")
+    snapshot_append(_df(spark, 0, 100, "a").repartition(1), t, stats_cols=["id"])
+    snapshot_append(_df(spark, 100, 200, "b").repartition(1), t)  # sticky cols
+    snapshot_append(_df(spark, 200, 300, "c").repartition(1), t)
+    full = read_snapshot(spark, t)
+    pruned = read_snapshot(spark, t, prune={"id": (120, 150)})
+    assert len(pruned.inputFiles()) < len(full.inputFiles())
+    assert len(pruned.inputFiles()) == 1  # only the 100-199 file survives
+    # pruning never changes answers: real filter on top of either is equal
+    assert _ids(pruned.filter("id BETWEEN 120 AND 150")) == set(range(120, 151))
+    # open-ended bounds
+    assert len(read_snapshot(spark, t, prune={"id": (250, None)}).inputFiles()) == 1
+
+
+def test_stats_survive_delete_and_unstatted_files_kept(spark, tmp_path):
+    t = str(tmp_path / "t")
+    # first commit BEFORE stats existed: its file has no stats → never pruned
+    snapshot_append(_df(spark, 1000, 1100, "old").repartition(1), t)
+    snapshot_append(_df(spark, 0, 100, "a").repartition(1), t, stats_cols=["id"])
+    snapshot_append(_df(spark, 100, 200, "b").repartition(1), t)
+    snapshot_delete_where(spark, t, "id = 50")  # rewrites only file 'a'
+    pruned = read_snapshot(spark, t, prune={"id": (150, 160)})
+    # kept: the unstatted old file (safety) + the 100-199 file; the
+    # REWRITTEN 0-99 survivor file got fresh stats and prunes away
+    assert len(pruned.inputFiles()) == 2
+    assert _ids(pruned.filter("id BETWEEN 150 AND 160")) == set(range(150, 161))
+    assert _ids(read_snapshot(spark, t)) == (
+        set(range(200)) | set(range(1000, 1100))
+    ) - {50}
