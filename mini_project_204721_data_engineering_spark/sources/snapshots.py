@@ -47,6 +47,8 @@ __all__ = [
     "snapshot_delete_where",
     "snapshot_txn_append",
     "snapshot_stream_sink",
+    "snapshot_merge_into",
+    "snapshot_compact",
     "read_snapshot",
     "snapshot_history",
     "expire_snapshots",
@@ -546,6 +548,193 @@ def snapshot_delete_where(
         spark, table_dir, "delete", files_fn, manifest["schema"],
         meta={"predicate": predicate, "rewritten_files": len(hit_files)},
         stats_fn=_compose_stats(spark, new_files, None),  # sticky cols
+    )
+
+
+def snapshot_merge_into(
+    source: DataFrame,
+    table_dir: str,
+    keys: Sequence[str],
+    when_matched: str = "update",
+    when_not_matched: str = "insert",
+) -> dict:
+    """MERGE INTO the snapshot log, copy-on-write: only files holding a
+    matched key are rewritten; everything else carries by reference.
+    Completes the CDC family — ``sink.merge_into`` gave keyed upserts on
+    partitioned parquet, this gives them atomic cutover + time travel.
+
+    Semantics match ``sink.merge_into``: ``when_matched`` in
+    {update, delete, ignore} (update = the source row replaces the
+    target row wholesale), ``when_not_matched`` in {insert, ignore}.
+    Duplicate keys in the source raise IN-PLAN (a merge source is
+    per-key terminal state, same contract as ``apply_changes``).
+
+    Concurrency is conservative-serializable: the commit loop verifies
+    the tip's file set is EXACTLY the one this merge read (a concurrent
+    append could carry keys this merge never saw; a concurrent
+    delete/compact could replace files it rewrote) and aborts with
+    re-run guidance otherwise — correctness over lock-free optimism."""
+    from pyspark.sql import functions as F
+
+    if when_matched not in ("update", "delete", "ignore"):
+        raise ValueError(f"when_matched must be update/delete/ignore, got {when_matched!r}")
+    if when_not_matched not in ("insert", "ignore"):
+        raise ValueError(f"when_not_matched must be insert/ignore, got {when_not_matched!r}")
+    spark = source.sparkSession
+    keys = list(keys)
+    ddl = source.schema.simpleString()
+
+    versions = _list_versions(spark, table_dir)
+    if not versions:
+        if when_not_matched != "insert":
+            raise ValueError("fresh table and when_not_matched='ignore': merge is vacuous")
+        # fresh table: every source row is an insert — but keep the
+        # duplicate-key guard, the contract doesn't relax for v1
+        return snapshot_append(_dedup_guarded(source, keys), table_dir)
+    tip_manifest = _read_manifest(spark, table_dir, versions[-1])
+    _check_schema(tip_manifest, ddl, "snapshot_merge_into")
+    base_files = list(tip_manifest["files"])
+    target = (
+        spark.read.schema(source.schema).parquet(*base_files)
+        if base_files
+        else spark.createDataFrame([], source.schema)
+    )
+    src = _dedup_guarded(source, keys)
+
+    _, _, jvm = _fs_for(spark, table_dir)
+    hit_files = sorted(
+        str(jvm.org.apache.hadoop.fs.Path(r["f"]).toString())
+        for r in target.join(src.select(*keys).distinct(), keys, "left_semi")
+        .select(F.input_file_name().alias("f"))
+        .distinct()
+        .collect()
+    ) if base_files else []
+
+    target_hit = (
+        spark.read.schema(source.schema).parquet(*hit_files)
+        if hit_files
+        else spark.createDataFrame([], source.schema)
+    )
+    survivors = target_hit.join(src, keys, "left_anti")
+    if when_matched == "update":
+        replaced = src.join(target_hit, keys, "left_semi")
+    elif when_matched == "ignore":
+        replaced = target_hit.join(src, keys, "left_semi")
+    else:  # delete
+        replaced = spark.createDataFrame([], source.schema)
+    inserts = (
+        src.join(target, keys, "left_anti")
+        if when_not_matched == "insert"
+        else spark.createDataFrame([], source.schema)
+    )
+    new_data = survivors.unionByName(replaced).unionByName(inserts)
+    new_files, _ = _write_data_files(new_data, table_dir)
+    base_set = set(base_files)
+    hit = set(hit_files)
+
+    def files_fn(parent):
+        if set(parent["files"] if parent else []) != base_set:
+            raise RuntimeError(
+                "concurrent commit during snapshot_merge_into (the tip moved "
+                "past the merged base) — re-run the merge on the new tip"
+            )
+        return [f for f in base_files if f not in hit] + new_files
+
+    return _commit(
+        spark, table_dir, "merge", files_fn, ddl,
+        meta={
+            "rewritten_files": len(hit_files),
+            "when_matched": when_matched,
+            "when_not_matched": when_not_matched,
+        },
+        stats_fn=_compose_stats(spark, new_files, None),
+    )
+
+
+def _dedup_guarded(source: DataFrame, keys: Sequence[str]) -> DataFrame:
+    """Re-emit ``source`` with an in-plan duplicate-key guard: grouped by
+    key, count > 1 raises at execution — no separate validation job."""
+    from pyspark.sql import functions as F
+
+    keys = list(keys)
+    vals = [c for c in source.columns if c not in keys]
+    msg = F.concat(
+        F.lit("merge source carries duplicate key ("),
+        F.concat_ws(
+            ", ", *[F.coalesce(F.col(k).cast("string"), F.lit("NULL")) for k in keys]
+        ),
+        F.lit(") — a merge source must hold one terminal row per key"),
+    )
+    # the guard must live in a column the downstream plan READS, or
+    # Catalyst prunes it and the raise never evaluates: wrap the value
+    # struct itself (or, for a keys-only source, the first key)
+    g = (
+        source.select(*keys, F.struct(*[F.col(c) for c in vals]).alias("__v"))
+        .groupBy(*keys)
+        .agg(F.count(F.lit(1)).alias("__cn"), F.first("__v").alias("__v"))
+    )
+    if vals:
+        guarded = F.when(F.col("__cn") > 1, F.raise_error(msg)).otherwise(
+            F.col("__v")
+        )
+        return g.select(
+            *keys, *[guarded[c].alias(c) for c in vals]
+        ).select(*source.columns)
+    k0 = keys[0]
+    guarded_key = F.when(F.col("__cn") > 1, F.raise_error(msg)).otherwise(F.col(k0))
+    return g.select(guarded_key.alias(k0), *keys[1:]).select(*source.columns)
+
+
+def snapshot_compact(
+    spark: SparkSession,
+    table_dir: str,
+    target_file_bytes: int = 128 * 1024 * 1024,
+    small_file_bytes: int | None = None,
+) -> dict:
+    """Bin-pack small files into ~``target_file_bytes`` files as a new
+    snapshot — the maintenance pass that keeps a streaming-fed table
+    (one commit per micro-batch = one small file per trigger) from
+    drowning the planner in files.  Only files under ``small_file_bytes``
+    (default: target/2) rewrite; big files carry by reference.  Readers
+    of prior snapshots are untouched (old files live until
+    :func:`expire_snapshots`).  Safe against concurrent APPENDS (they
+    only add files); a concurrent delete/compact that replaced one of
+    the compacted files aborts with re-run guidance."""
+    if small_file_bytes is None:
+        small_file_bytes = target_file_bytes // 2
+    versions = _list_versions(spark, table_dir)
+    if not versions:
+        raise ValueError(f"no snapshots at {table_dir}")
+    manifest = _read_manifest(spark, table_dir, versions[-1])
+    fs, _, jvm = _fs_for(spark, table_dir)
+    sizes = {}
+    for f in manifest["files"]:
+        sizes[f] = int(fs.getFileStatus(jvm.org.apache.hadoop.fs.Path(f)).getLen())
+    small = [f for f in manifest["files"] if sizes[f] < small_file_bytes]
+    if len(small) < 2:
+        return manifest  # nothing worth packing
+    total = sum(sizes[f] for f in small)
+    n_out = max(1, (total + target_file_bytes - 1) // target_file_bytes)
+    from pyspark.sql.types import _parse_datatype_string
+
+    schema = _parse_datatype_string(manifest["schema"])
+    packed = spark.read.schema(schema).parquet(*small).repartition(n_out)
+    new_files, _ = _write_data_files(packed, table_dir)
+    small_set = set(small)
+
+    def files_fn(parent):
+        missing = small_set - set(parent["files"] if parent else [])
+        if missing:
+            raise RuntimeError(
+                "concurrent commit replaced files this compaction rewrote — "
+                "re-run snapshot_compact on the new tip"
+            )
+        return [f for f in parent["files"] if f not in small_set] + new_files
+
+    return _commit(
+        spark, table_dir, "compact", files_fn, manifest["schema"],
+        meta={"compacted_files": len(small), "produced_files": len(new_files)},
+        stats_fn=_compose_stats(spark, new_files, None),
     )
 
 

@@ -273,3 +273,100 @@ def test_stats_survive_delete_and_unstatted_files_kept(spark, tmp_path):
     assert _ids(read_snapshot(spark, t)) == (
         set(range(200)) | set(range(1000, 1100))
     ) - {50}
+
+
+def test_merge_into_cow_update_insert(spark, tmp_path):
+    from mini_project_204721_data_engineering_spark.sources.snapshots import snapshot_merge_into
+
+    t = str(tmp_path / "t")
+    snapshot_append(_df(spark, 0, 10, "old").repartition(1), t)
+    snapshot_append(_df(spark, 10, 20, "old").repartition(1), t)
+    before = set(_read_manifest(spark, t, 2)["files"])
+    src = _df(spark, 15, 25, "new")  # 15-19 match file 2; 20-24 insert
+    m = snapshot_merge_into(src, t, ["id"])
+    assert m["meta"]["rewritten_files"] == 1
+    assert len(before & set(m["files"])) == 1  # file 1 carried by reference
+    got = {r["id"]: r["tag"] for r in read_snapshot(spark, t).collect()}
+    assert got == {**{i: "old" for i in range(15)}, **{i: "new" for i in range(15, 25)}}
+    # time travel to the pre-merge state
+    assert {r["tag"] for r in read_snapshot(spark, t, version=2).collect()} == {"old"}
+
+
+def test_merge_into_delete_and_ignore_modes(spark, tmp_path):
+    from mini_project_204721_data_engineering_spark.sources.snapshots import snapshot_merge_into
+
+    t = str(tmp_path / "t")
+    snapshot_merge_into(_df(spark, 0, 10, "a"), t, ["id"])  # fresh = inserts
+    assert _ids(read_snapshot(spark, t)) == set(range(10))
+    # matched delete, unmatched ignored
+    snapshot_merge_into(
+        _df(spark, 5, 15, "x"), t, ["id"],
+        when_matched="delete", when_not_matched="ignore",
+    )
+    assert _ids(read_snapshot(spark, t)) == set(range(5))
+    # matched ignore keeps target values, unmatched inserts
+    snapshot_merge_into(
+        _df(spark, 3, 7, "y"), t, ["id"],
+        when_matched="ignore", when_not_matched="insert",
+    )
+    got = {r["id"]: r["tag"] for r in read_snapshot(spark, t).collect()}
+    assert got == {0: "a", 1: "a", 2: "a", 3: "a", 4: "a", 5: "y", 6: "y"}
+
+
+def test_merge_into_duplicate_source_keys_raise_in_plan(spark, tmp_path):
+    from mini_project_204721_data_engineering_spark.sources.snapshots import snapshot_merge_into
+
+    t = str(tmp_path / "t")
+    snapshot_append(_df(spark, 0, 5, "a"), t)
+    dup = _df(spark, 1, 3, "x").unionByName(_df(spark, 2, 4, "y"))
+    with pytest.raises(Exception, match="duplicate key"):
+        snapshot_merge_into(dup, t, ["id"])
+    # the failed merge committed nothing
+    assert _ids(read_snapshot(spark, t)) == set(range(5))
+    assert _list_versions(spark, t) == [1]
+
+
+def test_merge_into_aborts_on_concurrent_commit(spark, tmp_path):
+    """An interloper landing between the merge's read and its commit
+    must abort the merge — its rows carry keys the merge never saw."""
+    from mini_project_204721_data_engineering_spark.sources import snapshots as S
+
+    t = str(tmp_path / "t")
+    snapshot_append(_df(spark, 0, 5, "a"), t)
+    real_commit = S._commit
+
+    def racing_commit(spark_, table_dir_, op, files_fn, *a, **kw):
+        # land a concurrent append the first time the merge tries to
+        # commit, then let the real loop proceed — files_fn must detect
+        if op == "merge" and not getattr(racing_commit, "raced", False):
+            racing_commit.raced = True
+            snapshot_append(_df(spark, 100, 105, "race"), t)
+        return real_commit(spark_, table_dir_, op, files_fn, *a, **kw)
+
+    S._commit = racing_commit
+    try:
+        with pytest.raises(RuntimeError, match="concurrent commit during snapshot_merge_into"):
+            S.snapshot_merge_into(_df(spark, 0, 3, "m"), t, ["id"])
+    finally:
+        S._commit = real_commit
+    # the interloper's append landed; the merge did not
+    assert _ids(read_snapshot(spark, t)) == set(range(5)) | set(range(100, 105))
+
+
+def test_compact_packs_small_files_preserving_content(spark, tmp_path):
+    from mini_project_204721_data_engineering_spark.sources.snapshots import snapshot_compact
+
+    t = str(tmp_path / "t")
+    for i in range(6):  # 6 micro-batch-sized commits = 6 small files
+        snapshot_txn_append(
+            _df(spark, i * 10, (i + 1) * 10, "s").repartition(1), t, "app", i
+        )
+    n_before = len(_read_manifest(spark, t, 6)["files"])
+    m = snapshot_compact(spark, t, target_file_bytes=1 << 30)
+    assert m["meta"]["compacted_files"] == n_before
+    assert m["meta"]["produced_files"] < n_before
+    assert _ids(read_snapshot(spark, t)) == set(range(60))
+    # pre-compaction snapshot still readable (old files not GC'd yet)
+    assert _ids(read_snapshot(spark, t, version=6)) == set(range(60))
+    # a second compaction finds nothing worth packing (single big file)
+    assert snapshot_compact(spark, t, target_file_bytes=1 << 30)["version"] == m["version"]
