@@ -2042,6 +2042,97 @@ FROM clamped
 """
 
 
+def q18_large_volume_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape (large-volume orders): aggregate the fact FIRST
+    (map-side-combined per-order quantity sum), filter to the big
+    orders — a tiny set — THEN join orders and customer, so the joins
+    run at having-clause grain, never fact grain.  Quantities are
+    integral; summed as longs for exact parity."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum(F.col("l_quantity").cast("long")).alias("total_qty"))
+        .filter(F.col("total_qty") > 200)
+    )
+    return (
+        big.join(o, big["l_orderkey"] == o["o_orderkey"])
+        .join(c, o["o_custkey"] == c["c_custkey"])
+        .select(
+            "c_name",
+            "o_orderkey",
+            F.col("o_orderdate").cast("date").alias("order_date"),
+            "o_totalprice",
+            "total_qty",
+        )
+    )
+
+
+Q18_LARGE_VOLUME_SQL = """
+SELECT c.c_name,
+       o.o_orderkey,
+       CAST(o.o_orderdate AS DATE) AS order_date,
+       o.o_totalprice,
+       big.total_qty
+FROM (
+  SELECT l_orderkey, CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS total_qty
+  FROM lineitem GROUP BY l_orderkey HAVING sum(CAST(l_quantity AS BIGINT)) > 200
+) big
+JOIN orders o ON big.l_orderkey = o.o_orderkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+"""
+
+
+def q22_global_sales_opportunity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape: customers with above-average positive balance
+    who never placed a big-ticket (>300k) order, counted per nation
+    (the synthetic data gives every customer SOME order, so plain Q22
+    no-orders would be vacuous — the big-ticket variant keeps the
+    anti-join + scalar-subquery shape non-degenerate).  The
+    average-balance comparison runs in EXACT integer arithmetic
+    (cents·count > total-cents — no float mean, so no engine can
+    disagree at the boundary); the scalar aggregate broadcasts; the
+    never-ordered check is the left-anti join."""
+    c = load_table(spark, sf_dir, "customer").withColumn(
+        "bal_cents", F.round(F.col("c_acctbal") * 100).cast("long")
+    )
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 300000)
+    pos = c.filter(F.col("c_acctbal") > 0)
+    scalar = pos.agg(
+        F.sum("bal_cents").alias("__s"), F.count(F.lit(1)).alias("__n")
+    )
+    rich = (
+        c.crossJoin(F.broadcast(scalar))
+        .filter(F.col("bal_cents") * F.col("__n") > F.col("__s"))
+        .join(o, c["c_custkey"] == o["o_custkey"], "left_anti")
+    )
+    return rich.groupBy("c_nationkey").agg(
+        F.count(F.lit(1)).alias("n_cust"),
+        (F.sum("bal_cents") / F.lit(100.0)).alias("total_bal"),
+    )
+
+
+Q22_SALES_OPPORTUNITY_SQL = """
+WITH c AS (
+  SELECT c_custkey, c_nationkey, c_acctbal,
+         CAST(round(c_acctbal * 100) AS BIGINT) AS bal_cents
+  FROM customer
+), s AS (
+  SELECT CAST(sum(bal_cents) AS BIGINT) AS s, count(*) AS n
+  FROM c WHERE c_acctbal > 0
+)
+SELECT c.c_nationkey,
+       count(*) AS n_cust,
+       CAST(sum(bal_cents) AS BIGINT) / 100.0 AS total_bal
+FROM c CROSS JOIN s
+WHERE c.bal_cents * s.n > s.s
+  AND NOT EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 300000)
+GROUP BY c.c_nationkey
+"""
+
+
 def value_anomalies_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Robust per-group anomaly gate: median/MAD outlier detection on the
     events value stream (|x − med| > 3 · 1.4826 · MAD — the consistent
@@ -2212,6 +2303,8 @@ EXTRA_QUERIES = {
     "revenue_maintenance": revenue_maintenance,
     "bloom_semi_prune": bloom_semi_prune,
     "value_anomalies_mad": value_anomalies_mad,
+    "q18_large_volume_orders": q18_large_volume_orders,
+    "q22_global_sales_opportunity": q22_global_sales_opportunity,
     "value_drift_psi": value_drift_psi,
     "data_expectations": data_expectations,
     "snapshot_diff": snapshot_diff,
@@ -2245,6 +2338,8 @@ EXTRA_ORACLES = {
     "revenue_maintenance": REVENUE_MAINTENANCE_SQL,
     "bloom_semi_prune": BLOOM_SEMI_PRUNE_SQL,
     "value_anomalies_mad": VALUE_ANOMALIES_MAD_SQL,
+    "q18_large_volume_orders": Q18_LARGE_VOLUME_SQL,
+    "q22_global_sales_opportunity": Q22_SALES_OPPORTUNITY_SQL,
     "value_drift_psi": VALUE_DRIFT_PSI_SQL,
     "data_expectations": DATA_EXPECTATIONS_SQL,
     "snapshot_diff": SNAPSHOT_DIFF_SQL,
