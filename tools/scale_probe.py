@@ -71,7 +71,7 @@ def timed(name, fn, out):
 def main() -> None:
     mode = "events"
     args = [a for a in sys.argv[1:]]
-    if args and args[0] in ("events", "docs", "ann", "srp", "cc", "spans", "vocab", "decon", "semdedup", "spatial", "bpe", "hotcell", "radius", "interval", "knn", "merge", "linkage", "sparsesim", "wsample", "pq"):
+    if args and args[0] in ("events", "docs", "ann", "srp", "cc", "spans", "vocab", "decon", "semdedup", "spatial", "bpe", "hotcell", "radius", "interval", "knn", "merge", "linkage", "sparsesim", "wsample", "pq", "snap"):
         mode = args.pop(0)
     n = int(args[0]) if args else {
         "events": 10_000_000, "docs": 1_000_000, "ann": 1_000_000,
@@ -80,6 +80,7 @@ def main() -> None:
         "spatial": 1_000_000, "bpe": 200_000, "hotcell": 50_000, "radius": 1_000_000, "interval": 1_000_000,
         "knn": 1_000_000, "merge": 10_000_000, "linkage": 100_000,
         "sparsesim": 10_000, "wsample": 10_000_000, "pq": 1_000_000,
+        "snap": 2_000_000,
     }[mode]
     from mini_project_204721_data_engineering_spark.session import get_spark
 
@@ -95,7 +96,8 @@ def main() -> None:
          "merge": probe_merge, "linkage": probe_linkage,
          "sparsesim": probe_sparsesim,
          "wsample": probe_wsample,
-         "pq": probe_pq}[mode](spark, n, out)
+         "pq": probe_pq,
+         "snap": probe_snap}[mode](spark, n, out)
         total = round(sum(r["sec"] for r in out), 3)
         print(json.dumps({"metric": f"scale_probe_{mode}_total", "value": total,
                           "unit": "sec", "n_rows": n,
@@ -1054,6 +1056,64 @@ def probe_wsample(spark, n: int, out: list) -> None:
     timed("weighted_topk_form", topk, out)
     timed("weighted_threshold_form", threshold, out)
     assert out[-1]["rows"] == out[-2]["rows"] == k, (out[-2], out[-1])
+
+
+def probe_snap(spark, n: int, out: list) -> None:
+    """Snapshot-log probes: manifest-metadata cost as the log grows, and
+    file-prune effectiveness for a key-range read over many files.
+    20 commits x 10 files of range-partitioned ids with stats on id."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from mini_project_204721_data_engineering_spark.sources.snapshots import (
+        read_snapshot,
+        snapshot_append,
+    )
+
+    d = tempfile.mkdtemp(prefix="snap_probe_")
+    t = d + "/t"
+    per = n // 20
+    try:
+        def commits():
+            for i in range(20):
+                df = (
+                    spark.range(i * per, (i + 1) * per)
+                    .select(F.col("id"), (F.col("id") % 97).alias("v"))
+                    .repartitionByRange(10, "id")
+                )
+                snapshot_append(df, t, stats_cols=["id"])
+            return 20
+
+        timed("snap_20_commits_200_files_with_stats", commits, out)
+
+        full = read_snapshot(spark, t)
+        n_files_full = len(full.inputFiles())
+        lo, hi = 3 * per, 3 * per + per // 2  # half of one commit's range
+        pruned = read_snapshot(spark, t, prune={"id": (lo, hi)})
+        n_files_pruned = len(pruned.inputFiles())
+
+        def scan_full():
+            return full.filter(F.col("id").between(lo, hi)).agg(
+                F.sum("v")
+            ).collect()[0][0]
+
+        def scan_pruned():
+            return pruned.filter(F.col("id").between(lo, hi)).agg(
+                F.sum("v")
+            ).collect()[0][0]
+
+        a = timed(f"range_scan_full_{n_files_full}_files", scan_full, out)
+        b = timed(f"range_scan_pruned_{n_files_pruned}_files", scan_pruned, out)
+        assert scan_full() == scan_pruned()  # pruning never changes answers
+        print(json.dumps({
+            "probe": "prune_effectiveness",
+            "files_full": n_files_full, "files_pruned": n_files_pruned,
+            "speedup": round(a / b, 2) if b else None,
+        }), flush=True)
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
 
 
 if __name__ == "__main__":
