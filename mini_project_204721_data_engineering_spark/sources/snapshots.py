@@ -48,6 +48,8 @@ __all__ = [
     "snapshot_txn_append",
     "snapshot_stream_sink",
     "snapshot_merge_into",
+    "snapshot_replace_where",
+    "snapshot_changes",
     "snapshot_compact",
     "read_snapshot",
     "snapshot_history",
@@ -114,14 +116,36 @@ def _try_write_manifest(
     fs, _, jvm = _fs_for(spark, table_dir)
     jpath = _child(jvm, table_dir, _MANIFEST_DIR, _V_FMT % version)
     fs.mkdirs(jpath.getParent())
+    payload = json.dumps(manifest, indent=1).encode("utf-8")
+    uri = jpath.toUri()
+    if uri.getScheme() in (None, "file"):
+        # Hadoop's RawLocalFileSystem create(overwrite=false) is
+        # CHECK-then-create — two racing local writers can both pass the
+        # check and one silently overwrites the other (observed under an
+        # 8-thread append race).  O_EXCL is the kernel-atomic claim.
+        import os as _os
+
+        try:
+            fd = _os.open(
+                str(uri.getPath()), _os.O_CREAT | _os.O_EXCL | _os.O_WRONLY, 0o644
+            )
+        except FileExistsError:
+            return False
+        try:
+            _os.write(fd, payload)
+            _os.fsync(fd)
+        finally:
+            _os.close(fd)
+        return True
     if fs.exists(jpath):  # cheap fast-path; the create below is the gate
         return False
     try:
-        stream = fs.create(jpath, False)  # overwrite=false: atomic claim
+        # overwrite=false: atomic exclusive-create on HDFS-like FSes
+        stream = fs.create(jpath, False)
     except Exception:
         return False
     try:
-        stream.write(json.dumps(manifest, indent=1).encode("utf-8"))
+        stream.write(payload)
         stream.hflush()
     finally:
         stream.close()
@@ -683,6 +707,96 @@ def _dedup_guarded(source: DataFrame, keys: Sequence[str]) -> DataFrame:
     k0 = keys[0]
     guarded_key = F.when(F.col("__cn") > 1, F.raise_error(msg)).otherwise(F.col(k0))
     return g.select(guarded_key.alias(k0), *keys[1:]).select(*source.columns)
+
+
+def snapshot_replace_where(
+    df: DataFrame, table_dir: str, predicate: str
+) -> dict:
+    """Atomic 'INSERT OVERWRITE WHERE': one commit that deletes every
+    row matching ``predicate`` and inserts ``df`` — the idempotent
+    slice-reload pattern (re-land a day/source partition without a
+    delete+append window where readers see neither).  Copy-on-write:
+    only files holding matching rows rewrite.  Every ``df`` row must
+    itself satisfy ``predicate`` (guarded IN-PLAN — otherwise a retry
+    of the same load would not be idempotent), mirroring Delta's
+    replaceWhere contract.  Conservative-serializable like merge: the
+    commit aborts if the tip moved past the base this replace read."""
+    from pyspark.sql import functions as F
+
+    spark = df.sparkSession
+    ddl = df.schema.simpleString()
+    pred = F.expr(predicate)
+    msg = F.concat(
+        F.lit(f"replace_where: an inserted row violates the predicate "),
+        F.lit(predicate),
+    )
+    first = df.columns[0]
+    guarded = df.select(
+        F.when(~F.coalesce(pred, F.lit(False)), F.raise_error(msg))
+        .otherwise(F.col(first))
+        .alias(first),
+        *df.columns[1:],
+    ).select(*df.columns)
+
+    versions = _list_versions(spark, table_dir)
+    if not versions:
+        return snapshot_append(guarded, table_dir)
+    manifest = _read_manifest(spark, table_dir, versions[-1])
+    _check_schema(manifest, ddl, "snapshot_replace_where")
+    base_files = list(manifest["files"])
+    _, _, jvm = _fs_for(spark, table_dir)
+    hit_files = sorted(
+        str(jvm.org.apache.hadoop.fs.Path(r["f"]).toString())
+        for r in (
+            spark.read.schema(df.schema).parquet(*base_files)
+            .filter(predicate)
+            .select(F.input_file_name().alias("f"))
+            .distinct()
+            .collect()
+        )
+    ) if base_files else []
+    survivors = (
+        spark.read.schema(df.schema).parquet(*hit_files).filter(f"NOT ({predicate})")
+        if hit_files
+        else spark.createDataFrame([], df.schema)
+    )
+    new_files, _ = _write_data_files(survivors.unionByName(guarded), table_dir)
+    base_set = set(base_files)
+    hit = set(hit_files)
+
+    def files_fn(parent):
+        if set(parent["files"] if parent else []) != base_set:
+            raise RuntimeError(
+                "concurrent commit during snapshot_replace_where (the tip "
+                "moved past the replaced base) — re-run on the new tip"
+            )
+        return [f for f in base_files if f not in hit] + new_files
+
+    return _commit(
+        spark, table_dir, "replace_where", files_fn, ddl,
+        meta={"predicate": predicate, "rewritten_files": len(hit_files)},
+        stats_fn=_compose_stats(spark, new_files, None),
+    )
+
+
+def snapshot_changes(
+    spark: SparkSession,
+    table_dir: str,
+    keys: Sequence[str],
+    from_version: int,
+    to_version: int | None = None,
+) -> DataFrame:
+    """Row-level change feed between two snapshots (CDF after the fact):
+    ``(keys..., diff_status, changed_cols)`` via the engine's
+    ``table_diff`` over the two pinned reads — added/removed/changed/
+    unchanged with null-safe per-column attribution.  Cost is one keyed
+    full-outer join of the two snapshots; for the common tip-vs-N-back
+    audit both reads prune through the same manifests."""
+    from mini_project_204721_data_engineering_spark.operators.diff import table_diff
+
+    old = read_snapshot(spark, table_dir, version=from_version)
+    new = read_snapshot(spark, table_dir, version=to_version)
+    return table_diff(old, new, keys)
 
 
 def snapshot_compact(
