@@ -852,6 +852,59 @@ def snapshot_compact(
     )
 
 
+def snapshot_incremental_read(
+    spark: SparkSession,
+    table_dir: str,
+    last_version: int,
+) -> tuple[DataFrame | None, int]:
+    """Batch-incremental consumption of an APPEND-ONLY table: the rows
+    landed after ``last_version``, as ``(df, new_version)`` — feed
+    ``new_version`` back next poll (None df when nothing new).  This is
+    the downstream-ETL half of exactly-once: the upstream stream commits
+    through the txn watermark, the consumer advances its cursor only
+    after its own output commits.
+
+    Correct BY CONSTRUCTION only for append-shaped commits (append /
+    merge-that-only-inserted / replace of nothing): if any commit in
+    the window removed or replaced a file, added-files ≠ added-rows and
+    this raises — use :func:`snapshot_changes` (keyed row diff) for
+    tables that rewrite.  Never reads the data directory: ONLY
+    manifest-referenced files, so racing writers' uncommitted files are
+    invisible here exactly as they are to full reads."""
+    versions = _list_versions(spark, table_dir)
+    if not versions:
+        raise ValueError(f"no snapshots at {table_dir}")
+    tip = versions[-1]
+    if last_version >= tip:
+        return None, tip
+    if last_version > 0 and last_version not in versions:
+        raise ValueError(
+            f"cursor version {last_version} expired from the log — "
+            "re-baseline with a full read"
+        )
+    base_files = (
+        set(_read_manifest(spark, table_dir, last_version)["files"])
+        if last_version > 0
+        else set()
+    )
+    tip_manifest = _read_manifest(spark, table_dir, tip)
+    tip_files = set(tip_manifest["files"])
+    removed = base_files - tip_files
+    if removed:
+        raise ValueError(
+            f"non-append commit(s) between v{last_version} and v{tip} removed "
+            f"{len(removed)} file(s) — incremental file reads would be wrong; "
+            "use snapshot_changes for row-level diffs"
+        )
+    added = [f for f in tip_manifest["files"] if f not in base_files]
+    if not added:
+        return None, tip
+    from pyspark.sql.types import _parse_datatype_string
+
+    schema = _parse_datatype_string(tip_manifest["schema"])
+    return spark.read.schema(schema).parquet(*added), tip
+
+
 def snapshot_history(spark: SparkSession, table_dir: str) -> list[dict]:
     """The log, oldest→newest: (version, ts, op, n_files, meta)."""
     return [
@@ -865,19 +918,31 @@ def snapshot_history(spark: SparkSession, table_dir: str) -> list[dict]:
 
 
 def expire_snapshots(
-    spark: SparkSession, table_dir: str, keep_last: int = 1
+    spark: SparkSession, table_dir: str, keep_last: int = 1,
+    min_age_seconds: float = 0.0,
 ) -> dict:
     """Retention + GC: drop all but the newest ``keep_last`` manifests,
     then delete every data file no surviving manifest references —
     including orphans stranded by crashed commits.  Time travel beyond
     the horizon is gone after this; readers of SURVIVING snapshots are
-    unaffected (their files are all referenced).  Returns counts."""
+    unaffected (their files are all referenced).  Returns counts.
+
+    ``min_age_seconds`` keeps any snapshot committed more recently than
+    the window regardless of ``keep_last`` — the grace period for
+    in-flight readers whose plans still point at a just-superseded
+    snapshot's files (Iceberg's expire-older-than idea)."""
     if keep_last < 1:
         raise ValueError("keep_last must be >= 1")
     versions = _list_versions(spark, table_dir)
     if not versions:
         return {"expired_manifests": 0, "deleted_files": 0}
     keep = set(versions[-keep_last:])
+    if min_age_seconds > 0:
+        cutoff = time.time() - min_age_seconds
+        keep.update(
+            v for v in versions
+            if _read_manifest(spark, table_dir, v)["ts"] > cutoff
+        )
     referenced: set[str] = set()
     for v in keep:
         referenced.update(_read_manifest(spark, table_dir, v)["files"])

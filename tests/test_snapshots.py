@@ -551,3 +551,51 @@ def test_zorder_plus_stats_prune_synergy(spark, tmp_path):
         == full.filter("x <= 7 AND y <= 7").count()
         == 64
     )
+
+
+def test_incremental_read_append_only_cursor(spark, tmp_path):
+    from mini_project_204721_data_engineering_spark.sources.snapshots import (
+        snapshot_incremental_read,
+    )
+
+    t = str(tmp_path / "t")
+    snapshot_append(_df(spark, 0, 10, "a"), t)
+    df, cur = snapshot_incremental_read(spark, t, 0)  # from the beginning
+    assert cur == 1 and _ids(df) == set(range(10))
+    # nothing new at the cursor
+    df2, cur2 = snapshot_incremental_read(spark, t, cur)
+    assert df2 is None and cur2 == 1
+    snapshot_append(_df(spark, 10, 20, "b"), t)
+    snapshot_append(_df(spark, 20, 30, "c"), t)
+    df3, cur3 = snapshot_incremental_read(spark, t, cur)
+    assert cur3 == 3 and _ids(df3) == set(range(10, 30))  # only the delta
+
+
+def test_incremental_read_refuses_non_append_window(spark, tmp_path):
+    from mini_project_204721_data_engineering_spark.sources.snapshots import (
+        snapshot_incremental_read,
+    )
+
+    t = str(tmp_path / "t")
+    snapshot_append(_df(spark, 0, 10, "a").repartition(1), t)
+    snapshot_delete_where(spark, t, "id = 3")  # rewrites the file
+    with pytest.raises(ValueError, match="non-append"):
+        snapshot_incremental_read(spark, t, 1)
+    # expired cursor also refuses (after GC removed v1)
+    expire_snapshots(spark, t, keep_last=1)
+    with pytest.raises(ValueError, match="expired from the log"):
+        snapshot_incremental_read(spark, t, 1)
+
+
+def test_expire_min_age_protects_recent_snapshots(spark, tmp_path):
+    t = str(tmp_path / "t")
+    snapshot_append(_df(spark, 0, 5, "a"), t)
+    snapshot_append(_df(spark, 5, 10, "b"), t)
+    snapshot_append(_df(spark, 10, 15, "c"), t)
+    # all three committed seconds ago: a 1-hour grace window keeps them
+    stats = expire_snapshots(spark, t, keep_last=1, min_age_seconds=3600)
+    assert stats["expired_manifests"] == 0
+    assert _list_versions(spark, t) == [1, 2, 3]
+    # without the window, keep_last governs
+    stats = expire_snapshots(spark, t, keep_last=1)
+    assert stats["expired_manifests"] == 2
