@@ -64,6 +64,12 @@ def _hashed(df: DataFrame, keys: Sequence[str], n_words: int) -> DataFrame:
     """Attach (__word, __mask) for the given key columns.  Rows with any
     NULL key are dropped — mirroring equi-join semantics, where a NULL
     key can never match."""
+    reserved = {"__h2", "__word", "__mask", "__bits"} & set(df.columns)
+    if reserved:
+        raise ValueError(
+            f"columns {sorted(reserved)} collide with bloom internals — "
+            "rename them before the bloom call"
+        )
     cols = [F.col(k) for k in keys]
     notnull = cols[0].isNotNull()
     for c in cols[1:]:

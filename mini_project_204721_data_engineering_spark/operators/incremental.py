@@ -96,6 +96,12 @@ def maintain_aggregate(
     ops per key in one batch."""
     keys = list(keys)
     mnames = list(measures)
+    clash = (set(mnames) | {count_col}) & set(keys)
+    if clash:
+        raise ValueError(
+            f"measure/count names {sorted(clash)} collide with key columns — "
+            "rename the outputs"
+        )
 
     bad_op = F.concat(
         F.lit("unknown CDC op '"),

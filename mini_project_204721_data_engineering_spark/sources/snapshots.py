@@ -270,11 +270,18 @@ def _file_stats(spark: SparkSession, files: list[str], cols: Sequence[str]) -> d
     if not files:
         return {}
     _, _, jvm = _fs_for(spark, files[0])
+    scan = spark.read.parquet(*files)
+    # a merge_schema append may legitimately omit a stats column — those
+    # files simply record no stats for it (never pruned on it) instead
+    # of failing the whole commit on an unresolvable column
+    cols = [c for c in cols if c in scan.columns]
+    if not cols:
+        return {}
     aggs = []
     for c in cols:
         aggs += [F.min(c).alias(f"__mn_{c}"), F.max(c).alias(f"__mx_{c}")]
     rows = (
-        spark.read.parquet(*files)
+        scan
         .groupBy(F.input_file_name().alias("__f"))
         .agg(*aggs)
         .collect()

@@ -108,3 +108,10 @@ def test_probe_side_plan_broadcasts_words_not_shuffles_probe(spark):
     # broadcast; the probe side itself must not hash-partition
     probe_side = plan.split("BroadcastHashJoin")[0]
     assert "Exchange hashpartitioning" not in probe_side
+
+
+def test_reserved_column_names_refused(spark):
+    probe = spark.createDataFrame([(1, 2)], "k int, __mask int")
+    build = spark.createDataFrame([(1,)], "k int")
+    with pytest.raises(ValueError, match="bloom internals"):
+        bloom_semi_join(probe, build, ["k"], ["k"])

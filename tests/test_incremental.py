@@ -122,3 +122,12 @@ def test_no_separate_guard_job(spark):
     maintain_aggregate(base, feed, ["grp"], MEAS)
     after = len(tracker.getJobIdsForGroup(None) or [])
     assert after == before
+
+
+def test_measure_name_colliding_with_key_refused(spark):
+    base = base_aggregate(
+        spark.createDataFrame([(1, "a", 1.0)], SCHEMA), ["grp"], MEAS
+    )
+    feed = spark.createDataFrame([("insert", None, (2, "b", 2.0))], FEED_SCHEMA)
+    with pytest.raises(ValueError, match="collide with key"):
+        maintain_aggregate(base, feed, ["grp"], {"grp": lambda r: r["val"]})

@@ -599,3 +599,16 @@ def test_expire_min_age_protects_recent_snapshots(spark, tmp_path):
     # without the window, keep_last governs
     stats = expire_snapshots(spark, t, keep_last=1)
     assert stats["expired_manifests"] == 2
+
+
+def test_merge_schema_append_missing_stats_column_still_commits(spark, tmp_path):
+    """An evolved append lacking a stats column records no stats for its
+    files (kept on every prune) instead of failing the commit."""
+    t = str(tmp_path / "t")
+    snapshot_append(_df(spark, 0, 10, "a"), t, stats_cols=["id"])
+    no_id = spark.range(1).select(F.lit("x").alias("tag"), F.lit(9).alias("extra"))
+    snapshot_append(no_id, t, merge_schema=True)
+    out = read_snapshot(spark, t, prune={"id": (500, 600)})
+    # the statless evolved file survives pruning; the statted one doesn't
+    assert len(out.inputFiles()) >= 1
+    assert out.filter("id IS NULL").count() == 1
