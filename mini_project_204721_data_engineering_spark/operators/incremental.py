@@ -102,6 +102,11 @@ def maintain_aggregate(
             f"measure/count names {sorted(clash)} collide with key columns — "
             "rename the outputs"
         )
+    if count_col in mnames:
+        raise ValueError(
+            f"measure name {count_col!r} collides with count_col — "
+            "rename one of them"
+        )
 
     bad_op = F.concat(
         F.lit("unknown CDC op '"),
@@ -147,7 +152,16 @@ def maintain_aggregate(
         *keys,
         F.struct(*[F.col(c_).alias(c_) for c_ in (*mnames, count_col)]).alias("__delta"),
     )
-    j = b.join(d, on=keys, how="full_outer")
+    # groupBy treats NULL as a real group, so the merge join must too:
+    # a name-list join uses plain equality and would split a NULL-key
+    # group into two output rows (or mis-fire the negative-count guard)
+    cond = None
+    for k in keys:
+        c = b[k].eqNullSafe(d[k])
+        cond = c if cond is None else cond & c
+    j = b.join(d, cond, "full_outer").select(
+        *[F.coalesce(b[k], d[k]).alias(k) for k in keys], "__base", "__delta"
+    )
 
     def merged(col: str) -> Column:
         return F.coalesce(F.col("__base")[col], F.lit(0)) + F.coalesce(

@@ -142,8 +142,14 @@ def _try_write_manifest(
     try:
         # overwrite=false: atomic exclusive-create on HDFS-like FSes
         stream = fs.create(jpath, False)
-    except Exception:
-        return False
+    except Exception as e:
+        # ONLY already-exists means we lost the race; a permission,
+        # quota, or network failure must surface as itself — retrying
+        # it 20 times as "writer contention" would bury the real cause
+        text = str(e)
+        if "AlreadyExists" in text or "already exists" in text.lower():
+            return False
+        raise
     try:
         stream.write(payload)
         stream.hflush()
@@ -302,6 +308,8 @@ def _compose_stats(spark, new_files: list[str], stats_cols):
     set is sticky — parent's ``stats_cols`` wins when the caller passes
     none, so one configured writer keeps the whole chain pruned."""
 
+    fresh_cache: dict[str, dict] = {}  # keyed by the column set
+
     def stats_fn(parent, files):
         cols = list(
             stats_cols
@@ -311,7 +319,13 @@ def _compose_stats(spark, new_files: list[str], stats_cols):
         if not cols:
             return {}, []
         parent_stats = (parent or {}).get("stats", {})
-        fresh = _file_stats(spark, new_files, cols)
+        # memoized: the commit-retry loop re-invokes stats_fn against
+        # each new tip, but new_files never change — one Spark stats
+        # job per column set, not one per lost race
+        key = "\x00".join(cols)
+        if key not in fresh_cache:
+            fresh_cache[key] = _file_stats(spark, new_files, cols)
+        fresh = fresh_cache[key]
         return (
             {f: (parent_stats.get(f) or fresh.get(f)) for f in files
              if (parent_stats.get(f) or fresh.get(f)) is not None},
@@ -535,8 +549,15 @@ def snapshot_delete_where(
     are rewritten (without those rows) into a new commit; untouched
     files carry over by reference — cost ∝ hit files, not table size
     (the same contract as ``sink.delete_rows``, now with atomic cutover
-    and time travel back to the pre-delete snapshot)."""
+    and time travel back to the pre-delete snapshot).
+
+    Conservative-serializable like merge/replace: the commit aborts if
+    the tip moved at all — a concurrent APPEND may carry rows matching
+    this very predicate, and carrying its file by reference would
+    silently under-delete (the one failure a takedown primitive must
+    not have)."""
     from pyspark.sql import functions as F
+    from pyspark.sql.types import _parse_datatype_string
 
     versions = _list_versions(spark, table_dir)
     if not versions:
@@ -545,7 +566,11 @@ def snapshot_delete_where(
     manifest = _read_manifest(spark, table_dir, tip)
     if not manifest["files"]:
         return manifest
-    snap = spark.read.parquet(*manifest["files"])
+    # pin the MANIFEST schema: with merge_schema-evolved mixed physical
+    # schemas, plain inference could elect a narrow file's schema and
+    # silently drop evolved columns from the rewritten survivors
+    schema = _parse_datatype_string(manifest["schema"])
+    snap = spark.read.schema(schema).parquet(*manifest["files"])
     _, _, jvm = _fs_for(spark, table_dir)
     # input_file_name() yields URI form (file:///...); manifests hold
     # Hadoop Path form (file:/...) — canonicalize through Path so the
@@ -562,16 +587,19 @@ def snapshot_delete_where(
     # survivors are written unconditionally — a fully-emptied rewrite
     # produces a schema-only part file, which is cheaper than an extra
     # guard pass over the hit files to detect it
-    survivors = spark.read.parquet(*hit_files).filter(f"NOT ({predicate})")
+    survivors = spark.read.schema(schema).parquet(*hit_files).filter(
+        f"NOT ({predicate})"
+    )
     new_files, _ = _write_data_files(survivors, table_dir)
     hit = set(hit_files)
+    base_set = set(manifest["files"])
 
     def files_fn(parent):
-        missing = hit - set(parent["files"] if parent else [])
-        if missing:
+        if set(parent["files"] if parent else []) != base_set:
             raise RuntimeError(
-                "concurrent commit replaced files this delete rewrote; "
-                "re-run snapshot_delete_where on the new tip"
+                "concurrent commit during snapshot_delete_where (the tip "
+                "moved — an interleaved append may hold rows matching this "
+                "predicate) — re-run the delete on the new tip"
             )
         return [f for f in parent["files"] if f not in hit] + new_files
 
@@ -620,8 +648,27 @@ def snapshot_merge_into(
         if when_not_matched != "insert":
             raise ValueError("fresh table and when_not_matched='ignore': merge is vacuous")
         # fresh table: every source row is an insert — but keep the
-        # duplicate-key guard, the contract doesn't relax for v1
-        return snapshot_append(_dedup_guarded(source, keys), table_dir)
+        # duplicate-key guard, AND keep the serializable contract: if an
+        # interloper lands v1 between our emptiness check and the
+        # commit, a blind append would skip the matched-key rewrite and
+        # duplicate shared keys — abort and re-run instead
+        new_files, _ = _write_data_files(_dedup_guarded(source, keys), table_dir)
+
+        def fresh_files_fn(parent):
+            if parent is not None:
+                raise RuntimeError(
+                    "concurrent commit during snapshot_merge_into (the table "
+                    "was fresh at read time but the tip moved) — re-run the "
+                    "merge on the new tip"
+                )
+            return list(new_files)
+
+        return _commit(
+            spark, table_dir, "merge", fresh_files_fn, ddl,
+            meta={"rewritten_files": 0, "when_matched": when_matched,
+                  "when_not_matched": when_not_matched},
+            stats_fn=_compose_stats(spark, new_files, None),
+        )
     tip_manifest = _read_manifest(spark, table_dir, versions[-1])
     _check_schema(tip_manifest, ddl, "snapshot_merge_into")
     base_files = list(tip_manifest["files"])
@@ -882,8 +929,16 @@ def snapshot_incremental_read(
     if not versions:
         raise ValueError(f"no snapshots at {table_dir}")
     tip = versions[-1]
-    if last_version >= tip:
+    if last_version == tip:
         return None, tip
+    if last_version > tip:
+        # a cursor AHEAD of the tip means the log was truncated or
+        # recreated under the consumer — silently rebasing would skip
+        # every row of the new log's early versions
+        raise ValueError(
+            f"cursor version {last_version} is ahead of the tip v{tip} — "
+            "the log was recreated; re-baseline with a full read"
+        )
     if last_version > 0 and last_version not in versions:
         raise ValueError(
             f"cursor version {last_version} expired from the log — "
@@ -927,6 +982,7 @@ def snapshot_history(spark: SparkSession, table_dir: str) -> list[dict]:
 def expire_snapshots(
     spark: SparkSession, table_dir: str, keep_last: int = 1,
     min_age_seconds: float = 0.0,
+    orphan_min_age_seconds: float = 3600.0,
 ) -> dict:
     """Retention + GC: drop all but the newest ``keep_last`` manifests,
     then delete every data file no surviving manifest references —
@@ -937,7 +993,11 @@ def expire_snapshots(
     ``min_age_seconds`` keeps any snapshot committed more recently than
     the window regardless of ``keep_last`` — the grace period for
     in-flight readers whose plans still point at a just-superseded
-    snapshot's files (Iceberg's expire-older-than idea)."""
+    snapshot's files (Iceberg's expire-older-than idea).
+    ``orphan_min_age_seconds`` (default 1 h) bounds the orphan sweep:
+    an unreferenced data file younger than the window is presumed an
+    IN-FLIGHT commit (bytes land before the manifest) and left alone —
+    deleting it would corrupt the commit that is about to claim it."""
     if keep_last < 1:
         raise ValueError("keep_last must be >= 1")
     versions = _list_versions(spark, table_dir)
@@ -960,15 +1020,31 @@ def expire_snapshots(
             fs.delete(_child(jvm, table_dir, _MANIFEST_DIR, _V_FMT % v), False)
             expired += 1
     deleted = 0
+    # the orphan sweep must not eat the data of an IN-FLIGHT commit
+    # (bytes land before the manifest claims them): only unreferenced
+    # files older than the grace window go — Iceberg's
+    # remove_orphan_files age-cutoff idea (its default is 3 days)
+    orphan_cutoff_ms = (time.time() - max(min_age_seconds, orphan_min_age_seconds)) * 1000
     statuses = fs.globStatus(_child(jvm, table_dir, _DATA_DIR, "*", "*"))
     for s in statuses or []:
         p = str(s.getPath().toString())
-        if s.isFile() and p not in referenced and not s.getPath().getName().startswith("_"):
+        if (
+            s.isFile()
+            and p not in referenced
+            and not s.getPath().getName().startswith("_")
+            and s.getModificationTime() <= orphan_cutoff_ms
+        ):
             fs.delete(s.getPath(), False)
             deleted += 1
-    # sweep now-empty commit dirs
+    # sweep now-empty commit dirs (same age guard: a just-created dir
+    # may be an in-flight write whose parts haven't landed yet).  The
+    # cutoff is re-taken NOW because the file deletions above just
+    # bumped the mtime of every dir they emptied.
+    dir_cutoff_ms = (
+        time.time() - max(min_age_seconds, orphan_min_age_seconds)
+    ) * 1000
     for s in fs.globStatus(_child(jvm, table_dir, _DATA_DIR, "*")) or []:
-        if s.isDirectory():
+        if s.isDirectory() and s.getModificationTime() <= dir_cutoff_ms:
             kids = fs.listStatus(s.getPath())
             if not [k for k in kids if not str(k.getPath().getName()).startswith("_")]:
                 fs.delete(s.getPath(), True)

@@ -153,25 +153,27 @@ def read_webdataset(spark: SparkSession, path: str) -> DataFrame:
             shards, keys, exts, payloads = [], [], [], []
             for fpath, content in zip(pdf["path"], pdf["content"]):
                 shard = fpath.rsplit("/", 1)[-1]
+                # the contract covers the WHOLE decode: open() only reads
+                # the first header, so a truncated archive surfaces from
+                # getmembers()/read() — those must name the shard too
                 try:
-                    tf_open = tarfile.open(fileobj=io.BytesIO(bytes(content)))
+                    with tarfile.open(fileobj=io.BytesIO(bytes(content))) as tf:
+                        for member in tf.getmembers():
+                            if not member.isfile():
+                                continue
+                            name = member.name
+                            key, _, ext = name.rpartition(".")
+                            if not key:  # extension-less member: key only
+                                key, ext = name, ""
+                            fh = tf.extractfile(member)
+                            shards.append(shard)
+                            keys.append(key)
+                            exts.append(ext)
+                            payloads.append(fh.read() if fh else b"")
                 except tarfile.TarError as e:
                     raise ValueError(
                         f"corrupt WebDataset shard {shard}: {e}"
                     ) from e
-                with tf_open as tf:
-                    for member in tf.getmembers():
-                        if not member.isfile():
-                            continue
-                        name = member.name
-                        key, _, ext = name.rpartition(".")
-                        if not key:  # extension-less member: key only
-                            key, ext = name, ""
-                        fh = tf.extractfile(member)
-                        shards.append(shard)
-                        keys.append(key)
-                        exts.append(ext)
-                        payloads.append(fh.read() if fh else b"")
             yield pd.DataFrame(
                 {
                     "shard": shards,

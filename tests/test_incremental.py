@@ -131,3 +131,28 @@ def test_measure_name_colliding_with_key_refused(spark):
     feed = spark.createDataFrame([("insert", None, (2, "b", 2.0))], FEED_SCHEMA)
     with pytest.raises(ValueError, match="collide with key"):
         maintain_aggregate(base, feed, ["grp"], {"grp": lambda r: r["val"]})
+
+
+def test_null_grouping_key_maintains_as_one_group(spark):
+    """groupBy treats NULL as a real group; the merge join must too —
+    a NULL-key insert lands in the EXISTING NULL group, and a NULL-key
+    delete finds it (no spurious absent-from-base error)."""
+    df = spark.createDataFrame([(1, None, 10.0), (2, "a", 1.0)], SCHEMA)
+    base = base_aggregate(df, ["grp"], MEAS)
+    feed = spark.createDataFrame(
+        [("insert", None, (3, None, 5.0)), ("delete", (1, None, 10.0), None)],
+        FEED_SCHEMA,
+    )
+    out = maintain_aggregate(base, feed, ["grp"], MEAS).collect()
+    got = {r["grp"]: (r["cents"], r["n"]) for r in out}
+    assert len(out) == 2  # exactly ONE row for the NULL group
+    assert got == {None: (500, 1), "a": (100, 1)}
+
+
+def test_measure_name_colliding_with_count_col_refused(spark):
+    base = base_aggregate(
+        spark.createDataFrame([(1, "a", 1.0)], SCHEMA), ["grp"], MEAS
+    )
+    feed = spark.createDataFrame([("insert", None, (2, "b", 2.0))], FEED_SCHEMA)
+    with pytest.raises(ValueError, match="count_col"):
+        maintain_aggregate(base, feed, ["grp"], {"n": lambda r: r["val"]})

@@ -123,7 +123,13 @@ def test_crashed_commit_invisible_then_gc(spark, tmp_path):
     orphan_dir = os.path.join(t, "data", "deadbeefcrash")
     _df(spark, 100, 200, "crash").write.parquet(orphan_dir)
     assert _ids(read_snapshot(spark, t)) == set(range(5))
+    # the DEFAULT sweep presumes fresh unreferenced bytes are an
+    # in-flight commit and leaves them (age guard) ...
     stats = expire_snapshots(spark, t, keep_last=1)
+    assert stats["deleted_files"] == 0
+    assert os.path.exists(orphan_dir)
+    # ... an aged-out sweep (here: zero grace for the test) collects them
+    stats = expire_snapshots(spark, t, keep_last=1, orphan_min_age_seconds=0)
     assert stats["deleted_files"] > 0  # the orphans
     assert not os.path.exists(orphan_dir)
     assert _ids(read_snapshot(spark, t)) == set(range(5))
@@ -134,7 +140,7 @@ def test_expire_drops_old_versions_keeps_live_bytes(spark, tmp_path):
     snapshot_append(_df(spark, 0, 10, "a"), t)
     snapshot_overwrite(_df(spark, 50, 60, "b"), t)
     snapshot_append(_df(spark, 60, 70, "c"), t)
-    stats = expire_snapshots(spark, t, keep_last=2)
+    stats = expire_snapshots(spark, t, keep_last=2, orphan_min_age_seconds=0)
     assert stats["expired_manifests"] == 1
     assert stats["deleted_files"] > 0  # v1's bytes were only reachable from v1
     assert _list_versions(spark, t) == [2, 3]
@@ -612,3 +618,28 @@ def test_merge_schema_append_missing_stats_column_still_commits(spark, tmp_path)
     # the statless evolved file survives pruning; the statted one doesn't
     assert len(out.inputFiles()) >= 1
     assert out.filter("id IS NULL").count() == 1
+
+
+def test_merge_into_fresh_table_race_aborts_not_blind_appends(spark, tmp_path):
+    """Interloper lands v1 between the merge's emptiness check and its
+    commit: the merge must ABORT (its source may share keys with the
+    interloper's rows), not degrade to a blind append."""
+    from mini_project_204721_data_engineering_spark.sources import snapshots as S
+
+    t = str(tmp_path / "t")
+    real_commit = S._commit
+
+    def racing_commit(spark_, table_dir_, op, files_fn, *a, **kw):
+        if op == "merge" and not getattr(racing_commit, "raced", False):
+            racing_commit.raced = True
+            snapshot_append(_df(spark, 0, 5, "race"), t)  # shares keys!
+        return real_commit(spark_, table_dir_, op, files_fn, *a, **kw)
+
+    S._commit = racing_commit
+    try:
+        with pytest.raises(RuntimeError, match="fresh at read time"):
+            S.snapshot_merge_into(_df(spark, 0, 3, "m"), t, ["id"])
+    finally:
+        S._commit = real_commit
+    # interloper's rows intact, merge landed nothing
+    assert {r["tag"] for r in read_snapshot(spark, t).collect()} == {"race"}

@@ -1,6 +1,7 @@
 """WebDataset tar-shard sink/source tests (sources/webdataset.py)."""
 from __future__ import annotations
 
+import io
 import os
 import shutil
 import tarfile
@@ -115,6 +116,29 @@ def test_webdataset_corrupt_shard_raises_named_error(spark):
     try:
         with open(os.path.join(d, "shard-00000.tar"), "wb") as fh:
             fh.write(b"this is definitely not a tar archive" * 20)
+        with pytest.raises(Exception, match="corrupt WebDataset shard shard-00000.tar"):
+            read_webdataset(spark, d).collect()
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
+def test_webdataset_truncated_after_valid_header_raises_named_error(spark):
+    """One valid 512-byte header then truncation: tarfile.open succeeds,
+    the failure comes from member iteration — the shard-naming contract
+    must cover that too."""
+    import tarfile as _tarfile
+
+    d = tempfile.mkdtemp(prefix="wds_trunc_")
+    try:
+        buf = io.BytesIO()
+        with _tarfile.open(fileobj=buf, mode="w") as tf:
+            info = _tarfile.TarInfo("sample.txt")
+            payload = b"x" * 4096
+            info.size = len(payload)
+            tf.addfile(info, io.BytesIO(payload))
+        raw = buf.getvalue()
+        with open(os.path.join(d, "shard-00000.tar"), "wb") as fh:
+            fh.write(raw[:700])  # header intact, payload cut mid-block
         with pytest.raises(Exception, match="corrupt WebDataset shard shard-00000.tar"):
             read_webdataset(spark, d).collect()
     finally:
