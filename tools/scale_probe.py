@@ -71,7 +71,7 @@ def timed(name, fn, out):
 def main() -> None:
     mode = "events"
     args = [a for a in sys.argv[1:]]
-    if args and args[0] in ("events", "docs", "ann", "srp", "cc", "spans", "vocab", "decon", "semdedup", "spatial", "bpe", "hotcell", "radius", "interval", "knn", "merge", "linkage", "sparsesim", "wsample", "pq", "snap"):
+    if args and args[0] in ("events", "docs", "ann", "srp", "cc", "spans", "vocab", "decon", "semdedup", "spatial", "bpe", "hotcell", "radius", "interval", "knn", "merge", "linkage", "sparsesim", "wsample", "pq", "snap", "pagerank"):
         mode = args.pop(0)
     n = int(args[0]) if args else {
         "events": 10_000_000, "docs": 1_000_000, "ann": 1_000_000,
@@ -80,7 +80,7 @@ def main() -> None:
         "spatial": 1_000_000, "bpe": 200_000, "hotcell": 50_000, "radius": 1_000_000, "interval": 1_000_000,
         "knn": 1_000_000, "merge": 10_000_000, "linkage": 100_000,
         "sparsesim": 10_000, "wsample": 10_000_000, "pq": 1_000_000,
-        "snap": 2_000_000,
+        "snap": 2_000_000, "pagerank": 2_000_000,
     }[mode]
     from mini_project_204721_data_engineering_spark.session import get_spark
 
@@ -97,7 +97,8 @@ def main() -> None:
          "sparsesim": probe_sparsesim,
          "wsample": probe_wsample,
          "pq": probe_pq,
-         "snap": probe_snap}[mode](spark, n, out)
+         "snap": probe_snap,
+         "pagerank": probe_pagerank}[mode](spark, n, out)
         total = round(sum(r["sec"] for r in out), 3)
         print(json.dumps({"metric": f"scale_probe_{mode}_total", "value": total,
                           "unit": "sec", "n_rows": n,
@@ -1114,6 +1115,47 @@ def probe_snap(spark, n: int, out: list) -> None:
         }), flush=True)
     finally:
         shutil.rmtree(d, ignore_errors=True)
+
+
+def probe_pagerank(spark, n: int, out: list) -> None:
+    """PageRank power iteration at link-graph scale: n edges over n/10
+    vertices (Zipf-ish in-degree via modular hashing, ~1% dangling).
+    The measure is per-iteration cost staying flat as iterations stack
+    (checkpointed ranks = constant-size plan every round)."""
+    from pyspark.sql import functions as F
+
+    from mini_project_204721_data_engineering_spark.operators.graph import pagerank
+
+    n_v = n // 10
+    edges = (
+        spark.range(n)
+        .select(
+            F.pmod(F.xxhash64("id", F.lit(1)), F.lit(n_v)).alias("src"),
+            # skewed destinations: popular pages get quadratically more links
+            F.pmod(
+                F.pmod(F.xxhash64("id", F.lit(2)), F.lit(n_v))
+                * F.pmod(F.xxhash64("id", F.lit(3)), F.lit(n_v)),
+                F.lit(n_v),
+            ).alias("dst"),
+        )
+        # ~1% of vertices dangling: drop every edge sourced at them
+        .filter(F.pmod(F.col("src"), F.lit(100)) != 0)
+        .localCheckpoint(eager=True)
+    )
+
+    def run(iters):
+        def f():
+            r = pagerank(edges, n_iter=iters)
+            row = r.agg(F.sum("rank"), F.count(F.lit(1))).collect()[0]
+            return int(row[1])
+
+        return f
+
+    a = timed("pagerank_5_iters", run(5), out)
+    b = timed("pagerank_10_iters", run(10), out)
+    print(json.dumps({"probe": "per_iter_flatness",
+                      "ratio_10v5": round(b / a, 2) if a else None}), flush=True)
+
 
 
 if __name__ == "__main__":
