@@ -2042,6 +2042,71 @@ FROM clamped
 """
 
 
+def supplier_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank (operators/graph.py) oracle-checked END-TO-END: the
+    bipartite supplier→customer shipment graph (one edge per lineitem
+    through its order; parallel edges add weight), 5 power iterations.
+    The oracle UNROLLS the same iteration as 5 chained (non-recursive)
+    CTEs with identical conventions — |V| mass, per-edge 1/out-degree
+    shares, uniform dangling redistribution (customers never ship, so
+    half the graph is dangling and the correction is load-bearing).
+    Ranks round at 1e-6, far above the ~1e-14 cross-engine float drift
+    5 iterations accumulate."""
+    from mini_project_204721_data_engineering_spark.functions.parity import portable_round
+    from mini_project_204721_data_engineering_spark.operators.graph import pagerank
+
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    edges = li.join(o, li["l_orderkey"] == o["o_orderkey"]).select(
+        F.col("l_suppkey").alias("src"),
+        (F.col("o_custkey") + F.lit(1_000_000)).alias("dst"),
+    )
+    out = pagerank(edges, n_iter=5)
+    return out.select("id", portable_round(F.col("rank"), 6).alias("rank"))
+
+
+def _pagerank_unrolled_sql(n_iter: int = 5, damping: float = 0.85) -> str:
+    base = round(1.0 - damping, 10)
+    parts = [f"""
+WITH edges AS (
+  SELECT l.l_suppkey AS src, o.o_custkey + 1000000 AS dst
+  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+), verts AS (
+  SELECT DISTINCT id FROM (
+    SELECT src AS id FROM edges UNION ALL SELECT dst FROM edges
+  )
+), degs AS (
+  SELECT src, count(*) AS deg FROM edges GROUP BY src
+), nv AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM verts),
+pr0 AS (SELECT id, 1.0 AS rank FROM verts)"""]
+    for i in range(n_iter):
+        parts.append(f""",
+dang{i} AS (
+  SELECT COALESCE(sum(p.rank), 0.0) AS d FROM pr{i} p
+  LEFT JOIN degs g ON p.id = g.src WHERE g.src IS NULL
+),
+pr{i + 1} AS (
+  SELECT v.id,
+         {base} + {damping} * (COALESCE(c.inc, 0.0) +
+                               (SELECT d FROM dang{i}) / (SELECT n FROM nv))
+           AS rank
+  FROM verts v
+  LEFT JOIN (
+    SELECT e.dst AS id, sum(p.rank / g.deg) AS inc
+    FROM edges e
+    JOIN pr{i} p ON e.src = p.id
+    JOIN degs g ON e.src = g.src
+    GROUP BY e.dst
+  ) c ON v.id = c.id
+)""")
+    parts.append(f"""
+SELECT id, round(rank * 1000000.0) / 1000000.0 AS rank FROM pr{n_iter}""")
+    return "".join(parts)
+
+
+SUPPLIER_PAGERANK_SQL = _pagerank_unrolled_sql()
+
+
 def q18_large_volume_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q18 shape (large-volume orders): aggregate the fact FIRST
     (map-side-combined per-order quantity sum), filter to the big
@@ -2304,6 +2369,7 @@ EXTRA_QUERIES = {
     "bloom_semi_prune": bloom_semi_prune,
     "value_anomalies_mad": value_anomalies_mad,
     "q18_large_volume_orders": q18_large_volume_orders,
+    "supplier_pagerank": supplier_pagerank,
     "q22_global_sales_opportunity": q22_global_sales_opportunity,
     "value_drift_psi": value_drift_psi,
     "data_expectations": data_expectations,
@@ -2339,6 +2405,7 @@ EXTRA_ORACLES = {
     "bloom_semi_prune": BLOOM_SEMI_PRUNE_SQL,
     "value_anomalies_mad": VALUE_ANOMALIES_MAD_SQL,
     "q18_large_volume_orders": Q18_LARGE_VOLUME_SQL,
+    "supplier_pagerank": SUPPLIER_PAGERANK_SQL,
     "q22_global_sales_opportunity": Q22_SALES_OPPORTUNITY_SQL,
     "value_drift_psi": VALUE_DRIFT_PSI_SQL,
     "data_expectations": DATA_EXPECTATIONS_SQL,
