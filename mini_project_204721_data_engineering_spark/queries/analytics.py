@@ -2042,6 +2042,54 @@ FROM clamped
 """
 
 
+def theta_user_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theta-sketch audience overlap (operators/theta.py): estimated
+    distinct error-users vs click-users AND their intersection/union/
+    jaccard from θ=25% hash samples — the set operation HLL can't do.
+    The estimator is DETERMINISTIC (portable md5 threshold, no rand()),
+    so the oracle recomputes the identical estimates value-for-value:
+    a library sketch could never be checked this way.  Only the θ
+    fraction of user ids crosses any shuffle."""
+    from mini_project_204721_data_engineering_spark.operators.theta import theta_overlap
+
+    ev = load_table(spark, sf_dir, "events")
+    errors = ev.filter(F.col("event_type") == "error")
+    clicks = ev.filter(F.col("event_type") == "click")
+    out = theta_overlap(errors, clicks, ["user_id"], 0.25)
+    return out.select(
+        F.round("est_a", 2).alias("est_error_users"),
+        F.round("est_b", 2).alias("est_click_users"),
+        F.round("est_intersection", 2).alias("est_both"),
+        F.round("est_union", 2).alias("est_either"),
+        F.round(F.col("est_jaccard") * 10000).alias("jaccard_bp"),
+    )
+
+
+THETA_USER_OVERLAP_SQL = """
+WITH ka AS (
+  SELECT DISTINCT user_id FROM events
+  WHERE event_type = 'error'
+    AND substring(md5('theta|' || CAST(user_id AS VARCHAR)), 1, 4) < '4000'
+), kb AS (
+  SELECT DISTINCT user_id FROM events
+  WHERE event_type = 'click'
+    AND substring(md5('theta|' || CAST(user_id AS VARCHAR)), 1, 4) < '4000'
+), c AS (
+  SELECT (SELECT count(*) FROM ka) AS na,
+         (SELECT count(*) FROM kb) AS nb,
+         (SELECT count(*) FROM ka JOIN kb USING (user_id)) AS ni
+)
+SELECT round(na / 0.25 * 100) / 100 AS est_error_users,
+       round(nb / 0.25 * 100) / 100 AS est_click_users,
+       round(ni / 0.25 * 100) / 100 AS est_both,
+       round((na + nb - ni) / 0.25 * 100) / 100 AS est_either,
+       round(CASE WHEN na + nb - ni > 0
+                  THEN CAST(ni AS DOUBLE) / (na + nb - ni) ELSE 0.0 END * 10000)
+         AS jaccard_bp
+FROM c
+"""
+
+
 def supplier_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PageRank (operators/graph.py) oracle-checked END-TO-END: the
     bipartite supplier→customer shipment graph (one edge per lineitem
@@ -2370,6 +2418,7 @@ EXTRA_QUERIES = {
     "value_anomalies_mad": value_anomalies_mad,
     "q18_large_volume_orders": q18_large_volume_orders,
     "supplier_pagerank": supplier_pagerank,
+    "theta_user_overlap": theta_user_overlap,
     "q22_global_sales_opportunity": q22_global_sales_opportunity,
     "value_drift_psi": value_drift_psi,
     "data_expectations": data_expectations,
@@ -2406,6 +2455,7 @@ EXTRA_ORACLES = {
     "value_anomalies_mad": VALUE_ANOMALIES_MAD_SQL,
     "q18_large_volume_orders": Q18_LARGE_VOLUME_SQL,
     "supplier_pagerank": SUPPLIER_PAGERANK_SQL,
+    "theta_user_overlap": THETA_USER_OVERLAP_SQL,
     "q22_global_sales_opportunity": Q22_SALES_OPPORTUNITY_SQL,
     "value_drift_psi": VALUE_DRIFT_PSI_SQL,
     "data_expectations": DATA_EXPECTATIONS_SQL,
