@@ -2042,6 +2042,64 @@ FROM clamped
 """
 
 
+def attribution_linear_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-touch (linear) revenue attribution: each purchase's value
+    splits equally across the user's clicks in the preceding 24 h,
+    summed by click day.  The credit is EXACT integer micro-cents via
+    floor division (``cents·1e6 div n`` — identical integers in both
+    engines, order-independent sums; the sub-micro remainder is
+    truncated by documented policy, not float luck).  One user-keyed
+    equi-join + a purchase-partitioned count window; unattributed
+    purchases (no qualifying click) drop out."""
+    ev = load_table(spark, sf_dir, "events")
+    p = ev.filter(
+        (F.col("event_type") == "purchase") & F.col("value").isNotNull()
+    ).select(
+        F.col("event_id").alias("pid"),
+        "user_id",
+        F.col("ts").alias("pts"),
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    c = ev.filter(F.col("event_type") == "click").select(
+        "user_id", F.col("ts").alias("cts")
+    )
+    j = p.join(c, "user_id").filter(
+        (F.col("cts") >= F.col("pts") - F.expr("INTERVAL 24 HOURS"))
+        & (F.col("cts") < F.col("pts"))
+    )
+    n = j.withColumn("n", F.count(F.lit(1)).over(Window.partitionBy("pid")))
+    credit = F.expr("(cents * 1000000L) div n")
+    return (
+        n.groupBy(F.col("cts").cast("date").alias("click_day"))
+        .agg(
+            (F.sum(credit) / F.lit(100_000_000.0)).alias("attributed_revenue"),
+            F.count(F.lit(1)).alias("n_credits"),
+        )
+    )
+
+
+ATTRIBUTION_LINEAR_SQL = """
+WITH p AS (
+  SELECT event_id AS pid, user_id, ts AS pts,
+         CAST(round(value * 100) AS BIGINT) AS cents
+  FROM events WHERE event_type = 'purchase' AND value IS NOT NULL
+), c AS (
+  SELECT user_id, ts AS cts FROM events WHERE event_type = 'click'
+), j AS (
+  SELECT p.pid, p.cents, c.cts
+  FROM p JOIN c USING (user_id)
+  WHERE c.cts >= p.pts - INTERVAL 24 HOUR AND c.cts < p.pts
+), w AS (
+  SELECT pid, cents, cts, count(*) OVER (PARTITION BY pid) AS n FROM j
+)
+SELECT CAST(cts AS DATE) AS click_day,
+       CAST(sum((cents * 1000000) // n) AS BIGINT) / 100000000.0
+         AS attributed_revenue,
+       count(*) AS n_credits
+FROM w GROUP BY CAST(cts AS DATE)
+"""
+
+
 def theta_user_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Theta-sketch audience overlap (operators/theta.py): estimated
     distinct error-users vs click-users AND their intersection/union/
@@ -2419,6 +2477,7 @@ EXTRA_QUERIES = {
     "q18_large_volume_orders": q18_large_volume_orders,
     "supplier_pagerank": supplier_pagerank,
     "theta_user_overlap": theta_user_overlap,
+    "attribution_linear_daily": attribution_linear_daily,
     "q22_global_sales_opportunity": q22_global_sales_opportunity,
     "value_drift_psi": value_drift_psi,
     "data_expectations": data_expectations,
@@ -2456,6 +2515,7 @@ EXTRA_ORACLES = {
     "q18_large_volume_orders": Q18_LARGE_VOLUME_SQL,
     "supplier_pagerank": SUPPLIER_PAGERANK_SQL,
     "theta_user_overlap": THETA_USER_OVERLAP_SQL,
+    "attribution_linear_daily": ATTRIBUTION_LINEAR_SQL,
     "q22_global_sales_opportunity": Q22_SALES_OPPORTUNITY_SQL,
     "value_drift_psi": VALUE_DRIFT_PSI_SQL,
     "data_expectations": DATA_EXPECTATIONS_SQL,
