@@ -74,6 +74,13 @@ def pagerank(
     ranks = vertices.select("id", F.lit(1.0).alias("rank")).localCheckpoint(
         eager=True
     )
+    # the dangling SET is fixed by the edge list — detect it once, not
+    # with a per-iteration anti-join in the hot loop
+    dangling_ids = (
+        vertices.join(out_deg, vertices.id == out_deg.src, "left_anti")
+        .select("id")
+        .localCheckpoint(eager=True)
+    )
     base = 1.0 - damping  # per-vertex teleport mass on the |V| convention
 
     for _ in range(n_iter):
@@ -86,7 +93,7 @@ def pagerank(
         # redistributed uniformly (1-row aggregate, broadcast into the
         # expression; without it total mass leaks every iteration)
         dangling = (
-            ranks.join(out_deg, ranks.id == out_deg.src, "left_anti")
+            ranks.join(dangling_ids, "id")
             .agg(F.coalesce(F.sum("rank"), F.lit(0.0)).alias("__d"))
         )
         ranks = (

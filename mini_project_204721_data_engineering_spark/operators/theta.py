@@ -55,21 +55,36 @@ def _key(cols: Sequence[Column | str]) -> Column:
     return key
 
 
+def _check_theta(theta: float) -> None:
+    if not 0 < theta <= 1:
+        raise ValueError(f"theta must be in (0, 1], got {theta}")
+    if theta < 1.0 and int(theta * 65536) == 0:
+        raise ValueError(
+            f"theta={theta} quantizes to 0 at the 4-hex-digit resolution "
+            "(minimum ~1.6e-5) — nothing would be kept and every estimate "
+            "would be NULL; raise theta"
+        )
+
+
 def theta_keep(cols: Sequence[Column | str], theta: float) -> Column:
     """The θ-filter predicate over the (concatenated) key columns —
     push it at the scan.  θ is quantized to 4 hex digits (2^16 levels)
     by the shared portable-hash recipe; the ESTIMATOR must divide by
     the same quantized value (:func:`theta_distinct` does)."""
-    if not 0 < theta <= 1:
-        raise ValueError(f"theta must be in (0, 1], got {theta}")
+    _check_theta(theta)
     return hash_sample_predicate(_key(cols), theta, salt=_SALT)
 
 
 def quantized_theta(theta: float) -> float:
-    """The exact keep-fraction the 4-hex-digit threshold realizes."""
+    """The exact keep-fraction the 4-hex-digit threshold realizes —
+    DERIVED from the same `_threshold_hex` the predicate compares
+    against, so the two quantizations can never drift apart."""
+    from mini_project_204721_data_engineering_spark.operators.sampling import _threshold_hex
+
+    _check_theta(theta)
     if theta >= 1.0:
         return 1.0
-    return max(0, min(65535, int(theta * 65536))) / 65536.0
+    return int(_threshold_hex(theta), 16) / 65536.0
 
 
 def theta_distinct(df: DataFrame, cols: Sequence[str], theta: float) -> DataFrame:

@@ -2163,9 +2163,14 @@ def supplier_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     li = load_table(spark, sf_dir, "lineitem")
     o = load_table(spark, sf_dir, "orders")
+    # customers live in the strictly-NEGATIVE id namespace
+    # (-(custkey+1), since the synthetic keys start at 0), so the two
+    # vertex families can never collide at ANY scale factor — an
+    # additive offset would silently merge supplier 1,000,001 with
+    # customer 1 once suppkey outgrew it
     edges = li.join(o, li["l_orderkey"] == o["o_orderkey"]).select(
         F.col("l_suppkey").alias("src"),
-        (F.col("o_custkey") + F.lit(1_000_000)).alias("dst"),
+        (-(F.col("o_custkey") + 1)).alias("dst"),
     )
     out = pagerank(edges, n_iter=5)
     return out.select("id", portable_round(F.col("rank"), 6).alias("rank"))
@@ -2175,7 +2180,7 @@ def _pagerank_unrolled_sql(n_iter: int = 5, damping: float = 0.85) -> str:
     base = round(1.0 - damping, 10)
     parts = [f"""
 WITH edges AS (
-  SELECT l.l_suppkey AS src, o.o_custkey + 1000000 AS dst
+  SELECT l.l_suppkey AS src, -(o.o_custkey + 1) AS dst
   FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
 ), verts AS (
   SELECT DISTINCT id FROM (

@@ -145,9 +145,18 @@ def _try_write_manifest(
     except Exception as e:
         # ONLY already-exists means we lost the race; a permission,
         # quota, or network failure must surface as itself — retrying
-        # it 20 times as "writer contention" would bury the real cause
+        # it 20 times as "writer contention" would bury the real cause.
+        # The exists-family has several spellings across filesystems:
+        # FileAlreadyExistsException, HDFS's AlreadyBeingCreatedException
+        # (loser hits the winner's still-open lease), POSIX 'File exists'.
         text = str(e)
-        if "AlreadyExists" in text or "already exists" in text.lower():
+        lowered = text.lower()
+        if (
+            "alreadyexists" in lowered.replace(" ", "")
+            or "already exists" in lowered
+            or "alreadybeingcreated" in lowered
+            or "file exists" in lowered
+        ):
             return False
         raise
     try:
@@ -1038,8 +1047,11 @@ def expire_snapshots(
             deleted += 1
     # sweep now-empty commit dirs (same age guard: a just-created dir
     # may be an in-flight write whose parts haven't landed yet).  The
-    # cutoff is re-taken NOW because the file deletions above just
-    # bumped the mtime of every dir they emptied.
+    # cutoff is re-taken NOW because the deletions above bumped the
+    # mtime of every dir they emptied: with a zero grace window that
+    # makes same-run cleanup possible; with a positive window an
+    # emptied dir deliberately waits for a LATER expire run (its fresh
+    # mtime is indistinguishable from an in-flight write's).
     dir_cutoff_ms = (
         time.time() - max(min_age_seconds, orphan_min_age_seconds)
     ) * 1000
