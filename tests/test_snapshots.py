@@ -643,3 +643,85 @@ def test_merge_into_fresh_table_race_aborts_not_blind_appends(spark, tmp_path):
         S._commit = real_commit
     # interloper's rows intact, merge landed nothing
     assert {r["tag"] for r in read_snapshot(spark, t).collect()} == {"race"}
+
+
+def test_model_based_random_op_sequence(spark, tmp_path):
+    """Model-based check: 30 random log operations (append / overwrite /
+    delete_where / merge / replace_where / compact) against an
+    in-memory dict model — after EVERY op the tip equals the model, and
+    at the end every recorded historical version still replays its
+    recorded state (time travel is total)."""
+    import random
+
+    from mini_project_204721_data_engineering_spark.sources.snapshots import (
+        snapshot_compact,
+        snapshot_merge_into,
+        snapshot_replace_where,
+    )
+
+    rng = random.Random(20260815)
+    t = str(tmp_path / "t")
+    model: dict[int, str] = {}
+    history: list[dict[int, str]] = []  # history[i] = state at version i+1
+    next_lo = 0
+
+    def mk(lo, hi, tag):
+        return _df(spark, lo, hi, tag)
+
+    for step in range(30):
+        op = rng.choice(
+            ["append", "append", "merge", "merge", "delete", "replace", "overwrite", "compact"]
+        )
+        if not model and op in ("delete", "replace", "compact"):
+            op = "append"
+        if op == "append":
+            lo, hi = next_lo, next_lo + rng.randint(3, 12)
+            next_lo = hi
+            tag = f"a{step}"
+            snapshot_append(mk(lo, hi, tag), t)
+            model.update({i: tag for i in range(lo, hi)})
+            history.append(dict(model))
+        elif op == "overwrite":
+            lo, hi = next_lo, next_lo + rng.randint(3, 12)
+            next_lo = hi
+            tag = f"o{step}"
+            snapshot_overwrite(mk(lo, hi, tag), t)
+            model = {i: tag for i in range(lo, hi)}
+            history.append(dict(model))
+        elif op == "merge":
+            keys = sorted(model) or [0]
+            lo = rng.choice(keys)
+            hi = lo + rng.randint(2, 10)
+            tag = f"m{step}"
+            snapshot_merge_into(mk(lo, hi, tag), t, ["id"])
+            model.update({i: tag for i in range(lo, hi)})
+            history.append(dict(model))
+        elif op == "delete":
+            lo = rng.choice(sorted(model))
+            hi = lo + rng.randint(1, 8)
+            m = snapshot_delete_where(spark, t, f"id >= {lo} AND id < {hi}")
+            before = len(model)
+            model = {k: v for k, v in model.items() if not (lo <= k < hi)}
+            if len(model) != before:  # real deletion → new version
+                history.append(dict(model))
+        elif op == "replace":
+            lo = rng.choice(sorted(model))
+            hi = lo + rng.randint(1, 6)
+            tag = f"r{step}"
+            # re-land the slice with only the EVEN ids of the range
+            df = mk(lo, hi, tag).filter(F.col("id") % 2 == 0)
+            snapshot_replace_where(df, t, f"id >= {lo} AND id < {hi}")
+            model = {k: v for k, v in model.items() if not (lo <= k < hi)}
+            model.update({i: tag for i in range(lo, hi) if i % 2 == 0})
+            history.append(dict(model))
+        else:  # compact
+            m = snapshot_compact(spark, t, target_file_bytes=1 << 30)
+            if m["version"] == len(history) + 1:  # actually committed
+                history.append(dict(model))
+        got = {r["id"]: r["tag"] for r in read_snapshot(spark, t).collect()}
+        assert got == model, f"step {step} ({op}): tip != model"
+
+    # total time travel: every recorded version replays its state
+    for v, state in enumerate(history, start=1):
+        got = {r["id"]: r["tag"] for r in read_snapshot(spark, t, version=v).collect()}
+        assert got == state, f"version {v} history mismatch"
