@@ -101,6 +101,45 @@ def repetition_stats(
     )
 
 
+def semantic_contaminated(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    threshold: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding-space decontamination — the semantic counterpart to the
+    n-gram sweep above: corpus vectors within ``threshold`` cosine of
+    ANY benchmark vector (paraphrased eval leakage that shares no
+    13-gram).  Returns ``(vec_id, max_cos, n_hits)`` for flagged
+    vectors only.
+
+    Scale shape: the benchmark side BROADCASTS (eval sets are small by
+    nature) and the corpus streams through one scan — same posture as
+    ``contaminated_docs``; only flagged ids reach the (map-side
+    combined) aggregate.  A benchmark beyond broadcast routes through
+    the IVF cells of ``llm/similarity.ivf_topk`` instead, trading the
+    guarantee for nprobe recall (same trade the ANN family documents).
+    """
+    from mini_project_204721_data_engineering_spark.llm.similarity import as_double, cosine
+
+    if not 0 < threshold <= 1:
+        raise ValueError(f"threshold must be in (0, 1], got {threshold}")
+    c = corpus.select(F.col(id_col).alias("vec_id"), as_double(vec_col).alias("v"))
+    b = benchmark.select(as_double(vec_col).alias("bv"))
+    sim = cosine("v", "bv")
+    return (
+        c.crossJoin(F.broadcast(b))
+        .select("vec_id", sim.alias("__s"))
+        .filter(F.col("__s") >= threshold)
+        .groupBy("vec_id")
+        .agg(
+            F.round(F.max("__s"), 6).alias("max_cos"),
+            F.count(F.lit(1)).alias("n_hits"),
+        )
+    )
+
+
 def contaminated_docs(
     docs: DataFrame, benchmark: DataFrame, n: int = 8,
     bloom_fpp: float | None = None,

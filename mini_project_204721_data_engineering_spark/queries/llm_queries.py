@@ -2112,7 +2112,44 @@ FROM p WHERE round(s * 10000) / 10000 >= 0.9
 """
 
 
+def semantic_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space eval-leak sweep (llm/quality.py::
+    semantic_contaminated): every 50th vector plays the benchmark, the
+    rest the corpus; corpus vectors within the threshold cosine of ANY
+    benchmark vector are flagged with their max similarity and hit
+    count.  The synthetic embeddings are near-orthogonal random (max
+    cross-split cosine ≈ 0.46), so the demo threshold sits at the
+    distribution's extreme tail to exercise the operator; production
+    text embeddings use ~0.95.  Benchmark broadcasts; corpus is one
+    scan."""
+    from mini_project_204721_data_engineering_spark.llm.quality import semantic_contaminated
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    bench = emb.filter(F.col("vec_id") % 50 == 1)
+    corpus = emb.filter(F.col("vec_id") % 50 != 1)
+    return semantic_contaminated(corpus, bench, 0.42)
+
+
+SEMANTIC_DECONTAMINATE_SQL = """
+WITH e AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+), b AS (
+  SELECT v AS bv FROM e WHERE vec_id % 50 = 1
+), c AS (
+  SELECT vec_id, v FROM e WHERE vec_id % 50 <> 1
+), hits AS (
+  SELECT c.vec_id, list_cosine_similarity(c.v, b.bv) AS s
+  FROM c CROSS JOIN b
+  WHERE list_cosine_similarity(c.v, b.bv) >= 0.42
+)
+SELECT vec_id, round(max(s) * 1000000) / 1000000 AS max_cos,
+       count(*) AS n_hits
+FROM hits GROUP BY vec_id
+"""
+
+
 EXTRA_QUERIES = {
+    "semantic_decontaminate": semantic_decontaminate,
     "sparse_cosine_pairs": sparse_cosine_pairs,
     "sparse_cosine_tfidf": sparse_cosine_tfidf,
     "alpha_mix_counts": alpha_mix_counts,
@@ -2152,6 +2189,7 @@ EXTRA_QUERIES = {
     "text_chunks": text_chunks,
 }
 EXTRA_ORACLES = {
+    "semantic_decontaminate": SEMANTIC_DECONTAMINATE_SQL,
     "sparse_cosine_pairs": SPARSE_COSINE_PAIRS_SQL,
     "sparse_cosine_tfidf": SPARSE_COSINE_TFIDF_SQL,
     "alpha_mix_counts": ALPHA_MIX_COUNTS_SQL,
