@@ -1,0 +1,87 @@
+"""Materialized aggregate views over the snapshot log
+(operators/matview.py): exactly-once incremental refresh with the
+cursor riding the view's own manifest."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from mini_project_204721_data_engineering_spark.operators.incremental import base_aggregate
+from mini_project_204721_data_engineering_spark.operators.matview import refresh_aggregate_view
+from mini_project_204721_data_engineering_spark.sources.snapshots import (
+    _list_versions,
+    read_snapshot,
+    snapshot_append,
+    snapshot_delete_where,
+)
+
+MEAS = {"cents": lambda r: F.round(r["val"] * 100).cast("long")}
+
+
+def _rows(spark, lo, hi):
+    return spark.range(lo, hi).select(
+        F.col("id"),
+        (F.col("id") % 4).cast("string").alias("grp"),
+        (F.col("id") % 7).cast("double").alias("val"),
+    )
+
+
+def _agg_dict(df):
+    return {r["grp"]: (r["cents"], r["n"]) for r in df.collect()}
+
+
+def _expected(spark, src):
+    return _agg_dict(base_aggregate(read_snapshot(spark, src), ["grp"], MEAS))
+
+
+def test_full_build_then_incremental_then_replay(spark, tmp_path):
+    src, view = str(tmp_path / "src"), str(tmp_path / "view")
+    snapshot_append(_rows(spark, 0, 100), src)
+    m = refresh_aggregate_view(spark, src, view, ["grp"], MEAS)
+    assert m is not None
+    assert _agg_dict(read_snapshot(spark, view)) == _expected(spark, src)
+
+    # two more source appends, one refresh consumes BOTH deltas
+    snapshot_append(_rows(spark, 100, 150), src)
+    snapshot_append(_rows(spark, 150, 180), src)
+    m2 = refresh_aggregate_view(spark, src, view, ["grp"], MEAS)
+    assert m2["meta"]["src_version"] == 3
+    assert _agg_dict(read_snapshot(spark, view)) == _expected(spark, src)
+
+    # replayed refresh: no-op, zero new view versions (exactly-once)
+    n_versions = len(_list_versions(spark, view))
+    assert refresh_aggregate_view(spark, src, view, ["grp"], MEAS) is None
+    assert len(_list_versions(spark, view)) == n_versions
+
+
+def test_non_append_source_window_falls_back_to_rebuild(spark, tmp_path):
+    src, view = str(tmp_path / "src"), str(tmp_path / "view")
+    snapshot_append(_rows(spark, 0, 50).repartition(1), src)
+    refresh_aggregate_view(spark, src, view, ["grp"], MEAS)
+    # the source REWRITES files — the appended-file delta is invalid
+    snapshot_delete_where(spark, src, "id < 10")
+    m = refresh_aggregate_view(spark, src, view, ["grp"], MEAS)
+    assert m is not None
+    assert _agg_dict(read_snapshot(spark, view)) == _expected(spark, src)
+    # and the view keeps refreshing incrementally afterwards
+    snapshot_append(_rows(spark, 50, 80), src)
+    refresh_aggregate_view(spark, src, view, ["grp"], MEAS)
+    assert _agg_dict(read_snapshot(spark, view)) == _expected(spark, src)
+
+
+def test_view_time_travel_tracks_refresh_history(spark, tmp_path):
+    src, view = str(tmp_path / "src"), str(tmp_path / "view")
+    snapshot_append(_rows(spark, 0, 40), src)
+    refresh_aggregate_view(spark, src, view, ["grp"], MEAS)
+    v1_state = _agg_dict(read_snapshot(spark, view))
+    snapshot_append(_rows(spark, 40, 90), src)
+    refresh_aggregate_view(spark, src, view, ["grp"], MEAS)
+    assert _agg_dict(read_snapshot(spark, view, version=1)) == v1_state
+
+
+def test_empty_source_refused(spark, tmp_path):
+    with pytest.raises(ValueError, match="no snapshots"):
+        refresh_aggregate_view(
+            spark, str(tmp_path / "nope"), str(tmp_path / "v"), ["grp"], MEAS
+        )
