@@ -645,7 +645,8 @@ def test_merge_into_fresh_table_race_aborts_not_blind_appends(spark, tmp_path):
     assert {r["tag"] for r in read_snapshot(spark, t).collect()} == {"race"}
 
 
-def test_model_based_random_op_sequence(spark, tmp_path):
+@pytest.mark.parametrize("seed", [20260815, 7, 424242])
+def test_model_based_random_op_sequence(spark, tmp_path, seed):
     """Model-based check: 30 random log operations (append / overwrite /
     delete_where / merge / replace_where / compact) against an
     in-memory dict model — after EVERY op the tip equals the model, and
@@ -659,7 +660,7 @@ def test_model_based_random_op_sequence(spark, tmp_path):
         snapshot_replace_where,
     )
 
-    rng = random.Random(20260815)
+    rng = random.Random(seed)
     t = str(tmp_path / "t")
     model: dict[int, str] = {}
     history: list[dict[int, str]] = []  # history[i] = state at version i+1

@@ -71,7 +71,7 @@ def timed(name, fn, out):
 def main() -> None:
     mode = "events"
     args = [a for a in sys.argv[1:]]
-    if args and args[0] in ("events", "docs", "ann", "srp", "cc", "spans", "vocab", "decon", "semdedup", "spatial", "bpe", "hotcell", "radius", "interval", "knn", "merge", "linkage", "sparsesim", "wsample", "pq", "snap", "pagerank"):
+    if args and args[0] in ("events", "docs", "ann", "srp", "cc", "spans", "vocab", "decon", "semdedup", "spatial", "bpe", "hotcell", "radius", "interval", "knn", "merge", "linkage", "sparsesim", "wsample", "pq", "snap", "pagerank", "matview"):
         mode = args.pop(0)
     n = int(args[0]) if args else {
         "events": 10_000_000, "docs": 1_000_000, "ann": 1_000_000,
@@ -80,7 +80,7 @@ def main() -> None:
         "spatial": 1_000_000, "bpe": 200_000, "hotcell": 50_000, "radius": 1_000_000, "interval": 1_000_000,
         "knn": 1_000_000, "merge": 10_000_000, "linkage": 100_000,
         "sparsesim": 10_000, "wsample": 10_000_000, "pq": 1_000_000,
-        "snap": 2_000_000, "pagerank": 2_000_000,
+        "snap": 2_000_000, "pagerank": 2_000_000, "matview": 10_000_000,
     }[mode]
     from mini_project_204721_data_engineering_spark.session import get_spark
 
@@ -98,7 +98,8 @@ def main() -> None:
          "wsample": probe_wsample,
          "pq": probe_pq,
          "snap": probe_snap,
-         "pagerank": probe_pagerank}[mode](spark, n, out)
+         "pagerank": probe_pagerank,
+         "matview": probe_matview}[mode](spark, n, out)
         total = round(sum(r["sec"] for r in out), 3)
         print(json.dumps({"metric": f"scale_probe_{mode}_total", "value": total,
                           "unit": "sec", "n_rows": n,
@@ -1155,6 +1156,60 @@ def probe_pagerank(spark, n: int, out: list) -> None:
     b = timed("pagerank_10_iters", run(10), out)
     print(json.dumps({"probe": "per_iter_flatness",
                       "ratio_10v5": round(b / a, 2) if a else None}), flush=True)
+
+
+
+def probe_matview(spark, n: int, out: list) -> None:
+    """Incremental view refresh vs full recompute: an n-row source gets
+    a 1% append; the maintained view should cost ~delta+view, the full
+    rebuild ~source."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from mini_project_204721_data_engineering_spark.operators.incremental import base_aggregate
+    from mini_project_204721_data_engineering_spark.operators.matview import refresh_aggregate_view
+    from mini_project_204721_data_engineering_spark.sources.snapshots import (
+        read_snapshot,
+        snapshot_append,
+    )
+
+    meas = {"cents": (lambda r: F.round(r["val"] * 100).cast("long"))}
+
+    def rows(lo, hi):
+        return spark.range(lo, hi).select(
+            F.col("id"),
+            (F.col("id") % 5000).cast("string").alias("grp"),
+            (F.col("id") % 97).cast("double").alias("val"),
+        )
+
+    d = tempfile.mkdtemp(prefix="matview_probe_")
+    src, view = d + "/src", d + "/view"
+    try:
+        snapshot_append(rows(0, n), src)
+        refresh_aggregate_view(spark, src, view, ["grp"], meas)  # full build
+        snapshot_append(rows(n, n + n // 100), src)  # 1% delta
+
+        def incremental():
+            m = refresh_aggregate_view(spark, src, view, ["grp"], meas)
+            return m["meta"]["src_version"]
+
+        a = timed("incremental_refresh_1pct_delta", incremental, out)
+
+        def full():
+            # apples-to-apples: a full REBUILD writes the view too
+            v2 = d + "/view_rebuild"
+            m = refresh_aggregate_view(spark, src, v2, ["grp"], meas)
+            shutil.rmtree(v2, ignore_errors=True)
+            return m["meta"]["src_version"]
+
+        b = timed("full_rebuild_same_state", full, out)
+        print(json.dumps({"probe": "refresh_speedup",
+                          "full_over_incremental": round(b / a, 2) if a else None}),
+              flush=True)
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
 
 
 
