@@ -85,3 +85,48 @@ def test_empty_source_refused(spark, tmp_path):
         refresh_aggregate_view(
             spark, str(tmp_path / "nope"), str(tmp_path / "v"), ["grp"], MEAS
         )
+
+
+def test_stream_to_log_to_view_composition(spark, tmp_path):
+    """Production wiring: one foreachBatch lands the micro-batch into
+    the fact log (txn exactly-once) AND refreshes the serving view —
+    after the stream, and after a full lost-checkpoint replay, the view
+    equals a from-scratch recompute over the fact tip."""
+    import os
+
+    from mini_project_204721_data_engineering_spark.sources.snapshots import (
+        snapshot_txn_append,
+    )
+
+    src_files = str(tmp_path / "in")
+    fact, view = str(tmp_path / "fact"), str(tmp_path / "view")
+    os.makedirs(src_files)
+    for i in range(3):
+        _rows(spark, i * 30, (i + 1) * 30).coalesce(1).write.parquet(
+            os.path.join(src_files, f"b{i}")
+        )
+    schema = spark.read.parquet(src_files + "/b0").schema
+
+    def land(batch_df, batch_id):
+        if snapshot_txn_append(batch_df, fact, "pipe", int(batch_id)) is None:
+            return  # replay: fact unchanged, view already reflects it
+        refresh_aggregate_view(spark, fact, view, ["grp"], MEAS)
+
+    def run(chk):
+        q = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src_files + "/*")
+            .writeStream.foreachBatch(land)
+            .option("checkpointLocation", chk)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    run(str(tmp_path / "chk1"))
+    assert _agg_dict(read_snapshot(spark, view)) == _expected(spark, fact)
+    n_view_versions = len(_list_versions(spark, view))
+    run(str(tmp_path / "chk2"))  # lost checkpoint, full replay
+    assert _agg_dict(read_snapshot(spark, view)) == _expected(spark, fact)
+    assert len(_list_versions(spark, view)) == n_view_versions
