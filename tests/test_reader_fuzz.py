@@ -348,3 +348,54 @@ def test_avro_fixture_still_reads(avro_bytes):
 
     schema, rows = parse_avro(avro_bytes)
     assert len(rows) == 60 and rows[5][0] == 5
+
+
+@pytest.fixture(scope="module")
+def protobuf_bytes(tmp_path_factory) -> bytes:
+    from mini_project_204721_data_engineering_spark.sources.protobuf import write_protobuf_shard
+
+    p = str(tmp_path_factory.mktemp("fuzz") / "recs.pb")
+    schema = {
+        1: ("doc_id", "int64"),
+        2: ("text", "string"),
+        3: ("flags", "int64", {"repeated": True}),
+        4: ("meta", "message", {"schema": {1: ("lang", "string"), 2: ("ok", "bool")}}),
+        5: ("delta", "sint64"),
+    }
+    rows = [
+        {"doc_id": -i if i % 4 == 0 else i, "text": f"d{i} ✓", "flags": [i, 0],
+         "meta": {"lang": "en", "ok": bool(i % 2)}, "delta": -i}
+        for i in range(60)
+    ]
+    write_protobuf_shard(rows, p, schema)
+    return open(p, "rb").read()
+
+
+@settings(max_examples=150, deadline=2000, suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(frac=st.floats(0.0, 1.0), flip_frac=st.floats(0.0, 1.0), flip_to=st.integers(0, 255))
+def test_protobuf_fuzz(protobuf_bytes, frac, flip_frac, flip_to):
+    """Truncations and byte flips of a delimited protobuf stream either
+    decode (flips can land in string payloads / produce a still-valid
+    stream) or raise the named ValueError/NotImplementedError — never a
+    struct.error/IndexError from the wire walker.  UnicodeDecodeError
+    wraps to ValueError by contract."""
+    from mini_project_204721_data_engineering_spark.sources.protobuf import decode_stream
+
+    schema = {
+        1: ("doc_id", "int64"),
+        2: ("text", "string"),
+        3: ("flags", "int64", {"repeated": True}),
+        4: ("meta", "message", {"schema": {1: ("lang", "string"), 2: ("ok", "bool")}}),
+        5: ("delta", "sint64"),
+    }
+    cut = int(len(protobuf_bytes) * frac)
+    _fuzz(lambda b: decode_stream(b, schema), protobuf_bytes, cut,
+          int(cut * flip_frac), flip_to)
+
+
+def test_protobuf_fixture_still_reads(protobuf_bytes):
+    from mini_project_204721_data_engineering_spark.sources.protobuf import decode_stream
+
+    schema = {1: ("doc_id", "int64"), 2: ("text", "string")}
+    rows = decode_stream(protobuf_bytes, schema)
+    assert len(rows) == 60 and rows[3]["text"].startswith("d3")
