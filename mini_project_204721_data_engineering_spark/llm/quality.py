@@ -127,14 +127,18 @@ def semantic_contaminated(
         raise ValueError(f"threshold must be in (0, 1], got {threshold}")
     c = corpus.select(F.col(id_col).alias("vec_id"), as_double(vec_col).alias("v"))
     b = benchmark.select(as_double(vec_col).alias("bv"))
-    sim = cosine("v", "bv")
+    # threshold on the ROUNDED similarity: two engines' float folds can
+    # differ by an ulp, and a vector straddling the raw threshold inside
+    # that noise must land on the same side everywhere (the same
+    # round-before-compare discipline as the sparse-cosine oracles)
+    sim = F.round(cosine("v", "bv"), 6)
     return (
         c.crossJoin(F.broadcast(b))
         .select("vec_id", sim.alias("__s"))
         .filter(F.col("__s") >= threshold)
         .groupBy("vec_id")
         .agg(
-            F.round(F.max("__s"), 6).alias("max_cos"),
+            F.max("__s").alias("max_cos"),
             F.count(F.lit(1)).alias("n_hits"),
         )
     )

@@ -42,24 +42,30 @@ __all__ = ["refresh_aggregate_view"]
 _CURSOR_APP = "matview-src"
 
 
-def _view_cursor(spark: SparkSession, view_dir: str) -> int | None:
+def _view_cursor(spark: SparkSession, view_dir: str) -> tuple[int | None, str | None]:
+    """(consumed source version, consumed source table_id) from the
+    view's tip — both ride the same manifest the state does."""
     versions = snap._list_versions(spark, view_dir)
     if not versions:
-        return None
+        return None, None
     tip = snap._read_manifest(spark, view_dir, versions[-1])
-    return tip.get("txn", {}).get(_CURSOR_APP)
+    return tip.get("txn", {}).get(_CURSOR_APP), tip.get("meta", {}).get("src_table_id")
 
 
-def _commit_view(df: DataFrame, view_dir: str, src_version: int) -> dict:
+def _commit_view(
+    df: DataFrame, view_dir: str, src_version: int, src_table_id: str | None
+) -> dict:
     """Overwrite the view table with the new state AND the source-cursor
-    in one atomic manifest — state and cursor cannot diverge."""
+    (version + source table identity) in one atomic manifest — state
+    and cursor cannot diverge."""
     spark = df.sparkSession
     new_files, _ = snap._write_data_files(df, view_dir)
     return snap._commit(
         spark, view_dir, "overwrite",
         lambda parent: list(new_files),
         df.schema.simpleString(),
-        meta={"added_files": len(new_files), "src_version": src_version},
+        meta={"added_files": len(new_files), "src_version": src_version,
+              "src_table_id": src_table_id},
         txn_update={_CURSOR_APP: src_version},
     )
 
@@ -83,34 +89,35 @@ def refresh_aggregate_view(
     if not src_versions:
         raise ValueError(f"no snapshots at source {source_dir}")
     src_tip = src_versions[-1]
-    cursor = _view_cursor(spark, view_dir)
+    src_tip_manifest = snap._read_manifest(spark, source_dir, src_tip)
+    src_table_id = src_tip_manifest.get("table_id")
+    cursor, seen_table_id = _view_cursor(spark, view_dir)
 
-    if cursor is None:
+    def rebuild() -> dict:
         full = base_aggregate(
             snap.read_snapshot(spark, source_dir, version=src_tip),
             keys, measures, count_col,
         )
-        return _commit_view(full, view_dir, src_tip)
+        return _commit_view(full, view_dir, src_tip, src_table_id)
+
+    if cursor is None:
+        return rebuild()
+    if seen_table_id != src_table_id:
+        # the source log was RECREATED (different table identity) — a
+        # version-only comparison can't see this once the new log has
+        # grown past the cursor; the file delta would be bogus
+        return rebuild()
     if cursor == src_tip:
         return None  # already current
     if cursor > src_tip:
-        # the source log was truncated/recreated under the view — a
-        # silent no-op would freeze the view at pre-recreation state
-        full = base_aggregate(
-            snap.read_snapshot(spark, source_dir, version=src_tip),
-            keys, measures, count_col,
-        )
-        return _commit_view(full, view_dir, src_tip)
+        # same table identity but the log truncated below the cursor
+        return rebuild()
 
     try:
         delta, new_v = snap.snapshot_incremental_read(spark, source_dir, cursor)
     except ValueError:
         # non-append window or expired cursor: rebuild from the tip
-        full = base_aggregate(
-            snap.read_snapshot(spark, source_dir, version=src_tip),
-            keys, measures, count_col,
-        )
-        return _commit_view(full, view_dir, src_tip)
+        return rebuild()
     if delta is None:
         return None
 
@@ -124,4 +131,4 @@ def refresh_aggregate_view(
     )
     state = snap.read_snapshot(spark, view_dir)
     new_state = maintain_aggregate(state, feed, keys, measures, count_col)
-    return _commit_view(new_state, view_dir, new_v)
+    return _commit_view(new_state, view_dir, new_v, src_table_id)

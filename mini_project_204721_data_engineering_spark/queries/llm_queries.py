@@ -2138,12 +2138,12 @@ WITH e AS (
 ), c AS (
   SELECT vec_id, v FROM e WHERE vec_id % 50 <> 1
 ), hits AS (
-  SELECT c.vec_id, list_cosine_similarity(c.v, b.bv) AS s
+  SELECT c.vec_id,
+         round(list_cosine_similarity(c.v, b.bv) * 1000000) / 1000000 AS s
   FROM c CROSS JOIN b
-  WHERE list_cosine_similarity(c.v, b.bv) >= 0.42
+  WHERE round(list_cosine_similarity(c.v, b.bv) * 1000000) / 1000000 >= 0.42
 )
-SELECT vec_id, round(max(s) * 1000000) / 1000000 AS max_cos,
-       count(*) AS n_hits
+SELECT vec_id, max(s) AS max_cos, count(*) AS n_hits
 FROM hits GROUP BY vec_id
 """
 

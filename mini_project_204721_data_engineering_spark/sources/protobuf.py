@@ -30,7 +30,10 @@ from typing import Mapping, Sequence
 
 from pyspark.sql import DataFrame, SparkSession
 
-__all__ = ["read_protobuf", "write_protobuf_shard", "decode_stream", "encode_record"]
+__all__ = [
+    "read_protobuf", "write_protobuf_shard",
+    "decode_stream", "iter_stream", "encode_record",
+]
 
 _SCALARS = {
     "int64": "long", "sint64": "long", "bool": "boolean",
@@ -166,6 +169,24 @@ def _skip_unknown(wire: int, buf: bytes, pos: int) -> int:
     )
 
 
+def _merge_message(old: dict, new: dict, schema: dict[int, dict]) -> dict:
+    """Spec semantics for a non-repeated MESSAGE field seen twice: the
+    occurrences MERGE — later scalars overwrite, nested messages merge
+    recursively, repeated fields concatenate (the
+    concatenate-two-serializations idiom depends on this)."""
+    out = dict(old)
+    by_name = {f["name"]: f for f in schema.values()}
+    for k, v in new.items():
+        f = by_name[k]
+        if f["repeated"]:
+            out[k] = (old.get(k) or []) + (v or [])
+        elif f["type"] == "message" and isinstance(old.get(k), dict) and isinstance(v, dict):
+            out[k] = _merge_message(old[k], v, f["schema"])
+        elif v is not None:
+            out[k] = v
+    return out
+
+
 def _decode_message(buf: bytes, schema: dict[int, dict]) -> dict:
     row = {
         f["name"]: ([] if f["repeated"] else None) for f in schema.values()
@@ -180,31 +201,36 @@ def _decode_message(buf: bytes, schema: dict[int, dict]) -> dict:
             continue
         typ = f["type"]
         if f["repeated"] and wire == 2 and typ in ("int64", "sint64", "bool", "double", "float"):
-            # packed repeated scalars: one len-delimited run of values
+            # packed repeated scalars: one len-delimited run of values —
+            # decoded against the RUN's slice so a value crossing the
+            # declared end raises instead of eating the next field
             ln, pos = _read_varint(buf, pos)
             if pos + ln > len(buf):
                 raise ValueError("packed field overruns the message")
-            end = pos + ln
+            run = buf[pos:pos + ln]
+            pos += ln
             inner_wire = 1 if typ == "double" else (5 if typ == "float" else 0)
-            while pos < end:
-                v, pos = _decode_value(typ, inner_wire, buf, pos, f["schema"])
+            rpos = 0
+            while rpos < len(run):
+                v, rpos = _decode_value(typ, inner_wire, run, rpos, f["schema"])
                 row[f["name"]].append(v)
             continue
         v, pos = _decode_value(typ, wire, buf, pos, f["schema"])
         if f["repeated"]:
             row[f["name"]].append(v)
+        elif typ == "message" and isinstance(row[f["name"]], dict):
+            row[f["name"]] = _merge_message(row[f["name"]], v, f["schema"])
         else:
-            row[f["name"]] = v  # proto3: last occurrence wins
+            row[f["name"]] = v  # proto3 scalars: last occurrence wins
     return row
 
 
-def decode_stream(data: bytes, schema: Mapping[int, tuple]) -> list[dict]:
-    """Decode a varint-delimited record stream to dict rows (the
-    driver-side / per-shard primitive; ``read_protobuf`` is the
-    distributed form).  Corrupt framing raises ValueError naming the
-    offset."""
+def iter_stream(data: bytes, schema: Mapping[int, tuple]):
+    """Generator over a varint-delimited record stream — ONE decoded dict
+    in flight at a time, so consumers (the distributed reader's chunk
+    loop) hold chunk-sized Python state, not the whole shard's.  Corrupt
+    framing raises ValueError naming the byte offset."""
     sch = _norm_schema(schema)
-    out = []
     pos = 0
     while pos < len(data):
         start = pos
@@ -212,11 +238,16 @@ def decode_stream(data: bytes, schema: Mapping[int, tuple]) -> list[dict]:
             ln, pos = _read_varint(data, pos)
             if pos + ln > len(data):
                 raise ValueError("record overruns the stream")
-            out.append(_decode_message(data[pos:pos + ln], sch))
+            rec = _decode_message(data[pos:pos + ln], sch)
             pos += ln
         except ValueError as e:
             raise ValueError(f"corrupt protobuf record at byte {start}: {e}") from e
-    return out
+        yield rec
+
+
+def decode_stream(data: bytes, schema: Mapping[int, tuple]) -> list[dict]:
+    """Eager form of :func:`iter_stream` (driver-side / test primitive)."""
+    return list(iter_stream(data, schema))
 
 
 # ---------------------------------------------------------------------------
@@ -224,6 +255,11 @@ def decode_stream(data: bytes, schema: Mapping[int, tuple]) -> list[dict]:
 # ---------------------------------------------------------------------------
 
 def _write_varint(out: io.BytesIO, v: int) -> None:
+    if not -(1 << 63) <= v < (1 << 64):
+        # an out-of-range python int would emit a >10-byte varint the
+        # decoder (rightly) rejects — refuse at WRITE time instead of
+        # producing an unreadable shard
+        raise ValueError(f"varint value {v} outside the 64-bit range")
     if v < 0:
         v += 1 << 64  # two's complement on 64 bits (int64 negatives)
     while True:
@@ -325,15 +361,21 @@ def read_protobuf(
         for pdf in batches:
             for _, row in pdf.iterrows():
                 shard = row["path"].rsplit("/", 1)[-1]
+                chunk: list[dict] = []
                 try:
-                    rows = decode_stream(bytes(row["content"]), schema)
+                    # generator decode: at most chunk_rows decoded dicts
+                    # in flight on top of the raw shard bytes
+                    for rec in iter_stream(bytes(row["content"]), schema):
+                        chunk.append(rec)
+                        if len(chunk) >= chunk_rows:
+                            yield pd.DataFrame(
+                                {n: [r[n] for r in chunk] for n in names}
+                            )
+                            chunk = []
                 except ValueError as e:
                     raise ValueError(f"shard {shard}: {e}") from e
-                for lo in range(0, len(rows), chunk_rows):
-                    chunk = rows[lo:lo + chunk_rows]
-                    yield pd.DataFrame(
-                        {n: [r[n] for r in chunk] for n in names}
-                    )
+                if chunk:
+                    yield pd.DataFrame({n: [r[n] for r in chunk] for n in names})
 
     return (
         spark.read.format("binaryFile")

@@ -213,6 +213,11 @@ def _commit(
             "ts": time.time(),
             "op": op,
             "schema": ddl,
+            # a stable identity for the LOG itself (minted at v1,
+            # inherited forever): consumers holding a cursor can tell a
+            # recreated table from the one they were following even when
+            # the new log has grown past their cursor version
+            "table_id": (parent_manifest or {}).get("table_id") or uuid.uuid4().hex,
             "files": files,
             # the per-app transaction watermarks ride EVERY commit so the
             # tip alone answers "has stream X applied batch N" — a plain

@@ -108,8 +108,11 @@ def test_stream_to_log_to_view_composition(spark, tmp_path):
     schema = spark.read.parquet(src_files + "/b0").schema
 
     def land(batch_df, batch_id):
-        if snapshot_txn_append(batch_df, fact, "pipe", int(batch_id)) is None:
-            return  # replay: fact unchanged, view already reflects it
+        snapshot_txn_append(batch_df, fact, "pipe", int(batch_id))
+        # refresh UNCONDITIONALLY — it is an idempotent no-op when the
+        # view is current, and skipping it on a replayed batch would
+        # strand the view if a prior run crashed between append and
+        # refresh
         refresh_aggregate_view(spark, fact, view, ["grp"], MEAS)
 
     def run(chk):

@@ -110,3 +110,33 @@ def test_distributed_scan_multiple_shards(spark, tmp_path):
         fh.write(b"\x05\x08")
     with pytest.raises(Exception, match="shard c.pb"):
         read_protobuf(spark, d, SCHEMA).collect()
+
+
+def test_repeated_message_occurrences_merge_per_spec():
+    """Two occurrences of a non-repeated message field MERGE (the
+    concatenate-serializations idiom): first carries lang, second ok."""
+    sub = {1: ("lang", "string"), 2: ("ok", "bool")}
+    schema = {5: ("meta", "message", {"schema": sub})}
+    occ1 = encode_record({"meta": {"lang": "en"}}, schema)
+    occ2 = encode_record({"meta": {"ok": True}}, schema)
+    msg = occ1 + occ2  # concatenation = merge, per the spec
+    rows = decode_stream(bytes([len(msg)]) + msg, schema)
+    assert rows[0]["meta"] == {"lang": "en", "ok": True}
+
+
+def test_packed_run_crossing_boundary_raises():
+    """A packed double run declaring 4 bytes (cutting a value) must
+    raise, not consume the next field's bytes."""
+    bad = bytes([4 << 3 | 2, 4]) + b"\x00" * 12
+    with pytest.raises(ValueError, match="truncated"):
+        decode_stream(
+            bytes([len(bad)]) + bad,
+            {4: ("xs", "double", {"repeated": True})},
+        )
+
+
+def test_encode_out_of_range_varint_refused(tmp_path):
+    with pytest.raises(ValueError, match="64-bit range"):
+        write_protobuf_shard(
+            [{"doc_id": 1 << 64}], str(tmp_path / "x.pb"), {1: ("doc_id", "int64")}
+        )

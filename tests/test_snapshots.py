@@ -692,7 +692,10 @@ def test_model_based_random_op_sequence(spark, tmp_path, seed):
         elif op == "merge":
             keys = sorted(model) or [0]
             lo = rng.choice(keys)
-            hi = lo + rng.randint(2, 10)
+            # never mint ids >= next_lo: a later append would re-land
+            # them and the table would hold duplicate ids the dict
+            # model can't represent
+            hi = max(lo + 1, min(lo + rng.randint(2, 10), next_lo))
             tag = f"m{step}"
             snapshot_merge_into(mk(lo, hi, tag), t, ["id"])
             model.update({i: tag for i in range(lo, hi)})
@@ -719,7 +722,9 @@ def test_model_based_random_op_sequence(spark, tmp_path, seed):
             m = snapshot_compact(spark, t, target_file_bytes=1 << 30)
             if m["version"] == len(history) + 1:  # actually committed
                 history.append(dict(model))
-        got = {r["id"]: r["tag"] for r in read_snapshot(spark, t).collect()}
+        rows_now = read_snapshot(spark, t).collect()
+        got = {r["id"]: r["tag"] for r in rows_now}
+        assert len(rows_now) == len(model), f"step {step} ({op}): dup rows"
         assert got == model, f"step {step} ({op}): tip != model"
 
     # total time travel: every recorded version replays its state
