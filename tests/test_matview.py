@@ -133,3 +133,24 @@ def test_stream_to_log_to_view_composition(spark, tmp_path):
     run(str(tmp_path / "chk2"))  # lost checkpoint, full replay
     assert _agg_dict(read_snapshot(spark, view)) == _expected(spark, fact)
     assert len(_list_versions(spark, view)) == n_view_versions
+
+
+def test_recreated_source_log_triggers_rebuild_even_when_regrown(spark, tmp_path):
+    """The nasty case: the source log is dropped and RECREATED, then
+    grows PAST the view's cursor version — version arithmetic alone
+    cannot see it (cursor < tip, no files missing), but the table
+    identity can.  The refresh must rebuild, not merge a bogus delta."""
+    import shutil
+
+    src, view = str(tmp_path / "src"), str(tmp_path / "view")
+    snapshot_append(_rows(spark, 0, 40), src)
+    snapshot_append(_rows(spark, 40, 60), src)
+    refresh_aggregate_view(spark, src, view, ["grp"], MEAS)  # cursor = 2
+
+    shutil.rmtree(src)  # the table is dropped...
+    for i in range(3):  # ...and recreated, regrowing to tip=3 > cursor
+        snapshot_append(_rows(spark, 100 + i * 10, 110 + i * 10), src)
+
+    m = refresh_aggregate_view(spark, src, view, ["grp"], MEAS)
+    assert m is not None
+    assert _agg_dict(read_snapshot(spark, view)) == _expected(spark, src)
