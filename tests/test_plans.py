@@ -207,3 +207,42 @@ def test_decontaminate_broadcast_shape(spark, qs):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_q18_aggregates_before_joining(spark, qs):
+    """Q18 shape: the joins must consume the HAVING-grain aggregate,
+    never lineitem rows — pinned structurally: the lineitem scan reads
+    ONLY (l_orderkey, l_quantity) (column pruning proves no lineitem
+    detail reaches a join), the aggregate map-side combines, and the
+    having filter exists over the aggregated total."""
+    df = qs["q18_large_volume_orders"](spark, SF)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "partial_sum" in plan  # map-side combine on the fact scan
+    assert "ReadSchema: struct<l_orderkey:bigint,l_quantity:double>" in plan
+    assert "(total_qty" in plan  # the HAVING filter on the aggregate
+
+
+def test_bloom_semi_prune_probe_not_shuffled_before_filter(spark, qs):
+    """The lineitem probe reaches the SBBF bit test via a broadcast
+    word-table join — the fact side must not exchange before the bloom
+    filter prunes it."""
+    df = qs["bloom_semi_prune"](spark, SF)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    # the SBBF bit-test join is present and broadcast
+    assert "__mask" in plan and "BroadcastHashJoin" in plan
+    # the fact side is NEVER hash-partitioned on its join key and no
+    # sort-merge join exists anywhere — the only exchange in the plan
+    # is the final group-by's
+    assert "Exchange hashpartitioning(l_partkey" not in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_supplier_pagerank_constant_plan_depth(spark, qs):
+    """Checkpointed iteration: the FINAL plan must not nest 5 rounds of
+    joins — ranks re-root at a checkpoint every round, so the executed
+    plan contains the last round's single contribution join, not a
+    5-deep join tower."""
+    df = qs["supplier_pagerank"](spark, SF)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    n_joins = plan.count("SortMergeJoin") + plan.count("BroadcastHashJoin")
+    assert n_joins <= 4, f"plan carries {n_joins} joins — lineage not truncated"
