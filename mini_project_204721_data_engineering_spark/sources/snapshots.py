@@ -51,6 +51,8 @@ __all__ = [
     "snapshot_replace_where",
     "snapshot_changes",
     "snapshot_compact",
+    "snapshot_restore",
+    "snapshot_clone",
     "read_snapshot",
     "snapshot_history",
     "expire_snapshots",
@@ -979,6 +981,54 @@ def snapshot_incremental_read(
 
     schema = _parse_datatype_string(tip_manifest["schema"])
     return spark.read.schema(schema).parquet(*added), tip
+
+
+def snapshot_restore(spark: SparkSession, table_dir: str, version: int) -> dict:
+    """Roll the table BACK to a historical version — as a NEW commit
+    referencing that version's files (Iceberg's rollback shape): the
+    bad commits stay in the log for forensics, readers atomically cut
+    over to the restored state, and expire_snapshots eventually
+    collects the rolled-back data.  Zero data movement — pure
+    metadata."""
+    versions = _list_versions(spark, table_dir)
+    if version not in versions:
+        raise ValueError(f"version {version} not in log (have {versions[:5]}...)")
+    target = _read_manifest(spark, table_dir, version)
+    return _commit(
+        spark, table_dir, "restore",
+        lambda parent: list(target["files"]),
+        target["schema"],
+        meta={"restored_version": version},
+        stats_fn=lambda parent, files: (
+            {f: s for f, s in target.get("stats", {}).items() if f in set(files)},
+            target.get("stats_cols", []),
+        ),
+    )
+
+
+def snapshot_clone(spark: SparkSession, source_dir: str, dest_dir: str) -> dict:
+    """Zero-copy (shallow) clone: a NEW log whose v1 references the
+    source tip's files — experimentation branches off production data
+    without copying a byte (Delta's shallow clone).  The clone's own
+    commits never touch source files; NEVER run the clone's
+    expire_snapshots orphan sweep against borrowed files it stops
+    referencing (they belong to the source — its own GC only deletes
+    under ``dest_dir``'s data/, which borrowed paths are not)."""
+    versions = _list_versions(spark, source_dir)
+    if not versions:
+        raise ValueError(f"no snapshots at {source_dir}")
+    if _list_versions(spark, dest_dir):
+        raise ValueError(f"{dest_dir} already has a log — clone needs a fresh dir")
+    tip = _read_manifest(spark, source_dir, versions[-1])
+    return _commit(
+        spark, dest_dir, "clone",
+        lambda parent: list(tip["files"]),
+        tip["schema"],
+        meta={"cloned_from": source_dir, "source_version": tip["version"]},
+        stats_fn=lambda parent, files: (
+            dict(tip.get("stats", {})), tip.get("stats_cols", [])
+        ),
+    )
 
 
 def snapshot_history(spark: SparkSession, table_dir: str) -> list[dict]:

@@ -731,3 +731,38 @@ def test_model_based_random_op_sequence(spark, tmp_path, seed):
     for v, state in enumerate(history, start=1):
         got = {r["id"]: r["tag"] for r in read_snapshot(spark, t, version=v).collect()}
         assert got == state, f"version {v} history mismatch"
+
+
+def test_restore_rolls_back_as_new_commit(spark, tmp_path):
+    from mini_project_204721_data_engineering_spark.sources.snapshots import snapshot_restore
+
+    t = str(tmp_path / "t")
+    snapshot_append(_df(spark, 0, 10, "good"), t)
+    snapshot_overwrite(_df(spark, 100, 105, "bad"), t)  # the bad deploy
+    m = snapshot_restore(spark, t, 1)
+    assert m["version"] == 3 and m["op"] == "restore"
+    assert _ids(read_snapshot(spark, t)) == set(range(10))
+    # forensics: the bad version stays readable until expired
+    assert _ids(read_snapshot(spark, t, version=2)) == set(range(100, 105))
+    with pytest.raises(ValueError, match="not in log"):
+        snapshot_restore(spark, t, 99)
+
+
+def test_clone_is_zero_copy_and_independent(spark, tmp_path):
+    from mini_project_204721_data_engineering_spark.sources.snapshots import snapshot_clone
+
+    src, dst = str(tmp_path / "src"), str(tmp_path / "dst")
+    snapshot_append(_df(spark, 0, 20, "a").repartition(1), src, stats_cols=["id"])
+    m = snapshot_clone(spark, src, dst)
+    # zero-copy: the clone's v1 references the SOURCE's files verbatim
+    assert m["files"] == _read_manifest(spark, src, 1)["files"]
+    assert _ids(read_snapshot(spark, dst)) == set(range(20))
+    # stats carried: pruning works on the clone
+    assert len(read_snapshot(spark, dst, prune={"id": (500, 600)}).inputFiles()) == 0
+    # divergence: writes to the clone never touch the source
+    snapshot_append(_df(spark, 20, 30, "clone-only"), dst)
+    snapshot_delete_where(spark, dst, "id < 5")
+    assert _ids(read_snapshot(spark, src)) == set(range(20))
+    assert _ids(read_snapshot(spark, dst)) == set(range(5, 30))
+    with pytest.raises(ValueError, match="already has a log"):
+        snapshot_clone(spark, src, dst)
