@@ -37,7 +37,7 @@ from __future__ import annotations
 import json
 import time
 import uuid
-from typing import Sequence
+from typing import Mapping, Sequence
 
 from pyspark.sql import DataFrame, SparkSession
 
@@ -282,11 +282,23 @@ def _json_safe(v):
     return None  # unsupported stats type: recorded absent, file never pruned
 
 
-def _file_stats(spark: SparkSession, files: list[str], cols: Sequence[str]) -> dict:
-    """Per-file min/max for ``cols`` over exactly the given files — a
-    column-pruned scan of THIS COMMIT's files only (never the table).
-    Values land JSON-safe; a type that can't (complex cols) records
-    absent, which pruning treats as 'always keep'."""
+def _norm_stats(spec) -> dict[str, str]:
+    """Stats spec → {alias: SQL expr}.  A plain column list means
+    identity stats; a mapping gives DERIVED stats ("hidden partitioning
+    lite": record min/max of e.g. ``CAST(ts AS DATE)`` per file and
+    prune time-range reads without a physical partition column)."""
+    if spec is None:
+        return {}
+    if isinstance(spec, Mapping):
+        return {str(k): str(v) for k, v in spec.items()}
+    return {str(c): str(c) for c in spec}
+
+
+def _file_stats(spark: SparkSession, files: list[str], stats: dict[str, str]) -> dict:
+    """Per-file min/max for each stats expression over exactly the given
+    files — a column-pruned scan of THIS COMMIT's files only (never the
+    table).  Values land JSON-safe; a type that can't (complex cols)
+    records absent, which pruning treats as 'always keep'."""
     from pyspark.sql import functions as F
 
     if not files:
@@ -295,13 +307,22 @@ def _file_stats(spark: SparkSession, files: list[str], cols: Sequence[str]) -> d
     scan = spark.read.parquet(*files)
     # a merge_schema append may legitimately omit a stats column — those
     # files simply record no stats for it (never pruned on it) instead
-    # of failing the whole commit on an unresolvable column
-    cols = [c for c in cols if c in scan.columns]
+    # of failing the whole commit on an unresolvable expression
+    cols = {}
+    for alias, expr in stats.items():
+        try:
+            scan.select(F.expr(expr))
+            cols[alias] = expr
+        except Exception:
+            continue
     if not cols:
         return {}
     aggs = []
-    for c in cols:
-        aggs += [F.min(c).alias(f"__mn_{c}"), F.max(c).alias(f"__mx_{c}")]
+    for alias, expr in cols.items():
+        aggs += [
+            F.min(F.expr(expr)).alias(f"__mn_{alias}"),
+            F.max(F.expr(expr)).alias(f"__mx_{alias}"),
+        ]
     rows = (
         scan
         .groupBy(F.input_file_name().alias("__f"))
@@ -327,18 +348,18 @@ def _compose_stats(spark, new_files: list[str], stats_cols):
     fresh_cache: dict[str, dict] = {}  # keyed by the column set
 
     def stats_fn(parent, files):
-        cols = list(
+        cols = _norm_stats(
             stats_cols
             if stats_cols is not None
             else (parent or {}).get("stats_cols", [])
         )
         if not cols:
-            return {}, []
+            return {}, {}
         parent_stats = (parent or {}).get("stats", {})
         # memoized: the commit-retry loop re-invokes stats_fn against
         # each new tip, but new_files never change — one Spark stats
         # job per column set, not one per lost race
-        key = "\x00".join(cols)
+        key = "\x00".join(f"{a}={e}" for a, e in sorted(cols.items()))
         if key not in fresh_cache:
             fresh_cache[key] = _file_stats(spark, new_files, cols)
         fresh = fresh_cache[key]
@@ -355,7 +376,7 @@ def snapshot_append(
     df: DataFrame,
     table_dir: str,
     merge_schema: bool = False,
-    stats_cols: Sequence[str] | None = None,
+    stats_cols: Sequence[str] | Mapping[str, str] | None = None,
 ) -> dict:
     """Atomically append ``df``: new snapshot = parent's files + this
     commit's files.  Safe under concurrent appenders (each lands its own
@@ -367,7 +388,11 @@ def snapshot_append(
     pins the manifest schema, so this is purely metadata).  A type
     conflict still refuses.  ``stats_cols`` records per-file min/max in
     the manifest for :func:`read_snapshot` file pruning; the column set
-    is sticky across the commit chain."""
+    is sticky across the commit chain.  A MAPPING gives DERIVED stats —
+    hidden-partitioning lite: ``{"day": "CAST(ts AS DATE)"}`` records
+    per-file day ranges so time-range reads prune with no physical
+    partition column (ISO date/timestamp strings compare correctly as
+    prune bounds)."""
     spark = df.sparkSession
     ddl = df.schema.simpleString()
     new_files, _ = _write_data_files(df, table_dir)
@@ -390,7 +415,8 @@ def snapshot_append(
 
 
 def snapshot_overwrite(
-    df: DataFrame, table_dir: str, stats_cols: Sequence[str] | None = None
+    df: DataFrame, table_dir: str,
+    stats_cols: Sequence[str] | Mapping[str, str] | None = None,
 ) -> dict:
     """Atomically replace the table contents (logical TRUNCATE+INSERT).
     Prior snapshots stay readable via time travel until expired; this is
@@ -399,14 +425,15 @@ def snapshot_overwrite(
     new_files, _ = _write_data_files(df, table_dir)
 
     def stats_fn(parent, files):
-        cols = list(
+        cols = _norm_stats(
             stats_cols
             if stats_cols is not None
             else (parent or {}).get("stats_cols", [])
         )
-        cols = [c for c in cols if c in df.columns]
         if not cols:
-            return {}, []
+            return {}, {}
+        # unresolvable expressions (schema change) drop inside
+        # _file_stats; files then simply carry no stats for them
         return _file_stats(spark, new_files, cols), cols
 
     return _commit(

@@ -766,3 +766,30 @@ def test_clone_is_zero_copy_and_independent(spark, tmp_path):
     assert _ids(read_snapshot(spark, dst)) == set(range(5, 30))
     with pytest.raises(ValueError, match="already has a log"):
         snapshot_clone(spark, src, dst)
+
+
+def test_derived_stats_hidden_partition_pruning(spark, tmp_path):
+    """Hidden-partitioning lite: stats on CAST(ts AS DATE) prune a
+    time-range read across files that carry NO physical date column —
+    and the sticky derived spec keeps working for later appends."""
+    t = str(tmp_path / "t")
+
+    def day_rows(day, lo, hi):
+        return spark.range(lo, hi).select(
+            F.col("id"),
+            (F.lit(f"2024-01-{day:02d} 00:00:00").cast("timestamp_ntz")
+             + F.make_interval(mins=F.col("id") % 600)).alias("ts"),
+        )
+
+    snapshot_append(
+        day_rows(1, 0, 50).repartition(1), t,
+        stats_cols={"day": "CAST(ts AS DATE)"},
+    )
+    snapshot_append(day_rows(2, 50, 100).repartition(1), t)  # sticky derived
+    snapshot_append(day_rows(3, 100, 150).repartition(1), t)
+    full = read_snapshot(spark, t)
+    pruned = read_snapshot(spark, t, prune={"day": ("2024-01-02", "2024-01-02")})
+    assert len(pruned.inputFiles()) == 1 < len(full.inputFiles())
+    want = full.filter("CAST(ts AS DATE) = DATE '2024-01-02'")
+    got = pruned.filter("CAST(ts AS DATE) = DATE '2024-01-02'")
+    assert _ids(got) == _ids(want) == set(range(50, 100))
