@@ -192,6 +192,7 @@ def _commit(
     meta: dict | None = None,
     max_retries: int = 20,
     txn_update: dict | None = None,
+    txn_replace: dict | None = None,
     stats_fn=None,
 ) -> dict:
     """The optimistic-concurrency loop: resolve the tip, build the new
@@ -225,10 +226,14 @@ def _commit(
             # tip alone answers "has stream X applied batch N" — a plain
             # append/overwrite/delete between stream batches must not
             # amnesia the stream's progress
-            "txn": {
-                **(parent_manifest or {}).get("txn", {}),
-                **(txn_update or {}),
-            },
+            "txn": (
+                dict(txn_replace)
+                if txn_replace is not None
+                else {
+                    **(parent_manifest or {}).get("txn", {}),
+                    **(txn_update or {}),
+                }
+            ),
             "meta": meta or {},
         }
         if stats_fn is not None:
@@ -274,8 +279,15 @@ def _merged_schema(parent_ddl: str, df_schema) -> str:
 
 
 def _json_safe(v):
+    import datetime
+
     if v is None or isinstance(v, (int, float, str, bool)):
         return v
+    if isinstance(v, datetime.datetime):
+        # SQL spelling (space separator): prune bounds are written the
+        # way SQL writes timestamps, and isoformat's 'T' (0x54) would
+        # sort ABOVE ' ' (0x20) and mis-prune files lexicographically
+        return v.isoformat(sep=" ")
     iso = getattr(v, "isoformat", None)
     if iso is not None:
         return iso()
@@ -339,6 +351,24 @@ def _file_stats(spark: SparkSession, files: list[str], stats: dict[str, str]) ->
     return out
 
 
+def _validate_stats(df: DataFrame, stats_cols) -> None:
+    """An EXPLICITLY passed stats spec that doesn't even resolve against
+    the frame being written is a caller mistake that must raise NOW —
+    silently recording no stats would leave every 100 TB read unpruned
+    while the user believes otherwise.  (Sticky inherited specs stay
+    tolerant: schema evolution may legitimately outgrow them.)"""
+    from pyspark.sql import functions as F
+
+    for alias, expr in _norm_stats(stats_cols).items():
+        try:
+            df.select(F.expr(expr))
+        except Exception as e:
+            raise ValueError(
+                f"stats_cols[{alias!r}] = {expr!r} does not resolve against "
+                f"the written frame: {e}"
+            ) from e
+
+
 def _compose_stats(spark, new_files: list[str], stats_cols):
     """stats_fn for append-shaped commits: parent stats for carried
     files + freshly computed stats for this commit's files.  The column
@@ -395,6 +425,8 @@ def snapshot_append(
     prune bounds)."""
     spark = df.sparkSession
     ddl = df.schema.simpleString()
+    if stats_cols is not None:
+        _validate_stats(df, stats_cols)
     new_files, _ = _write_data_files(df, table_dir)
 
     def files_fn(parent):
@@ -422,6 +454,8 @@ def snapshot_overwrite(
     Prior snapshots stay readable via time travel until expired; this is
     also the declared full-schema-change path."""
     spark = df.sparkSession
+    if stats_cols is not None:
+        _validate_stats(df, stats_cols)
     new_files, _ = _write_data_files(df, table_dir)
 
     def stats_fn(parent, files):
@@ -1026,9 +1060,12 @@ def snapshot_restore(spark: SparkSession, table_dir: str, version: int) -> dict:
         lambda parent: list(target["files"]),
         target["schema"],
         meta={"restored_version": version},
+        # the stream watermarks must match the restored DATA state, not
+        # the rolled-back tip's: carrying the bad tip's txn forward
+        # would make a corrected replay of its batches a silent no-op
+        txn_replace=dict(target.get("txn", {})),
         stats_fn=lambda parent, files: (
-            {f: s for f, s in target.get("stats", {}).items() if f in set(files)},
-            target.get("stats_cols", []),
+            dict(target.get("stats", {})), target.get("stats_cols", [])
         ),
     )
 
@@ -1037,19 +1074,34 @@ def snapshot_clone(spark: SparkSession, source_dir: str, dest_dir: str) -> dict:
     """Zero-copy (shallow) clone: a NEW log whose v1 references the
     source tip's files — experimentation branches off production data
     without copying a byte (Delta's shallow clone).  The clone's own
-    commits never touch source files; NEVER run the clone's
-    expire_snapshots orphan sweep against borrowed files it stops
-    referencing (they belong to the source — its own GC only deletes
-    under ``dest_dir``'s data/, which borrowed paths are not)."""
+    commits never touch source files.  THE HAZARD IS THE SOURCE'S GC:
+    the source's :func:`expire_snapshots` cannot see clone references,
+    so once the source stops referencing a borrowed file its sweep
+    deletes it out from under every clone (the documented shallow-clone
+    VACUUM hazard in Delta too) — pin the source's retention to cover
+    clone lifetimes, or re-materialize the clone
+    (``snapshot_overwrite(read_snapshot(clone), clone)``) to cut the
+    dependency.  The clone's own GC is safe: it only deletes under
+    ``dest_dir``'s data/, which borrowed paths are not."""
     versions = _list_versions(spark, source_dir)
     if not versions:
         raise ValueError(f"no snapshots at {source_dir}")
     if _list_versions(spark, dest_dir):
         raise ValueError(f"{dest_dir} already has a log — clone needs a fresh dir")
     tip = _read_manifest(spark, source_dir, versions[-1])
+
+    def files_fn(parent):
+        if parent is not None:
+            # a writer landed v1 in dest between our freshness check and
+            # the commit — clobbering it would vanish committed data
+            raise RuntimeError(
+                f"{dest_dir} gained a commit during the clone — "
+                "clone into a fresh directory"
+            )
+        return list(tip["files"])
+
     return _commit(
-        spark, dest_dir, "clone",
-        lambda parent: list(tip["files"]),
+        spark, dest_dir, "clone", files_fn,
         tip["schema"],
         meta={"cloned_from": source_dir, "source_version": tip["version"]},
         stats_fn=lambda parent, files: (

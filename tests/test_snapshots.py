@@ -793,3 +793,69 @@ def test_derived_stats_hidden_partition_pruning(spark, tmp_path):
     want = full.filter("CAST(ts AS DATE) = DATE '2024-01-02'")
     got = pruned.filter("CAST(ts AS DATE) = DATE '2024-01-02'")
     assert _ids(got) == _ids(want) == set(range(50, 100))
+
+
+def test_restore_resets_txn_watermarks_to_target_state(spark, tmp_path):
+    """Rolling back bad stream batches must also roll back the txn
+    watermarks — otherwise the corrected replay of those batches is a
+    silent no-op and the data is lost forever."""
+    from mini_project_204721_data_engineering_spark.sources.snapshots import snapshot_restore
+
+    t = str(tmp_path / "t")
+    snapshot_txn_append(_df(spark, 0, 5, "good"), t, "app", 0)
+    snapshot_txn_append(_df(spark, 100, 110, "BAD"), t, "app", 1)  # bad batch
+    snapshot_restore(spark, t, 1)
+    # the corrected batch 1 must LAND, not no-op
+    assert snapshot_txn_append(_df(spark, 5, 10, "fixed"), t, "app", 1) is not None
+    got = {r["id"]: r["tag"] for r in read_snapshot(spark, t).collect()}
+    assert got == {**{i: "good" for i in range(5)}, **{i: "fixed" for i in range(5, 10)}}
+
+
+def test_invalid_explicit_stats_spec_raises_at_commit(spark, tmp_path):
+    t = str(tmp_path / "t")
+    with pytest.raises(ValueError, match="does not resolve"):
+        snapshot_append(_df(spark, 0, 5, "a"), t, stats_cols={"day": "CAST(ts AS DTAE)"})
+    with pytest.raises(ValueError, match="does not resolve"):
+        snapshot_append(_df(spark, 0, 5, "a"), t, stats_cols=["no_such_col"])
+    assert _list_versions(spark, t) == []  # nothing committed
+
+
+def test_timestamp_stats_store_sql_spelling_and_prune_correctly(spark, tmp_path):
+    """Raw-timestamp stats must compare correctly against SQL-spelled
+    bounds ('2024-01-02 23:59:59') — isoformat's 'T' would sort above
+    ' ' and mis-prune files holding matching rows."""
+    t = str(tmp_path / "t")
+    df = spark.range(10).select(
+        F.col("id"),
+        (F.lit("2024-01-02 00:00:00").cast("timestamp_ntz")
+         + F.make_interval(hours=F.col("id"))).alias("ts"),
+    ).repartition(1)
+    snapshot_append(df, t, stats_cols={"tmin": "ts"})
+    m = _read_manifest(spark, t, 1)
+    (rng,) = [v["tmin"] for v in m["stats"].values()]
+    assert "T" not in rng[0] and rng[0].startswith("2024-01-02 00:00")
+    # a same-day SQL-spelled upper bound must KEEP the file
+    pruned = read_snapshot(spark, t, prune={"tmin": (None, "2024-01-02 03:00:00")})
+    assert len(pruned.inputFiles()) == 1
+
+
+def test_clone_race_aborts_instead_of_clobbering(spark, tmp_path):
+    from mini_project_204721_data_engineering_spark.sources import snapshots as S
+
+    src, dst = str(tmp_path / "src"), str(tmp_path / "dst")
+    snapshot_append(_df(spark, 0, 5, "a"), src)
+    real_commit = S._commit
+
+    def racing(spark_, table_dir_, op, files_fn, *a, **kw):
+        if op == "clone" and not getattr(racing, "raced", False):
+            racing.raced = True
+            snapshot_append(_df(spark, 50, 55, "race"), dst)
+        return real_commit(spark_, table_dir_, op, files_fn, *a, **kw)
+
+    S._commit = racing
+    try:
+        with pytest.raises(RuntimeError, match="gained a commit during the clone"):
+            S.snapshot_clone(spark, src, dst)
+    finally:
+        S._commit = real_commit
+    assert _ids(read_snapshot(spark, dst)) == set(range(50, 55))
