@@ -2042,6 +2042,49 @@ FROM clamped
 """
 
 
+def q16_supplier_part_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 shape (parts/supplier relationship count): distinct
+    suppliers able to ship qualifying parts, per (brand, type, size) —
+    NOT-equal + NOT-LIKE + IN-list predicates pushed to the part scan,
+    a NOT IN-style anti-join excluding flagged suppliers (negative
+    balance stands in for the complaint filter), and a distinct count
+    over the supplier-part pairs observed in lineitem (the synthetic
+    schema has no partsupp; the observed-pair derivation is the same
+    relationship at shipment grain)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    supp = load_table(spark, sf_dir, "supplier")
+    p = part.filter(
+        (F.col("p_brand") != "Brand#1")
+        & ~F.col("p_type").like("PROMO%")
+        & F.col("p_size").isin(1, 4, 7, 11, 21)
+    )
+    flagged = supp.filter(F.col("s_acctbal") < 0).select("s_suppkey")
+    pairs = (
+        li.select("l_partkey", "l_suppkey")
+        .join(p, li["l_partkey"] == p["p_partkey"])
+        .join(flagged, li["l_suppkey"] == flagged["s_suppkey"], "left_anti")
+        .select("p_brand", "p_type", "p_size", "l_suppkey")
+        .distinct()
+    )
+    return pairs.groupBy("p_brand", "p_type", "p_size").agg(
+        F.count(F.lit(1)).alias("supplier_cnt")
+    )
+
+
+Q16_SUPPLIER_PART_SQL = """
+SELECT p.p_brand, p.p_type, p.p_size,
+       count(DISTINCT l.l_suppkey) AS supplier_cnt
+FROM lineitem l
+JOIN part p ON l.l_partkey = p.p_partkey
+WHERE p.p_brand <> 'Brand#1'
+  AND p.p_type NOT LIKE 'PROMO%'
+  AND p.p_size IN (1, 4, 7, 11, 21)
+  AND l.l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+GROUP BY p.p_brand, p.p_type, p.p_size
+"""
+
+
 def attribution_linear_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multi-touch (linear) revenue attribution: each purchase's value
     splits equally across the user's clicks in the preceding 24 h,
@@ -2483,6 +2526,7 @@ EXTRA_QUERIES = {
     "supplier_pagerank": supplier_pagerank,
     "theta_user_overlap": theta_user_overlap,
     "attribution_linear_daily": attribution_linear_daily,
+    "q16_supplier_part_counts": q16_supplier_part_counts,
     "q22_global_sales_opportunity": q22_global_sales_opportunity,
     "value_drift_psi": value_drift_psi,
     "data_expectations": data_expectations,
@@ -2521,6 +2565,7 @@ EXTRA_ORACLES = {
     "supplier_pagerank": SUPPLIER_PAGERANK_SQL,
     "theta_user_overlap": THETA_USER_OVERLAP_SQL,
     "attribution_linear_daily": ATTRIBUTION_LINEAR_SQL,
+    "q16_supplier_part_counts": Q16_SUPPLIER_PART_SQL,
     "q22_global_sales_opportunity": Q22_SALES_OPPORTUNITY_SQL,
     "value_drift_psi": VALUE_DRIFT_PSI_SQL,
     "data_expectations": DATA_EXPECTATIONS_SQL,
