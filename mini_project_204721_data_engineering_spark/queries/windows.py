@@ -464,12 +464,52 @@ QUERIES = {
     "salted_counts": salted_counts,
 }
 
+def theta_window_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Windowed distinct-user ESTIMATES from a theta sample
+    (operators/theta.py): per 6-hour tumbling window, the estimated
+    distinct users from the deterministic θ=0.5 md5 sample — the
+    streaming-friendly form of windowed COUNT(DISTINCT): the θ-filter
+    runs BEFORE any dedup state, so a streaming twin (filter →
+    dropDuplicates → window count) carries θ-scaled state instead of
+    every user id.  Deterministic, so the oracle value-checks the
+    estimates themselves."""
+    from mini_project_204721_data_engineering_spark.operators.theta import quantized_theta, theta_keep
+
+    ev = load_table(spark, sf_dir, "events")
+    q = quantized_theta(0.5)
+    kept = ev.filter(theta_keep([F.col("user_id")], 0.5)).select(
+        F.window("ts", "6 hours").alias("w"), "user_id"
+    ).distinct()
+    return kept.groupBy(F.date_format(F.col("w.start"), _FMT).alias("window_start")).agg(
+        F.count(F.lit(1)).alias("kept"),
+        (F.count(F.lit(1)) / F.lit(q)).alias("est_users"),
+    )
+
+
+THETA_WINDOW_USERS_SQL = """
+WITH kept AS (
+  SELECT DISTINCT
+         strftime(to_timestamp((epoch_us(ts) // (21600::BIGINT * 1000000)) * 21600),
+                  '%Y-%m-%d %H:%M:%S') AS window_start,
+         user_id
+  FROM events
+  WHERE substring(md5('theta|' || CAST(user_id AS VARCHAR)), 1, 4) < '8000'
+)
+SELECT window_start,
+       count(*) AS kept,
+       count(*) / 0.5 AS est_users
+FROM kept GROUP BY window_start
+"""
+
+
 EXTRA_QUERIES = {
+    "theta_window_users": theta_window_users,
     "value_p95_histogram": value_p95_histogram,
     "user_rolling_1h_spend": user_rolling_1h_spend,
     "sensor_interpolate": sensor_interpolate,
 }
 EXTRA_ORACLES = {
+    "theta_window_users": THETA_WINDOW_USERS_SQL,
     "value_p95_histogram": VALUE_P95_HISTOGRAM_SQL,
     "user_rolling_1h_spend": USER_ROLLING_1H_SPEND_SQL,
     "sensor_interpolate": SENSOR_INTERPOLATE_SQL,
