@@ -502,13 +502,47 @@ FROM kept GROUP BY window_start
 """
 
 
+def cumulative_unique_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running DISTINCT-user count by day — the classic rewrite: a
+    naive per-day distinct-so-far is quadratic (re-scan history every
+    day); counting each user on their FIRST day turns it into one
+    groupBy + a running SUM over the tiny day series.  The final
+    window is day-cardinality-sized (≤ a few thousand rows at any
+    fact scale), documented single-partition by construction."""
+    ev = load_table(spark, sf_dir, "events")
+    first = ev.groupBy("user_id").agg(F.min(F.col("ts").cast("date")).alias("d"))
+    daily = first.groupBy("d").agg(F.count(F.lit(1)).alias("new_users"))
+    w = Window.orderBy("d").rowsBetween(Window.unboundedPreceding, 0)
+    return daily.select(
+        F.date_format("d", "yyyy-MM-dd").alias("day"),
+        "new_users",
+        F.sum("new_users").over(w).alias("cum_users"),
+    )
+
+
+CUMULATIVE_UNIQUE_USERS_SQL = """
+WITH f AS (
+  SELECT user_id, min(CAST(ts AS DATE)) AS d FROM events GROUP BY user_id
+), n AS (
+  SELECT d, count(*) AS new_users FROM f GROUP BY d
+)
+SELECT strftime(d, '%Y-%m-%d') AS day,
+       new_users,
+       CAST(sum(new_users) OVER (ORDER BY d ROWS UNBOUNDED PRECEDING)
+            AS BIGINT) AS cum_users
+FROM n
+"""
+
+
 EXTRA_QUERIES = {
+    "cumulative_unique_users": cumulative_unique_users,
     "theta_window_users": theta_window_users,
     "value_p95_histogram": value_p95_histogram,
     "user_rolling_1h_spend": user_rolling_1h_spend,
     "sensor_interpolate": sensor_interpolate,
 }
 EXTRA_ORACLES = {
+    "cumulative_unique_users": CUMULATIVE_UNIQUE_USERS_SQL,
     "theta_window_users": THETA_WINDOW_USERS_SQL,
     "value_p95_histogram": VALUE_P95_HISTOGRAM_SQL,
     "user_rolling_1h_spend": USER_ROLLING_1H_SPEND_SQL,
