@@ -2046,8 +2046,10 @@ def q16_supplier_part_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q16 shape (parts/supplier relationship count): distinct
     suppliers able to ship qualifying parts, per (brand, type, size) —
     NOT-equal + NOT-LIKE + IN-list predicates pushed to the part scan,
-    a NOT IN-style anti-join excluding flagged suppliers (negative
-    balance stands in for the complaint filter), and a distinct count
+    a NOT-EXISTS anti-join excluding flagged suppliers (negative
+    balance stands in for the complaint filter — NOT EXISTS, not
+    NOT IN, so both engines share anti-join NULL semantics), and a
+    distinct count
     over the supplier-part pairs observed in lineitem (the synthetic
     schema has no partsupp; the observed-pair derivation is the same
     relationship at shipment grain)."""
@@ -2060,15 +2062,12 @@ def q16_supplier_part_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         & F.col("p_size").isin(1, 4, 7, 11, 21)
     )
     flagged = supp.filter(F.col("s_acctbal") < 0).select("s_suppkey")
-    pairs = (
+    return (
         li.select("l_partkey", "l_suppkey")
         .join(p, li["l_partkey"] == p["p_partkey"])
         .join(flagged, li["l_suppkey"] == flagged["s_suppkey"], "left_anti")
-        .select("p_brand", "p_type", "p_size", "l_suppkey")
-        .distinct()
-    )
-    return pairs.groupBy("p_brand", "p_type", "p_size").agg(
-        F.count(F.lit(1)).alias("supplier_cnt")
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
     )
 
 
@@ -2080,7 +2079,8 @@ JOIN part p ON l.l_partkey = p.p_partkey
 WHERE p.p_brand <> 'Brand#1'
   AND p.p_type NOT LIKE 'PROMO%'
   AND p.p_size IN (1, 4, 7, 11, 21)
-  AND l.l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+  AND NOT EXISTS (SELECT 1 FROM supplier s
+                  WHERE s.s_suppkey = l.l_suppkey AND s.s_acctbal < 0)
 GROUP BY p.p_brand, p.p_type, p.p_size
 """
 

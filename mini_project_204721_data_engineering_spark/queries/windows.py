@@ -473,16 +473,16 @@ def theta_window_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     dropDuplicates → window count) carries θ-scaled state instead of
     every user id.  Deterministic, so the oracle value-checks the
     estimates themselves."""
-    from mini_project_204721_data_engineering_spark.operators.theta import quantized_theta, theta_keep
+    from mini_project_204721_data_engineering_spark.operators.theta import theta_distinct_by
 
     ev = load_table(spark, sf_dir, "events")
-    q = quantized_theta(0.5)
-    kept = ev.filter(theta_keep([F.col("user_id")], 0.5)).select(
-        F.window("ts", "6 hours").alias("w"), "user_id"
-    ).distinct()
-    return kept.groupBy(F.date_format(F.col("w.start"), _FMT).alias("window_start")).agg(
-        F.count(F.lit(1)).alias("kept"),
-        (F.count(F.lit(1)) / F.lit(q)).alias("est_users"),
+    win = ev.select(
+        F.date_format(F.window("ts", "6 hours").start, _FMT).alias("window_start"),
+        "user_id",
+    )
+    out = theta_distinct_by(win, ["window_start"], ["user_id"], 0.5)
+    return out.select(
+        "window_start", "kept", F.col("est_distinct").alias("est_users")
     )
 
 
