@@ -2042,6 +2042,39 @@ FROM clamped
 """
 
 
+def user_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Key-skew diagnostic (operators/profile.py::key_skew_profile): the
+    group-size distribution of events per user — the one-row report
+    that decides whether a key needs salting before it melts a reducer
+    (uniform here: p99 ~ p50; a viral-user distribution would show
+    max >> p99).  Exact percentiles for oracle parity; the
+    percentile_approx swap is the documented fact-scale form."""
+    from mini_project_204721_data_engineering_spark.operators.profile import key_skew_profile
+
+    ev = load_table(spark, sf_dir, "events")
+    out = key_skew_profile(ev, ["user_id"])
+    return out.select(
+        "n_groups", "total_rows", "max_group",
+        F.round("p50_group", 4).alias("p50_group"),
+        F.round("p99_group", 4).alias("p99_group"),
+        "hot_share",
+    )
+
+
+USER_SKEW_PROFILE_SQL = """
+WITH c AS (
+  SELECT user_id, count(*) AS n FROM events GROUP BY user_id
+)
+SELECT CAST(count(*) AS BIGINT) AS n_groups,
+       CAST(sum(n) AS BIGINT) AS total_rows,
+       CAST(max(n) AS BIGINT) AS max_group,
+       round(quantile_cont(n, 0.5), 4) AS p50_group,
+       round(quantile_cont(n, 0.99), 4) AS p99_group,
+       round(CAST(max(n) AS DOUBLE) / sum(n) * 1000000) / 1000000 AS hot_share
+FROM c
+"""
+
+
 def q16_supplier_part_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q16 shape (parts/supplier relationship count): distinct
     suppliers able to ship qualifying parts, per (brand, type, size) —
@@ -2527,6 +2560,7 @@ EXTRA_QUERIES = {
     "theta_user_overlap": theta_user_overlap,
     "attribution_linear_daily": attribution_linear_daily,
     "q16_supplier_part_counts": q16_supplier_part_counts,
+    "user_skew_profile": user_skew_profile,
     "q22_global_sales_opportunity": q22_global_sales_opportunity,
     "value_drift_psi": value_drift_psi,
     "data_expectations": data_expectations,
@@ -2566,6 +2600,7 @@ EXTRA_ORACLES = {
     "theta_user_overlap": THETA_USER_OVERLAP_SQL,
     "attribution_linear_daily": ATTRIBUTION_LINEAR_SQL,
     "q16_supplier_part_counts": Q16_SUPPLIER_PART_SQL,
+    "user_skew_profile": USER_SKEW_PROFILE_SQL,
     "q22_global_sales_opportunity": Q22_SALES_OPPORTUNITY_SQL,
     "value_drift_psi": VALUE_DRIFT_PSI_SQL,
     "data_expectations": DATA_EXPECTATIONS_SQL,
