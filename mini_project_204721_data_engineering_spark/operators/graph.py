@@ -25,8 +25,11 @@ Spark shape — the standard synchronous power iteration:
   up to float; asserted in tests).
 
 Convergence is geometric at rate = damping (0.85 → ~66 iterations per
-1e-5 of L1 error); callers pick ``n_iter`` by tolerance, the classic
-10-20 is enough for ranking use.
+1e-5 of L1 error); ``n_iter`` caps the loop, and an optional ``tol``
+measures the actual L1 delta every ``check_every`` iterations (one
+join + 1-row aggregate per check) and stops early once
+Σ|Δrank| < tol — callers neither overpay iterations nor undershoot
+silently.
 """
 
 from __future__ import annotations
@@ -43,16 +46,33 @@ def pagerank(
     dst: str = "dst",
     damping: float = 0.85,
     n_iter: int = 15,
+    tol: float | None = None,
+    check_every: int = 5,
+    stats: dict | None = None,
 ) -> DataFrame:
     """Ranks for every vertex appearing in ``edges`` (either side).
     Returns ``(id, rank)`` with ranks on the |V|-mass convention
     (uniform start = 1.0 each; sum(rank) ≈ |V|).  Parallel edges are
     legitimate (they add weight); self-loops count as ordinary edges.
-    """
+
+    ``tol``: optional convergence stop — every ``check_every``
+    iterations the total L1 movement Σ|rank_i − rank_{i-1}| is measured
+    (one id-join of the two checkpointed rank tables + a 1-row
+    aggregate, negligible next to an iteration) and the loop exits once
+    it drops below ``tol``; ``n_iter`` stays the hard cap.  Geometric
+    convergence at rate ``damping`` means the L1 error after stopping
+    is at most ``tol · damping / (1 − damping)``.  Pass a dict as
+    ``stats`` to receive ``{"iterations": k, "last_delta": d}`` for
+    observability (``last_delta`` is None when ``tol`` is unset —
+    nothing measures movement then)."""
     if not 0 < damping < 1:
         raise ValueError(f"damping must be in (0, 1), got {damping}")
     if n_iter < 1:
         raise ValueError("n_iter must be >= 1")
+    if tol is not None and tol <= 0:
+        raise ValueError(f"tol must be positive, got {tol}")
+    if check_every < 1:
+        raise ValueError("check_every must be >= 1")
 
     e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
     vertices = (
@@ -83,7 +103,10 @@ def pagerank(
     )
     base = 1.0 - damping  # per-vertex teleport mass on the |V| convention
 
-    for _ in range(n_iter):
+    iterations = 0
+    last_delta: float | None = None
+    for i in range(n_iter):
+        prev = ranks
         contribs = (
             norm_edges.join(ranks, norm_edges.src == ranks.id)
             .groupBy(F.col("dst").alias("id"))
@@ -109,4 +132,18 @@ def pagerank(
             )
             .localCheckpoint(eager=True)
         )
+        iterations = i + 1
+        if tol is not None and (iterations % check_every == 0 or iterations == n_iter):
+            # both sides are checkpointed id-keyed tables; the join is
+            # vertex-sized and the result a single driver row
+            last_delta = (
+                ranks.join(prev.withColumnRenamed("rank", "__prev"), "id")
+                .agg(F.sum(F.abs(F.col("rank") - F.col("__prev"))).alias("d"))
+                .collect()[0]["d"]
+            )
+            if last_delta < tol:
+                break
+    if stats is not None:
+        stats["iterations"] = iterations
+        stats["last_delta"] = last_delta
     return ranks

@@ -15,9 +15,17 @@ replayed or crashed-and-retried refresh is exactly-once by the same
 mechanism as the streaming sink: state and cursor can never disagree
 because they are one commit.
 
-Non-append source windows (a delete/merge/compact rewrote files) can't
-be consumed as a file delta; refresh detects that and falls back to a
-full rebuild — correct always, incremental when possible.
+Non-append source windows exploit CoW file confinement
+(``snapshot_file_changes``): a delete/merge/replace-where window feeds
+``maintain_aggregate`` with delete(removed-file rows) +
+insert(added-file rows) — correct for ANY op mix because contributions
+are additive and carried files are byte-identical — so refresh cost is
+∝ the files the window rewrote plus view size, never source size.  A
+window whose only ops are compaction is data-identical and advances
+the cursor with a metadata-only commit (no bytes read).  Only a
+schema-changing window (overwrite / non-additive evolution) or an
+expired cursor manifest falls back to the full rebuild — correct
+always, incremental whenever the log still has the evidence.
 
 Single-refresher discipline per view (the normal arrangement for view
 maintenance); CONCURRENT refreshers are safe against replay (the
@@ -53,19 +61,46 @@ def _view_cursor(spark: SparkSession, view_dir: str) -> tuple[int | None, str | 
 
 
 def _commit_view(
-    df: DataFrame, view_dir: str, src_version: int, src_table_id: str | None
+    df: DataFrame, view_dir: str, src_version: int, src_table_id: str | None,
+    refresh_mode: str, files_read: int | None = None,
 ) -> dict:
     """Overwrite the view table with the new state AND the source-cursor
     (version + source table identity) in one atomic manifest — state
-    and cursor cannot diverge."""
+    and cursor cannot diverge.  ``refresh_mode`` / ``files_read`` land
+    in the manifest meta as the observability record of what the
+    refresh actually cost."""
     spark = df.sparkSession
     new_files, _ = snap._write_data_files(df, view_dir)
+    meta = {"added_files": len(new_files), "src_version": src_version,
+            "src_table_id": src_table_id, "refresh_mode": refresh_mode}
+    if files_read is not None:
+        meta["src_files_read"] = files_read
     return snap._commit(
         spark, view_dir, "overwrite",
         lambda parent: list(new_files),
         df.schema.simpleString(),
-        meta={"added_files": len(new_files), "src_version": src_version,
-              "src_table_id": src_table_id},
+        meta=meta,
+        txn_update={_CURSOR_APP: src_version},
+    )
+
+
+def _advance_cursor(
+    spark: SparkSession, view_dir: str, src_version: int, src_table_id: str | None
+) -> dict:
+    """Metadata-only commit: re-reference the view's current files with
+    an advanced source cursor — the data-identical-window (pure
+    compaction) path; zero bytes move."""
+    def files_fn(parent):
+        if parent is None:
+            raise RuntimeError("cursor advance on a view with no commits")
+        return list(parent["files"])
+
+    return snap._commit(
+        spark, view_dir, "overwrite", files_fn,
+        lambda parent: parent["schema"],
+        meta={"added_files": 0, "src_version": src_version,
+              "src_table_id": src_table_id, "refresh_mode": "cursor-advance",
+              "src_files_read": 0},
         txn_update={_CURSOR_APP: src_version},
     )
 
@@ -79,12 +114,24 @@ def refresh_aggregate_view(
     count_col: str = "n",
 ) -> dict | None:
     """Bring the aggregate view at ``view_dir`` up to the source table's
-    tip.  First call builds it fully; later calls consume only the rows
-    APPENDED since the recorded cursor (feed of inserts through
-    ``maintain_aggregate``); a non-append source window (files were
-    rewritten by delete/merge/compact) falls back to a full rebuild.
+    tip.  First call builds it fully; later calls consume only what the
+    window actually changed:
+
+    - append-only window → feed of inserts (appended rows only);
+    - rewrite window (delete/merge/replace-where, any mix with appends)
+      → file-confined CoW delta (:func:`..sources.snapshots.
+      snapshot_file_changes`): delete(removed-file rows) +
+      insert(added-file rows) through ``maintain_aggregate`` — cost ∝
+      rewritten files + view size, never source size;
+    - pure-compaction window → data-identical: cursor advances with a
+      metadata-only commit, zero bytes read;
+    - schema-changing window / recreated source / expired cursor
+      manifest → full rebuild (correct always).
+
     Returns the view's new manifest, or None when already current —
-    replaying a refresh is a no-op, not a double-count."""
+    replaying a refresh is a no-op, not a double-count.  The manifest
+    meta records ``refresh_mode`` and ``src_files_read`` so the cost
+    class of every refresh is auditable after the fact."""
     src_versions = snap._list_versions(spark, source_dir)
     if not src_versions:
         raise ValueError(f"no snapshots at source {source_dir}")
@@ -98,7 +145,10 @@ def refresh_aggregate_view(
             snap.read_snapshot(spark, source_dir, version=src_tip),
             keys, measures, count_col,
         )
-        return _commit_view(full, view_dir, src_tip, src_table_id)
+        return _commit_view(
+            full, view_dir, src_tip, src_table_id, refresh_mode="full",
+            files_read=len(src_tip_manifest["files"]),
+        )
 
     if cursor is None:
         return rebuild()
@@ -113,15 +163,17 @@ def refresh_aggregate_view(
         # same table identity but the log truncated below the cursor
         return rebuild()
 
+    from pyspark.sql import functions as F
+
     try:
         delta, new_v = snap.snapshot_incremental_read(spark, source_dir, cursor)
     except ValueError:
-        # non-append window or expired cursor: rebuild from the tip
-        return rebuild()
+        return _confined_refresh(
+            spark, source_dir, view_dir, keys, measures, count_col,
+            cursor, src_tip, src_table_id, rebuild,
+        )
     if delta is None:
         return None
-
-    from pyspark.sql import functions as F
 
     row = F.struct(*[F.col(c) for c in delta.columns])
     feed = delta.select(
@@ -131,4 +183,76 @@ def refresh_aggregate_view(
     )
     state = snap.read_snapshot(spark, view_dir)
     new_state = maintain_aggregate(state, feed, keys, measures, count_col)
-    return _commit_view(new_state, view_dir, new_v, src_table_id)
+    return _commit_view(
+        new_state, view_dir, new_v, src_table_id, refresh_mode="delta-append",
+        files_read=len(delta.inputFiles()),
+    )
+
+
+def _confined_refresh(
+    spark: SparkSession,
+    source_dir: str,
+    view_dir: str,
+    keys: Sequence[str],
+    measures: Mapping[str, Measure],
+    count_col: str,
+    cursor: int,
+    src_tip: int,
+    src_table_id: str | None,
+    rebuild,
+) -> dict | None:
+    """The non-append window path: consume the CoW file delta instead of
+    rebuilding.  Additive maintenance needs no key discipline — every
+    removed-file row retracts, every added-file row contributes, and
+    carried files are byte-identical — so this is ≡ recompute for ANY
+    window op mix at rewritten-files cost.  Falls back to ``rebuild``
+    only when the evidence is gone (cursor manifest expired) or the
+    schema changed across the window (before/after images would not
+    union)."""
+    from pyspark.sql import functions as F
+
+    try:
+        removed, added, info = snap.snapshot_file_changes(
+            spark, source_dir, cursor, src_tip
+        )
+    except Exception:
+        # cursor manifest expired from the log (or unreadable): the
+        # file-confined evidence is gone — rebuild is the honest answer
+        return rebuild()
+    if info["from_schema"] != info["to_schema"]:
+        # overwrite / non-additive evolution in the window: the two
+        # sides' row structs would not union into one feed
+        return rebuild()
+    if removed is None and added is None:
+        # data-identical window (e.g. restore bouncing back): advance only
+        return _advance_cursor(spark, view_dir, src_tip, src_table_id)
+    ops = [op for op in info["ops"] if op is not None]
+    if len(ops) == len(info["ops"]) and all(op == "compact" for op in ops):
+        # pure compaction re-binpacks identical rows — feeding them
+        # through maintenance would net zero at rewritten-bytes cost;
+        # skip the bytes outright
+        return _advance_cursor(spark, view_dir, src_tip, src_table_id)
+
+    def feed_half(df: DataFrame, op: str) -> DataFrame:
+        row = F.struct(*[F.col(c) for c in df.columns])
+        img = {"delete": "before", "insert": "after"}[op]
+        other = "after" if img == "before" else "before"
+        sel = {
+            img: row.alias(img),
+            other: F.when(F.lit(False), row).alias(other),
+        }
+        return df.select(F.lit(op).alias("op"), sel["before"], sel["after"])
+
+    halves = [
+        feed_half(df, op)
+        for df, op in ((removed, "delete"), (added, "insert"))
+        if df is not None
+    ]
+    feed = halves[0] if len(halves) == 1 else halves[0].unionByName(halves[1])
+    state = snap.read_snapshot(spark, view_dir)
+    new_state = maintain_aggregate(state, feed, keys, measures, count_col)
+    return _commit_view(
+        new_state, view_dir, src_tip, src_table_id,
+        refresh_mode="delta-confined",
+        files_read=len(info["removed_files"]) + len(info["added_files"]),
+    )

@@ -50,6 +50,7 @@ __all__ = [
     "snapshot_merge_into",
     "snapshot_replace_where",
     "snapshot_changes",
+    "snapshot_file_changes",
     "snapshot_compact",
     "snapshot_restore",
     "snapshot_clone",
@@ -910,24 +911,122 @@ def snapshot_replace_where(
     )
 
 
+def snapshot_file_changes(
+    spark: SparkSession,
+    table_dir: str,
+    from_version: int,
+    to_version: int | None = None,
+) -> tuple[DataFrame | None, DataFrame | None, dict]:
+    """File-confined CoW delta between two snapshots:
+    ``(removed_rows, added_rows, info)``.
+
+    ``removed_rows`` reads exactly the files referenced at
+    ``from_version`` but no longer at ``to_version`` (default: the tip);
+    ``added_rows`` the files new at ``to_version``.  Because every
+    commit is copy-on-write — existing bytes are NEVER touched — a file
+    carried by BOTH snapshots holds identical rows in each, so the pair
+    is a COMPLETE row-level delta of the window: the new snapshot equals
+    (old snapshot − removed_rows) ∪ added_rows, at a cost proportional
+    to the files the window actually rewrote, never to table size.  At
+    100 TB a one-partition delete prices as that one rewritten file plus
+    its survivor file, not as 1e5 files full-outer-joined.
+
+    Either side is None when its file set is empty.  Both sides read
+    with their OWN version's pinned manifest schema (what those files
+    meant in that snapshot).  ``info`` carries the file lists, both
+    schemas, and — when every intermediate manifest is still in the log
+    — the window's commit ops (``info["ops"]``; None entries where a
+    manifest was expired): consumers like the matview refresher use the
+    ops to recognize data-identical windows (pure compaction) without
+    reading any bytes."""
+    versions = _list_versions(spark, table_dir)
+    if not versions:
+        raise ValueError(f"no snapshots at {table_dir}")
+    if to_version is None:
+        to_version = versions[-1]
+    for v in (from_version, to_version):
+        if v not in versions:
+            raise ValueError(f"version {v} not in log (have {versions[:5]}...)")
+    if from_version > to_version:
+        raise ValueError(
+            f"from_version {from_version} is after to_version {to_version}"
+        )
+    old_m = _read_manifest(spark, table_dir, from_version)
+    new_m = _read_manifest(spark, table_dir, to_version)
+    old_files = set(old_m["files"])
+    new_files = set(new_m["files"])
+    removed = [f for f in old_m["files"] if f not in new_files]
+    added = [f for f in new_m["files"] if f not in old_files]
+    ops: list[str | None] = [
+        (_read_manifest(spark, table_dir, v)["op"] if v in versions else None)
+        for v in range(from_version + 1, to_version + 1)
+    ]
+    from pyspark.sql.types import _parse_datatype_string
+
+    def _read(files: list[str], ddl: str) -> DataFrame | None:
+        if not files:
+            return None
+        return spark.read.schema(_parse_datatype_string(ddl)).parquet(*files)
+
+    info = {
+        "from_version": from_version,
+        "to_version": to_version,
+        "removed_files": removed,
+        "added_files": added,
+        "ops": ops,
+        "from_schema": old_m["schema"],
+        "to_schema": new_m["schema"],
+    }
+    return _read(removed, old_m["schema"]), _read(added, new_m["schema"]), info
+
+
 def snapshot_changes(
     spark: SparkSession,
     table_dir: str,
     keys: Sequence[str],
     from_version: int,
     to_version: int | None = None,
+    confined: bool = True,
 ) -> DataFrame:
     """Row-level change feed between two snapshots (CDF after the fact):
     ``(keys..., diff_status, changed_cols)`` via the engine's
-    ``table_diff`` over the two pinned reads — added/removed/changed/
-    unchanged with null-safe per-column attribution.  Cost is one keyed
-    full-outer join of the two snapshots; for the common tip-vs-N-back
-    audit both reads prune through the same manifests."""
+    ``table_diff`` — added/removed/changed/unchanged with null-safe
+    per-column attribution.
+
+    ``confined=True`` (default) diffs ONLY the files the window rewrote
+    (:func:`snapshot_file_changes`): files carried by both snapshots are
+    byte-identical under CoW, so their rows are unchanged by
+    construction and are NOT emitted — the join is rewritten-file-sized,
+    not table-sized (a one-file delete out of 1e5 files diffs 2 files,
+    not 2×1e5).  Rows that WERE rewritten but kept their values (e.g.
+    survivors sharing a file with deleted rows) still surface as
+    ``unchanged``.  Valid under the keyed-table discipline — each key
+    holds at most one live row per snapshot — which is the same
+    precondition the full-outer keyed diff needs to be well-defined at
+    all (a key duplicated across a carried and an added file would
+    already be a duplicate key in the new snapshot).
+
+    ``confined=False`` full-outer joins the two complete snapshots and
+    additionally emits an ``unchanged`` row for every untouched key —
+    the audit shape, at table-sized cost."""
     from mini_project_204721_data_engineering_spark.operators.diff import table_diff
 
-    old = read_snapshot(spark, table_dir, version=from_version)
-    new = read_snapshot(spark, table_dir, version=to_version)
-    return table_diff(old, new, keys)
+    if not confined:
+        old = read_snapshot(spark, table_dir, version=from_version)
+        new = read_snapshot(spark, table_dir, version=to_version)
+        return table_diff(old, new, keys)
+    removed, added, info = snapshot_file_changes(
+        spark, table_dir, from_version, to_version
+    )
+    from pyspark.sql.types import _parse_datatype_string
+
+    if removed is None:
+        removed = spark.createDataFrame(
+            [], _parse_datatype_string(info["from_schema"])
+        )
+    if added is None:
+        added = spark.createDataFrame([], _parse_datatype_string(info["to_schema"]))
+    return table_diff(removed, added, keys)
 
 
 def snapshot_compact(

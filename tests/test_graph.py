@@ -73,3 +73,45 @@ def test_bad_args_refused(spark):
         pagerank(df, damping=1.0)
     with pytest.raises(ValueError, match="n_iter"):
         pagerank(df, n_iter=0)
+    with pytest.raises(ValueError, match="tol"):
+        pagerank(df, tol=0.0)
+    with pytest.raises(ValueError, match="check_every"):
+        pagerank(df, tol=1e-6, check_every=0)
+
+
+def test_tol_stops_early_and_matches_fixed_iterations(spark):
+    """On a fast-converging graph the tol stop must (a) execute fewer
+    iterations than the cap and (b) land within tol·d/(1−d) L1 of the
+    full fixed-iteration run — the docstring's geometric bound."""
+    edges = [(1, 2), (2, 3), (3, 1), (4, 3), (3, 5)]
+    tol, damping = 1e-6, 0.85
+    stats: dict = {}
+    df = spark.createDataFrame(edges, "src long, dst long")
+    early = {r["id"]: r["rank"] for r in
+             pagerank(df, tol=tol, check_every=5, n_iter=200, stats=stats).collect()}
+    assert stats["iterations"] < 200
+    assert stats["last_delta"] is not None and stats["last_delta"] < tol
+    full = _run(spark, edges, n_iter=200)
+    bound = tol * damping / (1 - damping)
+    assert sum(abs(early[v] - full[v]) for v in full) <= bound
+    # mass still conserved after an early exit
+    assert sum(early.values()) == pytest.approx(len(full), rel=1e-9)
+
+
+def test_uniform_cycle_converges_at_first_check(spark):
+    # uniform ranks are exactly stationary → delta is 0 at the first check
+    edges = [(1, 2), (2, 3), (3, 1)]
+    stats: dict = {}
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {r["id"]: r["rank"] for r in
+           pagerank(df, tol=1e-12, check_every=3, n_iter=50, stats=stats).collect()}
+    assert stats["iterations"] == 3
+    for v in (1, 2, 3):
+        assert got[v] == pytest.approx(1.0, rel=1e-12)
+
+
+def test_no_tol_reports_iterations_but_no_delta(spark):
+    stats: dict = {}
+    df = spark.createDataFrame([(1, 2), (2, 1)], "src long, dst long")
+    pagerank(df, n_iter=4, stats=stats).collect()
+    assert stats == {"iterations": 4, "last_delta": None}

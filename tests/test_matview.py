@@ -55,19 +55,167 @@ def test_full_build_then_incremental_then_replay(spark, tmp_path):
     assert len(_list_versions(spark, view)) == n_versions
 
 
-def test_non_append_source_window_falls_back_to_rebuild(spark, tmp_path):
+def test_non_append_source_window_consumes_confined_delta(spark, tmp_path):
     src, view = str(tmp_path / "src"), str(tmp_path / "view")
     snapshot_append(_rows(spark, 0, 50).repartition(1), src)
     refresh_aggregate_view(spark, src, view, ["grp"], MEAS)
-    # the source REWRITES files — the appended-file delta is invalid
+    # the source REWRITES files — consumed as the CoW file delta, not a rebuild
     snapshot_delete_where(spark, src, "id < 10")
     m = refresh_aggregate_view(spark, src, view, ["grp"], MEAS)
     assert m is not None
+    assert m["meta"]["refresh_mode"] == "delta-confined"
     assert _agg_dict(read_snapshot(spark, view)) == _expected(spark, src)
     # and the view keeps refreshing incrementally afterwards
     snapshot_append(_rows(spark, 50, 80), src)
-    refresh_aggregate_view(spark, src, view, ["grp"], MEAS)
+    m2 = refresh_aggregate_view(spark, src, view, ["grp"], MEAS)
+    assert m2["meta"]["refresh_mode"] == "delta-append"
     assert _agg_dict(read_snapshot(spark, view)) == _expected(spark, src)
+
+
+def test_one_file_delete_refreshes_without_source_sized_scan(spark, tmp_path):
+    """The 100 TB claim, pinned: a delete that rewrote 1 of 10 source
+    files refreshes the view reading exactly the 2 delta files — the
+    refresh never performs a full source read (monkeypatch-proven) and
+    records the confined cost in its own manifest."""
+    import mini_project_204721_data_engineering_spark.operators.matview as mv
+
+    src, view = str(tmp_path / "src"), str(tmp_path / "view")
+    for i in range(10):
+        snapshot_append(_rows(spark, i * 10, (i + 1) * 10).repartition(1), src)
+    refresh_aggregate_view(spark, src, view, ["grp"], MEAS)
+    snapshot_delete_where(spark, src, "id = 55")
+
+    real = mv.snap.read_snapshot
+
+    def no_source_reads(spark_, table_dir, *a, **kw):
+        assert table_dir != src, "confined refresh performed a full source read"
+        return real(spark_, table_dir, *a, **kw)
+
+    with pytest.MonkeyPatch.context() as mp:
+        mp.setattr(mv.snap, "read_snapshot", no_source_reads)
+        m = refresh_aggregate_view(spark, src, view, ["grp"], MEAS)
+    assert m["meta"]["refresh_mode"] == "delta-confined"
+    assert m["meta"]["src_files_read"] == 2  # hit file + survivor rewrite
+    assert _agg_dict(read_snapshot(spark, view)) == _expected(spark, src)
+
+
+def test_merge_and_replace_where_windows_stay_confined(spark, tmp_path):
+    from mini_project_204721_data_engineering_spark.sources.snapshots import (
+        snapshot_merge_into,
+        snapshot_replace_where,
+    )
+
+    src, view = str(tmp_path / "src"), str(tmp_path / "view")
+    snapshot_append(_rows(spark, 0, 40).repartition(2), src)
+    refresh_aggregate_view(spark, src, view, ["grp"], MEAS)
+
+    # keyed upsert window (values change, keys move between groups)
+    upd = spark.range(20, 50).select(
+        F.col("id"),
+        ((F.col("id") + 1) % 4).cast("string").alias("grp"),
+        (F.col("id") % 11).cast("double").alias("val"),
+    )
+    snapshot_merge_into(upd, src, ["id"])
+    m = refresh_aggregate_view(spark, src, view, ["grp"], MEAS)
+    assert m["meta"]["refresh_mode"] == "delta-confined"
+    assert _agg_dict(read_snapshot(spark, view)) == _expected(spark, src)
+
+    # slice re-land window
+    snapshot_replace_where(
+        _rows(spark, 0, 10).withColumn("val", F.col("val") + 100.0).filter("id < 10"),
+        src, "id < 10",
+    )
+    m2 = refresh_aggregate_view(spark, src, view, ["grp"], MEAS)
+    assert m2["meta"]["refresh_mode"] == "delta-confined"
+    assert _agg_dict(read_snapshot(spark, view)) == _expected(spark, src)
+
+
+def test_pure_compaction_window_advances_cursor_without_reading_bytes(spark, tmp_path):
+    from mini_project_204721_data_engineering_spark.sources.snapshots import (
+        snapshot_compact,
+    )
+
+    src, view = str(tmp_path / "src"), str(tmp_path / "view")
+    for i in range(5):
+        snapshot_append(_rows(spark, i * 10, (i + 1) * 10).repartition(1), src)
+    refresh_aggregate_view(spark, src, view, ["grp"], MEAS)
+    state_before = _agg_dict(read_snapshot(spark, view))
+    view_files_before = read_snapshot(spark, view).inputFiles()
+
+    mc = snapshot_compact(spark, src)  # data-identical rewrite
+    assert mc["op"] == "compact"
+    m = refresh_aggregate_view(spark, src, view, ["grp"], MEAS)
+    assert m["meta"]["refresh_mode"] == "cursor-advance"
+    assert m["meta"]["src_files_read"] == 0
+    # metadata-only: the view's data files are the SAME files
+    assert sorted(read_snapshot(spark, view).inputFiles()) == sorted(view_files_before)
+    assert _agg_dict(read_snapshot(spark, view)) == state_before
+    # cursor really advanced: replay is a no-op, later appends are delta-append
+    assert refresh_aggregate_view(spark, src, view, ["grp"], MEAS) is None
+    snapshot_append(_rows(spark, 50, 60), src)
+    m2 = refresh_aggregate_view(spark, src, view, ["grp"], MEAS)
+    assert m2["meta"]["refresh_mode"] == "delta-append"
+    assert _agg_dict(read_snapshot(spark, view)) == _expected(spark, src)
+
+
+def test_schema_changed_window_falls_back_to_rebuild(spark, tmp_path):
+    src, view = str(tmp_path / "src"), str(tmp_path / "view")
+    snapshot_append(_rows(spark, 0, 30).repartition(1), src)
+    refresh_aggregate_view(spark, src, view, ["grp"], MEAS)
+    # additive evolution + a delete in the same window: the before/after
+    # images would not union across schemas — rebuild is the honest path
+    snapshot_append(
+        _rows(spark, 30, 40).withColumn("extra", F.lit(1)), src, merge_schema=True
+    )
+    snapshot_delete_where(spark, src, "id = 5")
+    m = refresh_aggregate_view(spark, src, view, ["grp"], MEAS)
+    assert m["meta"]["refresh_mode"] == "full"
+    assert _agg_dict(read_snapshot(spark, view)) == _expected(spark, src)
+
+
+def test_confined_refresh_equals_rebuild_over_random_op_sequence(spark, tmp_path):
+    """Delta ≡ recompute oracle: a mixed sequence of append / delete /
+    merge / replace-where / compact windows, refreshing after each —
+    the maintained view must equal a from-scratch recompute at every
+    step, and only schema-stable windows may rebuild."""
+    from mini_project_204721_data_engineering_spark.sources.snapshots import (
+        snapshot_compact,
+        snapshot_merge_into,
+        snapshot_replace_where,
+    )
+
+    src, view = str(tmp_path / "src"), str(tmp_path / "view")
+    snapshot_append(_rows(spark, 0, 60).repartition(3), src)
+    refresh_aggregate_view(spark, src, view, ["grp"], MEAS)
+
+    def upsert(lo, hi):
+        return spark.range(lo, hi).select(
+            F.col("id"),
+            ((F.col("id") + 2) % 4).cast("string").alias("grp"),
+            (F.col("id") % 13).cast("double").alias("val"),
+        )
+
+    steps = [
+        lambda: snapshot_append(_rows(spark, 60, 90).repartition(2), src),
+        lambda: snapshot_delete_where(spark, src, "id % 7 = 0"),
+        lambda: snapshot_merge_into(upsert(40, 100), src, ["id"]),
+        lambda: snapshot_compact(spark, src),
+        lambda: snapshot_replace_where(
+            upsert(0, 20).filter("id < 20"), src, "id < 20"
+        ),
+        lambda: (
+            snapshot_append(_rows(spark, 100, 120), src),
+            snapshot_delete_where(spark, src, "id BETWEEN 10 AND 30"),
+        ),
+    ]
+    modes = []
+    for step in steps:
+        step()
+        m = refresh_aggregate_view(spark, src, view, ["grp"], MEAS)
+        modes.append(m["meta"]["refresh_mode"] if m else None)
+        assert _agg_dict(read_snapshot(spark, view)) == _expected(spark, src)
+    # no step in this schema-stable sequence may pay a full rebuild
+    assert "full" not in modes
 
 
 def test_view_time_travel_tracks_refresh_history(spark, tmp_path):

@@ -495,20 +495,80 @@ def test_snapshot_changes_between_versions(spark, tmp_path):
     snapshot_append(_df(spark, 0, 5, "a"), t)  # v1
     snapshot_merge_into(_df(spark, 3, 8, "b"), t, ["id"])  # v2: 3-4 changed, 5-7 added
     snapshot_delete_where(spark, t, "id = 0")  # v3: 0 removed
-    ch = {
+    full = {
         r["id"]: r["diff_status"]
-        for r in snapshot_changes(spark, t, ["id"], 1).collect()
+        for r in snapshot_changes(spark, t, ["id"], 1, confined=False).collect()
     }
-    assert ch == {
+    assert full == {
         0: "removed", 1: "unchanged", 2: "unchanged",
         3: "changed", 4: "changed", 5: "added", 6: "added", 7: "added",
     }
+    # confined default: every touched key gets the SAME verdict; rows in
+    # carried (byte-identical) files are unchanged by construction and
+    # simply not emitted
+    conf = {
+        r["id"]: r["diff_status"]
+        for r in snapshot_changes(spark, t, ["id"], 1).collect()
+    }
+    assert {k: s for k, s in conf.items() if s != "unchanged"} == {
+        k: s for k, s in full.items() if s != "unchanged"
+    }
+    assert all(full[k] == "unchanged" for k, s in conf.items() if s == "unchanged")
     # explicit window v1→v2 excludes the later delete
     ch12 = {
         r["id"]: r["diff_status"]
-        for r in snapshot_changes(spark, t, ["id"], 1, 2).collect()
+        for r in snapshot_changes(spark, t, ["id"], 1, 2, confined=False).collect()
     }
     assert ch12[0] == "unchanged" and ch12[5] == "added"
+
+
+def test_file_changes_confined_to_rewritten_files(spark, tmp_path):
+    """The CoW delta primitive: a one-file delete out of 10 files prices
+    as 2 files (the hit file + its survivor rewrite), and the confined
+    change feed's scan touches ONLY those files."""
+    from mini_project_204721_data_engineering_spark.sources.snapshots import (
+        snapshot_changes,
+        snapshot_file_changes,
+    )
+
+    t = str(tmp_path / "t")
+    for i in range(10):
+        snapshot_append(_df(spark, i * 10, (i + 1) * 10, "a").repartition(1), t)
+    snapshot_delete_where(spark, t, "id = 55")  # v11 rewrites 1 of 10 files
+    removed, added, info = snapshot_file_changes(spark, t, 10, 11)
+    assert len(info["removed_files"]) == 1 and len(info["added_files"]) == 1
+    assert info["ops"] == ["delete"]
+    assert _ids(removed) == set(range(50, 60))
+    assert _ids(added) == set(range(50, 60)) - {55}
+    d = snapshot_changes(spark, t, ["id"], 10, 11)
+    # plan-level confinement: 2 files scanned, not 11
+    assert len(d.inputFiles()) == 2
+    ch = {r["id"]: r["diff_status"] for r in d.collect()}
+    assert ch == {55: "removed", **{i: "unchanged" for i in range(50, 60) if i != 55}}
+    # the full (audit) form still reports every untouched key
+    audit = snapshot_changes(spark, t, ["id"], 10, 11, confined=False)
+    assert audit.filter("diff_status = 'unchanged'").count() == 99
+
+
+def test_file_changes_window_validation(spark, tmp_path):
+    from mini_project_204721_data_engineering_spark.sources.snapshots import (
+        snapshot_file_changes,
+    )
+
+    t = str(tmp_path / "t")
+    snapshot_append(_df(spark, 0, 5, "a"), t)
+    snapshot_append(_df(spark, 5, 9, "a"), t)
+    with pytest.raises(ValueError, match="not in log"):
+        snapshot_file_changes(spark, t, 1, 9)
+    with pytest.raises(ValueError, match="after to_version"):
+        snapshot_file_changes(spark, t, 2, 1)
+    # identical window: both sides None
+    removed, added, info = snapshot_file_changes(spark, t, 2, 2)
+    assert removed is None and added is None and info["ops"] == []
+    # pure append window: removed None, added holds exactly the new rows
+    removed, added, info = snapshot_file_changes(spark, t, 1, 2)
+    assert removed is None and _ids(added) == {5, 6, 7, 8}
+    assert info["ops"] == ["append"]
 
 
 def test_truly_concurrent_appenders_lose_nothing(spark, tmp_path):
