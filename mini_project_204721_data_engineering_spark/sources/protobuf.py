@@ -25,6 +25,7 @@ bytes never visit the driver (the Avro/NetCDF posture).
 from __future__ import annotations
 
 import io
+import re
 import struct
 from typing import Mapping, Sequence
 
@@ -33,6 +34,7 @@ from pyspark.sql import DataFrame, SparkSession
 __all__ = [
     "read_protobuf", "write_protobuf_shard",
     "decode_stream", "iter_stream", "encode_record",
+    "parse_proto_schema",
 ]
 
 _SCALARS = {
@@ -323,6 +325,397 @@ def write_protobuf_shard(records: Sequence[Mapping], path: str,
             _write_varint(buf, len(msg))
             buf.write(msg)
         fh.write(buf.getvalue())
+
+
+# ---------------------------------------------------------------------------
+# .proto schema parser
+# ---------------------------------------------------------------------------
+# Real protobuf landings ship a .proto file; hand-transcribing field
+# numbers into the {field_number: (name, type)} contract is the
+# error-prone step this parser absorbs.  Written from the PUBLIC
+# language spec (protobuf.dev/programming-guides/proto3 and /proto2):
+# a recursive-descent parser over the message/field/repeated/nested/
+# enum/oneof/map subset, refusing LOUDLY on everything whose semantics
+# this reader cannot honor:
+#
+# - ``import`` (needs a file resolver — inline the imported messages),
+# - ``extend`` / ``extensions`` (proto2 extensions),
+# - ``group`` (deprecated wire types 3/4, same refusal as the decoder),
+# - ``uint64`` (the decoder surfaces varints as SIGNED 64-bit; values
+#   above 2^63−1 would silently wrap — re-model as int64/sint64/bytes),
+# - ``fixed32/64`` / ``sfixed32/64`` (the decoder reads wire types 1/5
+#   as IEEE float/double only),
+# - recursive message types (the flat dict contract cannot express a
+#   cycle — same refusal as the Avro reader's named-type cycles).
+#
+# What it accepts maps exactly onto the existing decode semantics:
+# ``oneof`` members are plain nullable singular fields on the wire;
+# ``map<K,V>`` is sugar for ``repeated message {1: key, 2: value}``
+# (spec: "Backwards compatibility" section of the maps guide); enums
+# are open varints and surface as int64 (unknown values preserved);
+# field options like ``[packed=true]`` are accepted and ignored because
+# the decoder handles packed and unpacked runs interchangeably; proto2
+# ``[default=...]`` is accepted but NOT materialized — absent fields
+# stay null, the same declare-your-contract posture as the JSONL and
+# Avro readers.
+
+_PROTO_SCALARS = {
+    "int32": "int64", "int64": "int64", "uint32": "int64",
+    "sint32": "sint64", "sint64": "sint64",
+    "bool": "bool", "double": "double", "float": "float",
+    "string": "string", "bytes": "bytes",
+}
+_PROTO_REFUSED_TYPES = {
+    "uint64": "decoder surfaces varints as signed 64-bit; uint64 values "
+              "above 2^63-1 would wrap — re-model as int64/sint64 or bytes",
+    "fixed64": "decoder reads wire type 1 as double only",
+    "sfixed64": "decoder reads wire type 1 as double only",
+    "fixed32": "decoder reads wire type 5 as float only",
+    "sfixed32": "decoder reads wire type 5 as float only",
+}
+_MAP_KEY_TYPES = {"int32", "int64", "uint32", "sint32", "sint64", "bool", "string"}
+
+_PROTO_TOKEN = re.compile(
+    r'"(?:[^"\\\n]|\\.)*"'      # double-quoted string
+    r"|'(?:[^'\\\n]|\\.)*'"     # single-quoted string
+    r"|\.?[A-Za-z_][A-Za-z0-9_.]*"  # (possibly dotted / leading-dot) ident
+    r"|-?\d+(?:\.\d+)?"         # int / float literal
+    r"|[{}=;<>,\[\]()]"         # punctuation
+    r"|\S"                      # anything else -> rejected in next()
+)
+
+
+class _ProtoParser:
+    """Single-file .proto text → {field_number: (name, type, opts)}."""
+
+    def __init__(self, text: str):
+        text = re.sub(r"//[^\n]*", " ", text)
+        stripped = re.sub(r"/\*.*?\*/", " ", text, flags=re.S)
+        if "/*" in stripped:
+            raise ValueError("unterminated /* comment in .proto")
+        self.toks = _PROTO_TOKEN.findall(stripped)
+        self.pos = 0
+
+    # -- token plumbing ----------------------------------------------------
+    def peek(self) -> str | None:
+        return self.toks[self.pos] if self.pos < len(self.toks) else None
+
+    def next(self) -> str:
+        t = self.peek()
+        if t is None:
+            raise ValueError("unexpected end of .proto text")
+        if len(t) == 1 and not (t.isalnum() or t == "_") and t not in "{}=;<>,[]()":
+            raise ValueError(f"unexpected character {t!r} in .proto")
+        self.pos += 1
+        return t
+
+    def expect(self, tok: str) -> str:
+        t = self.next()
+        if t != tok:
+            raise ValueError(f"expected {tok!r}, got {t!r} in .proto")
+        return t
+
+    def _skip_to_semicolon(self) -> None:
+        depth = 0
+        while True:
+            t = self.next()
+            if t in "{(":
+                depth += 1
+            elif t in "})":
+                depth -= 1
+            elif t == ";" and depth == 0:
+                return
+
+    def _skip_block(self) -> None:
+        self.expect("{")
+        depth = 1
+        while depth:
+            t = self.next()
+            if t == "{":
+                depth += 1
+            elif t == "}":
+                depth -= 1
+
+    # -- grammar -----------------------------------------------------------
+    def parse_file(self) -> dict:
+        """Returns the root scope: {name: message-node | "enum"}."""
+        root: dict = {}
+        while (t := self.peek()) is not None:
+            if t == "syntax":
+                self.next(); self.expect("=")
+                syn = self.next().strip("\"'")
+                self.expect(";")
+                if syn not in ("proto2", "proto3"):
+                    raise ValueError(f"unsupported syntax {syn!r}")
+            elif t == "package":
+                self._skip_to_semicolon()
+            elif t == "option":
+                self._skip_to_semicolon()
+            elif t == "import":
+                raise NotImplementedError(
+                    ".proto imports are not supported (no file resolver) — "
+                    "inline the imported message definitions"
+                )
+            elif t in ("extend",):
+                raise NotImplementedError(
+                    f"proto2 {t!r} (extensions) is not supported"
+                )
+            elif t == "service":
+                self.next(); self.next()  # RPC-only, no data schema impact
+                self._skip_block()
+            elif t == "message":
+                node = self.parse_message()
+                if node["name"] in root:
+                    raise ValueError(f"duplicate top-level name {node['name']!r}")
+                root[node["name"]] = node
+            elif t == "enum":
+                name = self.parse_enum()
+                if name in root:
+                    raise ValueError(f"duplicate top-level name {name!r}")
+                root[name] = "enum"
+            elif t == ";":
+                self.next()
+            else:
+                raise ValueError(f"unexpected token {t!r} at .proto top level")
+        return root
+
+    def parse_enum(self) -> str:
+        self.expect("enum")
+        name = self.next()
+        self.expect("{")
+        while (t := self.peek()) != "}":
+            if t is None:
+                raise ValueError("unterminated enum block")
+            if t in ("option", "reserved"):
+                self._skip_to_semicolon()
+            elif t == ";":
+                self.next()
+            else:
+                self.next()  # VALUE
+                self.expect("=")
+                self.next()  # number
+                if self.peek() == "[":
+                    self._skip_options()
+                self.expect(";")
+        self.next()
+        return name
+
+    def _skip_options(self) -> None:
+        self.expect("[")
+        depth = 1
+        while depth:
+            t = self.next()
+            if t == "[":
+                depth += 1
+            elif t == "]":
+                depth -= 1
+
+    def parse_message(self) -> dict:
+        self.expect("message")
+        name = self.next()
+        node = {"name": name, "fields": [], "nested": {}}
+        self.expect("{")
+        while (t := self.peek()) != "}":
+            if t is None:
+                raise ValueError(f"unterminated message {name!r}")
+            if t == "message":
+                sub = self.parse_message()
+                if sub["name"] in node["nested"]:
+                    raise ValueError(
+                        f"duplicate nested name {sub['name']!r} in {name!r}"
+                    )
+                node["nested"][sub["name"]] = sub
+            elif t == "enum":
+                ename = self.parse_enum()
+                if ename in node["nested"]:
+                    raise ValueError(f"duplicate nested name {ename!r} in {name!r}")
+                node["nested"][ename] = "enum"
+            elif t in ("option", "reserved"):
+                self._skip_to_semicolon()
+            elif t == "oneof":
+                # wire-identical to plain nullable singular fields
+                self.next(); self.next()
+                self.expect("{")
+                while self.peek() != "}":
+                    if self.peek() == "option":
+                        self._skip_to_semicolon()
+                        continue
+                    node["fields"].append(self.parse_field(label_allowed=False))
+                self.next()
+            elif t in ("extensions", "extend"):
+                raise NotImplementedError(
+                    f"proto2 {t!r} is not supported (extensions)"
+                )
+            elif t == "group":
+                raise NotImplementedError(
+                    "proto2 groups (wire types 3/4) are not supported — "
+                    "same refusal as the decoder"
+                )
+            elif t == ";":
+                self.next()
+            else:
+                node["fields"].append(self.parse_field(label_allowed=True))
+        self.next()
+        return node
+
+    def parse_field(self, label_allowed: bool) -> dict:
+        repeated = False
+        t = self.peek()
+        if t in ("repeated", "optional", "required"):
+            if not label_allowed:
+                raise ValueError(f"label {t!r} not allowed inside oneof")
+            repeated = t == "repeated"
+            self.next()
+            t = self.peek()
+        if t == "group":
+            raise NotImplementedError(
+                "proto2 groups (wire types 3/4) are not supported"
+            )
+        if t == "map":
+            self.next()
+            self.expect("<")
+            ktype = self.next()
+            self.expect(",")
+            vtype = self.next()
+            self.expect(">")
+            if ktype not in _MAP_KEY_TYPES:
+                raise ValueError(f"invalid map key type {ktype!r}")
+            ftype: object = ("map", ktype, vtype)
+        else:
+            ftype = self.next()
+        fname = self.next()
+        self.expect("=")
+        numtok = self.next()
+        if not numtok.isdigit():
+            raise ValueError(f"field {fname!r}: bad field number {numtok!r}")
+        num = int(numtok)
+        if self.peek() == "[":
+            self._skip_options()  # packed / deprecated / default: no-ops here
+        self.expect(";")
+        return {"name": fname, "type": ftype, "num": num, "repeated": repeated}
+
+
+def _resolve_type_name(name: str, scopes: list[dict]) -> object:
+    """Protobuf scoping: innermost scope outward; a leading '.' anchors
+    at the root.  Dotted paths walk nested messages.  Returns the
+    message node or the marker string "enum"."""
+    if name.startswith("."):
+        paths: list[list[dict]] = [scopes[:1]]
+        name = name[1:]
+    else:
+        paths = [scopes[: i + 1] for i in range(len(scopes) - 1, -1, -1)]
+    parts = name.split(".")
+    for chain in paths:
+        table = chain[-1]["nested"]
+        node: object = table.get(parts[0])
+        if node is None:
+            continue
+        ok = True
+        for p in parts[1:]:
+            if node == "enum" or p not in node["nested"]:
+                ok = False
+                break
+            node = node["nested"][p]
+        if ok:
+            return node
+    raise ValueError(f"unresolved type name {name!r} in .proto")
+
+
+def _message_to_contract(node: dict, scopes: list[dict], open_msgs: tuple) -> dict:
+    """AST message node → the {field_number: (name, type, opts)} contract,
+    refusing recursive message types (the flat contract cannot express a
+    cycle — the Avro reader's open_names posture)."""
+    if any(m is node for m in open_msgs):
+        raise ValueError(
+            f"recursive message type {node['name']!r} is not supported — "
+            "the schema contract is a finite tree; flatten the recursion "
+            "or model the self-reference as bytes"
+        )
+    out: dict[int, tuple] = {}
+    seen_names: set[str] = set()
+    for f in node["fields"]:
+        if f["num"] in out:
+            raise ValueError(
+                f"duplicate field number {f['num']} in message {node['name']!r}"
+            )
+        if f["name"] in seen_names:
+            raise ValueError(
+                f"duplicate field name {f['name']!r} in message {node['name']!r}"
+            )
+        seen_names.add(f["name"])
+        t = f["type"]
+        if isinstance(t, tuple):  # map<K,V>: repeated {1: key, 2: value}
+            _, ktype, vtype = t
+            entry = {
+                "name": "MapEntry", "nested": {},
+                "fields": [
+                    {"name": "key", "type": ktype, "num": 1, "repeated": False},
+                    {"name": "value", "type": vtype, "num": 2, "repeated": False},
+                ],
+            }
+            sub = _message_to_contract(
+                entry, scopes + [node], open_msgs + (node,)
+            )
+            out[f["num"]] = (f["name"], "message",
+                             {"repeated": True, "schema": sub})
+            continue
+        if t in _PROTO_REFUSED_TYPES:
+            raise NotImplementedError(
+                f"field {f['name']!r}: proto type {t!r} is not supported — "
+                f"{_PROTO_REFUSED_TYPES[t]}"
+            )
+        if t in _PROTO_SCALARS:
+            typ = _PROTO_SCALARS[t]
+            opts = {"repeated": True} if f["repeated"] else {}
+            out[f["num"]] = (f["name"], typ, opts) if opts else (f["name"], typ)
+            continue
+        resolved = _resolve_type_name(t, scopes + [node])
+        if resolved == "enum":
+            # open enums are varints on the wire; unknown values preserved
+            opts = {"repeated": True} if f["repeated"] else {}
+            out[f["num"]] = (f["name"], "int64", opts) if opts \
+                else (f["name"], "int64")
+            continue
+        sub = _message_to_contract(
+            resolved, scopes + [node], open_msgs + (node,)
+        )
+        opts = {"schema": sub}
+        if f["repeated"]:
+            opts["repeated"] = True
+        out[f["num"]] = (f["name"], "message", opts)
+    return out
+
+
+def parse_proto_schema(
+    text: str, message: str | None = None
+) -> Mapping[int, tuple]:
+    """Parse single-file proto2/proto3 text into the reader's
+    ``{field_number: (name, type[, opts])}`` contract for ``message``
+    (dotted paths reach nested messages; None is allowed when the file
+    has exactly one top-level message).  The result plugs directly into
+    :func:`read_protobuf` / :func:`decode_stream` /
+    :func:`write_protobuf_shard`.  See the section comment above for
+    the accepted subset and the loud refusals (imports, extensions,
+    groups, uint64/fixed*/sfixed*, recursive messages)."""
+    root = _ProtoParser(text).parse_file()
+    root_node = {"name": "<root>", "fields": [], "nested": root}
+    messages = {k: v for k, v in root.items() if v != "enum"}
+    if message is None:
+        if len(messages) != 1:
+            raise ValueError(
+                f"message= is required: .proto defines {sorted(messages) or 'no'}"
+                " top-level messages"
+            )
+        node = next(iter(messages.values()))
+    else:
+        node = root_node
+        for part in message.split("."):
+            if not isinstance(node["nested"].get(part), dict):
+                raise ValueError(f"message {message!r} not found in .proto")
+            node = node["nested"][part]
+    contract = _message_to_contract(node, [root_node], ())
+    _norm_schema(contract)  # final validation through the reader's own gate
+    return contract
 
 
 # ---------------------------------------------------------------------------

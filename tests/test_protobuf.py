@@ -140,3 +140,141 @@ def test_encode_out_of_range_varint_refused(tmp_path):
         write_protobuf_shard(
             [{"doc_id": 1 << 64}], str(tmp_path / "x.pb"), {1: ("doc_id", "int64")}
         )
+
+
+# ---------------------------------------------------------------------------
+# .proto schema parser
+# ---------------------------------------------------------------------------
+
+from mini_project_204721_data_engineering_spark.sources.protobuf import (  # noqa: E402
+    parse_proto_schema,
+)
+
+DOC_PROTO = """
+syntax = "proto3";
+package corpus.v1;
+option java_package = "x.y";
+
+message Meta { string lang = 1; bool ok = 2; }
+
+message Doc {
+  int64 doc_id = 1;
+  string text = 2;      // trailing comment
+  double score = 3;     /* block comment */
+  repeated int64 flags = 4 [packed = true];
+  Meta meta = 5;
+  sint64 delta = 6;
+  bytes blob = 7;
+  float ratio = 8;
+}
+"""
+
+
+def test_proto_fixture_equals_hand_written_contract():
+    """The done-criterion: the parsed .proto must decode the SAME wire
+    bytes identically to the hand-written dict — checked structurally
+    (contracts equal) AND behaviorally (same decoded rows)."""
+    sch = parse_proto_schema(DOC_PROTO, "Doc")
+    assert sch == SCHEMA
+    recs = [_rec(i) for i in range(20)]
+    for r in recs:  # same bytes out of the encoder, too
+        assert encode_record(r, sch) == encode_record(r, SCHEMA)
+    import tempfile
+    with tempfile.TemporaryDirectory() as d:
+        p = os.path.join(d, "x.pb")
+        write_protobuf_shard(recs, p, SCHEMA)
+        with open(p, "rb") as fh:
+            data = fh.read()
+    assert decode_stream(data, sch) == decode_stream(data, SCHEMA)
+
+
+def test_proto_oneof_map_enum_nested_and_fq_names():
+    text = """
+    syntax = "proto2";
+    message Outer {
+      enum Kind { A = 0; B = 1; }
+      message Inner { optional string s = 1; }
+      required Kind kind = 1;
+      optional Inner in = 2;
+      oneof payload { string a = 3; int64 b = 4; }
+      map<string, int64> counts = 5;
+      repeated .Outer.Inner fq = 6;
+    }
+    """
+    sch = parse_proto_schema(text)  # single top-level message: name optional
+    # enum -> int64 varint; oneof members -> plain nullable fields;
+    # map -> repeated {1: key, 2: value}; leading-dot name resolves
+    assert sch[1] == ("kind", "int64")
+    assert sch[3] == ("a", "string") and sch[4] == ("b", "int64")
+    assert sch[5][2]["repeated"] and sch[5][2]["schema"] == {
+        1: ("key", "string"), 2: ("value", "int64")}
+    assert sch[6][2]["schema"] == {1: ("s", "string")}
+    rec = {"kind": 1, "in": {"s": "x"}, "a": "hi",
+           "counts": [{"key": "k", "value": 3}], "fq": [{"s": "y"}, {"s": "z"}]}
+    m = encode_record(rec, sch)
+    got = decode_stream(bytes([len(m)]) + m, sch)[0]
+    assert got["kind"] == 1 and got["counts"] == [{"key": "k", "value": 3}]
+    assert got["fq"] == [{"s": "y"}, {"s": "z"}] and got["b"] is None
+    # nested selection by dotted path
+    inner = parse_proto_schema(text, "Outer.Inner")
+    assert inner == {1: ("s", "string")}
+
+
+@pytest.mark.parametrize("bad,exc,msg", [
+    ('import "a.proto";', NotImplementedError, "import"),
+    ("message M { extensions 100 to 199; }", NotImplementedError, "extensions"),
+    ("message M { optional group G = 1 { } }", NotImplementedError, "group"),
+    ("message M { uint64 x = 1; }", NotImplementedError, "uint64"),
+    ("message M { fixed32 x = 1; }", NotImplementedError, "wire type 5"),
+    ("message M { sfixed64 x = 1; }", NotImplementedError, "wire type 1"),
+    ("message M { M x = 1; }", ValueError, "recursive"),
+    ("message A { message B { A a = 1; } B b = 1; }", ValueError, "recursive"),
+    ("message M { int64 x = 1; int64 y = 1; }", ValueError, "field number"),
+    ("message M { int64 x = 1; string x = 2; }", ValueError, "field name"),
+    ("message M { Unknown u = 1; }", ValueError, "unresolved"),
+    ("message M { map<float, int64> m = 1; }", ValueError, "map key"),
+    ('syntax = "proto9"; message M { int64 x = 1; }', ValueError, "syntax"),
+    ("message M { int64 x = }", ValueError, ""),
+    ("message M { int64 x = 1 ", ValueError, ""),
+    ("message M { int64 x = 1; } message N { int64 y = 1; }", ValueError,
+     "message= is required"),
+])
+def test_proto_refusals_are_loud(bad, exc, msg):
+    with pytest.raises(exc, match=msg):
+        parse_proto_schema(bad)
+
+
+def test_proto_fuzz_never_wrong_exception():
+    """Random single-edit mutations of a valid .proto either still parse
+    or raise ValueError/NotImplementedError — never an unhandled
+    IndexError/KeyError/AttributeError."""
+    import random
+
+    rng = random.Random(204721)
+    base = DOC_PROTO
+    for _ in range(300):
+        s = list(base)
+        op = rng.randrange(3)
+        i = rng.randrange(len(s))
+        if op == 0:
+            del s[i]
+        elif op == 1:
+            s.insert(i, rng.choice("{}=;<>,[]()\"'abz019 ."))
+        else:
+            s[i] = rng.choice("{}=;<>,[]()\"'abz019 .")
+        try:
+            parse_proto_schema("".join(s), "Doc")
+        except (ValueError, NotImplementedError):
+            pass
+
+
+def test_distributed_scan_from_parsed_proto(spark, tmp_path):
+    """The done-criterion's last leg: the Spark scan runs off a schema
+    parsed from .proto text, not a hand dict."""
+    d = str(tmp_path)
+    sch = parse_proto_schema(DOC_PROTO, "Doc")
+    write_protobuf_shard([_rec(i) for i in range(30)], os.path.join(d, "a.pb"), sch)
+    out = read_protobuf(spark, d, sch)
+    rows = {r["doc_id"]: r for r in out.collect()}
+    assert len(rows) == 30
+    assert rows[7]["meta"]["lang"] == "th" and rows[7]["flags"] == [7, 8, 0]
