@@ -18,12 +18,81 @@ task must produce identical salt assignments).
 
 from __future__ import annotations
 
-from typing import Sequence
+from typing import Mapping, Sequence
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["salted_agg", "salted_broadcast_left"]
+__all__ = ["recommend_salt", "salted_agg", "salted_broadcast_left"]
+
+
+def recommend_salt(
+    df: DataFrame,
+    keys: Sequence[str],
+    n_partitions: int | None = None,
+    tolerance: float = 2.0,
+) -> dict:
+    """Turn the key-skew diagnostic (``profile.key_skew_profile``) into
+    the ACTION it implies: the salt factor ``salted_agg`` /
+    ``salted_broadcast_left`` should use, or 1 when plain grouping is
+    fine.
+
+    Cost model: a reducer's fair share of the shuffle is
+    ``total_rows / n_partitions`` (default: the session's
+    ``spark.sql.shuffle.partitions``).  The hottest group stalls its
+    reducer by ``max_group / fair_share``; salting to
+    ``ceil(max_group / (tolerance × fair_share))`` splits it back under
+    ``tolerance`` fair shares (imbalance below ~2× is scheduling noise,
+    not a straggler).  The factor is capped at ``n_partitions`` — more
+    salts than reducers adds phase-2 rows without spreading further.
+
+    Cost of the recommendation itself: the diagnostic's one
+    map-side-combined count per group + a 1-row collect.  Returns
+    ``{"n_salts", "max_group", "fair_share", "hot_share", "n_groups",
+    "total_rows", "reason"}``; pass the whole dict (or its
+    ``n_salts``) straight to ``salted_agg``."""
+    from .profile import key_skew_profile
+
+    if n_partitions is None:
+        n_partitions = int(
+            df.sparkSession.conf.get("spark.sql.shuffle.partitions")
+        )
+    if n_partitions < 1:
+        raise ValueError(f"n_partitions must be >= 1, got {n_partitions}")
+    if tolerance <= 0:
+        raise ValueError(f"tolerance must be positive, got {tolerance}")
+    prof = key_skew_profile(df, keys).collect()[0].asDict()
+    total, max_group = prof["total_rows"], prof["max_group"]
+    if not total:
+        return {"n_salts": 1, "max_group": 0, "fair_share": 0.0,
+                "hot_share": 0.0, "n_groups": 0, "total_rows": 0,
+                "reason": "empty input"}
+    fair = total / n_partitions
+    out = {"max_group": max_group, "fair_share": fair,
+           "hot_share": prof["hot_share"], "n_groups": prof["n_groups"],
+           "total_rows": total}
+    if max_group <= tolerance * fair:
+        out.update(n_salts=1, reason=(
+            f"none needed: max group {max_group} is within {tolerance}x the "
+            f"fair share {fair:.1f} of {n_partitions} partitions"))
+        return out
+    import math
+
+    n_salts = min(n_partitions, math.ceil(max_group / (tolerance * fair)))
+    out.update(n_salts=n_salts, reason=(
+        f"salt {n_salts}x: max group {max_group} is "
+        f"{max_group / fair:.1f} fair shares ({fair:.1f} rows) — splitting "
+        f"under {tolerance}x"))
+    return out
+
+
+def _resolve_salts(n_salts: int | Mapping) -> int:
+    """Accept a plain factor or a ``recommend_salt`` result."""
+    if isinstance(n_salts, Mapping):
+        n_salts = n_salts["n_salts"]
+    if not isinstance(n_salts, int) or n_salts < 1:
+        raise ValueError(f"n_salts must be a positive int, got {n_salts!r}")
+    return n_salts
 
 
 def salted_agg(
@@ -31,7 +100,7 @@ def salted_agg(
     keys: Sequence[str],
     salt_from: str,
     partials: dict[str, tuple[Column, Column]],
-    n_salts: int = 8,
+    n_salts: int | Mapping = 8,
 ) -> DataFrame:
     """Two-phase aggregation with deterministic salting.
 
@@ -43,7 +112,11 @@ def salted_agg(
     The salt comes from ``pmod(hash(salt_from), n_salts)`` — stable
     across retries, spreading any single hot key over ``n_salts``
     reducers in phase 1; phase 2 reduces ``n_salts`` rows per key.
+    ``n_salts`` also accepts a :func:`recommend_salt` result directly
+    (its measured factor is used; 1 degenerates to the plain two-phase
+    grouping).
     """
+    n_salts = _resolve_salts(n_salts)
     salt = F.pmod(F.hash(F.col(salt_from)), F.lit(n_salts)).alias("_salt")
     phase1 = df.groupBy(*keys, salt).agg(
         *[expr.alias(name) for name, (expr, _) in partials.items()]
@@ -58,7 +131,7 @@ def salted_broadcast_left(
     right: DataFrame,
     on: Sequence[str],
     salt_from: str,
-    n_salts: int = 8,
+    n_salts: int | Mapping = 8,
     how: str = "inner",
 ) -> DataFrame:
     """Salted equi-join: left rows get a deterministic salt, right rows
@@ -66,7 +139,9 @@ def salted_broadcast_left(
     (keys..., salt) — a hot left key now lands on ``n_salts`` reducers
     instead of one.  Right-side cost: ×``n_salts`` rows through the
     shuffle (use only when the right side is modest but above the
-    broadcast threshold)."""
+    broadcast threshold).  ``n_salts`` also accepts a
+    :func:`recommend_salt` result."""
+    n_salts = _resolve_salts(n_salts)
     lsalted = left.withColumn("_salt", F.pmod(F.hash(F.col(salt_from)), F.lit(n_salts)))
     rsalted = right.withColumn(
         "_salt", F.explode(F.array(*[F.lit(i) for i in range(n_salts)]))

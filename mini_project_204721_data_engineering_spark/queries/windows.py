@@ -154,18 +154,26 @@ GROUP BY 1, 2
 def salted_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A5 via two-phase salted aggregation (operators/skew.py): identical
     result to the direct groupBy — the oracle proves the salting is
-    semantics-preserving while spreading hot keys over 8 reducers."""
-    from mini_project_204721_data_engineering_spark.operators.skew import salted_agg
+    semantics-preserving.  The factor comes from the measured key-skew
+    profile (``recommend_salt``: one count-per-group diagnostic + a
+    1-row collect), closing the measure→act loop: uniform keys
+    degenerate to the plain two-phase grouping, a planted hot key gets
+    exactly the split its reducer overload implies."""
+    from mini_project_204721_data_engineering_spark.operators.skew import (
+        recommend_salt,
+        salted_agg,
+    )
 
     ev = load_table(spark, sf_dir, "events").select(
         F.col("ts").cast("date").alias("day"), "user_id", "event_type", "event_id"
     )
+    keys = ["day", "user_id", "event_type"]
     return salted_agg(
         ev,
-        keys=["day", "user_id", "event_type"],
+        keys=keys,
         salt_from="event_id",
         partials={"count_of_disasters": (F.count(F.lit(1)), F.sum("count_of_disasters"))},
-        n_salts=8,
+        n_salts=recommend_salt(ev, keys),
     )
 
 

@@ -43,19 +43,51 @@ def test_no_false_negatives_and_exact_semi_join(spark):
     assert exact == oracle == true_hits
 
 
-def test_measured_fpp_within_bound(spark):
+def test_measured_fpp_at_or_under_request(spark):
     """Probe keys fully DISJOINT from the build set: the survivor rate
-    IS the realized fpp.  The split-block construction is looser than
-    the classic bound at the same bits (docstring'd); assert the honest
-    envelope: under 8x the classic-formula target, and under 1%
-    absolute at a 0.1% target."""
+    IS the realized fpp.  Sizing solves the split-block model (not the
+    classic formula this construction exceeds 2-3x), targeting 0.8x the
+    request — so the measured rate must land at-or-under the requested
+    fpp (200k probes: expected ~160 vs the 200 the request allows,
+    >3 sigma of binomial headroom)."""
     build = spark.createDataFrame([(i,) for i in range(20_000)], "k int")
     probe = spark.createDataFrame(
-        [(i,) for i in range(1_000_000, 1_040_000)], "k int"
+        [(i,) for i in range(1_000_000, 1_200_000)], "k int"
     )
     bloom = build_bloom(build, ["k"], fpp=0.001)
-    got = bloom_filter(probe, bloom, ["k"]).count() / 40_000
-    assert got < 0.008, got
+    got = bloom_filter(probe, bloom, ["k"]).count() / 200_000
+    assert got <= 0.001, got
+    # and the sizing is not just "4x everything": within 2.2x classic bits
+    import math
+    classic = (max(64, int(20_000 * -math.log(0.001) / math.log(2) ** 2)) + 63) // 64
+    assert bloom.n_words <= 2.2 * classic
+
+
+def test_sbbf_model_matches_measurement_at_classic_sizing(spark):
+    """The model itself, pinned against reality: force the OLD classic
+    sizing via n_items underspecification and check the measured rate
+    sits near the model's prediction for that word count — the evidence
+    that the sizing correction is the right amount, not a fudge."""
+    from mini_project_204721_data_engineering_spark.operators.bloom import (
+        _sbbf_fpp,
+        _sbbf_n_words,
+    )
+
+    build = spark.createDataFrame([(i,) for i in range(20_000)], "k int")
+    probe = spark.createDataFrame(
+        [(i,) for i in range(1_000_000, 1_200_000)], "k int"
+    )
+    # size for a LOOSE request so the realized rate is measurable, then
+    # compare measurement to the model at the chosen geometry
+    bloom = build_bloom(build, ["k"], fpp=0.02)
+    predicted = _sbbf_fpp(20_000, bloom.n_words)
+    got = bloom_filter(probe, bloom, ["k"]).count() / 200_000
+    assert got == pytest.approx(predicted, rel=0.25), (got, predicted)
+    # monotone sanity: more words -> lower predicted fpp
+    assert _sbbf_fpp(20_000, 2 * bloom.n_words) < predicted
+    # and the search returns the MINIMAL word count clearing the target
+    nw = _sbbf_n_words(20_000, 0.02)
+    assert _sbbf_fpp(20_000, nw) <= 0.8 * 0.02 < _sbbf_fpp(20_000, nw - 1)
 
 
 def test_multi_column_keys(spark):

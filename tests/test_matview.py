@@ -283,6 +283,63 @@ def test_stream_to_log_to_view_composition(spark, tmp_path):
     assert len(_list_versions(spark, view)) == n_view_versions
 
 
+def test_kill_and_restart_mid_stream_view_equals_recompute(spark, tmp_path):
+    """The full lakehouse loop under a crash at the WORST spot: the
+    pipeline dies inside foreachBatch after the fact append but before
+    the view refresh (state torn across the two logs).  Restarting from
+    the SAME checkpoint must (a) not double-land the torn batch (txn
+    watermark), (b) catch the stranded view up, (c) finish the
+    remaining batches — ending with view ≡ from-scratch recompute and
+    exactly-once fact contents."""
+    import os
+
+    from mini_project_204721_data_engineering_spark.sources.snapshots import (
+        snapshot_txn_append,
+    )
+
+    src_files = str(tmp_path / "in")
+    fact, view = str(tmp_path / "fact"), str(tmp_path / "view")
+    os.makedirs(src_files)
+    for i in range(4):
+        _rows(spark, i * 25, (i + 1) * 25).coalesce(1).write.parquet(
+            os.path.join(src_files, f"b{i}")
+        )
+    schema = spark.read.parquet(src_files + "/b0").schema
+    crash_armed = {"armed": True}
+
+    def land(batch_df, batch_id):
+        snapshot_txn_append(batch_df, fact, "pipe", int(batch_id))
+        if int(batch_id) == 2 and crash_armed["armed"]:
+            crash_armed["armed"] = False
+            raise RuntimeError("injected crash between append and refresh")
+        refresh_aggregate_view(spark, fact, view, ["grp"], MEAS)
+
+    chk = str(tmp_path / "chk")
+
+    def run():
+        q = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src_files + "/*")
+            .writeStream.foreachBatch(land)
+            .option("checkpointLocation", chk)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    with pytest.raises(Exception, match="injected crash"):
+        run()
+    # torn state on disk: fact holds the crashed batch, the view doesn't
+    assert _agg_dict(read_snapshot(spark, view)) != _expected(spark, fact)
+
+    run()  # SAME checkpoint: the torn batch replays, then the rest
+    assert _agg_dict(read_snapshot(spark, view)) == _expected(spark, fact)
+    # exactly-once on the fact side: 4 batches = 4 appends, 100 rows
+    assert read_snapshot(spark, fact).count() == 100
+    assert len(_list_versions(spark, fact)) == 4
+
+
 def test_recreated_source_log_triggers_rebuild_even_when_regrown(spark, tmp_path):
     """The nasty case: the source log is dropped and RECREATED, then
     grows PAST the view's cursor version — version arithmetic alone

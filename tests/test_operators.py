@@ -213,6 +213,74 @@ def test_salted_broadcast_left_matches_plain_join(spark):
     assert got == want and len(got) > 0
 
 
+def test_recommend_salt_planted_hot_key_consumed_by_salted_agg(spark):
+    """20% of all rows on ONE key: the recommendation must be exactly
+    the reducer-overload split (ceil(max_group / (tolerance x fair
+    share))), and salted_agg fed the recommendation must equal the
+    plain groupBy — the measure->act loop end to end."""
+    import math
+
+    from mini_project_204721_data_engineering_spark.operators.skew import (
+        recommend_salt,
+        salted_agg,
+    )
+    from pyspark.sql import functions as F
+
+    rows = [(0, i) for i in range(2000)] + [
+        (1 + i % 400, i) for i in range(2000, 10000)
+    ]
+    df = spark.createDataFrame(rows, "k int, id int")
+    rec = recommend_salt(df, ["k"], n_partitions=32)
+    fair = 10_000 / 32
+    assert rec["max_group"] == 2000 and rec["total_rows"] == 10_000
+    assert rec["n_salts"] == math.ceil(2000 / (2.0 * fair)) == 4
+    assert "salt 4x" in rec["reason"]
+    got = {
+        r["k"]: r["n"]
+        for r in salted_agg(
+            df, ["k"], "id",
+            {"n": (F.count(F.lit(1)), F.sum("n"))}, n_salts=rec,
+        ).collect()
+    }
+    plain = {r["k"]: r["count"] for r in df.groupBy("k").count().collect()}
+    assert got == plain
+
+
+def test_recommend_salt_uniform_keys_say_none_needed(spark):
+    from mini_project_204721_data_engineering_spark.operators.skew import (
+        recommend_salt,
+    )
+
+    df = spark.createDataFrame(
+        [(i % 1000, i) for i in range(10_000)], "k int, id int"
+    )
+    rec = recommend_salt(df, ["k"], n_partitions=32)
+    assert rec["n_salts"] == 1 and rec["reason"].startswith("none needed")
+    # empty input: no division by zero, no salting
+    empty = recommend_salt(df.filter("k < 0"), ["k"], n_partitions=32)
+    assert empty["n_salts"] == 1 and empty["reason"] == "empty input"
+
+
+def test_recommend_salt_cap_and_validation(spark):
+    from mini_project_204721_data_engineering_spark.operators.skew import (
+        recommend_salt,
+        salted_agg,
+    )
+    import pytest as _pytest
+
+    one_key = spark.createDataFrame([(7, i) for i in range(500)], "k int, id int")
+    # everything is one group at a tight tolerance: the uncapped split
+    # would be 8 (500 / (0.5 x 125)) — cap at n_partitions, never beyond
+    rec = recommend_salt(one_key, ["k"], n_partitions=4, tolerance=0.5)
+    assert rec["n_salts"] == 4
+    with _pytest.raises(ValueError, match="n_partitions"):
+        recommend_salt(one_key, ["k"], n_partitions=0)
+    with _pytest.raises(ValueError, match="tolerance"):
+        recommend_salt(one_key, ["k"], tolerance=0)
+    with _pytest.raises(ValueError, match="n_salts"):
+        salted_agg(one_key, ["k"], "id", {}, n_salts={"n_salts": 0})
+
+
 def test_events_sessions_handles_ntz_timestamps(spark):
     """r4+ driver data ships events.ts as parquet timestamp[us] with
     isAdjustedToUTC=false, which Spark 4 resolves to TIMESTAMP_NTZ;

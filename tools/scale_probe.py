@@ -71,7 +71,7 @@ def timed(name, fn, out):
 def main() -> None:
     mode = "events"
     args = [a for a in sys.argv[1:]]
-    if args and args[0] in ("events", "docs", "ann", "srp", "cc", "spans", "vocab", "decon", "semdedup", "spatial", "bpe", "hotcell", "radius", "interval", "knn", "merge", "linkage", "sparsesim", "wsample", "pq", "snap", "pagerank", "matview"):
+    if args and args[0] in ("events", "docs", "ann", "srp", "cc", "spans", "vocab", "decon", "semdedup", "spatial", "bpe", "hotcell", "radius", "interval", "knn", "merge", "linkage", "sparsesim", "wsample", "pq", "snap", "snap-manifest", "pagerank", "matview"):
         mode = args.pop(0)
     n = int(args[0]) if args else {
         "events": 10_000_000, "docs": 1_000_000, "ann": 1_000_000,
@@ -80,7 +80,8 @@ def main() -> None:
         "spatial": 1_000_000, "bpe": 200_000, "hotcell": 50_000, "radius": 1_000_000, "interval": 1_000_000,
         "knn": 1_000_000, "merge": 10_000_000, "linkage": 100_000,
         "sparsesim": 10_000, "wsample": 10_000_000, "pq": 1_000_000,
-        "snap": 2_000_000, "pagerank": 2_000_000, "matview": 10_000_000,
+        "snap": 2_000_000, "snap-manifest": 100_000,
+        "pagerank": 2_000_000, "matview": 10_000_000,
     }[mode]
     from mini_project_204721_data_engineering_spark.session import get_spark
 
@@ -98,6 +99,7 @@ def main() -> None:
          "wsample": probe_wsample,
          "pq": probe_pq,
          "snap": probe_snap,
+         "snap-manifest": probe_snap_manifest,
          "pagerank": probe_pagerank,
          "matview": probe_matview}[mode](spark, n, out)
         total = round(sum(r["sec"] for r in out), 3)
@@ -1118,6 +1120,76 @@ def probe_snap(spark, n: int, out: list) -> None:
         shutil.rmtree(d, ignore_errors=True)
 
 
+def probe_snap_manifest(spark, n: int, out: list) -> None:
+    """The 'manifests are O(live files) driver JSON' claim, measured at
+    1e4 and 1e5 file entries: manifest write (the real O_EXCL commit
+    path), tip resolution (version listing + JSON parse), and stats
+    prune for a narrow key range.  File entries are synthetic (nothing
+    scans them — these are driver-metadata timings, the exact surface
+    the claim is about) but flow through the REAL manifest writer,
+    reader, and pruner."""
+    import shutil
+    import tempfile
+    import time as _time
+
+    from mini_project_204721_data_engineering_spark.sources.snapshots import (
+        _list_versions,
+        _prune_files,
+        _read_manifest,
+        _try_write_manifest,
+    )
+
+    d = tempfile.mkdtemp(prefix="snap_manifest_probe_")
+    try:
+        for n_files in (10_000, 100_000):
+            t = f"{d}/t{n_files}"
+            rows_per_file = 1000
+            manifest = {
+                "version": 1, "parent": 0, "ts": _time.time(), "op": "append",
+                "schema": "id bigint,v bigint", "table_id": "probe",
+                "files": [
+                    f"{t}/data/part-{i:06d}.parquet" for i in range(n_files)
+                ],
+                "stats": {
+                    f"{t}/data/part-{i:06d}.parquet": {
+                        "id": [i * rows_per_file, (i + 1) * rows_per_file - 1]
+                    }
+                    for i in range(n_files)
+                },
+                "stats_cols": {"id": "id"},
+                "txn": {}, "meta": {},
+            }
+
+            def write(m=manifest, tt=t):
+                assert _try_write_manifest(spark, tt, 1, m)
+                return n_files
+
+            timed(f"manifest_write_{n_files}_files", write, out)
+
+            def resolve(tt=t):
+                v = _list_versions(spark, tt)[-1]
+                return len(_read_manifest(spark, tt, v)["files"])
+
+            timed(f"tip_resolve_{n_files}_files", resolve, out)
+
+            lo = (n_files // 2) * rows_per_file
+            m_loaded = _read_manifest(spark, t, 1)
+
+            def prune(m=m_loaded, lo=lo):
+                kept = _prune_files(m, {"id": (lo, lo + 5 * rows_per_file)})
+                assert len(kept) == 6, len(kept)
+                return len(kept)
+
+            timed(f"stats_prune_{n_files}_files", prune, out)
+            import os as _os
+
+            size = _os.path.getsize(f"{t}/_manifests/v{1:010d}.json")
+            print(json.dumps({"probe": f"manifest_bytes_{n_files}_files",
+                              "bytes": size}), flush=True)
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
 def probe_pagerank(spark, n: int, out: list) -> None:
     """PageRank power iteration at link-graph scale: n edges over n/10
     vertices (Zipf-ish in-degree via modular hashing, ~1% dangling).
@@ -1208,6 +1280,36 @@ def probe_matview(spark, n: int, out: list) -> None:
         print(json.dumps({"probe": "refresh_speedup",
                           "full_over_incremental": round(b / a, 2) if a else None}),
               flush=True)
+
+        # non-append window: a one-key CoW delete rewrites 1 of ~32
+        # source files; the confined refresh must read the delta files,
+        # never the source (cost ∝ rewritten files + view size)
+        from mini_project_204721_data_engineering_spark.sources.snapshots import (
+            snapshot_delete_where,
+        )
+
+        n_src_files = len(read_snapshot(spark, src).inputFiles())
+        snapshot_delete_where(spark, src, f"id = {n // 2}")
+
+        def confined():
+            m = refresh_aggregate_view(spark, src, view, ["grp"], meas)
+            assert m["meta"]["refresh_mode"] == "delta-confined", m["meta"]
+            return m["meta"]["src_files_read"]
+
+        c = timed("confined_refresh_one_file_delete", confined, out)
+
+        def full2():
+            v3 = d + "/view_rebuild2"
+            m = refresh_aggregate_view(spark, src, v3, ["grp"], meas)
+            shutil.rmtree(v3, ignore_errors=True)
+            return m["meta"]["src_files_read"]
+
+        b2 = timed("full_rebuild_after_delete", full2, out)
+        print(json.dumps({
+            "probe": "confined_refresh_speedup",
+            "src_files_total": n_src_files,
+            "full_over_confined": round(b2 / c, 2) if c else None,
+        }), flush=True)
     finally:
         shutil.rmtree(d, ignore_errors=True)
 
