@@ -83,6 +83,9 @@ def pagerank(
     )
     n_v = vertices.count()
     if n_v == 0:
+        if stats is not None:  # converged vacuously: zero movement
+            stats["iterations"] = 0
+            stats["last_delta"] = 0.0 if tol is not None else None
         return vertices.select("id", F.lit(0.0).alias("rank"))
     out_deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("__deg"))
     # per-edge share of its source's rank, materialized once
@@ -135,12 +138,15 @@ def pagerank(
         iterations = i + 1
         if tol is not None and (iterations % check_every == 0 or iterations == n_iter):
             # both sides are checkpointed id-keyed tables; the join is
-            # vertex-sized and the result a single driver row
-            last_delta = (
+            # vertex-sized and the result a single driver row.  sum()
+            # over zero vertices is NULL — an empty graph has moved by
+            # exactly 0.0, not by "incomparable with tol"
+            d = (
                 ranks.join(prev.withColumnRenamed("rank", "__prev"), "id")
                 .agg(F.sum(F.abs(F.col("rank") - F.col("__prev"))).alias("d"))
                 .collect()[0]["d"]
             )
+            last_delta = 0.0 if d is None else d
             if last_delta < tol:
                 break
     if stats is not None:

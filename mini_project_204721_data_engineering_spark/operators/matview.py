@@ -215,9 +215,11 @@ def _confined_refresh(
         removed, added, info = snap.snapshot_file_changes(
             spark, source_dir, cursor, src_tip
         )
-    except Exception:
-        # cursor manifest expired from the log (or unreadable): the
-        # file-confined evidence is gone — rebuild is the honest answer
+    except ValueError:
+        # cursor manifest expired from the log: the file-confined
+        # evidence is gone — rebuild is the honest answer.  ONLY the
+        # expiry signal is caught; a programming error or FS fault must
+        # surface, not silently demote every refresh to O(source)
         return rebuild()
     if info["from_schema"] != info["to_schema"]:
         # overwrite / non-additive evolution in the window: the two
@@ -226,11 +228,11 @@ def _confined_refresh(
     if removed is None and added is None:
         # data-identical window (e.g. restore bouncing back): advance only
         return _advance_cursor(spark, view_dir, src_tip, src_table_id)
-    ops = [op for op in info["ops"] if op is not None]
-    if len(ops) == len(info["ops"]) and all(op == "compact" for op in ops):
+    if info["all_compact"]:
         # pure compaction re-binpacks identical rows — feeding them
         # through maintenance would net zero at rewritten-bytes cost;
-        # skip the bytes outright
+        # skip the bytes outright (all_compact None = expired evidence:
+        # fall through to the feed, which is correct regardless of ops)
         return _advance_cursor(spark, view_dir, src_tip, src_table_id)
 
     def feed_half(df: DataFrame, op: str) -> DataFrame:

@@ -389,8 +389,17 @@ class _ProtoParser:
     """Single-file .proto text → {field_number: (name, type, opts)}."""
 
     def __init__(self, text: str):
-        text = re.sub(r"//[^\n]*", " ", text)
-        stripped = re.sub(r"/\*.*?\*/", " ", text, flags=re.S)
+        # strip comments WITHOUT corrupting string literals: '//' inside
+        # a quoted string (option go_package = "example.com//gen") is
+        # content, not a comment — match strings first and keep them
+        def _keep_or_blank(m: "re.Match") -> str:
+            return m.group(1) if m.group(1) is not None else " "
+
+        stripped = re.sub(
+            r"(\"(?:[^\"\\\n]|\\.)*\"|'(?:[^'\\\n]|\\.)*')"  # string: keep
+            r"|//[^\n]*|/\*.*?\*/",                          # comment: blank
+            _keep_or_blank, text, flags=re.S,
+        )
         if "/*" in stripped:
             raise ValueError("unterminated /* comment in .proto")
         self.toks = _PROTO_TOKEN.findall(stripped)
@@ -400,11 +409,19 @@ class _ProtoParser:
     def peek(self) -> str | None:
         return self.toks[self.pos] if self.pos < len(self.toks) else None
 
-    def next(self) -> str:
+    def next(self, raw: bool = False) -> str:
+        """``raw=True`` (the skip paths) accepts ANY token — aggregate
+        option values like ``{ foo: 1 }`` legitimately contain ':' and
+        other punctuation this grammar never binds meaning to."""
         t = self.peek()
         if t is None:
             raise ValueError("unexpected end of .proto text")
-        if len(t) == 1 and not (t.isalnum() or t == "_") and t not in "{}=;<>,[]()":
+        if (
+            not raw
+            and len(t) == 1
+            and not (t.isalnum() or t == "_")
+            and t not in "{}=;<>,[]()"
+        ):
             raise ValueError(f"unexpected character {t!r} in .proto")
         self.pos += 1
         return t
@@ -418,7 +435,7 @@ class _ProtoParser:
     def _skip_to_semicolon(self) -> None:
         depth = 0
         while True:
-            t = self.next()
+            t = self.next(raw=True)
             if t in "{(":
                 depth += 1
             elif t in "})":
@@ -430,7 +447,7 @@ class _ProtoParser:
         self.expect("{")
         depth = 1
         while depth:
-            t = self.next()
+            t = self.next(raw=True)
             if t == "{":
                 depth += 1
             elif t == "}":
@@ -504,7 +521,7 @@ class _ProtoParser:
         self.expect("[")
         depth = 1
         while depth:
-            t = self.next()
+            t = self.next(raw=True)
             if t == "[":
                 depth += 1
             elif t == "]":
@@ -560,10 +577,12 @@ class _ProtoParser:
 
     def parse_field(self, label_allowed: bool) -> dict:
         repeated = False
+        label = None
         t = self.peek()
         if t in ("repeated", "optional", "required"):
             if not label_allowed:
                 raise ValueError(f"label {t!r} not allowed inside oneof")
+            label = t
             repeated = t == "repeated"
             self.next()
             t = self.peek()
@@ -572,6 +591,11 @@ class _ProtoParser:
                 "proto2 groups (wire types 3/4) are not supported"
             )
         if t == "map":
+            if label is not None:
+                raise ValueError(
+                    f"{label!r} is not allowed on map fields (a map is "
+                    "already a repeated entry message)"
+                )
             self.next()
             self.expect("<")
             ktype = self.next()
@@ -596,9 +620,13 @@ class _ProtoParser:
 
 
 def _resolve_type_name(name: str, scopes: list[dict]) -> object:
-    """Protobuf scoping: innermost scope outward; a leading '.' anchors
-    at the root.  Dotted paths walk nested messages.  Returns the
-    message node or the marker string "enum"."""
+    """Protobuf scoping (the protoc C++ rule): the FIRST path component
+    is resolved innermost scope outward, and that binding is final — if
+    the remaining components fail under it, resolution FAILS rather
+    than backtracking to an outer scope (backtracking would silently
+    accept files protoc rejects, binding to a different type).  A
+    leading '.' anchors at the root.  Returns the message node or the
+    marker string "enum"."""
     if name.startswith("."):
         paths: list[list[dict]] = [scopes[:1]]
         name = name[1:]
@@ -610,14 +638,16 @@ def _resolve_type_name(name: str, scopes: list[dict]) -> object:
         node: object = table.get(parts[0])
         if node is None:
             continue
-        ok = True
         for p in parts[1:]:
             if node == "enum" or p not in node["nested"]:
-                ok = False
-                break
+                raise ValueError(
+                    f"unresolved type name {name!r} in .proto: "
+                    f"{parts[0]!r} binds in an enclosing scope but has no "
+                    f"nested {p!r} (protobuf does not backtrack past the "
+                    "first matching component)"
+                )
             node = node["nested"][p]
-        if ok:
-            return node
+        return node
     raise ValueError(f"unresolved type name {name!r} in .proto")
 
 
@@ -707,13 +737,16 @@ def parse_proto_schema(
                 " top-level messages"
             )
         node = next(iter(messages.values()))
+        enclosing = [root_node]
     else:
         node = root_node
+        enclosing = []
         for part in message.split("."):
+            enclosing.append(node)
             if not isinstance(node["nested"].get(part), dict):
                 raise ValueError(f"message {message!r} not found in .proto")
             node = node["nested"][part]
-    contract = _message_to_contract(node, [root_node], ())
+    contract = _message_to_contract(node, enclosing, ())
     _norm_schema(contract)  # final validation through the reader's own gate
     return contract
 

@@ -934,18 +934,22 @@ def snapshot_file_changes(
     Either side is None when its file set is empty.  Both sides read
     with their OWN version's pinned manifest schema (what those files
     meant in that snapshot).  ``info`` carries the file lists, both
-    schemas, and — when every intermediate manifest is still in the log
-    — the window's commit ops (``info["ops"]``; None entries where a
-    manifest was expired): consumers like the matview refresher use the
-    ops to recognize data-identical windows (pure compaction) without
-    reading any bytes."""
+    schemas, and ``info["all_compact"]`` — True when every commit in
+    the window was a compaction (the window is data-identical: skip the
+    bytes outright), False as soon as one wasn't, None when an expired
+    intermediate manifest makes the question unanswerable (the file
+    delta itself stays valid either way).  The op scan is lazy with
+    early exit — a non-compaction first commit costs ONE extra manifest
+    read regardless of window length, keeping the whole call at
+    endpoint-manifests cost for ordinary windows."""
     versions = _list_versions(spark, table_dir)
     if not versions:
         raise ValueError(f"no snapshots at {table_dir}")
     if to_version is None:
         to_version = versions[-1]
+    version_set = set(versions)
     for v in (from_version, to_version):
-        if v not in versions:
+        if v not in version_set:
             raise ValueError(f"version {v} not in log (have {versions[:5]}...)")
     if from_version > to_version:
         raise ValueError(
@@ -957,10 +961,18 @@ def snapshot_file_changes(
     new_files = set(new_m["files"])
     removed = [f for f in old_m["files"] if f not in new_files]
     added = [f for f in new_m["files"] if f not in old_files]
-    ops: list[str | None] = [
-        (_read_manifest(spark, table_dir, v)["op"] if v in versions else None)
-        for v in range(from_version + 1, to_version + 1)
-    ]
+    all_compact: bool | None = True
+    for v in range(from_version + 1, to_version + 1):
+        if v not in version_set:
+            all_compact = None  # expired evidence: unknowable
+            break
+        op = (
+            new_m["op"] if v == to_version
+            else _read_manifest(spark, table_dir, v)["op"]
+        )
+        if op != "compact":
+            all_compact = False
+            break
     from pyspark.sql.types import _parse_datatype_string
 
     def _read(files: list[str], ddl: str) -> DataFrame | None:
@@ -973,7 +985,7 @@ def snapshot_file_changes(
         "to_version": to_version,
         "removed_files": removed,
         "added_files": added,
-        "ops": ops,
+        "all_compact": all_compact,
         "from_schema": old_m["schema"],
         "to_schema": new_m["schema"],
     }

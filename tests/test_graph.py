@@ -110,6 +110,16 @@ def test_uniform_cycle_converges_at_first_check(spark):
         assert got[v] == pytest.approx(1.0, rel=1e-12)
 
 
+def test_empty_edges_with_tol_returns_empty_not_crash(spark):
+    # the zero-vertex early return must still report stats (vacuous
+    # convergence), and the delta path must never compare None < tol
+    df = spark.createDataFrame([], "src long, dst long")
+    stats: dict = {}
+    got = pagerank(df, tol=1e-6, check_every=1, n_iter=5, stats=stats).collect()
+    assert got == []
+    assert stats == {"iterations": 0, "last_delta": 0.0}
+
+
 def test_no_tol_reports_iterations_but_no_delta(spark):
     stats: dict = {}
     df = spark.createDataFrame([(1, 2), (2, 1)], "src long, dst long")

@@ -158,6 +158,30 @@ def test_pure_compaction_window_advances_cursor_without_reading_bytes(spark, tmp
     assert _agg_dict(read_snapshot(spark, view)) == _expected(spark, src)
 
 
+def test_unexpected_error_in_file_changes_surfaces_not_rebuilds(spark, tmp_path):
+    """Only the expired-evidence ValueError may demote a refresh to the
+    full rebuild; a programming error / FS fault must SURFACE — a bare
+    except here would silently turn every refresh O(source) forever."""
+    import mini_project_204721_data_engineering_spark.operators.matview as mv
+
+    src, view = str(tmp_path / "src"), str(tmp_path / "view")
+    snapshot_append(_rows(spark, 0, 30).repartition(1), src)
+    refresh_aggregate_view(spark, src, view, ["grp"], MEAS)
+    snapshot_delete_where(spark, src, "id = 5")
+
+    def boom(*a, **kw):
+        raise TypeError("injected programming error")
+
+    with pytest.MonkeyPatch.context() as mp:
+        mp.setattr(mv.snap, "snapshot_file_changes", boom)
+        with pytest.raises(TypeError, match="injected"):
+            refresh_aggregate_view(spark, src, view, ["grp"], MEAS)
+    # and the un-patched refresh still completes confined
+    m = refresh_aggregate_view(spark, src, view, ["grp"], MEAS)
+    assert m["meta"]["refresh_mode"] == "delta-confined"
+    assert _agg_dict(read_snapshot(spark, view)) == _expected(spark, src)
+
+
 def test_schema_changed_window_falls_back_to_rebuild(spark, tmp_path):
     src, view = str(tmp_path / "src"), str(tmp_path / "view")
     snapshot_append(_rows(spark, 0, 30).repartition(1), src)

@@ -244,6 +244,59 @@ def test_proto_refusals_are_loud(bad, exc, msg):
         parse_proto_schema(bad)
 
 
+def test_proto_string_literals_survive_comment_stripping():
+    """'//' inside a quoted option value is content, not a comment — a
+    protoc-valid go_package URL must not corrupt the parse."""
+    text = """
+    syntax = "proto3";
+    option go_package = "example.com//gen;genpb";
+    message M { int64 x = 1; /* block */ string u = 2; // line
+    }
+    """
+    assert parse_proto_schema(text, "M") == {1: ("x", "int64"), 2: ("u", "string")}
+
+
+def test_proto_aggregate_option_values_skipped():
+    """Aggregate option syntax ('{ foo: 1 }', protoc-gen-validate-style
+    field options) contains ':' — the skip paths must accept any token."""
+    text = """
+    syntax = "proto3";
+    option (my_opt) = { foo: 1 bar: "x//y" };
+    message M {
+      int64 x = 1 [(validate.rules).int64 = {gt: 0, lt: 100}];
+    }
+    """
+    assert parse_proto_schema(text, "M") == {1: ("x", "int64")}
+
+
+def test_proto_repeated_map_refused():
+    with pytest.raises(ValueError, match="not allowed on map fields"):
+        parse_proto_schema("message M { repeated map<string, int64> m = 1; }")
+
+
+def test_proto_no_backtracking_past_first_component():
+    """protoc's rule: once the first path component binds in a scope,
+    resolution is final — 'A.B' where the inner A shadows an outer A
+    that has B must REFUSE (protoc rejects this file), not silently
+    bind the outer type."""
+    text = """
+    message A { message B { int64 x = 1; } }
+    message Outer {
+      message A { int64 y = 1; }
+      message Host { A.B f = 1; }
+    }
+    """
+    with pytest.raises(ValueError, match="does not backtrack"):
+        parse_proto_schema(text, "Outer.Host")
+    # the unshadowed form resolves fine from the same depth
+    ok = """
+    message A { message B { int64 x = 1; } }
+    message Outer { message Host { A.B f = 1; } }
+    """
+    sch = parse_proto_schema(ok, "Outer.Host")
+    assert sch == {1: ("f", "message", {"schema": {1: ("x", "int64")}})}
+
+
 def test_proto_fuzz_never_wrong_exception():
     """Random single-edit mutations of a valid .proto either still parse
     or raise ValueError/NotImplementedError — never an unhandled

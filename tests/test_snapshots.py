@@ -537,7 +537,7 @@ def test_file_changes_confined_to_rewritten_files(spark, tmp_path):
     snapshot_delete_where(spark, t, "id = 55")  # v11 rewrites 1 of 10 files
     removed, added, info = snapshot_file_changes(spark, t, 10, 11)
     assert len(info["removed_files"]) == 1 and len(info["added_files"]) == 1
-    assert info["ops"] == ["delete"]
+    assert info["all_compact"] is False
     assert _ids(removed) == set(range(50, 60))
     assert _ids(added) == set(range(50, 60)) - {55}
     d = snapshot_changes(spark, t, ["id"], 10, 11)
@@ -548,6 +548,36 @@ def test_file_changes_confined_to_rewritten_files(spark, tmp_path):
     # the full (audit) form still reports every untouched key
     audit = snapshot_changes(spark, t, ["id"], 10, 11, confined=False)
     assert audit.filter("diff_status = 'unchanged'").count() == 99
+
+
+def test_file_changes_reads_endpoint_manifests_plus_early_exit(spark, tmp_path):
+    """The driver-cost contract: a 20-commit window whose FIRST commit
+    is not a compaction reads the two endpoint manifests + ONE
+    intermediate (early exit), never the whole window; an all-compact
+    probe is answered without reading data bytes."""
+    import mini_project_204721_data_engineering_spark.sources.snapshots as snap
+
+    from mini_project_204721_data_engineering_spark.sources.snapshots import (
+        snapshot_file_changes,
+    )
+
+    t = str(tmp_path / "t")
+    for i in range(21):
+        snapshot_append(_df(spark, i * 5, (i + 1) * 5, "a").repartition(1), t)
+
+    real = snap._read_manifest
+    calls = []
+
+    def counting(spark_, table_dir, version):
+        calls.append(version)
+        return real(spark_, table_dir, version)
+
+    with pytest.MonkeyPatch.context() as mp:
+        mp.setattr(snap, "_read_manifest", counting)
+        _, _, info = snapshot_file_changes(spark, t, 1, 21)
+    assert info["all_compact"] is False
+    # endpoints (1, 21) + the first intermediate (2) — NOT all 20
+    assert sorted(calls) == [1, 2, 21]
 
 
 def test_file_changes_window_validation(spark, tmp_path):
@@ -564,11 +594,11 @@ def test_file_changes_window_validation(spark, tmp_path):
         snapshot_file_changes(spark, t, 2, 1)
     # identical window: both sides None
     removed, added, info = snapshot_file_changes(spark, t, 2, 2)
-    assert removed is None and added is None and info["ops"] == []
+    assert removed is None and added is None and info["all_compact"] is True
     # pure append window: removed None, added holds exactly the new rows
     removed, added, info = snapshot_file_changes(spark, t, 1, 2)
     assert removed is None and _ids(added) == {5, 6, 7, 8}
-    assert info["ops"] == ["append"]
+    assert info["all_compact"] is False
 
 
 def test_truly_concurrent_appenders_lose_nothing(spark, tmp_path):
