@@ -2550,6 +2550,225 @@ GROUP BY o_orderpriority
 """
 
 
+def q14_promo_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 shape (EXTRA): promotion revenue share — conditional
+    aggregation over a dim-attribute predicate inside ONE fact pass
+    (sum(CASE WHEN promo)/sum(all)), date filter pushed to the scan,
+    part dim broadcast.  Money sums in exact integer cents so the share
+    division starts from bit-identical doubles on both engines; the
+    final percent through portable_round."""
+    from mini_project_204721_data_engineering_spark.functions.parity import portable_round
+
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    cents = F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100).cast("long")
+    row = (
+        li.filter(
+            (F.col("l_shipdate").cast("date") >= F.lit("1996-01-01"))
+            & (F.col("l_shipdate").cast("date") < F.lit("1996-04-01"))
+        )
+        .join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .agg(
+            F.sum(F.when(F.col("p_type") == "PROMO", cents).otherwise(F.lit(0))).alias("promo_cents"),
+            F.sum(cents).alias("total_cents"),
+        )
+    )
+    return row.select(
+        "promo_cents",
+        "total_cents",
+        portable_round(
+            F.lit(100.0) * F.col("promo_cents") / F.col("total_cents"), 4
+        ).alias("promo_share_pct"),
+    )
+
+
+Q14_PROMO_REVENUE_SQL = """
+WITH agg AS (
+  SELECT
+    CAST(sum(CASE WHEN p_type = 'PROMO'
+             THEN CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)
+             ELSE 0 END) AS BIGINT) AS promo_cents,
+    CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) AS BIGINT) AS total_cents
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+  WHERE CAST(l_shipdate AS DATE) >= DATE '1996-01-01'
+    AND CAST(l_shipdate AS DATE) < DATE '1996-04-01'
+)
+SELECT promo_cents, total_cents,
+       round(100.0 * promo_cents / total_cents * 10000.0) / 10000.0 AS promo_share_pct
+FROM agg
+"""
+
+
+def q15_top_revenue_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 shape (EXTRA): the supplier(s) with MAX revenue over a
+    quarter, ties kept — global-max-as-scalar against a grouped
+    aggregate.  Revenue in exact integer cents makes the tie comparison
+    exact on both engines; the max is a 1-row broadcast cross-join, so
+    the fact table shuffles once (the supplier agg) and never sorts."""
+    li = load_table(spark, sf_dir, "lineitem")
+    supp = load_table(spark, sf_dir, "supplier")
+    cents = F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100).cast("long")
+    rev = (
+        li.filter(
+            (F.col("l_shipdate").cast("date") >= F.lit("1996-01-01"))
+            & (F.col("l_shipdate").cast("date") < F.lit("1996-04-01"))
+        )
+        .groupBy("l_suppkey")
+        .agg(F.sum(cents).alias("rev_cents"))
+    )
+    top = rev.agg(F.max("rev_cents").alias("max_cents"))
+    return (
+        rev.crossJoin(F.broadcast(top))
+        .filter(F.col("rev_cents") == F.col("max_cents"))
+        .join(F.broadcast(supp), F.col("l_suppkey") == supp.s_suppkey)
+        .select(
+            F.col("l_suppkey").alias("s_suppkey"),
+            "s_name",
+            (F.col("rev_cents") / F.lit(100.0)).alias("total_revenue"),
+        )
+        .orderBy("s_suppkey")
+    )
+
+
+Q15_TOP_SUPPLIER_SQL = """
+WITH rev AS (
+  SELECT l_suppkey,
+         CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) AS BIGINT) AS rev_cents
+  FROM lineitem
+  WHERE CAST(l_shipdate AS DATE) >= DATE '1996-01-01'
+    AND CAST(l_shipdate AS DATE) < DATE '1996-04-01'
+  GROUP BY l_suppkey
+)
+SELECT l_suppkey AS s_suppkey, s_name, rev_cents / 100.0 AS total_revenue
+FROM rev JOIN supplier ON l_suppkey = s_suppkey
+WHERE rev_cents = (SELECT max(rev_cents) FROM rev)
+ORDER BY s_suppkey
+"""
+
+
+def q13_customer_order_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 shape (EXTRA): two-level aggregation — orders per
+    customer INCLUDING zero-order customers (left join with an extra
+    join-side predicate, count of the nullable key), then the
+    distribution of those counts.  The second groupBy's input is
+    |customers|-sized; the histogram is tiny."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    per_cust = (
+        cust.join(
+            orders,
+            (cust.c_custkey == orders.o_custkey)
+            & (orders.o_orderpriority != "1-URGENT"),
+            "left",
+        )
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return (
+        per_cust.groupBy("c_count")
+        .agg(F.count(F.lit(1)).alias("custdist"))
+        .orderBy(F.col("custdist").desc(), F.col("c_count").desc())
+    )
+
+
+Q13_CUSTOMER_DISTRIBUTION_SQL = """
+WITH per_cust AS (
+  SELECT c_custkey, count(o_orderkey) AS c_count
+  FROM customer LEFT JOIN orders
+    ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+  GROUP BY c_custkey
+)
+SELECT c_count, count(*) AS custdist
+FROM per_cust
+GROUP BY c_count
+ORDER BY custdist DESC, c_count DESC
+"""
+
+
+def important_parts_by_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape (EXTRA): groups exceeding a GLOBAL-aggregate
+    threshold — shipped value per part kept when above 1.2× the average
+    part value (the classic fraction-of-total is SF-dependent; the
+    avg-relative form keeps the scalar-subquery shape portable across
+    scale).  Exact cents make the boundary comparison engine-stable;
+    the global row broadcasts, the fact shuffles once."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    cents = F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100).cast("long")
+    pv = li.groupBy("l_partkey").agg(F.sum(cents).alias("v_cents"))
+    glob = pv.agg(
+        F.sum("v_cents").alias("t_cents"), F.count(F.lit(1)).alias("n_parts")
+    )
+    return (
+        pv.crossJoin(F.broadcast(glob))
+        .filter(F.col("v_cents") > F.lit(1.2) * F.col("t_cents") / F.col("n_parts"))
+        .join(F.broadcast(part), F.col("l_partkey") == part.p_partkey)
+        .select(
+            F.col("l_partkey").alias("p_partkey"),
+            "p_name",
+            (F.col("v_cents") / F.lit(100.0)).alias("part_value"),
+        )
+        .orderBy(F.col("part_value").desc(), F.col("p_partkey"))
+    )
+
+
+IMPORTANT_PARTS_SQL = """
+WITH pv AS (
+  SELECT l_partkey,
+         CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) AS BIGINT) AS v_cents
+  FROM lineitem GROUP BY l_partkey
+),
+tot AS (SELECT CAST(sum(v_cents) AS BIGINT) AS t_cents,
+               CAST(count(*) AS BIGINT) AS n_parts FROM pv)
+SELECT l_partkey AS p_partkey, p_name, v_cents / 100.0 AS part_value
+FROM pv CROSS JOIN tot
+JOIN part ON l_partkey = p_partkey
+WHERE v_cents > 1.2 * t_cents / n_parts
+ORDER BY part_value DESC, p_partkey
+"""
+
+
+def dominant_part_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20-flavored shape (EXTRA): (part, supplier) pairs whose
+    shipped quantity exceeds 3× the part's FAIR per-supplier share —
+    dominant-supplier detection.  The per-part totals re-aggregate the
+    (part, supplier) partials (|pairs|-sized, not |lineitem|), so the
+    fact scans once and shuffles once; quantities are integral doubles,
+    exact under summation on both engines."""
+    from mini_project_204721_data_engineering_spark.functions.parity import portable_round
+
+    li = load_table(spark, sf_dir, "lineitem")
+    ps = li.groupBy("l_partkey", "l_suppkey").agg(F.sum("l_quantity").alias("q"))
+    pt = ps.groupBy("l_partkey").agg(
+        F.sum("q").alias("tq"), F.count(F.lit(1)).alias("ns")
+    )
+    return (
+        ps.join(pt, "l_partkey")
+        .filter(F.col("q") > F.lit(3.0) * F.col("tq") / F.col("ns"))
+        .select(
+            F.col("l_partkey").alias("p_partkey"),
+            F.col("l_suppkey").alias("s_suppkey"),
+            F.col("q").alias("supplier_qty"),
+            portable_round(F.col("q") / F.col("tq"), 4).alias("qty_share"),
+        )
+        .orderBy("p_partkey", "s_suppkey")
+    )
+
+
+DOMINANT_PART_SUPPLIERS_SQL = """
+WITH ps AS (
+  SELECT l_partkey, l_suppkey, sum(l_quantity) AS q
+  FROM lineitem GROUP BY l_partkey, l_suppkey
+),
+pt AS (SELECT l_partkey, sum(q) AS tq, count(*) AS ns FROM ps GROUP BY l_partkey)
+SELECT ps.l_partkey AS p_partkey, l_suppkey AS s_suppkey, q AS supplier_qty,
+       round(q / tq * 10000.0) / 10000.0 AS qty_share
+FROM ps JOIN pt ON ps.l_partkey = pt.l_partkey
+WHERE q > 3.0 * tq / ns
+ORDER BY 1, 2
+"""
+
+
 EXTRA_QUERIES = {
     "user_golden_profile": user_golden_profile,
     "revenue_maintenance": revenue_maintenance,
@@ -2588,6 +2807,11 @@ EXTRA_QUERIES = {
     "cheapest_supplier_per_part": cheapest_supplier_per_part,
     "orders_above_cust_avg": orders_above_cust_avg,
     "events_unpivot_roundtrip": events_unpivot_roundtrip,
+    "q14_promo_revenue_share": q14_promo_revenue_share,
+    "q15_top_revenue_suppliers": q15_top_revenue_suppliers,
+    "q13_customer_order_distribution": q13_customer_order_distribution,
+    "important_parts_by_value": important_parts_by_value,
+    "dominant_part_suppliers": dominant_part_suppliers,
 }
 
 EXTRA_ORACLES = {
@@ -2628,4 +2852,9 @@ EXTRA_ORACLES = {
     "cheapest_supplier_per_part": CHEAPEST_SUPPLIER_PER_PART_SQL,
     "orders_above_cust_avg": ORDERS_ABOVE_CUST_AVG_SQL,
     "events_unpivot_roundtrip": EVENTS_UNPIVOT_ROUNDTRIP_SQL,
+    "q14_promo_revenue_share": Q14_PROMO_REVENUE_SQL,
+    "q15_top_revenue_suppliers": Q15_TOP_SUPPLIER_SQL,
+    "q13_customer_order_distribution": Q13_CUSTOMER_DISTRIBUTION_SQL,
+    "important_parts_by_value": IMPORTANT_PARTS_SQL,
+    "dominant_part_suppliers": DOMINANT_PART_SUPPLIERS_SQL,
 }
