@@ -1,0 +1,156 @@
+"""Exact heavy hitters at bounded shuffle — Misra-Gries candidate
+generation + exact recount.
+
+The plain way to answer "every key with ≥ θ share of the table" is
+``GROUP BY key HAVING count >= θ·N``: correct, but the shuffle carries
+ONE group per distinct key — at 100 TB with URL/n-gram-grade
+cardinality (1e9+ distinct) that is the dominant cost even though the
+answer has at most 1/θ rows.
+
+This operator bounds the shuffle by the ANSWER size, not the key
+cardinality, with the classic two-phase sketch-then-verify shape:
+
+1. **Candidates** — each input partition runs a Misra-Gries summary of
+   ``summary_size`` (m) entries over the key columns only (column-
+   pruned scan; Arrow-batched ``mapInPandas``, dict state bounded by m
+   regardless of partition size).  MG's guarantee (Misra & Gries 1982,
+   the ``frequent`` algorithm): a key's undercount is at most
+   N_p/(m+1), so every key with partition-local count > N_p/(m+1)
+   survives its partition's summary.  By pigeonhole a key with GLOBAL
+   count ≥ Σ N_p/(m+1) exceeds that bound in at least one partition —
+   so with ``m + 1 ≥ 1/θ`` the candidate union contains EVERY key with
+   share ≥ θ (completeness theorem, adversarially pytest-pinned).
+   Candidate volume ≤ m × partitions — summary-sized, never
+   cardinality-sized.  The summaries are localCheckpoint-ed (m × P
+   rows), so the sketch pass runs ONCE even though both N and the
+   candidate set derive from it.
+2. **Exact recount** — the fact table semi-joins the broadcast
+   candidates and only surviving rows reach the count shuffle; the
+   final filter ``count ≥ θ·N`` makes the OUTPUT exact — identical to
+   the plain GROUP BY / HAVING (oracle-checked by the
+   ``heavy_hitter_users`` EXTRA), with N taken exactly from the
+   phase-1 per-partition totals (no third scan).
+
+Rows with a NULL in any key column are ignored entirely — excluded
+from N and from candidacy (``fillna`` a sentinel upstream if the null
+group matters); this keeps the sketch free of pandas NaN-key hashing
+hazards and mirrors equi-join key discipline.
+
+Cost: two scans of the fact (sketch + verify) vs one scan + a
+cardinality-sized shuffle for the plain form — the standard trade, and
+the winning one wherever distinct keys ≫ m × partitions.  The default
+``summary_size`` is ``ceil(2/θ)``: twice the completeness bound, so
+borderline keys never hinge on the theorem's edge.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+__all__ = ["heavy_hitters"]
+
+
+def _mg_merge(state: dict, batch_counts: dict, m: int) -> None:
+    """Weighted Misra-Gries update: fold a batch's (key → count) into
+    the m-entry summary.  When the dict overflows, subtract the
+    (m+1)-th largest value from every entry and drop the non-positive —
+    one decrement event charges ≥ (m+1)·d of total weight, so the
+    cumulative undercount stays ≤ N_p/(m+1)."""
+    for key, cnt in batch_counts.items():
+        state[key] = state.get(key, 0) + int(cnt)
+    if len(state) > m:
+        vals = sorted(state.values(), reverse=True)
+        d = vals[m]  # (m+1)-th largest
+        for key in list(state):
+            rem = state[key] - d
+            if rem > 0:
+                state[key] = rem
+            else:
+                del state[key]
+
+
+def heavy_hitters(
+    df: DataFrame,
+    keys: Sequence[str],
+    threshold: float,
+    summary_size: int | None = None,
+    count_col: str = "n",
+) -> DataFrame:
+    """EXACT counts of every key combination whose share of the
+    non-null-key rows is ``>= threshold`` — output identical to the
+    plain ``GROUP BY / HAVING count >= threshold * N`` while only
+    candidate rows (≤ summary_size × partitions keys) ever reach the
+    count shuffle.  Raises when ``summary_size`` is too small for the
+    completeness theorem (``summary_size + 1 < 1/θ`` could drop a
+    qualifying key).  See the module docstring for the guarantee and
+    the null-key contract."""
+    keys = list(keys)
+    if not keys:
+        raise ValueError("keys must be non-empty")
+    if not 0 < threshold < 1:
+        raise ValueError(f"threshold must be in (0, 1), got {threshold}")
+    m = summary_size if summary_size is not None else math.ceil(2.0 / threshold)
+    if m + 1 < 1.0 / threshold:
+        raise ValueError(
+            f"summary_size={m} cannot guarantee completeness at "
+            f"threshold={threshold}: need summary_size + 1 >= 1/threshold "
+            f"(= {math.ceil(1.0 / threshold)})"
+        )
+    if count_col in keys:
+        raise ValueError(f"count_col {count_col!r} collides with a key")
+    import pandas as pd
+
+    notnull = df.na.drop("any", subset=keys)
+    key_df = notnull.select(*keys)
+    kfields = [key_df.schema[k] for k in keys]
+    summary_schema = (
+        ", ".join(f"{f.name} {f.dataType.simpleString()}" for f in kfields)
+        + ", __pid int, __part_rows long"
+    )
+
+    def summarize(batches):
+        from pyspark import TaskContext
+
+        pid = TaskContext.get().partitionId()
+        state: dict = {}
+        n_rows = 0
+        for pdf in batches:
+            n_rows += len(pdf)
+            counts = pdf.groupby(keys, sort=False).size()
+            _mg_merge(state, counts.to_dict(), m)
+        if not n_rows:
+            return
+        rows = {
+            kname: [
+                (key if len(keys) > 1 else (key,))[i] for key in state
+            ]
+            for i, kname in enumerate(keys)
+        }
+        rows["__pid"] = [pid] * len(state)
+        rows["__part_rows"] = [n_rows] * len(state)
+        yield pd.DataFrame(rows)
+
+    # m × partitions rows, materialized ONCE — N and the candidate set
+    # both derive from this single sketch pass
+    summaries = key_df.mapInPandas(summarize, summary_schema).localCheckpoint(
+        eager=True
+    )
+    total = (
+        summaries.groupBy("__pid")
+        .agg(F.max("__part_rows").alias("__pr"))
+        .agg(F.sum("__pr").alias("__N"))
+    )
+    candidates = summaries.select(*keys).distinct()
+
+    return (
+        notnull.join(F.broadcast(candidates), keys, "left_semi")
+        .groupBy(*keys)
+        .agg(F.count(F.lit(1)).alias(count_col))
+        .crossJoin(F.broadcast(total))
+        .filter(F.col(count_col) >= F.lit(threshold) * F.col("__N"))
+        .drop("__N")
+    )

@@ -2769,6 +2769,28 @@ ORDER BY 1, 2
 """
 
 
+def heavy_hitter_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact heavy hitters via Misra-Gries candidates + exact recount
+    (operators/heavy.py): users with ≥ 0.05% of all events.  The plain
+    form shuffles one group per distinct user; this path shuffles only
+    the summary-sized candidate set — identical output (the oracle IS
+    the plain GROUP BY / HAVING)."""
+    from mini_project_204721_data_engineering_spark.operators.heavy import heavy_hitters
+
+    ev = load_table(spark, sf_dir, "events").select("user_id")
+    return heavy_hitters(ev, ["user_id"], 0.0005).orderBy("user_id")
+
+
+HEAVY_HITTER_USERS_SQL = """
+SELECT user_id, CAST(count(*) AS BIGINT) AS n
+FROM events
+WHERE user_id IS NOT NULL
+GROUP BY user_id
+HAVING count(*) >= 0.0005 * (SELECT count(*) FROM events WHERE user_id IS NOT NULL)
+ORDER BY user_id
+"""
+
+
 EXTRA_QUERIES = {
     "user_golden_profile": user_golden_profile,
     "revenue_maintenance": revenue_maintenance,
@@ -2812,6 +2834,7 @@ EXTRA_QUERIES = {
     "q13_customer_order_distribution": q13_customer_order_distribution,
     "important_parts_by_value": important_parts_by_value,
     "dominant_part_suppliers": dominant_part_suppliers,
+    "heavy_hitter_users": heavy_hitter_users,
 }
 
 EXTRA_ORACLES = {
@@ -2857,4 +2880,5 @@ EXTRA_ORACLES = {
     "q13_customer_order_distribution": Q13_CUSTOMER_DISTRIBUTION_SQL,
     "important_parts_by_value": IMPORTANT_PARTS_SQL,
     "dominant_part_suppliers": DOMINANT_PART_SUPPLIERS_SQL,
+    "heavy_hitter_users": HEAVY_HITTER_USERS_SQL,
 }

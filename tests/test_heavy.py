@@ -1,0 +1,121 @@
+"""Heavy hitters via Misra-Gries candidates + exact recount
+(operators/heavy.py): output ≡ plain GROUP BY / HAVING on every
+layout, completeness under adversarial spreading, MG invariants."""
+
+from __future__ import annotations
+
+import random
+
+import pytest
+from pyspark.sql import functions as F
+
+from mini_project_204721_data_engineering_spark.operators.heavy import (
+    _mg_merge,
+    heavy_hitters,
+)
+
+
+def _plain(df, keys, threshold, n_expr="count(1)"):
+    total = df.na.drop("any", subset=keys).count()
+    return {
+        tuple(r[k] for k in keys): r["n"]
+        for r in (
+            df.na.drop("any", subset=keys)
+            .groupBy(*keys)
+            .agg(F.count(F.lit(1)).alias("n"))
+            .filter(F.col("n") >= threshold * total)
+            .collect()
+        )
+    }
+
+
+def _got(df, keys, threshold, **kw):
+    return {
+        tuple(r[k] for k in keys): r["n"]
+        for r in heavy_hitters(df, keys, threshold, **kw).collect()
+    }
+
+
+def test_equals_plain_group_by_having_across_layouts(spark):
+    rng = random.Random(204721)
+    # zipf-ish: key i appears ~ 3000/(i+1) times + a long unique tail
+    rows = []
+    for i in range(50):
+        rows += [(f"k{i}",)] * (3000 // (i + 1))
+    rows += [(f"tail{j}",) for j in range(5000)]
+    rng.shuffle(rows)
+    base = spark.createDataFrame(rows, "k string")
+    for parts in (1, 7, 32):
+        df = base.repartition(parts)
+        for th in (0.05, 0.01, 0.002):
+            assert _got(df, ["k"], th) == _plain(df, ["k"], th), (parts, th)
+
+
+def test_multi_column_keys_and_long_types(spark):
+    rows = [(i % 4, i % 3) for i in range(6000)] + [(99, 99)] * 10
+    df = spark.createDataFrame(rows, "a long, b int").repartition(8)
+    th = 0.05
+    assert _got(df, ["a", "b"], th) == _plain(df, ["a", "b"], th)
+
+
+def test_adversarial_thin_spread_key_is_found(spark):
+    """A key BARELY above threshold, spread evenly across partitions so
+    no partition sees it as locally dominant — pigeonhole + the MG
+    bound must still surface it (the completeness theorem's edge)."""
+    th = 0.01
+    n_filler = 9_899
+    hot = 101  # share 101/10000 > 0.01, by one row
+    rows = [("hot",)] * hot + [(f"u{j}",) for j in range(n_filler)]
+    df = spark.createDataFrame(rows, "k string").repartition(32)
+    got = _got(df, ["k"], th, summary_size=100)  # tightest legal m
+    assert got[("hot",)] == hot
+    assert got == _plain(df, ["k"], th)
+
+
+def test_null_keys_ignored_per_contract(spark):
+    rows = [("a",)] * 50 + [(None,)] * 100 + [("b",)] * 5
+    df = spark.createDataFrame(rows, "k string").repartition(4)
+    got = _got(df, ["k"], 0.5)  # N = 55 non-null rows; a has 50/55
+    assert got == {("a",): 50}
+
+
+def test_refusals(spark):
+    df = spark.createDataFrame([("a",)], "k string")
+    with pytest.raises(ValueError, match="threshold"):
+        heavy_hitters(df, ["k"], 0.0)
+    with pytest.raises(ValueError, match="completeness"):
+        heavy_hitters(df, ["k"], 0.01, summary_size=50)
+    with pytest.raises(ValueError, match="keys"):
+        heavy_hitters(df, [], 0.1)
+    with pytest.raises(ValueError, match="collides"):
+        heavy_hitters(df, ["k"], 0.1, count_col="k")
+
+
+def test_mg_merge_invariants():
+    """Direct MG checks: the dict never exceeds m, and the undercount
+    of any key is bounded by total_weight/(m+1)."""
+    rng = random.Random(7)
+    m = 10
+    state: dict = {}
+    truth: dict = {}
+    total = 0
+    for _ in range(200):
+        batch = {}
+        for _ in range(rng.randrange(1, 30)):
+            k = f"k{rng.randrange(40)}"
+            w = rng.randrange(1, 5)
+            batch[k] = batch.get(k, 0) + w
+        for k, w in batch.items():
+            truth[k] = truth.get(k, 0) + w
+            total += w
+        _mg_merge(state, batch, m)
+        assert len(state) <= m
+    bound = total / (m + 1)
+    for k, true_cnt in truth.items():
+        est = state.get(k, 0)
+        assert est <= true_cnt  # never overcounts
+        assert true_cnt - est <= bound + 1e-9  # undercount bounded
+    # completeness: every key above the bound is present
+    for k, true_cnt in truth.items():
+        if true_cnt > bound:
+            assert k in state, (k, true_cnt, bound)
