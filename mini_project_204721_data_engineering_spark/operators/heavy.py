@@ -94,11 +94,15 @@ def heavy_hitters(
     if not 0 < threshold < 1:
         raise ValueError(f"threshold must be in (0, 1), got {threshold}")
     m = summary_size if summary_size is not None else math.ceil(2.0 / threshold)
-    if m + 1 < 1.0 / threshold:
+    # STRICT: MG survival needs partition count > N_p/(m+1) while the
+    # pigeonhole only guarantees >= θ·N_p, so θ > 1/(m+1) must hold
+    # strictly — at equality a key exactly on the threshold can vanish
+    # (two keys, θ=0.5, m=1: one merge zeroes both entries)
+    if not m + 1 > 1.0 / threshold:
         raise ValueError(
             f"summary_size={m} cannot guarantee completeness at "
-            f"threshold={threshold}: need summary_size + 1 >= 1/threshold "
-            f"(= {math.ceil(1.0 / threshold)})"
+            f"threshold={threshold}: need summary_size + 1 > 1/threshold "
+            f"(> {1.0 / threshold:g})"
         )
     if count_col in keys:
         raise ValueError(f"count_col {count_col!r} collides with a key")
@@ -124,6 +128,19 @@ def heavy_hitters(
             _mg_merge(state, counts.to_dict(), m)
         if not n_rows:
             return
+        if not state:
+            # MG can legitimately empty itself on a near-uniform
+            # partition (every count decremented to zero) — the
+            # partition still happened: emit ONE null-key marker row so
+            # its __part_rows reaches N (dropping it would undercount N
+            # and manufacture false-positive heavy hitters)
+            rows = {kname: [None] for kname in keys}
+            rows["__pid"] = [pid]
+            rows["__part_rows"] = [n_rows]
+            yield pd.DataFrame(rows).astype(
+                {kname: object for kname in keys}
+            )
+            return
         rows = {
             kname: [
                 (key if len(keys) > 1 else (key,))[i] for key in state
@@ -144,7 +161,9 @@ def heavy_hitters(
         .agg(F.max("__part_rows").alias("__pr"))
         .agg(F.sum("__pr").alias("__N"))
     )
-    candidates = summaries.select(*keys).distinct()
+    # marker rows (all-null keys from emptied-MG partitions) carry N
+    # but are not candidates — key columns are non-null by the na.drop
+    candidates = summaries.select(*keys).na.drop("any").distinct()
 
     return (
         notnull.join(F.broadcast(candidates), keys, "left_semi")

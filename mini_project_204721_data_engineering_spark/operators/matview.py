@@ -221,6 +221,14 @@ def _confined_refresh(
         # expiry signal is caught; a programming error or FS fault must
         # surface, not silently demote every refresh to O(source)
         return rebuild()
+    except Exception as e:
+        # the TOCTOU form of the same signal: a concurrent
+        # expire_snapshots deleted the manifest between the version
+        # listing and the read — surfaces as a (Py4J-wrapped)
+        # FileNotFoundException, which is still "evidence gone"
+        if "FileNotFoundException" in str(e):
+            return rebuild()
+        raise
     if info["from_schema"] != info["to_schema"]:
         # overwrite / non-additive evolution in the window: the two
         # sides' row structs would not union into one feed

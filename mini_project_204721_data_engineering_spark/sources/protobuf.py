@@ -395,12 +395,14 @@ class _ProtoParser:
         def _keep_or_blank(m: "re.Match") -> str:
             return m.group(1) if m.group(1) is not None else " "
 
-        stripped = re.sub(
-            r"(\"(?:[^\"\\\n]|\\.)*\"|'(?:[^'\\\n]|\\.)*')"  # string: keep
-            r"|//[^\n]*|/\*.*?\*/",                          # comment: blank
-            _keep_or_blank, text, flags=re.S,
+        _tok = (
+            r"(\"(?:[^\"\\\n]|\\.)*\"|'(?:[^'\\\n]|\\.)*')"  # string: group 1
+            r"|//[^\n]*|/\*.*?\*/"                           # comment
         )
-        if "/*" in stripped:
+        stripped = re.sub(_tok, _keep_or_blank, text, flags=re.S)
+        # unterminated-comment check must ignore '/*' INSIDE kept string
+        # literals ("x/*y" is content): probe with strings blanked too
+        if "/*" in re.sub(_tok, " ", text, flags=re.S):
             raise ValueError("unterminated /* comment in .proto")
         self.toks = _PROTO_TOKEN.findall(stripped)
         self.pos = 0
@@ -619,14 +621,19 @@ class _ProtoParser:
         return {"name": fname, "type": ftype, "num": num, "repeated": repeated}
 
 
-def _resolve_type_name(name: str, scopes: list[dict]) -> object:
+def _resolve_type_name(
+    name: str, scopes: list[dict]
+) -> tuple[object, list[dict]]:
     """Protobuf scoping (the protoc C++ rule): the FIRST path component
     is resolved innermost scope outward, and that binding is final — if
     the remaining components fail under it, resolution FAILS rather
     than backtracking to an outer scope (backtracking would silently
     accept files protoc rejects, binding to a different type).  A
-    leading '.' anchors at the root.  Returns the message node or the
-    marker string "enum"."""
+    leading '.' anchors at the root.  Returns ``(node, enclosing)``
+    where ``enclosing`` is the resolved node's OWN ancestor chain —
+    type names INSIDE a cross-scope referenced message must resolve
+    against where that message LIVES, not against the referencing
+    field's scope (shadowing would otherwise silently rebind them)."""
     if name.startswith("."):
         paths: list[list[dict]] = [scopes[:1]]
         name = name[1:]
@@ -638,6 +645,7 @@ def _resolve_type_name(name: str, scopes: list[dict]) -> object:
         node: object = table.get(parts[0])
         if node is None:
             continue
+        enclosing = list(chain)
         for p in parts[1:]:
             if node == "enum" or p not in node["nested"]:
                 raise ValueError(
@@ -646,8 +654,9 @@ def _resolve_type_name(name: str, scopes: list[dict]) -> object:
                     f"nested {p!r} (protobuf does not backtrack past the "
                     "first matching component)"
                 )
+            enclosing.append(node)
             node = node["nested"][p]
-        return node
+        return node, enclosing
     raise ValueError(f"unresolved type name {name!r} in .proto")
 
 
@@ -699,15 +708,18 @@ def _message_to_contract(node: dict, scopes: list[dict], open_msgs: tuple) -> di
             opts = {"repeated": True} if f["repeated"] else {}
             out[f["num"]] = (f["name"], typ, opts) if opts else (f["name"], typ)
             continue
-        resolved = _resolve_type_name(t, scopes + [node])
+        resolved, resolved_scopes = _resolve_type_name(t, scopes + [node])
         if resolved == "enum":
             # open enums are varints on the wire; unknown values preserved
             opts = {"repeated": True} if f["repeated"] else {}
             out[f["num"]] = (f["name"], "int64", opts) if opts \
                 else (f["name"], "int64")
             continue
+        # the sub-contract builds under the RESOLVED node's own ancestor
+        # chain — its internal type names mean what they mean where it
+        # was defined, not where it was referenced from
         sub = _message_to_contract(
-            resolved, scopes + [node], open_msgs + (node,)
+            resolved, resolved_scopes, open_msgs + (node,)
         )
         opts = {"schema": sub}
         if f["repeated"]:

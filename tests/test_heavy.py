@@ -15,7 +15,7 @@ from mini_project_204721_data_engineering_spark.operators.heavy import (
 )
 
 
-def _plain(df, keys, threshold, n_expr="count(1)"):
+def _plain(df, keys, threshold):
     total = df.na.drop("any", subset=keys).count()
     return {
         tuple(r[k] for k in keys): r["n"]
@@ -85,10 +85,37 @@ def test_refusals(spark):
         heavy_hitters(df, ["k"], 0.0)
     with pytest.raises(ValueError, match="completeness"):
         heavy_hitters(df, ["k"], 0.01, summary_size=50)
+    # STRICT bound: m + 1 == 1/threshold is NOT enough (a key exactly
+    # at the threshold can be zeroed by one merge) — must refuse
+    with pytest.raises(ValueError, match="completeness"):
+        heavy_hitters(df, ["k"], 0.5, summary_size=1)
     with pytest.raises(ValueError, match="keys"):
         heavy_hitters(df, [], 0.1)
     with pytest.raises(ValueError, match="collides"):
         heavy_hitters(df, ["k"], 0.1, count_col="k")
+
+
+def test_emptied_summary_partition_still_counts_toward_n(spark):
+    """A near-uniform partition can zero out its whole MG state — the
+    partition's rows must STILL reach N via a marker row, or keys from
+    other partitions inflate into false-positive heavy hitters."""
+    # P0: 5 unique keys (MG with m=2 empties), P1: 'a' x3.  N=8, θ=0.5
+    # → cutoff 4 → NO key qualifies.  An N undercount (N=3 from P1
+    # alone) would wrongly report 'a'.
+    data = [(f"u{i}",) for i in range(5)] + [("a",)] * 3
+    df = spark.createDataFrame(
+        spark.sparkContext.parallelize(data, 2), "k string"
+    )
+    assert _got(df, ["k"], 0.5, summary_size=2) == {}
+    assert _plain(df, ["k"], 0.5) == {}
+    # and a key that DOES qualify alongside an emptied partition is
+    # still reported with its exact count
+    data2 = [(f"u{i}",) for i in range(5)] + [("a",)] * 6
+    df2 = spark.createDataFrame(
+        spark.sparkContext.parallelize(data2, 2), "k string"
+    )
+    got = _got(df2, ["k"], 0.5, summary_size=2)
+    assert got == _plain(df2, ["k"], 0.5) == {("a",): 6}
 
 
 def test_mg_merge_invariants():

@@ -176,7 +176,23 @@ def test_unexpected_error_in_file_changes_surfaces_not_rebuilds(spark, tmp_path)
         mp.setattr(mv.snap, "snapshot_file_changes", boom)
         with pytest.raises(TypeError, match="injected"):
             refresh_aggregate_view(spark, src, view, ["grp"], MEAS)
+
+    # the TOCTOU expiry race (manifest GC'd between listing and read)
+    # surfaces as a wrapped FileNotFoundException — that one DOES fall
+    # back to the rebuild, because it is the same evidence-gone signal
+    def gone(*a, **kw):
+        raise RuntimeError(
+            "py4j: java.io.FileNotFoundException: v0000000001.json"
+        )
+
+    with pytest.MonkeyPatch.context() as mp:
+        mp.setattr(mv.snap, "snapshot_file_changes", gone)
+        m = refresh_aggregate_view(spark, src, view, ["grp"], MEAS)
+    assert m["meta"]["refresh_mode"] == "full"
+    assert _agg_dict(read_snapshot(spark, view)) == _expected(spark, src)
+
     # and the un-patched refresh still completes confined
+    snapshot_delete_where(spark, src, "id = 7")
     m = refresh_aggregate_view(spark, src, view, ["grp"], MEAS)
     assert m["meta"]["refresh_mode"] == "delta-confined"
     assert _agg_dict(read_snapshot(spark, view)) == _expected(spark, src)

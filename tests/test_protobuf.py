@@ -297,6 +297,41 @@ def test_proto_no_backtracking_past_first_component():
     assert sch == {1: ("f", "message", {"schema": {1: ("x", "int64")}})}
 
 
+def test_proto_block_comment_marker_inside_string_is_content():
+    text = 'syntax = "proto3"; option go_package = "x/*y"; ' \
+           "message M { int64 a = 1; }"
+    assert parse_proto_schema(text, "M") == {1: ("a", "int64")}
+    # a REAL unterminated comment still refuses
+    with pytest.raises(ValueError, match="unterminated"):
+        parse_proto_schema("message M { int64 a = 1; } /* oops")
+
+
+def test_proto_referenced_message_resolves_in_its_own_scope():
+    """Type names INSIDE a cross-scope referenced message bind where
+    that message LIVES (protoc): B's field 'C' means A.C even when the
+    referencing site has its own shadowing C."""
+    text = """
+    message A {
+      message C { int64 x = 1; }
+      message B { C f = 1; }
+    }
+    message Outer {
+      message C { string y = 2; }
+      message Host { A.B g = 1; }
+    }
+    """
+    sch = parse_proto_schema(text, "Outer.Host")
+    assert sch == {
+        1: ("g", "message",
+            {"schema": {1: ("f", "message",
+                            {"schema": {1: ("x", "int64")}})}})
+    }
+    # and without the shadowing Outer.C the same file must ALSO resolve
+    # (the referencing scope must not be required to see A's nested C)
+    unshadowed = text.replace("message C { string y = 2; }", "")
+    assert parse_proto_schema(unshadowed, "Outer.Host") == sch
+
+
 def test_proto_fuzz_never_wrong_exception():
     """Random single-edit mutations of a valid .proto either still parse
     or raise ValueError/NotImplementedError — never an unhandled
