@@ -71,7 +71,7 @@ def timed(name, fn, out):
 def main() -> None:
     mode = "events"
     args = [a for a in sys.argv[1:]]
-    if args and args[0] in ("events", "docs", "ann", "srp", "cc", "spans", "vocab", "decon", "semdedup", "spatial", "bpe", "hotcell", "radius", "interval", "knn", "merge", "linkage", "sparsesim", "wsample", "pq", "snap", "snap-manifest", "pagerank", "matview"):
+    if args and args[0] in ("events", "docs", "ann", "srp", "cc", "spans", "vocab", "decon", "semdedup", "spatial", "bpe", "hotcell", "radius", "interval", "knn", "merge", "linkage", "sparsesim", "wsample", "pq", "snap", "snap-manifest", "heavy", "pagerank", "matview"):
         mode = args.pop(0)
     n = int(args[0]) if args else {
         "events": 10_000_000, "docs": 1_000_000, "ann": 1_000_000,
@@ -80,7 +80,7 @@ def main() -> None:
         "spatial": 1_000_000, "bpe": 200_000, "hotcell": 50_000, "radius": 1_000_000, "interval": 1_000_000,
         "knn": 1_000_000, "merge": 10_000_000, "linkage": 100_000,
         "sparsesim": 10_000, "wsample": 10_000_000, "pq": 1_000_000,
-        "snap": 2_000_000, "snap-manifest": 100_000,
+        "snap": 2_000_000, "snap-manifest": 100_000, "heavy": 10_000_000,
         "pagerank": 2_000_000, "matview": 10_000_000,
     }[mode]
     from mini_project_204721_data_engineering_spark.session import get_spark
@@ -100,6 +100,7 @@ def main() -> None:
          "pq": probe_pq,
          "snap": probe_snap,
          "snap-manifest": probe_snap_manifest,
+         "heavy": probe_heavy,
          "pagerank": probe_pagerank,
          "matview": probe_matview}[mode](spark, n, out)
         total = round(sum(r["sec"] for r in out), 3)
@@ -1188,6 +1189,61 @@ def probe_snap_manifest(spark, n: int, out: list) -> None:
                               "bytes": size}), flush=True)
     finally:
         shutil.rmtree(d, ignore_errors=True)
+
+
+def probe_heavy(spark, n: int, out: list) -> None:
+    """Heavy hitters vs plain GROUP BY/HAVING at high key cardinality:
+    n rows over ~n/2 distinct keys with 10 planted hitters at ~1% each.
+    The claim is shuffle VOLUME (candidates ≤ m×P vs one group per
+    distinct key), measured alongside wall-clock (local[32] over warm
+    columnar input may hide the win — the shuffle numbers don't)."""
+    from pyspark.sql import functions as F
+
+    from mini_project_204721_data_engineering_spark.operators.heavy import heavy_hitters
+
+    th = 0.005
+    hot = (F.col("id") % 100 < 10)  # 10% of rows spread over 10 hot keys
+    df = (
+        spark.range(n)
+        .select(
+            F.when(hot, F.concat(F.lit("hot"), (F.col("id") % 10)))
+            .otherwise(
+                F.concat(F.lit("u"), F.pmod(F.xxhash64("id"), F.lit(n // 2)))
+            )
+            .alias("k")
+        )
+        .localCheckpoint(eager=True)
+    )
+
+    def sketch():
+        rows = heavy_hitters(df, ["k"], th).collect()
+        assert len(rows) == 10, len(rows)
+        return len(rows)
+
+    def plain():
+        total = df.count()
+        rows = (
+            df.groupBy("k").agg(F.count(F.lit(1)).alias("c"))
+            .filter(F.col("c") >= th * total)
+            .collect()
+        )
+        assert len(rows) == 10, len(rows)
+        return len(rows)
+
+    a = timed("heavy_hitters_mg_recount", sketch, out)
+    b = timed("plain_groupby_having", plain, out)
+    # the structural number: groups crossing the shuffle
+    n_distinct = df.select("k").distinct().count()
+    import math as _math
+
+    m = _math.ceil(2.0 / th)
+    n_parts = df.rdd.getNumPartitions()
+    print(json.dumps({
+        "probe": "heavy_shuffle_volume",
+        "distinct_keys_plain_shuffles": n_distinct,
+        "candidate_bound_mg": m * n_parts,
+        "wallclock_ratio_plain_over_mg": round(b / a, 2) if a else None,
+    }), flush=True)
 
 
 def probe_pagerank(spark, n: int, out: list) -> None:
