@@ -264,5 +264,6 @@ def _confined_refresh(
     return _commit_view(
         new_state, view_dir, src_tip, src_table_id,
         refresh_mode="delta-confined",
-        files_read=len(info["removed_files"]) + len(info["added_files"]),
+        files_read=len(info["removed_files"]) + len(info["added_files"])
+        + 2 * len(info.get("refiltered_files", [])),
     )

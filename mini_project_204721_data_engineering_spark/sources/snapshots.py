@@ -49,6 +49,7 @@ __all__ = [
     "snapshot_stream_sink",
     "snapshot_merge_into",
     "snapshot_replace_where",
+    "snapshot_apply_filters",
     "snapshot_changes",
     "snapshot_file_changes",
     "snapshot_compact",
@@ -184,6 +185,21 @@ def _write_data_files(df: DataFrame, table_dir: str) -> tuple[list[str], str]:
     return files, str(cdir.toString())
 
 
+def _carry_filters(parent: dict | None, files: list[str]) -> list[dict]:
+    """Default row-filter propagation: keep each pending lazy-delete
+    entry restricted to the files the new snapshot still references —
+    a rewritten/compacted file leaves the list (its replacement was
+    read THROUGH the filters, so its bytes are already clean), an
+    appended file is never listed, a carried file keeps its filter."""
+    fset = set(files)
+    out = []
+    for e in (parent or {}).get("row_filters", []):
+        kept = [f for f in e["files"] if f in fset]
+        if kept:
+            out.append({"predicate": e["predicate"], "files": kept})
+    return out
+
+
 def _commit(
     spark: SparkSession,
     table_dir: str,
@@ -195,6 +211,7 @@ def _commit(
     txn_update: dict | None = None,
     txn_replace: dict | None = None,
     stats_fn=None,
+    row_filters_fn=None,
 ) -> dict:
     """The optimistic-concurrency loop: resolve the tip, build the new
     file list via ``files_fn(parent_manifest)``, claim the next version;
@@ -202,7 +219,11 @@ def _commit(
 
     ``schema_ddl`` may be a callable ``parent_manifest -> ddl`` (schema
     evolution must re-derive against the tip that actually wins);
-    ``stats_fn(parent, files) -> (stats dict, stats_cols)`` likewise."""
+    ``stats_fn(parent, files) -> (stats dict, stats_cols)`` likewise.
+    ``row_filters_fn(parent, files) -> list`` overrides the default
+    carry-prune of pending lazy-delete filters (:func:`_carry_filters`)
+    — restore/clone replace them wholesale, a lazy delete appends an
+    entry."""
     for _ in range(max_retries):
         versions = _list_versions(spark, table_dir)
         parent = versions[-1] if versions else 0
@@ -242,6 +263,13 @@ def _commit(
             if stats_cols:
                 manifest["stats"] = stats
                 manifest["stats_cols"] = stats_cols
+        filters = (
+            row_filters_fn(parent_manifest, files)
+            if row_filters_fn is not None
+            else _carry_filters(parent_manifest, files)
+        )
+        if filters:
+            manifest["row_filters"] = filters
         if _try_write_manifest(spark, table_dir, parent + 1, manifest):
             return manifest
     raise RuntimeError(
@@ -539,6 +567,44 @@ def snapshot_stream_sink(table_dir: str, app_id: str):
     return sink
 
 
+def _filtered_read(
+    spark: SparkSession, manifest: dict, files: Sequence[str], schema=None
+) -> DataFrame:
+    """Read ``files`` under ``manifest``'s pinned schema, applying the
+    manifest's pending lazy-delete row filters to EXACTLY the files each
+    entry covers (merge-on-read).  Files are grouped by their applicable
+    filter set — in practice one unfiltered group plus one group per
+    live takedown — so the plan stays a small union of scans; every
+    NOT(predicate) is a codegen filter pushed at its group's scan.  All
+    internal data reads (rewrites included) MUST come through here:
+    bypassing it would resurrect lazily-deleted rows."""
+    from pyspark.sql.types import _parse_datatype_string
+
+    if schema is None:
+        schema = _parse_datatype_string(manifest["schema"])
+    files = list(files)
+    if not files:
+        return spark.createDataFrame([], schema)
+    filters = manifest.get("row_filters") or []
+    if not filters:
+        return spark.read.schema(schema).parquet(*files)
+    covers = [set(e["files"]) for e in filters]
+    groups: dict[tuple, list[str]] = {}
+    for f in files:
+        sig = tuple(i for i, cov in enumerate(covers) if f in cov)
+        groups.setdefault(sig, []).append(f)
+    parts = []
+    for sig, fl in groups.items():
+        df = spark.read.schema(schema).parquet(*fl)
+        for i in sig:
+            df = df.filter(f"NOT ({filters[i]['predicate']})")
+        parts.append(df)
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
 def read_snapshot(
     spark: SparkSession,
     table_dir: str,
@@ -580,16 +646,11 @@ def read_snapshot(
     files = manifest["files"]
     if prune:
         files = _prune_files(manifest, prune)
-    from pyspark.sql.types import _parse_datatype_string
-
-    schema = _parse_datatype_string(manifest["schema"])
-    if not files:
-        return spark.createDataFrame([], schema)
-    # the manifest schema PINS the read: files written before an additive
-    # merge_schema evolution surface the newer columns as NULL, and a
-    # stray file-level type drift fails loudly instead of silently
-    # winning schema inference
-    return spark.read.schema(schema).parquet(*files)
+    # the manifest schema PINS the read (files written before an additive
+    # merge_schema evolution surface the newer columns as NULL; stray
+    # file-level type drift fails loudly), and pending lazy-delete
+    # filters apply to exactly the files they cover (merge-on-read)
+    return _filtered_read(spark, manifest, files)
 
 
 def _prune_files(manifest: dict, prune: dict) -> list[str]:
@@ -621,19 +682,36 @@ def _prune_files(manifest: dict, prune: dict) -> list[str]:
 
 
 def snapshot_delete_where(
-    spark: SparkSession, table_dir: str, predicate: str
+    spark: SparkSession, table_dir: str, predicate: str, lazy: bool = False
 ) -> dict:
-    """Copy-on-write targeted delete: ONLY files containing matching rows
+    """Targeted delete, two execution modes:
+
+    **Copy-on-write (default)**: ONLY files containing matching rows
     are rewritten (without those rows) into a new commit; untouched
     files carry over by reference — cost ∝ hit files, not table size
     (the same contract as ``sink.delete_rows``, now with atomic cutover
     and time travel back to the pre-delete snapshot).
 
-    Conservative-serializable like merge/replace: the commit aborts if
-    the tip moved at all — a concurrent APPEND may carry rows matching
-    this very predicate, and carrying its file by reference would
-    silently under-delete (the one failure a takedown primitive must
-    not have)."""
+    **Merge-on-read (``lazy=True``)**: NO data bytes move.  One pass
+    finds the files holding matching rows (the same hit scan, write
+    amplification zero) and the commit records a ``row_filters`` entry
+    — ``{predicate, files}`` — that every read (:func:`read_snapshot`
+    and ALL internal rewrite reads via :func:`_filtered_read`) applies
+    as a codegen ``NOT(predicate)`` on exactly those files.  At 100 TB
+    a takedown over a billion-row slice commits after one scan instead
+    of rewriting terabytes; the deferred cost is one pushed filter per
+    live takedown on reads of the covered files.  Filters drain
+    naturally: any CoW rewrite/compaction of a covered file reads
+    through the filters and emits clean bytes, and the carry rule drops
+    entries for files no longer referenced — run
+    :func:`snapshot_apply_filters` (or :func:`snapshot_compact`) to
+    materialize everything at once.  Time travel to the pre-delete
+    version still shows the rows (filters live in the manifest).
+
+    Both modes are conservative-serializable like merge/replace: the
+    commit aborts if the tip moved at all — a concurrent APPEND may
+    carry rows matching this very predicate, and covering/carrying its
+    file would silently mis-delete."""
     from pyspark.sql import functions as F
     from pyspark.sql.types import _parse_datatype_string
 
@@ -648,7 +726,7 @@ def snapshot_delete_where(
     # schemas, plain inference could elect a narrow file's schema and
     # silently drop evolved columns from the rewritten survivors
     schema = _parse_datatype_string(manifest["schema"])
-    snap = spark.read.schema(schema).parquet(*manifest["files"])
+    snap = _filtered_read(spark, manifest, manifest["files"], schema)
     _, _, jvm = _fs_for(spark, table_dir)
     # input_file_name() yields URI form (file:///...); manifests hold
     # Hadoop Path form (file:/...) — canonicalize through Path so the
@@ -662,29 +740,87 @@ def snapshot_delete_where(
     )
     if not hit_files:
         return manifest  # nothing to delete: current tip already correct
-    # survivors are written unconditionally — a fully-emptied rewrite
-    # produces a schema-only part file, which is cheaper than an extra
-    # guard pass over the hit files to detect it
-    survivors = spark.read.schema(schema).parquet(*hit_files).filter(
-        f"NOT ({predicate})"
-    )
-    new_files, _ = _write_data_files(survivors, table_dir)
-    hit = set(hit_files)
     base_set = set(manifest["files"])
 
-    def files_fn(parent):
+    def moved_guard(parent):
         if set(parent["files"] if parent else []) != base_set:
             raise RuntimeError(
                 "concurrent commit during snapshot_delete_where (the tip "
                 "moved — an interleaved append may hold rows matching this "
                 "predicate) — re-run the delete on the new tip"
             )
+
+    if lazy:
+        def lazy_files_fn(parent):
+            moved_guard(parent)
+            return list(parent["files"])
+
+        def lazy_filters_fn(parent, files):
+            return _carry_filters(parent, files) + [
+                {"predicate": predicate, "files": hit_files}
+            ]
+
+        return _commit(
+            spark, table_dir, "delete", lazy_files_fn, manifest["schema"],
+            meta={"predicate": predicate, "rewritten_files": 0,
+                  "mode": "lazy", "filtered_files": len(hit_files)},
+            stats_fn=_compose_stats(spark, [], None),  # sticky cols
+            row_filters_fn=lazy_filters_fn,
+        )
+
+    # survivors are written unconditionally — a fully-emptied rewrite
+    # produces a schema-only part file, which is cheaper than an extra
+    # guard pass over the hit files to detect it.  The read goes through
+    # the filters so pending lazy deletes materialize into the rewrite.
+    survivors = _filtered_read(spark, manifest, hit_files, schema).filter(
+        f"NOT ({predicate})"
+    )
+    new_files, _ = _write_data_files(survivors, table_dir)
+    hit = set(hit_files)
+
+    def files_fn(parent):
+        moved_guard(parent)
         return [f for f in parent["files"] if f not in hit] + new_files
 
     return _commit(
         spark, table_dir, "delete", files_fn, manifest["schema"],
         meta={"predicate": predicate, "rewritten_files": len(hit_files)},
         stats_fn=_compose_stats(spark, new_files, None),  # sticky cols
+    )
+
+
+def snapshot_apply_filters(spark: SparkSession, table_dir: str) -> dict:
+    """Materialize every pending lazy-delete filter: rewrite ONLY the
+    covered files through the filtered read and commit a snapshot with
+    clean bytes and an empty ``row_filters`` — read results identical
+    before and after (pytest-pinned); the deferred write amplification
+    is paid here, once, at covered-files cost."""
+    versions = _list_versions(spark, table_dir)
+    if not versions:
+        raise ValueError(f"no snapshots at {table_dir}")
+    manifest = _read_manifest(spark, table_dir, versions[-1])
+    entries = manifest.get("row_filters") or []
+    if not entries:
+        return manifest
+    covered = sorted({f for e in entries for f in e["files"]})
+    clean = _filtered_read(spark, manifest, covered)
+    new_files, _ = _write_data_files(clean, table_dir)
+    cov = set(covered)
+    base_set = set(manifest["files"])
+
+    def files_fn(parent):
+        if set(parent["files"] if parent else []) != base_set:
+            raise RuntimeError(
+                "concurrent commit during snapshot_apply_filters — "
+                "re-run on the new tip"
+            )
+        return [f for f in parent["files"] if f not in cov] + new_files
+
+    return _commit(
+        spark, table_dir, "delete", files_fn, manifest["schema"],
+        meta={"mode": "apply_filters", "rewritten_files": len(covered),
+              "applied_filters": len(entries)},
+        stats_fn=_compose_stats(spark, new_files, None),
     )
 
 
@@ -750,11 +886,9 @@ def snapshot_merge_into(
     tip_manifest = _read_manifest(spark, table_dir, versions[-1])
     _check_schema(tip_manifest, ddl, "snapshot_merge_into")
     base_files = list(tip_manifest["files"])
-    target = (
-        spark.read.schema(source.schema).parquet(*base_files)
-        if base_files
-        else spark.createDataFrame([], source.schema)
-    )
+    # filtered read: a lazily-deleted key must look ABSENT (insert, not
+    # update) and must never be resurrected into the rewrite
+    target = _filtered_read(spark, tip_manifest, base_files, source.schema)
     src = _dedup_guarded(source, keys)
 
     _, _, jvm = _fs_for(spark, table_dir)
@@ -766,11 +900,7 @@ def snapshot_merge_into(
         .collect()
     ) if base_files else []
 
-    target_hit = (
-        spark.read.schema(source.schema).parquet(*hit_files)
-        if hit_files
-        else spark.createDataFrame([], source.schema)
-    )
+    target_hit = _filtered_read(spark, tip_manifest, hit_files, source.schema)
     survivors = target_hit.join(src, keys, "left_anti")
     if when_matched == "update":
         replaced = src.join(target_hit, keys, "left_semi")
@@ -880,17 +1010,15 @@ def snapshot_replace_where(
     hit_files = sorted(
         str(jvm.org.apache.hadoop.fs.Path(r["f"]).toString())
         for r in (
-            spark.read.schema(df.schema).parquet(*base_files)
+            _filtered_read(spark, manifest, base_files, df.schema)
             .filter(predicate)
             .select(F.input_file_name().alias("f"))
             .distinct()
             .collect()
         )
     ) if base_files else []
-    survivors = (
-        spark.read.schema(df.schema).parquet(*hit_files).filter(f"NOT ({predicate})")
-        if hit_files
-        else spark.createDataFrame([], df.schema)
+    survivors = _filtered_read(spark, manifest, hit_files, df.schema).filter(
+        f"NOT ({predicate})"
     )
     new_files, _ = _write_data_files(survivors.unionByName(guarded), table_dir)
     base_set = set(base_files)
@@ -961,6 +1089,16 @@ def snapshot_file_changes(
     new_files = set(new_m["files"])
     removed = [f for f in old_m["files"] if f not in new_files]
     added = [f for f in new_m["files"] if f not in old_files]
+    # a LAZY delete changes carried files' visible rows without touching
+    # the file list: any carried file whose applicable filter set
+    # differs between the endpoints goes on BOTH sides (old-filtered
+    # rows out, new-filtered rows in), restoring the complete-delta
+    # theorem at affected-file cost
+    carried = old_files & new_files
+    refiltered = sorted(
+        f for f in carried
+        if _filter_sig(old_m, {f}) != _filter_sig(new_m, {f})
+    )
     all_compact: bool | None = True
     for v in range(from_version + 1, to_version + 1):
         if v not in version_set:
@@ -973,23 +1111,27 @@ def snapshot_file_changes(
         if op != "compact":
             all_compact = False
             break
-    from pyspark.sql.types import _parse_datatype_string
 
-    def _read(files: list[str], ddl: str) -> DataFrame | None:
+    def _read(m: dict, files: list[str]) -> DataFrame | None:
         if not files:
             return None
-        return spark.read.schema(_parse_datatype_string(ddl)).parquet(*files)
+        return _filtered_read(spark, m, files)
 
     info = {
         "from_version": from_version,
         "to_version": to_version,
         "removed_files": removed,
         "added_files": added,
+        "refiltered_files": refiltered,
         "all_compact": all_compact,
         "from_schema": old_m["schema"],
         "to_schema": new_m["schema"],
     }
-    return _read(removed, old_m["schema"]), _read(added, new_m["schema"]), info
+    return (
+        _read(old_m, removed + refiltered),
+        _read(new_m, added + refiltered),
+        info,
+    )
 
 
 def snapshot_changes(
@@ -1071,10 +1213,9 @@ def snapshot_compact(
         return manifest  # nothing worth packing
     total = sum(sizes[f] for f in small)
     n_out = max(1, (total + target_file_bytes - 1) // target_file_bytes)
-    from pyspark.sql.types import _parse_datatype_string
-
-    schema = _parse_datatype_string(manifest["schema"])
-    packed = spark.read.schema(schema).parquet(*small).repartition(n_out)
+    # read through pending lazy-delete filters: compaction is also the
+    # natural drain point that materializes them into clean bytes
+    packed = _filtered_read(spark, manifest, small).repartition(n_out)
     new_files, _ = _write_data_files(packed, table_dir)
     small_set = set(small)
 
@@ -1132,11 +1273,12 @@ def snapshot_incremental_read(
             f"cursor version {last_version} expired from the log — "
             "re-baseline with a full read"
         )
-    base_files = (
-        set(_read_manifest(spark, table_dir, last_version)["files"])
+    base_manifest = (
+        _read_manifest(spark, table_dir, last_version)
         if last_version > 0
-        else set()
+        else None
     )
+    base_files = set(base_manifest["files"]) if base_manifest else set()
     tip_manifest = _read_manifest(spark, table_dir, tip)
     tip_files = set(tip_manifest["files"])
     removed = base_files - tip_files
@@ -1146,13 +1288,33 @@ def snapshot_incremental_read(
             f"{len(removed)} file(s) — incremental file reads would be wrong; "
             "use snapshot_changes for row-level diffs"
         )
+    if _filter_sig(base_manifest, base_files) != _filter_sig(
+        tip_manifest, base_files
+    ):
+        # a lazy delete changed carried files' ROWS without touching the
+        # file list — added-files-only reading would silently miss it
+        raise ValueError(
+            f"lazy-delete filter(s) changed on carried files between "
+            f"v{last_version} and v{tip} — incremental file reads would "
+            "miss the deletions; use snapshot_changes for row-level diffs"
+        )
     added = [f for f in tip_manifest["files"] if f not in base_files]
     if not added:
         return None, tip
-    from pyspark.sql.types import _parse_datatype_string
+    return _filtered_read(spark, tip_manifest, added), tip
 
-    schema = _parse_datatype_string(tip_manifest["schema"])
-    return spark.read.schema(schema).parquet(*added), tip
+
+def _filter_sig(manifest: dict | None, files: set) -> list:
+    """Canonical form of the lazy-delete filters RESTRICTED to ``files``
+    — two manifests whose signatures match hold row-identical data in
+    those files (the carry rule only ever prunes entries; predicates
+    are recorded verbatim)."""
+    out = []
+    for e in (manifest or {}).get("row_filters", []):
+        kept = sorted(f for f in e["files"] if f in files)
+        if kept:
+            out.append((e["predicate"], tuple(kept)))
+    return sorted(out)
 
 
 def snapshot_restore(spark: SparkSession, table_dir: str, version: int) -> dict:
@@ -1178,6 +1340,11 @@ def snapshot_restore(spark: SparkSession, table_dir: str, version: int) -> dict:
         stats_fn=lambda parent, files: (
             dict(target.get("stats", {})), target.get("stats_cols", [])
         ),
+        # restored DATA state includes the restored filter state — the
+        # carry rule would wrongly keep the rolled-back tip's filters
+        row_filters_fn=lambda parent, files: [
+            dict(e) for e in target.get("row_filters", [])
+        ],
     )
 
 
@@ -1218,6 +1385,11 @@ def snapshot_clone(spark: SparkSession, source_dir: str, dest_dir: str) -> dict:
         stats_fn=lambda parent, files: (
             dict(tip.get("stats", {})), tip.get("stats_cols", [])
         ),
+        # the borrowed files come WITH their pending lazy-delete filters
+        # — a clone must not resurrect the source's deleted rows
+        row_filters_fn=lambda parent, files: [
+            dict(e) for e in tip.get("row_filters", [])
+        ],
     )
 
 

@@ -1,0 +1,245 @@
+"""Merge-on-read lazy deletes (sources/snapshots.py row_filters):
+zero-byte takedown commits, read-path filter application on exactly
+the covered files, drain through CoW rewrites/compaction/apply, and
+the incremental-read / change-feed / matview interplay."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from mini_project_204721_data_engineering_spark.sources.snapshots import (
+    _list_versions,
+    _read_manifest,
+    read_snapshot,
+    snapshot_append,
+    snapshot_apply_filters,
+    snapshot_changes,
+    snapshot_clone,
+    snapshot_compact,
+    snapshot_delete_where,
+    snapshot_file_changes,
+    snapshot_incremental_read,
+    snapshot_merge_into,
+    snapshot_restore,
+)
+
+
+def _df(spark, lo, hi, tag="a"):
+    return spark.range(lo, hi).select(F.col("id"), F.lit(tag).alias("tag"))
+
+
+def _ids(df):
+    return {r["id"] for r in df.collect()}
+
+
+def test_lazy_delete_moves_zero_bytes_and_filters_reads(spark, tmp_path):
+    t = str(tmp_path / "t")
+    snapshot_append(_df(spark, 0, 50).repartition(2), t)
+    before_files = sorted(_read_manifest(spark, t, 1)["files"])
+    m = snapshot_delete_where(spark, t, "id % 10 = 3", lazy=True)
+    # metadata-only: SAME files, zero rewrites, one filter entry
+    assert sorted(m["files"]) == before_files
+    assert m["meta"]["rewritten_files"] == 0 and m["meta"]["mode"] == "lazy"
+    assert len(m["row_filters"]) == 1
+    assert _ids(read_snapshot(spark, t)) == {
+        i for i in range(50) if i % 10 != 3
+    }
+    # time travel: the pre-delete snapshot still shows the rows
+    assert _ids(read_snapshot(spark, t, version=1)) == set(range(50))
+
+
+def test_lazy_filters_cover_only_hit_files(spark, tmp_path):
+    """The hit scan confines the entry: a predicate touching one of 10
+    files records a 1-file filter, and the filtered read plan groups
+    the other 9 files into a single clean scan."""
+    t = str(tmp_path / "t")
+    for i in range(10):
+        snapshot_append(_df(spark, i * 10, (i + 1) * 10).repartition(1), t)
+    m = snapshot_delete_where(spark, t, "id = 55", lazy=True)
+    assert len(m["row_filters"]) == 1
+    assert len(m["row_filters"][0]["files"]) == 1
+    assert _ids(read_snapshot(spark, t)) == set(range(100)) - {55}
+
+
+def test_stacked_lazy_deletes_compose(spark, tmp_path):
+    t = str(tmp_path / "t")
+    snapshot_append(_df(spark, 0, 40).repartition(2), t)
+    snapshot_delete_where(spark, t, "id < 5", lazy=True)
+    m = snapshot_delete_where(spark, t, "id >= 35", lazy=True)
+    assert len(m["row_filters"]) == 2
+    assert _ids(read_snapshot(spark, t)) == set(range(5, 35))
+
+
+def test_append_after_lazy_delete_is_unaffected(spark, tmp_path):
+    """New files are never covered: re-landed rows matching an old
+    takedown predicate survive (the delete was as-of its commit)."""
+    t = str(tmp_path / "t")
+    snapshot_append(_df(spark, 0, 20).repartition(1), t)
+    snapshot_delete_where(spark, t, "id < 10", lazy=True)
+    snapshot_append(_df(spark, 0, 10, "again").repartition(1), t)
+    got = read_snapshot(spark, t)
+    assert _ids(got) == set(range(20))
+    assert got.filter("tag = 'again'").count() == 10
+    assert got.filter("tag = 'a'").count() == 10  # 10..19 only
+
+
+def test_cow_rewrite_drains_pending_filters(spark, tmp_path):
+    """A CoW delete of a lazily-filtered file reads THROUGH the filter:
+    the rewrite emits clean bytes and the entry is pruned."""
+    t = str(tmp_path / "t")
+    snapshot_append(_df(spark, 0, 30).repartition(1), t)
+    snapshot_delete_where(spark, t, "id < 5", lazy=True)
+    m = snapshot_delete_where(spark, t, "id >= 25")  # CoW, hits the file
+    assert "row_filters" not in m  # drained: the covered file rewrote
+    assert _ids(read_snapshot(spark, t)) == set(range(5, 25))
+    # and the clean bytes really exclude the lazy-deleted rows
+    assert _ids(read_snapshot(spark, t)) == _ids(
+        spark.read.parquet(*m["files"])
+    )
+
+
+def test_compact_materializes_filters(spark, tmp_path):
+    t = str(tmp_path / "t")
+    for i in range(5):
+        snapshot_append(_df(spark, i * 10, (i + 1) * 10).repartition(1), t)
+    snapshot_delete_where(spark, t, "id % 7 = 0", lazy=True)
+    want = _ids(read_snapshot(spark, t))
+    mc = snapshot_compact(spark, t)
+    assert mc["op"] == "compact"
+    assert "row_filters" not in mc  # all small files packed -> drained
+    assert _ids(read_snapshot(spark, t)) == want
+    assert _ids(spark.read.parquet(*mc["files"])) == want
+
+
+def test_apply_filters_rewrites_only_covered_files(spark, tmp_path):
+    t = str(tmp_path / "t")
+    for i in range(10):
+        snapshot_append(_df(spark, i * 10, (i + 1) * 10).repartition(1), t)
+    snapshot_delete_where(spark, t, "id = 55", lazy=True)
+    want = set(range(100)) - {55}
+    base_files = set(_read_manifest(spark, t, 11)["files"])
+    m = snapshot_apply_filters(spark, t)
+    assert "row_filters" not in m
+    assert m["meta"]["rewritten_files"] == 1  # only the covered file
+    assert len(set(m["files"]) & base_files) == 9  # 9 carried untouched
+    assert _ids(read_snapshot(spark, t)) == want
+    assert _ids(spark.read.parquet(*m["files"])) == want
+    # idempotent: nothing pending -> no new commit
+    assert snapshot_apply_filters(spark, t)["version"] == m["version"]
+
+
+def test_merge_does_not_resurrect_lazy_deleted_keys(spark, tmp_path):
+    t = str(tmp_path / "t")
+    snapshot_append(_df(spark, 0, 10).repartition(1), t)
+    snapshot_delete_where(spark, t, "id = 3", lazy=True)
+    # upsert id 3 and 5: 3 must be an INSERT (it is deleted), 5 an update
+    snapshot_merge_into(_df(spark, 3, 6, "new").filter("id IN (3, 5)"), t, ["id"])
+    got = {r["id"]: r["tag"] for r in read_snapshot(spark, t).collect()}
+    assert got[3] == "new" and got[5] == "new" and got[0] == "a"
+    assert len(got) == 10
+
+
+def test_restore_and_clone_carry_filter_state(spark, tmp_path):
+    t = str(tmp_path / "t")
+    snapshot_append(_df(spark, 0, 20).repartition(1), t)   # v1
+    snapshot_delete_where(spark, t, "id < 5", lazy=True)   # v2
+    # clone sees the filtered state, not the raw bytes
+    c = str(tmp_path / "c")
+    snapshot_clone(spark, t, c)
+    assert _ids(read_snapshot(spark, c)) == set(range(5, 20))
+    # restore to v1 resurrects (filters replaced by the target's: none)
+    m = snapshot_restore(spark, t, 1)
+    assert "row_filters" not in m
+    assert _ids(read_snapshot(spark, t)) == set(range(20))
+    # restore back to v2 re-applies them
+    snapshot_restore(spark, t, 2)
+    assert _ids(read_snapshot(spark, t)) == set(range(5, 20))
+
+
+def test_incremental_read_refuses_across_lazy_delete_window(spark, tmp_path):
+    t = str(tmp_path / "t")
+    snapshot_append(_df(spark, 0, 10).repartition(1), t)   # v1
+    snapshot_delete_where(spark, t, "id = 2", lazy=True)   # v2: same files!
+    snapshot_append(_df(spark, 10, 20).repartition(1), t)  # v3
+    with pytest.raises(ValueError, match="lazy-delete filter"):
+        snapshot_incremental_read(spark, t, 1)
+    # from AFTER the delete the window is append-only again
+    delta, v = snapshot_incremental_read(spark, t, 2)
+    assert v == 3 and _ids(delta) == set(range(10, 20))
+
+
+def test_file_changes_and_change_feed_see_lazy_deletes(spark, tmp_path):
+    t = str(tmp_path / "t")
+    for i in range(4):
+        snapshot_append(_df(spark, i * 10, (i + 1) * 10).repartition(1), t)
+    snapshot_delete_where(spark, t, "id = 25", lazy=True)  # v5
+    removed, added, info = snapshot_file_changes(spark, t, 4, 5)
+    # no file moved; ONE carried file is refiltered and sits on BOTH sides
+    assert info["removed_files"] == [] and info["added_files"] == []
+    assert len(info["refiltered_files"]) == 1
+    assert _ids(removed) == set(range(20, 30))
+    assert _ids(added) == set(range(20, 30)) - {25}
+    # the row-level feed prices as the affected file, not the table
+    d = snapshot_changes(spark, t, ["id"], 4, 5)
+    ch = {r["id"]: r["diff_status"] for r in d.collect()}
+    assert ch[25] == "removed"
+    assert all(s == "unchanged" for k, s in ch.items() if k != 25)
+    assert set(ch) == set(range(20, 30))
+
+
+def test_matview_refresh_stays_exact_across_lazy_windows(spark, tmp_path):
+    from mini_project_204721_data_engineering_spark.operators.incremental import (
+        base_aggregate,
+    )
+    from mini_project_204721_data_engineering_spark.operators.matview import (
+        refresh_aggregate_view,
+    )
+
+    def rows(lo, hi):
+        return spark.range(lo, hi).select(
+            F.col("id"),
+            (F.col("id") % 3).cast("string").alias("grp"),
+            (F.col("id") % 7).cast("double").alias("val"),
+        )
+
+    meas = {"total": (lambda r: r["val"])}
+    src, view = str(tmp_path / "src"), str(tmp_path / "view")
+    snapshot_append(rows(0, 60).repartition(3), src)
+    refresh_aggregate_view(spark, src, view, ["grp"], meas)
+
+    def expected():
+        return {
+            r["grp"]: (r["n"], r["total"])
+            for r in base_aggregate(
+                read_snapshot(spark, src), ["grp"], meas, "n"
+            ).collect()
+        }
+
+    def state():
+        return {
+            r["grp"]: (r["n"], r["total"])
+            for r in read_snapshot(spark, view).collect()
+        }
+
+    snapshot_delete_where(spark, src, "id % 5 = 0", lazy=True)
+    m = refresh_aggregate_view(spark, src, view, ["grp"], meas)
+    assert m["meta"]["refresh_mode"] == "delta-confined"
+    assert state() == expected()
+    # and keeps composing: append, lazy delete, CoW delete, refresh each
+    snapshot_append(rows(60, 90).repartition(1), src)
+    refresh_aggregate_view(spark, src, view, ["grp"], meas)
+    snapshot_delete_where(spark, src, "id >= 80", lazy=True)
+    snapshot_delete_where(spark, src, "id < 10")
+    m2 = refresh_aggregate_view(spark, src, view, ["grp"], meas)
+    assert m2 is not None
+    assert state() == expected()
+
+
+def test_lazy_delete_bad_predicate_refuses_loudly(spark, tmp_path):
+    t = str(tmp_path / "t")
+    snapshot_append(_df(spark, 0, 5), t)
+    with pytest.raises(Exception):
+        snapshot_delete_where(spark, t, "no_such_col = 1", lazy=True)
+    # and the log is untouched by the failed attempt
+    assert _list_versions(spark, t) == [1]
