@@ -200,6 +200,32 @@ def _carry_filters(parent: dict | None, files: list[str]) -> list[dict]:
     return out
 
 
+def _rewrite_guard(base_manifest: dict, op: str):
+    """The conservative-serializable check every CoW rewrite shares:
+    abort unless the winning parent's FILE SET and its LAZY-DELETE
+    FILTER STATE are exactly what this rewrite read.  The filter check
+    is load-bearing — a concurrent lazy delete (or a restore) changes
+    visible rows WITHOUT changing the file list, so a file-set-only
+    guard would let the retry prune the interloper's filter entry while
+    committing bytes that never applied it: a committed takedown
+    silently resurrected."""
+    base_files = set(base_manifest["files"])
+    base_sig = _filter_sig(base_manifest, base_files)
+
+    def guard(parent):
+        if (
+            set(parent["files"] if parent else []) != base_files
+            or _filter_sig(parent, base_files) != base_sig
+        ):
+            raise RuntimeError(
+                f"concurrent commit during {op} (the tip's files or "
+                "lazy-delete filter state moved past the base this "
+                "rewrite read) — re-run on the new tip"
+            )
+
+    return guard
+
+
 def _commit(
     spark: SparkSession,
     table_dir: str,
@@ -740,15 +766,7 @@ def snapshot_delete_where(
     )
     if not hit_files:
         return manifest  # nothing to delete: current tip already correct
-    base_set = set(manifest["files"])
-
-    def moved_guard(parent):
-        if set(parent["files"] if parent else []) != base_set:
-            raise RuntimeError(
-                "concurrent commit during snapshot_delete_where (the tip "
-                "moved — an interleaved append may hold rows matching this "
-                "predicate) — re-run the delete on the new tip"
-            )
+    moved_guard = _rewrite_guard(manifest, "snapshot_delete_where")
 
     if lazy:
         def lazy_files_fn(parent):
@@ -806,14 +824,10 @@ def snapshot_apply_filters(spark: SparkSession, table_dir: str) -> dict:
     clean = _filtered_read(spark, manifest, covered)
     new_files, _ = _write_data_files(clean, table_dir)
     cov = set(covered)
-    base_set = set(manifest["files"])
+    guard = _rewrite_guard(manifest, "snapshot_apply_filters")
 
     def files_fn(parent):
-        if set(parent["files"] if parent else []) != base_set:
-            raise RuntimeError(
-                "concurrent commit during snapshot_apply_filters — "
-                "re-run on the new tip"
-            )
+        guard(parent)
         return [f for f in parent["files"] if f not in cov] + new_files
 
     return _commit(
@@ -915,15 +929,11 @@ def snapshot_merge_into(
     )
     new_data = survivors.unionByName(replaced).unionByName(inserts)
     new_files, _ = _write_data_files(new_data, table_dir)
-    base_set = set(base_files)
     hit = set(hit_files)
+    guard = _rewrite_guard(tip_manifest, "snapshot_merge_into")
 
     def files_fn(parent):
-        if set(parent["files"] if parent else []) != base_set:
-            raise RuntimeError(
-                "concurrent commit during snapshot_merge_into (the tip moved "
-                "past the merged base) — re-run the merge on the new tip"
-            )
+        guard(parent)
         return [f for f in base_files if f not in hit] + new_files
 
     return _commit(
@@ -1021,15 +1031,11 @@ def snapshot_replace_where(
         f"NOT ({predicate})"
     )
     new_files, _ = _write_data_files(survivors.unionByName(guarded), table_dir)
-    base_set = set(base_files)
     hit = set(hit_files)
+    guard = _rewrite_guard(manifest, "snapshot_replace_where")
 
     def files_fn(parent):
-        if set(parent["files"] if parent else []) != base_set:
-            raise RuntimeError(
-                "concurrent commit during snapshot_replace_where (the tip "
-                "moved past the replaced base) — re-run on the new tip"
-            )
+        guard(parent)
         return [f for f in base_files if f not in hit] + new_files
 
     return _commit(
@@ -1095,9 +1101,9 @@ def snapshot_file_changes(
     # rows out, new-filtered rows in), restoring the complete-delta
     # theorem at affected-file cost
     carried = old_files & new_files
+    old_fmap, new_fmap = _filter_map(old_m), _filter_map(new_m)
     refiltered = sorted(
-        f for f in carried
-        if _filter_sig(old_m, {f}) != _filter_sig(new_m, {f})
+        f for f in carried if old_fmap.get(f) != new_fmap.get(f)
     )
     all_compact: bool | None = True
     for v in range(from_version + 1, to_version + 1):
@@ -1218,12 +1224,18 @@ def snapshot_compact(
     packed = _filtered_read(spark, manifest, small).repartition(n_out)
     new_files, _ = _write_data_files(packed, table_dir)
     small_set = set(small)
+    # compaction stays APPEND-tolerant (appends only add files), but the
+    # filter state of the files it packed must not have moved: a
+    # concurrent lazy delete covering one of them would be pruned by the
+    # carry rule while these packed bytes never applied it
+    base_small_sig = _filter_sig(manifest, small_set)
 
     def files_fn(parent):
         missing = small_set - set(parent["files"] if parent else [])
-        if missing:
+        if missing or _filter_sig(parent, small_set) != base_small_sig:
             raise RuntimeError(
-                "concurrent commit replaced files this compaction rewrote — "
+                "concurrent commit replaced files (or changed the lazy-"
+                "delete filter state of files) this compaction rewrote — "
                 "re-run snapshot_compact on the new tip"
             )
         return [f for f in parent["files"] if f not in small_set] + new_files
@@ -1304,17 +1316,24 @@ def snapshot_incremental_read(
     return _filtered_read(spark, tip_manifest, added), tip
 
 
-def _filter_sig(manifest: dict | None, files: set) -> list:
-    """Canonical form of the lazy-delete filters RESTRICTED to ``files``
-    — two manifests whose signatures match hold row-identical data in
-    those files (the carry rule only ever prunes entries; predicates
-    are recorded verbatim)."""
-    out = []
+def _filter_map(manifest: dict | None) -> dict:
+    """file → sorted tuple of the lazy-delete predicates covering it —
+    ONE pass over the manifest's filter entries (O(Σ entry files)), so
+    per-file signature comparisons never rescan every entry list."""
+    acc: dict[str, list] = {}
     for e in (manifest or {}).get("row_filters", []):
-        kept = sorted(f for f in e["files"] if f in files)
-        if kept:
-            out.append((e["predicate"], tuple(kept)))
-    return sorted(out)
+        for f in e["files"]:
+            acc.setdefault(f, []).append(e["predicate"])
+    return {f: tuple(sorted(ps)) for f, ps in acc.items()}
+
+
+def _filter_sig(manifest: dict | None, files: set) -> dict:
+    """Canonical lazy-delete filter state RESTRICTED to ``files`` — two
+    manifests whose signatures match hold row-identical data in those
+    files (the carry rule only ever prunes entries; predicates are
+    recorded verbatim)."""
+    fmap = _filter_map(manifest)
+    return {f: fmap[f] for f in files if f in fmap}
 
 
 def snapshot_restore(spark: SparkSession, table_dir: str, version: int) -> dict:

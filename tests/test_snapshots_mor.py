@@ -243,3 +243,59 @@ def test_lazy_delete_bad_predicate_refuses_loudly(spark, tmp_path):
         snapshot_delete_where(spark, t, "no_such_col = 1", lazy=True)
     # and the log is untouched by the failed attempt
     assert _list_versions(spark, t) == [1]
+
+
+def test_concurrent_lazy_delete_aborts_cow_rewrite(spark, tmp_path):
+    """The lost-takedown race, pinned: a lazy delete commits BETWEEN a
+    CoW delete's read and its commit.  The file set is unchanged (lazy
+    deletes move no files), so a file-set-only guard would let the CoW
+    retry prune the interloper's filter while committing bytes that
+    never applied it — the guard must also compare filter state and
+    abort."""
+    import mini_project_204721_data_engineering_spark.sources.snapshots as snap
+
+    t = str(tmp_path / "t")
+    snapshot_append(_df(spark, 0, 30).repartition(1), t)
+    real_write = snap._write_data_files
+    fired = {"done": False}
+
+    def interloper(df, table_dir):
+        out = real_write(df, table_dir)
+        if not fired["done"]:
+            fired["done"] = True
+            snapshot_delete_where(spark, t, "id = 1", lazy=True)
+        return out
+
+    with pytest.MonkeyPatch.context() as mp:
+        mp.setattr(snap, "_write_data_files", interloper)
+        with pytest.raises(RuntimeError, match="filter state"):
+            snapshot_delete_where(spark, t, "id >= 25")
+    # the interloper's takedown survived; re-running the CoW delete on
+    # the new tip applies BOTH
+    snapshot_delete_where(spark, t, "id >= 25")
+    assert _ids(read_snapshot(spark, t)) == set(range(30)) - {1} - set(range(25, 30))
+
+
+def test_concurrent_lazy_delete_aborts_compaction(spark, tmp_path):
+    import mini_project_204721_data_engineering_spark.sources.snapshots as snap
+
+    t = str(tmp_path / "t")
+    for i in range(3):
+        snapshot_append(_df(spark, i * 10, (i + 1) * 10).repartition(1), t)
+    real_write = snap._write_data_files
+    fired = {"done": False}
+
+    def interloper(df, table_dir):
+        out = real_write(df, table_dir)
+        if not fired["done"]:
+            fired["done"] = True
+            snapshot_delete_where(spark, t, "id = 5", lazy=True)
+        return out
+
+    with pytest.MonkeyPatch.context() as mp:
+        mp.setattr(snap, "_write_data_files", interloper)
+        with pytest.raises(RuntimeError, match="filter state"):
+            snapshot_compact(spark, t)
+    # takedown intact; compaction on the new tip drains it
+    snapshot_compact(spark, t)
+    assert _ids(read_snapshot(spark, t)) == set(range(30)) - {5}
