@@ -1117,6 +1117,37 @@ def probe_snap(spark, n: int, out: list) -> None:
             "files_full": n_files_full, "files_pruned": n_files_pruned,
             "speedup": round(a / b, 2) if b else None,
         }), flush=True)
+
+        # delete-mode economics: the same one-key takedown as CoW rewrite
+        # vs merge-on-read (zero bytes moved) — both answers identical
+        from mini_project_204721_data_engineering_spark.sources.snapshots import (
+            snapshot_clone,
+            snapshot_delete_where,
+        )
+
+        t_cow, t_lazy = d + "/t_cow", d + "/t_lazy"
+        snapshot_clone(spark, t, t_cow)
+        snapshot_clone(spark, t, t_lazy)
+        pred = f"id = {3 * per + 7}"
+
+        def cow():
+            m = snapshot_delete_where(spark, t_cow, pred)
+            return m["meta"]["rewritten_files"]
+
+        def lazy():
+            m = snapshot_delete_where(spark, t_lazy, pred, lazy=True)
+            assert m["meta"]["rewritten_files"] == 0
+            return m["meta"]["filtered_files"]
+
+        c1 = timed("delete_one_key_cow", cow, out)
+        c2 = timed("delete_one_key_lazy", lazy, out)
+        assert (
+            read_snapshot(spark, t_cow).count()
+            == read_snapshot(spark, t_lazy).count()
+        )
+        print(json.dumps({"probe": "lazy_delete_speedup",
+                          "cow_over_lazy": round(c1 / c2, 2) if c2 else None}),
+              flush=True)
     finally:
         shutil.rmtree(d, ignore_errors=True)
 
