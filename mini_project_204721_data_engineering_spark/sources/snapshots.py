@@ -769,8 +769,30 @@ def snapshot_delete_where(
     moved_guard = _rewrite_guard(manifest, "snapshot_delete_where")
 
     if lazy:
+        # lazy deletes COMPOSE with concurrent lazy deletes: the retry's
+        # lazy_filters_fn re-carries the winning parent's entries and a
+        # concurrent filter can only SHRINK the rows matching this
+        # predicate (never create matches outside our hit files), so the
+        # guard is weaker than the CoW rewrite's — abort only when the
+        # file set moved or a base filter was REMOVED (a concurrent
+        # restore resurrecting rows our hit scan never saw)
+        base_files_set = set(manifest["files"])
+        base_fmap = _filter_map(manifest)
+
         def lazy_files_fn(parent):
-            moved_guard(parent)
+            if set(parent["files"] if parent else []) != base_files_set:
+                raise RuntimeError(
+                    "concurrent commit during snapshot_delete_where (the "
+                    "tip's files moved) — re-run the delete on the new tip"
+                )
+            pmap = _filter_map(parent)
+            for f, preds in base_fmap.items():
+                if not set(preds) <= set(pmap.get(f, ())):
+                    raise RuntimeError(
+                        "concurrent commit during snapshot_delete_where "
+                        "removed lazy-delete filter state (e.g. a restore) "
+                        "— re-run the delete on the new tip"
+                    )
             return list(parent["files"])
 
         def lazy_filters_fn(parent, files):

@@ -299,3 +299,52 @@ def test_concurrent_lazy_delete_aborts_compaction(spark, tmp_path):
     # takedown intact; compaction on the new tip drains it
     snapshot_compact(spark, t)
     assert _ids(read_snapshot(spark, t)) == set(range(30)) - {5}
+
+
+def test_concurrent_lazy_deletes_compose_not_abort(spark, tmp_path):
+    """Two racing LAZY deletes must BOTH land (the retry re-carries the
+    winner's entry and appends its own) — filter ADDITION can only
+    shrink the rows a takedown matches, so aborting would be a spurious
+    regression on the high-frequency path."""
+    import mini_project_204721_data_engineering_spark.sources.snapshots as snap
+
+    t = str(tmp_path / "t")
+    snapshot_append(_df(spark, 0, 30).repartition(1), t)
+    real_try = snap._try_write_manifest
+    fired = {"done": False}
+
+    def racing(spark_, table_dir, version, m):
+        if not fired["done"]:
+            fired["done"] = True
+            snapshot_delete_where(spark, t, "id = 1", lazy=True)
+        return real_try(spark_, table_dir, version, m)
+
+    with pytest.MonkeyPatch.context() as mp:
+        mp.setattr(snap, "_try_write_manifest", racing)
+        m = snapshot_delete_where(spark, t, "id >= 25", lazy=True)
+    assert len(m["row_filters"]) == 2  # BOTH takedowns in the tip
+    assert _ids(read_snapshot(spark, t)) == set(range(30)) - {1} - set(range(25, 30))
+
+
+def test_concurrent_filter_removal_aborts_lazy_delete(spark, tmp_path):
+    """The case the lazy guard MUST catch: a racing restore strips a
+    filter, resurrecting rows this delete's hit scan never saw — abort,
+    don't under-cover."""
+    import mini_project_204721_data_engineering_spark.sources.snapshots as snap
+
+    t = str(tmp_path / "t")
+    snapshot_append(_df(spark, 0, 30).repartition(1), t)     # v1
+    snapshot_delete_where(spark, t, "id = 1", lazy=True)     # v2
+    real_try = snap._try_write_manifest
+    fired = {"done": False}
+
+    def racing(spark_, table_dir, version, m):
+        if not fired["done"]:
+            fired["done"] = True
+            snapshot_restore(spark, t, 1)  # same files, filters gone
+        return real_try(spark_, table_dir, version, m)
+
+    with pytest.MonkeyPatch.context() as mp:
+        mp.setattr(snap, "_try_write_manifest", racing)
+        with pytest.raises(RuntimeError, match="removed lazy-delete filter"):
+            snapshot_delete_where(spark, t, "id >= 25", lazy=True)

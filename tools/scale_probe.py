@@ -1141,10 +1141,10 @@ def probe_snap(spark, n: int, out: list) -> None:
 
         c1 = timed("delete_one_key_cow", cow, out)
         c2 = timed("delete_one_key_lazy", lazy, out)
-        assert (
-            read_snapshot(spark, t_cow).count()
-            == read_snapshot(spark, t_lazy).count()
-        )
+        # real equivalence oracle: identical row SETS, not just counts
+        a_df, b_df = read_snapshot(spark, t_cow), read_snapshot(spark, t_lazy)
+        assert a_df.exceptAll(b_df).limit(1).count() == 0
+        assert b_df.exceptAll(a_df).limit(1).count() == 0
         print(json.dumps({"probe": "lazy_delete_speedup",
                           "cow_over_lazy": round(c1 / c2, 2) if c2 else None}),
               flush=True)
