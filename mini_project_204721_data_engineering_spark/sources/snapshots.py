@@ -313,23 +313,64 @@ def _check_schema(parent: dict | None, ddl: str, op: str) -> None:
         )
 
 
+_WIDEN_RANK = {"tinyint": 0, "smallint": 1, "int": 2, "bigint": 3}
+
+
+def _wider_type(a, b):
+    """The wider of two types when the pair is LOSSLESSLY widenable
+    under the manifest-pinned read model, else None.  Safe pairs are
+    exactly those Spark 4's parquet reader upcasts at scan time
+    (verified by the widening pytest, not assumed): the integer chain
+    tinyint→smallint→int→bigint, float→double, and decimal precision
+    growth at UNCHANGED scale.  Anything else (string/int, scale
+    change, date/timestamp) is a semantic change, not a widening —
+    refuse."""
+    from pyspark.sql.types import DecimalType
+
+    if a == b:
+        return a
+    sa, sb = a.simpleString(), b.simpleString()
+    if sa in _WIDEN_RANK and sb in _WIDEN_RANK:
+        return a if _WIDEN_RANK[sa] >= _WIDEN_RANK[sb] else b
+    if {sa, sb} == {"float", "double"}:
+        return a if sa == "double" else b
+    if (
+        isinstance(a, DecimalType)
+        and isinstance(b, DecimalType)
+        and a.scale == b.scale
+    ):
+        return a if a.precision >= b.precision else b
+    return None
+
+
 def _merged_schema(parent_ddl: str, df_schema) -> str:
-    """Additive by-name schema merge: parent columns keep their place
-    and types; NEW df columns append.  A type conflict on a shared
-    column refuses (silent widening is a correctness bug factory)."""
-    from pyspark.sql.types import StructType, _parse_datatype_string
+    """Additive by-name schema merge: parent columns keep their place;
+    NEW df columns append; a shared column whose two types are
+    losslessly widenable takes the WIDER type (int→long, float→double,
+    decimal precision at fixed scale — in EITHER direction, since the
+    manifest-pinned read upcasts narrow files at scan time, so neither
+    the old files nor the new ones rewrite).  Any other type conflict
+    refuses (silent coercion is a correctness bug factory)."""
+    from pyspark.sql.types import StructField, StructType, _parse_datatype_string
 
     old = _parse_datatype_string(parent_ddl)
     old_types = {f.name: f.dataType for f in old.fields}
+    widened = {}
     for f in df_schema.fields:
         if f.name in old_types and old_types[f.name] != f.dataType:
-            raise ValueError(
-                f"merge_schema: column {f.name!r} is {old_types[f.name].simpleString()} "
-                f"in the table but {f.dataType.simpleString()} in the append"
-            )
-    merged = list(old.fields) + [
-        f for f in df_schema.fields if f.name not in old_types
-    ]
+            w = _wider_type(old_types[f.name], f.dataType)
+            if w is None:
+                raise ValueError(
+                    f"merge_schema: column {f.name!r} is "
+                    f"{old_types[f.name].simpleString()} in the table but "
+                    f"{f.dataType.simpleString()} in the append, and the pair "
+                    "is not losslessly widenable"
+                )
+            widened[f.name] = w
+    merged = [
+        StructField(f.name, widened.get(f.name, f.dataType), True)
+        for f in old.fields
+    ] + [f for f in df_schema.fields if f.name not in old_types]
     return StructType(merged).simpleString()
 
 

@@ -249,6 +249,67 @@ def test_merge_schema_additive_evolution(spark, tmp_path):
         snapshot_append(conflict, t, merge_schema=True)
 
 
+def test_merge_schema_type_widening_both_directions(spark, tmp_path):
+    """Lossless widening under the manifest-pinned read: int→long and
+    float→double merge to the WIDER type in either direction; old
+    narrow files upcast at scan time (no rewrite), time travel still
+    reads the pre-widening snapshot narrow."""
+    t = str(tmp_path / "t")
+    narrow = spark.range(0, 5).select(
+        F.col("id").cast("int").alias("k"),
+        F.col("id").cast("float").alias("v"),
+        F.col("id").cast("smallint").alias("s"),
+    )
+    snapshot_append(narrow, t)
+    before_files = set(_read_manifest(spark, t, 1)["files"])
+    wide = spark.range(5, 8).select(
+        F.col("id").cast("long").alias("k"),
+        F.col("id").cast("double").alias("v"),
+        F.col("id").cast("int").alias("s"),
+    )
+    m = snapshot_append(wide, t, merge_schema=True)
+    assert "k:bigint" in m["schema"] and "v:double" in m["schema"]
+    assert "s:int" in m["schema"]
+    assert before_files <= set(m["files"])  # no rewrite of narrow files
+    out = read_snapshot(spark, t)
+    assert dict(out.dtypes) == {"k": "bigint", "v": "double", "s": "int"}
+    assert {r["k"] for r in out.collect()} == set(range(8))
+    # the narrower direction: appending narrow into the widened table
+    # keeps the wide manifest schema (the new narrow FILE upcasts too)
+    m2 = snapshot_append(narrow.filter("k >= 3"), t, merge_schema=True)
+    assert "k:bigint" in m2["schema"]
+    assert read_snapshot(spark, t).count() == 10
+    # time travel: v1 still reads with the original narrow schema
+    assert dict(read_snapshot(spark, t, version=1).dtypes)["k"] == "int"
+
+
+def test_merge_schema_decimal_precision_widening_and_refusals(spark, tmp_path):
+    t = str(tmp_path / "t")
+    snapshot_append(
+        spark.range(3).select(F.col("id").cast("decimal(5,2)").alias("m")), t
+    )
+    m = snapshot_append(
+        spark.range(3, 5).select(F.col("id").cast("decimal(10,2)").alias("m")),
+        t, merge_schema=True,
+    )
+    assert "decimal(10,2)" in m["schema"]
+    assert read_snapshot(spark, t).count() == 5
+    # scale change is NOT a widening
+    with pytest.raises(ValueError, match="not losslessly widenable"):
+        snapshot_append(
+            spark.range(1).select(F.col("id").cast("decimal(10,3)").alias("m")),
+            t, merge_schema=True,
+        )
+    # neither is int -> double (semantic change across families)
+    t2 = str(tmp_path / "t2")
+    snapshot_append(spark.range(3).select(F.col("id").cast("int").alias("x")), t2)
+    with pytest.raises(ValueError, match="not losslessly widenable"):
+        snapshot_append(
+            spark.range(1).select(F.col("id").cast("double").alias("x")),
+            t2, merge_schema=True,
+        )
+
+
 def test_stats_pruning_skips_disjoint_files(spark, tmp_path):
     t = str(tmp_path / "t")
     snapshot_append(_df(spark, 0, 100, "a").repartition(1), t, stats_cols=["id"])
