@@ -511,8 +511,11 @@ def snapshot_append(
 
     ``merge_schema=True`` allows ADDITIVE by-name evolution: new columns
     append to the table schema; old files read them as NULL (the reader
-    pins the manifest schema, so this is purely metadata).  A type
-    conflict still refuses.  ``stats_cols`` records per-file min/max in
+    pins the manifest schema, so this is purely metadata).  A shared
+    column whose types are LOSSLESSLY widenable (int-chain→bigint,
+    float→double, decimal precision at fixed scale) merges to the wider
+    type — scan-time upcast, zero rewrite; any other type conflict
+    refuses.  ``stats_cols`` records per-file min/max in
     the manifest for :func:`read_snapshot` file pruning; the column set
     is sticky across the commit chain.  A MAPPING gives DERIVED stats —
     hidden-partitioning lite: ``{"day": "CAST(ts AS DATE)"}`` records
@@ -775,10 +778,15 @@ def snapshot_delete_where(
     materialize everything at once.  Time travel to the pre-delete
     version still shows the rows (filters live in the manifest).
 
-    Both modes are conservative-serializable like merge/replace: the
-    commit aborts if the tip moved at all — a concurrent APPEND may
-    carry rows matching this very predicate, and covering/carrying its
-    file would silently mis-delete."""
+    Concurrency: the CoW mode is conservative-serializable like
+    merge/replace — the commit aborts if the tip's files OR filter
+    state moved at all (a concurrent APPEND may carry rows matching
+    this very predicate; a concurrent lazy delete would be silently
+    dropped by a rewrite that never applied it).  The LAZY mode
+    COMPOSES with concurrent lazy deletes (both filter entries land —
+    an added filter can only shrink this predicate's matches) and
+    aborts only when the file set moved or a filter was REMOVED (a
+    racing restore resurrecting rows the hit scan never saw)."""
     from pyspark.sql import functions as F
     from pyspark.sql.types import _parse_datatype_string
 
@@ -807,7 +815,6 @@ def snapshot_delete_where(
     )
     if not hit_files:
         return manifest  # nothing to delete: current tip already correct
-    moved_guard = _rewrite_guard(manifest, "snapshot_delete_where")
 
     if lazy:
         # lazy deletes COMPOSE with concurrent lazy deletes: the retry's
@@ -858,6 +865,7 @@ def snapshot_delete_where(
     )
     new_files, _ = _write_data_files(survivors, table_dir)
     hit = set(hit_files)
+    moved_guard = _rewrite_guard(manifest, "snapshot_delete_where")
 
     def files_fn(parent):
         moved_guard(parent)

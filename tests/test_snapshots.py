@@ -293,7 +293,12 @@ def test_merge_schema_decimal_precision_widening_and_refusals(spark, tmp_path):
         t, merge_schema=True,
     )
     assert "decimal(10,2)" in m["schema"]
-    assert read_snapshot(spark, t).count() == 5
+    # VALUE-verified (count() alone never decodes the column): the
+    # narrow decimal(5,2) files must upcast correctly at scan time
+    from decimal import Decimal
+
+    got = sorted(r["m"] for r in read_snapshot(spark, t).collect())
+    assert got == [Decimal(f"{i}.00") for i in range(5)]
     # scale change is NOT a widening
     with pytest.raises(ValueError, match="not losslessly widenable"):
         snapshot_append(
