@@ -643,9 +643,11 @@ def _filtered_read(
     """Read ``files`` under ``manifest``'s pinned schema, applying the
     manifest's pending lazy-delete row filters to EXACTLY the files each
     entry covers (merge-on-read).  Files are grouped by their applicable
-    filter set — in practice one unfiltered group plus one group per
-    live takedown — so the plan stays a small union of scans; every
-    NOT(predicate) is a codegen filter pushed at its group's scan.  All
+    filter set — one group per DISTINCT combination of covering
+    takedowns (in practice the unfiltered group plus ~one per live
+    takedown; overlapping coverage adds intersection groups) — so the
+    plan stays a small union of scans; every NOT(predicate) is a
+    codegen filter pushed at its group's scan.  All
     internal data reads (rewrites included) MUST come through here:
     bypassing it would resurrect lazily-deleted rows."""
     from pyspark.sql.types import _parse_datatype_string
