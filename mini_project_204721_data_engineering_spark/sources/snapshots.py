@@ -1267,6 +1267,7 @@ def snapshot_compact(
     table_dir: str,
     target_file_bytes: int = 128 * 1024 * 1024,
     small_file_bytes: int | None = None,
+    zorder_by: Sequence[str] | None = None,
 ) -> dict:
     """Bin-pack small files into ~``target_file_bytes`` files as a new
     snapshot — the maintenance pass that keeps a streaming-fed table
@@ -1276,7 +1277,16 @@ def snapshot_compact(
     of prior snapshots are untouched (old files live until
     :func:`expire_snapshots`).  Safe against concurrent APPENDS (they
     only add files); a concurrent delete/compact that replaced one of
-    the compacted files aborts with re-run guidance."""
+    the compacted files aborts with re-run guidance.
+
+    ``zorder_by`` (the OPTIMIZE ZORDER composition): the packed rewrite
+    is laid out along the Z-curve of the given integer-typed columns —
+    range-partitioned on the Morton value so each output file owns a
+    curve segment with a SMALL bounding box in every Z-column — and the
+    commit records manifest min/max stats for those columns (sticky-set
+    rules apply), so :func:`read_snapshot` manifest pruning on ANY of
+    them skips most files immediately after the compact, not just on a
+    leading sort key (pruning-effectiveness pytest-pinned)."""
     if small_file_bytes is None:
         small_file_bytes = target_file_bytes // 2
     versions = _list_versions(spark, table_dir)
@@ -1294,7 +1304,19 @@ def snapshot_compact(
     n_out = max(1, (total + target_file_bytes - 1) // target_file_bytes)
     # read through pending lazy-delete filters: compaction is also the
     # natural drain point that materializes them into clean bytes
-    packed = _filtered_read(spark, manifest, small).repartition(n_out)
+    packed = _filtered_read(spark, manifest, small)
+    if zorder_by:
+        from mini_project_204721_data_engineering_spark.sources.sink import zorder_column
+
+        z = zorder_column(packed, list(zorder_by))
+        packed = (
+            packed.withColumn("__zval", z)
+            .repartitionByRange(n_out, "__zval")
+            .sortWithinPartitions("__zval")
+            .drop("__zval")
+        )
+    else:
+        packed = packed.repartition(n_out)
     new_files, _ = _write_data_files(packed, table_dir)
     small_set = set(small)
     # compaction stays APPEND-tolerant (appends only add files), but the
@@ -1315,8 +1337,9 @@ def snapshot_compact(
 
     return _commit(
         spark, table_dir, "compact", files_fn, manifest["schema"],
-        meta={"compacted_files": len(small), "produced_files": len(new_files)},
-        stats_fn=_compose_stats(spark, new_files, None),
+        meta={"compacted_files": len(small), "produced_files": len(new_files),
+              **({"zorder_by": list(zorder_by)} if zorder_by else {})},
+        stats_fn=_compose_stats(spark, new_files, zorder_by),
     )
 
 

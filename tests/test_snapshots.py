@@ -315,6 +315,48 @@ def test_merge_schema_decimal_precision_widening_and_refusals(spark, tmp_path):
         )
 
 
+def test_compact_zorder_layout_prunes_on_both_columns(spark, tmp_path):
+    """OPTIMIZE ZORDER composition: compacting with zorder_by lays the
+    packed files along the Morton curve of (a, b) and records manifest
+    stats for both — a range prune on EITHER column then plans fewer
+    files than the compact produced, and the data is untouched."""
+    from mini_project_204721_data_engineering_spark.sources.snapshots import (
+        snapshot_compact,
+    )
+
+    t = str(tmp_path / "t")
+    for i in range(8):  # 8 small unclustered commits
+        df = spark.range(i * 250, (i + 1) * 250).select(
+            F.col("id"),
+            F.pmod(F.xxhash64("id", F.lit(1)), F.lit(1000)).alias("a"),
+            F.pmod(F.xxhash64("id", F.lit(2)), F.lit(1000)).alias("b"),
+        ).repartition(1)
+        snapshot_append(df, t)
+    before = read_snapshot(spark, t)
+    want = {(r["id"], r["a"], r["b"]) for r in before.collect()}
+
+    m = snapshot_compact(spark, t, target_file_bytes=8 * 1024,
+                         small_file_bytes=1 << 20, zorder_by=["a", "b"])
+    assert m["op"] == "compact" and m["meta"]["zorder_by"] == ["a", "b"]
+    n_files = len(m["files"])
+    assert n_files >= 4  # enough segments for pruning to mean something
+    got = read_snapshot(spark, t)
+    assert {(r["id"], r["a"], r["b"]) for r in got.collect()} == want
+
+    # prune on a: files are curve segments with small (a, b) boxes
+    pruned_a = read_snapshot(spark, t, prune={"a": (0, 240)})
+    assert 0 < len(pruned_a.inputFiles()) < n_files
+    assert {r["id"] for r in pruned_a.filter("a <= 240").collect()} == {
+        k for k, a, _ in want if a <= 240
+    }
+    # and on b — the column a plain sort could never prune
+    pruned_b = read_snapshot(spark, t, prune={"b": (760, 1000)})
+    assert 0 < len(pruned_b.inputFiles()) < n_files
+    assert {r["id"] for r in pruned_b.filter("b >= 760").collect()} == {
+        k for k, _, b in want if b >= 760
+    }
+
+
 def test_stats_pruning_skips_disjoint_files(spark, tmp_path):
     t = str(tmp_path / "t")
     snapshot_append(_df(spark, 0, 100, "a").repartition(1), t, stats_cols=["id"])
