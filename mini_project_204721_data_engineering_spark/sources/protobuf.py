@@ -598,6 +598,11 @@ class _ProtoParser:
                     f"{label!r} is not allowed on map fields (a map is "
                     "already a repeated entry message)"
                 )
+            if not label_allowed:
+                # protoc rejects map (and repeated) fields inside oneof —
+                # a map is sugar for a repeated entry message, and oneof
+                # members must be singular
+                raise ValueError("map fields are not allowed inside oneof")
             self.next()
             self.expect("<")
             ktype = self.next()
@@ -615,6 +620,20 @@ class _ProtoParser:
         if not numtok.isdigit():
             raise ValueError(f"field {fname!r}: bad field number {numtok!r}")
         num = int(numtok)
+        # the wire format's legal range: 1..2^29-1, minus the range the
+        # descriptor reserves for protocol implementations — protoc
+        # rejects these, so accepting them would decode against schemas
+        # no real protobuf stack can produce
+        if not 1 <= num <= 536870911:
+            raise ValueError(
+                f"field {fname!r}: field number {num} outside the legal "
+                "range 1..536870911"
+            )
+        if 19000 <= num <= 19999:
+            raise ValueError(
+                f"field {fname!r}: field number {num} is in the reserved "
+                "range 19000..19999"
+            )
         if self.peek() == "[":
             self._skip_options()  # packed / deprecated / default: no-ops here
         self.expect(";")

@@ -530,15 +530,54 @@ def write_jdbc(
     )
 
 
-def zorder_column(df: DataFrame, cols: Sequence[str], bits: int = 16):
-    """Z-order (Morton) key over integer-typed ``cols`` as a Column.
+def _zorder_encode(df: DataFrame, c: str):
+    """Order-preserving numeric encoding of column ``c`` for the Morton
+    interleave — pure codegen, no sampling pass:
 
-    Each column is min/max-normalized to a ``bits``-bit integer in one
-    stats pass (one tiny collect — bounds only), then the per-column
-    bits are interleaved with pure shift/mask arithmetic (whole-stage
-    codegen — no UDF).  The returned Column orders rows along the
-    Z-curve.  Non-integer columns: cast/encode to long first (dates via
-    datediff, strings via a hash or dictionary rank).
+    - integer/float/double/decimal → cast double (the normalization
+      below is double-domain anyway)
+    - date → days since epoch (``datediff``)
+    - timestamp → microseconds since epoch (``unix_micros``)
+    - string → the first 7 bytes of the UTF-8 encoding, right-padded
+      with 0x00, read as a big-endian integer: monotone in binary
+      (byte-lexicographic) string order, which is exactly the order the
+      manifest min/max stats compare in, so pruning agrees with the
+      curve.  7 bytes (not 8) so the value fits the 63 positive bits of
+      a signed long; strings sharing a 7-byte prefix land in the same
+      bucket — the right collapse for clustering.
+
+    Anything else (arrays, structs, maps, binary) refuses loudly: there
+    is no total order a min/max prune could exploit."""
+    dt = df.schema[c].dataType.simpleString()
+    if dt in ("tinyint", "smallint", "int", "bigint", "float", "double") or dt.startswith(
+        "decimal"
+    ):
+        return F.col(c).cast("double")
+    if dt == "date":
+        return F.datediff(F.col(c), F.lit("1970-01-01")).cast("double")
+    if dt == "timestamp":
+        return F.unix_micros(F.col(c)).cast("double")
+    if dt == "string":
+        return F.expr(
+            f"CAST(conv(hex(rpad(CAST({c} AS BINARY), 7, X'00')), 16, 10) AS DOUBLE)"
+        )
+    raise ValueError(
+        f"zorder_column: column {c!r} has unorderable type {dt} — "
+        "Z-order needs an integer, float, decimal, date, timestamp, or "
+        "string column"
+    )
+
+
+def zorder_column(df: DataFrame, cols: Sequence[str], bits: int = 16):
+    """Z-order (Morton) key over ``cols`` as a Column.
+
+    Each column is encoded to an order-preserving numeric
+    (:func:`_zorder_encode` — integers directly; dates as epoch-days,
+    timestamps as epoch-micros, strings as their big-endian 7-byte
+    prefix), min/max-normalized to a ``bits``-bit integer in one stats
+    pass (one tiny collect — bounds only), then the per-column bits are
+    interleaved with pure shift/mask arithmetic (whole-stage codegen —
+    no UDF).  The returned Column orders rows along the Z-curve.
 
     Why it matters at 100 TB: sorting a table by ``(a, b)`` gives
     perfect parquet min/max pruning on ``a`` but none on ``b``; Z-order
@@ -558,25 +597,31 @@ def zorder_column(df: DataFrame, cols: Sequence[str], bits: int = 16):
     bits = min(bits, 63 // len(cols))
     if bits < 1:
         raise ValueError(f"too many Z-order columns ({len(cols)}): need >=1 bit each")
+    enc = {c: _zorder_encode(df, c) for c in cols}
     stats = df.agg(
-        *[F.min(c).alias(f"__min_{c}") for c in cols],
-        *[F.max(c).alias(f"__max_{c}") for c in cols],
+        *[F.min(enc[c]).alias(f"__min_{c}") for c in cols],
+        *[F.max(enc[c]).alias(f"__max_{c}") for c in cols],
     ).collect()[0]
     scaled = []
     for c in cols:
         lo, hi = stats[f"__min_{c}"], stats[f"__max_{c}"]
         if lo is None or hi is None:  # empty or all-null column: no order
             return F.lit(0).cast("long").alias("__zval")
-        span = max(1, int(hi) - int(lo))
-        # value → [0, 2^bits): codegen'd long arithmetic
+        span = max(1.0, float(hi) - float(lo))
+        # value → [0, 2^bits), scale computed in DOUBLE: the old long
+        # form ((v - lo) * (2^bits - 1)) wrapped for spans above ~2^47
+        # (epoch-micros, hash-derived ids), silently scrambling the
+        # curve for exactly the wide-range columns Z-ordering targets.
+        # Double ops are monotone, so ordering survives; sub-ULP
+        # precision loss only coarsens bucket boundaries.
+        scale = float((1 << bits) - 1) / span
         scaled.append(
             F.least(
                 F.lit((1 << bits) - 1),
-                (
-                    (F.col(c).cast("long") - F.lit(int(lo)))
-                    * F.lit((1 << bits) - 1)
-                    / F.lit(span)
-                ).cast("long"),
+                F.greatest(
+                    F.lit(0),
+                    ((enc[c] - F.lit(float(lo))) * F.lit(scale)).cast("long"),
+                ),
             )
         )
     z = F.lit(0).cast("long")

@@ -646,8 +646,8 @@ def _filtered_read(
     filter set — one group per DISTINCT combination of covering
     takedowns (in practice the unfiltered group plus ~one per live
     takedown; overlapping coverage adds intersection groups) — so the
-    plan stays a small union of scans; every NOT(predicate) is a
-    codegen filter pushed at its group's scan.  All
+    plan stays a small union of scans; every ``(predicate) IS NOT
+    TRUE`` is a codegen filter pushed at its group's scan.  All
     internal data reads (rewrites included) MUST come through here:
     bypassing it would resurrect lazily-deleted rows."""
     from pyspark.sql.types import _parse_datatype_string
@@ -669,7 +669,11 @@ def _filtered_read(
     for sig, fl in groups.items():
         df = spark.read.schema(schema).parquet(*fl)
         for i in sig:
-            df = df.filter(f"NOT ({filters[i]['predicate']})")
+            # IS NOT TRUE, not NOT(pred): SQL DELETE removes exactly the
+            # pred=TRUE rows (Delta/Iceberg semantics) — under NOT(pred) a
+            # row whose predicate evaluates NULL would survive or die
+            # depending on which physical file it shares with a TRUE row
+            df = df.filter(f"({filters[i]['predicate']}) IS NOT TRUE")
         parts.append(df)
     out = parts[0]
     for p in parts[1:]:
@@ -769,7 +773,9 @@ def snapshot_delete_where(
     amplification zero) and the commit records a ``row_filters`` entry
     — ``{predicate, files}`` — that every read (:func:`read_snapshot`
     and ALL internal rewrite reads via :func:`_filtered_read`) applies
-    as a codegen ``NOT(predicate)`` on exactly those files.  At 100 TB
+    as a codegen ``(predicate) IS NOT TRUE`` on exactly those files
+    (SQL DELETE semantics: exactly the pred=TRUE rows go; a row whose
+    predicate evaluates NULL always survives).  At 100 TB
     a takedown over a billion-row slice commits after one scan instead
     of rewriting terabytes; the deferred cost is one pushed filter per
     live takedown on reads of the covered files.  Filters drain
@@ -862,8 +868,10 @@ def snapshot_delete_where(
     # produces a schema-only part file, which is cheaper than an extra
     # guard pass over the hit files to detect it.  The read goes through
     # the filters so pending lazy deletes materialize into the rewrite.
+    # IS NOT TRUE: delete exactly the pred=TRUE rows — NULL-predicate
+    # rows survive regardless of which file they share with a hit.
     survivors = _filtered_read(spark, manifest, hit_files, schema).filter(
-        f"NOT ({predicate})"
+        f"({predicate}) IS NOT TRUE"
     )
     new_files, _ = _write_data_files(survivors, table_dir)
     hit = set(hit_files)
@@ -1100,8 +1108,12 @@ def snapshot_replace_where(
             .collect()
         )
     ) if base_files else []
+    # IS NOT TRUE, matching the delete family: the replaced slice is
+    # exactly the pred=TRUE rows (a NULL-predicate row is not part of
+    # the slice, so it survives — and the in-plan guard above already
+    # refuses NULL-predicate INSERTS for idempotency)
     survivors = _filtered_read(spark, manifest, hit_files, df.schema).filter(
-        f"NOT ({predicate})"
+        f"({predicate}) IS NOT TRUE"
     )
     new_files, _ = _write_data_files(survivors.unionByName(guarded), table_dir)
     hit = set(hit_files)
@@ -1219,14 +1231,22 @@ def snapshot_changes(
     keys: Sequence[str],
     from_version: int,
     to_version: int | None = None,
-    confined: bool = True,
+    confined: bool = False,
 ) -> DataFrame:
     """Row-level change feed between two snapshots (CDF after the fact):
     ``(keys..., diff_status, changed_cols)`` via the engine's
     ``table_diff`` — added/removed/changed/unchanged with null-safe
     per-column attribution.
 
-    ``confined=True`` (default) diffs ONLY the files the window rewrote
+    ``confined=False`` (default) full-outer joins the two complete
+    snapshots and emits an ``unchanged`` row for every untouched key —
+    the audit shape, at table-sized cost.  This is the original
+    contract; the confined fast path below is opt-in because it emits a
+    DIFFERENT result set (untouched keys are absent, not ``unchanged``)
+    — an audit caller counting unchanged keys must not be switched
+    silently.
+
+    ``confined=True`` diffs ONLY the files the window rewrote
     (:func:`snapshot_file_changes`): files carried by both snapshots are
     byte-identical under CoW, so their rows are unchanged by
     construction and are NOT emitted — the join is rewritten-file-sized,
@@ -1237,11 +1257,7 @@ def snapshot_changes(
     holds at most one live row per snapshot — which is the same
     precondition the full-outer keyed diff needs to be well-defined at
     all (a key duplicated across a carried and an added file would
-    already be a duplicate key in the new snapshot).
-
-    ``confined=False`` full-outer joins the two complete snapshots and
-    additionally emits an ``unchanged`` row for every untouched key —
-    the audit shape, at table-sized cost."""
+    already be a duplicate key in the new snapshot)."""
     from mini_project_204721_data_engineering_spark.operators.diff import table_diff
 
     if not confined:
@@ -1280,7 +1296,9 @@ def snapshot_compact(
     the compacted files aborts with re-run guidance.
 
     ``zorder_by`` (the OPTIMIZE ZORDER composition): the packed rewrite
-    is laid out along the Z-curve of the given integer-typed columns —
+    is laid out along the Z-curve of the given columns (integer, float,
+    decimal, date, timestamp, or string — encoded order-preservingly by
+    ``sink._zorder_encode``) —
     range-partitioned on the Morton value so each output file owns a
     curve segment with a SMALL bounding box in every Z-column — and the
     commit records manifest min/max stats for those columns (sticky-set

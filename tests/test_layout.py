@@ -730,3 +730,75 @@ def test_merge_schema_contract_refuses_extra_and_missing_columns(spark):
         assert merge_into(ok, tab, ["k"], "day")["inserted"] == 1
     finally:
         shutil.rmtree(d, ignore_errors=True)
+
+
+def test_zorder_wide_span_column_stays_monotone(spark):
+    """Overflow regression: normalization used to compute
+    (v - lo) * (2^bits - 1) in LONG arithmetic, which wraps for column
+    spans above ~2^47 (epoch-micros timestamps, hash-derived ids) and
+    silently scrambles the curve.  The double-domain scale must keep a
+    single wide-span column's Z-value monotone in the column."""
+    from mini_project_204721_data_engineering_spark.sources.sink import zorder_column
+
+    wide = spark.range(0, 2000).select((F.col("id") * F.lit(1 << 45)).alias("v"))
+    rows = wide.select("v", zorder_column(wide, ["v"])).orderBy("v").collect()
+    zs = [r["__zval"] for r in rows]
+    assert all(a <= b for a, b in zip(zs, zs[1:]))
+    assert len(set(zs)) > 1000  # wide range actually spreads the curve
+
+
+def test_zorder_date_and_string_columns_prune(spark, tmp_path):
+    """Z-order over the keys a log table actually clusters by: a DATE
+    and a STRING column (epoch-day / big-endian 7-byte-prefix encodings)
+    — a point filter on EITHER column must overlap only a minority of
+    files, and the bytes must round-trip identically."""
+    import pyarrow.parquet as pq
+    from mini_project_204721_data_engineering_spark.sources.sink import write_zordered
+
+    df = spark.range(0, 20000).select(
+        F.col("id"),
+        F.date_add(F.lit("2024-01-01"), (F.col("id") % 300).cast("int")).alias("day"),
+        F.concat(F.lit("user-"), F.lpad((F.col("id") % 500).cast("string"), 4, "0")).alias("user"),
+    )
+    out = str(tmp_path / "zds")
+    write_zordered(df, out, ["day", "user"], n_files=16)
+    back = spark.read.parquet(out)
+    assert back.count() == 20000
+    assert {r["id"] for r in back.collect()} == set(range(20000))
+
+    def file_ranges(col):
+        ranges = []
+        for f in sorted(os.listdir(out)):
+            if not f.endswith(".parquet"):
+                continue
+            md = pq.ParquetFile(os.path.join(out, f)).metadata
+            los, his = [], []
+            for rg in range(md.num_row_groups):
+                for ci in range(md.num_columns):
+                    c = md.row_group(rg).column(ci)
+                    if c.path_in_schema == col and c.statistics is not None:
+                        los.append(c.statistics.min)
+                        his.append(c.statistics.max)
+            if los:
+                ranges.append((min(los), max(his)))
+        return ranges
+
+    import datetime
+
+    day_ranges = file_ranges("day")
+    user_ranges = file_ranges("user")
+    assert len(day_ranges) >= 8
+    for probe in (datetime.date(2024, 2, 1), datetime.date(2024, 8, 1)):
+        hits = sum(1 for lo, hi in day_ranges if lo <= probe <= hi)
+        assert hits <= len(day_ranges) // 2, (probe, hits, len(day_ranges))
+    for probe in ("user-0042", "user-0420"):
+        hits = sum(1 for lo, hi in user_ranges if lo <= probe <= hi)
+        assert hits <= len(user_ranges) // 2, (probe, hits, len(user_ranges))
+
+
+def test_zorder_refuses_unorderable_column(spark):
+    from mini_project_204721_data_engineering_spark.sources.sink import zorder_column
+
+    df = spark.range(3).select(F.array(F.col("id")).alias("a"), F.col("id"))
+    with pytest.raises(ValueError, match="unorderable"):
+        zorder_column(df, ["a", "id"])

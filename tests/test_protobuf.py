@@ -238,6 +238,14 @@ def test_proto_oneof_map_enum_nested_and_fq_names():
     ("message M { int64 x = 1 ", ValueError, ""),
     ("message M { int64 x = 1; } message N { int64 y = 1; }", ValueError,
      "message= is required"),
+    # protoc parity: map/repeated are forbidden inside oneof, and field
+    # numbers must sit in 1..2^29-1 minus the reserved 19000..19999
+    ("message M { oneof o { map<string, int64> m = 1; } }", ValueError,
+     "map fields are not allowed inside oneof"),
+    ("message M { int64 x = 19000; }", ValueError, "reserved"),
+    ("message M { int64 x = 19999; }", ValueError, "reserved"),
+    ("message M { int64 x = 536870912; }", ValueError, "legal range"),
+    ("message M { int64 x = 0; }", ValueError, "legal range"),
 ])
 def test_proto_refusals_are_loud(bad, exc, msg):
     with pytest.raises(exc, match=msg):

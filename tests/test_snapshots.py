@@ -611,12 +611,12 @@ def test_snapshot_changes_between_versions(spark, tmp_path):
         0: "removed", 1: "unchanged", 2: "unchanged",
         3: "changed", 4: "changed", 5: "added", 6: "added", 7: "added",
     }
-    # confined default: every touched key gets the SAME verdict; rows in
-    # carried (byte-identical) files are unchanged by construction and
-    # simply not emitted
+    # confined fast path (opt-in): every touched key gets the SAME
+    # verdict; rows in carried (byte-identical) files are unchanged by
+    # construction and simply not emitted
     conf = {
         r["id"]: r["diff_status"]
-        for r in snapshot_changes(spark, t, ["id"], 1).collect()
+        for r in snapshot_changes(spark, t, ["id"], 1, confined=True).collect()
     }
     assert {k: s for k, s in conf.items() if s != "unchanged"} == {
         k: s for k, s in full.items() if s != "unchanged"
@@ -648,7 +648,7 @@ def test_file_changes_confined_to_rewritten_files(spark, tmp_path):
     assert info["all_compact"] is False
     assert _ids(removed) == set(range(50, 60))
     assert _ids(added) == set(range(50, 60)) - {55}
-    d = snapshot_changes(spark, t, ["id"], 10, 11)
+    d = snapshot_changes(spark, t, ["id"], 10, 11, confined=True)
     # plan-level confinement: 2 files scanned, not 11
     assert len(d.inputFiles()) == 2
     ch = {r["id"]: r["diff_status"] for r in d.collect()}

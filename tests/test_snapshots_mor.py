@@ -21,6 +21,7 @@ from mini_project_204721_data_engineering_spark.sources.snapshots import (
     snapshot_file_changes,
     snapshot_incremental_read,
     snapshot_merge_into,
+    snapshot_replace_where,
     snapshot_restore,
 )
 
@@ -181,7 +182,7 @@ def test_file_changes_and_change_feed_see_lazy_deletes(spark, tmp_path):
     assert _ids(removed) == set(range(20, 30))
     assert _ids(added) == set(range(20, 30)) - {25}
     # the row-level feed prices as the affected file, not the table
-    d = snapshot_changes(spark, t, ["id"], 4, 5)
+    d = snapshot_changes(spark, t, ["id"], 4, 5, confined=True)
     ch = {r["id"]: r["diff_status"] for r in d.collect()}
     assert ch[25] == "removed"
     assert all(s == "unchanged" for k, s in ch.items() if k != 25)
@@ -348,3 +349,39 @@ def test_concurrent_filter_removal_aborts_lazy_delete(spark, tmp_path):
         mp.setattr(snap, "_try_write_manifest", racing)
         with pytest.raises(RuntimeError, match="removed lazy-delete filter"):
             snapshot_delete_where(spark, t, "id >= 25", lazy=True)
+
+
+@pytest.mark.parametrize("lazy", [False, True])
+def test_null_predicate_rows_survive_delete(spark, tmp_path, lazy):
+    """SQL DELETE three-valued logic: exactly the pred=TRUE rows go.  A
+    row whose predicate evaluates NULL survives REGARDLESS of which
+    physical file it shares with a TRUE row — under the old NOT(pred)
+    filter a NULL-predicate row died in hit files but lived in carried
+    ones, making deletion depend on file layout."""
+    t = str(tmp_path / ("lazy" if lazy else "cow"))
+    df = spark.range(0, 20).select(
+        F.col("id"),
+        F.when(F.col("id") % 2 == 0, F.col("id")).alias("v"),  # odd ids: v NULL
+    )
+    snapshot_append(df.repartition(1), t)  # ONE file: NULL rows share it with hits
+    snapshot_delete_where(spark, t, "v >= 10", lazy=lazy)
+    survivors = {i for i in range(20) if i % 2 == 1 or i < 10}
+    assert _ids(read_snapshot(spark, t)) == survivors
+    # the drain (materializing pending filters) preserves the semantics
+    snapshot_apply_filters(spark, t)
+    assert _ids(read_snapshot(spark, t)) == survivors
+
+
+def test_replace_where_null_predicate_rows_survive(spark, tmp_path):
+    """replace_where replaces exactly the pred=TRUE slice: NULL-predicate
+    rows are not part of the slice and survive the rewrite."""
+    t = str(tmp_path / "rw")
+    df = spark.range(0, 20).select(
+        F.col("id"), F.when(F.col("id") % 2 == 0, F.col("id")).alias("v")
+    )
+    snapshot_append(df.repartition(1), t)
+    new = spark.range(100, 103).select(F.col("id"), F.col("id").alias("v"))
+    snapshot_replace_where(new, t, "v >= 10")
+    assert _ids(read_snapshot(spark, t)) == (
+        {i for i in range(20) if i % 2 == 1 or i < 10} | {100, 101, 102}
+    )
