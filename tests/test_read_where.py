@@ -1,0 +1,141 @@
+"""read_snapshot_where: the engine derives manifest file-skipping from an
+ordinary SQL WHERE clause (the reference's serving-path shape — dynamic
+equality + date-range predicates, `backend/app/main.py:252-263`) instead
+of a hand-built ``prune={"col": (lo, hi)}`` dict.  Extraction is
+CONSERVATIVE: results must always equal ``read_snapshot().filter(pred)``;
+the pruned file set must equal the hand-built dict's."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from mini_project_204721_data_engineering_spark.sources.snapshots import (
+    _predicate_prune_ranges,
+    read_snapshot,
+    read_snapshot_where,
+    snapshot_append,
+    snapshot_delete_where,
+)
+
+
+def _df(spark, lo, hi, tag):
+    return spark.range(lo, hi).select(F.col("id"), F.lit(tag).alias("tag"))
+
+
+def _ids(df):
+    return {r["id"] for r in df.collect()}
+
+
+@pytest.mark.parametrize("pred,want", [
+    ("id = 5", {"id": (5, 5)}),
+    ("id >= 10 AND id < 20", {"id": (10, 20)}),
+    ("ts BETWEEN '2024-01-01' AND '2024-02-01' AND k = 5",
+     {"ts": ("2024-01-01", "2024-02-01"), "k": (5, 5)}),
+    ("day = DATE '2024-01-02'", {"day": ("2024-01-02", "2024-01-02")}),
+    ("ts < TIMESTAMP '2024-01-01 03:00:00'",
+     {"ts": (None, "2024-01-01 03:00:00")}),
+    ("id IN (3, 7, 5)", {"id": (3, 7)}),
+    ("5 <= id AND 10 > id", {"id": (5, 10)}),  # literal-on-the-left flips
+    ("(id > 5) AND (id < 9)", {"id": (5, 9)}),
+    ("(a BETWEEN 1 AND 5 AND b = 2)", {"a": (1, 5), "b": (2, 2)}),
+    ("name = 'o''brien'", {"name": ("o'brien", "o'brien")}),
+    ("v <= 1.5e2", {"v": (None, 150.0)}),
+    # conservative: these shapes prove nothing and must contribute nothing
+    ("id > 5 OR name = 'x'", {}),  # top-level OR: no conjunct is universal
+    ("id > 5 AND (name = 'x' OR v < 2)", {"id": (5, None)}),
+    ("NOT id = 5 AND v = 2", {"v": (2, 2)}),
+    ("a NOT BETWEEN 1 AND 5 AND b = 2", {"b": (2, 2)}),
+    ("substr(name, 1, 2) = 'ab' AND id = 3", {"id": (3, 3)}),
+    ("id + 1 > 5", {}),
+    ("id IS NOT NULL AND id = 4", {"id": (4, 4)}),
+    ("id != 7", {}),
+    ("id > -5", {}),  # unary minus: out of grammar → no extraction
+    # contradictory types on one column disable that column's pruning
+    ("id = 'x' AND id = 5", {"id": None}),
+])
+def test_predicate_range_extraction(pred, want):
+    assert _predicate_prune_ranges(pred) == want
+
+
+def test_read_where_plans_same_files_as_handbuilt_prune(spark, tmp_path):
+    t = str(tmp_path / "t")
+    snapshot_append(_df(spark, 0, 100, "a").repartition(1), t, stats_cols=["id"])
+    snapshot_append(_df(spark, 100, 200, "b").repartition(1), t)
+    snapshot_append(_df(spark, 200, 300, "c").repartition(1), t)
+
+    got = read_snapshot_where(spark, t, "id BETWEEN 120 AND 150")
+    hand = read_snapshot(spark, t, prune={"id": (120, 150)})
+    assert sorted(got.inputFiles()) == sorted(hand.inputFiles())
+    assert len(got.inputFiles()) == 1  # only the 100-199 file survives
+    # result ≡ unpruned + filter, always
+    full = read_snapshot(spark, t).filter("id BETWEEN 120 AND 150")
+    assert _ids(got) == _ids(full) == set(range(120, 151))
+
+    # conjunction of an extractable range and a residual-only atom: the
+    # range prunes, the residual still filters rows
+    got2 = read_snapshot_where(spark, t, "id >= 250 AND tag != 'nope'")
+    assert len(got2.inputFiles()) == 1
+    assert _ids(got2) == set(range(250, 300))
+
+
+def test_read_where_derived_date_stats_and_time_travel(spark, tmp_path):
+    t = str(tmp_path / "t")
+
+    def day_rows(day, lo, hi):
+        return spark.range(lo, hi).select(
+            F.col("id"),
+            (F.lit(f"2024-01-{day:02d} 00:00:00").cast("timestamp_ntz")
+             + F.make_interval(mins=F.col("id") % 600)).alias("ts"),
+            F.lit(f"2024-01-{day:02d}").cast("date").alias("day"),
+        )
+
+    snapshot_append(day_rows(1, 0, 50).repartition(1), t, stats_cols=["day"])
+    snapshot_append(day_rows(2, 50, 100).repartition(1), t)
+    snapshot_append(day_rows(3, 100, 150).repartition(1), t)
+
+    got = read_snapshot_where(spark, t, "day = DATE '2024-01-02'")
+    assert len(got.inputFiles()) == 1
+    assert _ids(got) == set(range(50, 100))
+
+    # version pin flows through
+    got_v1 = read_snapshot_where(spark, t, "day >= DATE '2024-01-01'", version=1)
+    assert _ids(got_v1) == set(range(50))
+
+
+def test_read_where_or_predicate_full_scan_but_correct(spark, tmp_path):
+    t = str(tmp_path / "t")
+    snapshot_append(_df(spark, 0, 100, "a").repartition(1), t, stats_cols=["id"])
+    snapshot_append(_df(spark, 100, 200, "b").repartition(1), t)
+    got = read_snapshot_where(spark, t, "id < 10 OR id >= 190")
+    assert len(got.inputFiles()) == 2  # nothing provable → no skipping
+    assert _ids(got) == set(range(10)) | set(range(190, 200))
+
+
+def test_read_where_respects_pending_lazy_deletes(spark, tmp_path):
+    """read_snapshot_where goes through the merge-on-read path: a pending
+    lazy takedown must be invisible even in the pruned read."""
+    t = str(tmp_path / "t")
+    snapshot_append(_df(spark, 0, 100, "a").repartition(1), t, stats_cols=["id"])
+    snapshot_append(_df(spark, 100, 200, "b").repartition(1), t)
+    snapshot_delete_where(spark, t, "id BETWEEN 120 AND 130", lazy=True)
+    got = read_snapshot_where(spark, t, "id >= 100")
+    assert len(got.inputFiles()) == 1
+    assert _ids(got) == set(range(100, 200)) - set(range(120, 131))
+
+
+def test_read_where_files_planned_scale_with_selectivity(spark, tmp_path):
+    """The 100 TB property in miniature: files planned ∝ range width,
+    not table size."""
+    t = str(tmp_path / "t")
+    for k in range(10):
+        snapshot_append(
+            _df(spark, k * 100, (k + 1) * 100, f"f{k}").repartition(1),
+            t, stats_cols=["id"] if k == 0 else None,
+        )
+    widths = {}
+    for width in (50, 250, 450):
+        got = read_snapshot_where(spark, t, f"id >= 0 AND id < {width}")
+        widths[width] = len(got.inputFiles())
+        assert _ids(got) == set(range(width))
+    assert widths[50] == 1 and widths[250] == 3 and widths[450] == 5

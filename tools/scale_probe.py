@@ -1118,6 +1118,26 @@ def probe_snap(spark, n: int, out: list) -> None:
             "speedup": round(a / b, 2) if b else None,
         }), flush=True)
 
+        # read_snapshot_where: the engine derives the prune from an
+        # ordinary WHERE clause — files planned must scale with the
+        # range's SELECTIVITY, not the table's file count
+        from mini_project_204721_data_engineering_spark.sources.snapshots import (
+            read_snapshot_where,
+        )
+
+        sel_files = {}
+        for pct in (1, 10, 50):
+            hi_q = n * pct // 100
+            q = read_snapshot_where(spark, t, f"id >= 0 AND id < {hi_q}")
+            sel_files[pct] = len(q.inputFiles())
+            assert q.count() == hi_q
+        assert sel_files[1] < sel_files[10] < sel_files[50] < n_files_full
+        print(json.dumps({
+            "probe": "read_where_selectivity",
+            "files_full": n_files_full,
+            "files_planned_by_pct": sel_files,
+        }), flush=True)
+
         # delete-mode economics: the same one-key takedown as CoW rewrite
         # vs merge-on-read (zero bytes moved) — both answers identical
         from mini_project_204721_data_engineering_spark.sources.snapshots import (
