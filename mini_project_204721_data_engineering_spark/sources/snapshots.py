@@ -1053,6 +1053,76 @@ def read_snapshot_where(
     return df.filter(predicate)
 
 
+# expression classes whose value depends on WHEN/WHERE the query runs —
+# deterministic() is TRUE for these (they're per-query foldable), which
+# is exactly why a stored predicate can't contain them: every future
+# read re-evaluates the manifest predicate at ITS OWN time/context
+_CONTEXT_DEPENDENT_EXPRS = {
+    "CurrentTimestamp": "current_timestamp()",
+    "Now": "now()",
+    "CurrentDate": "current_date()",
+    "LocalTimestamp": "localtimestamp()",
+    "CurrentTimeZone": "current_timezone()",
+    "CurrentUser": "current_user()",
+    "CurrentCatalog": "current_catalog()",
+    "CurrentDatabase": "current_database()",
+    "InputFileName": "input_file_name()",
+    "SparkPartitionID": "spark_partition_id()",
+}
+
+
+def _check_stored_predicate(spark: SparkSession, schema, predicate: str) -> None:
+    """Refuse a predicate that would change meaning when re-evaluated.
+
+    A lazy-delete predicate is STORED in the manifest and re-run at
+    every future read, rewrite, and compaction — so it must denote the
+    same row set forever.  Two hazard classes, both walked out of the
+    ANALYZED expression tree (so aliases and sugar can't hide them):
+
+    - nondeterministic expressions (``rand()``, ``uuid()``,
+      ``monotonically_increasing_id()``, ...) — Catalyst marks these
+      ``deterministic = false``; the leaf-most such node is named
+    - context-dependent expressions (``current_timestamp()``,
+      ``current_date()``, ``current_user()``, ...) — deterministic
+      WITHIN one query but different at the next read, recognized by
+      class (:data:`_CONTEXT_DEPENDENT_EXPRS`)
+
+    CoW deletes evaluate their predicate exactly once and may use any
+    expression; only the stored (merge-on-read) path is gated."""
+    cond = (
+        spark.createDataFrame([], schema)
+        .filter(predicate)
+        ._jdf.queryExecution()
+        .analyzed()
+        .condition()
+    )
+    bad: list[str] = []
+
+    def walk(e) -> bool:
+        """Post-order; returns whether the subtree is deterministic."""
+        name = e.getClass().getSimpleName()
+        if name in _CONTEXT_DEPENDENT_EXPRS:
+            bad.append(_CONTEXT_DEPENDENT_EXPRS[name])
+        kids_ok = True
+        it = e.children().iterator()
+        while it.hasNext():
+            kids_ok = walk(it.next()) and kids_ok
+        if kids_ok and not e.deterministic():
+            bad.append(f"{e.prettyName()}()")  # the leaf-most cause
+        return kids_ok and e.deterministic()
+
+    walk(cond)
+    if bad:
+        raise ValueError(
+            "lazy delete predicate is not stable under re-evaluation — it "
+            f"contains {', '.join(sorted(set(bad)))}; a merge-on-read "
+            "predicate is stored in the manifest and re-applied at every "
+            "future read, so it must denote the same rows forever.  Use "
+            "a literal bound (e.g. the current timestamp as a constant) "
+            "or a copy-on-write delete (lazy=False)."
+        )
+
+
 def snapshot_delete_where(
     spark: SparkSession, table_dir: str, predicate: str, lazy: bool = False
 ) -> dict:
@@ -1081,6 +1151,11 @@ def snapshot_delete_where(
     :func:`snapshot_apply_filters` (or :func:`snapshot_compact`) to
     materialize everything at once.  Time travel to the pre-delete
     version still shows the rows (filters live in the manifest).
+    Because the predicate is STORED and re-evaluated at every future
+    read, lazy mode refuses nondeterministic or time/context-dependent
+    predicates (``rand()``, ``current_timestamp()``, ...) at commit —
+    :func:`_check_stored_predicate`; CoW mode evaluates once and is
+    not gated.
 
     Concurrency: the CoW mode is conservative-serializable like
     merge/replace — the commit aborts if the tip's files OR filter
@@ -1105,6 +1180,11 @@ def snapshot_delete_where(
     # schemas, plain inference could elect a narrow file's schema and
     # silently drop evolved columns from the rewritten survivors
     schema = _parse_datatype_string(manifest["schema"])
+    if lazy:
+        # gate BEFORE the hit scan: a stored predicate re-evaluates at
+        # every future read, so rand()/current_timestamp()-shaped
+        # predicates must refuse at commit, not drift silently
+        _check_stored_predicate(spark, schema, predicate)
     snap = _filtered_read(spark, manifest, manifest["files"], schema)
     _, _, jvm = _fs_for(spark, table_dir)
     # input_file_name() yields URI form (file:///...); manifests hold

@@ -385,3 +385,50 @@ def test_replace_where_null_predicate_rows_survive(spark, tmp_path):
     assert _ids(read_snapshot(spark, t)) == (
         {i for i in range(20) if i % 2 == 1 or i < 10} | {100, 101, 102}
     )
+
+
+@pytest.mark.parametrize("pred,names", [
+    ("rand() < 0.5", "rand()"),
+    ("id > 5 AND CAST(id AS DOUBLE) < rand()", "rand()"),
+    ("uuid() = 'x'", "uuid()"),
+    ("ts < current_timestamp()", "current_timestamp()"),
+    ("ts < now()", "now()"),
+    ("CAST(ts AS DATE) <= current_date()", "current_date()"),
+    ("id = monotonically_increasing_id()", "monotonically_increasing_id()"),
+])
+def test_lazy_delete_refuses_unstable_predicates(spark, tmp_path, pred, names):
+    """A lazy-delete predicate is stored in the manifest and re-evaluated
+    at every future read — nondeterministic or time/context-dependent
+    expressions must refuse AT COMMIT, naming the offender, instead of
+    silently denoting a different row set at each read."""
+    t = str(tmp_path / "t")
+    df = spark.range(0, 20).select(
+        F.col("id"), F.lit("2024-01-01 00:00:00").cast("timestamp_ntz").alias("ts")
+    )
+    snapshot_append(df, t)
+    with pytest.raises(ValueError, match="not stable under re-evaluation"):
+        snapshot_delete_where(spark, t, pred, lazy=True)
+    try:
+        snapshot_delete_where(spark, t, pred, lazy=True)
+    except ValueError as e:
+        assert names in str(e)
+    # refusal commits NOTHING
+    assert len(_list_versions(spark, t)) == 1
+    assert _ids(read_snapshot(spark, t)) == set(range(20))
+
+
+def test_cow_delete_still_accepts_context_predicates(spark, tmp_path):
+    """CoW evaluates its predicate exactly once — current_timestamp()
+    is legitimate there (the classic retention sweep) and must not be
+    gated."""
+    t = str(tmp_path / "t")
+    df = spark.range(0, 10).select(
+        F.col("id"),
+        (F.lit("2020-01-01 00:00:00").cast("timestamp_ntz")).alias("ts"),
+    )
+    snapshot_append(df.repartition(1), t)
+    m = snapshot_delete_where(
+        spark, t, "ts < current_timestamp() AND id < 5", lazy=False
+    )
+    assert m["op"] == "delete"
+    assert _ids(read_snapshot(spark, t)) == set(range(5, 10))
