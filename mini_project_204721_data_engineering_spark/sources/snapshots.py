@@ -187,17 +187,24 @@ def _write_data_files(df: DataFrame, table_dir: str) -> tuple[list[str], str]:
 
 def _carry_filters(parent: dict | None, files: list[str]) -> list[dict]:
     """Default row-filter propagation: keep each pending lazy-delete
-    entry restricted to the files the new snapshot still references —
-    a rewritten/compacted file leaves the list (its replacement was
-    read THROUGH the filters, so its bytes are already clean), an
-    appended file is never listed, a carried file keeps its filter."""
+    entry (predicate- or deletion-vector-shaped) restricted to the
+    files the new snapshot still references — a rewritten/compacted
+    file leaves the list (its replacement was read THROUGH the filters,
+    so its bytes are already clean), an appended file is never listed,
+    a carried file keeps its filter."""
     fset = set(files)
     out = []
     for e in (parent or {}).get("row_filters", []):
         kept = [f for f in e["files"] if f in fset]
         if kept:
-            out.append({"predicate": e["predicate"], "files": kept})
+            out.append({**e, "files": kept})
     return out
+
+
+def _entry_sig(e: dict) -> str:
+    """Canonical identity of one row-filter entry: the predicate text,
+    or the deletion-vector sidecar path (immutable bytes → stable id)."""
+    return e["predicate"] if "predicate" in e else "dv:" + e["dv"]
 
 
 def _rewrite_guard(base_manifest: dict, op: str):
@@ -638,7 +645,11 @@ def snapshot_stream_sink(table_dir: str, app_id: str):
 
 
 def _filtered_read(
-    spark: SparkSession, manifest: dict, files: Sequence[str], schema=None
+    spark: SparkSession,
+    manifest: dict,
+    files: Sequence[str],
+    schema=None,
+    with_position: bool = False,
 ) -> DataFrame:
     """Read ``files`` under ``manifest``'s pinned schema, applying the
     manifest's pending lazy-delete row filters to EXACTLY the files each
@@ -647,19 +658,50 @@ def _filtered_read(
     takedowns (in practice the unfiltered group plus ~one per live
     takedown; overlapping coverage adds intersection groups) — so the
     plan stays a small union of scans; every ``(predicate) IS NOT
-    TRUE`` is a codegen filter pushed at its group's scan.  All
-    internal data reads (rewrites included) MUST come through here:
+    TRUE`` is a codegen filter pushed at its group's scan.
+
+    Deletion-vector entries (``{"dv": sidecar, "files": [...]}``) apply
+    as ONE broadcast anti-join per group on ``(file_path, row_index)``
+    — stacked DV takedowns union their sidecars first, so read overhead
+    is O(1) joins per covered file regardless of how many takedowns are
+    pending.  ``with_position=True`` keeps the ``__dv_file``/
+    ``__dv_pos`` physical-position columns in the output (the DV commit
+    path's hit scan needs them); they are internal names, dropped by
+    default.
+
+    All internal data reads (rewrites included) MUST come through here:
     bypassing it would resurrect lazily-deleted rows."""
+    from pyspark.sql import functions as F
     from pyspark.sql.types import _parse_datatype_string
 
     if schema is None:
         schema = _parse_datatype_string(manifest["schema"])
     files = list(files)
     if not files:
-        return spark.createDataFrame([], schema)
+        df = spark.createDataFrame([], schema)
+        if with_position:
+            df = df.select(
+                "*",
+                F.lit(None).cast("string").alias("__dv_file"),
+                F.lit(None).cast("long").alias("__dv_pos"),
+            )
+        return df
     filters = manifest.get("row_filters") or []
+
+    def scan(fl, need_position):
+        df = spark.read.schema(schema).parquet(*fl)
+        if need_position:
+            # physical position: parquet row index is stable per file
+            # regardless of how Spark splits the file across partitions
+            df = df.select(
+                "*",
+                F.col("_metadata.file_path").alias("__dv_file"),
+                F.col("_metadata.row_index").alias("__dv_pos"),
+            )
+        return df
+
     if not filters:
-        return spark.read.schema(schema).parquet(*files)
+        return scan(files, with_position)
     covers = [set(e["files"]) for e in filters]
     groups: dict[tuple, list[str]] = {}
     for f in files:
@@ -667,8 +709,33 @@ def _filtered_read(
         groups.setdefault(sig, []).append(f)
     parts = []
     for sig, fl in groups.items():
-        df = spark.read.schema(schema).parquet(*fl)
+        dv_idx = [i for i in sig if "dv" in filters[i]]
+        df = scan(fl, with_position or bool(dv_idx))
+        if dv_idx:
+            # union the group's sidecars → ONE anti-join however many
+            # takedowns are stacked; positions were recorded from the
+            # same _metadata columns, so the spellings match exactly
+            rm = spark.read.parquet(filters[dv_idx[0]]["dv"])
+            for i in dv_idx[1:]:
+                rm = rm.unionByName(spark.read.parquet(filters[i]["dv"]))
+            # no broadcast hint: the sidecar's size is known to the
+            # planner, so small DVs broadcast on their own while a
+            # billion-position DV falls back to a shuffled anti-join
+            # instead of OOMing the driver
+            rm = rm.withColumnRenamed("file", "__rm_file").withColumnRenamed(
+                "pos", "__rm_pos"
+            )
+            df = df.join(
+                rm,
+                (F.col("__dv_file") == F.col("__rm_file"))
+                & (F.col("__dv_pos") == F.col("__rm_pos")),
+                "left_anti",
+            )
+            if not with_position:
+                df = df.drop("__dv_file", "__dv_pos")
         for i in sig:
+            if "dv" in filters[i]:
+                continue
             # IS NOT TRUE, not NOT(pred): SQL DELETE removes exactly the
             # pred=TRUE rows (Delta/Iceberg semantics) — under NOT(pred) a
             # row whose predicate evaluates NULL would survive or die
@@ -1124,9 +1191,9 @@ def _check_stored_predicate(spark: SparkSession, schema, predicate: str) -> None
 
 
 def snapshot_delete_where(
-    spark: SparkSession, table_dir: str, predicate: str, lazy: bool = False
+    spark: SparkSession, table_dir: str, predicate: str, lazy: bool | str = False
 ) -> dict:
-    """Targeted delete, two execution modes:
+    """Targeted delete, three execution modes:
 
     **Copy-on-write (default)**: ONLY files containing matching rows
     are rewritten (without those rows) into a new commit; untouched
@@ -1157,6 +1224,22 @@ def snapshot_delete_where(
     :func:`_check_stored_predicate`; CoW mode evaluates once and is
     not gated.
 
+    **Deletion vectors (``lazy="dv"``)**: the hit scan (same one pass)
+    materializes the matching rows' PHYSICAL POSITIONS —
+    ``(file_path, row_index)`` from the parquet reader's ``_metadata``
+    columns — into an immutable sidecar parquet under
+    ``<table>/_dv/``, and the commit records ``{"dv": sidecar,
+    "files": [...]}``.  Reads apply ONE anti-join per covered file
+    group regardless of how many DV takedowns stack (sidecars union
+    first), vs one pushed predicate EACH for predicate-lazy — and
+    because the predicate was evaluated exactly once at commit, DV mode
+    has NO determinism hazard: ``rand()``-shaped predicates are legal
+    here, like CoW.  Drains identically (any rewrite/compaction/
+    :func:`snapshot_apply_filters` reads through the vectors and emits
+    clean bytes); :func:`expire_snapshots` GCs sidecars no surviving
+    manifest references.  This is the Delta/Iceberg deletion-vector
+    idea re-expressed on Spark's own row-index metadata.
+
     Concurrency: the CoW mode is conservative-serializable like
     merge/replace — the commit aborts if the tip's files OR filter
     state moved at all (a concurrent APPEND may carry rows matching
@@ -1169,6 +1252,8 @@ def snapshot_delete_where(
     from pyspark.sql import functions as F
     from pyspark.sql.types import _parse_datatype_string
 
+    if lazy not in (False, True, "dv"):
+        raise ValueError(f"lazy must be False, True, or 'dv' (got {lazy!r})")
     versions = _list_versions(spark, table_dir)
     if not versions:
         raise ValueError(f"no snapshots at {table_dir}")
@@ -1180,25 +1265,59 @@ def snapshot_delete_where(
     # schemas, plain inference could elect a narrow file's schema and
     # silently drop evolved columns from the rewritten survivors
     schema = _parse_datatype_string(manifest["schema"])
-    if lazy:
+    if lazy is True:
         # gate BEFORE the hit scan: a stored predicate re-evaluates at
         # every future read, so rand()/current_timestamp()-shaped
-        # predicates must refuse at commit, not drift silently
+        # predicates must refuse at commit, not drift silently.  DV
+        # mode is NOT gated: it evaluates the predicate exactly once,
+        # into positions, like CoW.
         _check_stored_predicate(spark, schema, predicate)
-    snap = _filtered_read(spark, manifest, manifest["files"], schema)
-    _, _, jvm = _fs_for(spark, table_dir)
-    # input_file_name() yields URI form (file:///...); manifests hold
-    # Hadoop Path form (file:/...) — canonicalize through Path so the
-    # hit set compares against the manifest's own spelling
-    hit_files = sorted(
-        str(jvm.org.apache.hadoop.fs.Path(r["f"]).toString())
-        for r in snap.filter(predicate)
-        .select(F.input_file_name().alias("f"))
-        .distinct()
-        .collect()
-    )
-    if not hit_files:
-        return manifest  # nothing to delete: current tip already correct
+    fs, _, jvm = _fs_for(spark, table_dir)
+    dv_path = None
+    if lazy == "dv":
+        # one pass materializes hit POSITIONS (visible rows only — the
+        # read applies pending takedowns) into an immutable sidecar
+        snap = _filtered_read(
+            spark, manifest, manifest["files"], schema, with_position=True
+        )
+        # fs-qualified (file:/...) so the GC's globStatus comparison and
+        # the manifest's stored spelling agree
+        dv_path = str(
+            fs.makeQualified(_child(jvm, table_dir, "_dv", f"dv-{uuid.uuid4().hex}"))
+        )
+        (
+            snap.filter(predicate)
+            .select(
+                F.col("__dv_file").alias("file"), F.col("__dv_pos").alias("pos")
+            )
+            .write.parquet(dv_path)
+        )
+        back = spark.read.parquet(dv_path)
+        hit_files = sorted(
+            str(jvm.org.apache.hadoop.fs.Path(r["file"]).toString())
+            for r in back.select("file").distinct().collect()
+        )
+        if not hit_files:  # nothing matched: drop the empty sidecar
+            fs.delete(jvm.org.apache.hadoop.fs.Path(dv_path), True)
+            return manifest
+    else:
+        # __dv_file (the scan-bound _metadata.file_path), NOT
+        # input_file_name(): the latter refuses multi-source plans, and
+        # a pending DV entry makes the filtered read one (anti-join).
+        # Canonicalize through Path so the hit set compares against the
+        # manifest's own spelling.
+        snap = _filtered_read(
+            spark, manifest, manifest["files"], schema, with_position=True
+        )
+        hit_files = sorted(
+            str(jvm.org.apache.hadoop.fs.Path(r["f"]).toString())
+            for r in snap.filter(predicate)
+            .select(F.col("__dv_file").alias("f"))
+            .distinct()
+            .collect()
+        )
+        if not hit_files:
+            return manifest  # nothing to delete: current tip already correct
 
     if lazy:
         # lazy deletes COMPOSE with concurrent lazy deletes: the retry's
@@ -1227,18 +1346,31 @@ def snapshot_delete_where(
                     )
             return list(parent["files"])
 
-        def lazy_filters_fn(parent, files):
-            return _carry_filters(parent, files) + [
-                {"predicate": predicate, "files": hit_files}
-            ]
-
-        return _commit(
-            spark, table_dir, "delete", lazy_files_fn, manifest["schema"],
-            meta={"predicate": predicate, "rewritten_files": 0,
-                  "mode": "lazy", "filtered_files": len(hit_files)},
-            stats_fn=_compose_stats(spark, [], None),  # sticky cols
-            row_filters_fn=lazy_filters_fn,
+        entry = (
+            {"dv": dv_path, "files": hit_files}
+            if lazy == "dv"
+            else {"predicate": predicate, "files": hit_files}
         )
+
+        def lazy_filters_fn(parent, files):
+            return _carry_filters(parent, files) + [entry]
+
+        try:
+            return _commit(
+                spark, table_dir, "delete", lazy_files_fn, manifest["schema"],
+                meta={"predicate": predicate, "rewritten_files": 0,
+                      "mode": "dv" if lazy == "dv" else "lazy",
+                      "filtered_files": len(hit_files),
+                      **({"dv": dv_path} if dv_path else {})},
+                stats_fn=_compose_stats(spark, [], None),  # sticky cols
+                row_filters_fn=lazy_filters_fn,
+            )
+        except BaseException:
+            # an aborted DV commit must not strand its sidecar: no
+            # manifest references it, so it would only ever be dead bytes
+            if dv_path is not None:
+                fs.delete(jvm.org.apache.hadoop.fs.Path(dv_path), True)
+            raise
 
     # survivors are written unconditionally — a fully-emptied rewrite
     # produces a schema-only part file, which is cheaper than an extra
@@ -1358,15 +1490,21 @@ def snapshot_merge_into(
     _check_schema(tip_manifest, ddl, "snapshot_merge_into")
     base_files = list(tip_manifest["files"])
     # filtered read: a lazily-deleted key must look ABSENT (insert, not
-    # update) and must never be resurrected into the rewrite
-    target = _filtered_read(spark, tip_manifest, base_files, source.schema)
+    # update) and must never be resurrected into the rewrite.
+    # with_position: the hit scan reads file identity from the
+    # scan-bound __dv_file metadata column — input_file_name() refuses
+    # the multi-source plan a DV anti-join (or a file-backed source df)
+    # produces
+    target = _filtered_read(
+        spark, tip_manifest, base_files, source.schema, with_position=True
+    )
     src = _dedup_guarded(source, keys)
 
     _, _, jvm = _fs_for(spark, table_dir)
     hit_files = sorted(
         str(jvm.org.apache.hadoop.fs.Path(r["f"]).toString())
         for r in target.join(src.select(*keys).distinct(), keys, "left_semi")
-        .select(F.input_file_name().alias("f"))
+        .select(F.col("__dv_file").alias("f"))
         .distinct()
         .collect()
     ) if base_files else []
@@ -1474,12 +1612,14 @@ def snapshot_replace_where(
     _check_schema(manifest, ddl, "snapshot_replace_where")
     base_files = list(manifest["files"])
     _, _, jvm = _fs_for(spark, table_dir)
+    # __dv_file, not input_file_name(): see snapshot_delete_where — a
+    # pending DV entry makes the filtered read a multi-source plan
     hit_files = sorted(
         str(jvm.org.apache.hadoop.fs.Path(r["f"]).toString())
         for r in (
-            _filtered_read(spark, manifest, base_files, df.schema)
+            _filtered_read(spark, manifest, base_files, df.schema, with_position=True)
             .filter(predicate)
-            .select(F.input_file_name().alias("f"))
+            .select(F.col("__dv_file").alias("f"))
             .distinct()
             .collect()
         )
@@ -1807,13 +1947,14 @@ def snapshot_incremental_read(
 
 
 def _filter_map(manifest: dict | None) -> dict:
-    """file → sorted tuple of the lazy-delete predicates covering it —
-    ONE pass over the manifest's filter entries (O(Σ entry files)), so
+    """file → sorted tuple of the lazy-delete entry identities covering
+    it (predicate text or ``dv:<sidecar>`` — :func:`_entry_sig`) — ONE
+    pass over the manifest's filter entries (O(Σ entry files)), so
     per-file signature comparisons never rescan every entry list."""
     acc: dict[str, list] = {}
     for e in (manifest or {}).get("row_filters", []):
         for f in e["files"]:
-            acc.setdefault(f, []).append(e["predicate"])
+            acc.setdefault(f, []).append(_entry_sig(e))
     return {f: tuple(sorted(ps)) for f, ps in acc.items()}
 
 
@@ -1986,4 +2127,23 @@ def expire_snapshots(
             kids = fs.listStatus(s.getPath())
             if not [k for k in kids if not str(k.getPath().getName()).startswith("_")]:
                 fs.delete(s.getPath(), True)
-    return {"expired_manifests": expired, "deleted_files": deleted}
+    # deletion-vector sidecars: referenced by manifests' row_filters
+    # entries, not by manifest["files"] — GC the dirs no surviving
+    # manifest references, under the same in-flight age guard (a DV
+    # commit writes its sidecar BEFORE the manifest claims it)
+    referenced_dv = set()
+    for v in keep:
+        for e in _read_manifest(spark, table_dir, v).get("row_filters", []):
+            if "dv" in e:
+                referenced_dv.add(e["dv"])
+    deleted_dv = 0
+    for s in fs.globStatus(_child(jvm, table_dir, "_dv", "*")) or []:
+        p = str(s.getPath().toString())
+        if p not in referenced_dv and s.getModificationTime() <= dir_cutoff_ms:
+            fs.delete(s.getPath(), True)
+            deleted_dv += 1
+    return {
+        "expired_manifests": expired,
+        "deleted_files": deleted,
+        "deleted_dv_sidecars": deleted_dv,
+    }

@@ -34,14 +34,16 @@ def _ids(df):
     return {r["id"] for r in df.collect()}
 
 
-def test_lazy_delete_moves_zero_bytes_and_filters_reads(spark, tmp_path):
+@pytest.mark.parametrize("lazy_mode", [True, "dv"])
+def test_lazy_delete_moves_zero_bytes_and_filters_reads(spark, tmp_path, lazy_mode):
     t = str(tmp_path / "t")
     snapshot_append(_df(spark, 0, 50).repartition(2), t)
     before_files = sorted(_read_manifest(spark, t, 1)["files"])
-    m = snapshot_delete_where(spark, t, "id % 10 = 3", lazy=True)
+    m = snapshot_delete_where(spark, t, "id % 10 = 3", lazy=lazy_mode)
     # metadata-only: SAME files, zero rewrites, one filter entry
     assert sorted(m["files"]) == before_files
-    assert m["meta"]["rewritten_files"] == 0 and m["meta"]["mode"] == "lazy"
+    assert m["meta"]["rewritten_files"] == 0
+    assert m["meta"]["mode"] == ("dv" if lazy_mode == "dv" else "lazy")
     assert len(m["row_filters"]) == 1
     assert _ids(read_snapshot(spark, t)) == {
         i for i in range(50) if i % 10 != 3
@@ -50,34 +52,37 @@ def test_lazy_delete_moves_zero_bytes_and_filters_reads(spark, tmp_path):
     assert _ids(read_snapshot(spark, t, version=1)) == set(range(50))
 
 
-def test_lazy_filters_cover_only_hit_files(spark, tmp_path):
+@pytest.mark.parametrize("lazy_mode", [True, "dv"])
+def test_lazy_filters_cover_only_hit_files(spark, tmp_path, lazy_mode):
     """The hit scan confines the entry: a predicate touching one of 10
     files records a 1-file filter, and the filtered read plan groups
     the other 9 files into a single clean scan."""
     t = str(tmp_path / "t")
     for i in range(10):
         snapshot_append(_df(spark, i * 10, (i + 1) * 10).repartition(1), t)
-    m = snapshot_delete_where(spark, t, "id = 55", lazy=True)
+    m = snapshot_delete_where(spark, t, "id = 55", lazy=lazy_mode)
     assert len(m["row_filters"]) == 1
     assert len(m["row_filters"][0]["files"]) == 1
     assert _ids(read_snapshot(spark, t)) == set(range(100)) - {55}
 
 
-def test_stacked_lazy_deletes_compose(spark, tmp_path):
+@pytest.mark.parametrize("lazy_mode", [True, "dv"])
+def test_stacked_lazy_deletes_compose(spark, tmp_path, lazy_mode):
     t = str(tmp_path / "t")
     snapshot_append(_df(spark, 0, 40).repartition(2), t)
-    snapshot_delete_where(spark, t, "id < 5", lazy=True)
-    m = snapshot_delete_where(spark, t, "id >= 35", lazy=True)
+    snapshot_delete_where(spark, t, "id < 5", lazy=lazy_mode)
+    m = snapshot_delete_where(spark, t, "id >= 35", lazy=lazy_mode)
     assert len(m["row_filters"]) == 2
     assert _ids(read_snapshot(spark, t)) == set(range(5, 35))
 
 
-def test_append_after_lazy_delete_is_unaffected(spark, tmp_path):
+@pytest.mark.parametrize("lazy_mode", [True, "dv"])
+def test_append_after_lazy_delete_is_unaffected(spark, tmp_path, lazy_mode):
     """New files are never covered: re-landed rows matching an old
     takedown predicate survive (the delete was as-of its commit)."""
     t = str(tmp_path / "t")
     snapshot_append(_df(spark, 0, 20).repartition(1), t)
-    snapshot_delete_where(spark, t, "id < 10", lazy=True)
+    snapshot_delete_where(spark, t, "id < 10", lazy=lazy_mode)
     snapshot_append(_df(spark, 0, 10, "again").repartition(1), t)
     got = read_snapshot(spark, t)
     assert _ids(got) == set(range(20))
@@ -85,12 +90,13 @@ def test_append_after_lazy_delete_is_unaffected(spark, tmp_path):
     assert got.filter("tag = 'a'").count() == 10  # 10..19 only
 
 
-def test_cow_rewrite_drains_pending_filters(spark, tmp_path):
+@pytest.mark.parametrize("lazy_mode", [True, "dv"])
+def test_cow_rewrite_drains_pending_filters(spark, tmp_path, lazy_mode):
     """A CoW delete of a lazily-filtered file reads THROUGH the filter:
     the rewrite emits clean bytes and the entry is pruned."""
     t = str(tmp_path / "t")
     snapshot_append(_df(spark, 0, 30).repartition(1), t)
-    snapshot_delete_where(spark, t, "id < 5", lazy=True)
+    snapshot_delete_where(spark, t, "id < 5", lazy=lazy_mode)
     m = snapshot_delete_where(spark, t, "id >= 25")  # CoW, hits the file
     assert "row_filters" not in m  # drained: the covered file rewrote
     assert _ids(read_snapshot(spark, t)) == set(range(5, 25))
@@ -100,11 +106,12 @@ def test_cow_rewrite_drains_pending_filters(spark, tmp_path):
     )
 
 
-def test_compact_materializes_filters(spark, tmp_path):
+@pytest.mark.parametrize("lazy_mode", [True, "dv"])
+def test_compact_materializes_filters(spark, tmp_path, lazy_mode):
     t = str(tmp_path / "t")
     for i in range(5):
         snapshot_append(_df(spark, i * 10, (i + 1) * 10).repartition(1), t)
-    snapshot_delete_where(spark, t, "id % 7 = 0", lazy=True)
+    snapshot_delete_where(spark, t, "id % 7 = 0", lazy=lazy_mode)
     want = _ids(read_snapshot(spark, t))
     mc = snapshot_compact(spark, t)
     assert mc["op"] == "compact"
@@ -113,11 +120,12 @@ def test_compact_materializes_filters(spark, tmp_path):
     assert _ids(spark.read.parquet(*mc["files"])) == want
 
 
-def test_apply_filters_rewrites_only_covered_files(spark, tmp_path):
+@pytest.mark.parametrize("lazy_mode", [True, "dv"])
+def test_apply_filters_rewrites_only_covered_files(spark, tmp_path, lazy_mode):
     t = str(tmp_path / "t")
     for i in range(10):
         snapshot_append(_df(spark, i * 10, (i + 1) * 10).repartition(1), t)
-    snapshot_delete_where(spark, t, "id = 55", lazy=True)
+    snapshot_delete_where(spark, t, "id = 55", lazy=lazy_mode)
     want = set(range(100)) - {55}
     base_files = set(_read_manifest(spark, t, 11)["files"])
     m = snapshot_apply_filters(spark, t)
@@ -130,10 +138,11 @@ def test_apply_filters_rewrites_only_covered_files(spark, tmp_path):
     assert snapshot_apply_filters(spark, t)["version"] == m["version"]
 
 
-def test_merge_does_not_resurrect_lazy_deleted_keys(spark, tmp_path):
+@pytest.mark.parametrize("lazy_mode", [True, "dv"])
+def test_merge_does_not_resurrect_lazy_deleted_keys(spark, tmp_path, lazy_mode):
     t = str(tmp_path / "t")
     snapshot_append(_df(spark, 0, 10).repartition(1), t)
-    snapshot_delete_where(spark, t, "id = 3", lazy=True)
+    snapshot_delete_where(spark, t, "id = 3", lazy=lazy_mode)
     # upsert id 3 and 5: 3 must be an INSERT (it is deleted), 5 an update
     snapshot_merge_into(_df(spark, 3, 6, "new").filter("id IN (3, 5)"), t, ["id"])
     got = {r["id"]: r["tag"] for r in read_snapshot(spark, t).collect()}
@@ -141,10 +150,11 @@ def test_merge_does_not_resurrect_lazy_deleted_keys(spark, tmp_path):
     assert len(got) == 10
 
 
-def test_restore_and_clone_carry_filter_state(spark, tmp_path):
+@pytest.mark.parametrize("lazy_mode", [True, "dv"])
+def test_restore_and_clone_carry_filter_state(spark, tmp_path, lazy_mode):
     t = str(tmp_path / "t")
     snapshot_append(_df(spark, 0, 20).repartition(1), t)   # v1
-    snapshot_delete_where(spark, t, "id < 5", lazy=True)   # v2
+    snapshot_delete_where(spark, t, "id < 5", lazy=lazy_mode)   # v2
     # clone sees the filtered state, not the raw bytes
     c = str(tmp_path / "c")
     snapshot_clone(spark, t, c)
@@ -158,10 +168,11 @@ def test_restore_and_clone_carry_filter_state(spark, tmp_path):
     assert _ids(read_snapshot(spark, t)) == set(range(5, 20))
 
 
-def test_incremental_read_refuses_across_lazy_delete_window(spark, tmp_path):
+@pytest.mark.parametrize("lazy_mode", [True, "dv"])
+def test_incremental_read_refuses_across_lazy_delete_window(spark, tmp_path, lazy_mode):
     t = str(tmp_path / "t")
     snapshot_append(_df(spark, 0, 10).repartition(1), t)   # v1
-    snapshot_delete_where(spark, t, "id = 2", lazy=True)   # v2: same files!
+    snapshot_delete_where(spark, t, "id = 2", lazy=lazy_mode)   # v2: same files!
     snapshot_append(_df(spark, 10, 20).repartition(1), t)  # v3
     with pytest.raises(ValueError, match="lazy-delete filter"):
         snapshot_incremental_read(spark, t, 1)
@@ -170,11 +181,12 @@ def test_incremental_read_refuses_across_lazy_delete_window(spark, tmp_path):
     assert v == 3 and _ids(delta) == set(range(10, 20))
 
 
-def test_file_changes_and_change_feed_see_lazy_deletes(spark, tmp_path):
+@pytest.mark.parametrize("lazy_mode", [True, "dv"])
+def test_file_changes_and_change_feed_see_lazy_deletes(spark, tmp_path, lazy_mode):
     t = str(tmp_path / "t")
     for i in range(4):
         snapshot_append(_df(spark, i * 10, (i + 1) * 10).repartition(1), t)
-    snapshot_delete_where(spark, t, "id = 25", lazy=True)  # v5
+    snapshot_delete_where(spark, t, "id = 25", lazy=lazy_mode)  # v5
     removed, added, info = snapshot_file_changes(spark, t, 4, 5)
     # no file moved; ONE carried file is refiltered and sits on BOTH sides
     assert info["removed_files"] == [] and info["added_files"] == []
@@ -246,7 +258,8 @@ def test_lazy_delete_bad_predicate_refuses_loudly(spark, tmp_path):
     assert _list_versions(spark, t) == [1]
 
 
-def test_concurrent_lazy_delete_aborts_cow_rewrite(spark, tmp_path):
+@pytest.mark.parametrize("lazy_mode", [True, "dv"])
+def test_concurrent_lazy_delete_aborts_cow_rewrite(spark, tmp_path, lazy_mode):
     """The lost-takedown race, pinned: a lazy delete commits BETWEEN a
     CoW delete's read and its commit.  The file set is unchanged (lazy
     deletes move no files), so a file-set-only guard would let the CoW
@@ -264,7 +277,7 @@ def test_concurrent_lazy_delete_aborts_cow_rewrite(spark, tmp_path):
         out = real_write(df, table_dir)
         if not fired["done"]:
             fired["done"] = True
-            snapshot_delete_where(spark, t, "id = 1", lazy=True)
+            snapshot_delete_where(spark, t, "id = 1", lazy=lazy_mode)
         return out
 
     with pytest.MonkeyPatch.context() as mp:
@@ -277,7 +290,8 @@ def test_concurrent_lazy_delete_aborts_cow_rewrite(spark, tmp_path):
     assert _ids(read_snapshot(spark, t)) == set(range(30)) - {1} - set(range(25, 30))
 
 
-def test_concurrent_lazy_delete_aborts_compaction(spark, tmp_path):
+@pytest.mark.parametrize("lazy_mode", [True, "dv"])
+def test_concurrent_lazy_delete_aborts_compaction(spark, tmp_path, lazy_mode):
     import mini_project_204721_data_engineering_spark.sources.snapshots as snap
 
     t = str(tmp_path / "t")
@@ -290,7 +304,7 @@ def test_concurrent_lazy_delete_aborts_compaction(spark, tmp_path):
         out = real_write(df, table_dir)
         if not fired["done"]:
             fired["done"] = True
-            snapshot_delete_where(spark, t, "id = 5", lazy=True)
+            snapshot_delete_where(spark, t, "id = 5", lazy=lazy_mode)
         return out
 
     with pytest.MonkeyPatch.context() as mp:
@@ -302,7 +316,8 @@ def test_concurrent_lazy_delete_aborts_compaction(spark, tmp_path):
     assert _ids(read_snapshot(spark, t)) == set(range(30)) - {5}
 
 
-def test_concurrent_lazy_deletes_compose_not_abort(spark, tmp_path):
+@pytest.mark.parametrize("lazy_mode", [True, "dv"])
+def test_concurrent_lazy_deletes_compose_not_abort(spark, tmp_path, lazy_mode):
     """Two racing LAZY deletes must BOTH land (the retry re-carries the
     winner's entry and appends its own) — filter ADDITION can only
     shrink the rows a takedown matches, so aborting would be a spurious
@@ -317,12 +332,12 @@ def test_concurrent_lazy_deletes_compose_not_abort(spark, tmp_path):
     def racing(spark_, table_dir, version, m):
         if not fired["done"]:
             fired["done"] = True
-            snapshot_delete_where(spark, t, "id = 1", lazy=True)
+            snapshot_delete_where(spark, t, "id = 1", lazy=lazy_mode)
         return real_try(spark_, table_dir, version, m)
 
     with pytest.MonkeyPatch.context() as mp:
         mp.setattr(snap, "_try_write_manifest", racing)
-        m = snapshot_delete_where(spark, t, "id >= 25", lazy=True)
+        m = snapshot_delete_where(spark, t, "id >= 25", lazy=lazy_mode)
     assert len(m["row_filters"]) == 2  # BOTH takedowns in the tip
     assert _ids(read_snapshot(spark, t)) == set(range(30)) - {1} - set(range(25, 30))
 
@@ -351,14 +366,14 @@ def test_concurrent_filter_removal_aborts_lazy_delete(spark, tmp_path):
             snapshot_delete_where(spark, t, "id >= 25", lazy=True)
 
 
-@pytest.mark.parametrize("lazy", [False, True])
+@pytest.mark.parametrize("lazy", [False, True, "dv"])
 def test_null_predicate_rows_survive_delete(spark, tmp_path, lazy):
     """SQL DELETE three-valued logic: exactly the pred=TRUE rows go.  A
     row whose predicate evaluates NULL survives REGARDLESS of which
     physical file it shares with a TRUE row — under the old NOT(pred)
     filter a NULL-predicate row died in hit files but lived in carried
     ones, making deletion depend on file layout."""
-    t = str(tmp_path / ("lazy" if lazy else "cow"))
+    t = str(tmp_path / f"mode_{lazy}")
     df = spark.range(0, 20).select(
         F.col("id"),
         F.when(F.col("id") % 2 == 0, F.col("id")).alias("v"),  # odd ids: v NULL
@@ -432,3 +447,131 @@ def test_cow_delete_still_accepts_context_predicates(spark, tmp_path):
     )
     assert m["op"] == "delete"
     assert _ids(read_snapshot(spark, t)) == set(range(5, 10))
+
+
+def test_dv_predicate_cow_triple_equivalence(spark, tmp_path):
+    """N stacked deletion-vector takedowns ≡ N predicate takedowns ≡ N
+    CoW deletes: identical row sets after each step and after drain."""
+    tables = {}
+    for mode in ("cow", "lazy", "dv"):
+        t = str(tmp_path / mode)
+        snapshot_append(_df(spark, 0, 200).repartition(4), t)
+        tables[mode] = t
+    preds = ["id % 7 = 3", "id BETWEEN 50 AND 80", "tag = 'a' AND id >= 190"]
+    for pred in preds:
+        snapshot_delete_where(spark, tables["cow"], pred)
+        snapshot_delete_where(spark, tables["lazy"], pred, lazy=True)
+        snapshot_delete_where(spark, tables["dv"], pred, lazy="dv")
+        want = _ids(read_snapshot(spark, tables["cow"]))
+        assert _ids(read_snapshot(spark, tables["lazy"])) == want
+        assert _ids(read_snapshot(spark, tables["dv"])) == want
+    # drain both MoR forms: still identical, filters gone
+    for mode in ("lazy", "dv"):
+        m = snapshot_apply_filters(spark, tables[mode])
+        assert "row_filters" not in m
+        assert _ids(read_snapshot(spark, tables[mode])) == want
+
+
+def test_dv_read_is_one_antijoin_regardless_of_stacking(spark, tmp_path):
+    """Stacked DV takedowns union their sidecars: the read plan carries
+    ONE left-anti join however many are pending — the O(1)-per-file
+    overhead predicate-lazy can't give (one pushed filter EACH)."""
+    t = str(tmp_path / "t")
+    snapshot_append(_df(spark, 0, 100).repartition(1), t)
+    for k in range(4):
+        m = snapshot_delete_where(spark, t, f"id % 10 = {k}", lazy="dv")
+    assert len(m["row_filters"]) == 4
+    plan = read_snapshot(spark, t)._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("LeftAnti") == 1
+    assert _ids(read_snapshot(spark, t)) == {i for i in range(100) if i % 10 > 3}
+
+
+def test_dv_allows_nondeterministic_predicate_and_is_stable(spark, tmp_path):
+    """The determinism hazard predicate-lazy must refuse is LEGAL under
+    DV: the predicate evaluates exactly once, into positions — every
+    subsequent read sees the same fixed row set (downsampling idiom)."""
+    t = str(tmp_path / "t")
+    snapshot_append(_df(spark, 0, 1000).repartition(2), t)
+    with pytest.raises(ValueError, match="not stable"):
+        snapshot_delete_where(spark, t, "rand(7) < 0.5", lazy=True)
+    m = snapshot_delete_where(spark, t, "rand(7) < 0.5", lazy="dv")
+    assert m["meta"]["mode"] == "dv"
+    a = _ids(read_snapshot(spark, t))
+    assert a == _ids(read_snapshot(spark, t))  # frozen, not re-rolled
+    assert 200 < len(a) < 800
+    # drain materializes the same frozen set
+    snapshot_apply_filters(spark, t)
+    assert _ids(read_snapshot(spark, t)) == a
+
+
+def test_dv_mixes_with_predicate_lazy_on_same_files(spark, tmp_path):
+    t = str(tmp_path / "t")
+    snapshot_append(_df(spark, 0, 60).repartition(1), t)
+    snapshot_delete_where(spark, t, "id < 10", lazy=True)
+    snapshot_delete_where(spark, t, "id >= 50", lazy="dv")
+    assert _ids(read_snapshot(spark, t)) == set(range(10, 50))
+    # CoW rewrite drains BOTH kinds
+    m = snapshot_delete_where(spark, t, "id = 30")
+    assert "row_filters" not in m
+    assert _ids(read_snapshot(spark, t)) == set(range(10, 50)) - {30}
+    assert _ids(spark.read.parquet(*m["files"])) == set(range(10, 50)) - {30}
+
+
+def test_dv_no_hits_commits_nothing_and_cleans_sidecar(spark, tmp_path):
+    import os
+
+    t = str(tmp_path / "t")
+    snapshot_append(_df(spark, 0, 10), t)
+    m = snapshot_delete_where(spark, t, "id > 999", lazy="dv")
+    assert m["version"] == 1  # unchanged tip returned
+    dv_dir = os.path.join(t, "_dv")
+    assert not os.path.exists(dv_dir) or os.listdir(dv_dir) == []
+
+
+def test_dv_sidecar_gc_after_drain_keeps_referenced(spark, tmp_path):
+    """expire_snapshots deletes sidecars no surviving manifest
+    references and keeps live ones — with the in-flight age guard."""
+    import os
+
+    from mini_project_204721_data_engineering_spark.sources.snapshots import (
+        expire_snapshots,
+    )
+
+    t = str(tmp_path / "t")
+    snapshot_append(_df(spark, 0, 100).repartition(1), t)
+    snapshot_delete_where(spark, t, "id < 10", lazy="dv")   # v2: live DV
+    want = set(range(10, 100))
+    # keep_last=2 keeps v1+v2: the v2 sidecar is referenced → survives
+    r = expire_snapshots(spark, t, keep_last=2, orphan_min_age_seconds=0.0)
+    assert r["deleted_dv_sidecars"] == 0
+    assert _ids(read_snapshot(spark, t)) == want
+    # drain, then expire to the clean tip: the sidecar is unreferenced
+    snapshot_apply_filters(spark, t)                        # v3
+    r = expire_snapshots(spark, t, keep_last=1, orphan_min_age_seconds=0.0)
+    assert r["deleted_dv_sidecars"] == 1
+    assert os.listdir(os.path.join(t, "_dv")) == []
+    assert _ids(read_snapshot(spark, t)) == want
+
+
+def test_dv_time_travel_and_change_feed(spark, tmp_path):
+    t = str(tmp_path / "t")
+    for i in range(3):
+        snapshot_append(_df(spark, i * 10, (i + 1) * 10).repartition(1), t)
+    snapshot_delete_where(spark, t, "id = 15", lazy="dv")  # v4
+    # pre-delete snapshot still shows the row (vectors live in manifests)
+    assert 15 in _ids(read_snapshot(spark, t, version=3))
+    assert 15 not in _ids(read_snapshot(spark, t))
+    # the confined feed prices the DV takedown as the one covered file
+    removed, added, info = snapshot_file_changes(spark, t, 3, 4)
+    assert info["refiltered_files"] != [] and info["removed_files"] == []
+    d = snapshot_changes(spark, t, ["id"], 3, 4, confined=True)
+    ch = {r["id"]: r["diff_status"] for r in d.collect()}
+    assert ch[15] == "removed"
+    assert all(s == "unchanged" for k, s in ch.items() if k != 15)
+
+
+def test_dv_rejects_bad_lazy_value(spark, tmp_path):
+    t = str(tmp_path / "t")
+    snapshot_append(_df(spark, 0, 5), t)
+    with pytest.raises(ValueError, match="lazy must be"):
+        snapshot_delete_where(spark, t, "id = 1", lazy="vectors")
