@@ -146,3 +146,31 @@ def test_mg_merge_invariants():
     for k, true_cnt in truth.items():
         if true_cnt > bound:
             assert k in state, (k, true_cnt, bound)
+
+
+def test_freqitems_path_equals_mg_and_plain(spark):
+    """candidates='freqItems' (JVM sketch) and 'mg' (Python sketch) feed
+    the same exact recount: identical output, ≡ plain GROUP BY/HAVING,
+    across layouts, thresholds, and multi-column keys."""
+    rng = random.Random(11)
+    rows = []
+    for i in range(50):
+        rows += [(f"k{i}", i % 3)] * (3000 // (i + 1))
+    rows += [(f"tail{j}", j % 3) for j in range(5000)]
+    rng.shuffle(rows)
+    base = spark.createDataFrame(rows, "k string, g int")
+    for parts in (1, 8):
+        df = base.repartition(parts)
+        for th in (0.05, 0.002):
+            want = _plain(df, ["k"], th)
+            assert _got(df, ["k"], th, candidates="freqItems") == want
+            assert _got(df, ["k"], th, candidates="mg") == want
+        assert _got(df, ["k", "g"], 0.02, candidates="freqItems") == _plain(
+            df, ["k", "g"], 0.02
+        )
+
+
+def test_freqitems_refuses_bad_mode(spark):
+    df = spark.createDataFrame([("a",)], "k string")
+    with pytest.raises(ValueError, match="candidates must be"):
+        heavy_hitters(df, ["k"], 0.1, candidates="topk")

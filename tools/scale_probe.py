@@ -1271,6 +1271,11 @@ def probe_heavy(spark, n: int, out: list) -> None:
         assert len(rows) == 10, len(rows)
         return len(rows)
 
+    def sketch_jvm():
+        rows = heavy_hitters(df, ["k"], th, candidates="freqItems").collect()
+        assert len(rows) == 10, len(rows)
+        return len(rows)
+
     def plain():
         total = df.count()
         rows = (
@@ -1282,6 +1287,7 @@ def probe_heavy(spark, n: int, out: list) -> None:
         return len(rows)
 
     a = timed("heavy_hitters_mg_recount", sketch, out)
+    j = timed("heavy_hitters_freqitems_recount", sketch_jvm, out)
     b = timed("plain_groupby_having", plain, out)
     # the structural number: groups crossing the shuffle
     n_distinct = df.select("k").distinct().count()
@@ -1294,6 +1300,7 @@ def probe_heavy(spark, n: int, out: list) -> None:
         "distinct_keys_plain_shuffles": n_distinct,
         "candidate_bound_mg": m * n_parts,
         "wallclock_ratio_plain_over_mg": round(b / a, 2) if a else None,
+        "wallclock_ratio_plain_over_freqitems": round(b / j, 2) if j else None,
     }), flush=True)
 
 
