@@ -27,10 +27,11 @@ __all__ = ["recommend_salt", "salted_agg", "salted_broadcast_left"]
 
 
 def recommend_salt(
-    df: DataFrame,
+    df: DataFrame | None,
     keys: Sequence[str],
     n_partitions: int | None = None,
     tolerance: float = 2.0,
+    profile: Mapping | None = None,
 ) -> dict:
     """Turn the key-skew diagnostic (``profile.key_skew_profile``) into
     the ACTION it implies: the salt factor ``salted_agg`` /
@@ -47,13 +48,25 @@ def recommend_salt(
     salts than reducers adds phase-2 rows without spreading further.
 
     Cost of the recommendation itself: the diagnostic's one
-    map-side-combined count per group + a 1-row collect.  Returns
+    map-side-combined count per group + a 1-row collect.  That pass is
+    a property of the DATA's key distribution, not of any one query —
+    compute it ONCE per dataset version and reuse it: pass the profile
+    row back via ``profile=`` (a ``key_skew_profile`` Row or its dict)
+    and this function does NO Spark work at all (``df`` may then be
+    None if ``n_partitions`` is given).  A ``salted_agg`` caller that
+    re-derives the recommendation inline pays one extra scan per
+    invocation; a pipeline that salts the same table in N stages
+    should pay it once.
+
+    Returns
     ``{"n_salts", "max_group", "fair_share", "hot_share", "n_groups",
     "total_rows", "reason"}``; pass the whole dict (or its
     ``n_salts``) straight to ``salted_agg``."""
     from .profile import key_skew_profile
 
     if n_partitions is None:
+        if df is None:
+            raise ValueError("df=None requires an explicit n_partitions")
         n_partitions = int(
             df.sparkSession.conf.get("spark.sql.shuffle.partitions")
         )
@@ -61,7 +74,17 @@ def recommend_salt(
         raise ValueError(f"n_partitions must be >= 1, got {n_partitions}")
     if tolerance <= 0:
         raise ValueError(f"tolerance must be positive, got {tolerance}")
-    prof = key_skew_profile(df, keys).collect()[0].asDict()
+    if profile is not None:
+        prof = dict(profile.asDict()) if hasattr(profile, "asDict") else dict(profile)
+        missing = {"total_rows", "max_group", "hot_share", "n_groups"} - set(prof)
+        if missing:
+            raise ValueError(
+                f"profile= is missing key_skew_profile fields: {sorted(missing)}"
+            )
+    else:
+        if df is None:
+            raise ValueError("pass a DataFrame or a precomputed profile=")
+        prof = key_skew_profile(df, keys).collect()[0].asDict()
     total, max_group = prof["total_rows"], prof["max_group"]
     if not total:
         return {"n_salts": 1, "max_group": 0, "fair_share": 0.0,

@@ -281,6 +281,36 @@ def test_recommend_salt_cap_and_validation(spark):
         salted_agg(one_key, ["k"], "id", {}, n_salts={"n_salts": 0})
 
 
+def test_recommend_salt_accepts_cached_profile(spark):
+    """The skew profile is a property of the data, not the query: a
+    caller salting the same table in N stages pays the diagnostic scan
+    ONCE and replays the row — df=None proves structurally that the
+    cached path does zero Spark work."""
+    import pytest as _pytest
+
+    from mini_project_204721_data_engineering_spark.operators.profile import (
+        key_skew_profile,
+    )
+    from mini_project_204721_data_engineering_spark.operators.skew import (
+        recommend_salt,
+    )
+
+    rows = [(0, i) for i in range(900)] + [(k, 0) for k in range(1, 101)]
+    df = spark.createDataFrame(rows, "k int, id int")
+    prof = key_skew_profile(df, ["k"]).collect()[0]
+    live = recommend_salt(df, ["k"], n_partitions=32)
+    cached = recommend_salt(None, ["k"], n_partitions=32, profile=prof)
+    assert cached == live and cached["n_salts"] > 1
+    # the dict form works too (a JSON-cached profile round-trips)
+    assert recommend_salt(None, ["k"], n_partitions=32, profile=prof.asDict()) == live
+    with _pytest.raises(ValueError, match="n_partitions"):
+        recommend_salt(None, ["k"], profile=prof)
+    with _pytest.raises(ValueError, match="missing key_skew_profile"):
+        recommend_salt(None, ["k"], n_partitions=32, profile={"total_rows": 1})
+    with _pytest.raises(ValueError, match="DataFrame or a precomputed"):
+        recommend_salt(None, ["k"], n_partitions=32)
+
+
 def test_events_sessions_handles_ntz_timestamps(spark):
     """r4+ driver data ships events.ts as parquet timestamp[us] with
     isAdjustedToUTC=false, which Spark 4 resolves to TIMESTAMP_NTZ;
