@@ -147,7 +147,17 @@ def heavy_hitters(
         # > support survives — support = 1/(m+1) reproduces the MG
         # completeness bound (θ > 1/(m+1), checked above).  False
         # positives are fine: the recount is exact.
-        support = max(1.0 / (m + 1), 1e-4)
+        support = 1.0 / (m + 1)
+        if support < 1e-4:
+            # Spark clamps freqItems support at 1e-4; silently clamping
+            # here would break the completeness bound and drop
+            # qualifying keys — refuse loudly, the MG path has no floor
+            raise ValueError(
+                f"candidates='freqItems' cannot guarantee completeness at "
+                f"summary_size={m}: Spark's freqItems floors support at "
+                "1e-4 (summary ≤ 10000 entries) — use candidates='mg' for "
+                "thresholds this small"
+            )
         freq = (
             notnull.select(F.struct(*keys).alias("__k"))
             .stat.freqItems(["__k"], support)

@@ -557,9 +557,17 @@ def _zorder_encode(df: DataFrame, c: str):
         return F.datediff(F.col(c), F.lit("1970-01-01")).cast("double")
     if dt == "timestamp":
         return F.unix_micros(F.col(c)).cast("double")
+    if dt == "timestamp_ntz":
+        # unix_micros REJECTS NTZ; timestamp_diff works on both flavors
+        return F.timestamp_diff(
+            "MICROSECOND",
+            F.lit("1970-01-01 00:00:00").cast("timestamp_ntz"),
+            F.col(c),
+        ).cast("double")
     if dt == "string":
+        q = c.replace("`", "``")  # backtick-safe: names with spaces etc.
         return F.expr(
-            f"CAST(conv(hex(rpad(CAST({c} AS BINARY), 7, X'00')), 16, 10) AS DOUBLE)"
+            f"CAST(conv(hex(rpad(CAST(`{q}` AS BINARY), 7, X'00')), 16, 10) AS DOUBLE)"
         )
     raise ValueError(
         f"zorder_column: column {c!r} has unorderable type {dt} — "
@@ -607,11 +615,16 @@ def zorder_column(df: DataFrame, cols: Sequence[str], bits: int = 16):
         lo, hi = stats[f"__min_{c}"], stats[f"__max_{c}"]
         if lo is None or hi is None:  # empty or all-null column: no order
             return F.lit(0).cast("long").alias("__zval")
-        span = max(1.0, float(hi) - float(lo))
+        span = float(hi) - float(lo)
+        if span <= 0:  # constant column: nothing to order on
+            scaled.append(F.lit(0).cast("long"))
+            continue
         # value → [0, 2^bits), scale computed in DOUBLE: the old long
         # form ((v - lo) * (2^bits - 1)) wrapped for spans above ~2^47
         # (epoch-micros, hash-derived ids), silently scrambling the
-        # curve for exactly the wide-range columns Z-ordering targets.
+        # curve for exactly the wide-range columns Z-ordering targets —
+        # and a max(1.0, span) floor would collapse sub-1.0 float spans
+        # (probabilities, ratios) into a sliver of the bucket range.
         # Double ops are monotone, so ordering survives; sub-ULP
         # precision loss only coarsens bucket boundaries.
         scale = float((1 << bits) - 1) / span

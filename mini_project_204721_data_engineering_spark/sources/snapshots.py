@@ -796,6 +796,52 @@ def read_snapshot(
     return _filtered_read(spark, manifest, files)
 
 
+_BARE_DATE_RE = None  # compiled lazily
+
+
+def _normalize_prune_bounds(manifest: dict, prune: dict) -> dict:
+    """Align string bounds with how stats SPELL timestamp values.
+
+    A bare-date string bound (``'2024-02-01'``) against a
+    timestamp-typed column is cast to MIDNIGHT by SQL, but compared
+    lexicographically it sorts BEFORE the stats' SQL spelling
+    ``'2024-02-01 00:00:00'`` — so a file whose min is exactly midnight
+    of the bound day would be wrongly pruned while its midnight row
+    matches the predicate.  Appending ``' 00:00:00'`` reproduces the
+    cast's exact spelling, making the comparison exact, not merely
+    safe.  Only columns the manifest schema types as timestamp-like are
+    touched; string/date columns compare raw."""
+    import re
+
+    from pyspark.sql.types import (
+        TimestampNTZType,
+        TimestampType,
+        _parse_datatype_string,
+    )
+
+    global _BARE_DATE_RE
+    if _BARE_DATE_RE is None:
+        _BARE_DATE_RE = re.compile(r"^\d{4}-\d{2}-\d{2}$")
+    try:
+        fields = _parse_datatype_string(manifest.get("schema") or "").fields
+    except Exception:
+        return prune  # unparseable schema: compare raw (conservative)
+    ts_cols = {
+        f.name
+        for f in fields
+        if isinstance(f.dataType, (TimestampType, TimestampNTZType))
+    }
+    if not ts_cols:
+        return prune
+
+    def fix(col, v):
+        if col in ts_cols and isinstance(v, str) and _BARE_DATE_RE.match(v):
+            return v + " 00:00:00"
+        return v
+
+    return {c: (fix(c, lo), fix(c, hi)) for c, (lo, hi) in prune.items()}
+
+
 def _prune_files(manifest: dict, prune: dict) -> list[str]:
     """Manifest-level file pruning: keep a file unless its recorded
     [min, max] for some pruned column is PROVABLY disjoint from the
@@ -803,6 +849,7 @@ def _prune_files(manifest: dict, prune: dict) -> list[str]:
     stats for a column are always kept — pruning can only skip work,
     never answers."""
     stats = manifest.get("stats", {})
+    prune = _normalize_prune_bounds(manifest, prune)
 
     def keep(f: str) -> bool:
         fstats = stats.get(f)
@@ -1252,8 +1299,14 @@ def snapshot_delete_where(
     from pyspark.sql import functions as F
     from pyspark.sql.types import _parse_datatype_string
 
-    if lazy not in (False, True, "dv"):
-        raise ValueError(f"lazy must be False, True, or 'dv' (got {lazy!r})")
+    if isinstance(lazy, str):
+        if lazy != "dv":
+            raise ValueError(f"lazy must be False, True, or 'dv' (got {lazy!r})")
+    else:
+        # normalize truthy ints etc.: `1 == True` would pass a membership
+        # check while `lazy is True` gates skip — a stored predicate
+        # slipping past the stability gate is exactly the hazard
+        lazy = bool(lazy)
     versions = _list_versions(spark, table_dir)
     if not versions:
         raise ValueError(f"no snapshots at {table_dir}")
@@ -2078,7 +2131,8 @@ def expire_snapshots(
         raise ValueError("keep_last must be >= 1")
     versions = _list_versions(spark, table_dir)
     if not versions:
-        return {"expired_manifests": 0, "deleted_files": 0}
+        return {"expired_manifests": 0, "deleted_files": 0,
+                "deleted_dv_sidecars": 0}
     keep = set(versions[-keep_last:])
     if min_age_seconds > 0:
         cutoff = time.time() - min_age_seconds
@@ -2087,8 +2141,13 @@ def expire_snapshots(
             if _read_manifest(spark, table_dir, v)["ts"] > cutoff
         )
     referenced: set[str] = set()
+    referenced_dv: set[str] = set()  # DV sidecars live in row_filters
     for v in keep:
-        referenced.update(_read_manifest(spark, table_dir, v)["files"])
+        m = _read_manifest(spark, table_dir, v)
+        referenced.update(m["files"])
+        referenced_dv.update(
+            e["dv"] for e in m.get("row_filters", []) if "dv" in e
+        )
     fs, _, jvm = _fs_for(spark, table_dir)
     expired = 0
     for v in versions:
@@ -2128,14 +2187,10 @@ def expire_snapshots(
             if not [k for k in kids if not str(k.getPath().getName()).startswith("_")]:
                 fs.delete(s.getPath(), True)
     # deletion-vector sidecars: referenced by manifests' row_filters
-    # entries, not by manifest["files"] — GC the dirs no surviving
-    # manifest references, under the same in-flight age guard (a DV
-    # commit writes its sidecar BEFORE the manifest claims it)
-    referenced_dv = set()
-    for v in keep:
-        for e in _read_manifest(spark, table_dir, v).get("row_filters", []):
-            if "dv" in e:
-                referenced_dv.add(e["dv"])
+    # entries (collected in the keep loop above), not by
+    # manifest["files"] — GC the dirs no surviving manifest references,
+    # under the same in-flight age guard (a DV commit writes its
+    # sidecar BEFORE the manifest claims it)
     deleted_dv = 0
     for s in fs.globStatus(_child(jvm, table_dir, "_dv", "*")) or []:
         p = str(s.getPath().toString())

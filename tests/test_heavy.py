@@ -174,3 +174,13 @@ def test_freqitems_refuses_bad_mode(spark):
     df = spark.createDataFrame([("a",)], "k string")
     with pytest.raises(ValueError, match="candidates must be"):
         heavy_hitters(df, ["k"], 0.1, candidates="topk")
+
+
+def test_freqitems_refuses_thresholds_below_its_support_floor(spark):
+    """Spark floors freqItems support at 1e-4; silently clamping would
+    break the completeness bound and drop qualifying keys — refuse."""
+    df = spark.createDataFrame([("a",)], "k string")
+    with pytest.raises(ValueError, match="floors support"):
+        heavy_hitters(df, ["k"], 4e-5, candidates="freqItems")
+    # the MG path has no floor: same threshold is accepted
+    assert heavy_hitters(df, ["k"], 4e-5, candidates="mg").count() == 1

@@ -802,3 +802,39 @@ def test_zorder_refuses_unorderable_column(spark):
     df = spark.range(3).select(F.array(F.col("id")).alias("a"), F.col("id"))
     with pytest.raises(ValueError, match="unorderable"):
         zorder_column(df, ["a", "id"])
+
+
+def test_zorder_timestamp_ntz_and_tiny_float_span(spark):
+    """Review regressions: (1) timestamp_ntz — the flavor Spark 4 gives
+    the driver's own events.ts — must encode (unix_micros rejects NTZ);
+    (2) a sub-1.0 float span must spread the full bucket range, not
+    collapse into a sliver under a max(1.0, span) floor."""
+    from mini_project_204721_data_engineering_spark.sources.sink import zorder_column
+
+    ntz = spark.range(0, 500).select(
+        (F.lit("2024-01-01 00:00:00").cast("timestamp_ntz")
+         + F.make_interval(mins=F.col("id"))).alias("ts")
+    )
+    rows = ntz.select("ts", zorder_column(ntz, ["ts"])).orderBy("ts").collect()
+    zs = [r["__zval"] for r in rows]
+    assert all(a <= b for a, b in zip(zs, zs[1:])) and len(set(zs)) > 400
+
+    tiny = spark.range(0, 1000).select((F.col("id") / F.lit(100000.0)).alias("p"))
+    rows = tiny.select("p", zorder_column(tiny, ["p"])).orderBy("p").collect()
+    zs = [r["__zval"] for r in rows]
+    assert all(a <= b for a, b in zip(zs, zs[1:]))
+    assert len(set(zs)) > 900  # spread across buckets, not a sliver
+    # constant column: a flat zero key, no division blow-up
+    const = spark.range(10).select(F.lit(3.7).alias("c"))
+    assert {r["__zval"] for r in const.select(zorder_column(const, ["c"])).collect()} == {0}
+
+
+def test_zorder_string_column_with_awkward_name(spark):
+    from mini_project_204721_data_engineering_spark.sources.sink import zorder_column
+
+    df = spark.range(0, 100).select(
+        F.concat(F.lit("u"), F.lpad(F.col("id").cast("string"), 3, "0")).alias("user id")
+    )
+    rows = df.select("`user id`", zorder_column(df, ["user id"])).orderBy("`user id`").collect()
+    zs = [r["__zval"] for r in rows]
+    assert all(a <= b for a, b in zip(zs, zs[1:])) and len(set(zs)) > 50

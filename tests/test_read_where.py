@@ -139,3 +139,39 @@ def test_read_where_files_planned_scale_with_selectivity(spark, tmp_path):
         widths[width] = len(got.inputFiles())
         assert _ids(got) == set(range(width))
     assert widths[50] == 1 and widths[250] == 3 and widths[450] == 5
+
+
+def test_bare_date_bound_on_timestamp_stats_is_exact(spark, tmp_path):
+    """Review regression: a bare-date string bound ('2024-02-01') casts
+    to MIDNIGHT in SQL but sorted lexicographically BEFORE the stats'
+    SQL spelling ('2024-02-01 00:00:00') — a file whose min is exactly
+    midnight of the bound day was wrongly pruned while its midnight row
+    matches.  Bound normalization must keep the contract result ≡
+    read_snapshot().filter(pred) exact."""
+    t = str(tmp_path / "t")
+    early = spark.range(0, 5).select(
+        F.col("id"),
+        (F.lit("2024-01-15 12:00:00").cast("timestamp_ntz")).alias("ts"),
+    )
+    # this file's MIN ts is exactly midnight of the upper-bound day
+    boundary = spark.range(100, 101).select(
+        F.col("id"),
+        (F.lit("2024-02-01 00:00:00").cast("timestamp_ntz")).alias("ts"),
+    )
+    late = spark.range(200, 205).select(
+        F.col("id"),
+        (F.lit("2024-03-01 00:00:00").cast("timestamp_ntz")).alias("ts"),
+    )
+    snapshot_append(early.repartition(1), t, stats_cols=["ts"])
+    snapshot_append(boundary.repartition(1), t)
+    snapshot_append(late.repartition(1), t)
+
+    pred = "ts BETWEEN '2024-01-01' AND '2024-02-01'"
+    got = read_snapshot_where(spark, t, pred)
+    want = read_snapshot(spark, t).filter(pred)
+    assert _ids(got) == _ids(want) == set(range(5)) | {100}
+    # pruning still bites: the March file stays unplanned
+    assert len(got.inputFiles()) == 2
+    # equality on a bare date against a timestamp column: same hazard
+    got_eq = read_snapshot_where(spark, t, "ts = '2024-02-01'")
+    assert _ids(got_eq) == {100}

@@ -653,3 +653,17 @@ def test_stream_lazy_takedown_mid_stream_flows_to_view(spark, tmp_path, lazy_mod
     # not a table-sized diff (v-after-delete vs v-before)
     _, _, info = snapshot_file_changes(spark, t, 3, 4)
     assert info["refiltered_files"] != []
+
+
+def test_lazy_truthy_int_is_gated_like_true(spark, tmp_path):
+    """Review regression: lazy=1 passed the membership check (1 == True)
+    but skipped the `lazy is True` stability gate — a stored unstable
+    predicate slipping through ungated."""
+    t = str(tmp_path / "t")
+    snapshot_append(_df(spark, 0, 10), t)
+    with pytest.raises(ValueError, match="not stable under re-evaluation"):
+        snapshot_delete_where(spark, t, "id < current_timestamp()::long", lazy=1)
+    m = snapshot_delete_where(spark, t, "id < 3", lazy=1)
+    assert m["meta"]["mode"] == "lazy"
+    with pytest.raises(ValueError, match="lazy must be"):
+        snapshot_delete_where(spark, t, "id = 1", lazy="DV")
