@@ -549,9 +549,17 @@ def _zorder_encode(df: DataFrame, c: str):
     Anything else (arrays, structs, maps, binary) refuses loudly: there
     is no total order a min/max prune could exploit."""
     dt = df.schema[c].dataType.simpleString()
-    if dt in ("tinyint", "smallint", "int", "bigint", "float", "double") or dt.startswith(
-        "decimal"
-    ):
+    if dt in ("float", "double"):
+        # NaN/±Inf would poison the min/max stats pass (span=NaN →
+        # every scaled value NaN → ANSI CAST_OVERFLOW kills the whole
+        # rewrite).  Map non-finite to NULL: the stats ignore them, the
+        # scaled expression yields NULL → greatest(0, NULL) = bucket 0,
+        # and finite values keep their full clustering.
+        x = F.col(c).cast("double")
+        return F.when(
+            F.isnan(x) | (F.abs(x) == F.lit(float("inf"))), F.lit(None)
+        ).otherwise(x)
+    if dt in ("tinyint", "smallint", "int", "bigint") or dt.startswith("decimal"):
         return F.col(c).cast("double")
     if dt == "date":
         return F.datediff(F.col(c), F.lit("1970-01-01")).cast("double")

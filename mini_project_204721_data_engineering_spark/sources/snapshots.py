@@ -796,32 +796,46 @@ def read_snapshot(
     return _filtered_read(spark, manifest, files)
 
 
-_BARE_DATE_RE = None  # compiled lazily
+import re as _re
+
+_DATE_RE = _re.compile(r"^\d{4}-\d{2}-\d{2}$")
+_TS_SEC_RE = _re.compile(r"^\d{4}-\d{2}-\d{2} \d{2}:\d{2}:\d{2}$")
+_TS_MIN_RE = _re.compile(r"^\d{4}-\d{2}-\d{2} \d{2}:\d{2}$")
+_TS_FRAC_RE = _re.compile(r"^(\d{4}-\d{2}-\d{2} \d{2}:\d{2}:\d{2})\.(\d{1,6})$")
 
 
 def _normalize_prune_bounds(manifest: dict, prune: dict) -> dict:
-    """Align string bounds with how stats SPELL timestamp values.
+    """Align string bounds with how stats SPELL date/timestamp values —
+    or DROP a column's pruning when no exact alignment exists.
 
-    A bare-date string bound (``'2024-02-01'``) against a
-    timestamp-typed column is cast to MIDNIGHT by SQL, but compared
-    lexicographically it sorts BEFORE the stats' SQL spelling
-    ``'2024-02-01 00:00:00'`` — so a file whose min is exactly midnight
-    of the bound day would be wrongly pruned while its midnight row
-    matches the predicate.  Appending ``' 00:00:00'`` reproduces the
-    cast's exact spelling, making the comparison exact, not merely
-    safe.  Only columns the manifest schema types as timestamp-like are
-    touched; string/date columns compare raw."""
-    import re
+    SQL compares a string literal against a date/timestamp column by
+    CASTING the literal, but the manifest prune compares
+    lexicographically against the stats' spelling (dates
+    ``YYYY-MM-DD``, timestamps isoformat with a SPACE separator and a
+    6-digit fraction only when nonzero).  Any spelling mismatch between
+    the two orders can wrongly prune a file holding matching boundary
+    rows, so per column type:
 
+    - timestamp column: bare date → ``+ ' 00:00:00'`` (the cast's exact
+      value); minutes-only → ``+ ':00'``; full seconds → kept; a
+      fractional part is zero-stripped or zero-padded to 6 digits
+      (isoformat's spelling).  Anything else ('T' separator, unpadded
+      months, ...) casts fine in SQL but sorts differently as text —
+      that column's pruning is DISABLED (dropped from the dict), the
+      residual filter still answers.
+    - date column: bare date kept; a timestamp-spelled bound truncates
+      to its date part (exactly what the SQL cast does); anything else
+      disables the column.
+    - string/numeric columns: untouched — no cast happens in SQL, so
+      raw comparison IS the semantics (mixed types already fall to the
+      conservative TypeError keep in ``_prune_files``)."""
     from pyspark.sql.types import (
+        DateType,
         TimestampNTZType,
         TimestampType,
         _parse_datatype_string,
     )
 
-    global _BARE_DATE_RE
-    if _BARE_DATE_RE is None:
-        _BARE_DATE_RE = re.compile(r"^\d{4}-\d{2}-\d{2}$")
     try:
         fields = _parse_datatype_string(manifest.get("schema") or "").fields
     except Exception:
@@ -831,15 +845,41 @@ def _normalize_prune_bounds(manifest: dict, prune: dict) -> dict:
         for f in fields
         if isinstance(f.dataType, (TimestampType, TimestampNTZType))
     }
-    if not ts_cols:
+    date_cols = {f.name for f in fields if isinstance(f.dataType, DateType)}
+    if not ts_cols and not date_cols:
         return prune
+    _SKIP = object()
 
     def fix(col, v):
-        if col in ts_cols and isinstance(v, str) and _BARE_DATE_RE.match(v):
-            return v + " 00:00:00"
+        if v is None or not isinstance(v, str):
+            return v
+        if col in ts_cols:
+            if _DATE_RE.match(v):
+                return v + " 00:00:00"
+            if _TS_MIN_RE.match(v):
+                return v + ":00"
+            if _TS_SEC_RE.match(v):
+                return v
+            m = _TS_FRAC_RE.match(v)
+            if m:
+                frac = m.group(2).ljust(6, "0")
+                return m.group(1) if frac == "000000" else f"{m.group(1)}.{frac}"
+            return _SKIP
+        if col in date_cols:
+            if _DATE_RE.match(v):
+                return v
+            if _TS_SEC_RE.match(v) or _TS_MIN_RE.match(v) or _TS_FRAC_RE.match(v):
+                return v[:10]  # the cast truncates to the date part
+            return _SKIP
         return v
 
-    return {c: (fix(c, lo), fix(c, hi)) for c, (lo, hi) in prune.items()}
+    out = {}
+    for c, (lo, hi) in prune.items():
+        lo2, hi2 = fix(c, lo), fix(c, hi)
+        if lo2 is _SKIP or hi2 is _SKIP:
+            continue  # no exact text order exists: drop this column
+        out[c] = (lo2, hi2)
+    return out
 
 
 def _prune_files(manifest: dict, prune: dict) -> list[str]:
@@ -1117,11 +1157,16 @@ def _match_flipped(chunk, literal):
     return None
 
 
-def _merge_range(ranges: dict, col: str, rng: tuple) -> None:
+def _merge_range(ranges: dict, col: str, rng: tuple | None) -> None:
     """Intersect a new (lo, hi) into ranges[col]; on an incomparable
     mix, disable pruning for the column (None sentinel, stripped by the
-    caller via the falsy check in read_snapshot_where)."""
+    caller via the falsy check in read_snapshot_where).  ``rng`` may
+    itself BE the None sentinel (a parenthesized subexpression already
+    disabled the column) — propagate it, don't unpack it."""
     if col in ranges and ranges[col] is None:
+        return
+    if rng is None:
+        ranges[col] = None
         return
     if col not in ranges:
         ranges[col] = rng
@@ -1201,8 +1246,14 @@ def _check_stored_predicate(spark: SparkSession, schema, predicate: str) -> None
       WITHIN one query but different at the next read, recognized by
       class (:data:`_CONTEXT_DEPENDENT_EXPRS`)
 
-    CoW deletes evaluate their predicate exactly once and may use any
-    expression; only the stored (merge-on-read) path is gated."""
+    Only the stored (merge-on-read) path is gated: a CoW predicate
+    never outlives its commit.  It IS, however, evaluated twice within
+    that commit (hit-file scan, then survivor rewrite) — so a
+    nondeterministic predicate under CoW deletes a layout-dependent row
+    set (second roll's matches restricted to first roll's files) and a
+    time-dependent one can straddle boundary files; callers who need a
+    nondeterministic predicate to bind EXACTLY once should use
+    ``lazy="dv"``, which freezes the matched positions in one pass."""
     cond = (
         spark.createDataFrame([], schema)
         .filter(predicate)
@@ -1217,6 +1268,12 @@ def _check_stored_predicate(spark: SparkSession, schema, predicate: str) -> None
         name = e.getClass().getSimpleName()
         if name in _CONTEXT_DEPENDENT_EXPRS:
             bad.append(_CONTEXT_DEPENDENT_EXPRS[name])
+        if "Subquery" in name or name in ("Exists", "ListQuery", "InSubquery"):
+            # a subquery carries a whole PLAN the expression walk can't
+            # see into (it may hide current_timestamp(), or read a table
+            # whose contents change) — categorically unstable as a
+            # stored predicate
+            bad.append("a subquery")
         kids_ok = True
         it = e.children().iterator()
         while it.hasNext():
@@ -1267,9 +1324,12 @@ def snapshot_delete_where(
     version still shows the rows (filters live in the manifest).
     Because the predicate is STORED and re-evaluated at every future
     read, lazy mode refuses nondeterministic or time/context-dependent
-    predicates (``rand()``, ``current_timestamp()``, ...) at commit —
-    :func:`_check_stored_predicate`; CoW mode evaluates once and is
-    not gated.
+    predicates (``rand()``, ``current_timestamp()``, subqueries) at
+    commit — :func:`_check_stored_predicate`.  CoW mode is not gated
+    (its predicate never outlives the commit) but evaluates the
+    predicate twice within it (hit scan + survivor rewrite), so a
+    nondeterministic CoW predicate binds a layout-dependent row set —
+    ``lazy="dv"`` is the mode that evaluates EXACTLY once.
 
     **Deletion vectors (``lazy="dv"``)**: the hit scan (same one pass)
     materializes the matching rows' PHYSICAL POSITIONS —
@@ -1279,9 +1339,11 @@ def snapshot_delete_where(
     "files": [...]}``.  Reads apply ONE anti-join per covered file
     group regardless of how many DV takedowns stack (sidecars union
     first), vs one pushed predicate EACH for predicate-lazy — and
-    because the predicate was evaluated exactly once at commit, DV mode
-    has NO determinism hazard: ``rand()``-shaped predicates are legal
-    here, like CoW.  Drains identically (any rewrite/compaction/
+    because the predicate binds exactly once, into positions, DV mode
+    has NO determinism hazard: it is the only mode where a
+    ``rand()``-shaped predicate denotes one well-defined row set (CoW
+    accepts one too, but evaluates it twice — hit scan + survivor
+    rewrite — so its row set is layout-dependent).  Drains identically (any rewrite/compaction/
     :func:`snapshot_apply_filters` reads through the vectors and emits
     clean bytes); :func:`expire_snapshots` GCs sidecars no surviving
     manifest references.  This is the Delta/Iceberg deletion-vector
@@ -1326,13 +1388,19 @@ def snapshot_delete_where(
         # into positions, like CoW.
         _check_stored_predicate(spark, schema, predicate)
     fs, _, jvm = _fs_for(spark, table_dir)
+    # ONE hit-scan shape for every mode: the filtered read with
+    # scan-bound position metadata.  __dv_file (the _metadata.file_path
+    # column), NOT input_file_name(): the latter refuses multi-source
+    # plans, and a pending DV entry makes the filtered read one
+    # (anti-join).  File paths canonicalize through Path so the hit set
+    # compares against the manifest's own spelling.
+    snap = _filtered_read(
+        spark, manifest, manifest["files"], schema, with_position=True
+    )
     dv_path = None
     if lazy == "dv":
         # one pass materializes hit POSITIONS (visible rows only — the
-        # read applies pending takedowns) into an immutable sidecar
-        snap = _filtered_read(
-            spark, manifest, manifest["files"], schema, with_position=True
-        )
+        # read applies pending takedowns) into an immutable sidecar;
         # fs-qualified (file:/...) so the GC's globStatus comparison and
         # the manifest's stored spelling agree
         dv_path = str(
@@ -1354,14 +1422,6 @@ def snapshot_delete_where(
             fs.delete(jvm.org.apache.hadoop.fs.Path(dv_path), True)
             return manifest
     else:
-        # __dv_file (the scan-bound _metadata.file_path), NOT
-        # input_file_name(): the latter refuses multi-source plans, and
-        # a pending DV entry makes the filtered read one (anti-join).
-        # Canonicalize through Path so the hit set compares against the
-        # manifest's own spelling.
-        snap = _filtered_read(
-            spark, manifest, manifest["files"], schema, with_position=True
-        )
         hit_files = sorted(
             str(jvm.org.apache.hadoop.fs.Path(r["f"]).toString())
             for r in snap.filter(predicate)
@@ -1419,10 +1479,28 @@ def snapshot_delete_where(
                 row_filters_fn=lazy_filters_fn,
             )
         except BaseException:
-            # an aborted DV commit must not strand its sidecar: no
-            # manifest references it, so it would only ever be dead bytes
+            # an aborted DV commit must not strand its sidecar — but the
+            # interrupt may have landed AFTER _try_write_manifest
+            # succeeded inside _commit (KeyboardInterrupt, py4j drop):
+            # deleting a sidecar the new tip references would break
+            # every future read of the covered files.  Delete ONLY when
+            # the tip verifiably does not reference it; on any doubt
+            # (unreadable log) leak the sidecar — expire_snapshots GCs
+            # unreferenced ones later anyway.
             if dv_path is not None:
-                fs.delete(jvm.org.apache.hadoop.fs.Path(dv_path), True)
+                try:
+                    tips = _list_versions(spark, table_dir)
+                    tip_m = (
+                        _read_manifest(spark, table_dir, tips[-1]) if tips else {}
+                    )
+                    referenced = any(
+                        e.get("dv") == dv_path
+                        for e in tip_m.get("row_filters", [])
+                    )
+                except BaseException:
+                    referenced = True  # can't prove it's orphaned: keep
+                if not referenced:
+                    fs.delete(jvm.org.apache.hadoop.fs.Path(dv_path), True)
             raise
 
     # survivors are written unconditionally — a fully-emptied rewrite

@@ -838,3 +838,28 @@ def test_zorder_string_column_with_awkward_name(spark):
     rows = df.select("`user id`", zorder_column(df, ["user id"])).orderBy("`user id`").collect()
     zs = [r["__zval"] for r in rows]
     assert all(a <= b for a, b in zip(zs, zs[1:])) and len(set(zs)) > 50
+
+
+def test_zorder_survives_nan_and_infinity(spark):
+    """Pass-2 regression: one NaN/Inf row made span=NaN and every scaled
+    value NaN — ANSI cast('long') then killed the whole rewrite.
+    Non-finite values must land in bucket 0 while finite values keep
+    full clustering."""
+    from mini_project_204721_data_engineering_spark.sources.sink import zorder_column
+
+    df = spark.range(0, 100).select(
+        F.when(F.col("id") == 0, F.lit(float("nan")))
+        .when(F.col("id") == 1, F.lit(float("inf")))
+        .when(F.col("id") == 2, F.lit(float("-inf")))
+        .otherwise(F.col("id").cast("double"))
+        .alias("v")
+    )
+    rows = df.select("v", zorder_column(df, ["v"])).collect()
+    finite = sorted(
+        (r["v"], r["__zval"]) for r in rows
+        if r["v"] == r["v"] and abs(r["v"]) != float("inf")
+    )
+    zs = [z for _, z in finite]
+    assert all(a <= b for a, b in zip(zs, zs[1:])) and len(set(zs)) > 90
+    nonfinite = [r["__zval"] for r in rows if not (r["v"] == r["v"]) or abs(r["v"]) == float("inf")]
+    assert nonfinite == [0, 0, 0]

@@ -175,3 +175,47 @@ def test_bare_date_bound_on_timestamp_stats_is_exact(spark, tmp_path):
     # equality on a bare date against a timestamp column: same hazard
     got_eq = read_snapshot_where(spark, t, "ts = '2024-02-01'")
     assert _ids(got_eq) == {100}
+
+
+def test_noncanonical_time_spellings_never_misprune(spark, tmp_path):
+    """Pass-2 review regression: unpadded dates ('2024-2-1') and ISO 'T'
+    separators cast fine in SQL but sort differently as text — those
+    spellings must DISABLE the column's pruning (full scan, exact
+    result), while minutes-only and fractional spellings normalize to
+    the stats' spelling and stay exact."""
+    t = str(tmp_path / "t")
+
+    def day_rows(lo, hi, day):
+        return spark.range(lo, hi).select(
+            F.col("id"),
+            (F.lit(f"{day} 00:00:00").cast("timestamp_ntz")
+             + F.make_interval(mins=F.col("id") % 90)).alias("ts"),
+            F.lit(day).cast("date").alias("day"),
+        )
+
+    snapshot_append(day_rows(0, 5, "2024-01-15").repartition(1), t,
+                    stats_cols=["ts", "day"])
+    snapshot_append(day_rows(100, 105, "2024-03-15").repartition(1), t)
+
+    cases = [
+        "day >= '2024-2-1'",                  # unpadded: disable, not misprune
+        "ts > '2024-01-31T23:00:00'",         # 'T' separator: disable
+        "ts >= '2024-03-15 00:05'",           # minutes-only: normalized exact
+        "ts <= '2024-01-15 00:30:00.000000'", # zero fraction: stripped exact
+        "ts <= '2024-01-15 00:30:00.5'",      # fraction: padded exact
+        "day <= '2024-01-15 12:00:00'",       # ts-spelled vs date: truncated
+    ]
+    for pred in cases:
+        got = read_snapshot_where(spark, t, pred)
+        want = read_snapshot(spark, t).filter(pred)
+        assert _ids(got) == _ids(want), pred
+    # the normalized spellings still prune (1 of 2 files planned)
+    assert len(read_snapshot_where(spark, t, "ts >= '2024-03-15 00:05'").inputFiles()) == 1
+    assert len(read_snapshot_where(spark, t, "day <= '2024-01-15 12:00:00'").inputFiles()) == 1
+
+
+def test_contradictory_parenthesized_types_degrade_not_crash():
+    """Pass-2 regression: a parenthesized subexpression returning the
+    None disable-sentinel crashed _merge_range with a NoneType unpack."""
+    assert _predicate_prune_ranges("id = 7 AND (id = 'x' AND id = 5)") == {"id": None}
+    assert _predicate_prune_ranges("(id = 'x' AND id = 5) AND id = 7") == {"id": None}

@@ -667,3 +667,19 @@ def test_lazy_truthy_int_is_gated_like_true(spark, tmp_path):
     assert m["meta"]["mode"] == "lazy"
     with pytest.raises(ValueError, match="lazy must be"):
         snapshot_delete_where(spark, t, "id = 1", lazy="DV")
+
+
+def test_lazy_delete_refuses_subquery_predicates(spark, tmp_path):
+    """Pass-2 regression: a scalar subquery hides a whole plan from the
+    expression walk (it can smuggle current_timestamp() or read a table
+    whose contents change) — categorically refused as a stored
+    predicate."""
+    t = str(tmp_path / "t")
+    snapshot_append(_df(spark, 0, 10), t)
+    with pytest.raises(ValueError, match="subquery"):
+        snapshot_delete_where(
+            spark, t, "id < (SELECT current_timestamp()::long)", lazy=True
+        )
+    with pytest.raises(ValueError, match="subquery"):
+        snapshot_delete_where(spark, t, "id < (SELECT 5)", lazy=True)
+    assert _list_versions(spark, t) == [1]
