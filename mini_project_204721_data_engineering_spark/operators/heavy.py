@@ -149,14 +149,15 @@ def heavy_hitters(
         # positives are fine: the recount is exact.
         support = 1.0 / (m + 1)
         if support < 1e-4:
-            # Spark clamps freqItems support at 1e-4; silently clamping
-            # here would break the completeness bound and drop
-            # qualifying keys — refuse loudly, the MG path has no floor
+            # Spark's FreqItems REQUIRES support >= 1e-4 (it raises on
+            # less, it does not clamp) — refuse here with an actionable
+            # message instead of surfacing Spark's requirement error
+            # mid-job; the MG path has no floor
             raise ValueError(
-                f"candidates='freqItems' cannot guarantee completeness at "
-                f"summary_size={m}: Spark's freqItems floors support at "
-                "1e-4 (summary ≤ 10000 entries) — use candidates='mg' for "
-                "thresholds this small"
+                f"candidates='freqItems' cannot run at summary_size={m}: "
+                "Spark's freqItems requires support >= 1e-4 (summary ≤ "
+                "10000 entries) — use candidates='mg' for thresholds this "
+                "small"
             )
         freq = (
             notnull.select(F.struct(*keys).alias("__k"))
@@ -225,10 +226,10 @@ def heavy_hitters(
     )
     # marker rows (all-null keys from emptied-MG partitions) carry N
     # but are not candidates — key columns are non-null by the na.drop
-    candidates = summaries.select(*keys).na.drop("any").distinct()
+    cand_df = summaries.select(*keys).na.drop("any").distinct()
 
     return (
-        notnull.join(F.broadcast(candidates), keys, "left_semi")
+        notnull.join(F.broadcast(cand_df), keys, "left_semi")
         .groupBy(*keys)
         .agg(F.count(F.lit(1)).alias(count_col))
         .crossJoin(F.broadcast(total))

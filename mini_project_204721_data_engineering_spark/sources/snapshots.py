@@ -816,13 +816,17 @@ def _normalize_prune_bounds(manifest: dict, prune: dict) -> dict:
     the two orders can wrongly prune a file holding matching boundary
     rows, so per column type:
 
-    - timestamp column: bare date → ``+ ' 00:00:00'`` (the cast's exact
-      value); minutes-only → ``+ ':00'``; full seconds → kept; a
+    - timestamp_ntz column: bare date → ``+ ' 00:00:00'`` (the cast's
+      exact value); minutes-only → ``+ ':00'``; full seconds → kept; a
       fractional part is zero-stripped or zero-padded to 6 digits
       (isoformat's spelling).  Anything else ('T' separator, unpadded
       months, ...) casts fine in SQL but sorts differently as text —
       that column's pruning is DISABLED (dropped from the dict), the
       residual filter still answers.
+    - tz-aware timestamp column: string bounds are ALWAYS dropped — the
+      stats' spelling frame (the driver's OS timezone at collect time)
+      and the literal's frame (``spark.sql.session.timeZone``) need not
+      agree, and no text normalization can reconcile two frames.
     - date column: bare date kept; a timestamp-spelled bound truncates
       to its date part (exactly what the SQL cast does); anything else
       disables the column.
@@ -841,18 +845,26 @@ def _normalize_prune_bounds(manifest: dict, prune: dict) -> dict:
     except Exception:
         return prune  # unparseable schema: compare raw (conservative)
     ts_cols = {
-        f.name
-        for f in fields
-        if isinstance(f.dataType, (TimestampType, TimestampNTZType))
+        f.name for f in fields if isinstance(f.dataType, TimestampNTZType)
     }
+    # tz-AWARE timestamps get no string-bound pruning at all: their
+    # stats were spelled by the driver's collect in the OS timezone,
+    # while SQL interprets the literal in spark.sql.session.timeZone —
+    # when the two differ, even a canonically spelled bound compares in
+    # the wrong frame and can prune a file holding matching rows.  NTZ
+    # (this engine's canonical flavor) has one frame; for tz-aware
+    # columns the residual filter answers.
+    tz_cols = {f.name for f in fields if isinstance(f.dataType, TimestampType)}
     date_cols = {f.name for f in fields if isinstance(f.dataType, DateType)}
-    if not ts_cols and not date_cols:
+    if not ts_cols and not date_cols and not tz_cols:
         return prune
     _SKIP = object()
 
     def fix(col, v):
         if v is None or not isinstance(v, str):
             return v
+        if col in tz_cols:
+            return _SKIP
         if col in ts_cols:
             if _DATE_RE.match(v):
                 return v + " 00:00:00"
@@ -1489,13 +1501,19 @@ def snapshot_delete_where(
             # unreferenced ones later anyway.
             if dv_path is not None:
                 try:
-                    tips = _list_versions(spark, table_dir)
-                    tip_m = (
-                        _read_manifest(spark, table_dir, tips[-1]) if tips else {}
-                    )
+                    # EVERY live manifest, not just the tip: our commit
+                    # may have landed AND been drained by a racing
+                    # compaction before this handler ran — the sidecar
+                    # is then gone from the tip but time travel to our
+                    # version still reads it
                     referenced = any(
-                        e.get("dv") == dv_path
-                        for e in tip_m.get("row_filters", [])
+                        any(
+                            e.get("dv") == dv_path
+                            for e in _read_manifest(spark, table_dir, v).get(
+                                "row_filters", []
+                            )
+                        )
+                        for v in _list_versions(spark, table_dir)
                     )
                 except BaseException:
                     referenced = True  # can't prove it's orphaned: keep

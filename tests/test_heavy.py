@@ -177,10 +177,10 @@ def test_freqitems_refuses_bad_mode(spark):
 
 
 def test_freqitems_refuses_thresholds_below_its_support_floor(spark):
-    """Spark floors freqItems support at 1e-4; silently clamping would
-    break the completeness bound and drop qualifying keys — refuse."""
+    """Spark's freqItems raises below support 1e-4 — refuse up front
+    with an actionable message instead of failing mid-job."""
     df = spark.createDataFrame([("a",)], "k string")
-    with pytest.raises(ValueError, match="floors support"):
+    with pytest.raises(ValueError, match="requires support"):
         heavy_hitters(df, ["k"], 4e-5, candidates="freqItems")
     # the MG path has no floor: same threshold is accepted
     assert heavy_hitters(df, ["k"], 4e-5, candidates="mg").count() == 1
