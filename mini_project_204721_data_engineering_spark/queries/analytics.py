@@ -2791,6 +2791,196 @@ ORDER BY user_id
 """
 
 
+def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 shape (EXTRA): the canonical single-scan filtered
+    aggregate — a date-range + discount-band + quantity predicate all
+    pushed to one column-pruned scan, no join, no shuffle beyond the
+    1-row partial-sum combine.  The plan IS the point: at 100 TB this
+    must read 4 columns of the slice and nothing else.  Cents for
+    order-independent money."""
+    li = load_table(spark, sf_dir, "lineitem")
+    cents = F.round(F.col("l_extendedprice") * F.col("l_discount") * 100).cast("long")
+    return (
+        li.filter(
+            (F.col("l_shipdate").cast("date") >= F.lit("1996-01-01"))
+            & (F.col("l_shipdate").cast("date") < F.lit("1997-01-01"))
+            & F.col("l_discount").between(0.05, 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(F.sum(cents).alias("forecast_revenue_cents"))
+    )
+
+
+Q6_FORECAST_REVENUE_SQL = """
+SELECT CAST(sum(CAST(round(l_extendedprice * l_discount * 100) AS BIGINT)) AS BIGINT)
+       AS forecast_revenue_cents
+FROM lineitem
+WHERE CAST(l_shipdate AS DATE) >= DATE '1996-01-01'
+  AND CAST(l_shipdate AS DATE) < DATE '1997-01-01'
+  AND l_discount BETWEEN 0.05 AND 0.07
+  AND l_quantity < 24
+"""
+
+
+def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 shape (EXTRA): a nation's share of LARGE-part revenue
+    sold into ASIA, by order year — the two-role nation join (customer
+    nation bounds the market, supplier nation is the shareholder), all
+    dims broadcast, conditional share from ONE fact pass.  Exact cents
+    so the share division starts bit-identical on both engines."""
+    from mini_project_204721_data_engineering_spark.functions.parity import portable_round
+
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part").filter(F.col("p_type") == "LARGE")
+    sup = load_table(spark, sf_dir, "supplier")
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    nat = load_table(spark, sf_dir, "nation")
+    reg = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    cents = F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100).cast("long")
+    n1 = nat.select(
+        F.col("n_nationkey").alias("c_nkey"), F.col("n_regionkey").alias("c_rkey")
+    )
+    n2 = nat.select(
+        F.col("n_nationkey").alias("s_nkey"), F.col("n_name").alias("supp_nation")
+    )
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(F.broadcast(sup), li.l_suppkey == sup.s_suppkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(n1), cust.c_nationkey == F.col("c_nkey"))
+        .join(F.broadcast(reg), F.col("c_rkey") == reg.r_regionkey)
+        .join(F.broadcast(n2), sup.s_nationkey == F.col("s_nkey"))
+        .groupBy(F.year(F.col("o_orderdate").cast("date")).alias("o_year"))
+        .agg(
+            F.sum(
+                F.when(F.col("supp_nation") == "NATION_7", cents).otherwise(F.lit(0))
+            ).alias("nation_cents"),
+            F.sum(cents).alias("total_cents"),
+        )
+        .select(
+            "o_year",
+            "nation_cents",
+            "total_cents",
+            portable_round(
+                F.col("nation_cents") / F.col("total_cents"), 6
+            ).alias("mkt_share"),
+        )
+        .orderBy("o_year")
+    )
+
+
+Q8_MARKET_SHARE_SQL = """
+WITH agg AS (
+  SELECT year(CAST(o_orderdate AS DATE)) AS o_year,
+         CAST(sum(CASE WHEN n2.n_name = 'NATION_7'
+                  THEN CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)
+                  ELSE 0 END) AS BIGINT) AS nation_cents,
+         CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) AS BIGINT)
+           AS total_cents
+  FROM lineitem
+  JOIN part ON l_partkey = p_partkey
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN orders ON l_orderkey = o_orderkey
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nation n1 ON c_nationkey = n1.n_nationkey
+  JOIN region ON n1.n_regionkey = r_regionkey
+  JOIN nation n2 ON s_nationkey = n2.n_nationkey
+  WHERE p_type = 'LARGE' AND r_name = 'ASIA'
+  GROUP BY 1
+)
+SELECT o_year, nation_cents, total_cents,
+       round(CAST(nation_cents AS DOUBLE) / total_cents * 1000000.0) / 1000000.0
+         AS mkt_share
+FROM agg
+ORDER BY 1
+"""
+
+
+def q9_nation_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 flavor (EXTRA; the synthetic schema has no partsupp, so
+    profit = revenue without supply cost): revenue by supplier nation
+    and order year over parts whose name carries a color token — the
+    LIKE filter prunes the part dim BEFORE it broadcasts."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part").filter(F.col("p_name").contains("red"))
+    sup = load_table(spark, sf_dir, "supplier")
+    orders = load_table(spark, sf_dir, "orders")
+    nat = load_table(spark, sf_dir, "nation")
+    cents = F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100).cast("long")
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(F.broadcast(sup), li.l_suppkey == sup.s_suppkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(nat), sup.s_nationkey == nat.n_nationkey)
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year(F.col("o_orderdate").cast("date")).alias("o_year"),
+        )
+        .agg(F.sum(cents).alias("revenue_cents"))
+        .orderBy("nation", F.desc("o_year"))
+    )
+
+
+Q9_NATION_REVENUE_SQL = """
+SELECT n_name AS nation,
+       year(CAST(o_orderdate AS DATE)) AS o_year,
+       CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) AS BIGINT)
+         AS revenue_cents
+FROM lineitem
+JOIN part ON l_partkey = p_partkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN orders ON l_orderkey = o_orderkey
+JOIN nation ON s_nationkey = n_nationkey
+WHERE p_name LIKE '%red%'
+GROUP BY 1, 2
+ORDER BY 1, 2 DESC
+"""
+
+
+def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape (EXTRA): revenue from orders of a brand's parts
+    whose quantity sits under 20% of that part's average — the
+    correlated subquery re-expressed as a per-part aggregate joined
+    back (one extra fact pass bounded to the brand's rows, both sides
+    semi-pruned by the broadcast brand filter).  Quantities are
+    integral doubles, so avg() is exact on both engines and the 0.2×
+    comparison is deterministic."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#23")
+    brand_li = li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+    per_part = brand_li.groupBy(F.col("l_partkey").alias("avg_pkey")).agg(
+        F.avg("l_quantity").alias("avg_qty")
+    )
+    cents = F.round(F.col("l_extendedprice") * 100).cast("long")
+    return (
+        brand_li.join(
+            F.broadcast(per_part), F.col("l_partkey") == F.col("avg_pkey")
+        )
+        .filter(F.col("l_quantity") < 0.2 * F.col("avg_qty"))
+        .agg(
+            F.sum(cents).alias("small_order_cents"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
+
+
+Q17_SMALL_QUANTITY_SQL = """
+SELECT CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+         AS small_order_cents,
+       count(*) AS n_lines
+FROM lineitem
+JOIN part ON l_partkey = p_partkey
+WHERE p_brand = 'Brand#23'
+  AND l_quantity < (
+    SELECT 0.2 * avg(l2.l_quantity)
+    FROM lineitem l2
+    WHERE l2.l_partkey = lineitem.l_partkey
+  )
+"""
+
+
 EXTRA_QUERIES = {
     "user_golden_profile": user_golden_profile,
     "revenue_maintenance": revenue_maintenance,
@@ -2835,6 +3025,10 @@ EXTRA_QUERIES = {
     "important_parts_by_value": important_parts_by_value,
     "dominant_part_suppliers": dominant_part_suppliers,
     "heavy_hitter_users": heavy_hitter_users,
+    "q6_forecast_revenue": q6_forecast_revenue,
+    "q8_market_share": q8_market_share,
+    "q9_nation_revenue": q9_nation_revenue,
+    "q17_small_quantity_revenue": q17_small_quantity_revenue,
 }
 
 EXTRA_ORACLES = {
@@ -2881,4 +3075,8 @@ EXTRA_ORACLES = {
     "important_parts_by_value": IMPORTANT_PARTS_SQL,
     "dominant_part_suppliers": DOMINANT_PART_SUPPLIERS_SQL,
     "heavy_hitter_users": HEAVY_HITTER_USERS_SQL,
+    "q6_forecast_revenue": Q6_FORECAST_REVENUE_SQL,
+    "q8_market_share": Q8_MARKET_SHARE_SQL,
+    "q9_nation_revenue": Q9_NATION_REVENUE_SQL,
+    "q17_small_quantity_revenue": Q17_SMALL_QUANTITY_SQL,
 }
