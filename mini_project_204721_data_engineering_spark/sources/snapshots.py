@@ -886,8 +886,14 @@ def _normalize_prune_bounds(manifest: dict, prune: dict) -> dict:
         return v
 
     out = {}
-    for c, (lo, hi) in prune.items():
-        lo2, hi2 = fix(c, lo), fix(c, hi)
+    for c, req in prune.items():
+        if isinstance(req, (list, set, frozenset)):
+            vals = [fix(c, v) for v in req]
+            if any(v is _SKIP for v in vals):
+                continue  # no exact text order exists: drop this column
+            out[c] = vals
+            continue
+        lo2, hi2 = fix(c, req[0]), fix(c, req[1])
         if lo2 is _SKIP or hi2 is _SKIP:
             continue  # no exact text order exists: drop this column
         out[c] = (lo2, hi2)
@@ -897,9 +903,19 @@ def _normalize_prune_bounds(manifest: dict, prune: dict) -> dict:
 def _prune_files(manifest: dict, prune: dict) -> list[str]:
     """Manifest-level file pruning: keep a file unless its recorded
     [min, max] for some pruned column is PROVABLY disjoint from the
-    requested [lo, hi] (either bound may be None = open).  Files with no
-    stats for a column are always kept — pruning can only skip work,
-    never answers."""
+    request.  Two request forms per column:
+
+    - ``(lo, hi)`` tuple — range; either bound may be None = open
+    - ``[v1, v2, ...]`` list — an IN set: the file is kept only if
+      SOME member falls inside its [min, max].  This is strictly
+      sharper than the set's (min, max) envelope for sparse lists —
+      ``IN (5, 999999)`` skips every file strictly between the two
+      values instead of keeping the whole span.  An EMPTY list is an
+      unsatisfiable predicate: every file prunes (sound — no row can
+      match).
+
+    Files with no stats for a column are always kept — pruning can only
+    skip work, never answers."""
     stats = manifest.get("stats", {})
     prune = _normalize_prune_bounds(manifest, prune)
 
@@ -907,8 +923,20 @@ def _prune_files(manifest: dict, prune: dict) -> list[str]:
         fstats = stats.get(f)
         if not fstats:
             return True
-        for col, (lo, hi) in prune.items():
+        for col, req in prune.items():
             rng = fstats.get(col)
+            if isinstance(req, (list, set, frozenset)):
+                if len(req) == 0:
+                    return False  # unsatisfiable conjunct
+                if not rng or rng[0] is None or rng[1] is None:
+                    continue
+                try:
+                    if not any(rng[0] <= v <= rng[1] for v in req):
+                        return False
+                except TypeError:  # incomparable request vs stored type
+                    continue
+                continue
+            lo, hi = req
             if not rng or rng[0] is None or rng[1] is None:
                 continue
             try:
@@ -1000,7 +1028,9 @@ def _predicate_prune_ranges(predicate: str) -> dict:
       flips); strict bounds are widened to inclusive (pruning may only
       skip, never answer)
     - ``col BETWEEN a AND b`` → ``(a, b)``
-    - ``col IN (l1, ..., lk)`` → ``(min, max)`` of the literals
+    - ``col IN (l1, ..., lk)`` → the literal SET (member-tested against
+      each file's range — sharper than the (min, max) envelope for
+      sparse lists; intersections with other atoms stay set-valued)
     - ``DATE '...'`` / ``TIMESTAMP '...'`` literals → their string value
       (manifest stats store dates/timestamps ISO-formatted, which
       compares identically)
@@ -1142,10 +1172,10 @@ def _match_atom(chunk, is_kw, literal):
         lits = [literal(v) for v in vals]
         if any(v is None for v in lits):
             return None
-        try:
-            return col, (min(lits), max(lits))
-        except TypeError:
-            return None
+        # the SET itself, not its (min, max) envelope: _prune_files
+        # tests each member against a file's range, so IN (5, 999999)
+        # skips every file strictly between the two values
+        return col, list(dict.fromkeys(lits))
     return _match_flipped(chunk, literal)
 
 
@@ -1169,12 +1199,13 @@ def _match_flipped(chunk, literal):
     return None
 
 
-def _merge_range(ranges: dict, col: str, rng: tuple | None) -> None:
-    """Intersect a new (lo, hi) into ranges[col]; on an incomparable
-    mix, disable pruning for the column (None sentinel, stripped by the
-    caller via the falsy check in read_snapshot_where).  ``rng`` may
-    itself BE the None sentinel (a parenthesized subexpression already
-    disabled the column) — propagate it, don't unpack it."""
+def _merge_range(ranges: dict, col: str, rng) -> None:
+    """Intersect a new request — a ``(lo, hi)`` range or an IN-set list
+    — into ranges[col]; on an incomparable mix, disable pruning for the
+    column (None sentinel, stripped by the caller via the falsy check
+    in read_snapshot_where).  ``rng`` may itself BE the None sentinel
+    (a parenthesized subexpression already disabled the column) —
+    propagate it, don't unpack it."""
     if col in ranges and ranges[col] is None:
         return
     if rng is None:
@@ -1183,15 +1214,40 @@ def _merge_range(ranges: dict, col: str, rng: tuple | None) -> None:
     if col not in ranges:
         ranges[col] = rng
         return
-    lo0, hi0 = ranges[col]
-    lo1, hi1 = rng
     try:
-        lo = lo1 if lo0 is None else lo0 if lo1 is None else max(lo0, lo1)
-        hi = hi1 if hi0 is None else hi0 if hi1 is None else min(hi0, hi1)
+        ranges[col] = _intersect_req(ranges[col], rng)
     except TypeError:
         ranges[col] = None
-        return
-    ranges[col] = (lo, hi)
+
+
+def _intersect_req(a, b):
+    """Intersect two prune requests (range tuples or IN-set lists).
+    Raises TypeError on str/number mixes — Python's ``5 in ['5']`` is
+    silently False while SQL's implicit cast makes them EQUAL, so a
+    quiet mixed-type intersection could prune files holding matching
+    rows; the caller disables the column instead."""
+    a_set, b_set = isinstance(a, list), isinstance(b, list)
+    if a_set or b_set:
+        both = (a if a_set else []) + (b if b_set else [])
+        if any(isinstance(v, str) for v in both) and any(
+            not isinstance(v, str) for v in both
+        ):
+            raise TypeError("mixed string/number IN intersection")
+    if a_set and b_set:
+        bs = set(b)
+        return [v for v in a if v in bs]
+    if a_set or b_set:
+        vals, (lo, hi) = (a, b) if a_set else (b, a)
+        return [
+            v
+            for v in vals
+            if (lo is None or v >= lo) and (hi is None or v <= hi)
+        ]
+    lo0, hi0 = a
+    lo1, hi1 = b
+    lo = lo1 if lo0 is None else lo0 if lo1 is None else max(lo0, lo1)
+    hi = hi1 if hi0 is None else hi0 if hi1 is None else min(hi0, hi1)
+    return (lo, hi)
 
 
 def read_snapshot_where(
@@ -1360,6 +1416,15 @@ def snapshot_delete_where(
     clean bytes); :func:`expire_snapshots` GCs sidecars no surviving
     manifest references.  This is the Delta/Iceberg deletion-vector
     idea re-expressed on Spark's own row-index metadata.
+
+    Mode choice, measured (``scale_probe snap``): DV read cost is flat
+    in both the number of stacked takedowns and the predicate's cost;
+    predicate-lazy re-evaluates every pending predicate on every
+    covered read.  For identifier-hash predicates (the GDPR shape) DV
+    reads ~1.5× faster at 8 stacked takedowns; for trivially-cheap
+    arithmetic predicates the pushed codegen filters win instead —
+    pick ``lazy=True`` for cheap stable predicates, ``lazy="dv"`` for
+    expensive ones, heavy stacking, or nondeterminism.
 
     Concurrency: the CoW mode is conservative-serializable like
     merge/replace — the commit aborts if the tip's files OR filter

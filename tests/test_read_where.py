@@ -35,7 +35,11 @@ def _ids(df):
     ("day = DATE '2024-01-02'", {"day": ("2024-01-02", "2024-01-02")}),
     ("ts < TIMESTAMP '2024-01-01 03:00:00'",
      {"ts": (None, "2024-01-01 03:00:00")}),
-    ("id IN (3, 7, 5)", {"id": (3, 7)}),
+    ("id IN (3, 7, 5)", {"id": [3, 7, 5]}),  # the SET, not its envelope
+    ("id IN (3, 7, 5) AND id >= 5", {"id": [7, 5]}),  # set ∧ range
+    ("id IN (3, 7) AND id IN (7, 9)", {"id": [7]}),  # set ∧ set
+    ("id IN (3) AND id IN (9)", {"id": []}),  # unsatisfiable: prune all
+    ("id IN ('5') AND id IN (5)", {"id": None}),  # str/num mix: disable
     ("5 <= id AND 10 > id", {"id": (5, 10)}),  # literal-on-the-left flips
     ("(id > 5) AND (id < 9)", {"id": (5, 9)}),
     ("(a BETWEEN 1 AND 5 AND b = 2)", {"a": (1, 5), "b": (2, 2)}),
@@ -219,3 +223,51 @@ def test_contradictory_parenthesized_types_degrade_not_crash():
     None disable-sentinel crashed _merge_range with a NoneType unpack."""
     assert _predicate_prune_ranges("id = 7 AND (id = 'x' AND id = 5)") == {"id": None}
     assert _predicate_prune_ranges("(id = 'x' AND id = 5) AND id = 7") == {"id": None}
+
+
+def test_in_set_pruning_skips_between_members(spark, tmp_path):
+    """IN-set pruning tests each MEMBER against a file's range: a sparse
+    IN (5, 955) skips every file strictly between the two values, where
+    the old (min, max) envelope kept the whole span."""
+    t = str(tmp_path / "t")
+    for k in range(10):
+        snapshot_append(
+            _df(spark, k * 100, (k + 1) * 100, f"f{k}").repartition(1),
+            t, stats_cols=["id"] if k == 0 else None,
+        )
+    got = read_snapshot_where(spark, t, "id IN (5, 955)")
+    assert len(got.inputFiles()) == 2  # first + last file only
+    assert _ids(got) == {5, 955}
+    # the hand-built list form works too, and matches the WHERE form
+    hand = read_snapshot(spark, t, prune={"id": [5, 955]})
+    assert sorted(hand.inputFiles()) == sorted(got.inputFiles())
+    # set ∧ range conjunction tightens further
+    got2 = read_snapshot_where(spark, t, "id IN (5, 955) AND id > 100")
+    assert len(got2.inputFiles()) == 1
+    assert _ids(got2) == {955}
+    # unsatisfiable conjunction: zero files planned, zero rows — still
+    # exactly read_snapshot().filter(pred)
+    got3 = read_snapshot_where(spark, t, "id IN (5) AND id IN (955)")
+    assert len(got3.inputFiles()) == 0 and got3.count() == 0
+    # str/num mixed IN disables pruning but never wrongs the answer
+    got4 = read_snapshot_where(spark, t, "id IN ('5') AND id IN (5)")
+    assert _ids(got4) == {5}
+    assert len(got4.inputFiles()) == 10  # disabled → full plan
+
+
+def test_in_set_pruning_date_members_normalize(spark, tmp_path):
+    t = str(tmp_path / "t")
+
+    def day_rows(day, lo, hi):
+        return spark.range(lo, hi).select(
+            F.col("id"), F.lit(day).cast("date").alias("day")
+        )
+
+    snapshot_append(day_rows("2024-01-01", 0, 5).repartition(1), t, stats_cols=["day"])
+    snapshot_append(day_rows("2024-02-01", 100, 105).repartition(1), t)
+    snapshot_append(day_rows("2024-03-01", 200, 205).repartition(1), t)
+    got = read_snapshot_where(
+        spark, t, "day IN (DATE '2024-01-01', DATE '2024-03-01')"
+    )
+    assert len(got.inputFiles()) == 2
+    assert _ids(got) == set(range(5)) | set(range(200, 205))

@@ -1168,6 +1168,40 @@ def probe_snap(spark, n: int, out: list) -> None:
         print(json.dumps({"probe": "lazy_delete_speedup",
                           "cow_over_lazy": round(c1 / c2, 2) if c2 else None}),
               flush=True)
+
+        # stacked-takedown read economics: N pending predicate-lazy
+        # entries RE-EVALUATE their predicates on every covered read
+        # (cost ∝ N × predicate cost × rows), N DV entries read as ONE
+        # unioned anti-join (cost flat in both N and predicate cost).
+        # Takedown predicates at scale are hash/identifier matches, not
+        # cheap arithmetic — use the sha2-match shape, 8 stacked,
+        # answers identical.
+        t_stk_lazy, t_stk_dv = d + "/t_stk_lazy", d + "/t_stk_dv"
+        snapshot_clone(spark, t, t_stk_lazy)
+        snapshot_clone(spark, t, t_stk_dv)
+        for k in range(8):
+            pred_k = (
+                f"substr(sha2(CAST(id AS STRING), 256), 1, 2) = '{k:02x}'"
+            )
+            snapshot_delete_where(spark, t_stk_lazy, pred_k, lazy=True)
+            snapshot_delete_where(spark, t_stk_dv, pred_k, lazy="dv")
+
+        def read_stacked(tbl):
+            def go():
+                return read_snapshot(spark, tbl).agg(F.sum("v")).collect()[0][0]
+            return go
+
+        r_lazy = timed("read_8_stacked_predicate_lazy", read_stacked(t_stk_lazy), out)
+        r_dv = timed("read_8_stacked_dv", read_stacked(t_stk_dv), out)
+        assert read_stacked(t_stk_lazy)() == read_stacked(t_stk_dv)()
+        plan = read_snapshot(spark, t_stk_dv)._jdf.queryExecution().executedPlan().toString()
+        print(json.dumps({
+            "probe": "stacked_takedown_read",
+            "n_takedowns": 8,
+            "predicate_shape": "sha2-identifier-match",
+            "dv_antijoins_in_plan": plan.count("LeftAnti"),
+            "lazy_over_dv": round(r_lazy / r_dv, 2) if r_dv else None,
+        }), flush=True)
     finally:
         shutil.rmtree(d, ignore_errors=True)
 
