@@ -765,8 +765,12 @@ def read_snapshot(
     from ``[lo, hi]`` BEFORE the scan plan exists — at 100 TB this is
     the difference between planning over ~1e5 files and the handful a
     time- or key-range query touches, without opening a single footer.
-    Pruning only skips files; apply the real filter on the result for
-    row-level semantics (files without stats are always kept)."""
+    A ``set``/``frozenset`` value is an IN request instead: the file is
+    kept only if some member falls inside its range (sharper than the
+    set's envelope for sparse sets; a 2-element LIST keeps its
+    historical range meaning).  Pruning only skips files; apply the
+    real filter on the result for row-level semantics (files without
+    stats are always kept)."""
     if version is not None and as_of is not None:
         raise ValueError("pass version OR as_of, not both")
     versions = _list_versions(spark, table_dir)
@@ -887,11 +891,11 @@ def _normalize_prune_bounds(manifest: dict, prune: dict) -> dict:
 
     out = {}
     for c, req in prune.items():
-        if isinstance(req, (list, set, frozenset)):
-            vals = [fix(c, v) for v in req]
-            if any(v is _SKIP for v in vals):
+        if isinstance(req, (set, frozenset)):
+            vals = {fix(c, v) for v in req}
+            if _SKIP in vals:
                 continue  # no exact text order exists: drop this column
-            out[c] = vals
+            out[c] = frozenset(vals)
             continue
         lo2, hi2 = fix(c, req[0]), fix(c, req[1])
         if lo2 is _SKIP or hi2 is _SKIP:
@@ -905,19 +909,24 @@ def _prune_files(manifest: dict, prune: dict) -> list[str]:
     [min, max] for some pruned column is PROVABLY disjoint from the
     request.  Two request forms per column:
 
-    - ``(lo, hi)`` tuple — range; either bound may be None = open
-    - ``[v1, v2, ...]`` list — an IN set: the file is kept only if
-      SOME member falls inside its [min, max].  This is strictly
-      sharper than the set's (min, max) envelope for sparse lists —
-      ``IN (5, 999999)`` skips every file strictly between the two
-      values instead of keeping the whole span.  An EMPTY list is an
-      unsatisfiable predicate: every file prunes (sound — no row can
-      match).
+    - ``(lo, hi)`` tuple or 2-list — range; either bound may be
+      None = open (lists keep their historical range meaning)
+    - ``{v1, v2, ...}`` set/frozenset — an IN set: the file is kept
+      only if SOME member falls inside its [min, max].  This is
+      strictly sharper than the set's (min, max) envelope for sparse
+      sets — ``IN (5, 999999)`` skips every file strictly between the
+      two values instead of keeping the whole span.  An EMPTY set is
+      an unsatisfiable predicate: NO file is planned, stats or not
+      (sound — no row can match).
 
     Files with no stats for a column are always kept — pruning can only
     skip work, never answers."""
     stats = manifest.get("stats", {})
     prune = _normalize_prune_bounds(manifest, prune)
+    if any(
+        isinstance(r, (set, frozenset)) and not r for r in prune.values()
+    ):
+        return []  # unsatisfiable conjunct: independent of any stats
 
     def keep(f: str) -> bool:
         fstats = stats.get(f)
@@ -925,9 +934,7 @@ def _prune_files(manifest: dict, prune: dict) -> list[str]:
             return True
         for col, req in prune.items():
             rng = fstats.get(col)
-            if isinstance(req, (list, set, frozenset)):
-                if len(req) == 0:
-                    return False  # unsatisfiable conjunct
+            if isinstance(req, (set, frozenset)):
                 if not rng or rng[0] is None or rng[1] is None:
                     continue
                 try:
@@ -1028,9 +1035,10 @@ def _predicate_prune_ranges(predicate: str) -> dict:
       flips); strict bounds are widened to inclusive (pruning may only
       skip, never answer)
     - ``col BETWEEN a AND b`` → ``(a, b)``
-    - ``col IN (l1, ..., lk)`` → the literal SET (member-tested against
-      each file's range — sharper than the (min, max) envelope for
-      sparse lists; intersections with other atoms stay set-valued)
+    - ``col IN (l1, ..., lk)`` → the literal SET as a frozenset
+      (member-tested against each file's range — sharper than the
+      (min, max) envelope for sparse sets; intersections with other
+      atoms stay set-valued)
     - ``DATE '...'`` / ``TIMESTAMP '...'`` literals → their string value
       (manifest stats store dates/timestamps ISO-formatted, which
       compares identically)
@@ -1174,8 +1182,10 @@ def _match_atom(chunk, is_kw, literal):
             return None
         # the SET itself, not its (min, max) envelope: _prune_files
         # tests each member against a file's range, so IN (5, 999999)
-        # skips every file strictly between the two values
-        return col, list(dict.fromkeys(lits))
+        # skips every file strictly between the two values.  frozenset,
+        # NOT list: a caller's 2-element list keeps its historical
+        # RANGE meaning on the public prune= API
+        return col, frozenset(lits)
     return _match_flipped(chunk, literal)
 
 
@@ -1200,10 +1210,12 @@ def _match_flipped(chunk, literal):
 
 
 def _merge_range(ranges: dict, col: str, rng) -> None:
-    """Intersect a new request — a ``(lo, hi)`` range or an IN-set list
-    — into ranges[col]; on an incomparable mix, disable pruning for the
-    column (None sentinel, stripped by the caller via the falsy check
-    in read_snapshot_where).  ``rng`` may itself BE the None sentinel
+    """Intersect a new request — a ``(lo, hi)`` range or an IN-set
+    frozenset — into ranges[col]; on an incomparable mix, disable
+    pruning for the column (None sentinel, stripped by the caller's
+    ``is not None`` check in read_snapshot_where — an EMPTY frozenset
+    is falsy but MEANINGFUL (unsatisfiable: prune everything) and must
+    survive the strip, so never 'simplify' that check to truthiness).  ``rng`` may itself BE the None sentinel
     (a parenthesized subexpression already disabled the column) —
     propagate it, don't unpack it."""
     if col in ranges and ranges[col] is None:
@@ -1220,29 +1232,62 @@ def _merge_range(ranges: dict, col: str, rng) -> None:
         ranges[col] = None
 
 
+def _spelling_class(v) -> str | None:
+    """Classify a string's date/timestamp spelling: 'd' bare date, 'm'
+    minutes-only, 's' full seconds, 'f' fractional, None otherwise."""
+    if not isinstance(v, str):
+        return None
+    if _DATE_RE.match(v):
+        return "d"
+    if _TS_MIN_RE.match(v):
+        return "m"
+    if _TS_SEC_RE.match(v):
+        return "s"
+    if _TS_FRAC_RE.match(v):
+        return "f"
+    return None
+
+
 def _intersect_req(a, b):
-    """Intersect two prune requests (range tuples or IN-set lists).
-    Raises TypeError on str/number mixes — Python's ``5 in ['5']`` is
-    silently False while SQL's implicit cast makes them EQUAL, so a
-    quiet mixed-type intersection could prune files holding matching
-    rows; the caller disables the column instead."""
-    a_set, b_set = isinstance(a, list), isinstance(b, list)
+    """Intersect two prune requests (range tuples or IN-set
+    frozensets).  Raises TypeError — the caller disables the column —
+    on hazards where raw-value comparison disagrees with SQL:
+
+    - str/number mixes: Python's ``5 in {'5'}`` is silently False
+      while SQL's implicit cast makes them EQUAL
+    - date/timestamp-SPELLED strings meeting a SET: two spellings of
+      one instant ('2024-01-01' vs '2024-01-01 00:00:00') are unequal
+      as text, so set membership would drop a live member and produce
+      an unsound prune-all.  Safe only when every involved spelled
+      value shares ONE exact spelling class (all bare dates, all
+      full-seconds, or all minutes-only; fractions never — '.5' vs
+      '.50' are equal instants, unequal text).  Range∧range needs no
+      such guard: max/min of equal-instant spellings normalize to the
+      same bound later."""
+    a_set = isinstance(a, (set, frozenset))
+    b_set = isinstance(b, (set, frozenset))
     if a_set or b_set:
-        both = (a if a_set else []) + (b if b_set else [])
+        both = list(a if a_set else []) + list(b if b_set else [])
+        if not a_set or not b_set:
+            both += [v for v in (b if a_set else a) if v is not None]
         if any(isinstance(v, str) for v in both) and any(
             not isinstance(v, str) for v in both
         ):
             raise TypeError("mixed string/number IN intersection")
+        classes = {_spelling_class(v) for v in both if isinstance(v, str)}
+        if (classes & {"d", "m", "s", "f"}) and (
+            len(classes) > 1 or "f" in classes
+        ):
+            raise TypeError("mixed date/timestamp spellings in IN intersection")
     if a_set and b_set:
-        bs = set(b)
-        return [v for v in a if v in bs]
+        return frozenset(a) & frozenset(b)
     if a_set or b_set:
         vals, (lo, hi) = (a, b) if a_set else (b, a)
-        return [
+        return frozenset(
             v
             for v in vals
             if (lo is None or v >= lo) and (hi is None or v <= hi)
-        ]
+        )
     lo0, hi0 = a
     lo1, hi1 = b
     lo = lo1 if lo0 is None else lo0 if lo1 is None else max(lo0, lo1)

@@ -35,11 +35,23 @@ def _ids(df):
     ("day = DATE '2024-01-02'", {"day": ("2024-01-02", "2024-01-02")}),
     ("ts < TIMESTAMP '2024-01-01 03:00:00'",
      {"ts": (None, "2024-01-01 03:00:00")}),
-    ("id IN (3, 7, 5)", {"id": [3, 7, 5]}),  # the SET, not its envelope
-    ("id IN (3, 7, 5) AND id >= 5", {"id": [7, 5]}),  # set ∧ range
-    ("id IN (3, 7) AND id IN (7, 9)", {"id": [7]}),  # set ∧ set
-    ("id IN (3) AND id IN (9)", {"id": []}),  # unsatisfiable: prune all
+    ("id IN (3, 7, 5)", {"id": frozenset({3, 7, 5})}),  # SET, not envelope
+    ("id IN (3, 7, 5) AND id >= 5", {"id": frozenset({7, 5})}),  # set ∧ range
+    ("id IN (3, 7) AND id IN (7, 9)", {"id": frozenset({7})}),  # set ∧ set
+    ("id IN (3) AND id IN (9)", {"id": frozenset()}),  # unsatisfiable
     ("id IN ('5') AND id IN (5)", {"id": None}),  # str/num mix: disable
+    # two spellings of ONE instant are unequal as text: any set
+    # intersection touching differing date/ts spellings must DISABLE,
+    # never silently empty (pass-4 review regression — prune-all bug)
+    ("ts IN (TIMESTAMP '2024-01-01') AND ts >= TIMESTAMP '2024-01-01 00:00:00'",
+     {"ts": None}),
+    ("day IN (DATE '2024-01-01') AND day IN (TIMESTAMP '2024-01-01 00:00:00')",
+     {"day": None}),
+    ("ts IN (TIMESTAMP '2024-01-01 03:00:00.5') AND ts IN (TIMESTAMP '2024-01-01 03:00:00.50')",
+     {"ts": None}),  # fractions never compare as text
+    # identical spelling class stays sharp
+    ("day IN (DATE '2024-01-01', DATE '2024-03-01') AND day >= DATE '2024-02-01'",
+     {"day": frozenset({"2024-03-01"})}),
     ("5 <= id AND 10 > id", {"id": (5, 10)}),  # literal-on-the-left flips
     ("(id > 5) AND (id < 9)", {"id": (5, 9)}),
     ("(a BETWEEN 1 AND 5 AND b = 2)", {"a": (1, 5), "b": (2, 2)}),
@@ -238,8 +250,9 @@ def test_in_set_pruning_skips_between_members(spark, tmp_path):
     got = read_snapshot_where(spark, t, "id IN (5, 955)")
     assert len(got.inputFiles()) == 2  # first + last file only
     assert _ids(got) == {5, 955}
-    # the hand-built list form works too, and matches the WHERE form
-    hand = read_snapshot(spark, t, prune={"id": [5, 955]})
+    # the hand-built SET form works too, and matches the WHERE form
+    # (a 2-element LIST keeps its historical range meaning)
+    hand = read_snapshot(spark, t, prune={"id": {5, 955}})
     assert sorted(hand.inputFiles()) == sorted(got.inputFiles())
     # set ∧ range conjunction tightens further
     got2 = read_snapshot_where(spark, t, "id IN (5, 955) AND id > 100")
@@ -271,3 +284,42 @@ def test_in_set_pruning_date_members_normalize(spark, tmp_path):
     )
     assert len(got.inputFiles()) == 2
     assert _ids(got) == set(range(5)) | set(range(200, 205))
+
+
+def test_list_prune_bound_keeps_range_meaning(spark, tmp_path):
+    """Pass-4 review regression: a 2-element LIST passed as a prune
+    bound (e.g. a JSON round-trip of a (lo, hi) tuple) must keep its
+    historical RANGE meaning — only set/frozenset means IN."""
+    t = str(tmp_path / "t")
+    snapshot_append(_df(spark, 0, 100, "a").repartition(1), t, stats_cols=["id"])
+    snapshot_append(_df(spark, 100, 200, "b").repartition(1), t)
+    hand = read_snapshot(spark, t, prune={"id": [120, 150]})
+    assert len(hand.inputFiles()) == 1
+    assert _ids(hand.filter("id BETWEEN 120 AND 150")) == set(range(120, 151))
+
+
+def test_unsatisfiable_in_prunes_even_without_stats(spark, tmp_path):
+    """Pass-4 review regression: an empty IN intersection is
+    unsatisfiable INDEPENDENT of stats — zero files planned even for a
+    table written without stats_cols."""
+    t = str(tmp_path / "t")
+    snapshot_append(_df(spark, 0, 100, "a").repartition(1), t)  # NO stats
+    got = read_snapshot_where(spark, t, "id IN (3) AND id IN (9)")
+    assert len(got.inputFiles()) == 0 and got.count() == 0
+
+
+def test_spelling_mixed_in_set_disables_not_misprunes(spark, tmp_path):
+    """End-to-end pin of the pass-4 prune-all bug: equal instants in
+    different spellings meeting a set must fall back to a full scan
+    with the exact filtered answer."""
+    t = str(tmp_path / "t")
+    df = spark.range(0, 5).select(
+        F.col("id"),
+        (F.lit("2024-01-01 00:00:00").cast("timestamp_ntz")
+         + F.make_interval(hours=F.col("id"))).alias("ts"),
+    )
+    snapshot_append(df.repartition(1), t, stats_cols=["ts"])
+    pred = "ts IN (TIMESTAMP '2024-01-01') AND ts >= TIMESTAMP '2024-01-01 00:00:00'"
+    got = read_snapshot_where(spark, t, pred)
+    assert len(got.inputFiles()) == 1  # disabled → planned, not pruned away
+    assert _ids(got) == {0}
