@@ -889,18 +889,26 @@ def _normalize_prune_bounds(manifest: dict, prune: dict) -> dict:
             return _SKIP
         return v
 
+    def fix_req(c, r):
+        if isinstance(r, dict):
+            branches = [fix_req(c, x) for x in r["any"]]
+            # a single unnormalizable BRANCH poisons the whole union: a
+            # union is the ALLOWED region, and shrinking it by dropping
+            # a branch would wrongly prune that branch's files
+            if any(b is _SKIP for b in branches):
+                return _SKIP
+            return {"any": branches}
+        if isinstance(r, (set, frozenset)):
+            vals = {fix(c, v) for v in r}
+            return _SKIP if _SKIP in vals else frozenset(vals)
+        lo2, hi2 = fix(c, r[0]), fix(c, r[1])
+        return _SKIP if (lo2 is _SKIP or hi2 is _SKIP) else (lo2, hi2)
+
     out = {}
     for c, req in prune.items():
-        if isinstance(req, (set, frozenset)):
-            vals = {fix(c, v) for v in req}
-            if _SKIP in vals:
-                continue  # no exact text order exists: drop this column
-            out[c] = frozenset(vals)
-            continue
-        lo2, hi2 = fix(c, req[0]), fix(c, req[1])
-        if lo2 is _SKIP or hi2 is _SKIP:
-            continue  # no exact text order exists: drop this column
-        out[c] = (lo2, hi2)
+        fixed = fix_req(c, req)
+        if fixed is not _SKIP:
+            out[c] = fixed
     return out
 
 
@@ -918,14 +926,15 @@ def _prune_files(manifest: dict, prune: dict) -> list[str]:
       two values instead of keeping the whole span.  An EMPTY set is
       an unsatisfiable predicate: NO file is planned, stats or not
       (sound — no row can match).
+    - ``{"any": [req, ...]}`` — a UNION of requests (produced by the
+      extractor for single-column ORs): the file is kept if ANY branch
+      keeps it.
 
     Files with no stats for a column are always kept — pruning can only
     skip work, never answers."""
     stats = manifest.get("stats", {})
     prune = _normalize_prune_bounds(manifest, prune)
-    if any(
-        isinstance(r, (set, frozenset)) and not r for r in prune.values()
-    ):
+    if any(_req_unsat(r) for r in prune.values()):
         return []  # unsatisfiable conjunct: independent of any stats
 
     def keep(f: str) -> bool:
@@ -934,28 +943,44 @@ def _prune_files(manifest: dict, prune: dict) -> list[str]:
             return True
         for col, req in prune.items():
             rng = fstats.get(col)
-            if isinstance(req, (set, frozenset)):
-                if not rng or rng[0] is None or rng[1] is None:
-                    continue
-                try:
-                    if not any(rng[0] <= v <= rng[1] for v in req):
-                        return False
-                except TypeError:  # incomparable request vs stored type
-                    continue
-                continue
-            lo, hi = req
             if not rng or rng[0] is None or rng[1] is None:
                 continue
-            try:
-                if (hi is not None and rng[0] > hi) or (
-                    lo is not None and rng[1] < lo
-                ):
-                    return False
-            except TypeError:  # incomparable request vs stored type
-                continue
+            if _req_disjoint(req, rng):
+                return False
         return True
 
     return [f for f in manifest["files"] if keep(f)]
+
+
+def _req_unsat(req) -> bool:
+    """A request no value can satisfy (empty IN set / union of such)."""
+    if isinstance(req, dict):
+        return all(_req_unsat(r) for r in req["any"])
+    if isinstance(req, (set, frozenset)):
+        return not req
+    return False
+
+
+def _req_disjoint(req, rng) -> bool:
+    """True when PROVABLY no value satisfying ``req`` lies in the
+    file's recorded ``[rng[0], rng[1]]`` — any doubt (incomparable
+    types) answers False (keep the file)."""
+    if isinstance(req, dict):  # union: disjoint from every branch
+        return all(_req_disjoint(r, rng) for r in req["any"])
+    if isinstance(req, (set, frozenset)):
+        if not req:
+            return True
+        try:
+            return not any(rng[0] <= v <= rng[1] for v in req)
+        except TypeError:
+            return False
+    lo, hi = req
+    try:
+        return (hi is not None and rng[0] > hi) or (
+            lo is not None and rng[1] < lo
+        )
+    except TypeError:
+        return False
 
 
 def _predicate_tokens(predicate: str) -> list:
@@ -1043,11 +1068,16 @@ def _predicate_prune_ranges(predicate: str) -> dict:
       (manifest stats store dates/timestamps ISO-formatted, which
       compares identically)
 
+    A top-level ``OR`` prunes by UNION when every disjunct constrains
+    a common column — ``id < 10 OR id >= 900`` skips the whole middle
+    of the key space; a column any disjunct leaves unconstrained is
+    dropped (a matching row may come from that disjunct with any
+    value).
+
     Everything else is CONSERVATIVE: an atom the grammar doesn't cover
     (functions, arithmetic, IS NULL, !=, dotted names) contributes
-    nothing; any top-level ``OR`` or a parse failure makes the WHOLE
-    expression contribute nothing (AND binds tighter than OR, so a
-    depth-0 OR means no conjunct is universal).  Atoms on the same
+    nothing, and a parse failure makes the WHOLE expression contribute
+    nothing.  Atoms on the same
     column intersect (max of lows, min of highs); an incomparable
     intersection drops that column's pruning entirely.  Correctness
     never depends on extraction — the caller re-applies the full
@@ -1094,15 +1124,55 @@ def _predicate_prune_ranges(predicate: str) -> dict:
         chunks.append(cur)
         return chunks
 
+    def split_or(toks):
+        """Depth-0 OR split (OR binds loosest, so a depth-0 OR makes
+        the root an OR and each side a full disjunct)."""
+        chunks, cur, depth = [], [], 0
+        for t in toks:
+            if t == ("op", "("):
+                depth += 1
+            elif t == ("op", ")"):
+                depth -= 1
+            if depth == 0 and is_kw(t, "OR"):
+                chunks.append(cur)
+                cur = []
+                continue
+            cur.append(t)
+        chunks.append(cur)
+        return chunks
+
     def extract(toks) -> dict:
         depth = 0
+        has_or = False
         for t in toks:
             if t == ("op", "("):
                 depth += 1
             elif t == ("op", ")"):
                 depth -= 1
             elif depth == 0 and is_kw(t, "OR"):
-                return {}  # the root is an OR: nothing is universal
+                has_or = True
+                break
+        if has_or:
+            # the root is an OR: a column is prunable only when EVERY
+            # disjunct constrains it (a row matches >= 1 disjunct, so
+            # it satisfies that disjunct's constraint) — the request is
+            # the UNION of the per-disjunct constraints, e.g.
+            # `id < 10 OR id >= 900` prunes the whole middle of the key
+            # space instead of nothing
+            parts = [extract(d) for d in split_or(toks)]
+            if any(not p for p in parts):
+                return {}
+            out: dict = {}
+            for col in set(parts[0]) & set.intersection(*map(set, parts)):
+                reqs = [p[col] for p in parts]
+                if any(r is None for r in reqs):
+                    continue  # one branch disabled: no sound union
+                flat = []
+                for r in reqs:  # flatten nested unions
+                    flat.extend(r["any"] if isinstance(r, dict) else [r])
+                out[col] = {"any": flat}
+            return out
+
         def encloses(chunk) -> bool:
             """chunk[0]'s '(' matches chunk[-1]'s ')' exactly."""
             d = 0
@@ -1264,6 +1334,15 @@ def _intersect_req(a, b):
       '.50' are equal instants, unequal text).  Range∧range needs no
       such guard: max/min of equal-instant spellings normalize to the
       same bound later."""
+    if isinstance(a, dict) or isinstance(b, dict):
+        # distribute over unions: (A1 ∪ A2) ∧ B = (A1∧B) ∪ (A2∧B);
+        # a TypeError in ANY branch propagates (disable the column)
+        u, other = (a, b) if isinstance(a, dict) else (b, a)
+        branches = []
+        for r in u["any"]:
+            got = _intersect_req(r, other)
+            branches.extend(got["any"] if isinstance(got, dict) else [got])
+        return {"any": branches}
     a_set = isinstance(a, (set, frozenset))
     b_set = isinstance(b, (set, frozenset))
     if a_set or b_set:

@@ -57,8 +57,19 @@ def _ids(df):
     ("(a BETWEEN 1 AND 5 AND b = 2)", {"a": (1, 5), "b": (2, 2)}),
     ("name = 'o''brien'", {"name": ("o'brien", "o'brien")}),
     ("v <= 1.5e2", {"v": (None, 150.0)}),
+    # single-column OR prunes by UNION (every disjunct constrains it)
+    ("id < 10 OR id >= 900", {"id": {"any": [(None, 10), (900, None)]}}),
+    ("k = 5 AND (id < 10 OR id >= 900)",
+     {"k": (5, 5), "id": {"any": [(None, 10), (900, None)]}}),
+    ("(id < 10 OR id >= 900) AND id < 950",
+     {"id": {"any": [(None, 10), (900, 950)]}}),  # union ∧ range distributes
+    ("(id < 10 AND k = 1) OR (id > 900 AND k = 2)",
+     {"id": {"any": [(None, 10), (900, None)]},
+      "k": {"any": [(1, 1), (2, 2)]}}),
+    ("id IN (5) OR id BETWEEN 900 AND 910",
+     {"id": {"any": [frozenset({5}), (900, 910)]}}),
     # conservative: these shapes prove nothing and must contribute nothing
-    ("id > 5 OR name = 'x'", {}),  # top-level OR: no conjunct is universal
+    ("id > 5 OR name = 'x'", {}),  # disjuncts constrain different columns
     ("id > 5 AND (name = 'x' OR v < 2)", {"id": (5, None)}),
     ("NOT id = 5 AND v = 2", {"v": (2, 2)}),
     ("a NOT BETWEEN 1 AND 5 AND b = 2", {"b": (2, 2)}),
@@ -119,13 +130,23 @@ def test_read_where_derived_date_stats_and_time_travel(spark, tmp_path):
     assert _ids(got_v1) == set(range(50))
 
 
-def test_read_where_or_predicate_full_scan_but_correct(spark, tmp_path):
+def test_read_where_or_union_prunes_the_middle(spark, tmp_path):
+    """A single-column OR prunes by union: the head-and-tail read plans
+    2 of 5 files; a multi-column OR still degrades to the full scan
+    with the exact answer."""
     t = str(tmp_path / "t")
-    snapshot_append(_df(spark, 0, 100, "a").repartition(1), t, stats_cols=["id"])
-    snapshot_append(_df(spark, 100, 200, "b").repartition(1), t)
-    got = read_snapshot_where(spark, t, "id < 10 OR id >= 190")
-    assert len(got.inputFiles()) == 2  # nothing provable → no skipping
-    assert _ids(got) == set(range(10)) | set(range(190, 200))
+    for k in range(5):
+        snapshot_append(
+            _df(spark, k * 100, (k + 1) * 100, f"f{k}").repartition(1),
+            t, stats_cols=["id"] if k == 0 else None,
+        )
+    got = read_snapshot_where(spark, t, "id < 10 OR id >= 490")
+    assert len(got.inputFiles()) == 2  # first + last; middle 3 pruned
+    assert _ids(got) == set(range(10)) | set(range(490, 500))
+    # OR over DIFFERENT columns: nothing provable → full plan, exact rows
+    got2 = read_snapshot_where(spark, t, "id < 10 OR tag = 'f4'")
+    assert len(got2.inputFiles()) == 5
+    assert _ids(got2) == set(range(10)) | set(range(400, 500))
 
 
 def test_read_where_respects_pending_lazy_deletes(spark, tmp_path):
