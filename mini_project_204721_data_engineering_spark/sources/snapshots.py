@@ -768,9 +768,11 @@ def read_snapshot(
     A ``set``/``frozenset`` value is an IN request instead: the file is
     kept only if some member falls inside its range (sharper than the
     set's envelope for sparse sets; a 2-element LIST keeps its
-    historical range meaning).  Pruning only skips files; apply the
-    real filter on the result for row-level semantics (files without
-    stats are always kept)."""
+    historical range meaning), and ``{"any": [req, ...]}`` is a UNION
+    of requests (what :func:`read_snapshot_where` derives from a
+    single-column OR) — kept if any branch keeps it.  Pruning only
+    skips files; apply the real filter on the result for row-level
+    semantics (files without stats are always kept)."""
     if version is not None and as_of is not None:
         raise ValueError("pass version OR as_of, not both")
     versions = _list_versions(spark, table_dir)
@@ -1160,17 +1162,18 @@ def _predicate_prune_ranges(predicate: str) -> dict:
             # `id < 10 OR id >= 900` prunes the whole middle of the key
             # space instead of nothing
             parts = [extract(d) for d in split_or(toks)]
-            if any(not p for p in parts):
-                return {}
             out: dict = {}
-            for col in set(parts[0]) & set.intersection(*map(set, parts)):
+            for col in set.intersection(*map(set, parts)):
                 reqs = [p[col] for p in parts]
                 if any(r is None for r in reqs):
                     continue  # one branch disabled: no sound union
                 flat = []
                 for r in reqs:  # flatten nested unions
                     flat.extend(r["any"] if isinstance(r, dict) else [r])
-                out[col] = {"any": flat}
+                try:
+                    out[col] = {"any": _union_simplify(flat)}
+                except TypeError:
+                    continue  # too wide to be worth testing per file
             return out
 
         def encloses(chunk) -> bool:
@@ -1302,6 +1305,51 @@ def _merge_range(ranges: dict, col: str, rng) -> None:
         ranges[col] = None
 
 
+def _union_simplify(branches: list, cap: int = 64) -> list:
+    """Dedupe + coalesce a union's branches; raise TypeError past
+    ``cap`` surviving branches (the caller disables the column — a
+    64-branch union is past the point where per-file testing pays).
+    All IN sets merge into one; overlapping ranges coalesce when their
+    bounds are mutually comparable (mixed types fall back to dedupe
+    only — still sound, just less compact)."""
+    def nonempty(r):
+        lo, hi = r
+        if lo is None or hi is None:
+            return True
+        try:
+            return not lo > hi  # lo > hi: no value satisfies — drop
+        except TypeError:
+            return True  # incomparable: keep (conservative)
+
+    sets = [b for b in branches if isinstance(b, (set, frozenset)) and b]
+    ranges = list(
+        dict.fromkeys(
+            b for b in branches if isinstance(b, tuple) and nonempty(b)
+        )
+    )
+    out: list = []
+    if sets:
+        out.append(frozenset().union(*sets))
+    try:
+        ranges.sort(key=lambda r: (r[0] is not None, r[0]))
+        merged: list = []
+        for lo, hi in ranges:
+            if merged:
+                plo, phi = merged[-1]
+                if phi is None or lo is None or lo <= phi:
+                    nhi = None if (phi is None or hi is None) else max(phi, hi)
+                    merged[-1] = (plo, nhi)
+                    continue
+            merged.append((lo, hi))
+        ranges = merged
+    except TypeError:
+        pass  # incomparable bounds: deduped only
+    out.extend(ranges)
+    if len(out) > cap:
+        raise TypeError(f"union too wide ({len(out)} branches)")
+    return out
+
+
 def _spelling_class(v) -> str | None:
     """Classify a string's date/timestamp spelling: 'd' bare date, 'm'
     minutes-only, 's' full seconds, 'f' fractional, None otherwise."""
@@ -1336,13 +1384,16 @@ def _intersect_req(a, b):
       same bound later."""
     if isinstance(a, dict) or isinstance(b, dict):
         # distribute over unions: (A1 ∪ A2) ∧ B = (A1∧B) ∪ (A2∧B);
-        # a TypeError in ANY branch propagates (disable the column)
+        # a TypeError in ANY branch propagates (disable the column), and
+        # _union_simplify coalesces + caps the result — without the cap,
+        # N AND-ed OR-pairs on one column would multiply to 2^N branches
+        # and stall planning on a user-supplied WHERE clause
         u, other = (a, b) if isinstance(a, dict) else (b, a)
         branches = []
         for r in u["any"]:
             got = _intersect_req(r, other)
             branches.extend(got["any"] if isinstance(got, dict) else [got])
-        return {"any": branches}
+        return {"any": _union_simplify(branches)}
     a_set = isinstance(a, (set, frozenset))
     b_set = isinstance(b, (set, frozenset))
     if a_set or b_set:

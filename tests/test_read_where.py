@@ -344,3 +344,43 @@ def test_spelling_mixed_in_set_disables_not_misprunes(spark, tmp_path):
     got = read_snapshot_where(spark, t, pred)
     assert len(got.inputFiles()) == 1  # disabled → planned, not pruned away
     assert _ids(got) == {0}
+
+
+def test_union_branches_coalesce_and_never_blow_up():
+    """Pass-5 review regression: N AND-ed OR-pairs on one column used to
+    multiply to 2^N union branches (18 conjuncts → 262k; ~30 → planning
+    death).  Simplification drops empty products and coalesces
+    overlaps, so the result is the TRUE interval set — and a cap
+    disables the column rather than stalling the driver."""
+    import time
+
+    pred = " AND ".join(f"(a < {2 * k + 1} OR a > {2 * k + 2})" for k in range(18))
+    t0 = time.time()
+    got = _predicate_prune_ranges(pred)
+    assert time.time() - t0 < 1.0
+    assert len(got["a"]["any"]) == 19  # the satisfiable intervals, exactly
+    # subsumed/duplicate disjuncts collapse
+    assert _predicate_prune_ranges("id < 10 OR id < 20 OR id < 10") == {
+        "id": {"any": [(None, 20)]}
+    }
+    assert _predicate_prune_ranges("id IN (1, 2) OR id IN (2, 3)") == {
+        "id": {"any": [frozenset({1, 2, 3})]}
+    }
+
+
+def test_union_pruning_end_to_end_interval_set(spark, tmp_path):
+    """The coalesced interval set plans exactly the overlapping files
+    and the residual filter keeps the answer exact."""
+    t = str(tmp_path / "t")
+    for k in range(5):
+        snapshot_append(
+            _df(spark, k * 100, (k + 1) * 100, f"f{k}").repartition(1),
+            t, stats_cols=["id"] if k == 0 else None,
+        )
+    pred = "(id < 150 OR id >= 450) AND (id < 50 OR id >= 420)"
+    got = read_snapshot_where(spark, t, pred)
+    # true region: id < 50 ∪ id >= 450 (the cross terms are empty and
+    # get dropped as provably-empty products) → files 0, 4
+    assert len(got.inputFiles()) == 2
+    assert _ids(got) == set(range(50)) | set(range(450, 500))
+    assert _ids(got) == _ids(read_snapshot(spark, t).filter(pred))
