@@ -384,3 +384,22 @@ def test_union_pruning_end_to_end_interval_set(spark, tmp_path):
     assert len(got.inputFiles()) == 2
     assert _ids(got) == set(range(50)) | set(range(450, 500))
     assert _ids(got) == _ids(read_snapshot(spark, t).filter(pred))
+
+
+def test_read_where_residual_filter_pushes_to_scan(spark, tmp_path):
+    """Two pruning layers must compose: manifest file-skipping plans the
+    file subset, and Catalyst pushes the residual predicate into the
+    parquet scan of the survivors (PushedFilters), so row groups inside
+    a kept file still skip on footer stats."""
+    from mini_project_204721_data_engineering_spark.plans.checks import (
+        has_pushed_filters,
+    )
+
+    t = str(tmp_path / "t")
+    snapshot_append(_df(spark, 0, 100, "a").repartition(1), t, stats_cols=["id"])
+    snapshot_append(_df(spark, 100, 200, "b").repartition(1), t)
+    df = read_snapshot_where(spark, t, "id BETWEEN 120 AND 150 AND tag = 'b'")
+    assert len(df.inputFiles()) == 1  # manifest layer
+    assert has_pushed_filters(df, "id")  # scan layer
+    assert has_pushed_filters(df, "tag")
+    assert _ids(df) == set(range(120, 151))
