@@ -403,3 +403,76 @@ def test_read_where_residual_filter_pushes_to_scan(spark, tmp_path):
     assert has_pushed_filters(df, "id")  # scan layer
     assert has_pushed_filters(df, "tag")
     assert _ids(df) == set(range(120, 151))
+
+
+# ---------------------------------------------------------------------------
+# Property: extraction + pruning is SOUND.  For ANY predicate the grammar
+# may (partially) extract, a file whose per-column [min, max] contains a
+# row SATISFYING the predicate must never be pruned.  The oracle is a
+# direct structural evaluator: over non-null integers, Python comparison
+# semantics are exactly SQL's for this closed grammar (=, </<=/>/>=,
+# BETWEEN, IN, AND, OR), so no engine is needed; hypothesis shrinks
+# counterexamples.
+# ---------------------------------------------------------------------------
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from mini_project_204721_data_engineering_spark.sources.snapshots import (
+    _prune_files,
+)
+
+def _eval_pred(sql: str, env: dict) -> bool:
+    """Evaluate the closed test grammar with Python semantics (exactly
+    SQL's over non-null ints)."""
+    py = sql.replace(" = ", " == ")
+    import re as _re
+
+    py = _re.sub(
+        r"(\b[ab]\b) BETWEEN (\d+) AND (\d+)", r"(\2 <= \1 <= \3)", py
+    )
+    py = py.replace(" AND ", " and ").replace(" OR ", " or ")
+    py = _re.sub(r"(\b[ab]\b) IN \(([^)]*)\)", r"(\1 in (\2,))", py)
+    return bool(eval(py, {}, dict(env)))
+
+
+_lit = st.integers(0, 20)
+_col = st.sampled_from(["a", "b"])
+
+_atom = st.one_of(
+    st.tuples(_col, st.sampled_from(["=", "<", "<=", ">", ">="]), _lit).map(
+        lambda t: f"{t[0]} {t[1]} {t[2]}"
+    ),
+    st.tuples(_col, _lit, _lit).map(
+        lambda t: f"{t[0]} BETWEEN {min(t[1], t[2])} AND {max(t[1], t[2])}"
+    ),
+    st.tuples(_col, st.lists(_lit, min_size=1, max_size=4)).map(
+        lambda t: f"{t[0]} IN ({', '.join(map(str, t[1]))})"
+    ),
+)
+
+_expr = st.recursive(
+    _atom,
+    lambda sub: st.tuples(sub, st.sampled_from(["AND", "OR"]), sub).map(
+        lambda t: f"({t[0]} {t[1]} {t[2]})"
+    ),
+    max_leaves=8,
+)
+
+
+@given(pred=_expr, row=st.tuples(_lit, _lit), span=st.integers(0, 3))
+@settings(max_examples=400, deadline=None)
+def test_extraction_pruning_soundness_property(pred, row, span):
+    a, b = row
+    sat = _eval_pred(pred, {"a": a, "b": b})
+    if not sat:
+        return  # soundness constrains only satisfying rows
+    ranges = {
+        c: r for c, r in _predicate_prune_ranges(pred).items() if r is not None
+    }
+    manifest = {
+        "files": ["f"],
+        "schema": "struct<a:bigint,b:bigint>",
+        "stats": {"f": {"a": [a - span, a + span], "b": [b - span, b + span]}},
+    }
+    kept = _prune_files(manifest, ranges)
+    assert kept == ["f"], (pred, row, ranges)
