@@ -1313,13 +1313,27 @@ def _union_simplify(branches: list, cap: int = 64) -> list:
     bounds are mutually comparable (mixed types fall back to dedupe
     only — still sound, just less compact)."""
     def nonempty(r):
+        """Drop a branch ONLY when its emptiness is provable in SQL's
+        order, not merely Python's: numeric bounds compare identically
+        in both; so do two strings of one date/timestamp spelling class
+        ('d'/'m'/'s' are canonical — text order is instant order).  A
+        plain string might be a digit literal against a numeric column
+        (SQL casts: '5' > '10' as text but 5 < 10 cast), so those
+        branches are always kept — the hull/coalesce machinery is
+        self-consistent in Python order and the stats comparison
+        TypeErrors into keeping the file anyway."""
         lo, hi = r
         if lo is None or hi is None:
             return True
-        try:
-            return not lo > hi  # lo > hi: no value satisfies — drop
-        except TypeError:
-            return True  # incomparable: keep (conservative)
+        if isinstance(lo, bool) or isinstance(hi, bool):
+            return True
+        if isinstance(lo, (int, float)) and isinstance(hi, (int, float)):
+            return not lo > hi
+        if isinstance(lo, str) and isinstance(hi, str):
+            cl, ch = _spelling_class(lo), _spelling_class(hi)
+            if cl is not None and cl == ch and cl in ("d", "m", "s"):
+                return not lo > hi
+        return True  # untrusted order: keep (conservative)
 
     sets = [b for b in branches if isinstance(b, (set, frozenset)) and b]
     ranges = list(
@@ -1409,15 +1423,31 @@ def _intersect_req(a, b):
             len(classes) > 1 or "f" in classes
         ):
             raise TypeError("mixed date/timestamp spellings in IN intersection")
+        # a plain (non-date/ts-spelled) string might be a digit literal
+        # against a NUMERIC column, where SQL casts ('5' == '5.0' == 5)
+        # but Python text compares — an intersection that REMOVES a
+        # member on text grounds could therefore remove a live value
+        # (and an emptied set means prune-ALL).  Keeping every member is
+        # always sound (more members → fewer prunes), so only the
+        # removal needs the guard.
+        untyped_strings = None in classes and bool(
+            [v for v in both if isinstance(v, str)]
+        )
     if a_set and b_set:
-        return frozenset(a) & frozenset(b)
+        got = frozenset(a) & frozenset(b)
+        if untyped_strings and len(got) < min(len(a), len(b)):
+            raise TypeError("untrusted text-order removal from IN set")
+        return got
     if a_set or b_set:
         vals, (lo, hi) = (a, b) if a_set else (b, a)
-        return frozenset(
+        got = frozenset(
             v
             for v in vals
             if (lo is None or v >= lo) and (hi is None or v <= hi)
         )
+        if untyped_strings and len(got) < len(vals):
+            raise TypeError("untrusted text-order removal from IN set")
+        return got
     lo0, hi0 = a
     lo1, hi1 = b
     lo = lo1 if lo0 is None else lo0 if lo1 is None else max(lo0, lo1)

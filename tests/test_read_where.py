@@ -422,11 +422,14 @@ from mini_project_204721_data_engineering_spark.sources.snapshots import (
 )
 
 def _eval_pred(sql: str, env: dict) -> bool:
-    """Evaluate the closed test grammar with Python semantics (exactly
-    SQL's over non-null ints)."""
-    py = sql.replace(" = ", " == ")
+    """Evaluate the closed test grammar with SQL semantics over
+    non-null ints: quoted digit literals CAST numerically (as Spark and
+    DuckDB do against a bigint column), then Python comparison is
+    exactly SQL's."""
     import re as _re
 
+    py = _re.sub(r"'(\d+)'", r"\1", sql)  # the numeric cast
+    py = py.replace(" = ", " == ")
     py = _re.sub(
         r"(\b[ab]\b) BETWEEN (\d+) AND (\d+)", r"(\2 <= \1 <= \3)", py
     )
@@ -441,6 +444,15 @@ _col = st.sampled_from(["a", "b"])
 _atom = st.one_of(
     st.tuples(_col, st.sampled_from(["=", "<", "<=", ">", ">="]), _lit).map(
         lambda t: f"{t[0]} {t[1]} {t[2]}"
+    ),
+    # quoted digit literals: SQL casts them numerically against the
+    # bigint column, Python text order disagrees — the extractor must
+    # stay sound anyway (pass-6 hazard class)
+    st.tuples(_col, st.sampled_from(["=", "<", "<=", ">", ">="]), _lit).map(
+        lambda t: f"{t[0]} {t[1]} '{t[2]}'"
+    ),
+    st.tuples(_col, st.lists(_lit, min_size=1, max_size=3)).map(
+        lambda t: f"{t[0]} IN ({', '.join(repr(str(v)) for v in t[1])})"
     ),
     st.tuples(_col, _lit, _lit).map(
         lambda t: f"{t[0]} BETWEEN {min(t[1], t[2])} AND {max(t[1], t[2])}"
@@ -476,3 +488,35 @@ def test_extraction_pruning_soundness_property(pred, row, span):
     }
     kept = _prune_files(manifest, ranges)
     assert kept == ["f"], (pred, row, ranges)
+
+
+def test_digit_string_literals_never_misprune(spark, tmp_path):
+    """Pass-6 review regression: Python text order ('5' > '10') must
+    never DROP a branch or EMPTY a set that SQL's numeric cast
+    satisfies — untyped-string decisions keep, they never drop."""
+    # extraction level: the set/branch survives or the column disables
+    assert _predicate_prune_ranges("id IN ('10') AND id >= '5'") == {"id": None}
+    assert _predicate_prune_ranges("id IN ('5') AND id IN ('5.0')") == {"id": None}
+    got = _predicate_prune_ranges("(id >= '5' AND id <= '10') OR id = 0")
+    assert got["id"]["any"] and len(got["id"]["any"]) == 2  # branch kept
+    # end-to-end: the cast-satisfying rows come back
+    t = str(tmp_path / "t")
+    snapshot_append(_df(spark, 0, 4, "a").repartition(1), t, stats_cols=["id"])
+    snapshot_append(_df(spark, 6, 10, "b").repartition(1), t)
+    pred = "(id >= '5' AND id <= '10') OR id = 0"
+    gotdf = read_snapshot_where(spark, t, pred)
+    assert _ids(gotdf) == _ids(read_snapshot(spark, t).filter(pred)) == {0, 6, 7, 8, 9}
+    pred2 = "id IN ('8') AND id >= '5'"
+    got2 = read_snapshot_where(spark, t, pred2)
+    assert _ids(got2) == _ids(read_snapshot(spark, t).filter(pred2)) == {8}
+
+
+def test_equal_instant_spellings_never_drop_a_branch():
+    """Same class of hazard with timestamps: '2024-01-01 00:00:00' vs
+    '2024-01-01' are one instant, reversed as text — the BETWEEN branch
+    must survive (spelling normalization aligns it later)."""
+    got = _predicate_prune_ranges(
+        "(ts BETWEEN '2024-01-01 00:00:00' AND '2024-01-01') "
+        "OR ts = '2025-06-01 00:00:00'"
+    )
+    assert len(got["ts"]["any"]) == 2
