@@ -1330,8 +1330,13 @@ def _union_simplify(branches: list, cap: int = 64) -> list:
         if isinstance(lo, (int, float)) and isinstance(hi, (int, float)):
             return not lo > hi
         if isinstance(lo, str) and isinstance(hi, str):
-            cl, ch = _spelling_class(lo), _spelling_class(hi)
-            if cl is not None and cl == ch and cl in ("d", "m", "s"):
+            # ONLY bare dates ('d') survive every column-type cast with
+            # text order intact (date col: identity; ts col: midnights;
+            # string col: text IS the order).  'm'/'s' spellings are
+            # NOT drop-safe: on a DATE column the cast truncates both
+            # bounds to the date part, so two text-ordered instants can
+            # be SQL-equal and a "text-empty" range non-empty.
+            if _spelling_class(lo) == "d" and _spelling_class(hi) == "d":
                 return not lo > hi
         return True  # untrusted order: keep (conservative)
 
@@ -1423,19 +1428,20 @@ def _intersect_req(a, b):
             len(classes) > 1 or "f" in classes
         ):
             raise TypeError("mixed date/timestamp spellings in IN intersection")
-        # a plain (non-date/ts-spelled) string might be a digit literal
-        # against a NUMERIC column, where SQL casts ('5' == '5.0' == 5)
-        # but Python text compares — an intersection that REMOVES a
-        # member on text grounds could therefore remove a live value
-        # (and an emptied set means prune-ALL).  Keeping every member is
-        # always sound (more members → fewer prunes), so only the
-        # removal needs the guard.
-        untyped_strings = None in classes and bool(
-            [v for v in both if isinstance(v, str)]
-        )
+        # REMOVING a member on text grounds is only trustworthy when
+        # text order is SQL order under EVERY possible column type:
+        # numerics, or bare-date ('d') spellings (date col: identity;
+        # ts col: midnights; string col: text).  A plain string might
+        # be a digit literal against a numeric column ('5' == 5 cast),
+        # and an 'm'/'s'-spelled instant against a DATE column
+        # truncates ('2024-01-01 01:00' == '2024-01-01 23:00' as
+        # dates) — an emptied set would mean prune-ALL.  Keeping every
+        # member is always sound (more members → fewer prunes), so
+        # only the removal needs the guard.
+        guard_removal = bool(classes) and classes != {"d"}
     if a_set and b_set:
         got = frozenset(a) & frozenset(b)
-        if untyped_strings and len(got) < min(len(a), len(b)):
+        if guard_removal and len(got) < min(len(a), len(b)):
             raise TypeError("untrusted text-order removal from IN set")
         return got
     if a_set or b_set:
@@ -1445,7 +1451,7 @@ def _intersect_req(a, b):
             for v in vals
             if (lo is None or v >= lo) and (hi is None or v <= hi)
         )
-        if untyped_strings and len(got) < len(vals):
+        if guard_removal and len(got) < len(vals):
             raise TypeError("untrusted text-order removal from IN set")
         return got
     lo0, hi0 = a

@@ -520,3 +520,37 @@ def test_equal_instant_spellings_never_drop_a_branch():
         "OR ts = '2025-06-01 00:00:00'"
     )
     assert len(got["ts"]["any"]) == 2
+
+
+def test_timed_spellings_on_date_columns_never_drop(spark, tmp_path):
+    """Pass-7 review regression: on a DATE column the cast TRUNCATES, so
+    two text-ordered 'm'/'s'-spelled instants can be SQL-equal — only
+    bare-date spellings are drop/removal-safe at extraction time."""
+    # the "text-empty" BETWEEN is non-empty after the date cast
+    got = _predicate_prune_ranges(
+        "(d BETWEEN '2024-01-01 23:00' AND '2024-01-01 01:00') OR d = '2025-06-01'"
+    )
+    assert len(got["d"]["any"]) == 2  # branch kept
+    # the IN removal would empty the set → must disable instead
+    assert _predicate_prune_ranges(
+        "d IN ('2024-01-01 01:00') AND d >= '2024-01-01 23:00'"
+    ) == {"d": None}
+    assert _predicate_prune_ranges(
+        "d IN ('2024-01-01 01:00:00') AND d IN ('2024-01-01 23:00:00')"
+    ) == {"d": None}
+    # end-to-end on a real DATE column: rows survive
+    t = str(tmp_path / "t")
+    rows = spark.createDataFrame(
+        [(1, "2024-01-01"), (2, "2025-06-01")], "id bigint, ds string"
+    ).select("id", F.col("ds").cast("date").alias("d"))
+    snapshot_append(rows.repartition(2), t, stats_cols=["d"])
+    pred = ("(d BETWEEN '2024-01-01 23:00:00' AND '2024-01-01 01:00:00') "
+            "OR d = '2025-06-01'")
+    gotdf = read_snapshot_where(spark, t, pred)
+    assert _ids(gotdf) == _ids(read_snapshot(spark, t).filter(pred)) == {1, 2}
+    # bare-date drops stay sharp: a genuinely empty date range still
+    # contributes a droppable branch
+    sharp = _predicate_prune_ranges(
+        "(d BETWEEN DATE '2024-01-05' AND DATE '2024-01-01') OR d = DATE '2025-06-01'"
+    )
+    assert sharp["d"]["any"] == [("2025-06-01", "2025-06-01")]
