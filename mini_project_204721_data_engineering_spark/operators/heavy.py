@@ -97,7 +97,12 @@ def heavy_hitters(
     candidate rows (≤ summary_size × partitions keys) ever reach the
     count shuffle.  Raises when ``summary_size`` is too small for the
     completeness theorem (``summary_size + 1 < 1/θ`` could drop a
-    qualifying key).  See the module docstring for the guarantee and
+    qualifying key).  The share boundary is resolved in EXACT rational
+    arithmetic — ``threshold`` is read as the decimal its shortest
+    spelling denotes (``Fraction(str(threshold))``), so a key whose
+    share is exactly 0.1 at ``threshold=0.1`` is always kept (double
+    arithmetic would compute ``0.1*30 = 3.0000000000000004`` and drop
+    a 3-of-30 key).  See the module docstring for the guarantee and
     the null-key contract.
 
     ``candidates`` picks the phase-1 sketch:
@@ -121,6 +126,15 @@ def heavy_hitters(
         raise ValueError("keys must be non-empty")
     if not 0 < threshold < 1:
         raise ValueError(f"threshold must be in (0, 1), got {threshold}")
+    # the share test is EXACT rational arithmetic, never double: with
+    # count >= float(threshold) * N a key whose share is exactly the
+    # threshold can be dropped (0.1 * 30 = 3.0000000000000004 > 3).
+    # Fraction(str(threshold)) reads the threshold as the DECIMAL the
+    # caller wrote (repr round-trips the shortest spelling), so
+    # threshold=0.1 means 1/10, not the nearest double
+    from fractions import Fraction
+
+    frac = Fraction(str(threshold))
     if candidates not in ("mg", "freqItems"):
         raise ValueError(
             f"candidates must be 'mg' or 'freqItems' (got {candidates!r})"
@@ -166,11 +180,14 @@ def heavy_hitters(
             .select("__k.*")
         )
         n_total = notnull.count()  # freqItems carries no totals
+        # exact integer bound: smallest c with c/N >= threshold, i.e.
+        # c >= ceil(numer*N/denom) — Python bigints, no long overflow
+        bound = -(-frac.numerator * n_total // frac.denominator)
         return (
             notnull.join(F.broadcast(freq), keys, "left_semi")
             .groupBy(*keys)
             .agg(F.count(F.lit(1)).alias(count_col))
-            .filter(F.col(count_col) >= F.lit(float(threshold)) * F.lit(n_total))
+            .filter(F.col(count_col) >= F.lit(bound))
         )
     key_df = notnull.select(*keys)
     kfields = [key_df.schema[k] for k in keys]
@@ -233,6 +250,13 @@ def heavy_hitters(
         .groupBy(*keys)
         .agg(F.count(F.lit(1)).alias(count_col))
         .crossJoin(F.broadcast(total))
-        .filter(F.col(count_col) >= F.lit(threshold) * F.col("__N"))
+        # count/N >= numer/denom in exact integer arithmetic; decimal(38)
+        # because count × denom can pass 2^63 (denom ≤ 1e17 for a float's
+        # 17-digit decimal spelling, count up to 1e12 rows → ≤ 1e29,
+        # comfortably inside 38 digits at scale 0 — exact, no rounding)
+        .filter(
+            F.col(count_col).cast("decimal(38,0)") * F.lit(frac.denominator)
+            >= F.lit(frac.numerator) * F.col("__N").cast("decimal(38,0)")
+        )
         .drop("__N")
     )

@@ -58,6 +58,15 @@ def recommend_salt(
     invocation; a pipeline that salts the same table in N stages
     should pay it once.
 
+    Provenance: a cached profile built with
+    ``key_skew_profile(df, keys, include_keys=True)`` carries a
+    ``keys`` field, and a mismatch against this call's ``keys`` raises
+    — a profile computed for different key columns yields a wrong
+    ``n_salts`` and must not replay silently.  A profile WITHOUT the
+    field is accepted as-is (``keys`` cannot be validated then — the
+    caller owns the pairing; the distribution is also a property of
+    one dataset VERSION, which no field here can check).
+
     Returns
     ``{"n_salts", "max_group", "fair_share", "hot_share", "n_groups",
     "total_rows", "reason"}``; pass the whole dict (or its
@@ -80,6 +89,13 @@ def recommend_salt(
         if missing:
             raise ValueError(
                 f"profile= is missing key_skew_profile fields: {sorted(missing)}"
+            )
+        if prof.get("keys") is not None and prof["keys"] != ",".join(keys):
+            raise ValueError(
+                f"profile= was computed for keys [{prof['keys']}] but this "
+                f"call asks about [{','.join(keys)}] — a replayed profile "
+                "must match the keys it measured (rebuild with "
+                "key_skew_profile(df, keys, include_keys=True))"
             )
     else:
         if df is None:

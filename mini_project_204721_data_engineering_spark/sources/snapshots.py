@@ -56,6 +56,10 @@ __all__ = [
     "snapshot_restore",
     "snapshot_clone",
     "read_snapshot",
+    "read_snapshot_where",
+    "snapshot_count",
+    "snapshot_min_max",
+    "snapshot_plan_info",
     "snapshot_history",
     "expire_snapshots",
 ]
@@ -252,7 +256,8 @@ def _commit(
 
     ``schema_ddl`` may be a callable ``parent_manifest -> ddl`` (schema
     evolution must re-derive against the tip that actually wins);
-    ``stats_fn(parent, files) -> (stats dict, stats_cols)`` likewise.
+    ``stats_fn(parent, files) -> (stats dict, stats_cols, file_meta)``
+    likewise (file_meta: per-file ``{"rows", "bytes"}``).
     ``row_filters_fn(parent, files) -> list`` overrides the default
     carry-prune of pending lazy-delete filters (:func:`_carry_filters`)
     — restore/clone replace them wholesale, a lazy delete appends an
@@ -292,10 +297,12 @@ def _commit(
             "meta": meta or {},
         }
         if stats_fn is not None:
-            stats, stats_cols = stats_fn(parent_manifest, files)
+            stats, stats_cols, file_meta = stats_fn(parent_manifest, files)
             if stats_cols:
                 manifest["stats"] = stats
                 manifest["stats_cols"] = stats_cols
+            if file_meta:
+                manifest["file_meta"] = file_meta
         filters = (
             row_filters_fn(parent_manifest, files)
             if row_filters_fn is not None
@@ -397,6 +404,42 @@ def _json_safe(v):
     return None  # unsupported stats type: recorded absent, file never pruned
 
 
+_STATS_STR_CAP = 16  # string min/max bounds longer than this truncate
+
+
+def _trunc_bound(v: str, upper: bool) -> str | None:
+    """Truncate a string stats bound to ``_STATS_STR_CAP`` chars while
+    staying a SOUND bound (Iceberg's truncate-with-increment idea): the
+    lower bound is the plain prefix (≤ every value sharing it); the
+    upper bound is the prefix with its last incrementable code point
+    bumped (> every value sharing it), skipping the surrogate block
+    (not valid interchange text) and dropping trailing U+10FFFF chars
+    that cannot bump — all-max prefixes return None (no finite upper at
+    this length; the file is then never upper-pruned on the column).
+    Truncated bounds are padded to EXACTLY cap length with NUL so
+    consumers needing exactness (:func:`snapshot_min_max`) can detect
+    'possibly truncated' by length alone."""
+    if len(v) <= _STATS_STR_CAP:
+        return v
+    p = v[:_STATS_STR_CAP]
+    if not upper:
+        return p
+    chars = list(p)
+    for i in range(len(chars) - 1, -1, -1):
+        cp = ord(chars[i])
+        if cp < 0x10FFFF:
+            nxt = cp + 1
+            if 0xD800 <= nxt <= 0xDFFF:
+                nxt = 0xE000
+            # NUL-pad: appending only INCREASES a string in code-point
+            # order, so the padded value is still an upper bound — and
+            # every truncated bound is exactly cap-length, detectably
+            return ("".join(chars[:i]) + chr(nxt)).ljust(
+                _STATS_STR_CAP, "\x00"
+            )
+    return None
+
+
 def _norm_stats(spec) -> dict[str, str]:
     """Stats spec → {alias: SQL expr}.  A plain column list means
     identity stats; a mapping gives DERIVED stats ("hidden partitioning
@@ -409,15 +452,22 @@ def _norm_stats(spec) -> dict[str, str]:
     return {str(c): str(c) for c in spec}
 
 
-def _file_stats(spark: SparkSession, files: list[str], stats: dict[str, str]) -> dict:
-    """Per-file min/max for each stats expression over exactly the given
-    files — a column-pruned scan of THIS COMMIT's files only (never the
-    table).  Values land JSON-safe; a type that can't (complex cols)
-    records absent, which pruning treats as 'always keep'."""
+def _file_stats(
+    spark: SparkSession, files: list[str], stats: dict[str, str]
+) -> tuple[dict, dict]:
+    """Per-file (min/max stats, row/byte meta) over exactly the given
+    files — ONE column-pruned scan of THIS COMMIT's files only (never
+    the table); with no stats expressions the scan touches only the
+    parquet metadata columns (row-count-only batches, no data pages).
+    Returns ``(stats, file_meta)``: stats values land JSON-safe (a type
+    that can't — complex cols — records absent, which pruning treats as
+    'always keep'); ``file_meta`` is ``{file: {"rows": n, "bytes": b}}``
+    — rows from the same aggregate, bytes from the scan-bound
+    ``_metadata.file_size`` (no per-file driver RPCs)."""
     from pyspark.sql import functions as F
 
     if not files:
-        return {}
+        return {}, {}
     _, _, jvm = _fs_for(spark, files[0])
     scan = spark.read.parquet(*files)
     # a merge_schema append may legitimately omit a stats column — those
@@ -430,13 +480,19 @@ def _file_stats(spark: SparkSession, files: list[str], stats: dict[str, str]) ->
             cols[alias] = expr
         except Exception:
             continue
-    if not cols:
-        return {}
-    aggs = []
+    aggs = [
+        F.count(F.lit(1)).alias("__rows"),
+        F.min(F.col("_metadata.file_size")).alias("__bytes"),
+    ]
     for alias, expr in cols.items():
         aggs += [
             F.min(F.expr(expr)).alias(f"__mn_{alias}"),
             F.max(F.expr(expr)).alias(f"__mx_{alias}"),
+            # null count per stats expression: [mn, mx, nulls] — lets
+            # IS NULL atoms prune null-free files and IS NOT NULL /
+            # range atoms prune all-null files (with rows from
+            # file_meta).  Readers accept legacy 2-element entries.
+            (F.count(F.lit(1)) - F.count(F.expr(expr))).alias(f"__nl_{alias}"),
         ]
     rows = (
         scan
@@ -444,14 +500,30 @@ def _file_stats(spark: SparkSession, files: list[str], stats: dict[str, str]) ->
         .agg(*aggs)
         .collect()
     )
-    out = {}
+    def bound(raw, upper: bool):
+        # truncate ONLY true string-column values: date/timestamp stats
+        # arrive as datetime objects (their ISO spelling is the prune
+        # comparison's contract and must stay whole); a long text value
+        # would otherwise embed entire documents in every manifest
+        v = _json_safe(raw)
+        if isinstance(raw, str) and isinstance(v, str) and len(v) > _STATS_STR_CAP:
+            return _trunc_bound(v, upper)
+        return v
+
+    stats_out, meta_out = {}, {}
     for r in rows:
         key = str(jvm.org.apache.hadoop.fs.Path(r["__f"]).toString())
-        out[key] = {
-            c: [_json_safe(r[f"__mn_{c}"]), _json_safe(r[f"__mx_{c}"])]
-            for c in cols
-        }
-    return out
+        meta_out[key] = {"rows": int(r["__rows"]), "bytes": int(r["__bytes"])}
+        if cols:
+            stats_out[key] = {
+                c: [
+                    bound(r[f"__mn_{c}"], False),
+                    bound(r[f"__mx_{c}"], True),
+                    int(r[f"__nl_{c}"]),
+                ]
+                for c in cols
+            }
+    return stats_out, meta_out
 
 
 def _validate_stats(df: DataFrame, stats_cols) -> None:
@@ -473,12 +545,17 @@ def _validate_stats(df: DataFrame, stats_cols) -> None:
 
 
 def _compose_stats(spark, new_files: list[str], stats_cols):
-    """stats_fn for append-shaped commits: parent stats for carried
-    files + freshly computed stats for this commit's files.  The column
-    set is sticky — parent's ``stats_cols`` wins when the caller passes
-    none, so one configured writer keeps the whole chain pruned."""
+    """stats_fn for append-shaped commits: parent stats AND parent
+    file_meta (rows/bytes) for carried files + freshly computed values
+    for this commit's files — ONE scan of the new files covers both.
+    The column set is sticky — parent's ``stats_cols`` wins when the
+    caller passes none, so one configured writer keeps the whole chain
+    pruned.  file_meta is UNCONDITIONAL (no opt-in): every commit
+    records per-file row and byte counts, which is what lets
+    :func:`snapshot_count` / :func:`snapshot_min_max` answer from the
+    manifest and :func:`snapshot_compact` plan without per-file RPCs."""
 
-    fresh_cache: dict[str, dict] = {}  # keyed by the column set
+    fresh_cache: dict[str, tuple[dict, dict]] = {}  # keyed by column set
 
     def stats_fn(parent, files):
         cols = _norm_stats(
@@ -486,20 +563,26 @@ def _compose_stats(spark, new_files: list[str], stats_cols):
             if stats_cols is not None
             else (parent or {}).get("stats_cols", [])
         )
-        if not cols:
-            return {}, {}
         parent_stats = (parent or {}).get("stats", {})
+        parent_meta = (parent or {}).get("file_meta", {})
         # memoized: the commit-retry loop re-invokes stats_fn against
         # each new tip, but new_files never change — one Spark stats
         # job per column set, not one per lost race
         key = "\x00".join(f"{a}={e}" for a, e in sorted(cols.items()))
         if key not in fresh_cache:
             fresh_cache[key] = _file_stats(spark, new_files, cols)
-        fresh = fresh_cache[key]
+        fresh, fresh_meta = fresh_cache[key]
+        meta = {
+            f: m for f in files
+            if (m := parent_meta.get(f) or fresh_meta.get(f)) is not None
+        }
+        if not cols:
+            return {}, {}, meta
         return (
             {f: (parent_stats.get(f) or fresh.get(f)) for f in files
              if (parent_stats.get(f) or fresh.get(f)) is not None},
             cols,
+            meta,
         )
 
     return stats_fn
@@ -570,11 +653,10 @@ def snapshot_overwrite(
             if stats_cols is not None
             else (parent or {}).get("stats_cols", [])
         )
-        if not cols:
-            return {}, {}
         # unresolvable expressions (schema change) drop inside
         # _file_stats; files then simply carry no stats for them
-        return _file_stats(spark, new_files, cols), cols
+        stats, meta = _file_stats(spark, new_files, cols)
+        return stats, cols, meta
 
     return _commit(
         spark, table_dir, "overwrite", lambda parent: list(new_files),
@@ -748,6 +830,37 @@ def _filtered_read(
     return out
 
 
+def _resolve_manifest(
+    spark: SparkSession,
+    table_dir: str,
+    version: int | None = None,
+    as_of: float | None = None,
+) -> dict:
+    """Resolve the manifest a read should pin: the tip by default, an
+    explicit ``version``, or the newest snapshot committed at/before
+    unix-time ``as_of`` (time travel) — one shared resolver for
+    :func:`read_snapshot` and the metadata-only aggregate family."""
+    if version is not None and as_of is not None:
+        raise ValueError("pass version OR as_of, not both")
+    versions = _list_versions(spark, table_dir)
+    if not versions:
+        raise ValueError(f"no snapshots at {table_dir}")
+    if version is None:
+        if as_of is None:
+            version = versions[-1]
+        else:
+            eligible = [
+                v for v in versions
+                if _read_manifest(spark, table_dir, v)["ts"] <= as_of
+            ]
+            if not eligible:
+                raise ValueError(f"no snapshot at or before ts={as_of}")
+            version = eligible[-1]
+    elif version not in versions:
+        raise ValueError(f"version {version} not in log (have {versions[:5]}...)")
+    return _read_manifest(spark, table_dir, version)
+
+
 def read_snapshot(
     spark: SparkSession,
     table_dir: str,
@@ -770,28 +883,13 @@ def read_snapshot(
     set's envelope for sparse sets; a 2-element LIST keeps its
     historical range meaning), and ``{"any": [req, ...]}`` is a UNION
     of requests (what :func:`read_snapshot_where` derives from a
-    single-column OR) — kept if any branch keeps it.  Pruning only
+    single-column OR) — kept if any branch keeps it.
+    ``{"null": True}`` / ``{"null": False}`` is a NULLNESS request
+    (IS NULL / IS NOT NULL), prunable on stats carrying null counts.
+    Pruning only
     skips files; apply the real filter on the result for row-level
     semantics (files without stats are always kept)."""
-    if version is not None and as_of is not None:
-        raise ValueError("pass version OR as_of, not both")
-    versions = _list_versions(spark, table_dir)
-    if not versions:
-        raise ValueError(f"no snapshots at {table_dir}")
-    if version is None:
-        if as_of is None:
-            version = versions[-1]
-        else:
-            eligible = [
-                v for v in versions
-                if _read_manifest(spark, table_dir, v)["ts"] <= as_of
-            ]
-            if not eligible:
-                raise ValueError(f"no snapshot at or before ts={as_of}")
-            version = eligible[-1]
-    elif version not in versions:
-        raise ValueError(f"version {version} not in log (have {versions[:5]}...)")
-    manifest = _read_manifest(spark, table_dir, version)
+    manifest = _resolve_manifest(spark, table_dir, version, as_of)
     files = manifest["files"]
     if prune:
         files = _prune_files(manifest, prune)
@@ -804,6 +902,7 @@ def read_snapshot(
 
 import re as _re
 
+_NUM_RE = _re.compile(r"\d+(?:\.\d*)?(?:[eE][+-]?\d+)?|\.\d+(?:[eE][+-]?\d+)?")
 _DATE_RE = _re.compile(r"^\d{4}-\d{2}-\d{2}$")
 _TS_SEC_RE = _re.compile(r"^\d{4}-\d{2}-\d{2} \d{2}:\d{2}:\d{2}$")
 _TS_MIN_RE = _re.compile(r"^\d{4}-\d{2}-\d{2} \d{2}:\d{2}$")
@@ -892,6 +991,8 @@ def _normalize_prune_bounds(manifest: dict, prune: dict) -> dict:
         return v
 
     def fix_req(c, r):
+        if isinstance(r, dict) and "null" in r:
+            return r  # nullness requests carry no spellings to align
         if isinstance(r, dict):
             branches = [fix_req(c, x) for x in r["any"]]
             # a single unnormalizable BRANCH poisons the whole union: a
@@ -931,10 +1032,18 @@ def _prune_files(manifest: dict, prune: dict) -> list[str]:
     - ``{"any": [req, ...]}`` — a UNION of requests (produced by the
       extractor for single-column ORs): the file is kept if ANY branch
       keeps it.
+    - ``{"null": True}`` / ``{"null": False}`` — a NULLNESS request
+      (what ``IS NULL`` / ``IS NOT NULL`` atoms extract to): prunable
+      only on files whose stats carry a null count ([min, max, nulls]
+      entries) — ``IS NULL`` skips null-free files, ``IS NOT NULL``
+      (and every range/set request, whose satisfying values are
+      non-null by definition) skips all-null files when the file's
+      total row count is known from ``file_meta``.
 
     Files with no stats for a column are always kept — pruning can only
     skip work, never answers."""
     stats = manifest.get("stats", {})
+    meta = manifest.get("file_meta", {})
     prune = _normalize_prune_bounds(manifest, prune)
     if any(_req_unsat(r) for r in prune.values()):
         return []  # unsatisfiable conjunct: independent of any stats
@@ -943,32 +1052,56 @@ def _prune_files(manifest: dict, prune: dict) -> list[str]:
         fstats = stats.get(f)
         if not fstats:
             return True
+        rows = (meta.get(f) or {}).get("rows")
         for col, req in prune.items():
             rng = fstats.get(col)
-            if not rng or rng[0] is None or rng[1] is None:
+            if not rng:
                 continue
-            if _req_disjoint(req, rng):
+            nulls = rng[2] if len(rng) > 2 else None
+            if _req_disjoint(req, rng, nulls, rows):
                 return False
         return True
 
     return [f for f in manifest["files"] if keep(f)]
 
 
+def _is_union(req) -> bool:
+    return isinstance(req, dict) and "any" in req
+
+
+def _is_nullreq(req) -> bool:
+    return isinstance(req, dict) and "null" in req
+
+
 def _req_unsat(req) -> bool:
     """A request no value can satisfy (empty IN set / union of such)."""
-    if isinstance(req, dict):
+    if _is_union(req):
         return all(_req_unsat(r) for r in req["any"])
     if isinstance(req, (set, frozenset)):
         return not req
     return False
 
 
-def _req_disjoint(req, rng) -> bool:
+def _req_disjoint(req, rng, nulls=None, rows=None) -> bool:
     """True when PROVABLY no value satisfying ``req`` lies in the
-    file's recorded ``[rng[0], rng[1]]`` — any doubt (incomparable
-    types) answers False (keep the file)."""
-    if isinstance(req, dict):  # union: disjoint from every branch
-        return all(_req_disjoint(r, rng) for r in req["any"])
+    file's recorded ``[rng[0], rng[1]]`` (with optional null count
+    ``nulls`` and total row count ``rows``) — any doubt (incomparable
+    types, unknown counts, unknown bounds) answers False (keep)."""
+    all_null = nulls is not None and rows is not None and nulls == rows
+    if _is_nullreq(req):
+        if req["null"]:
+            # needs a NULL in the file: provably none when nulls == 0
+            return nulls == 0
+        # needs a NON-null: provably none when the file is all-null
+        return all_null
+    if _is_union(req):  # union: disjoint from every branch
+        return all(_req_disjoint(r, rng, nulls, rows) for r in req["any"])
+    # range/set requests are satisfied only by NON-null values — an
+    # all-null file provably holds none, whatever its (absent) bounds
+    if all_null:
+        return True
+    if rng[0] is None or rng[1] is None:
+        return False  # unknown bounds: keep
     if isinstance(req, (set, frozenset)):
         if not req:
             return True
@@ -1020,15 +1153,17 @@ def _predicate_tokens(predicate: str) -> list:
         if ch.isdigit() or (
             ch == "." and i + 1 < n and predicate[i + 1].isdigit()
         ):
-            j = i
-            while j < n and (predicate[j].isdigit() or predicate[j] in ".eE+-"):
-                # stop a trailing +/- that isn't an exponent sign
-                if predicate[j] in "+-" and predicate[j - 1] not in "eE":
-                    break
-                j += 1
-            text = predicate[i:j]
-            out.append(("num", float(text) if any(c in text for c in ".eE") else int(text)))
-            i = j
+            # consume only a WELL-FORMED number (digits[.digits][exp]):
+            # a malformed exponent like `1e+` must not reach float() —
+            # the `e` falls through as an identifier and the stray `+`
+            # raises the tokenizer's own error (degrading, as ever, to
+            # no-pruning with the residual filter answering)
+            m = _NUM_RE.match(predicate, i)
+            text = m.group(0)
+            out.append(
+                ("num", float(text) if any(c in text for c in ".eE") else int(text))
+            )
+            i = m.end()
             continue
         if ch.isalpha() or ch == "_":
             j = i
@@ -1069,6 +1204,10 @@ def _predicate_prune_ranges(predicate: str) -> dict:
     - ``DATE '...'`` / ``TIMESTAMP '...'`` literals → their string value
       (manifest stats store dates/timestamps ISO-formatted, which
       compares identically)
+    - ``col IS NULL`` → ``{"null": True}`` and ``col IS NOT NULL`` →
+      ``{"null": False}`` — prunable against files whose stats carry
+      null counts; ``IS NULL AND <range>`` folds to unsatisfiable
+      (a comparison is never TRUE on NULL)
 
     A top-level ``OR`` prunes by UNION when every disjunct constrains
     a common column — ``id < 10 OR id >= 900`` skips the whole middle
@@ -1077,9 +1216,9 @@ def _predicate_prune_ranges(predicate: str) -> dict:
     value).
 
     Everything else is CONSERVATIVE: an atom the grammar doesn't cover
-    (functions, arithmetic, IS NULL, !=, dotted names) contributes
-    nothing, and a parse failure makes the WHOLE expression contribute
-    nothing.  Atoms on the same
+    (functions, arithmetic, !=, dotted names, IS [NOT] TRUE/FALSE)
+    contributes nothing, and a parse failure makes the WHOLE expression
+    contribute nothing.  Atoms on the same
     column intersect (max of lows, min of highs); an incomparable
     intersection drops that column's pruning entirely.  Correctness
     never depends on extraction — the caller re-applies the full
@@ -1168,8 +1307,8 @@ def _predicate_prune_ranges(predicate: str) -> dict:
                 if any(r is None for r in reqs):
                     continue  # one branch disabled: no sound union
                 flat = []
-                for r in reqs:  # flatten nested unions
-                    flat.extend(r["any"] if isinstance(r, dict) else [r])
+                for r in reqs:  # flatten nested unions (not null markers)
+                    flat.extend(r["any"] if _is_union(r) else [r])
                 try:
                     out[col] = {"any": _union_simplify(flat)}
                 except TypeError:
@@ -1220,6 +1359,15 @@ def _match_atom(chunk, is_kw, literal):
         return _match_flipped(chunk, literal)
     col = chunk[0][1]
     rest = chunk[1:]
+    if rest and is_kw(rest[0], "IS"):
+        # exactly IS NULL / IS NOT NULL extract; IS [NOT] TRUE/FALSE/
+        # DISTINCT FROM and friends contribute nothing (conservative)
+        tail = rest[1:]
+        if len(tail) == 1 and is_kw(tail[0], "NULL"):
+            return col, {"null": True}
+        if len(tail) == 2 and is_kw(tail[0], "NOT") and is_kw(tail[1], "NULL"):
+            return col, {"null": False}
+        return None
     if rest and rest[0][0] == "op" and rest[0][1] in ("=", "==", "<", "<=", ">", ">="):
         v = literal(rest[1:])
         if v is None:
@@ -1347,6 +1495,13 @@ def _union_simplify(branches: list, cap: int = 64) -> list:
         )
     )
     out: list = []
+    # nullness branches survive verbatim (deduped): dropping one would
+    # SHRINK the allowed region and over-prune that branch's files
+    seen_null = set()
+    for b in branches:
+        if _is_nullreq(b) and b["null"] not in seen_null:
+            seen_null.add(b["null"])
+            out.append(b)
     if sets:
         out.append(frozenset().union(*sets))
     try:
@@ -1401,18 +1556,31 @@ def _intersect_req(a, b):
       '.50' are equal instants, unequal text).  Range∧range needs no
       such guard: max/min of equal-instant spellings normalize to the
       same bound later."""
-    if isinstance(a, dict) or isinstance(b, dict):
+    if _is_nullreq(a) and _is_nullreq(b):
+        # IS NULL ∧ IS NOT NULL is unsatisfiable; same-sense idempotent
+        return a if a["null"] == b["null"] else frozenset()
+    if _is_union(a) or _is_union(b):
         # distribute over unions: (A1 ∪ A2) ∧ B = (A1∧B) ∪ (A2∧B);
         # a TypeError in ANY branch propagates (disable the column), and
         # _union_simplify coalesces + caps the result — without the cap,
         # N AND-ed OR-pairs on one column would multiply to 2^N branches
         # and stall planning on a user-supplied WHERE clause
-        u, other = (a, b) if isinstance(a, dict) else (b, a)
+        u, other = (a, b) if _is_union(a) else (b, a)
         branches = []
         for r in u["any"]:
             got = _intersect_req(r, other)
-            branches.extend(got["any"] if isinstance(got, dict) else [got])
+            branches.extend(got["any"] if _is_union(got) else [got])
         return {"any": _union_simplify(branches)}
+    if _is_nullreq(a) or _is_nullreq(b):
+        m, other = (a, b) if _is_nullreq(a) else (b, a)
+        if m["null"]:
+            # IS NULL ∧ range/set: a comparison is never TRUE on NULL —
+            # unsatisfiable (prune everything, stats or not)
+            return frozenset()
+        # IS NOT NULL ∧ range/set: every range/set-satisfying value is
+        # already non-null, and all-null-file pruning applies to
+        # range/set requests generically — nothing is lost dropping m
+        return other
     a_set = isinstance(a, (set, frozenset))
     b_set = isinstance(b, (set, frozenset))
     if a_set or b_set:
@@ -1489,6 +1657,211 @@ def read_snapshot_where(
         spark, table_dir, version=version, as_of=as_of, prune=ranges or None
     )
     return df.filter(predicate)
+
+
+def snapshot_count(
+    spark: SparkSession,
+    table_dir: str,
+    where: str | None = None,
+    version: int | None = None,
+    as_of: float | None = None,
+) -> int:
+    """COUNT(*) of a snapshot — from the MANIFEST alone when it can.
+
+    With ``where=None``, every file that (a) carries ``file_meta`` row
+    counts (every commit records them) and (b) has NO pending
+    lazy-delete filter is answered by driver-side arithmetic — ZERO
+    data files are opened, no Spark job runs (the reference's hottest
+    serving shape: the pagination count runs on every page request,
+    ``backend/app/main.py:266-269``, and so does the scalar-stats
+    count, A6).  Files covered by a pending takedown, or written
+    before row counts existed, fall back to ONE scan of exactly those
+    files (merge-on-read fallback) — at 100 TB a count right after a
+    one-file takedown scans one file, not 1e5.
+
+    With a ``where`` predicate, manifest stats first SKIP provably
+    disjoint files (the same extraction as
+    :func:`read_snapshot_where`), and the kept files are scanned with
+    the predicate — file-skipping cost, exact row semantics (per-row
+    evaluation cannot come from min/max bounds).  Either way the result
+    always equals ``read_snapshot(...).filter(where).count()``."""
+    manifest = _resolve_manifest(spark, table_dir, version, as_of)
+    files = manifest["files"]
+    if where is not None:
+        ranges = {
+            c: r for c, r in _predicate_prune_ranges(where).items()
+            if r is not None
+        }
+        if ranges:
+            files = _prune_files(manifest, ranges)
+        return _filtered_read(spark, manifest, files).filter(where).count()
+    fmap = _filter_map(manifest)
+    meta = manifest.get("file_meta", {})
+    total = 0
+    rest = []
+    for f in files:
+        m = meta.get(f)
+        if f not in fmap and m is not None:
+            total += int(m["rows"])
+        else:
+            rest.append(f)
+    if rest:
+        total += _filtered_read(spark, manifest, rest).count()
+    return total
+
+
+def snapshot_min_max(
+    spark: SparkSession,
+    table_dir: str,
+    column: str,
+    version: int | None = None,
+    as_of: float | None = None,
+) -> tuple:
+    """Global ``(min, max)`` of a stats column (or stats ALIAS — derived
+    stats like ``{"day": "CAST(ts AS DATE)"}`` answer for their
+    expression) — from the MANIFEST alone when every file has
+    trustworthy bounds: zero data files opened, no Spark job (the
+    reference's date-limit endpoint, A7 — run per page request,
+    ``backend/app/main.py:668-676``).  A file falls back to being
+    scanned (only those files, through the merge-on-read filters) when
+
+    - it has a pending lazy-delete filter (the takedown may have
+      removed the extreme row),
+    - it records no stats for the column (written before the column
+      was configured, unsupported type, or all-null ``[None, None]``
+      bounds — indistinguishable from unsupported, so scanned),
+    - the column is a tz-AWARE timestamp (stats are spelled in the
+      driver's collect-time frame; the session frame may differ — NTZ,
+      the engine's canonical flavor, has one frame and answers from
+      stats), or
+    - a string bound reaches ``_STATS_STR_CAP`` chars (it may be a
+      truncated prune-grade bound, exact enough to skip files but not
+      to BE the answer).
+
+    NULL semantics match SQL MIN/MAX (nulls ignored); an empty or
+    all-null table returns ``(None, None)``.  Result always equals the
+    full-scan ``agg(min(col), max(col))``."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import (
+        DateType,
+        StringType,
+        TimestampNTZType,
+        TimestampType,
+        _parse_datatype_string,
+    )
+
+    manifest = _resolve_manifest(spark, table_dir, version, as_of)
+    expr = (manifest.get("stats_cols") or {}).get(column, column)
+    schema = _parse_datatype_string(manifest["schema"])
+    try:
+        dtype = (
+            spark.createDataFrame([], schema)
+            .select(F.expr(expr))
+            .schema[0]
+            .dataType
+        )
+    except Exception as e:
+        raise ValueError(
+            f"snapshot_min_max: {column!r} is neither a stats alias nor an "
+            f"expression over the table schema: {e}"
+        ) from e
+    stats = manifest.get("stats", {})
+    fmap = _filter_map(manifest)
+    tz_aware = isinstance(dtype, TimestampType)
+    is_str = isinstance(dtype, StringType)
+    los: list = []
+    his: list = []
+    rest: list[str] = []
+    for f in manifest["files"]:
+        rng = (stats.get(f) or {}).get(column)
+        usable = (
+            not tz_aware
+            and f not in fmap
+            and rng is not None
+            and rng[0] is not None
+            and rng[1] is not None
+            and not (
+                is_str
+                and (
+                    len(str(rng[0])) >= _STATS_STR_CAP
+                    or len(str(rng[1])) >= _STATS_STR_CAP
+                )
+            )
+        )
+        if usable:
+            los.append(rng[0])
+            his.append(rng[1])
+        else:
+            rest.append(f)
+    if rest:
+        r = (
+            _filtered_read(spark, manifest, rest)
+            .agg(F.min(F.expr(expr)).alias("mn"), F.max(F.expr(expr)).alias("mx"))
+            .collect()[0]
+        )
+        if r["mn"] is not None:
+            # into the stats' JSON-safe domain so the combine below is
+            # one total order (isoformat round-trips exactly, so the
+            # conversion back loses nothing)
+            los.append(_json_safe(r["mn"]))
+            his.append(_json_safe(r["mx"]))
+    if not los:
+        return (None, None)
+
+    def out(v):
+        import datetime
+
+        if not isinstance(v, str):
+            return v
+        if isinstance(dtype, DateType):
+            return datetime.date.fromisoformat(v)
+        if isinstance(dtype, (TimestampNTZType, TimestampType)):
+            return datetime.datetime.fromisoformat(v)
+        return v
+
+    return out(min(los)), out(max(his))
+
+
+def snapshot_plan_info(
+    spark: SparkSession,
+    table_dir: str,
+    predicate: str | None = None,
+    version: int | None = None,
+    as_of: float | None = None,
+) -> dict:
+    """What a read WOULD plan, priced from the manifest alone — no data
+    scan, no Spark job: total vs planned file counts, BYTES, and rows
+    under ``predicate`` (None: the whole snapshot).  The probe form of
+    :func:`read_snapshot_where` — at 100 TB this is how a caller (or
+    ``scale_probe snap``) checks a WHERE clause's selectivity economics
+    before paying for it, in the units that matter (bytes to read, not
+    just file counts).  Files without ``file_meta`` (pre-row-count
+    commits) count toward ``files_*`` but contribute unknown
+    bytes/rows; their number is reported as ``meta_unknown_files``."""
+    manifest = _resolve_manifest(spark, table_dir, version, as_of)
+    files = manifest["files"]
+    planned = files
+    if predicate is not None:
+        ranges = {
+            c: r for c, r in _predicate_prune_ranges(predicate).items()
+            if r is not None
+        }
+        if ranges:
+            planned = _prune_files(manifest, ranges)
+    meta = manifest.get("file_meta", {})
+
+    def total(fl, key):
+        return sum(int(meta[f][key]) for f in fl if f in meta)
+
+    return {
+        "files_total": len(files),
+        "files_planned": len(planned),
+        "bytes_total": total(files, "bytes"),
+        "bytes_planned": total(planned, "bytes"),
+        "rows_total": total(files, "rows"),
+        "rows_planned": total(planned, "rows"),
+        "meta_unknown_files": sum(1 for f in planned if f not in meta),
+    }
 
 
 # expression classes whose value depends on WHEN/WHERE the query runs —
@@ -2185,7 +2558,9 @@ def snapshot_changes(
     contract; the confined fast path below is opt-in because it emits a
     DIFFERENT result set (untouched keys are absent, not ``unchanged``)
     — an audit caller counting unchanged keys must not be switched
-    silently.
+    silently.  **Changed in r11** (see README "Behavior changes"): the
+    default briefly flipped to ``True`` in r10 and was reverted —
+    callers built against r10 must pass ``confined=True`` explicitly.
 
     ``confined=True`` diffs ONLY the files the window rewrote
     (:func:`snapshot_file_changes`): files carried by both snapshots are
@@ -2253,9 +2628,20 @@ def snapshot_compact(
         raise ValueError(f"no snapshots at {table_dir}")
     manifest = _read_manifest(spark, table_dir, versions[-1])
     fs, _, jvm = _fs_for(spark, table_dir)
+    # sizes come from the manifest's file_meta — at 1e5 files that is
+    # the difference between a dict lookup and 1e5 getFileStatus RPCs
+    # just to DECIDE what to compact; only files predating row/byte
+    # recording fall back to the filesystem
+    meta = manifest.get("file_meta", {})
     sizes = {}
     for f in manifest["files"]:
-        sizes[f] = int(fs.getFileStatus(jvm.org.apache.hadoop.fs.Path(f)).getLen())
+        m = meta.get(f)
+        if m is not None and "bytes" in m:
+            sizes[f] = int(m["bytes"])
+        else:
+            sizes[f] = int(
+                fs.getFileStatus(jvm.org.apache.hadoop.fs.Path(f)).getLen()
+            )
     small = [f for f in manifest["files"] if sizes[f] < small_file_bytes]
     if len(small) < 2:
         return manifest  # nothing worth packing
@@ -2413,7 +2799,8 @@ def snapshot_restore(spark: SparkSession, table_dir: str, version: int) -> dict:
         # would make a corrected replay of its batches a silent no-op
         txn_replace=dict(target.get("txn", {})),
         stats_fn=lambda parent, files: (
-            dict(target.get("stats", {})), target.get("stats_cols", [])
+            dict(target.get("stats", {})), target.get("stats_cols", []),
+            dict(target.get("file_meta", {})),
         ),
         # restored DATA state includes the restored filter state — the
         # carry rule would wrongly keep the rolled-back tip's filters
@@ -2429,19 +2816,44 @@ def snapshot_clone(spark: SparkSession, source_dir: str, dest_dir: str) -> dict:
     without copying a byte (Delta's shallow clone).  The clone's own
     commits never touch source files.  THE HAZARD IS THE SOURCE'S GC:
     the source's :func:`expire_snapshots` cannot see clone references,
-    so once the source stops referencing a borrowed file its sweep
+    so once the source stops referencing a borrowed DATA file its sweep
     deletes it out from under every clone (the documented shallow-clone
     VACUUM hazard in Delta too) — pin the source's retention to cover
     clone lifetimes, or re-materialize the clone
     (``snapshot_overwrite(read_snapshot(clone), clone)``) to cut the
-    dependency.  The clone's own GC is safe: it only deletes under
-    ``dest_dir``'s data/, which borrowed paths are not."""
+    dependency.  Deletion-vector SIDECARS are exempt: they are COPIED
+    into ``dest_dir/_dv`` at clone time (kilobyte-to-megabyte position
+    lists, not data) and the clone's filter entries point at its own
+    copies — the source expiring a drained takedown can no longer
+    resurrect deleted rows in a live clone.  The clone's own GC is
+    safe: it only deletes under ``dest_dir``'s data/ and _dv/, which
+    borrowed data paths are not."""
     versions = _list_versions(spark, source_dir)
     if not versions:
         raise ValueError(f"no snapshots at {source_dir}")
     if _list_versions(spark, dest_dir):
         raise ValueError(f"{dest_dir} already has a log — clone needs a fresh dir")
     tip = _read_manifest(spark, source_dir, versions[-1])
+
+    # copy DV sidecars BEFORE the manifest claims them (bytes-first, the
+    # same crash discipline as data commits): a clone borrowing the
+    # source's sidecar by reference would read through bytes the
+    # source's expire_snapshots is entitled to delete
+    fs, _, jvm = _fs_for(spark, dest_dir)
+    conf = spark._jsc.hadoopConfiguration()
+    dv_map: dict[str, str] = {}
+    for e in tip.get("row_filters", []):
+        if "dv" in e and e["dv"] not in dv_map:
+            src_p = jvm.org.apache.hadoop.fs.Path(e["dv"])
+            dst_p = fs.makeQualified(
+                _child(jvm, dest_dir, "_dv", str(src_p.getName()))
+            )
+            copied = jvm.org.apache.hadoop.fs.FileUtil.copy(
+                src_p.getFileSystem(conf), src_p, fs, dst_p, False, conf
+            )
+            if not copied:
+                raise IOError(f"failed to copy DV sidecar {e['dv']} to {dst_p}")
+            dv_map[e["dv"]] = str(dst_p.toString())
 
     def files_fn(parent):
         if parent is not None:
@@ -2453,19 +2865,44 @@ def snapshot_clone(spark: SparkSession, source_dir: str, dest_dir: str) -> dict:
             )
         return list(tip["files"])
 
-    return _commit(
-        spark, dest_dir, "clone", files_fn,
-        tip["schema"],
-        meta={"cloned_from": source_dir, "source_version": tip["version"]},
-        stats_fn=lambda parent, files: (
-            dict(tip.get("stats", {})), tip.get("stats_cols", [])
-        ),
-        # the borrowed files come WITH their pending lazy-delete filters
-        # — a clone must not resurrect the source's deleted rows
-        row_filters_fn=lambda parent, files: [
-            dict(e) for e in tip.get("row_filters", [])
-        ],
-    )
+    try:
+        return _commit(
+            spark, dest_dir, "clone", files_fn,
+            tip["schema"],
+            meta={"cloned_from": source_dir, "source_version": tip["version"]},
+            stats_fn=lambda parent, files: (
+                dict(tip.get("stats", {})), tip.get("stats_cols", []),
+                dict(tip.get("file_meta", {})),
+            ),
+            # the borrowed files come WITH their pending lazy-delete
+            # filters — a clone must not resurrect the source's deleted
+            # rows; DV entries point at the clone's OWN sidecar copies
+            row_filters_fn=lambda parent, files: [
+                ({**e, "dv": dv_map[e["dv"]]} if "dv" in e else dict(e))
+                for e in tip.get("row_filters", [])
+            ],
+        )
+    except BaseException:
+        # an aborted clone must not strand its sidecar copies — but only
+        # delete copies no dest manifest verifiably references (the
+        # interrupt may have landed after the commit won); on any doubt
+        # leak them for the clone's own expire_snapshots to collect
+        for copy_path in dv_map.values():
+            try:
+                referenced = any(
+                    any(
+                        e.get("dv") == copy_path
+                        for e in _read_manifest(spark, dest_dir, v).get(
+                            "row_filters", []
+                        )
+                    )
+                    for v in _list_versions(spark, dest_dir)
+                )
+            except BaseException:
+                referenced = True
+            if not referenced:
+                fs.delete(jvm.org.apache.hadoop.fs.Path(copy_path), True)
+        raise
 
 
 def snapshot_history(spark: SparkSession, table_dir: str) -> list[dict]:

@@ -170,6 +170,26 @@ def test_freqitems_path_equals_mg_and_plain(spark):
         )
 
 
+def test_exact_threshold_boundary_is_kept_both_paths(spark):
+    """A key whose share is EXACTLY the threshold must be kept: the
+    contract is share >= threshold with the threshold read as its
+    decimal spelling.  Double arithmetic computes 0.1 * 30 =
+    3.0000000000000004 and would drop a 3-of-30 key — the share test
+    must run in exact rational arithmetic (ADVICE r11)."""
+    rows = [("h",)] * 3 + [(f"u{j}",) for j in range(27)]  # N=30, h=3/30
+    df = spark.createDataFrame(rows, "k string").repartition(4)
+    for cand in ("mg", "freqItems"):
+        got = _got(df, ["k"], 0.1, candidates=cand)
+        assert got[("h",)] == 3, (cand, got)
+        # and strictly-below stays excluded (no over-inclusion drift)
+        assert ("u0",) not in got
+    # a second exact-boundary spelling: 0.25 of 8 rows = 2
+    rows2 = [("h",)] * 2 + [(f"u{j}",) for j in range(6)]
+    df2 = spark.createDataFrame(rows2, "k string").repartition(3)
+    for cand in ("mg", "freqItems"):
+        assert _got(df2, ["k"], 0.25, candidates=cand)[("h",)] == 2
+
+
 def test_freqitems_refuses_bad_mode(spark):
     df = spark.createDataFrame([("a",)], "k string")
     with pytest.raises(ValueError, match="candidates must be"):

@@ -311,6 +311,38 @@ def test_recommend_salt_accepts_cached_profile(spark):
         recommend_salt(None, ["k"], n_partitions=32)
 
 
+def test_recommend_salt_validates_profile_keys(spark):
+    """A profile built with include_keys=True carries its provenance:
+    replaying it against DIFFERENT keys must refuse (a wrong-keys
+    profile yields a wrong n_salts silently otherwise); matching keys
+    replay fine, and a legacy keys-less profile is accepted as-is."""
+    import pytest as _pytest
+
+    from mini_project_204721_data_engineering_spark.operators.profile import (
+        key_skew_profile,
+    )
+    from mini_project_204721_data_engineering_spark.operators.skew import (
+        recommend_salt,
+    )
+
+    rows = [(0, i) for i in range(900)] + [(k, 0) for k in range(1, 101)]
+    df = spark.createDataFrame(rows, "k int, id int")
+    prof = key_skew_profile(df, ["k"], include_keys=True).collect()[0]
+    assert prof["keys"] == "k"
+    ok = recommend_salt(None, ["k"], n_partitions=32, profile=prof)
+    assert ok["n_salts"] > 1
+    with _pytest.raises(ValueError, match="computed for keys"):
+        recommend_salt(None, ["id"], n_partitions=32, profile=prof)
+    with _pytest.raises(ValueError, match="computed for keys"):
+        recommend_salt(None, ["k", "id"], n_partitions=32, profile=prof)
+    # legacy profile without the keys field: accepted (documented)
+    legacy = key_skew_profile(df, ["k"]).collect()[0]
+    assert "keys" not in legacy.asDict()
+    assert recommend_salt(None, ["id"], n_partitions=32, profile=legacy)[
+        "n_salts"
+    ] == ok["n_salts"]
+
+
 def test_events_sessions_handles_ntz_timestamps(spark):
     """r4+ driver data ships events.ts as parquet timestamp[us] with
     isAdjustedToUTC=false, which Spark 4 resolves to TIMESTAMP_NTZ;

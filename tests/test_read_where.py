@@ -76,8 +76,23 @@ def _ids(df):
     ("substr(name, 1, 2) = 'ab' AND id = 3", {"id": (3, 3)}),
     ("id + 1 > 5", {}),
     ("id IS NOT NULL AND id = 4", {"id": (4, 4)}),
+    # nullness atoms extract to prune requests (r12)
+    ("id IS NULL", {"id": {"null": True}}),
+    ("id IS NOT NULL", {"id": {"null": False}}),
+    ("id IS NULL AND id = 4", {"id": frozenset()}),  # never TRUE together
+    ("id IS NULL AND id IS NOT NULL", {"id": frozenset()}),
+    ("id IS NULL OR id > 100",
+     {"id": {"any": [{"null": True}, (100, None)]}}),
+    ("id IS NULL OR id IS NULL", {"id": {"any": [{"null": True}]}}),
+    ("(id IS NULL OR id < 3) AND id IS NOT NULL",
+     {"id": {"any": [(None, 3)]}}),  # null branch ∧ NOT NULL folds away
+    ("id IS NOT TRUE", {}),  # IS-family beyond NULL: no contribution
+    ("id IS DISTINCT FROM 5", {}),
     ("id != 7", {}),
     ("id > -5", {}),  # unary minus: out of grammar → no extraction
+    ("id = 1e+", {}),  # malformed exponent: tokenizer error → no extraction
+    ("id = 1e3 AND v = .5", {"id": (1000.0, 1000.0), "v": (0.5, 0.5)}),
+    ("v < 2.E2", {"v": (None, 200.0)}),  # dotted exponent spelling
     # contradictory types on one column disable that column's pruning
     ("id = 'x' AND id = 5", {"id": None}),
 ])
@@ -554,3 +569,166 @@ def test_timed_spellings_on_date_columns_never_drop(spark, tmp_path):
         "(d BETWEEN DATE '2024-01-05' AND DATE '2024-01-01') OR d = DATE '2025-06-01'"
     )
     assert sharp["d"]["any"] == [("2025-06-01", "2025-06-01")]
+
+
+def test_null_pruning_end_to_end(spark, tmp_path):
+    """IS NULL plans only files with recorded nulls; IS NOT NULL (and
+    plain ranges) skip all-null files — results always ≡ the residual
+    filter over the full snapshot."""
+    t = str(tmp_path / "t")
+    clean = spark.createDataFrame([(i, i * 10) for i in range(10)], "id bigint, v bigint")
+    allnull = spark.createDataFrame(
+        [(100 + i, None) for i in range(5)], "id bigint, v bigint"
+    )
+    mixed = spark.createDataFrame(
+        [(200, 7), (201, None)], "id bigint, v bigint"
+    )
+    snapshot_append(clean.repartition(1), t, stats_cols=["v"])
+    snapshot_append(allnull.repartition(1), t)
+    snapshot_append(mixed.repartition(1), t)
+
+    def planned(pred):
+        return len(read_snapshot_where(spark, t, pred).inputFiles())
+
+    # IS NULL: the null-free file is skipped
+    assert planned("v IS NULL") == 2
+    got = read_snapshot_where(spark, t, "v IS NULL")
+    assert _ids(got) == {100, 101, 102, 103, 104, 201}
+    # IS NOT NULL: the all-null file is skipped (needs rows from file_meta)
+    assert planned("v IS NOT NULL") == 2
+    assert _ids(read_snapshot_where(spark, t, "v IS NOT NULL")) == set(
+        range(10)
+    ) | {200}
+    # a plain range also skips the all-null file now
+    assert planned("v >= 0") == 2
+    # IS NULL ∧ range: unsatisfiable — ZERO files planned
+    assert planned("v IS NULL AND v > 3") == 0
+    # union: null-or-high keeps the all-null file AND the matching clean file
+    pred = "v IS NULL OR v >= 90"
+    assert _ids(read_snapshot_where(spark, t, pred)) == {
+        9, 100, 101, 102, 103, 104, 201
+    }
+
+
+def test_null_pruning_ignores_legacy_two_element_stats(spark, tmp_path):
+    """Stats written before null counts ([min, max] entries) contribute
+    nothing to nullness pruning — conservative, never wrong."""
+    import json
+
+    t = str(tmp_path / "t")
+    df = spark.createDataFrame([(1, None), (2, 5)], "id bigint, v bigint")
+    snapshot_append(df.repartition(1), t, stats_cols=["v"])
+    mpath = str(tmp_path / "t" / "_manifests" / ("v%010d.json" % 1))
+    with open(mpath) as fh:
+        m = json.load(fh)
+    for f in m["stats"]:
+        m["stats"][f]["v"] = m["stats"][f]["v"][:2]  # legacy shape
+    with open(mpath, "w") as fh:
+        json.dump(m, fh)
+    got = read_snapshot_where(spark, t, "v IS NULL")
+    assert len(got.inputFiles()) == 1  # kept (no null info), not mispruned
+    assert _ids(got) == {1}
+
+
+# --- nullable soundness property: tree-generated predicates, Kleene
+# evaluation, single-row files with [min, max, nulls] stats -----------------
+
+_ncol = st.sampled_from(["a", "b"])
+_natom = st.one_of(
+    st.tuples(_ncol, st.sampled_from(["=", "<", "<=", ">", ">="]), _lit).map(
+        lambda t: ("cmp", t[0], t[1], t[2])
+    ),
+    _ncol.map(lambda c: ("isnull", c)),
+    _ncol.map(lambda c: ("notnull", c)),
+    st.tuples(_ncol, st.lists(_lit, min_size=1, max_size=4)).map(
+        lambda t: ("in", t[0], t[1])
+    ),
+    st.tuples(_ncol, _lit, _lit).map(
+        lambda t: ("between", t[0], min(t[1], t[2]), max(t[1], t[2]))
+    ),
+)
+_ntree = st.recursive(
+    _natom,
+    lambda sub: st.tuples(st.sampled_from(["and", "or"]), sub, sub),
+    max_leaves=8,
+)
+
+
+def _render_tree(t) -> str:
+    k = t[0]
+    if k in ("and", "or"):
+        return f"({_render_tree(t[1])} {k.upper()} {_render_tree(t[2])})"
+    if k == "isnull":
+        return f"{t[1]} IS NULL"
+    if k == "notnull":
+        return f"{t[1]} IS NOT NULL"
+    if k == "cmp":
+        return f"{t[1]} {t[2]} {t[3]}"
+    if k == "in":
+        return f"{t[1]} IN ({', '.join(map(str, t[2]))})"
+    return f"{t[1]} BETWEEN {t[2]} AND {t[3]}"
+
+
+def _ev_tree(t, env):
+    """SQL three-valued logic: True / False / None (unknown)."""
+    k = t[0]
+    if k == "and":
+        l, r = _ev_tree(t[1], env), _ev_tree(t[2], env)
+        if l is False or r is False:
+            return False
+        if l is None or r is None:
+            return None
+        return True
+    if k == "or":
+        l, r = _ev_tree(t[1], env), _ev_tree(t[2], env)
+        if l is True or r is True:
+            return True
+        if l is None or r is None:
+            return None
+        return False
+    v = env[t[1]]
+    if k == "isnull":
+        return v is None
+    if k == "notnull":
+        return v is not None
+    if v is None:
+        return None  # comparisons with NULL are unknown
+    if k == "cmp":
+        op, lit = t[2], t[3]
+        return {
+            "=": v == lit, "<": v < lit, "<=": v <= lit,
+            ">": v > lit, ">=": v >= lit,
+        }[op]
+    if k == "in":
+        return v in t[2]
+    return t[2] <= v <= t[3]
+
+
+@given(
+    tree=_ntree,
+    row=st.tuples(st.none() | _lit, st.none() | _lit),
+)
+@settings(max_examples=400, deadline=None)
+def test_null_extraction_pruning_soundness_property(tree, row):
+    """For ANY predicate over nullable columns, a single-row file whose
+    row SATISFIES it (SQL TRUE, not just not-FALSE) must never be
+    pruned — with stats carrying exact [min, max, nulls] and file_meta
+    rows, the sharpest information the engine ever has."""
+    a, b = row
+    if _ev_tree(tree, {"a": a, "b": b}) is not True:
+        return
+    sql = _render_tree(tree)
+    ranges = {
+        c: r for c, r in _predicate_prune_ranges(sql).items() if r is not None
+    }
+
+    def stat(v):
+        return [v, v, 0] if v is not None else [None, None, 1]
+
+    manifest = {
+        "files": ["f"],
+        "schema": "struct<a:bigint,b:bigint>",
+        "stats": {"f": {"a": stat(a), "b": stat(b)}},
+        "file_meta": {"f": {"rows": 1, "bytes": 1}},
+    }
+    assert _prune_files(manifest, ranges) == ["f"], (sql, row, ranges)

@@ -168,6 +168,44 @@ def test_restore_and_clone_carry_filter_state(spark, tmp_path, lazy_mode):
     assert _ids(read_snapshot(spark, t)) == set(range(5, 20))
 
 
+def test_clone_copies_dv_sidecars_and_survives_source_gc(spark, tmp_path):
+    """DV sidecars are COPIED at clone time (not borrowed): after the
+    source drains its takedown and expires the sidecar, the clone must
+    still read the deleted rows as deleted — a borrowed sidecar path
+    would silently resurrect them (ADVICE r11)."""
+    import os
+
+    from mini_project_204721_data_engineering_spark.sources.snapshots import (
+        expire_snapshots,
+    )
+
+    t = str(tmp_path / "t")
+    snapshot_append(_df(spark, 0, 30).repartition(1), t)          # v1
+    snapshot_delete_where(spark, t, "id % 3 = 0", lazy="dv")      # v2
+    src_dv = _read_manifest(spark, t, 2)["row_filters"][0]["dv"]
+    c = str(tmp_path / "c")
+    snapshot_clone(spark, t, c)
+    clone_entry = _read_manifest(spark, c, 1)["row_filters"][0]
+    # the clone's entry points INSIDE the clone's own _dv dir
+    assert str(tmp_path / "c") in clone_entry["dv"]
+    assert clone_entry["dv"] != src_dv
+    want = {i for i in range(30) if i % 3 != 0}
+    assert _ids(read_snapshot(spark, c)) == want
+    # source ROLLS BACK the takedown (keeps the same data file the
+    # clone borrows — the documented data-borrow hazard stays out of
+    # frame) and GCs: the sidecar is now unreferenced in the source
+    snapshot_restore(spark, t, 1)                                 # v3
+    expire_snapshots(spark, t, keep_last=1, orphan_min_age_seconds=0.0)
+    src_local = src_dv.replace("file:", "")
+    assert not os.path.exists(src_local), "source sidecar should be GC'd"
+    # the clone is unaffected: its own copy answers
+    assert _ids(read_snapshot(spark, c)) == want
+    # and the clone's own apply/expire cycle works on its copy
+    snapshot_apply_filters(spark, c)
+    expire_snapshots(spark, c, keep_last=1, orphan_min_age_seconds=0.0)
+    assert _ids(read_snapshot(spark, c)) == want
+
+
 @pytest.mark.parametrize("lazy_mode", [True, "dv"])
 def test_incremental_read_refuses_across_lazy_delete_window(spark, tmp_path, lazy_mode):
     t = str(tmp_path / "t")
