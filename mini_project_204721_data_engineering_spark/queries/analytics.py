@@ -2981,8 +2981,86 @@ WHERE p_brand = 'Brand#23'
 """
 
 
+def q21_blamed_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape (EXTRA): EXISTS + NOT EXISTS against the SAME
+    fact under different correlation conditions — the hardest standard
+    decorrelation (reference analytics gap; Q1-Q9/Q13-Q19/Q22 shapes
+    already exist).  Adapted to the synthetic schema (lineitem has no
+    commit/receipt dates): a 'problem line' is a RETURNED line
+    (``l_returnflag = 'R'``) on a FINISHED order (``o_orderstatus =
+    'F'``); a supplier is blamed for a line when the order involved
+    MORE THAN ONE supplier (the EXISTS) and NO OTHER supplier had a
+    returned line there (the NOT EXISTS) — sole-culprit semantics.
+
+    Decorrelated Spark-first: ONE per-order aggregate image —
+    ``n_supp = countDistinct(suppkey)``, ``n_ret_supp = countDistinct
+    (returned suppkey)`` — replaces BOTH correlated subqueries
+    (EXISTS ⇔ n_supp > 1, NOT EXISTS ⇔ n_ret_supp = 1, since the
+    probe line itself is returned).  The fact is scanned exactly
+    TWICE (problem rows + the aggregate), joined once on the order
+    key; no cartesian; supplier broadcasts.  At 100 TB both lineitem
+    passes shuffle on the same key, and the blamed-rows side is
+    already returned-only-sized before any join."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderstatus") == "F"
+    )
+    sup = load_table(spark, sf_dir, "supplier")
+    per_order = li.groupBy("l_orderkey").agg(
+        F.countDistinct("l_suppkey").alias("n_supp"),
+        F.countDistinct(
+            F.when(F.col("l_returnflag") == "R", F.col("l_suppkey"))
+        ).alias("n_ret_supp"),
+    )
+    bad = li.filter(F.col("l_returnflag") == "R").select(
+        "l_orderkey", "l_suppkey"
+    )
+    return (
+        bad.join(
+            per_order.filter(
+                (F.col("n_supp") > 1) & (F.col("n_ret_supp") == 1)
+            ),
+            "l_orderkey",
+        )
+        .join(
+            orders.select("o_orderkey"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .join(F.broadcast(sup), F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .orderBy(F.desc("numwait"), "s_name")
+        .limit(20)
+    )
+
+
+Q21_BLAMED_SUPPLIERS_SQL = """
+SELECT s_name, count(*) AS numwait
+FROM lineitem l1
+JOIN orders ON o_orderkey = l1.l_orderkey
+JOIN supplier ON s_suppkey = l1.l_suppkey
+WHERE l1.l_returnflag = 'R'
+  AND o_orderstatus = 'F'
+  AND EXISTS (
+    SELECT 1 FROM lineitem l2
+    WHERE l2.l_orderkey = l1.l_orderkey
+      AND l2.l_suppkey <> l1.l_suppkey
+  )
+  AND NOT EXISTS (
+    SELECT 1 FROM lineitem l3
+    WHERE l3.l_orderkey = l1.l_orderkey
+      AND l3.l_suppkey <> l1.l_suppkey
+      AND l3.l_returnflag = 'R'
+  )
+GROUP BY s_name
+ORDER BY numwait DESC, s_name
+LIMIT 20
+"""
+
+
 EXTRA_QUERIES = {
     "user_golden_profile": user_golden_profile,
+    "q21_blamed_suppliers": q21_blamed_suppliers,
     "revenue_maintenance": revenue_maintenance,
     "bloom_semi_prune": bloom_semi_prune,
     "value_anomalies_mad": value_anomalies_mad,
@@ -3033,6 +3111,7 @@ EXTRA_QUERIES = {
 
 EXTRA_ORACLES = {
     "user_golden_profile": USER_GOLDEN_PROFILE_SQL,
+    "q21_blamed_suppliers": Q21_BLAMED_SUPPLIERS_SQL,
     "revenue_maintenance": REVENUE_MAINTENANCE_SQL,
     "bloom_semi_prune": BLOOM_SEMI_PRUNE_SQL,
     "value_anomalies_mad": VALUE_ANOMALIES_MAD_SQL,

@@ -249,6 +249,7 @@ def _commit(
     txn_replace: dict | None = None,
     stats_fn=None,
     row_filters_fn=None,
+    bloom_fn=None,
 ) -> dict:
     """The optimistic-concurrency loop: resolve the tip, build the new
     file list via ``files_fn(parent_manifest)``, claim the next version;
@@ -261,7 +262,10 @@ def _commit(
     ``row_filters_fn(parent, files) -> list`` overrides the default
     carry-prune of pending lazy-delete filters (:func:`_carry_filters`)
     — restore/clone replace them wholesale, a lazy delete appends an
-    entry."""
+    entry.  ``bloom_fn(parent, files) -> dict | None`` likewise
+    overrides the default bloom carry (:func:`_carry_bloom` + sticky
+    cols) — bloom-building commits append their entry, restore/clone
+    replace wholesale."""
     for _ in range(max_retries):
         versions = _list_versions(spark, table_dir)
         parent = versions[-1] if versions else 0
@@ -310,6 +314,18 @@ def _commit(
         )
         if filters:
             manifest["row_filters"] = filters
+        if bloom_fn is not None:
+            bloom = bloom_fn(parent_manifest, files)
+        else:
+            pb = (parent_manifest or {}).get("bloom") or {}
+            entries = _carry_bloom(parent_manifest, files)
+            bloom = (
+                {"cols": pb.get("cols", []), "entries": entries}
+                if (pb.get("cols") or entries)
+                else None
+            )
+        if bloom:
+            manifest["bloom"] = bloom
         if _try_write_manifest(spark, table_dir, parent + 1, manifest):
             return manifest
     raise RuntimeError(
@@ -593,6 +609,7 @@ def snapshot_append(
     table_dir: str,
     merge_schema: bool = False,
     stats_cols: Sequence[str] | Mapping[str, str] | None = None,
+    bloom_cols: Sequence[str] | None = None,
 ) -> dict:
     """Atomically append ``df``: new snapshot = parent's files + this
     commit's files.  Safe under concurrent appenders (each lands its own
@@ -611,12 +628,22 @@ def snapshot_append(
     hidden-partitioning lite: ``{"day": "CAST(ts AS DATE)"}`` records
     per-file day ranges so time-range reads prune with no physical
     partition column (ISO date/timestamp strings compare correctly as
-    prune bounds)."""
+    prune bounds).  ``bloom_cols`` builds per-file split-block Bloom
+    sidecars for this commit's files (integral/string point-lookup
+    keys — :func:`_build_bloom_entry`), consulted by
+    :func:`read_snapshot_where` for ``=``/``IN`` atoms where min/max
+    ranges can't prune; sticky like ``stats_cols``."""
     spark = df.sparkSession
     ddl = df.schema.simpleString()
     if stats_cols is not None:
         _validate_stats(df, stats_cols)
     new_files, _ = _write_data_files(df, table_dir)
+    bcols = _resolve_bloom_cols(spark, table_dir, bloom_cols)
+    entry = (
+        _build_bloom_entry(spark, table_dir, new_files, bcols, df.schema)
+        if bcols
+        else None
+    )
 
     def files_fn(parent):
         if not merge_schema:
@@ -628,24 +655,53 @@ def snapshot_append(
             return ddl
         return _merged_schema(parent["schema"], df.schema)
 
-    return _commit(
-        spark, table_dir, "append", files_fn, schema_fn,
-        meta={"added_files": len(new_files)},
-        stats_fn=_compose_stats(spark, new_files, stats_cols),
+    def bloom_fn(parent, files):
+        cols = (
+            [str(c) for c in bloom_cols]
+            if bloom_cols is not None
+            else list(((parent or {}).get("bloom") or {}).get("cols", []))
+        )
+        entries = _carry_bloom(parent, files) + ([entry] if entry else [])
+        return {"cols": cols, "entries": entries} if (cols or entries) else None
+
+    return _bloom_commit_guard(
+        spark, table_dir, entry,
+        lambda: _commit(
+            spark, table_dir, "append", files_fn, schema_fn,
+            meta={"added_files": len(new_files)},
+            stats_fn=_compose_stats(spark, new_files, stats_cols),
+            bloom_fn=bloom_fn,
+        ),
     )
 
 
 def snapshot_overwrite(
     df: DataFrame, table_dir: str,
     stats_cols: Sequence[str] | Mapping[str, str] | None = None,
+    bloom_cols: Sequence[str] | None = None,
 ) -> dict:
     """Atomically replace the table contents (logical TRUNCATE+INSERT).
     Prior snapshots stay readable via time travel until expired; this is
-    also the declared full-schema-change path."""
+    also the declared full-schema-change path.  ``bloom_cols`` as in
+    :func:`snapshot_append` (sticky — but a sticky column that no
+    longer exists or changed type family in the new schema simply
+    builds nothing for it, like sticky stats)."""
     spark = df.sparkSession
     if stats_cols is not None:
         _validate_stats(df, stats_cols)
     new_files, _ = _write_data_files(df, table_dir)
+    bcols = _resolve_bloom_cols(spark, table_dir, bloom_cols)
+    # sticky cols may not survive a full schema change: keep only the
+    # ones the NEW schema supports (an EXPLICIT request still raises
+    # inside _build_bloom_entry — caller mistake, surface it)
+    if bloom_cols is None:
+        types = {f.name: f.dataType.simpleString() for f in df.schema.fields}
+        bcols = [c for c in bcols if types.get(c) in _BLOOM_TYPES]
+    entry = (
+        _build_bloom_entry(spark, table_dir, new_files, bcols, df.schema)
+        if bcols
+        else None
+    )
 
     def stats_fn(parent, files):
         cols = _norm_stats(
@@ -658,10 +714,21 @@ def snapshot_overwrite(
         stats, meta = _file_stats(spark, new_files, cols)
         return stats, cols, meta
 
-    return _commit(
-        spark, table_dir, "overwrite", lambda parent: list(new_files),
-        df.schema.simpleString(), meta={"added_files": len(new_files)},
-        stats_fn=stats_fn,
+    def bloom_fn(parent, files):
+        cols = (
+            [str(c) for c in bloom_cols] if bloom_cols is not None else bcols
+        )
+        entries = [entry] if entry else []  # full replace: nothing carries
+        return {"cols": cols, "entries": entries} if (cols or entries) else None
+
+    return _bloom_commit_guard(
+        spark, table_dir, entry,
+        lambda: _commit(
+            spark, table_dir, "overwrite", lambda parent: list(new_files),
+            df.schema.simpleString(), meta={"added_files": len(new_files)},
+            stats_fn=stats_fn,
+            bloom_fn=bloom_fn,
+        ),
     )
 
 
@@ -1649,14 +1716,298 @@ def read_snapshot_where(
     always exactly ``read_snapshot(...).filter(predicate)``.  At 100 TB
     this turns `WHERE ts BETWEEN x AND y AND k = 5` from planning ~1e5
     files into planning the handful the range touches — files-planned
-    scales with selectivity, not table size."""
+    scales with selectivity, not table size.
+
+    When the table carries bloom sidecars (``bloom_cols=`` at
+    write/compact), the ``=``/``IN`` atoms additionally probe them
+    (:func:`_bloom_prune_files`) — the point-lookup case min/max can't
+    help with: ``doc_id = 'x'`` on a hash-distributed key skips every
+    file whose filter proves the value absent, at metadata cost (two
+    tiny jobs: literal hashing + a filtered sidecar scan)."""
     ranges = {
         c: r for c, r in _predicate_prune_ranges(predicate).items() if r is not None
     }
-    df = read_snapshot(
-        spark, table_dir, version=version, as_of=as_of, prune=ranges or None
+    manifest = _resolve_manifest(spark, table_dir, version, as_of)
+    files = manifest["files"]
+    if ranges:
+        files = _prune_files(manifest, ranges)
+        files = _bloom_prune_files(spark, manifest, files, ranges)
+    return _filtered_read(spark, manifest, files).filter(predicate)
+
+
+_BLOOM_TYPES = {"tinyint", "smallint", "int", "bigint", "string"}
+
+
+def _carry_bloom(parent: dict | None, files: list[str]) -> list[dict]:
+    """Bloom-entry propagation (same rule as lazy-delete filters): each
+    entry keeps only the files the new snapshot still references — a
+    rewritten/compacted file leaves the entry (its replacement gets a
+    fresh bloom at the next bloom-building commit), an appended file is
+    never listed."""
+    fset = set(files)
+    out = []
+    for e in ((parent or {}).get("bloom") or {}).get("entries", []):
+        kept = [f for f in e["files"] if f in fset]
+        if kept:
+            out.append({**e, "files": kept})
+    return out
+
+
+def _build_bloom_entry(
+    spark: SparkSession,
+    table_dir: str,
+    new_files: list[str],
+    cols: Sequence[str],
+    schema,
+    fpp: float = 0.01,
+) -> dict | None:
+    """Build one split-block Bloom filter per (file, column) over THIS
+    commit's files into a sidecar parquet under ``<table>/_bloom/`` —
+    the point-lookup complement to min/max stats: a hash-distributed
+    high-cardinality key (``doc_id = 'x'``) prunes nothing by range
+    unless the table was z-ordered by it, but its bloom answers
+    'provably absent' per file at ~1.2 bytes/key.
+
+    Reuses the SBBF machinery (``operators/bloom.py``: one 64-bit word
+    per key, 8 bits from a second hash, ``bit_or`` aggregation — all
+    JVM codegen); one shared word count per entry, sized by the
+    LARGEST file's row count at ``fpp`` so every file's realized rate
+    is at-or-under it.  Restricted to integral and string columns (the
+    id-lookup shapes): equality on other types carries cast/spelling
+    semantics a hash probe cannot soundly reproduce.  Bytes land
+    BEFORE the manifest references them (commit crash discipline);
+    file identity is the scan-bound ``_metadata.file_path``, whose
+    spelling matches the manifest's ``Path.toString`` form."""
+    from pyspark.sql import functions as F
+
+    from ..operators.bloom import _hashed, _sbbf_n_words
+
+    cols = list(cols)
+    if not new_files or not cols:
+        return None
+    types = {f.name: f.dataType.simpleString() for f in schema.fields}
+    missing = [c for c in cols if c not in types]
+    if missing:
+        raise ValueError(f"bloom_cols {missing} not in the written schema")
+    bad = {c: types[c] for c in cols if types[c] not in _BLOOM_TYPES}
+    if bad:
+        raise ValueError(
+            "bloom_cols must be integral or string columns (point-lookup "
+            f"keys); got {bad}"
+        )
+    scan = spark.read.schema(schema).parquet(*new_files)
+    max_rows = (
+        scan.groupBy(F.col("_metadata.file_path"))
+        .count()
+        .agg(F.max("count"))
+        .collect()[0][0]
     )
-    return df.filter(predicate)
+    n_words = _sbbf_n_words(max(1, int(max_rows or 0)), fpp)
+    parts = []
+    for c in cols:
+        src = scan.select(F.col("_metadata.file_path").alias("__srcf"), F.col(c))
+        h = _hashed(src, [c], n_words)
+        parts.append(
+            h.groupBy(F.col("__srcf").alias("file"), F.col("__word").alias("word"))
+            .agg(F.expr("bit_or(__mask)").alias("bits"))
+            .select(F.lit(c).alias("col"), "file", "word", "bits")
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    fs, _, jvm = _fs_for(spark, table_dir)
+    sidecar = str(
+        fs.makeQualified(_child(jvm, table_dir, "_bloom", f"bf-{uuid.uuid4().hex}"))
+    )
+    out.write.parquet(sidecar)
+    return {
+        "sidecar": sidecar,
+        "files": list(new_files),
+        "cols": cols,
+        # the type each column was HASHED as: probes cast their literal
+        # to this recorded type, so a later lossless widening of the
+        # table schema never desynchronizes probe and build hashes
+        "types": {c: types[c] for c in cols},
+        "n_words": int(n_words),
+        "fpp": fpp,
+    }
+
+
+def _resolve_bloom_cols(spark, table_dir, bloom_cols) -> list[str]:
+    """Sticky resolution (same contract as stats_cols): an explicit list
+    wins; None inherits the tip's configured bloom columns."""
+    if bloom_cols is not None:
+        return [str(c) for c in bloom_cols]
+    versions = _list_versions(spark, table_dir)
+    if not versions:
+        return []
+    tip = _read_manifest(spark, table_dir, versions[-1])
+    return list((tip.get("bloom") or {}).get("cols", []))
+
+
+def _bloom_commit_guard(spark, table_dir, entry, thunk):
+    """Run the commit ``thunk``; on abort, delete the just-written bloom
+    sidecar UNLESS some live manifest verifiably references it (the
+    same crash discipline as DV sidecars — on any doubt, leak it for
+    expire_snapshots to collect)."""
+    fs, _, jvm = _fs_for(spark, table_dir)
+    try:
+        return thunk()
+    except BaseException:
+        if entry is not None:
+            try:
+                referenced = any(
+                    any(
+                        e.get("sidecar") == entry["sidecar"]
+                        for e in (
+                            _read_manifest(spark, table_dir, v).get("bloom") or {}
+                        ).get("entries", [])
+                    )
+                    for v in _list_versions(spark, table_dir)
+                )
+            except BaseException:
+                referenced = True
+            if not referenced:
+                fs.delete(jvm.org.apache.hadoop.fs.Path(entry["sidecar"]), True)
+        raise
+
+
+def _eq_values(req) -> set | None:
+    """The finite literal set an equality-shaped prune request pins
+    (``= lit`` / ``IN (...)`` / unions of those), else None — the only
+    shapes a bloom can probe."""
+    if isinstance(req, (set, frozenset)):
+        return set(req) if req else None  # empty: _prune_files already answered
+    if isinstance(req, tuple) and req[0] is not None and req[0] == req[1]:
+        return {req[0]}
+    if _is_union(req):
+        vals: set = set()
+        for r in req["any"]:
+            got = _eq_values(r)
+            if got is None:
+                return None  # one non-equality branch: bloom can't help
+            vals |= got
+        return vals
+    return None
+
+
+def _bloom_prune_files(
+    spark: SparkSession, manifest: dict, files: list[str], reqs: dict
+) -> list[str]:
+    """Consult per-file bloom sidecars for the equality/IN atoms of an
+    extracted predicate: a candidate file is DROPPED when some probed
+    column's bloom proves every requested literal absent (SBBF: false
+    positives keep too much — sound; false negatives are impossible by
+    construction).  Cost: one driver-side hash job (k literals, no
+    table scan) plus one scan of the involved sidecars filtered to
+    candidate files and probe words — metadata-sized, never data.
+
+    Soundness notes: literals are hashed at the entry's RECORDED build
+    type (probe ≡ build even after schema widening); a literal outside
+    the build type's family or range casts to null and hashes to
+    garbage — misses it may cause are sound, because no stored value of
+    that type can equal such a literal.  Files not covered by any
+    usable entry are always kept."""
+    from pyspark.sql import functions as F
+
+    from ..operators.bloom import _SEED2
+
+    entries = (manifest.get("bloom") or {}).get("entries") or []
+    if not entries or not reqs or not files:
+        return files
+    eqs = {}
+    for col, req in reqs.items():
+        vals = _eq_values(req)
+        if vals:
+            eqs[col] = vals
+    if not eqs:
+        return files
+    fileset = set(files)
+
+    def lit_ok(v, tddl: str) -> bool:
+        if isinstance(v, bool):
+            return False
+        if tddl in ("tinyint", "smallint", "int", "bigint"):
+            return isinstance(v, int)
+        if tddl == "string":
+            return isinstance(v, str)
+        return False
+
+    probes = []  # (entry, col, candidate files, values)
+    for e in entries:
+        cand = [f for f in e["files"] if f in fileset]
+        if not cand:
+            continue
+        for col, vals in eqs.items():
+            if col not in e.get("cols", []):
+                continue
+            if not all(lit_ok(v, e["types"][col]) for v in vals):
+                continue  # cross-family literal: keep (conservative)
+            probes.append((e, col, cand, sorted(vals, key=repr)))
+    if not probes:
+        return files
+    # ONE tiny hash job for every distinct (build type, literal):
+    # xxhash64 must be computed by Spark itself — it hashes by TYPE as
+    # well as value, and the probe must reproduce the build exactly
+    pairs = sorted(
+        {(e["types"][col], v) for e, col, _, vals in probes for v in vals},
+        key=repr,
+    )
+    hsel = []
+    for i, (tddl, v) in enumerate(pairs):
+        lit = F.lit(v).try_cast(tddl)
+        hsel += [
+            F.xxhash64(lit).alias(f"h1_{i}"),
+            F.xxhash64(lit, F.lit(_SEED2)).alias(f"h2_{i}"),
+        ]
+    hrow = spark.range(1).select(*hsel).collect()[0]
+    hashes = {
+        pair: (hrow[f"h1_{i}"], hrow[f"h2_{i}"]) for i, pair in enumerate(pairs)
+    }
+
+    def mask_of(h2: int) -> int:
+        # Python's arithmetic >> on the collected signed long matches
+        # the JVM's; & 63 isolates each 6-bit position (bloom.py's
+        # _MASK_SQL_TMPL, replicated driver-side)
+        m = 0
+        for k in range(8):
+            m |= 1 << ((h2 >> (6 * k)) & 63)
+        return m
+
+    scans = []
+    want = []  # aligned with scans: (probe idx, [(word, mask)], cand)
+    for pi, (e, col, cand, vals) in enumerate(probes):
+        wm = []
+        for v in vals:
+            h1, h2 = hashes[(e["types"][col], v)]
+            wm.append((h1 % e["n_words"], mask_of(h2)))
+        words = sorted({w for w, _ in wm})
+        want.append((pi, wm))
+        scans.append(
+            spark.read.parquet(e["sidecar"])
+            .filter(
+                (F.col("col") == col)
+                & F.col("file").isin(cand)
+                & F.col("word").isin(words)
+            )
+            .select(F.lit(pi).alias("pi"), "file", "word", "bits")
+        )
+    side = scans[0]
+    for s in scans[1:]:
+        side = side.unionByName(s)
+    got: dict = {}
+    for r in side.collect():
+        got[(r["pi"], r["file"], r["word"])] = r["bits"]
+    pruned: set = set()
+    for pi, wm in want:
+        _, _, cand, _ = probes[pi]
+        for f in cand:
+            hit = any((got.get((pi, f, w), 0) & m) == m for w, m in wm)
+            if not hit:
+                pruned.add(f)  # every literal provably absent from f
+    if not pruned:
+        return files
+    return [f for f in files if f not in pruned]
 
 
 def snapshot_count(
@@ -1694,6 +2045,7 @@ def snapshot_count(
         }
         if ranges:
             files = _prune_files(manifest, ranges)
+            files = _bloom_prune_files(spark, manifest, files, ranges)
         return _filtered_read(spark, manifest, files).filter(where).count()
     fmap = _filter_map(manifest)
     meta = manifest.get("file_meta", {})
@@ -2600,6 +2952,7 @@ def snapshot_compact(
     target_file_bytes: int = 128 * 1024 * 1024,
     small_file_bytes: int | None = None,
     zorder_by: Sequence[str] | None = None,
+    bloom_cols: Sequence[str] | None = None,
 ) -> dict:
     """Bin-pack small files into ~``target_file_bytes`` files as a new
     snapshot — the maintenance pass that keeps a streaming-fed table
@@ -2620,7 +2973,12 @@ def snapshot_compact(
     commit records manifest min/max stats for those columns (sticky-set
     rules apply), so :func:`read_snapshot` manifest pruning on ANY of
     them skips most files immediately after the compact, not just on a
-    leading sort key (pruning-effectiveness pytest-pinned)."""
+    leading sort key (pruning-effectiveness pytest-pinned).
+
+    ``bloom_cols`` (sticky, as in :func:`snapshot_append`) rebuilds
+    per-file bloom sidecars for the PACKED output files — compaction is
+    also how a stream-fed table (whose per-batch commits skip the bloom
+    job) gets its point-lookup pruning populated."""
     if small_file_bytes is None:
         small_file_bytes = target_file_bytes // 2
     versions = _list_versions(spark, table_dir)
@@ -2663,6 +3021,30 @@ def snapshot_compact(
     else:
         packed = packed.repartition(n_out)
     new_files, _ = _write_data_files(packed, table_dir)
+    from pyspark.sql.types import _parse_datatype_string as _pds
+
+    bcols = _resolve_bloom_cols(spark, table_dir, bloom_cols)
+    if bloom_cols is None:  # sticky: only columns the schema supports
+        btypes = {
+            f.name: f.dataType.simpleString()
+            for f in _pds(manifest["schema"]).fields
+        }
+        bcols = [c for c in bcols if btypes.get(c) in _BLOOM_TYPES]
+    bentry = (
+        _build_bloom_entry(
+            spark, table_dir, new_files, bcols, _pds(manifest["schema"])
+        )
+        if bcols
+        else None
+    )
+
+    def bloom_fn(parent, files):
+        cols = (
+            [str(c) for c in bloom_cols] if bloom_cols is not None else bcols
+        )
+        entries = _carry_bloom(parent, files) + ([bentry] if bentry else [])
+        return {"cols": cols, "entries": entries} if (cols or entries) else None
+
     small_set = set(small)
     # compaction stays APPEND-tolerant (appends only add files), but the
     # filter state of the files it packed must not have moved: a
@@ -2680,11 +3062,15 @@ def snapshot_compact(
             )
         return [f for f in parent["files"] if f not in small_set] + new_files
 
-    return _commit(
-        spark, table_dir, "compact", files_fn, manifest["schema"],
-        meta={"compacted_files": len(small), "produced_files": len(new_files),
-              **({"zorder_by": list(zorder_by)} if zorder_by else {})},
-        stats_fn=_compose_stats(spark, new_files, zorder_by),
+    return _bloom_commit_guard(
+        spark, table_dir, bentry,
+        lambda: _commit(
+            spark, table_dir, "compact", files_fn, manifest["schema"],
+            meta={"compacted_files": len(small), "produced_files": len(new_files),
+                  **({"zorder_by": list(zorder_by)} if zorder_by else {})},
+            stats_fn=_compose_stats(spark, new_files, zorder_by),
+            bloom_fn=bloom_fn,
+        ),
     )
 
 
@@ -2807,6 +3193,16 @@ def snapshot_restore(spark: SparkSession, table_dir: str, version: int) -> dict:
         row_filters_fn=lambda parent, files: [
             dict(e) for e in target.get("row_filters", [])
         ],
+        # and the restored files' bloom entries (same-table sidecars,
+        # still present until expire)
+        bloom_fn=lambda parent, files: (
+            {
+                "cols": list(target["bloom"].get("cols", [])),
+                "entries": [dict(e) for e in target["bloom"].get("entries", [])],
+            }
+            if target.get("bloom")
+            else None
+        ),
     )
 
 
@@ -2841,19 +3237,30 @@ def snapshot_clone(spark: SparkSession, source_dir: str, dest_dir: str) -> dict:
     # source's expire_snapshots is entitled to delete
     fs, _, jvm = _fs_for(spark, dest_dir)
     conf = spark._jsc.hadoopConfiguration()
+
+    def copy_sidecar(src: str, subdir: str) -> str:
+        src_p = jvm.org.apache.hadoop.fs.Path(src)
+        dst_p = fs.makeQualified(
+            _child(jvm, dest_dir, subdir, str(src_p.getName()))
+        )
+        copied = jvm.org.apache.hadoop.fs.FileUtil.copy(
+            src_p.getFileSystem(conf), src_p, fs, dst_p, False, conf
+        )
+        if not copied:
+            raise IOError(f"failed to copy sidecar {src} to {dst_p}")
+        return str(dst_p.toString())
+
     dv_map: dict[str, str] = {}
     for e in tip.get("row_filters", []):
         if "dv" in e and e["dv"] not in dv_map:
-            src_p = jvm.org.apache.hadoop.fs.Path(e["dv"])
-            dst_p = fs.makeQualified(
-                _child(jvm, dest_dir, "_dv", str(src_p.getName()))
-            )
-            copied = jvm.org.apache.hadoop.fs.FileUtil.copy(
-                src_p.getFileSystem(conf), src_p, fs, dst_p, False, conf
-            )
-            if not copied:
-                raise IOError(f"failed to copy DV sidecar {e['dv']} to {dst_p}")
-            dv_map[e["dv"]] = str(dst_p.toString())
+            dv_map[e["dv"]] = copy_sidecar(e["dv"], "_dv")
+    # bloom sidecars are borrowed-by-reference hazards exactly like DV
+    # sidecars (the source's GC can't see clone references): copy them
+    # too — position/bit lists, never data-sized
+    bloom_map: dict[str, str] = {}
+    for e in (tip.get("bloom") or {}).get("entries", []):
+        if e["sidecar"] not in bloom_map:
+            bloom_map[e["sidecar"]] = copy_sidecar(e["sidecar"], "_bloom")
 
     def files_fn(parent):
         if parent is not None:
@@ -2881,22 +3288,36 @@ def snapshot_clone(spark: SparkSession, source_dir: str, dest_dir: str) -> dict:
                 ({**e, "dv": dv_map[e["dv"]]} if "dv" in e else dict(e))
                 for e in tip.get("row_filters", [])
             ],
+            bloom_fn=lambda parent, files: (
+                {
+                    "cols": list(tip["bloom"].get("cols", [])),
+                    "entries": [
+                        {**e, "sidecar": bloom_map[e["sidecar"]]}
+                        for e in tip["bloom"].get("entries", [])
+                    ],
+                }
+                if tip.get("bloom")
+                else None
+            ),
         )
     except BaseException:
         # an aborted clone must not strand its sidecar copies — but only
         # delete copies no dest manifest verifiably references (the
         # interrupt may have landed after the commit won); on any doubt
         # leak them for the clone's own expire_snapshots to collect
-        for copy_path in dv_map.values():
+        for copy_path in list(dv_map.values()) + list(bloom_map.values()):
             try:
                 referenced = any(
                     any(
                         e.get("dv") == copy_path
-                        for e in _read_manifest(spark, dest_dir, v).get(
-                            "row_filters", []
-                        )
+                        for e in m.get("row_filters", [])
+                    )
+                    or any(
+                        e.get("sidecar") == copy_path
+                        for e in (m.get("bloom") or {}).get("entries", [])
                     )
                     for v in _list_versions(spark, dest_dir)
+                    for m in [_read_manifest(spark, dest_dir, v)]
                 )
             except BaseException:
                 referenced = True
@@ -2951,11 +3372,15 @@ def expire_snapshots(
         )
     referenced: set[str] = set()
     referenced_dv: set[str] = set()  # DV sidecars live in row_filters
+    referenced_bloom: set[str] = set()  # bloom sidecars live in bloom.entries
     for v in keep:
         m = _read_manifest(spark, table_dir, v)
         referenced.update(m["files"])
         referenced_dv.update(
             e["dv"] for e in m.get("row_filters", []) if "dv" in e
+        )
+        referenced_bloom.update(
+            e["sidecar"] for e in (m.get("bloom") or {}).get("entries", [])
         )
     fs, _, jvm = _fs_for(spark, table_dir)
     expired = 0
@@ -3006,8 +3431,17 @@ def expire_snapshots(
         if p not in referenced_dv and s.getModificationTime() <= dir_cutoff_ms:
             fs.delete(s.getPath(), True)
             deleted_dv += 1
+    # bloom sidecars GC identically (written before the manifest claims
+    # them, so the same in-flight age guard applies)
+    deleted_bloom = 0
+    for s in fs.globStatus(_child(jvm, table_dir, "_bloom", "*")) or []:
+        p = str(s.getPath().toString())
+        if p not in referenced_bloom and s.getModificationTime() <= dir_cutoff_ms:
+            fs.delete(s.getPath(), True)
+            deleted_bloom += 1
     return {
         "expired_manifests": expired,
         "deleted_files": deleted,
         "deleted_dv_sidecars": deleted_dv,
+        "deleted_bloom_sidecars": deleted_bloom,
     }

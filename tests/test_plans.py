@@ -246,3 +246,19 @@ def test_supplier_pagerank_constant_plan_depth(spark, qs):
     plan = df._jdf.queryExecution().executedPlan().toString()
     n_joins = plan.count("SortMergeJoin") + plan.count("BroadcastHashJoin")
     assert n_joins <= 4, f"plan carries {n_joins} joins — lineage not truncated"
+
+
+def test_q21_two_fact_scans_no_cartesian(spark):
+    """The Q21 decorrelation contract: EXISTS + NOT EXISTS collapse to
+    ONE per-order aggregate image — lineitem is scanned exactly twice,
+    no cartesian product anywhere, and the top-20 is a
+    TakeOrderedAndProject (never a global sort)."""
+    from mini_project_204721_data_engineering_spark.queries.analytics import (
+        q21_blamed_suppliers,
+    )
+
+    df = q21_blamed_suppliers(spark, SF)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("lineitem.parquet") == 2
+    assert "CartesianProduct" not in plan
+    assert "TakeOrderedAndProject" in plan

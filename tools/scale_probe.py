@@ -1125,17 +1125,100 @@ def probe_snap(spark, n: int, out: list) -> None:
             read_snapshot_where,
         )
 
+        from mini_project_204721_data_engineering_spark.sources.snapshots import (
+            snapshot_count,
+            snapshot_min_max,
+            snapshot_plan_info,
+        )
+
         sel_files = {}
+        sel_bytes = {}
         for pct in (1, 10, 50):
             hi_q = n * pct // 100
             q = read_snapshot_where(spark, t, f"id >= 0 AND id < {hi_q}")
             sel_files[pct] = len(q.inputFiles())
             assert q.count() == hi_q
+            # the plan_info probe prices the SAME predicate in bytes,
+            # from the manifest alone (no scan, no Spark job)
+            info = snapshot_plan_info(spark, t, f"id >= 0 AND id < {hi_q}")
+            assert info["files_planned"] == sel_files[pct]
+            sel_bytes[pct] = info["bytes_planned"]
         assert sel_files[1] < sel_files[10] < sel_files[50] < n_files_full
+        assert sel_bytes[1] < sel_bytes[10] < sel_bytes[50]
         print(json.dumps({
             "probe": "read_where_selectivity",
             "files_full": n_files_full,
             "files_planned_by_pct": sel_files,
+            "bytes_planned_by_pct": sel_bytes,
+            "bytes_total": snapshot_plan_info(spark, t)["bytes_total"],
+        }), flush=True)
+
+        # metadata-only aggregates: the serving-path COUNT(*) / MIN/MAX
+        # answered from the manifest (zero data files opened) vs the
+        # full scan — the reference runs both on EVERY page request
+        def meta_count():
+            return snapshot_count(spark, t)
+
+        def scan_count():
+            return read_snapshot(spark, t).count()
+
+        def meta_minmax():
+            return snapshot_min_max(spark, t, "id")
+
+        def scan_minmax():
+            r = read_snapshot(spark, t).agg(
+                F.min("id"), F.max("id")
+            ).collect()[0]
+            return (r[0], r[1])
+
+        assert meta_count() == scan_count() == n
+        assert meta_minmax() == scan_minmax() == (0, n - 1)
+        mc = timed("count_metadata_only", meta_count, out)
+        sc = timed("count_full_scan", scan_count, out)
+        mm = timed("minmax_metadata_only", meta_minmax, out)
+        sm = timed("minmax_full_scan", scan_minmax, out)
+        print(json.dumps({
+            "probe": "metadata_aggregates",
+            "files": n_files_full,
+            "count_scan_over_meta": round(sc / mc, 1) if mc else None,
+            "minmax_scan_over_meta": round(sm / mm, 1) if mm else None,
+        }), flush=True)
+
+        # bloom point-lookup: a hash-distributed key prunes NOTHING by
+        # min/max (every file spans the hex space); the per-file SBBF
+        # sidecar plans ~1 file.  Twin tables, same data, ± bloom_cols.
+        t_bl, t_nobl = d + "/t_bloom", d + "/t_nobloom"
+        keyed = (
+            spark.range(n // 10)
+            .select(
+                F.col("id"),
+                F.sha2(F.col("id").cast("string"), 256).alias("doc_id"),
+                (F.col("id") % 97).alias("v"),
+            )
+            .repartition(20)
+        )
+        snapshot_append(keyed, t_bl, bloom_cols=["doc_id"])
+        snapshot_append(keyed, t_nobl)
+        needle_row = keyed.filter(F.col("id") == 12345).collect()[0]
+        needle = needle_row["doc_id"]
+
+        def lookup(tbl):
+            def go():
+                q = read_snapshot_where(spark, tbl, f"doc_id = '{needle}'")
+                assert q.count() == 1
+                return len(q.inputFiles())
+            return go
+
+        lb = timed("point_lookup_bloom", lookup(t_bl), out)
+        ln = timed("point_lookup_no_bloom", lookup(t_nobl), out)
+        f_bl = lookup(t_bl)()
+        f_nobl = lookup(t_nobl)()
+        assert f_bl < f_nobl
+        print(json.dumps({
+            "probe": "bloom_point_lookup",
+            "files_planned_bloom": f_bl,
+            "files_planned_no_bloom": f_nobl,
+            "no_bloom_over_bloom": round(ln / lb, 2) if lb else None,
         }), flush=True)
 
         # delete-mode economics: the same one-key takedown as CoW rewrite
