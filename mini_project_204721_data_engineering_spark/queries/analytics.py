@@ -2981,6 +2981,47 @@ WHERE p_brand = 'Brand#23'
 """
 
 
+def q12_priority_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 shape (EXTRA): shipping-class audit — per class,
+    conditional counts of high- vs low-priority orders inside a date
+    window.  Adapted to the synthetic schema (no l_shipmode /
+    receiptdate): the class is ``l_linestatus``, the window is a
+    shipdate year.  The shape is the point: fact filtered by a pushed
+    date range, ONE join to orders, conditional aggregation (CASE
+    inside count) in a single pass — at 100 TB one keyed shuffle on
+    the orderkey and a classes-sized result."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate").cast("date") >= F.lit("1996-01-01"))
+        & (F.col("l_shipdate").cast("date") < F.lit("1997-01-01"))
+    )
+    orders = load_table(spark, sf_dir, "orders")
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy("l_linestatus")
+        .agg(
+            F.count(F.when(high, F.lit(1))).alias("high_line_count"),
+            F.count(F.when(~high, F.lit(1))).alias("low_line_count"),
+        )
+        .orderBy("l_linestatus")
+    )
+
+
+Q12_PRIORITY_SHIPPING_SQL = """
+SELECT l_linestatus,
+       count(*) FILTER (WHERE o_orderpriority IN ('1-URGENT', '2-HIGH'))
+         AS high_line_count,
+       count(*) FILTER (WHERE o_orderpriority NOT IN ('1-URGENT', '2-HIGH'))
+         AS low_line_count
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+WHERE CAST(l_shipdate AS DATE) >= DATE '1996-01-01'
+  AND CAST(l_shipdate AS DATE) < DATE '1997-01-01'
+GROUP BY l_linestatus
+ORDER BY l_linestatus
+"""
+
+
 def q21_blamed_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q21 shape (EXTRA): EXISTS + NOT EXISTS against the SAME
     fact under different correlation conditions — the hardest standard
@@ -3107,6 +3148,7 @@ EXTRA_QUERIES = {
     "q8_market_share": q8_market_share,
     "q9_nation_revenue": q9_nation_revenue,
     "q17_small_quantity_revenue": q17_small_quantity_revenue,
+    "q12_priority_shipping": q12_priority_shipping,
 }
 
 EXTRA_ORACLES = {
@@ -3158,4 +3200,5 @@ EXTRA_ORACLES = {
     "q8_market_share": Q8_MARKET_SHARE_SQL,
     "q9_nation_revenue": Q9_NATION_REVENUE_SQL,
     "q17_small_quantity_revenue": Q17_SMALL_QUANTITY_SQL,
+    "q12_priority_shipping": Q12_PRIORITY_SHIPPING_SQL,
 }

@@ -637,13 +637,10 @@ def snapshot_append(
     ddl = df.schema.simpleString()
     if stats_cols is not None:
         _validate_stats(df, stats_cols)
+    if bloom_cols is not None:  # caller mistakes raise BEFORE bytes move
+        _bloom_build_cols(df.schema, bloom_cols, explicit=True)
     new_files, _ = _write_data_files(df, table_dir)
-    bcols = _resolve_bloom_cols(spark, table_dir, bloom_cols)
-    entry = (
-        _build_bloom_entry(spark, table_dir, new_files, bcols, df.schema)
-        if bcols
-        else None
-    )
+    holder = {"entry": None, "built": False}
 
     def files_fn(parent):
         if not merge_schema:
@@ -655,22 +652,15 @@ def snapshot_append(
             return ddl
         return _merged_schema(parent["schema"], df.schema)
 
-    def bloom_fn(parent, files):
-        cols = (
-            [str(c) for c in bloom_cols]
-            if bloom_cols is not None
-            else list(((parent or {}).get("bloom") or {}).get("cols", []))
-        )
-        entries = _carry_bloom(parent, files) + ([entry] if entry else [])
-        return {"cols": cols, "entries": entries} if (cols or entries) else None
-
     return _bloom_commit_guard(
-        spark, table_dir, entry,
+        spark, table_dir, holder,
         lambda: _commit(
             spark, table_dir, "append", files_fn, schema_fn,
             meta={"added_files": len(new_files)},
             stats_fn=_compose_stats(spark, new_files, stats_cols),
-            bloom_fn=bloom_fn,
+            bloom_fn=_bloom_fn_for(
+                spark, table_dir, new_files, bloom_cols, df.schema, holder
+            ),
         ),
     )
 
@@ -683,25 +673,17 @@ def snapshot_overwrite(
     """Atomically replace the table contents (logical TRUNCATE+INSERT).
     Prior snapshots stay readable via time travel until expired; this is
     also the declared full-schema-change path.  ``bloom_cols`` as in
-    :func:`snapshot_append` (sticky — but a sticky column that no
-    longer exists or changed type family in the new schema simply
-    builds nothing for it, like sticky stats)."""
+    :func:`snapshot_append` (sticky — a sticky column the new schema
+    doesn't support simply builds nothing THIS commit while staying
+    configured, like sticky stats; old entries never carry through a
+    full replace because their files depart)."""
     spark = df.sparkSession
     if stats_cols is not None:
         _validate_stats(df, stats_cols)
+    if bloom_cols is not None:
+        _bloom_build_cols(df.schema, bloom_cols, explicit=True)
     new_files, _ = _write_data_files(df, table_dir)
-    bcols = _resolve_bloom_cols(spark, table_dir, bloom_cols)
-    # sticky cols may not survive a full schema change: keep only the
-    # ones the NEW schema supports (an EXPLICIT request still raises
-    # inside _build_bloom_entry — caller mistake, surface it)
-    if bloom_cols is None:
-        types = {f.name: f.dataType.simpleString() for f in df.schema.fields}
-        bcols = [c for c in bcols if types.get(c) in _BLOOM_TYPES]
-    entry = (
-        _build_bloom_entry(spark, table_dir, new_files, bcols, df.schema)
-        if bcols
-        else None
-    )
+    holder = {"entry": None, "built": False}
 
     def stats_fn(parent, files):
         cols = _norm_stats(
@@ -714,20 +696,15 @@ def snapshot_overwrite(
         stats, meta = _file_stats(spark, new_files, cols)
         return stats, cols, meta
 
-    def bloom_fn(parent, files):
-        cols = (
-            [str(c) for c in bloom_cols] if bloom_cols is not None else bcols
-        )
-        entries = [entry] if entry else []  # full replace: nothing carries
-        return {"cols": cols, "entries": entries} if (cols or entries) else None
-
     return _bloom_commit_guard(
-        spark, table_dir, entry,
+        spark, table_dir, holder,
         lambda: _commit(
             spark, table_dir, "overwrite", lambda parent: list(new_files),
             df.schema.simpleString(), meta={"added_files": len(new_files)},
             stats_fn=stats_fn,
-            bloom_fn=bloom_fn,
+            bloom_fn=_bloom_fn_for(
+                spark, table_dir, new_files, bloom_cols, df.schema, holder
+            ),
         ),
     )
 
@@ -1226,6 +1203,12 @@ def _predicate_tokens(predicate: str) -> list:
             # raises the tokenizer's own error (degrading, as ever, to
             # no-pruning with the residual filter answering)
             m = _NUM_RE.match(predicate, i)
+            if m is None:
+                # str.isdigit() is wider than \d (superscripts '²',
+                # circled digits): raise the tokenizer's OWN error
+                # class so the caller's except ValueError degrades to
+                # no-pruning instead of an AttributeError escaping
+                raise ValueError(f"unrecognized numeric character {ch!r}")
             text = m.group(0)
             out.append(
                 ("num", float(text) if any(c in text for c in ".eE") else int(text))
@@ -1786,15 +1769,6 @@ def _build_bloom_entry(
     if not new_files or not cols:
         return None
     types = {f.name: f.dataType.simpleString() for f in schema.fields}
-    missing = [c for c in cols if c not in types]
-    if missing:
-        raise ValueError(f"bloom_cols {missing} not in the written schema")
-    bad = {c: types[c] for c in cols if types[c] not in _BLOOM_TYPES}
-    if bad:
-        raise ValueError(
-            "bloom_cols must be integral or string columns (point-lookup "
-            f"keys); got {bad}"
-        )
     scan = spark.read.schema(schema).parquet(*new_files)
     max_rows = (
         scan.groupBy(F.col("_metadata.file_path"))
@@ -1833,27 +1807,72 @@ def _build_bloom_entry(
     }
 
 
-def _resolve_bloom_cols(spark, table_dir, bloom_cols) -> list[str]:
-    """Sticky resolution (same contract as stats_cols): an explicit list
-    wins; None inherits the tip's configured bloom columns."""
-    if bloom_cols is not None:
-        return [str(c) for c in bloom_cols]
-    versions = _list_versions(spark, table_dir)
-    if not versions:
-        return []
-    tip = _read_manifest(spark, table_dir, versions[-1])
-    return list((tip.get("bloom") or {}).get("cols", []))
+def _bloom_build_cols(schema, cols, explicit: bool) -> list[str]:
+    """The subset of ``cols`` buildable against ``schema``.  An
+    EXPLICIT request containing a missing or non-integral/string
+    column is a caller mistake — raise (before any bytes move, like
+    ``_validate_stats``).  A STICKY set is tolerant (same contract as
+    sticky stats_cols): a column the current schema can't support
+    simply builds nothing this commit — the configured set stays
+    recorded, so it resumes building when the schema supports it
+    again."""
+    types = {f.name: f.dataType.simpleString() for f in schema.fields}
+    if explicit:
+        missing = [c for c in cols if c not in types]
+        if missing:
+            raise ValueError(
+                f"bloom_cols {missing} not in the written schema"
+            )
+        bad = {c: types[c] for c in cols if types[c] not in _BLOOM_TYPES}
+        if bad:
+            raise ValueError(
+                "bloom_cols must be integral or string columns "
+                f"(point-lookup keys); got {bad}"
+            )
+        return [str(c) for c in cols]
+    return [str(c) for c in cols if types.get(c) in _BLOOM_TYPES]
 
 
-def _bloom_commit_guard(spark, table_dir, entry, thunk):
+def _bloom_fn_for(spark, table_dir, new_files, bloom_cols, schema, holder):
+    """The ``bloom_fn`` for bloom-building commits (append/overwrite),
+    plus lazy entry construction: the sticky column set resolves from
+    the PARENT manifest ``_commit`` already read — no extra tip read on
+    the hot commit path — and the sidecar builds at most once (first
+    loop iteration that sees configured columns), memoized in
+    ``holder["entry"]`` so commit retries and the abort guard share
+    it.  Sidecar bytes still land BEFORE any manifest references them
+    (bloom_fn runs before the manifest write inside the loop)."""
+
+    def bloom_fn(parent, files):
+        cols = (
+            [str(c) for c in bloom_cols]
+            if bloom_cols is not None
+            else list(((parent or {}).get("bloom") or {}).get("cols", []))
+        )
+        if cols and not holder["built"]:
+            holder["built"] = True
+            build = _bloom_build_cols(schema, cols, bloom_cols is not None)
+            if build:
+                holder["entry"] = _build_bloom_entry(
+                    spark, table_dir, new_files, build, schema
+                )
+        entry = holder["entry"]
+        entries = _carry_bloom(parent, files) + ([entry] if entry else [])
+        return {"cols": cols, "entries": entries} if (cols or entries) else None
+
+    return bloom_fn
+
+
+def _bloom_commit_guard(spark, table_dir, holder, thunk):
     """Run the commit ``thunk``; on abort, delete the just-written bloom
-    sidecar UNLESS some live manifest verifiably references it (the
-    same crash discipline as DV sidecars — on any doubt, leak it for
-    expire_snapshots to collect)."""
+    sidecar (``holder["entry"]``) UNLESS some live manifest verifiably
+    references it (the same crash discipline as DV sidecars — on any
+    doubt, leak it for expire_snapshots to collect)."""
     fs, _, jvm = _fs_for(spark, table_dir)
     try:
         return thunk()
     except BaseException:
+        entry = holder["entry"]
         if entry is not None:
             try:
                 referenced = any(
@@ -1928,7 +1947,10 @@ def _bloom_prune_files(
         if isinstance(v, bool):
             return False
         if tddl in ("tinyint", "smallint", "int", "bigint"):
-            return isinstance(v, int)
+            # the int64 bound is load-bearing: F.lit raises OUTSIDE it
+            # (before try_cast can null the literal), which would crash
+            # the read instead of conservatively keeping files
+            return isinstance(v, int) and -(2**63) <= v <= 2**63 - 1
         if tddl == "string":
             return isinstance(v, str)
         return False
@@ -2152,9 +2174,18 @@ def snapshot_min_max(
             .collect()[0]
         )
         if r["mn"] is not None:
+            if not los:
+                # stats contributed nothing (either none usable or the
+                # type is not JSON-safe — Decimal/binary/array stats
+                # record [None, None] and always land here): the scan
+                # IS the answer, returned raw — piping it through
+                # _json_safe would map a non-JSON-safe type to None
+                # and fabricate a (None, None) result
+                return (r["mn"], r["mx"])
             # into the stats' JSON-safe domain so the combine below is
             # one total order (isoformat round-trips exactly, so the
-            # conversion back loses nothing)
+            # conversion back loses nothing; a type with usable stats
+            # is JSON-safe by construction)
             los.append(_json_safe(r["mn"]))
             his.append(_json_safe(r["mx"]))
     if not los:
@@ -2180,16 +2211,25 @@ def snapshot_plan_info(
     predicate: str | None = None,
     version: int | None = None,
     as_of: float | None = None,
+    bloom: bool = False,
 ) -> dict:
     """What a read WOULD plan, priced from the manifest alone — no data
-    scan, no Spark job: total vs planned file counts, BYTES, and rows
-    under ``predicate`` (None: the whole snapshot).  The probe form of
-    :func:`read_snapshot_where` — at 100 TB this is how a caller (or
-    ``scale_probe snap``) checks a WHERE clause's selectivity economics
-    before paying for it, in the units that matter (bytes to read, not
-    just file counts).  Files without ``file_meta`` (pre-row-count
-    commits) count toward ``files_*`` but contribute unknown
-    bytes/rows; their number is reported as ``meta_unknown_files``."""
+    scan, by default no Spark job: total vs planned file counts, BYTES,
+    and rows under ``predicate`` (None: the whole snapshot).  The probe
+    form of :func:`read_snapshot_where` — at 100 TB this is how a
+    caller (or ``scale_probe snap``) checks a WHERE clause's
+    selectivity economics before paying for it, in the units that
+    matter (bytes to read, not just file counts).
+
+    ``bloom=True`` additionally probes the table's bloom sidecars for
+    the ``=``/``IN`` atoms — then the numbers match
+    :func:`read_snapshot_where`'s plan exactly for point lookups on
+    bloom columns, at the cost of the probe's two metadata-sized Spark
+    jobs (the default stays zero-job, so its file counts are an UPPER
+    bound on the bloom-assisted plan).  Files without ``file_meta``
+    (pre-row-count commits) count toward ``files_*`` but contribute
+    unknown bytes/rows; their number is reported as
+    ``meta_unknown_files``."""
     manifest = _resolve_manifest(spark, table_dir, version, as_of)
     files = manifest["files"]
     planned = files
@@ -2200,6 +2240,8 @@ def snapshot_plan_info(
         }
         if ranges:
             planned = _prune_files(manifest, ranges)
+            if bloom:
+                planned = _bloom_prune_files(spark, manifest, planned, ranges)
     meta = manifest.get("file_meta", {})
 
     def total(fl, key):
@@ -3023,28 +3065,13 @@ def snapshot_compact(
     new_files, _ = _write_data_files(packed, table_dir)
     from pyspark.sql.types import _parse_datatype_string as _pds
 
-    bcols = _resolve_bloom_cols(spark, table_dir, bloom_cols)
-    if bloom_cols is None:  # sticky: only columns the schema supports
-        btypes = {
-            f.name: f.dataType.simpleString()
-            for f in _pds(manifest["schema"]).fields
-        }
-        bcols = [c for c in bcols if btypes.get(c) in _BLOOM_TYPES]
-    bentry = (
-        _build_bloom_entry(
-            spark, table_dir, new_files, bcols, _pds(manifest["schema"])
-        )
-        if bcols
-        else None
+    if bloom_cols is not None:
+        _bloom_build_cols(_pds(manifest["schema"]), bloom_cols, explicit=True)
+    bholder = {"entry": None, "built": False}
+    bloom_fn = _bloom_fn_for(
+        spark, table_dir, new_files, bloom_cols, _pds(manifest["schema"]),
+        bholder,
     )
-
-    def bloom_fn(parent, files):
-        cols = (
-            [str(c) for c in bloom_cols] if bloom_cols is not None else bcols
-        )
-        entries = _carry_bloom(parent, files) + ([bentry] if bentry else [])
-        return {"cols": cols, "entries": entries} if (cols or entries) else None
-
     small_set = set(small)
     # compaction stays APPEND-tolerant (appends only add files), but the
     # filter state of the files it packed must not have moved: a
@@ -3063,7 +3090,7 @@ def snapshot_compact(
         return [f for f in parent["files"] if f not in small_set] + new_files
 
     return _bloom_commit_guard(
-        spark, table_dir, bentry,
+        spark, table_dir, bholder,
         lambda: _commit(
             spark, table_dir, "compact", files_fn, manifest["schema"],
             meta={"compacted_files": len(small), "produced_files": len(new_files),
@@ -3251,16 +3278,28 @@ def snapshot_clone(spark: SparkSession, source_dir: str, dest_dir: str) -> dict:
         return str(dst_p.toString())
 
     dv_map: dict[str, str] = {}
-    for e in tip.get("row_filters", []):
-        if "dv" in e and e["dv"] not in dv_map:
-            dv_map[e["dv"]] = copy_sidecar(e["dv"], "_dv")
-    # bloom sidecars are borrowed-by-reference hazards exactly like DV
-    # sidecars (the source's GC can't see clone references): copy them
-    # too — position/bit lists, never data-sized
     bloom_map: dict[str, str] = {}
-    for e in (tip.get("bloom") or {}).get("entries", []):
-        if e["sidecar"] not in bloom_map:
-            bloom_map[e["sidecar"]] = copy_sidecar(e["sidecar"], "_bloom")
+    try:
+        for e in tip.get("row_filters", []):
+            if "dv" in e and e["dv"] not in dv_map:
+                dv_map[e["dv"]] = copy_sidecar(e["dv"], "_dv")
+        # bloom sidecars are borrowed-by-reference hazards exactly like
+        # DV sidecars (the source's GC can't see clone references):
+        # copy them too — position/bit lists, never data-sized
+        for e in (tip.get("bloom") or {}).get("entries", []):
+            if e["sidecar"] not in bloom_map:
+                bloom_map[e["sidecar"]] = copy_sidecar(e["sidecar"], "_bloom")
+    except BaseException:
+        # a mid-loop copy failure happens BEFORE any dest manifest
+        # exists, and a logless dest dir has no expire_snapshots to
+        # collect strays — delete the copies made so far (nothing can
+        # reference them: the dest log is empty by the check above)
+        for copy_path in list(dv_map.values()) + list(bloom_map.values()):
+            try:
+                fs.delete(jvm.org.apache.hadoop.fs.Path(copy_path), True)
+            except BaseException:
+                pass  # best-effort: the original failure is the story
+        raise
 
     def files_fn(parent):
         if parent is not None:

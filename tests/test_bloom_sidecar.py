@@ -205,3 +205,68 @@ def test_bloom_result_always_equals_residual_filter(spark, bloom_table):
         want = {r["id"] for r in read_snapshot(spark, t).filter(pred).collect()}
         got = {r["id"] for r in read_snapshot_where(spark, t, pred).collect()}
         assert got == want, pred
+
+
+def test_out_of_int64_literal_keeps_files_no_crash(spark, bloom_table):
+    """Review fix: an equality literal past int64 must not crash the
+    probe (F.lit would raise before try_cast) — it conservatively
+    skips bloom pruning; the residual filter answers (nothing)."""
+    t = bloom_table
+    got = read_snapshot_where(spark, t, "id = 99999999999999999999")
+    assert got.count() == 0
+
+
+def test_plan_info_bloom_option_matches_read_plan(spark, bloom_table):
+    """snapshot_plan_info(bloom=True) prices the point lookup the way
+    read_snapshot_where actually plans it; the zero-job default stays
+    an upper bound."""
+    from mini_project_204721_data_engineering_spark.sources.snapshots import (
+        snapshot_plan_info,
+    )
+
+    t = bloom_table
+    pred = f"doc_id = '{_docid(321)}'"
+    upper = snapshot_plan_info(spark, t, pred)
+    exact = snapshot_plan_info(spark, t, pred, bloom=True)
+    planned = len(read_snapshot_where(spark, t, pred).inputFiles())
+    assert exact["files_planned"] == planned
+    assert upper["files_planned"] >= exact["files_planned"]
+    assert exact["bytes_planned"] <= upper["bytes_planned"]
+
+
+def test_sticky_bloom_cols_survive_unsupported_schema(spark, tmp_path):
+    """Review fix: an overwrite whose schema lacks (or mistypes) a
+    sticky bloom column keeps the column CONFIGURED — building resumes
+    when the schema supports it again (sticky stats_cols contract)."""
+    t = str(tmp_path / "t")
+    df = spark.createDataFrame(
+        [(i, _docid(i)) for i in range(50)], "id bigint, doc_id string"
+    )
+    snapshot_append(df.repartition(1), t, bloom_cols=["doc_id"])
+    # schema change drops the column: nothing builds, config survives
+    from mini_project_204721_data_engineering_spark.sources.snapshots import (
+        snapshot_overwrite,
+    )
+
+    m2 = snapshot_overwrite(spark.createDataFrame([(1,)], "id bigint"), t)
+    assert m2["bloom"]["cols"] == ["doc_id"]
+    assert m2["bloom"]["entries"] == []
+    # the column comes back: blooms build again with NO explicit arg
+    m3 = snapshot_overwrite(df.repartition(1), t)
+    assert m3["bloom"]["cols"] == ["doc_id"]
+    assert len(m3["bloom"]["entries"]) == 1
+    got = read_snapshot_where(spark, t, f"doc_id = '{_docid(7)}'")
+    assert got.count() == 1
+
+
+def test_explicit_bad_bloom_cols_raise_before_writing_bytes(spark, tmp_path):
+    """Review fix: explicit bloom_cols validation runs BEFORE the data
+    write (like _validate_stats) — a mis-typed call leaves no orphan
+    files behind."""
+    import os
+
+    t = str(tmp_path / "t")
+    df = spark.createDataFrame([(1, 2.5)], "k bigint, v double")
+    with pytest.raises(ValueError, match="integral or string"):
+        snapshot_append(df, t, bloom_cols=["v"])
+    assert not os.path.exists(os.path.join(t, "data"))

@@ -91,6 +91,8 @@ def _ids(df):
     ("id != 7", {}),
     ("id > -5", {}),  # unary minus: out of grammar → no extraction
     ("id = 1e+", {}),  # malformed exponent: tokenizer error → no extraction
+    ("id > ²", {}),  # isdigit()-true non-\d char degrades, never crashes
+    ("id = ½3", {}),
     ("id = 1e3 AND v = .5", {"id": (1000.0, 1000.0), "v": (0.5, 0.5)}),
     ("v < 2.E2", {"v": (None, 200.0)}),  # dotted exponent spelling
     # contradictory types on one column disable that column's pruning

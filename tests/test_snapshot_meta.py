@@ -366,3 +366,19 @@ def test_long_string_stats_truncate_and_stay_sound(spark, tmp_path):
     lo, hi = snapshot_min_max(spark, t, "doc")
     assert lo == "aardvark essay " + "a" * 50 + "0"
     assert hi == "zebra treatise " + "z" * 50 + "4"
+
+
+def test_min_max_decimal_and_binary_scan_fallback(spark, tmp_path):
+    """Review fix: non-JSON-safe types (Decimal) record no usable stats
+    — min/max must return the SCAN's raw values, not fabricate
+    (None, None) by piping them through the JSON-safe conversion."""
+    from decimal import Decimal
+
+    t = str(tmp_path / "t")
+    df = spark.createDataFrame(
+        [(1, Decimal("5.25")), (2, Decimal("99.10")), (3, None)],
+        "id bigint, amt decimal(10,2)",
+    )
+    snapshot_append(df.repartition(1), t, stats_cols=["amt"])
+    lo, hi = snapshot_min_max(spark, t, "amt")
+    assert lo == Decimal("5.25") and hi == Decimal("99.10")

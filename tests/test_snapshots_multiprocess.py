@@ -52,8 +52,9 @@ def test_cross_process_commit_race_no_lost_update(spark, tmp_path):
         spark.stop()
         """
     )
+    repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     env = dict(os.environ)
-    env["PYTHONPATH"] = "/root/repo" + os.pathsep + env.get("PYTHONPATH", "")
+    env["PYTHONPATH"] = repo_root + os.pathsep + env.get("PYTHONPATH", "")
     proc = subprocess.Popen(
         [sys.executable, "-c", child_code],
         env=env,
