@@ -90,7 +90,12 @@ def recommend_salt(
             raise ValueError(
                 f"profile= is missing key_skew_profile fields: {sorted(missing)}"
             )
-        if prof.get("keys") is not None and prof["keys"] != ",".join(keys):
+        if prof.get("keys") is not None and sorted(
+            prof["keys"].split(",")
+        ) != sorted(str(k) for k in keys):
+            # ORDER-insensitive: the group-size distribution under a key
+            # SET is invariant to key order, so ['b','a'] replays a
+            # profile built for ['a','b']
             raise ValueError(
                 f"profile= was computed for keys [{prof['keys']}] but this "
                 f"call asks about [{','.join(keys)}] — a replayed profile "

@@ -81,6 +81,17 @@ def _fs_for(spark: SparkSession, path_str: str):
     return fs, jpath, jvm
 
 
+def _canon_file(jvm, s: str) -> str:
+    """Canonicalize a SCAN-reported file path (``input_file_name()`` /
+    ``_metadata.file_path`` — URL-ENCODED URI forms) to the manifest's
+    ``Path.toString`` spelling.  ``Path(URI)`` DECODES escaped octets
+    ('a%20dir' → 'a dir'); ``Path(String)`` keeps them verbatim, so a
+    table path containing a space (or any URI-escapable character)
+    would desynchronize every manifest-facing file set built from scan
+    output — hit-file lists, stats keys, bloom identities."""
+    return str(jvm.org.apache.hadoop.fs.Path(jvm.java.net.URI(s)).toString())
+
+
 def _child(jvm, base: str, *parts: str):
     p = jvm.org.apache.hadoop.fs.Path(base)
     for part in parts:
@@ -528,7 +539,7 @@ def _file_stats(
 
     stats_out, meta_out = {}, {}
     for r in rows:
-        key = str(jvm.org.apache.hadoop.fs.Path(r["__f"]).toString())
+        key = _canon_file(jvm, r["__f"])
         meta_out[key] = {"rows": int(r["__rows"]), "bytes": int(r["__bytes"])}
         if cols:
             stats_out[key] = {
@@ -1759,8 +1770,11 @@ def _build_bloom_entry(
     id-lookup shapes): equality on other types carries cast/spelling
     semantics a hash probe cannot soundly reproduce.  Bytes land
     BEFORE the manifest references them (commit crash discipline);
-    file identity is the scan-bound ``_metadata.file_path``, whose
-    spelling matches the manifest's ``Path.toString`` form."""
+    file identity is canonicalized to the MANIFEST's ``Path.toString``
+    spelling via a driver-side map (``_metadata.file_path`` is
+    URL-encoded — a table path with a space would otherwise never
+    match the probe's candidate filter and every file would silently
+    prune)."""
     from pyspark.sql import functions as F
 
     from ..operators.bloom import _hashed, _sbbf_n_words
@@ -1769,27 +1783,50 @@ def _build_bloom_entry(
     if not new_files or not cols:
         return None
     types = {f.name: f.dataType.simpleString() for f in schema.fields}
+    fs, _, jvm = _fs_for(spark, table_dir)
     scan = spark.read.schema(schema).parquet(*new_files)
-    max_rows = (
-        scan.groupBy(F.col("_metadata.file_path"))
+    # one metadata-only job yields BOTH the sizing input (largest file's
+    # rows) and the file-spelling map: _metadata.file_path is
+    # URL-ENCODED ('a dir' → 'a%20dir') while the manifest stores the
+    # decoded Path.toString form — the sidecar must record the
+    # MANIFEST spelling or the probe's candidate filter silently
+    # matches nothing and prunes every file (absence means 'absent')
+    per_file = (
+        scan.groupBy(F.col("_metadata.file_path").alias("__raw"))
         .count()
-        .agg(F.max("count"))
-        .collect()[0][0]
+        .collect()
     )
-    n_words = _sbbf_n_words(max(1, int(max_rows or 0)), fpp)
+    if not per_file:
+        return None
+    max_rows = max(int(r["count"]) for r in per_file)
+    spell = {
+        r["__raw"]: _canon_file(jvm, r["__raw"])
+        for r in per_file
+    }
+    unexpected = set(spell.values()) - set(new_files)
+    if unexpected:
+        raise RuntimeError(
+            f"bloom build saw files outside this commit: {sorted(unexpected)[:3]}"
+        )
+    spell_df = spark.createDataFrame(
+        [(k, v) for k, v in spell.items()], "__raw string, file string"
+    )
+    n_words = _sbbf_n_words(max(1, max_rows), fpp)
     parts = []
     for c in cols:
         src = scan.select(F.col("_metadata.file_path").alias("__srcf"), F.col(c))
         h = _hashed(src, [c], n_words)
         parts.append(
-            h.groupBy(F.col("__srcf").alias("file"), F.col("__word").alias("word"))
+            h.groupBy(F.col("__srcf").alias("__raw"), F.col("__word").alias("word"))
             .agg(F.expr("bit_or(__mask)").alias("bits"))
-            .select(F.lit(c).alias("col"), "file", "word", "bits")
+            .select(F.lit(c).alias("col"), "__raw", "word", "bits")
         )
     out = parts[0]
     for p in parts[1:]:
         out = out.unionByName(p)
-    fs, _, jvm = _fs_for(spark, table_dir)
+    out = out.join(F.broadcast(spell_df), "__raw").select(
+        "col", "file", "word", "bits"
+    )
     sidecar = str(
         fs.makeQualified(_child(jvm, table_dir, "_bloom", f"bf-{uuid.uuid4().hex}"))
     )
@@ -2061,14 +2098,11 @@ def snapshot_count(
     manifest = _resolve_manifest(spark, table_dir, version, as_of)
     files = manifest["files"]
     if where is not None:
-        ranges = {
-            c: r for c, r in _predicate_prune_ranges(where).items()
-            if r is not None
-        }
-        if ranges:
-            files = _prune_files(manifest, ranges)
-            files = _bloom_prune_files(spark, manifest, files, ranges)
-        return _filtered_read(spark, manifest, files).filter(where).count()
+        # ONE planning pipeline: any future change to how a predicate
+        # plans (extraction, bloom probing) applies to counts for free
+        return read_snapshot_where(
+            spark, table_dir, where, version=version, as_of=as_of
+        ).count()
     fmap = _filter_map(manifest)
     meta = manifest.get("file_meta", {})
     total = 0
@@ -2470,7 +2504,7 @@ def snapshot_delete_where(
         )
         back = spark.read.parquet(dv_path)
         hit_files = sorted(
-            str(jvm.org.apache.hadoop.fs.Path(r["file"]).toString())
+            _canon_file(jvm, r["file"])
             for r in back.select("file").distinct().collect()
         )
         if not hit_files:  # nothing matched: drop the empty sidecar
@@ -2478,7 +2512,7 @@ def snapshot_delete_where(
             return manifest
     else:
         hit_files = sorted(
-            str(jvm.org.apache.hadoop.fs.Path(r["f"]).toString())
+            _canon_file(jvm, r["f"])
             for r in snap.filter(predicate)
             .select(F.col("__dv_file").alias("f"))
             .distinct()
@@ -2694,7 +2728,7 @@ def snapshot_merge_into(
 
     _, _, jvm = _fs_for(spark, table_dir)
     hit_files = sorted(
-        str(jvm.org.apache.hadoop.fs.Path(r["f"]).toString())
+        _canon_file(jvm, r["f"])
         for r in target.join(src.select(*keys).distinct(), keys, "left_semi")
         .select(F.col("__dv_file").alias("f"))
         .distinct()
@@ -2807,7 +2841,7 @@ def snapshot_replace_where(
     # __dv_file, not input_file_name(): see snapshot_delete_where — a
     # pending DV entry makes the filtered read a multi-source plan
     hit_files = sorted(
-        str(jvm.org.apache.hadoop.fs.Path(r["f"]).toString())
+        _canon_file(jvm, r["f"])
         for r in (
             _filtered_read(spark, manifest, base_files, df.schema, with_position=True)
             .filter(predicate)
@@ -3047,6 +3081,10 @@ def snapshot_compact(
         return manifest  # nothing worth packing
     total = sum(sizes[f] for f in small)
     n_out = max(1, (total + target_file_bytes - 1) // target_file_bytes)
+    from pyspark.sql.types import _parse_datatype_string as _pds
+
+    if bloom_cols is not None:  # caller mistakes raise BEFORE the repack
+        _bloom_build_cols(_pds(manifest["schema"]), bloom_cols, explicit=True)
     # read through pending lazy-delete filters: compaction is also the
     # natural drain point that materializes them into clean bytes
     packed = _filtered_read(spark, manifest, small)
@@ -3063,10 +3101,6 @@ def snapshot_compact(
     else:
         packed = packed.repartition(n_out)
     new_files, _ = _write_data_files(packed, table_dir)
-    from pyspark.sql.types import _parse_datatype_string as _pds
-
-    if bloom_cols is not None:
-        _bloom_build_cols(_pds(manifest["schema"]), bloom_cols, explicit=True)
     bholder = {"entry": None, "built": False}
     bloom_fn = _bloom_fn_for(
         spark, table_dir, new_files, bloom_cols, _pds(manifest["schema"]),

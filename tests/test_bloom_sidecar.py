@@ -270,3 +270,38 @@ def test_explicit_bad_bloom_cols_raise_before_writing_bytes(spark, tmp_path):
     with pytest.raises(ValueError, match="integral or string"):
         snapshot_append(df, t, bloom_cols=["v"])
     assert not os.path.exists(os.path.join(t, "data"))
+
+
+def test_bloom_on_table_path_with_space_no_false_skip(spark, tmp_path):
+    """Review pass-2 CONFIRMED bug: _metadata.file_path is URL-encoded
+    ('a dir' → 'a%20dir') while the manifest stores the decoded
+    spelling — the sidecar must record the MANIFEST spelling or the
+    probe's candidate filter matches nothing and every file silently
+    prunes (0 rows for a present key)."""
+    t = str(tmp_path / "bloom dir" / "t")  # space → URL-encoding differs
+    df = spark.createDataFrame(
+        [(i, _docid(i)) for i in range(200)], "id bigint, doc_id string"
+    ).repartition(4)
+    snapshot_append(df, t, bloom_cols=["doc_id"])
+    for i in (0, 99, 199):
+        got = read_snapshot_where(spark, t, f"doc_id = '{_docid(i)}'")
+        assert got.count() == 1, i
+    # and pruning still bites (sidecar usable, not just conservative)
+    got = read_snapshot_where(spark, t, f"doc_id = '{_docid(42)}'")
+    assert len(got.inputFiles()) < 4
+
+
+def test_compact_explicit_bad_bloom_cols_raise_before_repack(spark, tmp_path):
+    """Review pass-2: compact validates explicit bloom_cols BEFORE
+    paying for the repack — no stranded packed files."""
+    import os
+
+    t = str(tmp_path / "t")
+    for i in range(3):
+        snapshot_append(
+            spark.createDataFrame([(i, 2.5)], "k bigint, v double"), t
+        )
+    data_dirs = set(os.listdir(os.path.join(t, "data")))
+    with pytest.raises(ValueError, match="integral or string"):
+        snapshot_compact(spark, t, bloom_cols=["v"])
+    assert set(os.listdir(os.path.join(t, "data"))) == data_dirs

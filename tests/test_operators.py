@@ -1642,3 +1642,22 @@ def test_weighted_sample_threshold_equals_topk_form(spark):
     )
     assert "TakeOrderedAndProject" not in plan
     spark.catalog.clearCache()
+
+
+def test_recommend_salt_profile_keys_order_insensitive(spark):
+    """Review pass-2: a key SET's group-size distribution is invariant
+    to key order — ['b','a'] must replay a profile built for
+    ['a','b']."""
+    from mini_project_204721_data_engineering_spark.operators.profile import (
+        key_skew_profile,
+    )
+    from mini_project_204721_data_engineering_spark.operators.skew import (
+        recommend_salt,
+    )
+
+    rows = [(0, 0, i) for i in range(400)] + [(k, 1, 0) for k in range(1, 51)]
+    df = spark.createDataFrame(rows, "a int, b int, id int")
+    prof = key_skew_profile(df, ["a", "b"], include_keys=True).collect()[0]
+    fwd = recommend_salt(None, ["a", "b"], n_partitions=32, profile=prof)
+    rev = recommend_salt(None, ["b", "a"], n_partitions=32, profile=prof)
+    assert fwd["n_salts"] == rev["n_salts"] > 1

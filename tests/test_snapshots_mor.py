@@ -721,3 +721,26 @@ def test_lazy_delete_refuses_subquery_predicates(spark, tmp_path):
     with pytest.raises(ValueError, match="subquery"):
         snapshot_delete_where(spark, t, "id < (SELECT 5)", lazy=True)
     assert _list_versions(spark, t) == [1]
+
+
+@pytest.mark.parametrize("lazy_mode", [True, "dv"])
+def test_space_in_table_path_never_resurrects_deletes(spark, tmp_path, lazy_mode):
+    """URL-encoding regression (review pass-2 discovery): scan-reported
+    paths ('a%20dir') must canonicalize to the manifest's decoded
+    spelling ('a dir') — a mismatched hit-file list would record a
+    takedown whose coverage set matches NO manifest file, and every
+    read would silently show the deleted rows again."""
+    t = str(tmp_path / "a dir" / "t")
+    snapshot_append(_df(spark, 0, 30).repartition(2), t)
+    m = snapshot_delete_where(spark, t, "id % 5 = 0", lazy=lazy_mode)
+    # the recorded coverage uses the MANIFEST spelling
+    assert set(m["row_filters"][0]["files"]) <= set(m["files"])
+    want = {i for i in range(30) if i % 5 != 0}
+    assert _ids(read_snapshot(spark, t)) == want
+    # CoW rewrite on the same table: hit files partition correctly too
+    snapshot_delete_where(spark, t, "id = 7")
+    assert _ids(read_snapshot(spark, t)) == want - {7}
+    # merge does not duplicate shared keys on a space path
+    snapshot_merge_into(_df(spark, 1, 3, "new"), t, ["id"])
+    got = read_snapshot(spark, t)
+    assert got.count() == got.select("id").distinct().count()

@@ -1199,7 +1199,8 @@ def probe_snap(spark, n: int, out: list) -> None:
         )
         snapshot_append(keyed, t_bl, bloom_cols=["doc_id"])
         snapshot_append(keyed, t_nobl)
-        needle_row = keyed.filter(F.col("id") == 12345).collect()[0]
+        needle_id = (n // 10) // 2  # mid-keyspace, valid for ANY probe n
+        needle_row = keyed.filter(F.col("id") == needle_id).collect()[0]
         needle = needle_row["doc_id"]
 
         def lookup(tbl):
