@@ -70,10 +70,13 @@ def key_skew_profile(df, keys, include_keys: bool = False):
     (at extreme cardinality swap percentile→percentile_approx).
 
     ``include_keys=True`` appends a ``keys`` column — the profiled key
-    list as a comma-joined string — so a CACHED profile carries its own
+    list as a JSON array string (JSON, not comma-joined: a column name
+    may itself contain a comma) — so a CACHED profile carries its own
     provenance and ``recommend_salt(profile=...)`` can refuse a profile
     computed for different keys instead of silently replaying it.
     (Opt-in to keep the default schema stable for existing callers.)"""
+    import json
+
     from pyspark.sql import functions as F
 
     counts = df.groupBy(*keys).agg(F.count(F.lit(1)).alias("__n"))
@@ -86,5 +89,5 @@ def key_skew_profile(df, keys, include_keys: bool = False):
         F.round(F.max("__n") / F.sum("__n"), 6).alias("hot_share"),
     ]
     if include_keys:
-        aggs.append(F.lit(",".join(keys)).alias("keys"))
+        aggs.append(F.lit(json.dumps([str(k) for k in keys])).alias("keys"))
     return counts.agg(*aggs)

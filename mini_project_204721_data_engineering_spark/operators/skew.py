@@ -91,7 +91,7 @@ def recommend_salt(
                 f"profile= is missing key_skew_profile fields: {sorted(missing)}"
             )
         if prof.get("keys") is not None and sorted(
-            prof["keys"].split(",")
+            _parse_profile_keys(prof["keys"])
         ) != sorted(str(k) for k in keys):
             # ORDER-insensitive: the group-size distribution under a key
             # SET is invariant to key order, so ['b','a'] replays a
@@ -128,6 +128,19 @@ def recommend_salt(
         f"{max_group / fair:.1f} fair shares ({fair:.1f} rows) — splitting "
         f"under {tolerance}x"))
     return out
+
+
+def _parse_profile_keys(raw: str) -> list[str]:
+    """The profile's recorded key list: a JSON array string (the format
+    ``key_skew_profile(include_keys=True)`` writes — JSON, not
+    comma-joined, so a column name containing a comma can neither fake
+    a match nor fail its own legitimate replay)."""
+    import json
+
+    parsed = json.loads(raw)
+    if not isinstance(parsed, list):
+        raise ValueError(f"profile keys field is not a JSON array: {raw!r}")
+    return [str(k) for k in parsed]
 
 
 def _resolve_salts(n_salts: int | Mapping) -> int:

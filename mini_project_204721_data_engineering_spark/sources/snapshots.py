@@ -695,6 +695,7 @@ def snapshot_overwrite(
         _bloom_build_cols(df.schema, bloom_cols, explicit=True)
     new_files, _ = _write_data_files(df, table_dir)
     holder = {"entry": None, "built": False}
+    fresh_cache: dict = {}  # one stats job per column set, not per lost race
 
     def stats_fn(parent, files):
         cols = _norm_stats(
@@ -704,7 +705,10 @@ def snapshot_overwrite(
         )
         # unresolvable expressions (schema change) drop inside
         # _file_stats; files then simply carry no stats for them
-        stats, meta = _file_stats(spark, new_files, cols)
+        key = "\x00".join(f"{a}={e}" for a, e in sorted(cols.items()))
+        if key not in fresh_cache:
+            fresh_cache[key] = _file_stats(spark, new_files, cols)
+        stats, meta = fresh_cache[key]
         return stats, cols, meta
 
     return _bloom_commit_guard(
@@ -958,6 +962,18 @@ def read_snapshot(
 import re as _re
 
 _NUM_RE = _re.compile(r"\d+(?:\.\d*)?(?:[eE][+-]?\d+)?|\.\d+(?:[eE][+-]?\d+)?")
+
+
+class _TypedStr(str):
+    """Marker for the VALUE of a ``DATE '...'`` / ``TIMESTAMP '...'``
+    literal during extraction.  Lives only inside ``_match_atom`` — the
+    atom records its column as typed and converts the value to a plain
+    str immediately, so set/dedupe machinery never has to preserve the
+    marker.  Why it matters: Spark compares a typed temporal literal
+    against a STRING column by casting the COLUMN (verified: ``s =
+    DATE '2024-01-01'`` matches s='2024-01-01 00:00:00'), so the
+    literal's text is NOT the comparison domain there — only
+    date/timestamp-typed columns may prune on it."""
 _DATE_RE = _re.compile(r"^\d{4}-\d{2}-\d{2}$")
 _TS_SEC_RE = _re.compile(r"^\d{4}-\d{2}-\d{2} \d{2}:\d{2}:\d{2}$")
 _TS_MIN_RE = _re.compile(r"^\d{4}-\d{2}-\d{2} \d{2}:\d{2}$")
@@ -1000,10 +1016,21 @@ def _normalize_prune_bounds(manifest: dict, prune: dict) -> dict:
         _parse_datatype_string,
     )
 
+    def strip_typed(p):
+        # a {"typed": req} wrapper needs the SCHEMA to prove the column
+        # is date/timestamp-typed; without that proof the column's
+        # pruning is disabled (the literal's text may not be the
+        # comparison domain — Spark casts a string COLUMN to the
+        # literal's type)
+        return {
+            c: r for c, r in p.items()
+            if not (isinstance(r, dict) and "typed" in r)
+        }
+
     try:
         fields = _parse_datatype_string(manifest.get("schema") or "").fields
     except Exception:
-        return prune  # unparseable schema: compare raw (conservative)
+        return strip_typed(prune)  # unparseable schema: raw, minus typed
     ts_cols = {
         f.name for f in fields if isinstance(f.dataType, TimestampNTZType)
     }
@@ -1017,7 +1044,7 @@ def _normalize_prune_bounds(manifest: dict, prune: dict) -> dict:
     tz_cols = {f.name for f in fields if isinstance(f.dataType, TimestampType)}
     date_cols = {f.name for f in fields if isinstance(f.dataType, DateType)}
     if not ts_cols and not date_cols and not tz_cols:
-        return prune
+        return strip_typed(prune)
     _SKIP = object()
 
     def fix(col, v):
@@ -1046,6 +1073,13 @@ def _normalize_prune_bounds(manifest: dict, prune: dict) -> dict:
         return v
 
     def fix_req(c, r):
+        if isinstance(r, dict) and "typed" in r:
+            if c in ts_cols or c in date_cols or c in tz_cols:
+                # a temporal column: the typed literal compares in the
+                # column's own domain — the existing spelling rules
+                # (incl. tz disablement) apply to the inner request
+                return fix_req(c, r["typed"])
+            return _SKIP  # string/numeric column: the CAST flips sides
         if isinstance(r, dict) and "null" in r:
             return r  # nullness requests carry no spellings to align
         if isinstance(r, dict):
@@ -1288,12 +1322,20 @@ def _predicate_prune_ranges(predicate: str) -> dict:
         tokens = _predicate_tokens(predicate)
     except ValueError:
         return {}
+    # columns compared to a DATE/TIMESTAMP-TYPED literal anywhere in
+    # the predicate: their requests get a {"typed": req} wrapper that
+    # only date/timestamp-typed columns may unwrap at normalization —
+    # on a STRING column the cast flips to the COLUMN side and the
+    # literal's text is not the comparison domain (mis-prune hazard)
+    typed_cols: set = set()
 
     def is_kw(t, kw):
         return t[0] == "id" and t[1].upper() == kw
 
     def literal(toks):
-        """One literal from the token list: value or None."""
+        """One literal from the token list: value or None.  Typed
+        temporal literals come back as :class:`_TypedStr` so the atom
+        matcher can record the column as typed."""
         if len(toks) == 1 and toks[0][0] in ("num", "str"):
             return toks[0][1]
         if (
@@ -1302,7 +1344,7 @@ def _predicate_prune_ranges(predicate: str) -> dict:
             and toks[0][1].upper() in ("DATE", "TIMESTAMP")
             and toks[1][0] == "str"
         ):
-            return toks[1][1]
+            return _TypedStr(toks[1][1])
         return None
 
     def split_and(toks):
@@ -1406,18 +1448,32 @@ def _predicate_prune_ranges(predicate: str) -> dict:
                 for col, rng in extract(chunk).items():
                     _merge_range(ranges, col, rng)
                 continue
-            got = _match_atom(chunk, is_kw, literal)
+            got = _match_atom(chunk, is_kw, literal, typed_cols)
             if got:
                 _merge_range(ranges, got[0], got[1])
         return ranges
 
-    return extract(tokens)
+    out = extract(tokens)
+    for c in typed_cols:
+        if c in out and out[c] is not None:
+            out[c] = {"typed": out[c]}
+    return out
 
 
-def _match_atom(chunk, is_kw, literal):
+def _plain_lit(v, col, typed_cols):
+    """Record a typed literal's column and strip the marker — requests
+    are built over plain values so downstream set/dedupe machinery
+    can't lose the marker; the wrapper is applied whole-column."""
+    if isinstance(v, _TypedStr):
+        typed_cols.add(col)
+        return str(v)
+    return v
+
+
+def _match_atom(chunk, is_kw, literal, typed_cols):
     """One conjunct → ``(col, (lo, hi))`` or None (no contribution)."""
     if not chunk or chunk[0][0] != "id" or is_kw(chunk[0], "NOT"):
-        return _match_flipped(chunk, literal)
+        return _match_flipped(chunk, literal, typed_cols)
     col = chunk[0][1]
     rest = chunk[1:]
     if rest and is_kw(rest[0], "IS"):
@@ -1433,6 +1489,7 @@ def _match_atom(chunk, is_kw, literal):
         v = literal(rest[1:])
         if v is None:
             return None
+        v = _plain_lit(v, col, typed_cols)
         op = rest[0][1]
         if op in ("=", "=="):
             return col, (v, v)
@@ -1446,7 +1503,10 @@ def _match_atom(chunk, is_kw, literal):
                 hi = literal(rest[k + 1 :])
                 if lo is None or hi is None:
                     return None
-                return col, (lo, hi)
+                return col, (
+                    _plain_lit(lo, col, typed_cols),
+                    _plain_lit(hi, col, typed_cols),
+                )
         return None
     if rest and is_kw(rest[0], "IN") and len(rest) >= 4:
         if rest[1] != ("op", "(") or rest[-1] != ("op", ")"):
@@ -1462,16 +1522,17 @@ def _match_atom(chunk, is_kw, literal):
         lits = [literal(v) for v in vals]
         if any(v is None for v in lits):
             return None
+        lits = [_plain_lit(v, col, typed_cols) for v in lits]
         # the SET itself, not its (min, max) envelope: _prune_files
         # tests each member against a file's range, so IN (5, 999999)
         # skips every file strictly between the two values.  frozenset,
         # NOT list: a caller's 2-element list keeps its historical
         # RANGE meaning on the public prune= API
         return col, frozenset(lits)
-    return _match_flipped(chunk, literal)
+    return _match_flipped(chunk, literal, typed_cols)
 
 
-def _match_flipped(chunk, literal):
+def _match_flipped(chunk, literal, typed_cols):
     """``literal OP col`` orientation: ``5 < a`` ≡ ``a > 5``."""
     if (
         len(chunk) >= 3
@@ -1483,6 +1544,7 @@ def _match_flipped(chunk, literal):
         if v is None:
             return None
         col, op = chunk[-1][1], chunk[-2][1]
+        v = _plain_lit(v, col, typed_cols)
         if op in ("=", "=="):
             return col, (v, v)
         if op in ("<", "<="):  # lit < col → col > lit
@@ -2095,14 +2157,14 @@ def snapshot_count(
     the predicate — file-skipping cost, exact row semantics (per-row
     evaluation cannot come from min/max bounds).  Either way the result
     always equals ``read_snapshot(...).filter(where).count()``."""
-    manifest = _resolve_manifest(spark, table_dir, version, as_of)
-    files = manifest["files"]
     if where is not None:
         # ONE planning pipeline: any future change to how a predicate
         # plans (extraction, bloom probing) applies to counts for free
         return read_snapshot_where(
             spark, table_dir, where, version=version, as_of=as_of
         ).count()
+    manifest = _resolve_manifest(spark, table_dir, version, as_of)
+    files = manifest["files"]
     fmap = _filter_map(manifest)
     meta = manifest.get("file_meta", {})
     total = 0
@@ -2236,7 +2298,19 @@ def snapshot_min_max(
             return datetime.datetime.fromisoformat(v)
         return v
 
-    return out(min(los)), out(max(his))
+    def is_nan(v):
+        return isinstance(v, float) and v != v
+
+    # Spark orders NaN GREATEST: max is NaN when any file holds one,
+    # min ignores NaN unless every value is NaN.  Python's min/max are
+    # order-dependent around NaN (min([nan, 1]) != min([1, nan])), so
+    # the combine must apply Spark's rule explicitly.
+    hi = next((v for v in his if is_nan(v)), None)
+    if hi is None:
+        hi = max(his)
+    real_lo = [v for v in los if not is_nan(v)]
+    lo = min(real_lo) if real_lo else los[0]
+    return out(lo), out(hi)
 
 
 def snapshot_plan_info(

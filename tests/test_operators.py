@@ -328,7 +328,7 @@ def test_recommend_salt_validates_profile_keys(spark):
     rows = [(0, i) for i in range(900)] + [(k, 0) for k in range(1, 101)]
     df = spark.createDataFrame(rows, "k int, id int")
     prof = key_skew_profile(df, ["k"], include_keys=True).collect()[0]
-    assert prof["keys"] == "k"
+    assert prof["keys"] == '["k"]'  # JSON array, comma-in-name safe
     ok = recommend_salt(None, ["k"], n_partitions=32, profile=prof)
     assert ok["n_salts"] > 1
     with _pytest.raises(ValueError, match="computed for keys"):

@@ -32,9 +32,10 @@ def _ids(df):
     ("id >= 10 AND id < 20", {"id": (10, 20)}),
     ("ts BETWEEN '2024-01-01' AND '2024-02-01' AND k = 5",
      {"ts": ("2024-01-01", "2024-02-01"), "k": (5, 5)}),
-    ("day = DATE '2024-01-02'", {"day": ("2024-01-02", "2024-01-02")}),
+    ("day = DATE '2024-01-02'",
+     {"day": {"typed": ("2024-01-02", "2024-01-02")}}),
     ("ts < TIMESTAMP '2024-01-01 03:00:00'",
-     {"ts": (None, "2024-01-01 03:00:00")}),
+     {"ts": {"typed": (None, "2024-01-01 03:00:00")}}),
     ("id IN (3, 7, 5)", {"id": frozenset({3, 7, 5})}),  # SET, not envelope
     ("id IN (3, 7, 5) AND id >= 5", {"id": frozenset({7, 5})}),  # set ∧ range
     ("id IN (3, 7) AND id IN (7, 9)", {"id": frozenset({7})}),  # set ∧ set
@@ -51,7 +52,7 @@ def _ids(df):
      {"ts": None}),  # fractions never compare as text
     # identical spelling class stays sharp
     ("day IN (DATE '2024-01-01', DATE '2024-03-01') AND day >= DATE '2024-02-01'",
-     {"day": frozenset({"2024-03-01"})}),
+     {"day": {"typed": frozenset({"2024-03-01"})}}),
     ("5 <= id AND 10 > id", {"id": (5, 10)}),  # literal-on-the-left flips
     ("(id > 5) AND (id < 9)", {"id": (5, 9)}),
     ("(a BETWEEN 1 AND 5 AND b = 2)", {"a": (1, 5), "b": (2, 2)}),
@@ -570,7 +571,7 @@ def test_timed_spellings_on_date_columns_never_drop(spark, tmp_path):
     sharp = _predicate_prune_ranges(
         "(d BETWEEN DATE '2024-01-05' AND DATE '2024-01-01') OR d = DATE '2025-06-01'"
     )
-    assert sharp["d"]["any"] == [("2025-06-01", "2025-06-01")]
+    assert sharp["d"]["typed"]["any"] == [("2025-06-01", "2025-06-01")]
 
 
 def test_null_pruning_end_to_end(spark, tmp_path):
@@ -734,3 +735,46 @@ def test_null_extraction_pruning_soundness_property(tree, row):
         "file_meta": {"f": {"rows": 1, "bytes": 1}},
     }
     assert _prune_files(manifest, ranges) == ["f"], (sql, row, ranges)
+
+
+def test_typed_literal_on_string_column_never_misprunes(spark, tmp_path):
+    """Review pass-3 CONFIRMED bug: Spark compares a DATE/TIMESTAMP
+    literal against a STRING column by casting the COLUMN — the
+    literal's text is not the comparison domain, so text-order pruning
+    (and bloom hashing) on it mis-pruned files whose stored text
+    differs from the literal yet casts equal.  Typed literals now
+    disable string-column pruning; date/timestamp columns keep it."""
+    t = str(tmp_path / "t")
+    a = spark.createDataFrame(
+        [(1, "2024-01-01 00:00:00")], "id bigint, s string"
+    )
+    b = spark.createDataFrame(
+        [(2, "2025-05-05 00:00:00")], "id bigint, s string"
+    )
+    snapshot_append(a.repartition(1), t, stats_cols=["s"])
+    snapshot_append(b.repartition(1), t)
+    for pred in ("s = DATE '2024-01-01'", "s = TIMESTAMP '2024-01-01 00:00'"):
+        got = read_snapshot_where(spark, t, pred)
+        want = read_snapshot(spark, t).filter(pred)
+        assert _ids(got) == _ids(want) == {1}, pred
+    # untyped text equality on the same column stays sharp (1 of 2)
+    got2 = read_snapshot_where(spark, t, "s = '2024-01-01 00:00:00'")
+    assert len(got2.inputFiles()) == 1 and _ids(got2) == {1}
+    # extraction level: typed wrapper on a string column disables,
+    # plain text does not
+    assert _predicate_prune_ranges("s = DATE '2024-01-01'") == {
+        "s": {"typed": ("2024-01-01", "2024-01-01")}
+    }
+
+
+def test_typed_literal_on_string_bloom_column_keeps_files(spark, tmp_path):
+    """The bloom probe must not hash a typed literal's text against a
+    string column's filter (same cast-domain hazard)."""
+    t = str(tmp_path / "t")
+    df = spark.createDataFrame(
+        [(1, "2024-01-01 00:00:00"), (2, "2025-05-05 00:00:00")],
+        "id bigint, s string",
+    )
+    snapshot_append(df.repartition(2), t, bloom_cols=["s"])
+    got = read_snapshot_where(spark, t, "s = DATE '2024-01-01'")
+    assert _ids(got) == {1}

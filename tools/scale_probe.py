@@ -1203,17 +1203,19 @@ def probe_snap(spark, n: int, out: list) -> None:
         needle_row = keyed.filter(F.col("id") == needle_id).collect()[0]
         needle = needle_row["doc_id"]
 
+        files_seen: dict = {}
+
         def lookup(tbl):
             def go():
                 q = read_snapshot_where(spark, tbl, f"doc_id = '{needle}'")
+                files_seen[tbl] = len(q.inputFiles())
                 assert q.count() == 1
-                return len(q.inputFiles())
+                return files_seen[tbl]
             return go
 
         lb = timed("point_lookup_bloom", lookup(t_bl), out)
         ln = timed("point_lookup_no_bloom", lookup(t_nobl), out)
-        f_bl = lookup(t_bl)()
-        f_nobl = lookup(t_nobl)()
+        f_bl, f_nobl = files_seen[t_bl], files_seen[t_nobl]
         assert f_bl < f_nobl
         print(json.dumps({
             "probe": "bloom_point_lookup",
