@@ -135,6 +135,16 @@ def heavy_hitters(
     from fractions import Fraction
 
     frac = Fraction(str(threshold))
+    if frac.denominator >= 10**24:
+        # a denominator this size (thresholds below ~1e-8 spelled to
+        # 17 significant digits) would overflow the decimal(38,0)
+        # product against a big N — refuse with the fix in hand rather
+        # than return nulls from a silent decimal overflow
+        raise ValueError(
+            f"threshold={threshold} requires denominator "
+            f"{frac.denominator} for exact share arithmetic — round the "
+            "threshold to fewer significant decimals (e.g. 1e-6, 5e-7)"
+        )
     if candidates not in ("mg", "freqItems"):
         raise ValueError(
             f"candidates must be 'mg' or 'freqItems' (got {candidates!r})"
@@ -251,12 +261,16 @@ def heavy_hitters(
         .agg(F.count(F.lit(1)).alias(count_col))
         .crossJoin(F.broadcast(total))
         # count/N >= numer/denom in exact integer arithmetic; decimal(38)
-        # because count × denom can pass 2^63 (denom ≤ 1e17 for a float's
-        # 17-digit decimal spelling, count up to 1e12 rows → ≤ 1e29,
-        # comfortably inside 38 digits at scale 0 — exact, no rounding)
+        # literals spelled as STRINGS because numer/denom can pass 2^63
+        # (a float's 17-digit decimal spelling can need a 1e20
+        # denominator — F.lit would raise NumberFormatException); with
+        # the denominator capped at 1e24 above, count × denom stays
+        # inside 38 digits at scale 0 — exact, no rounding
         .filter(
-            F.col(count_col).cast("decimal(38,0)") * F.lit(frac.denominator)
-            >= F.lit(frac.numerator) * F.col("__N").cast("decimal(38,0)")
+            F.col(count_col).cast("decimal(38,0)")
+            * F.expr(f"CAST('{frac.denominator}' AS DECIMAL(38,0))")
+            >= F.expr(f"CAST('{frac.numerator}' AS DECIMAL(38,0))")
+            * F.col("__N").cast("decimal(38,0)")
         )
         .drop("__N")
     )

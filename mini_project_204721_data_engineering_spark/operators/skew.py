@@ -97,10 +97,10 @@ def recommend_salt(
             # SET is invariant to key order, so ['b','a'] replays a
             # profile built for ['a','b']
             raise ValueError(
-                f"profile= was computed for keys [{prof['keys']}] but this "
-                f"call asks about [{','.join(keys)}] — a replayed profile "
-                "must match the keys it measured (rebuild with "
-                "key_skew_profile(df, keys, include_keys=True))"
+                f"profile= was computed for keys {prof['keys']} but this "
+                f"call asks about [{','.join(str(k) for k in keys)}] — a "
+                "replayed profile must match the keys it measured (rebuild "
+                "with key_skew_profile(df, keys, include_keys=True))"
             )
     else:
         if df is None:

@@ -695,28 +695,17 @@ def snapshot_overwrite(
         _bloom_build_cols(df.schema, bloom_cols, explicit=True)
     new_files, _ = _write_data_files(df, table_dir)
     holder = {"entry": None, "built": False}
-    fresh_cache: dict = {}  # one stats job per column set, not per lost race
 
-    def stats_fn(parent, files):
-        cols = _norm_stats(
-            stats_cols
-            if stats_cols is not None
-            else (parent or {}).get("stats_cols", [])
-        )
-        # unresolvable expressions (schema change) drop inside
-        # _file_stats; files then simply carry no stats for them
-        key = "\x00".join(f"{a}={e}" for a, e in sorted(cols.items()))
-        if key not in fresh_cache:
-            fresh_cache[key] = _file_stats(spark, new_files, cols)
-        stats, meta = fresh_cache[key]
-        return stats, cols, meta
-
+    # _compose_stats serves the overwrite too: its parent-carry branch
+    # never fires (every file is freshly written), leaving exactly the
+    # sticky-column resolution + memoized fresh stats an overwrite
+    # needs — one shared implementation, one place to fix
     return _bloom_commit_guard(
         spark, table_dir, holder,
         lambda: _commit(
             spark, table_dir, "overwrite", lambda parent: list(new_files),
             df.schema.simpleString(), meta={"added_files": len(new_files)},
-            stats_fn=stats_fn,
+            stats_fn=_compose_stats(spark, new_files, stats_cols),
             bloom_fn=_bloom_fn_for(
                 spark, table_dir, new_files, bloom_cols, df.schema, holder
             ),
@@ -3135,6 +3124,14 @@ def snapshot_compact(
     if not versions:
         raise ValueError(f"no snapshots at {table_dir}")
     manifest = _read_manifest(spark, table_dir, versions[-1])
+    from pyspark.sql.types import _parse_datatype_string as _pds
+
+    if bloom_cols is not None:
+        # caller mistakes raise immediately — BEFORE the repack, and
+        # regardless of whether this particular call finds anything to
+        # pack (a nothing-to-do no-op must not mask a typo that will
+        # start raising weeks later when small files accumulate)
+        _bloom_build_cols(_pds(manifest["schema"]), bloom_cols, explicit=True)
     fs, _, jvm = _fs_for(spark, table_dir)
     # sizes come from the manifest's file_meta — at 1e5 files that is
     # the difference between a dict lookup and 1e5 getFileStatus RPCs
@@ -3155,10 +3152,6 @@ def snapshot_compact(
         return manifest  # nothing worth packing
     total = sum(sizes[f] for f in small)
     n_out = max(1, (total + target_file_bytes - 1) // target_file_bytes)
-    from pyspark.sql.types import _parse_datatype_string as _pds
-
-    if bloom_cols is not None:  # caller mistakes raise BEFORE the repack
-        _bloom_build_cols(_pds(manifest["schema"]), bloom_cols, explicit=True)
     # read through pending lazy-delete filters: compaction is also the
     # natural drain point that materializes them into clean bytes
     packed = _filtered_read(spark, manifest, small)

@@ -305,3 +305,13 @@ def test_compact_explicit_bad_bloom_cols_raise_before_repack(spark, tmp_path):
     with pytest.raises(ValueError, match="integral or string"):
         snapshot_compact(spark, t, bloom_cols=["v"])
     assert set(os.listdir(os.path.join(t, "data"))) == data_dirs
+
+
+def test_compact_bad_bloom_cols_raise_even_when_nothing_to_pack(spark, tmp_path):
+    """Review pass-4: a mistyped bloom_cols= must raise on a table with
+    <2 small files too — a silent no-op would mask the typo until small
+    files accumulate weeks later."""
+    t = str(tmp_path / "t")
+    snapshot_append(spark.createDataFrame([(1, 2.5)], "k bigint, v double"), t)
+    with pytest.raises(ValueError, match="integral or string"):
+        snapshot_compact(spark, t, bloom_cols=["v"])

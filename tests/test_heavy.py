@@ -204,3 +204,19 @@ def test_freqitems_refuses_thresholds_below_its_support_floor(spark):
         heavy_hitters(df, ["k"], 4e-5, candidates="freqItems")
     # the MG path has no floor: same threshold is accepted
     assert heavy_hitters(df, ["k"], 4e-5, candidates="mg").count() == 1
+
+
+def test_tiny_threshold_full_precision_mg_path_works(spark):
+    """Review pass-4 regression: a threshold whose 17-digit decimal
+    spelling needs a >int64 denominator (1e20 here) must not crash the
+    mg path's exact filter — big-int operands spell as decimal
+    literals, never F.lit."""
+    rows = [("hot",)] * 50 + [(f"u{j}",) for j in range(50)]
+    df = spark.createDataFrame(rows, "k string").repartition(4)
+    th = 7.123456789012345e-05  # denominator 1e20 in exact form
+    got = _got(df, ["k"], th, summary_size=20000)
+    assert got[("hot",)] == 50  # every key qualifies at this tiny θ
+    # absurd precision/denominator refuses with guidance, not nulls
+    with pytest.raises(ValueError, match="round the threshold"):
+        heavy_hitters(df, ["k"], 1.2345678901234567e-25,
+                      summary_size=10**26)

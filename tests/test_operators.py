@@ -1661,3 +1661,21 @@ def test_recommend_salt_profile_keys_order_insensitive(spark):
     fwd = recommend_salt(None, ["a", "b"], n_partitions=32, profile=prof)
     rev = recommend_salt(None, ["b", "a"], n_partitions=32, profile=prof)
     assert fwd["n_salts"] == rev["n_salts"] > 1
+
+
+def test_recommend_salt_nonstring_keys_mismatch_raises_valueerror(spark):
+    """Review pass-4: the refusal must be the documented ValueError even
+    with non-string keys (the message formatting must not TypeError)."""
+    import pytest as _pytest
+
+    from mini_project_204721_data_engineering_spark.operators.profile import (
+        key_skew_profile,
+    )
+    from mini_project_204721_data_engineering_spark.operators.skew import (
+        recommend_salt,
+    )
+
+    df = spark.createDataFrame([(0, i) for i in range(50)], "k int, id int")
+    prof = key_skew_profile(df, ["k"], include_keys=True).collect()[0]
+    with _pytest.raises(ValueError, match="computed for keys"):
+        recommend_salt(None, [1, 2], n_partitions=32, profile=prof)
