@@ -89,5 +89,9 @@ def key_skew_profile(df, keys, include_keys: bool = False):
         F.round(F.max("__n") / F.sum("__n"), 6).alias("hot_share"),
     ]
     if include_keys:
-        aggs.append(F.lit(json.dumps([str(k) for k in keys])).alias("keys"))
+        # RESOLVED names from the grouped frame, not str(k): a Column
+        # key (legal for groupBy) would otherwise record repr garbage
+        # and fail its own legitimate replay in recommend_salt
+        names = counts.columns[:-1]  # group columns precede __n
+        aggs.append(F.lit(json.dumps(names)).alias("keys"))
     return counts.agg(*aggs)

@@ -2325,8 +2325,10 @@ def snapshot_plan_info(
     jobs (the default stays zero-job, so its file counts are an UPPER
     bound on the bloom-assisted plan).  Files without ``file_meta``
     (pre-row-count commits) count toward ``files_*`` but contribute
-    unknown bytes/rows; their number is reported as
-    ``meta_unknown_files``."""
+    unknown bytes/rows; ``meta_unknown_files`` counts them over the
+    WHOLE snapshot (the gap in the ``*_total`` figures) and
+    ``meta_unknown_planned`` over the planned subset — a pruned-away
+    meta-less file must not make the totals look complete."""
     manifest = _resolve_manifest(spark, table_dir, version, as_of)
     files = manifest["files"]
     planned = files
@@ -2351,7 +2353,8 @@ def snapshot_plan_info(
         "bytes_planned": total(planned, "bytes"),
         "rows_total": total(files, "rows"),
         "rows_planned": total(planned, "rows"),
-        "meta_unknown_files": sum(1 for f in planned if f not in meta),
+        "meta_unknown_files": sum(1 for f in files if f not in meta),
+        "meta_unknown_planned": sum(1 for f in planned if f not in meta),
     }
 
 
@@ -3190,10 +3193,20 @@ def snapshot_compact(
             )
         return [f for f in parent["files"] if f not in small_set] + new_files
 
+    # schema re-derives from the WINNING parent: compaction tolerates
+    # concurrent appends, and one of them may have additively evolved
+    # the schema (merge_schema widening / new column) — committing the
+    # planning-time schema would silently revert that evolution and pin
+    # the interloper's wider file to a narrower read.  The packed files
+    # read fine under the evolved schema (scan-time upcast / NULL new
+    # columns), exactly like any other pre-evolution file.
     return _bloom_commit_guard(
         spark, table_dir, bholder,
         lambda: _commit(
-            spark, table_dir, "compact", files_fn, manifest["schema"],
+            spark, table_dir, "compact", files_fn,
+            lambda parent: (
+                parent["schema"] if parent is not None else manifest["schema"]
+            ),
             meta={"compacted_files": len(small), "produced_files": len(new_files),
                   **({"zorder_by": list(zorder_by)} if zorder_by else {})},
             stats_fn=_compose_stats(spark, new_files, zorder_by),

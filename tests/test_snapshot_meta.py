@@ -281,7 +281,13 @@ def test_plan_info_reports_unknown_meta_files(spark, tmp_path):
         json.dump(m, fh)
     info = snapshot_plan_info(spark, t)
     assert info["files_total"] == 2 and info["meta_unknown_files"] == 1
+    assert info["meta_unknown_planned"] == 1
     assert info["rows_total"] == 10  # only the known file's rows
+    # a predicate pruning AWAY the meta-less file must still report the
+    # totals' gap (review pass-5: a complete-looking total misprices
+    # the selectivity ratio)
+    snap = snapshot_plan_info(spark, t, "id IS NOT NULL")
+    assert snap["meta_unknown_files"] == 1
     assert snapshot_count(spark, t) == 20  # exact: scans the unknown file
 
 
@@ -382,3 +388,41 @@ def test_min_max_decimal_and_binary_scan_fallback(spark, tmp_path):
     snapshot_append(df.repartition(1), t, stats_cols=["amt"])
     lo, hi = snapshot_min_max(spark, t, "amt")
     assert lo == Decimal("5.25") and hi == Decimal("99.10")
+
+
+def test_compact_retry_adopts_winning_schema_evolution(spark, tmp_path):
+    """Review pass-5: compaction tolerates concurrent appends — when the
+    interloper additively EVOLVED the schema, the compact's winning
+    retry must commit the evolved schema, not its stale planning-time
+    one (which would pin the interloper's wider file to a narrower
+    read or vanish its new column)."""
+    from mini_project_204721_data_engineering_spark.sources import (
+        snapshots as S,
+    )
+
+    t = str(tmp_path / "t")
+    narrow = spark.createDataFrame([(i,) for i in range(10)], "k int")
+    snapshot_append(narrow.repartition(1), t)
+    snapshot_append(
+        spark.createDataFrame([(i,) for i in range(10, 20)], "k int"), t
+    )
+    wide = spark.createDataFrame([(1000,)], "k bigint")
+    real_write = S._try_write_manifest
+
+    def racing(spark_, table_dir_, version, manifest):
+        if manifest["op"] == "compact" and not getattr(racing, "raced", False):
+            racing.raced = True
+            # the widening append lands FIRST, stealing this version
+            snapshot_append(wide, t, merge_schema=True)
+        return real_write(spark_, table_dir_, version, manifest)
+
+    S._try_write_manifest = racing
+    try:
+        m = snapshot_compact(spark, t)
+    finally:
+        S._try_write_manifest = real_write
+    assert getattr(racing, "raced", False)
+    assert m["schema"] == "struct<k:bigint>"  # evolution survives
+    got = read_snapshot(spark, t)
+    assert got.schema.simpleString() == "struct<k:bigint>"
+    assert {r["k"] for r in got.collect()} == set(range(20)) | {1000}
