@@ -92,7 +92,7 @@ def recommend_salt(
             )
         if prof.get("keys") is not None and sorted(
             _parse_profile_keys(prof["keys"])
-        ) != sorted(str(k) for k in keys):
+        ) != sorted(_key_name(k) for k in keys):
             # ORDER-insensitive: the group-size distribution under a key
             # SET is invariant to key order, so ['b','a'] replays a
             # profile built for ['a','b']
@@ -128,6 +128,22 @@ def recommend_salt(
         f"{max_group / fair:.1f} fair shares ({fair:.1f} rows) — splitting "
         f"under {tolerance}x"))
     return out
+
+
+def _key_name(k) -> str:
+    """A key's resolved name for provenance comparison: Column objects
+    (legal groupBy keys — the profile records their RESOLVED names)
+    render via their JVM expression string, not Python's repr
+    (``Column<'a'>`` would fail its own legitimate replay)."""
+    if isinstance(k, str):
+        return k
+    jc = getattr(k, "_jc", None)
+    if jc is not None:
+        try:
+            return str(jc.toString())
+        except Exception:
+            pass
+    return str(k)
 
 
 def _parse_profile_keys(raw: str) -> list[str]:

@@ -495,7 +495,7 @@ def _file_stats(
 
     if not files:
         return {}, {}
-    _, _, jvm = _fs_for(spark, files[0])
+    fs, _, jvm = _fs_for(spark, files[0])
     scan = spark.read.parquet(*files)
     # a merge_schema append may legitimately omit a stats column — those
     # files simply record no stats for it (never pruned on it) instead
@@ -549,6 +549,19 @@ def _file_stats(
                     int(r[f"__nl_{c}"]),
                 ]
                 for c in cols
+            }
+    # ZERO-ROW files produce no group: backfill rows=0 (+ the file's
+    # real size) so the metadata-only invariant holds unconditionally —
+    # an explicit repartition(k) routinely writes empty part files, and
+    # a missing entry would put them in snapshot_count's scan-fallback
+    # set on EVERY call, forever (carried files never re-scan)
+    for f in files:
+        if f not in meta_out:
+            meta_out[f] = {
+                "rows": 0,
+                "bytes": int(
+                    fs.getFileStatus(jvm.org.apache.hadoop.fs.Path(f)).getLen()
+                ),
             }
     return stats_out, meta_out
 
@@ -651,7 +664,6 @@ def snapshot_append(
     if bloom_cols is not None:  # caller mistakes raise BEFORE bytes move
         _bloom_build_cols(df.schema, bloom_cols, explicit=True)
     new_files, _ = _write_data_files(df, table_dir)
-    holder = {"entry": None, "built": False}
 
     def files_fn(parent):
         if not merge_schema:
@@ -663,15 +675,13 @@ def snapshot_append(
             return ddl
         return _merged_schema(parent["schema"], df.schema)
 
-    return _bloom_commit_guard(
-        spark, table_dir, holder,
-        lambda: _commit(
+    return _bloom_guarded_commit(
+        spark, table_dir, new_files, bloom_cols, df.schema,
+        lambda bloom_fn: _commit(
             spark, table_dir, "append", files_fn, schema_fn,
             meta={"added_files": len(new_files)},
             stats_fn=_compose_stats(spark, new_files, stats_cols),
-            bloom_fn=_bloom_fn_for(
-                spark, table_dir, new_files, bloom_cols, df.schema, holder
-            ),
+            bloom_fn=bloom_fn,
         ),
     )
 
@@ -694,21 +704,18 @@ def snapshot_overwrite(
     if bloom_cols is not None:
         _bloom_build_cols(df.schema, bloom_cols, explicit=True)
     new_files, _ = _write_data_files(df, table_dir)
-    holder = {"entry": None, "built": False}
 
     # _compose_stats serves the overwrite too: its parent-carry branch
     # never fires (every file is freshly written), leaving exactly the
     # sticky-column resolution + memoized fresh stats an overwrite
     # needs — one shared implementation, one place to fix
-    return _bloom_commit_guard(
-        spark, table_dir, holder,
-        lambda: _commit(
+    return _bloom_guarded_commit(
+        spark, table_dir, new_files, bloom_cols, df.schema,
+        lambda bloom_fn: _commit(
             spark, table_dir, "overwrite", lambda parent: list(new_files),
             df.schema.simpleString(), meta={"added_files": len(new_files)},
             stats_fn=_compose_stats(spark, new_files, stats_cols),
-            bloom_fn=_bloom_fn_for(
-                spark, table_dir, new_files, bloom_cols, df.schema, holder
-            ),
+            bloom_fn=bloom_fn,
         ),
     )
 
@@ -1127,10 +1134,12 @@ def _prune_files(manifest: dict, prune: dict) -> list[str]:
         return []  # unsatisfiable conjunct: independent of any stats
 
     def keep(f: str) -> bool:
+        rows = (meta.get(f) or {}).get("rows")
+        if rows == 0:
+            return False  # an empty file satisfies NO request
         fstats = stats.get(f)
         if not fstats:
             return True
-        rows = (meta.get(f) or {}).get("rows")
         for col, req in prune.items():
             rng = fstats.get(col)
             if not rng:
@@ -1979,6 +1988,23 @@ def _bloom_commit_guard(spark, table_dir, holder, thunk):
         raise
 
 
+def _bloom_guarded_commit(
+    spark, table_dir, new_files, bloom_cols, schema, commit_fn
+):
+    """One owner for a bloom-building commit's sidecar lifecycle — the
+    lazily-built entry (holder), its ``bloom_fn``, and the abort guard
+    — shared by append/overwrite/compact so the crash discipline lives
+    in exactly one place.  ``commit_fn(bloom_fn)`` runs the actual
+    ``_commit``."""
+    holder = {"entry": None, "built": False}
+    bloom_fn = _bloom_fn_for(
+        spark, table_dir, new_files, bloom_cols, schema, holder
+    )
+    return _bloom_commit_guard(
+        spark, table_dir, holder, lambda: commit_fn(bloom_fn)
+    )
+
+
 def _eq_values(req) -> set | None:
     """The finite literal set an equality-shaped prune request pins
     (``= lit`` / ``IN (...)`` / unions of those), else None — the only
@@ -2093,13 +2119,18 @@ def _bloom_prune_files(
             wm.append((h1 % e["n_words"], mask_of(h2)))
         words = sorted({w for w, _ in wm})
         want.append((pi, wm))
+        flt = (F.col("col") == col) & F.col("word").isin(words)
+        if len(cand) <= 64:
+            # candidate pushdown only when the IN-list stays small: at
+            # 1e5 candidate files (the hash-key lookup case, where
+            # range pruning cut nothing) a 1e5-literal In() is itself
+            # a driver planning stall; the word filter already bounds
+            # the collect, and the driver decision loop only consults
+            # candidate files regardless
+            flt = flt & F.col("file").isin(cand)
         scans.append(
             spark.read.parquet(e["sidecar"])
-            .filter(
-                (F.col("col") == col)
-                & F.col("file").isin(cand)
-                & F.col("word").isin(words)
-            )
+            .filter(flt)
             .select(F.lit(pi).alias("pi"), "file", "word", "bits")
         )
     side = scans[0]
@@ -3171,11 +3202,6 @@ def snapshot_compact(
     else:
         packed = packed.repartition(n_out)
     new_files, _ = _write_data_files(packed, table_dir)
-    bholder = {"entry": None, "built": False}
-    bloom_fn = _bloom_fn_for(
-        spark, table_dir, new_files, bloom_cols, _pds(manifest["schema"]),
-        bholder,
-    )
     small_set = set(small)
     # compaction stays APPEND-tolerant (appends only add files), but the
     # filter state of the files it packed must not have moved: a
@@ -3200,9 +3226,9 @@ def snapshot_compact(
     # the interloper's wider file to a narrower read.  The packed files
     # read fine under the evolved schema (scan-time upcast / NULL new
     # columns), exactly like any other pre-evolution file.
-    return _bloom_commit_guard(
-        spark, table_dir, bholder,
-        lambda: _commit(
+    return _bloom_guarded_commit(
+        spark, table_dir, new_files, bloom_cols, _pds(manifest["schema"]),
+        lambda bloom_fn: _commit(
             spark, table_dir, "compact", files_fn,
             lambda parent: (
                 parent["schema"] if parent is not None else manifest["schema"]

@@ -1679,3 +1679,25 @@ def test_recommend_salt_nonstring_keys_mismatch_raises_valueerror(spark):
     prof = key_skew_profile(df, ["k"], include_keys=True).collect()[0]
     with _pytest.raises(ValueError, match="computed for keys"):
         recommend_salt(None, [1, 2], n_partitions=32, profile=prof)
+
+
+def test_recommend_salt_column_object_keys_replay_their_profile(spark):
+    """Review pass-6: Column objects are legal groupBy keys — a profile
+    built with them must replay against both Column and string keys
+    (the profile records resolved names; the consumer must too)."""
+    from pyspark.sql import functions as F
+
+    from mini_project_204721_data_engineering_spark.operators.profile import (
+        key_skew_profile,
+    )
+    from mini_project_204721_data_engineering_spark.operators.skew import (
+        recommend_salt,
+    )
+
+    rows = [(0, i) for i in range(400)] + [(k, 0) for k in range(1, 51)]
+    df = spark.createDataFrame(rows, "k int, id int")
+    prof = key_skew_profile(df, [F.col("k")], include_keys=True).collect()[0]
+    assert prof["keys"] == '["k"]'  # resolved name, not repr garbage
+    a = recommend_salt(None, ["k"], n_partitions=32, profile=prof)
+    b = recommend_salt(None, [F.col("k")], n_partitions=32, profile=prof)
+    assert a["n_salts"] == b["n_salts"] > 1

@@ -426,3 +426,37 @@ def test_compact_retry_adopts_winning_schema_evolution(spark, tmp_path):
     got = read_snapshot(spark, t)
     assert got.schema.simpleString() == "struct<k:bigint>"
     assert {r["k"] for r in got.collect()} == set(range(20)) | {1000}
+
+
+def test_zero_row_part_files_get_meta_and_prune_away(spark, tmp_path):
+    """Review pass-6: an explicit repartition writes empty part files —
+    they must still get file_meta (rows=0 backfill) so the
+    metadata-only invariant holds unconditionally, and a zero-row file
+    satisfies NO request, so pruning drops it for free."""
+    from mini_project_204721_data_engineering_spark.sources.snapshots import (
+        read_snapshot_where,
+    )
+
+    t = str(tmp_path / "t")
+    df = spark.createDataFrame([(1,), (2,), (3,)], "id bigint")
+    snapshot_append(df.repartition(1), t, stats_cols=["id"])
+    # an EMPTY append writes exactly one schema-only part file — the
+    # deterministic zero-row case (a sparse repartition produces the
+    # same shape nondeterministically)
+    snapshot_append(df.filter("id < 0"), t)
+    m = _read_manifest(spark, t, 2)
+    assert set(m["file_meta"]) == set(m["files"])  # the empty included
+    assert sum(e["rows"] for e in m["file_meta"].values()) == 3
+    assert sorted(e["rows"] for e in m["file_meta"].values()) == [0, 3]
+    assert all(e["bytes"] > 0 for e in m["file_meta"].values())
+    # metadata-only count answers with the data physically gone
+    data_dir = str(tmp_path / "t" / "data")
+    shutil.move(data_dir, data_dir + ".hidden")
+    try:
+        assert snapshot_count(spark, t) == 3
+    finally:
+        shutil.move(data_dir + ".hidden", data_dir)
+    # the zero-row file is never planned under ANY predicate
+    got = read_snapshot_where(spark, t, "id >= 0")
+    assert len(got.inputFiles()) == 1
+    assert {r["id"] for r in got.collect()} == {1, 2, 3}

@@ -1079,6 +1079,7 @@ def probe_snap(spark, n: int, out: list) -> None:
 
     d = tempfile.mkdtemp(prefix="snap_probe_")
     t = d + "/t"
+    n -= n % 20  # 20 equal commits: exact-count asserts need divisibility
     per = n // 20
     try:
         def commits():
