@@ -135,16 +135,6 @@ def heavy_hitters(
     from fractions import Fraction
 
     frac = Fraction(str(threshold))
-    if frac.denominator >= 10**24:
-        # a denominator this size (thresholds below ~1e-8 spelled to
-        # 17 significant digits) would overflow the decimal(38,0)
-        # product against a big N — refuse with the fix in hand rather
-        # than return nulls from a silent decimal overflow
-        raise ValueError(
-            f"threshold={threshold} requires denominator "
-            f"{frac.denominator} for exact share arithmetic — round the "
-            "threshold to fewer significant decimals (e.g. 1e-6, 5e-7)"
-        )
     if candidates not in ("mg", "freqItems"):
         raise ValueError(
             f"candidates must be 'mg' or 'freqItems' (got {candidates!r})"
@@ -246,11 +236,18 @@ def heavy_hitters(
     summaries = key_df.mapInPandas(summarize, summary_schema).localCheckpoint(
         eager=True
     )
-    total = (
+    # N collected from the CHECKPOINTED summaries (tiny, already
+    # materialized — no extra fact scan) so the share boundary becomes
+    # one exact Python-bigint ceiling, same as the freqItems path: no
+    # in-plan big-number arithmetic to overflow, any denominator works
+    n_total = int(
         summaries.groupBy("__pid")
         .agg(F.max("__part_rows").alias("__pr"))
         .agg(F.sum("__pr").alias("__N"))
+        .collect()[0][0]
+        or 0
     )
+    bound = -(-frac.numerator * n_total // frac.denominator)
     # marker rows (all-null keys from emptied-MG partitions) carry N
     # but are not candidates — key columns are non-null by the na.drop
     cand_df = summaries.select(*keys).na.drop("any").distinct()
@@ -259,18 +256,5 @@ def heavy_hitters(
         notnull.join(F.broadcast(cand_df), keys, "left_semi")
         .groupBy(*keys)
         .agg(F.count(F.lit(1)).alias(count_col))
-        .crossJoin(F.broadcast(total))
-        # count/N >= numer/denom in exact integer arithmetic; decimal(38)
-        # literals spelled as STRINGS because numer/denom can pass 2^63
-        # (a float's 17-digit decimal spelling can need a 1e20
-        # denominator — F.lit would raise NumberFormatException); with
-        # the denominator capped at 1e24 above, count × denom stays
-        # inside 38 digits at scale 0 — exact, no rounding
-        .filter(
-            F.col(count_col).cast("decimal(38,0)")
-            * F.expr(f"CAST('{frac.denominator}' AS DECIMAL(38,0))")
-            >= F.expr(f"CAST('{frac.numerator}' AS DECIMAL(38,0))")
-            * F.col("__N").cast("decimal(38,0)")
-        )
-        .drop("__N")
+        .filter(F.col(count_col) >= F.lit(bound))
     )

@@ -132,17 +132,26 @@ def recommend_salt(
 
 def _key_name(k) -> str:
     """A key's resolved name for provenance comparison: Column objects
-    (legal groupBy keys — the profile records their RESOLVED names)
-    render via their JVM expression string, not Python's repr
+    (legal groupBy keys — the profile records their RESOLVED output
+    names) resolve via the expression's own name when it has one —
+    ``F.col('a')`` → ``a``, ``F.col('a').alias('x')`` → ``x`` (the
+    name ``groupBy`` outputs, which is what the profile recorded) —
+    falling back to the JVM expression string, never Python's repr
     (``Column<'a'>`` would fail its own legitimate replay)."""
     if isinstance(k, str):
         return k
     jc = getattr(k, "_jc", None)
     if jc is not None:
         try:
-            return str(jc.toString())
+            s = str(jc.toString())
         except Exception:
-            pass
+            return str(k)
+        # 'expr AS name' → the OUTPUT name (what groupBy emits and the
+        # profile recorded); a pathological ' AS ' inside a literal can
+        # at worst misfire into the LOUD refusal, never a silent accept
+        if " AS " in s:
+            return s.rsplit(" AS ", 1)[-1].strip("`")
+        return s
     return str(k)
 
 

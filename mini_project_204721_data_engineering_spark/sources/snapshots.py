@@ -1778,15 +1778,30 @@ def read_snapshot_where(
     help with: ``doc_id = 'x'`` on a hash-distributed key skips every
     file whose filter proves the value absent, at metadata cost (two
     tiny jobs: literal hashing + a filtered sidecar scan)."""
-    ranges = {
-        c: r for c, r in _predicate_prune_ranges(predicate).items() if r is not None
-    }
     manifest = _resolve_manifest(spark, table_dir, version, as_of)
+    files = _plan_files(spark, manifest, predicate)
+    return _filtered_read(spark, manifest, files).filter(predicate)
+
+
+def _plan_files(
+    spark: SparkSession, manifest: dict, predicate: str, bloom: bool = True
+) -> list[str]:
+    """THE predicate planning pipeline — extraction → range/null/typed
+    prune → (optionally) bloom probe — shared by
+    :func:`read_snapshot_where`, :func:`snapshot_count`, and
+    :func:`snapshot_plan_info` so a planning change can never make the
+    probe's numbers drift from the real read's plan."""
+    ranges = {
+        c: r
+        for c, r in _predicate_prune_ranges(predicate).items()
+        if r is not None
+    }
     files = manifest["files"]
     if ranges:
         files = _prune_files(manifest, ranges)
-        files = _bloom_prune_files(spark, manifest, files, ranges)
-    return _filtered_read(spark, manifest, files).filter(predicate)
+        if bloom:
+            files = _bloom_prune_files(spark, manifest, files, ranges)
+    return files
 
 
 _BLOOM_TYPES = {"tinyint", "smallint", "int", "bigint", "string"}
@@ -2256,6 +2271,7 @@ def snapshot_min_max(
             f"expression over the table schema: {e}"
         ) from e
     stats = manifest.get("stats", {})
+    meta = manifest.get("file_meta", {})
     fmap = _filter_map(manifest)
     tz_aware = isinstance(dtype, TimestampType)
     is_str = isinstance(dtype, StringType)
@@ -2264,6 +2280,18 @@ def snapshot_min_max(
     rest: list[str] = []
     for f in manifest["files"]:
         rng = (stats.get(f) or {}).get(column)
+        rows_f = (meta.get(f) or {}).get("rows")
+        if rows_f == 0:
+            continue  # empty file: contributes nothing, never scanned
+        if (
+            rng is not None
+            and len(rng) > 2
+            and rows_f is not None
+            and rng[2] == rows_f
+        ):
+            # provably ALL-NULL for this column (null count == rows):
+            # SQL MIN/MAX ignores it — metadata answers, no scan
+            continue
         usable = (
             not tz_aware
             and f not in fmap
@@ -2362,16 +2390,11 @@ def snapshot_plan_info(
     meta-less file must not make the totals look complete."""
     manifest = _resolve_manifest(spark, table_dir, version, as_of)
     files = manifest["files"]
-    planned = files
-    if predicate is not None:
-        ranges = {
-            c: r for c, r in _predicate_prune_ranges(predicate).items()
-            if r is not None
-        }
-        if ranges:
-            planned = _prune_files(manifest, ranges)
-            if bloom:
-                planned = _bloom_prune_files(spark, manifest, planned, ranges)
+    planned = (
+        _plan_files(spark, manifest, predicate, bloom=bloom)
+        if predicate is not None
+        else files
+    )
     meta = manifest.get("file_meta", {})
 
     def total(fl, key):

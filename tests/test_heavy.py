@@ -207,16 +207,19 @@ def test_freqitems_refuses_thresholds_below_its_support_floor(spark):
 
 
 def test_tiny_threshold_full_precision_mg_path_works(spark):
-    """Review pass-4 regression: a threshold whose 17-digit decimal
-    spelling needs a >int64 denominator (1e20 here) must not crash the
-    mg path's exact filter — big-int operands spell as decimal
-    literals, never F.lit."""
+    """Review pass-4/7 regression: thresholds whose exact decimal form
+    needs an arbitrarily large denominator (1e20, even 1e25) must stay
+    EXACT and crash-free — the share bound is one Python-bigint
+    ceiling computed from the checkpointed summaries' N, never in-plan
+    big-number arithmetic (F.lit overflowed at 1e20; decimal(38)
+    products overflowed to NULL past ~1e23·count)."""
     rows = [("hot",)] * 50 + [(f"u{j}",) for j in range(50)]
     df = spark.createDataFrame(rows, "k string").repartition(4)
     th = 7.123456789012345e-05  # denominator 1e20 in exact form
     got = _got(df, ["k"], th, summary_size=20000)
     assert got[("hot",)] == 50  # every key qualifies at this tiny θ
-    # absurd precision/denominator refuses with guidance, not nulls
-    with pytest.raises(ValueError, match="round the threshold"):
-        heavy_hitters(df, ["k"], 1.2345678901234567e-25,
-                      summary_size=10**26)
+    # absurd precision works too (denominator 1e41): exact, no nulls
+    got2 = _got(
+        df, ["k"], 1.2345678901234567e-25, summary_size=10**26
+    )
+    assert got2[("hot",)] == 50 and len(got2) == 51

@@ -1701,3 +1701,27 @@ def test_recommend_salt_column_object_keys_replay_their_profile(spark):
     a = recommend_salt(None, ["k"], n_partitions=32, profile=prof)
     b = recommend_salt(None, [F.col("k")], n_partitions=32, profile=prof)
     assert a["n_salts"] == b["n_salts"] > 1
+
+
+def test_recommend_salt_aliased_column_key_replays(spark):
+    """Review pass-7: an ALIASED Column key groups under its output
+    name — the provenance comparison must use that name on both
+    sides."""
+    from pyspark.sql import functions as F
+
+    from mini_project_204721_data_engineering_spark.operators.profile import (
+        key_skew_profile,
+    )
+    from mini_project_204721_data_engineering_spark.operators.skew import (
+        recommend_salt,
+    )
+
+    rows = [(0, i) for i in range(400)] + [(k, 0) for k in range(1, 51)]
+    df = spark.createDataFrame(rows, "k int, id int")
+    aliased = F.col("k").alias("x")
+    prof = key_skew_profile(df, [aliased], include_keys=True).collect()[0]
+    assert prof["keys"] == '["x"]'
+    got = recommend_salt(
+        None, [F.col("k").alias("x")], n_partitions=32, profile=prof
+    )
+    assert got["n_salts"] > 1

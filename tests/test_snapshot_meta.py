@@ -460,3 +460,25 @@ def test_zero_row_part_files_get_meta_and_prune_away(spark, tmp_path):
     got = read_snapshot_where(spark, t, "id >= 0")
     assert len(got.inputFiles()) == 1
     assert {r["id"] for r in got.collect()} == {1, 2, 3}
+
+
+def test_min_max_skips_all_null_and_empty_files_zero_scan(spark, tmp_path):
+    """Review pass-7: a provably all-null file (null count == rows) and
+    a zero-row file contribute nothing to MIN/MAX — the metadata path
+    must skip them, not scan them on every serving call.  Structural
+    proof: the data directory is gone and min/max still answers."""
+    t = str(tmp_path / "t")
+    vals = spark.createDataFrame([(1, 10), (2, 99)], "id bigint, v bigint")
+    nulls = spark.createDataFrame(
+        [(3, None), (4, None)], "id bigint, v bigint"
+    )
+    snapshot_append(vals.repartition(1), t, stats_cols=["v"])
+    snapshot_append(nulls.repartition(1), t)
+    snapshot_append(vals.filter("id < 0"), t)  # the empty file
+    assert snapshot_min_max(spark, t, "v") == (10, 99)
+    data_dir = str(tmp_path / "t" / "data")
+    shutil.move(data_dir, data_dir + ".hidden")
+    try:
+        assert snapshot_min_max(spark, t, "v") == (10, 99)
+    finally:
+        shutil.move(data_dir + ".hidden", data_dir)
