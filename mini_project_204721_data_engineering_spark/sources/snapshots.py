@@ -554,9 +554,22 @@ def _file_stats(
     # real size) so the metadata-only invariant holds unconditionally —
     # an explicit repartition(k) routinely writes empty part files, and
     # a missing entry would put them in snapshot_count's scan-fallback
-    # set on EVERY call, forever (carried files never re-scan)
-    for f in files:
-        if f not in meta_out:
+    # set on EVERY call, forever (carried files never re-scan).  Sizes
+    # come from ONE directory listing per commit dir, not a
+    # getFileStatus RPC per empty file (a sparse repartition(2000) on
+    # an object store would otherwise pay ~2000 round-trips per commit)
+    missing = {f for f in files if f not in meta_out}
+    if missing:
+        parents = {}
+        for f in missing:
+            p = jvm.org.apache.hadoop.fs.Path(f)
+            parents.setdefault(str(p.getParent().toString()), set()).add(f)
+        for d, wanted in parents.items():
+            for st in fs.listStatus(jvm.org.apache.hadoop.fs.Path(d)):
+                key = str(st.getPath().toString())
+                if key in wanted:
+                    meta_out[key] = {"rows": 0, "bytes": int(st.getLen())}
+        for f in missing - set(meta_out):  # listing raced a delete: RPC
             meta_out[f] = {
                 "rows": 0,
                 "bytes": int(
@@ -1946,14 +1959,17 @@ def _bloom_build_cols(schema, cols, explicit: bool) -> list[str]:
 
 
 def _bloom_fn_for(spark, table_dir, new_files, bloom_cols, schema, holder):
-    """The ``bloom_fn`` for bloom-building commits (append/overwrite),
-    plus lazy entry construction: the sticky column set resolves from
-    the PARENT manifest ``_commit`` already read — no extra tip read on
-    the hot commit path — and the sidecar builds at most once (first
-    loop iteration that sees configured columns), memoized in
-    ``holder["entry"]`` so commit retries and the abort guard share
-    it.  Sidecar bytes still land BEFORE any manifest references them
-    (bloom_fn runs before the manifest write inside the loop)."""
+    """The ``bloom_fn`` for bloom-building commits (append/overwrite/
+    compact), plus lazy entry construction: the sticky column set
+    resolves from the PARENT manifest ``_commit`` already read — no
+    extra tip read on the hot commit path — and the sidecar builds at
+    most once PER COLUMN SET, memoized in ``holder["entries"]`` so
+    commit retries and the abort guard share it (a lost race whose
+    winning parent declares a DIFFERENT sticky set rebuilds for that
+    set, keeping the manifest's declared config and this commit's
+    actual coverage in sync).  Sidecar bytes still land BEFORE any
+    manifest references them (bloom_fn runs before the manifest write
+    inside the loop)."""
 
     def bloom_fn(parent, files):
         cols = (
@@ -1961,45 +1977,69 @@ def _bloom_fn_for(spark, table_dir, new_files, bloom_cols, schema, holder):
             if bloom_cols is not None
             else list(((parent or {}).get("bloom") or {}).get("cols", []))
         )
-        if cols and not holder["built"]:
-            holder["built"] = True
-            build = _bloom_build_cols(schema, cols, bloom_cols is not None)
-            if build:
-                holder["entry"] = _build_bloom_entry(
-                    spark, table_dir, new_files, build, schema
+        entry = None
+        if cols:
+            key = "\x00".join(cols)
+            if key not in holder["entries"]:
+                build = _bloom_build_cols(schema, cols, bloom_cols is not None)
+                holder["entries"][key] = (
+                    _build_bloom_entry(spark, table_dir, new_files, build, schema)
+                    if build
+                    else None
                 )
-        entry = holder["entry"]
+            entry = holder["entries"][key]
         entries = _carry_bloom(parent, files) + ([entry] if entry else [])
         return {"cols": cols, "entries": entries} if (cols or entries) else None
 
     return bloom_fn
 
 
+def _sidecar_referenced(spark, table_dir, path: str) -> bool:
+    """True when some live manifest verifiably references ``path`` as a
+    DV or bloom sidecar — True on ANY doubt (unreadable log): deleting
+    a referenced sidecar would break every future read of its files,
+    while a leaked orphan is merely expire_snapshots' work."""
+    try:
+        for v in _list_versions(spark, table_dir):
+            m = _read_manifest(spark, table_dir, v)
+            if any(e.get("dv") == path for e in m.get("row_filters", [])):
+                return True
+            if any(
+                e.get("sidecar") == path
+                for e in (m.get("bloom") or {}).get("entries", [])
+            ):
+                return True
+        return False
+    except BaseException:
+        return True
+
+
+def _sweep_unreferenced_sidecars(spark, table_dir, paths) -> None:
+    """Best-effort abort cleanup shared by every sidecar-writing path
+    (DV delete, bloom commits, clone copies): delete each path no live
+    manifest references; leak the rest for expire_snapshots."""
+    fs, _, jvm = _fs_for(spark, table_dir)
+    for p in paths:
+        if p is not None and not _sidecar_referenced(spark, table_dir, p):
+            try:
+                fs.delete(jvm.org.apache.hadoop.fs.Path(p), True)
+            except BaseException:
+                pass  # best-effort: the original failure is the story
+
+
 def _bloom_commit_guard(spark, table_dir, holder, thunk):
     """Run the commit ``thunk``; on abort, delete the just-written bloom
-    sidecar (``holder["entry"]``) UNLESS some live manifest verifiably
-    references it (the same crash discipline as DV sidecars — on any
-    doubt, leak it for expire_snapshots to collect)."""
-    fs, _, jvm = _fs_for(spark, table_dir)
+    sidecars (``holder["entries"]``) UNLESS some live manifest
+    verifiably references them (the same crash discipline as DV
+    sidecars — on any doubt, leak for expire_snapshots)."""
     try:
         return thunk()
     except BaseException:
-        entry = holder["entry"]
-        if entry is not None:
-            try:
-                referenced = any(
-                    any(
-                        e.get("sidecar") == entry["sidecar"]
-                        for e in (
-                            _read_manifest(spark, table_dir, v).get("bloom") or {}
-                        ).get("entries", [])
-                    )
-                    for v in _list_versions(spark, table_dir)
-                )
-            except BaseException:
-                referenced = True
-            if not referenced:
-                fs.delete(jvm.org.apache.hadoop.fs.Path(entry["sidecar"]), True)
+        _sweep_unreferenced_sidecars(
+            spark,
+            table_dir,
+            [e["sidecar"] for e in holder["entries"].values() if e],
+        )
         raise
 
 
@@ -2011,7 +2051,7 @@ def _bloom_guarded_commit(
     — shared by append/overwrite/compact so the crash discipline lives
     in exactly one place.  ``commit_fn(bloom_fn)`` runs the actual
     ``_commit``."""
-    holder = {"entry": None, "built": False}
+    holder = {"entries": {}}
     bloom_fn = _bloom_fn_for(
         spark, table_dir, new_files, bloom_cols, schema, holder
     )
@@ -2387,7 +2427,13 @@ def snapshot_plan_info(
     unknown bytes/rows; ``meta_unknown_files`` counts them over the
     WHOLE snapshot (the gap in the ``*_total`` figures) and
     ``meta_unknown_planned`` over the planned subset — a pruned-away
-    meta-less file must not make the totals look complete."""
+    meta-less file must not make the totals look complete.
+
+    Rows/bytes are WRITE-TIME physical figures: rows logically removed
+    by PENDING merge-on-read takedowns are not subtracted (that is
+    :func:`snapshot_count`'s job — it scans exactly the covered
+    files); ``filtered_planned`` reports how many planned files carry
+    such filters, so a caller can see when physical ≠ visible."""
     manifest = _resolve_manifest(spark, table_dir, version, as_of)
     files = manifest["files"]
     planned = (
@@ -2409,6 +2455,9 @@ def snapshot_plan_info(
         "rows_planned": total(planned, "rows"),
         "meta_unknown_files": sum(1 for f in files if f not in meta),
         "meta_unknown_planned": sum(1 for f in planned if f not in meta),
+        "filtered_planned": sum(
+            1 for f in planned if f in _filter_map(manifest)
+        ),
     }
 
 
@@ -2691,31 +2740,12 @@ def snapshot_delete_where(
             # an aborted DV commit must not strand its sidecar — but the
             # interrupt may have landed AFTER _try_write_manifest
             # succeeded inside _commit (KeyboardInterrupt, py4j drop):
-            # deleting a sidecar the new tip references would break
-            # every future read of the covered files.  Delete ONLY when
-            # the tip verifiably does not reference it; on any doubt
-            # (unreadable log) leak the sidecar — expire_snapshots GCs
-            # unreferenced ones later anyway.
-            if dv_path is not None:
-                try:
-                    # EVERY live manifest, not just the tip: our commit
-                    # may have landed AND been drained by a racing
-                    # compaction before this handler ran — the sidecar
-                    # is then gone from the tip but time travel to our
-                    # version still reads it
-                    referenced = any(
-                        any(
-                            e.get("dv") == dv_path
-                            for e in _read_manifest(spark, table_dir, v).get(
-                                "row_filters", []
-                            )
-                        )
-                        for v in _list_versions(spark, table_dir)
-                    )
-                except BaseException:
-                    referenced = True  # can't prove it's orphaned: keep
-                if not referenced:
-                    fs.delete(jvm.org.apache.hadoop.fs.Path(dv_path), True)
+            # deleting a sidecar a live manifest references would break
+            # every future read of the covered files.  The shared sweep
+            # checks EVERY live manifest (our commit may have landed and
+            # been drained by a racing compaction — gone from the tip,
+            # still read by time travel) and leaks on any doubt.
+            _sweep_unreferenced_sidecars(spark, table_dir, [dv_path])
             raise
 
     # survivors are written unconditionally — a fully-emptied rewrite
@@ -3455,13 +3485,11 @@ def snapshot_clone(spark: SparkSession, source_dir: str, dest_dir: str) -> dict:
     except BaseException:
         # a mid-loop copy failure happens BEFORE any dest manifest
         # exists, and a logless dest dir has no expire_snapshots to
-        # collect strays — delete the copies made so far (nothing can
-        # reference them: the dest log is empty by the check above)
-        for copy_path in list(dv_map.values()) + list(bloom_map.values()):
-            try:
-                fs.delete(jvm.org.apache.hadoop.fs.Path(copy_path), True)
-            except BaseException:
-                pass  # best-effort: the original failure is the story
+        # collect strays — sweep the copies made so far (an empty dest
+        # log means nothing can reference them, so they all delete)
+        _sweep_unreferenced_sidecars(
+            spark, dest_dir, list(dv_map.values()) + list(bloom_map.values())
+        )
         raise
 
     def files_fn(parent):
@@ -3503,28 +3531,14 @@ def snapshot_clone(spark: SparkSession, source_dir: str, dest_dir: str) -> dict:
             ),
         )
     except BaseException:
-        # an aborted clone must not strand its sidecar copies — but only
-        # delete copies no dest manifest verifiably references (the
-        # interrupt may have landed after the commit won); on any doubt
-        # leak them for the clone's own expire_snapshots to collect
-        for copy_path in list(dv_map.values()) + list(bloom_map.values()):
-            try:
-                referenced = any(
-                    any(
-                        e.get("dv") == copy_path
-                        for e in m.get("row_filters", [])
-                    )
-                    or any(
-                        e.get("sidecar") == copy_path
-                        for e in (m.get("bloom") or {}).get("entries", [])
-                    )
-                    for v in _list_versions(spark, dest_dir)
-                    for m in [_read_manifest(spark, dest_dir, v)]
-                )
-            except BaseException:
-                referenced = True
-            if not referenced:
-                fs.delete(jvm.org.apache.hadoop.fs.Path(copy_path), True)
+        # an aborted clone must not strand its sidecar copies — the
+        # shared sweep deletes only copies no dest manifest verifiably
+        # references (the interrupt may have landed after the commit
+        # won) and leaks on any doubt for the clone's own
+        # expire_snapshots to collect
+        _sweep_unreferenced_sidecars(
+            spark, dest_dir, list(dv_map.values()) + list(bloom_map.values())
+        )
         raise
 
 
