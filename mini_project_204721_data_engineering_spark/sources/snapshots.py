@@ -507,10 +507,33 @@ def _file_stats(
             cols[alias] = expr
         except Exception:
             continue
+    from pyspark.sql.types import (
+        ByteType,
+        DoubleType,
+        FloatType,
+        IntegerType,
+        LongType,
+        ShortType,
+    )
+
     aggs = [
         F.count(F.lit(1)).alias("__rows"),
         F.min(F.col("_metadata.file_size")).alias("__bytes"),
     ]
+    # per-file SUM for numeric stats expressions — the 4th stats-entry
+    # element feeding :func:`snapshot_agg`'s metadata-only rollups.
+    # Integrals sum through decimal(38,0) (exact, overflow-proof even
+    # under ANSI — a bigint file sum could otherwise abort the commit's
+    # stats job); float/double sum natively (NaN propagates, recorded
+    # as-is — json round-trips it).  Other types record no sum (legacy
+    # 3-element entry) and snapshot_agg falls back to scanning them.
+    sum_kind: dict[str, str] = {}
+    for alias, expr in cols.items():
+        dt = scan.select(F.expr(expr)).schema[0].dataType
+        if isinstance(dt, (ByteType, ShortType, IntegerType, LongType)):
+            sum_kind[alias] = "int"
+        elif isinstance(dt, (FloatType, DoubleType)):
+            sum_kind[alias] = "float"
     for alias, expr in cols.items():
         aggs += [
             F.min(F.expr(expr)).alias(f"__mn_{alias}"),
@@ -521,6 +544,13 @@ def _file_stats(
             # file_meta).  Readers accept legacy 2-element entries.
             (F.count(F.lit(1)) - F.count(F.expr(expr))).alias(f"__nl_{alias}"),
         ]
+        kind = sum_kind.get(alias)
+        if kind == "int":
+            aggs.append(
+                F.sum(F.expr(expr).cast("decimal(38,0)")).alias(f"__sm_{alias}")
+            )
+        elif kind == "float":
+            aggs.append(F.sum(F.expr(expr)).alias(f"__sm_{alias}"))
     rows = (
         scan
         .groupBy(F.input_file_name().alias("__f"))
@@ -537,6 +567,12 @@ def _file_stats(
             return _trunc_bound(v, upper)
         return v
 
+    def file_sum(r, c):
+        raw = r[f"__sm_{c}"]
+        if raw is None:  # all-null file: SQL SUM is NULL
+            return None
+        return int(raw) if sum_kind[c] == "int" else float(raw)
+
     stats_out, meta_out = {}, {}
     for r in rows:
         key = _canon_file(jvm, r["__f"])
@@ -548,6 +584,7 @@ def _file_stats(
                     bound(r[f"__mx_{c}"], True),
                     int(r[f"__nl_{c}"]),
                 ]
+                + ([file_sum(r, c)] if c in sum_kind else [])
                 for c in cols
             }
     # ZERO-ROW files produce no group: backfill rows=0 (+ the file's
@@ -2399,6 +2436,389 @@ def snapshot_min_max(
     real_lo = [v for v in los if not is_nan(v)]
     lo = min(real_lo) if real_lo else los[0]
     return out(lo), out(hi)
+
+
+_AGG_RE = None  # compiled lazily in _parse_aggs
+
+
+def _parse_aggs(aggs: Mapping[str, str]) -> dict[str, tuple[str, str | None]]:
+    """``{alias: "sum(col)"}`` → ``{alias: ("sum", "col")}``.  Accepted
+    shapes: count(*), count(col), sum/min/max/avg(col) — col may be a
+    stats ALIAS (derived stats answer for their expression) or a plain
+    column name.  Anything else raises: a silently ignored aggregate
+    would report a wrong rollup."""
+    import re
+
+    global _AGG_RE
+    if _AGG_RE is None:
+        _AGG_RE = re.compile(
+            r"^\s*(count|sum|min|max|avg)\s*\(\s*(\*|[A-Za-z_][\w.]*)\s*\)\s*$",
+            re.IGNORECASE,
+        )
+    if not aggs:
+        raise ValueError("snapshot_agg: aggs must name at least one aggregate")
+    out = {}
+    for alias, spec in aggs.items():
+        m = _AGG_RE.match(str(spec))
+        if m is None:
+            raise ValueError(
+                f"snapshot_agg: unsupported aggregate {spec!r} for {alias!r} "
+                "(supported: count(*) | count(col) | sum(col) | min(col) | "
+                "max(col) | avg(col))"
+            )
+        fn, col = m.group(1).lower(), m.group(2)
+        if col == "*" and fn != "count":
+            raise ValueError(f"snapshot_agg: {fn}(*) is not an aggregate")
+        out[alias] = (fn, None if col == "*" else col)
+    return out
+
+
+def _nan_combine(los: list, his: list) -> tuple:
+    """Spark's NaN total order applied to per-file bounds: max is NaN
+    when any file holds one; min ignores NaN unless every value is."""
+    def is_nan(v):
+        return isinstance(v, float) and v != v
+
+    hi = next((v for v in his if is_nan(v)), None)
+    if hi is None:
+        hi = max(his) if his else None
+    real_lo = [v for v in los if not is_nan(v)]
+    lo = min(real_lo) if real_lo else (los[0] if los else None)
+    return lo, hi
+
+
+def snapshot_agg(
+    spark: SparkSession,
+    table_dir: str,
+    aggs: Mapping[str, str],
+    group_by: str | None = None,
+    where: str | None = None,
+    version: int | None = None,
+    as_of: float | None = None,
+):
+    """Grouped/global aggregates of a snapshot — from the MANIFEST alone
+    when it can (the dashboard-rollup serving shape: a per-day revenue
+    rollup over a date-laid-out 100 TB table answers with ZERO Spark
+    jobs and zero data files opened).
+
+    ``aggs`` maps output aliases to ``count(*) | count(col) | sum(col)
+    | min(col) | max(col) | avg(col)`` where ``col`` is a stats column
+    or alias.  Returns ``{alias: value}`` ungrouped, or
+    ``{group_key: {alias: value}}`` with ``group_by=`` (keys typed like
+    the column — NULL group under key ``None``).  The result must be
+    driver-sized — grouped serving rollups are; this is NOT a substitute
+    for a wide groupBy (use :func:`read_snapshot` + DataFrame aggs).
+
+    A file is answered from metadata only when EVERY requested aggregate
+    is provable for it:
+
+    - it has no pending lazy-delete filter and carries ``file_meta``,
+    - ``count(*)`` needs rows; ``count(col)`` a null count;
+      ``sum(col)``/``avg(col)`` a recorded per-file sum (numeric stats
+      columns, commits made after sums existed — exact integer
+      arithmetic for integral columns, float fold for float/double);
+    - ``min/max(col)`` follow :func:`snapshot_min_max`'s trust rules
+      (tz-aware frames, possibly-truncated string bounds, and
+      all-null-ambiguous entries are scanned instead);
+    - with ``group_by=``, the file must be provably single-valued on
+      the group column: null count 0 and min == max (or provably
+      all-NULL → the NULL group).
+
+    Every other file falls back to ONE scan of exactly those files
+    (merge-on-read fallback through the pending filters) whose partial
+    aggregates merge with the metadata side — so the result always
+    equals the full-scan groupBy.  With ``where=`` the whole aggregate
+    runs as a :func:`read_snapshot_where` scan (per-row predicate
+    semantics can't come from bounds) — file-skipping cost, exact rows.
+
+    Matches the reference's serving aggregates (count/min/max per page
+    request, `backend/app/main.py:266-269,668-676`) generalized to the
+    grouped dashboard shape (`backend/app/main.py:684-719`)."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import (
+        AtomicType,
+        DateType,
+        StringType,
+        TimestampNTZType,
+        TimestampType,
+        _parse_datatype_string,
+    )
+
+    parsed = _parse_aggs(aggs)
+    manifest = _resolve_manifest(spark, table_dir, version, as_of)
+    stats_cols = manifest.get("stats_cols") or {}
+    schema = _parse_datatype_string(manifest["schema"])
+    empty = spark.createDataFrame([], schema)
+
+    def resolve(col: str):
+        expr = stats_cols.get(col, col)
+        try:
+            return expr, empty.select(F.expr(expr)).schema[0].dataType
+        except Exception as e:
+            raise ValueError(
+                f"snapshot_agg: {col!r} is neither a stats alias nor an "
+                f"expression over the table schema: {e}"
+            ) from e
+
+    cols = {c for _, c in parsed.values() if c is not None}
+    if group_by is not None:
+        cols.add(group_by)
+    info = {c: resolve(c) for c in cols}
+    if group_by is not None and not isinstance(info[group_by][1], AtomicType):
+        raise ValueError(
+            f"snapshot_agg: group_by column {group_by!r} has non-atomic type "
+            f"{info[group_by][1].simpleString()} — group keys must be scalar"
+        )
+
+    def scan_result(df: DataFrame):
+        """The pure-scan path (where= or no usable metadata): one
+        groupBy with avg decomposed so partials merge exactly."""
+        sel: list = []
+        for alias, (fn, col) in parsed.items():
+            if fn == "count" and col is None:
+                sel.append(F.count(F.lit(1)).alias(alias))
+            elif fn == "avg":
+                sel.append(F.sum(F.expr(info[col][0])).alias(f"__s_{alias}"))
+                sel.append(F.count(F.expr(info[col][0])).alias(f"__c_{alias}"))
+            else:
+                sel.append(
+                    getattr(F, fn)(F.expr(info[col][0])).alias(alias)
+                )
+        if group_by is None:
+            rows = [df.agg(*sel).collect()[0]]
+        else:
+            rows = (
+                df.groupBy(F.expr(info[group_by][0]).alias("__g"))
+                .agg(*sel)
+                .collect()
+            )
+        return rows
+
+    def finalize_row(r) -> dict:
+        o = {}
+        for alias, (fn, col) in parsed.items():
+            if fn == "avg":
+                s, c = r[f"__s_{alias}"], r[f"__c_{alias}"]
+                o[alias] = None if not c else (
+                    s / c if not (isinstance(s, float) and s != s) else s
+                )
+            else:
+                o[alias] = r[alias]
+        return o
+
+    if where is not None:
+        rows = scan_result(
+            read_snapshot_where(spark, table_dir, where, version=version, as_of=as_of)
+        )
+        if group_by is None:
+            return finalize_row(rows[0])
+        return {r["__g"]: finalize_row(r) for r in rows}
+
+    stats = manifest.get("stats", {})
+    meta = manifest.get("file_meta", {})
+    fmap = _filter_map(manifest)
+
+    def trusted_bounds(col, rng):
+        """min/max usable by snapshot_min_max's rules (tz/truncation)."""
+        dtype = info[col][1]
+        if isinstance(dtype, TimestampType):  # tz-aware: frame hazard
+            return False
+        if rng is None or rng[0] is None or rng[1] is None:
+            return False
+        if isinstance(dtype, StringType) and (
+            len(str(rng[0])) >= _STATS_STR_CAP
+            or len(str(rng[1])) >= _STATS_STR_CAP
+        ):
+            return False
+        return True
+
+    def all_null(rng, rows_f):
+        return (
+            rng is not None
+            and len(rng) > 2
+            and rows_f is not None
+            and rng[2] == rows_f
+        )
+
+    _UNGROUPED = object()
+    # group_key -> {alias -> accumulator}; sums/counts accumulate,
+    # min/max collect per-file bounds for one NaN-aware combine at the end
+    acc: dict = {}
+    rest: list[str] = []
+
+    def slot(key):
+        if key not in acc:
+            acc[key] = {
+                alias: ([] if fn in ("min", "max") else None)
+                for alias, (fn, _) in parsed.items()
+            }
+            for alias, (fn, _) in parsed.items():
+                if fn == "avg":
+                    acc[key][alias] = [None, 0]  # [sum, non-null count]
+        return acc[key]
+
+    for f in manifest["files"]:
+        m = meta.get(f)
+        rows_f = None if m is None else int(m["rows"])
+        if rows_f == 0:
+            continue  # empty file contributes nothing, never scanned
+        if f in fmap or rows_f is None:
+            rest.append(f)
+            continue
+        frs = stats.get(f) or {}
+        # group key must be provably file-constant (or provably NULL)
+        key = _UNGROUPED
+        if group_by is not None:
+            rng = frs.get(group_by)
+            if all_null(rng, rows_f):
+                key = None
+            elif (
+                rng is not None
+                and len(rng) > 2
+                and rng[2] == 0
+                and rng[0] is not None
+                and rng[0] == rng[1]
+                and trusted_bounds(group_by, rng)
+            ):
+                key = rng[0]
+            else:
+                rest.append(f)
+                continue
+        # every requested aggregate must be provable for THIS file
+        vals = {}
+        ok = True
+        for alias, (fn, col) in parsed.items():
+            if fn == "count" and col is None:
+                vals[alias] = ("count", rows_f)
+                continue
+            rng = frs.get(col)
+            if fn == "count":
+                if rng is not None and len(rng) > 2:
+                    vals[alias] = ("count", rows_f - rng[2])
+                else:
+                    ok = False
+                    break
+            elif fn in ("sum", "avg"):
+                if rng is not None and len(rng) > 3:
+                    vals[alias] = (fn, rng[3], rows_f - rng[2])
+                else:
+                    ok = False
+                    break
+            else:  # min / max
+                if all_null(rng, rows_f):
+                    vals[alias] = (fn, None)  # contributes nothing
+                elif trusted_bounds(col, rng):
+                    vals[alias] = (fn, rng[0] if fn == "min" else rng[1])
+                else:
+                    ok = False
+                    break
+        if not ok:
+            rest.append(f)
+            continue
+        s = slot(key)
+        for alias, v in vals.items():
+            if v[0] == "count":
+                s[alias] = (s[alias] or 0) + v[1]
+            elif v[0] == "sum":
+                if v[1] is not None:
+                    s[alias] = v[1] if s[alias] is None else s[alias] + v[1]
+            elif v[0] == "avg":
+                if v[1] is not None:
+                    s[alias][0] = (
+                        v[1] if s[alias][0] is None else s[alias][0] + v[1]
+                    )
+                s[alias][1] += v[2]
+            else:  # min / max bound list
+                if v[1] is not None:
+                    s[alias].append(v[1])
+
+    # merge-on-read fallback: ONE scan of exactly the unprovable files,
+    # partials merged into the metadata accumulators in the stats'
+    # JSON-safe value domain (so a date group from the scan lands in the
+    # same bucket as a date group from the manifest)
+    if rest:
+        df = _filtered_read(spark, manifest, rest)
+        for r in scan_result(df):
+            if group_by is None:
+                key = _UNGROUPED
+            else:
+                k = r["__g"]
+                kj = _json_safe(k) if k is not None else None
+                # a group-key type outside the JSON-safe domain (e.g.
+                # decimal) never has usable stats, so every file is in
+                # rest and the raw key cannot collide with a stats key
+                key = kj if (k is None or kj is not None) else k
+            s = slot(key)
+            for alias, (fn, col) in parsed.items():
+                if fn == "count" and col is None:
+                    # count(*) of the scan group
+                    s[alias] = (s[alias] or 0) + r[alias]
+                elif fn == "count":
+                    s[alias] = (s[alias] or 0) + r[alias]
+                elif fn == "sum":
+                    v = r[alias]
+                    if v is not None:
+                        s[alias] = v if s[alias] is None else s[alias] + v
+                elif fn == "avg":
+                    sv, cv = r[f"__s_{alias}"], r[f"__c_{alias}"]
+                    if sv is not None:
+                        s[alias][0] = (
+                            sv if s[alias][0] is None else s[alias][0] + sv
+                        )
+                    s[alias][1] += cv
+                else:  # min / max: scan extreme joins the bound list,
+                    # converted into the stats' JSON-safe domain so the
+                    # final combine is one total order; a type outside
+                    # that domain (e.g. decimal) never has usable stats
+                    # — every file scanned — so its raw value is kept
+                    v = r[alias]
+                    if v is not None:
+                        vj = _json_safe(v)
+                        s[alias].append(vj if vj is not None else v)
+
+    def out_value(col, v):
+        import datetime
+
+        dtype = info[col][1]
+        if not isinstance(v, str):
+            return v
+        if isinstance(dtype, DateType):
+            return datetime.date.fromisoformat(v)
+        if isinstance(dtype, (TimestampNTZType, TimestampType)):
+            return datetime.datetime.fromisoformat(v)
+        return v
+
+    def finalize(s) -> dict:
+        o = {}
+        for alias, (fn, col) in parsed.items():
+            v = s[alias]
+            if fn == "count":
+                o[alias] = int(v or 0)
+            elif fn == "sum":
+                o[alias] = v
+            elif fn == "avg":
+                sm, ct = v
+                if not ct:
+                    o[alias] = None
+                elif isinstance(sm, float) and sm != sm:
+                    o[alias] = sm  # NaN poisons like Spark's avg
+                else:
+                    o[alias] = sm / ct
+            elif fn == "min":
+                lo, _ = _nan_combine(v, [])
+                o[alias] = out_value(col, lo)
+            else:
+                _, hi = _nan_combine([], v)
+                o[alias] = out_value(col, hi)
+        return o
+
+    if group_by is None:
+        return finalize(slot(_UNGROUPED))
+    return {
+        out_value(group_by, k): finalize(s)
+        for k, s in acc.items()
+        if k is not _UNGROUPED
+    }
 
 
 def snapshot_plan_info(

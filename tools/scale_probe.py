@@ -1185,6 +1185,65 @@ def probe_snap(spark, n: int, out: list) -> None:
             "minmax_scan_over_meta": round(sm / mm, 1) if mm else None,
         }), flush=True)
 
+        # grouped rollup from the manifest: daily appends lay one day
+        # per commit; the per-day count/sum/avg rollup is then driver
+        # arithmetic over O(files) manifest entries — zero Spark jobs —
+        # vs the full-scan groupBy the reference recomputes per request
+        from mini_project_204721_data_engineering_spark.sources.snapshots import (
+            snapshot_agg,
+        )
+
+        t_roll = d + "/t_rollup"
+        days = 25
+        per_day = n // days
+        for i in range(days):
+            day_df = (
+                spark.range(i * per_day, (i + 1) * per_day)
+                .select(
+                    F.col("id"),
+                    (F.col("id") % 97).cast("double").alias("v"),
+                    F.date_add(F.lit("2024-01-01").cast("date"), i).alias("day"),
+                )
+                .coalesce(2)
+            )
+            snapshot_append(day_df, t_roll, stats_cols=["v", "day"])
+        roll_aggs = {"n": "count(*)", "s": "sum(v)", "a": "avg(v)"}
+
+        def meta_rollup():
+            return snapshot_agg(spark, t_roll, roll_aggs, group_by="day")
+
+        def scan_rollup():
+            return {
+                r["day"]: {"n": r["n"], "s": r["s"], "a": r["a"]}
+                for r in read_snapshot(spark, t_roll)
+                .groupBy("day")
+                .agg(
+                    F.count(F.lit(1)).alias("n"),
+                    F.sum("v").alias("s"),
+                    F.avg("v").alias("a"),
+                )
+                .collect()
+            }
+
+        got_m, got_s = meta_rollup(), scan_rollup()
+        assert set(got_m) == set(got_s) and all(
+            got_m[k]["n"] == got_s[k]["n"]
+            and abs(got_m[k]["s"] - got_s[k]["s"]) < 1e-6
+            for k in got_m
+        )
+        mr = timed(
+            "grouped_rollup_metadata_only", lambda: len(meta_rollup()), out
+        )
+        sr = timed(
+            "grouped_rollup_full_scan", lambda: len(scan_rollup()), out
+        )
+        print(json.dumps({
+            "probe": "metadata_grouped_rollup",
+            "days": days,
+            "rows": days * per_day,
+            "scan_over_meta": round(sr / mr, 1) if mr else None,
+        }), flush=True)
+
         # bloom point-lookup: a hash-distributed key prunes NOTHING by
         # min/max (every file spans the hex space); the per-file SBBF
         # sidecar plans ~1 file.  Twin tables, same data, ± bloom_cols.
