@@ -261,6 +261,7 @@ def _commit(
     stats_fn=None,
     row_filters_fn=None,
     bloom_fn=None,
+    evo_fn=None,
 ) -> dict:
     """The optimistic-concurrency loop: resolve the tip, build the new
     file list via ``files_fn(parent_manifest)``, claim the next version;
@@ -276,7 +277,11 @@ def _commit(
     entry.  ``bloom_fn(parent, files) -> dict | None`` likewise
     overrides the default bloom carry (:func:`_carry_bloom` + sticky
     cols) — bloom-building commits append their entry, restore/clone
-    replace wholesale."""
+    replace wholesale.  ``evo_fn(parent) -> (renames, reserved_cols)``
+    overrides the default carry of the schema-evolution bookkeeping
+    (rename chains + names old files still physically carry):
+    rename/drop update it, overwrite clears it (no old files survive a
+    full replace), restore/clone take their target's."""
     for _ in range(max_retries):
         versions = _list_versions(spark, table_dir)
         parent = versions[-1] if versions else 0
@@ -337,6 +342,15 @@ def _commit(
             )
         if bloom:
             manifest["bloom"] = bloom
+        if evo_fn is not None:
+            renames, reserved = evo_fn(parent_manifest)
+        else:
+            renames = dict((parent_manifest or {}).get("renames", {}))
+            reserved = list((parent_manifest or {}).get("reserved_cols", []))
+        if renames:
+            manifest["renames"] = renames
+        if reserved:
+            manifest["reserved_cols"] = sorted(set(reserved))
         if _try_write_manifest(spark, table_dir, parent + 1, manifest):
             return manifest
     raise RuntimeError(
@@ -723,7 +737,11 @@ def snapshot_append(
     def schema_fn(parent):
         if parent is None or not merge_schema:
             return ddl
-        return _merged_schema(parent["schema"], df.schema)
+        merged = _merged_schema(parent["schema"], df.schema)
+        # a merged-in NEW column must not reuse a dropped/renamed-away
+        # name old files still physically carry (by-name resurrection)
+        _guard_reserved(parent, merged, "snapshot_append(merge_schema)")
+        return merged
 
     return _bloom_guarded_commit(
         spark, table_dir, new_files, bloom_cols, df.schema,
@@ -766,6 +784,9 @@ def snapshot_overwrite(
             df.schema.simpleString(), meta={"added_files": len(new_files)},
             stats_fn=_compose_stats(spark, new_files, stats_cols),
             bloom_fn=bloom_fn,
+            # a full replace leaves no old-name files: rename chains and
+            # reserved names clear (this is the documented rebuild path)
+            evo_fn=lambda parent: ({}, []),
         ),
     )
 
@@ -874,17 +895,52 @@ def _filtered_read(
             )
         return df
     filters = manifest.get("row_filters") or []
+    # column-rename repair (snapshot_rename_column): files written
+    # before a rename physically carry the OLD name — read them through
+    # a schema augmented with every old name (same type as its current
+    # column; by-name parquet matching fills the absent side with NULL)
+    # and coalesce the chain into the current name.  Each file holds at
+    # most ONE of the chain's names (the reserved-name guard refuses
+    # re-adding the others), so the coalesce picks exactly the file's
+    # physical column; files written after the rename pay one no-op
+    # projection.  The repair runs INSIDE scan() so every downstream
+    # consumer — stored lazy-delete predicates included — sees only
+    # current names.
+    renames = {
+        new: olds
+        for new, olds in (manifest.get("renames") or {}).items()
+        if new in {f.name for f in schema.fields}
+    }
 
     def scan(fl, need_position):
-        df = spark.read.schema(schema).parquet(*fl)
+        read_schema = schema
+        if renames:
+            from pyspark.sql.types import StructField, StructType
+
+            types = {f.name: f.dataType for f in schema.fields}
+            read_schema = StructType(
+                list(schema.fields)
+                + [
+                    StructField(old, types[new], True)
+                    for new, olds in renames.items()
+                    for old in olds
+                ]
+            )
+        df = spark.read.schema(read_schema).parquet(*fl)
         if need_position:
             # physical position: parquet row index is stable per file
             # regardless of how Spark splits the file across partitions
+            # (selected BEFORE the rename repair's projections — the
+            # _metadata pseudo-column resolves against the raw scan)
             df = df.select(
                 "*",
                 F.col("_metadata.file_path").alias("__dv_file"),
                 F.col("_metadata.row_index").alias("__dv_pos"),
             )
+        for new, olds in renames.items():
+            df = df.withColumn(
+                new, F.coalesce(F.col(new), *[F.col(o) for o in olds])
+            ).drop(*olds)
         return df
 
     if not filters:
@@ -3804,6 +3860,278 @@ def _filter_sig(manifest: dict | None, files: set) -> dict:
     return {f: fmap[f] for f in files if f in fmap}
 
 
+def _expr_mentions(expr: str, name: str) -> bool:
+    """Does the SQL expression text reference ``name`` as an identifier?
+    Tokenizer-based (case-insensitive, like Spark's analyzer);
+    unparseable expressions fall back to a substring check —
+    conservative in the refusing direction, which is the only direction
+    these guards use it."""
+    want = str(name).lower()
+    try:
+        return any(
+            kind == "id" and str(tok).lower() == want
+            for kind, tok in _predicate_tokens(str(expr))
+        )
+    except Exception:
+        return want in str(expr).lower()
+
+
+def _pending_predicate_mentions(manifest: dict | None, name: str) -> str | None:
+    """The first pending predicate-mode lazy-delete filter referencing
+    ``name``, or None.  DV entries are positional and never block a
+    schema change."""
+    for e in (manifest or {}).get("row_filters", []):
+        if "predicate" in e and _expr_mentions(e["predicate"], name):
+            return e["predicate"]
+    return None
+
+
+def _evo_state(parent: dict | None) -> tuple[dict, list]:
+    return (
+        dict((parent or {}).get("renames", {})),
+        list((parent or {}).get("reserved_cols", [])),
+    )
+
+
+def _guard_reserved(parent: dict | None, ddl: str, op: str) -> None:
+    """Refuse re-introducing a column name old data files still
+    physically carry (dropped, or the FROM side of a rename): by-name
+    parquet matching would silently RESURRECT those files' values under
+    the new column."""
+    if parent is None:
+        return
+    reserved = {str(c).lower() for c in parent.get("reserved_cols", [])}
+    if not reserved:
+        return
+    from pyspark.sql.types import _parse_datatype_string
+
+    have = {
+        f.name.lower() for f in _parse_datatype_string(parent["schema"]).fields
+    }
+    added = {
+        f.name.lower() for f in _parse_datatype_string(ddl).fields
+    } - have
+    hit = sorted(added & reserved)
+    if hit:
+        raise ValueError(
+            f"{op}: column name(s) {hit} were previously dropped or renamed "
+            "away and old data files still physically carry them — re-adding "
+            "the name would resurrect those values under by-name reads.  "
+            "Pick a different name, or snapshot_overwrite to rebuild the "
+            "table (a full replace clears the reservation)."
+        )
+
+
+def _strip_bloom_col(parent: dict | None, files: list, old: str, new: str | None):
+    """Shared bloom adjustment for rename/drop: the sticky column set
+    follows the rename (new appends build under the new name) while
+    per-file ENTRIES for the old name are removed — sidecar rows record
+    the column name at build time, so re-keying the manifest alone
+    would make a probe by the new name find no rows and unsoundly
+    prune; stripped files simply lose bloom pruning on that column
+    until the next bloom-building rewrite (compact) re-covers them."""
+    pb = (parent or {}).get("bloom") or {}
+    sticky = [
+        (new if c == old and new is not None else c)
+        for c in pb.get("cols", [])
+        if not (c == old and new is None)
+    ]
+    entries = []
+    for e in _carry_bloom(parent, files):
+        if old in e.get("cols", []):
+            e = {
+                **e,
+                "cols": [c for c in e["cols"] if c != old],
+                "types": {k: v for k, v in e["types"].items() if k != old},
+            }
+            if not e["cols"]:
+                continue  # nothing probeable left; sidecar GCs via expire
+        entries.append(e)
+    return {"cols": sticky, "entries": entries} if (sticky or entries) else None
+
+
+def snapshot_rename_column(
+    spark: SparkSession, table_dir: str, old: str, new: str
+) -> dict:
+    """Rename a column — pure metadata, zero data movement (the
+    column-mapping capability Iceberg gets from field IDs, re-derived
+    for this log's by-name read model; reference has fixed SQLAlchemy
+    schemas and no online DDL — this is the lakehouse extension of its
+    C13-style rename-at-ingest, `backend/app/utils.py:300`).
+
+    Old data files keep their physical name; the reader repairs the
+    chain in-plan (augmented read schema + one ``coalesce`` per renamed
+    column — see :func:`_filtered_read`), so reads, stored predicates,
+    metadata aggregates and WHERE pruning all see only the new name:
+
+    - identity stats re-key to the new name (min/max/nulls/sums are
+      name-independent values), so file skipping keeps working over
+      files written before the rename;
+    - per-file bloom ENTRIES for the column are dropped (sidecar rows
+      record the build-time name — a manifest-only re-key would turn
+      'no rows' into an unsound prune); the sticky ``bloom_cols`` spec
+      follows the rename so future commits build under the new name;
+    - the old name becomes RESERVED: re-adding it via merge_schema is
+      refused (old files still carry it physically — by-name matching
+      would resurrect their values), until a full
+      :func:`snapshot_overwrite` rebuild clears the reservation.
+
+    Refused while a pending predicate-mode lazy delete references the
+    column (apply_filters first — the stored text can't be rewritten
+    safely), or when a DERIVED stats expression references it (re-stat
+    under the new name instead); time travel to pre-rename versions
+    reads the old schema unchanged."""
+    from pyspark.sql.types import StructField, StructType, _parse_datatype_string
+
+    def validate(parent):
+        if parent is None:
+            raise ValueError(f"no snapshots at {table_dir}")
+        sch = _parse_datatype_string(parent["schema"])
+        names = {f.name for f in sch.fields}
+        if old not in names:
+            raise ValueError(
+                f"snapshot_rename_column: {old!r} not in schema "
+                f"{sorted(names)}"
+            )
+        if new.lower() in {n.lower() for n in names}:
+            raise ValueError(
+                f"snapshot_rename_column: {new!r} already exists in the schema"
+            )
+        if new.lower() in {
+            str(c).lower() for c in parent.get("reserved_cols", [])
+        }:
+            raise ValueError(
+                f"snapshot_rename_column: {new!r} is reserved (previously "
+                "dropped or renamed away; old files still carry it) — pick "
+                "another name or snapshot_overwrite to rebuild"
+            )
+        pred = _pending_predicate_mentions(parent, old)
+        if pred is not None:
+            raise ValueError(
+                f"snapshot_rename_column: pending lazy-delete predicate "
+                f"{pred!r} references {old!r} — snapshot_apply_filters "
+                "first (stored predicate text cannot be rewritten safely)"
+            )
+        for alias, expr in (parent.get("stats_cols") or {}).items():
+            if not (alias == old and expr == old) and _expr_mentions(expr, old):
+                raise ValueError(
+                    f"snapshot_rename_column: derived stats expression "
+                    f"{alias!r} = {expr!r} references {old!r} — drop or "
+                    "re-declare the stats spec under the new name first"
+                )
+
+    def files_fn(parent):
+        validate(parent)  # re-validated against every winning tip
+        return list(parent["files"])
+
+    def schema_fn(parent):
+        sch = _parse_datatype_string(parent["schema"])
+        return StructType(
+            [
+                StructField(
+                    new if f.name == old else f.name, f.dataType, f.nullable
+                )
+                for f in sch.fields
+            ]
+        ).simpleString()
+
+    def stats_fn(parent, files):
+        sc = dict(parent.get("stats_cols") or {})
+        stats = {f: dict(v) for f, v in (parent.get("stats") or {}).items()}
+        if sc.get(old) == old:  # identity stats follow the rename
+            sc.pop(old)
+            sc[new] = new
+            for v in stats.values():
+                if old in v:
+                    v[new] = v.pop(old)
+        return (stats if sc else {}), sc, dict(parent.get("file_meta", {}))
+
+    def evo_fn(parent):
+        renames, reserved = _evo_state(parent)
+        chain = renames.pop(old, [])  # a→b then b→c: c carries [b, a]
+        renames[new] = [old] + chain
+        reserved.append(old)
+        return renames, reserved
+
+    return _commit(
+        spark, table_dir, "rename_column", files_fn, schema_fn,
+        meta={"renamed_from": old, "renamed_to": new},
+        stats_fn=stats_fn,
+        bloom_fn=lambda parent, files: _strip_bloom_col(parent, files, old, new),
+        evo_fn=evo_fn,
+    )
+
+
+def snapshot_drop_column(spark: SparkSession, table_dir: str, col: str) -> dict:
+    """Drop a column — pure metadata (the schema no longer lists it;
+    the pinned-schema read simply never decodes it from old files, so
+    the bytes become dead weight collected as files naturally rewrite).
+    The name becomes RESERVED against re-adding (old files still carry
+    it physically — by-name matching would resurrect the old values);
+    a full :func:`snapshot_overwrite` rebuild clears the reservation.
+    Stats/bloom entries for the column (and any DERIVED stats
+    expression referencing it) are removed.  Refused while a pending
+    predicate-mode lazy delete references the column (apply_filters
+    first), and for the table's only column."""
+    from pyspark.sql.types import StructType, _parse_datatype_string
+
+    def files_fn(parent):
+        if parent is None:
+            raise ValueError(f"no snapshots at {table_dir}")
+        sch = _parse_datatype_string(parent["schema"])
+        names = [f.name for f in sch.fields]
+        if col not in names:
+            raise ValueError(
+                f"snapshot_drop_column: {col!r} not in schema {names}"
+            )
+        if len(names) == 1:
+            raise ValueError(
+                "snapshot_drop_column: cannot drop the table's only column"
+            )
+        pred = _pending_predicate_mentions(parent, col)
+        if pred is not None:
+            raise ValueError(
+                f"snapshot_drop_column: pending lazy-delete predicate "
+                f"{pred!r} references {col!r} — snapshot_apply_filters first"
+            )
+        return list(parent["files"])
+
+    def schema_fn(parent):
+        sch = _parse_datatype_string(parent["schema"])
+        return StructType(
+            [f for f in sch.fields if f.name != col]
+        ).simpleString()
+
+    def stats_fn(parent, files):
+        old_sc = parent.get("stats_cols") or {}
+        sc = {
+            a: e
+            for a, e in old_sc.items()
+            if a != col and not _expr_mentions(e, col)
+        }
+        gone = set(old_sc) - set(sc)
+        stats = {}
+        for f, v in (parent.get("stats") or {}).items():
+            kept = {a: b for a, b in v.items() if a not in gone}
+            if kept:
+                stats[f] = kept
+        return (stats if sc else {}), sc, dict(parent.get("file_meta", {}))
+
+    def evo_fn(parent):
+        renames, reserved = _evo_state(parent)
+        chain = renames.pop(col, [])  # dropping a rename target buries it
+        reserved += [col] + chain
+        return renames, reserved
+
+    return _commit(
+        spark, table_dir, "drop_column", files_fn, schema_fn,
+        meta={"dropped": col},
+        stats_fn=stats_fn,
+        bloom_fn=lambda parent, files: _strip_bloom_col(parent, files, col, None),
+        evo_fn=evo_fn,
+    )
+
+
 def snapshot_restore(spark: SparkSession, table_dir: str, version: int) -> dict:
     """Roll the table BACK to a historical version — as a NEW commit
     referencing that version's files (Iceberg's rollback shape): the
@@ -3843,6 +4171,10 @@ def snapshot_restore(spark: SparkSession, table_dir: str, version: int) -> dict:
             if target.get("bloom")
             else None
         ),
+        # the restored DATA state includes its schema-evolution
+        # bookkeeping: the restored files carry the names that version
+        # knew about, not the rolled-back tip's
+        evo_fn=lambda parent: _evo_state(target),
     )
 
 
@@ -3949,6 +4281,9 @@ def snapshot_clone(spark: SparkSession, source_dir: str, dest_dir: str) -> dict:
                 if tip.get("bloom")
                 else None
             ),
+            # borrowed files carry the source's physical names: the
+            # rename chains and name reservations come with them
+            evo_fn=lambda parent: _evo_state(tip),
         )
     except BaseException:
         # an aborted clone must not strand its sidecar copies — the
