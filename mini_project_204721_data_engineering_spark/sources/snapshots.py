@@ -4062,6 +4062,82 @@ def snapshot_rename_column(
     )
 
 
+def snapshot_widen_column(
+    spark: SparkSession, table_dir: str, col: str, to_type: str
+) -> dict:
+    """Widen a column's type in place — pure metadata, zero data
+    movement.  Exactly the lossless pairs the manifest-pinned read
+    model already upcasts at scan time (the same rule merge_schema
+    uses, :func:`_wider_type`): the integer chain
+    tinyint→smallint→int→bigint, float→double, decimal precision
+    growth at unchanged scale.  Anything else refuses — a semantic
+    change needs a rewrite, not a DDL.
+
+    Existing narrow files read through the parquet upcast (already the
+    contract for merge_schema-widened tables); stats bounds and
+    per-file sums are value-compatible across the chain (JSON ints /
+    floats), and bloom probes hash literals at each entry's RECORDED
+    build type, so point-lookup pruning survives the widening by
+    construction (pytest-pinned when blooms shipped)."""
+    from pyspark.sql.types import (
+        StructField,
+        StructType,
+        _parse_datatype_string,
+    )
+
+    try:
+        target = _parse_datatype_string(to_type)
+    except Exception as e:
+        raise ValueError(
+            f"snapshot_widen_column: unparseable type {to_type!r}: {e}"
+        ) from e
+
+    def files_fn(parent):
+        if parent is None:
+            raise ValueError(f"no snapshots at {table_dir}")
+        sch = _parse_datatype_string(parent["schema"])
+        cur = next((f.dataType for f in sch.fields if f.name == col), None)
+        if cur is None:
+            raise ValueError(
+                f"snapshot_widen_column: {col!r} not in schema "
+                f"{[f.name for f in sch.fields]}"
+            )
+        if cur == target:
+            raise ValueError(
+                f"snapshot_widen_column: {col!r} is already "
+                f"{cur.simpleString()}"
+            )
+        if _wider_type(cur, target) != target:
+            raise ValueError(
+                f"snapshot_widen_column: {cur.simpleString()} → "
+                f"{target.simpleString()} is not a lossless widening "
+                "(allowed: the integer chain, float→double, decimal "
+                "precision growth at unchanged scale)"
+            )
+        return list(parent["files"])
+
+    def schema_fn(parent):
+        sch = _parse_datatype_string(parent["schema"])
+        return StructType(
+            [
+                StructField(
+                    f.name, target if f.name == col else f.dataType, f.nullable
+                )
+                for f in sch.fields
+            ]
+        ).simpleString()
+
+    return _commit(
+        spark, table_dir, "widen_column", files_fn, schema_fn,
+        meta={"widened": col, "to": str(target.simpleString())},
+        stats_fn=lambda parent, files: (
+            dict(parent.get("stats", {})),
+            dict(parent.get("stats_cols") or {}),
+            dict(parent.get("file_meta", {})),
+        ),
+    )
+
+
 def snapshot_drop_column(spark: SparkSession, table_dir: str, col: str) -> dict:
     """Drop a column — pure metadata (the schema no longer lists it;
     the pinned-schema read simply never decodes it from old files, so
@@ -4295,6 +4371,49 @@ def snapshot_clone(spark: SparkSession, source_dir: str, dest_dir: str) -> dict:
             spark, dest_dir, list(dv_map.values()) + list(bloom_map.values())
         )
         raise
+
+
+def snapshot_files(
+    spark: SparkSession,
+    table_dir: str,
+    version: int | None = None,
+    as_of: float | None = None,
+) -> list[dict]:
+    """Per-file inventory of a snapshot — the observability companion
+    to :func:`snapshot_history` (Delta's ``DESCRIBE DETAIL`` /
+    Iceberg's ``files`` metadata table): one dict per live data file
+    with its manifest-recorded rows/bytes, stats bounds, the pending
+    lazy-delete entries covering it (predicate texts and DV sidecar
+    count), and the bloom columns probeable on it.  Pure manifest
+    arithmetic — zero Spark jobs, zero files opened; the result is
+    O(files), the same driver-size contract as the manifest itself."""
+    manifest = _resolve_manifest(spark, table_dir, version, as_of)
+    meta = manifest.get("file_meta", {})
+    stats = manifest.get("stats", {})
+    preds: dict[str, list] = {}
+    dvs: dict[str, int] = {}
+    for e in manifest.get("row_filters", []):
+        for f in e["files"]:
+            if "predicate" in e:
+                preds.setdefault(f, []).append(e["predicate"])
+            else:
+                dvs[f] = dvs.get(f, 0) + 1
+    blooms: dict[str, list] = {}
+    for e in (manifest.get("bloom") or {}).get("entries", []):
+        for f in e["files"]:
+            blooms.setdefault(f, []).extend(e.get("cols", []))
+    return [
+        {
+            "file": f,
+            "rows": (meta.get(f) or {}).get("rows"),
+            "bytes": (meta.get(f) or {}).get("bytes"),
+            "stats": stats.get(f),
+            "pending_predicates": preds.get(f, []),
+            "pending_dv_entries": dvs.get(f, 0),
+            "bloom_cols": sorted(set(blooms.get(f, []))),
+        }
+        for f in manifest["files"]
+    ]
 
 
 def snapshot_history(spark: SparkSession, table_dir: str) -> list[dict]:

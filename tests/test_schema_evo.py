@@ -294,6 +294,62 @@ def test_drop_rename_target_buries_chain(spark, tmp_path):
     assert read_snapshot(spark, t).columns == ["a"]
 
 
+def test_widen_column(spark, tmp_path):
+    from mini_project_204721_data_engineering_spark.sources.snapshots import (
+        snapshot_widen_column,
+    )
+
+    t = str(tmp_path / "t")
+    narrow = spark.range(0, 10).select(
+        F.col("id").alias("a"), F.col("id").cast("int").alias("b")
+    )
+    snapshot_append(narrow.coalesce(1), t, stats_cols=["b"])
+    snapshot_widen_column(spark, t, "b", "bigint")
+    got = read_snapshot(spark, t)
+    assert dict(got.dtypes)["b"] == "bigint"
+    assert got.agg(F.sum("b")).collect()[0][0] == sum(range(10))
+    # appends at the widened type land without merge_schema
+    snapshot_append(
+        spark.range(0, 3).select(
+            F.col("id").alias("a"), (F.col("id") + 2**40).alias("b")
+        ).coalesce(1),
+        t,
+    )
+    assert read_snapshot(spark, t).filter(F.col("b") >= 2**40).count() == 3
+    # carried stats still feed pruning and the metadata aggregates
+    assert snapshot_min_max(spark, t, "b") == (0, 2**40 + 2)
+    assert snapshot_agg(spark, t, {"s": "sum(b)"})["s"] == (
+        sum(range(10)) + 3 * 2**40 + 3
+    )
+    # refusals: narrowing, cross-family, no-op, unknown column
+    with pytest.raises(ValueError, match="not a lossless widening"):
+        snapshot_widen_column(spark, t, "b", "int")
+    with pytest.raises(ValueError, match="not a lossless widening"):
+        snapshot_widen_column(spark, t, "b", "string")
+    with pytest.raises(ValueError, match="already"):
+        snapshot_widen_column(spark, t, "b", "bigint")
+    with pytest.raises(ValueError, match="not in schema"):
+        snapshot_widen_column(spark, t, "zz", "bigint")
+
+
+def test_widen_keeps_bloom_point_lookup(spark, tmp_path):
+    from mini_project_204721_data_engineering_spark.sources.snapshots import (
+        snapshot_widen_column,
+    )
+
+    t = str(tmp_path / "t")
+    df = spark.range(0, 100).select(
+        (F.col("id") * 7919).cast("int").alias("k"), F.col("id").alias("v")
+    )
+    snapshot_append(df.repartition(5), t, bloom_cols=["k"])
+    snapshot_widen_column(spark, t, "k", "bigint")
+    # probe hashes at the entry's RECORDED build type (int), so the
+    # lookup still prunes and still finds the row after the widening
+    q = read_snapshot_where(spark, t, f"k = {50 * 7919}")
+    assert q.count() == 1
+    assert len(q.inputFiles()) < 5
+
+
 def test_grouped_agg_on_renamed_group_key(spark, tmp_path):
     t = str(tmp_path / "t")
     d1 = spark.range(0, 10).select(

@@ -48,6 +48,37 @@ def _scan_min_max(spark, t, col, **kw):
     return (r["mn"], r["mx"])
 
 
+def test_snapshot_files_inventory_is_pure_metadata(spark, tmp_path):
+    """snapshot_files: per-file rows/bytes/stats/pending-filter/bloom
+    inventory with zero Spark jobs — proven by moving the data away."""
+    from mini_project_204721_data_engineering_spark.sources.snapshots import (
+        snapshot_delete_where,
+        snapshot_files,
+    )
+
+    t = str(tmp_path / "t")
+    snapshot_append(
+        _df(spark, 0, 40).repartition(2), t, stats_cols=["id"]
+    )
+    snapshot_delete_where(spark, t, "id = 3", lazy=True)
+    inv = snapshot_files(spark, t)
+    assert len(inv) == 2
+    assert sum(e["rows"] for e in inv) == 40
+    assert all(e["bytes"] > 0 and e["stats"]["id"] for e in inv)
+    covered = [e for e in inv if e["pending_predicates"]]
+    assert covered and covered[0]["pending_predicates"] == ["id = 3"]
+    # version travel sees the pre-delete state
+    assert all(
+        not e["pending_predicates"] for e in snapshot_files(spark, t, version=1)
+    )
+    data_dir = str(tmp_path / "t" / "data")
+    shutil.move(data_dir, data_dir + ".hidden")
+    try:
+        assert snapshot_files(spark, t) == inv  # no data touched
+    finally:
+        shutil.move(data_dir + ".hidden", data_dir)
+
+
 def test_every_commit_records_rows_and_bytes(spark, tmp_path):
     t = str(tmp_path / "t")
     snapshot_append(_df(spark, 0, 40).repartition(2), t)
