@@ -1910,6 +1910,341 @@ def _plan_files(
     return files
 
 
+def _cover_atoms(predicate: str):
+    """STRICT conjunctive parse for full-coverage testing — the
+    converse of pruning.  Pruning may be lossy (an uncaptured atom just
+    prunes nothing); claiming a file FULLY COVERED (predicate TRUE for
+    every row) requires the predicate to be EXACTLY a conjunction of
+    captured atoms, so any token this grammar doesn't recognize — OR,
+    NOT, functions, arithmetic, dotted names — returns ``None``
+    (coverage unknown; the caller scans).
+
+    Returns a list of atoms: ``("cmp", col, op, lit)`` with op in
+    ``= == != <> < <= > >=``, ``("between", col, lo, hi)``,
+    ``("in", col, frozenset)``, ``("null", col, is_null)``.  Temporal
+    typed literals come back tagged ``("date", s)`` / ``("ts", s)``;
+    :func:`_file_covered` owns the per-type domain guards."""
+    try:
+        tokens = _predicate_tokens(predicate)
+    except ValueError:
+        return None
+
+    def is_kw(t, kw):
+        return t[0] == "id" and t[1].upper() == kw
+
+    CMP = {"=", "==", "!=", "<>", "<", "<=", ">", ">="}
+    FLIP = {"<": ">", "<=": ">=", ">": "<", ">=": "<="}
+
+    def lit_of(toks):
+        """One literal from a token slice: a plain num/str, or a tagged
+        DATE/TIMESTAMP string.  None if not a literal."""
+        if len(toks) == 1 and toks[0][0] in ("num", "str"):
+            return toks[0][1]
+        if (
+            len(toks) == 2
+            and toks[0][0] == "id"
+            and toks[0][1].upper() in ("DATE", "TIMESTAMP")
+            and toks[1][0] == "str"
+        ):
+            return ("date" if toks[0][1].upper() == "DATE" else "ts", toks[1][1])
+        return None
+
+    def split_and(toks):
+        chunks, cur, depth, pending_between = [], [], 0, 0
+        for t in toks:
+            if t == ("op", "("):
+                depth += 1
+            elif t == ("op", ")"):
+                depth -= 1
+            if depth == 0 and is_kw(t, "BETWEEN"):
+                pending_between += 1
+            if depth == 0 and is_kw(t, "AND"):
+                if pending_between:
+                    pending_between -= 1
+                else:
+                    chunks.append(cur)
+                    cur = []
+                    continue
+            cur.append(t)
+        chunks.append(cur)
+        return chunks
+
+    def encloses(chunk) -> bool:
+        d = 0
+        for t in chunk[1:-1]:
+            if t == ("op", "("):
+                d += 1
+            elif t == ("op", ")"):
+                d -= 1
+                if d < 0:
+                    return False
+        return d == 0
+
+    def atom(chunk):
+        # col IS [NOT] NULL
+        if (
+            len(chunk) in (3, 4)
+            and chunk[0][0] == "id"
+            and is_kw(chunk[1], "IS")
+            and is_kw(chunk[-1], "NULL")
+            and (len(chunk) == 3 or is_kw(chunk[2], "NOT"))
+            and chunk[0][1].upper() not in ("DATE", "TIMESTAMP")
+        ):
+            return ("null", chunk[0][1], len(chunk) == 3)
+        # col BETWEEN lo AND hi
+        if len(chunk) >= 5 and chunk[0][0] == "id" and is_kw(chunk[1], "BETWEEN"):
+            body = chunk[2:]
+            for i in range(len(body)):
+                if is_kw(body[i], "AND"):
+                    lo, hi = lit_of(body[:i]), lit_of(body[i + 1:])
+                    if lo is not None and hi is not None:
+                        return ("between", chunk[0][1], lo, hi)
+                    return None
+            return None
+        # col IN (l1, ..., lk)
+        if (
+            len(chunk) >= 4
+            and chunk[0][0] == "id"
+            and is_kw(chunk[1], "IN")
+            and chunk[2] == ("op", "(")
+            and chunk[-1] == ("op", ")")
+        ):
+            vals, cur = [], []
+            for t in chunk[3:-1]:
+                if t == ("op", ","):
+                    vals.append(cur)
+                    cur = []
+                else:
+                    cur.append(t)
+            vals.append(cur)
+            lits = [lit_of(v) for v in vals]
+            if any(v is None for v in lits):
+                return None
+            return ("in", chunk[0][1], frozenset(lits))
+        # col <op> lit  /  lit <op> col
+        for i, t in enumerate(chunk):
+            if t[0] == "op" and t[1] in CMP:
+                lhs, rhs = chunk[:i], chunk[i + 1:]
+                op = t[1]
+                if len(lhs) == 1 and lhs[0][0] == "id":
+                    lit = lit_of(rhs)
+                    if lit is not None:
+                        return ("cmp", lhs[0][1], op, lit)
+                if len(rhs) == 1 and rhs[0][0] == "id":
+                    lit = lit_of(lhs)
+                    if lit is not None:
+                        return ("cmp", rhs[0][1], FLIP.get(op, op), lit)
+                return None
+        return None
+
+    def walk(toks):
+        out = []
+        for chunk in split_and(toks):
+            stripped = False
+            while (
+                len(chunk) >= 2
+                and chunk[0] == ("op", "(")
+                and chunk[-1] == ("op", ")")
+                and encloses(chunk)
+            ):
+                chunk = chunk[1:-1]
+                stripped = True
+            if stripped:
+                sub = walk(chunk)
+                if sub is None:
+                    return None
+                out.extend(sub)
+                continue
+            if not chunk:
+                return None
+            got = atom(chunk)
+            if got is None:
+                return None
+            out.append(got)
+        return out
+
+    # a depth-0 OR anywhere means the root is a disjunction: refuse
+    depth = 0
+    for t in tokens:
+        if t == ("op", "("):
+            depth += 1
+        elif t == ("op", ")"):
+            depth -= 1
+        elif depth == 0 and is_kw(t, "OR"):
+            return None
+    atoms = walk(tokens)
+    return atoms or None  # an empty parse proves nothing
+
+
+_F53 = 2**53  # doubles are exact integers below this
+
+
+def _cover_lit(lit, tddl: str, mn, mx):
+    """Map a parsed literal into the stats-bound comparison domain for
+    a column of type ``tddl``, or ``None`` when the comparison Spark
+    would perform cannot be soundly reproduced driver-side:
+
+    - integral columns: int literals exact; float literals only while
+      literal AND bounds stay below 2^53 (Spark compares in double —
+      beyond 2^53 the driver's exact int-float compare could disagree
+      at the boundary);
+    - float/double: numeric literals (huge int literals refused for the
+      same double-rounding reason);
+    - string: plain string literals only (a DATE/TIMESTAMP-typed
+      literal makes Spark cast the COLUMN side — different domain);
+    - date / timestamp_ntz: typed or plain ISO literals, re-serialized
+      to the stats' canonical spelling (isoformat, space separator);
+      non-ISO spellings and tz-aware columns refuse.
+
+    Python's str order is code-point order ≡ Spark's UTF-8 binary
+    order (UTF-8 preserves code-point order); NaN bounds make every
+    comparison False, which only ever refuses coverage."""
+    import datetime
+
+    tagged = isinstance(lit, tuple)
+    if tddl in ("tinyint", "smallint", "int", "bigint"):
+        if tagged or isinstance(lit, (str, bool)):
+            return None
+        if isinstance(lit, int):
+            return lit
+        ok = all(
+            isinstance(v, int) and abs(v) <= _F53 for v in (mn, mx)
+        ) and abs(lit) <= _F53
+        return lit if ok else None
+    if tddl in ("float", "double"):
+        if tagged or isinstance(lit, (str, bool)):
+            return None
+        if isinstance(lit, int) and abs(lit) > _F53:
+            return None
+        return float(lit)
+    if tddl == "string":
+        return lit if isinstance(lit, str) and not tagged else None
+    if tddl == "date":
+        s = lit[1] if tagged and lit[0] == "date" else (
+            lit if isinstance(lit, str) else None
+        )
+        if s is None:
+            return None
+        try:
+            return datetime.date.fromisoformat(s).isoformat()
+        except ValueError:
+            return None
+    if tddl == "timestamp_ntz":
+        s = lit[1] if tagged and lit[0] == "ts" else (
+            lit if isinstance(lit, str) else None
+        )
+        if s is None:
+            return None
+        try:
+            return datetime.datetime.fromisoformat(s).isoformat(sep=" ")
+        except ValueError:
+            return None
+    return None
+
+
+def _file_covered(atoms, types: dict, stats_cols: dict, frs: dict, rows_f) -> bool:
+    """Is the conjunctive predicate provably TRUE for EVERY row of the
+    file?  Bounds are used in the sound direction only: the recorded
+    lower bound is ≤ every value and the upper is ≥ every value (true
+    for truncated string bounds too), so ``mn >= x`` proves ``col >= x``
+    row-wise.  Any comparison atom requires a null-free file (a NULL
+    row evaluates the atom to NULL, not TRUE)."""
+    if not rows_f:
+        return False
+    for a in atoms:
+        col = a[1]
+        if stats_cols.get(col) != col:
+            return False  # coverage needs IDENTITY stats on the column
+        rng = frs.get(col)
+        if rng is None or len(rng) < 3 or rng[2] is None:
+            return False
+        nulls = rng[2]
+        if a[0] == "null":
+            if (nulls != rows_f) if a[2] else (nulls != 0):
+                return False
+            continue
+        if nulls != 0:
+            return False
+        mn, mx = rng[0], rng[1]
+        if mn is None or mx is None:
+            return False
+        t = types.get(col)
+        if t is None:
+            return False
+
+        def conv(lit):
+            return _cover_lit(lit, t, mn, mx)
+
+        try:
+            if a[0] == "between":
+                lo, hi = conv(a[2]), conv(a[3])
+                if lo is None or hi is None or not (lo <= mn and mx <= hi):
+                    return False
+            elif a[0] == "in":
+                vals = [conv(v) for v in a[2]]
+                if any(v is None for v in vals):
+                    return False
+                if not (mn == mx and mn in vals):
+                    return False
+            else:  # cmp
+                x = conv(a[3])
+                if x is None:
+                    return False
+                op = a[2]
+                ok = (
+                    (mn >= x and mx <= x) if op in ("=", "==")
+                    else (x < mn or x > mx) if op in ("!=", "<>")
+                    else (mx < x) if op == "<"
+                    else (mx <= x) if op == "<="
+                    else (mn > x) if op == ">"
+                    else (mn >= x)
+                )
+                if not ok:
+                    return False
+        except TypeError:
+            return False  # incomparable domains: never claim coverage
+    return True
+
+
+def _covered_split(
+    spark: SparkSession, manifest: dict, predicate: str, bloom: bool = True
+) -> tuple[list[str], list[str]]:
+    """Plan a predicate and split the kept files into (fully covered,
+    must scan): covered files are clean (no pending filter), carry
+    meta + identity stats, and the STRICT conjunctive parse proves the
+    predicate TRUE for every row — their manifest numbers are usable
+    as-is, the rest scan with the predicate as the row filter."""
+    from pyspark.sql.types import _parse_datatype_string
+
+    kept = _plan_files(spark, manifest, predicate, bloom=bloom)
+    atoms = _cover_atoms(predicate)
+    if atoms is None:
+        return [], kept
+    types = {
+        f.name: f.dataType.simpleString()
+        for f in _parse_datatype_string(manifest["schema"]).fields
+    }
+    stats_cols = manifest.get("stats_cols") or {}
+    stats = manifest.get("stats", {})
+    meta = manifest.get("file_meta", {})
+    fmap = _filter_map(manifest)
+    covered, rest = [], []
+    for f in kept:
+        m = meta.get(f)
+        rows_f = None if m is None else int(m["rows"])
+        if rows_f == 0:
+            continue  # empty either way
+        if (
+            f not in fmap
+            and rows_f is not None
+            and _file_covered(atoms, types, stats_cols, stats.get(f) or {}, rows_f)
+        ):
+            covered.append(f)
+        else:
+            rest.append(f)
+    return covered, rest
+
+
 _BLOOM_TYPES = {"tinyint", "smallint", "int", "bigint", "string"}
 
 
@@ -2321,17 +2656,31 @@ def snapshot_count(
 
     With a ``where`` predicate, manifest stats first SKIP provably
     disjoint files (the same extraction as
-    :func:`read_snapshot_where`), and the kept files are scanned with
-    the predicate — file-skipping cost, exact row semantics (per-row
-    evaluation cannot come from min/max bounds).  Either way the result
+    :func:`read_snapshot_where`), files the predicate provably holds
+    on EVERY row of (:func:`_file_covered` — strict conjunctive parse,
+    bounds inside the requested ranges, null-free) contribute their
+    manifest row counts without being opened, and only the remainder
+    — typically the boundary files a range cuts through — scans with
+    the predicate.  Either way the result
     always equals ``read_snapshot(...).filter(where).count()``."""
-    if where is not None:
-        # ONE planning pipeline: any future change to how a predicate
-        # plans (extraction, bloom probing) applies to counts for free
-        return read_snapshot_where(
-            spark, table_dir, where, version=version, as_of=as_of
-        ).count()
     manifest = _resolve_manifest(spark, table_dir, version, as_of)
+    if where is not None:
+        # ONE planning pipeline (extraction → prune → bloom) via
+        # _covered_split, PLUS full-coverage detection: a file the
+        # strict conjunctive parse proves predicate-TRUE for every row
+        # (bounds inside the requested ranges, null-free) contributes
+        # its manifest row count without being opened — the filtered
+        # pagination count over a date-laid-out table is then metadata
+        # arithmetic except for the two boundary files the range cuts
+        # through, which scan with the predicate as the row filter.
+        covered, rest = _covered_split(spark, manifest, where)
+        meta_c = manifest.get("file_meta", {})
+        total = sum(int(meta_c[f]["rows"]) for f in covered)
+        if rest:
+            total += (
+                _filtered_read(spark, manifest, rest).filter(where).count()
+            )
+        return total
     files = manifest["files"]
     fmap = _filter_map(manifest)
     meta = manifest.get("file_meta", {})
@@ -2583,9 +2932,13 @@ def snapshot_agg(
     Every other file falls back to ONE scan of exactly those files
     (merge-on-read fallback through the pending filters) whose partial
     aggregates merge with the metadata side — so the result always
-    equals the full-scan groupBy.  With ``where=`` the whole aggregate
-    runs as a :func:`read_snapshot_where` scan (per-row predicate
-    semantics can't come from bounds) — file-skipping cost, exact rows.
+    equals the full-scan groupBy.  With ``where=`` the predicate first
+    plans its file set (prune + bloom, :func:`_plan_files`) and files
+    the strict conjunctive parse proves FULLY COVERED — predicate TRUE
+    for every row (:func:`_file_covered`: bounds inside the requested
+    ranges, null-free) — stay on the metadata path; only the boundary
+    files a range cuts through scan, with the predicate as the row
+    filter.
 
     Matches the reference's serving aggregates (count/min/max per page
     request, `backend/app/main.py:266-269,668-676`) generalized to the
@@ -2650,29 +3003,19 @@ def snapshot_agg(
             )
         return rows
 
-    def finalize_row(r) -> dict:
-        o = {}
-        for alias, (fn, col) in parsed.items():
-            if fn == "avg":
-                s, c = r[f"__s_{alias}"], r[f"__c_{alias}"]
-                o[alias] = None if not c else (
-                    s / c if not (isinstance(s, float) and s != s) else s
-                )
-            else:
-                o[alias] = r[alias]
-        return o
-
-    if where is not None:
-        rows = scan_result(
-            read_snapshot_where(spark, table_dir, where, version=version, as_of=as_of)
-        )
-        if group_by is None:
-            return finalize_row(rows[0])
-        return {r["__g"]: finalize_row(r) for r in rows}
-
     stats = manifest.get("stats", {})
     meta = manifest.get("file_meta", {})
     fmap = _filter_map(manifest)
+
+    # with where=: plan the predicate (prune + bloom) and keep the
+    # metadata path for files the strict conjunctive parse proves
+    # FULLY COVERED (predicate TRUE for every row — their stats and
+    # sums are the filtered values); everything else kept by planning
+    # scans with the predicate as the row filter and merges as usual
+    if where is not None:
+        meta_files, rest_seed = _covered_split(spark, manifest, where)
+    else:
+        meta_files, rest_seed = manifest["files"], []
 
     def trusted_bounds(col, rng):
         """min/max usable by snapshot_min_max's rules (tz/truncation)."""
@@ -2700,7 +3043,7 @@ def snapshot_agg(
     # group_key -> {alias -> accumulator}; sums/counts accumulate,
     # min/max collect per-file bounds for one NaN-aware combine at the end
     acc: dict = {}
-    rest: list[str] = []
+    rest: list[str] = list(rest_seed)
 
     def slot(key):
         if key not in acc:
@@ -2713,7 +3056,7 @@ def snapshot_agg(
                     acc[key][alias] = [None, 0]  # [sum, non-null count]
         return acc[key]
 
-    for f in manifest["files"]:
+    for f in meta_files:
         m = meta.get(f)
         rows_f = None if m is None else int(m["rows"])
         if rows_f == 0:
@@ -2794,6 +3137,8 @@ def snapshot_agg(
     # same bucket as a date group from the manifest)
     if rest:
         df = _filtered_read(spark, manifest, rest)
+        if where is not None:
+            df = df.filter(where)
         for r in scan_result(df):
             if group_by is None:
                 key = _UNGROUPED
@@ -2922,7 +3267,7 @@ def snapshot_plan_info(
     def total(fl, key):
         return sum(int(meta[f][key]) for f in fl if f in meta)
 
-    return {
+    out = {
         "files_total": len(files),
         "files_planned": len(planned),
         "bytes_total": total(files, "bytes"),
@@ -2935,6 +3280,17 @@ def snapshot_plan_info(
             1 for f in planned if f in _filter_map(manifest)
         ),
     }
+    if predicate is not None:
+        # how much of the plan never needs opening at all: files the
+        # strict conjunctive parse proves predicate-TRUE row-wise
+        # (snapshot_count/snapshot_agg answer these from the manifest);
+        # the files_planned − files_covered remainder is the true scan
+        covered, _ = _covered_split(spark, manifest, predicate, bloom=bloom)
+        out["files_covered"] = len(covered)
+        out["bytes_scanned"] = total(
+            [f for f in planned if f not in set(covered)], "bytes"
+        )
+    return out
 
 
 # expression classes whose value depends on WHEN/WHERE the query runs —

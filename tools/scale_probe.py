@@ -1185,6 +1185,31 @@ def probe_snap(spark, n: int, out: list) -> None:
             "minmax_scan_over_meta": round(sm / mm, 1) if mm else None,
         }), flush=True)
 
+        # FILTERED count with full-coverage detection: interior files of
+        # an id-range are provably predicate-TRUE row-wise and count
+        # from the manifest; only the two boundary files scan
+        lo_c, hi_c = per // 2, 7 * per - per // 2 - 1
+        pred_c = f"id BETWEEN {lo_c} AND {hi_c}"
+
+        def covered_count():
+            return snapshot_count(spark, t, where=pred_c)
+
+        def scan_where_count():
+            return read_snapshot(spark, t).filter(pred_c).count()
+
+        assert covered_count() == scan_where_count() == hi_c - lo_c + 1
+        cc = timed("count_where_covered_hybrid", covered_count, out)
+        cs = timed("count_where_full_scan", scan_where_count, out)
+        info_c = snapshot_plan_info(spark, t, pred_c)
+        print(json.dumps({
+            "probe": "covered_count",
+            "files_planned": info_c["files_planned"],
+            "files_covered": info_c["files_covered"],
+            "bytes_planned": info_c["bytes_planned"],
+            "bytes_scanned": info_c["bytes_scanned"],
+            "scan_over_hybrid": round(cs / cc, 1) if cc else None,
+        }), flush=True)
+
         # grouped rollup from the manifest: daily appends lay one day
         # per commit; the per-day count/sum/avg rollup is then driver
         # arithmetic over O(files) manifest entries — zero Spark jobs —
