@@ -515,9 +515,10 @@ def _file_stats(
     # files simply record no stats for it (never pruned on it) instead
     # of failing the whole commit on an unresolvable expression
     cols = {}
+    dtypes = {}
     for alias, expr in stats.items():
         try:
-            scan.select(F.expr(expr))
+            dtypes[alias] = scan.select(F.expr(expr)).schema[0].dataType
             cols[alias] = expr
         except Exception:
             continue
@@ -542,8 +543,8 @@ def _file_stats(
     # as-is — json round-trips it).  Other types record no sum (legacy
     # 3-element entry) and snapshot_agg falls back to scanning them.
     sum_kind: dict[str, str] = {}
-    for alias, expr in cols.items():
-        dt = scan.select(F.expr(expr)).schema[0].dataType
+    for alias in cols:
+        dt = dtypes[alias]
         if isinstance(dt, (ByteType, ShortType, IntegerType, LongType)):
             sum_kind[alias] = "int"
         elif isinstance(dt, (FloatType, DoubleType)):
@@ -1386,6 +1387,48 @@ def _predicate_tokens(predicate: str) -> list:
     return out
 
 
+def _tok_is_kw(t, kw: str) -> bool:
+    return t[0] == "id" and t[1].upper() == kw
+
+
+def _split_and_depth0(toks):
+    """Depth-0 AND split, skipping the AND owned by a BETWEEN — the ONE
+    shared implementation for both the lossy prune extractor and the
+    strict coverage parser (a grammar fix must reach both or they
+    drift)."""
+    chunks, cur, depth, pending_between = [], [], 0, 0
+    for t in toks:
+        if t == ("op", "("):
+            depth += 1
+        elif t == ("op", ")"):
+            depth -= 1
+        if depth == 0 and _tok_is_kw(t, "BETWEEN"):
+            pending_between += 1
+        if depth == 0 and _tok_is_kw(t, "AND"):
+            if pending_between:
+                pending_between -= 1
+            else:
+                chunks.append(cur)
+                cur = []
+                continue
+        cur.append(t)
+    chunks.append(cur)
+    return chunks
+
+
+def _chunk_encloses(chunk) -> bool:
+    """chunk[0]'s '(' matches chunk[-1]'s ')' exactly."""
+    d = 0
+    for t in chunk[1:-1]:
+        if t == ("op", "("):
+            d += 1
+        elif t == ("op", ")"):
+            d -= 1
+            if d < 0:
+                return False
+    return d == 0
+
+
 def _predicate_prune_ranges(predicate: str) -> dict:
     """Derive manifest prune ranges ``{col: (lo, hi)}`` from the
     CONJUNCTIVE atoms of a SQL predicate — the subset where skipping is
@@ -1451,27 +1494,6 @@ def _predicate_prune_ranges(predicate: str) -> dict:
             return _TypedStr(toks[1][1])
         return None
 
-    def split_and(toks):
-        """Depth-0 AND split, skipping the AND owned by a BETWEEN."""
-        chunks, cur, depth, pending_between = [], [], 0, 0
-        for t in toks:
-            if t == ("op", "("):
-                depth += 1
-            elif t == ("op", ")"):
-                depth -= 1
-            if depth == 0 and is_kw(t, "BETWEEN"):
-                pending_between += 1
-            if depth == 0 and is_kw(t, "AND"):
-                if pending_between:
-                    pending_between -= 1
-                else:
-                    chunks.append(cur)
-                    cur = []
-                    continue
-            cur.append(t)
-        chunks.append(cur)
-        return chunks
-
     def split_or(toks):
         """Depth-0 OR split (OR binds loosest, so a depth-0 OR makes
         the root an OR and each side a full disjunct)."""
@@ -1522,20 +1544,8 @@ def _predicate_prune_ranges(predicate: str) -> dict:
                     continue  # too wide to be worth testing per file
             return out
 
-        def encloses(chunk) -> bool:
-            """chunk[0]'s '(' matches chunk[-1]'s ')' exactly."""
-            d = 0
-            for t in chunk[1:-1]:
-                if t == ("op", "("):
-                    d += 1
-                elif t == ("op", ")"):
-                    d -= 1
-                    if d < 0:
-                        return False
-            return d == 0
-
         ranges: dict = {}
-        for chunk in split_and(toks):
+        for chunk in _split_and_depth0(toks):
             # strip fully-enclosing parens; a parenthesized subexpression
             # recurses (strictly shorter token list — terminates), a bare
             # atom falls through to the matcher (which owns BETWEEN's AND)
@@ -1544,7 +1554,7 @@ def _predicate_prune_ranges(predicate: str) -> dict:
                 len(chunk) >= 2
                 and chunk[0] == ("op", "(")
                 and chunk[-1] == ("op", ")")
-                and encloses(chunk)
+                and _chunk_encloses(chunk)
             ):
                 chunk = chunk[1:-1]
                 stripped = True
@@ -1949,37 +1959,6 @@ def _cover_atoms(predicate: str):
             return ("date" if toks[0][1].upper() == "DATE" else "ts", toks[1][1])
         return None
 
-    def split_and(toks):
-        chunks, cur, depth, pending_between = [], [], 0, 0
-        for t in toks:
-            if t == ("op", "("):
-                depth += 1
-            elif t == ("op", ")"):
-                depth -= 1
-            if depth == 0 and is_kw(t, "BETWEEN"):
-                pending_between += 1
-            if depth == 0 and is_kw(t, "AND"):
-                if pending_between:
-                    pending_between -= 1
-                else:
-                    chunks.append(cur)
-                    cur = []
-                    continue
-            cur.append(t)
-        chunks.append(cur)
-        return chunks
-
-    def encloses(chunk) -> bool:
-        d = 0
-        for t in chunk[1:-1]:
-            if t == ("op", "("):
-                d += 1
-            elif t == ("op", ")"):
-                d -= 1
-                if d < 0:
-                    return False
-        return d == 0
-
     def atom(chunk):
         # col IS [NOT] NULL
         if (
@@ -2039,13 +2018,13 @@ def _cover_atoms(predicate: str):
 
     def walk(toks):
         out = []
-        for chunk in split_and(toks):
+        for chunk in _split_and_depth0(toks):
             stripped = False
             while (
                 len(chunk) >= 2
                 and chunk[0] == ("op", "(")
                 and chunk[-1] == ("op", ")")
-                and encloses(chunk)
+                and _chunk_encloses(chunk)
             ):
                 chunk = chunk[1:-1]
                 stripped = True
@@ -2078,6 +2057,17 @@ def _cover_atoms(predicate: str):
 
 _F53 = 2**53  # doubles are exact integers below this
 
+# the ONLY temporal spellings coverage accepts: exactly what both the
+# stats writer emits AND Spark's cast parses to the same value.
+# datetime.fromisoformat alone is too lax (3.11 parses '20240101',
+# and it accepts tz offsets on an NTZ comparison, both of which Spark
+# treats differently) — coverage over-claims are wrong answers, so the
+# spelling gate is strict and everything else falls back to the scan.
+_DATE_STRICT = _re.compile(r"^\d{4}-\d{2}-\d{2}$")
+_TS_STRICT = _re.compile(
+    r"^\d{4}-\d{2}-\d{2}[ T]\d{2}:\d{2}:\d{2}(?:\.\d{1,6})?$"
+)
+
 
 def _cover_lit(lit, tddl: str, mn, mx):
     """Map a parsed literal into the stats-bound comparison domain for
@@ -2092,9 +2082,12 @@ def _cover_lit(lit, tddl: str, mn, mx):
       same double-rounding reason);
     - string: plain string literals only (a DATE/TIMESTAMP-typed
       literal makes Spark cast the COLUMN side — different domain);
-    - date / timestamp_ntz: typed or plain ISO literals, re-serialized
-      to the stats' canonical spelling (isoformat, space separator);
-      non-ISO spellings and tz-aware columns refuse.
+    - date / timestamp_ntz: typed or plain literals in the STRICT
+      canonical spellings only (``_DATE_STRICT``/``_TS_STRICT``),
+      re-serialized to the stats' exact format (isoformat, space
+      separator); lax spellings Python would parse but Spark casts
+      differently (compact ``20240101``, tz offsets on an NTZ
+      comparison) refuse, as do tz-aware columns.
 
     Python's str order is code-point order ≡ Spark's UTF-8 binary
     order (UTF-8 preserves code-point order); NaN bounds make every
@@ -2123,7 +2116,7 @@ def _cover_lit(lit, tddl: str, mn, mx):
         s = lit[1] if tagged and lit[0] == "date" else (
             lit if isinstance(lit, str) else None
         )
-        if s is None:
+        if s is None or not _DATE_STRICT.match(s):
             return None
         try:
             return datetime.date.fromisoformat(s).isoformat()
@@ -2133,7 +2126,7 @@ def _cover_lit(lit, tddl: str, mn, mx):
         s = lit[1] if tagged and lit[0] == "ts" else (
             lit if isinstance(lit, str) else None
         )
-        if s is None:
+        if s is None or not _TS_STRICT.match(s):
             return None
         try:
             return datetime.datetime.fromisoformat(s).isoformat(sep=" ")
@@ -2207,16 +2200,23 @@ def _file_covered(atoms, types: dict, stats_cols: dict, frs: dict, rows_f) -> bo
 
 
 def _covered_split(
-    spark: SparkSession, manifest: dict, predicate: str, bloom: bool = True
+    spark: SparkSession,
+    manifest: dict,
+    predicate: str,
+    bloom: bool = True,
+    kept: list[str] | None = None,
 ) -> tuple[list[str], list[str]]:
     """Plan a predicate and split the kept files into (fully covered,
     must scan): covered files are clean (no pending filter), carry
     meta + identity stats, and the STRICT conjunctive parse proves the
     predicate TRUE for every row — their manifest numbers are usable
-    as-is, the rest scan with the predicate as the row filter."""
+    as-is, the rest scan with the predicate as the row filter.  A
+    caller that already ran :func:`_plan_files` passes the result as
+    ``kept`` (plan_info would otherwise pay the bloom probe twice)."""
     from pyspark.sql.types import _parse_datatype_string
 
-    kept = _plan_files(spark, manifest, predicate, bloom=bloom)
+    if kept is None:
+        kept = _plan_files(spark, manifest, predicate, bloom=bloom)
     atoms = _cover_atoms(predicate)
     if atoms is None:
         return [], kept
@@ -3285,10 +3285,13 @@ def snapshot_plan_info(
         # strict conjunctive parse proves predicate-TRUE row-wise
         # (snapshot_count/snapshot_agg answer these from the manifest);
         # the files_planned − files_covered remainder is the true scan
-        covered, _ = _covered_split(spark, manifest, predicate, bloom=bloom)
+        covered, _ = _covered_split(
+            spark, manifest, predicate, bloom=bloom, kept=list(planned)
+        )
+        cov = set(covered)
         out["files_covered"] = len(covered)
         out["bytes_scanned"] = total(
-            [f for f in planned if f not in set(covered)], "bytes"
+            [f for f in planned if f not in cov], "bytes"
         )
     return out
 
@@ -4375,6 +4378,47 @@ def snapshot_rename_column(
                     f"{alias!r} = {expr!r} references {old!r} — drop or "
                     "re-declare the stats spec under the new name first"
                 )
+            # the new name must not collide with a DERIVED stats alias:
+            # per-file bounds recorded under that key belong to the
+            # alias's expression, and a predicate on the renamed column
+            # would prune by them — silently wrong file skipping.  (An
+            # identity alias equal to `new` implies the column exists,
+            # already refused above.)
+            if alias.lower() == new.lower() and not (
+                alias == old and expr == old
+            ):
+                raise ValueError(
+                    f"snapshot_rename_column: {new!r} collides with the "
+                    f"stats alias {alias!r} = {expr!r} — bounds stored "
+                    "under that key would mis-prune the renamed column; "
+                    "drop or re-declare the stats spec first"
+                )
+        # the new name must survive the schema-DDL round-trip, or every
+        # FUTURE read fails parsing the committed manifest (widen parses
+        # its type argument up front; rename owes the same discipline)
+        from pyspark.sql.types import StructField as _SF, StructType as _ST
+
+        cand = _ST(
+            [
+                _SF(new if f.name == old else f.name, f.dataType, f.nullable)
+                for f in sch.fields
+            ]
+        )
+        want_names = [new if f.name == old else f.name for f in sch.fields]
+        try:
+            back = _parse_datatype_string(cand.simpleString())
+            ok = [f.name for f in back.fields] == want_names and [
+                f.dataType for f in back.fields
+            ] == [f.dataType for f in sch.fields]
+        except Exception:
+            ok = False
+        if not ok:
+            raise ValueError(
+                f"snapshot_rename_column: {new!r} does not survive the "
+                "schema DDL round-trip (metacharacters like ',' ':' '<' "
+                "corrupt the manifest for every future read) — use a "
+                "plain identifier"
+            )
 
     def files_fn(parent):
         validate(parent)  # re-validated against every winning tip

@@ -189,6 +189,56 @@ def test_conservative_domains_still_exact(spark, tmp_path):
         assert snapshot_count(spark, t, where=pred) == want
 
 
+def test_lax_temporal_spellings_never_claim_coverage(spark, tmp_path):
+    """Python's fromisoformat is laxer than Spark's cast: compact
+    '20240101' (3.11+) and tz offsets on an NTZ comparison parse
+    driver-side but Spark treats them differently — the strict
+    spelling gate must push both to the scan so behavior matches the
+    read_snapshot().filter() contract exactly (including raising when
+    ANSI raises)."""
+    import datetime
+
+    t = str(tmp_path / "t")
+    df = spark.range(0, 10).select(
+        F.col("id"),
+        F.lit("2024-01-01").cast("date").alias("day"),
+        F.lit("2024-01-01 00:00:00").cast("timestamp_ntz").alias("ts"),
+    )
+    snapshot_append(df.coalesce(1), t, stats_cols=["day", "ts"])
+    # compact date spelling: Spark's ANSI cast raises on the scan side;
+    # a metadata answer here would be a silent wrong result
+    lax = "day = '20240101'"
+    try:
+        want = read_snapshot(spark, t).filter(lax).count()
+        assert snapshot_count(spark, t, where=lax) == want
+    except Exception as e:
+        with pytest.raises(type(e)):
+            snapshot_count(spark, t, where=lax)
+    # tz-offset literal against an NTZ column: must scan, answers equal
+    for pred in [
+        "ts < '2024-01-01 00:00:00+05:00'",
+        "ts <= '2024-01-01T00:00:00'",  # T separator IS canonical
+        "ts >= '2024-01-01 00:00:00.5'",
+    ]:
+        try:
+            want = read_snapshot(spark, t).filter(pred).count()
+        except Exception as e:
+            with pytest.raises(type(e)):
+                snapshot_count(spark, t, where=pred)
+            continue
+        assert snapshot_count(spark, t, where=pred) == want, pred
+    # the canonical spellings DO cover: zero-scan proof
+    shutil.move(str(tmp_path / "t" / "data"), str(tmp_path / "t" / "data.h"))
+    try:
+        assert snapshot_count(spark, t, where="day = '2024-01-01'") == 10
+        assert snapshot_count(
+            spark, t, where="ts >= '2024-01-01 00:00:00'"
+        ) == 10
+    finally:
+        shutil.move(str(tmp_path / "t" / "data.h"), str(tmp_path / "t" / "data"))
+    assert isinstance(datetime.date.fromisoformat("2024-01-01"), datetime.date)
+
+
 def test_hypothesis_random_conjunctions_match_scan(spark, tmp_path):
     """Property: for random conjunctions of supported atom shapes over
     a nullable mixed-type table, the hybrid count ≡ the real scan."""

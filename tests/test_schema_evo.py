@@ -132,6 +132,27 @@ def test_rename_refusals(spark, tmp_path):
     snapshot_append(_df(spark, 0, 10), t3, stats_cols={"b10": "b * 10"})
     with pytest.raises(ValueError, match="derived stats expression"):
         snapshot_rename_column(spark, t3, "b", "c")
+    # renaming ONTO a derived stats alias would mis-prune: bounds under
+    # that key belong to the alias's expression, not the column
+    t4 = str(tmp_path / "t4")
+    snapshot_append(
+        spark.range(0, 10).select(
+            F.col("id").alias("a"),
+            (F.col("id") * 2).alias("b"),
+            F.lit("2024-01-01 00:00:00").cast("timestamp_ntz").alias("ts"),
+        ),
+        t4,
+        stats_cols={"day": "CAST(ts AS DATE)"},
+    )
+    with pytest.raises(ValueError, match="collides with the stats alias"):
+        snapshot_rename_column(spark, t4, "b", "day")
+    # a name that breaks the schema-DDL round-trip must refuse NOW, not
+    # corrupt the manifest for every future read
+    with pytest.raises(ValueError, match="DDL round-trip"):
+        snapshot_rename_column(spark, t4, "b", "x,y")
+    with pytest.raises(ValueError, match="DDL round-trip"):
+        snapshot_rename_column(spark, t4, "b", "x:int,y")
+    assert read_snapshot(spark, t4).count() == 10  # table intact
 
 
 def test_reserved_names_block_merge_schema_until_overwrite(spark, tmp_path):
