@@ -261,6 +261,7 @@ def _commit(
     stats_fn=None,
     row_filters_fn=None,
     bloom_fn=None,
+    ndv_fn=None,
     evo_fn=None,
 ) -> dict:
     """The optimistic-concurrency loop: resolve the tip, build the new
@@ -342,6 +343,18 @@ def _commit(
             )
         if bloom:
             manifest["bloom"] = bloom
+        if ndv_fn is not None:
+            ndv = ndv_fn(parent_manifest, files)
+        else:
+            pn = (parent_manifest or {}).get("ndv") or {}
+            nentries = _carry_ndv(parent_manifest, files)
+            ndv = (
+                {"cols": pn.get("cols", []), "entries": nentries}
+                if (pn.get("cols") or nentries)
+                else None
+            )
+        if ndv:
+            manifest["ndv"] = ndv
         if evo_fn is not None:
             renames, reserved = evo_fn(parent_manifest)
         else:
@@ -699,6 +712,7 @@ def snapshot_append(
     merge_schema: bool = False,
     stats_cols: Sequence[str] | Mapping[str, str] | None = None,
     bloom_cols: Sequence[str] | None = None,
+    ndv_cols: Sequence[str] | None = None,
 ) -> dict:
     """Atomically append ``df``: new snapshot = parent's files + this
     commit's files.  Safe under concurrent appenders (each lands its own
@@ -728,6 +742,8 @@ def snapshot_append(
         _validate_stats(df, stats_cols)
     if bloom_cols is not None:  # caller mistakes raise BEFORE bytes move
         _bloom_build_cols(df.schema, bloom_cols, explicit=True)
+    if ndv_cols is not None:
+        _ndv_build_cols(df.schema, ndv_cols, explicit=True)
     new_files, _ = _write_data_files(df, table_dir)
 
     def files_fn(parent):
@@ -746,12 +762,14 @@ def snapshot_append(
 
     return _bloom_guarded_commit(
         spark, table_dir, new_files, bloom_cols, df.schema,
-        lambda bloom_fn: _commit(
+        lambda bloom_fn, ndv_fn: _commit(
             spark, table_dir, "append", files_fn, schema_fn,
             meta={"added_files": len(new_files)},
             stats_fn=_compose_stats(spark, new_files, stats_cols),
             bloom_fn=bloom_fn,
+            ndv_fn=ndv_fn,
         ),
+        ndv_cols=ndv_cols,
     )
 
 
@@ -759,6 +777,7 @@ def snapshot_overwrite(
     df: DataFrame, table_dir: str,
     stats_cols: Sequence[str] | Mapping[str, str] | None = None,
     bloom_cols: Sequence[str] | None = None,
+    ndv_cols: Sequence[str] | None = None,
 ) -> dict:
     """Atomically replace the table contents (logical TRUNCATE+INSERT).
     Prior snapshots stay readable via time travel until expired; this is
@@ -772,6 +791,8 @@ def snapshot_overwrite(
         _validate_stats(df, stats_cols)
     if bloom_cols is not None:
         _bloom_build_cols(df.schema, bloom_cols, explicit=True)
+    if ndv_cols is not None:
+        _ndv_build_cols(df.schema, ndv_cols, explicit=True)
     new_files, _ = _write_data_files(df, table_dir)
 
     # _compose_stats serves the overwrite too: its parent-carry branch
@@ -780,15 +801,17 @@ def snapshot_overwrite(
     # needs — one shared implementation, one place to fix
     return _bloom_guarded_commit(
         spark, table_dir, new_files, bloom_cols, df.schema,
-        lambda bloom_fn: _commit(
+        lambda bloom_fn, ndv_fn: _commit(
             spark, table_dir, "overwrite", lambda parent: list(new_files),
             df.schema.simpleString(), meta={"added_files": len(new_files)},
             stats_fn=_compose_stats(spark, new_files, stats_cols),
             bloom_fn=bloom_fn,
+            ndv_fn=ndv_fn,
             # a full replace leaves no old-name files: rename chains and
             # reserved names clear (this is the documented rebuild path)
             evo_fn=lambda parent: ({}, []),
         ),
+        ndv_cols=ndv_cols,
     )
 
 
@@ -2422,6 +2445,125 @@ def _bloom_fn_for(spark, table_dir, new_files, bloom_cols, schema, holder):
     return bloom_fn
 
 
+def _carry_ndv(parent: dict | None, files: list[str]) -> list[dict]:
+    """NDV-entry propagation — same carry rule as bloom entries: a
+    rewritten file leaves the entry (its replacement gets a fresh
+    sketch at the next ndv-building commit)."""
+    fset = set(files)
+    out = []
+    for e in ((parent or {}).get("ndv") or {}).get("entries", []):
+        kept = [f for f in e["files"] if f in fset]
+        if kept:
+            out.append({**e, "files": kept})
+    return out
+
+
+def _ndv_build_cols(schema, cols, explicit: bool) -> list[str]:
+    """The subset of ``cols`` sketchable against ``schema`` — same
+    explicit-raises / sticky-tolerates contract as
+    :func:`_bloom_build_cols`.  Restricted to integral and string
+    columns: the int chain hashes identically at every width
+    (datasketches updates through long), so a later widening never
+    splits a value's identity across files."""
+    types = {f.name: f.dataType.simpleString() for f in schema.fields}
+    if explicit:
+        missing = [c for c in cols if c not in types]
+        if missing:
+            raise ValueError(f"ndv_cols {missing} not in the written schema")
+        bad = {c: types[c] for c in cols if types[c] not in _BLOOM_TYPES}
+        if bad:
+            raise ValueError(
+                f"ndv_cols must be integral or string columns; got {bad}"
+            )
+        return [str(c) for c in cols]
+    return [str(c) for c in cols if types.get(c) in _BLOOM_TYPES]
+
+
+def _build_ndv_entry(
+    spark: SparkSession,
+    table_dir: str,
+    new_files: list[str],
+    cols: Sequence[str],
+    schema,
+) -> dict | None:
+    """One HLL sketch per (file, column) over THIS commit's files into
+    a sidecar parquet under ``<table>/_ndv/`` — the distinct-count
+    complement to min/max/sum stats (Iceberg stores the same idea in
+    puffin files).  Sketch union is register-wise max, so the merged
+    estimate over per-file sketches EQUALS the direct whole-data
+    sketch (pytest-pinned); ~1 KB per file/column at the default lgK.
+    File identity is canonicalized to the manifest's spelling exactly
+    like the bloom build (URL-encoding hazard)."""
+    from pyspark.sql import functions as F
+
+    cols = list(cols)
+    if not new_files or not cols:
+        return None
+    fs, _, jvm = _fs_for(spark, table_dir)
+    scan = spark.read.schema(schema).parquet(*new_files)
+    per_file = (
+        scan.groupBy(F.col("_metadata.file_path").alias("__raw"))
+        .count()
+        .collect()
+    )
+    if not per_file:
+        return None
+    spell = {r["__raw"]: _canon_file(jvm, r["__raw"]) for r in per_file}
+    unexpected = set(spell.values()) - set(new_files)
+    if unexpected:
+        raise RuntimeError(
+            f"ndv build saw files outside this commit: {sorted(unexpected)[:3]}"
+        )
+    spell_df = spark.createDataFrame(
+        [(k, v) for k, v in spell.items()], "__raw string, file string"
+    )
+    parts = []
+    for c in cols:
+        parts.append(
+            scan.groupBy(F.col("_metadata.file_path").alias("__raw"))
+            .agg(F.hll_sketch_agg(F.col(c)).alias("sketch"))
+            .select(F.lit(c).alias("col"), "__raw", "sketch")
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    out = out.join(F.broadcast(spell_df), "__raw").select("col", "file", "sketch")
+    sidecar = str(
+        fs.makeQualified(_child(jvm, table_dir, "_ndv", f"ndv-{uuid.uuid4().hex}"))
+    )
+    out.write.parquet(sidecar)
+    return {"sidecar": sidecar, "files": list(new_files), "cols": cols}
+
+
+def _ndv_fn_for(spark, table_dir, new_files, ndv_cols, schema, holder):
+    """The ``ndv_fn`` for sketch-building commits — same lazy
+    construction, sticky-column resolution and retry memoization as
+    :func:`_bloom_fn_for` (one sidecar build per column set, bytes
+    before the manifest references them)."""
+
+    def ndv_fn(parent, files):
+        cols = (
+            [str(c) for c in ndv_cols]
+            if ndv_cols is not None
+            else list(((parent or {}).get("ndv") or {}).get("cols", []))
+        )
+        entry = None
+        if cols:
+            key = "\x00".join(cols)
+            if key not in holder["ndv"]:
+                build = _ndv_build_cols(schema, cols, ndv_cols is not None)
+                holder["ndv"][key] = (
+                    _build_ndv_entry(spark, table_dir, new_files, build, schema)
+                    if build
+                    else None
+                )
+            entry = holder["ndv"][key]
+        entries = _carry_ndv(parent, files) + ([entry] if entry else [])
+        return {"cols": cols, "entries": entries} if (cols or entries) else None
+
+    return ndv_fn
+
+
 def _sidecar_referenced(spark, table_dir, path: str) -> bool:
     """True when some live manifest verifiably references ``path`` as a
     DV or bloom sidecar — True on ANY doubt (unreadable log): deleting
@@ -2435,6 +2577,11 @@ def _sidecar_referenced(spark, table_dir, path: str) -> bool:
             if any(
                 e.get("sidecar") == path
                 for e in (m.get("bloom") or {}).get("entries", [])
+            ):
+                return True
+            if any(
+                e.get("sidecar") == path
+                for e in (m.get("ndv") or {}).get("entries", [])
             ):
                 return True
         return False
@@ -2457,34 +2604,36 @@ def _sweep_unreferenced_sidecars(spark, table_dir, paths) -> None:
 
 def _bloom_commit_guard(spark, table_dir, holder, thunk):
     """Run the commit ``thunk``; on abort, delete the just-written bloom
-    sidecars (``holder["entries"]``) UNLESS some live manifest
-    verifiably references them (the same crash discipline as DV
-    sidecars — on any doubt, leak for expire_snapshots)."""
+    AND ndv sidecars (``holder``) UNLESS some live manifest verifiably
+    references them (the same crash discipline as DV sidecars — on any
+    doubt, leak for expire_snapshots)."""
     try:
         return thunk()
     except BaseException:
         _sweep_unreferenced_sidecars(
             spark,
             table_dir,
-            [e["sidecar"] for e in holder["entries"].values() if e],
+            [e["sidecar"] for e in holder["entries"].values() if e]
+            + [e["sidecar"] for e in holder.get("ndv", {}).values() if e],
         )
         raise
 
 
 def _bloom_guarded_commit(
-    spark, table_dir, new_files, bloom_cols, schema, commit_fn
+    spark, table_dir, new_files, bloom_cols, schema, commit_fn, ndv_cols=None
 ):
-    """One owner for a bloom-building commit's sidecar lifecycle — the
-    lazily-built entry (holder), its ``bloom_fn``, and the abort guard
-    — shared by append/overwrite/compact so the crash discipline lives
-    in exactly one place.  ``commit_fn(bloom_fn)`` runs the actual
-    ``_commit``."""
-    holder = {"entries": {}}
+    """One owner for a sidecar-building commit's lifecycle — the
+    lazily-built bloom and ndv entries (holder), their fns, and the
+    abort guard — shared by append/overwrite/compact so the crash
+    discipline lives in exactly one place.  ``commit_fn(bloom_fn,
+    ndv_fn)`` runs the actual ``_commit``."""
+    holder = {"entries": {}, "ndv": {}}
     bloom_fn = _bloom_fn_for(
         spark, table_dir, new_files, bloom_cols, schema, holder
     )
+    ndv_fn = _ndv_fn_for(spark, table_dir, new_files, ndv_cols, schema, holder)
     return _bloom_commit_guard(
-        spark, table_dir, holder, lambda: commit_fn(bloom_fn)
+        spark, table_dir, holder, lambda: commit_fn(bloom_fn, ndv_fn)
     )
 
 
@@ -3296,6 +3445,75 @@ def snapshot_plan_info(
     return out
 
 
+def snapshot_ndv(
+    spark: SparkSession,
+    table_dir: str,
+    column: str,
+    version: int | None = None,
+    as_of: float | None = None,
+) -> int:
+    """Approximate distinct count of ``column`` (non-null values, like
+    ``approx_count_distinct``) from the per-file HLL sketch sidecars
+    (``ndv_cols=`` at append/overwrite/compact) — the cost is a
+    metadata-sized sidecar scan plus one register-wise union, NEVER a
+    data pass over covered files.  HLL union is exact over sketches
+    (register-wise max), so the merged estimate EQUALS the direct
+    whole-data sketch — same number the user would get from
+    ``approx_count_distinct``-style sketching of the full table, at
+    manifest cost.
+
+    Files without a sketch for the column (written before ``ndv_cols``
+    was configured, per-batch stream commits, or files under a pending
+    merge-on-read takedown — their sketch predates the delete) fall
+    back to ONE scan of exactly those files that builds their sketches
+    on the fly and unions them in.  Estimate error is the standard HLL
+    bound (~1.6% at Spark's default lgK=12); an empty table returns 0."""
+    from pyspark.sql import functions as F
+
+    manifest = _resolve_manifest(spark, table_dir, version, as_of)
+    live = [
+        f
+        for f in manifest["files"]
+        if (manifest.get("file_meta", {}).get(f) or {}).get("rows") != 0
+    ]
+    if not live:
+        return 0
+    fmap = _filter_map(manifest)
+    liveset = set(live)
+    cover: dict[str, str] = {}  # file -> sidecar holding its sketch
+    for e in (manifest.get("ndv") or {}).get("entries", []):
+        if column not in e.get("cols", []):
+            continue
+        for f in e["files"]:
+            if f in liveset and f not in fmap:
+                cover.setdefault(f, e["sidecar"])
+    rest = [f for f in live if f not in cover]
+    parts = []
+    if cover:
+        cov_df = spark.createDataFrame(
+            [(f,) for f in cover], "file string"
+        )
+        parts.append(
+            spark.read.parquet(*sorted(set(cover.values())))
+            .filter(F.col("col") == column)
+            .join(F.broadcast(cov_df), "file")
+            .select("sketch")
+        )
+    if rest:
+        parts.append(
+            _filtered_read(spark, manifest, rest)
+            .agg(F.hll_sketch_agg(F.col(column)).alias("sketch"))
+            .select("sketch")
+        )
+    union = parts[0]
+    for p in parts[1:]:
+        union = union.unionByName(p)
+    row = union.agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sketch")).alias("est")
+    ).collect()[0]
+    return int(row["est"] or 0)
+
+
 # expression classes whose value depends on WHEN/WHERE the query runs —
 # deterministic() is TRUE for these (they're per-query foldable), which
 # is exactly why a stored predicate can't contain them: every future
@@ -4014,6 +4232,7 @@ def snapshot_compact(
     small_file_bytes: int | None = None,
     zorder_by: Sequence[str] | None = None,
     bloom_cols: Sequence[str] | None = None,
+    ndv_cols: Sequence[str] | None = None,
 ) -> dict:
     """Bin-pack small files into ~``target_file_bytes`` files as a new
     snapshot — the maintenance pass that keeps a streaming-fed table
@@ -4054,6 +4273,8 @@ def snapshot_compact(
         # pack (a nothing-to-do no-op must not mask a typo that will
         # start raising weeks later when small files accumulate)
         _bloom_build_cols(_pds(manifest["schema"]), bloom_cols, explicit=True)
+    if ndv_cols is not None:
+        _ndv_build_cols(_pds(manifest["schema"]), ndv_cols, explicit=True)
     fs, _, jvm = _fs_for(spark, table_dir)
     # sizes come from the manifest's file_meta — at 1e5 files that is
     # the difference between a dict lookup and 1e5 getFileStatus RPCs
@@ -4116,7 +4337,7 @@ def snapshot_compact(
     # columns), exactly like any other pre-evolution file.
     return _bloom_guarded_commit(
         spark, table_dir, new_files, bloom_cols, _pds(manifest["schema"]),
-        lambda bloom_fn: _commit(
+        lambda bloom_fn, ndv_fn: _commit(
             spark, table_dir, "compact", files_fn,
             lambda parent: (
                 parent["schema"] if parent is not None else manifest["schema"]
@@ -4125,7 +4346,9 @@ def snapshot_compact(
                   **({"zorder_by": list(zorder_by)} if zorder_by else {})},
             stats_fn=_compose_stats(spark, new_files, zorder_by),
             bloom_fn=bloom_fn,
+            ndv_fn=ndv_fn,
         ),
+        ndv_cols=ndv_cols,
     )
 
 
@@ -4281,32 +4504,42 @@ def _guard_reserved(parent: dict | None, ddl: str, op: str) -> None:
         )
 
 
-def _strip_bloom_col(parent: dict | None, files: list, old: str, new: str | None):
-    """Shared bloom adjustment for rename/drop: the sticky column set
-    follows the rename (new appends build under the new name) while
-    per-file ENTRIES for the old name are removed — sidecar rows record
-    the column name at build time, so re-keying the manifest alone
-    would make a probe by the new name find no rows and unsoundly
-    prune; stripped files simply lose bloom pruning on that column
-    until the next bloom-building rewrite (compact) re-covers them."""
-    pb = (parent or {}).get("bloom") or {}
+def _strip_entry_col(
+    parent: dict | None, files: list, old: str, new: str | None, key: str, carry
+):
+    """Shared sidecar-entry adjustment for rename/drop (bloom AND ndv
+    manifest sections share the shape): the sticky column set follows
+    the rename (new appends build under the new name) while per-file
+    ENTRIES for the old name are removed — sidecar rows record the
+    column name at build time, so re-keying the manifest alone would
+    make a probe by the new name find no rows (for bloom, an unsound
+    prune; for ndv, a silent undercount); stripped files simply lose
+    the capability on that column until the next sidecar-building
+    rewrite (compact) re-covers them."""
+    pb = (parent or {}).get(key) or {}
     sticky = [
         (new if c == old and new is not None else c)
         for c in pb.get("cols", [])
         if not (c == old and new is None)
     ]
     entries = []
-    for e in _carry_bloom(parent, files):
+    for e in carry(parent, files):
         if old in e.get("cols", []):
-            e = {
-                **e,
-                "cols": [c for c in e["cols"] if c != old],
-                "types": {k: v for k, v in e["types"].items() if k != old},
-            }
+            e = {**e, "cols": [c for c in e["cols"] if c != old]}
+            if "types" in e:
+                e["types"] = {k: v for k, v in e["types"].items() if k != old}
             if not e["cols"]:
                 continue  # nothing probeable left; sidecar GCs via expire
         entries.append(e)
     return {"cols": sticky, "entries": entries} if (sticky or entries) else None
+
+
+def _strip_bloom_col(parent: dict | None, files: list, old: str, new: str | None):
+    return _strip_entry_col(parent, files, old, new, "bloom", _carry_bloom)
+
+
+def _strip_ndv_col(parent: dict | None, files: list, old: str, new: str | None):
+    return _strip_entry_col(parent, files, old, new, "ndv", _carry_ndv)
 
 
 def snapshot_rename_column(
@@ -4458,6 +4691,7 @@ def snapshot_rename_column(
         meta={"renamed_from": old, "renamed_to": new},
         stats_fn=stats_fn,
         bloom_fn=lambda parent, files: _strip_bloom_col(parent, files, old, new),
+        ndv_fn=lambda parent, files: _strip_ndv_col(parent, files, old, new),
         evo_fn=evo_fn,
     )
 
@@ -4604,6 +4838,7 @@ def snapshot_drop_column(spark: SparkSession, table_dir: str, col: str) -> dict:
         meta={"dropped": col},
         stats_fn=stats_fn,
         bloom_fn=lambda parent, files: _strip_bloom_col(parent, files, col, None),
+        ndv_fn=lambda parent, files: _strip_ndv_col(parent, files, col, None),
         evo_fn=evo_fn,
     )
 
@@ -4645,6 +4880,14 @@ def snapshot_restore(spark: SparkSession, table_dir: str, version: int) -> dict:
                 "entries": [dict(e) for e in target["bloom"].get("entries", [])],
             }
             if target.get("bloom")
+            else None
+        ),
+        ndv_fn=lambda parent, files: (
+            {
+                "cols": list(target["ndv"].get("cols", [])),
+                "entries": [dict(e) for e in target["ndv"].get("entries", [])],
+            }
+            if target.get("ndv")
             else None
         ),
         # the restored DATA state includes its schema-evolution
@@ -4700,6 +4943,7 @@ def snapshot_clone(spark: SparkSession, source_dir: str, dest_dir: str) -> dict:
 
     dv_map: dict[str, str] = {}
     bloom_map: dict[str, str] = {}
+    ndv_map: dict[str, str] = {}
     try:
         for e in tip.get("row_filters", []):
             if "dv" in e and e["dv"] not in dv_map:
@@ -4710,13 +4954,19 @@ def snapshot_clone(spark: SparkSession, source_dir: str, dest_dir: str) -> dict:
         for e in (tip.get("bloom") or {}).get("entries", []):
             if e["sidecar"] not in bloom_map:
                 bloom_map[e["sidecar"]] = copy_sidecar(e["sidecar"], "_bloom")
+        for e in (tip.get("ndv") or {}).get("entries", []):
+            if e["sidecar"] not in ndv_map:
+                ndv_map[e["sidecar"]] = copy_sidecar(e["sidecar"], "_ndv")
     except BaseException:
         # a mid-loop copy failure happens BEFORE any dest manifest
         # exists, and a logless dest dir has no expire_snapshots to
         # collect strays — sweep the copies made so far (an empty dest
         # log means nothing can reference them, so they all delete)
         _sweep_unreferenced_sidecars(
-            spark, dest_dir, list(dv_map.values()) + list(bloom_map.values())
+            spark,
+            dest_dir,
+            list(dv_map.values()) + list(bloom_map.values())
+            + list(ndv_map.values()),
         )
         raise
 
@@ -4757,6 +5007,17 @@ def snapshot_clone(spark: SparkSession, source_dir: str, dest_dir: str) -> dict:
                 if tip.get("bloom")
                 else None
             ),
+            ndv_fn=lambda parent, files: (
+                {
+                    "cols": list(tip["ndv"].get("cols", [])),
+                    "entries": [
+                        {**e, "sidecar": ndv_map[e["sidecar"]]}
+                        for e in tip["ndv"].get("entries", [])
+                    ],
+                }
+                if tip.get("ndv")
+                else None
+            ),
             # borrowed files carry the source's physical names: the
             # rename chains and name reservations come with them
             evo_fn=lambda parent: _evo_state(tip),
@@ -4768,7 +5029,10 @@ def snapshot_clone(spark: SparkSession, source_dir: str, dest_dir: str) -> dict:
         # won) and leaks on any doubt for the clone's own
         # expire_snapshots to collect
         _sweep_unreferenced_sidecars(
-            spark, dest_dir, list(dv_map.values()) + list(bloom_map.values())
+            spark,
+            dest_dir,
+            list(dv_map.values()) + list(bloom_map.values())
+            + list(ndv_map.values()),
         )
         raise
 
@@ -4802,6 +5066,10 @@ def snapshot_files(
     for e in (manifest.get("bloom") or {}).get("entries", []):
         for f in e["files"]:
             blooms.setdefault(f, []).extend(e.get("cols", []))
+    ndvs: dict[str, list] = {}
+    for e in (manifest.get("ndv") or {}).get("entries", []):
+        for f in e["files"]:
+            ndvs.setdefault(f, []).extend(e.get("cols", []))
     return [
         {
             "file": f,
@@ -4811,6 +5079,7 @@ def snapshot_files(
             "pending_predicates": preds.get(f, []),
             "pending_dv_entries": dvs.get(f, 0),
             "bloom_cols": sorted(set(blooms.get(f, []))),
+            "ndv_cols": sorted(set(ndvs.get(f, []))),
         }
         for f in manifest["files"]
     ]
@@ -4863,6 +5132,7 @@ def expire_snapshots(
     referenced: set[str] = set()
     referenced_dv: set[str] = set()  # DV sidecars live in row_filters
     referenced_bloom: set[str] = set()  # bloom sidecars live in bloom.entries
+    referenced_ndv: set[str] = set()  # ndv sketch sidecars, ndv.entries
     for v in keep:
         m = _read_manifest(spark, table_dir, v)
         referenced.update(m["files"])
@@ -4871,6 +5141,9 @@ def expire_snapshots(
         )
         referenced_bloom.update(
             e["sidecar"] for e in (m.get("bloom") or {}).get("entries", [])
+        )
+        referenced_ndv.update(
+            e["sidecar"] for e in (m.get("ndv") or {}).get("entries", [])
         )
     fs, _, jvm = _fs_for(spark, table_dir)
     expired = 0
@@ -4929,9 +5202,17 @@ def expire_snapshots(
         if p not in referenced_bloom and s.getModificationTime() <= dir_cutoff_ms:
             fs.delete(s.getPath(), True)
             deleted_bloom += 1
+    # ndv sketch sidecars GC identically
+    deleted_ndv = 0
+    for s in fs.globStatus(_child(jvm, table_dir, "_ndv", "*")) or []:
+        p = str(s.getPath().toString())
+        if p not in referenced_ndv and s.getModificationTime() <= dir_cutoff_ms:
+            fs.delete(s.getPath(), True)
+            deleted_ndv += 1
     return {
         "expired_manifests": expired,
         "deleted_files": deleted,
         "deleted_dv_sidecars": deleted_dv,
         "deleted_bloom_sidecars": deleted_bloom,
+        "deleted_ndv_sidecars": deleted_ndv,
     }
