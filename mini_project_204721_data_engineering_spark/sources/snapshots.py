@@ -2271,19 +2271,24 @@ def _covered_split(
 _BLOOM_TYPES = {"tinyint", "smallint", "int", "bigint", "string"}
 
 
-def _carry_bloom(parent: dict | None, files: list[str]) -> list[dict]:
-    """Bloom-entry propagation (same rule as lazy-delete filters): each
-    entry keeps only the files the new snapshot still references — a
+def _carry_sidecar_entries(parent: dict | None, files: list[str], key: str):
+    """Sidecar-entry propagation (same rule as lazy-delete filters, one
+    implementation for the bloom and ndv manifest sections): each entry
+    keeps only the files the new snapshot still references — a
     rewritten/compacted file leaves the entry (its replacement gets a
-    fresh bloom at the next bloom-building commit), an appended file is
+    fresh sidecar at the next building commit), an appended file is
     never listed."""
     fset = set(files)
     out = []
-    for e in ((parent or {}).get("bloom") or {}).get("entries", []):
+    for e in ((parent or {}).get(key) or {}).get("entries", []):
         kept = [f for f in e["files"] if f in fset]
         if kept:
             out.append({**e, "files": kept})
     return out
+
+
+def _carry_bloom(parent: dict | None, files: list[str]) -> list[dict]:
+    return _carry_sidecar_entries(parent, files, "bloom")
 
 
 def _build_bloom_entry(
@@ -2392,21 +2397,7 @@ def _bloom_build_cols(schema, cols, explicit: bool) -> list[str]:
     simply builds nothing this commit — the configured set stays
     recorded, so it resumes building when the schema supports it
     again."""
-    types = {f.name: f.dataType.simpleString() for f in schema.fields}
-    if explicit:
-        missing = [c for c in cols if c not in types]
-        if missing:
-            raise ValueError(
-                f"bloom_cols {missing} not in the written schema"
-            )
-        bad = {c: types[c] for c in cols if types[c] not in _BLOOM_TYPES}
-        if bad:
-            raise ValueError(
-                "bloom_cols must be integral or string columns "
-                f"(point-lookup keys); got {bad}"
-            )
-        return [str(c) for c in cols]
-    return [str(c) for c in cols if types.get(c) in _BLOOM_TYPES]
+    return _sidecar_build_cols(schema, cols, explicit, "bloom_cols")
 
 
 def _bloom_fn_for(spark, table_dir, new_files, bloom_cols, schema, holder):
@@ -2422,61 +2413,39 @@ def _bloom_fn_for(spark, table_dir, new_files, bloom_cols, schema, holder):
     manifest references them (bloom_fn runs before the manifest write
     inside the loop)."""
 
-    def bloom_fn(parent, files):
-        cols = (
-            [str(c) for c in bloom_cols]
-            if bloom_cols is not None
-            else list(((parent or {}).get("bloom") or {}).get("cols", []))
-        )
-        entry = None
-        if cols:
-            key = "\x00".join(cols)
-            if key not in holder["entries"]:
-                build = _bloom_build_cols(schema, cols, bloom_cols is not None)
-                holder["entries"][key] = (
-                    _build_bloom_entry(spark, table_dir, new_files, build, schema)
-                    if build
-                    else None
-                )
-            entry = holder["entries"][key]
-        entries = _carry_bloom(parent, files) + ([entry] if entry else [])
-        return {"cols": cols, "entries": entries} if (cols or entries) else None
-
-    return bloom_fn
+    return _sidecar_fn_for(
+        spark, table_dir, new_files, bloom_cols, schema, holder,
+        "bloom", "entries", _bloom_build_cols, _build_bloom_entry,
+    )
 
 
 def _carry_ndv(parent: dict | None, files: list[str]) -> list[dict]:
-    """NDV-entry propagation — same carry rule as bloom entries: a
-    rewritten file leaves the entry (its replacement gets a fresh
-    sketch at the next ndv-building commit)."""
-    fset = set(files)
-    out = []
-    for e in ((parent or {}).get("ndv") or {}).get("entries", []):
-        kept = [f for f in e["files"] if f in fset]
-        if kept:
-            out.append({**e, "files": kept})
-    return out
+    return _carry_sidecar_entries(parent, files, "ndv")
 
 
-def _ndv_build_cols(schema, cols, explicit: bool) -> list[str]:
-    """The subset of ``cols`` sketchable against ``schema`` — same
-    explicit-raises / sticky-tolerates contract as
-    :func:`_bloom_build_cols`.  Restricted to integral and string
-    columns: the int chain hashes identically at every width
-    (datasketches updates through long), so a later widening never
-    splits a value's identity across files."""
+def _sidecar_build_cols(schema, cols, explicit: bool, label: str) -> list[str]:
+    """The subset of ``cols`` buildable against ``schema`` — one
+    explicit-raises / sticky-tolerates contract shared by bloom and ndv
+    sidecars (both restricted to integral/string key columns; for ndv
+    the int chain additionally sketches through bigint so a later
+    widening never splits a value's identity across files)."""
     types = {f.name: f.dataType.simpleString() for f in schema.fields}
     if explicit:
         missing = [c for c in cols if c not in types]
         if missing:
-            raise ValueError(f"ndv_cols {missing} not in the written schema")
+            raise ValueError(f"{label} {missing} not in the written schema")
         bad = {c: types[c] for c in cols if types[c] not in _BLOOM_TYPES}
         if bad:
             raise ValueError(
-                f"ndv_cols must be integral or string columns; got {bad}"
+                f"{label} must be integral or string columns "
+                f"(point-lookup / distinct-count keys); got {bad}"
             )
         return [str(c) for c in cols]
     return [str(c) for c in cols if types.get(c) in _BLOOM_TYPES]
+
+
+def _ndv_build_cols(schema, cols, explicit: bool) -> list[str]:
+    return _sidecar_build_cols(schema, cols, explicit, "ndv_cols")
 
 
 def _build_ndv_entry(
@@ -2501,67 +2470,118 @@ def _build_ndv_entry(
         return None
     fs, _, jvm = _fs_for(spark, table_dir)
     scan = spark.read.schema(schema).parquet(*new_files)
-    per_file = (
-        scan.groupBy(F.col("_metadata.file_path").alias("__raw"))
-        .count()
-        .collect()
+    # ONE pass builds every column's sketch (groupBy file with N sketch
+    # aggregates, melted to (col, file, sketch) rows via an exploded
+    # struct array — no SQL-string stacking, so odd column names can't
+    # inject), then one tiny cached collect yields the spelling map
+    # (_metadata.file_path is URL-encoded vs the manifest's decoded
+    # Path.toString — same hazard as the bloom build)
+    agged = scan.groupBy(F.col("_metadata.file_path").alias("__raw")).agg(
+        *[
+            F.hll_sketch_agg(_ndv_sketch_col(schema, c)).alias(f"__sk_{i}")
+            for i, c in enumerate(cols)
+        ]
     )
-    if not per_file:
-        return None
-    spell = {r["__raw"]: _canon_file(jvm, r["__raw"]) for r in per_file}
-    unexpected = set(spell.values()) - set(new_files)
-    if unexpected:
-        raise RuntimeError(
-            f"ndv build saw files outside this commit: {sorted(unexpected)[:3]}"
+    agged = agged.persist()
+    try:
+        raws = [r["__raw"] for r in agged.select("__raw").collect()]
+        if not raws:
+            return None
+        spell = {raw: _canon_file(jvm, raw) for raw in raws}
+        unexpected = set(spell.values()) - set(new_files)
+        if unexpected:
+            raise RuntimeError(
+                f"ndv build saw files outside this commit: "
+                f"{sorted(unexpected)[:3]}"
+            )
+        spell_df = spark.createDataFrame(
+            [(k, v) for k, v in spell.items()], "__raw string, file string"
         )
-    spell_df = spark.createDataFrame(
-        [(k, v) for k, v in spell.items()], "__raw string, file string"
-    )
-    parts = []
-    for c in cols:
-        parts.append(
-            scan.groupBy(F.col("_metadata.file_path").alias("__raw"))
-            .agg(F.hll_sketch_agg(F.col(c)).alias("sketch"))
-            .select(F.lit(c).alias("col"), "__raw", "sketch")
+        melted = agged.select(
+            "__raw",
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(c).alias("col"),
+                            F.col(f"__sk_{i}").alias("sketch"),
+                        )
+                        for i, c in enumerate(cols)
+                    ]
+                )
+            ).alias("e"),
+        ).select(
+            F.col("e.col").alias("col"), "__raw", F.col("e.sketch").alias("sketch")
         )
-    out = parts[0]
-    for p in parts[1:]:
-        out = out.unionByName(p)
-    out = out.join(F.broadcast(spell_df), "__raw").select("col", "file", "sketch")
-    sidecar = str(
-        fs.makeQualified(_child(jvm, table_dir, "_ndv", f"ndv-{uuid.uuid4().hex}"))
-    )
-    out.write.parquet(sidecar)
+        out = melted.join(F.broadcast(spell_df), "__raw").select(
+            "col", "file", "sketch"
+        )
+        sidecar = str(
+            fs.makeQualified(
+                _child(jvm, table_dir, "_ndv", f"ndv-{uuid.uuid4().hex}")
+            )
+        )
+        out.write.parquet(sidecar)
+    finally:
+        agged.unpersist()
     return {"sidecar": sidecar, "files": list(new_files), "cols": cols}
 
 
-def _ndv_fn_for(spark, table_dir, new_files, ndv_cols, schema, holder):
-    """The ``ndv_fn`` for sketch-building commits — same lazy
-    construction, sticky-column resolution and retry memoization as
-    :func:`_bloom_fn_for` (one sidecar build per column set, bytes
-    before the manifest references them)."""
+def _ndv_sketch_col(schema, c: str):
+    """The column expression sketches are built (and fallback-built)
+    from: narrow ints cast to bigint — ``hll_sketch_agg`` rejects
+    tinyint/smallint outright, and sketching the whole int chain at one
+    width keeps a value's hash identity stable across a later
+    widening."""
+    from pyspark.sql import functions as F
 
-    def ndv_fn(parent, files):
+    types = {f.name: f.dataType.simpleString() for f in schema.fields}
+    col = F.col(c)
+    if types.get(c) in ("tinyint", "smallint", "int"):
+        col = col.cast("bigint")
+    return col
+
+
+def _sidecar_fn_for(
+    spark, table_dir, new_files, req_cols, schema, holder,
+    key, holder_key, build_cols, build_entry,
+):
+    """ONE implementation of the sidecar-building commit fn (bloom and
+    ndv): sticky column resolution from the parent _commit already
+    read, at-most-one build per column set memoized across commit
+    retries (holder), bytes landing before any manifest references
+    them, default carry composed with this commit's fresh entry."""
+
+    def fn(parent, files):
         cols = (
-            [str(c) for c in ndv_cols]
-            if ndv_cols is not None
-            else list(((parent or {}).get("ndv") or {}).get("cols", []))
+            [str(c) for c in req_cols]
+            if req_cols is not None
+            else list(((parent or {}).get(key) or {}).get("cols", []))
         )
         entry = None
         if cols:
-            key = "\x00".join(cols)
-            if key not in holder["ndv"]:
-                build = _ndv_build_cols(schema, cols, ndv_cols is not None)
-                holder["ndv"][key] = (
-                    _build_ndv_entry(spark, table_dir, new_files, build, schema)
+            memo = "\x00".join(cols)
+            if memo not in holder[holder_key]:
+                build = build_cols(schema, cols, req_cols is not None)
+                holder[holder_key][memo] = (
+                    build_entry(spark, table_dir, new_files, build, schema)
                     if build
                     else None
                 )
-            entry = holder["ndv"][key]
-        entries = _carry_ndv(parent, files) + ([entry] if entry else [])
+            entry = holder[holder_key][memo]
+        entries = _carry_sidecar_entries(parent, files, key) + (
+            [entry] if entry else []
+        )
         return {"cols": cols, "entries": entries} if (cols or entries) else None
 
-    return ndv_fn
+    return fn
+
+
+def _ndv_fn_for(spark, table_dir, new_files, ndv_cols, schema, holder):
+    return _sidecar_fn_for(
+        spark, table_dir, new_files, ndv_cols, schema, holder,
+        "ndv", "ndv", _ndv_build_cols, _build_ndv_entry,
+    )
 
 
 def _sidecar_referenced(spark, table_dir, path: str) -> bool:
@@ -3500,9 +3520,16 @@ def snapshot_ndv(
             .select("sketch")
         )
     if rest:
+        from pyspark.sql.types import _parse_datatype_string
+
+        schema = _parse_datatype_string(manifest["schema"])
         parts.append(
             _filtered_read(spark, manifest, rest)
-            .agg(F.hll_sketch_agg(F.col(column)).alias("sketch"))
+            .agg(
+                F.hll_sketch_agg(_ndv_sketch_col(schema, column)).alias(
+                    "sketch"
+                )
+            )
             .select("sketch")
         )
     union = parts[0]
@@ -5121,7 +5148,8 @@ def expire_snapshots(
     versions = _list_versions(spark, table_dir)
     if not versions:
         return {"expired_manifests": 0, "deleted_files": 0,
-                "deleted_dv_sidecars": 0}
+                "deleted_dv_sidecars": 0, "deleted_bloom_sidecars": 0,
+                "deleted_ndv_sidecars": 0}
     keep = set(versions[-keep_last:])
     if min_age_seconds > 0:
         cutoff = time.time() - min_age_seconds

@@ -120,6 +120,31 @@ def test_clone_copies_sidecars_and_expire_gcs(spark, tmp_path):
     assert snapshot_ndv(spark, t, "k") == 100
 
 
+def test_narrow_int_columns_sketch_through_bigint(spark, tmp_path):
+    """hll_sketch_agg rejects tinyint/smallint outright — the build and
+    the fallback both cast the int chain to bigint, so narrow keys work
+    AND keep their hash identity across a later widening."""
+    from mini_project_204721_data_engineering_spark.sources.snapshots import (
+        snapshot_widen_column,
+    )
+
+    t = str(tmp_path / "t")
+    df = spark.range(0, 300).select(
+        F.col("id"), (F.col("id") % 91).cast("smallint").alias("k")
+    )
+    snapshot_append(df.repartition(2), t, ndv_cols=["k"])
+    assert snapshot_ndv(spark, t, "k") == 91
+    # widen: old sketches (built at bigint width) merge with new ones
+    snapshot_widen_column(spark, t, "k", "int")
+    snapshot_append(
+        spark.range(300, 400).select(
+            F.col("id"), (F.col("id") % 91 + 91).cast("int").alias("k")
+        ).coalesce(1),
+        t,
+    )
+    assert snapshot_ndv(spark, t, "k") == _direct(read_snapshot(spark, t), "k")
+
+
 def test_refusals_and_empty(spark, tmp_path):
     t = str(tmp_path / "t")
     df = spark.range(0, 10).select(
