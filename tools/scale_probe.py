@@ -1269,6 +1269,43 @@ def probe_snap(spark, n: int, out: list) -> None:
             "scan_over_meta": round(sr / mr, 1) if mr else None,
         }), flush=True)
 
+        # NDV sketch sidecars: distinct count from per-file HLL unions
+        # (metadata-sized sidecar scan) vs the full-column pass
+        from mini_project_204721_data_engineering_spark.sources.snapshots import (
+            snapshot_ndv,
+        )
+
+        t_ndv = d + "/t_ndv"
+        true_ndv = 100_000
+        keyed_ndv = (
+            spark.range(n // 2)
+            .select((F.col("id") % true_ndv).alias("k"))
+            .repartition(16)
+        )
+        snapshot_append(keyed_ndv, t_ndv, ndv_cols=["k"])
+
+        def meta_ndv():
+            return snapshot_ndv(spark, t_ndv, "k")
+
+        def scan_ndv():
+            return (
+                read_snapshot(spark, t_ndv)
+                .agg(F.countDistinct("k"))
+                .collect()[0][0]
+            )
+
+        est = meta_ndv()
+        assert abs(est - true_ndv) / true_ndv < 0.05
+        nv = timed("ndv_sketch_union", meta_ndv, out)
+        ns = timed("ndv_exact_full_scan", scan_ndv, out)
+        print(json.dumps({
+            "probe": "ndv_sidecars",
+            "estimate": est,
+            "true": true_ndv,
+            "rel_err": round(abs(est - true_ndv) / true_ndv, 4),
+            "scan_over_sketch": round(ns / nv, 1) if nv else None,
+        }), flush=True)
+
         # bloom point-lookup: a hash-distributed key prunes NOTHING by
         # min/max (every file spans the hex space); the per-file SBBF
         # sidecar plans ~1 file.  Twin tables, same data, ± bloom_cols.
