@@ -3022,6 +3022,46 @@ ORDER BY l_linestatus
 """
 
 
+def daily_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OHLC bars (beyond the reference's flat aggregates): per day per
+    event type, the OPENING and CLOSING observed value — ``min_by``/
+    ``max_by`` with a composite (ts, event_id) ordering key, the
+    map-side-combinable arg-extreme shape; event_id pins exact-ts ties
+    so both engines select the same row — plus the high/low extremes.
+    Pure value SELECTION (no arithmetic on the survivors), so no
+    rounding parity layer is needed."""
+    ev = load_table(spark, sf_dir, "events")
+    key = F.struct(F.col("ts"), F.col("event_id"))
+    return (
+        ev.groupBy(
+            F.col("ts").cast("date").alias("day"),
+            F.col("event_type"),
+        )
+        .agg(
+            F.min_by("value", key).alias("open_value"),
+            F.max("value").alias("high_value"),
+            F.min("value").alias("low_value"),
+            F.max_by("value", key).alias("close_value"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .orderBy("day", "event_type")
+    )
+
+
+DAILY_OHLC_SQL = """
+SELECT CAST(ts AS DATE) AS day,
+       event_type,
+       first(value ORDER BY ts, event_id)            AS open_value,
+       max(value)                                    AS high_value,
+       min(value)                                    AS low_value,
+       first(value ORDER BY ts DESC, event_id DESC)  AS close_value,
+       count(*)                                      AS n
+FROM events
+GROUP BY 1, 2
+ORDER BY 1, 2
+"""
+
+
 def q21_blamed_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q21 shape (EXTRA): EXISTS + NOT EXISTS against the SAME
     fact under different correlation conditions — the hardest standard
@@ -3100,6 +3140,7 @@ LIMIT 20
 
 
 EXTRA_QUERIES = {
+    "daily_ohlc": daily_ohlc,
     "user_golden_profile": user_golden_profile,
     "q21_blamed_suppliers": q21_blamed_suppliers,
     "revenue_maintenance": revenue_maintenance,
@@ -3152,6 +3193,7 @@ EXTRA_QUERIES = {
 }
 
 EXTRA_ORACLES = {
+    "daily_ohlc": DAILY_OHLC_SQL,
     "user_golden_profile": USER_GOLDEN_PROFILE_SQL,
     "q21_blamed_suppliers": Q21_BLAMED_SUPPLIERS_SQL,
     "revenue_maintenance": REVENUE_MAINTENANCE_SQL,
