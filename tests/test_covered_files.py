@@ -272,6 +272,13 @@ def test_hypothesis_random_conjunctions_match_scan(spark, tmp_path):
     )
     atom = st.one_of(num_atom, day_atom, null_atom, between_atom)
 
+    str_atom = st.builds(
+        lambda op, i: f"s {op} 'u{i:03d}'",
+        st.sampled_from(["=", "<", "<=", ">", ">="]),
+        st.integers(min_value=0, max_value=330),
+    )
+    atom = st.one_of(atom, str_atom)
+
     @settings(
         max_examples=25,
         deadline=None,
@@ -281,5 +288,82 @@ def test_hypothesis_random_conjunctions_match_scan(spark, tmp_path):
     def prop(atoms):
         pred = " AND ".join(atoms)
         assert snapshot_count(spark, t, where=pred) == full.filter(pred).count()
+
+    prop()
+
+
+def test_hypothesis_grouped_agg_where_matches_scan(spark, tmp_path):
+    """Property for the riskiest merge logic: grouped snapshot_agg
+    under random conjunctive predicates ≡ the real filtered groupBy —
+    exercising the covered/boundary split, per-group accumulator merge,
+    NULL groups and sum/avg/min/max finalization together."""
+    import math as _math
+
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    t = _table(spark, tmp_path)
+    full = read_snapshot(spark, t).cache()
+    full.count()
+
+    atom = st.one_of(
+        st.builds(
+            lambda op, v: f"id {op} {v}",
+            st.sampled_from(["<", "<=", ">", ">="]),
+            st.integers(min_value=-5, max_value=330),
+        ),
+        st.builds(
+            lambda op, d: f"day {op} '2024-01-{d:02d}'",
+            st.sampled_from(["=", "<", "<=", ">", ">="]),
+            st.integers(min_value=1, max_value=4),
+        ),
+        st.builds(
+            lambda n: f"v IS {'NOT ' if n else ''}NULL", st.booleans()
+        ),
+    )
+
+    def close(a, b):
+        if a is None or b is None:
+            return a is None and b is None
+        if isinstance(a, float) or isinstance(b, float):
+            if _math.isnan(a) or _math.isnan(b):
+                return _math.isnan(a) and _math.isnan(b)
+            return _math.isclose(a, b, rel_tol=1e-12, abs_tol=1e-12)
+        return a == b
+
+    @settings(
+        max_examples=15,
+        deadline=None,
+        suppress_health_check=[HealthCheck.too_slow],
+    )
+    @given(st.lists(atom, min_size=1, max_size=2))
+    def prop(atoms):
+        pred = " AND ".join(atoms)
+        got = snapshot_agg(
+            spark,
+            t,
+            {"n": "count(*)", "nv": "count(v)", "s": "sum(v)",
+             "mn": "min(v)", "mx": "max(v)", "a": "avg(v)"},
+            group_by="day",
+            where=pred,
+        )
+        want = {
+            r["day"]: r
+            for r in full.filter(pred)
+            .groupBy("day")
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.count("v").alias("nv"),
+                F.sum("v").alias("s"),
+                F.min("v").alias("mn"),
+                F.max("v").alias("mx"),
+                F.avg("v").alias("a"),
+            )
+            .collect()
+        }
+        assert set(got) == set(want), pred
+        for k in want:
+            for a in ("n", "nv", "s", "mn", "mx", "a"):
+                assert close(got[k][a], want[k][a]), (pred, k, a)
 
     prop()
