@@ -3065,7 +3065,7 @@ def snapshot_agg(
     spark: SparkSession,
     table_dir: str,
     aggs: Mapping[str, str],
-    group_by: str | None = None,
+    group_by: str | Sequence[str] | None = None,
     where: str | None = None,
     version: int | None = None,
     as_of: float | None = None,
@@ -3079,7 +3079,9 @@ def snapshot_agg(
     | min(col) | max(col) | avg(col)`` where ``col`` is a stats column
     or alias.  Returns ``{alias: value}`` ungrouped, or
     ``{group_key: {alias: value}}`` with ``group_by=`` (keys typed like
-    the column — NULL group under key ``None``).  The result must be
+    the column — NULL group under key ``None``; a LIST of group columns
+    keys the result by TUPLES, the day × category dashboard shape —
+    each column must be independently file-constant).  The result must be
     driver-sized — grouped serving rollups are; this is NOT a substitute
     for a wide groupBy (use :func:`read_snapshot` + DataFrame aggs).
 
@@ -3095,8 +3097,8 @@ def snapshot_agg(
       (tz-aware frames, possibly-truncated string bounds, and
       all-null-ambiguous entries are scanned instead);
     - with ``group_by=``, the file must be provably single-valued on
-      the group column: null count 0 and min == max (or provably
-      all-NULL → the NULL group).
+      EVERY group column: null count 0 and min == max (or provably
+      all-NULL → that column's NULL key).
 
     Every other file falls back to ONE scan of exactly those files
     (merge-on-read fallback through the pending filters) whose partial
@@ -3138,15 +3140,22 @@ def snapshot_agg(
                 f"expression over the table schema: {e}"
             ) from e
 
+    gcols = (
+        [group_by] if isinstance(group_by, str)
+        else list(group_by) if group_by is not None
+        else []
+    )
+    if group_by is not None and not gcols:
+        raise ValueError("snapshot_agg: group_by must name at least one column")
     cols = {c for _, c in parsed.values() if c is not None}
-    if group_by is not None:
-        cols.add(group_by)
+    cols.update(gcols)
     info = {c: resolve(c) for c in cols}
-    if group_by is not None and not isinstance(info[group_by][1], AtomicType):
-        raise ValueError(
-            f"snapshot_agg: group_by column {group_by!r} has non-atomic type "
-            f"{info[group_by][1].simpleString()} — group keys must be scalar"
-        )
+    for g in gcols:
+        if not isinstance(info[g][1], AtomicType):
+            raise ValueError(
+                f"snapshot_agg: group_by column {g!r} has non-atomic type "
+                f"{info[g][1].simpleString()} — group keys must be scalar"
+            )
 
     def scan_result(df: DataFrame):
         """The pure-scan path (where= or no usable metadata): one
@@ -3162,11 +3171,16 @@ def snapshot_agg(
                 sel.append(
                     getattr(F, fn)(F.expr(info[col][0])).alias(alias)
                 )
-        if group_by is None:
+        if not gcols:
             rows = [df.agg(*sel).collect()[0]]
         else:
             rows = (
-                df.groupBy(F.expr(info[group_by][0]).alias("__g"))
+                df.groupBy(
+                    *[
+                        F.expr(info[g][0]).alias(f"__g{i}")
+                        for i, g in enumerate(gcols)
+                    ]
+                )
                 .agg(*sel)
                 .collect()
             )
@@ -3234,24 +3248,31 @@ def snapshot_agg(
             rest.append(f)
             continue
         frs = stats.get(f) or {}
-        # group key must be provably file-constant (or provably NULL)
+        # EVERY group column must be provably file-constant (or
+        # provably NULL) — the key is the tuple of per-column keys
         key = _UNGROUPED
-        if group_by is not None:
-            rng = frs.get(group_by)
-            if all_null(rng, rows_f):
-                key = None
-            elif (
-                rng is not None
-                and len(rng) > 2
-                and rng[2] == 0
-                and rng[0] is not None
-                and rng[0] == rng[1]
-                and trusted_bounds(group_by, rng)
-            ):
-                key = rng[0]
-            else:
+        if gcols:
+            parts_k = []
+            for g in gcols:
+                rng = frs.get(g)
+                if all_null(rng, rows_f):
+                    parts_k.append(None)
+                elif (
+                    rng is not None
+                    and len(rng) > 2
+                    and rng[2] == 0
+                    and rng[0] is not None
+                    and rng[0] == rng[1]
+                    and trusted_bounds(g, rng)
+                ):
+                    parts_k.append(rng[0])
+                else:
+                    parts_k = None
+                    break
+            if parts_k is None:
                 rest.append(f)
                 continue
+            key = tuple(parts_k)
         # every requested aggregate must be provable for THIS file
         vals = {}
         ok = True
@@ -3309,15 +3330,19 @@ def snapshot_agg(
         if where is not None:
             df = df.filter(where)
         for r in scan_result(df):
-            if group_by is None:
+            if not gcols:
                 key = _UNGROUPED
             else:
-                k = r["__g"]
-                kj = _json_safe(k) if k is not None else None
-                # a group-key type outside the JSON-safe domain (e.g.
-                # decimal) never has usable stats, so every file is in
-                # rest and the raw key cannot collide with a stats key
-                key = kj if (k is None or kj is not None) else k
+                parts_k = []
+                for i in range(len(gcols)):
+                    k = r[f"__g{i}"]
+                    kj = _json_safe(k) if k is not None else None
+                    # a group-key type outside the JSON-safe domain
+                    # (e.g. decimal) never has usable stats, so every
+                    # file is in rest and the raw key cannot collide
+                    # with a stats key
+                    parts_k.append(kj if (k is None or kj is not None) else k)
+                key = tuple(parts_k)
             s = slot(key)
             for alias, (fn, col) in parsed.items():
                 if fn == "count" and col is None:
@@ -3382,10 +3407,17 @@ def snapshot_agg(
                 o[alias] = out_value(col, hi)
         return o
 
-    if group_by is None:
+    if not gcols:
         return finalize(slot(_UNGROUPED))
+
+    def out_key(k: tuple):
+        typed = tuple(out_value(g, v) for g, v in zip(gcols, k))
+        # single-column grouping keys by the scalar (back-compat);
+        # multi-column keys by the tuple (the day × category shape)
+        return typed[0] if len(gcols) == 1 else typed
+
     return {
-        out_value(group_by, k): finalize(s)
+        out_key(k): finalize(s)
         for k, s in acc.items()
         if k is not _UNGROUPED
     }

@@ -317,6 +317,87 @@ def test_timestamp_and_version_travel(spark, tmp_path):
     )
 
 
+def test_multi_column_grouping(spark, tmp_path):
+    """group_by as a LIST: the day × tag dashboard shape — tuple keys,
+    each column independently file-constant; a file mixed on EITHER
+    column falls back; zero Spark jobs in the clean case."""
+    t = str(tmp_path / "t")
+    for day in ("2024-01-01", "2024-01-02"):
+        for tag in ("a", "b"):
+            df = spark.range(0, 25).select(
+                (F.col("id") * 2).cast("double").alias("v"),
+                F.lit(day).cast("date").alias("day"),
+                F.lit(tag).alias("tag"),
+            )
+            snapshot_append(df.coalesce(1), t, stats_cols=["v", "day", "tag"])
+    # one file with a NULL tag group and one mixed on tag (fallback)
+    snapshot_append(
+        spark.range(0, 10).select(
+            F.col("id").cast("double").alias("v"),
+            F.lit("2024-01-03").cast("date").alias("day"),
+            F.lit(None).cast("string").alias("tag"),
+        ).coalesce(1),
+        t,
+    )
+    mixed = spark.range(0, 10).select(
+        F.col("id").cast("double").alias("v"),
+        F.lit("2024-01-03").cast("date").alias("day"),
+        F.when(F.col("id") % 2 == 0, F.lit("a")).otherwise(F.lit("b")).alias("tag"),
+    )
+    snapshot_append(mixed.coalesce(1), t)
+
+    def scan_multi(where=None):
+        df = read_snapshot(spark, t)
+        if where:
+            df = df.filter(where)
+        return {
+            (r["day"], r["tag"]): {"n": r["n"], "s": r["s"]}
+            for r in df.groupBy("day", "tag")
+            .agg(F.count(F.lit(1)).alias("n"), F.sum("v").alias("s"))
+            .collect()
+        }
+
+    got = snapshot_agg(
+        spark, t, {"n": "count(*)", "s": "sum(v)"}, group_by=["day", "tag"]
+    )
+    _assert_same(got, scan_multi())
+    # where= composes: covered files stay metadata, boundary scans
+    gotw = snapshot_agg(
+        spark, t, {"n": "count(*)", "s": "sum(v)"},
+        group_by=["day", "tag"], where="day <= '2024-01-02'",
+    )
+    _assert_same(gotw, scan_multi("day <= '2024-01-02'"))
+    # zero-job proof for the clean single-pair files: hide only them
+    from mini_project_204721_data_engineering_spark.sources.snapshots import (
+        _read_manifest,
+    )
+
+    m = _read_manifest(spark, t, 6)
+    clean = [
+        f for f in m["files"]
+        if m["stats"][f]["tag"][0] == m["stats"][f]["tag"][1]
+        or m["stats"][f]["tag"][2] == m["file_meta"][f]["rows"]
+    ]
+    assert len(clean) == 5  # 4 (day, tag) pairs + the NULL-tag file
+    want = scan_multi()
+    moved = []
+    for f in clean:
+        local = f.replace("file:", "")
+        shutil.move(local, local + ".hidden")
+        moved.append(local)
+    try:
+        _assert_same(
+            snapshot_agg(
+                spark, t, {"n": "count(*)", "s": "sum(v)"},
+                group_by=["day", "tag"],
+            ),
+            want,
+        )
+    finally:
+        for local in moved:
+            shutil.move(local + ".hidden", local)
+
+
 def test_rejections(spark, tmp_path):
     t = str(tmp_path / "t")
     snapshot_append(_df(spark, 0, 5).coalesce(1), t, stats_cols=["v"])
