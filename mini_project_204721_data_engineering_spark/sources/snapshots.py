@@ -3080,7 +3080,8 @@ def snapshot_agg(
     or alias.  Returns ``{alias: value}`` ungrouped, or
     ``{group_key: {alias: value}}`` with ``group_by=`` (keys typed like
     the column — NULL group under key ``None``; a LIST of group columns
-    keys the result by TUPLES, the day × category dashboard shape —
+    keys the result by TUPLES — even a one-element list, the shape
+    follows the argument's type — the day × category dashboard shape;
     each column must be independently file-constant).  The result must be
     driver-sized — grouped serving rollups are; this is NOT a substitute
     for a wide groupBy (use :func:`read_snapshot` + DataFrame aggs).
@@ -3140,8 +3141,9 @@ def snapshot_agg(
                 f"expression over the table schema: {e}"
             ) from e
 
+    single_group = isinstance(group_by, str)
     gcols = (
-        [group_by] if isinstance(group_by, str)
+        [group_by] if single_group
         else list(group_by) if group_by is not None
         else []
     )
@@ -3336,11 +3338,13 @@ def snapshot_agg(
                 parts_k = []
                 for i in range(len(gcols)):
                     k = r[f"__g{i}"]
+                    if isinstance(k, bytearray):
+                        k = bytes(k)  # hashable twin (binary group keys)
                     kj = _json_safe(k) if k is not None else None
                     # a group-key type outside the JSON-safe domain
-                    # (e.g. decimal) never has usable stats, so every
-                    # file is in rest and the raw key cannot collide
-                    # with a stats key
+                    # (e.g. decimal, binary) never has usable stats, so
+                    # every file is in rest and the raw key cannot
+                    # collide with a stats key
                     parts_k.append(kj if (k is None or kj is not None) else k)
                 key = tuple(parts_k)
             s = slot(key)
@@ -3412,9 +3416,11 @@ def snapshot_agg(
 
     def out_key(k: tuple):
         typed = tuple(out_value(g, v) for g, v in zip(gcols, k))
-        # single-column grouping keys by the scalar (back-compat);
-        # multi-column keys by the tuple (the day × category shape)
-        return typed[0] if len(gcols) == 1 else typed
+        # the key SHAPE follows the argument's type, not its length:
+        # group_by="day" keys by the scalar (back-compat), any LIST —
+        # including a one-element list built dynamically — keys by
+        # tuples, exactly as the docstring promises
+        return typed[0] if single_group else typed
 
     return {
         out_key(k): finalize(s)

@@ -361,6 +361,28 @@ def test_multi_column_grouping(spark, tmp_path):
         spark, t, {"n": "count(*)", "s": "sum(v)"}, group_by=["day", "tag"]
     )
     _assert_same(got, scan_multi())
+    # key SHAPE follows the argument's type: a one-element LIST keys by
+    # 1-tuples (dynamic callers unpack uniformly); a plain string stays
+    # scalar-keyed
+    one = snapshot_agg(spark, t, {"n": "count(*)"}, group_by=["day"])
+    assert all(isinstance(k, tuple) and len(k) == 1 for k in one)
+    scalar = snapshot_agg(spark, t, {"n": "count(*)"}, group_by="day")
+    assert {k[0] for k in one} == set(scalar)
+    assert {v["n"] for v in one.values()} == {v["n"] for v in scalar.values()}
+    # binary group keys are scan-path only (no stats domain) but must
+    # work: bytearray values hash as bytes
+    tb = str(tmp_path / "tb")
+    snapshot_append(
+        spark.range(0, 6).select(
+            F.encode((F.col("id") % 2).cast("string"), "utf-8").alias("b"),
+            F.col("id").cast("double").alias("v"),
+        ).coalesce(1),
+        tb,
+    )
+    gotb = snapshot_agg(spark, tb, {"n": "count(*)"}, group_by="b")
+    assert {bytes(k): v["n"] for k, v in gotb.items()} == {
+        b"0": 3, b"1": 3,
+    }
     # where= composes: covered files stay metadata, boundary scans
     gotw = snapshot_agg(
         spark, t, {"n": "count(*)", "s": "sum(v)"},

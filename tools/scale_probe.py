@@ -1276,7 +1276,7 @@ def probe_snap(spark, n: int, out: list) -> None:
         )
 
         t_ndv = d + "/t_ndv"
-        true_ndv = 100_000
+        true_ndv = min(100_000, n // 2)  # n is CLI-overridable
         keyed_ndv = (
             spark.range(n // 2)
             .select((F.col("id") % true_ndv).alias("k"))
