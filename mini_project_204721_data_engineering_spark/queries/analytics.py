@@ -3029,8 +3029,15 @@ def daily_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
     map-side-combinable arg-extreme shape; event_id pins exact-ts ties
     so both engines select the same row — plus the high/low extremes.
     Pure value SELECTION (no arithmetic on the survivors), so no
-    rounding parity layer is needed."""
-    ev = load_table(spark, sf_dir, "events")
+    rounding parity layer is needed.
+
+    NULL ordering-key parity: ``min_by``/``max_by`` IGNORE rows whose
+    ordering key is NULL, while a plain ``ORDER BY ts ASC`` sorts NULLs
+    FIRST — so both sides filter ``ts IS NOT NULL`` explicitly (a no-op
+    on the generated events table, whose ts is non-null by
+    construction, but it keeps the pair parity-stable if the input ever
+    gains nullable timestamps)."""
+    ev = load_table(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
     key = F.struct(F.col("ts"), F.col("event_id"))
     return (
         ev.groupBy(
@@ -3057,6 +3064,7 @@ SELECT CAST(ts AS DATE) AS day,
        first(value ORDER BY ts DESC, event_id DESC)  AS close_value,
        count(*)                                      AS n
 FROM events
+WHERE ts IS NOT NULL
 GROUP BY 1, 2
 ORDER BY 1, 2
 """

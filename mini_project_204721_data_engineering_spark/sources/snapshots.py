@@ -1364,7 +1364,23 @@ def _predicate_tokens(predicate: str) -> list:
                     break
                 buf.append(predicate[j])
                 j += 1
-            out.append(("str", "".join(buf)))
+            lit = "".join(buf)
+            if "\\" in lit:
+                # Spark's parser decodes backslash escapes in string
+                # literals by default ('C:\temp' -> 'C:<TAB>emp', and the
+                # decoding further depends on
+                # spark.sql.parser.escapedStringLiterals).  This tokenizer
+                # keeps the text verbatim, so any downstream min/max
+                # comparison or coverage claim would use the WRONG value.
+                # Refuse: every caller degrades conservatively (no prune,
+                # no coverage, substring mention check) and the residual
+                # filter — evaluated by Spark itself — stays correct.
+                raise ValueError(
+                    "backslash in string literal: Spark-side escape "
+                    "decoding makes the literal text unreliable for "
+                    "stats comparison"
+                )
+            out.append(("str", lit))
             i = j + 1
             continue
         if ch.isdigit() or (
@@ -3103,8 +3119,13 @@ def snapshot_agg(
 
     Every other file falls back to ONE scan of exactly those files
     (merge-on-read fallback through the pending filters) whose partial
-    aggregates merge with the metadata side — so the result always
-    equals the full-scan groupBy.  With ``where=`` the predicate first
+    aggregates merge with the metadata side — so the result equals the
+    full-scan groupBy: EXACTLY for counts, min/max, and integral
+    sums/avgs (exact integer arithmetic end-to-end); for float/double
+    sums/avgs the per-file partials fold in manifest order, which can
+    differ from Spark's scan-order summation in the last ulps (IEEE
+    addition is not associative) — same-value-to-~1e-6, not bitwise.
+    With ``where=`` the predicate first
     plans its file set (prune + bloom, :func:`_plan_files`) and files
     the strict conjunctive parse proves FULLY COVERED — predicate TRUE
     for every row (:func:`_file_covered`: bounds inside the requested
@@ -3497,8 +3518,17 @@ def snapshot_plan_info(
         )
         cov = set(covered)
         out["files_covered"] = len(covered)
+        # _covered_split drops rows==0 files from BOTH lists (empty
+        # either way) and snapshot_count/snapshot_agg never open them —
+        # pricing them into the scan remainder would overstate bytes
         out["bytes_scanned"] = total(
-            [f for f in planned if f not in cov], "bytes"
+            [
+                f
+                for f in planned
+                if f not in cov
+                and not (f in meta and int(meta[f]["rows"]) == 0)
+            ],
+            "bytes",
         )
     return out
 

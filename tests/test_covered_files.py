@@ -367,3 +367,62 @@ def test_hypothesis_grouped_agg_where_matches_scan(spark, tmp_path):
                 assert close(got[k][a], want[k][a]), (pred, k, a)
 
     prop()
+
+
+def test_backslash_literals_refuse_coverage_and_prune(spark, tmp_path):
+    """Spark's SQL parser decodes backslash escapes in string literals
+    by default ('C:\\temp' -> 'C:<TAB>emp'); the manifest tokenizer
+    keeps text verbatim.  Comparing the raw text against file min/max
+    would claim coverage (or prune) on the WRONG value — so any string
+    literal containing a backslash must refuse both extraction paths
+    and fall through to the Spark-evaluated residual filter."""
+    from mini_project_204721_data_engineering_spark.sources.snapshots import (
+        _predicate_prune_ranges,
+    )
+
+    # unit level: both extractors refuse the whole predicate
+    assert _cover_atoms(r"s = 'C:\temp'") is None
+    assert _cover_atoms(r"s >= 'a\b' AND id > 0") is None
+    assert _predicate_prune_ranges(r"s = 'C:\temp'") == {}
+    assert _predicate_prune_ranges(r"s = 'C:\temp' AND id > 5") == {}
+
+    # end-to-end: a single-file table whose s is constant at the RAW
+    # backslash string.  Spark decodes the predicate literal's \t to a
+    # TAB, so the true filtered count is 0; a verbatim-text coverage
+    # claim (min==max=='C:\\temp') would have answered 20.
+    t = str(tmp_path / "bs")
+    df = spark.range(20).select(
+        F.col("id"), F.lit("C:\\temp").alias("s")
+    )
+    snapshot_append(df.coalesce(1), t, stats_cols=["id", "s"])
+    pred = r"s = 'C:\temp'"
+    want = read_snapshot(spark, t).filter(pred).count()
+    assert snapshot_count(spark, t, where=pred) == want
+    # and the raw value IS reachable through Spark's own escaping
+    pred2 = r"s = 'C:\\temp'"
+    want2 = read_snapshot(spark, t).filter(pred2).count()
+    assert want2 == 20
+    assert snapshot_count(spark, t, where=pred2) == want2
+
+
+def test_plan_info_bytes_scanned_excludes_empty_files(spark, tmp_path):
+    """A rows==0 file is dropped from both sides of _covered_split and
+    never opened by snapshot_count/snapshot_agg — plan_info must not
+    price it into bytes_scanned."""
+    t = str(tmp_path / "pe")
+    df = spark.range(100).select(
+        F.col("id"), (F.col("id") % 7).cast("double").alias("v")
+    )
+    snapshot_append(df.coalesce(1), t, stats_cols=["id", "v"])
+    empty = spark.range(0).select(
+        F.col("id"), F.lit(None).cast("double").alias("v")
+    )
+    snapshot_append(empty.coalesce(1), t)
+    info = snapshot_plan_info(spark, t, predicate="id >= 50")
+    # the data file is range-cut (not covered) so it scans; the empty
+    # file must contribute zero scan bytes even though it has no stats
+    assert info["files_covered"] == 0
+    data_bytes = snapshot_plan_info(spark, t, predicate="id >= 0")
+    # id >= 0 fully covers the data file -> nothing scans at all
+    assert data_bytes["bytes_scanned"] == 0
+    assert 0 < info["bytes_scanned"] < info["bytes_total"]
