@@ -29,12 +29,17 @@ def ingest_incidents(
     province: DataFrame,
     district: DataFrame,
     existing: DataFrame | None = None,
+    be_years: bool = False,
 ) -> DataFrame:
     """Workbook rows (`Disaster Date`, `Province`, `District` strings) →
     new incident_statistics_points rows ``(disaster_date, year,
     province_id, district_id, count_of_disasters)`` (DDL
     ``models.py:78-87``), excluding keys already in ``existing``.
-    """
+
+    ``be_years=True`` additionally accepts Buddhist-era years (พ.ศ.
+    2566 = 2023 — real Thai workbooks carry these) via
+    `functions/thaidates.py`; the default stays the reference's strict
+    CE-only parse (``utils.py:520-524``)."""
     prov_keyed = province.select(
         "province_id", F.trim(F.col("province_name")).alias("Province")
     )
@@ -49,10 +54,17 @@ def ingest_incidents(
     # pandas+openpyxl surfaces date-styled cells as datetime columns
     # already (reference utils.py:520-524) — accept those directly.
     dd_type = workbook_rows.schema["Disaster Date"].dataType
-    if isinstance(dd_type, DateType):
-        parsed_date = F.col("Disaster Date")
-    elif isinstance(dd_type, (TimestampType, TimestampNTZType)):
-        parsed_date = F.col("Disaster Date").cast("date")
+    if isinstance(dd_type, (DateType, TimestampType, TimestampNTZType)):
+        if be_years:
+            from mini_project_204721_data_engineering_spark.functions.thaidates import be_to_ce
+
+            parsed_date = be_to_ce(F.col("Disaster Date"))
+        else:
+            parsed_date = F.col("Disaster Date").cast("date")
+    elif be_years:
+        from mini_project_204721_data_engineering_spark.functions.thaidates import parse_be_date
+
+        parsed_date = parse_be_date(F.col("Disaster Date"))
     else:
         parsed_date = F.try_to_date(F.col("Disaster Date"), "yyyy-MM-dd")
     rows = (

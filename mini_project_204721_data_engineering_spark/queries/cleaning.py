@@ -139,7 +139,55 @@ ORACLES = {
     "special_fix_masked_update": SPECIAL_FIX_SQL,
 }
 
+def incident_dates_be(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Buddhist-era date coercion demo (`functions/thaidates.py`): order
+    dates re-spelled as BE strings (year + 543 — what a real Thai
+    workbook carries) parse back through the opt-in BE path to the
+    exact CE dates; yearly counts prove every row round-tripped,
+    Feb 29s included (the BE string ' 2535-02-29' for 1992-02-29 only
+    parses if the 543-year shift happens BEFORE Gregorian validation).
+    The strict default path is unchanged — reference parity
+    (utils.py:520-524)."""
+    from mini_project_204721_data_engineering_spark.catalog import load_table
+    from mini_project_204721_data_engineering_spark.functions.thaidates import (
+        parse_be_date,
+    )
+
+    orders = load_table(spark, sf_dir, "orders")
+    be_strings = orders.select(
+        F.concat(
+            F.lpad((F.year("o_orderdate") + 543).cast("string"), 4, "0"),
+            F.date_format("o_orderdate", "-MM-dd"),
+        ).alias("be_date")
+    )
+    return (
+        be_strings.select(parse_be_date(F.col("be_date")).alias("ce_date"))
+        .groupBy(F.year("ce_date").alias("year"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.count("ce_date").alias("n_parsed"),  # == n: zero nulls
+        )
+        .orderBy("year")
+    )
+
+
+INCIDENT_DATES_BE_SQL = """
+SELECT CAST(EXTRACT(year FROM o_orderdate) AS INTEGER) AS year,
+       count(*) AS n,
+       count(*) AS n_parsed
+FROM orders
+GROUP BY 1
+ORDER BY 1
+"""
+
+
 # O3-variant demo over events — same ListQuery operator as
 # list_orders_page; kept out of the driver's 50-query budget
-EXTRA_QUERIES = {"list_events_page": list_events_page}
-EXTRA_ORACLES = {"list_events_page": LIST_EVENTS_PAGE_SQL}
+EXTRA_QUERIES = {
+    "list_events_page": list_events_page,
+    "incident_dates_be": incident_dates_be,
+}
+EXTRA_ORACLES = {
+    "list_events_page": LIST_EVENTS_PAGE_SQL,
+    "incident_dates_be": INCIDENT_DATES_BE_SQL,
+}

@@ -252,14 +252,120 @@ ORACLES = {
     "order_scalar_stats": ORDER_SCALAR_STATS_SQL,
 }
 
+def ingest_with_lineage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-table ATOMIC ingest demo (the reference's two-table
+    transaction shape, `backend/app/main.py:136-150`: upload-lineage
+    row + fact rows land together or not at all).  Two batches of
+    orders go through :func:`~..sources.txn_catalog.multi_table_txn` —
+    each transaction appends the batch to ``facts`` AND its lineage row
+    to ``uploads`` in ONE catalog commit — then the result re-derives
+    the lineage figures from the fact table as the catalog sees it.
+    Equality with the oracle (which computes both sides straight from
+    orders) proves no transaction tore: every fact row is accounted to
+    exactly one lineage row with matching counts and totals."""
+    import shutil
+    import tempfile
+
+    from mini_project_204721_data_engineering_spark.sources.txn_catalog import (
+        catalog_init,
+        catalog_read,
+        multi_table_txn,
+    )
+
+    orders = load_table(spark, sf_dir, "orders")
+    root = tempfile.mkdtemp(prefix="lineage_demo_")
+    try:
+        cat = f"{root}/cat"
+        catalog_init(
+            spark, cat, {"facts": f"{root}/facts", "uploads": f"{root}/uploads"}
+        )
+        for upload_id in (1, 2):
+            batch = orders.filter(
+                F.col("o_orderkey") % 2 == (upload_id % 2)
+            ).select(
+                F.lit(upload_id).alias("upload_id"),
+                "o_orderkey",
+                "o_totalprice",
+            )
+            n, cents = batch.agg(
+                F.count(F.lit(1)),
+                F.sum(F.round(F.col("o_totalprice") * 100).cast("long")),
+            ).collect()[0]
+            lineage = spark.createDataFrame(
+                [(upload_id, int(n), int(cents))],
+                "upload_id int, n_rows bigint, total_cents bigint",
+            )
+            multi_table_txn(
+                spark,
+                cat,
+                {
+                    "facts": {"op": "append", "df": batch},
+                    "uploads": {"op": "append", "df": lineage},
+                },
+            )
+        refacts = (
+            catalog_read(spark, cat, "facts")
+            .groupBy("upload_id")
+            .agg(
+                F.count(F.lit(1)).alias("fact_rows"),
+                F.sum(
+                    F.round(F.col("o_totalprice") * 100).cast("long")
+                ).alias("fact_cents"),
+            )
+        )
+        out = (
+            catalog_read(spark, cat, "uploads")
+            .join(refacts, "upload_id")
+            .select(
+                "upload_id",
+                "n_rows",
+                "fact_rows",
+                (F.col("total_cents") / 100.0).alias("total_price"),
+                (F.col("fact_cents") / 100.0).alias("fact_price"),
+            )
+            .orderBy("upload_id")
+        )
+        rows = out.collect()  # materialize before the tmpdir vanishes
+        return spark.createDataFrame(rows, out.schema)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+INGEST_WITH_LINEAGE_SQL = """
+WITH batches AS (
+  SELECT CAST(CASE WHEN o_orderkey % 2 = 1 THEN 1 ELSE 2 END AS INTEGER)
+           AS upload_id,
+         o_totalprice
+  FROM orders
+),
+agg AS (
+  SELECT upload_id,
+         count(*) AS n_rows,
+         CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+           AS cents
+  FROM batches
+  GROUP BY upload_id
+)
+SELECT upload_id,
+       n_rows,
+       n_rows          AS fact_rows,
+       cents / 100.0   AS total_price,
+       cents / 100.0   AS fact_price
+FROM agg
+ORDER BY upload_id
+"""
+
+
 EXTRA_QUERIES = {
     "list_lineitem_page": list_lineitem_page,
     "count_orders_filtered": count_orders_filtered,
     "date_limit": date_limit,
+    "ingest_with_lineage": ingest_with_lineage,
 }
 
 EXTRA_ORACLES = {
     "list_lineitem_page": LIST_LINEITEM_PAGE_SQL,
     "count_orders_filtered": COUNT_ORDERS_FILTERED_SQL,
     "date_limit": DATE_LIMIT_SQL,
+    "ingest_with_lineage": INGEST_WITH_LINEAGE_SQL,
 }

@@ -289,87 +289,117 @@ def _commit(
         parent_manifest = (
             _read_manifest(spark, table_dir, parent) if versions else None
         )
-        files = files_fn(parent_manifest)
-        ddl = schema_ddl(parent_manifest) if callable(schema_ddl) else schema_ddl
-        manifest = {
-            "version": parent + 1,
-            "parent": parent,
-            "ts": time.time(),
-            "op": op,
-            "schema": ddl,
-            # a stable identity for the LOG itself (minted at v1,
-            # inherited forever): consumers holding a cursor can tell a
-            # recreated table from the one they were following even when
-            # the new log has grown past their cursor version
-            "table_id": (parent_manifest or {}).get("table_id") or uuid.uuid4().hex,
-            "files": files,
-            # the per-app transaction watermarks ride EVERY commit so the
-            # tip alone answers "has stream X applied batch N" — a plain
-            # append/overwrite/delete between stream batches must not
-            # amnesia the stream's progress
-            "txn": (
-                dict(txn_replace)
-                if txn_replace is not None
-                else {
-                    **(parent_manifest or {}).get("txn", {}),
-                    **(txn_update or {}),
-                }
-            ),
-            "meta": meta or {},
-        }
-        if stats_fn is not None:
-            stats, stats_cols, file_meta = stats_fn(parent_manifest, files)
-            if stats_cols:
-                manifest["stats"] = stats
-                manifest["stats_cols"] = stats_cols
-            if file_meta:
-                manifest["file_meta"] = file_meta
-        filters = (
-            row_filters_fn(parent_manifest, files)
-            if row_filters_fn is not None
-            else _carry_filters(parent_manifest, files)
+        manifest = _build_manifest(
+            parent_manifest, parent, op, files_fn, schema_ddl,
+            meta=meta, txn_update=txn_update, txn_replace=txn_replace,
+            stats_fn=stats_fn, row_filters_fn=row_filters_fn,
+            bloom_fn=bloom_fn, ndv_fn=ndv_fn, evo_fn=evo_fn,
         )
-        if filters:
-            manifest["row_filters"] = filters
-        if bloom_fn is not None:
-            bloom = bloom_fn(parent_manifest, files)
-        else:
-            pb = (parent_manifest or {}).get("bloom") or {}
-            entries = _carry_bloom(parent_manifest, files)
-            bloom = (
-                {"cols": pb.get("cols", []), "entries": entries}
-                if (pb.get("cols") or entries)
-                else None
-            )
-        if bloom:
-            manifest["bloom"] = bloom
-        if ndv_fn is not None:
-            ndv = ndv_fn(parent_manifest, files)
-        else:
-            pn = (parent_manifest or {}).get("ndv") or {}
-            nentries = _carry_ndv(parent_manifest, files)
-            ndv = (
-                {"cols": pn.get("cols", []), "entries": nentries}
-                if (pn.get("cols") or nentries)
-                else None
-            )
-        if ndv:
-            manifest["ndv"] = ndv
-        if evo_fn is not None:
-            renames, reserved = evo_fn(parent_manifest)
-        else:
-            renames = dict((parent_manifest or {}).get("renames", {}))
-            reserved = list((parent_manifest or {}).get("reserved_cols", []))
-        if renames:
-            manifest["renames"] = renames
-        if reserved:
-            manifest["reserved_cols"] = sorted(set(reserved))
         if _try_write_manifest(spark, table_dir, parent + 1, manifest):
             return manifest
     raise RuntimeError(
         f"lost the commit race {max_retries} times on {table_dir} — "
         "pathological writer contention; serialize writers or raise max_retries"
     )
+
+
+def _build_manifest(
+    parent_manifest: dict | None,
+    parent: int,
+    op: str,
+    files_fn,
+    schema_ddl,
+    meta: dict | None = None,
+    txn_update: dict | None = None,
+    txn_replace: dict | None = None,
+    stats_fn=None,
+    row_filters_fn=None,
+    bloom_fn=None,
+    ndv_fn=None,
+    evo_fn=None,
+) -> dict:
+    """Build the would-be manifest for version ``parent + 1`` on top of
+    ``parent_manifest`` — the pure (no I/O claim) half of
+    :func:`_commit`, shared with the multi-table transaction STAGING
+    path (`txn_catalog.py`), which builds against a catalog-pinned
+    parent instead of the table tip and publishes the version claim
+    only after the catalog commit wins."""
+    files = files_fn(parent_manifest)
+    ddl = schema_ddl(parent_manifest) if callable(schema_ddl) else schema_ddl
+    manifest = {
+        "version": parent + 1,
+        "parent": parent,
+        "ts": time.time(),
+        "op": op,
+        "schema": ddl,
+        # a stable identity for the LOG itself (minted at v1,
+        # inherited forever): consumers holding a cursor can tell a
+        # recreated table from the one they were following even when
+        # the new log has grown past their cursor version
+        "table_id": (parent_manifest or {}).get("table_id") or uuid.uuid4().hex,
+        "files": files,
+        # the per-app transaction watermarks ride EVERY commit so the
+        # tip alone answers "has stream X applied batch N" — a plain
+        # append/overwrite/delete between stream batches must not
+        # amnesia the stream's progress
+        "txn": (
+            dict(txn_replace)
+            if txn_replace is not None
+            else {
+                **(parent_manifest or {}).get("txn", {}),
+                **(txn_update or {}),
+            }
+        ),
+        "meta": meta or {},
+    }
+    if stats_fn is not None:
+        stats, stats_cols, file_meta = stats_fn(parent_manifest, files)
+        if stats_cols:
+            manifest["stats"] = stats
+            manifest["stats_cols"] = stats_cols
+        if file_meta:
+            manifest["file_meta"] = file_meta
+    filters = (
+        row_filters_fn(parent_manifest, files)
+        if row_filters_fn is not None
+        else _carry_filters(parent_manifest, files)
+    )
+    if filters:
+        manifest["row_filters"] = filters
+    if bloom_fn is not None:
+        bloom = bloom_fn(parent_manifest, files)
+    else:
+        pb = (parent_manifest or {}).get("bloom") or {}
+        entries = _carry_bloom(parent_manifest, files)
+        bloom = (
+            {"cols": pb.get("cols", []), "entries": entries}
+            if (pb.get("cols") or entries)
+            else None
+        )
+    if bloom:
+        manifest["bloom"] = bloom
+    if ndv_fn is not None:
+        ndv = ndv_fn(parent_manifest, files)
+    else:
+        pn = (parent_manifest or {}).get("ndv") or {}
+        nentries = _carry_ndv(parent_manifest, files)
+        ndv = (
+            {"cols": pn.get("cols", []), "entries": nentries}
+            if (pn.get("cols") or nentries)
+            else None
+        )
+    if ndv:
+        manifest["ndv"] = ndv
+    if evo_fn is not None:
+        renames, reserved = evo_fn(parent_manifest)
+    else:
+        renames = dict((parent_manifest or {}).get("renames", {}))
+        reserved = list((parent_manifest or {}).get("reserved_cols", []))
+    if renames:
+        manifest["renames"] = renames
+    if reserved:
+        manifest["reserved_cols"] = sorted(set(reserved))
+    return manifest
 
 
 def _check_schema(parent: dict | None, ddl: str, op: str) -> None:
@@ -3033,16 +3063,17 @@ _AGG_RE = None  # compiled lazily in _parse_aggs
 
 def _parse_aggs(aggs: Mapping[str, str]) -> dict[str, tuple[str, str | None]]:
     """``{alias: "sum(col)"}`` → ``{alias: ("sum", "col")}``.  Accepted
-    shapes: count(*), count(col), sum/min/max/avg(col) — col may be a
-    stats ALIAS (derived stats answer for their expression) or a plain
-    column name.  Anything else raises: a silently ignored aggregate
-    would report a wrong rollup."""
+    shapes: count(*), count(col), sum/min/max/avg/approx_ndv(col) — col
+    may be a stats ALIAS (derived stats answer for their expression) or
+    a plain column name.  Anything else raises: a silently ignored
+    aggregate would report a wrong rollup."""
     import re
 
     global _AGG_RE
     if _AGG_RE is None:
         _AGG_RE = re.compile(
-            r"^\s*(count|sum|min|max|avg)\s*\(\s*(\*|[A-Za-z_][\w.]*)\s*\)\s*$",
+            r"^\s*(count|sum|min|max|avg|approx_ndv)\s*"
+            r"\(\s*(\*|[A-Za-z_][\w.]*)\s*\)\s*$",
             re.IGNORECASE,
         )
     if not aggs:
@@ -3054,13 +3085,29 @@ def _parse_aggs(aggs: Mapping[str, str]) -> dict[str, tuple[str, str | None]]:
             raise ValueError(
                 f"snapshot_agg: unsupported aggregate {spec!r} for {alias!r} "
                 "(supported: count(*) | count(col) | sum(col) | min(col) | "
-                "max(col) | avg(col))"
+                "max(col) | avg(col) | approx_ndv(col))"
             )
         fn, col = m.group(1).lower(), m.group(2)
         if col == "*" and fn != "count":
             raise ValueError(f"snapshot_agg: {fn}(*) is not an aggregate")
         out[alias] = (fn, None if col == "*" else col)
     return out
+
+
+_NDV_SKETCHABLE = {"tinyint", "smallint", "int", "bigint", "string"}
+
+
+def _ndv_sketch_expr(expr: str, dtype):
+    """The sketch-input expression for ``approx_ndv`` aggregates —
+    same int-chain-through-bigint rule as :func:`_ndv_sketch_col`, but
+    over an arbitrary resolved expression (stats aliases included), so
+    a fallback-scan sketch unions bit-compatibly with the sidecars."""
+    from pyspark.sql import functions as F
+
+    col = F.expr(expr)
+    if dtype.simpleString() in ("tinyint", "smallint", "int"):
+        col = col.cast("bigint")
+    return col
 
 
 def _nan_combine(los: list, his: list) -> tuple:
@@ -3092,8 +3139,15 @@ def snapshot_agg(
     jobs and zero data files opened).
 
     ``aggs`` maps output aliases to ``count(*) | count(col) | sum(col)
-    | min(col) | max(col) | avg(col)`` where ``col`` is a stats column
-    or alias.  Returns ``{alias: value}`` ungrouped, or
+    | min(col) | max(col) | avg(col) | approx_ndv(col)`` where ``col``
+    is a stats column or alias.  ``approx_ndv`` answers grouped
+    distinct counts (the "distinct users per day" dashboard shape) from
+    the per-file HLL sketch sidecars (``ndv_cols=``) — sidecar-covered
+    files never open; union is register-wise max so the grouped
+    estimate EQUALS direct whole-group sketching; files without a
+    sketch join the same one-scan fallback as the other aggregates.
+    Unlike the pure-metadata aggregates it costs one metadata-sized
+    sidecar-scan job (like :func:`snapshot_ndv`).  Returns ``{alias: value}`` ungrouped, or
     ``{group_key: {alias: value}}`` with ``group_by=`` (keys typed like
     the column — NULL group under key ``None``; a LIST of group columns
     keys the result by TUPLES — even a one-element list, the shape
@@ -3179,6 +3233,21 @@ def snapshot_agg(
                 f"snapshot_agg: group_by column {g!r} has non-atomic type "
                 f"{info[g][1].simpleString()} — group keys must be scalar"
             )
+    ndv_aliases = {a for a, (fn, _) in parsed.items() if fn == "approx_ndv"}
+    ndv_cover: dict = {}  # col -> {file -> sidecar}
+    if ndv_aliases:
+        for a in ndv_aliases:
+            c = parsed[a][1]
+            if info[c][1].simpleString() not in _NDV_SKETCHABLE:
+                raise ValueError(
+                    f"snapshot_agg: approx_ndv({c}) needs an integral or "
+                    f"string column (got {info[c][1].simpleString()})"
+                )
+        for e in (manifest.get("ndv") or {}).get("entries", []):
+            for c in e.get("cols", []):
+                cm = ndv_cover.setdefault(c, {})
+                for sf in e["files"]:
+                    cm.setdefault(sf, e["sidecar"])
 
     def scan_result(df: DataFrame):
         """The pure-scan path (where= or no usable metadata): one
@@ -3190,6 +3259,12 @@ def snapshot_agg(
             elif fn == "avg":
                 sel.append(F.sum(F.expr(info[col][0])).alias(f"__s_{alias}"))
                 sel.append(F.count(F.expr(info[col][0])).alias(f"__c_{alias}"))
+            elif fn == "approx_ndv":
+                sel.append(
+                    F.hll_sketch_agg(
+                        _ndv_sketch_expr(info[col][0], info[col][1])
+                    ).alias(f"__sk_{alias}")
+                )
             else:
                 sel.append(
                     getattr(F, fn)(F.expr(info[col][0])).alias(alias)
@@ -3260,6 +3335,10 @@ def snapshot_agg(
             for alias, (fn, _) in parsed.items():
                 if fn == "avg":
                     acc[key][alias] = [None, 0]  # [sum, non-null count]
+                elif fn == "approx_ndv":
+                    # sidecar-covered files + fallback-scan sketches,
+                    # resolved to an estimate in ONE union job at the end
+                    acc[key][alias] = {"files": [], "sketches": []}
         return acc[key]
 
     for f in meta_files:
@@ -3316,6 +3395,12 @@ def snapshot_agg(
                 else:
                     ok = False
                     break
+            elif fn == "approx_ndv":
+                sc = ndv_cover.get(col, {}).get(f)
+                if sc is None:
+                    ok = False
+                    break
+                vals[alias] = ("ndv_file", f, sc)
             else:  # min / max
                 if all_null(rng, rows_f):
                     vals[alias] = (fn, None)  # contributes nothing
@@ -3331,6 +3416,8 @@ def snapshot_agg(
         for alias, v in vals.items():
             if v[0] == "count":
                 s[alias] = (s[alias] or 0) + v[1]
+            elif v[0] == "ndv_file":
+                s[alias]["files"].append((v[1], v[2]))
             elif v[0] == "sum":
                 if v[1] is not None:
                     s[alias] = v[1] if s[alias] is None else s[alias] + v[1]
@@ -3386,6 +3473,10 @@ def snapshot_agg(
                             sv if s[alias][0] is None else s[alias][0] + sv
                         )
                     s[alias][1] += cv
+                elif fn == "approx_ndv":
+                    sk = r[f"__sk_{alias}"]
+                    if sk is not None:
+                        s[alias]["sketches"].append(bytes(sk))
                 else:  # min / max: scan extreme joins the bound list,
                     # converted into the stats' JSON-safe domain so the
                     # final combine is one total order; a type outside
@@ -3395,6 +3486,65 @@ def snapshot_agg(
                     if v is not None:
                         vj = _json_safe(v)
                         s[alias].append(vj if vj is not None else v)
+
+    # approx_ndv resolution: sidecar-covered files stay DISTRIBUTED
+    # (one scan of the distinct sidecar parquets joined to a broadcast
+    # file→group map); fallback-scan sketches arrived driver-side with
+    # the other partials (groups-sized).  ONE union job merges both and
+    # estimates — register-wise max, so the grouped estimate EQUALS
+    # direct approx-distinct sketching of each group's rows.
+    if ndv_aliases:
+        if not gcols:
+            slot(_UNGROUPED)  # an empty table still answers 0
+        gids = {k: i for i, k in enumerate(acc)}
+        map_rows = []  # (file, col, gid, alias) → sidecar sketches
+        b_rows = []  # (gid, alias, sketch) → fallback partials
+        sidecars: set[str] = set()
+        for k, s in acc.items():
+            g = gids[k]
+            for alias in ndv_aliases:
+                col = parsed[alias][1]
+                st = s[alias]
+                for sf, sc in st["files"]:
+                    map_rows.append((sf, col, g, alias))
+                    sidecars.add(sc)
+                for sk in st["sketches"]:
+                    b_rows.append((g, alias, sk))
+        parts = []
+        if map_rows:
+            map_df = spark.createDataFrame(
+                map_rows, "file string, col string, __gid int, __alias string"
+            )
+            parts.append(
+                spark.read.parquet(*sorted(sidecars))
+                .join(F.broadcast(map_df), ["file", "col"])
+                .select("__gid", "__alias", "sketch")
+            )
+        if b_rows:
+            parts.append(
+                spark.createDataFrame(
+                    b_rows, "__gid int, __alias string, sketch binary"
+                )
+            )
+        est: dict = {}
+        if parts:
+            u = parts[0]
+            for p in parts[1:]:
+                u = u.unionByName(p)
+            for r in (
+                u.groupBy("__gid", "__alias")
+                .agg(
+                    F.hll_sketch_estimate(
+                        F.hll_union_agg("sketch")
+                    ).alias("est")
+                )
+                .collect()
+            ):
+                est[(r["__gid"], r["__alias"])] = int(r["est"] or 0)
+        for k, s in acc.items():
+            g = gids[k]
+            for alias in ndv_aliases:
+                s[alias] = est.get((g, alias), 0)
 
     def out_value(col, v):
         import datetime
@@ -3413,6 +3563,8 @@ def snapshot_agg(
         for alias, (fn, col) in parsed.items():
             v = s[alias]
             if fn == "count":
+                o[alias] = int(v or 0)
+            elif fn == "approx_ndv":
                 o[alias] = int(v or 0)
             elif fn == "sum":
                 o[alias] = v
@@ -5229,8 +5381,26 @@ def expire_snapshots(
     referenced_dv: set[str] = set()  # DV sidecars live in row_filters
     referenced_bloom: set[str] = set()  # bloom sidecars live in bloom.entries
     referenced_ndv: set[str] = set()  # ndv sketch sidecars, ndv.entries
-    for v in keep:
-        m = _read_manifest(spark, table_dir, v)
+    keep_manifests = [_read_manifest(spark, table_dir, v) for v in keep]
+    # staged manifests (multi-table transactions, txn_catalog.py) may be
+    # the ONLY reference to a committed-but-unpublished transaction's
+    # data files — sweeping those would corrupt a durable transaction.
+    # They are tiny and age-bounded by publication, so keep them all.
+    fs, _, jvm = _fs_for(spark, table_dir)
+    staged_glob = _child(jvm, table_dir, _MANIFEST_DIR, "staged-*.json")
+    for s in fs.globStatus(staged_glob) or []:
+        if not s.isFile():
+            continue
+        try:
+            stream = fs.open(s.getPath())
+            try:
+                raw = bytes(jvm.org.apache.commons.io.IOUtils.toByteArray(stream))
+            finally:
+                stream.close()
+            keep_manifests.append(json.loads(raw.decode("utf-8")))
+        except Exception:
+            continue  # torn staged write: references nothing durable
+    for m in keep_manifests:
         referenced.update(m["files"])
         referenced_dv.update(
             e["dv"] for e in m.get("row_filters", []) if "dv" in e
@@ -5241,7 +5411,6 @@ def expire_snapshots(
         referenced_ndv.update(
             e["sidecar"] for e in (m.get("ndv") or {}).get("entries", [])
         )
-    fs, _, jvm = _fs_for(spark, table_dir)
     expired = 0
     for v in versions:
         if v not in keep:

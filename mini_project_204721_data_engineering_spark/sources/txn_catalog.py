@@ -1,0 +1,429 @@
+"""Multi-table ATOMIC transactions over snapshot tables — the catalog.
+
+The single-table snapshot log (`snapshots.py`) makes each table's commit
+atomic, but the reference's own ingest is a TWO-table transaction: the
+upload-lineage row and the fact rows land together or not at all
+(reference `backend/app/main.py:136-150` wraps the `upload_rain_point`
+insert and the `rain_points` append in one flow).  This module adds that
+guarantee across N snapshot tables with ONE atomic commit — the
+Iceberg-catalog idea: visibility is rooted in a single versioned catalog
+log, and a multi-table transaction becomes one exclusive-create of the
+next catalog version.
+
+Design (and why it is crash-correct):
+
+1. **The catalog is itself a snapshot-style log.**  ``catalog_dir`` holds
+   ``_manifests/v{N}.json`` files written with the same O_EXCL
+   exclusive-create claim as table commits — same
+   :func:`~.snapshots._try_write_manifest`, same linearizability proof
+   (the cross-process race pytest).  Each catalog version pins, for
+   every enrolled table, exactly one table-manifest version.
+
+2. **Staging claims NO table version.**  A transaction first writes its
+   data files (bytes before visibility, as ever), then BUILDS each
+   table's would-be manifest against the catalog-pinned parent
+   (:func:`~.snapshots._build_manifest` — the same code path as a normal
+   commit) and writes it to ``_manifests/staged-{txn}-v{V}.json``.
+   Staged files occupy no version slot, so concurrent transactions
+   cannot corrupt each other's table logs and an abandoned staging is
+   invisible garbage.
+
+3. **The catalog commit IS the transaction.**  One exclusive-create of
+   ``catalog/v{N+1}.json`` flips every written table's pin to its staged
+   manifest simultaneously.  A reader resolving tables through the
+   catalog sees either ALL of the transaction's table states or NONE —
+   there is no instant at which the fact rows are visible without the
+   lineage row.  A crash anywhere before this point leaves the catalog
+   (and therefore every reader) untouched.
+
+4. **Publication is idempotent cleanup, not correctness.**  After the
+   catalog commit wins, each staged manifest is copied into its table
+   log as ``v{V}.json`` (exclusive-create; losing the claim is fine) so
+   single-table tooling — time travel, history, incremental read,
+   compaction — keeps working.  A crash between commit and publication
+   loses nothing: readers fall back to the staged manifest recorded in
+   the pin, and the next transaction (or any later call) re-publishes.
+
+Concurrency: transactions race on the catalog version with the same
+optimistic loop as table commits; a loser re-stages against the new pins
+(data files are written once and reused).  Conflicts are detected at
+TABLE granularity — two transactions appending to disjoint tables both
+succeed, in catalog-serialized order.
+
+Rule for enrolled tables: write them ONLY through the catalog (or
+publish-then-enroll).  A direct `snapshot_append` to an enrolled table's
+directory races the publication step for version numbers; the catalog
+stays correct (it resolves through the staged manifest), but the table's
+own log diverges from the catalog's view.  This is the same contract as
+Iceberg/Unity coordinated commits: the catalog is the commit
+coordinator.
+"""
+
+from __future__ import annotations
+
+import json
+import time
+import uuid
+import warnings
+from collections.abc import Mapping
+
+from pyspark.sql import DataFrame, SparkSession
+
+from .snapshots import (
+    _MANIFEST_DIR,
+    _build_manifest,
+    _check_schema,
+    _child,
+    _compose_stats,
+    _filtered_read,
+    _fs_for,
+    _guard_reserved,
+    _list_versions,
+    _merged_schema,
+    _prune_files,
+    _read_manifest,
+    _try_write_manifest,
+    _validate_stats,
+    _write_data_files,
+)
+
+
+def _read_json(spark: SparkSession, path: str) -> dict:
+    fs, _, jvm = _fs_for(spark, path)
+    stream = fs.open(jvm.org.apache.hadoop.fs.Path(path))
+    try:
+        raw = bytes(jvm.org.apache.commons.io.IOUtils.toByteArray(stream))
+    finally:
+        stream.close()
+    return json.loads(raw.decode("utf-8"))
+
+
+def _write_json(spark: SparkSession, path: str, obj: dict) -> None:
+    """Plain (non-exclusive) small-file write — staged manifests only,
+    whose names embed a fresh txn id so collisions cannot happen."""
+    fs, _, jvm = _fs_for(spark, path)
+    jpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs.mkdirs(jpath.getParent())
+    stream = fs.create(jpath, True)
+    try:
+        stream.write(json.dumps(obj, indent=1).encode("utf-8"))
+        stream.hflush()
+    finally:
+        stream.close()
+
+
+def _catalog_tip(spark: SparkSession, catalog_dir: str) -> dict | None:
+    versions = _list_versions(spark, catalog_dir)
+    if not versions:
+        return None
+    return _read_manifest(spark, catalog_dir, versions[-1])
+
+
+def catalog_init(
+    spark: SparkSession, catalog_dir: str, tables: Mapping[str, str]
+) -> dict:
+    """Create the catalog, enrolling ``tables`` (name -> table_dir) at
+    their CURRENT tips (version 0 for a not-yet-created table).  Raises
+    if the catalog already exists."""
+    if _catalog_tip(spark, catalog_dir) is not None:
+        raise ValueError(f"catalog already exists at {catalog_dir}")
+    pins = {}
+    for name, tdir in tables.items():
+        versions = _list_versions(spark, str(tdir))
+        pins[str(name)] = {
+            "dir": str(tdir),
+            "version": versions[-1] if versions else 0,
+        }
+    cat = {
+        "version": 1,
+        "parent": 0,
+        "ts": time.time(),
+        "op": "init",
+        "catalog_id": uuid.uuid4().hex,
+        "txn_id": None,
+        "tables": pins,
+    }
+    if not _try_write_manifest(spark, catalog_dir, 1, cat):
+        raise ValueError(f"catalog already exists at {catalog_dir}")
+    return cat
+
+
+def catalog_pins(
+    spark: SparkSession, catalog_dir: str, catalog_version: int | None = None
+) -> dict:
+    """The table pins at a catalog version (tip by default): ``{name:
+    {"dir", "version", ...}}``.  Reading several tables at ONE pinned
+    catalog version is a consistent cross-table snapshot — the
+    transactional analog of single-table time travel."""
+    if catalog_version is None:
+        tip = _catalog_tip(spark, catalog_dir)
+        if tip is None:
+            raise ValueError(f"no catalog at {catalog_dir}")
+        return tip["tables"]
+    return _read_manifest(spark, catalog_dir, catalog_version)["tables"]
+
+
+def catalog_resolve(
+    spark: SparkSession,
+    catalog_dir: str,
+    name: str,
+    catalog_version: int | None = None,
+) -> dict | None:
+    """The table MANIFEST a catalog version pins for ``name`` (None for
+    an enrolled-but-empty table).  Resolution order: the published
+    ``v{V}.json`` when it exists AND belongs to the pinning transaction;
+    else the staged manifest recorded in the pin (the crash-recovery
+    path — a transaction is durable the instant its catalog version
+    lands, publication or not)."""
+    pins = catalog_pins(spark, catalog_dir, catalog_version)
+    if name not in pins:
+        raise ValueError(
+            f"table {name!r} not enrolled in catalog {catalog_dir} "
+            f"(have: {sorted(pins)})"
+        )
+    pin = pins[name]
+    if pin["version"] == 0:
+        return None
+    tid = pin.get("txn_id")
+    try:
+        m = _read_manifest(spark, pin["dir"], pin["version"])
+        if tid is None or m.get("meta", {}).get("catalog_txn") == tid:
+            return m
+        # a foreign manifest claimed our version slot (direct write to
+        # an enrolled table) — the staged copy is the catalog's truth
+        warnings.warn(
+            f"table log {pin['dir']} diverged from catalog at "
+            f"v{pin['version']} (direct write to an enrolled table?); "
+            "resolving through the staged manifest",
+            stacklevel=2,
+        )
+    except Exception:
+        if "staged" not in pin:
+            raise
+    return _read_json(spark, pin["staged"])
+
+
+def catalog_read(
+    spark: SparkSession,
+    catalog_dir: str,
+    name: str,
+    catalog_version: int | None = None,
+    prune: dict | None = None,
+) -> DataFrame:
+    """Read an enrolled table AS THE CATALOG SEES IT — the only read
+    that carries the multi-table atomicity guarantee.  ``prune`` as in
+    :func:`~.snapshots.read_snapshot`."""
+    manifest = catalog_resolve(spark, catalog_dir, name, catalog_version)
+    if manifest is None:
+        raise ValueError(f"table {name!r} has no committed data yet")
+    files = manifest["files"]
+    if prune:
+        files = _prune_files(manifest, prune)
+    return _filtered_read(spark, manifest, files)
+
+
+def _publish(spark: SparkSession, pin: dict) -> None:
+    """Copy a pin's staged manifest into its table log as v{V}.json —
+    idempotent (exclusive-create; a lost claim means someone published
+    first), safe to call any number of times from anywhere."""
+    if "staged" not in pin or pin["version"] == 0:
+        return
+    try:
+        m = _read_json(spark, pin["staged"])
+    except Exception:
+        return  # staged file already swept after a successful publish
+    if not _try_write_manifest(spark, pin["dir"], pin["version"], m):
+        try:
+            cur = _read_manifest(spark, pin["dir"], pin["version"])
+        except Exception:
+            return
+        if cur.get("meta", {}).get("catalog_txn") != m.get("meta", {}).get(
+            "catalog_txn"
+        ):
+            warnings.warn(
+                f"cannot publish txn manifest at {pin['dir']} "
+                f"v{pin['version']}: slot taken by a foreign commit "
+                "(direct write to an enrolled table?)",
+                stacklevel=2,
+            )
+
+
+def catalog_publish(spark: SparkSession, catalog_dir: str) -> None:
+    """Publish every staged pin at the catalog tip into its table log
+    (idempotent crash recovery — see module docstring step 4)."""
+    tip = _catalog_tip(spark, catalog_dir)
+    if tip is None:
+        return
+    for pin in tip["tables"].values():
+        _publish(spark, pin)
+
+
+def multi_table_txn(
+    spark: SparkSession,
+    catalog_dir: str,
+    writes: Mapping[str, Mapping],
+    max_retries: int = 20,
+) -> dict:
+    """Commit writes to SEVERAL enrolled tables as ONE atomic catalog
+    transaction: every write becomes visible in the same catalog
+    version, or (on any crash/failure) none do.
+
+    ``writes`` maps enrolled table name -> spec::
+
+        {"op": "append",    "df": df,
+         "stats_cols": ..., "merge_schema": False}   # defaults
+        {"op": "overwrite", "df": df, "stats_cols": ...}
+
+    The reference shape: ``multi_table_txn(spark, cat, {
+    "rain_points": {"op": "append", "df": facts},
+    "uploads": {"op": "append", "df": lineage_row}})`` — fact rows can
+    never be seen without their lineage row (`backend/app/main.py:
+    136-150`).
+
+    Data files are written ONCE up front (a crash strands invisible
+    orphans, never a torn transaction); the optimistic loop re-stages
+    manifests against fresh catalog pins after every lost race, reusing
+    the already-written bytes."""
+    if not writes:
+        raise ValueError("multi_table_txn: no writes")
+    tip = _catalog_tip(spark, catalog_dir)
+    if tip is None:
+        raise ValueError(f"no catalog at {catalog_dir}")
+    for name in writes:
+        if name not in tip["tables"]:
+            raise ValueError(
+                f"table {name!r} not enrolled in catalog {catalog_dir}"
+            )
+    # heal any unpublished pins from a predecessor's crash first — cheap
+    # and idempotent, keeps table logs converged with the catalog
+    catalog_publish(spark, catalog_dir)
+
+    tid = uuid.uuid4().hex
+    staged_inputs: dict[str, dict] = {}
+    for name, spec in writes.items():
+        op = spec.get("op", "append")
+        if op not in ("append", "overwrite"):
+            raise ValueError(f"multi_table_txn: unsupported op {op!r}")
+        df = spec["df"]
+        stats_cols = spec.get("stats_cols")
+        if stats_cols is not None:
+            _validate_stats(df, stats_cols)
+        tdir = tip["tables"][name]["dir"]
+        new_files, _ = _write_data_files(df, tdir)
+        staged_inputs[name] = {
+            "op": op,
+            "schema": df.schema,
+            "new_files": new_files,
+            "stats_fn": _compose_stats(spark, new_files, stats_cols),
+            "merge_schema": bool(spec.get("merge_schema", False)),
+        }
+
+    for _ in range(max_retries):
+        tip = _catalog_tip(spark, catalog_dir)
+        parent_version = tip["version"]
+        pins = dict(tip["tables"])
+        new_pins = {k: dict(v) for k, v in pins.items()}
+        for name, si in staged_inputs.items():
+            pin = pins[name]
+            parent_manifest = catalog_resolve(
+                spark, catalog_dir, name, tip["version"]
+            )
+            ddl = si["schema"].simpleString()
+            op, new_files = si["op"], si["new_files"]
+
+            if op == "append":
+
+                def files_fn(parent, _ddl=ddl, _nf=new_files, _si=si):
+                    if not _si["merge_schema"]:
+                        _check_schema(parent, _ddl, "multi_table_txn(append)")
+                    return (parent["files"] if parent else []) + _nf
+
+                def schema_fn(parent, _ddl=ddl, _si=si):
+                    if parent is None or not _si["merge_schema"]:
+                        return _ddl
+                    merged = _merged_schema(parent["schema"], _si["schema"])
+                    _guard_reserved(
+                        parent, merged, "multi_table_txn(merge_schema)"
+                    )
+                    return merged
+
+                evo_fn = None
+            else:  # overwrite
+
+                def files_fn(parent, _nf=new_files):
+                    return list(_nf)
+
+                def schema_fn(parent, _ddl=ddl):
+                    return _ddl
+
+                def evo_fn(parent):
+                    return {}, []
+
+            v = pin["version"] + 1
+            manifest = _build_manifest(
+                parent_manifest,
+                pin["version"],
+                op,
+                files_fn,
+                schema_fn,
+                meta={
+                    "added_files": len(new_files),
+                    "catalog_txn": tid,
+                    "catalog_dir": str(catalog_dir),
+                },
+                stats_fn=si["stats_fn"],
+                evo_fn=evo_fn,
+            )
+            staged_path = str(
+                _child(
+                    _fs_for(spark, pin["dir"])[2],
+                    pin["dir"],
+                    _MANIFEST_DIR,
+                    f"staged-{tid}-v{v:05d}.json",
+                ).toString()
+            )
+            _write_json(spark, staged_path, manifest)
+            new_pins[name] = {
+                "dir": pin["dir"],
+                "version": v,
+                "staged": staged_path,
+                "txn_id": tid,
+            }
+        cat = {
+            "version": parent_version + 1,
+            "parent": parent_version,
+            "ts": time.time(),
+            "op": "txn",
+            "catalog_id": tip["catalog_id"],
+            "txn_id": tid,
+            "tables": new_pins,
+        }
+        if _try_write_manifest(spark, catalog_dir, parent_version + 1, cat):
+            # the transaction is durable HERE; publication is cleanup
+            for name in staged_inputs:
+                _publish(spark, new_pins[name])
+            return cat
+    raise RuntimeError(
+        f"lost the catalog commit race {max_retries} times on "
+        f"{catalog_dir} — pathological transaction contention"
+    )
+
+
+def catalog_history(spark: SparkSession, catalog_dir: str) -> list[dict]:
+    """Every catalog version: ``{version, ts, op, txn_id, tables:
+    {name: version}}`` — the cross-table audit trail."""
+    out = []
+    for v in _list_versions(spark, catalog_dir):
+        m = _read_manifest(spark, catalog_dir, v)
+        out.append(
+            {
+                "version": m["version"],
+                "ts": m["ts"],
+                "op": m["op"],
+                "txn_id": m.get("txn_id"),
+                "tables": {
+                    k: p["version"] for k, p in m["tables"].items()
+                },
+            }
+        )
+    return out

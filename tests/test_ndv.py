@@ -156,3 +156,174 @@ def test_refusals_and_empty(spark, tmp_path):
         snapshot_append(df, t, ndv_cols=["zz"])
     snapshot_append(df.limit(0).coalesce(1), t, ndv_cols=["id"])
     assert snapshot_ndv(spark, t, "id") == 0
+
+
+# ---------------------------------------------------------------------------
+# grouped NDV through snapshot_agg (aggs={"u": "approx_ndv(col)"})
+# ---------------------------------------------------------------------------
+
+
+def _grouped_direct(df, gcol, col):
+    """Ground truth: per-group estimate from direct whole-group
+    sketching (the number a user would get without the sidecars)."""
+    return {
+        r[gcol]: int(r["e"])
+        for r in df.groupBy(gcol)
+        .agg(F.hll_sketch_estimate(F.hll_sketch_agg(F.col(col))).alias("e"))
+        .collect()
+    }
+
+
+def _day_df(spark, day, lo, hi, umod):
+    return spark.range(lo, hi).select(
+        F.col("id"),
+        F.lit(day).cast("date").alias("day"),
+        (F.col("id") % umod).alias("user_id"),
+    )
+
+
+def test_snapshot_agg_grouped_ndv_equals_direct(spark, tmp_path):
+    from mini_project_204721_data_engineering_spark.sources.snapshots import (
+        snapshot_agg,
+    )
+
+    t = str(tmp_path / "t")
+    for i, day in enumerate(["2024-01-01", "2024-01-02", "2024-01-03"]):
+        snapshot_append(
+            _day_df(spark, day, i * 1000, (i + 1) * 1000, 37 + i).coalesce(1),
+            t,
+            stats_cols=["day", "user_id"],
+            ndv_cols=["user_id"],
+        )
+    full = read_snapshot(spark, t)
+    want = _grouped_direct(full, "day", "user_id")
+    got = snapshot_agg(
+        spark, t, {"u": "approx_ndv(user_id)", "n": "count(*)"},
+        group_by="day",
+    )
+    assert {k: v["u"] for k, v in got.items()} == want
+    assert {k: v["n"] for k, v in got.items()} == {
+        r["day"]: r["n"]
+        for r in full.groupBy("day").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+
+
+def test_snapshot_agg_grouped_ndv_moved_data_away(spark, tmp_path):
+    """Structural proof: with every sidecar-covered data file MOVED,
+    the grouped estimate still answers — sketches, not scans."""
+    import os
+
+    from mini_project_204721_data_engineering_spark.sources.snapshots import (
+        snapshot_agg,
+    )
+
+    t = str(tmp_path / "t")
+    for i, day in enumerate(["2024-01-01", "2024-01-02"]):
+        snapshot_append(
+            _day_df(spark, day, i * 500, (i + 1) * 500, 29).coalesce(1),
+            t,
+            stats_cols=["day"],
+            ndv_cols=["user_id"],
+        )
+    want = _grouped_direct(read_snapshot(spark, t), "day", "user_id")
+    data_dir = os.path.join(t, "data")
+    hidden = os.path.join(str(tmp_path), "hidden")
+    shutil.move(data_dir, hidden)
+    try:
+        got = snapshot_agg(
+            spark, t, {"u": "approx_ndv(user_id)"}, group_by="day"
+        )
+    finally:
+        shutil.move(hidden, data_dir)
+    assert {k: v["u"] for k, v in got.items()} == want
+
+
+def test_snapshot_agg_ndv_fallback_exactness(spark, tmp_path):
+    """Files without a sketch (pre-ndv_cols commits) and files under a
+    pending merge-on-read takedown fall back to the one scan; the
+    merged estimate still equals direct whole-group sketching of the
+    VISIBLE rows."""
+    from mini_project_204721_data_engineering_spark.sources.snapshots import (
+        snapshot_agg,
+    )
+
+    t = str(tmp_path / "t")
+    snapshot_append(
+        _day_df(spark, "2024-01-01", 0, 600, 31).coalesce(1),
+        t, stats_cols=["day"],
+    )  # no sketches yet
+    snapshot_append(
+        _day_df(spark, "2024-01-02", 600, 1200, 41).coalesce(1),
+        t, ndv_cols=["user_id"],
+    )
+    snapshot_append(
+        _day_df(spark, "2024-01-03", 1200, 1800, 23).coalesce(1), t
+    )
+    # lazy takedown makes day-3's sketch stale — must be ignored
+    snapshot_delete_where(
+        spark, t, "day = DATE '2024-01-03' AND user_id >= 10", lazy=True
+    )
+    full = read_snapshot(spark, t)
+    want = _grouped_direct(full, "day", "user_id")
+    got = snapshot_agg(spark, t, {"u": "approx_ndv(user_id)"}, group_by="day")
+    assert {k: v["u"] for k, v in got.items()} == want
+
+
+def test_snapshot_agg_ndv_where_and_ungrouped(spark, tmp_path):
+    from mini_project_204721_data_engineering_spark.sources.snapshots import (
+        snapshot_agg, snapshot_ndv,
+    )
+
+    t = str(tmp_path / "t")
+    for i, day in enumerate(["2024-01-01", "2024-01-02", "2024-01-03"]):
+        snapshot_append(
+            _day_df(spark, day, i * 700, (i + 1) * 700, 43).coalesce(1),
+            t, stats_cols=["day", "user_id"], ndv_cols=["user_id"],
+        )
+    full = read_snapshot(spark, t)
+    # ungrouped == snapshot_ndv
+    got = snapshot_agg(spark, t, {"u": "approx_ndv(user_id)"})
+    assert got["u"] == snapshot_ndv(spark, t, "user_id")
+    # where= covering exactly one file: the filtered distinct count
+    pred = "day = DATE '2024-01-02'"
+    got = snapshot_agg(spark, t, {"u": "approx_ndv(user_id)"}, where=pred)
+    want = int(
+        full.filter(pred)
+        .agg(F.hll_sketch_estimate(F.hll_sketch_agg("user_id")))
+        .collect()[0][0]
+    )
+    assert got["u"] == want
+    # where= CUTTING a file: boundary scan sketch, still exact vs direct
+    pred = "user_id < 20"
+    got = snapshot_agg(spark, t, {"u": "approx_ndv(user_id)"}, where=pred)
+    want = int(
+        full.filter(pred)
+        .agg(F.hll_sketch_estimate(F.hll_sketch_agg("user_id")))
+        .collect()[0][0]
+    )
+    assert got["u"] == want
+
+
+def test_snapshot_agg_ndv_refusals_and_empty(spark, tmp_path):
+    from mini_project_204721_data_engineering_spark.sources.snapshots import (
+        snapshot_agg,
+    )
+
+    t = str(tmp_path / "t")
+    snapshot_append(
+        spark.range(10).select(
+            F.col("id"), (F.col("id") * 0.5).alias("v")
+        ).coalesce(1),
+        t,
+    )
+    with pytest.raises(ValueError, match="integral or string"):
+        snapshot_agg(spark, t, {"u": "approx_ndv(v)"})
+    with pytest.raises(ValueError, match="is not an aggregate"):
+        snapshot_agg(spark, t, {"u": "approx_ndv(*)"})
+    # empty table answers 0 (ungrouped) / {} (grouped)
+    e = str(tmp_path / "e")
+    snapshot_append(
+        spark.range(0).select(F.col("id")).coalesce(1), e
+    )
+    assert snapshot_agg(spark, e, {"u": "approx_ndv(id)"}) == {"u": 0}
+    assert snapshot_agg(spark, e, {"u": "approx_ndv(id)"}, group_by="id") == {}

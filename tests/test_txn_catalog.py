@@ -1,0 +1,489 @@
+"""Multi-table atomic transactions (sources/txn_catalog.py): the
+reference's ingest is a TWO-table transaction — upload-lineage row +
+fact rows land together (`backend/app/main.py:136-150`).  The catalog
+makes that all-or-nothing across snapshot tables: one exclusive-create
+of the next catalog version flips every pin simultaneously, so a reader
+resolving through the catalog can never see fact rows without the
+lineage row, across any injected crash point."""
+
+from __future__ import annotations
+
+import os
+import subprocess
+import sys
+import textwrap
+import time
+
+import pytest
+from pyspark.sql import functions as F
+
+from mini_project_204721_data_engineering_spark.sources.snapshots import (
+    _list_versions,
+    expire_snapshots,
+    read_snapshot,
+    snapshot_append,
+    snapshot_history,
+)
+from mini_project_204721_data_engineering_spark.sources.txn_catalog import (
+    catalog_history,
+    catalog_init,
+    catalog_pins,
+    catalog_publish,
+    catalog_read,
+    multi_table_txn,
+)
+
+
+def _setup(spark, tmp_path):
+    cat = str(tmp_path / "cat")
+    facts = str(tmp_path / "facts")
+    lineage = str(tmp_path / "lineage")
+    catalog_init(spark, cat, {"facts": facts, "lineage": lineage})
+    return cat, facts, lineage
+
+
+def _fact_df(spark, upload_id: int, n: int = 5):
+    return spark.range(n).select(
+        F.lit(upload_id).alias("upload_id"),
+        F.col("id").alias("v"),
+    )
+
+
+def _lineage_df(spark, upload_id: int, n: int):
+    return spark.createDataFrame(
+        [(upload_id, n, "ok")], "upload_id long, n_rows long, status string"
+    )
+
+
+def test_txn_commits_both_tables_atomically(spark, tmp_path):
+    cat, facts, lineage = _setup(spark, tmp_path)
+    res = multi_table_txn(
+        spark,
+        cat,
+        {
+            "facts": {"op": "append", "df": _fact_df(spark, 1)},
+            "lineage": {"op": "append", "df": _lineage_df(spark, 1, 5)},
+        },
+    )
+    assert res["op"] == "txn"
+    assert catalog_read(spark, cat, "facts").count() == 5
+    assert catalog_read(spark, cat, "lineage").count() == 1
+    # publication happened: single-table tooling sees the same state
+    assert read_snapshot(spark, facts).count() == 5
+    assert read_snapshot(spark, lineage).count() == 1
+    assert _list_versions(spark, facts) == [1]
+    # second txn stacks on the first
+    multi_table_txn(
+        spark,
+        cat,
+        {
+            "facts": {"op": "append", "df": _fact_df(spark, 2, 3)},
+            "lineage": {"op": "append", "df": _lineage_df(spark, 2, 3)},
+        },
+    )
+    assert catalog_read(spark, cat, "facts").count() == 8
+    assert catalog_read(spark, cat, "lineage").count() == 2
+    hist = catalog_history(spark, cat)
+    assert [h["op"] for h in hist] == ["init", "txn", "txn"]
+    assert hist[-1]["tables"] == {"facts": 2, "lineage": 2}
+
+
+def test_catalog_version_is_consistent_cross_table_snapshot(spark, tmp_path):
+    cat, facts, lineage = _setup(spark, tmp_path)
+    for u in (1, 2, 3):
+        multi_table_txn(
+            spark,
+            cat,
+            {
+                "facts": {"op": "append", "df": _fact_df(spark, u, u)},
+                "lineage": {"op": "append", "df": _lineage_df(spark, u, u)},
+            },
+        )
+    # at EVERY catalog version, sum(lineage.n_rows) == count(facts):
+    # the invariant a torn two-table commit would break
+    for cv in (2, 3, 4):
+        nf = catalog_read(spark, cat, "facts", catalog_version=cv).count()
+        nl = (
+            catalog_read(spark, cat, "lineage", catalog_version=cv)
+            .agg(F.sum("n_rows").alias("s"))
+            .collect()[0]["s"]
+        )
+        assert nf == nl, cv
+
+
+def test_lost_catalog_race_restages_without_losing_data(spark, tmp_path):
+    """Two transactions prepared against the same catalog tip: the loser
+    must re-stage against the winner's pins and BOTH land."""
+    import mini_project_204721_data_engineering_spark.sources.txn_catalog as tc
+
+    cat, facts, lineage = _setup(spark, tmp_path)
+    real_try = tc._try_write_manifest
+    state = {"injected": False}
+
+    def racing_try(spark_, dir_, version, manifest):
+        # just before OUR first catalog claim, let a competitor commit
+        if (
+            not state["injected"]
+            and dir_ == cat
+            and manifest.get("op") == "txn"
+        ):
+            state["injected"] = True
+            multi_table_txn(
+                spark,
+                cat,
+                {"facts": {"op": "append", "df": _fact_df(spark, 99, 2)}},
+            )
+        return real_try(spark_, dir_, version, manifest)
+
+    tc._try_write_manifest = racing_try
+    try:
+        multi_table_txn(
+            spark,
+            cat,
+            {
+                "facts": {"op": "append", "df": _fact_df(spark, 1, 5)},
+                "lineage": {"op": "append", "df": _lineage_df(spark, 1, 5)},
+            },
+        )
+    finally:
+        tc._try_write_manifest = real_try
+    assert catalog_read(spark, cat, "facts").count() == 7  # 2 + 5
+    assert catalog_read(spark, cat, "lineage").count() == 1
+    # table log is linear: both txns published, no version collision
+    assert _list_versions(spark, facts) == [1, 2]
+
+
+CRASH_POINTS = ["after_data", "after_staging", "before_publish"]
+
+
+@pytest.mark.parametrize("crash", CRASH_POINTS)
+def test_injected_crash_never_tears_the_transaction(spark, tmp_path, crash):
+    """Kill the transaction at every interesting point; the catalog
+    reader must see fact rows IFF it sees the lineage row."""
+    import mini_project_204721_data_engineering_spark.sources.txn_catalog as tc
+
+    cat, facts, lineage = _setup(spark, tmp_path)
+    # a pre-existing committed txn so readers have a baseline
+    multi_table_txn(
+        spark,
+        cat,
+        {
+            "facts": {"op": "append", "df": _fact_df(spark, 1, 5)},
+            "lineage": {"op": "append", "df": _lineage_df(spark, 1, 5)},
+        },
+    )
+
+    class Boom(RuntimeError):
+        pass
+
+    real_write_data = tc._write_data_files
+    real_write_json = tc._write_json
+    real_try = tc._try_write_manifest
+    calls = {"data": 0, "staged": 0}
+
+    def crash_write_data(df, tdir):
+        out = real_write_data(df, tdir)
+        calls["data"] += 1
+        if crash == "after_data" and calls["data"] == 2:
+            raise Boom()  # both tables' bytes down, nothing staged
+        return out
+
+    def crash_write_json(spark_, path, obj):
+        real_write_json(spark_, path, obj)
+        calls["staged"] += 1
+        if crash == "after_staging" and calls["staged"] == 2:
+            raise Boom()  # both staged manifests written, no catalog commit
+
+    def crash_try(spark_, dir_, version, manifest):
+        ok = real_try(spark_, dir_, version, manifest)
+        if (
+            crash == "before_publish"
+            and ok
+            and dir_ == cat
+            and manifest.get("op") == "txn"
+            and manifest.get("version", 0) > 2
+        ):
+            raise Boom()  # catalog committed, publication never ran
+        return ok
+
+    tc._write_data_files = crash_write_data
+    tc._write_json = crash_write_json
+    tc._try_write_manifest = crash_try
+    try:
+        with pytest.raises(Boom):
+            multi_table_txn(
+                spark,
+                cat,
+                {
+                    "facts": {"op": "append", "df": _fact_df(spark, 2, 3)},
+                    "lineage": {"op": "append", "df": _lineage_df(spark, 2, 3)},
+                },
+            )
+    finally:
+        tc._write_data_files = real_write_data
+        tc._write_json = real_write_json
+        tc._try_write_manifest = real_try
+
+    nf = catalog_read(spark, cat, "facts").count()
+    nl = (
+        catalog_read(spark, cat, "lineage")
+        .agg(F.sum("n_rows").alias("s"))
+        .collect()[0]["s"]
+    )
+    assert nf == nl, f"torn transaction at crash={crash}: {nf} != {nl}"
+    if crash == "before_publish":
+        # the txn IS durable (catalog committed before the crash) —
+        # readers recover through the staged manifests
+        assert nf == 8
+        # and the NEXT transaction heals the table logs idempotently
+        multi_table_txn(
+            spark,
+            cat,
+            {
+                "facts": {"op": "append", "df": _fact_df(spark, 3, 1)},
+                "lineage": {"op": "append", "df": _lineage_df(spark, 3, 1)},
+            },
+        )
+        assert catalog_read(spark, cat, "facts").count() == 9
+        assert read_snapshot(spark, facts).count() == 9  # published
+        assert _list_versions(spark, facts) == [1, 2, 3]
+    else:
+        assert nf == 5  # aborted txn fully invisible
+
+
+def test_explicit_publish_recovers_crashed_txn(spark, tmp_path):
+    """catalog_publish alone (no new txn) converges table logs."""
+    import mini_project_204721_data_engineering_spark.sources.txn_catalog as tc
+
+    cat, facts, lineage = _setup(spark, tmp_path)
+    real_publish = tc._publish
+    tc._publish = lambda *a, **k: None  # txn commits, never publishes
+    try:
+        multi_table_txn(
+            spark,
+            cat,
+            {
+                "facts": {"op": "append", "df": _fact_df(spark, 1, 4)},
+                "lineage": {"op": "append", "df": _lineage_df(spark, 1, 4)},
+            },
+        )
+    finally:
+        tc._publish = real_publish
+    assert _list_versions(spark, facts) == []  # unpublished
+    assert catalog_read(spark, cat, "facts").count() == 4  # still durable
+    catalog_publish(spark, cat)
+    assert _list_versions(spark, facts) == [1]
+    assert read_snapshot(spark, facts).count() == 4
+    # idempotent
+    catalog_publish(spark, cat)
+    assert _list_versions(spark, facts) == [1]
+
+
+def test_expire_never_sweeps_staged_transaction_data(spark, tmp_path):
+    """A committed-but-unpublished txn's data files are referenced ONLY
+    by its staged manifest; expire_snapshots must keep them."""
+    import mini_project_204721_data_engineering_spark.sources.txn_catalog as tc
+
+    cat, facts, lineage = _setup(spark, tmp_path)
+    multi_table_txn(
+        spark,
+        cat,
+        {"facts": {"op": "append", "df": _fact_df(spark, 1, 4)}},
+    )
+    real_publish = tc._publish
+    tc._publish = lambda *a, **k: None
+    try:
+        multi_table_txn(
+            spark,
+            cat,
+            {"facts": {"op": "append", "df": _fact_df(spark, 2, 6)}},
+        )
+    finally:
+        tc._publish = real_publish
+    # aggressive GC with zero grace windows — the staged manifest is the
+    # only thing standing between the txn's bytes and the sweep
+    expire_snapshots(
+        spark, facts, keep_last=1, orphan_min_age_seconds=0.0
+    )
+    assert catalog_read(spark, cat, "facts").count() == 10
+    catalog_publish(spark, cat)
+    assert read_snapshot(spark, facts).count() == 10
+
+
+def test_overwrite_and_mixed_ops_in_one_txn(spark, tmp_path):
+    cat, facts, lineage = _setup(spark, tmp_path)
+    multi_table_txn(
+        spark,
+        cat,
+        {
+            "facts": {"op": "append", "df": _fact_df(spark, 1, 5)},
+            "lineage": {"op": "append", "df": _lineage_df(spark, 1, 5)},
+        },
+    )
+    # atomically REPLACE facts while appending a correction lineage row
+    multi_table_txn(
+        spark,
+        cat,
+        {
+            "facts": {"op": "overwrite", "df": _fact_df(spark, 2, 2)},
+            "lineage": {"op": "append", "df": _lineage_df(spark, 2, 2)},
+        },
+    )
+    f = catalog_read(spark, cat, "facts")
+    assert f.count() == 2
+    assert f.agg(F.min("upload_id")).collect()[0][0] == 2
+    assert catalog_read(spark, cat, "lineage").count() == 2
+
+
+def test_stats_cols_ride_txn_commits(spark, tmp_path):
+    """Staged manifests go through the SAME stats machinery as normal
+    commits — pruning and metadata aggregates work on txn tables."""
+    from mini_project_204721_data_engineering_spark.sources.snapshots import (
+        snapshot_count,
+    )
+
+    cat, facts, lineage = _setup(spark, tmp_path)
+    multi_table_txn(
+        spark,
+        cat,
+        {
+            "facts": {
+                "op": "append",
+                "df": _fact_df(spark, 1, 100),
+                "stats_cols": ["upload_id", "v"],
+            }
+        },
+    )
+    multi_table_txn(
+        spark,
+        cat,
+        {
+            "facts": {
+                "op": "append",
+                "df": _fact_df(spark, 2, 50),
+            }
+        },
+    )
+    catalog_publish(spark, cat)
+    # sticky stats columns carried into the second txn's commit
+    assert snapshot_count(spark, str(tmp_path / "facts"), where="upload_id = 2") == 50
+    assert snapshot_count(spark, str(tmp_path / "facts"), where="v >= 0") == 150
+
+
+def test_unenrolled_table_and_empty_writes_refuse(spark, tmp_path):
+    cat, facts, lineage = _setup(spark, tmp_path)
+    with pytest.raises(ValueError, match="not enrolled"):
+        multi_table_txn(
+            spark, cat, {"nope": {"op": "append", "df": _fact_df(spark, 1)}}
+        )
+    with pytest.raises(ValueError, match="no writes"):
+        multi_table_txn(spark, cat, {})
+    with pytest.raises(ValueError, match="unsupported op"):
+        multi_table_txn(
+            spark, cat, {"facts": {"op": "delete", "df": _fact_df(spark, 1)}}
+        )
+    with pytest.raises(ValueError, match="already exists"):
+        catalog_init(spark, cat, {"facts": facts})
+    with pytest.raises(ValueError, match="no committed data"):
+        catalog_read(spark, cat, "facts")
+
+
+def test_enroll_preexisting_table_pins_its_tip(spark, tmp_path):
+    facts = str(tmp_path / "facts")
+    snapshot_append(_fact_df(spark, 1, 7), facts)
+    cat = str(tmp_path / "cat")
+    catalog_init(spark, cat, {"facts": facts, "lineage": str(tmp_path / "l")})
+    assert catalog_pins(spark, cat)["facts"]["version"] == 1
+    assert catalog_read(spark, cat, "facts").count() == 7
+    multi_table_txn(
+        spark,
+        cat,
+        {"facts": {"op": "append", "df": _fact_df(spark, 2, 3)}},
+    )
+    assert catalog_read(spark, cat, "facts").count() == 10
+    assert [h["version"] for h in snapshot_history(spark, facts)] == [1, 2]
+
+
+def test_cross_process_txn_race_no_torn_commit(spark, tmp_path):
+    """Two driver JVMs run interleaved multi-table transactions on the
+    SAME catalog; every catalog version must satisfy the fact/lineage
+    invariant and all 8 transactions must land exactly once."""
+    cat, facts, lineage = _setup(spark, tmp_path)
+    ready = str(tmp_path / "ready")
+    go = str(tmp_path / "go")
+    child_code = textwrap.dedent(
+        f"""
+        import pathlib, time
+        from pyspark.sql import SparkSession, functions as F
+        spark = (SparkSession.builder.master("local[2]")
+                 .config("spark.ui.enabled", "false")
+                 .config("spark.sql.shuffle.partitions", "2")
+                 .getOrCreate())
+        from mini_project_204721_data_engineering_spark.sources.txn_catalog import (
+            multi_table_txn,
+        )
+        pathlib.Path({ready!r}).touch()
+        for _ in range(1200):
+            if pathlib.Path({go!r}).exists():
+                break
+            time.sleep(0.05)
+        else:
+            raise SystemExit("no go signal from the parent")
+        for i in range(4):
+            u = 100 + i
+            multi_table_txn(spark, {cat!r}, {{
+                "facts": {{"op": "append", "df": spark.range(u).select(
+                    F.lit(u).alias("upload_id"), F.col("id").alias("v"))}},
+                "lineage": {{"op": "append", "df": spark.createDataFrame(
+                    [(u, u, "ok")],
+                    "upload_id long, n_rows long, status string")}},
+            }})
+        spark.stop()
+        """
+    )
+    repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    env = dict(os.environ)
+    env["PYTHONPATH"] = repo_root + os.pathsep + env.get("PYTHONPATH", "")
+    proc = subprocess.Popen(
+        [sys.executable, "-c", child_code],
+        env=env,
+        stdout=subprocess.PIPE,
+        stderr=subprocess.PIPE,
+        text=True,
+    )
+    try:
+        deadline = time.time() + 180
+        while not os.path.exists(ready):
+            if proc.poll() is not None or time.time() > deadline:
+                out, err = proc.communicate(timeout=10)
+                pytest.skip(f"second driver JVM unavailable: {err[-500:]!r}")
+            time.sleep(0.1)
+        open(go, "w").close()
+        for i in range(4):
+            u = 200 + i
+            multi_table_txn(
+                spark,
+                cat,
+                {
+                    "facts": {"op": "append", "df": _fact_df(spark, u, u)},
+                    "lineage": {"op": "append", "df": _lineage_df(spark, u, u)},
+                },
+            )
+        out, err = proc.communicate(timeout=300)
+        assert proc.returncode == 0, err[-2000:]
+    finally:
+        if proc.poll() is None:
+            proc.kill()
+    hist = catalog_history(spark, cat)
+    assert [h["version"] for h in hist] == list(range(1, 10))  # init + 8
+    # the invariant holds at EVERY catalog version, not just the tip
+    for cv in range(2, 10):
+        nf = catalog_read(spark, cat, "facts", catalog_version=cv).count()
+        nl = (
+            catalog_read(spark, cat, "lineage", catalog_version=cv)
+            .agg(F.sum("n_rows").alias("s"))
+            .collect()[0]["s"]
+        )
+        assert nf == nl, cv
+    want = sum(100 + i for i in range(4)) + sum(200 + i for i in range(4))
+    assert catalog_read(spark, cat, "facts").count() == want
