@@ -2148,7 +2148,82 @@ FROM hits GROUP BY vec_id
 """
 
 
+def similarity_ivf_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maintained ANN index demo (`llm/ann_index.py`): the embeddings
+    land in a snapshot table in three eras; the IVF-PQ index is CREATED
+    on era 1 (quantizer frozen) and incrementally REFRESHED through the
+    snapshot cursor for eras 2-3 (exactly-once: source version as the
+    txn watermark).  The result is the equivalence audit — every source
+    row indexed exactly once, and every posting code-for-code IDENTICAL
+    to a from-scratch encode of the full corpus under the same frozen
+    model (encoding is deterministic, so staleness is the only recall
+    variable).  n_source == n_indexed == n_matching == the table count
+    is exactly what the oracle asserts."""
+    import shutil
+    import tempfile
+
+    from mini_project_204721_data_engineering_spark.llm.ann_index import (
+        _load_model,
+        _postings_dir,
+        ann_encode,
+        ann_index_create,
+        ann_index_info,
+        ann_index_refresh,
+    )
+    from mini_project_204721_data_engineering_spark.sources.snapshots import (
+        read_snapshot,
+        snapshot_append,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    root = tempfile.mkdtemp(prefix="ann_demo_")
+    try:
+        src, idx = f"{root}/src", f"{root}/idx"
+        snapshot_append(emb.filter(F.col("vec_id") % 3 == 0).coalesce(1), src)
+        ann_index_create(
+            spark, src, idx, ncells=8, m=4, k=16, kmeans_iters=2,
+            sample=4096, pq_iters=3,
+        )
+        for era in (1, 2):
+            snapshot_append(
+                emb.filter(F.col("vec_id") % 3 == era).coalesce(1), src
+            )
+            ann_index_refresh(spark, idx)
+        info = ann_index_info(spark, idx)
+        postings = read_snapshot(spark, _postings_dir(idx))
+        scratch = ann_encode(read_snapshot(spark, src), _load_model(idx))
+        n_matching = postings.join(
+            scratch,
+            ["vec_id", "cell", "codes"],
+        ).count()
+        row = [
+            (
+                int(info["source_rows"]),
+                int(info["indexed_rows"]),
+                int(n_matching),
+                int(info["lag_rows"]),
+            )
+        ]
+        return spark.createDataFrame(
+            row,
+            "n_source bigint, n_indexed bigint, n_matching bigint, "
+            "lag_rows bigint",
+        )
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+SIMILARITY_IVF_INCREMENTAL_SQL = """
+SELECT count(*) AS n_source,
+       count(*) AS n_indexed,
+       count(*) AS n_matching,
+       CAST(0 AS BIGINT) AS lag_rows
+FROM embeddings
+"""
+
+
 EXTRA_QUERIES = {
+    "similarity_ivf_incremental": similarity_ivf_incremental,
     "semantic_decontaminate": semantic_decontaminate,
     "sparse_cosine_pairs": sparse_cosine_pairs,
     "sparse_cosine_tfidf": sparse_cosine_tfidf,
@@ -2189,6 +2264,7 @@ EXTRA_QUERIES = {
     "text_chunks": text_chunks,
 }
 EXTRA_ORACLES = {
+    "similarity_ivf_incremental": SIMILARITY_IVF_INCREMENTAL_SQL,
     "semantic_decontaminate": SEMANTIC_DECONTAMINATE_SQL,
     "sparse_cosine_pairs": SPARSE_COSINE_PAIRS_SQL,
     "sparse_cosine_tfidf": SPARSE_COSINE_TFIDF_SQL,

@@ -59,8 +59,16 @@ __all__ = [
     "read_snapshot_where",
     "snapshot_count",
     "snapshot_min_max",
+    "snapshot_agg",
+    "snapshot_ndv",
     "snapshot_plan_info",
+    "snapshot_files",
     "snapshot_history",
+    "snapshot_incremental_read",
+    "snapshot_rename_column",
+    "snapshot_drop_column",
+    "snapshot_widen_column",
+    "snapshot_set_stats_spec",
     "expire_snapshots",
 ]
 
@@ -263,6 +271,7 @@ def _commit(
     bloom_fn=None,
     ndv_fn=None,
     evo_fn=None,
+    spec_fn=None,
 ) -> dict:
     """The optimistic-concurrency loop: resolve the tip, build the new
     file list via ``files_fn(parent_manifest)``, claim the next version;
@@ -294,6 +303,7 @@ def _commit(
             meta=meta, txn_update=txn_update, txn_replace=txn_replace,
             stats_fn=stats_fn, row_filters_fn=row_filters_fn,
             bloom_fn=bloom_fn, ndv_fn=ndv_fn, evo_fn=evo_fn,
+            spec_fn=spec_fn,
         )
         if _try_write_manifest(spark, table_dir, parent + 1, manifest):
             return manifest
@@ -317,6 +327,7 @@ def _build_manifest(
     bloom_fn=None,
     ndv_fn=None,
     evo_fn=None,
+    spec_fn=None,
 ) -> dict:
     """Build the would-be manifest for version ``parent + 1`` on top of
     ``parent_manifest`` — the pure (no I/O claim) half of
@@ -399,6 +410,24 @@ def _build_manifest(
         manifest["renames"] = renames
     if reserved:
         manifest["reserved_cols"] = sorted(set(reserved))
+    # partition-spec evolution bookkeeping: which spec each OLD file's
+    # stats were computed under (absent = current spec).  Default carry:
+    # pins follow surviving files (a rewritten/compacted file gets fresh
+    # current-spec stats, so its pin drops); history rides while any pin
+    # references it.  snapshot_set_stats_spec overrides via spec_fn.
+    if spec_fn is not None:
+        fspec, spec_hist = spec_fn(parent_manifest)
+    else:
+        fset = set(files)
+        fspec = {
+            f: i
+            for f, i in ((parent_manifest or {}).get("file_spec") or {}).items()
+            if f in fset
+        }
+        spec_hist = list((parent_manifest or {}).get("spec_history") or [])
+    if fspec:
+        manifest["file_spec"] = fspec
+        manifest["spec_history"] = spec_hist
     return manifest
 
 
@@ -846,7 +875,8 @@ def snapshot_overwrite(
 
 
 def snapshot_txn_append(
-    df: DataFrame, table_dir: str, app_id: str, batch_id: int
+    df: DataFrame, table_dir: str, app_id: str, batch_id: int,
+    stats_cols: Sequence[str] | Mapping[str, str] | None = None,
 ) -> dict | None:
     """Idempotent transactional append — the exactly-once building block
     for streaming.  Every commit carries a per-app watermark map
@@ -859,9 +889,13 @@ def snapshot_txn_append(
 
     A skipped replay may still have written data files (bytes before
     manifest); they are unreferenced orphans, invisible to readers and
-    swept by :func:`expire_snapshots`."""
+    swept by :func:`expire_snapshots`.  ``stats_cols`` as in
+    :func:`snapshot_append` (sticky — the first batch of a stream
+    typically configures it, later batches inherit)."""
     spark = df.sparkSession
     ddl = df.schema.simpleString()
+    if stats_cols is not None:
+        _validate_stats(df, stats_cols)
     # fast path: tip already has it — skip before paying the data write
     versions = _list_versions(spark, table_dir)
     if versions:
@@ -882,7 +916,7 @@ def snapshot_txn_append(
             meta={"added_files": len(new_files), "app_id": app_id,
                   "batch_id": batch_id},
             txn_update={app_id: batch_id},
-            stats_fn=_compose_stats(spark, new_files, None),  # sticky cols
+            stats_fn=_compose_stats(spark, new_files, stats_cols),  # sticky
         )
     except _AlreadyApplied:
         return None
@@ -1287,7 +1321,6 @@ def _prune_files(manifest: dict, prune: dict) -> list[str]:
 
     Files with no stats for a column are always kept — pruning can only
     skip work, never answers."""
-    stats = manifest.get("stats", {})
     meta = manifest.get("file_meta", {})
     prune = _normalize_prune_bounds(manifest, prune)
     if any(_req_unsat(r) for r in prune.values()):
@@ -1297,7 +1330,7 @@ def _prune_files(manifest: dict, prune: dict) -> list[str]:
         rows = (meta.get(f) or {}).get("rows")
         if rows == 0:
             return False  # an empty file satisfies NO request
-        fstats = stats.get(f)
+        fstats = _effective_stats(manifest, f)
         if not fstats:
             return True
         for col, req in prune.items():
@@ -1310,6 +1343,37 @@ def _prune_files(manifest: dict, prune: dict) -> list[str]:
         return True
 
     return [f for f in manifest["files"] if keep(f)]
+
+
+def _effective_stats(manifest: dict, f: str) -> dict | None:
+    """The per-file stats USABLE under the CURRENT stats spec — the one
+    choke point every stats consumer (pruning, coverage, min/max,
+    snapshot_agg) reads through.
+
+    Partition-spec evolution (:func:`snapshot_set_stats_spec`) can
+    change an alias's defining EXPRESSION between commits; a file whose
+    stats were computed under an older spec records its spec id in
+    ``file_spec`` (absent = current).  An alias is usable for such a
+    file only when its expression is TEXTUALLY IDENTICAL in the file's
+    spec and the current one — anything else (changed derivation, alias
+    new to the current spec) is filtered out, so the file is simply
+    kept/scanned (conservative) rather than mis-pruned under the wrong
+    semantics."""
+    frs = manifest.get("stats", {}).get(f)
+    if not frs:
+        return frs
+    fid = manifest.get("file_spec", {}).get(f)
+    if fid is None:
+        return frs
+    old_cols = None
+    for s in manifest.get("spec_history", []):
+        if s["id"] == fid:
+            old_cols = s["cols"]
+            break
+    if old_cols is None:
+        return {}  # unknown spec: trust nothing (conservative keep)
+    cur = manifest.get("stats_cols") or {}
+    return {a: v for a, v in frs.items() if old_cols.get(a) == cur.get(a)}
 
 
 def _is_union(req) -> bool:
@@ -2294,7 +2358,6 @@ def _covered_split(
         for f in _parse_datatype_string(manifest["schema"]).fields
     }
     stats_cols = manifest.get("stats_cols") or {}
-    stats = manifest.get("stats", {})
     meta = manifest.get("file_meta", {})
     fmap = _filter_map(manifest)
     covered, rest = [], []
@@ -2306,7 +2369,9 @@ def _covered_split(
         if (
             f not in fmap
             and rows_f is not None
-            and _file_covered(atoms, types, stats_cols, stats.get(f) or {}, rows_f)
+            and _file_covered(
+                atoms, types, stats_cols, _effective_stats(manifest, f) or {}, rows_f
+            )
         ):
             covered.append(f)
         else:
@@ -2967,7 +3032,6 @@ def snapshot_min_max(
             f"snapshot_min_max: {column!r} is neither a stats alias nor an "
             f"expression over the table schema: {e}"
         ) from e
-    stats = manifest.get("stats", {})
     meta = manifest.get("file_meta", {})
     fmap = _filter_map(manifest)
     tz_aware = isinstance(dtype, TimestampType)
@@ -2976,7 +3040,7 @@ def snapshot_min_max(
     his: list = []
     rest: list[str] = []
     for f in manifest["files"]:
-        rng = (stats.get(f) or {}).get(column)
+        rng = (_effective_stats(manifest, f) or {}).get(column)
         rows_f = (meta.get(f) or {}).get("rows")
         if rows_f == 0:
             continue  # empty file: contributes nothing, never scanned
@@ -3284,7 +3348,6 @@ def snapshot_agg(
             )
         return rows
 
-    stats = manifest.get("stats", {})
     meta = manifest.get("file_meta", {})
     fmap = _filter_map(manifest)
 
@@ -3349,7 +3412,7 @@ def snapshot_agg(
         if f in fmap or rows_f is None:
             rest.append(f)
             continue
-        frs = stats.get(f) or {}
+        frs = _effective_stats(manifest, f) or {}
         # EVERY group column must be provably file-constant (or
         # provably NULL) — the key is the tuple of per-column keys
         key = _UNGROUPED
@@ -4100,6 +4163,93 @@ def snapshot_apply_filters(spark: SparkSession, table_dir: str) -> dict:
         meta={"mode": "apply_filters", "rewritten_files": len(covered),
               "applied_filters": len(entries)},
         stats_fn=_compose_stats(spark, new_files, None),
+    )
+
+
+def snapshot_set_stats_spec(
+    spark: SparkSession,
+    table_dir: str,
+    stats_cols: Sequence[str] | Mapping[str, str],
+) -> dict:
+    """Change the table's stats/partition SPEC — metadata-only, Iceberg
+    partition-spec-evolution style: NEW files compute stats under the
+    new spec, OLD files stay readable AND keep pruning under the spec
+    that actually produced their stats.
+
+    The commit rewrites no bytes.  It records the outgoing spec in
+    ``spec_history`` and pins every existing stats-carrying file to it
+    in ``file_spec``; every stats consumer reads per-file stats through
+    :func:`_effective_stats`, which admits an alias only when its
+    defining expression is IDENTICAL in the file's spec and the current
+    one.  Consequences, all pytest-pinned:
+
+    - an alias whose expression is unchanged across specs prunes on old
+      AND new files (e.g. keeping ``{"day": "CAST(ts AS DATE)"}`` while
+      adding an ``hour`` derivation);
+    - a NEW alias prunes only files written after the change (old files
+      are conservatively kept — they have no such stats);
+    - an alias whose DERIVATION changed (day → month granularity, a
+      different source column) stops using old files' stats entirely —
+      mis-pruning under the wrong semantics is impossible by
+      construction;
+    - :func:`snapshot_compact` migrates: rewritten files get fresh
+      CURRENT-spec stats and drop their pin, so maintenance gradually
+      converges the table to one spec (the Iceberg rewrite-datafiles
+      story).
+
+    Time travel is unaffected (old manifests still carry their own
+    ``stats_cols``).  Like Iceberg, the spec is metadata about HOW
+    files are summarized/laid out — the rows themselves are identical."""
+    new_cols = _norm_stats(stats_cols)
+    versions = _list_versions(spark, table_dir)
+    if not versions:
+        raise ValueError(f"no snapshots at {table_dir}")
+    manifest = _read_manifest(spark, table_dir, versions[-1])
+    from pyspark.sql.types import _parse_datatype_string
+
+    _validate_stats(
+        spark.createDataFrame([], _parse_datatype_string(manifest["schema"])),
+        new_cols,
+    )
+
+    def spec_fn(parent):
+        old_cols = _norm_stats((parent or {}).get("stats_cols") or [])
+        hist = list((parent or {}).get("spec_history") or [])
+        old_fspec = dict((parent or {}).get("file_spec") or {})
+        if old_cols == new_cols:
+            return old_fspec, hist
+        old_id = next(
+            (s["id"] for s in hist if s["cols"] == old_cols), None
+        )
+        if old_id is None and old_cols:
+            old_id = (max((s["id"] for s in hist), default=-1)) + 1
+            hist.append({"id": old_id, "cols": old_cols})
+        stats = (parent or {}).get("stats") or {}
+        fspec = {
+            f: old_fspec.get(f, old_id)
+            for f in (parent or {}).get("files", [])
+            # only stats-carrying files need a pin; a stats-less file
+            # has nothing _effective_stats could mis-admit
+            if (f in stats and stats.get(f)) or f in old_fspec
+        }
+        return fspec, hist
+
+    def stats_fn(parent, files):
+        # keep every existing per-file stats entry verbatim (the pins
+        # gate their use); only the CURRENT spec changes
+        return (
+            dict((parent or {}).get("stats") or {}),
+            new_cols,
+            dict((parent or {}).get("file_meta") or {}),
+        )
+
+    return _commit(
+        spark, table_dir, "set_spec",
+        lambda parent: list(parent["files"]) if parent else [],
+        lambda parent: manifest["schema"] if parent is None else parent["schema"],
+        meta={"stats_cols": new_cols},
+        stats_fn=stats_fn,
+        spec_fn=spec_fn,
     )
 
 
@@ -5141,6 +5291,13 @@ def snapshot_restore(spark: SparkSession, table_dir: str, version: int) -> dict:
         # bookkeeping: the restored files carry the names that version
         # knew about, not the rolled-back tip's
         evo_fn=lambda parent: _evo_state(target),
+        # ...and its partition-spec bookkeeping: the restored files'
+        # stats were computed under that version's spec pins, not the
+        # rolled-back tip's
+        spec_fn=lambda parent: (
+            dict(target.get("file_spec") or {}),
+            list(target.get("spec_history") or []),
+        ),
     )
 
 
@@ -5268,6 +5425,12 @@ def snapshot_clone(spark: SparkSession, source_dir: str, dest_dir: str) -> dict:
             # borrowed files carry the source's physical names: the
             # rename chains and name reservations come with them
             evo_fn=lambda parent: _evo_state(tip),
+            # ...and the source's spec pins: borrowed stats were
+            # computed under the source's spec eras
+            spec_fn=lambda parent: (
+                dict(tip.get("file_spec") or {}),
+                list(tip.get("spec_history") or []),
+            ),
         )
     except BaseException:
         # an aborted clone must not strand its sidecar copies — the
@@ -5317,6 +5480,7 @@ def snapshot_files(
     for e in (manifest.get("ndv") or {}).get("entries", []):
         for f in e["files"]:
             ndvs.setdefault(f, []).extend(e.get("cols", []))
+    fspec = manifest.get("file_spec", {})
     return [
         {
             "file": f,
@@ -5327,6 +5491,9 @@ def snapshot_files(
             "pending_dv_entries": dvs.get(f, 0),
             "bloom_cols": sorted(set(blooms.get(f, []))),
             "ndv_cols": sorted(set(ndvs.get(f, []))),
+            # None = current spec; an id names the spec_history era the
+            # file's stats were computed under (spec evolution)
+            "spec_id": fspec.get(f),
         }
         for f in manifest["files"]
     ]

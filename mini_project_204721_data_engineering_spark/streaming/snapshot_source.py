@@ -1,0 +1,335 @@
+"""Structured-Streaming source FOR snapshot tables — `readStream` tails
+the commit log as a CDC feed.
+
+The batch-side cursor (:func:`~..sources.snapshots.snapshot_incremental_read`)
+and change feed (:func:`~..sources.snapshots.snapshot_changes`) already
+exist; this closes the loop with a real ``spark.readStream`` source
+(PySpark 4's Python DataSource streaming API), so the existing streaming
+operators — windowed aggregates, CDC apply, stateful processors — can
+consume a snapshot table directly::
+
+    from mini_project_204721_data_engineering_spark.streaming.snapshot_source import (
+        SnapshotFeedDataSource,
+    )
+    spark.dataSource.register(SnapshotFeedDataSource)
+    feed = (spark.readStream.format("snapshot_feed")
+            .option("table_dir", path)
+            .load())          # schema = table schema + _change_type,
+                              #          _commit_version
+
+Offsets ARE manifest versions, so the feed is replayable and
+exactly-once under Structured Streaming's offset-log checkpoint: a
+restarted query re-reads exactly the committed-version window it was
+processing.  Each micro-batch spans the versions between two offsets,
+and each version contributes its FILE DIFF:
+
+- append            → added files emitted as ``insert`` rows
+- CoW delete /      → removed files emitted as ``delete`` rows, added
+  replace-where /      (survivor/new) files as ``insert`` rows — the
+  merge / overwrite     net multiset applied downstream equals the
+                        table state (Iceberg changelog semantics;
+                        a rewritten-but-unchanged row appears as a
+                        delete+insert pair, never as a lost update)
+- compaction        → emits NOTHING (byte-identical rewrite; the cursor
+                      metadata-advances — the same rule the matview
+                      refresher proved)
+- restore           → file diff of the rewind (delete+insert pairs)
+
+Refused loudly (the stream query fails rather than silently corrupting
+downstream state): schema-changing commits inside the window, and any
+merge-on-read filter change (lazy delete / deletion vector) — a
+zero-byte takedown changes visible rows with NO file diff, which a
+file-diff feed cannot represent.  Tables must start filter-free
+(drain via ``snapshot_apply_filters`` or use CoW deletes while a stream
+is attached).
+
+Scale: partitions are per (file, change_type) — at 100 TB each
+micro-batch plans one partition per changed file, the same granularity
+a parquet scan would use; executors read ONLY changed files with
+pyarrow.  Row-group splitting and Arrow-batch yield are the known
+next rungs; rows are currently yielded as tuples (correct first).
+
+The manifest log is read with plain-Python I/O (the driver-side reader
+has no SparkSession); paths are the ``file:`` scheme the local commit
+path writes — object-store support would swap this IO layer.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+from collections.abc import Iterator, Sequence
+
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceStreamReader,
+    InputPartition,
+)
+
+__all__ = ["SnapshotFeedDataSource", "snapshot_feed_schema"]
+
+_V_RE = re.compile(r"^v(\d+)\.json$")
+
+
+def _local(p: str) -> str:
+    """file:-scheme manifest/data paths → local filesystem paths."""
+    if p.startswith("file://"):
+        return p[len("file:") :]
+    if p.startswith("file:"):
+        return p[len("file:") :]
+    return p
+
+
+def _versions(table_dir: str) -> list[int]:
+    d = os.path.join(_local(table_dir), "_manifests")
+    if not os.path.isdir(d):
+        return []
+    out = []
+    for name in os.listdir(d):
+        m = _V_RE.match(name)
+        if m:
+            out.append(int(m.group(1)))
+    return sorted(out)
+
+
+def _manifest(table_dir: str, version: int) -> dict:
+    p = os.path.join(
+        _local(table_dir), "_manifests", "v%010d.json" % version
+    )
+    with open(p, "rb") as f:
+        return json.loads(f.read().decode("utf-8"))
+
+
+def _filter_sig(manifest: dict | None, files: set) -> dict:
+    """file → tuple of covering filter-entry identities, for exactly the
+    given files (mirror of snapshots._filter_sig, dependency-free so the
+    driver-side reader needs no Spark imports)."""
+    out: dict = {}
+    for e in (manifest or {}).get("row_filters", []):
+        ident = e.get("predicate") or e.get("dv")
+        for f in e.get("files", []):
+            if f in files:
+                out.setdefault(f, []).append(ident)
+    return {f: tuple(sorted(v)) for f, v in out.items()}
+
+
+def _parse_simple_string(s: str):
+    """Parse a ``DataType.simpleString()`` spelling (what manifests pin)
+    WITHOUT a SparkSession — the Python DataSource planner runs in a
+    sessionless worker where ``_parse_datatype_string`` raises.  Covers
+    the atomic types plus decimal/array/map/struct nesting; field names
+    with ``:,<>`` in them are not representable in simpleString form to
+    begin with."""
+    from pyspark.sql import types as T
+
+    atomic = {
+        "boolean": T.BooleanType(),
+        "tinyint": T.ByteType(),
+        "smallint": T.ShortType(),
+        "int": T.IntegerType(),
+        "bigint": T.LongType(),
+        "float": T.FloatType(),
+        "double": T.DoubleType(),
+        "string": T.StringType(),
+        "binary": T.BinaryType(),
+        "date": T.DateType(),
+        "timestamp": T.TimestampType(),
+        "timestamp_ntz": T.TimestampNTZType(),
+        "void": T.NullType(),
+    }
+
+    def split_top(body: str) -> list[str]:
+        out, depth, cur = [], 0, []
+        for ch in body:
+            if ch == "<" or ch == "(":
+                depth += 1
+            elif ch == ">" or ch == ")":
+                depth -= 1
+            if ch == "," and depth == 0:
+                out.append("".join(cur))
+                cur = []
+            else:
+                cur.append(ch)
+        if cur:
+            out.append("".join(cur))
+        return out
+
+    def parse(t: str):
+        t = t.strip()
+        if t in atomic:
+            return atomic[t]
+        if t.startswith("decimal(") and t.endswith(")"):
+            p, sc = t[len("decimal(") : -1].split(",")
+            return T.DecimalType(int(p), int(sc))
+        if t.startswith("array<") and t.endswith(">"):
+            return T.ArrayType(parse(t[len("array<") : -1]))
+        if t.startswith("map<") and t.endswith(">"):
+            k, v = split_top(t[len("map<") : -1])
+            return T.MapType(parse(k), parse(v))
+        if t.startswith("struct<") and t.endswith(">"):
+            fields = []
+            body = t[len("struct<") : -1]
+            if body:
+                for part in split_top(body):
+                    name, _, ft = part.partition(":")
+                    fields.append(T.StructField(name, parse(ft), True))
+            return T.StructType(fields)
+        raise ValueError(f"snapshot_feed: unsupported manifest type {t!r}")
+
+    return parse(s)
+
+
+def snapshot_feed_schema(table_dir: str):
+    """The feed's schema: the table's TIP schema plus the two change
+    columns.  Computed up front so a caller can assert compatibility."""
+    from pyspark.sql.types import LongType, StringType, StructField
+
+    versions = _versions(table_dir)
+    if not versions:
+        raise ValueError(f"no snapshots at {table_dir}")
+    base = _parse_simple_string(_manifest(table_dir, versions[-1])["schema"])
+    return base.add(
+        StructField("_change_type", StringType(), False)
+    ).add(StructField("_commit_version", LongType(), False))
+
+
+class _FilePartition(InputPartition):
+    def __init__(self, path: str, change_type: str, version: int):
+        self.path = path
+        self.change_type = change_type
+        self.version = version
+
+
+class _SnapshotStreamReader(DataSourceStreamReader):
+    def __init__(self, options: dict, schema):
+        self.table_dir = options.get("table_dir") or options.get("path")
+        if not self.table_dir:
+            raise ValueError(
+                "snapshot_feed: .option('table_dir', <snapshot table>) "
+                "is required"
+            )
+        self.starting = int(options.get("startingversion", 0))
+        self.schema = schema
+        self._data_cols = [
+            f.name
+            for f in schema.fields
+            if f.name not in ("_change_type", "_commit_version")
+        ]
+        versions = _versions(self.table_dir)
+        if not versions:
+            raise ValueError(f"no snapshots at {self.table_dir}")
+        start_v = self.starting if self.starting in versions or self.starting == 0 else None
+        if start_v is None:
+            raise ValueError(
+                f"startingVersion {self.starting} not in the log "
+                f"(have v{versions[0]}..v{versions[-1]})"
+            )
+        anchor = _manifest(self.table_dir, versions[-1])
+        self._schema_ddl = anchor["schema"]
+        self._table_id = anchor.get("table_id")
+        if self.starting > 0:
+            start_m = _manifest(self.table_dir, self.starting)
+            if start_m.get("row_filters"):
+                raise ValueError(
+                    "snapshot_feed: table has pending merge-on-read "
+                    "filters at the starting version — drain them "
+                    "(snapshot_apply_filters) before attaching a stream"
+                )
+
+    # -- offsets ---------------------------------------------------------
+    def initialOffset(self) -> dict:
+        return {"version": self.starting}
+
+    def latestOffset(self) -> dict:
+        versions = _versions(self.table_dir)
+        return {"version": versions[-1] if versions else self.starting}
+
+    # -- planning (driver) -----------------------------------------------
+    def partitions(self, start: dict, end: dict) -> Sequence[InputPartition]:
+        lo, hi = int(start["version"]), int(end["version"])
+        parts: list[InputPartition] = []
+        prev = _manifest(self.table_dir, lo) if lo > 0 else None
+        if prev is not None and self._table_id and prev.get("table_id") != self._table_id:
+            raise ValueError(
+                "snapshot_feed: the table log was recreated under the "
+                "stream (table_id changed) — restart from a fresh "
+                "checkpoint"
+            )
+        for v in range(lo + 1, hi + 1):
+            m = _manifest(self.table_dir, v)
+            if m["schema"] != self._schema_ddl:
+                raise ValueError(
+                    f"snapshot_feed: schema changed at v{v} "
+                    f"({self._schema_ddl!r} -> {m['schema']!r}) — restart "
+                    "the stream against the new schema"
+                )
+            pf = set((prev or {}).get("files") or [])
+            mf = set(m["files"])
+            carried = pf & mf
+            if _filter_sig(prev, carried) != _filter_sig(m, carried):
+                raise ValueError(
+                    f"snapshot_feed: merge-on-read filter change at v{v} "
+                    "— a zero-byte takedown has no file diff; use CoW "
+                    "deletes (lazy=False) while a stream is attached"
+                )
+            if m.get("op") == "compact":
+                # byte-identical rewrite: cursor advances, nothing emits
+                prev = m
+                continue
+            removed_filtered = [
+                f for f in pf - mf if f in _filter_sig(prev, pf - mf)
+            ]
+            if removed_filtered:
+                raise ValueError(
+                    f"snapshot_feed: v{v} removed file(s) carrying "
+                    "merge-on-read filters — their raw bytes overstate "
+                    "the visible rows; drain filters before the stream"
+                )
+            for f in sorted(mf - pf):
+                parts.append(_FilePartition(f, "insert", v))
+            for f in sorted(pf - mf):
+                parts.append(_FilePartition(f, "delete", v))
+            prev = m
+        return parts
+
+    # -- execution (executors) --------------------------------------------
+    def read(self, partition: _FilePartition) -> Iterator[tuple]:
+        import pyarrow.parquet as pq
+
+        table = pq.read_table(_local(partition.path))
+        present = set(table.schema.names)
+        cols = {
+            c: (table.column(c).to_pylist() if c in present else None)
+            for c in self._data_cols
+        }
+        n = table.num_rows
+        ct, cv = partition.change_type, partition.version
+        names = self._data_cols
+        for i in range(n):
+            yield tuple(
+                (cols[c][i] if cols[c] is not None else None) for c in names
+            ) + (ct, cv)
+
+    def commit(self, end: dict) -> None:
+        pass
+
+
+class SnapshotFeedDataSource(DataSource):
+    """``spark.readStream.format("snapshot_feed")`` — see module doc."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "snapshot_feed"
+
+    def schema(self):
+        table_dir = self.options.get("table_dir") or self.options.get("path")
+        if not table_dir:
+            raise ValueError(
+                "snapshot_feed: .option('table_dir', <snapshot table>) "
+                "is required"
+            )
+        return snapshot_feed_schema(table_dir)
+
+    def streamReader(self, schema):
+        return _SnapshotStreamReader(dict(self.options), schema)
