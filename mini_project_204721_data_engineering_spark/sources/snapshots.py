@@ -292,7 +292,18 @@ def _commit(
     (rename chains + names old files still physically carry):
     rename/drop update it, overwrite clears it (no old files survive a
     full replace), restore/clone take their target's."""
-    for _ in range(max_retries):
+    import random
+
+    for attempt in range(max_retries):
+        if attempt:
+            # jittered exponential backoff after a lost race: N writers
+            # re-resolving the tip in lockstep re-collide every round
+            # (thundering herd); full jitter spreads them out, measured
+            # at 8 concurrent mixed writers in `scale_probe
+            # snap-contention`.  Capped small — a claim is only a
+            # manifest read + O_EXCL create, so long sleeps just idle
+            # the writer.
+            time.sleep(random.uniform(0, min(0.02 * (2 ** min(attempt, 5)), 0.4)))
         versions = _list_versions(spark, table_dir)
         parent = versions[-1] if versions else 0
         parent_manifest = (

@@ -71,7 +71,7 @@ def timed(name, fn, out):
 def main() -> None:
     mode = "events"
     args = [a for a in sys.argv[1:]]
-    if args and args[0] in ("events", "docs", "ann", "srp", "cc", "spans", "vocab", "decon", "semdedup", "spatial", "bpe", "hotcell", "radius", "interval", "knn", "merge", "linkage", "sparsesim", "wsample", "pq", "snap", "snap-manifest", "heavy", "pagerank", "matview"):
+    if args and args[0] in ("events", "docs", "ann", "srp", "cc", "spans", "vocab", "decon", "semdedup", "spatial", "bpe", "hotcell", "radius", "interval", "knn", "merge", "linkage", "sparsesim", "wsample", "pq", "snap", "snap-manifest", "heavy", "pagerank", "matview", "snap-big", "snap-contention", "spill"):
         mode = args.pop(0)
     n = int(args[0]) if args else {
         "events": 10_000_000, "docs": 1_000_000, "ann": 1_000_000,
@@ -82,6 +82,7 @@ def main() -> None:
         "sparsesim": 10_000, "wsample": 10_000_000, "pq": 1_000_000,
         "snap": 2_000_000, "snap-manifest": 100_000, "heavy": 10_000_000,
         "pagerank": 2_000_000, "matview": 10_000_000,
+        "snap-big": 20_000_000, "snap-contention": 200_000, "spill": 30_000_000,
     }[mode]
     from mini_project_204721_data_engineering_spark.session import get_spark
 
@@ -102,7 +103,10 @@ def main() -> None:
          "snap-manifest": probe_snap_manifest,
          "heavy": probe_heavy,
          "pagerank": probe_pagerank,
-         "matview": probe_matview}[mode](spark, n, out)
+         "matview": probe_matview,
+         "snap-big": probe_snap_big,
+         "snap-contention": probe_snap_contention,
+         "spill": probe_spill}[mode](spark, n, out)
         total = round(sum(r["sec"] for r in out), 3)
         print(json.dumps({"metric": f"scale_probe_{mode}_total", "value": total,
                           "unit": "sec", "n_rows": n,
@@ -1669,6 +1673,285 @@ def probe_matview(spark, n: int, out: list) -> None:
     finally:
         shutil.rmtree(d, ignore_errors=True)
 
+
+
+def probe_snap_big(spark, n: int, out: list) -> None:
+    """Metadata-layer flatness at a 2,000-file manifest (task: prove the
+    zero/near-zero-job serving ops stay manifest-sized while scans grow
+    with the data): 200 commits x 10 files, day-constant per commit,
+    stats on (id, day, v-sum), HLL sidecars on user_id.  Each
+    metadata-only answer is asserted EQUAL to the warm full scan."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from mini_project_204721_data_engineering_spark.sources.snapshots import (
+        read_snapshot,
+        snapshot_agg,
+        snapshot_count,
+        snapshot_min_max,
+        snapshot_ndv,
+        snapshot_plan_info,
+        snapshot_append,
+    )
+
+    d = tempfile.mkdtemp(prefix="snap_big_")
+    t = d + "/t"
+    n -= n % 200
+    per = n // 200
+    try:
+        def commits():
+            for i in range(200):
+                df = (
+                    spark.range(i * per, (i + 1) * per)
+                    .select(
+                        F.col("id"),
+                        F.lit(f"2024-01-01").cast("date")
+                        + F.lit(i).cast("int"),
+                        (F.col("id") % 97).cast("double").alias("v"),
+                        (F.col("id") % 10007).alias("user_id"),
+                    )
+                    .toDF("id", "day", "v", "user_id")
+                    .repartitionByRange(10, "id")
+                )
+                snapshot_append(
+                    df, t, stats_cols=["id", "day", "v"],
+                    ndv_cols=["user_id"],
+                )
+            return 200
+
+        timed("snap_big_200_commits_2000_files", commits, out)
+        full = read_snapshot(spark, t)
+        warm = full.count()  # warm the scan path
+        assert warm == n
+
+        def scan_count():
+            return read_snapshot(spark, t).count()
+
+        def meta_count():
+            return snapshot_count(spark, t)
+
+        a = timed("full_scan_count_2000_files", scan_count, out)
+        b = timed("metadata_count_2000_files", meta_count, out)
+        assert snapshot_count(spark, t) == n
+
+        def scan_rollup():
+            return (
+                read_snapshot(spark, t)
+                .groupBy("day")
+                .agg(F.count(F.lit(1)).alias("c"), F.sum("v").alias("s"))
+                .count()
+            )
+
+        def meta_rollup():
+            return len(
+                snapshot_agg(
+                    spark, t, {"c": "count(*)", "s": "sum(v)"}, group_by="day"
+                )
+            )
+
+        c = timed("full_scan_rollup_200_days", scan_rollup, out)
+        dsec = timed("metadata_rollup_200_days", meta_rollup, out)
+        assert meta_rollup() == 200
+
+        def meta_minmax():
+            return snapshot_min_max(spark, t, "id")
+
+        timed("metadata_min_max", lambda: (meta_minmax(), 1)[1], out)
+        assert meta_minmax() == (0, n - 1)
+
+        def grouped_ndv():
+            return len(
+                snapshot_agg(
+                    spark, t, {"u": "approx_ndv(user_id)"}, group_by="day"
+                )
+            )
+
+        timed("sidecar_grouped_ndv_200_days", grouped_ndv, out)
+
+        def table_ndv():
+            return snapshot_ndv(spark, t, "user_id")
+
+        est = table_ndv()
+        true_ndv = min(n, 10007)
+        assert abs(est - true_ndv) / true_ndv < 0.05, (est, true_ndv)
+        timed("sidecar_table_ndv", table_ndv, out)
+
+        info = snapshot_plan_info(spark, t, predicate=f"id < {per}")
+        print(json.dumps({
+            "probe": "plan_info_selectivity",
+            "files_total": info["files_total"],
+            "files_planned": info["files_planned"],
+            "count_speedup": round(a / b, 2) if b else None,
+            "rollup_speedup": round(c / dsec, 2) if dsec else None,
+        }), flush=True)
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
+def probe_snap_contention(spark, n: int, out: list) -> None:
+    """Optimistic-concurrency THROUGHPUT under contention: W concurrent
+    writers (threads; the commit claim is O_EXCL, not a JVM lock — the
+    cross-process pin is a separate pytest) doing mixed append/CoW-delete
+    on ONE table.  Reports commits/sec at 1/2/4/8 writers and asserts
+    zero aborts-to-exhaustion (liveness)."""
+    import shutil
+    import tempfile
+    from concurrent.futures import ThreadPoolExecutor
+
+    from pyspark.sql import functions as F
+
+    from mini_project_204721_data_engineering_spark.sources.snapshots import (
+        _list_versions,
+        read_snapshot,
+        snapshot_append,
+        snapshot_delete_where,
+    )
+
+    per_writer = 6
+    for writers in (1, 2, 4, 8):
+        d = tempfile.mkdtemp(prefix=f"snap_cont_{writers}_")
+        t = d + "/t"
+        snapshot_append(
+            spark.range(n).select(
+                F.col("id"), (F.col("id") % 101).alias("k")
+            ).coalesce(4),
+            t,
+        )
+        errors: list = []
+
+        def work(w):
+            try:
+                for i in range(per_writer):
+                    if i % 3 == 2:
+                        # CoW rewrites are conservative-serializable:
+                        # ANY concurrent commit aborts them and the
+                        # CALLER retries the whole read-rewrite-commit
+                        # (the documented contract) — liveness means
+                        # the retry loop converges, not that the first
+                        # attempt wins
+                        import random as _rnd
+                        import time as _time
+
+                        for attempt in range(50):
+                            try:
+                                snapshot_delete_where(
+                                    spark, t,
+                                    f"id % 1009 = {w * per_writer + i}",
+                                    lazy=False,
+                                )
+                                break
+                            except RuntimeError:
+                                # full-jitter backoff before redoing the
+                                # read-rewrite-commit (the rewrite is a
+                                # Spark job — colliding redos in
+                                # lockstep waste whole cluster passes)
+                                _time.sleep(_rnd.uniform(0, min(0.05 * (2 ** min(attempt, 4)), 0.5)))
+                                continue
+                        else:
+                            raise RuntimeError("delete never converged")
+                    else:
+                        snapshot_append(
+                            spark.range(2000).select(
+                                (F.col("id") + 10_000_000 * (w + 1) + i)
+                                .alias("id"),
+                                (F.col("id") % 101).alias("k"),
+                            ).coalesce(1),
+                            t,
+                        )
+            except Exception as e:  # exhaustion = liveness failure
+                errors.append(repr(e))
+
+        def run():
+            with ThreadPoolExecutor(max_workers=writers) as ex:
+                list(ex.map(work, range(writers)))
+            return writers * per_writer
+
+        sec = timed(f"contention_{writers}_writers_{writers * per_writer}_commits", run, out)
+        versions = _list_versions(spark, t)
+        assert not errors, errors[:2]
+        assert len(versions) == 1 + writers * per_writer, (
+            len(versions), writers)
+        read_snapshot(spark, t).count()  # table still readable
+        print(json.dumps({
+            "probe": f"contention_{writers}_writers_rate",
+            "commits_per_sec": round(writers * per_writer / sec, 2) if sec else None,
+            "aborts": len(errors),
+        }), flush=True)
+        shutil.rmtree(d, ignore_errors=True)
+
+
+def probe_spill(spark, n: int, out: list) -> None:
+    """Spill honesty: the SAME larger-than-heap aggregate+sort workload
+    in (a) this comfortable session and (b) a CHILD driver capped at
+    700 MB heap — the child must complete correctly (external
+    spill paths), and the recorded ratio is the degradation factor.
+    ~n rows x ~120-byte synthetic payload >> 700 MB at the default n."""
+    import os
+    import subprocess
+    import sys as _sys
+    import textwrap
+
+    from pyspark.sql import functions as F
+
+    def workload(s):
+        df = s.range(n).select(
+            F.col("id"),
+            (F.col("id") % 1_000_003).alias("k"),
+            F.sha2(F.col("id").cast("string"), 256).alias("pad"),
+        )
+        agg = (
+            df.groupBy("k")
+            .agg(F.count(F.lit(1)).alias("c"), F.max("pad").alias("mp"))
+            .orderBy(F.desc("c"), F.col("k"))
+        )
+        row = agg.limit(1).collect()[0]
+        return int(row["c"])
+
+    want = timed("spill_workload_comfortable_128g", lambda: workload(spark), out)
+    expect = workload(spark)
+
+    child_code = textwrap.dedent(f"""
+        import json, time
+        from pyspark.sql import SparkSession, functions as F
+        s = (SparkSession.builder.master("local[4]")
+             .config("spark.driver.memory", "700m")
+             .config("spark.ui.enabled", "false")
+             .config("spark.sql.shuffle.partitions", "16")
+             .getOrCreate())
+        t0 = time.time()
+        df = s.range({n}).select(
+            F.col("id"), (F.col("id") % 1_000_003).alias("k"),
+            F.sha2(F.col("id").cast("string"), 256).alias("pad"))
+        agg = (df.groupBy("k")
+               .agg(F.count(F.lit(1)).alias("c"), F.max("pad").alias("mp"))
+               .orderBy(F.desc("c"), F.col("k")))
+        row = agg.limit(1).collect()[0]
+        print(json.dumps({{"sec": round(time.time() - t0, 3),
+                           "c": int(row["c"])}}))
+        s.stop()
+    """)
+    env = dict(os.environ)
+    repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    env["PYTHONPATH"] = repo_root + os.pathsep + env.get("PYTHONPATH", "")
+    t0 = time.time()
+    res = subprocess.run(
+        [_sys.executable, "-c", child_code], env=env,
+        capture_output=True, text=True, timeout=3600,
+    )
+    assert res.returncode == 0, res.stderr[-2000:]
+    child = json.loads(res.stdout.strip().splitlines()[-1])
+    out.append({"probe": "spill_workload_tiny_700m_child",
+                "sec": child["sec"], "rows": n})
+    print(json.dumps(out[-1]), flush=True)
+    assert child["c"] == expect, (child["c"], expect)
+    print(json.dumps({
+        "probe": "spill_degradation",
+        "comfortable_sec": want,
+        "tiny_heap_sec": child["sec"],
+        "factor": round(child["sec"] / want, 2) if want else None,
+    }), flush=True)
 
 
 if __name__ == "__main__":
