@@ -205,7 +205,13 @@ def ann_index_create(
         json.dump(model, f)
     codes = ann_encode(emb, model, id_col=id_col, vec_col=vec_col)
     snapshot_txn_append(
-        codes.select(id_col, "cell", "codes"),
+        # range-cluster by cell so the manifest's cell stats actually
+        # PRUNE at search time: an nprobe-cell probe plans ~nprobe/ncells
+        # of the postings files instead of all of them (appends that
+        # mixed every cell into every file would make the stats vacuous)
+        codes.select(id_col, "cell", "codes").repartitionByRange(
+            max(2, int(ncells) // 2), "cell"
+        ),
         _postings_dir(index_dir),
         _APP_ID,
         src_version,
@@ -236,7 +242,11 @@ def ann_index_refresh(spark: SparkSession, index_dir: str) -> dict:
         df, model, id_col=model["id_col"], vec_col=model["vec_col"]
     )
     snapshot_txn_append(
-        codes.select(model["id_col"], "cell", "codes"),
+        # cell-cluster each refresh batch too (fewer ranges — batches
+        # are small; zorder/compact converges layout across eras)
+        codes.select(model["id_col"], "cell", "codes").repartitionByRange(
+            2, "cell"
+        ),
         pdir,
         _APP_ID,
         new_version,

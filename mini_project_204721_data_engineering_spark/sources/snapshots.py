@@ -5522,6 +5522,34 @@ def snapshot_history(spark: SparkSession, table_dir: str) -> list[dict]:
     ]
 
 
+def _staged_catalog_referenced(
+    spark: SparkSession, staged: dict, staged_path: str
+) -> bool | None:
+    """Is a staged manifest referenced by any version of its recorded
+    catalog?  ``False`` only when the catalog is READABLE and no
+    version's pins name this staged path or its transaction id —
+    abandoned staging, safe to release.  ``None`` (keep, conservative)
+    when the manifest predates the catalog_dir recording or the catalog
+    log cannot be read."""
+    meta = staged.get("meta") or {}
+    cdir = meta.get("catalog_dir")
+    tid = meta.get("catalog_txn")
+    if not cdir or not tid:
+        return None
+    try:
+        versions = _list_versions(spark, cdir)
+        if not versions:
+            return False  # catalog gone: nothing can resolve through it
+        for v in versions:
+            cm = _read_manifest(spark, cdir, v)
+            for pin in (cm.get("tables") or {}).values():
+                if pin.get("txn_id") == tid or pin.get("staged") == staged_path:
+                    return True
+        return False
+    except Exception:
+        return None
+
+
 def expire_snapshots(
     spark: SparkSession, table_dir: str, keep_last: int = 1,
     min_age_seconds: float = 0.0,
@@ -5563,21 +5591,48 @@ def expire_snapshots(
     # staged manifests (multi-table transactions, txn_catalog.py) may be
     # the ONLY reference to a committed-but-unpublished transaction's
     # data files — sweeping those would corrupt a durable transaction.
-    # They are tiny and age-bounded by publication, so keep them all.
+    # But an ABANDONED staging (lost catalog race, crash before the
+    # catalog commit) must not pin its orphans forever: each staged
+    # manifest records its catalog (meta.catalog_dir), so honor it only
+    # when some catalog version actually references it — published-slot
+    # redundancy and catalog non-reference both release it (the staged
+    # FILE is deleted in the redundant case; published manifests govern
+    # their own retention).  Unreadable catalog → keep (conservative).
     fs, _, jvm = _fs_for(spark, table_dir)
     staged_glob = _child(jvm, table_dir, _MANIFEST_DIR, "staged-*.json")
     for s in fs.globStatus(staged_glob) or []:
         if not s.isFile():
             continue
+        spath = str(s.getPath().toString())
         try:
             stream = fs.open(s.getPath())
             try:
                 raw = bytes(jvm.org.apache.commons.io.IOUtils.toByteArray(stream))
             finally:
                 stream.close()
-            keep_manifests.append(json.loads(raw.decode("utf-8")))
+            sm = json.loads(raw.decode("utf-8"))
         except Exception:
             continue  # torn staged write: references nothing durable
+        ref = _staged_catalog_referenced(spark, sm, spath)
+        if ref is False:
+            fs.delete(s.getPath(), False)  # abandoned: release its pins
+            continue
+        if sm.get("version") in versions:
+            try:
+                pub = _read_manifest(spark, table_dir, sm["version"])
+            except Exception:
+                pub = None
+            if pub is not None and pub.get("meta", {}).get(
+                "catalog_txn"
+            ) == sm.get("meta", {}).get("catalog_txn"):
+                # slot published by OUR transaction: the live manifest
+                # (kept or expired above on its own merits) governs;
+                # the staged copy is redundant bytes.  A FOREIGN
+                # manifest in the slot (diverged log) keeps the staged
+                # copy — it is still the catalog's resolution target.
+                fs.delete(s.getPath(), False)
+                continue
+        keep_manifests.append(sm)
     for m in keep_manifests:
         referenced.update(m["files"])
         referenced_dv.update(

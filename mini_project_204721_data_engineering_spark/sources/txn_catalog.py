@@ -263,7 +263,9 @@ def multi_table_txn(
     catalog_dir: str,
     writes: Mapping[str, Mapping],
     max_retries: int = 20,
-) -> dict:
+    app_id: str | None = None,
+    batch_id: int | None = None,
+) -> dict | None:
     """Commit writes to SEVERAL enrolled tables as ONE atomic catalog
     transaction: every write becomes visible in the same catalog
     version, or (on any crash/failure) none do.
@@ -283,12 +285,25 @@ def multi_table_txn(
     Data files are written ONCE up front (a crash strands invisible
     orphans, never a torn transaction); the optimistic loop re-stages
     manifests against fresh catalog pins after every lost race, reusing
-    the already-written bytes."""
+    the already-written bytes.
+
+    ``app_id``/``batch_id`` make the transaction IDEMPOTENT — the
+    multi-table analog of :func:`~.snapshots.snapshot_txn_append`: the
+    catalog carries a per-app watermark map, a replay whose batch_id ≤
+    the tip's watermark is a NO-OP returning None, and the check
+    re-evaluates inside the optimistic loop so two workers replaying
+    the same batch cannot both land it.  This is the exactly-once
+    TWO-TABLE stream sink (``foreachBatch`` landing fact rows + lineage
+    row per micro-batch, atomically AND at-most-once)."""
     if not writes:
         raise ValueError("multi_table_txn: no writes")
+    if (app_id is None) != (batch_id is None):
+        raise ValueError("multi_table_txn: app_id and batch_id go together")
     tip = _catalog_tip(spark, catalog_dir)
     if tip is None:
         raise ValueError(f"no catalog at {catalog_dir}")
+    if app_id is not None and tip.get("txn", {}).get(app_id, -1) >= batch_id:
+        return None  # fast path: replay skipped before any bytes move
     for name in writes:
         if name not in tip["tables"]:
             raise ValueError(
@@ -320,6 +335,11 @@ def multi_table_txn(
 
     for _ in range(max_retries):
         tip = _catalog_tip(spark, catalog_dir)
+        if (
+            app_id is not None
+            and tip.get("txn", {}).get(app_id, -1) >= batch_id
+        ):
+            return None  # a racer landed this batch while we staged
         parent_version = tip["version"]
         pins = dict(tip["tables"])
         new_pins = {k: dict(v) for k, v in pins.items()}
@@ -397,6 +417,13 @@ def multi_table_txn(
             "catalog_id": tip["catalog_id"],
             "txn_id": tid,
             "tables": new_pins,
+            # per-app idempotence watermarks ride every catalog commit
+            # (same rule as the table-level txn map): the tip alone
+            # answers "has stream X landed batch N"
+            "txn": {
+                **tip.get("txn", {}),
+                **({app_id: batch_id} if app_id is not None else {}),
+            },
         }
         if _try_write_manifest(spark, catalog_dir, parent_version + 1, cat):
             # the transaction is durable HERE; publication is cleanup
@@ -407,6 +434,36 @@ def multi_table_txn(
         f"lost the catalog commit race {max_retries} times on "
         f"{catalog_dir} — pathological transaction contention"
     )
+
+
+def catalog_stream_sink(catalog_dir: str, app_id: str, writes_fn):
+    """``foreachBatch`` body landing ONE micro-batch into SEVERAL
+    tables atomically and exactly-once — the multi-table analog of
+    :func:`~.snapshots.snapshot_stream_sink`.  ``writes_fn(batch_df)``
+    returns the ``writes`` mapping for :func:`multi_table_txn`
+    (typically the fact rows plus a derived lineage/audit row)::
+
+        stream.writeStream.foreachBatch(
+            catalog_stream_sink(cat, "ingest", lambda df: {
+                "facts": {"op": "append", "df": df},
+                "uploads": {"op": "append", "df": lineage_of(df)},
+            })
+        ).start()
+
+    Structured Streaming re-invokes foreachBatch at-least-once; the
+    catalog's per-app watermark makes the replays no-ops, so even a
+    lost checkpoint cannot double-land a batch OR tear the pair."""
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        multi_table_txn(
+            batch_df.sparkSession,
+            catalog_dir,
+            writes_fn(batch_df),
+            app_id=app_id,
+            batch_id=int(batch_id),
+        )
+
+    return sink
 
 
 def catalog_history(spark: SparkSession, catalog_dir: str) -> list[dict]:

@@ -163,3 +163,22 @@ def test_create_refuses_double_create(spark, built):
     src, idx = built
     with pytest.raises(ValueError, match="already exists"):
         ann_index_create(spark, src, idx, ncells=4, m=4, k=16)
+
+
+def test_search_prunes_postings_files_by_cell(spark, tmp_path):
+    """Postings are range-clustered by cell at write time, so a probe's
+    cell set PLANS a subset of the postings files from the manifest
+    (the 100 TB economics: nprobe/ncells of the index scans, not all
+    of it)."""
+    src = str(tmp_path / "src")
+    idx = str(tmp_path / "idx")
+    snapshot_append(_vecs(spark, 0, 400, seed=5).coalesce(2), src)
+    ann_index_create(
+        spark, src, idx, ncells=8, m=4, k=16, sample=4096, pq_iters=3
+    )
+    pdir = _postings_dir(idx)
+    all_files = len(read_snapshot(spark, pdir).inputFiles())
+    assert all_files >= 2
+    # one-cell probe: strictly fewer files than the whole postings set
+    one_cell = read_snapshot(spark, pdir, prune={"cell": {0}})
+    assert 0 < len(one_cell.inputFiles()) < all_files

@@ -487,3 +487,151 @@ def test_cross_process_txn_race_no_torn_commit(spark, tmp_path):
         assert nf == nl, cv
     want = sum(100 + i for i in range(4)) + sum(200 + i for i in range(4))
     assert catalog_read(spark, cat, "facts").count() == want
+
+
+def test_expire_releases_abandoned_staging_keeps_committed(spark, tmp_path):
+    """An ABANDONED staging (catalog commit never landed) must not pin
+    its orphan data files forever; a committed-but-unpublished txn's
+    staged manifest stays load-bearing until published, then becomes
+    redundant bytes expire can drop."""
+    import glob as _glob
+
+    import mini_project_204721_data_engineering_spark.sources.txn_catalog as tc
+
+    cat, facts, lineage = _setup(spark, tmp_path)
+    multi_table_txn(
+        spark, cat, {"facts": {"op": "append", "df": _fact_df(spark, 1, 4)}}
+    )
+    # abandoned: every catalog claim loses -> txn raises, staging orphaned
+    real_try = tc._try_write_manifest
+
+    def always_lose(spark_, dir_, version, manifest):
+        if dir_ == cat and manifest.get("op") == "txn":
+            return False
+        return real_try(spark_, dir_, version, manifest)
+
+    tc._try_write_manifest = always_lose
+    try:
+        with pytest.raises(RuntimeError, match="catalog commit race"):
+            multi_table_txn(
+                spark, cat,
+                {"facts": {"op": "append", "df": _fact_df(spark, 2, 6)}},
+                max_retries=3,
+            )
+    finally:
+        tc._try_write_manifest = real_try
+    staged = _glob.glob(f"{facts}/_manifests/staged-*.json")
+    assert staged  # the abandoned staging is on disk
+    res = expire_snapshots(
+        spark, facts, keep_last=10, orphan_min_age_seconds=0.0
+    )
+    # abandoned staged file released AND its orphan data swept
+    assert not _glob.glob(f"{facts}/_manifests/staged-*.json")
+    assert res["deleted_files"] >= 1
+    assert catalog_read(spark, cat, "facts").count() == 4  # intact
+
+    # committed-but-unpublished: staged file survives expire...
+    real_publish = tc._publish
+    tc._publish = lambda *a, **k: None
+    try:
+        multi_table_txn(
+            spark, cat, {"facts": {"op": "append", "df": _fact_df(spark, 3, 2)}}
+        )
+    finally:
+        tc._publish = real_publish
+    assert _glob.glob(f"{facts}/_manifests/staged-*.json")
+    expire_snapshots(spark, facts, keep_last=10, orphan_min_age_seconds=0.0)
+    assert _glob.glob(f"{facts}/_manifests/staged-*.json")  # load-bearing
+    assert catalog_read(spark, cat, "facts").count() == 6
+    # ...and becomes droppable redundant bytes once published
+    catalog_publish(spark, cat)
+    expire_snapshots(spark, facts, keep_last=10, orphan_min_age_seconds=0.0)
+    assert not _glob.glob(f"{facts}/_manifests/staged-*.json")
+    assert catalog_read(spark, cat, "facts").count() == 6
+    assert read_snapshot(spark, facts).count() == 6
+
+
+def test_idempotent_multi_table_txn(spark, tmp_path):
+    """app_id/batch_id make the transaction at-most-once: a replay is a
+    no-op returning None even through the race window, so a two-table
+    stream batch can never double-land OR tear."""
+    import mini_project_204721_data_engineering_spark.sources.txn_catalog as tc
+
+    cat, facts, lineage = _setup(spark, tmp_path)
+
+    def txn(b):
+        return multi_table_txn(
+            spark, cat,
+            {
+                "facts": {"op": "append", "df": _fact_df(spark, b, 4)},
+                "lineage": {"op": "append", "df": _lineage_df(spark, b, 4)},
+            },
+            app_id="ingest", batch_id=b,
+        )
+
+    assert txn(0) is not None
+    assert txn(0) is None  # replay skipped (fast path, no bytes moved)
+    assert txn(1) is not None
+    assert txn(0) is None  # old batch stays skipped
+    assert catalog_read(spark, cat, "facts").count() == 8
+    # race window: a competitor lands the SAME batch between our tip
+    # read and our catalog claim — the loop recheck must skip, not dup
+    real_try = tc._try_write_manifest
+    state = {"hit": False}
+
+    def inject(spark_, dir_, version, manifest):
+        if (
+            not state["hit"] and dir_ == cat and manifest.get("op") == "txn"
+            and manifest.get("txn", {}).get("ingest") == 2
+        ):
+            state["hit"] = True
+            txn(2)  # competitor wins batch 2 first
+        return real_try(spark_, dir_, version, manifest)
+
+    tc._try_write_manifest = inject
+    try:
+        assert txn(2) is None  # we lost; recheck made the replay a no-op
+    finally:
+        tc._try_write_manifest = real_try
+    assert catalog_read(spark, cat, "facts").count() == 12
+    with pytest.raises(ValueError, match="go together"):
+        multi_table_txn(
+            spark, cat,
+            {"facts": {"op": "append", "df": _fact_df(spark, 9, 1)}},
+            app_id="x",
+        )
+
+
+def test_catalog_stream_sink_two_table_exactly_once(spark, tmp_path):
+    """foreachBatch sink: fact rows + derived lineage row land per
+    micro-batch atomically; a replayed batch id is a no-op."""
+    from mini_project_204721_data_engineering_spark.sources.txn_catalog import (
+        catalog_stream_sink,
+    )
+
+    cat, facts, lineage = _setup(spark, tmp_path)
+
+    def writes(df):
+        n = df.count()
+        return {
+            "facts": {"op": "append", "df": df},
+            "lineage": {
+                "op": "append",
+                "df": spark.createDataFrame(
+                    [(0, n, "ok")],
+                    "upload_id long, n_rows long, status string",
+                ),
+            },
+        }
+
+    sink = catalog_stream_sink(cat, "s1", writes)
+    b0 = _fact_df(spark, 1, 5)
+    sink(b0, 0)
+    sink(b0, 0)  # at-least-once replay
+    sink(_fact_df(spark, 2, 3), 1)
+    assert catalog_read(spark, cat, "facts").count() == 8
+    nl = (
+        catalog_read(spark, cat, "lineage")
+        .agg(F.sum("n_rows").alias("s")).collect()[0]["s"]
+    )
+    assert nl == 8
