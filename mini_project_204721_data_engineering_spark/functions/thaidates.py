@@ -54,12 +54,19 @@ def parse_be_date(col: Column) -> Column:
 def be_to_ce(col: Column) -> Column:
     """BE→CE for an already-TYPED date/timestamp column (a
     pandas+openpyxl read surfaces date-styled cells as datetimes): a
-    year ≥ 2400 shifts back 543 years via ``add_months`` — safe here
-    because a typed value can only hold dates that exist in the
-    Gregorian calendar, and every Feb 29 a BE-typed value can hold maps
-    to a Feb 29 in the CE year (the parser could never have produced it
-    otherwise)."""
+    year ≥ 2400 shifts back 543 years via ``add_months``.
+
+    A typed BE Feb 29 can NEVER map to a CE Feb 29: BE leap years are
+    ≡ 0 (mod 4), so CE = BE − 543 ≡ 1 (mod 4) — never leap.  Such a
+    value is therefore not a real Thai date (the workbook's Feb 29 was
+    typed under the wrong-era calendar); ``add_months`` would silently
+    CLAMP it to Feb 28, fabricating a date the string path
+    (:func:`parse_be_date`) correctly nulls.  We null it too — the two
+    paths agree: malformed-for-the-era input coerces to NULL."""
     d = col.cast("date")
+    shifted = F.add_months(d, -BE_CE_OFFSET * 12)
     return F.when(
-        F.year(d) >= BE_YEAR_MIN, F.add_months(d, -BE_CE_OFFSET * 12)
+        F.year(d) >= BE_YEAR_MIN,
+        # a clamped day-of-month means the CE date does not exist
+        F.when(F.dayofmonth(shifted) == F.dayofmonth(d), shifted),
     ).otherwise(d)

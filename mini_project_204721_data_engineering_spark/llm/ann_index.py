@@ -140,6 +140,9 @@ def ann_index_create(
         kmeans_assign,
     )
 
+    if os.path.exists(_model_path(index_dir)):
+        # refuse BEFORE training: the quantizer fit is corpus-scale work
+        raise ValueError(f"index already exists at {index_dir}")
     versions = _list_versions(spark, source_dir)
     if not versions:
         raise ValueError(f"no snapshots at {source_dir}")
@@ -199,8 +202,6 @@ def ann_index_create(
         "source_dir": str(source_dir),
     }
     os.makedirs(str(index_dir), exist_ok=True)
-    if os.path.exists(_model_path(index_dir)):
-        raise ValueError(f"index already exists at {index_dir}")
     with open(_model_path(index_dir), "w") as f:
         json.dump(model, f)
     codes = ann_encode(emb, model, id_col=id_col, vec_col=vec_col)
@@ -310,15 +311,21 @@ def ann_index_search(
     d2 = ((cents - q[None, :]) ** 2).sum(axis=1)
     order = np.lexsort((np.arange(len(d2)), d2))
     probed = {int(c) for c in order[: max(1, int(nprobe))]}
-    codes_df = read_snapshot(spark, pdir, prune={"cell": probed})
+    # resolve the postings tip ONCE and pin both the probe scan and the
+    # freshness cursor to it: reading the cursor from a LATER tip (a
+    # concurrent refresh landed in between) would drop that refresh's
+    # rows from the probe set AND from the fresh tail — a silent recall
+    # hole the staleness bound exists to prevent
+    tip_version = _list_versions(spark, pdir)[-1]
+    tip_manifest = _read_manifest(spark, pdir, tip_version)
+    cursor = int(tip_manifest.get("txn", {}).get(_APP_ID, -1))
+    codes_df = read_snapshot(
+        spark, pdir, version=tip_version, prune={"cell": probed}
+    )
     cand = ivfpq_search(
         codes_df, query, model["centroids"], model["codebooks"],
         topk=int(shortlist), nprobe=nprobe, id_col=id_col,
     ).select(id_col)
-    tip_manifest = _read_manifest(
-        spark, pdir, _list_versions(spark, pdir)[-1]
-    )
-    cursor = int(tip_manifest.get("txn", {}).get(_APP_ID, -1))
     emb = read_snapshot(spark, model["source_dir"])
     if fresh:
         tail, _ = snapshot_incremental_read(

@@ -5536,14 +5536,34 @@ def _staged_catalog_referenced(
     tid = meta.get("catalog_txn")
     if not cdir or not tid:
         return None
+    def plain(p) -> str:
+        # pins record paths in the caller's spelling (often scheme-less
+        # local paths); globStatus yields qualified file:/ URIs — one
+        # normalization or every comparison silently misses
+        s = str(p)
+        return s[5:] if s.startswith("file:") else s
+
     try:
         versions = _list_versions(spark, cdir)
         if not versions:
             return False  # catalog gone: nothing can resolve through it
+        sv = staged.get("version")
+        sp = plain(staged_path)
         for v in versions:
             cm = _read_manifest(spark, cdir, v)
             for pin in (cm.get("tables") or {}).values():
-                if pin.get("txn_id") == tid or pin.get("staged") == staged_path:
+                if plain(pin.get("staged", "\x00")) == sp:
+                    return True
+                # tid alone is too broad: an intra-transaction restage
+                # leaves a SAME-tid staged file at a superseded version
+                # that no pin names — match tid only at the pinned
+                # version, or the stale copy pins its parent's data
+                # files forever
+                if (
+                    pin.get("txn_id") == tid
+                    and pin.get("version") == sv
+                    and sp.startswith(plain(pin.get("dir", "\x00")))
+                ):
                     return True
         return False
     except Exception:
@@ -5600,9 +5620,17 @@ def expire_snapshots(
     # their own retention).  Unreadable catalog → keep (conservative).
     fs, _, jvm = _fs_for(spark, table_dir)
     staged_glob = _child(jvm, table_dir, _MANIFEST_DIR, "staged-*.json")
+    # same grace window as every other sweep here: a staged file younger
+    # than the horizon may belong to an IN-FLIGHT transaction whose
+    # catalog commit hasn't landed yet — deleting it would make that
+    # commit durably unresolvable the instant it wins
+    staged_cutoff_ms = (
+        time.time() - max(min_age_seconds, orphan_min_age_seconds)
+    ) * 1000
     for s in fs.globStatus(staged_glob) or []:
         if not s.isFile():
             continue
+        young = s.getModificationTime() > staged_cutoff_ms
         spath = str(s.getPath().toString())
         try:
             stream = fs.open(s.getPath())
@@ -5615,6 +5643,9 @@ def expire_snapshots(
             continue  # torn staged write: references nothing durable
         ref = _staged_catalog_referenced(spark, sm, spath)
         if ref is False:
+            if young:
+                keep_manifests.append(sm)  # maybe in-flight: keep refs,
+                continue  # delete only after the grace window
             fs.delete(s.getPath(), False)  # abandoned: release its pins
             continue
         if sm.get("version") in versions:

@@ -333,7 +333,18 @@ def multi_table_txn(
             "merge_schema": bool(spec.get("merge_schema", False)),
         }
 
+    prev_staged: list[str] = []
     for _ in range(max_retries):
+        # a lost race re-stages: the previous attempt's staged files are
+        # referenced by nothing — delete them now rather than leaking
+        # them to expire_snapshots' abandoned-staging sweep
+        for sp in prev_staged:
+            try:
+                fs, _, jvm = _fs_for(spark, sp)
+                fs.delete(jvm.org.apache.hadoop.fs.Path(sp), False)
+            except Exception:
+                pass
+        prev_staged = []
         tip = _catalog_tip(spark, catalog_dir)
         if (
             app_id is not None
@@ -403,6 +414,7 @@ def multi_table_txn(
                 ).toString()
             )
             _write_json(spark, staged_path, manifest)
+            prev_staged.append(staged_path)
             new_pins[name] = {
                 "dir": pin["dir"],
                 "version": v,

@@ -219,8 +219,19 @@ class _SnapshotStreamReader(DataSourceStreamReader):
         versions = _versions(self.table_dir)
         if not versions:
             raise ValueError(f"no snapshots at {self.table_dir}")
-        start_v = self.starting if self.starting in versions or self.starting == 0 else None
-        if start_v is None:
+        # the feed replays versions (starting, tip] one by one — every
+        # one of them must still exist (expire_snapshots may have
+        # truncated the early log; FileNotFoundError mid-plan would be
+        # an unreadable way to learn that)
+        if self.starting + 1 < versions[0]:
+            raise ValueError(
+                f"startingVersion {self.starting} expired from the log "
+                f"(earliest manifest is v{versions[0]}) — re-baseline "
+                "with a batch read and a fresh checkpoint"
+            )
+        if self.starting > versions[-1] or (
+            self.starting > 0 and self.starting not in versions
+        ):
             raise ValueError(
                 f"startingVersion {self.starting} not in the log "
                 f"(have v{versions[0]}..v{versions[-1]})"
@@ -249,6 +260,15 @@ class _SnapshotStreamReader(DataSourceStreamReader):
     def partitions(self, start: dict, end: dict) -> Sequence[InputPartition]:
         lo, hi = int(start["version"]), int(end["version"])
         parts: list[InputPartition] = []
+        live = set(_versions(self.table_dir))
+        missing = [v for v in range(max(lo, 1), hi + 1) if v not in live]
+        if missing:
+            raise ValueError(
+                f"snapshot_feed: version(s) v{missing[0]}.. expired from "
+                "the log under the stream (retention passed the "
+                "checkpointed offset) — re-baseline with a batch read "
+                "and a fresh checkpoint"
+            )
         prev = _manifest(self.table_dir, lo) if lo > 0 else None
         if prev is not None and self._table_id and prev.get("table_id") != self._table_id:
             raise ValueError(

@@ -239,3 +239,23 @@ class TestThaiDates:
         assert len(rows) == 1
         assert rows[0]["year"] == 2023
         assert rows[0]["count_of_disasters"] == 2
+
+    def test_typed_be_leap_day_nulls_not_clamps(self, spark):
+        """BE leap years are ≡ 0 (mod 4) → CE = BE−543 ≡ 1 (mod 4),
+        never leap: a typed BE Feb 29 is not a real Thai date and must
+        NULL (matching the string path), never clamp to Feb 28."""
+        import datetime
+
+        from mini_project_204721_data_engineering_spark.functions.thaidates import (
+            be_to_ce,
+        )
+
+        df = spark.createDataFrame(
+            [
+                (datetime.date(2560, 2, 29),),  # valid Gregorian, bogus BE
+                (datetime.date(2560, 2, 28),),  # fine: 2017-02-28
+            ],
+            "d date",
+        )
+        got = [r["c"] for r in df.select(be_to_ce(F.col("d")).alias("c")).collect()]
+        assert got == [None, datetime.date(2017, 2, 28)]

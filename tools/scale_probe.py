@@ -1909,8 +1909,14 @@ def probe_spill(spark, n: int, out: list) -> None:
         row = agg.limit(1).collect()[0]
         return int(row["c"])
 
-    want = timed("spill_workload_comfortable_128g", lambda: workload(spark), out)
-    expect = workload(spark)
+    got_box: list = []
+
+    def run_once():
+        got_box.append(workload(spark))
+        return n
+
+    want = timed("spill_workload_comfortable_128g", run_once, out)
+    expect = got_box[0]
 
     child_code = textwrap.dedent(f"""
         import json, time
