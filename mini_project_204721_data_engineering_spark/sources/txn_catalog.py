@@ -80,6 +80,7 @@ from .snapshots import (
     _guard_reserved,
     _list_versions,
     _merged_schema,
+    _plan_files,
     _prune_files,
     _read_manifest,
     _try_write_manifest,
@@ -272,9 +273,22 @@ def multi_table_txn(
 
     ``writes`` maps enrolled table name -> spec::
 
-        {"op": "append",    "df": df,
-         "stats_cols": ..., "merge_schema": False}   # defaults
-        {"op": "overwrite", "df": df, "stats_cols": ...}
+        {"op": "append",       "df": df,
+         "stats_cols": ...,    "merge_schema": False}   # defaults
+        {"op": "overwrite",    "df": df, "stats_cols": ...}
+        {"op": "delete_where", "predicate": "sql"}
+
+    ``delete_where`` is the copy-on-write correction shape (retract
+    fact rows + append the correcting audit row, atomically): the
+    predicate plans its file set against the PINNED manifest (prune +
+    bloom), survivors rewrite through the filtered read with
+    ``(predicate) IS NOT TRUE`` (SQL DELETE three-valued logic, same as
+    the single-table CoW path).  A lost catalog race whose winner moved
+    THIS table's pin redoes the rewrite against the new pin
+    (conservative serializability — the same contract as
+    :func:`~.snapshots.snapshot_delete_where`); rewrites are cached per
+    pinned version so a conflict on a DIFFERENT table never redoes this
+    one's.
 
     The reference shape: ``multi_table_txn(spark, cat, {
     "rain_points": {"op": "append", "df": facts},
@@ -317,8 +331,17 @@ def multi_table_txn(
     staged_inputs: dict[str, dict] = {}
     for name, spec in writes.items():
         op = spec.get("op", "append")
-        if op not in ("append", "overwrite"):
+        if op not in ("append", "overwrite", "delete_where"):
             raise ValueError(f"multi_table_txn: unsupported op {op!r}")
+        if op == "delete_where":
+            staged_inputs[name] = {
+                "op": op,
+                "predicate": str(spec["predicate"]),
+                # rewrite memo keyed by the pinned version: a lost race
+                # on ANOTHER table must not redo this table's rewrite
+                "rewrites": {},
+            }
+            continue
         df = spec["df"]
         stats_cols = spec.get("stats_cols")
         if stats_cols is not None:
@@ -359,10 +382,41 @@ def multi_table_txn(
             parent_manifest = catalog_resolve(
                 spark, catalog_dir, name, tip["version"]
             )
-            ddl = si["schema"].simpleString()
-            op, new_files = si["op"], si["new_files"]
+            op = si["op"]
 
-            if op == "append":
+            if op == "delete_where":
+                if parent_manifest is None:
+                    raise ValueError(
+                        f"multi_table_txn: delete_where on {name!r}, "
+                        "which has no committed data"
+                    )
+                pred = si["predicate"]
+                pv = pin["version"]
+                if pv not in si["rewrites"]:
+                    planned = _plan_files(spark, parent_manifest, pred)
+                    if planned:
+                        survivors = _filtered_read(
+                            spark, parent_manifest, planned
+                        ).filter(f"({pred}) IS NOT TRUE")
+                        nf, _ = _write_data_files(survivors, pin["dir"])
+                    else:
+                        nf = []
+                    si["rewrites"][pv] = (set(planned), nf)
+                planned_set, new_files = si["rewrites"][pv]
+
+                def files_fn(parent, _pl=planned_set, _nf=new_files):
+                    return [
+                        f for f in parent["files"] if f not in _pl
+                    ] + _nf
+
+                def schema_fn(parent):
+                    return parent["schema"]
+
+                evo_fn = None
+                stats_fn = _compose_stats(spark, new_files, None)
+                op_tag = "delete"
+            elif op == "append":
+                ddl, new_files = si["schema"].simpleString(), si["new_files"]
 
                 def files_fn(parent, _ddl=ddl, _nf=new_files, _si=si):
                     if not _si["merge_schema"]:
@@ -379,7 +433,10 @@ def multi_table_txn(
                     return merged
 
                 evo_fn = None
+                stats_fn = si["stats_fn"]
+                op_tag = op
             else:  # overwrite
+                ddl, new_files = si["schema"].simpleString(), si["new_files"]
 
                 def files_fn(parent, _nf=new_files):
                     return list(_nf)
@@ -390,19 +447,27 @@ def multi_table_txn(
                 def evo_fn(parent):
                     return {}, []
 
+                stats_fn = si["stats_fn"]
+                op_tag = op
+
             v = pin["version"] + 1
             manifest = _build_manifest(
                 parent_manifest,
                 pin["version"],
-                op,
+                op_tag,
                 files_fn,
                 schema_fn,
                 meta={
                     "added_files": len(new_files),
                     "catalog_txn": tid,
                     "catalog_dir": str(catalog_dir),
+                    **(
+                        {"mode": "cow_txn", "predicate": si["predicate"]}
+                        if op == "delete_where"
+                        else {}
+                    ),
                 },
-                stats_fn=si["stats_fn"],
+                stats_fn=stats_fn,
                 evo_fn=evo_fn,
             )
             staged_path = str(

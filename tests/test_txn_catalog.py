@@ -635,3 +635,93 @@ def test_catalog_stream_sink_two_table_exactly_once(spark, tmp_path):
         .agg(F.sum("n_rows").alias("s")).collect()[0]["s"]
     )
     assert nl == 8
+
+
+def test_delete_where_in_txn_atomic_correction(spark, tmp_path):
+    """The correction shape: retract fact rows + append the correcting
+    audit row in ONE catalog commit; three-valued logic matches the
+    single-table CoW contract (a NULL-predicate row survives)."""
+    cat, facts, lineage = _setup(spark, tmp_path)
+    base = spark.createDataFrame(
+        [(1, 10), (1, 20), (1, None), (2, 30)],
+        "upload_id long, v long",
+    )
+    multi_table_txn(
+        spark, cat,
+        {
+            "facts": {"op": "append", "df": base},
+            "lineage": {"op": "append", "df": _lineage_df(spark, 1, 4)},
+        },
+    )
+    multi_table_txn(
+        spark, cat,
+        {
+            "facts": {"op": "delete_where", "predicate": "v >= 20"},
+            "lineage": {"op": "append", "df": _lineage_df(spark, 2, -2)},
+        },
+    )
+    rows = {
+        (r["upload_id"], r["v"])
+        for r in catalog_read(spark, cat, "facts").collect()
+    }
+    # v=NULL row SURVIVES (predicate NULL is not TRUE); 20 and 30 go
+    assert rows == {(1, 10), (1, None)}
+    assert catalog_read(spark, cat, "lineage").count() == 2
+    # published into the table log like any other txn commit
+    assert read_snapshot(spark, facts).count() == 2
+
+
+def test_delete_where_txn_restages_on_lost_race(spark, tmp_path):
+    """A competitor moves the facts pin between our staging and the
+    catalog claim: the delete's rewrite must REDO against the new pin —
+    rows the competitor appended that match the predicate must also go
+    (conservative serializability, not write-skew)."""
+    import mini_project_204721_data_engineering_spark.sources.txn_catalog as tc
+
+    cat, facts, lineage = _setup(spark, tmp_path)
+    multi_table_txn(
+        spark, cat,
+        {"facts": {"op": "append", "df": _fact_df(spark, 1, 10)}},
+    )
+    real_try = tc._try_write_manifest
+    state = {"hit": False}
+
+    def inject(spark_, dir_, version, manifest):
+        if (
+            not state["hit"] and dir_ == cat
+            and manifest.get("op") == "txn"
+            and any(
+                "delete" in str(p.get("staged", ""))
+                or p.get("version", 0) > 1
+                for p in manifest.get("tables", {}).values()
+            )
+        ):
+            state["hit"] = True
+            # competitor appends rows that MATCH the delete predicate
+            multi_table_txn(
+                spark, cat,
+                {"facts": {"op": "append", "df": _fact_df(spark, 2, 4)}},
+            )
+        return real_try(spark_, dir_, version, manifest)
+
+    tc._try_write_manifest = inject
+    try:
+        multi_table_txn(
+            spark, cat,
+            {"facts": {"op": "delete_where", "predicate": "v < 2"}},
+        )
+    finally:
+        tc._try_write_manifest = real_try
+    got = {
+        (r["upload_id"], r["v"])
+        for r in catalog_read(spark, cat, "facts").collect()
+    }
+    # 10 original rows (v 0..9) + 4 competitor rows (v 0..3); v<2 gone
+    # from BOTH eras — the rewrite redid against the competitor's pin
+    want = {(1, v) for v in range(2, 10)} | {(2, v) for v in range(2, 4)}
+    assert got == want
+    with pytest.raises(ValueError, match="no committed data"):
+        multi_table_txn(
+            spark, cat,
+            {"lineage": {"op": "delete_where", "predicate": "1=1"}},
+        )
