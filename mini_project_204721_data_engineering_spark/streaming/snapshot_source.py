@@ -195,10 +195,17 @@ def snapshot_feed_schema(table_dir: str):
 
 
 class _FilePartition(InputPartition):
-    def __init__(self, path: str, change_type: str, version: int):
+    def __init__(
+        self,
+        path: str,
+        change_type: str,
+        version: int,
+        row_group: int | None = None,
+    ):
         self.path = path
         self.change_type = change_type
         self.version = version
+        self.row_group = row_group  # None = whole file
 
 
 class _SnapshotStreamReader(DataSourceStreamReader):
@@ -306,30 +313,110 @@ class _SnapshotStreamReader(DataSourceStreamReader):
                     "merge-on-read filters — their raw bytes overstate "
                     "the visible rows; drain filters before the stream"
                 )
+            meta = m.get("file_meta", {})
+            pmeta = (prev or {}).get("file_meta", {})
             for f in sorted(mf - pf):
-                parts.append(_FilePartition(f, "insert", v))
+                parts.extend(self._split(f, "insert", v, meta))
             for f in sorted(pf - mf):
-                parts.append(_FilePartition(f, "delete", v))
+                parts.extend(self._split(f, "delete", v, pmeta))
             prev = m
         return parts
 
+    _SPLIT_BYTES = 64 * 1024 * 1024
+
+    def _split(
+        self, f: str, change_type: str, v: int, meta: dict
+    ) -> list[_FilePartition]:
+        """One partition per ROW GROUP for large changed files (manifest
+        byte counts decide; the footer is read driver-side only when a
+        file crosses the threshold) — a 1 GB rewritten file becomes ~8
+        parallel reads instead of one straggler task."""
+        size = int((meta.get(f) or {}).get("bytes") or 0)
+        if size > self._SPLIT_BYTES:
+            try:
+                import pyarrow.parquet as pq
+
+                n = pq.ParquetFile(_local(f)).metadata.num_row_groups
+                if n > 1:
+                    return [
+                        _FilePartition(f, change_type, v, row_group=g)
+                        for g in range(n)
+                    ]
+            except Exception:
+                pass  # unreadable footer: one whole-file partition
+        return [_FilePartition(f, change_type, v)]
+
     # -- execution (executors) --------------------------------------------
-    def read(self, partition: _FilePartition) -> Iterator[tuple]:
+    def read(self, partition: _FilePartition):
+        """Arrow-batched: parquet row groups stream through as
+        RecordBatches aligned to the feed schema (missing columns null,
+        types cast to the pinned schema — the merge_schema read rule) —
+        no per-row Python objects on the hot path.  Any file whose
+        batches cannot be aligned (exotic type drift) degrades to the
+        tuple path for THAT partition, never fails the feed."""
+        import pyarrow as pa
         import pyarrow.parquet as pq
 
-        table = pq.read_table(_local(partition.path))
-        present = set(table.schema.names)
-        cols = {
-            c: (table.column(c).to_pylist() if c in present else None)
-            for c in self._data_cols
-        }
-        n = table.num_rows
+        pf = pq.ParquetFile(_local(partition.path))
+        if partition.row_group is None:
+            batches = pf.iter_batches(batch_size=64 * 1024)
+        else:
+            batches = pf.iter_batches(
+                batch_size=64 * 1024, row_groups=[partition.row_group]
+            )
+        try:
+            from pyspark.sql.pandas.types import to_arrow_schema
+
+            target = to_arrow_schema(self.schema)
+        except Exception:
+            target = None
         ct, cv = partition.change_type, partition.version
+        if target is not None:
+            try:
+                yield from self._arrow_batches(batches, target, ct, cv, pa)
+                return
+            except Exception:
+                # reopen and degrade to tuples (batches may be spent)
+                if partition.row_group is None:
+                    batches = pf.iter_batches(batch_size=64 * 1024)
+                else:
+                    batches = pf.iter_batches(
+                        batch_size=64 * 1024,
+                        row_groups=[partition.row_group],
+                    )
+        yield from self._tuple_rows(batches, ct, cv)
+
+    def _arrow_batches(self, batches, target, ct: str, cv: int, pa):
+        for b in batches:
+            present = {n: i for i, n in enumerate(b.schema.names)}
+            arrays = []
+            for field in target:
+                if field.name == "_change_type":
+                    arrays.append(pa.array([ct] * b.num_rows, type=field.type))
+                elif field.name == "_commit_version":
+                    arrays.append(pa.array([cv] * b.num_rows, type=field.type))
+                elif field.name in present:
+                    col = b.column(present[field.name])
+                    if col.type != field.type:
+                        col = col.cast(field.type)
+                    arrays.append(col)
+                else:  # pre-merge_schema file: column surfaces as NULL
+                    arrays.append(pa.nulls(b.num_rows, type=field.type))
+            yield pa.RecordBatch.from_arrays(arrays, schema=target)
+
+    def _tuple_rows(self, batches, ct: str, cv: int) -> Iterator[tuple]:
         names = self._data_cols
-        for i in range(n):
-            yield tuple(
-                (cols[c][i] if cols[c] is not None else None) for c in names
-            ) + (ct, cv)
+        for b in batches:
+            present = set(b.schema.names)
+            cols = {
+                c: (b.column(c).to_pylist() if c in present else None)
+                for c in names
+            }
+            for i in range(b.num_rows):
+                yield tuple(
+                    (cols[c][i] if cols[c] is not None else None)
+                    for c in names
+                ) + (ct, cv)
 
     def commit(self, end: dict) -> None:
         pass

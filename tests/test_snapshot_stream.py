@@ -222,3 +222,49 @@ def test_feed_schema_and_commit_versions(registered, tmp_path):
     byv = Counter(r["_commit_version"] for r in got)
     assert byv == {1: 10, 2: 10}
     assert {r["_change_type"] for r in got} == {"insert"}
+
+
+def test_row_group_splitting_and_arrow_alignment(spark, tmp_path):
+    """Unit-level: a changed file over the split threshold becomes one
+    partition per row group, and the partitions' union reproduces the
+    file exactly — including a column MISSING from the file (pre-
+    merge_schema era) surfacing as NULLs via the arrow alignment."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from mini_project_204721_data_engineering_spark.streaming.snapshot_source import (
+        _FilePartition,
+        _SnapshotStreamReader,
+    )
+
+    t = str(tmp_path / "t")
+    snapshot_append(_df(spark, 0, 10).coalesce(1), t)  # anchor manifest
+    # a 3-row-group parquet written OUTSIDE spark, with only (id) —
+    # the feed schema also carries k, which must surface as NULL
+    p = str(tmp_path / "big.parquet")
+    pq.write_table(
+        pa.table({"id": pa.array(range(90), type=pa.int64())}),
+        p,
+        row_group_size=30,
+    )
+    reader = _SnapshotStreamReader({"table_dir": t}, snapshot_feed_schema(t))
+    reader._SPLIT_BYTES = 1  # force the threshold
+    parts = reader._split(p, "insert", 7, {p: {"bytes": 999, "rows": 90}})
+    assert [pp.row_group for pp in parts] == [0, 1, 2]
+    rows = []
+    for pp in parts:
+        for out in reader.read(pp):
+            if isinstance(out, tuple):
+                rows.append(out)
+            else:  # RecordBatch
+                for r in out.to_pylist():
+                    rows.append(
+                        (r["id"], r["k"], r["_change_type"], r["_commit_version"])
+                    )
+    assert sorted(r[0] for r in rows) == list(range(90))
+    assert {r[1] for r in rows} == {None}  # missing column -> NULL
+    assert {(r[2], r[3]) for r in rows} == {("insert", 7)}
+    # below the threshold: one whole-file partition
+    reader._SPLIT_BYTES = 10**12
+    parts = reader._split(p, "delete", 8, {p: {"bytes": 999, "rows": 90}})
+    assert len(parts) == 1 and parts[0].row_group is None
