@@ -150,12 +150,27 @@ def catalog_init(
 
 
 def catalog_pins(
-    spark: SparkSession, catalog_dir: str, catalog_version: int | None = None
+    spark: SparkSession,
+    catalog_dir: str,
+    catalog_version: int | None = None,
+    as_of: float | None = None,
 ) -> dict:
-    """The table pins at a catalog version (tip by default): ``{name:
-    {"dir", "version", ...}}``.  Reading several tables at ONE pinned
-    catalog version is a consistent cross-table snapshot — the
-    transactional analog of single-table time travel."""
+    """The table pins at a catalog version (tip by default; ``as_of``
+    picks the newest catalog version committed at/before that unix
+    time — CROSS-TABLE time travel): ``{name: {"dir", "version",
+    ...}}``.  Reading several tables at ONE pinned catalog version is a
+    consistent cross-table snapshot — "the database as of Tuesday", not
+    per-table approximations of it."""
+    if catalog_version is None and as_of is not None:
+        versions = _list_versions(spark, catalog_dir)
+        eligible = [
+            v
+            for v in versions
+            if _read_manifest(spark, catalog_dir, v)["ts"] <= as_of
+        ]
+        if not eligible:
+            raise ValueError(f"no catalog version at or before ts={as_of}")
+        catalog_version = eligible[-1]
     if catalog_version is None:
         tip = _catalog_tip(spark, catalog_dir)
         if tip is None:
@@ -169,6 +184,7 @@ def catalog_resolve(
     catalog_dir: str,
     name: str,
     catalog_version: int | None = None,
+    as_of: float | None = None,
 ) -> dict | None:
     """The table MANIFEST a catalog version pins for ``name`` (None for
     an enrolled-but-empty table).  Resolution order: the published
@@ -176,7 +192,7 @@ def catalog_resolve(
     else the staged manifest recorded in the pin (the crash-recovery
     path — a transaction is durable the instant its catalog version
     lands, publication or not)."""
-    pins = catalog_pins(spark, catalog_dir, catalog_version)
+    pins = catalog_pins(spark, catalog_dir, catalog_version, as_of=as_of)
     if name not in pins:
         raise ValueError(
             f"table {name!r} not enrolled in catalog {catalog_dir} "
@@ -210,11 +226,15 @@ def catalog_read(
     name: str,
     catalog_version: int | None = None,
     prune: dict | None = None,
+    as_of: float | None = None,
 ) -> DataFrame:
     """Read an enrolled table AS THE CATALOG SEES IT — the only read
     that carries the multi-table atomicity guarantee.  ``prune`` as in
-    :func:`~.snapshots.read_snapshot`."""
-    manifest = catalog_resolve(spark, catalog_dir, name, catalog_version)
+    :func:`~.snapshots.read_snapshot`; ``as_of`` as in
+    :func:`catalog_pins` (cross-table time travel)."""
+    manifest = catalog_resolve(
+        spark, catalog_dir, name, catalog_version, as_of=as_of
+    )
     if manifest is None:
         raise ValueError(f"table {name!r} has no committed data yet")
     files = manifest["files"]
@@ -541,6 +561,77 @@ def catalog_stream_sink(catalog_dir: str, app_id: str, writes_fn):
         )
 
     return sink
+
+
+def catalog_changes(
+    spark: SparkSession,
+    catalog_dir: str,
+    from_version: int,
+    to_version: int | None = None,
+) -> dict:
+    """TRANSACTION-CONSISTENT incremental read across every enrolled
+    table: the rows landed between two CATALOG versions, as ``{name:
+    DataFrame | None}`` (None = unchanged).  Because both endpoints are
+    catalog versions, the deltas are cut at transaction boundaries —
+    the fact delta and its lineage delta always correspond, which
+    per-table cursors cannot guarantee (they might straddle a commit).
+
+    The downstream-ETL loop: process ``catalog_changes(cat, cursor)``,
+    commit your own output, then advance the cursor to the catalog tip
+    you read — exactly-once end-to-end when the output commit carries
+    the cursor (e.g. :func:`multi_table_txn` ``app_id/batch_id``).
+
+    Append-only windows only (same contract as
+    :func:`~.snapshots.snapshot_incremental_read`): a window in which
+    a table REWROTE files (delete/compact/overwrite) raises — use
+    row-level :func:`~.snapshots.snapshot_changes` on that table after
+    publication."""
+    from .snapshots import _filter_sig
+
+    tip = _catalog_tip(spark, catalog_dir)
+    if tip is None:
+        raise ValueError(f"no catalog at {catalog_dir}")
+    if to_version is None:
+        to_version = tip["version"]
+    if from_version > to_version:
+        raise ValueError(
+            f"catalog_changes: from {from_version} is ahead of {to_version}"
+        )
+    from_pins = catalog_pins(spark, catalog_dir, from_version)
+    to_pins = catalog_pins(spark, catalog_dir, to_version)
+    out: dict = {}
+    for name in to_pins:
+        base_m = (
+            catalog_resolve(spark, catalog_dir, name, from_version)
+            if name in from_pins
+            else None
+        )
+        tip_m = catalog_resolve(spark, catalog_dir, name, to_version)
+        if tip_m is None:
+            out[name] = None
+            continue
+        base_files = set(base_m["files"]) if base_m else set()
+        tip_files = set(tip_m["files"])
+        removed = base_files - tip_files
+        if removed:
+            raise ValueError(
+                f"catalog_changes: non-append commit(s) on {name!r} "
+                f"between catalog v{from_version} and v{to_version} "
+                f"removed {len(removed)} file(s) — use snapshot_changes "
+                "for row-level diffs on that table"
+            )
+        carried = base_files & tip_files
+        if _filter_sig(base_m, carried) != _filter_sig(tip_m, carried):
+            raise ValueError(
+                f"catalog_changes: merge-on-read filter change on "
+                f"{name!r} in the window — file-level deltas would miss "
+                "the deletions; use snapshot_changes"
+            )
+        added = [f for f in tip_m["files"] if f not in base_files]
+        out[name] = (
+            _filtered_read(spark, tip_m, added) if added else None
+        )
+    return out
 
 
 def catalog_history(spark: SparkSession, catalog_dir: str) -> list[dict]:

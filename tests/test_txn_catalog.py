@@ -725,3 +725,80 @@ def test_delete_where_txn_restages_on_lost_race(spark, tmp_path):
             spark, cat,
             {"lineage": {"op": "delete_where", "predicate": "1=1"}},
         )
+
+
+def test_catalog_changes_transaction_consistent_deltas(spark, tmp_path):
+    """Deltas between CATALOG versions cut at transaction boundaries:
+    the fact delta's row count equals the lineage delta's n_rows sum in
+    EVERY window — what per-table cursors cannot guarantee."""
+    from mini_project_204721_data_engineering_spark.sources.txn_catalog import (
+        catalog_changes,
+    )
+
+    cat, facts, lineage = _setup(spark, tmp_path)
+    for u in (1, 2, 3):
+        multi_table_txn(
+            spark, cat,
+            {
+                "facts": {"op": "append", "df": _fact_df(spark, u, 3 * u)},
+                "lineage": {"op": "append", "df": _lineage_df(spark, u, 3 * u)},
+            },
+        )
+    # every (from, to) catalog window is consistent
+    for lo in (1, 2, 3):
+        for hi in range(lo, 5):
+            d = catalog_changes(spark, cat, lo, hi)
+            nf = d["facts"].count() if d["facts"] is not None else 0
+            nl = (
+                d["lineage"].agg(F.sum("n_rows")).collect()[0][0]
+                if d["lineage"] is not None
+                else 0
+            ) or 0
+            assert nf == nl, (lo, hi)
+    # full window = everything; empty window = None for both
+    d = catalog_changes(spark, cat, 1)
+    assert d["facts"].count() == 3 + 6 + 9
+    d = catalog_changes(spark, cat, 4, 4)
+    assert d == {"facts": None, "lineage": None}
+    # a rewrite inside the window refuses
+    multi_table_txn(
+        spark, cat,
+        {"facts": {"op": "delete_where", "predicate": "v = 0"}},
+    )
+    with pytest.raises(ValueError, match="non-append"):
+        catalog_changes(spark, cat, 4)
+    # ...but a window that STARTS after the rewrite works again
+    multi_table_txn(
+        spark, cat,
+        {"facts": {"op": "append", "df": _fact_df(spark, 9, 2)}},
+    )
+    d = catalog_changes(spark, cat, 5)
+    assert d["facts"].count() == 2 and d["lineage"] is None
+
+
+def test_catalog_as_of_cross_table_time_travel(spark, tmp_path):
+    import time as _time
+
+    cat, facts, lineage = _setup(spark, tmp_path)
+    multi_table_txn(
+        spark, cat,
+        {
+            "facts": {"op": "append", "df": _fact_df(spark, 1, 5)},
+            "lineage": {"op": "append", "df": _lineage_df(spark, 1, 5)},
+        },
+    )
+    mid = _time.time()
+    _time.sleep(0.05)
+    multi_table_txn(
+        spark, cat,
+        {
+            "facts": {"op": "append", "df": _fact_df(spark, 2, 7)},
+            "lineage": {"op": "append", "df": _lineage_df(spark, 2, 7)},
+        },
+    )
+    # "the database as of mid": BOTH tables at the first txn's state
+    assert catalog_read(spark, cat, "facts", as_of=mid).count() == 5
+    assert catalog_read(spark, cat, "lineage", as_of=mid).count() == 1
+    assert catalog_read(spark, cat, "facts").count() == 12
+    with pytest.raises(ValueError, match="at or before"):
+        catalog_pins(spark, cat, as_of=1.0)
