@@ -4264,6 +4264,61 @@ def snapshot_set_stats_spec(
     )
 
 
+def _merge_rewrite(
+    spark: SparkSession,
+    manifest: dict,
+    table_dir: str,
+    source: DataFrame,
+    keys: list,
+    when_matched: str,
+    when_not_matched: str,
+) -> tuple[list[str], list[str]]:
+    """The CoW MERGE rewrite against a GIVEN manifest → ``(hit_files,
+    new_files)``: hit files hold a matched key; new files carry their
+    survivors + the merge result.  Shared by
+    :func:`snapshot_merge_into` (tip manifest) and the multi-table
+    transaction's merge spec (catalog-pinned manifest)."""
+    from pyspark.sql import functions as F
+
+    base_files = list(manifest["files"])
+    # filtered read: a lazily-deleted key must look ABSENT (insert, not
+    # update) and must never be resurrected into the rewrite.
+    # with_position: the hit scan reads file identity from the
+    # scan-bound __dv_file metadata column — input_file_name() refuses
+    # the multi-source plan a DV anti-join (or a file-backed source df)
+    # produces
+    target = _filtered_read(
+        spark, manifest, base_files, source.schema, with_position=True
+    )
+    src = _dedup_guarded(source, keys)
+
+    _, _, jvm = _fs_for(spark, table_dir)
+    hit_files = sorted(
+        _canon_file(jvm, r["f"])
+        for r in target.join(src.select(*keys).distinct(), keys, "left_semi")
+        .select(F.col("__dv_file").alias("f"))
+        .distinct()
+        .collect()
+    ) if base_files else []
+
+    target_hit = _filtered_read(spark, manifest, hit_files, source.schema)
+    survivors = target_hit.join(src, keys, "left_anti")
+    if when_matched == "update":
+        replaced = src.join(target_hit, keys, "left_semi")
+    elif when_matched == "ignore":
+        replaced = target_hit.join(src, keys, "left_semi")
+    else:  # delete
+        replaced = spark.createDataFrame([], source.schema)
+    inserts = (
+        src.join(target, keys, "left_anti")
+        if when_not_matched == "insert"
+        else spark.createDataFrame([], source.schema)
+    )
+    new_data = survivors.unionByName(replaced).unionByName(inserts)
+    new_files, _ = _write_data_files(new_data, table_dir)
+    return hit_files, new_files
+
+
 def snapshot_merge_into(
     source: DataFrame,
     table_dir: str,
@@ -4325,42 +4380,11 @@ def snapshot_merge_into(
         )
     tip_manifest = _read_manifest(spark, table_dir, versions[-1])
     _check_schema(tip_manifest, ddl, "snapshot_merge_into")
+    hit_files, new_files = _merge_rewrite(
+        spark, tip_manifest, table_dir, source, keys,
+        when_matched, when_not_matched,
+    )
     base_files = list(tip_manifest["files"])
-    # filtered read: a lazily-deleted key must look ABSENT (insert, not
-    # update) and must never be resurrected into the rewrite.
-    # with_position: the hit scan reads file identity from the
-    # scan-bound __dv_file metadata column — input_file_name() refuses
-    # the multi-source plan a DV anti-join (or a file-backed source df)
-    # produces
-    target = _filtered_read(
-        spark, tip_manifest, base_files, source.schema, with_position=True
-    )
-    src = _dedup_guarded(source, keys)
-
-    _, _, jvm = _fs_for(spark, table_dir)
-    hit_files = sorted(
-        _canon_file(jvm, r["f"])
-        for r in target.join(src.select(*keys).distinct(), keys, "left_semi")
-        .select(F.col("__dv_file").alias("f"))
-        .distinct()
-        .collect()
-    ) if base_files else []
-
-    target_hit = _filtered_read(spark, tip_manifest, hit_files, source.schema)
-    survivors = target_hit.join(src, keys, "left_anti")
-    if when_matched == "update":
-        replaced = src.join(target_hit, keys, "left_semi")
-    elif when_matched == "ignore":
-        replaced = target_hit.join(src, keys, "left_semi")
-    else:  # delete
-        replaced = spark.createDataFrame([], source.schema)
-    inserts = (
-        src.join(target, keys, "left_anti")
-        if when_not_matched == "insert"
-        else spark.createDataFrame([], source.schema)
-    )
-    new_data = survivors.unionByName(replaced).unionByName(inserts)
-    new_files, _ = _write_data_files(new_data, table_dir)
     hit = set(hit_files)
     guard = _rewrite_guard(tip_manifest, "snapshot_merge_into")
 

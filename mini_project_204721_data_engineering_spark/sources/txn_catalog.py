@@ -71,6 +71,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 from .snapshots import (
     _MANIFEST_DIR,
+    _V_FMT,
     _build_manifest,
     _check_schema,
     _child,
@@ -297,6 +298,8 @@ def multi_table_txn(
          "stats_cols": ...,    "merge_schema": False}   # defaults
         {"op": "overwrite",    "df": df, "stats_cols": ...}
         {"op": "delete_where", "predicate": "sql"}
+        {"op": "merge_into",   "df": src, "keys": [...],
+         "when_matched": "update", "when_not_matched": "insert"}
 
     ``delete_where`` is the copy-on-write correction shape (retract
     fact rows + append the correcting audit row, atomically): the
@@ -351,7 +354,7 @@ def multi_table_txn(
     staged_inputs: dict[str, dict] = {}
     for name, spec in writes.items():
         op = spec.get("op", "append")
-        if op not in ("append", "overwrite", "delete_where"):
+        if op not in ("append", "overwrite", "delete_where", "merge_into"):
             raise ValueError(f"multi_table_txn: unsupported op {op!r}")
         if op == "delete_where":
             staged_inputs[name] = {
@@ -359,6 +362,26 @@ def multi_table_txn(
                 "predicate": str(spec["predicate"]),
                 # rewrite memo keyed by the pinned version: a lost race
                 # on ANOTHER table must not redo this table's rewrite
+                "rewrites": {},
+            }
+            continue
+        if op == "merge_into":
+            wm = spec.get("when_matched", "update")
+            wnm = spec.get("when_not_matched", "insert")
+            if wm not in ("update", "delete", "ignore"):
+                raise ValueError(
+                    f"when_matched must be update/delete/ignore, got {wm!r}"
+                )
+            if wnm not in ("insert", "ignore"):
+                raise ValueError(
+                    f"when_not_matched must be insert/ignore, got {wnm!r}"
+                )
+            staged_inputs[name] = {
+                "op": op,
+                "df": spec["df"],
+                "keys": [str(k) for k in spec["keys"]],
+                "when_matched": wm,
+                "when_not_matched": wnm,
                 "rewrites": {},
             }
             continue
@@ -435,6 +458,53 @@ def multi_table_txn(
                 evo_fn = None
                 stats_fn = _compose_stats(spark, new_files, None)
                 op_tag = "delete"
+            elif op == "merge_into":
+                src_df = si["df"]
+                pv = pin["version"]
+                if parent_manifest is None:
+                    # fresh table: every source row inserts (dup-guarded)
+                    if si["when_not_matched"] != "insert":
+                        raise ValueError(
+                            f"multi_table_txn: merge_into {name!r} is "
+                            "vacuous (empty table, when_not_matched="
+                            "'ignore')"
+                        )
+                    if pv not in si["rewrites"]:
+                        from .snapshots import _dedup_guarded
+
+                        nf, _ = _write_data_files(
+                            _dedup_guarded(src_df, si["keys"]), pin["dir"]
+                        )
+                        si["rewrites"][pv] = (set(), nf)
+                else:
+                    _check_schema(
+                        parent_manifest,
+                        src_df.schema.simpleString(),
+                        "multi_table_txn(merge_into)",
+                    )
+                    if pv not in si["rewrites"]:
+                        from .snapshots import _merge_rewrite
+
+                        hit, nf = _merge_rewrite(
+                            spark, parent_manifest, pin["dir"], src_df,
+                            si["keys"], si["when_matched"],
+                            si["when_not_matched"],
+                        )
+                        si["rewrites"][pv] = (set(hit), nf)
+                hit_set, new_files = si["rewrites"][pv]
+
+                def files_fn(parent, _hit=hit_set, _nf=new_files):
+                    return [
+                        f for f in (parent["files"] if parent else [])
+                        if f not in _hit
+                    ] + _nf
+
+                def schema_fn(parent, _ddl=src_df.schema.simpleString()):
+                    return parent["schema"] if parent else _ddl
+
+                evo_fn = None
+                stats_fn = _compose_stats(spark, new_files, None)
+                op_tag = "merge"
             elif op == "append":
                 ddl, new_files = si["schema"].simpleString(), si["new_files"]
 
@@ -632,6 +702,61 @@ def catalog_changes(
             _filtered_read(spark, tip_m, added) if added else None
         )
     return out
+
+
+def catalog_expire(
+    spark: SparkSession,
+    catalog_dir: str,
+    keep_last: int = 1,
+    min_age_seconds: float = 0.0,
+) -> dict:
+    """Retention for the CATALOG log: drop all but the newest
+    ``keep_last`` catalog versions (any version younger than
+    ``min_age_seconds`` is kept regardless — the in-flight-reader grace
+    window, same rule as table-level :func:`~.snapshots
+    .expire_snapshots`).  Cross-table time travel beyond the horizon is
+    gone afterwards.
+
+    Returns ``{"expired": n, "min_pinned": {name: version}}`` — the
+    OLDEST table version any SURVIVING catalog version still pins.
+    Size each table's own ``expire_snapshots`` retention so those
+    versions survive: a pin referencing an expired table version breaks
+    catalog time travel to it (exactly the hazard version-based time
+    travel always has under GC).  Publication should precede expiry
+    (:func:`catalog_publish`) so staged fallbacks aren't load-bearing
+    for historical pins."""
+    import time as _time
+
+    if keep_last < 1:
+        raise ValueError("keep_last must be >= 1")
+    versions = _list_versions(spark, catalog_dir)
+    if not versions:
+        return {"expired": 0, "min_pinned": {}}
+    keep = set(versions[-keep_last:])
+    if min_age_seconds > 0:
+        cutoff = _time.time() - min_age_seconds
+        keep.update(
+            v
+            for v in versions
+            if _read_manifest(spark, catalog_dir, v)["ts"] > cutoff
+        )
+    min_pinned: dict = {}
+    for v in sorted(keep):
+        for name, pin in _read_manifest(spark, catalog_dir, v)[
+            "tables"
+        ].items():
+            pv = int(pin.get("version", 0))
+            if pv and (name not in min_pinned or pv < min_pinned[name]):
+                min_pinned[name] = pv
+    fs, _, jvm = _fs_for(spark, catalog_dir)
+    expired = 0
+    for v in versions:
+        if v not in keep:
+            fs.delete(
+                _child(jvm, catalog_dir, _MANIFEST_DIR, _V_FMT % v), False
+            )
+            expired += 1
+    return {"expired": expired, "min_pinned": min_pinned}
 
 
 def catalog_history(spark: SparkSession, catalog_dir: str) -> list[dict]:

@@ -802,3 +802,120 @@ def test_catalog_as_of_cross_table_time_travel(spark, tmp_path):
     assert catalog_read(spark, cat, "facts").count() == 12
     with pytest.raises(ValueError, match="at or before"):
         catalog_pins(spark, cat, as_of=1.0)
+
+
+def test_catalog_expire_retention_and_min_pinned(spark, tmp_path):
+    from mini_project_204721_data_engineering_spark.sources.txn_catalog import (
+        catalog_expire,
+    )
+
+    cat, facts, lineage = _setup(spark, tmp_path)
+    for u in (1, 2, 3, 4):
+        multi_table_txn(
+            spark, cat,
+            {"facts": {"op": "append", "df": _fact_df(spark, u, 2)}},
+        )
+    res = catalog_expire(spark, cat, keep_last=2)
+    assert res["expired"] == 3  # init + txn1 + txn2 dropped
+    assert res["min_pinned"] == {"facts": 3}
+    hist = catalog_history(spark, cat)
+    assert [h["version"] for h in hist] == [4, 5]
+    # tip reads unaffected; expired cross-table time travel is gone
+    assert catalog_read(spark, cat, "facts").count() == 8
+    with pytest.raises(Exception):
+        catalog_read(spark, cat, "facts", catalog_version=2)
+    # new txns keep working after expiry
+    multi_table_txn(
+        spark, cat,
+        {"facts": {"op": "append", "df": _fact_df(spark, 9, 1)}},
+    )
+    assert catalog_read(spark, cat, "facts").count() == 9
+    with pytest.raises(ValueError, match="keep_last"):
+        catalog_expire(spark, cat, keep_last=0)
+
+
+def test_merge_into_in_txn_upsert_with_audit(spark, tmp_path):
+    """Atomic upsert + audit: MERGE the fact table and append the audit
+    row in one catalog commit; a lost race redoes the merge rewrite
+    against the winner's pin (keys the competitor appended are matched,
+    not duplicated)."""
+    import mini_project_204721_data_engineering_spark.sources.txn_catalog as tc
+
+    cat, facts, lineage = _setup(spark, tmp_path)
+    base = spark.createDataFrame(
+        [(1, 10), (2, 20), (3, 30)], "upload_id long, v long"
+    )
+    multi_table_txn(spark, cat, {"facts": {"op": "append", "df": base}})
+    src = spark.createDataFrame(
+        [(2, 200), (4, 400)], "upload_id long, v long"
+    )
+    multi_table_txn(
+        spark, cat,
+        {
+            "facts": {"op": "merge_into", "df": src, "keys": ["upload_id"]},
+            "lineage": {"op": "append", "df": _lineage_df(spark, 7, 2)},
+        },
+    )
+    got = {
+        (r["upload_id"], r["v"])
+        for r in catalog_read(spark, cat, "facts").collect()
+    }
+    assert got == {(1, 10), (2, 200), (3, 30), (4, 400)}
+    assert catalog_read(spark, cat, "lineage").count() == 1
+
+    # fresh-table merge = dedup-guarded insert
+    cat2 = str(tmp_path / "cat2")
+    from mini_project_204721_data_engineering_spark.sources.txn_catalog import (
+        catalog_init,
+    )
+
+    catalog_init(spark, cat2, {"t": str(tmp_path / "t2"),
+                               "empty": str(tmp_path / "t3")})
+    multi_table_txn(
+        spark, cat2,
+        {"t": {"op": "merge_into", "df": base, "keys": ["upload_id"]}},
+    )
+    assert catalog_read(spark, cat2, "t").count() == 3
+    with pytest.raises(ValueError, match="vacuous"):
+        multi_table_txn(
+            spark, cat2,
+            {"empty": {"op": "merge_into", "df": base,
+                       "keys": ["upload_id"],
+                       "when_not_matched": "ignore"}},
+        )
+
+    # lost-race redo: competitor appends key 5 while our merge stages;
+    # our merge source also carries key 5 -> must UPDATE, not duplicate
+    real_try = tc._try_write_manifest
+    state = {"hit": False}
+
+    def inject(spark_, dir_, version, manifest):
+        if (
+            not state["hit"] and dir_ == cat
+            and manifest.get("op") == "txn"
+        ):
+            state["hit"] = True
+            multi_table_txn(
+                spark, cat,
+                {"facts": {"op": "append", "df": spark.createDataFrame(
+                    [(5, 50)], "upload_id long, v long")}},
+            )
+        return real_try(spark_, dir_, version, manifest)
+
+    tc._try_write_manifest = inject
+    try:
+        multi_table_txn(
+            spark, cat,
+            {"facts": {"op": "merge_into",
+                       "df": spark.createDataFrame(
+                           [(5, 500)], "upload_id long, v long"),
+                       "keys": ["upload_id"]}},
+        )
+    finally:
+        tc._try_write_manifest = real_try
+    rows = [
+        r
+        for r in catalog_read(spark, cat, "facts").collect()
+        if r["upload_id"] == 5
+    ]
+    assert [(r["upload_id"], r["v"]) for r in rows] == [(5, 500)]
