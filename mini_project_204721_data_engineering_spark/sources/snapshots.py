@@ -63,6 +63,7 @@ __all__ = [
     "snapshot_ndv",
     "snapshot_plan_info",
     "snapshot_files",
+    "snapshot_layout_report",
     "snapshot_history",
     "snapshot_incremental_read",
     "snapshot_rename_column",
@@ -5532,6 +5533,130 @@ def snapshot_files(
         }
         for f in manifest["files"]
     ]
+
+
+def snapshot_layout_report(
+    spark: SparkSession,
+    table_dir: str,
+    target_file_bytes: int = 128 * 1024 * 1024,
+    version: int | None = None,
+    as_of: float | None = None,
+) -> dict:
+    """Table-health report from the MANIFEST alone (zero Spark jobs,
+    zero files opened) — the observe half of the maintenance loop whose
+    act half is :func:`snapshot_compact` / :func:`snapshot_apply_filters`.
+
+    Returns, per snapshot:
+
+    - ``files`` / ``rows_total`` / ``bytes_total`` / ``avg_file_bytes``
+    - ``small_files``: files under ``target_file_bytes / 4`` (the
+      bin-packing candidates — a streaming-fed table grows one per
+      trigger)
+    - ``stats_coverage``: per stats column, the fraction of files whose
+      stats are USABLE under the current spec (spec-evolution pins and
+      pre-stats commits lower it; compaction restores it)
+    - ``clustering_depth``: per stats column, the MAX number of files a
+      single point value can hit (endpoint-sweep stabbing number over
+      the per-file [min, max] intervals) — depth 1 is perfectly
+      clustered (every point lookup/range cut plans ~1 file), depth ≈
+      file count means the column's stats prune nothing and a
+      ``zorder_by`` compaction would help
+    - ``pending_filters`` / ``pending_dv_entries`` / ``spec_pinned``
+    - ``recommendations``: the actions the numbers justify, as strings
+      naming the exact call
+
+    The 100 TB posture: this is how a maintenance scheduler decides
+    WHICH of 10⁴ tables need work without touching any of them."""
+    manifest = _resolve_manifest(spark, table_dir, version, as_of)
+    files = manifest["files"]
+    meta = manifest.get("file_meta", {})
+    stats_cols = manifest.get("stats_cols") or {}
+    n = len(files)
+    bytes_total = sum(int((meta.get(f) or {}).get("bytes") or 0) for f in files)
+    rows_total = sum(int((meta.get(f) or {}).get("rows") or 0) for f in files)
+    small = [
+        f
+        for f in files
+        if 0 < int((meta.get(f) or {}).get("bytes") or 0) < target_file_bytes // 4
+    ]
+    coverage: dict = {}
+    depth: dict = {}
+    for col in stats_cols:
+        intervals = []
+        have = 0
+        for f in files:
+            rng = (_effective_stats(manifest, f) or {}).get(col)
+            if rng is not None:
+                have += 1
+                if rng[0] is not None and rng[1] is not None:
+                    intervals.append((rng[0], rng[1]))
+        coverage[col] = round(have / n, 3) if n else 1.0
+        # endpoint sweep: +1 at each start, -1 AFTER each end; max depth
+        # = the worst-case number of files a point value stabs.  Mixed
+        # incomparable types (shouldn't happen within one column) fall
+        # back to "unknown" rather than raising.
+        try:
+            events = []
+            for lo, hi in intervals:
+                events.append((lo, 0, 1))
+                events.append((hi, 1, -1))
+            events.sort(key=lambda e: (e[0], e[1]))
+            cur = best = 0
+            for _, _, d in events:
+                cur += d
+                best = max(best, cur)
+            depth[col] = best
+        except TypeError:
+            depth[col] = None
+    fmap = _filter_map(manifest)
+    dv_entries = sum(
+        1 for e in manifest.get("row_filters", []) if "dv" in e
+    )
+    pred_entries = sum(
+        1 for e in manifest.get("row_filters", []) if "predicate" in e
+    )
+    spec_pinned = len(manifest.get("file_spec") or {})
+    recs = []
+    if len(small) > max(4, n // 10):
+        recs.append(
+            f"snapshot_compact: {len(small)} of {n} files are under "
+            f"{target_file_bytes // 4} bytes (bin-pack them)"
+        )
+    for col, d in depth.items():
+        if d is not None and n >= 8 and d > max(4, n // 4):
+            recs.append(
+                f"snapshot_compact(zorder_by=[{col!r}]): clustering depth "
+                f"{d} of {n} files — {col} stats barely prune"
+            )
+    if pred_entries + dv_entries >= 4:
+        recs.append(
+            f"snapshot_apply_filters: {pred_entries} predicate + "
+            f"{dv_entries} DV takedowns pending on every read"
+        )
+    if spec_pinned:
+        recs.append(
+            f"snapshot_compact: {spec_pinned} files still carry old-spec "
+            "stats pins (migrate to the current spec)"
+        )
+    low_cov = {c: v for c, v in coverage.items() if v < 0.8}
+    if low_cov:
+        recs.append(
+            f"snapshot_compact: stats coverage below 80% on {sorted(low_cov)}"
+        )
+    return {
+        "files": n,
+        "rows_total": rows_total,
+        "bytes_total": bytes_total,
+        "avg_file_bytes": bytes_total // n if n else 0,
+        "small_files": len(small),
+        "stats_coverage": coverage,
+        "clustering_depth": depth,
+        "pending_filters": pred_entries,
+        "pending_dv_entries": dv_entries,
+        "spec_pinned": spec_pinned,
+        "filtered_files": len(fmap),
+        "recommendations": recs,
+    }
 
 
 def snapshot_history(spark: SparkSession, table_dir: str) -> list[dict]:

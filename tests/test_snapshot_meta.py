@@ -513,3 +513,69 @@ def test_min_max_skips_all_null_and_empty_files_zero_scan(spark, tmp_path):
         assert snapshot_min_max(spark, t, "v") == (10, 99)
     finally:
         shutil.move(data_dir + ".hidden", data_dir)
+
+
+# ---------------------------------------------------------------------------
+# layout advisor (snapshot_layout_report) — the observe half of maintenance
+# ---------------------------------------------------------------------------
+
+
+def test_layout_report_shapes_and_recommendations(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from mini_project_204721_data_engineering_spark.sources.snapshots import (
+        snapshot_append,
+        snapshot_compact,
+        snapshot_delete_where,
+        snapshot_layout_report,
+        snapshot_set_stats_spec,
+    )
+
+    t = str(tmp_path / "t")
+    # 12 tiny single-file commits with HEAVILY OVERLAPPING id ranges
+    # (round-robin striping: every file spans almost the whole domain)
+    for i in range(12):
+        df = (
+            spark.range(i, 1200, 12)
+            .select(F.col("id"), (F.col("id") % 7).alias("k"))
+            .coalesce(1)
+        )
+        snapshot_append(df, t, stats_cols=["id"])
+    rep = snapshot_layout_report(spark, t)
+    assert rep["files"] == 12
+    assert rep["rows_total"] == 1200
+    assert rep["small_files"] == 12
+    assert rep["stats_coverage"] == {"id": 1.0}
+    # striped ranges all overlap: a point can hit every file
+    assert rep["clustering_depth"]["id"] == 12
+    msgs = "\n".join(rep["recommendations"])
+    assert "snapshot_compact" in msgs and "zorder_by" in msgs
+
+    # stack takedowns until the drain recommendation fires
+    for j in range(4):
+        snapshot_delete_where(spark, t, f"id % 997 = {j}", lazy=True)
+    rep = snapshot_layout_report(spark, t)
+    assert rep["pending_filters"] == 4
+    assert any("apply_filters" in r for r in rep["recommendations"])
+
+    # a spec change pins every stats-carrying file
+    snapshot_set_stats_spec(spark, t, {"id": "id", "kk": "k * 10"})
+    rep = snapshot_layout_report(spark, t)
+    assert rep["spec_pinned"] == 12
+    assert any("old-spec" in r for r in rep["recommendations"])
+    # the new alias has no stats anywhere yet -> low coverage flagged
+    assert rep["stats_coverage"]["kk"] == 0.0
+
+    # the ACT half: compaction fixes everything the report flagged
+    from mini_project_204721_data_engineering_spark.sources.snapshots import (
+        snapshot_apply_filters,
+    )
+
+    snapshot_apply_filters(spark, t)
+    snapshot_compact(spark, t, zorder_by=["id"])
+    rep = snapshot_layout_report(spark, t)
+    assert rep["pending_filters"] == 0
+    assert rep["spec_pinned"] == 0
+    assert rep["stats_coverage"]["id"] == 1.0
+    assert rep["clustering_depth"]["id"] <= 2  # zorder un-striped it
+    assert rep["recommendations"] == []
