@@ -217,6 +217,13 @@ class _SnapshotStreamReader(DataSourceStreamReader):
                 "is required"
             )
         self.starting = int(options.get("startingversion", 0))
+        # backpressure (Delta's maxFilesPerTrigger idea): cap how many
+        # CHANGED FILES a micro-batch may span — latestOffset stops
+        # advancing once the budget fills (always ≥ 1 version, so a
+        # single huge commit still processes).  None = unbounded.
+        mfpt = options.get("maxfilespertrigger")
+        self.max_files = int(mfpt) if mfpt is not None else None
+        self._last_end: int | None = None  # tracked from planning/commits
         self.schema = schema
         self._data_cols = [
             f.name
@@ -261,11 +268,40 @@ class _SnapshotStreamReader(DataSourceStreamReader):
 
     def latestOffset(self) -> dict:
         versions = _versions(self.table_dir)
-        return {"version": versions[-1] if versions else self.starting}
+        tip = versions[-1] if versions else self.starting
+        if self.max_files is None or self._last_end is None:
+            # no budget, or first trigger after a (re)start — the true
+            # position lives in the CHECKPOINT, which only partitions()
+            # sees; capping against a guess could move the offset
+            # backwards, so the first batch runs unbounded and every
+            # later one is capped
+            return {"version": tip}
+        lo, budget, end = self._last_end, self.max_files, self._last_end
+        prev_files = None
+        for v in range(lo + 1, tip + 1):
+            try:
+                m = _manifest(self.table_dir, v)
+            except Exception:
+                break  # planning will raise the clear retention error
+            if prev_files is None:
+                prev_files = (
+                    set(_manifest(self.table_dir, v - 1)["files"])
+                    if v - 1 > 0
+                    else set()
+                )
+            cur = set(m["files"])
+            changed = len(cur ^ prev_files) if m.get("op") != "compact" else 0
+            if end > lo and budget - changed < 0:
+                break  # budget exhausted; leave this version for later
+            budget -= changed
+            end = v
+            prev_files = cur
+        return {"version": end}
 
     # -- planning (driver) -----------------------------------------------
     def partitions(self, start: dict, end: dict) -> Sequence[InputPartition]:
         lo, hi = int(start["version"]), int(end["version"])
+        self._last_end = hi  # the rate limiter advances from here
         parts: list[InputPartition] = []
         live = set(_versions(self.table_dir))
         missing = [v for v in range(max(lo, 1), hi + 1) if v not in live]

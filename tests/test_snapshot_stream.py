@@ -268,3 +268,48 @@ def test_row_group_splitting_and_arrow_alignment(spark, tmp_path):
     reader._SPLIT_BYTES = 10**12
     parts = reader._split(p, "delete", 8, {p: {"bytes": 999, "rows": 90}})
     assert len(parts) == 1 and parts[0].row_group is None
+
+
+def test_max_files_per_trigger_backpressure(registered, tmp_path):
+    """maxFilesPerTrigger bounds each micro-batch's changed-file span:
+    6 one-file commits with budget 1 drain as ~one-version batches
+    (after the unbounded first batch), and the mirror still converges
+    to the exact table state."""
+    spark = registered
+    t = str(tmp_path / "t")
+    snapshot_append(_df(spark, 0, 10).coalesce(1), t)
+    mirror = _Mirror()
+    batches = []
+
+    def apply(batch_df, batch_id):
+        rows = batch_df.collect()
+        if rows:
+            batches.append(
+                sorted({r["_commit_version"] for r in rows})
+            )
+        mirror.apply(batch_df, batch_id)
+
+    q = (
+        spark.readStream.format("snapshot_feed")
+        .option("table_dir", t)
+        .option("maxFilesPerTrigger", "1")
+        .load()
+        .writeStream.foreachBatch(apply)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        for i in range(1, 6):
+            snapshot_append(
+                _df(spark, 10 * (i + 1), 10 * (i + 2)).coalesce(1), t
+            )
+        q.processAllAvailable()
+        assert mirror.snapshot() == _table_counter(spark, t)
+        # after the first (unbounded) batch, every batch spans ONE
+        # version — the budget held
+        for vs in batches[1:]:
+            assert len(vs) == 1, batches
+        assert len(batches) >= 6
+    finally:
+        q.stop()
