@@ -5711,7 +5711,11 @@ def _staged_catalog_referenced(
                 if (
                     pin.get("txn_id") == tid
                     and pin.get("version") == sv
-                    and sp.startswith(plain(pin.get("dir", "\x00")))
+                    # trailing separator: /data/facts2 must not match a
+                    # sibling pin at /data/facts (prefix collision)
+                    and sp.startswith(
+                        plain(pin.get("dir", "\x00")).rstrip("/") + "/"
+                    )
                 ):
                     return True
         return False
@@ -5797,7 +5801,11 @@ def expire_snapshots(
                 continue  # delete only after the grace window
             fs.delete(s.getPath(), False)  # abandoned: release its pins
             continue
-        if sm.get("version") in versions:
+        if sm.get("version") in keep:
+            # the slot is published AND SURVIVES THIS RUN — only then is
+            # the staged copy redundant (an expired published version
+            # would leave the catalog pin with no resolution target and
+            # its data swept: merely `in versions` is not enough)
             try:
                 pub = _read_manifest(spark, table_dir, sm["version"])
             except Exception:
@@ -5805,11 +5813,11 @@ def expire_snapshots(
             if pub is not None and pub.get("meta", {}).get(
                 "catalog_txn"
             ) == sm.get("meta", {}).get("catalog_txn"):
-                # slot published by OUR transaction: the live manifest
-                # (kept or expired above on its own merits) governs;
-                # the staged copy is redundant bytes.  A FOREIGN
-                # manifest in the slot (diverged log) keeps the staged
-                # copy — it is still the catalog's resolution target.
+                # slot published by OUR transaction: the kept manifest
+                # governs; the staged copy is redundant bytes.  A
+                # FOREIGN manifest in the slot (diverged log) keeps the
+                # staged copy — it is still the catalog's resolution
+                # target.
                 fs.delete(s.getPath(), False)
                 continue
         keep_manifests.append(sm)

@@ -162,6 +162,10 @@ def catalog_pins(
     ...}}``.  Reading several tables at ONE pinned catalog version is a
     consistent cross-table snapshot — "the database as of Tuesday", not
     per-table approximations of it."""
+    if catalog_version is not None and as_of is not None:
+        raise ValueError(
+            "catalog_pins: pass catalog_version OR as_of, not both"
+        )
     if catalog_version is None and as_of is not None:
         versions = _list_versions(spark, catalog_dir)
         eligible = [
@@ -444,8 +448,13 @@ def multi_table_txn(
                         nf, _ = _write_data_files(survivors, pin["dir"])
                     else:
                         nf = []
-                    si["rewrites"][pv] = (set(planned), nf)
-                planned_set, new_files = si["rewrites"][pv]
+                    # the stats_fn memo rides the rewrite memo: a lost
+                    # race on ANOTHER table must not re-run this
+                    # table's file-stats job either
+                    si["rewrites"][pv] = (
+                        set(planned), nf, _compose_stats(spark, nf, None)
+                    )
+                planned_set, new_files, stats_fn = si["rewrites"][pv]
 
                 def files_fn(parent, _pl=planned_set, _nf=new_files):
                     return [
@@ -456,7 +465,6 @@ def multi_table_txn(
                     return parent["schema"]
 
                 evo_fn = None
-                stats_fn = _compose_stats(spark, new_files, None)
                 op_tag = "delete"
             elif op == "merge_into":
                 src_df = si["df"]
@@ -475,7 +483,9 @@ def multi_table_txn(
                         nf, _ = _write_data_files(
                             _dedup_guarded(src_df, si["keys"]), pin["dir"]
                         )
-                        si["rewrites"][pv] = (set(), nf)
+                        si["rewrites"][pv] = (
+                            set(), nf, _compose_stats(spark, nf, None)
+                        )
                 else:
                     _check_schema(
                         parent_manifest,
@@ -490,8 +500,10 @@ def multi_table_txn(
                             si["keys"], si["when_matched"],
                             si["when_not_matched"],
                         )
-                        si["rewrites"][pv] = (set(hit), nf)
-                hit_set, new_files = si["rewrites"][pv]
+                        si["rewrites"][pv] = (
+                            set(hit), nf, _compose_stats(spark, nf, None)
+                        )
+                hit_set, new_files, stats_fn = si["rewrites"][pv]
 
                 def files_fn(parent, _hit=hit_set, _nf=new_files):
                     return [
@@ -503,7 +515,6 @@ def multi_table_txn(
                     return parent["schema"] if parent else _ddl
 
                 evo_fn = None
-                stats_fn = _compose_stats(spark, new_files, None)
                 op_tag = "merge"
             elif op == "append":
                 ddl, new_files = si["schema"].simpleString(), si["new_files"]
@@ -725,8 +736,6 @@ def catalog_expire(
     travel always has under GC).  Publication should precede expiry
     (:func:`catalog_publish`) so staged fallbacks aren't load-bearing
     for historical pins."""
-    import time as _time
-
     if keep_last < 1:
         raise ValueError("keep_last must be >= 1")
     versions = _list_versions(spark, catalog_dir)
@@ -734,7 +743,7 @@ def catalog_expire(
         return {"expired": 0, "min_pinned": {}}
     keep = set(versions[-keep_last:])
     if min_age_seconds > 0:
-        cutoff = _time.time() - min_age_seconds
+        cutoff = time.time() - min_age_seconds
         keep.update(
             v
             for v in versions

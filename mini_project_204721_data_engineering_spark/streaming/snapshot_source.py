@@ -277,25 +277,32 @@ class _SnapshotStreamReader(DataSourceStreamReader):
             # later one is capped
             return {"version": tip}
         lo, budget, end = self._last_end, self.max_files, self._last_end
-        prev_files = None
-        for v in range(lo + 1, tip + 1):
-            try:
+        try:
+            prev_files = None
+            for v in range(lo + 1, tip + 1):
                 m = _manifest(self.table_dir, v)
-            except Exception:
-                break  # planning will raise the clear retention error
-            if prev_files is None:
-                prev_files = (
-                    set(_manifest(self.table_dir, v - 1)["files"])
-                    if v - 1 > 0
-                    else set()
+                if prev_files is None:
+                    prev_files = (
+                        set(_manifest(self.table_dir, v - 1)["files"])
+                        if v - 1 > 0
+                        else set()
+                    )
+                cur = set(m["files"])
+                changed = (
+                    len(cur ^ prev_files) if m.get("op") != "compact" else 0
                 )
-            cur = set(m["files"])
-            changed = len(cur ^ prev_files) if m.get("op") != "compact" else 0
-            if end > lo and budget - changed < 0:
-                break  # budget exhausted; leave this version for later
-            budget -= changed
-            end = v
-            prev_files = cur
+                if end > lo and budget - changed < 0:
+                    break  # budget exhausted; leave this version for later
+                budget -= changed
+                end = v
+                prev_files = cur
+        except Exception:
+            # a manifest in the window is unreadable (retention passed
+            # the offset): advance to the TIP so partitions() runs and
+            # raises ITS clear re-baseline error — capping here would
+            # stall the stream silently (end stuck at lo, no batch ever
+            # planned, no error ever surfaced)
+            return {"version": tip}
         return {"version": end}
 
     # -- planning (driver) -----------------------------------------------
@@ -409,17 +416,29 @@ class _SnapshotStreamReader(DataSourceStreamReader):
         ct, cv = partition.change_type, partition.version
         if target is not None:
             try:
-                yield from self._arrow_batches(batches, target, ct, cv, pa)
-                return
+                # EAGER alignment: materialize every aligned batch
+                # BEFORE yielding any — a mid-stream failure (unsafe
+                # cast on values in a later batch) after partial yield
+                # would duplicate the already-consumed rows when the
+                # tuple fallback replays the partition.  Memory is
+                # bounded by the partition (≤ one row group after
+                # splitting), the same bound the scan itself has.
+                aligned = list(
+                    self._arrow_batches(batches, target, ct, cv, pa)
+                )
             except Exception:
-                # reopen and degrade to tuples (batches may be spent)
-                if partition.row_group is None:
-                    batches = pf.iter_batches(batch_size=64 * 1024)
-                else:
-                    batches = pf.iter_batches(
-                        batch_size=64 * 1024,
-                        row_groups=[partition.row_group],
-                    )
+                aligned = None
+            if aligned is not None:
+                yield from aligned
+                return
+            # reopen and degrade to tuples (batches are spent)
+            if partition.row_group is None:
+                batches = pf.iter_batches(batch_size=64 * 1024)
+            else:
+                batches = pf.iter_batches(
+                    batch_size=64 * 1024,
+                    row_groups=[partition.row_group],
+                )
         yield from self._tuple_rows(batches, ct, cv)
 
     def _arrow_batches(self, batches, target, ct: str, cv: int, pa):
