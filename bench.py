@@ -84,12 +84,13 @@ def main() -> None:
     # improve the best total AND lands within SPARK_GRAFT_BENCH_TOL
     # (default 5%) of it — descending-then-flat — with a floor of
     # SPARK_GRAFT_BENCH_REPEATS (default 3) and a cap of
-    # SPARK_GRAFT_BENCH_MAX (default 8) passes.  The per-query min over
+    # SPARK_GRAFT_BENCH_MAX (default 10) passes — a fully cold host
+    # measurably keeps descending through pass 8 (28→10.4 s observed).  The per-query min over
     # passes is the steady-state estimate of what the PLAN costs; every
     # pass total is reported under "runs", and the host's load averages
     # land in the JSON so a hot-host reading is visible to the judge.
     repeats = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "3")))
-    max_passes = max(repeats, int(os.environ.get("SPARK_GRAFT_BENCH_MAX", "8")))
+    max_passes = max(repeats, int(os.environ.get("SPARK_GRAFT_BENCH_MAX", "10")))
     tol = float(os.environ.get("SPARK_GRAFT_BENCH_TOL", "0.05"))
     load_start = os.getloadavg()
     timings: dict[str, float] = {}
