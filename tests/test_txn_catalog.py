@@ -919,3 +919,138 @@ def test_merge_into_in_txn_upsert_with_audit(spark, tmp_path):
         if r["upload_id"] == 5
     ]
     assert [(r["upload_id"], r["v"]) for r in rows] == [(5, 500)]
+
+
+def test_model_based_random_txn_sequences(spark, tmp_path):
+    """Model-based pin: random transaction sequences (append /
+    overwrite / delete_where / merge_into / injected crashes / replays)
+    against an in-memory model — after every step the catalog view of
+    BOTH tables equals the model, and every historical catalog version
+    still replays its recorded state (time-travel consistency)."""
+    import random as rnd
+
+    import mini_project_204721_data_engineering_spark.sources.txn_catalog as tc
+
+    class Boom(RuntimeError):
+        pass
+
+    for seed in (11, 23):
+        rng = rnd.Random(seed)
+        root = tmp_path / f"m{seed}"
+        cat = str(root / "cat")
+        catalog_init(
+            spark, cat, {"a": str(root / "a"), "b": str(root / "b")}
+        )
+        model = {"a": [], "b": []}  # list of (k, v)
+        history = []  # (catalog_version, snapshot of model)
+        next_k = [0]
+
+        def fresh_rows(n):
+            out = [(next_k[0] + i, rng.randrange(100)) for i in range(n)]
+            next_k[0] += n
+            return out
+
+        def df_of(rows):
+            return spark.createDataFrame(rows or [], "k long, v long")
+
+        def apply_model(name, spec):
+            if spec["op"] == "append":
+                model[name] = model[name] + spec["rows"]
+            elif spec["op"] == "overwrite":
+                model[name] = list(spec["rows"])
+            elif spec["op"] == "delete_where":
+                t = spec["thresh"]
+                model[name] = [r for r in model[name] if not (r[1] >= t)]
+            else:  # merge_into on k
+                keys = {r[0] for r in spec["rows"]}
+                model[name] = [
+                    r for r in model[name] if r[0] not in keys
+                ] + spec["rows"]
+
+        def to_writes(specs):
+            out = {}
+            for name, spec in specs.items():
+                if spec["op"] == "delete_where":
+                    out[name] = {
+                        "op": "delete_where",
+                        "predicate": f"v >= {spec['thresh']}",
+                    }
+                elif spec["op"] == "merge_into":
+                    out[name] = {
+                        "op": "merge_into",
+                        "df": df_of(spec["rows"]),
+                        "keys": ["k"],
+                    }
+                else:
+                    out[name] = {"op": spec["op"], "df": df_of(spec["rows"])}
+            return out
+
+        for step in range(14):
+            specs = {}
+            for name in rng.sample(["a", "b"], rng.randint(1, 2)):
+                op = rng.choice(
+                    ["append", "append", "overwrite", "delete_where",
+                     "merge_into"]
+                )
+                if op == "delete_where":
+                    if not model[name]:
+                        op = "append"
+                if op == "append" or op == "overwrite":
+                    specs[name] = {"op": op, "rows": fresh_rows(rng.randint(1, 5))}
+                elif op == "delete_where":
+                    specs[name] = {
+                        "op": "delete_where", "thresh": rng.randrange(100)
+                    }
+                else:
+                    # half existing keys (update), half new (insert)
+                    existing = [r[0] for r in model[name]]
+                    ks = rng.sample(existing, min(2, len(existing)))
+                    rows = [(k, rng.randrange(100)) for k in ks] + fresh_rows(1)
+                    specs[name] = {"op": "merge_into", "rows": rows}
+            crash = rng.random() < 0.25
+            if crash:
+                real = tc._try_write_manifest
+
+                def boom(spark_, dir_, version, manifest):
+                    if dir_ == cat and manifest.get("op") == "txn":
+                        raise Boom()
+                    return real(spark_, dir_, version, manifest)
+
+                tc._try_write_manifest = boom
+                try:
+                    with pytest.raises(Boom):
+                        multi_table_txn(spark, cat, to_writes(specs))
+                finally:
+                    tc._try_write_manifest = real
+                # crash BEFORE the catalog commit: model unchanged
+            else:
+                res = multi_table_txn(spark, cat, to_writes(specs))
+                for name, spec in specs.items():
+                    apply_model(name, spec)
+                history.append(
+                    (res["version"], {n: sorted(model[n]) for n in model})
+                )
+            # invariant: live view == model for both tables
+            for name in ("a", "b"):
+                if model[name]:
+                    got = sorted(
+                        (r["k"], r["v"])
+                        for r in catalog_read(spark, cat, name).collect()
+                    )
+                    assert got == sorted(model[name]), (seed, step, name)
+                else:
+                    try:
+                        assert catalog_read(spark, cat, name).count() == 0
+                    except ValueError:
+                        pass  # never written yet: acceptable empty form
+        # time travel: every recorded catalog version replays its state
+        for cv, snap in rng.sample(history, min(4, len(history))):
+            for name in ("a", "b"):
+                if snap[name]:
+                    got = sorted(
+                        (r["k"], r["v"])
+                        for r in catalog_read(
+                            spark, cat, name, catalog_version=cv
+                        ).collect()
+                    )
+                    assert got == snap[name], (seed, cv, name)
