@@ -219,6 +219,14 @@ def merge_into(
     table is a no-op state-wise (updates rewrite identical values,
     inserts become updates) — pytest-pinned.  Returns
     ``{"updated", "deleted", "inserted", "partitions_rewritten"}``.
+
+    Emptied-table caveat (inherent to SCHEMALESS parquet directories,
+    hypothesis-found): a merge that deletes the last row leaves a
+    directory with no parquet files, and a subsequent
+    ``spark.read.parquet(path)`` without an explicit schema cannot
+    infer one — supply ``.schema(...)`` when reading a possibly-empty
+    table, or use the snapshot log (``snapshots.py``), whose manifest
+    carries the schema through emptiness.
     """
     if when_matched not in ("update", "delete", "ignore"):
         raise ValueError(f"when_matched must be update/delete/ignore, got {when_matched!r}")

@@ -628,8 +628,13 @@ def test_merge_into_model_property(spark, seed_rows, feed1, feed2):
                     model[k] = (f"d{p}", v)
                 else:
                     model.pop(k, None)
+        # explicit schema: a feed that deleted EVERY row leaves a
+        # directory with no parquet files, and schema inference has
+        # nothing to read (the documented schemaless-format caveat —
+        # this hypothesis-found case is exactly why the snapshot log
+        # carries schema in the manifest instead)
         got = {r["k"]: (r["day"], r["v"])
-               for r in spark.read.parquet(tab).collect()}
+               for r in spark.read.schema(cols).parquet(tab).collect()}
         assert got == model
         # no stale partition directories beyond the model's live set
         live = {d for d, _ in model.values()}
