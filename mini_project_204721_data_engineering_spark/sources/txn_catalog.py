@@ -304,6 +304,17 @@ def multi_table_txn(
         {"op": "delete_where", "predicate": "sql"}
         {"op": "merge_into",   "df": src, "keys": [...],
          "when_matched": "update", "when_not_matched": "insert"}
+        {"op": "compact",      "target_file_bytes": 128 MiB,  # defaults
+                               "small_file_bytes": target // 4}
+
+    ``compact`` is how MAINTENANCE reaches enrolled tables: a direct
+    `snapshot_compact` on the table dir would race publication for
+    version numbers (the module-doc divergence hazard), so bin-packing
+    goes through the same staged-pin flip as every other write —
+    content-identical by construction, conflict-safe by the catalog's
+    OCC, and combinable with writes to OTHER tables in one transaction.
+    The feed treats it as a compaction (op tag "compact": emits
+    nothing).
 
     ``delete_where`` is the copy-on-write correction shape (retract
     fact rows + append the correcting audit row, atomically): the
@@ -358,8 +369,19 @@ def multi_table_txn(
     staged_inputs: dict[str, dict] = {}
     for name, spec in writes.items():
         op = spec.get("op", "append")
-        if op not in ("append", "overwrite", "delete_where", "merge_into"):
+        if op not in (
+            "append", "overwrite", "delete_where", "merge_into", "compact"
+        ):
             raise ValueError(f"multi_table_txn: unsupported op {op!r}")
+        if op == "compact":
+            target = int(spec.get("target_file_bytes", 128 * 1024 * 1024))
+            staged_inputs[name] = {
+                "op": op,
+                "target": target,
+                "small": int(spec.get("small_file_bytes", target // 4)),
+                "rewrites": {},
+            }
+            continue
         if op == "delete_where":
             staged_inputs[name] = {
                 "op": op,
@@ -466,6 +488,48 @@ def multi_table_txn(
 
                 evo_fn = None
                 op_tag = "delete"
+            elif op == "compact":
+                if parent_manifest is None:
+                    raise ValueError(
+                        f"multi_table_txn: compact on {name!r}, which has "
+                        "no committed data"
+                    )
+                pv = pin["version"]
+                if pv not in si["rewrites"]:
+                    meta_f = parent_manifest.get("file_meta", {})
+                    small = [
+                        f
+                        for f in parent_manifest["files"]
+                        if 0
+                        < int((meta_f.get(f) or {}).get("bytes") or 0)
+                        < si["small"]
+                    ]
+                    if len(small) > 1:
+                        total = sum(
+                            int(meta_f[f]["bytes"]) for f in small
+                        )
+                        nparts = max(1, -(-total // si["target"]))
+                        packed = _filtered_read(
+                            spark, parent_manifest, small
+                        ).coalesce(nparts)
+                        nf, _ = _write_data_files(packed, pin["dir"])
+                    else:
+                        small, nf = [], []
+                    si["rewrites"][pv] = (
+                        set(small), nf, _compose_stats(spark, nf, None)
+                    )
+                small_set, new_files, stats_fn = si["rewrites"][pv]
+
+                def files_fn(parent, _sm=small_set, _nf=new_files):
+                    return [
+                        f for f in parent["files"] if f not in _sm
+                    ] + _nf
+
+                def schema_fn(parent):
+                    return parent["schema"]
+
+                evo_fn = None
+                op_tag = "compact"
             elif op == "merge_into":
                 src_df = si["df"]
                 pv = pin["version"]

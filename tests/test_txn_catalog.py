@@ -1054,3 +1054,52 @@ def test_model_based_random_txn_sequences(spark, tmp_path):
                         ).collect()
                     )
                     assert got == snap[name], (seed, cv, name)
+
+
+def test_compact_spec_maintains_enrolled_table(spark, tmp_path):
+    """Maintenance reaches enrolled tables THROUGH the catalog: the
+    compact spec bin-packs small files as a staged-pin flip — content
+    identical, no divergence race with publication, and combinable with
+    other tables' writes in one transaction."""
+    import glob as _glob
+
+    cat, facts, lineage = _setup(spark, tmp_path)
+    for u in range(6):
+        multi_table_txn(
+            spark, cat,
+            {"facts": {"op": "append", "df": _fact_df(spark, u, 50)}},
+        )
+    before = sorted(
+        (r["upload_id"], r["v"])
+        for r in catalog_read(spark, cat, "facts").collect()
+    )
+    n_files_before = len(_glob.glob(f"{facts}/data/*/part-*"))
+    res = multi_table_txn(
+        spark, cat,
+        {
+            "facts": {"op": "compact"},
+            "lineage": {"op": "append", "df": _lineage_df(spark, 99, 0)},
+        },
+    )
+    assert res["op"] == "txn"
+    after = sorted(
+        (r["upload_id"], r["v"])
+        for r in catalog_read(spark, cat, "facts").collect()
+    )
+    assert after == before  # content identical
+    # the catalog view plans FEWER files now
+    files_planned = len(catalog_read(spark, cat, "facts").inputFiles())
+    assert files_planned < n_files_before
+    assert catalog_read(spark, cat, "lineage").count() == 1
+    # published like any txn; single-table tooling agrees
+    assert read_snapshot(spark, facts).count() == 300
+    # compact on an already-packed table is a no-op commit (no rewrite)
+    v = len(catalog_history(spark, cat))
+    multi_table_txn(spark, cat, {"facts": {"op": "compact"}})
+    assert (
+        len(catalog_read(spark, cat, "facts").inputFiles()) == files_planned
+    )
+    with pytest.raises(ValueError, match="no committed data"):
+        cat2 = str(tmp_path / "c2")
+        catalog_init(spark, cat2, {"e": str(tmp_path / "e")})
+        multi_table_txn(spark, cat2, {"e": {"op": "compact"}})
