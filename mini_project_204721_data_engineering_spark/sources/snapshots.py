@@ -4658,6 +4658,64 @@ def snapshot_changes(
     return table_diff(removed, added, keys)
 
 
+def _compact_pack(
+    spark: SparkSession,
+    manifest: dict,
+    table_dir: str,
+    target_file_bytes: int,
+    small_file_bytes: int,
+    zorder_by: Sequence[str] | None = None,
+) -> tuple[list[str] | None, list[str] | None]:
+    """The bin-packing PLAN + rewrite against a GIVEN manifest →
+    ``(small_files, new_files)``, or ``(None, None)`` when fewer than
+    two files qualify (nothing worth packing).  ONE implementation for
+    :func:`snapshot_compact` (tip manifest) and the multi-table
+    transaction's compact spec (catalog-pinned manifest) — divergent
+    planners would drift (size fallback, thresholds, partitioning)."""
+    if target_file_bytes <= 0 or small_file_bytes <= 0:
+        raise ValueError(
+            "compact: target_file_bytes and small_file_bytes must be "
+            f"positive (got {target_file_bytes}, {small_file_bytes})"
+        )
+    fs, _, jvm = _fs_for(spark, table_dir)
+    # sizes come from the manifest's file_meta — at 1e5 files that is
+    # the difference between a dict lookup and 1e5 getFileStatus RPCs
+    # just to DECIDE what to compact; only files predating row/byte
+    # recording fall back to the filesystem
+    meta = manifest.get("file_meta", {})
+    sizes = {}
+    for f in manifest["files"]:
+        m = meta.get(f)
+        if m is not None and "bytes" in m:
+            sizes[f] = int(m["bytes"])
+        else:
+            sizes[f] = int(
+                fs.getFileStatus(jvm.org.apache.hadoop.fs.Path(f)).getLen()
+            )
+    small = [f for f in manifest["files"] if sizes[f] < small_file_bytes]
+    if len(small) < 2:
+        return None, None  # nothing worth packing
+    total = sum(sizes[f] for f in small)
+    n_out = max(1, (total + target_file_bytes - 1) // target_file_bytes)
+    # read through pending lazy-delete filters: compaction is also the
+    # natural drain point that materializes them into clean bytes
+    packed = _filtered_read(spark, manifest, small)
+    if zorder_by:
+        from mini_project_204721_data_engineering_spark.sources.sink import zorder_column
+
+        z = zorder_column(packed, list(zorder_by))
+        packed = (
+            packed.withColumn("__zval", z)
+            .repartitionByRange(n_out, "__zval")
+            .sortWithinPartitions("__zval")
+            .drop("__zval")
+        )
+    else:
+        packed = packed.repartition(n_out)
+    new_files, _ = _write_data_files(packed, table_dir)
+    return small, new_files
+
+
 def snapshot_compact(
     spark: SparkSession,
     table_dir: str,
@@ -4708,42 +4766,12 @@ def snapshot_compact(
         _bloom_build_cols(_pds(manifest["schema"]), bloom_cols, explicit=True)
     if ndv_cols is not None:
         _ndv_build_cols(_pds(manifest["schema"]), ndv_cols, explicit=True)
-    fs, _, jvm = _fs_for(spark, table_dir)
-    # sizes come from the manifest's file_meta — at 1e5 files that is
-    # the difference between a dict lookup and 1e5 getFileStatus RPCs
-    # just to DECIDE what to compact; only files predating row/byte
-    # recording fall back to the filesystem
-    meta = manifest.get("file_meta", {})
-    sizes = {}
-    for f in manifest["files"]:
-        m = meta.get(f)
-        if m is not None and "bytes" in m:
-            sizes[f] = int(m["bytes"])
-        else:
-            sizes[f] = int(
-                fs.getFileStatus(jvm.org.apache.hadoop.fs.Path(f)).getLen()
-            )
-    small = [f for f in manifest["files"] if sizes[f] < small_file_bytes]
-    if len(small) < 2:
+    small, new_files = _compact_pack(
+        spark, manifest, table_dir, target_file_bytes, small_file_bytes,
+        zorder_by,
+    )
+    if small is None:
         return manifest  # nothing worth packing
-    total = sum(sizes[f] for f in small)
-    n_out = max(1, (total + target_file_bytes - 1) // target_file_bytes)
-    # read through pending lazy-delete filters: compaction is also the
-    # natural drain point that materializes them into clean bytes
-    packed = _filtered_read(spark, manifest, small)
-    if zorder_by:
-        from mini_project_204721_data_engineering_spark.sources.sink import zorder_column
-
-        z = zorder_column(packed, list(zorder_by))
-        packed = (
-            packed.withColumn("__zval", z)
-            .repartitionByRange(n_out, "__zval")
-            .sortWithinPartitions("__zval")
-            .drop("__zval")
-        )
-    else:
-        packed = packed.repartition(n_out)
-    new_files, _ = _write_data_files(packed, table_dir)
     small_set = set(small)
     # compaction stays APPEND-tolerant (appends only add files), but the
     # filter state of the files it packed must not have moved: a

@@ -375,10 +375,24 @@ def multi_table_txn(
             raise ValueError(f"multi_table_txn: unsupported op {op!r}")
         if op == "compact":
             target = int(spec.get("target_file_bytes", 128 * 1024 * 1024))
+            small = int(spec.get("small_file_bytes", target // 2))
+            if target <= 0 or small <= 0:
+                raise ValueError(
+                    "multi_table_txn: compact sizes must be positive "
+                    f"(got target={target}, small={small})"
+                )
             staged_inputs[name] = {
                 "op": op,
                 "target": target,
-                "small": int(spec.get("small_file_bytes", target // 4)),
+                "small": small,
+                "zorder_by": (
+                    [str(c) for c in spec["zorder_by"]]
+                    if spec.get("zorder_by")
+                    else None
+                ),
+                "bloom_cols": spec.get("bloom_cols"),
+                "ndv_cols": spec.get("ndv_cols"),
+                "holder": {"entries": {}, "ndv": {}},  # bloom key is "entries"
                 "rewrites": {},
             }
             continue
@@ -496,29 +510,43 @@ def multi_table_txn(
                     )
                 pv = pin["version"]
                 if pv not in si["rewrites"]:
-                    meta_f = parent_manifest.get("file_meta", {})
-                    small = [
-                        f
-                        for f in parent_manifest["files"]
-                        if 0
-                        < int((meta_f.get(f) or {}).get("bytes") or 0)
-                        < si["small"]
-                    ]
-                    if len(small) > 1:
-                        total = sum(
-                            int(meta_f[f]["bytes"]) for f in small
+                    from pyspark.sql.types import _parse_datatype_string
+
+                    from .snapshots import (
+                        _bloom_build_cols,
+                        _compact_pack,
+                        _ndv_build_cols,
+                    )
+
+                    pschema = _parse_datatype_string(
+                        parent_manifest["schema"]
+                    )
+                    # typo-refusals BEFORE the repack, like the
+                    # single-table op
+                    if si["bloom_cols"] is not None:
+                        _bloom_build_cols(
+                            pschema, si["bloom_cols"], explicit=True
                         )
-                        nparts = max(1, -(-total // si["target"]))
-                        packed = _filtered_read(
-                            spark, parent_manifest, small
-                        ).coalesce(nparts)
-                        nf, _ = _write_data_files(packed, pin["dir"])
-                    else:
-                        small, nf = [], []
+                    if si["ndv_cols"] is not None:
+                        _ndv_build_cols(
+                            pschema, si["ndv_cols"], explicit=True
+                        )
+                    sm, nf = _compact_pack(
+                        spark, parent_manifest, pin["dir"],
+                        si["target"], si["small"], si["zorder_by"],
+                    )
                     si["rewrites"][pv] = (
-                        set(small), nf, _compose_stats(spark, nf, None)
+                        set(sm) if sm else None,
+                        nf or [],
+                        _compose_stats(spark, nf or [], None),
                     )
                 small_set, new_files, stats_fn = si["rewrites"][pv]
+                if small_set is None:
+                    # nothing worth packing: drop this table from the
+                    # transaction entirely — NO new table version, NO
+                    # catalog churn (an hourly maintenance job must not
+                    # mint 8760 empty versions a year)
+                    continue
 
                 def files_fn(parent, _sm=small_set, _nf=new_files):
                     return [
@@ -615,6 +643,25 @@ def multi_table_txn(
                 stats_fn = si["stats_fn"]
                 op_tag = op
 
+            bloom_fn = ndv_fn = None
+            if op == "compact" and (
+                si["bloom_cols"] is not None or si["ndv_cols"] is not None
+            ):
+                from pyspark.sql.types import _parse_datatype_string
+
+                from .snapshots import _bloom_fn_for, _ndv_fn_for
+
+                pschema = _parse_datatype_string(parent_manifest["schema"])
+                if si["bloom_cols"] is not None:
+                    bloom_fn = _bloom_fn_for(
+                        spark, pin["dir"], new_files, si["bloom_cols"],
+                        pschema, si["holder"],
+                    )
+                if si["ndv_cols"] is not None:
+                    ndv_fn = _ndv_fn_for(
+                        spark, pin["dir"], new_files, si["ndv_cols"],
+                        pschema, si["holder"],
+                    )
             v = pin["version"] + 1
             manifest = _build_manifest(
                 parent_manifest,
@@ -634,6 +681,8 @@ def multi_table_txn(
                 },
                 stats_fn=stats_fn,
                 evo_fn=evo_fn,
+                bloom_fn=bloom_fn,
+                ndv_fn=ndv_fn,
             )
             staged_path = str(
                 _child(
@@ -651,6 +700,11 @@ def multi_table_txn(
                 "staged": staged_path,
                 "txn_id": tid,
             }
+        if not prev_staged:
+            # every write was a nothing-to-pack compact: commit NOTHING
+            # (no table versions, no catalog version) — the transaction
+            # is vacuously complete at the current tip
+            return tip
         cat = {
             "version": parent_version + 1,
             "parent": parent_version,
@@ -728,9 +782,12 @@ def catalog_changes(
 
     Append-only windows only (same contract as
     :func:`~.snapshots.snapshot_incremental_read`): a window in which
-    a table REWROTE files (delete/compact/overwrite) raises — use
+    a table REWROTE rows (delete/overwrite/merge) raises — use
     row-level :func:`~.snapshots.snapshot_changes` on that table after
-    publication."""
+    publication.  COMPACTION steps (the catalog ``compact`` spec) are
+    byte-identical rewrites and are SKIPPED, not raised — routine
+    maintenance must not break the downstream-ETL loop (the same rule
+    the streaming feed applies)."""
     from .snapshots import _filter_sig
 
     tip = _catalog_tip(spark, catalog_dir)
@@ -742,40 +799,55 @@ def catalog_changes(
         raise ValueError(
             f"catalog_changes: from {from_version} is ahead of {to_version}"
         )
-    from_pins = catalog_pins(spark, catalog_dir, from_version)
     to_pins = catalog_pins(spark, catalog_dir, to_version)
     out: dict = {}
     for name in to_pins:
-        base_m = (
-            catalog_resolve(spark, catalog_dir, name, from_version)
-            if name in from_pins
-            else None
-        )
-        tip_m = catalog_resolve(spark, catalog_dir, name, to_version)
-        if tip_m is None:
+        # walk the window VERSION BY VERSION so a compaction step can be
+        # recognized (op tag) and skipped instead of tripping the
+        # removed-files guard on the endpoint diff
+        prev_m = catalog_resolve(spark, catalog_dir, name, from_version)
+        added: list[str] = []
+        added_seen: set[str] = set()
+        reader_m = prev_m
+        for cv in range(from_version + 1, to_version + 1):
+            cur_m = catalog_resolve(spark, catalog_dir, name, cv)
+            if cur_m is None:
+                continue
+            pf = set(prev_m["files"]) if prev_m else set()
+            cf = set(cur_m["files"])
+            if pf == cf and _filter_sig(prev_m, pf) == _filter_sig(cur_m, pf):
+                prev_m = cur_m
+                continue  # this txn didn't touch this table
+            if cur_m.get("op") == "compact":
+                # byte-identical: previously-added files may have been
+                # packed away, but their BYTES remain readable until
+                # expire and their content is already in `added`
+                prev_m = cur_m
+                continue
+            removed = pf - cf
+            if removed:
+                raise ValueError(
+                    f"catalog_changes: non-append commit on {name!r} at "
+                    f"catalog v{cv} removed {len(removed)} file(s) — use "
+                    "snapshot_changes for row-level diffs on that table"
+                )
+            carried = pf & cf
+            if _filter_sig(prev_m, carried) != _filter_sig(cur_m, carried):
+                raise ValueError(
+                    f"catalog_changes: merge-on-read filter change on "
+                    f"{name!r} in the window — file-level deltas would "
+                    "miss the deletions; use snapshot_changes"
+                )
+            for f in cur_m["files"]:
+                if f not in pf and f not in added_seen:
+                    added.append(f)
+                    added_seen.add(f)
+            prev_m = cur_m
+            reader_m = cur_m
+        if reader_m is None or not added:
             out[name] = None
             continue
-        base_files = set(base_m["files"]) if base_m else set()
-        tip_files = set(tip_m["files"])
-        removed = base_files - tip_files
-        if removed:
-            raise ValueError(
-                f"catalog_changes: non-append commit(s) on {name!r} "
-                f"between catalog v{from_version} and v{to_version} "
-                f"removed {len(removed)} file(s) — use snapshot_changes "
-                "for row-level diffs on that table"
-            )
-        carried = base_files & tip_files
-        if _filter_sig(base_m, carried) != _filter_sig(tip_m, carried):
-            raise ValueError(
-                f"catalog_changes: merge-on-read filter change on "
-                f"{name!r} in the window — file-level deltas would miss "
-                "the deletions; use snapshot_changes"
-            )
-        added = [f for f in tip_m["files"] if f not in base_files]
-        out[name] = (
-            _filtered_read(spark, tip_m, added) if added else None
-        )
+        out[name] = _filtered_read(spark, reader_m, added)
     return out
 
 

@@ -774,6 +774,20 @@ def test_catalog_changes_transaction_consistent_deltas(spark, tmp_path):
     )
     d = catalog_changes(spark, cat, 5)
     assert d["facts"].count() == 2 and d["lineage"] is None
+    # a COMPACTION step inside the window is skipped, not raised —
+    # routine maintenance must not break the downstream-ETL loop
+    base_cv = len(catalog_history(spark, cat))
+    multi_table_txn(
+        spark, cat,
+        {"facts": {"op": "append", "df": _fact_df(spark, 10, 3)}},
+    )
+    multi_table_txn(spark, cat, {"facts": {"op": "compact"}})
+    multi_table_txn(
+        spark, cat,
+        {"facts": {"op": "append", "df": _fact_df(spark, 11, 4)}},
+    )
+    d = catalog_changes(spark, cat, base_cv)
+    assert d["facts"].count() == 7  # both appends, compaction silent
 
 
 def test_catalog_as_of_cross_table_time_travel(spark, tmp_path):
@@ -1093,9 +1107,13 @@ def test_compact_spec_maintains_enrolled_table(spark, tmp_path):
     assert catalog_read(spark, cat, "lineage").count() == 1
     # published like any txn; single-table tooling agrees
     assert read_snapshot(spark, facts).count() == 300
-    # compact on an already-packed table is a no-op commit (no rewrite)
+    # compact on an already-packed table commits NOTHING (no table
+    # version, no catalog churn — hourly maintenance jobs must not
+    # mint empty versions)
     v = len(catalog_history(spark, cat))
-    multi_table_txn(spark, cat, {"facts": {"op": "compact"}})
+    res = multi_table_txn(spark, cat, {"facts": {"op": "compact"}})
+    assert len(catalog_history(spark, cat)) == v
+    assert res["version"] == v  # the unchanged tip comes back
     assert (
         len(catalog_read(spark, cat, "facts").inputFiles()) == files_planned
     )
@@ -1103,3 +1121,59 @@ def test_compact_spec_maintains_enrolled_table(spark, tmp_path):
         cat2 = str(tmp_path / "c2")
         catalog_init(spark, cat2, {"e": str(tmp_path / "e")})
         multi_table_txn(spark, cat2, {"e": {"op": "compact"}})
+
+
+def test_compact_spec_zorder_and_sidecars(spark, tmp_path):
+    """The catalog compact carries snapshot_compact's full maintenance
+    surface: zorder layout (per-column pruning sharpens) and bloom/NDV
+    sidecar rebuilds on the packed files (how an enrolled stream-fed
+    table gets point-lookup pruning without bypassing the catalog)."""
+    from mini_project_204721_data_engineering_spark.sources.snapshots import (
+        _read_manifest,
+        snapshot_ndv,
+    )
+
+    cat, facts, lineage = _setup(spark, tmp_path)
+    for i in range(6):
+        df = spark.range(i, 600, 6).select(
+            F.col("id").alias("upload_id"), (F.col("id") % 37).alias("v")
+        ).coalesce(1)
+        multi_table_txn(spark, cat, {"facts": {"op": "append", "df": df}})
+    multi_table_txn(
+        spark, cat,
+        {
+            "facts": {
+                "op": "compact",
+                "zorder_by": ["upload_id"],
+                "bloom_cols": ["upload_id"],
+                "ndv_cols": ["v"],
+            }
+        },
+    )
+    tip = _read_manifest(spark, facts, _list_versions(spark, facts)[-1])
+    assert (tip.get("bloom") or {}).get("entries"), "bloom sidecars missing"
+    assert (tip.get("ndv") or {}).get("entries"), "ndv sidecars missing"
+    # zorder: striped ranges became contiguous — a range prune plans a
+    # strict subset of the packed files
+    from mini_project_204721_data_engineering_spark.sources.snapshots import (
+        read_snapshot,
+    )
+
+    all_files = len(catalog_read(spark, cat, "facts").inputFiles())
+    some = len(
+        read_snapshot(spark, facts, prune={"upload_id": (0, 50)}).inputFiles()
+    )
+    assert 0 < some < all_files or all_files == 1
+    # ndv sidecars answer through the published table log
+    assert abs(snapshot_ndv(spark, facts, "v") - 37) <= 2
+    assert catalog_read(spark, cat, "facts").count() == 600
+    with pytest.raises(ValueError, match="positive"):
+        multi_table_txn(
+            spark, cat,
+            {"facts": {"op": "compact", "target_file_bytes": 0}},
+        )
+    with pytest.raises(ValueError, match="bloom"):
+        multi_table_txn(
+            spark, cat,
+            {"facts": {"op": "compact", "bloom_cols": ["nope"]}},
+        )
