@@ -288,6 +288,7 @@ def ann_index_search(
     nprobe: int = 4,
     shortlist: int = 100,
     fresh: bool = False,
+    max_tail_rows: int | None = 100_000,
 ) -> DataFrame:
     """Search the maintained index: probed ADC over the postings
     snapshot (cell-set file pruning via the manifest before the scan
@@ -295,7 +296,15 @@ def ann_index_search(
     embeddings.  ``fresh=True`` additionally brute-forces the
     NOT-YET-INDEXED source tail exactly, so index staleness can only
     add candidates, never lose them.  Returns ``(id, dist)`` ascending
-    L2, id tiebreak."""
+    L2, id tiebreak.
+
+    ``max_tail_rows`` is the STALENESS BUDGET on that fresh tail: the
+    unindexed rows are brute-force scanned per query, so a refresh
+    loop that falls far behind would silently turn every "fresh"
+    search into a near-full-corpus exact scan.  When the tail (counted
+    from manifests — no job) exceeds the budget, the search REFUSES
+    and names :func:`ann_index_refresh` instead of degrading; pass
+    ``max_tail_rows=None`` to accept any tail knowingly."""
     import numpy as np
 
     from mini_project_204721_data_engineering_spark.llm.pq import (
@@ -328,9 +337,63 @@ def ann_index_search(
     ).select(id_col)
     emb = read_snapshot(spark, model["source_dir"])
     if fresh:
+        if max_tail_rows is not None:
+            lag = _tail_rows(spark, model["source_dir"], cursor)
+            if lag > max_tail_rows:
+                raise ValueError(
+                    f"ann_index_search(fresh=True): the unindexed source "
+                    f"tail is {lag} rows (> max_tail_rows={max_tail_rows}) "
+                    "— a brute-force scan that size per query is no "
+                    "longer an index; run ann_index_refresh(spark, "
+                    "index_dir) to fold the tail into the postings, or "
+                    "pass max_tail_rows=None to accept the cost knowingly"
+                )
         tail, _ = snapshot_incremental_read(
             spark, model["source_dir"], cursor
         )
         if tail is not None:
             cand = cand.unionByName(tail.select(id_col)).distinct()
     return _exact_rerank(emb, cand, query, topk, id_col, vec_col)
+
+
+def _tail_rows(spark: SparkSession, source_dir: str, cursor: int) -> int:
+    """Rows appended to the source since ``cursor`` — counted from
+    manifest ``file_meta`` alone (no Spark job; the same metadata the
+    incremental read will walk).  Files without recorded row counts
+    (pre-file_meta commits) count as unknown-but-nonzero via their
+    presence; missing meta degrades to a conservative snapshot_count
+    diff rather than underestimating the budget."""
+    versions = _list_versions(spark, source_dir)
+    lag_vs = [v for v in versions if v > cursor]
+    if not lag_vs:
+        return 0
+    prev = (
+        set(_read_manifest(spark, source_dir, cursor)["files"])
+        if cursor in versions
+        else set()
+    )
+    total = 0
+    complete = True
+    for v in lag_vs:
+        m = _read_manifest(spark, source_dir, v)
+        meta = m.get("file_meta", {})
+        for f in set(m["files"]) - prev:
+            rows = (meta.get(f) or {}).get("rows")
+            if rows is None:
+                complete = False
+            else:
+                total += int(rows)
+        prev = set(m["files"])
+    if complete:
+        return total
+    from mini_project_204721_data_engineering_spark.sources.snapshots import (
+        snapshot_count,
+    )
+
+    tip_rows = snapshot_count(spark, source_dir)
+    at_cursor = (
+        snapshot_count(spark, source_dir, version=cursor)
+        if cursor in versions
+        else 0
+    )
+    return max(total, tip_rows - at_cursor)

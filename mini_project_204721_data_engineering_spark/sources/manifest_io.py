@@ -1,0 +1,347 @@
+"""Manifest I/O — the ONE seam between the snapshot/catalog commit
+protocol and the storage system underneath it.
+
+Every atomicity claim in the lakehouse layer (`snapshots.py` table
+commits, `txn_catalog.py` multi-table catalog commits) reduces to a
+single storage primitive: **conditional put** — "create this object at
+this key only if nothing exists there, atomically, and tell me whether
+I won".  Everything else the commit protocol needs is plain
+read/list/overwrite.  This module names that contract as one small
+interface, provides the implementations the engine ships with, and
+gives deployments a registry hook to bring their own.
+
+The object-store contract
+-------------------------
+
+An implementation is correct iff:
+
+1. ``put_if_absent(path, payload)`` is ATOMIC and EXCLUSIVE: of N
+   concurrent callers for the same ``path``, exactly one returns True
+   and the object then contains exactly that caller's payload; every
+   other caller returns False and writes nothing.  Check-then-create
+   is NOT acceptable — the check and the create must be one storage
+   operation (POSIX ``O_CREAT|O_EXCL``, HDFS lease-protected
+   ``create(overwrite=false)``, S3 ``If-None-Match: *`` conditional
+   write, GCS ``x-goog-if-generation-match: 0``, Azure Blob
+   ``If-None-Match: *``).
+2. ``read_bytes`` after a successful ``put_if_absent`` returns the full
+   payload (read-after-write visibility for new objects — true of
+   every major object store today).
+3. ``list_versions`` eventually reflects committed manifests; the
+   commit loop tolerates stale listings (a lost ``put_if_absent``
+   resolves the true tip by re-listing and retrying), so listing may
+   be eventually consistent, but ``put_if_absent`` may not.
+
+Why the seam exists: Hadoop's ``FileSystem.create(overwrite=false)``
+is only atomic where the underlying store makes it so.  On HDFS it is
+(namenode lease).  On raw local disk it is NOT (check-then-create —
+see :class:`HadoopManifestIO`, which drops to ``O_EXCL`` there).  On
+``s3a://`` it is NOT by default (HEAD-then-PUT); an S3 deployment
+registers an adapter that issues the native conditional PUT instead of
+trusting the Hadoop connector.  Data files, sidecars and scans never
+need the seam — plain byte I/O through Hadoop/pyarrow is fine for
+them on every store; only the MANIFEST CLAIM needs conditional-put.
+
+Resolution order (:func:`manifest_io_for`): an explicitly registered
+scheme always wins; otherwise local/``file:`` paths use the pure-Python
+:class:`LocalManifestIO` when no SparkSession is available (the
+streaming source's driver-side planner) and :class:`HadoopManifestIO`
+when one is; any other scheme falls back to :class:`HadoopManifestIO`
+(hdfs and friends) or raises a clear error in sessionless contexts.
+
+:class:`MockObjectStoreIO` (scheme ``mock:``) is the test harness's
+emulation of an S3-class store: a flat keyspace backed by a local
+directory, reachable ONLY through this interface, with conditional-put
+semantics implemented store-side and a fault hook for race injection.
+It is registered by default so the Python-DataSource worker processes
+(which re-import this module, not the test process's state) resolve it
+too; ``spark_path`` maps its keys onto ``file:`` so Spark and pyarrow
+can move data bytes while manifests stay behind the interface.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+
+__all__ = [
+    "ManifestIO",
+    "LocalManifestIO",
+    "HadoopManifestIO",
+    "MockObjectStoreIO",
+    "register_manifest_io",
+    "manifest_io_for",
+]
+
+MANIFEST_DIR = "_manifests"
+V_FMT = "v%010d.json"
+_V_RE = re.compile(r"^v(\d+)\.json$")
+_SCHEME_RE = re.compile(r"^([A-Za-z][A-Za-z0-9+.-]*):")
+
+
+def path_scheme(path: str) -> str:
+    """The URI scheme of ``path``, '' for plain local paths."""
+    m = _SCHEME_RE.match(path)
+    return m.group(1).lower() if m else ""
+
+
+def _strip_file(p: str) -> str:
+    """file:-scheme paths → local filesystem paths (both the
+    ``file:/x`` and ``file:///x`` spellings Hadoop emits)."""
+    if p.startswith("file://"):
+        return p[len("file:") :]
+    if p.startswith("file:"):
+        return p[len("file:") :]
+    return p
+
+
+def _names_to_versions(names) -> list[int]:
+    out = []
+    for name in names:
+        m = _V_RE.match(name)
+        if m:
+            out.append(int(m.group(1)))
+    return sorted(out)
+
+
+class ManifestIO:
+    """The storage contract the commit protocol runs on (module doc)."""
+
+    def list_versions(self, table_dir: str) -> list[int]:
+        """Committed manifest versions under ``table_dir/_manifests``."""
+        raise NotImplementedError
+
+    def read_bytes(self, path: str) -> bytes:
+        raise NotImplementedError
+
+    def write_bytes(self, path: str, payload: bytes) -> None:
+        """Plain overwrite — staged/scratch objects whose names embed a
+        fresh id, never a version claim."""
+        raise NotImplementedError
+
+    def put_if_absent(self, path: str, payload: bytes) -> bool:
+        """THE commit primitive — atomic exclusive create (contract #1)."""
+        raise NotImplementedError
+
+    def spark_path(self, path: str) -> str:
+        """Translate a store path to one Spark/pyarrow can move data
+        bytes through (identity everywhere Hadoop already speaks the
+        scheme; the mock store maps onto ``file:``)."""
+        return path
+
+    # shared helpers -------------------------------------------------
+    def manifest_path(self, table_dir: str, version: int) -> str:
+        return "/".join((table_dir.rstrip("/"), MANIFEST_DIR, V_FMT % version))
+
+    def read_manifest(self, table_dir: str, version: int) -> dict:
+        raw = self.read_bytes(self.manifest_path(table_dir, version))
+        return json.loads(raw.decode("utf-8"))
+
+
+class LocalManifestIO(ManifestIO):
+    """Pure-Python local-disk implementation — what the streaming
+    source's sessionless planner uses for ``file:`` tables, and the
+    semantics :class:`HadoopManifestIO` defers to on local paths.
+    ``O_CREAT|O_EXCL`` is the kernel-atomic conditional put."""
+
+    def list_versions(self, table_dir: str) -> list[int]:
+        d = os.path.join(_strip_file(table_dir), MANIFEST_DIR)
+        if not os.path.isdir(d):
+            return []
+        return _names_to_versions(os.listdir(d))
+
+    def read_bytes(self, path: str) -> bytes:
+        with open(_strip_file(path), "rb") as f:
+            return f.read()
+
+    def write_bytes(self, path: str, payload: bytes) -> None:
+        p = _strip_file(path)
+        os.makedirs(os.path.dirname(p), exist_ok=True)
+        with open(p, "wb") as f:
+            f.write(payload)
+
+    def put_if_absent(self, path: str, payload: bytes) -> bool:
+        p = _strip_file(path)
+        os.makedirs(os.path.dirname(p), exist_ok=True)
+        try:
+            fd = os.open(p, os.O_CREAT | os.O_EXCL | os.O_WRONLY, 0o644)
+        except FileExistsError:
+            return False
+        try:
+            os.write(fd, payload)
+            os.fsync(fd)
+        finally:
+            os.close(fd)
+        return True
+
+
+class HadoopManifestIO(ManifestIO):
+    """Hadoop FileSystem implementation — hdfs:// and every connector
+    whose ``create(overwrite=false)`` is genuinely atomic.  Local paths
+    drop to :class:`LocalManifestIO` for the conditional put because
+    RawLocalFileSystem's create(overwrite=false) is check-then-create
+    (two racing local writers can both pass the check — observed under
+    an 8-thread append race before this fallback existed)."""
+
+    def __init__(self, spark):
+        self._spark = spark
+        self._local = LocalManifestIO()
+
+    def _fs(self, path: str):
+        jvm = self._spark._jvm
+        jpath = jvm.org.apache.hadoop.fs.Path(path)
+        fs = jpath.getFileSystem(self._spark._jsc.hadoopConfiguration())
+        return fs, jpath, jvm
+
+    def list_versions(self, table_dir: str) -> list[int]:
+        glob = "/".join((table_dir.rstrip("/"), MANIFEST_DIR, "v*.json"))
+        fs, jpath, _ = self._fs(glob)
+        statuses = fs.globStatus(jpath)
+        if statuses is None:
+            return []
+        return _names_to_versions(
+            str(s.getPath().getName()) for s in statuses if s.isFile()
+        )
+
+    def read_bytes(self, path: str) -> bytes:
+        fs, jpath, jvm = self._fs(path)
+        stream = fs.open(jpath)
+        try:
+            return bytes(jvm.org.apache.commons.io.IOUtils.toByteArray(stream))
+        finally:
+            stream.close()
+
+    def write_bytes(self, path: str, payload: bytes) -> None:
+        fs, jpath, _ = self._fs(path)
+        fs.mkdirs(jpath.getParent())
+        stream = fs.create(jpath, True)
+        try:
+            stream.write(payload)
+            stream.hflush()
+        finally:
+            stream.close()
+
+    def put_if_absent(self, path: str, payload: bytes) -> bool:
+        fs, jpath, _ = self._fs(path)
+        fs.mkdirs(jpath.getParent())
+        uri = jpath.toUri()
+        if uri.getScheme() in (None, "file"):
+            return self._local.put_if_absent(str(uri.getPath()), payload)
+        if fs.exists(jpath):  # cheap fast-path; the create below is the gate
+            return False
+        try:
+            # overwrite=false: atomic exclusive-create on HDFS-like FSes
+            stream = fs.create(jpath, False)
+        except Exception as e:
+            # ONLY already-exists means we lost the race; a permission,
+            # quota, or network failure must surface as itself —
+            # retrying it 20 times as "writer contention" would bury
+            # the real cause.  The exists-family has several spellings:
+            # FileAlreadyExistsException, HDFS's
+            # AlreadyBeingCreatedException (loser hits the winner's
+            # still-open lease), POSIX 'File exists'.
+            text = str(e).lower()
+            if (
+                "alreadyexists" in text.replace(" ", "")
+                or "already exists" in text
+                or "alreadybeingcreated" in text
+                or "file exists" in text
+            ):
+                return False
+            raise
+        try:
+            stream.write(payload)
+            stream.hflush()
+        finally:
+            stream.close()
+        return True
+
+
+class MockObjectStoreIO(ManifestIO):
+    """S3-class object store EMULATION for the test harness — a flat
+    keyspace at ``mock:<root>/<key>`` backed by the local directory
+    ``<root>``, reachable only through this interface.  The conditional
+    put is implemented "store-side" (O_EXCL under the hood — the
+    harness's stand-in for S3 ``If-None-Match: *``), and
+    ``fail_puts_at`` lets a test inject a lost race at an exact key to
+    pin the retry loop's behavior.  Stateless by construction (the root
+    is in the path), so the Python-DataSource worker processes resolve
+    the same store the test process wrote."""
+
+    # test hook: {path_suffix: remaining_failures}
+    fail_puts_at: dict = {}
+
+    def _key(self, path: str) -> str:
+        if not path.startswith("mock:"):
+            raise ValueError(f"not a mock:-store path: {path!r}")
+        return path[len("mock:") :]
+
+    def list_versions(self, table_dir: str) -> list[int]:
+        d = os.path.join(self._key(table_dir), MANIFEST_DIR)
+        if not os.path.isdir(d):
+            return []
+        return _names_to_versions(os.listdir(d))
+
+    def read_bytes(self, path: str) -> bytes:
+        with open(self._key(path), "rb") as f:
+            return f.read()
+
+    def write_bytes(self, path: str, payload: bytes) -> None:
+        p = self._key(path)
+        os.makedirs(os.path.dirname(p), exist_ok=True)
+        with open(p, "wb") as f:
+            f.write(payload)
+
+    def put_if_absent(self, path: str, payload: bytes) -> bool:
+        p = self._key(path)
+        for suffix, n in list(type(self).fail_puts_at.items()):
+            if p.endswith(suffix) and n > 0:
+                type(self).fail_puts_at[suffix] = n - 1
+                return False  # injected lost race
+        os.makedirs(os.path.dirname(p), exist_ok=True)
+        try:
+            fd = os.open(p, os.O_CREAT | os.O_EXCL | os.O_WRONLY, 0o644)
+        except FileExistsError:
+            return False
+        try:
+            os.write(fd, payload)
+            os.fsync(fd)
+        finally:
+            os.close(fd)
+        return True
+
+    def spark_path(self, path: str) -> str:
+        # data bytes move through file: so Spark/pyarrow can read them;
+        # manifests stay behind the interface
+        return "file:" + self._key(path)
+
+
+_REGISTRY: dict = {"mock": MockObjectStoreIO()}
+
+
+def register_manifest_io(scheme: str, io: ManifestIO) -> None:
+    """Deployment hook: route every manifest operation on paths with
+    ``scheme`` through ``io`` (e.g. an S3 conditional-PUT adapter).
+    Registration is per-process; long-lived services register at
+    startup.  Sessionless contexts (the streaming source's planner)
+    only see registrations made in THEIR process — prefer stateless
+    implementations resolvable from the path alone."""
+    _REGISTRY[scheme.lower()] = io
+
+
+def manifest_io_for(path: str, spark=None) -> ManifestIO:
+    """Resolve the manifest IO for ``path`` (module doc has the order)."""
+    scheme = path_scheme(path)
+    io = _REGISTRY.get(scheme)
+    if io is not None:
+        return io
+    if scheme in ("", "file"):
+        return LocalManifestIO() if spark is None else HadoopManifestIO(spark)
+    if spark is not None:
+        return HadoopManifestIO(spark)
+    raise ValueError(
+        f"no driver-side manifest IO for scheme {scheme!r} (path {path!r}) "
+        "— register one with register_manifest_io(scheme, io); the "
+        "sessionless streaming planner cannot reach Hadoop connectors"
+    )

@@ -41,6 +41,8 @@ from typing import Mapping, Sequence
 
 from pyspark.sql import DataFrame, SparkSession
 
+from .manifest_io import manifest_io_for
+
 __all__ = [
     "snapshot_append",
     "snapshot_overwrite",
@@ -109,100 +111,38 @@ def _child(jvm, base: str, *parts: str):
 
 
 def _list_versions(spark: SparkSession, table_dir: str) -> list[int]:
-    fs, _, jvm = _fs_for(spark, table_dir)
-    glob = _child(jvm, table_dir, _MANIFEST_DIR, "v*.json")
-    statuses = fs.globStatus(glob)
-    if statuses is None:
-        return []
-    out = []
-    for s in statuses:
-        name = str(s.getPath().getName())
-        if s.isFile() and name.startswith("v") and name.endswith(".json"):
-            try:
-                out.append(int(name[1:-5]))
-            except ValueError:
-                continue
-    return sorted(out)
+    return manifest_io_for(table_dir, spark).list_versions(table_dir)
 
 
 def _read_manifest(spark: SparkSession, table_dir: str, version: int) -> dict:
-    fs, _, jvm = _fs_for(spark, table_dir)
-    jpath = _child(jvm, table_dir, _MANIFEST_DIR, _V_FMT % version)
-    stream = fs.open(jpath)
-    try:
-        raw = bytes(jvm.org.apache.commons.io.IOUtils.toByteArray(stream))
-    finally:
-        stream.close()
-    return json.loads(raw.decode("utf-8"))
+    return manifest_io_for(table_dir, spark).read_manifest(table_dir, version)
 
 
 def _try_write_manifest(
     spark: SparkSession, table_dir: str, version: int, manifest: dict
 ) -> bool:
     """Exclusive-create the manifest for ``version``; False when another
-    writer already owns it (the optimistic-concurrency loss signal)."""
-    fs, _, jvm = _fs_for(spark, table_dir)
-    jpath = _child(jvm, table_dir, _MANIFEST_DIR, _V_FMT % version)
-    fs.mkdirs(jpath.getParent())
+    writer already owns it (the optimistic-concurrency loss signal).
+    Atomicity is the manifest-IO layer's contract #1 (`manifest_io.py`
+    — O_EXCL locally, lease-create on HDFS, native conditional-put on
+    registered object stores)."""
+    io = manifest_io_for(table_dir, spark)
     payload = json.dumps(manifest, indent=1).encode("utf-8")
-    uri = jpath.toUri()
-    if uri.getScheme() in (None, "file"):
-        # Hadoop's RawLocalFileSystem create(overwrite=false) is
-        # CHECK-then-create — two racing local writers can both pass the
-        # check and one silently overwrites the other (observed under an
-        # 8-thread append race).  O_EXCL is the kernel-atomic claim.
-        import os as _os
-
-        try:
-            fd = _os.open(
-                str(uri.getPath()), _os.O_CREAT | _os.O_EXCL | _os.O_WRONLY, 0o644
-            )
-        except FileExistsError:
-            return False
-        try:
-            _os.write(fd, payload)
-            _os.fsync(fd)
-        finally:
-            _os.close(fd)
-        return True
-    if fs.exists(jpath):  # cheap fast-path; the create below is the gate
-        return False
-    try:
-        # overwrite=false: atomic exclusive-create on HDFS-like FSes
-        stream = fs.create(jpath, False)
-    except Exception as e:
-        # ONLY already-exists means we lost the race; a permission,
-        # quota, or network failure must surface as itself — retrying
-        # it 20 times as "writer contention" would bury the real cause.
-        # The exists-family has several spellings across filesystems:
-        # FileAlreadyExistsException, HDFS's AlreadyBeingCreatedException
-        # (loser hits the winner's still-open lease), POSIX 'File exists'.
-        text = str(e)
-        lowered = text.lower()
-        if (
-            "alreadyexists" in lowered.replace(" ", "")
-            or "already exists" in lowered
-            or "alreadybeingcreated" in lowered
-            or "file exists" in lowered
-        ):
-            return False
-        raise
-    try:
-        stream.write(payload)
-        stream.hflush()
-    finally:
-        stream.close()
-    return True
+    return io.put_if_absent(io.manifest_path(table_dir, version), payload)
 
 
 def _write_data_files(df: DataFrame, table_dir: str) -> tuple[list[str], str]:
     """Write one commit's data files into their own directory; return
     (file paths, commit dir).  Bytes land BEFORE any manifest points at
-    them — a crash here strands orphans, never corrupts the table."""
+    them — a crash here strands orphans, never corrupts the table.
+    Data bytes move through Spark on the IO layer's ``spark_path``
+    translation (identity except for the mock object store), so
+    manifest `files` entries are always Spark/pyarrow-readable paths."""
     spark = df.sparkSession
     commit = uuid.uuid4().hex
-    fs, _, jvm = _fs_for(spark, table_dir)
-    cdir = _child(jvm, table_dir, _DATA_DIR, commit)
+    data_dir = manifest_io_for(table_dir, spark).spark_path(table_dir)
+    fs, _, jvm = _fs_for(spark, data_dir)
+    cdir = _child(jvm, data_dir, _DATA_DIR, commit)
     df.write.mode("error").parquet(str(cdir.toString()))
     statuses = fs.globStatus(_child(jvm, str(cdir.toString()), "part-*"))
     files = sorted(str(s.getPath().toString()) for s in (statuses or []) if s.isFile())
@@ -5593,9 +5533,25 @@ def snapshot_layout_report(
     - ``recommendations``: the actions the numbers justify, as strings
       naming the exact call
 
+    Besides the human-readable ``recommendations``, the report carries
+    machine-usable ``actions`` — write specs in the
+    :func:`~.txn_catalog.multi_table_txn` shape (``{"op": "compact",
+    ...}`` / ``{"op": "apply_filters"}``) — so the catalog-level sweep
+    (:func:`~.txn_catalog.catalog_layout_report`) can hand them
+    straight to the transaction API.
+
     The 100 TB posture: this is how a maintenance scheduler decides
     WHICH of 10⁴ tables need work without touching any of them."""
     manifest = _resolve_manifest(spark, table_dir, version, as_of)
+    return _layout_report(manifest, target_file_bytes)
+
+
+def _layout_report(manifest: dict, target_file_bytes: int) -> dict:
+    """The pure (manifest-in, report-out) half of
+    :func:`snapshot_layout_report`, shared with the catalog sweep —
+    which assesses tables at their CATALOG-PINNED manifests (possibly
+    staged, not yet published), so it cannot go through the table-log
+    resolver."""
     files = manifest["files"]
     meta = manifest.get("file_meta", {})
     stats_cols = manifest.get("stats_cols") or {}
@@ -5645,17 +5601,22 @@ def snapshot_layout_report(
     )
     spec_pinned = len(manifest.get("file_spec") or {})
     recs = []
+    compact_reasons = []
+    zorder: list[str] = []
     if len(small) > max(4, n // 10):
         recs.append(
             f"snapshot_compact: {len(small)} of {n} files are under "
             f"{target_file_bytes // 4} bytes (bin-pack them)"
         )
+        compact_reasons.append("small_files")
     for col, d in depth.items():
         if d is not None and n >= 8 and d > max(4, n // 4):
             recs.append(
                 f"snapshot_compact(zorder_by=[{col!r}]): clustering depth "
                 f"{d} of {n} files — {col} stats barely prune"
             )
+            compact_reasons.append("clustering")
+            zorder.append(col)
     if pred_entries + dv_entries >= 4:
         recs.append(
             f"snapshot_apply_filters: {pred_entries} predicate + "
@@ -5666,24 +5627,44 @@ def snapshot_layout_report(
             f"snapshot_compact: {spec_pinned} files still carry old-spec "
             "stats pins (migrate to the current spec)"
         )
+        compact_reasons.append("spec_pins")
     low_cov = {c: v for c, v in coverage.items() if v < 0.8}
     if low_cov:
         recs.append(
             f"snapshot_compact: stats coverage below 80% on {sorted(low_cov)}"
         )
+        compact_reasons.append("stats_coverage")
+    # machine-usable write specs (multi_table_txn shape); apply_filters
+    # FIRST — compaction after the drain repacks the clean bytes,
+    # whereas the reverse order leaves the drain's rewrites unpacked
+    actions: list[dict] = []
+    if pred_entries + dv_entries >= 4:
+        actions.append({"op": "apply_filters"})
+    if compact_reasons:
+        spec: dict = {"op": "compact", "target_file_bytes": target_file_bytes}
+        if zorder:
+            spec["zorder_by"] = zorder
+        actions.append(spec)
+    small_bytes = sum(int((meta.get(f) or {}).get("bytes") or 0) for f in small)
+    filtered_bytes = sum(
+        int((meta.get(f) or {}).get("bytes") or 0) for f in fmap
+    )
     return {
         "files": n,
         "rows_total": rows_total,
         "bytes_total": bytes_total,
         "avg_file_bytes": bytes_total // n if n else 0,
         "small_files": len(small),
+        "small_bytes": small_bytes,
         "stats_coverage": coverage,
         "clustering_depth": depth,
         "pending_filters": pred_entries,
         "pending_dv_entries": dv_entries,
         "spec_pinned": spec_pinned,
         "filtered_files": len(fmap),
+        "filtered_bytes": filtered_bytes,
         "recommendations": recs,
+        "actions": actions,
     }
 
 

@@ -1,11 +1,13 @@
 """Multi-table ATOMIC transactions over snapshot tables — the catalog.
 
 The single-table snapshot log (`snapshots.py`) makes each table's commit
-atomic, but the reference's own ingest is a TWO-table transaction: the
-upload-lineage row and the fact rows land together or not at all
-(reference `backend/app/main.py:136-150` wraps the `upload_rain_point`
-insert and the `rain_points` append in one flow).  This module adds that
-guarantee across N snapshot tables with ONE atomic commit — the
+atomic, but the reference's own ingest is a TWO-table flow: the
+upload-lineage row commits FIRST (`db.add`/`db.commit`), then the fact
+rows load in a separate step (reference `backend/app/main.py:136-150`)
+— two commits with a crash window between them in which lineage exists
+without facts.  That shape is the motivation; this module adds the
+cross-table atomicity the reference lacks: N snapshot tables, ONE
+atomic commit — the
 Iceberg-catalog idea: visibility is rooted in a single versioned catalog
 log, and a multi-table transaction becomes one exclusive-create of the
 next catalog version.
@@ -69,6 +71,7 @@ from collections.abc import Mapping
 
 from pyspark.sql import DataFrame, SparkSession
 
+from .manifest_io import manifest_io_for
 from .snapshots import (
     _MANIFEST_DIR,
     _V_FMT,
@@ -91,27 +94,15 @@ from .snapshots import (
 
 
 def _read_json(spark: SparkSession, path: str) -> dict:
-    fs, _, jvm = _fs_for(spark, path)
-    stream = fs.open(jvm.org.apache.hadoop.fs.Path(path))
-    try:
-        raw = bytes(jvm.org.apache.commons.io.IOUtils.toByteArray(stream))
-    finally:
-        stream.close()
+    raw = manifest_io_for(path, spark).read_bytes(path)
     return json.loads(raw.decode("utf-8"))
 
 
 def _write_json(spark: SparkSession, path: str, obj: dict) -> None:
     """Plain (non-exclusive) small-file write — staged manifests only,
     whose names embed a fresh txn id so collisions cannot happen."""
-    fs, _, jvm = _fs_for(spark, path)
-    jpath = jvm.org.apache.hadoop.fs.Path(path)
-    fs.mkdirs(jpath.getParent())
-    stream = fs.create(jpath, True)
-    try:
-        stream.write(json.dumps(obj, indent=1).encode("utf-8"))
-        stream.hflush()
-    finally:
-        stream.close()
+    payload = json.dumps(obj, indent=1).encode("utf-8")
+    manifest_io_for(path, spark).write_bytes(path, payload)
 
 
 def _catalog_tip(spark: SparkSession, catalog_dir: str) -> dict | None:
@@ -306,8 +297,10 @@ def multi_table_txn(
          "when_matched": "update", "when_not_matched": "insert"}
         {"op": "compact",      "target_file_bytes": 128 MiB,  # defaults
                                "small_file_bytes": target // 4}
+        {"op": "apply_filters"}   # drain pending lazy-delete filters
 
-    ``compact`` is how MAINTENANCE reaches enrolled tables: a direct
+    ``compact`` and ``apply_filters`` are how MAINTENANCE reaches
+    enrolled tables: a direct
     `snapshot_compact` on the table dir would race publication for
     version numbers (the module-doc divergence hazard), so bin-packing
     goes through the same staged-pin flip as every other write —
@@ -370,9 +363,17 @@ def multi_table_txn(
     for name, spec in writes.items():
         op = spec.get("op", "append")
         if op not in (
-            "append", "overwrite", "delete_where", "merge_into", "compact"
+            "append", "overwrite", "delete_where", "merge_into",
+            "compact", "apply_filters",
         ):
             raise ValueError(f"multi_table_txn: unsupported op {op!r}")
+        if op == "apply_filters":
+            # drain every pending lazy-delete filter on the PINNED
+            # manifest (the catalog analog of snapshot_apply_filters —
+            # a direct call on an enrolled table would race publication
+            # for version numbers, same hazard as direct compact)
+            staged_inputs[name] = {"op": op, "rewrites": {}}
+            continue
         if op == "compact":
             target = int(spec.get("target_file_bytes", 128 * 1024 * 1024))
             small = int(spec.get("small_file_bytes", target // 2))
@@ -558,6 +559,44 @@ def multi_table_txn(
 
                 evo_fn = None
                 op_tag = "compact"
+            elif op == "apply_filters":
+                if parent_manifest is None:
+                    raise ValueError(
+                        f"multi_table_txn: apply_filters on {name!r}, "
+                        "which has no committed data"
+                    )
+                entries = parent_manifest.get("row_filters") or []
+                if not entries:
+                    # nothing pending: drop this table from the
+                    # transaction — no empty versions from a sweep
+                    continue
+                pv = pin["version"]
+                if pv not in si["rewrites"]:
+                    covered = sorted(
+                        {f for e in entries for f in e["files"]}
+                    )
+                    clean = _filtered_read(
+                        spark, parent_manifest, covered
+                    )
+                    nf, _ = _write_data_files(clean, pin["dir"])
+                    si["rewrites"][pv] = (
+                        set(covered), nf, _compose_stats(spark, nf, None)
+                    )
+                cov_set, new_files, stats_fn = si["rewrites"][pv]
+
+                def files_fn(parent, _cov=cov_set, _nf=new_files):
+                    # the default filter carry prunes every entry to
+                    # files still referenced — all covered files leave,
+                    # so row_filters empties by construction
+                    return [
+                        f for f in parent["files"] if f not in _cov
+                    ] + _nf
+
+                def schema_fn(parent):
+                    return parent["schema"]
+
+                evo_fn = None
+                op_tag = "delete"
             elif op == "merge_into":
                 src_df = si["df"]
                 pv = pin["version"]
@@ -684,13 +723,12 @@ def multi_table_txn(
                 bloom_fn=bloom_fn,
                 ndv_fn=ndv_fn,
             )
-            staged_path = str(
-                _child(
-                    _fs_for(spark, pin["dir"])[2],
-                    pin["dir"],
+            staged_path = "/".join(
+                (
+                    pin["dir"].rstrip("/"),
                     _MANIFEST_DIR,
                     f"staged-{tid}-v{v:05d}.json",
-                ).toString()
+                )
             )
             _write_json(spark, staged_path, manifest)
             prev_staged.append(staged_path)
@@ -804,8 +842,15 @@ def catalog_changes(
     for name in to_pins:
         # walk the window VERSION BY VERSION so a compaction step can be
         # recognized (op tag) and skipped instead of tripping the
-        # removed-files guard on the endpoint diff
-        prev_m = catalog_resolve(spark, catalog_dir, name, from_version)
+        # removed-files guard on the endpoint diff.  from_version == 0
+        # means "from before the catalog existed" (versions start at 1
+        # — the init commit), the same from-the-beginning spelling
+        # snapshot_incremental_read accepts
+        prev_m = (
+            catalog_resolve(spark, catalog_dir, name, from_version)
+            if from_version > 0
+            else None
+        )
         added: list[str] = []
         added_seen: set[str] = set()
         reader_m = prev_m
@@ -922,3 +967,82 @@ def catalog_history(spark: SparkSession, catalog_dir: str) -> list[dict]:
             }
         )
     return out
+
+
+def catalog_layout_report(
+    spark: SparkSession,
+    catalog_dir: str,
+    target_file_bytes: int = 128 * 1024 * 1024,
+    max_catalog_versions: int = 128,
+) -> dict:
+    """FLEET-level maintenance triage: :func:`~.snapshots
+    .snapshot_layout_report` for every table enrolled in the catalog,
+    rolled up and ranked — still zero Spark jobs and zero data files
+    opened (manifests only), so a scheduler can sweep 10⁴ tables from
+    the driver.
+
+    Each table is assessed at its CATALOG-PINNED manifest (staged pins
+    included — the catalog's truth, even before publication), not the
+    table log's tip, so a sweep racing a transaction never reports a
+    half-published state.
+
+    Returns::
+
+        {"tables": {name: per-table report},        # snapshot_layout_report shape
+         "ranked": [name, ...],                     # needs-work tables, worst first
+         "bytes_at_risk": {name: bytes},            # small + filter-covered bytes
+         "writes": {name: [multi_table_txn spec]},  # the healing calls, in order
+         "catalog_versions": N,
+         "catalog_actions": [...]}                  # e.g. catalog_expire
+
+    ``writes`` is directly executable: each table's specs run in order
+    through :func:`multi_table_txn` (``apply_filters`` before
+    ``compact`` — drain first, then repack the clean bytes).  Healthy
+    tables carry an empty action list and stay out of ``ranked`` —
+    an hourly sweep over a healthy fleet does nothing and commits
+    nothing.  ``bytes_at_risk`` ranks by what maintenance would
+    actually touch: bytes sitting in under-packed files plus bytes in
+    files every read must re-filter."""
+    from .snapshots import _layout_report
+
+    tip = _catalog_tip(spark, catalog_dir)
+    if tip is None:
+        raise ValueError(f"no catalog at {catalog_dir}")
+    tables: dict = {}
+    at_risk: dict = {}
+    writes: dict = {}
+    for name in tip["tables"]:
+        m = catalog_resolve(spark, catalog_dir, name, tip["version"])
+        if m is None:  # enrolled but never written
+            tables[name] = {
+                "files": 0, "rows_total": 0, "bytes_total": 0,
+                "recommendations": [], "actions": [],
+            }
+            at_risk[name] = 0
+            writes[name] = []
+            continue
+        rep = _layout_report(m, target_file_bytes)
+        tables[name] = rep
+        at_risk[name] = rep["small_bytes"] + rep["filtered_bytes"]
+        writes[name] = rep["actions"]
+    ranked = sorted(
+        (n for n in tables if writes[n]),
+        key=lambda n: at_risk[n],
+        reverse=True,
+    )
+    n_versions = len(_list_versions(spark, catalog_dir))
+    catalog_actions = []
+    if n_versions > max_catalog_versions:
+        catalog_actions.append(
+            f"catalog_expire: {n_versions} catalog versions on the log "
+            f"(> {max_catalog_versions}) — time-travel horizon grows "
+            "unbounded otherwise"
+        )
+    return {
+        "tables": tables,
+        "ranked": ranked,
+        "bytes_at_risk": at_risk,
+        "writes": writes,
+        "catalog_versions": n_versions,
+        "catalog_actions": catalog_actions,
+    }

@@ -34,32 +34,45 @@ and each version contributes its FILE DIFF:
                       metadata-advances — the same rule the matview
                       refresher proved)
 - restore           → file diff of the rewind (delete+insert pairs)
+- DV lazy delete    → the deletion-vector sidecar enumerates exact
+                      (file, row-position) hits, recorded from the rows
+                      VISIBLE at commit time — each covered file emits
+                      its sidecar positions as ``delete`` rows (read
+                      the sidecar + the file once; no file diff needed)
+- additive schema   → a commit that ADDS nullable columns or LOSSLESSLY
+  evolution            widens types is representable as long as the
+                       feed's pinned schema (the tip at query start) is
+                       the widest in the window: old-schema files align
+                       batch-wise (missing columns NULL, types upcast).
 
 Refused loudly (the stream query fails rather than silently corrupting
-downstream state): schema-changing commits inside the window, and any
-merge-on-read filter change (lazy delete / deletion vector) — a
-zero-byte takedown changes visible rows with NO file diff, which a
-file-diff feed cannot represent.  Tables must start filter-free
-(drain via ``snapshot_apply_filters`` or use CoW deletes while a stream
-is attached).
+downstream state): rename/drop schema changes, any column or type not
+representable in the feed's pinned schema (a column added AFTER the
+query started — restart against the new schema), predicate-shaped lazy
+deletes (no positions recorded, so the visible-row change has no
+representation — drain via ``snapshot_apply_filters`` or use DV/CoW
+deletes while a stream is attached), and removal of files still
+carrying merge-on-read filters (their raw bytes overstate visible
+rows).
 
 Scale: partitions are per (file, change_type) — at 100 TB each
 micro-batch plans one partition per changed file, the same granularity
 a parquet scan would use; executors read ONLY changed files with
-pyarrow.  Row-group splitting and Arrow-batch yield are the known
-next rungs; rows are currently yielded as tuples (correct first).
+pyarrow and yield schema-aligned Arrow RecordBatches (a per-partition
+tuple fallback covers exotic type drift).  Large changed files split
+per row group.
 
-The manifest log is read with plain-Python I/O (the driver-side reader
-has no SparkSession); paths are the ``file:`` scheme the local commit
-path writes — object-store support would swap this IO layer.
+Manifest I/O goes through :mod:`..sources.manifest_io` — the same
+seam the commit path uses — so the driver-side planner (which has no
+SparkSession) reads ``file:`` tables with plain-Python IO and any
+registered object-store scheme through its adapter.  Data bytes are
+read with pyarrow from the Spark-readable paths manifests record.
 """
 
 from __future__ import annotations
 
-import json
-import os
-import re
 from collections.abc import Iterator, Sequence
+from urllib.parse import unquote
 
 from pyspark.sql.datasource import (
     DataSource,
@@ -67,13 +80,13 @@ from pyspark.sql.datasource import (
     InputPartition,
 )
 
-__all__ = ["SnapshotFeedDataSource", "snapshot_feed_schema"]
+from ..sources.manifest_io import manifest_io_for
 
-_V_RE = re.compile(r"^v(\d+)\.json$")
+__all__ = ["SnapshotFeedDataSource", "snapshot_feed_schema"]
 
 
 def _local(p: str) -> str:
-    """file:-scheme manifest/data paths → local filesystem paths."""
+    """file:-scheme data paths → local filesystem paths (pyarrow)."""
     if p.startswith("file://"):
         return p[len("file:") :]
     if p.startswith("file:"):
@@ -81,24 +94,24 @@ def _local(p: str) -> str:
     return p
 
 
+def _canon(p: str) -> str:
+    """Canonicalize a file path for equality across the two spellings
+    the engine records: the manifest's Hadoop ``Path.toString`` form
+    (``file:/a dir/x``) and Spark's ``_metadata.file_path`` URI form
+    (``file:///a%20dir/x``) — percent-decode and collapse the scheme
+    separator, pure-Python (executors have no JVM access here)."""
+    p = unquote(p)
+    if p.startswith("file://"):
+        p = "file:" + p[len("file://") :]
+    return p
+
+
 def _versions(table_dir: str) -> list[int]:
-    d = os.path.join(_local(table_dir), "_manifests")
-    if not os.path.isdir(d):
-        return []
-    out = []
-    for name in os.listdir(d):
-        m = _V_RE.match(name)
-        if m:
-            out.append(int(m.group(1)))
-    return sorted(out)
+    return manifest_io_for(table_dir).list_versions(table_dir)
 
 
 def _manifest(table_dir: str, version: int) -> dict:
-    p = os.path.join(
-        _local(table_dir), "_manifests", "v%010d.json" % version
-    )
-    with open(p, "rb") as f:
-        return json.loads(f.read().decode("utf-8"))
+    return manifest_io_for(table_dir).read_manifest(table_dir, version)
 
 
 def _filter_sig(manifest: dict | None, files: set) -> dict:
@@ -194,6 +207,53 @@ def snapshot_feed_schema(table_dir: str):
     ).add(StructField("_commit_version", LongType(), False))
 
 
+_INT_CHAIN = ("tinyint", "smallint", "int", "bigint")
+
+
+def _widenable(src: str, dst: str) -> bool:
+    """True when a column stored as ``src`` can surface as ``dst``
+    losslessly — the same chains the table's merge_schema admits
+    (int-chain widening, float→double, decimal precision growth at
+    fixed scale); nested types must match exactly."""
+    if src == dst:
+        return True
+    if src in _INT_CHAIN and dst in _INT_CHAIN:
+        return _INT_CHAIN.index(src) <= _INT_CHAIN.index(dst)
+    if src == "float" and dst == "double":
+        return True
+    if src.startswith("decimal(") and dst.startswith("decimal("):
+        ps, ss = src[len("decimal(") : -1].split(",")
+        pd, sd = dst[len("decimal(") : -1].split(",")
+        return int(ss) == int(sd) and int(ps) <= int(pd)
+    return False
+
+
+def _fields_of(ddl: str) -> dict:
+    """simpleString table schema → {column: type simpleString}."""
+    return {
+        f.name: f.dataType.simpleString()
+        for f in _parse_simple_string(ddl).fields
+    }
+
+
+def _typed_sig(manifest: dict | None, files: set) -> dict:
+    """file → set of TYPED filter identities (('predicate', text) or
+    ('dv', sidecar)) for exactly the given files — unlike
+    :func:`_filter_sig`'s raw strings, the kind survives, which the
+    additive-DV classification needs."""
+    out: dict = {}
+    for e in (manifest or {}).get("row_filters", []):
+        ident = (
+            ("predicate", e["predicate"])
+            if "predicate" in e
+            else ("dv", e["dv"])
+        )
+        for f in e.get("files", []):
+            if f in files:
+                out.setdefault(f, set()).add(ident)
+    return out
+
+
 class _FilePartition(InputPartition):
     def __init__(
         self,
@@ -201,11 +261,13 @@ class _FilePartition(InputPartition):
         change_type: str,
         version: int,
         row_group: int | None = None,
+        dv: str | None = None,
     ):
         self.path = path
         self.change_type = change_type
         self.version = version
         self.row_group = row_group  # None = whole file
+        self.dv = dv  # deletion-vector sidecar: emit ONLY its positions
 
 
 class _SnapshotStreamReader(DataSourceStreamReader):
@@ -252,50 +314,82 @@ class _SnapshotStreamReader(DataSourceStreamReader):
             )
         anchor = _manifest(self.table_dir, versions[-1])
         self._schema_ddl = anchor["schema"]
+        self._feed_fields = _fields_of(anchor["schema"])
         self._table_id = anchor.get("table_id")
         if self.starting > 0:
             start_m = _manifest(self.table_dir, self.starting)
-            if start_m.get("row_filters"):
+            if any(
+                "predicate" in e
+                for e in start_m.get("row_filters") or []
+            ):
                 raise ValueError(
-                    "snapshot_feed: table has pending merge-on-read "
-                    "filters at the starting version — drain them "
-                    "(snapshot_apply_filters) before attaching a stream"
+                    "snapshot_feed: table has pending PREDICATE-shaped "
+                    "lazy deletes at the starting version — no row "
+                    "positions are recorded for those, so their "
+                    "eventual drain has no feed representation; apply "
+                    "them (snapshot_apply_filters) before attaching a "
+                    "stream.  (DV-shaped takedowns are fine: their "
+                    "sidecars enumerate positions.)"
                 )
 
     # -- offsets ---------------------------------------------------------
     def initialOffset(self) -> dict:
+        # ALSO the rate-limiter anchor for a FRESH query: Spark calls
+        # this exactly when no checkpointed offset exists, so the first
+        # micro-batch of a new stream over a table with history (the
+        # common big-backlog case) paces from the starting version
+        # instead of running unbounded
+        self._last_end = self.starting
         return {"version": self.starting}
 
     def latestOffset(self) -> dict:
         versions = _versions(self.table_dir)
         tip = versions[-1] if versions else self.starting
         if self.max_files is None or self._last_end is None:
-            # no budget, or first trigger after a (re)start — the true
-            # position lives in the CHECKPOINT, which only partitions()
-            # sees; capping against a guess could move the offset
-            # backwards, so the first batch runs unbounded and every
-            # later one is capped
+            # no budget, or first trigger after a RESTART whose batches
+            # were all committed — that position lives only in the
+            # checkpoint, which this reader never sees (initialOffset
+            # is not called and partitions() hasn't run yet); capping
+            # against a guess could move the offset BACKWARDS (a
+            # planned batch with end < start re-emits committed rows),
+            # so that one batch runs unbounded and every later one is
+            # capped.  Fresh queries ARE capped from the first batch
+            # (initialOffset anchors them).
             return {"version": tip}
         lo, budget, end = self._last_end, self.max_files, self._last_end
         try:
-            prev_files = None
+            prev_m = None
             for v in range(lo + 1, tip + 1):
                 m = _manifest(self.table_dir, v)
-                if prev_files is None:
-                    prev_files = (
-                        set(_manifest(self.table_dir, v - 1)["files"])
+                if prev_m is None:
+                    prev_m = (
+                        _manifest(self.table_dir, v - 1)
                         if v - 1 > 0
-                        else set()
+                        else {"files": []}
                     )
+                prev_files = set(prev_m["files"])
                 cur = set(m["files"])
-                changed = (
-                    len(cur ^ prev_files) if m.get("op") != "compact" else 0
-                )
+                if m.get("op") == "compact":
+                    changed = 0
+                else:
+                    changed = len(cur ^ prev_files)
+                    # a DV takedown changes no files but costs one read
+                    # per covered file — budget those too
+                    prev_dv = {
+                        e["dv"]
+                        for e in prev_m.get("row_filters") or []
+                        if "dv" in e
+                    }
+                    changed += sum(
+                        len(e.get("files", []))
+                        for e in m.get("row_filters") or []
+                        if "dv" in e and e["dv"] not in prev_dv
+                    )
                 if end > lo and budget - changed < 0:
                     break  # budget exhausted; leave this version for later
                 budget -= changed
                 end = v
-                prev_files = cur
+                prev_m = m
         except Exception:
             # a manifest in the window is unreadable (retention passed
             # the offset): advance to the TIP so partitions() runs and
@@ -328,21 +422,11 @@ class _SnapshotStreamReader(DataSourceStreamReader):
             )
         for v in range(lo + 1, hi + 1):
             m = _manifest(self.table_dir, v)
-            if m["schema"] != self._schema_ddl:
-                raise ValueError(
-                    f"snapshot_feed: schema changed at v{v} "
-                    f"({self._schema_ddl!r} -> {m['schema']!r}) — restart "
-                    "the stream against the new schema"
-                )
+            self._check_schema(m, prev, v)
             pf = set((prev or {}).get("files") or [])
             mf = set(m["files"])
             carried = pf & mf
-            if _filter_sig(prev, carried) != _filter_sig(m, carried):
-                raise ValueError(
-                    f"snapshot_feed: merge-on-read filter change at v{v} "
-                    "— a zero-byte takedown has no file diff; use CoW "
-                    "deletes (lazy=False) while a stream is attached"
-                )
+            new_dv = self._classify_filters(m, prev, carried, pf, v)
             if m.get("op") == "compact":
                 # byte-identical rewrite: cursor advances, nothing emits
                 prev = m
@@ -362,8 +446,101 @@ class _SnapshotStreamReader(DataSourceStreamReader):
                 parts.extend(self._split(f, "insert", v, meta))
             for f in sorted(pf - mf):
                 parts.extend(self._split(f, "delete", v, pmeta))
+            for sidecar, covered in new_dv:
+                # a DV takedown's sidecar enumerates the exact hit
+                # positions per file, recorded from the rows VISIBLE at
+                # commit time (stacked takedowns never re-list already-
+                # deleted positions) — each covered file emits its
+                # sidecar positions as delete rows
+                for f in sorted(covered):
+                    parts.append(_FilePartition(f, "delete", v, dv=sidecar))
             prev = m
         return parts
+
+    def _check_schema(self, m: dict, prev: dict | None, v: int) -> None:
+        """Additive schema evolution inside the window is representable
+        (the reader NULL-aligns missing columns and upcasts widenable
+        types batch-wise); anything else refuses, naming the actual
+        transition version.  Two rules: every column of v's schema must
+        fit the feed's PINNED schema (the tip at query start — a column
+        added after that needs a restart), and the v-1 → v transition
+        must be additive (a vanished/renamed column cannot be replayed
+        from files that still physically carry it)."""
+        if m["schema"] == self._schema_ddl and (
+            prev is None or prev["schema"] == self._schema_ddl
+        ):
+            return
+        fields = _fields_of(m["schema"])
+        for name, typ in fields.items():
+            feed_t = self._feed_fields.get(name)
+            if feed_t is None:
+                raise ValueError(
+                    f"snapshot_feed: v{v} carries column {name!r} not in "
+                    "the feed's pinned schema (added/renamed after the "
+                    "query started) — restart the stream against the "
+                    "new schema"
+                )
+            if not _widenable(typ, feed_t):
+                raise ValueError(
+                    f"snapshot_feed: v{v} column {name!r} type {typ!r} "
+                    f"does not widen to the feed's {feed_t!r} — restart "
+                    "the stream against the new schema"
+                )
+        if prev is not None:
+            for name, typ in _fields_of(prev["schema"]).items():
+                if name not in fields or not _widenable(typ, fields[name]):
+                    raise ValueError(
+                        f"snapshot_feed: non-additive schema change at "
+                        f"v{v} (column {name!r} dropped, renamed, or "
+                        "narrowed) — not representable in a running "
+                        "feed; restart against the new schema"
+                    )
+
+    def _classify_filters(
+        self, m: dict, prev: dict | None, carried: set, pf: set, v: int
+    ) -> list[tuple]:
+        """Merge-on-read filter changes on carried files are
+        representable ONLY when purely additive DV takedowns — return
+        those as ``[(sidecar, covered files)]``; any other change
+        (predicate-shaped entry with no recorded positions, or an entry
+        vanishing without its files) refuses loudly."""
+        psig = _typed_sig(prev, carried)
+        csig = _typed_sig(m, carried)
+        if psig == csig:
+            new_dv_idents: set = set()
+        else:
+            new_dv_idents = set()
+            for f in carried:
+                pids = psig.get(f, set())
+                cids = csig.get(f, set())
+                if not pids <= cids:
+                    raise ValueError(
+                        f"snapshot_feed: merge-on-read filter VANISHED "
+                        f"from a carried file at v{v} — a filter drain "
+                        "with no file rewrite has no feed "
+                        "representation; restart from a fresh baseline"
+                    )
+                for kind, ident in cids - pids:
+                    if kind != "dv":
+                        raise ValueError(
+                            f"snapshot_feed: predicate-shaped lazy "
+                            f"delete at v{v} records no row positions — "
+                            "not representable in the feed; use DV "
+                            "(lazy='dv') or CoW deletes while a stream "
+                            "is attached"
+                        )
+                    new_dv_idents.add(ident)
+        out = []
+        for e in m.get("row_filters") or []:
+            if e.get("dv") in new_dv_idents:
+                covered = set(e.get("files", []))
+                if not covered <= pf:
+                    raise ValueError(
+                        f"snapshot_feed: v{v} DV entry covers files "
+                        "outside the parent snapshot — malformed commit"
+                    )
+                out.append((e["dv"], covered))
+        return out
 
     _SPLIT_BYTES = 64 * 1024 * 1024
 
@@ -401,12 +578,23 @@ class _SnapshotStreamReader(DataSourceStreamReader):
         import pyarrow.parquet as pq
 
         pf = pq.ParquetFile(_local(partition.path))
-        if partition.row_group is None:
-            batches = pf.iter_batches(batch_size=64 * 1024)
-        else:
-            batches = pf.iter_batches(
-                batch_size=64 * 1024, row_groups=[partition.row_group]
-            )
+        positions = None
+        if partition.dv is not None:
+            positions = self._dv_positions(partition, pq)
+            if not positions:
+                return
+
+        def fresh_batches():
+            if partition.row_group is None:
+                it = pf.iter_batches(batch_size=64 * 1024)
+            else:
+                it = pf.iter_batches(
+                    batch_size=64 * 1024, row_groups=[partition.row_group]
+                )
+            if positions is not None:
+                return self._pos_filter(it, positions, pa)
+            return it
+
         try:
             from pyspark.sql.pandas.types import to_arrow_schema
 
@@ -424,7 +612,7 @@ class _SnapshotStreamReader(DataSourceStreamReader):
                 # bounded by the partition (≤ one row group after
                 # splitting), the same bound the scan itself has.
                 aligned = list(
-                    self._arrow_batches(batches, target, ct, cv, pa)
+                    self._arrow_batches(fresh_batches(), target, ct, cv, pa)
                 )
             except Exception:
                 aligned = None
@@ -432,14 +620,44 @@ class _SnapshotStreamReader(DataSourceStreamReader):
                 yield from aligned
                 return
             # reopen and degrade to tuples (batches are spent)
-            if partition.row_group is None:
-                batches = pf.iter_batches(batch_size=64 * 1024)
-            else:
-                batches = pf.iter_batches(
-                    batch_size=64 * 1024,
-                    row_groups=[partition.row_group],
+        yield from self._tuple_rows(fresh_batches(), ct, cv)
+
+    def _dv_positions(self, partition: _FilePartition, pq) -> list[int]:
+        """This file's hit positions from the deletion-vector sidecar —
+        the sidecar is takedown-hit-sized (positions, not rows), so one
+        read per covered file is cheap; spellings are canonicalized
+        because sidecars record Spark's ``_metadata.file_path`` URI form
+        while manifests record ``Path.toString``."""
+        t = pq.read_table(_local(partition.dv), columns=["file", "pos"])
+        want = _canon(partition.path)
+        return sorted(
+            p
+            for f, p in zip(
+                t.column("file").to_pylist(), t.column("pos").to_pylist()
+            )
+            if _canon(f) == want
+        )
+
+    @staticmethod
+    def _pos_filter(batches, positions: list[int], pa):
+        """Restrict row-ordered batches to the given global row indexes
+        (parquet row_index is the file's physical row order, which
+        ``iter_batches`` preserves) — DV partitions are always whole-
+        file, so the running offset starts at 0."""
+        from bisect import bisect_left
+
+        off = 0
+        for b in batches:
+            n = b.num_rows
+            lo = bisect_left(positions, off)
+            hi = bisect_left(positions, off + n)
+            if hi > lo:
+                yield b.take(
+                    pa.array(
+                        [p - off for p in positions[lo:hi]], type=pa.int64()
+                    )
                 )
-        yield from self._tuple_rows(batches, ct, cv)
+            off += n
 
     def _arrow_batches(self, batches, target, ct: str, cv: int, pa):
         for b in batches:

@@ -182,3 +182,35 @@ def test_search_prunes_postings_files_by_cell(spark, tmp_path):
     # one-cell probe: strictly fewer files than the whole postings set
     one_cell = read_snapshot(spark, pdir, prune={"cell": {0}})
     assert 0 < len(one_cell.inputFiles()) < all_files
+
+
+def test_fresh_staleness_budget_refuses_then_heals(spark, tmp_path):
+    """r14: fresh=True's brute-forced tail is BUDGETED — an oversized
+    unindexed tail refuses loudly (naming ann_index_refresh) instead of
+    silently degrading every query to a near-full exact scan; after a
+    refresh the SAME call succeeds, and max_tail_rows=None opts into
+    the cost knowingly."""
+    src = str(tmp_path / "embeddings")
+    idx = str(tmp_path / "index")
+    snapshot_append(_vecs(spark, 0, 200, seed=3).coalesce(1), src)
+    ann_index_create(
+        spark, src, idx, ncells=4, m=4, k=16, sample=2048, pq_iters=3
+    )
+    q = [0.0] * DIM
+    # plant a tail larger than the budget
+    snapshot_append(_vecs(spark, 200, 350, seed=4).coalesce(1), src)
+    with pytest.raises(ValueError, match="ann_index_refresh"):
+        ann_index_search(
+            spark, idx, q, topk=5, fresh=True, max_tail_rows=100
+        )
+    # opting out of the budget still works (cost accepted knowingly)
+    assert ann_index_search(
+        spark, idx, q, topk=5, fresh=True, max_tail_rows=None
+    ).count() == 5
+    # refresh folds the tail into the postings -> same call succeeds
+    ann_index_refresh(spark, idx)
+    out = ann_index_search(
+        spark, idx, q, topk=5, fresh=True, max_tail_rows=100
+    )
+    assert out.count() == 5
+    assert ann_index_info(spark, idx)["lag_rows"] == 0

@@ -156,10 +156,13 @@ def test_feed_refuses_mor_filters(registered, tmp_path):
     q = _start(spark, t, mirror, str(tmp_path / "ckpt"))
     try:
         q.processAllAvailable()
-        # a zero-byte lazy takedown has NO file diff — the feed must
-        # fail the query loudly, not silently keep deleted rows alive
+        # a PREDICATE-shaped lazy takedown records no row positions —
+        # the feed must fail the query loudly (and distinctly from the
+        # representable DV form), not silently keep deleted rows alive
         snapshot_delete_where(spark, t, "k = 2", lazy=True)
-        with pytest.raises(Exception, match="merge-on-read|terminated"):
+        with pytest.raises(
+            Exception, match="predicate-shaped|no row positions|terminated"
+        ):
             q.processAllAvailable()
             raise RuntimeError("terminated")  # if PAA swallowed the error
     finally:
@@ -306,10 +309,158 @@ def test_max_files_per_trigger_backpressure(registered, tmp_path):
             )
         q.processAllAvailable()
         assert mirror.snapshot() == _table_counter(spark, t)
-        # after the first (unbounded) batch, every batch spans ONE
-        # version — the budget held
-        for vs in batches[1:]:
+        # EVERY batch spans one version — including the first (a fresh
+        # query's initialOffset anchors the rate limiter, so the
+        # backlog-at-attach batch is bounded too; only a restart whose
+        # batches all committed keeps one unbounded batch)
+        for vs in batches:
             assert len(vs) == 1, batches
         assert len(batches) >= 6
     finally:
         q.stop()
+
+
+def test_feed_dv_takedown_streams_as_deletes(registered, tmp_path):
+    """A deletion-vector takedown (lazy='dv') changes NO files, but its
+    sidecar enumerates exact (file, position) hits — the feed emits
+    those rows as deletes, so takedown-heavy corpora can stream.  The
+    invariant stays mirror ≡ table at every commit point, through a
+    mid-stream DV, a following append, and a STACKED second DV."""
+    spark = registered
+    t = str(tmp_path / "t")
+    snapshot_append(_df(spark, 0, 40).coalesce(2), t)
+    mirror = _Mirror()
+    q = _start(spark, t, mirror, str(tmp_path / "ckpt"))
+    try:
+        q.processAllAvailable()
+        assert mirror.snapshot() == _table_counter(spark, t)
+
+        res = snapshot_delete_where(spark, t, "k = 2", lazy="dv")
+        assert res.get("row_filters"), "DV takedown recorded no filter"
+        q.processAllAvailable()
+        assert mirror.snapshot() == _table_counter(spark, t)
+
+        snapshot_append(_df(spark, 40, 60).coalesce(1), t)
+        q.processAllAvailable()
+        assert mirror.snapshot() == _table_counter(spark, t)
+
+        # stacked DV: its sidecar was scanned through the pending first
+        # DV, so already-deleted positions are never re-emitted
+        snapshot_delete_where(spark, t, "id < 5", lazy="dv")
+        q.processAllAvailable()
+        assert mirror.snapshot() == _table_counter(spark, t)
+    finally:
+        q.stop()
+
+
+def test_feed_dv_exactly_once_across_restart(registered, tmp_path):
+    """DV takedowns committed while the stream is DOWN replay exactly
+    once from the checkpoint."""
+    spark = registered
+    t = str(tmp_path / "t")
+    ckpt = str(tmp_path / "ckpt")
+    snapshot_append(_df(spark, 0, 30).coalesce(1), t)
+    mirror = _Mirror()
+    q = _start(spark, t, mirror, ckpt)
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    snapshot_delete_where(spark, t, "k = 4", lazy="dv")
+    snapshot_append(_df(spark, 30, 45).coalesce(1), t)
+    q = _start(spark, t, mirror, ckpt)
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    assert mirror.snapshot() == _table_counter(spark, t)
+
+
+def test_feed_additive_schema_evolution(registered, tmp_path):
+    """append → add-column (merge_schema) → append under one running
+    stream: representable because the feed's pinned schema (tip at
+    query start) is the widest — pre-evolution files surface the added
+    column as NULL.  Rename still refuses loudly."""
+    spark = registered
+    t = str(tmp_path / "t")
+    snapshot_append(_df(spark, 0, 10).coalesce(1), t)  # v1: (id, k)
+    snapshot_append(
+        _df(spark, 10, 20).withColumn("extra", F.col("id") * 10).coalesce(1),
+        t,
+        merge_schema=True,
+    )  # v2: (id, k, extra)
+    got = []
+
+    def grab(batch_df, batch_id):
+        got.extend(batch_df.collect())
+
+    q = (
+        spark.readStream.format("snapshot_feed")
+        .option("table_dir", t)
+        .load()  # feed schema pinned at the tip: (id, k, extra)
+        .writeStream.foreachBatch(grab)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        # mid-stream append at the evolved schema
+        snapshot_append(
+            _df(spark, 20, 25)
+            .withColumn("extra", F.col("id") * 10)
+            .coalesce(1),
+            t,
+            merge_schema=True,
+        )
+        q.processAllAvailable()
+        table = {
+            (r["id"], r["k"], r["extra"])
+            for r in read_snapshot(spark, t).collect()
+        }
+        feed = {(r["id"], r["k"], r["extra"]) for r in got}
+        assert feed == table
+        assert {r["extra"] for r in got if r["id"] < 10} == {None}
+        # a rename mid-stream is NOT additive — refuse loudly
+        from mini_project_204721_data_engineering_spark.sources.snapshots import (
+            snapshot_rename_column,
+        )
+
+        snapshot_rename_column(spark, t, "extra", "bonus")
+        with pytest.raises(
+            Exception, match="non-additive|not in the feed|terminated"
+        ):
+            q.processAllAvailable()
+            raise RuntimeError("terminated")
+    finally:
+        try:
+            q.stop()
+        except Exception:
+            pass
+
+
+def test_feed_refuses_post_start_added_column(registered, tmp_path):
+    """A column added AFTER the query started cannot surface in the
+    pinned feed schema — refuse (naming the transition version) rather
+    than silently dropping its values."""
+    spark = registered
+    t = str(tmp_path / "t")
+    snapshot_append(_df(spark, 0, 10).coalesce(1), t)
+    mirror = _Mirror()
+    q = _start(spark, t, mirror, str(tmp_path / "ckpt"))
+    try:
+        q.processAllAvailable()
+        snapshot_append(
+            _df(spark, 10, 20).withColumn("late", F.lit(1)).coalesce(1),
+            t,
+            merge_schema=True,
+        )
+        with pytest.raises(
+            Exception, match="pinned schema|restart the stream|terminated"
+        ):
+            q.processAllAvailable()
+            raise RuntimeError("terminated")
+    finally:
+        try:
+            q.stop()
+        except Exception:
+            pass

@@ -1177,3 +1177,125 @@ def test_compact_spec_zorder_and_sidecars(spark, tmp_path):
             spark, cat,
             {"facts": {"op": "compact", "bloom_cols": ["nope"]}},
         )
+
+
+def test_apply_filters_spec_drains_enrolled_table(spark, tmp_path):
+    """{"op": "apply_filters"} drains every pending lazy-delete filter
+    on the catalog-pinned manifest: read results identical before and
+    after, row_filters empties, and a filter-free table is a catalog
+    NO-OP (no empty versions from a sweep)."""
+    from mini_project_204721_data_engineering_spark.sources.snapshots import (
+        snapshot_delete_where,
+    )
+    from mini_project_204721_data_engineering_spark.sources.txn_catalog import (
+        catalog_resolve,
+    )
+
+    t = str(tmp_path / "t")
+    snapshot_append(
+        spark.range(40).select("id", (F.col("id") % 5).alias("k")).coalesce(2),
+        t,
+    )
+    snapshot_delete_where(spark, t, "k = 1", lazy=True)
+    snapshot_delete_where(spark, t, "id < 3", lazy="dv")
+    cat = str(tmp_path / "cat")
+    catalog_init(spark, cat, {"t": t})
+    before = sorted(
+        (r["id"], r["k"]) for r in catalog_read(spark, cat, "t").collect()
+    )
+    multi_table_txn(spark, cat, {"t": {"op": "apply_filters"}})
+    m = catalog_resolve(spark, cat, "t")
+    assert not m.get("row_filters"), "filters not drained"
+    after = sorted(
+        (r["id"], r["k"]) for r in catalog_read(spark, cat, "t").collect()
+    )
+    assert before == after
+    # idempotent sweep: nothing pending -> NO catalog churn
+    v = len(catalog_history(spark, cat))
+    assert multi_table_txn(spark, cat, {"t": {"op": "apply_filters"}}) is not None or True
+    assert len(catalog_history(spark, cat)) == v
+
+
+def test_catalog_layout_report_triages_and_heals(spark, tmp_path):
+    """The fleet sweep (r14): 3 enrolled tables — one small-file-heavy,
+    one takedown-stacked, one healthy — the report names exactly the
+    two sick ones with the right write specs; running those specs
+    through multi_table_txn heals the report."""
+    from mini_project_204721_data_engineering_spark.sources.snapshots import (
+        snapshot_delete_where,
+    )
+    from mini_project_204721_data_engineering_spark.sources.txn_catalog import (
+        catalog_layout_report,
+    )
+
+    frag = str(tmp_path / "frag")
+    for i in range(6):  # 6 tiny single-file commits -> bin-pack bait
+        snapshot_append(
+            spark.range(10 * i, 10 * (i + 1))
+            .select("id", (F.col("id") % 5).alias("k"))
+            .coalesce(1),
+            frag,
+        )
+    stacked = str(tmp_path / "stacked")
+    snapshot_append(
+        spark.range(100)
+        .select("id", (F.col("id") % 10).alias("k"))
+        .coalesce(1),
+        stacked,
+    )
+    for kk in range(4):  # 4 pending takedowns -> every read re-filters
+        snapshot_delete_where(spark, stacked, f"k = {kk}", lazy="dv")
+    healthy = str(tmp_path / "healthy")
+    snapshot_append(
+        spark.range(50).select("id", (F.col("id") % 5).alias("k")).coalesce(1),
+        healthy,
+    )
+    cat = str(tmp_path / "cat")
+    catalog_init(
+        spark, cat, {"frag": frag, "stacked": stacked, "healthy": healthy}
+    )
+    rep = catalog_layout_report(spark, cat)
+    assert set(rep["ranked"]) == {"frag", "stacked"}
+    assert {s["op"] for s in rep["writes"]["frag"]} == {"compact"}
+    assert "apply_filters" in {s["op"] for s in rep["writes"]["stacked"]}
+    assert rep["writes"]["healthy"] == []
+    assert rep["catalog_actions"] == []  # 1 catalog version, no expire
+    # run the recommended calls — each table's specs in order
+    rounds = max(len(v) for v in rep["writes"].values())
+    for i in range(rounds):
+        batch = {
+            n: specs[i]
+            for n, specs in rep["writes"].items()
+            if i < len(specs)
+        }
+        if batch:
+            multi_table_txn(spark, cat, batch)
+    healed = catalog_layout_report(spark, cat)
+    assert healed["ranked"] == [], healed["tables"]
+    assert all(not v for v in healed["writes"].values())
+    # content survived the maintenance
+    assert catalog_read(spark, cat, "frag").count() == 60
+    assert catalog_read(spark, cat, "stacked").count() == 60  # 40 deleted
+    assert catalog_read(spark, cat, "healthy").count() == 50
+
+
+def test_catalog_changes_from_version_zero(spark, tmp_path):
+    """from_version=0 means 'from before the catalog existed' — the
+    same from-the-beginning spelling snapshot_incremental_read accepts
+    (it used to crash with a raw FileNotFound on catalog v0)."""
+    from mini_project_204721_data_engineering_spark.sources.txn_catalog import (
+        catalog_changes,
+    )
+
+    cat, facts, lineage = _setup(spark, tmp_path)
+    multi_table_txn(
+        spark,
+        cat,
+        {
+            "facts": {"op": "append", "df": _fact_df(spark, 1, 5)},
+            "lineage": {"op": "append", "df": _lineage_df(spark, 1, 5)},
+        },
+    )
+    out = catalog_changes(spark, cat, from_version=0)
+    assert out["facts"].count() == 5
+    assert out["lineage"].count() == 1
