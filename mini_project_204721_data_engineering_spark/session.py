@@ -56,5 +56,14 @@ def get_spark(app_name: str = "mini-project-204721-spark") -> SparkSession:
         # keep the UI off in tests; it only costs startup time here
         .config("spark.ui.enabled", os.environ.get("SPARK_GRAFT_UI", "false"))
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        # full-table demo queries (discount_class: one row per lineitem)
+        # materialize driver-side in the bench; at sf10 probe scale the
+        # Arrow-collected result crosses the 1g default — the cap is a
+        # guard against accidental collects, so raise it only as far as
+        # the probe needs and keep it configurable
+        .config(
+            "spark.driver.maxResultSize",
+            os.environ.get("SPARK_GRAFT_MAX_RESULT", "4g"),
+        )
     )
     return builder.getOrCreate()

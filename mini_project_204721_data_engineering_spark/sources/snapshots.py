@@ -4617,6 +4617,9 @@ def _compact_pack(
             "compact: target_file_bytes and small_file_bytes must be "
             f"positive (got {target_file_bytes}, {small_file_bytes})"
         )
+    # byte IO only (size fallback + data-file writes): translate mock
+    # paths onto file:, identity for every Hadoop-native store
+    table_dir = manifest_io_for(table_dir, spark).spark_path(table_dir)
     fs, _, jvm = _fs_for(spark, table_dir)
     # sizes come from the manifest's file_meta — at 1e5 files that is
     # the difference between a dict lookup and 1e5 getFileStatus RPCs
@@ -5696,10 +5699,15 @@ def _staged_catalog_referenced(
         return None
     def plain(p) -> str:
         # pins record paths in the caller's spelling (often scheme-less
-        # local paths); globStatus yields qualified file:/ URIs — one
-        # normalization or every comparison silently misses
+        # local paths, or the mock store's mock:-scheme keys);
+        # globStatus yields qualified file:/ URIs — one normalization
+        # or every comparison silently misses
         s = str(p)
-        return s[5:] if s.startswith("file:") else s
+        if s.startswith("file:"):
+            return s[5:]
+        if s.startswith("mock:"):
+            return s[5:]
+        return s
 
     try:
         versions = _list_versions(spark, cdir)
@@ -5753,6 +5761,11 @@ def expire_snapshots(
     deleting it would corrupt the commit that is about to claim it."""
     if keep_last < 1:
         raise ValueError("keep_last must be >= 1")
+    # retention is plain byte IO (list/stat/delete — no atomicity
+    # claims), which Hadoop handles natively on real stores; the mock
+    # object store translates onto file: here so GC reaches the same
+    # physical tree the seam wrote (identity everywhere else)
+    table_dir = manifest_io_for(table_dir, spark).spark_path(table_dir)
     versions = _list_versions(spark, table_dir)
     if not versions:
         return {"expired_manifests": 0, "deleted_files": 0,

@@ -938,12 +938,16 @@ def catalog_expire(
             pv = int(pin.get("version", 0))
             if pv and (name not in min_pinned or pv < min_pinned[name]):
                 min_pinned[name] = pv
-    fs, _, jvm = _fs_for(spark, catalog_dir)
+    # deletes are plain byte IO: translate mock-store paths onto file:
+    # (identity for Hadoop-native stores) so retention reaches the
+    # physical tree the seam wrote
+    del_dir = manifest_io_for(catalog_dir, spark).spark_path(catalog_dir)
+    fs, _, jvm = _fs_for(spark, del_dir)
     expired = 0
     for v in versions:
         if v not in keep:
             fs.delete(
-                _child(jvm, catalog_dir, _MANIFEST_DIR, _V_FMT % v), False
+                _child(jvm, del_dir, _MANIFEST_DIR, _V_FMT % v), False
             )
             expired += 1
     return {"expired": expired, "min_pinned": min_pinned}

@@ -539,6 +539,15 @@ class _SnapshotStreamReader(DataSourceStreamReader):
                         f"snapshot_feed: v{v} DV entry covers files "
                         "outside the parent snapshot — malformed commit"
                     )
+                if not covered <= carried:
+                    # a file both REMOVED and newly DV-covered in one
+                    # commit would emit its raw bytes as deletes (file
+                    # diff) AND its positions (DV) — double deletion;
+                    # no engine op produces this shape, so refuse
+                    raise ValueError(
+                        f"snapshot_feed: v{v} adds a DV over a file the "
+                        "same commit removes — unrepresentable diff"
+                    )
                 out.append((e["dv"], covered))
         return out
 

@@ -234,3 +234,32 @@ def test_streaming_feed_on_mock_store(spark, tmp_path):
         (r["id"], r["k"]) for r in _df(spark, 0, 40).collect()
     )
     assert {r["_change_type"] for r in got} == {"insert"}
+
+
+def test_maintenance_on_mock_store(spark, tmp_path):
+    """Retention and compaction are plain byte IO — they reach mock-
+    store tables through the spark_path translation: compact packs the
+    small commits, expire drops old manifests and sweeps unreferenced
+    bytes, and the surviving snapshot still reads exactly."""
+    from mini_project_204721_data_engineering_spark.sources.snapshots import (
+        expire_snapshots,
+        snapshot_compact,
+    )
+
+    t = "mock:" + str(tmp_path / "tbl")
+    for i in range(4):
+        snapshot_append(_df(spark, 10 * i, 10 * (i + 1)).coalesce(1), t)
+    snapshot_compact(spark, t)
+    res = expire_snapshots(
+        spark, t, keep_last=1, orphan_min_age_seconds=0.0
+    )
+    assert res["expired_manifests"] == 4
+    assert res["deleted_files"] >= 4  # the pre-compaction small files
+    got = Counter(
+        (r["id"], r["k"]) for r in read_snapshot(spark, t).collect()
+    )
+    assert got == Counter(
+        (r["id"], r["k"]) for r in _df(spark, 0, 40).collect()
+    )
+    hist = snapshot_history(spark, t)
+    assert len(hist) == 1 and hist[0]["op"] == "compact"

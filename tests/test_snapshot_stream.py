@@ -349,6 +349,16 @@ def test_feed_dv_takedown_streams_as_deletes(registered, tmp_path):
         snapshot_delete_where(spark, t, "id < 5", lazy="dv")
         q.processAllAvailable()
         assert mirror.snapshot() == _table_counter(spark, t)
+
+        # compaction AFTER the takedowns drains them into clean bytes —
+        # still emits NOTHING (the feed already accounted for every DV
+        # position at its commit; compact only materializes what was
+        # already visible), and the mirror stays exact
+        before = mirror.emitted
+        snapshot_compact(spark, t)
+        q.processAllAvailable()
+        assert mirror.emitted == before, "post-DV compaction leaked rows"
+        assert mirror.snapshot() == _table_counter(spark, t)
     finally:
         q.stop()
 
