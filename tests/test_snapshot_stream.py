@@ -474,3 +474,70 @@ def test_feed_refuses_post_start_added_column(registered, tmp_path):
             q.stop()
         except Exception:
             pass
+
+
+def test_feed_dv_and_evolution_in_one_window(registered, tmp_path):
+    """The hard replay: a DOWN stream misses an additive-evolution
+    commit AND a DV takedown whose sidecar references pre-evolution
+    files; the restart window replays both — DV delete rows align the
+    missing column as NULL exactly like their original inserts did, so
+    the multiset still cancels."""
+    spark = registered
+    t = str(tmp_path / "t")
+    ckpt = str(tmp_path / "ckpt")
+    snapshot_append(_df(spark, 0, 30).coalesce(1), t)  # v1: (id, k)
+    snapshot_append(
+        _df(spark, 30, 40).withColumn("extra", F.col("id") * 2).coalesce(1),
+        t,
+        merge_schema=True,
+    )  # v2: (id, k, extra) — BEFORE the stream starts (pins the schema)
+    got = []
+
+    def grab(batch_df, batch_id):
+        got.extend(batch_df.collect())
+
+    def start():
+        return (
+            spark.readStream.format("snapshot_feed")
+            .option("table_dir", t)
+            .load()
+            .writeStream.foreachBatch(grab)
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+
+    q = start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    # while DOWN: a DV hitting v1's pre-evolution file + a new append
+    snapshot_delete_where(spark, t, "id < 7", lazy="dv")
+    snapshot_append(
+        _df(spark, 40, 45).withColumn("extra", F.lit(0)).coalesce(1),
+        t,
+        merge_schema=True,
+    )
+    q = start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    ins = Counter(
+        (r["id"], r["k"], r["extra"])
+        for r in got
+        if r["_change_type"] == "insert"
+    )
+    dels = Counter(
+        (r["id"], r["k"], r["extra"])
+        for r in got
+        if r["_change_type"] == "delete"
+    )
+    net = ins - dels
+    table = Counter(
+        (r["id"], r["k"], r["extra"])
+        for r in read_snapshot(spark, t).collect()
+    )
+    assert +net == table
+    # the DV deletes carried NULL extra, matching their v1 inserts
+    assert all(x[2] is None for x in dels)

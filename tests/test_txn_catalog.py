@@ -1299,3 +1299,28 @@ def test_catalog_changes_from_version_zero(spark, tmp_path):
     out = catalog_changes(spark, cat, from_version=0)
     assert out["facts"].count() == 5
     assert out["lineage"].count() == 1
+
+
+def test_catalog_layout_report_expire_recommendation(spark, tmp_path):
+    """The sweep also watches the CATALOG's own log: past
+    max_catalog_versions it recommends catalog_expire, and running it
+    clears the recommendation."""
+    from mini_project_204721_data_engineering_spark.sources.txn_catalog import (
+        catalog_expire,
+        catalog_layout_report,
+    )
+
+    cat, facts, lineage = _setup(spark, tmp_path)
+    for i in range(4):
+        multi_table_txn(
+            spark,
+            cat,
+            {"facts": {"op": "append", "df": _fact_df(spark, i, 3)}},
+        )
+    rep = catalog_layout_report(spark, cat, max_catalog_versions=3)
+    assert rep["catalog_versions"] == 5
+    assert any("catalog_expire" in a for a in rep["catalog_actions"])
+    catalog_expire(spark, cat, keep_last=2)
+    healed = catalog_layout_report(spark, cat, max_catalog_versions=3)
+    assert healed["catalog_versions"] == 2
+    assert healed["catalog_actions"] == []
