@@ -87,10 +87,9 @@ def path_scheme(path: str) -> str:
 
 
 def _strip_file(p: str) -> str:
-    """file:-scheme paths → local filesystem paths (both the
-    ``file:/x`` and ``file:///x`` spellings Hadoop emits)."""
-    if p.startswith("file://"):
-        return p[len("file:") :]
+    """file:-scheme paths → local filesystem paths (the ``file:/x``
+    and ``file:///x`` spellings Hadoop emits both strip to a POSIX
+    path — repeated leading slashes are one root)."""
     if p.startswith("file:"):
         return p[len("file:") :]
     return p
@@ -258,12 +257,13 @@ class HadoopManifestIO(ManifestIO):
         return True
 
 
-class MockObjectStoreIO(ManifestIO):
+class MockObjectStoreIO(LocalManifestIO):
     """S3-class object store EMULATION for the test harness — a flat
     keyspace at ``mock:<root>/<key>`` backed by the local directory
-    ``<root>``, reachable only through this interface.  The conditional
-    put is implemented "store-side" (O_EXCL under the hood — the
-    harness's stand-in for S3 ``If-None-Match: *``), and
+    ``<root>``, reachable only through this interface.  Every
+    operation strips the scheme and delegates to the local impl (the
+    store-side conditional put is the same kernel-atomic O_EXCL claim
+    — the harness's stand-in for S3 ``If-None-Match: *``);
     ``fail_puts_at`` lets a test inject a lost race at an exact key to
     pin the retry loop's behavior.  Stateless by construction (the root
     is in the path), so the Python-DataSource worker processes resolve
@@ -278,20 +278,13 @@ class MockObjectStoreIO(ManifestIO):
         return path[len("mock:") :]
 
     def list_versions(self, table_dir: str) -> list[int]:
-        d = os.path.join(self._key(table_dir), MANIFEST_DIR)
-        if not os.path.isdir(d):
-            return []
-        return _names_to_versions(os.listdir(d))
+        return super().list_versions(self._key(table_dir))
 
     def read_bytes(self, path: str) -> bytes:
-        with open(self._key(path), "rb") as f:
-            return f.read()
+        return super().read_bytes(self._key(path))
 
     def write_bytes(self, path: str, payload: bytes) -> None:
-        p = self._key(path)
-        os.makedirs(os.path.dirname(p), exist_ok=True)
-        with open(p, "wb") as f:
-            f.write(payload)
+        super().write_bytes(self._key(path), payload)
 
     def put_if_absent(self, path: str, payload: bytes) -> bool:
         p = self._key(path)
@@ -299,17 +292,7 @@ class MockObjectStoreIO(ManifestIO):
             if p.endswith(suffix) and n > 0:
                 type(self).fail_puts_at[suffix] = n - 1
                 return False  # injected lost race
-        os.makedirs(os.path.dirname(p), exist_ok=True)
-        try:
-            fd = os.open(p, os.O_CREAT | os.O_EXCL | os.O_WRONLY, 0o644)
-        except FileExistsError:
-            return False
-        try:
-            os.write(fd, payload)
-            os.fsync(fd)
-        finally:
-            os.close(fd)
-        return True
+        return super().put_if_absent(p, payload)
 
     def spark_path(self, path: str) -> str:
         # data bytes move through file: so Spark/pyarrow can read them;

@@ -80,9 +80,14 @@ class _AlreadyApplied(Exception):
     """Raised inside the commit loop when the tip already records this
     (app_id, batch_id) — the replayed-batch no-op signal."""
 
-_MANIFEST_DIR = "_manifests"
+# manifest layout constants live with the IO seam (one definition —
+# the seam's listings and the staged-path construction in
+# txn_catalog.py must never desynchronize); aliased here for the many
+# existing references
+from .manifest_io import MANIFEST_DIR as _MANIFEST_DIR
+from .manifest_io import V_FMT as _V_FMT
+
 _DATA_DIR = "data"
-_V_FMT = "v%010d.json"
 
 
 def _fs_for(spark: SparkSession, path_str: str):
@@ -90,6 +95,15 @@ def _fs_for(spark: SparkSession, path_str: str):
     jpath = jvm.org.apache.hadoop.fs.Path(path_str)
     fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
     return fs, jpath, jvm
+
+
+def _byte_dir(spark: SparkSession, table_dir: str) -> str:
+    """``table_dir`` translated for PLAIN BYTE IO (data files, DV/bloom/
+    ndv sidecars, copies, GC): identity on every Hadoop-native store,
+    ``file:`` for the mock object store (whose keyspace is the same
+    physical tree).  Commit claims keep the caller's spelling — only
+    bytes move through the translation."""
+    return manifest_io_for(table_dir, spark).spark_path(table_dir)
 
 
 def _canon_file(jvm, s: str) -> str:
@@ -2390,6 +2404,7 @@ def _build_bloom_entry(
     if not new_files or not cols:
         return None
     types = {f.name: f.dataType.simpleString() for f in schema.fields}
+    table_dir = _byte_dir(spark, table_dir)  # sidecar bytes only
     fs, _, jvm = _fs_for(spark, table_dir)
     scan = spark.read.schema(schema).parquet(*new_files)
     # one metadata-only job yields BOTH the sizing input (largest file's
@@ -2531,6 +2546,7 @@ def _build_ndv_entry(
     cols = list(cols)
     if not new_files or not cols:
         return None
+    table_dir = _byte_dir(spark, table_dir)  # sidecar bytes only
     fs, _, jvm = _fs_for(spark, table_dir)
     scan = spark.read.schema(schema).parquet(*new_files)
     # ONE pass builds every column's sketch (groupBy file with N sketch
@@ -2676,7 +2692,7 @@ def _sweep_unreferenced_sidecars(spark, table_dir, paths) -> None:
     """Best-effort abort cleanup shared by every sidecar-writing path
     (DV delete, bloom commits, clone copies): delete each path no live
     manifest references; leak the rest for expire_snapshots."""
-    fs, _, jvm = _fs_for(spark, table_dir)
+    fs, _, jvm = _fs_for(spark, _byte_dir(spark, table_dir))
     for p in paths:
         if p is not None and not _sidecar_referenced(spark, table_dir, p):
             try:
@@ -3960,7 +3976,8 @@ def snapshot_delete_where(
         # mode is NOT gated: it evaluates the predicate exactly once,
         # into positions, like CoW.
         _check_stored_predicate(spark, schema, predicate)
-    fs, _, jvm = _fs_for(spark, table_dir)
+    bdir = _byte_dir(spark, table_dir)
+    fs, _, jvm = _fs_for(spark, bdir)
     # ONE hit-scan shape for every mode: the filtered read with
     # scan-bound position metadata.  __dv_file (the _metadata.file_path
     # column), NOT input_file_name(): the latter refuses multi-source
@@ -3977,7 +3994,7 @@ def snapshot_delete_where(
         # fs-qualified (file:/...) so the GC's globStatus comparison and
         # the manifest's stored spelling agree
         dv_path = str(
-            fs.makeQualified(_child(jvm, table_dir, "_dv", f"dv-{uuid.uuid4().hex}"))
+            fs.makeQualified(_child(jvm, bdir, "_dv", f"dv-{uuid.uuid4().hex}"))
         )
         (
             snap.filter(predicate)
@@ -4233,7 +4250,7 @@ def _merge_rewrite(
     )
     src = _dedup_guarded(source, keys)
 
-    _, _, jvm = _fs_for(spark, table_dir)
+    jvm = spark._jvm  # only Path canonicalization; no FS for table_dir
     hit_files = sorted(
         _canon_file(jvm, r["f"])
         for r in target.join(src.select(*keys).distinct(), keys, "left_semi")
@@ -4413,7 +4430,7 @@ def snapshot_replace_where(
     manifest = _read_manifest(spark, table_dir, versions[-1])
     _check_schema(manifest, ddl, "snapshot_replace_where")
     base_files = list(manifest["files"])
-    _, _, jvm = _fs_for(spark, table_dir)
+    jvm = spark._jvm  # only Path canonicalization; no FS for table_dir
     # __dv_file, not input_file_name(): see snapshot_delete_where — a
     # pending DV entry makes the filtered read a multi-source plan
     hit_files = sorted(
@@ -5337,13 +5354,14 @@ def snapshot_clone(spark: SparkSession, source_dir: str, dest_dir: str) -> dict:
     # same crash discipline as data commits): a clone borrowing the
     # source's sidecar by reference would read through bytes the
     # source's expire_snapshots is entitled to delete
-    fs, _, jvm = _fs_for(spark, dest_dir)
+    bdest = _byte_dir(spark, dest_dir)  # sidecar copies are byte IO
+    fs, _, jvm = _fs_for(spark, bdest)
     conf = spark._jsc.hadoopConfiguration()
 
     def copy_sidecar(src: str, subdir: str) -> str:
         src_p = jvm.org.apache.hadoop.fs.Path(src)
         dst_p = fs.makeQualified(
-            _child(jvm, dest_dir, subdir, str(src_p.getName()))
+            _child(jvm, bdest, subdir, str(src_p.getName()))
         )
         copied = jvm.org.apache.hadoop.fs.FileUtil.copy(
             src_p.getFileSystem(conf), src_p, fs, dst_p, False, conf

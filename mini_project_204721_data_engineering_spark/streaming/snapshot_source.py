@@ -80,27 +80,30 @@ from pyspark.sql.datasource import (
     InputPartition,
 )
 
+from ..sources.manifest_io import _strip_file as _local  # pyarrow paths
 from ..sources.manifest_io import manifest_io_for
 
 __all__ = ["SnapshotFeedDataSource", "snapshot_feed_schema"]
 
 
-def _local(p: str) -> str:
-    """file:-scheme data paths → local filesystem paths (pyarrow)."""
-    if p.startswith("file://"):
-        return p[len("file:") :]
-    if p.startswith("file:"):
-        return p[len("file:") :]
-    return p
-
-
-def _canon(p: str) -> str:
-    """Canonicalize a file path for equality across the two spellings
-    the engine records: the manifest's Hadoop ``Path.toString`` form
-    (``file:/a dir/x``) and Spark's ``_metadata.file_path`` URI form
-    (``file:///a%20dir/x``) — percent-decode and collapse the scheme
-    separator, pure-Python (executors have no JVM access here)."""
+def _canon_uri(p: str) -> str:
+    """Canonicalize Spark's ``_metadata.file_path`` URI spelling
+    (``file:///a%20dir/x`` — percent-ENCODED) to the manifest's Hadoop
+    ``Path.toString`` spelling (``file:/a dir/x`` — decoded): unquote
+    exactly ONCE and collapse the scheme separator, pure-Python
+    (executors have no JVM access here).  The manifest side must NOT
+    be unquoted — it is already decoded, and a table path containing a
+    LITERAL percent escape (a directory named ``a%20b``) would
+    otherwise decode a second time and never match (the sidecar
+    records it as ``a%2520b``, whose single unquote restores the
+    literal ``a%20b``)."""
     p = unquote(p)
+    return _canon_manifest(p)
+
+
+def _canon_manifest(p: str) -> str:
+    """The manifest-spelling half of the canonicalization: scheme
+    separator only, no percent-decoding."""
     if p.startswith("file://"):
         p = "file:" + p[len("file://") :]
     return p
@@ -312,9 +315,27 @@ class _SnapshotStreamReader(DataSourceStreamReader):
                 f"startingVersion {self.starting} not in the log "
                 f"(have v{versions[0]}..v{versions[-1]})"
             )
+        # the pinned data schema derives from the QUERY schema Spark
+        # resolved at .load() (self.schema minus the two change
+        # columns), NOT from a fresh tip read: a commit landing between
+        # schema resolution and reader construction would otherwise
+        # make the guard validate against a WIDER schema than batches
+        # are actually aligned to — a post-.load() added column would
+        # pass _check_schema and then silently drop its values
+        from pyspark.sql.types import StructType
+
+        data_struct = StructType(
+            [
+                f
+                for f in schema.fields
+                if f.name not in ("_change_type", "_commit_version")
+            ]
+        )
+        self._schema_ddl = data_struct.simpleString()
+        self._feed_fields = {
+            f.name: f.dataType.simpleString() for f in data_struct.fields
+        }
         anchor = _manifest(self.table_dir, versions[-1])
-        self._schema_ddl = anchor["schema"]
-        self._feed_fields = _fields_of(anchor["schema"])
         self._table_id = anchor.get("table_id")
         if self.starting > 0:
             start_m = _manifest(self.table_dir, self.starting)
@@ -426,7 +447,7 @@ class _SnapshotStreamReader(DataSourceStreamReader):
             pf = set((prev or {}).get("files") or [])
             mf = set(m["files"])
             carried = pf & mf
-            new_dv = self._classify_filters(m, prev, carried, pf, v)
+            new_dv = self._classify_filters(m, prev, carried, pf, mf, v)
             if m.get("op") == "compact":
                 # byte-identical rewrite: cursor advances, nothing emits
                 prev = m
@@ -497,19 +518,23 @@ class _SnapshotStreamReader(DataSourceStreamReader):
                     )
 
     def _classify_filters(
-        self, m: dict, prev: dict | None, carried: set, pf: set, v: int
+        self, m: dict, prev: dict | None, carried: set, pf: set,
+        mf: set, v: int
     ) -> list[tuple]:
         """Merge-on-read filter changes on carried files are
         representable ONLY when purely additive DV takedowns — return
-        those as ``[(sidecar, covered files)]``; any other change
-        (predicate-shaped entry with no recorded positions, or an entry
-        vanishing without its files) refuses loudly."""
+        those as ``[(sidecar, newly covered files)]`` at PER-FILE
+        granularity (an existing DV entry gaining one more carried
+        file emits only THAT file — re-emitting the whole entry would
+        double-delete positions already emitted at its first commit);
+        any other change (predicate-shaped entry with no recorded
+        positions, an entry vanishing without its files, or filter
+        coverage of a file this same commit adds or removes) refuses
+        loudly."""
         psig = _typed_sig(prev, carried)
         csig = _typed_sig(m, carried)
-        if psig == csig:
-            new_dv_idents: set = set()
-        else:
-            new_dv_idents = set()
+        new_pairs: dict = {}  # sidecar -> set of newly covered files
+        if psig != csig:
             for f in carried:
                 pids = psig.get(f, set())
                 cids = csig.get(f, set())
@@ -529,27 +554,27 @@ class _SnapshotStreamReader(DataSourceStreamReader):
                             "(lazy='dv') or CoW deletes while a stream "
                             "is attached"
                         )
-                    new_dv_idents.add(ident)
-        out = []
+                    new_pairs.setdefault(ident, set()).add(f)
+        # a filter covering a file this commit ADDS would make the
+        # added file's raw-byte insert overstate its visible rows, and
+        # an entry referencing a file outside the snapshot is a
+        # malformed commit — both refuse (no engine op produces either;
+        # the guards exist for hand-written logs)
+        added = mf - pf
         for e in m.get("row_filters") or []:
-            if e.get("dv") in new_dv_idents:
-                covered = set(e.get("files", []))
-                if not covered <= pf:
-                    raise ValueError(
-                        f"snapshot_feed: v{v} DV entry covers files "
-                        "outside the parent snapshot — malformed commit"
-                    )
-                if not covered <= carried:
-                    # a file both REMOVED and newly DV-covered in one
-                    # commit would emit its raw bytes as deletes (file
-                    # diff) AND its positions (DV) — double deletion;
-                    # no engine op produces this shape, so refuse
-                    raise ValueError(
-                        f"snapshot_feed: v{v} adds a DV over a file the "
-                        "same commit removes — unrepresentable diff"
-                    )
-                out.append((e["dv"], covered))
-        return out
+            efiles = set(e.get("files", []))
+            if efiles & added:
+                raise ValueError(
+                    f"snapshot_feed: v{v} filter covers file(s) the "
+                    "same commit adds — their raw-byte inserts would "
+                    "overstate visible rows; unrepresentable diff"
+                )
+            if not efiles <= mf:
+                raise ValueError(
+                    f"snapshot_feed: v{v} filter entry references "
+                    "file(s) outside the snapshot — malformed commit"
+                )
+        return sorted((s, fl) for s, fl in new_pairs.items())
 
     _SPLIT_BYTES = 64 * 1024 * 1024
 
@@ -638,13 +663,13 @@ class _SnapshotStreamReader(DataSourceStreamReader):
         because sidecars record Spark's ``_metadata.file_path`` URI form
         while manifests record ``Path.toString``."""
         t = pq.read_table(_local(partition.dv), columns=["file", "pos"])
-        want = _canon(partition.path)
+        want = _canon_manifest(partition.path)
         return sorted(
             p
             for f, p in zip(
                 t.column("file").to_pylist(), t.column("pos").to_pylist()
             )
-            if _canon(f) == want
+            if _canon_uri(f) == want
         )
 
     @staticmethod

@@ -263,3 +263,51 @@ def test_maintenance_on_mock_store(spark, tmp_path):
     )
     hist = snapshot_history(spark, t)
     assert len(hist) == 1 and hist[0]["op"] == "compact"
+
+
+def test_dv_takedown_and_stream_on_mock_store(spark, tmp_path):
+    """The two r14 features COMBINED on a non-file: scheme: a DV
+    takedown commits against a mock-store table (sidecar bytes ride
+    the spark_path translation) and the feed streams it as position-
+    exact deletes."""
+    from mini_project_204721_data_engineering_spark.sources.snapshots import (
+        snapshot_delete_where,
+    )
+    from mini_project_204721_data_engineering_spark.streaming.snapshot_source import (
+        SnapshotFeedDataSource,
+    )
+
+    spark.dataSource.register(SnapshotFeedDataSource)
+    t = "mock:" + str(tmp_path / "tbl")
+    snapshot_append(_df(spark, 0, 30).coalesce(1), t)
+    got = []
+
+    def grab(batch_df, batch_id):
+        got.extend(batch_df.collect())
+
+    q = (
+        spark.readStream.format("snapshot_feed")
+        .option("table_dir", t)
+        .load()
+        .writeStream.foreachBatch(grab)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        res = snapshot_delete_where(spark, t, "k = 1", lazy="dv")
+        assert res.get("row_filters"), "DV takedown recorded no filter"
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    ins = Counter(
+        (r["id"], r["k"]) for r in got if r["_change_type"] == "insert"
+    )
+    dels = Counter(
+        (r["id"], r["k"]) for r in got if r["_change_type"] == "delete"
+    )
+    table = Counter(
+        (r["id"], r["k"]) for r in read_snapshot(spark, t).collect()
+    )
+    assert +(ins - dels) == table
+    assert sum(dels.values()) == 6  # k=1 hits in range(30) mod 5

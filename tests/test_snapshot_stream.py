@@ -541,3 +541,93 @@ def test_feed_dv_and_evolution_in_one_window(registered, tmp_path):
     assert +net == table
     # the DV deletes carried NULL extra, matching their v1 inserts
     assert all(x[2] is None for x in dels)
+
+
+def test_feed_dv_on_percent_literal_path(registered, tmp_path):
+    """A table directory containing a LITERAL percent escape ('a%20b'):
+    the manifest records the decoded Path spelling while DV sidecars
+    record Spark's URI-encoded _metadata.file_path ('a%2520b') — the
+    canonicalization must unquote the sidecar side exactly once and the
+    manifest side not at all, or DV deletes silently never emit."""
+    spark = registered
+    t = str(tmp_path / "a%20b" / "t")
+    snapshot_append(_df(spark, 0, 30).coalesce(1), t)
+    mirror = _Mirror()
+    q = _start(spark, t, mirror, str(tmp_path / "ckpt"))
+    try:
+        q.processAllAvailable()
+        assert mirror.snapshot() == _table_counter(spark, t)
+        before = mirror.emitted
+        snapshot_delete_where(spark, t, "k = 2", lazy="dv")
+        q.processAllAvailable()
+        assert mirror.emitted > before, (
+            "DV deletes silently dropped on a percent-literal path"
+        )
+        assert mirror.snapshot() == _table_counter(spark, t)
+    finally:
+        q.stop()
+
+
+def test_feed_pins_schema_from_query_not_tip(registered, tmp_path):
+    """A commit landing between schema resolution and reader
+    construction must NOT widen the pinned schema: the reader derives
+    it from the query schema Spark passes in, so the evolved version
+    refuses (restart picks up the new column) instead of silently
+    dropping the new column's values."""
+    from mini_project_204721_data_engineering_spark.streaming.snapshot_source import (
+        _SnapshotStreamReader,
+    )
+
+    spark = registered
+    t = str(tmp_path / "t")
+    snapshot_append(_df(spark, 0, 10).coalesce(1), t)
+    old_schema = snapshot_feed_schema(t)  # (id, k) + change cols
+    # the race: an evolution commit lands before the reader constructs
+    snapshot_append(
+        _df(spark, 10, 15).withColumn("extra", F.lit(1)).coalesce(1),
+        t,
+        merge_schema=True,
+    )
+    reader = _SnapshotStreamReader({"table_dir": t}, old_schema)
+    with pytest.raises(ValueError, match="pinned schema"):
+        reader.partitions({"version": 0}, {"version": 2})
+    # v1 alone (pre-evolution) still plans fine at the old schema
+    assert reader.partitions({"version": 0}, {"version": 1})
+
+
+def test_classify_filters_per_file_granularity(registered, tmp_path):
+    """Unit-level pin for hand-written/foreign logs: a DV entry that
+    GAINS one carried file emits only THAT file (re-emitting the whole
+    entry would double-delete), an entry covering a same-commit-added
+    file refuses, and an entry referencing a file outside the snapshot
+    refuses as malformed."""
+    from mini_project_204721_data_engineering_spark.streaming.snapshot_source import (
+        _SnapshotStreamReader,
+    )
+
+    spark = registered
+    t = str(tmp_path / "t")
+    snapshot_append(_df(spark, 0, 10).coalesce(1), t)
+    reader = _SnapshotStreamReader({"table_dir": t}, snapshot_feed_schema(t))
+    prev = {"files": ["F1", "F2"], "row_filters": [{"dv": "s1", "files": ["F1"]}]}
+    # entry extended to F2: only F2 emits
+    cur = {"files": ["F1", "F2"], "row_filters": [{"dv": "s1", "files": ["F1", "F2"]}]}
+    pairs = reader._classify_filters(
+        cur, prev, {"F1", "F2"}, {"F1", "F2"}, {"F1", "F2"}, 9
+    )
+    assert pairs == [("s1", {"F2"})]
+    # entry covering a file ADDED this commit: refuse
+    cur2 = {
+        "files": ["F1", "F2", "F3"],
+        "row_filters": [{"dv": "s1", "files": ["F1"]}, {"dv": "s2", "files": ["F3"]}],
+    }
+    with pytest.raises(ValueError, match="same commit adds"):
+        reader._classify_filters(
+            cur2, prev, {"F1", "F2"}, {"F1", "F2"}, {"F1", "F2", "F3"}, 9
+        )
+    # entry referencing a file outside the snapshot: malformed
+    cur3 = {"files": ["F1", "F2"], "row_filters": [{"dv": "s1", "files": ["F1", "GONE"]}]}
+    with pytest.raises(ValueError, match="malformed"):
+        reader._classify_filters(
+            cur3, prev, {"F1", "F2"}, {"F1", "F2"}, {"F1", "F2"}, 9
+        )

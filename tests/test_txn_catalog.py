@@ -1210,9 +1210,11 @@ def test_apply_filters_spec_drains_enrolled_table(spark, tmp_path):
         (r["id"], r["k"]) for r in catalog_read(spark, cat, "t").collect()
     )
     assert before == after
-    # idempotent sweep: nothing pending -> NO catalog churn
+    # idempotent sweep: nothing pending -> NO catalog churn (the call
+    # returns the unchanged tip and mints no versions)
     v = len(catalog_history(spark, cat))
-    assert multi_table_txn(spark, cat, {"t": {"op": "apply_filters"}}) is not None or True
+    res = multi_table_txn(spark, cat, {"t": {"op": "apply_filters"}})
+    assert res is not None and res["version"] == v
     assert len(catalog_history(spark, cat)) == v
 
 
