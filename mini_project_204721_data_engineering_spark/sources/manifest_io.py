@@ -126,7 +126,17 @@ class ManifestIO:
     def spark_path(self, path: str) -> str:
         """Translate a store path to one Spark/pyarrow can move data
         bytes through (identity everywhere Hadoop already speaks the
-        scheme; the mock store maps onto ``file:``)."""
+        scheme; the mock store maps onto ``file:``).
+
+        Contract: the translation must address the SAME physical
+        keyspace — bytes written at ``spark_path(p)`` must be what
+        ``read_bytes(p)``/listings under ``p`` observe, because data
+        files, sidecars, and GC write through the translated spelling
+        while commits and the streaming planner address the original.
+        True for the mock store (directory-backed, scheme-strip) and
+        trivially for every identity translation; an adapter whose
+        data plane is NOT Hadoop-reachable must keep data on a
+        Hadoop-speaking path and reserve its scheme for manifests."""
         return path
 
     # shared helpers -------------------------------------------------

@@ -1050,3 +1050,58 @@ def catalog_layout_report(
         "catalog_versions": n_versions,
         "catalog_actions": catalog_actions,
     }
+
+
+def catalog_maintain(
+    spark: SparkSession,
+    catalog_dir: str,
+    target_file_bytes: int = 128 * 1024 * 1024,
+    max_catalog_versions: int = 128,
+    dry_run: bool = False,
+) -> dict:
+    """The whole observe→act maintenance loop in one call: run
+    :func:`catalog_layout_report`, execute every recommended write
+    spec through :func:`multi_table_txn` (one transaction per action
+    round — each table's specs run in their healing order,
+    apply_filters before compact), expire the catalog log if the
+    report says so, and re-report.
+
+    Returns ``{"before": report, "executed": [{name: spec}, ...],
+    "catalog_expired": n, "after": report}``.  ``dry_run=True`` stops
+    after the first report (``executed`` empty, ``after`` is None) —
+    what a scheduler logs before acting.  A healthy fleet is a no-op:
+    no transactions, no catalog versions minted, two manifest-only
+    report passes."""
+    before = catalog_layout_report(
+        spark, catalog_dir, target_file_bytes, max_catalog_versions
+    )
+    if dry_run:
+        return {
+            "before": before, "executed": [], "catalog_expired": 0,
+            "after": None,
+        }
+    executed: list = []
+    rounds = max((len(v) for v in before["writes"].values()), default=0)
+    for i in range(rounds):
+        batch = {
+            name: specs[i]
+            for name, specs in before["writes"].items()
+            if i < len(specs)
+        }
+        if batch:
+            multi_table_txn(spark, catalog_dir, batch)
+            executed.append(batch)
+    expired = 0
+    if before["catalog_actions"]:
+        expired = catalog_expire(
+            spark, catalog_dir, keep_last=max(1, max_catalog_versions // 2)
+        )["expired"]
+    after = catalog_layout_report(
+        spark, catalog_dir, target_file_bytes, max_catalog_versions
+    )
+    return {
+        "before": before,
+        "executed": executed,
+        "catalog_expired": expired,
+        "after": after,
+    }

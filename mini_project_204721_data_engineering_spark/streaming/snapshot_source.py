@@ -45,15 +45,20 @@ and each version contributes its FILE DIFF:
                        the widest in the window: old-schema files align
                        batch-wise (missing columns NULL, types upcast).
 
+A file REMOVED while carrying DV takedowns (a CoW rewrite or
+``snapshot_apply_filters`` drain after a DV) is also representable:
+its sidecars enumerate the invisible positions, so the removed file
+emits its VISIBLE rows — raw bytes MINUS sidecar positions — as
+``delete`` rows (the complement of the DV-commit emission above).
+
 Refused loudly (the stream query fails rather than silently corrupting
 downstream state): rename/drop schema changes, any column or type not
 representable in the feed's pinned schema (a column added AFTER the
-query started — restart against the new schema), predicate-shaped lazy
-deletes (no positions recorded, so the visible-row change has no
-representation — drain via ``snapshot_apply_filters`` or use DV/CoW
-deletes while a stream is attached), and removal of files still
-carrying merge-on-read filters (their raw bytes overstate visible
-rows).
+query started — restart against the new schema), and predicate-shaped
+lazy deletes in any form (no positions recorded, so neither the
+takedown nor a later removal of its covered files can be reconstructed
+— drain via ``snapshot_apply_filters`` or use DV/CoW deletes while a
+stream is attached).
 
 Scale: partitions are per (file, change_type) — at 100 TB each
 micro-batch plans one partition per changed file, the same granularity
@@ -115,19 +120,6 @@ def _versions(table_dir: str) -> list[int]:
 
 def _manifest(table_dir: str, version: int) -> dict:
     return manifest_io_for(table_dir).read_manifest(table_dir, version)
-
-
-def _filter_sig(manifest: dict | None, files: set) -> dict:
-    """file → tuple of covering filter-entry identities, for exactly the
-    given files (mirror of snapshots._filter_sig, dependency-free so the
-    driver-side reader needs no Spark imports)."""
-    out: dict = {}
-    for e in (manifest or {}).get("row_filters", []):
-        ident = e.get("predicate") or e.get("dv")
-        for f in e.get("files", []):
-            if f in files:
-                out.setdefault(f, []).append(ident)
-    return {f: tuple(sorted(v)) for f, v in out.items()}
 
 
 def _parse_simple_string(s: str):
@@ -265,12 +257,17 @@ class _FilePartition(InputPartition):
         version: int,
         row_group: int | None = None,
         dv: str | None = None,
+        dv_exclude: tuple | None = None,
     ):
         self.path = path
         self.change_type = change_type
         self.version = version
         self.row_group = row_group  # None = whole file
         self.dv = dv  # deletion-vector sidecar: emit ONLY its positions
+        # sidecars whose positions are EXCLUDED: a removed file that
+        # carried DV takedowns emits its VISIBLE rows (raw minus
+        # positions) — the complement of the dv include mode
+        self.dv_exclude = dv_exclude
 
 
 class _SnapshotStreamReader(DataSourceStreamReader):
@@ -452,21 +449,34 @@ class _SnapshotStreamReader(DataSourceStreamReader):
                 # byte-identical rewrite: cursor advances, nothing emits
                 prev = m
                 continue
-            removed_filtered = [
-                f for f in pf - mf if f in _filter_sig(prev, pf - mf)
-            ]
-            if removed_filtered:
-                raise ValueError(
-                    f"snapshot_feed: v{v} removed file(s) carrying "
-                    "merge-on-read filters — their raw bytes overstate "
-                    "the visible rows; drain filters before the stream"
-                )
             meta = m.get("file_meta", {})
             pmeta = (prev or {}).get("file_meta", {})
+            removed_sig = _typed_sig(prev, pf - mf)
             for f in sorted(mf - pf):
                 parts.extend(self._split(f, "insert", v, meta))
             for f in sorted(pf - mf):
-                parts.extend(self._split(f, "delete", v, pmeta))
+                idents = removed_sig.get(f, set())
+                preds = [i for k, i in idents if k == "predicate"]
+                if preds:
+                    raise ValueError(
+                        f"snapshot_feed: v{v} removed file(s) carrying "
+                        "PREDICATE-shaped lazy deletes — no positions "
+                        "recorded, so their visible rows cannot be "
+                        "reconstructed; drain (snapshot_apply_filters) "
+                        "before the stream"
+                    )
+                dvs = tuple(sorted(i for k, i in idents if k == "dv"))
+                if dvs:
+                    # DV-covered removal IS representable: the sidecars
+                    # enumerate the invisible positions, so the removed
+                    # file's VISIBLE rows (raw minus positions) emit as
+                    # deletes — CoW rewrites and apply_filters drains
+                    # of DV takedowns stream instead of refusing
+                    parts.append(
+                        _FilePartition(f, "delete", v, dv_exclude=dvs)
+                    )
+                else:
+                    parts.extend(self._split(f, "delete", v, pmeta))
             for sidecar, covered in new_dv:
                 # a DV takedown's sidecar enumerates the exact hit
                 # positions per file, recorded from the rows VISIBLE at
@@ -613,10 +623,19 @@ class _SnapshotStreamReader(DataSourceStreamReader):
 
         pf = pq.ParquetFile(_local(partition.path))
         positions = None
+        exclude = False
         if partition.dv is not None:
-            positions = self._dv_positions(partition, pq)
+            positions = self._dv_positions(partition.dv, partition.path, pq)
             if not positions:
                 return
+        elif partition.dv_exclude:
+            hit: set = set()
+            for sidecar in partition.dv_exclude:
+                hit.update(
+                    self._dv_positions(sidecar, partition.path, pq)
+                )
+            if hit:
+                positions, exclude = sorted(hit), True
 
         def fresh_batches():
             if partition.row_group is None:
@@ -626,7 +645,7 @@ class _SnapshotStreamReader(DataSourceStreamReader):
                     batch_size=64 * 1024, row_groups=[partition.row_group]
                 )
             if positions is not None:
-                return self._pos_filter(it, positions, pa)
+                return self._pos_filter(it, positions, pa, exclude)
             return it
 
         try:
@@ -656,14 +675,14 @@ class _SnapshotStreamReader(DataSourceStreamReader):
             # reopen and degrade to tuples (batches are spent)
         yield from self._tuple_rows(fresh_batches(), ct, cv)
 
-    def _dv_positions(self, partition: _FilePartition, pq) -> list[int]:
-        """This file's hit positions from the deletion-vector sidecar —
+    def _dv_positions(self, sidecar: str, path: str, pq) -> list[int]:
+        """One file's hit positions from a deletion-vector sidecar —
         the sidecar is takedown-hit-sized (positions, not rows), so one
         read per covered file is cheap; spellings are canonicalized
         because sidecars record Spark's ``_metadata.file_path`` URI form
         while manifests record ``Path.toString``."""
-        t = pq.read_table(_local(partition.dv), columns=["file", "pos"])
-        want = _canon_manifest(partition.path)
+        t = pq.read_table(_local(sidecar), columns=["file", "pos"])
+        want = _canon_manifest(path)
         return sorted(
             p
             for f, p in zip(
@@ -673,11 +692,13 @@ class _SnapshotStreamReader(DataSourceStreamReader):
         )
 
     @staticmethod
-    def _pos_filter(batches, positions: list[int], pa):
+    def _pos_filter(batches, positions: list[int], pa, exclude: bool = False):
         """Restrict row-ordered batches to the given global row indexes
-        (parquet row_index is the file's physical row order, which
-        ``iter_batches`` preserves) — DV partitions are always whole-
-        file, so the running offset starts at 0."""
+        — or, with ``exclude``, to their COMPLEMENT (the visible rows
+        of a removed DV-covered file).  Parquet row_index is the file's
+        physical row order, which ``iter_batches`` preserves; DV
+        partitions are always whole-file, so the running offset starts
+        at 0."""
         from bisect import bisect_left
 
         off = 0
@@ -685,7 +706,19 @@ class _SnapshotStreamReader(DataSourceStreamReader):
             n = b.num_rows
             lo = bisect_left(positions, off)
             hi = bisect_left(positions, off + n)
-            if hi > lo:
+            if exclude:
+                hit = {p - off for p in positions[lo:hi]}
+                if not hit:
+                    yield b
+                elif len(hit) < n:
+                    yield b.take(
+                        pa.array(
+                            [i for i in range(n) if i not in hit],
+                            type=pa.int64(),
+                        )
+                    )
+                # fully-hit batch: nothing visible, nothing emitted
+            elif hi > lo:
                 yield b.take(
                     pa.array(
                         [p - off for p in positions[lo:hi]], type=pa.int64()

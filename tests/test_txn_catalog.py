@@ -1326,3 +1326,45 @@ def test_catalog_layout_report_expire_recommendation(spark, tmp_path):
     healed = catalog_layout_report(spark, cat, max_catalog_versions=3)
     assert healed["catalog_versions"] == 2
     assert healed["catalog_actions"] == []
+
+
+def test_catalog_maintain_one_call_loop(spark, tmp_path):
+    """catalog_maintain = report -> execute -> re-report in one call;
+    a healthy fleet is a no-op (no transactions, no versions minted)."""
+    from mini_project_204721_data_engineering_spark.sources.snapshots import (
+        snapshot_delete_where,
+    )
+    from mini_project_204721_data_engineering_spark.sources.txn_catalog import (
+        catalog_maintain,
+    )
+
+    frag = str(tmp_path / "frag")
+    for i in range(6):
+        snapshot_append(
+            spark.range(10 * i, 10 * (i + 1))
+            .select("id", (F.col("id") % 5).alias("k"))
+            .coalesce(1),
+            frag,
+        )
+    stacked = str(tmp_path / "stacked")
+    snapshot_append(
+        spark.range(100).select("id", (F.col("id") % 10).alias("k")).coalesce(1),
+        stacked,
+    )
+    for kk in range(4):
+        snapshot_delete_where(spark, stacked, f"k = {kk}", lazy="dv")
+    cat = str(tmp_path / "cat")
+    catalog_init(spark, cat, {"frag": frag, "stacked": stacked})
+    dry = catalog_maintain(spark, cat, dry_run=True)
+    assert dry["executed"] == [] and dry["after"] is None
+    assert set(dry["before"]["ranked"]) == {"frag", "stacked"}
+    res = catalog_maintain(spark, cat)
+    assert res["executed"], "nothing executed on a sick fleet"
+    assert res["after"]["ranked"] == []
+    # second sweep on the healed fleet: pure no-op
+    v = len(catalog_history(spark, cat))
+    res2 = catalog_maintain(spark, cat)
+    assert res2["executed"] == [] and res2["catalog_expired"] == 0
+    assert len(catalog_history(spark, cat)) == v
+    assert catalog_read(spark, cat, "frag").count() == 60
+    assert catalog_read(spark, cat, "stacked").count() == 60
