@@ -22,8 +22,14 @@ from mini_project_204721_data_engineering_spark.sources.snapshots import (
 )
 
 
-def test_cross_process_commit_race_no_lost_update(spark, tmp_path):
-    t = str(tmp_path / "t")
+@pytest.mark.parametrize("scheme", ["", "mock:"])
+def test_cross_process_commit_race_no_lost_update(spark, tmp_path, scheme):
+    """Parametrized over the manifest-IO seam: '' exercises the Hadoop/
+    O_EXCL local path, 'mock:' the object-store emulation's conditional
+    put — the exactly-one-winner guarantee must hold across two driver
+    JVMs through EITHER implementation (the mock resolves in the child
+    process because registration happens at module import)."""
+    t = scheme + str(tmp_path / "t")
     ready = str(tmp_path / "ready")
     go = str(tmp_path / "go")
     child_code = textwrap.dedent(
