@@ -67,6 +67,20 @@ pyarrow and yield schema-aligned Arrow RecordBatches (a per-partition
 tuple fallback covers exotic type drift).  Large changed files split
 per row group.
 
+ENROLLED tables (the multi-table transaction catalog,
+`txn_catalog.py`) stream through the CATALOG addressing mode instead::
+
+    spark.readStream.format("snapshot_feed")
+         .option("catalog_dir", cat).option("table", "facts").load()
+
+Offsets are then CATALOG versions and each window version resolves the
+table's catalog-pinned manifest (published slot or staged fallback) —
+tailing an enrolled table's own log could stall behind lazy
+publication, and its version numbers would not line up across tables.
+Two catalog-mode streams over `facts` and `lineage` share offsets, so
+equal ``_commit_version`` values came from the same atomic transaction
+— the feed-side form of the catalog's cross-table snapshot guarantee.
+
 Manifest I/O goes through :mod:`..sources.manifest_io` — the same
 seam the commit path uses — so the driver-side planner (which has no
 SparkSession) reads ``file:`` tables with plain-Python IO and any
@@ -120,6 +134,40 @@ def _versions(table_dir: str) -> list[int]:
 
 def _manifest(table_dir: str, version: int) -> dict:
     return manifest_io_for(table_dir).read_manifest(table_dir, version)
+
+
+def _resolve_pin(catalog_dir: str, name: str, catalog_version: int):
+    """Pure-Python (sessionless) mirror of
+    :func:`~..sources.txn_catalog.catalog_resolve`: the table manifest
+    a catalog version pins — the published ``v{V}.json`` when it exists
+    AND belongs to the pinning transaction, else the staged manifest
+    recorded in the pin (a transaction is durable the instant its
+    catalog version lands, publication or not).  None for an
+    enrolled-but-empty table."""
+    import json
+
+    cm = _manifest(catalog_dir, catalog_version)
+    pins = cm["tables"]
+    if name not in pins:
+        raise ValueError(
+            f"snapshot_feed: table {name!r} not enrolled in "
+            f"{catalog_dir} (have {sorted(pins)})"
+        )
+    pin = pins[name]
+    if pin["version"] == 0:
+        return None
+    tid = pin.get("txn_id")
+    try:
+        m = _manifest(pin["dir"], pin["version"])
+        if tid is None or m.get("meta", {}).get("catalog_txn") == tid:
+            return m
+        # foreign manifest in our slot (direct write to an enrolled
+        # table): the staged copy is the catalog's truth
+    except Exception:
+        if "staged" not in pin:
+            raise
+    raw = manifest_io_for(pin["staged"]).read_bytes(pin["staged"])
+    return json.loads(raw.decode("utf-8"))
 
 
 def _parse_simple_string(s: str):
@@ -188,18 +236,22 @@ def _parse_simple_string(s: str):
     return parse(s)
 
 
+def _with_change_cols(base):
+    from pyspark.sql.types import LongType, StringType, StructField
+
+    return base.add(
+        StructField("_change_type", StringType(), False)
+    ).add(StructField("_commit_version", LongType(), False))
+
+
 def snapshot_feed_schema(table_dir: str):
     """The feed's schema: the table's TIP schema plus the two change
     columns.  Computed up front so a caller can assert compatibility."""
-    from pyspark.sql.types import LongType, StringType, StructField
-
     versions = _versions(table_dir)
     if not versions:
         raise ValueError(f"no snapshots at {table_dir}")
     base = _parse_simple_string(_manifest(table_dir, versions[-1])["schema"])
-    return base.add(
-        StructField("_change_type", StringType(), False)
-    ).add(StructField("_commit_version", LongType(), False))
+    return _with_change_cols(base)
 
 
 _INT_CHAIN = ("tinyint", "smallint", "int", "bigint")
@@ -292,7 +344,7 @@ class _SnapshotStreamReader(DataSourceStreamReader):
             for f in schema.fields
             if f.name not in ("_change_type", "_commit_version")
         ]
-        versions = _versions(self.table_dir)
+        versions = self._vs()
         if not versions:
             raise ValueError(f"no snapshots at {self.table_dir}")
         # the feed replays versions (starting, tip] one by one — every
@@ -332,13 +384,13 @@ class _SnapshotStreamReader(DataSourceStreamReader):
         self._feed_fields = {
             f.name: f.dataType.simpleString() for f in data_struct.fields
         }
-        anchor = _manifest(self.table_dir, versions[-1])
-        self._table_id = anchor.get("table_id")
+        anchor = self._m(versions[-1])
+        self._table_id = (anchor or {}).get("table_id")
         if self.starting > 0:
-            start_m = _manifest(self.table_dir, self.starting)
+            start_m = self._m(self.starting)
             if any(
                 "predicate" in e
-                for e in start_m.get("row_filters") or []
+                for e in (start_m or {}).get("row_filters") or []
             ):
                 raise ValueError(
                     "snapshot_feed: table has pending PREDICATE-shaped "
@@ -349,6 +401,13 @@ class _SnapshotStreamReader(DataSourceStreamReader):
                     "stream.  (DV-shaped takedowns are fine: their "
                     "sidecars enumerate positions.)"
                 )
+
+    # -- version resolution (overridden by the catalog-consistent mode) --
+    def _vs(self) -> list[int]:
+        return _versions(self.table_dir)
+
+    def _m(self, version: int) -> dict | None:
+        return _manifest(self.table_dir, version)
 
     # -- offsets ---------------------------------------------------------
     def initialOffset(self) -> dict:
@@ -361,7 +420,7 @@ class _SnapshotStreamReader(DataSourceStreamReader):
         return {"version": self.starting}
 
     def latestOffset(self) -> dict:
-        versions = _versions(self.table_dir)
+        versions = self._vs()
         tip = versions[-1] if versions else self.starting
         if self.max_files is None or self._last_end is None:
             # no budget, or first trigger after a RESTART whose batches
@@ -378,10 +437,10 @@ class _SnapshotStreamReader(DataSourceStreamReader):
         try:
             prev_m = None
             for v in range(lo + 1, tip + 1):
-                m = _manifest(self.table_dir, v)
+                m = self._m(v)
                 if prev_m is None:
                     prev_m = (
-                        _manifest(self.table_dir, v - 1)
+                        self._m(v - 1)
                         if v - 1 > 0
                         else {"files": []}
                     )
@@ -422,7 +481,7 @@ class _SnapshotStreamReader(DataSourceStreamReader):
         lo, hi = int(start["version"]), int(end["version"])
         self._last_end = hi  # the rate limiter advances from here
         parts: list[InputPartition] = []
-        live = set(_versions(self.table_dir))
+        live = set(self._vs())
         missing = [v for v in range(max(lo, 1), hi + 1) if v not in live]
         if missing:
             raise ValueError(
@@ -431,7 +490,7 @@ class _SnapshotStreamReader(DataSourceStreamReader):
                 "checkpointed offset) — re-baseline with a batch read "
                 "and a fresh checkpoint"
             )
-        prev = _manifest(self.table_dir, lo) if lo > 0 else None
+        prev = self._m(lo) if lo > 0 else None
         if prev is not None and self._table_id and prev.get("table_id") != self._table_id:
             raise ValueError(
                 "snapshot_feed: the table log was recreated under the "
@@ -439,7 +498,7 @@ class _SnapshotStreamReader(DataSourceStreamReader):
                 "checkpoint"
             )
         for v in range(lo + 1, hi + 1):
-            m = _manifest(self.table_dir, v)
+            m = self._m(v)
             self._check_schema(m, prev, v)
             pf = set((prev or {}).get("files") or [])
             mf = set(m["files"])
@@ -762,21 +821,78 @@ class _SnapshotStreamReader(DataSourceStreamReader):
         pass
 
 
+class _CatalogStreamReader(_SnapshotStreamReader):
+    """Catalog-CONSISTENT feed over ONE enrolled table: offsets are
+    CATALOG versions, and every window version resolves the table's
+    catalog-pinned manifest (published slot, or the staged fallback for
+    a committed-but-unpublished transaction).  This is how enrolled
+    tables stream: tailing their OWN log can stall arbitrarily long
+    behind lazy publication, and its offsets would not line up across
+    tables — here two streams over `facts` and `lineage` share catalog
+    offsets, so equal ``_commit_version`` values came from the SAME
+    atomic transaction (the feed-side form of the catalog's cross-table
+    snapshot guarantee).  Versions where this table's pin did not move
+    diff to nothing and emit nothing."""
+
+    def __init__(self, options: dict, schema):
+        self.catalog_dir = options.get("catalog_dir")
+        self.name = options.get("table")
+        super().__init__(
+            {**options, "table_dir": f"{self.catalog_dir}::{self.name}"},
+            schema,
+        )
+
+    def _vs(self) -> list[int]:
+        return _versions(self.catalog_dir)
+
+    def _m(self, version: int) -> dict:
+        m = _resolve_pin(self.catalog_dir, self.name, version)
+        if m is None:  # enrolled but not yet written at this version
+            m = {"files": [], "schema": self._schema_ddl, "op": "init"}
+            tid = getattr(self, "_table_id", None)
+            if tid:
+                m["table_id"] = tid
+        return m
+
+
 class SnapshotFeedDataSource(DataSource):
-    """``spark.readStream.format("snapshot_feed")`` — see module doc."""
+    """``spark.readStream.format("snapshot_feed")`` — see module doc.
+
+    Two addressing modes: ``.option("table_dir", path)`` tails a
+    table's own log; ``.option("catalog_dir", path).option("table",
+    name)`` tails an ENROLLED table through the catalog (offsets =
+    catalog versions, transaction-consistent across tables)."""
 
     @classmethod
     def name(cls) -> str:
         return "snapshot_feed"
 
     def schema(self):
+        cdir = self.options.get("catalog_dir")
+        name = self.options.get("table")
+        if cdir and name:
+            versions = _versions(cdir)
+            if not versions:
+                raise ValueError(f"no catalog at {cdir}")
+            m = _resolve_pin(cdir, name, versions[-1])
+            if m is None:
+                raise ValueError(
+                    f"snapshot_feed: enrolled table {name!r} has no "
+                    "committed data yet — commit once before attaching "
+                    "a stream (the feed schema pins to it)"
+                )
+            return _with_change_cols(_parse_simple_string(m["schema"]))
         table_dir = self.options.get("table_dir") or self.options.get("path")
         if not table_dir:
             raise ValueError(
                 "snapshot_feed: .option('table_dir', <snapshot table>) "
+                "or .option('catalog_dir', ...).option('table', ...) "
                 "is required"
             )
         return snapshot_feed_schema(table_dir)
 
     def streamReader(self, schema):
-        return _SnapshotStreamReader(dict(self.options), schema)
+        opts = dict(self.options)
+        if opts.get("catalog_dir") and opts.get("table"):
+            return _CatalogStreamReader(opts, schema)
+        return _SnapshotStreamReader(opts, schema)

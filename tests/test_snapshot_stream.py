@@ -729,3 +729,108 @@ def test_feed_apply_filters_drain_streams_after_dv(registered, tmp_path):
             q2.stop()
         except Exception:
             pass
+
+
+def test_catalog_consistent_feed_over_enrolled_tables(registered, tmp_path):
+    """The catalog addressing mode: offsets are CATALOG versions, so
+    two streams over `facts` and `lineage` line up — rows sharing a
+    _commit_version came from the SAME atomic transaction, and the
+    per-version invariant (sum of lineage.n_rows == count of fact rows)
+    holds batch-for-batch.  Versions where a table's pin did not move
+    emit nothing, and a restart replays exactly the missed window."""
+    from mini_project_204721_data_engineering_spark.sources.txn_catalog import (
+        catalog_init,
+        catalog_read,
+        multi_table_txn,
+    )
+
+    spark = registered
+    root = tmp_path
+    cat = str(root / "cat")
+    catalog_init(
+        spark, cat, {"facts": str(root / "facts"), "lineage": str(root / "lin")}
+    )
+
+    def txn(u, n):
+        multi_table_txn(
+            spark,
+            cat,
+            {
+                "facts": {
+                    "op": "append",
+                    "df": spark.range(n).select(
+                        F.lit(u).alias("upload_id"), F.col("id").alias("v")
+                    ),
+                },
+                "lineage": {
+                    "op": "append",
+                    "df": spark.createDataFrame(
+                        [(u, n)], "upload_id long, n_rows long"
+                    ),
+                },
+            },
+        )
+
+    txn(1, 5)
+    facts_rows, lin_rows = [], []
+
+    def start(name, sink, ck):
+        return (
+            spark.readStream.format("snapshot_feed")
+            .option("catalog_dir", cat)
+            .option("table", name)
+            .load()
+            .writeStream.foreachBatch(
+                lambda df, _id, s=sink: s.extend(df.collect())
+            )
+            .option("checkpointLocation", str(root / ck))
+            .start()
+        )
+
+    qf = start("facts", facts_rows, "ckf")
+    ql = start("lineage", lin_rows, "ckl")
+    try:
+        qf.processAllAvailable()
+        ql.processAllAvailable()
+        txn(2, 3)
+        # a facts-only txn: the lineage pin does not move -> no lineage rows
+        multi_table_txn(
+            spark,
+            cat,
+            {
+                "facts": {
+                    "op": "append",
+                    "df": spark.range(2).select(
+                        F.lit(99).alias("upload_id"), F.col("id").alias("v")
+                    ),
+                }
+            },
+        )
+        qf.processAllAvailable()
+        ql.processAllAvailable()
+    finally:
+        qf.stop()
+        ql.stop()
+    # restart window: a txn while both streams are DOWN
+    txn(3, 4)
+    qf = start("facts", facts_rows, "ckf")
+    ql = start("lineage", lin_rows, "ckl")
+    try:
+        qf.processAllAvailable()
+        ql.processAllAvailable()
+    finally:
+        qf.stop()
+        ql.stop()
+    assert {(r["upload_id"], r["v"]) for r in facts_rows} == {
+        (r["upload_id"], r["v"])
+        for r in catalog_read(spark, cat, "facts").collect()
+    }
+    assert len(facts_rows) == 14 and len(lin_rows) == 3
+    # TRANSACTION CONSISTENCY: per shared catalog version, the lineage
+    # row's n_rows equals the fact rows that landed in that version
+    facts_by_cv = Counter(r["_commit_version"] for r in facts_rows)
+    for r in lin_rows:
+        assert facts_by_cv[r["_commit_version"]] == r["n_rows"], lin_rows
+    # the facts-only txn's version appears in facts but not lineage
+    lone = set(facts_by_cv) - {r["_commit_version"] for r in lin_rows}
+    assert len(lone) == 1 and facts_by_cv[lone.pop()] == 2
