@@ -33,7 +33,12 @@ and each version contributes its FILE DIFF:
 - compaction        → emits NOTHING (byte-identical rewrite; the cursor
                       metadata-advances — the same rule the matview
                       refresher proved)
-- restore           → file diff of the rewind (delete+insert pairs)
+- restore           → file diff of the rewind (delete+insert pairs);
+                      a rewind past a DV takedown re-INSERTS the
+                      takedown's positions on still-carried files
+                      (those rows are visible again), and a re-restore
+                      forward re-deletes them — the DV algebra is
+                      symmetric in both directions
 - DV lazy delete    → the deletion-vector sidecar enumerates exact
                       (file, row-position) hits, recorded from the rows
                       VISIBLE at commit time — each covered file emits
@@ -503,7 +508,9 @@ class _SnapshotStreamReader(DataSourceStreamReader):
             pf = set((prev or {}).get("files") or [])
             mf = set(m["files"])
             carried = pf & mf
-            new_dv = self._classify_filters(m, prev, carried, pf, mf, v)
+            new_dv, gone_dv = self._classify_filters(
+                m, prev, carried, pf, mf, v
+            )
             if m.get("op") == "compact":
                 # byte-identical rewrite: cursor advances, nothing emits
                 prev = m
@@ -544,6 +551,14 @@ class _SnapshotStreamReader(DataSourceStreamReader):
                 # sidecar positions as delete rows
                 for f in sorted(covered):
                     parts.append(_FilePartition(f, "delete", v, dv=sidecar))
+            for sidecar, uncovered in gone_dv:
+                # the symmetric case: a restore rewinding past a DV
+                # takedown makes its positions VISIBLE again on the
+                # still-carried files — emit them as inserts (the rows'
+                # content is exactly the sidecar positions of the file,
+                # which this snapshot still references)
+                for f in sorted(uncovered):
+                    parts.append(_FilePartition(f, "insert", v, dv=sidecar))
             prev = m
         return parts
 
@@ -591,39 +606,38 @@ class _SnapshotStreamReader(DataSourceStreamReader):
         mf: set, v: int
     ) -> list[tuple]:
         """Merge-on-read filter changes on carried files are
-        representable ONLY when purely additive DV takedowns — return
-        those as ``[(sidecar, newly covered files)]`` at PER-FILE
-        granularity (an existing DV entry gaining one more carried
-        file emits only THAT file — re-emitting the whole entry would
-        double-delete positions already emitted at its first commit);
-        any other change (predicate-shaped entry with no recorded
-        positions, an entry vanishing without its files, or filter
-        coverage of a file this same commit adds or removes) refuses
-        loudly."""
+        representable when DV-shaped in EITHER direction — return
+        ``(added, gone)``, each ``[(sidecar, files)]`` at PER-FILE
+        granularity: an ADDED (sidecar, file) pair emits that file's
+        positions as deletes (a takedown; an existing entry gaining one
+        more carried file emits only THAT file — re-emitting the whole
+        entry would double-delete), and a VANISHED pair emits the
+        positions as INSERTS (a restore rewinding past the takedown —
+        those rows are visible again and their content is exactly the
+        sidecar positions of the still-present file).  Predicate-shaped
+        changes (no recorded positions) and filter coverage of a file
+        this same commit adds refuse loudly."""
         psig = _typed_sig(prev, carried)
         csig = _typed_sig(m, carried)
-        new_pairs: dict = {}  # sidecar -> set of newly covered files
+        new_pairs: dict = {}  # sidecar -> files newly covered
+        gone_pairs: dict = {}  # sidecar -> files no longer covered
         if psig != csig:
             for f in carried:
                 pids = psig.get(f, set())
                 cids = csig.get(f, set())
-                if not pids <= cids:
-                    raise ValueError(
-                        f"snapshot_feed: merge-on-read filter VANISHED "
-                        f"from a carried file at v{v} — a filter drain "
-                        "with no file rewrite has no feed "
-                        "representation; restart from a fresh baseline"
-                    )
-                for kind, ident in cids - pids:
+                for kind, ident in (cids - pids) | (pids - cids):
                     if kind != "dv":
                         raise ValueError(
-                            f"snapshot_feed: predicate-shaped lazy "
-                            f"delete at v{v} records no row positions — "
-                            "not representable in the feed; use DV "
-                            "(lazy='dv') or CoW deletes while a stream "
-                            "is attached"
+                            f"snapshot_feed: predicate-shaped lazy-"
+                            f"delete filter change at v{v} — no row "
+                            "positions recorded, not representable in "
+                            "the feed; use DV (lazy='dv') or CoW "
+                            "deletes while a stream is attached"
                         )
+                for _, ident in cids - pids:
                     new_pairs.setdefault(ident, set()).add(f)
+                for _, ident in pids - cids:
+                    gone_pairs.setdefault(ident, set()).add(f)
         # a filter covering a file this commit ADDS would make the
         # added file's raw-byte insert overstate its visible rows, and
         # an entry referencing a file outside the snapshot is a
@@ -643,7 +657,10 @@ class _SnapshotStreamReader(DataSourceStreamReader):
                     f"snapshot_feed: v{v} filter entry references "
                     "file(s) outside the snapshot — malformed commit"
                 )
-        return sorted((s, fl) for s, fl in new_pairs.items())
+        return (
+            sorted((s, fl) for s, fl in new_pairs.items()),
+            sorted((s, fl) for s, fl in gone_pairs.items()),
+        )
 
     _SPLIT_BYTES = 64 * 1024 * 1024
 

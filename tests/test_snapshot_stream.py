@@ -612,10 +612,16 @@ def test_classify_filters_per_file_granularity(registered, tmp_path):
     prev = {"files": ["F1", "F2"], "row_filters": [{"dv": "s1", "files": ["F1"]}]}
     # entry extended to F2: only F2 emits
     cur = {"files": ["F1", "F2"], "row_filters": [{"dv": "s1", "files": ["F1", "F2"]}]}
-    pairs = reader._classify_filters(
+    added, gone = reader._classify_filters(
         cur, prev, {"F1", "F2"}, {"F1", "F2"}, {"F1", "F2"}, 9
     )
-    assert pairs == [("s1", {"F2"})]
+    assert added == [("s1", {"F2"})] and gone == []
+    # the symmetric direction: the entry SHRINKING back to F1 re-emits
+    # only F2's positions as inserts
+    added2, gone2 = reader._classify_filters(
+        prev, cur, {"F1", "F2"}, {"F1", "F2"}, {"F1", "F2"}, 9
+    )
+    assert added2 == [] and gone2 == [("s1", {"F2"})]
     # entry covering a file ADDED this commit: refuse
     cur2 = {
         "files": ["F1", "F2", "F3"],
@@ -655,7 +661,7 @@ def test_feed_random_op_sequence_mirror(registered, tmp_path):
         for step in range(12):
             op = rnd.choice(
                 ["append", "cow_delete", "dv_delete", "compact",
-                 "append", "dv_delete"]  # weight the r14 path
+                 "append", "dv_delete", "restore"]  # weight the r14 path
             )
             if op == "append":
                 n = rnd.randint(5, 25)
@@ -674,6 +680,14 @@ def test_feed_random_op_sequence_mirror(registered, tmp_path):
                 )
             elif op == "compact":
                 snapshot_compact(spark, t)
+            elif op == "restore":
+                from mini_project_204721_data_engineering_spark.sources.snapshots import (
+                    _list_versions,
+                    snapshot_restore,
+                )
+
+                vs = _list_versions(spark, t)
+                snapshot_restore(spark, t, rnd.choice(vs))
             q.processAllAvailable()
             assert mirror.snapshot() == _table_counter(spark, t), (
                 f"mirror diverged after step {step} ({op})"
@@ -834,3 +848,38 @@ def test_catalog_consistent_feed_over_enrolled_tables(registered, tmp_path):
     # the facts-only txn's version appears in facts but not lineage
     lone = set(facts_by_cv) - {r["_commit_version"] for r in lin_rows}
     assert len(lone) == 1 and facts_by_cv[lone.pop()] == 2
+
+
+def test_feed_restore_reinstates_and_redeletes_dv_positions(
+    registered, tmp_path
+):
+    """Restore symmetry: rewinding past a DV takedown re-INSERTS its
+    positions on carried files (rows visible again); restoring forward
+    re-deletes them.  Mirror ≡ table through the whole zig-zag."""
+    from mini_project_204721_data_engineering_spark.sources.snapshots import (
+        _list_versions,
+        snapshot_restore,
+    )
+
+    spark = registered
+    t = str(tmp_path / "t")
+    snapshot_append(_df(spark, 0, 30).coalesce(1), t)  # v1
+    mirror = _Mirror()
+    q = _start(spark, t, mirror, str(tmp_path / "ckpt"))
+    try:
+        q.processAllAvailable()
+        snapshot_delete_where(spark, t, "k = 2", lazy="dv")  # v2
+        snapshot_append(_df(spark, 30, 40).coalesce(1), t)  # v3
+        q.processAllAvailable()
+        assert mirror.snapshot() == _table_counter(spark, t)
+        # rewind past the DV: its positions become visible again
+        snapshot_restore(spark, t, 1)
+        q.processAllAvailable()
+        assert mirror.snapshot() == _table_counter(spark, t)
+        # and forward again: the DV re-applies (v2 still in the log)
+        snapshot_restore(spark, t, 2)
+        q.processAllAvailable()
+        assert mirror.snapshot() == _table_counter(spark, t)
+        assert len(_list_versions(spark, t)) == 5
+    finally:
+        q.stop()
