@@ -1089,8 +1089,14 @@ def catalog_maintain(
             if i < len(specs)
         }
         if batch:
-            multi_table_txn(spark, catalog_dir, batch)
-            executed.append(batch)
+            prev_tip = _catalog_tip(spark, catalog_dir)["version"]
+            res = multi_table_txn(spark, catalog_dir, batch)
+            # a vacuous transaction (a concurrent job already healed the
+            # table: nothing to pack, no pending filters) returns the
+            # unchanged tip and mints no version — recording it as
+            # executed would claim a phantom transaction to auditors
+            if res is not None and res["version"] > prev_tip:
+                executed.append(batch)
     expired = 0
     if before["catalog_actions"]:
         expired = catalog_expire(

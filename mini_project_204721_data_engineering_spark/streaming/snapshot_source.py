@@ -167,7 +167,16 @@ def _resolve_pin(catalog_dir: str, name: str, catalog_version: int):
         if tid is None or m.get("meta", {}).get("catalog_txn") == tid:
             return m
         # foreign manifest in our slot (direct write to an enrolled
-        # table): the staged copy is the catalog's truth
+        # table): the staged copy is the catalog's truth — surface the
+        # fork like the batch-side catalog_resolve does
+        import warnings
+
+        warnings.warn(
+            f"table log {pin['dir']} diverged from catalog at "
+            f"v{pin['version']} (direct write to an enrolled table?); "
+            "the stream resolves through the staged manifest",
+            stacklevel=2,
+        )
     except Exception:
         if "staged" not in pin:
             raise
@@ -291,7 +300,7 @@ def _fields_of(ddl: str) -> dict:
 def _typed_sig(manifest: dict | None, files: set) -> dict:
     """file → set of TYPED filter identities (('predicate', text) or
     ('dv', sidecar)) for exactly the given files — unlike
-    :func:`_filter_sig`'s raw strings, the kind survives, which the
+    snapshots.py's ``_filter_sig`` raw strings, the kind survives, which the
     additive-DV classification needs."""
     out: dict = {}
     for e in (manifest or {}).get("row_filters", []):
@@ -315,6 +324,7 @@ class _FilePartition(InputPartition):
         row_group: int | None = None,
         dv: str | None = None,
         dv_exclude: tuple | None = None,
+        rg_offset: int = 0,
     ):
         self.path = path
         self.change_type = change_type
@@ -325,6 +335,9 @@ class _FilePartition(InputPartition):
         # carried DV takedowns emits its VISIBLE rows (raw minus
         # positions) — the complement of the dv include mode
         self.dv_exclude = dv_exclude
+        # the row group's starting global row index (position filters
+        # compare against whole-file _metadata.row_index values)
+        self.rg_offset = rg_offset
 
 
 class _SnapshotStreamReader(DataSourceStreamReader):
@@ -455,18 +468,19 @@ class _SnapshotStreamReader(DataSourceStreamReader):
                     changed = 0
                 else:
                     changed = len(cur ^ prev_files)
-                    # a DV takedown changes no files but costs one read
-                    # per covered file — budget those too
-                    prev_dv = {
-                        e["dv"]
-                        for e in prev_m.get("row_filters") or []
-                        if "dv" in e
-                    }
-                    changed += sum(
-                        len(e.get("files", []))
-                        for e in m.get("row_filters") or []
-                        if "dv" in e and e["dv"] not in prev_dv
-                    )
+                    # DV coverage changes move no files but cost one
+                    # read per (sidecar, file) pair in EITHER direction
+                    # — a takedown, an entry gaining a file, or a
+                    # restore reinstating positions all emit work
+                    def dv_pairs(man):
+                        return {
+                            (e["dv"], f)
+                            for e in man.get("row_filters") or []
+                            if "dv" in e
+                            for f in e.get("files", [])
+                        }
+
+                    changed += len(dv_pairs(m) ^ dv_pairs(prev_m))
                 if end > lo and budget - changed < 0:
                     break  # budget exhausted; leave this version for later
                 budget -= changed
@@ -518,8 +532,32 @@ class _SnapshotStreamReader(DataSourceStreamReader):
             meta = m.get("file_meta", {})
             pmeta = (prev or {}).get("file_meta", {})
             removed_sig = _typed_sig(prev, pf - mf)
+            added_sig = _typed_sig(m, mf - pf)
             for f in sorted(mf - pf):
-                parts.extend(self._split(f, "insert", v, meta))
+                idents = added_sig.get(f, set())
+                apreds = [i for k, i in idents if k == "predicate"]
+                if apreds:
+                    raise ValueError(
+                        f"snapshot_feed: v{v} adds file(s) covered by "
+                        "PREDICATE-shaped lazy deletes — their visible "
+                        "rows cannot be reconstructed from positions; "
+                        "drain before the stream"
+                    )
+                advs = tuple(sorted(i for k, i in idents if k == "dv"))
+                if advs:
+                    # an ADDED file already under DV coverage (a restore
+                    # resurrecting a drained file, a clone's v1 carrying
+                    # filters, or the catalog mode's first window over a
+                    # takedown-carrying table): its raw-byte insert
+                    # would overstate — emit VISIBLE rows instead (raw
+                    # minus positions, the dv_exclude mode)
+                    parts.extend(
+                        self._split(
+                            f, "insert", v, meta, dv_exclude=advs
+                        )
+                    )
+                else:
+                    parts.extend(self._split(f, "insert", v, meta))
             for f in sorted(pf - mf):
                 idents = removed_sig.get(f, set())
                 preds = [i for k, i in idents if k == "predicate"]
@@ -538,8 +576,8 @@ class _SnapshotStreamReader(DataSourceStreamReader):
                     # file's VISIBLE rows (raw minus positions) emit as
                     # deletes — CoW rewrites and apply_filters drains
                     # of DV takedowns stream instead of refusing
-                    parts.append(
-                        _FilePartition(f, "delete", v, dv_exclude=dvs)
+                    parts.extend(
+                        self._split(f, "delete", v, pmeta, dv_exclude=dvs)
                     )
                 else:
                     parts.extend(self._split(f, "delete", v, pmeta))
@@ -550,7 +588,7 @@ class _SnapshotStreamReader(DataSourceStreamReader):
                 # deleted positions) — each covered file emits its
                 # sidecar positions as delete rows
                 for f in sorted(covered):
-                    parts.append(_FilePartition(f, "delete", v, dv=sidecar))
+                    parts.extend(self._split(f, "delete", v, meta, dv=sidecar))
             for sidecar, uncovered in gone_dv:
                 # the symmetric case: a restore rewinding past a DV
                 # takedown makes its positions VISIBLE again on the
@@ -558,7 +596,7 @@ class _SnapshotStreamReader(DataSourceStreamReader):
                 # content is exactly the sidecar positions of the file,
                 # which this snapshot still references)
                 for f in sorted(uncovered):
-                    parts.append(_FilePartition(f, "insert", v, dv=sidecar))
+                    parts.extend(self._split(f, "insert", v, meta, dv=sidecar))
             prev = m
         return parts
 
@@ -591,7 +629,7 @@ class _SnapshotStreamReader(DataSourceStreamReader):
                     f"does not widen to the feed's {feed_t!r} — restart "
                     "the stream against the new schema"
                 )
-        if prev is not None:
+        if prev is not None and not prev.get("_synthetic"):
             for name, typ in _fields_of(prev["schema"]).items():
                 if name not in fields or not _widenable(typ, fields[name]):
                     raise ValueError(
@@ -604,7 +642,7 @@ class _SnapshotStreamReader(DataSourceStreamReader):
     def _classify_filters(
         self, m: dict, prev: dict | None, carried: set, pf: set,
         mf: set, v: int
-    ) -> list[tuple]:
+    ) -> tuple[list, list]:
         """Merge-on-read filter changes on carried files are
         representable when DV-shaped in EITHER direction — return
         ``(added, gone)``, each ``[(sidecar, files)]`` at PER-FILE
@@ -638,21 +676,12 @@ class _SnapshotStreamReader(DataSourceStreamReader):
                     new_pairs.setdefault(ident, set()).add(f)
                 for _, ident in pids - cids:
                     gone_pairs.setdefault(ident, set()).add(f)
-        # a filter covering a file this commit ADDS would make the
-        # added file's raw-byte insert overstate its visible rows, and
         # an entry referencing a file outside the snapshot is a
-        # malformed commit — both refuse (no engine op produces either;
-        # the guards exist for hand-written logs)
-        added = mf - pf
+        # malformed commit (hand-written log) — refuse; filter coverage
+        # of files this commit ADDS is handled by the caller (their
+        # inserts emit raw-minus-positions, the dv_exclude mode)
         for e in m.get("row_filters") or []:
-            efiles = set(e.get("files", []))
-            if efiles & added:
-                raise ValueError(
-                    f"snapshot_feed: v{v} filter covers file(s) the "
-                    "same commit adds — their raw-byte inserts would "
-                    "overstate visible rows; unrepresentable diff"
-                )
-            if not efiles <= mf:
+            if not set(e.get("files", [])) <= mf:
                 raise ValueError(
                     f"snapshot_feed: v{v} filter entry references "
                     "file(s) outside the snapshot — malformed commit"
@@ -665,26 +694,43 @@ class _SnapshotStreamReader(DataSourceStreamReader):
     _SPLIT_BYTES = 64 * 1024 * 1024
 
     def _split(
-        self, f: str, change_type: str, v: int, meta: dict
+        self,
+        f: str,
+        change_type: str,
+        v: int,
+        meta: dict,
+        dv: str | None = None,
+        dv_exclude: tuple | None = None,
     ) -> list[_FilePartition]:
         """One partition per ROW GROUP for large changed files (manifest
         byte counts decide; the footer is read driver-side only when a
         file crosses the threshold) — a 1 GB rewritten file becomes ~8
-        parallel reads instead of one straggler task."""
+        parallel reads instead of one straggler task.  DV-filtered
+        partitions (include or exclude) split too: each carries its row
+        group's STARTING ROW OFFSET so the position filter's global
+        row-index math stays exact."""
         size = int((meta.get(f) or {}).get("bytes") or 0)
         if size > self._SPLIT_BYTES:
             try:
                 import pyarrow.parquet as pq
 
-                n = pq.ParquetFile(_local(f)).metadata.num_row_groups
+                md = pq.ParquetFile(_local(f)).metadata
+                n = md.num_row_groups
                 if n > 1:
-                    return [
-                        _FilePartition(f, change_type, v, row_group=g)
-                        for g in range(n)
-                    ]
+                    out, off = [], 0
+                    for g in range(n):
+                        out.append(
+                            _FilePartition(
+                                f, change_type, v, row_group=g,
+                                dv=dv, dv_exclude=dv_exclude,
+                                rg_offset=off,
+                            )
+                        )
+                        off += md.row_group(g).num_rows
+                    return out
             except Exception:
                 pass  # unreadable footer: one whole-file partition
-        return [_FilePartition(f, change_type, v)]
+        return [_FilePartition(f, change_type, v, dv=dv, dv_exclude=dv_exclude)]
 
     # -- execution (executors) --------------------------------------------
     def read(self, partition: _FilePartition):
@@ -721,7 +767,10 @@ class _SnapshotStreamReader(DataSourceStreamReader):
                     batch_size=64 * 1024, row_groups=[partition.row_group]
                 )
             if positions is not None:
-                return self._pos_filter(it, positions, pa, exclude)
+                return self._pos_filter(
+                    it, positions, pa, exclude,
+                    base=getattr(partition, "rg_offset", 0),
+                )
             return it
 
         try:
@@ -768,16 +817,22 @@ class _SnapshotStreamReader(DataSourceStreamReader):
         )
 
     @staticmethod
-    def _pos_filter(batches, positions: list[int], pa, exclude: bool = False):
+    def _pos_filter(
+        batches,
+        positions: list[int],
+        pa,
+        exclude: bool = False,
+        base: int = 0,
+    ):
         """Restrict row-ordered batches to the given global row indexes
         — or, with ``exclude``, to their COMPLEMENT (the visible rows
         of a removed DV-covered file).  Parquet row_index is the file's
-        physical row order, which ``iter_batches`` preserves; DV
-        partitions are always whole-file, so the running offset starts
-        at 0."""
+        physical row order, which ``iter_batches`` preserves; ``base``
+        is the row-group partition's starting global row index (0 for a
+        whole-file partition)."""
         from bisect import bisect_left
 
-        off = 0
+        off = base
         for b in batches:
             n = b.num_rows
             lo = bisect_left(positions, off)
@@ -865,7 +920,14 @@ class _CatalogStreamReader(_SnapshotStreamReader):
     def _m(self, version: int) -> dict:
         m = _resolve_pin(self.catalog_dir, self.name, version)
         if m is None:  # enrolled but not yet written at this version
-            m = {"files": [], "schema": self._schema_ddl, "op": "init"}
+            # _synthetic: no row exists, so no SCHEMA CLAIM either —
+            # the additivity check must not treat the placeholder's
+            # pinned-schema spelling as a real narrower-to-wider
+            # transition when the table's first commit lands narrow
+            m = {
+                "files": [], "schema": self._schema_ddl,
+                "op": "init", "_synthetic": True,
+            }
             tid = getattr(self, "_table_id", None)
             if tid:
                 m["table_id"] = tid

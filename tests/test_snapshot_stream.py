@@ -622,15 +622,16 @@ def test_classify_filters_per_file_granularity(registered, tmp_path):
         prev, cur, {"F1", "F2"}, {"F1", "F2"}, {"F1", "F2"}, 9
     )
     assert added2 == [] and gone2 == [("s1", {"F2"})]
-    # entry covering a file ADDED this commit: refuse
+    # an entry covering a file ADDED this commit is NOT a carried-file
+    # change (the caller emits that file as a visible-rows insert via
+    # dv_exclude): classification reports nothing
     cur2 = {
         "files": ["F1", "F2", "F3"],
         "row_filters": [{"dv": "s1", "files": ["F1"]}, {"dv": "s2", "files": ["F3"]}],
     }
-    with pytest.raises(ValueError, match="same commit adds"):
-        reader._classify_filters(
-            cur2, prev, {"F1", "F2"}, {"F1", "F2"}, {"F1", "F2", "F3"}, 9
-        )
+    assert reader._classify_filters(
+        cur2, prev, {"F1", "F2"}, {"F1", "F2"}, {"F1", "F2", "F3"}, 9
+    ) == ([], [])
     # entry referencing a file outside the snapshot: malformed
     cur3 = {"files": ["F1", "F2"], "row_filters": [{"dv": "s1", "files": ["F1", "GONE"]}]}
     with pytest.raises(ValueError, match="malformed"):
@@ -883,3 +884,122 @@ def test_feed_restore_reinstates_and_redeletes_dv_positions(
         assert len(_list_versions(spark, t)) == 5
     finally:
         q.stop()
+
+
+def test_feed_restore_resurrects_drained_dv_file(registered, tmp_path):
+    """A restore that re-ADDS a file still under DV coverage (the file
+    was drained away by apply_filters, then the table rewound past the
+    drain): the added file's raw-byte insert would overstate, so it
+    emits VISIBLE rows (raw minus positions) — mirror ≡ table through
+    drain and rewind."""
+    from mini_project_204721_data_engineering_spark.sources.snapshots import (
+        snapshot_apply_filters,
+        snapshot_restore,
+    )
+
+    spark = registered
+    t = str(tmp_path / "t")
+    snapshot_append(_df(spark, 0, 30).coalesce(1), t)  # v1
+    mirror = _Mirror()
+    q = _start(spark, t, mirror, str(tmp_path / "ckpt"))
+    try:
+        q.processAllAvailable()
+        snapshot_delete_where(spark, t, "k = 2", lazy="dv")  # v2
+        snapshot_apply_filters(spark, t)  # v3: covered file drained away
+        q.processAllAvailable()
+        assert mirror.snapshot() == _table_counter(spark, t)
+        # rewind past the drain: the original file comes BACK, still
+        # carrying its DV entry — its insert must be raw minus positions
+        snapshot_restore(spark, t, 2)  # v4
+        q.processAllAvailable()
+        assert mirror.snapshot() == _table_counter(spark, t)
+    finally:
+        q.stop()
+
+
+def test_catalog_feed_attaches_over_pending_dv(registered, tmp_path):
+    """Catalog-mode initial window over an enrolled table that carries
+    a pending DV takedown: the first batch's inserts are the files'
+    VISIBLE rows, not their raw bytes."""
+    from mini_project_204721_data_engineering_spark.sources.txn_catalog import (
+        catalog_init,
+        catalog_read,
+    )
+
+    spark = registered
+    t = str(tmp_path / "t")
+    snapshot_append(_df(spark, 0, 30).coalesce(1), t)
+    snapshot_delete_where(spark, t, "k = 1", lazy="dv")
+    cat = str(tmp_path / "cat")
+    catalog_init(spark, cat, {"t": t})
+    got = []
+    q = (
+        spark.readStream.format("snapshot_feed")
+        .option("catalog_dir", cat)
+        .option("table", "t")
+        .load()
+        .writeStream.foreachBatch(lambda df, _id: got.extend(df.collect()))
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    assert {r["_change_type"] for r in got} == {"insert"}
+    assert Counter((r["id"], r["k"]) for r in got) == Counter(
+        (r["id"], r["k"]) for r in catalog_read(spark, cat, "t").collect()
+    )
+
+
+def test_catalog_feed_replays_from_zero_through_evolution(
+    registered, tmp_path
+):
+    """A fresh catalog-mode stream replaying from version zero over an
+    enrolled table whose schema EVOLVED after its first commit: the
+    synthesized pre-first-write placeholder must not masquerade as a
+    real wide schema (that would flag the narrow first commit as a
+    non-additive 'drop'); narrow-era rows NULL-align."""
+    from mini_project_204721_data_engineering_spark.sources.txn_catalog import (
+        catalog_init,
+        multi_table_txn,
+    )
+
+    spark = registered
+    cat = str(tmp_path / "cat")
+    catalog_init(spark, cat, {"t": str(tmp_path / "t")})  # enrolled EMPTY
+    multi_table_txn(
+        spark,
+        cat,
+        {"t": {"op": "append", "df": _df(spark, 0, 10).coalesce(1)}},
+    )
+    multi_table_txn(
+        spark,
+        cat,
+        {
+            "t": {
+                "op": "append",
+                "df": _df(spark, 10, 15)
+                .withColumn("extra", F.col("id") * 3)
+                .coalesce(1),
+                "merge_schema": True,
+            }
+        },
+    )
+    got = []
+    q = (
+        spark.readStream.format("snapshot_feed")
+        .option("catalog_dir", cat)
+        .option("table", "t")
+        .load()
+        .writeStream.foreachBatch(lambda df, _id: got.extend(df.collect()))
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    assert len(got) == 15
+    assert {r["extra"] for r in got if r["id"] < 10} == {None}
+    assert all(r["extra"] == r["id"] * 3 for r in got if r["id"] >= 10)
