@@ -1003,3 +1003,38 @@ def test_catalog_feed_replays_from_zero_through_evolution(
     assert len(got) == 15
     assert {r["extra"] for r in got if r["id"] < 10} == {None}
     assert all(r["extra"] == r["id"] * 3 for r in got if r["id"] >= 10)
+
+
+def test_feed_dv_zigzag_torture(registered, tmp_path):
+    """The full DV lattice in one sequence: a takedown covering TWO
+    files, a drain rewriting both, a restore back to the DV state (both
+    files resurrect WITH coverage → visible-row inserts), and a restore
+    to the pre-DV state (coverage vanishes on carried files → position
+    re-inserts).  Mirror ≡ table at every commit point."""
+    from mini_project_204721_data_engineering_spark.sources.snapshots import (
+        snapshot_apply_filters,
+        snapshot_restore,
+    )
+
+    spark = registered
+    t = str(tmp_path / "t")
+    snapshot_append(_df(spark, 0, 40).coalesce(2), t)  # v1: 2 files
+    mirror = _Mirror()
+    q = _start(spark, t, mirror, str(tmp_path / "ckpt"))
+
+    def check(tag):
+        q.processAllAvailable()
+        assert mirror.snapshot() == _table_counter(spark, t), tag
+
+    try:
+        check("v1")
+        snapshot_delete_where(spark, t, "k = 2", lazy="dv")
+        check("v2 dv over both files")
+        snapshot_apply_filters(spark, t)
+        check("v3 drain rewrites both")
+        snapshot_restore(spark, t, 2)
+        check("v4 restore to dv state (files resurrect WITH coverage)")
+        snapshot_restore(spark, t, 1)
+        check("v5 restore to pre-dv (coverage vanishes)")
+    finally:
+        q.stop()
