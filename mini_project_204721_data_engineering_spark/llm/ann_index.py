@@ -28,7 +28,14 @@ Because the quantizer is frozen and encoding is deterministic
 argmin-by-index PQ codes), the postings after ANY sequence of
 incremental refreshes are IDENTICAL to a from-scratch encode of the
 whole corpus under the same model — pytest-pinned, and the property
-that makes staleness the ONLY recall variable.
+that makes staleness the ONLY recall variable.  That identity now
+includes TAKEDOWNS (r15): a source window containing deletes (CoW,
+predicate-lazy, or deletion-vector), merges, or replaces refreshes
+through the file-confined row delta — tombstoned ids leave the
+postings, changed ids re-encode — in one atomic commit, so the
+incremental index equals a re-created one after any op mix and a
+compliance removal propagates at rewritten-file cost instead of a
+full rebuild.
 
 Staleness-bounded search: :func:`ann_index_search` answers from the
 index (probed ADC + exact rerank) and, with ``fresh=True``, UNIONS an
@@ -46,9 +53,17 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from mini_project_204721_data_engineering_spark.sources.snapshots import (
+    _AlreadyApplied,
+    _canon_file,
+    _commit,
+    _compose_stats,
+    _filtered_read,
     _list_versions,
     _read_manifest,
+    _rewrite_guard,
+    _write_data_files,
     read_snapshot,
+    snapshot_file_changes,
     snapshot_incremental_read,
     snapshot_txn_append,
 )
@@ -200,6 +215,13 @@ def ann_index_create(
         "id_col": id_col,
         "vec_col": vec_col,
         "source_dir": str(source_dir),
+        # the source LOG's identity: a dropped-and-recreated table at
+        # the same path can reach the same version numbers, making a
+        # stale cursor look current — refresh verifies this id and
+        # refuses to follow an impostor log
+        "source_table_id": _read_manifest(
+            spark, source_dir, src_version
+        ).get("table_id"),
     }
     os.makedirs(str(index_dir), exist_ok=True)
     with open(_model_path(index_dir), "w") as f:
@@ -222,11 +244,28 @@ def ann_index_create(
 
 
 def ann_index_refresh(spark: SparkSession, index_dir: str) -> dict:
-    """Encode the source rows landed since the last refresh and append
-    them — exactly-once (source version as txn batch id), no-op when
-    the index is current.  Append-only sources only, like the cursor it
-    rides; a rewritten source (delete/compact) raises — re-create the
-    index (quantizer retraining is due at that point anyway)."""
+    """Fold everything the source did since the last refresh into the
+    postings — exactly-once (source version as txn batch id), no-op
+    when the index is current.
+
+    Append-shaped windows take the fast path: encode the new rows,
+    transactional-append.  A REWRITTEN window (delete — CoW, lazy
+    predicate, or deletion-vector — merge, replace, compaction) routes
+    through :func:`snapshot_file_changes`'s file-confined row delta
+    instead of refusing (r15; through r14 this raised and the only cure
+    was a full ``ann_index_create`` rebuild — a DV takedown on the
+    embeddings table blocked index maintenance entirely): tombstoned
+    ids leave the postings and changed/new rows are re-encoded under
+    the frozen model, all in ONE atomic commit that removes the hit
+    postings files, adds survivor+fresh encodes, and advances the txn
+    watermark — so a crash or replay anywhere re-runs idempotently and
+    a takedown can never outlive its refresh.  Cost ∝ files the source
+    window actually rewrote plus hit postings files, never corpus size.
+    A compaction-only window is data-identical and just advances the
+    watermark.  Only an unreconstructible window (cursor expired from
+    the log, log recreated) still requires ``ann_index_create`` — the
+    quantizer-drift rebuild advice stands independently: heavy churn is
+    exactly when retraining is due."""
     model = _load_model(index_dir)
     pdir = _postings_dir(index_dir)
     versions = _list_versions(spark, pdir)
@@ -234,9 +273,15 @@ def ann_index_refresh(spark: SparkSession, index_dir: str) -> dict:
     cursor = int(tip.get("txn", {}).get(_APP_ID, -1))
     if cursor < 0:
         raise ValueError(f"postings at {pdir} carry no {_APP_ID} watermark")
-    df, new_version = snapshot_incremental_read(
-        spark, model["source_dir"], cursor
-    )
+    _check_source_identity(spark, model)
+    try:
+        df, new_version = snapshot_incremental_read(
+            spark, model["source_dir"], cursor
+        )
+    except ValueError:
+        # non-append window (or terminal log state — _refresh_rewritten
+        # re-raises those with re-create guidance)
+        return _refresh_rewritten(spark, index_dir, model, cursor)
     if df is None:
         return ann_index_info(spark, index_dir)
     codes = ann_encode(
@@ -252,6 +297,187 @@ def ann_index_refresh(spark: SparkSession, index_dir: str) -> dict:
         _APP_ID,
         new_version,
     )
+    return ann_index_info(spark, index_dir)
+
+
+def _check_source_identity(spark: SparkSession, model: dict) -> None:
+    """Refuse to follow a RECREATED source log: a drop-and-recreate at
+    the same path restarts version numbering, so a cursor can look
+    current (or merely behind) while pointing into a different table's
+    history — versions alone cannot detect it.  The model records the
+    log's ``table_id`` at create; a mismatch here is terminal for the
+    index (none of its postings describe the new log's rows)."""
+    src_dir = model["source_dir"]
+    want = model.get("source_table_id")
+    if want is None:
+        return  # pre-r15 model: no identity recorded
+    versions = _list_versions(spark, src_dir)
+    if not versions:
+        raise ValueError(
+            f"ann_index_refresh: source {src_dir} has no snapshots (log "
+            "deleted?) — re-baseline with ann_index_create"
+        )
+    got = _read_manifest(spark, src_dir, versions[-1]).get("table_id")
+    if got != want:
+        raise ValueError(
+            f"ann_index_refresh: the log at {src_dir} is not the table "
+            f"this index was built on (table_id {got} != {want}) — the "
+            "source was dropped and recreated; re-baseline with "
+            "ann_index_create on a fresh index_dir"
+        )
+
+
+def _advance_watermark(
+    spark: SparkSession, pdir: str, batch_id: int, note: str
+) -> None:
+    """Commit a postings version that changes NO files, only the txn
+    watermark — the exactly-once acknowledgement of a data-identical
+    source window (compaction-only)."""
+
+    def files_fn(parent):
+        if parent is None:
+            raise ValueError(f"no postings at {pdir}")
+        if int(parent.get("txn", {}).get(_APP_ID, -1)) >= batch_id:
+            raise _AlreadyApplied()
+        return list(parent["files"])
+
+    tip = _read_manifest(spark, pdir, _list_versions(spark, pdir)[-1])
+    try:
+        _commit(
+            spark, pdir, "append", files_fn, tip["schema"],
+            meta={"app_id": _APP_ID, "batch_id": batch_id,
+                  "added_files": 0, "note": note},
+            txn_update={_APP_ID: batch_id},
+            stats_fn=_compose_stats(spark, [], None),
+        )
+    except _AlreadyApplied:
+        pass
+
+
+def _refresh_rewritten(
+    spark: SparkSession, index_dir: str, model: dict, cursor: int
+) -> dict:
+    """Refresh across a source window containing rewrites: derive the
+    per-id delta from the file-confined CoW diff (old-visible vs
+    new-visible rows of exactly the rewritten/refiltered files — DV and
+    predicate-shaped lazy deletes both read correctly through their own
+    version's filters here, unlike the position-only streaming feed),
+    then rewrite the postings in ONE commit:
+
+    - ids present only on the OLD side → tombstoned (hit postings files
+      rewritten without them);
+    - ids present only on the NEW side → encoded and appended;
+    - ids on both sides with a DIFFERENT vector → both (re-encode);
+    - ids on both sides unchanged (survivors of a partial file rewrite,
+      or a pure compaction) → untouched in the postings — deterministic
+      encoding makes re-encoding them a no-op, so we skip the bytes.
+
+    The commit removes hit files, adds survivor+fresh files, and
+    advances the watermark atomically; a replay after ANY crash point
+    recomputes the same delta from the same immutable manifests and the
+    txn gate makes the landed case a no-op."""
+    src_dir = model["source_dir"]
+    id_col, vec_col = model["id_col"], model["vec_col"]
+    pdir = _postings_dir(index_dir)
+    src_tip = _list_versions(spark, src_dir)[-1] if _list_versions(
+        spark, src_dir
+    ) else None
+    try:
+        if src_tip is None:
+            raise ValueError(f"no snapshots at {src_dir}")
+        removed, added, info = snapshot_file_changes(
+            spark, src_dir, cursor, src_tip
+        )
+    except ValueError as exc:
+        raise ValueError(
+            f"ann_index_refresh: the source window v{cursor}→v{src_tip} "
+            f"of {src_dir} is not reconstructible ({exc}) — re-baseline "
+            "with ann_index_create on a fresh index_dir (quantizer "
+            "retraining is due after log truncation/recreation anyway)"
+        ) from exc
+    if info["all_compact"] or (removed is None and added is None):
+        _advance_watermark(
+            spark, pdir, src_tip, note="data-identical source window"
+        )
+        return ann_index_info(spark, index_dir)
+    rem = (
+        removed.select(id_col, vec_col)
+        if removed is not None
+        else added.select(id_col, vec_col).limit(0)
+    )
+    add = (
+        added.select(id_col, vec_col)
+        if added is not None
+        else removed.select(id_col, vec_col).limit(0)
+    )
+    deleted_ids = rem.join(add, [id_col], "left_anti").select(id_col)
+    changed = (
+        add.alias("n")
+        .join(rem.alias("o"), [id_col])
+        # exact array inequality is the right test: survivor rows are
+        # byte-identical copies under CoW, so <=> holds for them and
+        # only genuinely updated vectors re-encode
+        .where(~F.expr(f"n.{vec_col} <=> o.{vec_col}"))
+        .select(id_col, f"n.{vec_col}")
+    )
+    fresh_rows = add.join(rem, [id_col], "left_anti")
+    to_encode = fresh_rows.unionByName(changed)
+    tombstone = deleted_ids.unionByName(changed.select(id_col)).distinct()
+    tombstone.persist()
+    try:
+        n_tomb = tombstone.count()
+        p_tip = _read_manifest(spark, pdir, _list_versions(spark, pdir)[-1])
+        if int(p_tip.get("txn", {}).get(_APP_ID, -1)) >= src_tip:
+            return ann_index_info(spark, index_dir)  # replayed: landed
+        base_files = list(p_tip["files"])
+        hit_files: list[str] = []
+        if n_tomb and base_files:
+            jvm = spark._jvm
+            target = _filtered_read(
+                spark, p_tip, base_files, with_position=True
+            )
+            hit_files = sorted(
+                _canon_file(jvm, r["f"])
+                for r in target.join(tombstone, [id_col], "left_semi")
+                .select(F.col("__dv_file").alias("f"))
+                .distinct()
+                .collect()
+            )
+        new_data = ann_encode(
+            to_encode, model, id_col=id_col, vec_col=vec_col
+        ).select(id_col, "cell", "codes")
+        if hit_files:
+            survivors = _filtered_read(spark, p_tip, hit_files).join(
+                tombstone, [id_col], "left_anti"
+            )
+            new_data = survivors.unionByName(new_data)
+        new_files, _ = _write_data_files(
+            new_data.repartitionByRange(2, "cell"), pdir
+        )
+        guard = _rewrite_guard(p_tip, "ann_index_refresh")
+        hit = set(hit_files)
+
+        def files_fn(parent):
+            if parent is not None and int(
+                parent.get("txn", {}).get(_APP_ID, -1)
+            ) >= src_tip:
+                raise _AlreadyApplied()
+            guard(parent)
+            return [f for f in base_files if f not in hit] + new_files
+
+        try:
+            _commit(
+                spark, pdir, "merge", files_fn, p_tip["schema"],
+                meta={"app_id": _APP_ID, "batch_id": src_tip,
+                      "rewritten_files": len(hit_files),
+                      "tombstoned_ids": n_tomb},
+                txn_update={_APP_ID: src_tip},
+                stats_fn=_compose_stats(spark, new_files, None),
+            )
+        except _AlreadyApplied:
+            pass
+    finally:
+        tombstone.unpersist()
     return ann_index_info(spark, index_dir)
 
 
@@ -348,11 +574,26 @@ def ann_index_search(
                     "index_dir) to fold the tail into the postings, or "
                     "pass max_tail_rows=None to accept the cost knowingly"
                 )
-        tail, _ = snapshot_incremental_read(
-            spark, model["source_dir"], cursor
-        )
+        try:
+            tail = snapshot_incremental_read(
+                spark, model["source_dir"], cursor
+            )[0]
+        except ValueError:
+            # rewritten window (takedown/merge/compact since the last
+            # refresh): the not-yet-indexed candidates are the NEW-side
+            # rows of the file-confined diff — survivors of partial
+            # rewrites are already indexed and dedup away below, and a
+            # terminal log state surfaces file_changes' own error
+            tail = snapshot_file_changes(
+                spark, model["source_dir"], cursor
+            )[1]
         if tail is not None:
             cand = cand.unionByName(tail.select(id_col)).distinct()
+    # NOTE: the rerank inner-joins candidates against the source AT TIP,
+    # so ids deleted from the source since the last refresh can never
+    # surface in results even from a stale index — staleness costs
+    # shortlist slots (and recall of unindexed rows without fresh=True),
+    # never resurrects a takedown
     return _exact_rerank(emb, cand, query, topk, id_col, vec_col)
 
 

@@ -24,9 +24,12 @@ from mini_project_204721_data_engineering_spark.llm.ann_index import (
 )
 from mini_project_204721_data_engineering_spark.sources.snapshots import (
     _list_versions,
+    _read_manifest,
     read_snapshot,
     snapshot_append,
     snapshot_compact,
+    snapshot_delete_where,
+    snapshot_merge_into,
 )
 
 DIM = 16
@@ -214,3 +217,164 @@ def test_fresh_staleness_budget_refuses_then_heals(spark, tmp_path):
     )
     assert out.count() == 5
     assert ann_index_info(spark, idx)["lag_rows"] == 0
+
+
+# ---------------------------------------------------------------------------
+# r15: refresh across source TAKEDOWNS (deletes/merges/compactions) — the
+# index consumes the file-confined row delta instead of refusing, and the
+# incremental postings stay code-for-code identical to a re-created index.
+# ---------------------------------------------------------------------------
+
+
+def _from_scratch(spark, src, idx):
+    model = _load_model(idx)
+    return {
+        (r["vec_id"], r["cell"], tuple(r["codes"]))
+        for r in ann_encode(read_snapshot(spark, src), model).collect()
+    }
+
+
+def _mk_index(spark, tmp_path, n=300, seed=11):
+    src = str(tmp_path / "embeddings")
+    idx = str(tmp_path / "index")
+    snapshot_append(_vecs(spark, 0, n, seed=seed).coalesce(2), src)
+    ann_index_create(
+        spark, src, idx, ncells=4, m=4, k=16, sample=4096, pq_iters=3
+    )
+    return src, idx
+
+
+@pytest.mark.parametrize("mode", [False, True, "dv"])
+def test_refresh_through_source_delete_all_modes(spark, tmp_path, mode):
+    """A takedown in any delete mode (CoW rewrite, predicate-lazy, DV)
+    refreshes incrementally: tombstoned ids leave the postings, the
+    result equals a from-scratch encode, and search never returns the
+    taken-down ids."""
+    src, idx = _mk_index(spark, tmp_path)
+    pdir = _postings_dir(idx)
+    gone = {3, 7, 11, 15}  # cluster-3 ids: vec_id % 4 == 3
+    snapshot_delete_where(
+        spark, src, "vec_id in (3, 7, 11, 15)", lazy=mode
+    )
+    info = ann_index_refresh(spark, idx)
+    assert info["lag_versions"] == 0 and info["lag_rows"] == 0
+    got = _codes_set(spark, pdir)
+    assert not {g for (g, _, _) in got} & gone
+    assert got == _from_scratch(spark, src, idx)
+    # search (stale OR fresh) can't resurrect them
+    q = [math.sin(3 * 5 + j) for j in range(DIM)]  # at cluster 3
+    hits = {
+        r["vec_id"]
+        for r in ann_index_search(
+            spark, idx, q, topk=20, nprobe=4, fresh=True
+        ).collect()
+    }
+    assert not hits & gone
+    # replayed refresh is a no-op (exactly-once)
+    v = _list_versions(spark, pdir)[-1]
+    ann_index_refresh(spark, idx)
+    assert _list_versions(spark, pdir)[-1] == v
+
+
+def test_refresh_mixed_window_delete_then_append(spark, tmp_path):
+    """One window holding a DV takedown AND an append of new rows:
+    both consumed in a single refresh, identical to re-created."""
+    src, idx = _mk_index(spark, tmp_path)
+    snapshot_delete_where(spark, src, "vec_id < 20", lazy="dv")
+    snapshot_append(_vecs(spark, 300, 360, seed=12).coalesce(1), src)
+    ann_index_refresh(spark, idx)
+    got = _codes_set(spark, _postings_dir(idx))
+    ids = {g for (g, _, _) in got}
+    assert not ids & set(range(20))
+    assert set(range(300, 360)) <= ids
+    assert got == _from_scratch(spark, src, idx)
+
+
+def test_refresh_through_update_reencodes_changed(spark, tmp_path):
+    """A merge that UPDATES vectors in place re-encodes exactly those
+    ids (survivors sharing the rewritten files skip the bytes but stay
+    correct — pinned by the from-scratch identity)."""
+    src, idx = _mk_index(spark, tmp_path)
+    moved = _vecs(spark, 5000, 5004, seed=13).withColumn(
+        "vec_id", F.col("vec_id") - 5000 + 40
+    ).select("vec_id", "embedding")  # ids 40..43, brand-new vectors
+    snapshot_merge_into(moved, src, ["vec_id"], when_matched="update")
+    ann_index_refresh(spark, idx)
+    assert _codes_set(spark, _postings_dir(idx)) == _from_scratch(
+        spark, src, idx
+    )
+
+
+def test_refresh_source_compaction_only_advances_watermark(spark, tmp_path):
+    """A compaction-only source window is data-identical: the refresh
+    advances the watermark WITHOUT rewriting any postings bytes."""
+    src, idx = _mk_index(spark, tmp_path)
+    pdir = _postings_dir(idx)
+    files_before = _read_manifest(
+        spark, pdir, _list_versions(spark, pdir)[-1]
+    )["files"]
+    snapshot_compact(spark, src)
+    info = ann_index_refresh(spark, idx)
+    assert info["lag_versions"] == 0
+    tip = _read_manifest(spark, pdir, _list_versions(spark, pdir)[-1])
+    assert tip["files"] == files_before  # no bytes moved
+    assert _codes_set(spark, pdir) == _from_scratch(spark, src, idx)
+    # and a second refresh is a no-op
+    v = _list_versions(spark, pdir)[-1]
+    ann_index_refresh(spark, idx)
+    assert _list_versions(spark, pdir)[-1] == v
+
+
+def test_refresh_compact_plus_delete_window(spark, tmp_path):
+    """Compaction AND a delete in the same window: all_compact is
+    False, the file diff spans the compacted files, but unchanged
+    survivors skip re-encoding and the result still equals re-created."""
+    src, idx = _mk_index(spark, tmp_path)
+    snapshot_compact(spark, src)
+    snapshot_delete_where(spark, src, "vec_id >= 280", lazy=False)
+    ann_index_refresh(spark, idx)
+    got = _codes_set(spark, _postings_dir(idx))
+    assert not {g for (g, _, _) in got if g >= 280}
+    assert got == _from_scratch(spark, src, idx)
+
+
+def test_fresh_search_over_rewritten_tail(spark, tmp_path):
+    """fresh=True with a takedown+append tail the index hasn't folded
+    yet: new rows surface, deleted rows don't — without a refresh."""
+    src, idx = _mk_index(spark, tmp_path, n=200)
+    q = [0.5] * DIM
+    planted = spark.createDataFrame(
+        [(9000 + i, [float(v) for v in q]) for i in range(3)],
+        "vec_id long, embedding array<float>",
+    )
+    snapshot_delete_where(spark, src, "vec_id in (0, 1)", lazy="dv")
+    snapshot_append(planted.coalesce(1), src)
+    hits = {
+        r["vec_id"]
+        for r in ann_index_search(
+            spark, idx, q, topk=3, nprobe=4, fresh=True,
+            max_tail_rows=None,
+        ).collect()
+    }
+    assert hits == {9000, 9001, 9002}
+    # stale (non-fresh) search also can't resurrect deleted ids: the
+    # rerank joins against the tip source
+    stale = {
+        r["vec_id"]
+        for r in ann_index_search(
+            spark, idx, q, topk=200, nprobe=4, shortlist=500
+        ).collect()
+    }
+    assert not stale & {0, 1}
+
+
+def test_refresh_recreated_log_refuses_with_guidance(spark, tmp_path):
+    """An unreconstructible window (cursor expired / log recreated)
+    still refuses loudly, naming ann_index_create."""
+    import shutil
+
+    src, idx = _mk_index(spark, tmp_path, n=100)
+    shutil.rmtree(src)
+    snapshot_append(_vecs(spark, 0, 10, seed=14).coalesce(1), src)
+    with pytest.raises(ValueError, match="ann_index_create"):
+        ann_index_refresh(spark, idx)
