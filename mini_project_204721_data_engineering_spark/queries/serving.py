@@ -331,6 +331,72 @@ def ingest_with_lineage(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(root, ignore_errors=True)
 
 
+def snapshot_sql_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL face of the lakehouse (r15): land ``supplier`` into a
+    snapshot table as two range-split commits (``s_suppkey`` min/max
+    recorded in the manifest), then answer a plain SQL statement over
+    it through the batch DataSource — :func:`~..sources.snapshot_batch.
+    snapshot_sql` registers a fresh pushdown relation for the one
+    statement, so the ``WHERE s_suppkey <= n/2`` plans only the first
+    commit's file from manifest stats (no footer opened for the other
+    half).  Oracle equality proves the SQL path reads exactly the
+    table."""
+    import shutil
+    import tempfile
+
+    from mini_project_204721_data_engineering_spark.sources.snapshot_batch import (
+        snapshot_sql,
+    )
+    from mini_project_204721_data_engineering_spark.sources.snapshots import (
+        snapshot_append,
+    )
+
+    sup = load_table(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_nationkey", "s_acctbal"
+    )
+    n = sup.count()
+    half = n // 2
+    root = tempfile.mkdtemp(prefix="snapsql_")
+    try:
+        t = f"{root}/supplier_snap"
+        snapshot_append(
+            sup.filter(F.col("s_suppkey") <= half).coalesce(1),
+            t,
+            stats_cols=["s_suppkey"],
+        )
+        snapshot_append(
+            sup.filter(F.col("s_suppkey") > half).coalesce(1), t
+        )
+        return snapshot_sql(
+            spark,
+            f"""
+            SELECT s_nationkey,
+                   count(*) AS suppliers,
+                   CAST(sum(CAST(round(s_acctbal * 100) AS BIGINT))
+                        AS BIGINT) AS acctbal_cents
+            FROM s
+            WHERE s_suppkey <= {half}
+            GROUP BY s_nationkey
+            ORDER BY s_nationkey
+            """,
+            {"s": t},
+        )
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+SNAPSHOT_SQL_SCAN_SQL = """
+SELECT s_nationkey,
+       count(*) AS suppliers,
+       CAST(sum(CAST(round(s_acctbal * 100) AS BIGINT)) AS BIGINT)
+         AS acctbal_cents
+FROM supplier
+WHERE s_suppkey <= (SELECT count(*) // 2 FROM supplier)
+GROUP BY s_nationkey
+ORDER BY s_nationkey
+"""
+
+
 INGEST_WITH_LINEAGE_SQL = """
 WITH batches AS (
   SELECT CAST(CASE WHEN o_orderkey % 2 = 1 THEN 1 ELSE 2 END AS INTEGER)
@@ -361,6 +427,7 @@ EXTRA_QUERIES = {
     "count_orders_filtered": count_orders_filtered,
     "date_limit": date_limit,
     "ingest_with_lineage": ingest_with_lineage,
+    "snapshot_sql_scan": snapshot_sql_scan,
 }
 
 EXTRA_ORACLES = {
@@ -368,4 +435,5 @@ EXTRA_ORACLES = {
     "count_orders_filtered": COUNT_ORDERS_FILTERED_SQL,
     "date_limit": DATE_LIMIT_SQL,
     "ingest_with_lineage": INGEST_WITH_LINEAGE_SQL,
+    "snapshot_sql_scan": SNAPSHOT_SQL_SCAN_SQL,
 }

@@ -1,0 +1,340 @@
+"""Batch DataSource over snapshot tables (sources/snapshot_batch.py):
+the SQL face of the lakehouse.  Pins the two-mode contract — the safe
+default plans the FULL file set with exact row semantics (DV, time
+travel, renames) while the pushdown opt-in prunes files exactly as
+``read_snapshot_where`` would — plus the upstream relation-cache hazard
+that makes pruning opt-in in the first place."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql.datasource import (
+    EqualTo,
+    GreaterThanOrEqual,
+    In,
+    LessThanOrEqual,
+)
+
+from mini_project_204721_data_engineering_spark.sources.snapshot_batch import (
+    SnapshotDataSource,
+    _exclude_positions,
+    _filter_atom,
+    _SnapshotPushdownReader,
+    register_snapshot_table,
+    snapshot_sql,
+)
+from mini_project_204721_data_engineering_spark.sources.snapshots import (
+    _plan_files,
+    _resolve_manifest,
+    read_snapshot,
+    read_snapshot_where,
+    snapshot_append,
+    snapshot_delete_where,
+    snapshot_rename_column,
+    snapshot_widen_column,
+)
+
+
+def _mk_table(spark, path, stats=("k",)):
+    """Two single-file commits with DISJOINT k ranges + one DV delete
+    hitting each file — the pruning and merge-on-read testbed."""
+    snapshot_append(
+        spark.range(0, 100).selectExpr("id AS k", "id * 2 AS v").coalesce(1),
+        path,
+        stats_cols=list(stats),
+    )
+    snapshot_append(
+        spark.range(100, 200)
+        .selectExpr("id AS k", "id * 2 AS v")
+        .coalesce(1),
+        path,
+    )
+    snapshot_delete_where(spark, path, "k in (5, 150)", lazy="dv")
+
+
+@pytest.fixture()
+def tbl(spark, tmp_path):
+    path = str(tmp_path / "tbl")
+    _mk_table(spark, path)
+    return path
+
+
+def test_safe_view_mixed_queries_all_exact(spark, tbl):
+    """The DEFAULT registration serves filtered and unfiltered queries
+    interleaved with exact results — the mode a long-lived view needs
+    (under pushdown this exact sequence is the poisoned one)."""
+    register_snapshot_table(spark, "t_safe", tbl)
+    assert (
+        spark.sql(
+            "SELECT count(*) c FROM t_safe WHERE k BETWEEN 10 AND 20"
+        ).collect()[0]["c"]
+        == 11
+    )
+    assert spark.sql("SELECT count(*) c FROM t_safe").collect()[0]["c"] == 198
+    assert (
+        spark.sql("SELECT count(*) c FROM t_safe WHERE k >= 150").collect()[
+            0
+        ]["c"]
+        == 49
+    )
+    assert spark.sql("SELECT count(*) c FROM t_safe").collect()[0]["c"] == 198
+    # DV-deleted rows are invisible through SQL
+    assert spark.sql("SELECT * FROM t_safe WHERE k = 5").collect() == []
+
+
+def test_sql_results_equal_read_snapshot_where(spark, tbl):
+    register_snapshot_table(spark, "t_eq", tbl)
+    got = spark.sql(
+        "SELECT k, v FROM t_eq WHERE k >= 90 AND k <= 110 ORDER BY k"
+    ).collect()
+    want = (
+        read_snapshot_where(spark, tbl, "k >= 90 AND k <= 110")
+        .orderBy("k")
+        .collect()
+    )
+    assert got == want
+
+
+def test_pushdown_plans_read_snapshot_where_file_set(spark, tbl):
+    """The pruned mode's planner seam must equal read_snapshot_where's
+    planning pipeline (minus the bloom probe) for the same conjuncts —
+    same extractor, same manifest pruning."""
+    schema = read_snapshot(spark, tbl).schema
+    m = _resolve_manifest(spark, tbl)
+    cases = [
+        ([GreaterThanOrEqual(("k",), 10), LessThanOrEqual(("k",), 20)],
+         "k >= 10 AND k <= 20"),
+        ([EqualTo(("k",), 150)], "k = 150"),
+        ([In(("k",), (5, 199))], "k IN (5, 199)"),
+        ([], None),
+    ]
+    for filters, predicate in cases:
+        rdr = _SnapshotPushdownReader(
+            {"table_dir": tbl, "pushdown": "true"}, schema
+        )
+        rdr.pushFilters(filters)
+        want = (
+            _plan_files(spark, m, predicate, bloom=False)
+            if predicate
+            else list(m["files"])
+        )
+        assert rdr.planned_files() == want, predicate
+
+
+def test_pushdown_prunes_structurally(spark, tmp_path):
+    """Moved-the-data-away proof: delete the bytes of the file the
+    predicate prunes; the pruned single-statement read still answers
+    (the file is never opened), while a full scan fails."""
+    path = str(tmp_path / "tbl")
+    _mk_table(spark, path)
+    m = _resolve_manifest(spark, path)
+    keep = set(_plan_files(spark, m, "k <= 50", bloom=False))
+    pruned = [f for f in m["files"] if f not in keep]
+    assert len(pruned) == 1
+    os.rename(
+        pruned[0].replace("file:", ""),
+        pruned[0].replace("file:", "") + ".hidden",
+    )
+    try:
+        out = snapshot_sql(
+            spark,
+            "SELECT count(*) AS c, sum(v) AS s FROM t WHERE k <= 50",
+            {"t": path},
+        ).collect()[0]
+        assert out["c"] == 50 and out["s"] == 2 * sum(
+            i for i in range(51) if i != 5
+        )
+        register_snapshot_table(spark, "t_gone", path)
+        with pytest.raises(Exception):
+            spark.sql("SELECT count(*) FROM t_gone").collect()
+    finally:
+        os.rename(
+            pruned[0].replace("file:", "") + ".hidden",
+            pruned[0].replace("file:", ""),
+        )
+
+
+def test_upstream_relation_cache_hazard_still_present(spark, tbl):
+    """Documents WHY pushdown is opt-in: Spark 4.1 caches one Python
+    plan per relation and serves it to scans without pushable filters,
+    so a shared PUSHDOWN view answers an unfiltered count with the
+    previous query's pruned plan.  This pin asserts the hazard EXISTS —
+    if a Spark upgrade fixes the caching, this test fails and the safe
+    default can be revisited."""
+    register_snapshot_table(spark, "t_hazard", tbl, pushdown=True)
+    assert (
+        spark.sql(
+            "SELECT count(*) c FROM t_hazard WHERE k BETWEEN 10 AND 20"
+        ).collect()[0]["c"]
+        == 11
+    )
+    poisoned = spark.sql("SELECT count(*) c FROM t_hazard").collect()[0]["c"]
+    assert poisoned == 99  # pruned plan reused: one file instead of two
+
+
+def test_snapshot_sql_fresh_relations_stay_exact(spark, tbl):
+    """snapshot_sql's fresh-view-per-statement pattern: a pruned
+    statement followed by an unfiltered one stays exact (each gets its
+    own relation, so no plan can leak across)."""
+    a = snapshot_sql(
+        spark,
+        "SELECT count(*) AS c FROM t WHERE k BETWEEN 10 AND 20",
+        {"t": tbl},
+    ).collect()[0]["c"]
+    b = snapshot_sql(
+        spark, "SELECT count(*) AS c FROM t", {"t": tbl}
+    ).collect()[0]["c"]
+    assert (a, b) == (11, 198)
+
+
+def test_time_travel_options(spark, tbl):
+    v1 = (
+        spark.read.format("snapshot")
+        .option("table_dir", tbl)
+        .option("version", 1)
+        .load()
+    )
+    assert v1.count() == 100
+    m1 = _resolve_manifest(spark, tbl, version=1)
+    as_of = (
+        spark.read.format("snapshot")
+        .option("table_dir", tbl)
+        .option("as_of", m1["ts"])
+        .load()
+    )
+    assert as_of.count() == 100
+    # pre-delete version still shows the later-deleted row
+    v2 = (
+        spark.read.format("snapshot")
+        .option("table_dir", tbl)
+        .option("version", 2)
+        .load()
+    )
+    assert v2.filter("k = 5").count() == 1
+
+
+def test_rename_and_widen_repair_through_sql(spark, tmp_path):
+    path = str(tmp_path / "tbl")
+    snapshot_append(
+        spark.range(0, 10).selectExpr(
+            "cast(id AS int) AS k", "id * 2 AS v"
+        ).coalesce(1),
+        path,
+    )
+    snapshot_rename_column(spark, path, "v", "val")
+    snapshot_widen_column(spark, path, "k", "bigint")
+    snapshot_append(
+        spark.range(10, 20).selectExpr("id AS k", "id * 3 AS val").coalesce(1),
+        path,
+    )
+    df = register_snapshot_table(spark, "t_ren", path)
+    assert df.columns == ["k", "val"]
+    assert dict(df.dtypes)["k"] == "bigint"
+    got = spark.sql(
+        "SELECT sum(val) AS s, count(*) AS c FROM t_ren"
+    ).collect()[0]
+    want = read_snapshot(spark, path).agg(
+        F.sum("val").alias("s"), F.count(F.lit(1)).alias("c")
+    ).collect()[0]
+    assert (got["s"], got["c"]) == (want["s"], want["c"])
+
+
+def test_catalog_mode_reads_enrolled_table(spark, tmp_path):
+    from mini_project_204721_data_engineering_spark.sources.txn_catalog import (
+        catalog_init,
+        multi_table_txn,
+    )
+
+    root = tmp_path / "cat"
+    cat = str(root / "_catalog")
+    catalog_init(
+        spark,
+        cat,
+        {"facts": str(root / "facts"), "dims": str(root / "dims")},
+    )
+    multi_table_txn(
+        spark,
+        cat,
+        {
+            "facts": {
+                "op": "append",
+                "df": spark.range(0, 50).selectExpr("id AS k"),
+            },
+            "dims": {
+                "op": "append",
+                "df": spark.range(0, 5).selectExpr("id AS d"),
+            },
+        },
+    )
+    df = register_snapshot_table(
+        spark, "t_cat", catalog_dir=cat, table="facts"
+    )
+    assert df.count() == 50
+    assert (
+        spark.sql("SELECT count(*) c FROM t_cat WHERE k < 10").collect()[0][
+            "c"
+        ]
+        == 10
+    )
+
+
+def test_predicate_lazy_refuses(spark, tmp_path):
+    path = str(tmp_path / "tbl")
+    snapshot_append(
+        spark.range(0, 10).selectExpr("id AS k").coalesce(1), path
+    )
+    snapshot_delete_where(spark, path, "k = 3", lazy=True)
+    with pytest.raises(Exception, match="PREDICATE-shaped"):
+        register_snapshot_table(spark, "t_pred", path).collect()
+
+
+def test_unsatisfiable_predicate_plans_empty(spark, tbl):
+    out = snapshot_sql(
+        spark, "SELECT * FROM t WHERE k = -42", {"t": tbl}
+    )
+    assert out.count() == 0
+
+
+def test_filter_atom_spellings():
+    import datetime
+
+    assert _filter_atom(EqualTo(("k",), 5)) == "k = 5"
+    assert _filter_atom(EqualTo(("s",), "a'b")) == "s = 'a''b'"
+    assert (
+        _filter_atom(EqualTo(("d",), datetime.date(2024, 1, 2)))
+        == "d = DATE '2024-01-02'"
+    )
+    assert (
+        _filter_atom(
+            EqualTo(("t",), datetime.datetime(2024, 1, 2, 3, 4, 5))
+        )
+        == "t = TIMESTAMP '2024-01-02 03:04:05'"
+    )
+    assert _filter_atom(In(("k",), (1, 2))) == "k IN (1, 2)"
+    # nested columns and unspeakable values contribute nothing
+    assert _filter_atom(EqualTo(("a", "b"), 1)) is None
+    assert _filter_atom(EqualTo(("k",), b"\x00")) is None
+
+
+def test_exclude_positions_row_group_offsets():
+    import pyarrow as pa
+
+    batches = [
+        pa.RecordBatch.from_arrays([pa.array([10, 11, 12])], names=["x"]),
+        pa.RecordBatch.from_arrays([pa.array([13, 14])], names=["x"]),
+    ]
+    # whole-file positions 101 and 103, read from a row group whose
+    # global start offset is 100
+    out = [
+        v
+        for b in _exclude_positions(iter(batches), [1, 101, 103], pa, base=100)
+        for v in b.column(0).to_pylist()
+    ]
+    assert out == [10, 12, 14]
+
+
+def test_format_registered_name(spark):
+    assert SnapshotDataSource.name() == "snapshot"
