@@ -262,3 +262,33 @@ def test_q21_two_fact_scans_no_cartesian(spark):
     assert plan.count("lineitem.parquet") == 2
     assert "CartesianProduct" not in plan
     assert "TakeOrderedAndProject" in plan
+
+
+def test_top_return_customers_aqe_flips_to_smj_past_threshold(spark, qs):
+    """r15: BASELINE.md attributes this query's second-decade sf10
+    exponent (0.71) to broadcast-BUILD growth of a dim that scales WITH
+    the fact in the synthetic data; the scale story requires that once
+    the customer dim crosses spark.sql.autoBroadcastJoinThreshold the
+    planner flips that join to sort-merge instead of OOMing the
+    broadcast.  Demonstrated here by lowering the threshold below the
+    dim size: the customer join plans as SortMergeJoin, the explicitly
+    HINTED nation broadcast survives (hints outrank the threshold), and
+    results are identical either way."""
+    from mini_project_204721_data_engineering_spark.plans.checks import (
+        physical_plan,
+    )
+
+    fn = qs["top_return_customers"]
+    base = fn(spark, SF)
+    rows = base.collect()
+    assert "SortMergeJoin" not in physical_plan(base)
+    default = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "1KB")
+        flipped = fn(spark, SF)
+        plan = physical_plan(flipped)
+        assert "SortMergeJoin" in plan  # customer (and orders) joins flip
+        assert "BroadcastHashJoin" in plan  # hinted nation broadcast stays
+        assert flipped.collect() == rows
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", default)
