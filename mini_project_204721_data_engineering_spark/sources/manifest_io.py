@@ -49,6 +49,17 @@ streaming source's driver-side planner) and :class:`HadoopManifestIO`
 when one is; any other scheme falls back to :class:`HadoopManifestIO`
 (hdfs and friends) or raises a clear error in sessionless contexts.
 
+Bringing your own adapter (S3/GCS/Azure conditional PUT): implement
+the four primitives, then run :func:`certify_manifest_io` against a
+scratch prefix on the REAL store — it races concurrent claims and
+asserts every clause of the contract above (exclusivity, winner-payload
+integrity, loser-writes-nothing, read-after-write, stale-list
+tolerance, stray-name filtering, staged-object overwrite), raising a
+named violation on the first breach.  The engine's own three
+implementations are certified by the same kit in
+``tests/test_manifest_io.py`` — an adapter that passes it has exactly
+the guarantees the commit protocol's race pins rely on.
+
 :class:`MockObjectStoreIO` (scheme ``mock:``) is the test harness's
 emulation of an S3-class store: a flat keyspace backed by a local
 directory, reachable ONLY through this interface, with conditional-put
@@ -72,6 +83,7 @@ __all__ = [
     "MockObjectStoreIO",
     "register_manifest_io",
     "manifest_io_for",
+    "certify_manifest_io",
 ]
 
 MANIFEST_DIR = "_manifests"
@@ -308,6 +320,112 @@ class MockObjectStoreIO(LocalManifestIO):
         # data bytes move through file: so Spark/pyarrow can read them;
         # manifests stay behind the interface
         return "file:" + self._key(path)
+
+
+def certify_manifest_io(
+    io: ManifestIO,
+    scratch_dir: str,
+    writers: int = 8,
+    rounds: int = 12,
+) -> dict:
+    """Adapter certification kit — run a candidate :class:`ManifestIO`
+    through every clause of the object-store contract (module doc)
+    against a scratch prefix on the REAL store.  Raises
+    ``AssertionError`` naming the violated clause on the first breach;
+    returns a stats dict on success.  The engine's shipped
+    implementations (Local/Hadoop/Mock, including the mock's
+    fault-injection hook) all pass — tests/test_manifest_io.py — so a
+    deployment adapter that passes has exactly the guarantees the
+    commit protocol's race pins rely on.
+
+    What it checks, per round (``rounds`` fresh keys, ``writers``
+    barrier-synchronized threads each):
+
+    1. **Exclusivity**: exactly one ``put_if_absent`` winner per key.
+    2. **Winner-payload integrity / read-after-write**: the object
+       holds the winner's full payload immediately after the claim.
+    3. **Losers write nothing**: a later losing put leaves the object
+       byte-identical.
+    4. **Stale-list tolerance shape**: a writer acting on a stale tip
+       LOSES its claim (returns False) and re-listing reveals the true
+       tip — the exact recovery the commit retry loop performs.
+    5. **Listing**: reflects committed versions sorted, ignores
+       non-manifest names.
+    6. **Staged overwrite**: ``write_bytes`` replaces staged objects.
+
+    Thread-level concurrency probes the store's atomicity (each claim
+    is an independent storage call); the engine's cross-process race
+    pins (tests/test_snapshots_multiprocess.py) additionally cover
+    multi-JVM commit traffic through the same seam."""
+    import threading
+    import uuid
+    from concurrent.futures import ThreadPoolExecutor
+
+    table = scratch_dir.rstrip("/") + "/certify-" + uuid.uuid4().hex
+    stats = {"writers": writers, "rounds": rounds, "losers": 0}
+    assert io.list_versions(table) == [], (
+        "certify_manifest_io: a fresh prefix must list no versions"
+    )
+    for v in range(1, rounds + 1):
+        key = io.manifest_path(table, v)
+        payloads = [
+            json.dumps({"writer": w, "v": v, "pad": "x" * 2048}).encode()
+            for w in range(writers)
+        ]
+        barrier = threading.Barrier(writers)
+
+        def claim(w):
+            barrier.wait()
+            return io.put_if_absent(key, payloads[w])
+
+        with ThreadPoolExecutor(max_workers=writers) as ex:
+            results = list(ex.map(claim, range(writers)))
+        assert sum(results) == 1, (
+            f"certify_manifest_io: round {v} saw {sum(results)} winners — "
+            "put_if_absent must be atomic and exclusive (exactly one)"
+        )
+        winner = results.index(True)
+        assert io.read_bytes(key) == payloads[winner], (
+            f"certify_manifest_io: round {v} stored bytes are not the "
+            "winner's payload — read-after-write or partial-write breach"
+        )
+        assert io.put_if_absent(key, b'{"op":"interloper"}') is False, (
+            f"certify_manifest_io: round {v} put_if_absent returned True "
+            "on an existing key"
+        )
+        assert io.read_bytes(key) == payloads[winner], (
+            f"certify_manifest_io: round {v} a LOSING put modified the "
+            "object — losers must write nothing"
+        )
+        stats["losers"] += writers - 1
+    # listing: sorted committed versions, stray names ignored
+    io.write_bytes(
+        "/".join((table, MANIFEST_DIR, "not-a-manifest.txt")), b"stray"
+    )
+    assert io.list_versions(table) == list(range(1, rounds + 1)), (
+        "certify_manifest_io: list_versions must reflect committed "
+        "versions in order and ignore non-manifest names"
+    )
+    # stale-list tolerance: an interloper claims tip+1; a writer still
+    # holding the stale tip must LOSE and discover the truth by re-list
+    nxt = io.manifest_path(table, rounds + 1)
+    assert io.put_if_absent(nxt, b'{"op":"interloper"}') is True
+    assert io.put_if_absent(nxt, b'{"op":"stale-writer"}') is False, (
+        "certify_manifest_io: a stale writer's claim of an already-"
+        "taken version must lose"
+    )
+    assert io.list_versions(table)[-1] == rounds + 1, (
+        "certify_manifest_io: re-listing after a lost claim must reveal "
+        "the committed tip"
+    )
+    # staged objects are plain overwrites
+    staged = table + "/_staged/obj"
+    io.write_bytes(staged, b"one")
+    io.write_bytes(staged, b"two")
+    assert io.read_bytes(staged) == b"two", (
+        "certify_manifest_io: write_bytes must overwrite staged objects"
+    )
+    return stats
 
 
 _REGISTRY: dict = {"mock": MockObjectStoreIO()}

@@ -311,3 +311,77 @@ def test_dv_takedown_and_stream_on_mock_store(spark, tmp_path):
     )
     assert +(ins - dels) == table
     assert sum(dels.values()) == 6  # k=1 hits in range(30) mod 5
+
+
+# ---------------------------------------------------------------------------
+# r15: the adapter certification kit — the shipped implementations pass it,
+# a deliberately broken adapter fails it, and the mock's fault hook drains
+# through it (injected lost races never break exclusivity).
+# ---------------------------------------------------------------------------
+
+
+def test_certify_local(tmp_path):
+    from mini_project_204721_data_engineering_spark.sources.manifest_io import (
+        LocalManifestIO,
+        certify_manifest_io,
+    )
+
+    stats = certify_manifest_io(LocalManifestIO(), str(tmp_path / "s"))
+    assert stats["rounds"] == 12 and stats["losers"] == 12 * 7
+
+
+def test_certify_hadoop(spark, tmp_path):
+    from mini_project_204721_data_engineering_spark.sources.manifest_io import (
+        HadoopManifestIO,
+        certify_manifest_io,
+    )
+
+    certify_manifest_io(
+        HadoopManifestIO(spark), str(tmp_path / "s"), writers=4, rounds=6
+    )
+
+
+def test_certify_mock(tmp_path):
+    from mini_project_204721_data_engineering_spark.sources.manifest_io import (
+        MockObjectStoreIO,
+        certify_manifest_io,
+    )
+
+    certify_manifest_io(MockObjectStoreIO(), "mock:" + str(tmp_path / "s"))
+
+
+def test_certify_mock_with_injected_lost_races(tmp_path):
+    """The mock's fault hook (injected lost races at an exact key) stays
+    within contract: an injected failure is a LOSS, never a second
+    winner — the kit certifies right through it."""
+    from mini_project_204721_data_engineering_spark.sources.manifest_io import (
+        MockObjectStoreIO,
+        certify_manifest_io,
+    )
+
+    io = MockObjectStoreIO()
+    MockObjectStoreIO.fail_puts_at = {"v0000000001.json": 3}
+    try:
+        certify_manifest_io(io, "mock:" + str(tmp_path / "s"), rounds=4)
+    finally:
+        MockObjectStoreIO.fail_puts_at = {}
+
+
+def test_certify_catches_broken_adapter(tmp_path):
+    """A blind-overwrite adapter (every caller 'wins') must fail the
+    exclusivity clause by name — the kit is a real gate, not a smoke
+    run."""
+    import pytest
+
+    from mini_project_204721_data_engineering_spark.sources.manifest_io import (
+        LocalManifestIO,
+        certify_manifest_io,
+    )
+
+    class BrokenIO(LocalManifestIO):
+        def put_if_absent(self, path, payload):
+            self.write_bytes(path, payload)
+            return True  # check-then-create taken to its logical end
+
+    with pytest.raises(AssertionError, match="atomic and exclusive"):
+        certify_manifest_io(BrokenIO(), str(tmp_path / "s"), rounds=1)
