@@ -56,9 +56,16 @@ its sidecars enumerate the invisible positions, so the removed file
 emits its VISIBLE rows — raw bytes MINUS sidecar positions — as
 ``delete`` rows (the complement of the DV-commit emission above).
 
+Column RENAMES stream through the chain repair (r15): the feed keeps
+emitting under its PINNED spelling and maps each file's physical name
+through the manifest rename chains — a rename-only commit inside the
+window (or a replay of pre-rename versions after the stream pinned the
+new name) needs no restart, and a pre-rename file deleted after the
+rename emits its rows with real values, not NULLs.
+
 Refused loudly (the stream query fails rather than silently corrupting
-downstream state): rename/drop schema changes, any column or type not
-representable in the feed's pinned schema (a column added AFTER the
+downstream state): DROPPED or narrowed columns, any genuinely NEW
+column not resolvable into the feed's pinned schema (added AFTER the
 query started — restart against the new schema), and predicate-shaped
 lazy deletes in any form (no positions recorded, so neither the
 takedown nor a later removal of its covered files can be reconstructed
@@ -325,6 +332,7 @@ class _FilePartition(InputPartition):
         dv: str | None = None,
         dv_exclude: tuple | None = None,
         rg_offset: int = 0,
+        aliases: dict | None = None,
     ):
         self.path = path
         self.change_type = change_type
@@ -338,6 +346,11 @@ class _FilePartition(InputPartition):
         # the row group's starting global row index (position filters
         # compare against whole-file _metadata.row_index values)
         self.rg_offset = rg_offset
+        # rename-chain repair (r15): pinned column name → tuple of the
+        # PHYSICAL spellings a file of this version may carry (the
+        # name's whole equivalence class under the manifest's rename
+        # chains).  None = names match physically.
+        self.aliases = aliases
 
 
 class _SnapshotStreamReader(DataSourceStreamReader):
@@ -404,6 +417,10 @@ class _SnapshotStreamReader(DataSourceStreamReader):
         }
         anchor = self._m(versions[-1])
         self._table_id = (anchor or {}).get("table_id")
+        # the rename chains known AT PIN TIME: replaying versions from
+        # BEFORE a rename needs the tip's chain to map their old names
+        # into the pinned schema (those manifests predate the chain)
+        self._anchor_renames = dict((anchor or {}).get("renames") or {})
         if self.starting > 0:
             start_m = self._m(self.starting)
             if any(
@@ -428,28 +445,47 @@ class _SnapshotStreamReader(DataSourceStreamReader):
         return _manifest(self.table_dir, version)
 
     # -- offsets ---------------------------------------------------------
+    def _dbg(self, msg: str) -> None:
+        """Offset-protocol trace hook (diagnostics): set SNAPFEED_TRACE
+        to a file path to record the initialOffset/latestOffset/
+        partitions call sequence the runner actually performs — this is
+        how the r15 first-batch finding below was established."""
+        import os
+
+        lp = os.environ.get("SNAPFEED_TRACE")
+        if lp:
+            with open(lp, "a") as f:
+                f.write(msg + "\n")
+
     def initialOffset(self) -> dict:
-        # ALSO the rate-limiter anchor for a FRESH query: Spark calls
-        # this exactly when no checkpointed offset exists, so the first
-        # micro-batch of a new stream over a table with history (the
-        # common big-backlog case) paces from the starting version
-        # instead of running unbounded
+        self._dbg("initialOffset")
+        # anchor the rate limiter whenever Spark asks for the initial
+        # offset — NOTE (r15, traced): the runner asks for latestOffset
+        # BEFORE initialOffset even on a fresh query, so this anchor
+        # does NOT bound the first micro-batch (see latestOffset); it
+        # only positions later calls
         self._last_end = self.starting
         return {"version": self.starting}
 
     def latestOffset(self) -> dict:
+        self._dbg(f"latestOffset last_end={self._last_end}")
         versions = self._vs()
         tip = versions[-1] if versions else self.starting
         if self.max_files is None or self._last_end is None:
-            # no budget, or first trigger after a RESTART whose batches
-            # were all committed — that position lives only in the
-            # checkpoint, which this reader never sees (initialOffset
-            # is not called and partitions() hasn't run yet); capping
-            # against a guess could move the offset BACKWARDS (a
-            # planned batch with end < start re-emits committed rows),
-            # so that one batch runs unbounded and every later one is
-            # capped.  Fresh queries ARE capped from the first batch
-            # (initialOffset anchors them).
+            # no budget, or the FIRST call after any attach.  The first
+            # micro-batch of an attach — fresh OR restart — necessarily
+            # runs unbounded (r15, traced against the real runner):
+            # Spark asks for the latest offset BEFORE revealing the
+            # start position (initialOffset on a fresh query, the
+            # checkpoint on a restart), and returning a capped guess
+            # walked from `starting` would move the offset BACKWARDS on
+            # a restart whose checkpoint is ahead of it — Spark would
+            # then log the lower offset and re-emit committed rows (a
+            # rewind, strictly worse than one big batch).  Every batch
+            # AFTER the first is budget-capped: partitions() records
+            # the true end and later calls walk from it.  Big-backlog
+            # attaches that must bound their first batch position the
+            # start with .option("startingVersion", ...) near the tip.
             return {"version": tip}
         lo, budget, end = self._last_end, self.max_files, self._last_end
         try:
@@ -497,6 +533,7 @@ class _SnapshotStreamReader(DataSourceStreamReader):
 
     # -- planning (driver) -----------------------------------------------
     def partitions(self, start: dict, end: dict) -> Sequence[InputPartition]:
+        self._dbg(f"partitions {start} {end}")
         lo, hi = int(start["version"]), int(end["version"])
         self._last_end = hi  # the rate limiter advances from here
         parts: list[InputPartition] = []
@@ -531,6 +568,10 @@ class _SnapshotStreamReader(DataSourceStreamReader):
                 continue
             meta = m.get("file_meta", {})
             pmeta = (prev or {}).get("file_meta", {})
+            # rename repair: removed files were written under PREV's
+            # naming history, everything else under m's
+            am = self._alias_map(m)
+            pam = self._alias_map(prev)
             removed_sig = _typed_sig(prev, pf - mf)
             added_sig = _typed_sig(m, mf - pf)
             for f in sorted(mf - pf):
@@ -553,11 +594,14 @@ class _SnapshotStreamReader(DataSourceStreamReader):
                     # minus positions, the dv_exclude mode)
                     parts.extend(
                         self._split(
-                            f, "insert", v, meta, dv_exclude=advs
+                            f, "insert", v, meta, dv_exclude=advs,
+                            aliases=am,
                         )
                     )
                 else:
-                    parts.extend(self._split(f, "insert", v, meta))
+                    parts.extend(
+                        self._split(f, "insert", v, meta, aliases=am)
+                    )
             for f in sorted(pf - mf):
                 idents = removed_sig.get(f, set())
                 preds = [i for k, i in idents if k == "predicate"]
@@ -577,10 +621,15 @@ class _SnapshotStreamReader(DataSourceStreamReader):
                     # deletes — CoW rewrites and apply_filters drains
                     # of DV takedowns stream instead of refusing
                     parts.extend(
-                        self._split(f, "delete", v, pmeta, dv_exclude=dvs)
+                        self._split(
+                            f, "delete", v, pmeta, dv_exclude=dvs,
+                            aliases=pam,
+                        )
                     )
                 else:
-                    parts.extend(self._split(f, "delete", v, pmeta))
+                    parts.extend(
+                        self._split(f, "delete", v, pmeta, aliases=pam)
+                    )
             for sidecar, covered in new_dv:
                 # a DV takedown's sidecar enumerates the exact hit
                 # positions per file, recorded from the rows VISIBLE at
@@ -588,7 +637,10 @@ class _SnapshotStreamReader(DataSourceStreamReader):
                 # deleted positions) — each covered file emits its
                 # sidecar positions as delete rows
                 for f in sorted(covered):
-                    parts.extend(self._split(f, "delete", v, meta, dv=sidecar))
+                    parts.extend(
+                        self._split(f, "delete", v, meta, dv=sidecar,
+                                    aliases=am)
+                    )
             for sidecar, uncovered in gone_dv:
                 # the symmetric case: a restore rewinding past a DV
                 # takedown makes its positions VISIBLE again on the
@@ -596,47 +648,81 @@ class _SnapshotStreamReader(DataSourceStreamReader):
                 # content is exactly the sidecar positions of the file,
                 # which this snapshot still references)
                 for f in sorted(uncovered):
-                    parts.extend(self._split(f, "insert", v, meta, dv=sidecar))
+                    parts.extend(
+                        self._split(f, "insert", v, meta, dv=sidecar,
+                                    aliases=am)
+                    )
             prev = m
         return parts
+
+    def _pinned_name(self, name: str, renames: dict) -> str | None:
+        """The feed column a manifest column lands in: itself when the
+        feed pinned it directly, else the chain-resolved name — through
+        the MANIFEST's chain (a rename that happened during the stream:
+        the pinned schema holds the OLD name) or the ANCHOR's chain (a
+        replay of pre-rename versions: the pinned schema holds the NEW
+        name).  None = no spelling of this column exists in the feed."""
+        if name in self._feed_fields:
+            return name
+        for old in renames.get(name, []):
+            if old in self._feed_fields:
+                return old
+        for cur, olds in self._anchor_renames.items():
+            if name in olds and cur in self._feed_fields:
+                return cur
+        return None
 
     def _check_schema(self, m: dict, prev: dict | None, v: int) -> None:
         """Additive schema evolution inside the window is representable
         (the reader NULL-aligns missing columns and upcasts widenable
-        types batch-wise); anything else refuses, naming the actual
-        transition version.  Two rules: every column of v's schema must
-        fit the feed's PINNED schema (the tip at query start — a column
-        added after that needs a restart), and the v-1 → v transition
-        must be additive (a vanished/renamed column cannot be replayed
-        from files that still physically carry it)."""
+        types batch-wise), and — r15 — so are RENAMES: a renamed column
+        maps through the manifest's rename chain to its pinned spelling
+        (the feed keeps emitting under the pinned name; the rows are
+        the same rows).  Drops and narrowings still refuse, naming the
+        actual transition version.  Two rules: every column of v's
+        schema must RESOLVE into the feed's pinned schema (directly or
+        through a chain — a genuinely NEW column added after the query
+        started has no resolution and needs a restart), and every
+        column of v-1 must survive into v (directly or renamed)."""
+        renames = dict(m.get("renames") or {})
         if m["schema"] == self._schema_ddl and (
             prev is None or prev["schema"] == self._schema_ddl
-        ):
+        ) and not renames and not self._anchor_renames:
             return
         fields = _fields_of(m["schema"])
         for name, typ in fields.items():
-            feed_t = self._feed_fields.get(name)
-            if feed_t is None:
+            tgt = self._pinned_name(name, renames)
+            if tgt is None:
                 raise ValueError(
-                    f"snapshot_feed: v{v} carries column {name!r} not in "
-                    "the feed's pinned schema (added/renamed after the "
-                    "query started) — restart the stream against the "
-                    "new schema"
+                    f"snapshot_feed: v{v} carries column {name!r} with no "
+                    "spelling in the feed's pinned schema (a column added "
+                    "after the query started) — restart the stream "
+                    "against the new schema"
                 )
-            if not _widenable(typ, feed_t):
+            if not _widenable(typ, self._feed_fields[tgt]):
                 raise ValueError(
                     f"snapshot_feed: v{v} column {name!r} type {typ!r} "
-                    f"does not widen to the feed's {feed_t!r} — restart "
-                    "the stream against the new schema"
+                    f"does not widen to the feed's {self._feed_fields[tgt]!r}"
+                    " — restart the stream against the new schema"
                 )
         if prev is not None and not prev.get("_synthetic"):
             for name, typ in _fields_of(prev["schema"]).items():
-                if name not in fields or not _widenable(typ, fields[name]):
+                if name in fields:
+                    cur, cur_t = name, fields[name]
+                else:
+                    # renamed this commit? the chain under some current
+                    # name must contain it
+                    cur = next(
+                        (c for c, olds in renames.items() if name in olds),
+                        None,
+                    )
+                    cur_t = fields.get(cur) if cur else None
+                if cur_t is None or not _widenable(typ, cur_t):
                     raise ValueError(
                         f"snapshot_feed: non-additive schema change at "
-                        f"v{v} (column {name!r} dropped, renamed, or "
-                        "narrowed) — not representable in a running "
-                        "feed; restart against the new schema"
+                        f"v{v} (column {name!r} dropped or narrowed) — "
+                        "not representable in a running feed; restart "
+                        "against the new schema"
                     )
 
     def _classify_filters(
@@ -691,6 +777,36 @@ class _SnapshotStreamReader(DataSourceStreamReader):
             sorted((s, fl) for s, fl in gone_pairs.items()),
         )
 
+    def _alias_map(self, m: dict | None) -> dict | None:
+        """Pinned column name → tuple of every PHYSICAL spelling a file
+        under manifest ``m`` may carry, from the union of m's rename
+        chains and the anchor's (a replayed pre-rename version's files
+        carry names only the anchor's chain knows; a post-rename commit
+        during the stream carries names only ITS chain knows).  Chains
+        sharing a name merge into one equivalence class — each file
+        physically holds exactly one member (the reserved-name guard).
+        None when no chain touches a pinned column."""
+        chains: dict[str, set] = {}
+        for src in (self._anchor_renames, (m or {}).get("renames") or {}):
+            for cur, olds in src.items():
+                chains.setdefault(cur, set()).update(olds)
+        if not chains:
+            return None
+        classes: list[set] = []
+        for cur, olds in chains.items():
+            grp = {cur, *olds}
+            for c in [c for c in classes if c & grp]:
+                classes.remove(c)
+                grp |= c
+            classes.append(grp)
+        out = {}
+        for pinned in self._data_cols:
+            for grp in classes:
+                if pinned in grp and len(grp) > 1:
+                    out[pinned] = tuple(sorted(grp))
+                    break
+        return out or None
+
     _SPLIT_BYTES = 64 * 1024 * 1024
 
     def _split(
@@ -701,6 +817,7 @@ class _SnapshotStreamReader(DataSourceStreamReader):
         meta: dict,
         dv: str | None = None,
         dv_exclude: tuple | None = None,
+        aliases: dict | None = None,
     ) -> list[_FilePartition]:
         """One partition per ROW GROUP for large changed files (manifest
         byte counts decide; the footer is read driver-side only when a
@@ -723,14 +840,15 @@ class _SnapshotStreamReader(DataSourceStreamReader):
                             _FilePartition(
                                 f, change_type, v, row_group=g,
                                 dv=dv, dv_exclude=dv_exclude,
-                                rg_offset=off,
+                                rg_offset=off, aliases=aliases,
                             )
                         )
                         off += md.row_group(g).num_rows
                     return out
             except Exception:
                 pass  # unreadable footer: one whole-file partition
-        return [_FilePartition(f, change_type, v, dv=dv, dv_exclude=dv_exclude)]
+        return [_FilePartition(f, change_type, v, dv=dv,
+                               dv_exclude=dv_exclude, aliases=aliases)]
 
     # -- execution (executors) --------------------------------------------
     def read(self, partition: _FilePartition):
@@ -780,6 +898,7 @@ class _SnapshotStreamReader(DataSourceStreamReader):
         except Exception:
             target = None
         ct, cv = partition.change_type, partition.version
+        aliases = getattr(partition, "aliases", None)
         if target is not None:
             try:
                 # EAGER alignment: materialize every aligned batch
@@ -790,7 +909,9 @@ class _SnapshotStreamReader(DataSourceStreamReader):
                 # bounded by the partition (≤ one row group after
                 # splitting), the same bound the scan itself has.
                 aligned = list(
-                    self._arrow_batches(fresh_batches(), target, ct, cv, pa)
+                    self._arrow_batches(
+                        fresh_batches(), target, ct, cv, pa, aliases
+                    )
                 )
             except Exception:
                 aligned = None
@@ -798,7 +919,7 @@ class _SnapshotStreamReader(DataSourceStreamReader):
                 yield from aligned
                 return
             # reopen and degrade to tuples (batches are spent)
-        yield from self._tuple_rows(fresh_batches(), ct, cv)
+        yield from self._tuple_rows(fresh_batches(), ct, cv, aliases)
 
     def _dv_positions(self, sidecar: str, path: str, pq) -> list[int]:
         """One file's hit positions from a deletion-vector sidecar —
@@ -857,7 +978,10 @@ class _SnapshotStreamReader(DataSourceStreamReader):
                 )
             off += n
 
-    def _arrow_batches(self, batches, target, ct: str, cv: int, pa):
+    def _arrow_batches(
+        self, batches, target, ct: str, cv: int, pa, aliases=None
+    ):
+        al = aliases or {}
         for b in batches:
             present = {n: i for i, n in enumerate(b.schema.names)}
             arrays = []
@@ -866,23 +990,36 @@ class _SnapshotStreamReader(DataSourceStreamReader):
                     arrays.append(pa.array([ct] * b.num_rows, type=field.type))
                 elif field.name == "_commit_version":
                     arrays.append(pa.array([cv] * b.num_rows, type=field.type))
-                elif field.name in present:
-                    col = b.column(present[field.name])
-                    if col.type != field.type:
-                        col = col.cast(field.type)
-                    arrays.append(col)
-                else:  # pre-merge_schema file: column surfaces as NULL
-                    arrays.append(pa.nulls(b.num_rows, type=field.type))
+                else:
+                    # a file carries its pinned name directly, ONE other
+                    # spelling of its rename class (chain repair), or
+                    # neither (pre-merge_schema file: NULL-fill)
+                    src = field.name if field.name in present else next(
+                        (c for c in al.get(field.name, ()) if c in present),
+                        None,
+                    )
+                    if src is not None:
+                        col = b.column(present[src])
+                        if col.type != field.type:
+                            col = col.cast(field.type)
+                        arrays.append(col)
+                    else:
+                        arrays.append(pa.nulls(b.num_rows, type=field.type))
             yield pa.RecordBatch.from_arrays(arrays, schema=target)
 
-    def _tuple_rows(self, batches, ct: str, cv: int) -> Iterator[tuple]:
+    def _tuple_rows(
+        self, batches, ct: str, cv: int, aliases=None
+    ) -> Iterator[tuple]:
         names = self._data_cols
+        al = aliases or {}
         for b in batches:
             present = set(b.schema.names)
-            cols = {
-                c: (b.column(c).to_pylist() if c in present else None)
-                for c in names
-            }
+            cols = {}
+            for c in names:
+                src = c if c in present else next(
+                    (o for o in al.get(c, ()) if o in present), None
+                )
+                cols[c] = b.column(src).to_pylist() if src else None
             for i in range(b.num_rows):
                 yield tuple(
                     (cols[c][i] if cols[c] is not None else None)
