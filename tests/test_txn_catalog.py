@@ -1368,3 +1368,93 @@ def test_catalog_maintain_one_call_loop(spark, tmp_path):
     assert len(catalog_history(spark, cat)) == v
     assert catalog_read(spark, cat, "frag").count() == 60
     assert catalog_read(spark, cat, "stacked").count() == 60
+
+
+def test_maintenance_races_appenders(spark, tmp_path):
+    """r15 judge task: a catalog_maintain loop (compact write specs
+    through multi_table_txn) racing concurrent appenders on a LIVE
+    catalog — no lost updates (every appended row survives exactly
+    once), bounded redo (nobody exhausts the OCC retry budget), and a
+    catalog_changes window spanning the interleaved compact steps
+    still reads as the exact append-only delta (compactions skipped,
+    never raised)."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    from mini_project_204721_data_engineering_spark.sources.txn_catalog import (
+        catalog_changes,
+        catalog_maintain,
+    )
+
+    import threading
+
+    cat = str(tmp_path / "cat")
+    catalog_init(spark, cat, {"facts": str(tmp_path / "facts")})
+    # fragmented seed: six one-file appends, so the very first sweep
+    # already has packing work (the compact action needs >4 small files)
+    for j in range(6):
+        multi_table_txn(
+            spark, cat,
+            {"facts": {"op": "append",
+                       "df": spark.range(100 * j, 100 * (j + 1)).coalesce(1)}},
+        )
+    cursor = catalog_history(spark, cat)[-1]["version"]
+    WRITERS, PER, ROWS = 3, 5, 100
+    errors: list = []
+    compact_txns: list = []
+    done = threading.Event()
+
+    def appender(w):
+        try:
+            for i in range(PER):
+                df = spark.range(ROWS).select(
+                    (F.col("id") + 1_000_000 * (w + 1) + 1_000 * i).alias(
+                        "id"
+                    )
+                ).coalesce(1)
+                multi_table_txn(
+                    spark, cat, {"facts": {"op": "append", "df": df}}
+                )
+        except Exception as e:
+            errors.append(repr(e))
+
+    def maintainer():
+        try:
+            while True:
+                res = catalog_maintain(
+                    spark, cat, target_file_bytes=512 * 1024
+                )
+                compact_txns.extend(res["executed"])
+                if done.is_set():
+                    break
+                time.sleep(0.2)
+        except Exception as e:
+            errors.append(repr(e))
+
+    with ThreadPoolExecutor(max_workers=WRITERS + 1) as ex:
+        futs = [ex.submit(appender, w) for w in range(WRITERS)]
+        mfut = ex.submit(maintainer)
+        for f in futs:
+            f.result()
+        done.set()
+        mfut.result()
+    assert not errors, errors[:3]
+    assert compact_txns, "maintenance never executed — the race is vacuous"
+    # no lost updates: every append survived the interleaved compacts
+    rows = catalog_read(spark, cat, "facts").collect()
+    ids = sorted(r["id"] for r in rows)
+    want = sorted(
+        list(range(600))
+        + [
+            1_000_000 * (w + 1) + 1_000 * i + r
+            for w in range(WRITERS)
+            for i in range(PER)
+            for r in range(ROWS)
+        ]
+    )
+    assert ids == want
+    # the incremental window spanning every interleaved compact reads
+    # as the exact append-only delta
+    delta = catalog_changes(spark, cat, cursor)["facts"]
+    assert delta is not None
+    got = sorted(r["id"] for r in delta.collect())
+    assert got == want[600:]
