@@ -655,22 +655,36 @@ class _SnapshotStreamReader(DataSourceStreamReader):
             prev = m
         return parts
 
-    def _pinned_name(self, name: str, renames: dict) -> str | None:
-        """The feed column a manifest column lands in: itself when the
-        feed pinned it directly, else the chain-resolved name — through
-        the MANIFEST's chain (a rename that happened during the stream:
-        the pinned schema holds the OLD name) or the ANCHOR's chain (a
-        replay of pre-rename versions: the pinned schema holds the NEW
-        name).  None = no spelling of this column exists in the feed."""
-        if name in self._feed_fields:
-            return name
-        for old in renames.get(name, []):
-            if old in self._feed_fields:
-                return old
-        for cur, olds in self._anchor_renames.items():
-            if name in olds and cur in self._feed_fields:
-                return cur
-        return None
+    def _equiv_classes(self, *manifests) -> list[set]:
+        """Column-name equivalence classes under the UNION of the
+        anchor's rename chains and the given manifests' — a restore can
+        rewind a manifest to a pre-rename schema whose own chain is
+        empty, so resolving names across a window needs every chain
+        that ever covered it (each file still physically holds exactly
+        one member of its class; the reserved-name guard keeps classes
+        disjoint)."""
+        chains: dict[str, set] = {}
+        for src in (
+            self._anchor_renames,
+            *((x or {}).get("renames") or {} for x in manifests),
+        ):
+            for cur, olds in src.items():
+                chains.setdefault(cur, set()).update(olds)
+        classes: list[set] = []
+        for cur, olds in chains.items():
+            grp = {cur, *olds}
+            for c in [c for c in classes if c & grp]:
+                classes.remove(c)
+                grp |= c
+            classes.append(grp)
+        return classes
+
+    @staticmethod
+    def _cls(name: str, classes: list) -> set:
+        for g in classes:
+            if name in g:
+                return g
+        return {name}
 
     def _check_schema(self, m: dict, prev: dict | None, v: int) -> None:
         """Additive schema evolution inside the window is representable
@@ -684,21 +698,25 @@ class _SnapshotStreamReader(DataSourceStreamReader):
         through a chain — a genuinely NEW column added after the query
         started has no resolution and needs a restart), and every
         column of v-1 must survive into v (directly or renamed)."""
-        renames = dict(m.get("renames") or {})
         if m["schema"] == self._schema_ddl and (
             prev is None or prev["schema"] == self._schema_ddl
-        ) and not renames and not self._anchor_renames:
+        ) and not (m.get("renames") or self._anchor_renames):
             return
+        classes = self._equiv_classes(m, prev)
         fields = _fields_of(m["schema"])
         for name, typ in fields.items():
-            tgt = self._pinned_name(name, renames)
-            if tgt is None:
+            tgts = [
+                n for n in sorted(self._cls(name, classes))
+                if n in self._feed_fields
+            ]
+            if not tgts:
                 raise ValueError(
                     f"snapshot_feed: v{v} carries column {name!r} with no "
                     "spelling in the feed's pinned schema (a column added "
                     "after the query started) — restart the stream "
                     "against the new schema"
                 )
+            tgt = name if name in self._feed_fields else tgts[0]
             if not _widenable(typ, self._feed_fields[tgt]):
                 raise ValueError(
                     f"snapshot_feed: v{v} column {name!r} type {typ!r} "
@@ -707,17 +725,13 @@ class _SnapshotStreamReader(DataSourceStreamReader):
                 )
         if prev is not None and not prev.get("_synthetic"):
             for name, typ in _fields_of(prev["schema"]).items():
-                if name in fields:
-                    cur, cur_t = name, fields[name]
-                else:
-                    # renamed this commit? the chain under some current
-                    # name must contain it
-                    cur = next(
-                        (c for c, olds in renames.items() if name in olds),
-                        None,
-                    )
-                    cur_t = fields.get(cur) if cur else None
-                if cur_t is None or not _widenable(typ, cur_t):
+                cands = [
+                    n for n in sorted(self._cls(name, classes))
+                    if n in fields
+                ]
+                if not cands or not any(
+                    _widenable(typ, fields[c]) for c in cands
+                ):
                     raise ValueError(
                         f"snapshot_feed: non-additive schema change at "
                         f"v{v} (column {name!r} dropped or narrowed) — "
@@ -786,19 +800,7 @@ class _SnapshotStreamReader(DataSourceStreamReader):
         sharing a name merge into one equivalence class — each file
         physically holds exactly one member (the reserved-name guard).
         None when no chain touches a pinned column."""
-        chains: dict[str, set] = {}
-        for src in (self._anchor_renames, (m or {}).get("renames") or {}):
-            for cur, olds in src.items():
-                chains.setdefault(cur, set()).update(olds)
-        if not chains:
-            return None
-        classes: list[set] = []
-        for cur, olds in chains.items():
-            grp = {cur, *olds}
-            for c in [c for c in classes if c & grp]:
-                classes.remove(c)
-                grp |= c
-            classes.append(grp)
+        classes = self._equiv_classes(m)
         out = {}
         for pinned in self._data_cols:
             for grp in classes:

@@ -654,11 +654,17 @@ def test_classify_filters_per_file_granularity(registered, tmp_path):
 def test_feed_random_op_sequence_mirror(registered, tmp_path):
     """Model-based pin for the feed (the same idea as the transaction
     catalog's random-sequence test): a SEEDED random interleaving of
-    append / CoW delete / DV delete / compact / overwrite, with the
-    mirror checked against the table after every drained batch — any
-    representable op sequence must keep mirror ≡ table at every commit
-    point."""
+    append / CoW delete / DV delete / compact / restore / RENAME (r15),
+    with the mirror checked against the table after every drained
+    batch — any representable op sequence must keep mirror ≡ table at
+    every commit point.  The feed emits under its PINNED spelling
+    ('k') regardless of the table's current name, so the mirror needs
+    no rename awareness; the table side resolves the current column."""
     import random
+
+    from mini_project_204721_data_engineering_spark.sources.snapshots import (
+        snapshot_rename_column,
+    )
 
     spark = registered
     rnd = random.Random(20240814)
@@ -667,23 +673,39 @@ def test_feed_random_op_sequence_mirror(registered, tmp_path):
     mirror = _Mirror()
     q = _start(spark, t, mirror, str(tmp_path / "ckpt"))
     nxt = 40
+    n_renamed = 0
+
+    def kcol():
+        return [
+            c for c in read_snapshot(spark, t).columns if c != "id"
+        ][0]
+
+    def table_counter():
+        c = kcol()
+        return Counter(
+            (r["id"], r[c]) for r in read_snapshot(spark, t).collect()
+        )
+
     try:
         q.processAllAvailable()
-        assert mirror.snapshot() == _table_counter(spark, t)
-        for step in range(12):
+        assert mirror.snapshot() == table_counter()
+        for step in range(14):
             op = rnd.choice(
                 ["append", "cow_delete", "dv_delete", "compact",
-                 "append", "dv_delete", "restore"]  # weight the r14 path
+                 "append", "dv_delete", "restore", "rename"]
             )
             if op == "append":
                 n = rnd.randint(5, 25)
                 snapshot_append(
-                    _df(spark, nxt, nxt + n).coalesce(rnd.randint(1, 2)), t
+                    _df(spark, nxt, nxt + n)
+                    .withColumnRenamed("k", kcol())
+                    .coalesce(rnd.randint(1, 2)),
+                    t,
                 )
                 nxt += n
             elif op == "cow_delete":
                 snapshot_delete_where(
-                    spark, t, f"k = {rnd.randint(0, 6)}", lazy=False
+                    spark, t, f"{kcol()} = {rnd.randint(0, 6)}", lazy=False
                 )
             elif op == "dv_delete":
                 snapshot_delete_where(
@@ -692,6 +714,11 @@ def test_feed_random_op_sequence_mirror(registered, tmp_path):
                 )
             elif op == "compact":
                 snapshot_compact(spark, t)
+            elif op == "rename":
+                n_renamed += 1
+                snapshot_rename_column(
+                    spark, t, kcol(), f"k_r{n_renamed}"
+                )
             elif op == "restore":
                 from mini_project_204721_data_engineering_spark.sources.snapshots import (
                     _list_versions,
@@ -701,11 +728,13 @@ def test_feed_random_op_sequence_mirror(registered, tmp_path):
                 vs = _list_versions(spark, t)
                 snapshot_restore(spark, t, rnd.choice(vs))
             q.processAllAvailable()
-            assert mirror.snapshot() == _table_counter(spark, t), (
+            assert mirror.snapshot() == table_counter(), (
                 f"mirror diverged after step {step} ({op})"
             )
-        # ensure the sequence actually exercised the DV path
-        assert nxt > 40
+        # the sequence must have exercised appends AND at least one
+        # rename (seeded: it does — keep the guard so a reseed that
+        # stops covering the new op fails loudly)
+        assert nxt > 40 and n_renamed >= 1
     finally:
         q.stop()
 
