@@ -2222,8 +2222,86 @@ FROM embeddings
 """
 
 
+def similarity_ivf_takedown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maintained ANN index under TAKEDOWNS (r15, `llm/ann_index.py`):
+    the embeddings land in two eras (create + incremental refresh),
+    then a deletion-vector takedown removes a slice of the source —
+    and the NEXT refresh consumes the rewritten window incrementally
+    (tombstone + survivors, one atomic commit) instead of requiring a
+    full index re-create.  The audit row proves the compliance story:
+    no taken-down id remains in the postings, every surviving posting
+    is code-for-code identical to a from-scratch encode of the
+    post-takedown corpus, and the index is current (lag 0)."""
+    import shutil
+    import tempfile
+
+    from mini_project_204721_data_engineering_spark.llm.ann_index import (
+        _load_model,
+        _postings_dir,
+        ann_encode,
+        ann_index_create,
+        ann_index_info,
+        ann_index_refresh,
+    )
+    from mini_project_204721_data_engineering_spark.sources.snapshots import (
+        read_snapshot,
+        snapshot_append,
+        snapshot_delete_where,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    root = tempfile.mkdtemp(prefix="ann_takedown_")
+    try:
+        src, idx = f"{root}/src", f"{root}/idx"
+        snapshot_append(emb.filter(F.col("vec_id") % 2 == 0).coalesce(1), src)
+        ann_index_create(
+            spark, src, idx, ncells=8, m=4, k=16, kmeans_iters=2,
+            sample=4096, pq_iters=3,
+        )
+        snapshot_append(emb.filter(F.col("vec_id") % 2 == 1).coalesce(1), src)
+        ann_index_refresh(spark, idx)
+        snapshot_delete_where(spark, src, "vec_id % 13 = 5", lazy="dv")
+        ann_index_refresh(spark, idx)  # the rewritten-window path
+        info = ann_index_info(spark, idx)
+        postings = read_snapshot(spark, _postings_dir(idx))
+        scratch = ann_encode(read_snapshot(spark, src), _load_model(idx))
+        n_matching = postings.join(
+            scratch, ["vec_id", "cell", "codes"]
+        ).count()
+        n_deleted_indexed = postings.filter(
+            F.col("vec_id") % 13 == 5
+        ).count()
+        row = [
+            (
+                int(info["source_rows"]),
+                int(info["indexed_rows"]),
+                int(n_matching),
+                int(n_deleted_indexed),
+                int(info["lag_rows"]),
+            )
+        ]
+        return spark.createDataFrame(
+            row,
+            "n_source bigint, n_indexed bigint, n_matching bigint, "
+            "n_deleted_indexed bigint, lag_rows bigint",
+        )
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+SIMILARITY_IVF_TAKEDOWN_SQL = """
+SELECT CAST(count(*) FILTER (WHERE vec_id % 13 <> 5) AS BIGINT) AS n_source,
+       CAST(count(*) FILTER (WHERE vec_id % 13 <> 5) AS BIGINT) AS n_indexed,
+       CAST(count(*) FILTER (WHERE vec_id % 13 <> 5) AS BIGINT) AS n_matching,
+       CAST(0 AS BIGINT) AS n_deleted_indexed,
+       CAST(0 AS BIGINT) AS lag_rows
+FROM embeddings
+"""
+
+
 EXTRA_QUERIES = {
     "similarity_ivf_incremental": similarity_ivf_incremental,
+    "similarity_ivf_takedown": similarity_ivf_takedown,
     "semantic_decontaminate": semantic_decontaminate,
     "sparse_cosine_pairs": sparse_cosine_pairs,
     "sparse_cosine_tfidf": sparse_cosine_tfidf,
@@ -2265,6 +2343,7 @@ EXTRA_QUERIES = {
 }
 EXTRA_ORACLES = {
     "similarity_ivf_incremental": SIMILARITY_IVF_INCREMENTAL_SQL,
+    "similarity_ivf_takedown": SIMILARITY_IVF_TAKEDOWN_SQL,
     "semantic_decontaminate": SEMANTIC_DECONTAMINATE_SQL,
     "sparse_cosine_pairs": SPARSE_COSINE_PAIRS_SQL,
     "sparse_cosine_tfidf": SPARSE_COSINE_TFIDF_SQL,
