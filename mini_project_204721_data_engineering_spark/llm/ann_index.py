@@ -5,9 +5,10 @@ scale the index must persist and follow appends.  Here the index IS a
 lakehouse object:
 
 - ``<index_dir>/postings`` — a snapshot table ``(id, cell, codes)``
-  with ``stats_cols=["cell"]`` (cell-range file pruning for probes;
+  with ``stats_cols=["cell", id]`` (cell-range file pruning for
+  probes, id-range pruning for takedown refreshes;
   ``snapshot_compact(zorder_by=["cell"])`` is the layout-maintenance
-  pass that makes the pruning sharp after many append eras);
+  pass that makes the cell pruning sharp after many append eras);
 - ``<index_dir>/model.json`` — the FROZEN quantizer: coarse centroids +
   PQ codebooks + geometry, written once at :func:`ann_index_create`
   (training data = the corpus at creation; an index whose corpus has
@@ -59,6 +60,7 @@ from mini_project_204721_data_engineering_spark.sources.snapshots import (
     _compose_stats,
     _filtered_read,
     _list_versions,
+    _prune_files,
     _read_manifest,
     _rewrite_guard,
     _write_data_files,
@@ -238,7 +240,11 @@ def ann_index_create(
         _postings_dir(index_dir),
         _APP_ID,
         src_version,
-        stats_cols=["cell"],  # probe-set file pruning; sticky for refreshes
+        # cell: probe-set file pruning at search; id: takedown hit-file
+        # pruning at refresh (per-era appends keep id ranges tight, so
+        # a recent-rows takedown scans only recent postings files).
+        # Sticky for refreshes.
+        stats_cols=["cell", id_col],
     )
     return ann_index_info(spark, index_dir)
 
@@ -259,8 +265,13 @@ def ann_index_refresh(spark: SparkSession, index_dir: str) -> dict:
     the frozen model, all in ONE atomic commit that removes the hit
     postings files, adds survivor+fresh encodes, and advances the txn
     watermark — so a crash or replay anywhere re-runs idempotently and
-    a takedown can never outlive its refresh.  Cost ∝ files the source
-    window actually rewrote plus hit postings files, never corpus size.
+    a takedown can never outlive its refresh.  Cost: the source-side
+    delta is confined to the files the window actually rewrote; the
+    postings side rewrites only hit files, located by ONE column-pruned
+    probe over the postings files whose recorded id range intersects
+    the tombstone set (per-era appends keep those ranges tight —
+    id stats are recorded at create; a pre-r15 index without them
+    conservatively probes every postings file).
     A compaction-only window is data-identical and just advances the
     watermark.  Only an unreconstructible window (cursor expired from
     the log, log recreated) still requires ``ann_index_create`` — the
@@ -379,9 +390,8 @@ def _refresh_rewritten(
     src_dir = model["source_dir"]
     id_col, vec_col = model["id_col"], model["vec_col"]
     pdir = _postings_dir(index_dir)
-    src_tip = _list_versions(spark, src_dir)[-1] if _list_versions(
-        spark, src_dir
-    ) else None
+    src_versions = _list_versions(spark, src_dir)
+    src_tip = src_versions[-1] if src_versions else None
     try:
         if src_tip is None:
             raise ValueError(f"no snapshots at {src_dir}")
@@ -432,9 +442,20 @@ def _refresh_rewritten(
         base_files = list(p_tip["files"])
         hit_files: list[str] = []
         if n_tomb and base_files:
+            # bound the hit scan by the tombstone id RANGE: postings
+            # files whose recorded id [min,max] is disjoint never open
+            # (per-era appends keep those ranges tight, so a takedown
+            # confined to recent rows scans only recent postings files;
+            # a scattered id set degrades to the full probe scan —
+            # still one column-pruned pass, and files without id stats
+            # are conservatively kept)
+            lo, hi = tombstone.agg(
+                F.min(id_col), F.max(id_col)
+            ).collect()[0]
+            cand = _prune_files(p_tip, {id_col: (lo, hi)})
             jvm = spark._jvm
             target = _filtered_read(
-                spark, p_tip, base_files, with_position=True
+                spark, p_tip, cand, with_position=True
             )
             hit_files = sorted(
                 _canon_file(jvm, r["f"])

@@ -48,7 +48,13 @@ Semantics (all pinned by tests/test_snapshot_batch.py):
   row-level semantics (DV, time travel, renames) stay exact either
   way, and a reused plan is merely unpruned, never wrong.
 - **Time travel** via ``.option("version", N)`` or
-  ``.option("as_of", unix_seconds)``.
+  ``.option("as_of", unix_seconds)``.  Without either, ``load()`` PINS
+  the tip version resolved at schema time and every later query on
+  that relation reads that same snapshot — the ``read_snapshot``
+  semantics, and the only safe choice: Spark resolves the schema and
+  plans the scan at different times (different worker processes), so
+  an unpinned reader racing a commit could serve newer files under the
+  older schema.  Re-register (or re-``load()``) to see new commits.
 - **Deletion vectors apply.**  Files covered by DV takedowns emit raw
   bytes MINUS sidecar positions (the stream feed's position filter);
   predicate-shaped lazy deletes refuse loudly (no SQL engine in the
@@ -95,13 +101,13 @@ from pyspark.sql.datasource import (
 )
 
 from ..streaming.snapshot_source import (
-    _canon_manifest,
-    _canon_uri,
     _manifest,
     _parse_simple_string,
     _resolve_pin,
     _versions,
     _with_change_cols,  # noqa: F401  (re-export convenience for callers)
+    dv_positions,
+    pos_filter,
 )
 from .manifest_io import _strip_file as _local
 
@@ -193,6 +199,8 @@ def _resolve_batch_manifest(options: dict) -> dict:
                 f"snapshot: enrolled table {name!r} has no committed "
                 f"data at catalog v{cv}"
             )
+        m = dict(m)
+        m["_resolved_version"] = cv  # catalog version (schema/read pin)
         return m
     table_dir = options.get("table_dir") or options.get("path")
     if not table_dir:
@@ -222,7 +230,9 @@ def _resolve_batch_manifest(options: dict) -> dict:
         v = eligible[-1]
     else:
         v = versions[-1]
-    return _manifest(table_dir, v)
+    m = dict(_manifest(table_dir, v))
+    m["_resolved_version"] = v
+    return m
 
 
 def _guard_filters(manifest: dict) -> dict:
@@ -349,7 +359,7 @@ class _SnapshotBatchReader(DataSourceReader):
             hit: set = set()
             for sidecar in partition.dv_exclude:
                 hit.update(
-                    _dv_positions_for(sidecar, partition.path, pq)
+                    dv_positions(sidecar, partition.path, pq)
                 )
             if hit:
                 positions = sorted(hit)
@@ -362,8 +372,8 @@ class _SnapshotBatchReader(DataSourceReader):
                     batch_size=64 * 1024, row_groups=[partition.row_group]
                 )
             if positions is not None:
-                return _exclude_positions(
-                    it, positions, pa,
+                return pos_filter(
+                    it, positions, pa, exclude=True,
                     base=getattr(partition, "rg_offset", 0),
                 )
             return it
@@ -409,43 +419,6 @@ class _SnapshotBatchReader(DataSourceReader):
                 )
 
 
-def _dv_positions_for(sidecar: str, path: str, pq) -> list[int]:
-    """One file's hit positions from a DV sidecar (spelling-
-    canonicalized; see the stream feed's identical logic)."""
-    t = pq.read_table(_local(sidecar), columns=["file", "pos"])
-    want = _canon_manifest(path)
-    return sorted(
-        p
-        for f, p in zip(
-            t.column("file").to_pylist(), t.column("pos").to_pylist()
-        )
-        if _canon_uri(f) == want
-    )
-
-
-def _exclude_positions(batches, positions: list[int], pa, base: int = 0):
-    """Drop the given whole-file row indexes from row-ordered batches
-    (the DV merge-on-read complement); ``base`` is a row-group
-    partition's starting global row index."""
-    from bisect import bisect_left
-
-    off = base
-    for b in batches:
-        n = b.num_rows
-        lo = bisect_left(positions, off)
-        hi = bisect_left(positions, off + n)
-        hit = {p - off for p in positions[lo:hi]}
-        if not hit:
-            yield b
-        elif len(hit) < n:
-            yield b.take(
-                pa.array(
-                    [i for i in range(n) if i not in hit], type=pa.int64()
-                )
-            )
-        off += n
-
-
 def _align_batches(batches, target, renames: dict, pa):
     """Align raw parquet batches to the pinned schema: missing columns
     NULL-fill (additive evolution), types cast (lossless widening), and
@@ -479,8 +452,12 @@ class _SnapshotPushdownReader(_SnapshotBatchReader):
         pushed = list(filters)
         self._atoms = [a for a in map(_filter_atom, pushed) if a]
         # return EVERY filter as unhandled: manifest pruning skips whole
-        # files, it never certifies rows — Spark applies the predicate
-        # above the scan, so a pruning bug can only cost performance
+        # files, it never certifies rows, so Spark re-applies the
+        # predicate above the scan.  NOTE this does NOT make pruning
+        # soundness optional — a mis-pruned file's rows never reach
+        # Spark at all; correctness rests on the shared planner's
+        # soundness exactly as read_snapshot_where's does (the same
+        # extractor + pruner, parity- and hypothesis-tested there)
         return pushed
 
 
@@ -494,12 +471,25 @@ class SnapshotDataSource(DataSource):
         return "snapshot"
 
     def schema(self):
-        return _parse_simple_string(
-            _resolve_batch_manifest(dict(self.options))["schema"]
-        )
+        m = _resolve_batch_manifest(dict(self.options))
+        # pin the version schema() resolved so reader() reads the SAME
+        # snapshot: Spark calls the two at different times (and in
+        # different worker processes — the instance is pickled between
+        # them, carrying this attribute), and a commit landing in the
+        # gap would otherwise serve newer files under the older
+        # schema (a torn read: a widened column's values cast-truncated
+        # or tuple-path-garbled against the stale arrow type)
+        if "version" not in self.options and "as_of" not in self.options:
+            self._pinned_version = m.get("_resolved_version")
+        return _parse_simple_string(m["schema"])
 
     def reader(self, schema):
         opts = dict(self.options)
+        pinned = getattr(self, "_pinned_version", None)
+        if pinned is not None and "version" not in opts and (
+            "as_of" not in opts
+        ):
+            opts["version"] = pinned
         if str(opts.get("pushdown", "false")).lower() == "true":
             return _SnapshotPushdownReader(opts, schema)
         return _SnapshotBatchReader(opts, schema)
@@ -524,7 +514,11 @@ def register_snapshot_table(
     conjuncts, under the single-statement relation contract in the
     module doc — leave it False for a long-lived view serving mixed
     queries (the default is always-correct, merely unpruned); use
-    :func:`snapshot_sql` when you want pruning per statement."""
+    :func:`snapshot_sql` when you want pruning per statement.  NOTE
+    ``pushdown=True`` enables the session conf
+    ``spark.sql.python.filterPushdown.enabled`` and leaves it on (the
+    view's later queries plan under it); :func:`snapshot_sql` restores
+    the prior value because its views don't outlive the call."""
     spark.dataSource.register(SnapshotDataSource)
     r = spark.read.format("snapshot")
     if catalog_dir and table:
@@ -561,15 +555,33 @@ def snapshot_sql(spark, sql: str, tables: dict):
     (``table_dir``/``catalog_dir``+``table``/``version``/``as_of``).
     The result is materialized (``collect``) and returned as a local
     DataFrame — the registered views are single-use by contract, so a
-    lazy result that re-scans later would outlive them."""
-    dfs = {}
-    for name, spec in tables.items():
-        opts = {"table_dir": spec} if isinstance(spec, str) else dict(spec)
-        dfs[name] = register_snapshot_table(
-            spark, name, pushdown=True, **opts
+    lazy result that re-scans later would outlive them.
+
+    The given view names are TAKEN OVER for the duration of the call
+    (``createOrReplaceTempView`` — a pre-existing same-named temp view
+    is replaced and then dropped); the session conf
+    ``spark.sql.python.filterPushdown.enabled`` is restored to its
+    prior value afterwards, and the views are dropped even when the
+    statement fails — a leaked pushdown view would re-expose the
+    relation-cache hazard this helper exists to avoid."""
+    prior_conf = spark.conf.get(
+        "spark.sql.python.filterPushdown.enabled", "false"
+    )
+    try:
+        for name, spec in tables.items():
+            opts = (
+                {"table_dir": spec} if isinstance(spec, str) else dict(spec)
+            )
+            register_snapshot_table(spark, name, pushdown=True, **opts)
+        out = spark.sql(sql)
+        rows = out.collect()
+        return spark.createDataFrame(rows, out.schema)
+    finally:
+        for name in tables:
+            try:
+                spark.catalog.dropTempView(name)
+            except Exception:
+                pass
+        spark.conf.set(
+            "spark.sql.python.filterPushdown.enabled", prior_conf
         )
-    out = spark.sql(sql)
-    rows = out.collect()
-    for name in tables:
-        spark.catalog.dropTempView(name)
-    return spark.createDataFrame(rows, out.schema)

@@ -322,6 +322,66 @@ def _typed_sig(manifest: dict | None, files: set) -> dict:
     return out
 
 
+def dv_positions(sidecar: str, path: str, pq) -> list[int]:
+    """One file's hit positions from a deletion-vector sidecar —
+    the sidecar is takedown-hit-sized (positions, not rows), so one
+    read per covered file is cheap; spellings are canonicalized
+    because sidecars record Spark's ``_metadata.file_path`` URI form
+    while manifests record ``Path.toString``.  Shared by the stream
+    feed and the batch DataSource (sources/snapshot_batch.py)."""
+    t = pq.read_table(_local(sidecar), columns=["file", "pos"])
+    want = _canon_manifest(path)
+    return sorted(
+        p
+        for f, p in zip(
+            t.column("file").to_pylist(), t.column("pos").to_pylist()
+        )
+        if _canon_uri(f) == want
+    )
+
+
+def pos_filter(
+    batches,
+    positions: list[int],
+    pa,
+    exclude: bool = False,
+    base: int = 0,
+):
+    """Restrict row-ordered batches to the given global row indexes
+    — or, with ``exclude``, to their COMPLEMENT (the visible rows
+    of a removed DV-covered file).  Parquet row_index is the file's
+    physical row order, which ``iter_batches`` preserves; ``base``
+    is the row-group partition's starting global row index (0 for a
+    whole-file partition).  Shared by the stream feed and the batch
+    DataSource."""
+    from bisect import bisect_left
+
+    off = base
+    for b in batches:
+        n = b.num_rows
+        lo = bisect_left(positions, off)
+        hi = bisect_left(positions, off + n)
+        if exclude:
+            hit = {p - off for p in positions[lo:hi]}
+            if not hit:
+                yield b
+            elif len(hit) < n:
+                yield b.take(
+                    pa.array(
+                        [i for i in range(n) if i not in hit],
+                        type=pa.int64(),
+                    )
+                )
+            # fully-hit batch: nothing visible, nothing emitted
+        elif hi > lo:
+            yield b.take(
+                pa.array(
+                    [p - off for p in positions[lo:hi]], type=pa.int64()
+                )
+            )
+        off += n
+
+
 class _FilePartition(InputPartition):
     def __init__(
         self,
@@ -924,61 +984,9 @@ class _SnapshotStreamReader(DataSourceStreamReader):
         yield from self._tuple_rows(fresh_batches(), ct, cv, aliases)
 
     def _dv_positions(self, sidecar: str, path: str, pq) -> list[int]:
-        """One file's hit positions from a deletion-vector sidecar —
-        the sidecar is takedown-hit-sized (positions, not rows), so one
-        read per covered file is cheap; spellings are canonicalized
-        because sidecars record Spark's ``_metadata.file_path`` URI form
-        while manifests record ``Path.toString``."""
-        t = pq.read_table(_local(sidecar), columns=["file", "pos"])
-        want = _canon_manifest(path)
-        return sorted(
-            p
-            for f, p in zip(
-                t.column("file").to_pylist(), t.column("pos").to_pylist()
-            )
-            if _canon_uri(f) == want
-        )
+        return dv_positions(sidecar, path, pq)
 
-    @staticmethod
-    def _pos_filter(
-        batches,
-        positions: list[int],
-        pa,
-        exclude: bool = False,
-        base: int = 0,
-    ):
-        """Restrict row-ordered batches to the given global row indexes
-        — or, with ``exclude``, to their COMPLEMENT (the visible rows
-        of a removed DV-covered file).  Parquet row_index is the file's
-        physical row order, which ``iter_batches`` preserves; ``base``
-        is the row-group partition's starting global row index (0 for a
-        whole-file partition)."""
-        from bisect import bisect_left
-
-        off = base
-        for b in batches:
-            n = b.num_rows
-            lo = bisect_left(positions, off)
-            hi = bisect_left(positions, off + n)
-            if exclude:
-                hit = {p - off for p in positions[lo:hi]}
-                if not hit:
-                    yield b
-                elif len(hit) < n:
-                    yield b.take(
-                        pa.array(
-                            [i for i in range(n) if i not in hit],
-                            type=pa.int64(),
-                        )
-                    )
-                # fully-hit batch: nothing visible, nothing emitted
-            elif hi > lo:
-                yield b.take(
-                    pa.array(
-                        [p - off for p in positions[lo:hi]], type=pa.int64()
-                    )
-                )
-            off += n
+    _pos_filter = staticmethod(lambda *a, **kw: pos_filter(*a, **kw))
 
     def _arrow_batches(
         self, batches, target, ct: str, cv: int, pa, aliases=None

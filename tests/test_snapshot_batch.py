@@ -20,7 +20,6 @@ from pyspark.sql.datasource import (
 
 from mini_project_204721_data_engineering_spark.sources.snapshot_batch import (
     SnapshotDataSource,
-    _exclude_positions,
     _filter_atom,
     _SnapshotPushdownReader,
     register_snapshot_table,
@@ -322,6 +321,10 @@ def test_filter_atom_spellings():
 def test_exclude_positions_row_group_offsets():
     import pyarrow as pa
 
+    from mini_project_204721_data_engineering_spark.streaming.snapshot_source import (
+        pos_filter,
+    )
+
     batches = [
         pa.RecordBatch.from_arrays([pa.array([10, 11, 12])], names=["x"]),
         pa.RecordBatch.from_arrays([pa.array([13, 14])], names=["x"]),
@@ -330,7 +333,9 @@ def test_exclude_positions_row_group_offsets():
     # global start offset is 100
     out = [
         v
-        for b in _exclude_positions(iter(batches), [1, 101, 103], pa, base=100)
+        for b in pos_filter(
+            iter(batches), [1, 101, 103], pa, exclude=True, base=100
+        )
         for v in b.column(0).to_pylist()
     ]
     assert out == [10, 12, 14]
@@ -338,3 +343,39 @@ def test_exclude_positions_row_group_offsets():
 
 def test_format_registered_name(spark):
     assert SnapshotDataSource.name() == "snapshot"
+
+
+def test_view_pins_load_time_version(spark, tbl):
+    """load() without an explicit version pins the tip resolved at
+    schema time: later queries on the relation read that snapshot even
+    after new commits (read_snapshot semantics — and the guard against
+    serving newer files under an older schema).  A fresh registration
+    sees the new tip."""
+    register_snapshot_table(spark, "t_pin", tbl)
+    n0 = spark.sql("SELECT count(*) c FROM t_pin").collect()[0]["c"]
+    snapshot_append(
+        spark.range(500, 520).selectExpr("id AS k", "id * 2 AS v")
+        .coalesce(1),
+        tbl,
+    )
+    assert spark.sql("SELECT count(*) c FROM t_pin").collect()[0]["c"] == n0
+    register_snapshot_table(spark, "t_pin2", tbl)
+    assert (
+        spark.sql("SELECT count(*) c FROM t_pin2").collect()[0]["c"]
+        == n0 + 20
+    )
+
+
+def test_snapshot_sql_restores_conf_and_drops_views_on_failure(spark, tbl):
+    """A failing statement must not leak the pushdown-enabled views or
+    the session conf flip (a leaked view would re-expose the
+    relation-cache hazard)."""
+    prior = spark.conf.get("spark.sql.python.filterPushdown.enabled", "false")
+    with pytest.raises(Exception):
+        snapshot_sql(spark, "SELECT bogus_col FROM t_led", {"t_led": tbl})
+    assert (
+        spark.conf.get("spark.sql.python.filterPushdown.enabled") == prior
+    )
+    assert not any(
+        v.name == "t_led" for v in spark.catalog.listTables()
+    )
