@@ -379,3 +379,20 @@ def test_snapshot_sql_restores_conf_and_drops_views_on_failure(spark, tbl):
     assert not any(
         v.name == "t_led" for v in spark.catalog.listTables()
     )
+
+
+def test_batch_reads_mock_object_store_table(spark, tmp_path):
+    """The batch DataSource resolves registered manifest-IO schemes in
+    the sessionless planner exactly like the stream feed: a table whose
+    manifests live behind the mock object store reads through plain
+    SQL (data bytes are file:-spelled inside manifests, so pyarrow
+    reads them directly)."""
+    t = "mock:" + str(tmp_path / "store" / "tbl")
+    snapshot_append(
+        spark.range(0, 50).selectExpr("id AS k", "id * 2 AS v").coalesce(1),
+        t,
+    )
+    snapshot_delete_where(spark, t, "k = 7", lazy="dv")
+    register_snapshot_table(spark, "t_mock", t)
+    assert spark.sql("SELECT count(*) c FROM t_mock").collect()[0]["c"] == 49
+    assert spark.sql("SELECT v FROM t_mock WHERE k = 7").collect() == []
