@@ -19,6 +19,16 @@ or directly::
     spark.dataSource.register(SnapshotDataSource)
     spark.read.format("snapshot").option("table_dir", path).load()
 
+and the WRITE path::
+
+    df.write.format("snapshot").mode("append")\
+      .option("table_dir", path).option("stats_cols", "k").save()
+
+(executor pyarrow writes + one atomic manifest commit through the same
+``_commit`` loop as ``snapshot_append`` — see
+:class:`_SnapshotBatchWriter`; ``mode("overwrite")`` is the logical
+TRUNCATE+INSERT with time travel to prior versions).
+
 Semantics (all pinned by tests/test_snapshot_batch.py):
 
 - **Pushed filters prune files from the manifest — explicit opt-in**
@@ -88,6 +98,7 @@ from collections.abc import Iterator, Sequence
 
 from pyspark.sql.datasource import (
     DataSource,
+    DataSourceArrowWriter,
     DataSourceReader,
     EqualTo,
     GreaterThan,
@@ -98,6 +109,7 @@ from pyspark.sql.datasource import (
     IsNull,
     LessThan,
     LessThanOrEqual,
+    WriterCommitMessage,
 )
 
 from ..streaming.snapshot_source import (
@@ -110,8 +122,9 @@ from ..streaming.snapshot_source import (
     pos_filter,
 )
 from .manifest_io import _strip_file as _local
+from .manifest_io import manifest_io_for, path_scheme
 
-__all__ = ["SnapshotDataSource", "register_snapshot_table"]
+__all__ = ["SnapshotDataSource", "register_snapshot_table", "snapshot_sql"]
 
 _SPLIT_BYTES = 64 * 1024 * 1024
 
@@ -461,6 +474,243 @@ class _SnapshotPushdownReader(_SnapshotBatchReader):
         return pushed
 
 
+class _WriteMessage(WriterCommitMessage):
+    def __init__(self, file, rows, bytes_, stats):
+        self.file = file          # recorded (manifest-spelled) path, or None
+        self.rows = rows
+        self.bytes = bytes_
+        self.stats = stats        # {col: [min, max, nulls] (+ [sum] for ints)}
+
+
+_SAFE_INT = {"int8", "int16", "int32", "int64"}
+_SAFE_FLOAT = {"float", "double"}
+
+
+def _batch_col_stats(table, pa):
+    """Per-file stats from the written pyarrow table, for exactly the
+    types whose manifest spelling we can mirror EXACTLY (a wrong
+    spelling could mis-prune — soundness over coverage): integral
+    (min/max/nulls + exact sum), float/double (min/max/nulls, NO sum —
+    Spark's sum order differs and snapshot_agg's fallback scan is the
+    sound answer), and strings (min/max through the same
+    truncate-with-increment bound the Spark stats pass uses).  Every
+    other type records no stats — absent stats never prune."""
+    import pyarrow.compute as pc
+
+    from .snapshots import _STATS_STR_CAP, _trunc_bound
+
+    out = {}
+    n = table.num_rows
+    for name in table.schema.names:
+        col = table.column(name)
+        t = col.type
+        nulls = col.null_count
+        if n == nulls:
+            continue  # all-null: min/max undefined; skip (conservative)
+        tid = str(t)
+        try:
+            if tid in _SAFE_INT:
+                mn = pc.min(col).as_py()
+                mx = pc.max(col).as_py()
+                total = int(
+                    pc.sum(pc.cast(col, pa.decimal128(38, 0))).as_py()
+                )
+                out[name] = [int(mn), int(mx), int(nulls), total]
+            elif tid in _SAFE_FLOAT:
+                mn = pc.min(col).as_py()
+                mx = pc.max(col).as_py()
+                out[name] = [float(mn), float(mx), int(nulls)]
+            elif tid in ("string", "large_string"):
+                mn = pc.min(col).as_py()
+                mx = pc.max(col).as_py()
+                if len(mn) > _STATS_STR_CAP:
+                    mn = _trunc_bound(mn, False)
+                if len(mx) > _STATS_STR_CAP:
+                    mx = _trunc_bound(mx, True)
+                out[name] = [mn, mx, int(nulls)]
+        except Exception:
+            continue  # stats are optional; the file is just never pruned
+    return out
+
+
+class _SnapshotBatchWriter(DataSourceArrowWriter):
+    """``df.write.format("snapshot").mode("append"|"overwrite")`` — the
+    DataFrame-writer face of the commit protocol.  Executors write one
+    parquet file per non-empty partition with pyarrow AND compute its
+    manifest stats in the same pass (rows/bytes always; min/max/nulls
+    for exactly the types whose spelling matches the Spark stats pass —
+    see :func:`_batch_col_stats`); the driver-side ``commit`` lands ONE
+    atomic manifest commit through the same ``_commit`` loop every
+    other writer uses — schema guard, sticky stats resolution, DV/bloom
+    /NDV/evolution carries, optimistic retry and all.  A crash before
+    ``commit`` strands invisible orphan files (``expire_snapshots``
+    sweeps them), exactly like ``snapshot_append``.
+
+    Scope: ``table_dir`` tables on ``file:``-reachable storage (the
+    executors write bytes with pyarrow).  Enrolled tables refuse —
+    their writes must ride ``multi_table_txn`` or the catalog pins
+    diverge; non-file schemes refuse toward :func:`~.snapshots
+    .snapshot_append`.  ``.option("stats_cols", "a,b")`` configures
+    identity min/max stats (sticky thereafter, same as
+    ``snapshot_append``); derived stats specs need the Python API."""
+
+    def __init__(self, options: dict, schema, overwrite: bool):
+        import uuid
+
+        if options.get("catalog_dir") or options.get("table"):
+            raise ValueError(
+                "snapshot write: enrolled tables write through "
+                "multi_table_txn (a direct write would race catalog "
+                "publication for version numbers) — pass table_dir for "
+                "standalone tables only"
+            )
+        table_dir = options.get("table_dir") or options.get("path")
+        if not table_dir:
+            raise ValueError(
+                "snapshot write: .option('table_dir', <snapshot table>) "
+                "is required"
+            )
+        spark_base = manifest_io_for(table_dir).spark_path(table_dir)
+        if path_scheme(spark_base) not in ("", "file"):
+            raise ValueError(
+                f"snapshot write: data path {spark_base!r} is not "
+                "file:-reachable from the executors' pyarrow writer — "
+                "use snapshot_append for this scheme"
+            )
+        self.table_dir = table_dir
+        self.local_base = _local(spark_base).rstrip("/")
+        self.commit_id = uuid.uuid4().hex
+        self.overwrite = overwrite
+        self.ddl = schema.simpleString()
+        sc = options.get("stats_cols")
+        self.stats_cols = (
+            [c.strip() for c in str(sc).split(",") if c.strip()]
+            if sc
+            else None
+        )
+        if self.stats_cols:
+            known = {f.name for f in schema.fields}
+            bad = [c for c in self.stats_cols if c not in known]
+            if bad:
+                raise ValueError(
+                    f"snapshot write: stats_cols {bad} not in schema "
+                    f"(have {sorted(known)})"
+                )
+
+    # -- executors --------------------------------------------------------
+    def write(self, iterator):
+        import os
+        import uuid
+
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        batches = [b for b in iterator if b.num_rows]
+        if not batches:
+            # no bytes for an empty partition (tidier than Spark's
+            # empty part files; file_meta stays exact without them)
+            return _WriteMessage(None, 0, 0, {})
+        table = pa.Table.from_batches(batches)
+        d = os.path.join(self.local_base, "data", self.commit_id)
+        os.makedirs(d, exist_ok=True)
+        path = os.path.join(d, f"part-{uuid.uuid4().hex}.parquet")
+        pq.write_table(table, path, compression="snappy")
+        return _WriteMessage(
+            "file:" + path,
+            table.num_rows,
+            os.stat(path).st_size,
+            _batch_col_stats(table, pa),
+        )
+
+    # -- driver-side worker ----------------------------------------------
+    def commit(self, messages):
+        from .snapshots import _check_schema, _commit, _norm_stats
+
+        new_files = sorted(
+            m.file for m in messages if m is not None and m.file
+        )
+        fresh_meta = {
+            m.file: {"rows": m.rows, "bytes": m.bytes}
+            for m in messages
+            if m is not None and m.file
+        }
+        fresh_stats = {
+            m.file: m.stats
+            for m in messages
+            if m is not None and m.file
+        }
+        ddl = self.ddl
+        explicit = self.stats_cols
+
+        def files_fn(parent):
+            if not self.overwrite:
+                _check_schema(parent, ddl, "snapshot datasource write")
+                return (parent["files"] if parent else []) + new_files
+            return list(new_files)
+
+        def stats_fn(parent, files):
+            cols = _norm_stats(
+                explicit
+                if explicit is not None
+                else (parent or {}).get("stats_cols", [])
+            )
+            parent_meta = (parent or {}).get("file_meta", {})
+            meta = {
+                f: m
+                for f in files
+                if (m := parent_meta.get(f) or fresh_meta.get(f))
+                is not None
+            }
+            if not cols:
+                return {}, {}, meta
+            parent_stats = (parent or {}).get("stats", {})
+            # only IDENTITY aliases can come from the arrow-side stats;
+            # derived expressions record absent (conservatively kept)
+            fresh = {
+                f: {
+                    a: st[a]
+                    for a, e in cols.items()
+                    if a == e and a in st
+                }
+                for f, st in fresh_stats.items()
+            }
+            return (
+                {
+                    f: (parent_stats.get(f) or fresh.get(f))
+                    for f in files
+                    if (parent_stats.get(f) or fresh.get(f)) is not None
+                },
+                cols,
+                meta,
+            )
+
+        kwargs = {}
+        if self.overwrite:
+            # full replace: rename chains / reserved names clear (the
+            # documented rebuild path, same as snapshot_overwrite)
+            kwargs["evo_fn"] = lambda parent: ({}, [])
+        _commit(
+            None,  # sessionless: manifest IO resolves from the path
+            self.table_dir,
+            "overwrite" if self.overwrite else "append",
+            files_fn,
+            ddl,
+            meta={"added_files": len(new_files), "writer": "datasource"},
+            stats_fn=stats_fn,
+            **kwargs,
+        )
+
+    def abort(self, messages):
+        import os
+
+        for m in messages:
+            if m is not None and m.file:
+                try:
+                    os.remove(_local(m.file))
+                except OSError:
+                    pass
+
+
 class SnapshotDataSource(DataSource):
     """``spark.read.format("snapshot")`` — see module doc.  Batch only;
     the streaming feed is the separate ``snapshot_feed`` format (their
@@ -482,6 +732,9 @@ class SnapshotDataSource(DataSource):
         if "version" not in self.options and "as_of" not in self.options:
             self._pinned_version = m.get("_resolved_version")
         return _parse_simple_string(m["schema"])
+
+    def writer(self, schema, overwrite: bool):
+        return _SnapshotBatchWriter(dict(self.options), schema, overwrite)
 
     def reader(self, schema):
         opts = dict(self.options)

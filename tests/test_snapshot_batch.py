@@ -396,3 +396,158 @@ def test_batch_reads_mock_object_store_table(spark, tmp_path):
     register_snapshot_table(spark, "t_mock", t)
     assert spark.sql("SELECT count(*) c FROM t_mock").collect()[0]["c"] == 49
     assert spark.sql("SELECT v FROM t_mock WHERE k = 7").collect() == []
+
+
+# ---------------------------------------------------------------------------
+# r15: the WRITE path — df.write.format("snapshot") through the commit
+# protocol (executor pyarrow writes + one atomic manifest commit).
+# ---------------------------------------------------------------------------
+
+
+def _w(df, t, mode="append", **opts):
+    w = df.write.format("snapshot").mode(mode).option("table_dir", t)
+    for k, v in opts.items():
+        w = w.option(k, v)
+    w.save()
+
+
+def test_writer_append_roundtrip_sticky_stats_and_prune(spark, tmp_path):
+    from mini_project_204721_data_engineering_spark.sources.snapshots import (
+        _plan_files,
+        snapshot_count,
+    )
+
+    spark.dataSource.register(SnapshotDataSource)
+    t = str(tmp_path / "t")
+    _w(
+        spark.range(0, 100).selectExpr("id AS k", "id * 2 AS v").coalesce(1),
+        t,
+        stats_cols="k",
+    )
+    # second commit: NO stats option — the spec is sticky
+    _w(
+        spark.range(100, 200)
+        .selectExpr("id AS k", "id * 2 AS v")
+        .coalesce(1),
+        t,
+    )
+    assert read_snapshot(spark, t).count() == 200
+    assert snapshot_count(spark, t) == 200  # file_meta is exact
+    m = _resolve_manifest(spark, t)
+    assert len(m["files"]) == 2
+    assert all(f in m["stats"] for f in m["files"])
+    # the writer's stats PRUNE: a k<=50 plan keeps one file
+    assert len(_plan_files(spark, m, "k <= 50", bloom=False)) == 1
+    # and results match read_snapshot_where exactly
+    got = read_snapshot_where(spark, t, "k BETWEEN 90 AND 110").orderBy(
+        "k"
+    ).collect()
+    assert [r["k"] for r in got] == list(range(90, 111))
+
+
+def test_writer_stats_spelling_matches_spark_stats_pass(spark, tmp_path):
+    """The executor-side pyarrow stats must spell values EXACTLY like
+    snapshot_append's Spark stats job — a drift would mis-prune.  Same
+    single-partition data through both write paths; per-column entries
+    compared value-for-value (ints incl. the exact decimal sum, floats
+    without sum — the writer omits it by design, strings through the
+    same truncate-with-increment bound)."""
+    df = spark.createDataFrame(
+        [
+            (1, 0.5, "short", "x" * 40),
+            (7, -2.25, "zz-" + "y" * 30, "abc"),
+            (None, None, None, "m" * 16),
+        ],
+        "k int, x double, s string, s2 string",
+    ).coalesce(1)
+    ta, tb = str(tmp_path / "a"), str(tmp_path / "b")
+    snapshot_append(df, ta, stats_cols=["k", "x", "s", "s2"])
+    spark.dataSource.register(SnapshotDataSource)
+    _w(df, tb, stats_cols="k,x,s,s2")
+    sa = _resolve_manifest(spark, ta)
+    sb = _resolve_manifest(spark, tb)
+    (ea,) = sa["stats"].values()
+    (eb,) = sb["stats"].values()
+    assert eb["k"] == ea["k"]  # [min, max, nulls, exact int sum]
+    assert eb["x"] == ea["x"][:3]  # floats: writer records no sum
+    assert eb["s"] == ea["s"][:3]
+    assert eb["s2"] == ea["s2"][:3]
+    (ma,) = sa["file_meta"].values()
+    (mb,) = sb["file_meta"].values()
+    assert mb["rows"] == ma["rows"] == 3
+
+
+def test_writer_overwrite_time_travel_and_evo_clear(spark, tmp_path):
+    from mini_project_204721_data_engineering_spark.sources.snapshots import (
+        snapshot_rename_column,
+    )
+
+    spark.dataSource.register(SnapshotDataSource)
+    t = str(tmp_path / "t")
+    _w(spark.range(0, 50).selectExpr("id AS k", "id AS v").coalesce(1), t)
+    snapshot_rename_column(spark, t, "v", "val")
+    _w(
+        spark.range(0, 5).selectExpr("id AS k", "id AS val").coalesce(1),
+        t,
+        mode="overwrite",
+    )
+    assert read_snapshot(spark, t).count() == 5
+    assert read_snapshot(spark, t, version=1).count() == 50
+    m = _resolve_manifest(spark, t)
+    assert not m.get("renames")  # full replace clears the chain
+
+
+def test_writer_refusals(spark, tmp_path):
+    spark.dataSource.register(SnapshotDataSource)
+    t = str(tmp_path / "t")
+    df = spark.range(3).selectExpr("id AS k")
+    with pytest.raises(Exception, match="multi_table_txn"):
+        (
+            df.write.format("snapshot").mode("append")
+            .option("catalog_dir", str(tmp_path / "c"))
+            .option("table", "facts")
+            .save()
+        )
+    with pytest.raises(Exception, match="stats_cols"):
+        _w(df, t, stats_cols="nope")
+    _w(df, t)
+    with pytest.raises(Exception, match="schema|snapshot"):
+        _w(spark.range(3).selectExpr("id AS wrong"), t)
+
+
+def test_writer_skips_empty_partitions(spark, tmp_path):
+    from mini_project_204721_data_engineering_spark.sources.snapshots import (
+        snapshot_count,
+    )
+
+    spark.dataSource.register(SnapshotDataSource)
+    t = str(tmp_path / "t")
+    _w(spark.range(3).selectExpr("id AS k").repartition(8), t)
+    m = _resolve_manifest(spark, t)
+    assert 0 < len(m["files"]) <= 3  # no empty part files committed
+    assert snapshot_count(spark, t) == 3
+
+
+def test_writer_append_carries_pending_dv(spark, tmp_path):
+    spark.dataSource.register(SnapshotDataSource)
+    t = str(tmp_path / "t")
+    snapshot_append(
+        spark.range(0, 20).selectExpr("id AS k").coalesce(1), t
+    )
+    snapshot_delete_where(spark, t, "k = 3", lazy="dv")
+    _w(spark.range(20, 30).selectExpr("id AS k").coalesce(1), t)
+    rows = {r["k"] for r in read_snapshot(spark, t).collect()}
+    assert rows == set(range(30)) - {3}  # takedown survived the append
+
+
+def test_writer_mock_object_store(spark, tmp_path):
+    spark.dataSource.register(SnapshotDataSource)
+    t = "mock:" + str(tmp_path / "store" / "tbl")
+    _w(spark.range(0, 40).selectExpr("id AS k").coalesce(1), t)
+    _w(spark.range(40, 60).selectExpr("id AS k").coalesce(1), t)
+    assert read_snapshot(spark, t).count() == 60
+    # full loop: write through the writer, query through the SQL face
+    out = snapshot_sql(
+        spark, "SELECT count(*) AS c FROM t WHERE k >= 50", {"t": t}
+    )
+    assert out.collect()[0]["c"] == 10
