@@ -29,6 +29,13 @@ and the WRITE path::
 :class:`_SnapshotBatchWriter`; ``mode("overwrite")`` is the logical
 TRUNCATE+INSERT with time travel to prior versions).
 
+SQL DML (``INSERT INTO`` a ``CREATE TABLE … USING snapshot`` table) is
+NOT reachable on Spark 4.1: the catalog-table integration hands the
+Python DataSource EMPTY options at read/write time (neither the
+``OPTIONS`` map nor ``LOCATION`` is forwarded — probed empirically and
+pinned in test_snapshot_batch.py, so a Spark fix is noticed).  Writes
+go through the DataFrame API above; reads through views/:func:`snapshot_sql`.
+
 Semantics (all pinned by tests/test_snapshot_batch.py):
 
 - **Pushed filters prune files from the manifest — explicit opt-in**

@@ -551,3 +551,26 @@ def test_writer_mock_object_store(spark, tmp_path):
         spark, "SELECT count(*) AS c FROM t WHERE k >= 50", {"t": t}
     )
     assert out.collect()[0]["c"] == 10
+
+
+def test_upstream_catalog_table_options_gap_still_present(spark, tmp_path):
+    """Documents why SQL DML is out of reach: Spark 4.1 hands a Python
+    DataSource EMPTY options when it is read/written as a CATALOG table
+    (CREATE TABLE ... USING snapshot) — neither OPTIONS nor LOCATION is
+    forwarded, so the reader cannot find table_dir.  If this test
+    FAILS, a Spark upgrade fixed the forwarding and INSERT INTO can be
+    supported."""
+    import uuid
+
+    spark.dataSource.register(SnapshotDataSource)
+    t = str(tmp_path / "tbl")
+    snapshot_append(spark.range(3).selectExpr("id AS k").coalesce(1), t)
+    name = f"snap_cat_{uuid.uuid4().hex[:8]}"
+    spark.sql(
+        f"CREATE TABLE {name} USING snapshot OPTIONS (table_dir '{t}')"
+    )
+    try:
+        with pytest.raises(Exception, match="table_dir|required"):
+            spark.sql(f"SELECT * FROM {name}").collect()
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {name}")
