@@ -574,3 +574,78 @@ def test_upstream_catalog_table_options_gap_still_present(spark, tmp_path):
             spark.sql(f"SELECT * FROM {name}").collect()
     finally:
         spark.sql(f"DROP TABLE IF EXISTS {name}")
+
+
+def test_writer_concurrent_commits_compose(spark, tmp_path):
+    """Two DataFrame-writer commits racing the manifest claim compose
+    like any other appenders (shared _commit loop; the loser retries on
+    the new tip).  Driven at the writer level with pyarrow batches:
+    Spark cannot resolve a PYTHON data source from a non-main thread at
+    all (DATA_SOURCE_NOT_FOUND even under pyspark.InheritableThread —
+    the JVM-side lookup consults thread state the py4j call doesn't
+    carry), so whole-df.write threading is untestable upstream; the
+    COMMIT race is the part this engine owns, and it is exercised
+    exactly here."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    import pyarrow as pa
+
+    from mini_project_204721_data_engineering_spark.sources.snapshot_batch import (
+        _SnapshotBatchWriter,
+    )
+
+    t = str(tmp_path / "t")
+    schema = spark.range(1).selectExpr("id AS k").schema
+    writers, msgs = [], []
+    for lo in (0, 1000):
+        w = _SnapshotBatchWriter({"table_dir": t}, schema, False)
+        batch = pa.record_batch(
+            [pa.array(list(range(lo, lo + 50)), type=pa.int64())],
+            names=["k"],
+        )
+        writers.append(w)
+        msgs.append(w.write(iter([batch])))
+    with ThreadPoolExecutor(max_workers=2) as ex:
+        list(ex.map(lambda i: writers[i].commit([msgs[i]]), range(2)))
+    ids = sorted(r["k"] for r in read_snapshot(spark, t).collect())
+    assert ids == list(range(0, 50)) + list(range(1000, 1050))
+    m = _resolve_manifest(spark, t)
+    assert len(m["files"]) == 2
+    assert all(v["rows"] == 50 for v in m["file_meta"].values())
+
+
+def test_snapshot_sql_joins_two_snapshot_tables(spark, tmp_path):
+    """snapshot_sql registers every referenced table fresh — a join of
+    two snapshot tables (fact pruned by the WHERE, dim complete) runs
+    as one statement."""
+    facts = str(tmp_path / "facts")
+    dims = str(tmp_path / "dims")
+    snapshot_append(
+        spark.range(0, 200)
+        .selectExpr("id AS k", "id % 4 AS d", "id * 2 AS v")
+        .coalesce(1),
+        facts,
+        stats_cols=["k"],
+    )
+    snapshot_append(
+        spark.createDataFrame(
+            [(0, "a"), (1, "b"), (2, "c"), (3, "d")], "d long, name string"
+        ).coalesce(1),
+        dims,
+    )
+    snapshot_delete_where(spark, facts, "k = 10", lazy="dv")
+    out = snapshot_sql(
+        spark,
+        """
+        SELECT name, count(*) AS n, sum(v) AS s
+        FROM f JOIN d USING (d)
+        WHERE k < 20
+        GROUP BY name ORDER BY name
+        """,
+        {"f": facts, "d": dims},
+    ).collect()
+    # k in 0..19 minus the taken-down k=10 (d = 10 % 4 = 2)
+    assert [(r["name"], r["n"]) for r in out] == [
+        ("a", 5), ("b", 5), ("c", 4), ("d", 5),
+    ]
+    assert sum(r["s"] for r in out) == 2 * (sum(range(20)) - 10)
