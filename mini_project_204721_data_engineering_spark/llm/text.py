@@ -18,6 +18,9 @@ __all__ = [
     "stopword_ratio",
     "quality_score",
     "lang_id",
+    "lang_id_code",
+    "lang_from_code",
+    "LANG_CODES",
     "pii_count",
     "strip_html",
     "SCRIPT_STYLE_PATTERN",
@@ -136,6 +139,43 @@ def lang_id(text: Column) -> Column:
         .when(latin > total * 0.5, F.lit("latin"))
         .otherwise(F.lit("unknown"))
     )
+
+
+#: integer codes for :func:`lang_id` labels — a 1-byte aggregation-friendly
+#: stand-in for the string label.  Spark's HashAggregate only accepts
+#: fixed-width mutable aggregation buffers, so carrying the label as a
+#: TINYINT through a group-by (and decoding after) keeps dedup/rollup
+#: stages in hash aggregation instead of falling back to SortAggregate
+#: (r15 optimization; a full map-side sort at 100 TB otherwise).
+LANG_CODES = (("unknown", 0), ("th", 1), ("zh", 2), ("latin", 3))
+
+
+def lang_id_code(text: Column) -> Column:
+    """:func:`lang_id` emitting the TINYINT code instead of the label —
+    same CASE tree, same per-row regex cost, hash-aggregable."""
+    total = F.length(text)
+    thai = F.size(F.regexp_extract_all(text, F.lit("[฀-๿]"), 0))
+    cjk = F.size(F.regexp_extract_all(text, F.lit("[一-鿿]"), 0))
+    latin = F.size(F.regexp_extract_all(text, F.lit("[A-Za-z]"), 0))
+    return (
+        F.when(total == 0, F.lit(0))
+        .when(thai > total * 0.3, F.lit(1))
+        .when(cjk > total * 0.3, F.lit(2))
+        .when(latin > total * 0.5, F.lit(3))
+        .otherwise(F.lit(0))
+        .cast("tinyint")
+    )
+
+
+def lang_from_code(code: Column) -> Column:
+    """Decode a :func:`lang_id_code` value back to the :func:`lang_id`
+    label (applied after aggregation, where only |groups| rows pay it)."""
+    out = None
+    for label, c in LANG_CODES:
+        out = F.when(code == c, F.lit(label)) if out is None else out.when(
+            code == c, F.lit(label)
+        )
+    return out
 
 
 #: HTML-extraction patterns, restricted (like the PII set) to constructs

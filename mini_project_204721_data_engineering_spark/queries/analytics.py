@@ -15,7 +15,10 @@ from pyspark.sql.window import Window
 from mini_project_204721_data_engineering_spark.catalog import load_table
 from mini_project_204721_data_engineering_spark.functions.binning import avg_to_level
 from mini_project_204721_data_engineering_spark.operators.aggregates import min_coord_step, weighted_mean
-from mini_project_204721_data_engineering_spark.operators.dedup import dedup_keep_first_agg
+from mini_project_204721_data_engineering_spark.operators.dedup import (
+    dedup_keep_first_packed,
+    packed_order_key,
+)
 from mini_project_204721_data_engineering_spark.operators.joins import anti_join, asof_join, semi_join
 
 __all__ = ["QUERIES", "ORACLES"]
@@ -193,10 +196,31 @@ DISTINCT_PAIRS_SQL = "SELECT DISTINCT user_id, event_type FROM events"
 def dedup_first_event(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A9: dedup-keep-first with an EXPLICIT deterministic order (pandas
     ``keep='first'`` is file-order-dependent; SURVEY §7 hard-part #3).
-    Aggregation form: min(struct) hash agg with map-side combine — only
-    one candidate row per (user, type) per map partition is shuffled."""
+    Aggregation form with map-side combine — only one candidate row per
+    (user, type) per map partition is shuffled.
+
+    r15 optimization (guide §2.3 project early + §2 "the distributed
+    algorithm"): the query consumes nothing but the winner's event_id, so
+    it uses the packed id-projection form — (epoch-micros, event_id)
+    packed into one decimal, ``min`` per key (operators/dedup.py::
+    dedup_keep_first_packed).  The previous ``min(struct(ts, event_id))``
+    fell back to SortAggregate (struct buffers are not hash-mutable),
+    i.e. a full sort of every map partition; the packed key keeps the
+    whole thing one HashAggregate, and the scan/shuffle carry only
+    (user_id, event_type) + one 16-byte decimal.  The winner is
+    identical: micros(ts) is strictly monotone in ts (µs-precision
+    storage) and event_id is the same unique tiebreaker.  Epoch micros
+    via ``timestamp_diff`` against an anchor cast to the column's own
+    type — NTZ-safe (unix_micros rejects NTZ; see catalog.py)."""
     ev = load_table(spark, sf_dir, "events")
-    first = dedup_keep_first_agg(ev, ["user_id", "event_type"], ["ts", "event_id"])
+    anchor = F.lit("1970-01-01 00:00:00").cast(dict(ev.dtypes)["ts"])
+    micros = F.timestamp_diff("MICROSECOND", anchor, F.col("ts"))
+    first = dedup_keep_first_packed(
+        ev.select("user_id", "event_type", "ts", "event_id"),
+        ["user_id", "event_type"],
+        micros,
+        "event_id",
+    )
     return first.select(
         "user_id", "event_type", F.col("event_id").alias("first_event_id")
     )
@@ -325,7 +349,12 @@ def concat_key_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.concat_ws("_", nation.n_name, region.r_name).alias("map_key"))
         .agg(F.count(F.lit(1)).alias("customer_count"))
     )
-    return dim.join(per_nation, "map_key", "left").select(
+    # r15: explicit broadcast — per_nation has at most |nation| rows by
+    # construction (grouped on the nation_region concat), but as an
+    # aggregate output its size ESTIMATE is unbounded, so the planner was
+    # sort-merge-joining two ≤25-row tables (guide §3.1: hint when you
+    # know a side is small and the estimate doesn't).
+    return dim.join(F.broadcast(per_nation), "map_key", "left").select(
         "map_key",
         "nation_name",
         F.coalesce(F.col("customer_count"), F.lit(0)).alias("customer_count"),
@@ -403,11 +432,21 @@ FROM orders
 
 def union_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """U1+A8: union-all of two selections then dedup
-    (reference ``utils.py:418-420``)."""
+    (reference ``utils.py:418-420``).
+
+    r15 optimization (guide §2.3/§2.4): both selections project the same
+    two columns of the SAME table, so ``distinct(σ_A ∪ σ_B) ≡
+    distinct(σ_{A∨B})`` — one scan instead of two, one pushed OR filter,
+    and rows matching both branches cross the dedup shuffle once instead
+    of twice.  Row set identical by set algebra.  (The general union-all
+    + dedup operator over distinct inputs stays demonstrated in
+    ``pipelines/risk.py`` and ``error_click_setops``.)"""
     li = load_table(spark, sf_dir, "lineitem")
-    a = li.filter(F.col("l_returnflag") == "A").select("l_orderkey", "l_partkey")
-    b = li.filter(F.col("l_linestatus") == "F").select("l_orderkey", "l_partkey")
-    return a.unionByName(b).distinct()
+    return (
+        li.filter((F.col("l_returnflag") == "A") | (F.col("l_linestatus") == "F"))
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
 
 
 UNION_DEDUP_SQL = """
@@ -3036,9 +3075,21 @@ def daily_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
     FIRST — so both sides filter ``ts IS NOT NULL`` explicitly (a no-op
     on the generated events table, whose ts is non-null by
     construction, but it keeps the pair parity-stable if the input ever
-    gains nullable timestamps)."""
+    gains nullable timestamps).
+
+    r15 optimization (guide §2): the ordering key used to be
+    ``struct(ts, event_id)``, whose non-mutable aggregation buffer forced
+    SortAggregate — a full sort of every map partition.  The same
+    (ts, event_id) order packed into one decimal
+    (operators/dedup.py::packed_order_key) keeps min_by/max_by in
+    HashAggregate; the selected rows are identical (micros is strictly
+    monotone in µs-precision ts, event_id the same unique tiebreak, and
+    NULL ts still yields a NULL key that min_by/max_by ignore)."""
     ev = load_table(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
-    key = F.struct(F.col("ts"), F.col("event_id"))
+    anchor = F.lit("1970-01-01 00:00:00").cast(dict(ev.dtypes)["ts"])
+    key = packed_order_key(
+        F.timestamp_diff("MICROSECOND", anchor, F.col("ts")), F.col("event_id")
+    )
     return (
         ev.groupBy(
             F.col("ts").cast("date").alias("day"),

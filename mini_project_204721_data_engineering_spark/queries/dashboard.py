@@ -61,14 +61,19 @@ def dashboard_probability(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.lit(5000.0)
         ).alias("rain_raw")
     )
-    # "risk" level: per-row deterministic bin of the account balance
-    risk = customer.select(
-        "c_custkey",
+    # "risk" level: per-row deterministic bin of the account balance.
+    # r15 optimization (guide §2.4): the oracle writes this as a LEFT JOIN
+    # of customer to a customer-derived projection, but c_custkey is the
+    # table's unique non-null key, so the self-join matches every spine
+    # row exactly once and is row-for-row the inline expression — computing
+    # it in the spine projection removes a second full customer scan and a
+    # whole-table broadcast build (which past ~autoBroadcastJoinThreshold
+    # would have become a sort-merge self-join at 100 TB).
+    risk_level = (
         F.when(F.col("c_acctbal") < 2000.0, 1)
         .when(F.col("c_acctbal") < 6000.0, 2)
         .otherwise(3)
         .cast("int")
-        .alias("risk_level"),
     )
     # "incidents": error events on the sliced day, counted per user
     incidents = (
@@ -81,10 +86,14 @@ def dashboard_probability(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     joined = (
-        customer.select("c_custkey", F.col("c_name").alias("district_name"), "c_nationkey")
+        customer.select(
+            "c_custkey",
+            F.col("c_name").alias("district_name"),
+            "c_nationkey",
+            risk_level.alias("risk_level"),
+        )
         .join(F.broadcast(nation), F.col("c_nationkey") == nation.n_nationkey, "left")
         .join(rain, "c_custkey", "left")
-        .join(risk, "c_custkey", "left")
         # J11's signature: the date predicate lives IN the join condition
         .join(
             incidents,

@@ -505,31 +505,62 @@ FROM documents
 
 def corpus_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The composed training-data pipeline, end-to-end in one plan:
-    quality-score → gate (>= 0.5) → exact dedup (md5, keep lowest doc_id)
-    → per-language corpus stats.  Everything stays in whole-stage codegen;
-    shuffles: one for the dedup agg, one for the final (5-row) agg — at
-    100 TB the dedup shuffle on a 32 B hash is the only wide stage, and
-    the agg-form dedup map-side-combines so only one candidate per hash
-    per map partition crosses it."""
-    from mini_project_204721_data_engineering_spark.llm.text import lang_id, quality_score, token_count
-    from mini_project_204721_data_engineering_spark.operators.dedup import dedup_keep_first_agg
+    quality-score → gate (>= 0.5) → exact dedup (md5) → per-language
+    corpus stats.  Everything stays in whole-stage codegen.
+
+    r15 optimization (guide §2.3/§4.4), result-identical by construction:
+
+    - The gate used to be a Filter on a column the Project also computed;
+      predicate pushdown duplicated the whole-token-split expression tree
+      below the filter, so every row paid the ``split(trim(text))`` regex
+      ~5× (filter ~3 + project ~2).  The gate projection now carries a
+      ``+ rand(42) * 0.0`` term — numerically exact zero (0·x = +0.0 for
+      rand's finite non-negative output, q + 0.0 == q), but the
+      non-determinism pins the projection: the filter consumes the
+      materialized column, codegen subexpression elimination shares ONE
+      split per row, and md5/lang regexes run only on gate survivors.
+    - Rows sharing content_hash share the full text, so every carried
+      column is group-constant: dedup is a plain ``distinct`` on
+      (hash, n_tokens, q, lang_code) — pure HashAggregate (the previous
+      ``min(struct(...))`` fell back to SortAggregate, a full map-side
+      sort).  The language label travels as a TINYINT code through both
+      aggregates and is decoded at |groups| rows.
+
+    Shuffles (3, unchanged): dedup distinct, language rollup, final
+    4-row orderBy.  At 100 TB the dedup shuffle is the only wide stage
+    and still map-side-combines to one row per hash per partition."""
+    from mini_project_204721_data_engineering_spark.llm.text import (
+        lang_from_code,
+        lang_id_code,
+        quality_score,
+        token_count,
+    )
 
     docs = load_table(spark, sf_dir, "documents")
-    enriched = docs.select(
-        "doc_id",
-        F.md5("text").alias("content_hash"),
+    gate = docs.select(
+        "text",
         token_count(F.col("text")).alias("n_tokens"),
-        quality_score(F.col("text")).alias("q"),
-        lang_id(F.col("text")).alias("lang_guess"),
+        (quality_score(F.col("text")) + F.rand(42) * F.lit(0.0)).alias("q"),
     ).filter(F.col("q") >= 0.5)
-    kept = dedup_keep_first_agg(enriched, ["content_hash"], ["doc_id"])
+    kept = gate.select(
+        F.md5("text").alias("content_hash"),
+        "n_tokens",
+        "q",
+        lang_id_code(F.col("text")).alias("lang_code"),
+    ).distinct()
     return (
-        kept.groupBy("lang_guess")
+        kept.groupBy("lang_code")
         .agg(
             F.count(F.lit(1)).alias("n_docs"),
             # long cast: DuckDB widens integer sums to HUGEINT (r1 hash mismatch)
             F.sum("n_tokens").cast("long").alias("total_tokens"),
             F.round(F.avg("q"), 4).alias("avg_quality"),
+        )
+        .select(
+            lang_from_code(F.col("lang_code")).alias("lang_guess"),
+            "n_docs",
+            "total_tokens",
+            "avg_quality",
         )
         .orderBy("lang_guess")
     )

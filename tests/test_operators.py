@@ -153,6 +153,74 @@ def test_dedup_keep_first_agg_matches_window_form(spark):
     assert {r[2] for r in agg} == {2, 4, 6}
 
 
+def test_packed_order_key_isomorphic_to_tuple_order(spark):
+    """r15: packed_order_key(major, minor) must order EXACTLY like the
+    tuple (major, minor) — including negative majors, major boundaries
+    (±2^63-adjacent), and the full bigint minor range — and unpack_minor
+    must invert it (pmod semantics for negative packed values)."""
+    from mini_project_204721_data_engineering_spark.operators.dedup import (
+        packed_order_key,
+        unpack_minor,
+    )
+
+    majors = [-(2**62), -1_000_000, -1, 0, 1, 7, 10**15, 2**62]
+    minors = [0, 1, 5, 10**18, 2**63 - 1]
+    rows = [
+        Row(i=i, major=m, minor=n)
+        for i, (m, n) in enumerate((m, n) for m in majors for n in minors)
+    ]
+    df = spark.createDataFrame(rows).select(
+        "i",
+        "major",
+        "minor",
+        packed_order_key(F.col("major"), F.col("minor")).alias("packed"),
+        unpack_minor(
+            packed_order_key(F.col("major"), F.col("minor"))
+        ).alias("roundtrip"),
+    )
+    got = df.collect()
+    # round-trip: minor recovered exactly for every (major, minor) pair
+    assert all(r["roundtrip"] == r["minor"] for r in got)
+    # order isomorphism: sorting by packed == sorting by the tuple
+    by_packed = [r["i"] for r in sorted(got, key=lambda r: r["packed"])]
+    by_tuple = [r["i"] for r in sorted(got, key=lambda r: (r["major"], r["minor"]))]
+    assert by_packed == by_tuple
+
+
+def test_dedup_keep_first_packed_matches_window_form(spark):
+    """r15: the packed id-projection form must pick the same winner id as
+    the window form under (major, id) ascending — ties on major broken by
+    id, negative majors included.  (NULL majors are out of contract: the
+    packed form's min() skips NULL keys while struct-min sorts them
+    first — both call sites guard with non-null order columns.)"""
+    from mini_project_204721_data_engineering_spark.operators.dedup import (
+        dedup_keep_first,
+        dedup_keep_first_packed,
+    )
+
+    df = spark.createDataFrame(
+        [
+            Row(k="a", o=3, id=1),
+            Row(k="a", o=-5, id=2),   # negative major wins
+            Row(k="a", o=-5, id=7),   # tie on major → lower id wins
+            Row(k="b", o=0, id=4),
+            Row(k="b", o=0, id=3),
+            Row(k="c", o=7, id=6),
+        ]
+    )
+    win = {
+        r["k"]: r["id"]
+        for r in dedup_keep_first(
+            df, ["k"], [F.col("o").asc(), F.col("id").asc()]
+        ).collect()
+    }
+    packed = {
+        r["k"]: r["id"]
+        for r in dedup_keep_first_packed(df, ["k"], F.col("o"), "id").collect()
+    }
+    assert packed == win == {"a": 2, "b": 3, "c": 6}
+
+
 def test_asof_join_nonnull_fast_path_matches_struct_path(spark):
     """payload_nonnull=True (flat per-column fill) must be row-for-row
     identical to the general struct path whenever the right-side payload
