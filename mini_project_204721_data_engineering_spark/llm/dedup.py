@@ -26,6 +26,7 @@ DuckDB-mirrorable.
 from __future__ import annotations
 
 import math
+from typing import Sequence
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
@@ -38,7 +39,9 @@ __all__ = [
     "shingle_table",
     "ngram_jaccard_pairs",
     "ngram_containment_pairs",
+    "minhash_signatures",
     "minhash_table",
+    "band_rows",
     "band_table",
     "build_band_index",
     "incremental_neardup",
@@ -188,6 +191,59 @@ def ngram_containment_pairs(
     )
 
 
+def minhash_signatures(
+    df: DataFrame,
+    k: int = 8,
+    n: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    hash_fn: str = "md5",
+) -> DataFrame:
+    """(id, sig) — the k-element MinHash signature per document, in ONE
+    aggregation pass (r15; guide §2.3/§2.4).
+
+    hash_i(shingle) = hash(i || '|' || shingle); sig[i] is the per-seed
+    minimum over the doc's shingles.  Two shuffle-shape wins over the old
+    (id, seed)-grain table:
+
+    - the k seed hashes are computed as k COLUMNS of one row, not k
+      exploded rows — the aggregation machinery sees |shingles| rows
+      instead of k·|shingles| (same number of hash evaluations, which
+      are the irreducible cost);
+    - no ``distinct()`` on the shingle multiset: min over a multiset
+      equals min over its set, so the Jaccard-only dedup shuffle is
+      skipped entirely.
+
+    ``hash_fn``: ``"md5"`` (default) is engine-portable — the DuckDB
+    oracles mirror it verbatim, and min(string) keeps the aggregation in
+    SortAggregate (string buffers are not hash-mutable — the inherent
+    price of exact md5 semantics; the partial sort is cheap because the
+    explode emits same-doc rows consecutively).  ``"xxhash64"`` is the
+    100 TB path — hashing |docs|·|shingles|·k values dominates, xxhash64
+    is measurably cheaper at identical LSH semantics, AND its bigint
+    mins make this a pure HashAggregate (tools/scale_probe.py measures
+    the gap, tests prove both paths find the same planted dups).
+    """
+    if hash_fn not in ("md5", "xxhash64"):
+        raise ValueError(f"unknown hash_fn {hash_fn!r}")
+
+    def h(seed: int) -> Column:
+        salted = F.concat_ws("|", F.lit(str(seed)), F.col("shingle"))
+        return F.md5(salted) if hash_fn == "md5" else F.xxhash64(salted)
+
+    raw = df.select(F.col(id_col), tokens(F.col(text_col)).alias("toks")).select(
+        F.col(id_col), F.explode(shingles("toks", n)).alias("shingle")
+    )
+    return (
+        raw.groupBy(id_col)
+        .agg(*[F.min(h(i)).alias(f"__m{i}") for i in range(k)])
+        .select(
+            F.col(id_col),
+            F.array(*[F.col(f"__m{i}") for i in range(k)]).alias("sig"),
+        )
+    )
+
+
 def minhash_table(
     df: DataFrame,
     k: int = 8,
@@ -196,33 +252,60 @@ def minhash_table(
     id_col: str = "doc_id",
     hash_fn: str = "md5",
 ) -> DataFrame:
-    """(id, seed, minhash) — k hash-derived minhashes per document.
+    """(id, seed, minhash) — k hash-derived minhashes per document; the
+    row-per-seed view of :func:`minhash_signatures` (r15: computed by
+    exploding the signature array, so the aggregation runs at doc grain
+    and the k·|shingles| row explode never exists)."""
+    sig = minhash_signatures(df, k, n, text_col, id_col, hash_fn)
+    return sig.select(
+        F.col(id_col), F.posexplode("sig").alias("seed", "minhash")
+    )
 
-    hash_i(shingle) = hash(i || '|' || shingle); the per-seed minimum over
-    a doc's shingle set is the minhash.  Computed with one explode + one
-    partial-aggregated groupBy; no UDFs.
 
-    ``hash_fn``: ``"md5"`` (default) is engine-portable — the DuckDB
-    oracles mirror it verbatim; ``"xxhash64"`` is the 100 TB path — the
-    corpus-dominant cost is hashing |docs|·|shingles|·k values, and
-    xxhash64 is measurably cheaper than md5 at identical LSH semantics
-    (min over a uniform hash; tools/scale_probe.py measures the gap,
-    tests prove both paths find the same planted dups).
-    """
-    sh = shingle_table(df, text_col, id_col, n)
-    seeds = F.explode(F.array(*[F.lit(i) for i in range(k)])).alias("seed")
-    salted = F.concat_ws("|", F.col("seed").cast("string"), F.col("shingle"))
-    if hash_fn == "md5":
-        h = F.md5(salted)
-    elif hash_fn == "xxhash64":
-        h = F.xxhash64(salted)
-    else:
-        raise ValueError(f"unknown hash_fn {hash_fn!r}")
-    return (
-        sh.select(F.col(id_col), F.col("shingle"), seeds)
-        .select(id_col, "seed", h.alias("h"))
-        .groupBy(id_col, "seed")
-        .agg(F.min("h").alias("minhash"))
+def _band_key(sig_col: str, band: int, rows_per_band: int) -> Column:
+    """The band-``band`` key derived directly from a signature array —
+    byte-identical to the legacy collect_list/array_sort construction:
+    entries are 'SS:minhash' with a 2-digit seed prefix, so their sorted
+    order IS seed order (k <= 100), and the join key is their '|' concat."""
+    parts = [
+        F.concat_ws(
+            ":",
+            F.lpad(F.lit(str(band * rows_per_band + j)), 2, "0"),
+            F.col(sig_col)[band * rows_per_band + j],
+        )
+        for j in range(rows_per_band)
+    ]
+    return F.concat_ws("|", *parts)
+
+
+def band_rows(
+    sig: DataFrame,
+    k: int,
+    bands: int,
+    id_col: str = "doc_id",
+    carry: Sequence[str] = (),
+) -> DataFrame:
+    """(id, band, band_key, *carry) from a :func:`minhash_signatures`
+    table — band keys are pure projections of the signature array (no
+    second aggregation; the legacy :func:`band_table` needed a
+    collect_list per (id, band))."""
+    rows_per_band = k // bands
+    entries = F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(b).alias("band"),
+                    _band_key("sig", b, rows_per_band).alias("band_key"),
+                )
+                for b in range(bands)
+            ]
+        )
+    ).alias("e")
+    return sig.select(F.col(id_col), *[F.col(c) for c in carry], entries).select(
+        F.col(id_col),
+        F.col("e.band").alias("band"),
+        F.col("e.band_key").alias("band_key"),
+        *[F.col(c) for c in carry],
     )
 
 
@@ -265,6 +348,55 @@ def minhash_band_candidates(
     )
 
 
+def _band_bucket_pairs(
+    rows: DataFrame,
+    id_col: str,
+    pair_expr: str,
+    max_bucket: int,
+) -> DataFrame:
+    """Within-bucket candidate pairs from (band, band_key, id[, sig])
+    rows, computed WITHOUT a self-join (r15; guide §2.4/§8).
+
+    collect_list per (band, band_key) bucket, then every ``i < j`` pair
+    via nested ``transform``/``slice`` over the id-sorted list —
+    ``pair_expr`` builds each pair's output struct from lambda vars
+    ``x``/``y`` (x.i < y.i holds by the sort; ids are unique).  The old
+    a×b equi-join planned the whole signature pipeline TWICE (Spark
+    plans, and executes, each self-join side independently — no
+    ReusedExchange fires for Python-built plans); this shape computes
+    signatures once and turns candidate generation into one
+    ObjectHashAggregate + one Generate.
+
+    ``max_bucket`` is the hot-bucket refusal (same contract as
+    ``cap_cells``/``max_brute_fraction``): an LSH bucket of more than
+    ``max_bucket`` docs means near-identical texts were never exact-
+    deduped, and BOTH the old join and this form would emit O(m²) pairs
+    — raise loudly, naming the cure, instead of OOMing the executor.
+    The guard lives inside the consumed pair column (Catalyst prunes
+    guards in dead columns)."""
+    member = F.struct(
+        *[F.col(c) for c in rows.columns if c not in ("band", "band_key")]
+    )
+    bucket = (
+        rows.groupBy("band", "band_key")
+        .agg(F.array_sort(F.collect_list(member)).alias("__xs"))
+        .filter(F.size("__xs") > 1)
+        .drop("band", "band_key")
+    )
+    guarded = (
+        f"CASE WHEN size(__xs) > {max_bucket} THEN "
+        f"raise_error(concat('minhash band bucket of ', size(__xs), "
+        f"' docs exceeds max_bucket={max_bucket}: exact-dedup the corpus "
+        f"first (identical texts collapse to one signature) or raise "
+        f"max_bucket')) ELSE __xs END"
+    )
+    pairs = (
+        f"flatten(transform({guarded}, (x, i) -> "
+        f"transform(slice(__xs, i + 2, size(__xs)), y -> {pair_expr})))"
+    )
+    return bucket.select(F.explode(F.expr(pairs)).alias("p")).select("p.*")
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     k: int = 8,
@@ -274,25 +406,40 @@ def minhash_lsh_pairs(
     text_col: str = "text",
     id_col: str = "doc_id",
     hash_fn: str = "md5",
+    max_bucket: int = 2048,
 ) -> DataFrame:
     """MinHash + banded LSH near-dup candidates with estimated similarity.
 
     Signature of k hashes split into ``bands`` bands of k/bands rows;
-    candidates via :func:`minhash_band_candidates`.  Estimated similarity
-    = fraction of agreeing minhashes; filtered at ``threshold``.
-    ``hash_fn`` as in :func:`minhash_table` (md5 = oracle-portable,
-    xxhash64 = cheap scale path, identical semantics).
-    """
-    mh = minhash_table(df, k, n, text_col, id_col, hash_fn)
-    cands = minhash_band_candidates(mh, k, bands, id_col)
-    ma = mh.select(F.col(id_col).alias("doc_a"), F.col("seed"), F.col("minhash").alias("mh_a"))
-    mb = mh.select(F.col(id_col).alias("doc_b"), F.col("seed"), F.col("minhash").alias("mh_b"))
+    estimated similarity = fraction of agreeing minhashes; filtered at
+    ``threshold``.  ``hash_fn`` as in :func:`minhash_signatures` (md5 =
+    oracle-portable, xxhash64 = cheap scale path, identical semantics).
+
+    r15 restructure (guide §2.4/§8, output-identical — oracle-verified):
+    the old flow referenced the minhash table THREE times (band self-join
+    a-side, b-side, plus a per-seed re-join to score candidates), and
+    Spark executed the shingle-explode + k·|shingles| hash pipeline for
+    every reference — 4 document scans, 11 exchanges, 8 SortAggregates.
+    Now: one :func:`minhash_signatures` pass, band keys projected from
+    the signature array, candidates generated WITHIN each band bucket
+    (:func:`_band_bucket_pairs`), and est_jaccard computed by zipping the
+    two signature arrays inside the pair constructor — 1 document scan,
+    3 exchanges, and the only remaining SortAggregate is the md5-string
+    min itself (bigint mins under ``hash_fn="xxhash64"`` make it a pure
+    HashAggregate).  Same pair appearing in several bands carries the
+    same est_jaccard, so ``distinct`` collapses it exactly as the old
+    candidate-distinct did."""
+    sig = minhash_signatures(df, k, n, text_col, id_col, hash_fn)
+    rows = band_rows(sig, k, bands, id_col, carry=["sig"])
+    pair_expr = (
+        f"named_struct('doc_a', x.{id_col}, 'doc_b', y.{id_col}, "
+        f"'est_jaccard', size(filter(zip_with(x.sig, y.sig, (u, v) -> u = v), "
+        f"b -> b)) / CAST({k} AS DOUBLE))"
+    )
     return (
-        cands.join(ma, "doc_a")
-        .join(mb, ["doc_b", "seed"])
-        .groupBy("doc_a", "doc_b")
-        .agg((F.sum(F.when(F.col("mh_a") == F.col("mh_b"), 1).otherwise(0)) / F.lit(float(k))).alias("est_jaccard"))
+        _band_bucket_pairs(rows, id_col, pair_expr, max_bucket)
         .filter(F.col("est_jaccard") >= threshold)
+        .distinct()
     )
 
 
@@ -316,9 +463,14 @@ def build_band_index(
     ``params`` stamps the signature recipe (k/bands/n/hash_fn) into every
     row: band keys built under DIFFERENT parameters never collide, so a
     mismatched probe would silently read as "no duplicates" —
-    :func:`incremental_neardup` validates the stamp and raises instead."""
-    idx = band_table(
-        minhash_table(df, k, n, text_col, id_col, hash_fn), k, bands, id_col
+    :func:`incremental_neardup` validates the stamp and raises instead.
+
+    r15: built from :func:`minhash_signatures` + :func:`band_rows` — one
+    aggregation instead of two (the legacy :func:`band_table` re-grouped
+    the per-seed rows with a collect_list); band keys are byte-identical,
+    so new probes keep matching indexes written by older rounds."""
+    idx = band_rows(
+        minhash_signatures(df, k, n, text_col, id_col, hash_fn), k, bands, id_col
     )
     return idx.withColumn("params", F.lit(_index_params(k, bands, n, hash_fn)))
 
@@ -390,12 +542,19 @@ def lsh_jaccard_verified(
     MinHash-banded-LSH candidate generation → EXACT Jaccard verify at
     ``threshold``, computed only on candidate pairs.
 
-    Cost shape: linear signature build + band-key equi-join candidates +
+    Cost shape: linear signature build + within-bucket candidate pairs +
     a verify join proportional to |candidates|, never |docs|² — the
     composition to run when exact-threshold semantics are required but an
-    uncapped shingle self-join cannot be afforded."""
-    mh = minhash_table(df, k, n, text_col, id_col)
-    cands = minhash_band_candidates(mh, k, bands, id_col)
+    uncapped shingle self-join cannot be afforded.
+
+    r15: candidates come from the one-pass signature/bucket path
+    (:func:`minhash_signatures` + :func:`_band_bucket_pairs`) instead of
+    a band-table self-join that executed the signature pipeline twice —
+    same distinct (doc_a < doc_b) candidate set, one document scan."""
+    sig = minhash_signatures(df, k, n, text_col, id_col)
+    rows = band_rows(sig, k, bands, id_col)
+    pair_expr = f"named_struct('doc_a', x.{id_col}, 'doc_b', y.{id_col})"
+    cands = _band_bucket_pairs(rows, id_col, pair_expr, 2048).distinct()
     sh = shingle_table(df, text_col, id_col, n)
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
     sa = sh.select(F.col(id_col).alias("doc_a"), "shingle")
