@@ -88,6 +88,66 @@ def shingle_table(
     )
 
 
+def _shingle_pair_counts(
+    df: DataFrame,
+    n: int,
+    text_col: str,
+    id_col: str,
+    max_shingle_df: int | None,
+) -> tuple[DataFrame, DataFrame]:
+    """(common, sizes) for the exact n-gram similarity family, via ONE
+    inverted-index aggregation instead of a shingle self-join (r15;
+    guide §2.4/§8).
+
+    The legacy shape referenced the shingle table four ways (hot-filter,
+    sizes, self-join a-side, b-side) and Spark planned — and executed —
+    the tokenize/explode/distinct pipeline for every reference: 8
+    document scans, 15 exchanges in the shipped queries.  Here the
+    shingle table is aggregated once into per-shingle doc-id buckets
+    (the inverted index); then
+
+    - the hot-shingle guard IS a bucket-size filter (bucket size ==
+      document frequency, so ``size(ids) <= max_shingle_df`` keeps
+      exactly the rows the old ``left_anti`` against the hot list kept),
+    - per-doc surviving-shingle counts re-explode the bucket table,
+    - candidate pairs are every ``i < j`` combination of the id-sorted
+      bucket via nested ``transform``/``slice`` — one row per shared
+      surviving shingle per pair, so ``count`` per (doc_a, doc_b) is
+      |A∩B| exactly as the old equi-join produced it (ids are unique
+      within a bucket because :func:`shingle_table` is distinct, and the
+      ascending sort makes doc_a < doc_b by construction).
+
+    The bucket table is still referenced twice (sizes + pairs) — 2
+    document scans total, down from 8.  With ``max_shingle_df=None``
+    (the documented small-corpus exact mode) a degenerate corpus-wide
+    shingle materializes its whole bucket in one row; at scale run with
+    the cap, same contract as before.
+    """
+    sh = shingle_table(df, text_col, id_col, n)
+    buckets = sh.groupBy("shingle").agg(
+        F.array_sort(F.collect_list(F.col(id_col))).alias("__ids")
+    )
+    if max_shingle_df is not None:
+        buckets = buckets.filter(F.size("__ids") <= max_shingle_df)
+    buckets = buckets.select("__ids")
+    sizes = (
+        buckets.select(F.explode("__ids").alias(id_col))
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("n_sh"))
+    )
+    pair_expr = (
+        "flatten(transform(__ids, (x, i) -> "
+        "transform(slice(__ids, i + 2, size(__ids)), "
+        "y -> named_struct('doc_a', x, 'doc_b', y))))"
+    )
+    common = (
+        buckets.select(F.explode(F.expr(pair_expr)).alias("p"))
+        .groupBy(F.col("p.doc_a").alias("doc_a"), F.col("p.doc_b").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    return common, sizes
+
+
 def ngram_jaccard_pairs(
     df: DataFrame,
     threshold: float = 0.8,
@@ -99,29 +159,15 @@ def ngram_jaccard_pairs(
     """Exact n-gram Jaccard near-dup pairs: ``|A∩B| / |A∪B| ≥ threshold``.
 
     ``max_shingle_df`` drops shingles appearing in more than that many
-    docs before the self-join — the standard guard against hot-shingle
+    docs before pair generation — the standard guard against hot-shingle
     candidate blowup at scale (exactness is preserved for any pair whose
     similarity survives on the remaining shingles; leave None for the
-    fully exact small-corpus mode).
+    fully exact small-corpus mode).  r15: intersection counts come from
+    the one-pass inverted index (:func:`_shingle_pair_counts`) instead
+    of a shingle self-join — identical output, 2 document scans instead
+    of 8.
     """
-    sh = shingle_table(df, text_col, id_col, n)
-    if max_shingle_df is not None:
-        hot = (
-            sh.groupBy("shingle")
-            .agg(F.count(F.lit(1)).alias("df_"))
-            .filter(F.col("df_") > max_shingle_df)
-            .select("shingle")
-        )
-        sh = sh.join(hot, "shingle", "left_anti")
-    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
-    a = sh.select(F.col(id_col).alias("doc_a"), "shingle")
-    b = sh.select(F.col(id_col).alias("doc_b"), "shingle")
-    common = (
-        a.join(b, "shingle")
-        .filter(F.col("doc_a") < F.col("doc_b"))
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count(F.lit(1)).alias("n_common"))
-    )
+    common, sizes = _shingle_pair_counts(df, n, text_col, id_col, max_shingle_df)
     return (
         common.join(sizes.withColumnRenamed(id_col, "doc_a").withColumnRenamed("n_sh", "n_a"), "doc_a")
         .join(sizes.withColumnRenamed(id_col, "doc_b").withColumnRenamed("n_sh", "n_b"), "doc_b")
@@ -149,27 +195,10 @@ def ngram_containment_pairs(
     200-shingle doc fully contained in a 2000-shingle doc has Jaccard
     0.1 but containment 1.0.  Emits (doc_a, doc_b, containment,
     contained) with ``contained`` = the id of the smaller side (ties →
-    the higher id, matching the min-id keep rule).  Same shingle
-    self-join shape and hot-shingle guard as
-    :func:`ngram_jaccard_pairs`; run on LSH candidates at scale."""
-    sh = shingle_table(df, text_col, id_col, n)
-    if max_shingle_df is not None:
-        hot = (
-            sh.groupBy("shingle")
-            .agg(F.count(F.lit(1)).alias("df_"))
-            .filter(F.col("df_") > max_shingle_df)
-            .select("shingle")
-        )
-        sh = sh.join(hot, "shingle", "left_anti")
-    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
-    a = sh.select(F.col(id_col).alias("doc_a"), "shingle")
-    b = sh.select(F.col(id_col).alias("doc_b"), "shingle")
-    common = (
-        a.join(b, "shingle")
-        .filter(F.col("doc_a") < F.col("doc_b"))
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count(F.lit(1)).alias("n_common"))
-    )
+    the higher id, matching the min-id keep rule).  Same one-pass
+    inverted-index shape and hot-shingle guard as
+    :func:`ngram_jaccard_pairs` (r15); run on LSH candidates at scale."""
+    common, sizes = _shingle_pair_counts(df, n, text_col, id_col, max_shingle_df)
     return (
         common.join(
             sizes.withColumnRenamed(id_col, "doc_a").withColumnRenamed("n_sh", "n_a"),
