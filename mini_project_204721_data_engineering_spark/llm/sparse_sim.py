@@ -62,6 +62,49 @@ from mini_project_204721_data_engineering_spark.llm.text import tokens
 __all__ = ["doc_tf_vectors", "sparse_cosine_join"]
 
 
+def _weighted_tf(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    weighting: str,
+) -> DataFrame:
+    """Un-normalized weighted tf rows ``(id, term, w, __df)`` with the
+    term's document frequency ATTACHED (r16; guide §2.3/§2.4): ``__df``
+    is aggregated once and serves BOTH consumers — the smoothed-idf
+    weight (``weighting="tfidf"``) and the prefix-filter's
+    rarest-term-first ordering — where the r15 shape aggregated the
+    vocabulary twice (once inside :func:`doc_tf_vectors`, once inside
+    :func:`sparse_cosine_join`) and paid the vocab join twice."""
+    if weighting not in ("tf", "tfidf"):
+        raise ValueError(f"weighting must be 'tf' or 'tfidf', got {weighting!r}")
+    tok = docs.select(
+        F.col(id_col).alias("id"), F.explode(tokens(F.col(text_col))).alias("term")
+    ).filter(F.col("term") != "")
+    tf = tok.groupBy("id", "term").agg(
+        F.count(F.lit(1)).cast("double").alias("w")
+    )
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("__df"))
+    wtf = tf.join(dfreq, "term")
+    if weighting == "tfidf":
+        n = docs.agg(F.count(F.lit(1)).cast("double").alias("__n"))
+        wtf = wtf.crossJoin(F.broadcast(n)).select(
+            "id",
+            "term",
+            "__df",
+            (
+                F.col("w")
+                * (
+                    F.log(
+                        (F.col("__n") + 1.0)
+                        / (F.col("__df").cast("double") + 1.0)
+                    )
+                    + 1.0
+                )
+            ).alias("w"),
+        )
+    return wtf
+
+
 def doc_tf_vectors(
     docs: DataFrame,
     id_col: str = "doc_id",
@@ -138,31 +181,76 @@ def sparse_cosine_join(
     docstring's completeness theorem); ``False`` runs the plain
     inverted-index join — complete for any threshold > 0 because a
     qualifying pair must share a term — used as the in-repo oracle.
-    ``persist_vectors=True`` caches the normalized vectors
-    (MEMORY_AND_DISK) so the flag/candidate/verify stages share ONE
-    tokenize+normalize pass — the mandatory setting at corpus scale
-    (three full text scans otherwise), same contract as
-    ``tfidf_topk(persist_tf=)``.  The cache is tf-table-sized.
+    ``persist_vectors=True`` materializes the flagged vectors ONCE —
+    ``localCheckpoint`` on the prefix path (truncating the lineage so
+    the index/probe/verify consumers read the result instead of
+    re-planning the whole tokenize+weight+window build per reference —
+    guide §3.3), plain MEMORY_AND_DISK persist on the brute path — the
+    mandatory setting at corpus scale (three full text scans
+    otherwise), same contract as ``tfidf_topk(persist_tf=)``.  The
+    materialized table is tf-table-sized.
     ``weighting`` selects raw-tf or smoothed-tfidf vectors (see
     :func:`doc_tf_vectors`); the completeness theorem is
     weighting-agnostic — it only needs L2-normalized vectors."""
     if not 0.0 < threshold <= 1.0:
         raise ValueError(f"threshold must be in (0, 1], got {threshold}")
-    vec = doc_tf_vectors(docs, id_col, text_col, weighting=weighting)
-    if persist_vectors:
-        from pyspark import StorageLevel
-
-        vec = vec.persist(StorageLevel.MEMORY_AND_DISK)
 
     if prefix_filter:
-        dfreq = vec.groupBy("term").agg(F.count(F.lit(1)).alias("__df"))
+        # r16 one-pass vector build (guide §2.3/§2.4): the r15 shape
+        # normalized in one window (doc_tf_vectors), re-aggregated the
+        # vocabulary for the prefix ordering, joined it back, and ran a
+        # SECOND id-keyed window for the suffix norms — and, because
+        # `flagged` is referenced by both join sides plus the packed
+        # verify vectors, Spark re-planned that whole chain per
+        # reference (37 Exchanges / 18 scans in the shipped tfidf
+        # query).  Now: ONE vocab aggregate feeds idf and ordering
+        # (_weighted_tf), the full norm and the suffix norm come out of
+        # ONE id-partitioned window pass (same exchange, same sort),
+        # and `persist_vectors=True` localCheckpoints the flagged
+        # vectors so every downstream consumer reads the materialized
+        # result instead of replaying the build — the guide §3.3
+        # lineage-truncation cure for multi-reference plans.
+        wtf = _weighted_tf(docs, id_col, text_col, weighting)
         ordw = Window.partitionBy("id").orderBy(
             F.col("__df").asc(), F.col("term").asc()
         )
-        suffix = ordw.rowsBetween(Window.currentRow, Window.unboundedFollowing)
-        flagged = vec.join(dfreq, "term").withColumn(
-            "__suffix_norm", F.sqrt(F.sum(F.col("w") * F.col("w")).over(suffix))
+        full = ordw.rowsBetween(
+            Window.unboundedPreceding, Window.unboundedFollowing
         )
+        suffix = ordw.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+        flagged = (
+            wtf.withColumn(
+                "w",
+                F.col("w") / F.sqrt(F.sum(F.col("w") * F.col("w")).over(full)),
+            )
+            .withColumn(
+                "__suffix_norm",
+                F.sqrt(F.sum(F.col("w") * F.col("w")).over(suffix)),
+            )
+            .select("id", "term", "w", "__suffix_norm")
+        )
+        if persist_vectors:
+            # Materialize ONCE and truncate lineage (guide §3.3).  The
+            # checkpoint freezes the window stage's AQE-coalesced layout
+            # — at demo scale that is ~1 partition (the vector table is
+            # a few MB), which would serialize the candidate join whose
+            # OUTPUT is orders of magnitude larger than its input
+            # (measured: the whole downstream ran in one task, 4× slower
+            # than the r15 shape).  Restore parallelism only when the
+            # frozen layout is narrower than the cluster default — at
+            # real scale the window stage already has ≥ parallelism
+            # partitions and this is a no-op, so it is not a local-only
+            # constant, it is a floor against small-input collapse.
+            flagged = flagged.localCheckpoint(eager=True)
+            sc = docs.sparkSession.sparkContext
+            if flagged.rdd.getNumPartitions() < sc.defaultParallelism:
+                # hash by TERM, not round-robin: the candidate join is
+                # term-keyed, and term co-location makes the candidate
+                # distinct's PARTIAL aggregate collapse a pair's
+                # duplicate rows (one per shared term) before the
+                # exchange — measured 23.2M vs 52.7M shuffled rows on
+                # the sf0.1 probe (§2.3 "aggregate before you shuffle").
+                flagged = flagged.repartition(sc.defaultParallelism, "term")
         index_side = flagged.filter(
             F.col("__suffix_norm") >= F.lit(float(threshold))
         ).select(
@@ -200,7 +288,7 @@ def sparse_cosine_join(
         # map entries — |candidates| rows through the shuffle, never the
         # |candidates| × doc-length exploded 3-way-join form (measured
         # 1.6× slower end-to-end at the 30k-doc sparsesim probe)
-        packed = vec.groupBy("id").agg(
+        packed = flagged.groupBy("id").agg(
             F.map_from_entries(
                 F.collect_list(F.struct("term", "w"))
             ).alias("__m")
@@ -229,6 +317,11 @@ def sparse_cosine_join(
             )
         )
     else:
+        vec = doc_tf_vectors(docs, id_col, text_col, weighting=weighting)
+        if persist_vectors:
+            from pyspark import StorageLevel
+
+            vec = vec.persist(StorageLevel.MEMORY_AND_DISK)
         v1 = vec.select(F.col("id").alias("id_1"), "term", F.col("w").alias("__w1"))
         v2 = vec.select(F.col("id").alias("id_2"), "term", F.col("w").alias("__w2"))
         sims = (
