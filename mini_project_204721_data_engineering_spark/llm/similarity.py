@@ -299,22 +299,31 @@ def seeded_two_level(
     members are its SUB centroids.  Returns (supers(cell, cv),
     subs(super_cell, cell, cv)) for :func:`assign_cells_two_level`.
 
-    Cost note: sub-seed selection runs ONE keyed window over the corpus
-    (a shuffle by super cell) — a one-time seeding cost, not per-query.
-    At extreme corpus sizes, seed from a hash-sampled slice instead
+    Cost note (r16, guide §8 — decide with small rows): sub-seed
+    selection windows over ``(id, super)`` PROXY rows only — the
+    min-id-per-super decision never needs the vectors, so the keyed
+    shuffle carries ~16 bytes/row instead of the full embedding — and
+    the ≤ k1·k2 winning seed vectors are fetched back with a broadcast
+    semi-join against the corpus (no shuffle of the corpus).  A
+    one-time seeding cost, not per-query.  At extreme corpus sizes,
+    seed from a hash-sampled slice instead
     (``operators.sampling.hash_sample``) — seeds only need to span the
     distribution, and a deterministic sample keeps reproducibility."""
     supers = seeded_centroids(corpus, ncells=k1, id_col=id_col, vec_col=vec_col)
     s1 = assign_cells_bcast(corpus, supers, id_col, vec_col, cell_col="__super")
     w = Window.partitionBy("__super").orderBy(F.col(id_col).asc())
-    subs = (
-        s1.withColumn("__r", F.row_number().over(w))
+    sub_ids = (
+        s1.select(id_col, "__super")
+        .withColumn("__r", F.row_number().over(w))
         .filter(F.col("__r") <= k2)
-        .select(
-            F.col("__super").alias("super_cell"),
-            F.col(id_col).alias("cell"),
-            as_double(vec_col).alias("cv"),
-        )
+        .select(F.col("__super").alias("super_cell"), F.col(id_col).alias("__sid"))
+    )
+    subs = corpus.join(
+        F.broadcast(sub_ids), F.col(id_col) == F.col("__sid")
+    ).select(
+        "super_cell",
+        F.col(id_col).alias("cell"),
+        as_double(vec_col).alias("cv"),
     )
     return supers, subs
 

@@ -1411,7 +1411,15 @@ def semantic_dedup_two_level(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     supers, subs = seeded_two_level(emb, k1=4, k2=4)
-    cells = assign_cells_two_level(emb, supers, subs)
+    # r16 (guide §2.4/§3.3): semantic_dedup references its cells THREE
+    # times (pair a-side, b-side, survivor anti-join spine) and Spark
+    # re-planned the whole two-level quantizer chain per reference (34
+    # Exchange sections / 12 scans).  localCheckpoint materializes the
+    # assignment once and truncates the lineage; every consumer reads
+    # the (id, embedding, cell) result.  Downstream work repartitions
+    # immediately on its own join keys (cell / vec_id), so no
+    # parallelism floor is needed on the checkpoint itself.
+    cells = assign_cells_two_level(emb, supers, subs).localCheckpoint(eager=False)
     return semantic_dedup(emb, threshold=0.40, cells_df=cells).select("vec_id", "cell")
 
 
