@@ -88,6 +88,14 @@ def shingle_table(
     )
 
 
+#: hot-bucket refusal for the inverted-index pair expansion when
+#: ``max_shingle_df`` does not already bound bucket size: C(2048, 2) ≈ 2M
+#: pair structs ≈ tens of MB in one expression evaluation — the largest
+#: single-row allocation worth permitting before refusing loudly (same
+#: contract as ``_band_bucket_pairs``'s ``max_bucket``).
+_SHINGLE_PAIR_MAX_BUCKET = 2048
+
+
 def _shingle_pair_counts(
     df: DataFrame,
     n: int,
@@ -120,8 +128,15 @@ def _shingle_pair_counts(
     The bucket table is still referenced twice (sizes + pairs) — 2
     document scans total, down from 8.  With ``max_shingle_df=None``
     (the documented small-corpus exact mode) a degenerate corpus-wide
-    shingle materializes its whole bucket in one row; at scale run with
-    the cap, same contract as before.
+    shingle would materialize all C(m, 2) pairs of its bucket as ONE
+    in-memory array — where the legacy self-join degraded gracefully
+    across rows — so that mode carries the same loud hot-bucket refusal
+    as :func:`_band_bucket_pairs` (ADVICE r15): a bucket over
+    ``_SHINGLE_PAIR_MAX_BUCKET`` docs raises, naming the cure
+    (``max_shingle_df``), instead of OOMing an executor.  When
+    ``max_shingle_df`` already bounds every bucket at or under the
+    refusal threshold the guard is statically unreachable and is left
+    out of the plan entirely.
     """
     sh = shingle_table(df, text_col, id_col, n)
     buckets = sh.groupBy("shingle").agg(
@@ -135,8 +150,18 @@ def _shingle_pair_counts(
         .groupBy(id_col)
         .agg(F.count(F.lit(1)).alias("n_sh"))
     )
+    if max_shingle_df is None or max_shingle_df > _SHINGLE_PAIR_MAX_BUCKET:
+        ids = (
+            f"CASE WHEN size(__ids) > {_SHINGLE_PAIR_MAX_BUCKET} THEN "
+            f"raise_error(concat('shingle bucket of ', size(__ids), "
+            f"' docs exceeds {_SHINGLE_PAIR_MAX_BUCKET}: pass "
+            f"max_shingle_df to cap hot shingles before pair "
+            f"generation')) ELSE __ids END"
+        )
+    else:
+        ids = "__ids"
     pair_expr = (
-        "flatten(transform(__ids, (x, i) -> "
+        f"flatten(transform({ids}, (x, i) -> "
         "transform(slice(__ids, i + 2, size(__ids)), "
         "y -> named_struct('doc_a', x, 'doc_b', y))))"
     )
@@ -246,19 +271,31 @@ def minhash_signatures(
     ``hash_fn``: ``"md5"`` (default) is engine-portable — the DuckDB
     oracles mirror it verbatim, and min(string) keeps the aggregation in
     SortAggregate (string buffers are not hash-mutable — the inherent
-    price of exact md5 semantics; the partial sort is cheap because the
-    explode emits same-doc rows consecutively).  ``"xxhash64"`` is the
-    100 TB path — hashing |docs|·|shingles|·k values dominates, xxhash64
-    is measurably cheaper at identical LSH semantics, AND its bigint
-    mins make this a pure HashAggregate (tools/scale_probe.py measures
-    the gap, tests prove both paths find the same planted dups).
+    price of exact md5-STRING semantics; the partial sort is cheap
+    because the explode emits same-doc rows consecutively).
+    ``"md5_bigint"`` (r16) is the engine-portable path WITHOUT that
+    SortAggregate: the first 15 hex chars of the same md5 parsed as a
+    60-bit BIGINT — order-isomorphic to the md5 string (fixed-length
+    lowercase hex sorts lexicographically == numerically; ties need a
+    60-bit prefix collision), so the same shingle wins every per-seed
+    min, and the fixed-width min buffer hash-aggregates.  DuckDB
+    mirrors it as ``CAST(concat('0x', substr(md5(..),1,15)) AS
+    BIGINT)`` (cross-engine equality pinned in tests).  ``"xxhash64"``
+    is the 100 TB path — hashing |docs|·|shingles|·k values dominates,
+    xxhash64 is measurably cheaper at identical LSH semantics, also
+    pure HashAggregate (tools/scale_probe.py measures the gap, tests
+    prove all paths find the same planted dups).
     """
-    if hash_fn not in ("md5", "xxhash64"):
+    if hash_fn not in ("md5", "md5_bigint", "xxhash64"):
         raise ValueError(f"unknown hash_fn {hash_fn!r}")
 
     def h(seed: int) -> Column:
         salted = F.concat_ws("|", F.lit(str(seed)), F.col("shingle"))
-        return F.md5(salted) if hash_fn == "md5" else F.xxhash64(salted)
+        if hash_fn == "md5":
+            return F.md5(salted)
+        if hash_fn == "md5_bigint":
+            return F.conv(F.substring(F.md5(salted), 1, 15), 16, 10).cast("bigint")
+        return F.xxhash64(salted)
 
     raw = df.select(F.col(id_col), tokens(F.col(text_col)).alias("toks")).select(
         F.col(id_col), F.explode(shingles("toks", n)).alias("shingle")
@@ -291,6 +328,22 @@ def minhash_table(
     )
 
 
+def _check_band_params(k: int, bands: int) -> None:
+    """Reject (k, bands) combinations whose band keys would silently
+    mismatch a persisted index (see :func:`band_rows`)."""
+    if k % bands != 0:
+        raise ValueError(
+            f"k={k} must be divisible by bands={bands}: a remainder band "
+            "would be dropped by the projection-built keys and silently "
+            "never match an aggregation-built index"
+        )
+    if k > 100:
+        raise ValueError(
+            f"k={k} exceeds 100: the 2-digit seed prefix that keeps band-"
+            "key entry order == seed order truncates at 3 digits"
+        )
+
+
 def _band_key(sig_col: str, band: int, rows_per_band: int) -> Column:
     """The band-``band`` key derived directly from a signature array —
     byte-identical to the legacy collect_list/array_sort construction:
@@ -317,7 +370,17 @@ def band_rows(
     """(id, band, band_key, *carry) from a :func:`minhash_signatures`
     table — band keys are pure projections of the signature array (no
     second aggregation; the legacy :func:`band_table` needed a
-    collect_list per (id, band))."""
+    collect_list per (id, band)).
+
+    Byte-identical band keys are a stated index contract
+    (:func:`build_band_index` probes persisted indexes), so the two
+    parameter regimes where projection- and aggregation-built keys could
+    silently diverge are REJECTED here and in :func:`band_table` (ADVICE
+    r15): ``k % bands != 0`` (the legacy path emitted a remainder band;
+    this path would drop those seeds) and ``k > 100`` (the 2-digit seed
+    prefix that makes sorted order == seed order truncates at 3
+    digits)."""
+    _check_band_params(k, bands)
     rows_per_band = k // bands
     entries = F.explode(
         F.array(
@@ -346,7 +409,10 @@ def band_table(
 ) -> DataFrame:
     """(id, band, band_key) from a minhash table — the banded-LSH index
     rows.  Persisted (partitioned/bucketed on ``(band, band_key)``) this
-    IS the incremental near-dup index a growing corpus maintains."""
+    IS the incremental near-dup index a growing corpus maintains.
+    Rejects the same (k, bands) regimes as :func:`band_rows` so the two
+    constructions stay byte-compatible."""
+    _check_band_params(k, bands)
     rows_per_band = k // bands
     return (
         mh.withColumn("band", (F.col("seed") / rows_per_band).cast("int"))
@@ -566,6 +632,8 @@ def lsh_jaccard_verified(
     threshold: float = 0.8,
     text_col: str = "text",
     id_col: str = "doc_id",
+    hash_fn: str = "md5",
+    max_bucket: int = 2048,
 ) -> DataFrame:
     """The canonical two-stage near-dup pipeline at corpus scale:
     MinHash-banded-LSH candidate generation → EXACT Jaccard verify at
@@ -579,11 +647,17 @@ def lsh_jaccard_verified(
     r15: candidates come from the one-pass signature/bucket path
     (:func:`minhash_signatures` + :func:`_band_bucket_pairs`) instead of
     a band-table self-join that executed the signature pipeline twice —
-    same distinct (doc_a < doc_b) candidate set, one document scan."""
-    sig = minhash_signatures(df, k, n, text_col, id_col)
+    same distinct (doc_a < doc_b) candidate set, one document scan.
+    ``hash_fn`` as in :func:`minhash_signatures` (it only shapes the
+    candidate set; the exact verify is hash-agnostic); ``max_bucket``
+    is the hot-bucket refusal threshold, parameterized here exactly as
+    in :func:`minhash_lsh_pairs` (ADVICE r15) so callers with a
+    legitimately hot corpus can raise it without editing library
+    code."""
+    sig = minhash_signatures(df, k, n, text_col, id_col, hash_fn)
     rows = band_rows(sig, k, bands, id_col)
     pair_expr = f"named_struct('doc_a', x.{id_col}, 'doc_b', y.{id_col})"
-    cands = _band_bucket_pairs(rows, id_col, pair_expr, 2048).distinct()
+    cands = _band_bucket_pairs(rows, id_col, pair_expr, max_bucket).distinct()
     sh = shingle_table(df, text_col, id_col, n)
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
     sa = sh.select(F.col(id_col).alias("doc_a"), "shingle")

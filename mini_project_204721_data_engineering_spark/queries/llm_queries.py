@@ -133,22 +133,29 @@ WHERE n_common * 1.0 / least(x.n_sh, y.n_sh) >= 0.8
 
 
 def minhash_lsh_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash(k=8) + 4-band LSH candidates with estimated similarity."""
+    """MinHash(k=8) + 4-band LSH candidates with estimated similarity.
+
+    r16: ``hash_fn="md5_bigint"`` — the same md5, min-ed as its 60-bit
+    hex-prefix BIGINT (order-isomorphic to the string min; see
+    llm/dedup.py::minhash_signatures), which turns the signature
+    aggregation from SortAggregate into HashAggregate.  The oracle
+    mirrors the truncation bit-for-bit."""
     docs = load_table(spark, sf_dir, "documents")
-    return minhash_lsh_pairs(docs, k=8, bands=4, threshold=0.5)
+    return minhash_lsh_pairs(docs, k=8, bands=4, threshold=0.5, hash_fn="md5_bigint")
 
 
 MINHASH_LSH_DUPS_SQL = f"""
 WITH {_DUCK_SHINGLES},
 mh AS (
-  SELECT doc_id, seed, min(md5(seed::VARCHAR || '|' || shingle)) AS minhash
+  SELECT doc_id, seed,
+         min(CAST(concat('0x', substr(md5(seed::VARCHAR || '|' || shingle), 1, 15)) AS BIGINT)) AS minhash
   FROM sh CROSS JOIN (SELECT * FROM range(8) t(seed))
   GROUP BY doc_id, seed
 ),
 band AS (
   SELECT doc_id, CAST(seed // 2 AS INT) AS band,
-         string_agg(lpad(seed::VARCHAR, 2, '0') || ':' || minhash, '|'
-                    ORDER BY lpad(seed::VARCHAR, 2, '0') || ':' || minhash) AS band_key
+         string_agg(lpad(seed::VARCHAR, 2, '0') || ':' || minhash::VARCHAR, '|'
+                    ORDER BY lpad(seed::VARCHAR, 2, '0') || ':' || minhash::VARCHAR) AS band_key
   FROM mh GROUP BY 1, 2
 ),
 cands AS (
@@ -173,20 +180,23 @@ def lsh_jaccard_verified_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     from mini_project_204721_data_engineering_spark.llm.dedup import lsh_jaccard_verified
 
     docs = load_table(spark, sf_dir, "documents")
-    return lsh_jaccard_verified(docs, k=8, bands=4, threshold=0.8)
+    return lsh_jaccard_verified(
+        docs, k=8, bands=4, threshold=0.8, hash_fn="md5_bigint"
+    )
 
 
 LSH_JACCARD_VERIFIED_SQL = f"""
 WITH {_DUCK_SHINGLES},
 mh AS (
-  SELECT doc_id, seed, min(md5(seed::VARCHAR || '|' || shingle)) AS minhash
+  SELECT doc_id, seed,
+         min(CAST(concat('0x', substr(md5(seed::VARCHAR || '|' || shingle), 1, 15)) AS BIGINT)) AS minhash
   FROM sh CROSS JOIN (SELECT * FROM range(8) t(seed))
   GROUP BY doc_id, seed
 ),
 band AS (
   SELECT doc_id, CAST(seed // 2 AS INT) AS band,
-         string_agg(lpad(seed::VARCHAR, 2, '0') || ':' || minhash, '|'
-                    ORDER BY lpad(seed::VARCHAR, 2, '0') || ':' || minhash) AS band_key
+         string_agg(lpad(seed::VARCHAR, 2, '0') || ':' || minhash::VARCHAR, '|'
+                    ORDER BY lpad(seed::VARCHAR, 2, '0') || ':' || minhash::VARCHAR) AS band_key
   FROM mh GROUP BY 1, 2
 ),
 cands AS (

@@ -711,6 +711,88 @@ def test_minhash_xxhash64_path_same_planted_dups(spark):
     assert xx_pairs == md5_pairs
 
 
+def test_minhash_md5_bigint_identical_output_and_hash_aggregates(spark):
+    """r16 md5_bigint path: (a) each signature entry IS the 60-bit hex
+    prefix of the md5-string entry (the min picked the same shingle —
+    order isomorphism realized, not just argued); (b) the LSH pairs
+    match the md5 path value-for-value including est_jaccard; (c) the
+    signature aggregation hash-aggregates (no SortAggregate — the whole
+    point of the truncation)."""
+    from mini_project_204721_data_engineering_spark.llm.dedup import (
+        minhash_lsh_pairs,
+        minhash_signatures,
+    )
+
+    s_str = {
+        r["doc_id"]: r["sig"]
+        for r in minhash_signatures(_docs_df(spark), hash_fn="md5").collect()
+    }
+    s_big = {
+        r["doc_id"]: r["sig"]
+        for r in minhash_signatures(_docs_df(spark), hash_fn="md5_bigint").collect()
+    }
+    assert set(s_str) == set(s_big)
+    for d, sig in s_str.items():
+        assert [int(h[:15], 16) for h in sig] == list(s_big[d])
+
+    md5_pairs = sorted(
+        map(tuple, minhash_lsh_pairs(_docs_df(spark), threshold=0.5).collect())
+    )
+    big_pairs_df = minhash_lsh_pairs(
+        _docs_df(spark), threshold=0.5, hash_fn="md5_bigint"
+    )
+    assert sorted(map(tuple, big_pairs_df.collect())) == md5_pairs
+    plan = big_pairs_df._jdf.queryExecution().executedPlan().toString()
+    assert "SortAggregate" not in plan
+
+
+def test_band_params_rejected_when_keys_would_diverge(spark):
+    """ADVICE r15: k % bands != 0 (legacy remainder band) and k > 100
+    (2-digit seed prefix truncation) would silently build band keys that
+    never match a persisted index — both must raise."""
+    import pytest as _pytest
+
+    from mini_project_204721_data_engineering_spark.llm.dedup import (
+        band_rows,
+        band_table,
+        minhash_signatures,
+        minhash_table,
+    )
+
+    sig = minhash_signatures(_docs_df(spark), k=8)
+    with _pytest.raises(ValueError, match="divisible"):
+        band_rows(sig, k=8, bands=3)
+    with _pytest.raises(ValueError, match="exceeds 100"):
+        band_rows(sig, k=104, bands=4)
+    mh = minhash_table(_docs_df(spark), k=8)
+    with _pytest.raises(ValueError, match="divisible"):
+        band_table(mh, k=8, bands=3)
+
+
+def test_shingle_pair_hot_bucket_guard(spark, monkeypatch):
+    """ADVICE r15 (medium): with max_shingle_df=None a corpus-wide
+    shingle would materialize C(m,2) pairs as ONE array; the inverted-
+    index path must refuse loudly past _SHINGLE_PAIR_MAX_BUCKET instead
+    of OOMing, while a max_shingle_df at or under the threshold keeps
+    the guard out of the plan entirely."""
+    import pytest as _pytest
+
+    from mini_project_204721_data_engineering_spark.llm import dedup as _d
+
+    docs = spark.createDataFrame(
+        [(i, "common shingle text here") for i in range(1, 6)],
+        "doc_id long, text string",
+    )
+    monkeypatch.setattr(_d, "_SHINGLE_PAIR_MAX_BUCKET", 3)
+    with _pytest.raises(Exception, match="max_shingle_df"):
+        _d.ngram_jaccard_pairs(docs, threshold=0.1, max_shingle_df=None).collect()
+    # a cap at/under the refusal threshold bounds every bucket: no guard
+    capped = _d.ngram_jaccard_pairs(docs, threshold=0.1, max_shingle_df=3)
+    plan = capped._jdf.queryExecution().executedPlan().toString()
+    assert "raise_error" not in plan
+    assert capped.count() == 0  # the hot shingle was dropped by the cap
+
+
 def test_duplicate_spans_hashed_equals_string_grams(spark):
     """The xxhash64 gram compression (8-B shuffle keys instead of
     ~50-100 B gram strings) must produce identical spans to the
