@@ -215,8 +215,13 @@ def dedup_first_event(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
     anchor = F.lit("1970-01-01 00:00:00").cast(dict(ev.dtypes)["ts"])
     micros = F.timestamp_diff("MICROSECOND", anchor, F.col("ts"))
+    # events.ts is non-null by construction; make the packed-min
+    # precondition explicit (ADVICE r15 — min(packed) skips NULL order
+    # keys where min(struct) ranked them first), same as daily_ohlc.
     first = dedup_keep_first_packed(
-        ev.select("user_id", "event_type", "ts", "event_id"),
+        ev.filter(F.col("ts").isNotNull()).select(
+            "user_id", "event_type", "ts", "event_id"
+        ),
         ["user_id", "event_type"],
         micros,
         "event_id",
