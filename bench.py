@@ -161,6 +161,7 @@ def main() -> None:
     load_start = os.getloadavg()
     timings: dict[str, float] = {}
     run_totals: list[float] = []
+    converged = False
     for i in range(max_passes):
         pass_t: dict[str, float] = {}
         for name in HEADLINE:
@@ -179,6 +180,7 @@ def main() -> None:
         for name, sec in pass_t.items():
             timings[name] = min(timings.get(name, sec), sec)
         if _converged(run_totals, repeats, tol, stable):
+            converged = True
             best = min(run_totals)
             print(
                 f"# converged after {i + 1} passes (best {best:.3f}s, "
@@ -187,6 +189,17 @@ def main() -> None:
                 file=sys.stderr,
             )
             break
+    if not converged:
+        # r16 (VERDICT r15 #2): a cap-out is as suspicious as a cooldown
+        # timeout — the runs array never flattened, so the per-query mins
+        # may still be descending toward the plan's real floor.  Say so
+        # as loudly on stderr as in the JSON ("converged": false).
+        print(
+            f"# CAP-OUT: {max_passes} passes without convergence "
+            f"(runs still descending: {run_totals}); treat this reading "
+            "as an upper bound, not the plan cost",
+            file=sys.stderr,
+        )
 
     total = round(sum(timings.values()), 3)
     # round-over-round comparability (ADVICE r2): the 17-query headline set
@@ -210,6 +223,13 @@ def main() -> None:
                 "load_avg_start": [round(v, 2) for v in load_start],
                 "load_avg_end": [round(v, 2) for v in os.getloadavg()],
                 "cooldown_timeout": cooldown_timeout,
+                # self-describing run parameters (VERDICT r15 #2): the
+                # effective master/core count proves $SPARK_GRAFT_CPUS was
+                # honored, and a non-converged (capped-out) runs array is
+                # flagged as loudly as a cooldown timeout.
+                "cpus": ncpu,
+                "master": spark.sparkContext.master,
+                "converged": converged,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }
         )
