@@ -658,7 +658,13 @@ def lsh_jaccard_verified(
     rows = band_rows(sig, k, bands, id_col)
     pair_expr = f"named_struct('doc_a', x.{id_col}, 'doc_b', y.{id_col})"
     cands = _band_bucket_pairs(rows, id_col, pair_expr, max_bucket).distinct()
-    sh = shingle_table(df, text_col, id_col, n)
+    # r16 (guide §3.3): the verify stage consumes the shingle table three
+    # ways (per-doc sizes, join a-side, join b-side) and re-planned the
+    # tokenize+explode+distinct pipeline per reference (3 of this
+    # pipeline's 5 document scans).  Materialize it once; every consumer
+    # re-exchanges on its own join key immediately, so the checkpoint's
+    # frozen layout only affects trivially-small map-side reads.
+    sh = shingle_table(df, text_col, id_col, n).localCheckpoint(eager=False)
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
     sa = sh.select(F.col(id_col).alias("doc_a"), "shingle")
     sb = sh.select(F.col(id_col).alias("doc_b"), "shingle")
