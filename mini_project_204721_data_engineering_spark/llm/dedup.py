@@ -661,10 +661,20 @@ def lsh_jaccard_verified(
     # r16 (guide §3.3): the verify stage consumes the shingle table three
     # ways (per-doc sizes, join a-side, join b-side) and re-planned the
     # tokenize+explode+distinct pipeline per reference (3 of this
-    # pipeline's 5 document scans).  Materialize it once; every consumer
-    # re-exchanges on its own join key immediately, so the checkpoint's
-    # frozen layout only affects trivially-small map-side reads.
-    sh = shingle_table(df, text_col, id_col, n).localCheckpoint(eager=False)
+    # pipeline's 5 document scans).  Materialize it once.  The explicit
+    # fixed-width repartition by id pins the checkpoint's layout: AQE
+    # would coalesce the distinct's exchange to ~1 partition at demo
+    # scale (it sizes by input bytes), serializing the checkpoint build
+    # and every consumer's map side; id-hashing also lets the per-doc
+    # sizes aggregate reuse the partitioning (no exchange), and N =
+    # spark.sql.shuffle.partitions is the operator-owned scale knob,
+    # not a local constant.
+    n_shuffle = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    sh = (
+        shingle_table(df, text_col, id_col, n)
+        .repartition(n_shuffle, id_col)
+        .localCheckpoint(eager=False)
+    )
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
     sa = sh.select(F.col(id_col).alias("doc_a"), "shingle")
     sb = sh.select(F.col(id_col).alias("doc_b"), "shingle")

@@ -211,6 +211,31 @@ def sparse_cosine_join(
         # result instead of replaying the build — the guide §3.3
         # lineage-truncation cure for multi-reference plans.
         wtf = _weighted_tf(docs, id_col, text_col, weighting)
+        if persist_vectors:
+            # Explicit fixed-width hash repartition by id IN PLACE of the
+            # window's own exchange (the window needs hash(id), so this
+            # adds no shuffle — it replaces one).  Rationale, measured
+            # the hard way: AQE sizes the window exchange by its INPUT
+            # (a few MB at demo scale → 1 partition), but this exchange
+            # feeds a checkpoint whose frozen layout outlives AQE's
+            # local view — the whole vector build, the checkpoint write
+            # and every broadcast build downstream ran single-task on
+            # the critical path (+6 s wall at sf0.1 while executor time
+            # was EQUAL to r15's).  A user repartition with explicit N
+            # is exempt from AQE coalescing; N = spark.sql.shuffle.
+            # partitions, the operator-owned scale knob (== cores
+            # locally, the cluster-sized value in production), exactly
+            # the width this exchange would have without coalescing.
+            # Id-partitioning also keeps the candidate join's output
+            # co-located by the probe id, so the distinct's PARTIAL
+            # aggregate collapses a pair's duplicate rows to at most 2
+            # (one per orientation) before the exchange — measured
+            # 23.2M rows shuffled for 11.8M pairs at sf0.1, vs 52.7M
+            # under round-robin layout (§2.3).
+            n_shuffle = int(
+                docs.sparkSession.conf.get("spark.sql.shuffle.partitions")
+            )
+            wtf = wtf.repartition(n_shuffle, "id")
         ordw = Window.partitionBy("id").orderBy(
             F.col("__df").asc(), F.col("term").asc()
         )
@@ -230,27 +255,12 @@ def sparse_cosine_join(
             .select("id", "term", "w", "__suffix_norm")
         )
         if persist_vectors:
-            # Materialize ONCE and truncate lineage (guide §3.3).  The
-            # checkpoint freezes the window stage's AQE-coalesced layout
-            # — at demo scale that is ~1 partition (the vector table is
-            # a few MB), which would serialize the candidate join whose
-            # OUTPUT is orders of magnitude larger than its input
-            # (measured: the whole downstream ran in one task, 4× slower
-            # than the r15 shape).  Restore parallelism only when the
-            # frozen layout is narrower than the cluster default — at
-            # real scale the window stage already has ≥ parallelism
-            # partitions and this is a no-op, so it is not a local-only
-            # constant, it is a floor against small-input collapse.
+            # Materialize ONCE and truncate lineage (guide §3.3): every
+            # downstream consumer (index side, probe side, packed verify
+            # vectors ×2) reads this result instead of replaying the
+            # tokenize+weight+window build.  The explicit repartition
+            # above fixed the checkpoint's width and id-layout.
             flagged = flagged.localCheckpoint(eager=True)
-            sc = docs.sparkSession.sparkContext
-            if flagged.rdd.getNumPartitions() < sc.defaultParallelism:
-                # hash by TERM, not round-robin: the candidate join is
-                # term-keyed, and term co-location makes the candidate
-                # distinct's PARTIAL aggregate collapse a pair's
-                # duplicate rows (one per shared term) before the
-                # exchange — measured 23.2M vs 52.7M shuffled rows on
-                # the sf0.1 probe (§2.3 "aggregate before you shuffle").
-                flagged = flagged.repartition(sc.defaultParallelism, "term")
         index_side = flagged.filter(
             F.col("__suffix_norm") >= F.lit(float(threshold))
         ).select(
